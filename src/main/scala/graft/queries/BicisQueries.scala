@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.{Tables, TimeKeys}
+import graft.ops.{SeriesAggs, TemporalSplit, WindowOps}
+
+/** Bicis-parity queries over the `events` table, with `user_id` standing in
+  * for the station, `ts` for rent_date, event_type 'click' for rents and
+  * 'purchase' for returns (FIXTURES.md role mapping).
+  */
+object BicisQueries {
+
+  private val Rent = "click"
+  private val Return = "purchase"
+  private val HourMicros = 3600L * 1000000L
+
+  /** Inner count CTE shared by the series oracles. */
+  private def seriesCte(eventType: String, group: String, key: String): String =
+    s"""SELECT user_id, date_trunc('$group', ts) AS g, CAST($key AS BIGINT) AS k, count(*) AS n
+       |FROM events WHERE event_type = '$eventType' GROUP BY 1, 2, 3""".stripMargin
+
+  private def seriesSql(eventType: String, group: String, key: String, out: String): String =
+    s"""WITH c AS (${seriesCte(eventType, group, key)})
+       |SELECT user_id, k, round(avg(n), 6) AS $out FROM c GROUP BY 1, 2 ORDER BY user_id, k""".stripMargin
+
+  private def series(kind: String, eventType: String, out: String) =
+    (s: org.apache.spark.sql.SparkSession, dir: String) => {
+      val e = Tables.events(s, dir).where(col("event_type") === eventType)
+      val (key, group) = TimeKeys.keyAndGroup(kind, col("ts"))
+      SeriesAggs.activePeriodAvg(e, col("user_id"), group, key, out)
+        .orderBy(col("user_id"), col("k"))
+    }
+
+  private val kindToDuck = Map(
+    "weekday" -> ("week", "isodow(ts)"),
+    "hour" -> ("hour", "hour(ts)"),
+    "month" -> ("month", "month(ts)"))
+
+  private def seriesQuery(kind: String): QueryDef = {
+    val (group, key) = kindToDuck(kind)
+    QueryDef.sql(s"series_$kind", seriesSql(Rent, group, key, "n_rents"))(series(kind, Rent, "n_rents"))
+  }
+
+  val seriesWeekday: QueryDef = seriesQuery("weekday")
+  val seriesHour: QueryDef = seriesQuery("hour")
+  val seriesMonth: QueryDef = seriesQuery("month")
+
+  /** J1: rents ⋈ returns hour series (broadcast-sized sides). */
+  val seriesJoin: QueryDef = QueryDef.sql("series_join",
+    s"""WITH cr AS (${seriesCte(Rent, "hour", "hour(ts)")}),
+       |ct AS (${seriesCte(Return, "hour", "hour(ts)")}),
+       |r AS (SELECT user_id, k, round(avg(n), 6) AS n_rents FROM cr GROUP BY 1, 2),
+       |t AS (SELECT user_id, k, round(avg(n), 6) AS n_returns FROM ct GROUP BY 1, 2)
+       |SELECT user_id, k, n_rents, n_returns FROM r JOIN t USING (user_id, k)
+       |ORDER BY user_id, k""".stripMargin) { (s, dir) =>
+    SeriesAggs.joinSeries(
+        series("hour", Rent, "n_rents")(s, dir),
+        series("hour", Return, "n_returns")(s, dir))
+      .select("user_id", "k", "n_rents", "n_returns")
+      .orderBy("user_id", "k")
+  }
+
+  /** A6/A7: station × hour profile pivoted wide, dense 0..23, zero-filled. */
+  val stationHourPivot: QueryDef = {
+    val cols = (0 to 23)
+      .map(h => s"coalesce(max(v) FILTER (WHERE k = $h), 0.0) AS h$h").mkString(",\n  ")
+    QueryDef.sql("station_hour_pivot",
+      s"""WITH c AS (${seriesCte(Rent, "hour", "hour(ts)")}),
+         |s AS (SELECT user_id, k, round(avg(n), 6) AS v FROM c GROUP BY 1, 2)
+         |SELECT user_id,
+         |  $cols
+         |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      SeriesAggs.stationHourPivot(series("hour", Rent, "v")(s, dir), "v")
+        .orderBy("user_id")
+    }
+  }
+
+  /** A5 flagship: next-1h forward window count with full-window mask. */
+  val nextWindowTarget: QueryDef = QueryDef.sql("next_window_target",
+    s"""WITH b AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+       |w AS (SELECT event_id, us,
+       |        count(*) OVER (PARTITION BY user_id ORDER BY us
+       |                       RANGE BETWEEN CURRENT ROW AND ${HourMicros - 1} FOLLOWING) AS c,
+       |        max(us) OVER (PARTITION BY user_id) AS mx
+       |      FROM b)
+       |SELECT event_id, CAST(c AS BIGINT) AS n_rents FROM w
+       |WHERE us <= mx - $HourMicros ORDER BY event_id""".stripMargin) { (s, dir) =>
+    WindowOps.forwardWindowCount(Tables.events(s, dir), "user_id", "ts", "event_id", HourMicros)
+      .orderBy("event_id")
+  }
+
+  /** A10: tumbling 1-hour count (aligned windows == date_trunc in the oracle). */
+  val tumblingHour: QueryDef = QueryDef.sql("tumbling_hour",
+    """SELECT date_trunc('hour', ts) AS ws, count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY ws""".stripMargin) { (s, dir) =>
+    WindowOps.tumblingCount(Tables.events(s, dir), "ts", "1 hour").orderBy("ws")
+  }
+
+  /** M1: the three split branches, summarized as (count, min, max). */
+  private def splitQuery(which: String): QueryDef = {
+    val spec = TemporalSplit.Spec()
+    val total = spec.validationDays + spec.testDays
+    val pred = which match {
+      case "training"   => s"o_orderdate < mx - INTERVAL $total DAYS"
+      case "validation" => s"o_orderdate >= mx - INTERVAL $total DAYS AND o_orderdate < mx - INTERVAL ${spec.testDays} DAYS"
+      case "testing"    => s"o_orderdate >= mx - INTERVAL ${spec.testDays} DAYS AND o_orderdate <= mx"
+    }
+    QueryDef.sql(s"split_$which",
+      s"""WITH b AS (SELECT max(o_orderdate) AS mx FROM orders)
+         |SELECT count(*) AS n, min(o_orderdate) AS mn, max(o_orderdate) AS mx
+         |FROM orders, b WHERE $pred""".stripMargin) { (s, dir) =>
+      val (tr, va, te) = TemporalSplit.split(Tables.orders(s, dir), "o_orderdate", spec)
+      val branch = which match {
+        case "training" => tr; case "validation" => va; case "testing" => te
+      }
+      branch.agg(count(lit(1)).as("n"), min(col("o_orderdate")).as("mn"),
+        max(col("o_orderdate")).as("mx"))
+    }
+  }
+
+  val splitTraining: QueryDef = splitQuery("training")
+  val splitValidation: QueryDef = splitQuery("validation")
+  val splitTesting: QueryDef = splitQuery("testing")
+
+  val all: Seq[QueryDef] = Seq(
+    seriesWeekday, seriesHour, seriesMonth, seriesJoin, stationHourPivot,
+    nextWindowTarget, tumblingHour, splitTraining, splitValidation, splitTesting)
+}

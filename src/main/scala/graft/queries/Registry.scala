@@ -1,0 +1,11 @@
+package graft.queries
+
+/** All driver-checkable queries, one per implemented operator family
+  * (SURVEY.md §2). Names must stay unique.
+  */
+object Registry {
+  val all: Seq[QueryDef] =
+    BicisQueries.all ++ RelationalQueries.all
+
+  require(all.map(_.name).distinct.size == all.size, "duplicate query names")
+}
