@@ -5,7 +5,7 @@ package graft.queries
   */
 object Registry {
   val all: Seq[QueryDef] =
-    BicisQueries.all ++ RelationalQueries.all
+    BicisQueries.all ++ RelationalQueries.all ++ ScalarQueries.all
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 }

@@ -42,5 +42,151 @@ object RelationalQueries {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
-  val all: Seq[QueryDef] = Seq(q1Agg)
+  import graft.ops.Relational.{money, rate, revenue}
+  import org.apache.spark.sql.expressions.Window
+
+  /** Multi-way star join: revenue per region/nation (J2-style shuffle join
+    * on the fact keys; dims broadcast).
+    */
+  val qJoinAgg: QueryDef = QueryDef.sql("q_join_agg",
+    """SELECT r_name, n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+    val joined = li
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+    joined.groupBy(col("r_name"), col("n_name"))
+      .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** Broadcast dimension join: no shuffle of the fact side (J4 analog). */
+  val qBroadcastJoin: QueryDef = QueryDef.sql("q_broadcast_join",
+    """SELECT p_brand,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** Top-k with deterministic tiebreak (L-family; TakeOrderedAndProject). */
+  val qTopk: QueryDef = QueryDef.sql("q_topk",
+    """SELECT o_custkey, CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+      |FROM orders GROUP BY o_custkey
+      |ORDER BY revenue DESC, o_custkey LIMIT 10""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(money(col("o_totalprice"))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_custkey"))
+      .limit(10)
+  }
+
+  /** Ranking window functions (engine extension beyond the reference's W-ops). */
+  val qWindowRank: QueryDef = QueryDef.sql("q_window_rank",
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn,
+      |  CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_orderstatus) AS BIGINT) AS rk,
+      |  lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS prev_price
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val wDet = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wStatus = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderstatus"))
+    Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      row_number().over(wDet).cast("long").as("rn"),
+      rank().over(wStatus).cast("long").as("rk"),
+      lag(col("o_totalprice"), 1).over(wDet).as("prev_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** UNION / INTERSECT / EXCEPT in one tagged result (U-family + extensions). */
+  val qSetops: QueryDef = QueryDef.sql("q_setops",
+    """WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+      |b AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')
+      |SELECT 'except' AS op, k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+      |UNION ALL SELECT 'intersect' AS op, k FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+      |UNION ALL SELECT 'union' AS op, k FROM (SELECT k FROM a UNION SELECT k FROM b)
+      |ORDER BY op, k""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    val a = o.where(col("o_orderstatus") === "F").select(col("o_custkey").as("k")).distinct()
+    val b = o.where(col("o_orderstatus") === "O").select(col("o_custkey").as("k")).distinct()
+    a.except(b).select(lit("except").as("op"), col("k"))
+      .unionAll(a.intersect(b).select(lit("intersect").as("op"), col("k")))
+      .unionAll(a.union(b).distinct().select(lit("union").as("op"), col("k")))
+      .orderBy(col("op"), col("k"))
+  }
+
+  /** ROLLUP grouping sets (free from Catalyst; NULL-marker rows pinned
+    * NULLS FIRST on both sides).
+    */
+  val qRollup: QueryDef = QueryDef.sql("q_rollup",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** Distinct aggregates (expand + two-phase agg under the hood). */
+  val qDistinctAgg: QueryDef = QueryDef.sql("q_distinct_agg",
+    """SELECT l_returnflag,
+      |  count(DISTINCT l_partkey) AS nd_part,
+      |  count(DISTINCT l_suppkey) AS nd_supp,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("nd_part"),
+        countDistinct(col("l_suppkey")).as("nd_supp"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Left-semi join == EXISTS. */
+  val qSemiJoin: QueryDef = QueryDef.sql("q_semi_join",
+    """SELECT c_custkey FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).where(col("o_totalprice") > 100000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti join == NOT EXISTS. */
+  val qAntiJoin: QueryDef = QueryDef.sql("q_anti_join",
+    """SELECT c_custkey FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q1Agg, qJoinAgg, qBroadcastJoin, qTopk,
+    qWindowRank, qSetops, qRollup, qDistinctAgg, qSemiJoin, qAntiJoin)
 }
