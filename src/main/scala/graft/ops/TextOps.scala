@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis and dedup building blocks for the training-data pipeline
+  * extensions (builder prompt; SURVEY.md §7.5).
+  *
+  * Everything here is pure Catalyst column expressions — codegen'd, no
+  * UDFs, no driver loops. Hashing is PORTABLE: derived from md5 hex so
+  * DuckDB oracles compute bit-identical signatures. At production scale
+  * you would swap `portableHash64` for `xxhash64` (Spark-native, ~10×
+  * faster) — the operators take the hash expression as a parameter shape
+  * to keep that swap local.
+  *
+  * Tokenization contract (shared with every oracle):
+  *   words    = regexp_extract_all(lower(text), '[a-z0-9]+')
+  *   shingles = distinct 3-word grams, space-joined; < 3 words -> empty
+  */
+object TextOps {
+
+  /** 64-bit portable hash: first 15 hex digits of md5(salt:value) as a
+    * long. Mirrors DuckDB `('0x' || substr(md5(salt || ':' || s), 1, 15))::BIGINT`.
+    */
+  def portableHash64Sql(saltSql: String, valueSql: String): String =
+    s"CAST(conv(substr(md5(CAST(concat(CAST($saltSql AS STRING), ':', $valueSql) AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+
+  val wordsExpr: Column = expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+
+  /** Distinct 3-word shingles from a `__w` words column. */
+  val shinglesExpr: Column = expr(
+    """CASE WHEN size(__w) >= 3 THEN
+      |  array_distinct(transform(sequence(0, size(__w) - 3),
+      |    i -> concat_ws(' ', __w[i], __w[i+1], __w[i+2])))
+      |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
+
+  /** Optimizer barrier: a semantic no-op aggregate on a unique key.
+    *
+    * LOAD-BEARING for every expensive derived column here. Two Catalyst
+    * behaviors otherwise explode the cost model: (a) CollapseProject
+    * inlines a projected expression into every later reference — a
+    * per-element `__w[i]` access then re-runs the full-text
+    * regexp_extract_all once per element; (b) InferFiltersFromConstraints
+    * synthesizes `isnotnull(expensive_expr)` filters for join keys and
+    * pushes them below a plain repartition, re-evaluating signatures per
+    * input row (or, in a cartesian pair scan, per PAIR). Neither rule
+    * crosses an Aggregate, so `groupBy(unique_key).agg(first(...))`
+    * pins each derived column to exactly one evaluation per row. Payload
+    * is the derived arrays only; at cluster scale this is one cheap
+    * hash-partitioned shuffle of the profile table — the layout the
+    * downstream self-joins want anyway.
+    */
+  def barrier(df: DataFrame, key: String): DataFrame = {
+    val others = df.columns.filterNot(_ == key)
+    df.groupBy(col(key)).agg(first(col(others.head)).as(others.head),
+      others.tail.map(c => first(col(c)).as(c)): _*)
+  }
+
+  /** doc_id + non-empty shingle set (words and shingles each evaluated
+    * exactly once per document — see `barrier`).
+    */
+  def docShingles(docs: DataFrame): DataFrame = {
+    val words = barrier(docs.select(col("doc_id"), wordsExpr.as("__w")), "doc_id")
+    val sh = words.select(col("doc_id"), shinglesExpr.as("sh"))
+      .where(size(col("sh")) > 0)
+    barrier(sh, "doc_id")
+  }
+
+  /** MinHash signature: k portable hash functions (salted by index),
+    * min over the shingle set. One projection — no explode, no shuffle.
+    */
+  def minhashSig(k: Int): Column = expr(
+    s"transform(sequence(0, ${k - 1}), i -> array_min(transform(sh, s -> ${portableHash64Sql("i", "s")})))")
+
+  /** LSH band keys: b bands of r signature rows each, keyed by an md5 of
+    * the band's slice. Emitted as an array of (band, bh) structs.
+    */
+  def bandKeys(b: Int, r: Int): Column = {
+    val slice = (0 until r)
+      .map(o => s"CAST(sig[$r * b0 + $o] AS STRING)").mkString(", ',', ")
+    expr(
+      s"""transform(sequence(0, ${b - 1}), b0 -> struct(b0 AS band,
+         |  md5(CAST(concat(CAST(b0 AS STRING), ':', $slice) AS BINARY)) AS bh))""".stripMargin)
+  }
+
+  /** 32-bit SimHash over the shingle set (sign of per-bit +/-1 sums). */
+  val simhash32: Column = expr(
+    s"""CAST(aggregate(sequence(0, 31), CAST(0 AS BIGINT),
+       |  (acc, i) -> acc + IF(
+       |    aggregate(__wh, 0, (a2, h) -> a2 + IF(((h >> i) & 1) = 1, 1, -1)) >= 0,
+       |    shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))) AS BIGINT)""".stripMargin)
+
+  /** Jaccard similarity of two distinct-element array columns, rounded
+    * to 6 (the cross-engine comparison granularity).
+    */
+  def jaccard(a: Column, bCol: Column): Column = {
+    val inter = size(array_intersect(a, bCol))
+    round(inter / (size(a) + size(bCol) - inter), 6)
+  }
+}

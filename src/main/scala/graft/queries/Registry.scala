@@ -5,7 +5,8 @@ package graft.queries
   */
 object Registry {
   val all: Seq[QueryDef] =
-    BicisQueries.all ++ RelationalQueries.all ++ ScalarQueries.all
+    BicisQueries.all ++ RelationalQueries.all ++ ScalarQueries.all ++
+      DedupQueries.all ++ TextQueries.all
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 }

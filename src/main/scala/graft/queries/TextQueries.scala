@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Text-analysis operators over the documents table: token counting,
+  * language-ID heuristic, quality scoring, fingerprinting. All pure
+  * column expressions (single scan, no shuffle except final sort).
+  */
+object TextQueries {
+
+  private val stop = "the|and|of|to|in|a|is"
+
+  val textTokenCount: QueryDef = QueryDef.sql("text_token_count",
+    """SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe,
+      |  CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_vocab,
+      |  CAST(length(text) AS BIGINT) AS len_chars
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_ws"),
+      size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+        .cast("long").as("n_bpe"),
+      size(array_distinct(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")))
+        .cast("long").as("n_vocab"),
+      length(col("text")).cast("long").as("len_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Stopword-frequency language ID (n-gram heuristic): count per-language
+    * marker words, argmax with a fixed priority order; no markers -> 'und'.
+    */
+  val textLangId: QueryDef = {
+    val markers = Seq(
+      "en" -> "the|and|of|to|in",
+      "es" -> "el|la|de|que|los",
+      "de" -> "der|die|und|das|ist",
+      "fr" -> "le|la|les|des|et")
+    def cnt(re: String, f: String => String): String = f(re)
+    val duckCnts = markers.map { case (l, re) =>
+      s"len(regexp_extract_all(lower(text), '\\b($re)\\b')) AS s_$l" }.mkString(",\n  ")
+    val sparkCnts = markers.map { case (l, re) =>
+      size(expr(s"regexp_extract_all(lower(text), '\\\\b($re)\\\\b', 0)")).as(s"s_$l") }
+    val caseSql =
+      """CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+        |     WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+        |     WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+        |     WHEN s_de >= s_fr THEN 'de'
+        |     ELSE 'fr' END""".stripMargin
+    QueryDef.sql("text_lang_id",
+      s"""WITH c AS (SELECT doc_id, lang,
+         |  $duckCnts
+         |  FROM documents)
+         |SELECT doc_id, $caseSql AS pred,
+         |  CASE WHEN ($caseSql) = lang THEN 1 ELSE 0 END AS agree
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(Seq(col("doc_id"), col("lang")) ++ sparkCnts: _*)
+        .select(col("doc_id"), expr(caseSql).as("pred"),
+          when(expr(caseSql) === col("lang"), 1).otherwise(0).as("agree"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Quality score: length saturation + punctuation penalty + stopword
+    * density + vocabulary diversity, fixed weights, rounded to 6.
+    */
+  val textQualityScore: QueryDef = {
+    val duckSql =
+      s"""WITH c AS (SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS nc,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS nw,
+         |  CAST(len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS nv,
+         |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT) AS np,
+         |  CAST(len(regexp_extract_all(lower(text), '\\b($stop)\\b')) AS BIGINT) AS ns
+         |  FROM documents)
+         |SELECT doc_id,
+         |  round(0.3 * least(nw / 100.0, 1.0)
+         |      + 0.3 * (1.0 - np / CAST(greatest(nc, 1) AS DOUBLE))
+         |      + 0.2 * least(ns * 5.0 / CAST(greatest(nw, 1) AS DOUBLE), 1.0)
+         |      + 0.2 * (nv / CAST(greatest(nw, 1) AS DOUBLE)), 6) AS score
+         |FROM c ORDER BY doc_id""".stripMargin
+    QueryDef.sql("text_quality_score", duckSql) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("nc"),
+          size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).cast("long").as("nw"),
+          size(array_distinct(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")))
+            .cast("long").as("nv"),
+          size(expr("regexp_extract_all(text, '[^a-zA-Z0-9\\\\s]', 0)")).cast("long").as("np"),
+          size(expr(s"regexp_extract_all(lower(text), '\\\\b($stop)\\\\b', 0)")).cast("long").as("ns"))
+        .select(col("doc_id"),
+          round(lit(0.3) * least(col("nw") / 100.0, lit(1.0))
+            + lit(0.3) * (lit(1.0) - col("np") / greatest(col("nc"), lit(1)).cast("double"))
+            + lit(0.2) * least(col("ns") * 5.0 / greatest(col("nw"), lit(1)).cast("double"), lit(1.0))
+            + lit(0.2) * (col("nv") / greatest(col("nw"), lit(1)).cast("double")), 6).as("score"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Normalization fingerprint: md5 of lowercase text with non-alnum runs
+    * collapsed to single spaces (whitespace/punctuation-insensitive
+    * duplicate detection).
+    */
+  val textFingerprint: QueryDef = QueryDef.sql("text_fingerprint",
+    """SELECT doc_id,
+      |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).cast("binary")).as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(textTokenCount, textLangId, textQualityScore, textFingerprint)
+}
