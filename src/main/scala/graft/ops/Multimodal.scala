@@ -1,0 +1,60 @@
+package graft.ops
+
+import java.security.MessageDigest
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque `binary` columns with typed
+  * metadata, decoded per-partition in batches.
+  *
+  * The decode step is a clearly-marked STUB (no image/audio libs in this
+  * container): it derives deterministic fake dimensions from the md5 of
+  * the bytes. Everything AROUND the stub is the real production shape:
+  *  - media travels as a binary column next to its id (columnar parquet
+  *    stores it as a byte-array chunk; column pruning still works for
+  *    metadata-only queries);
+  *  - decoding runs in `mapPartitions`, one decoder instance per
+  *    partition (the batch shape you'd use for a JNI/FFI decoder), never
+  *    per-row construction, never driver-side;
+  *  - output is a typed Dataset[MediaMeta] with a stable schema.
+  *
+  * Swapping in a real decoder = replacing `decodeOne`'s body.
+  */
+object Multimodal {
+
+  final case class MediaMeta(doc_id: Long, n_bytes: Long, width: Long,
+                             height: Long, n_frames: Long, fmt: String)
+
+  private val formats = Array("image", "audio", "video")
+
+  /** STUB decode: md5-derived fake dimensions (deterministic; mirrored by
+    * the DuckDB oracle's hex arithmetic). A real implementation would
+    * parse the container header / run the codec here.
+    */
+  private[graft] def decodeOne(docId: Long, bytes: Array[Byte], md: MessageDigest): MediaMeta = {
+    md.reset()
+    val hex = md.digest(bytes).map(b => f"$b%02x").mkString
+    def hx(from: Int, len: Int): Long = java.lang.Long.parseLong(hex.substring(from, from + len), 16)
+    MediaMeta(
+      doc_id = docId,
+      n_bytes = bytes.length.toLong,
+      width = 1L + hx(0, 4) % 1024,
+      height = 1L + hx(4, 4) % 1024,
+      n_frames = 1L + hx(8, 4) % 64,
+      fmt = formats((hx(12, 4) % 3).toInt))
+  }
+
+  /** documents.text treated as the opaque media payload (utf-8 bytes). */
+  def mediaTable(spark: SparkSession, docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text").cast("binary").as("media"))
+
+  /** Batch decode: one MessageDigest (decoder handle) per partition. */
+  def decode(spark: SparkSession, media: DataFrame): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5")
+        it.map { case (id, bytes) => decodeOne(id, bytes, md) }
+      }
+  }
+}

@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate / exact nearest-neighbor search over an embedding column
+  * (`Array[Float]`, cast to double for deterministic cross-engine math).
+  *
+  * Two tiers (builder prompt):
+  *  - brute-force cosine top-k: the correctness baseline. Candidates
+  *    stream, queries broadcast; cost O(|Q| * n * d). Fine for |Q| small
+  *    at any n (it is a single scan of the candidate table).
+  *  - sign-bit LSH buckets: axis-aligned hyperplane LSH (sign of the
+  *    first 8 dims = 256 buckets); candidate generation becomes an
+  *    EQUI-join on the bucket id, shrinking the pair space ~256x. The
+  *    100 TB shape: bucket is a partition key; each query probes one
+  *    bucket's partition. Recall is traded for the usual LSH guarantees.
+  */
+object Similarity {
+
+  /** embeddings -> (vec_id, label, v: array<double>). */
+  def vectors(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), col("label"),
+      col("embedding").cast("array<double>").as("v"))
+
+  /** Cosine similarity of two double-array columns, rounded to 6. */
+  def cosine(a: String, b: String): Column = round(
+    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, z) -> acc + z)") /
+      (sqrt(expr(s"aggregate($a, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)")) *
+        sqrt(expr(s"aggregate($b, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)"))), 6)
+
+  /** Axis-aligned LSH bucket: 8 sign bits from the first 8 dims. */
+  def signBucket(vCol: String, bits: Int = 8): Column = expr(
+    s"""CAST(aggregate(sequence(0, ${bits - 1}), 0,
+       |  (acc, i) -> acc + IF($vCol[i] >= CAST(0 AS DOUBLE), shiftleft(1, i), 0)) AS BIGINT)""".stripMargin)
+
+  /** Top-k per query with deterministic (sim desc, nid) ranking. */
+  def topK(pairs: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    pairs.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= k)
+  }
+}

@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+import graft.ops.{Multimodal, Similarity}
+
+/** Similarity search over the embeddings table and multimodal plumbing
+  * over documents (builder-prompt extension families).
+  */
+object EmbedQueries {
+
+  private val duckVectors =
+    "v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)"
+  private def duckCos(a: String, b: String): String =
+    s"""round(list_sum([$a[i] * $b[i] for i in range(1, len($a) + 1)]) /
+       |  (sqrt(list_sum([x * x for x in $a])) * sqrt(list_sum([x * x for x in $b]))), 6)""".stripMargin
+
+  /** Brute-force cosine top-5 for query vectors vec_id < 10 (baseline:
+    * one scan of the candidate table, queries broadcast).
+    */
+  val embedKnnBrute: QueryDef = QueryDef.sql("embed_knn_brute",
+    s"""WITH $duckVectors,
+       |q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS nid, v AS cv FROM v WHERE vec_id >= 10),
+       |p AS (SELECT qid, nid, ${duckCos("qv", "cv")} AS sim FROM c, q),
+       |r AS (SELECT qid, nid, sim,
+       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk FROM p)
+       |SELECT qid, nid, sim, rnk FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+    val v = Similarity.vectors(Tables.embeddings(s, dir))
+    val q = v.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val c = v.where(col("vec_id") >= 10).select(col("vec_id").as("nid"), col("v").as("cv"))
+    val pairs = c.crossJoin(broadcast(q))
+      .withColumn("sim", Similarity.cosine("qv", "cv"))
+      .select(col("qid"), col("nid"), col("sim"))
+    Similarity.topK(pairs, 5).select(col("qid"), col("nid"), col("sim"), col("rnk"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** LSH-bucketed ANN: candidates restricted to the query's sign-bit
+    * bucket (equi-join; the scale path).
+    */
+  val embedKnnLsh: QueryDef = {
+    val duckBucket =
+      "CAST(list_sum([CASE WHEN v[i+1] >= 0 THEN (1 << i) ELSE 0 END for i in range(0, 8)]) AS BIGINT)"
+    QueryDef.sql("embed_knn_lsh",
+      s"""WITH $duckVectors,
+         |b AS (SELECT vec_id, v, $duckBucket AS bucket FROM v),
+         |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM b WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS nid, v AS cv, bucket FROM b WHERE vec_id >= 10),
+         |p AS (SELECT qid, nid, ${duckCos("qv", "cv")} AS sim FROM c JOIN q USING (bucket)),
+         |r AS (SELECT qid, nid, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk FROM p)
+         |SELECT qid, nid, sim, rnk FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      val b = Similarity.vectors(Tables.embeddings(s, dir))
+        .withColumn("bucket", Similarity.signBucket("v"))
+      val q = b.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
+      val c = b.where(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("v").as("cv"), col("bucket"))
+      val pairs = c.join(broadcast(q), "bucket")
+        .withColumn("sim", Similarity.cosine("qv", "cv"))
+        .select(col("qid"), col("nid"), col("sim"))
+      Similarity.topK(pairs, 5).select(col("qid"), col("nid"), col("sim"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }
+  }
+
+  /** IVF-style centroid assignment: per-label centroids (posexplode +
+    * avg), then each vector's euclidean distance to its label centroid.
+    */
+  val embedCentroids: QueryDef = QueryDef.sql("embed_centroids",
+    s"""WITH $duckVectors,
+       |e AS (SELECT vec_id, label, i, v[i] AS x FROM v, range(1, 65) r(i)),
+       |cent AS (SELECT label, i, avg(x) AS c FROM e GROUP BY 1, 2),
+       |ca AS (SELECT label, list(c ORDER BY i) AS carr FROM cent GROUP BY label)
+       |SELECT vec_id,
+       |  round(sqrt(list_sum([(v[i] - carr[i]) * (v[i] - carr[i]) for i in range(1, len(v) + 1)])), 6) AS dist
+       |FROM v JOIN ca USING (label) ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val v = Similarity.vectors(Tables.embeddings(s, dir))
+    val e = v.select(col("vec_id"), col("label"), posexplode(col("v")).as(Seq("i", "x")))
+    val cent = e.groupBy(col("label"), col("i")).agg(avg(col("x")).as("c"))
+    val ca = cent.groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, c))), p -> p.c)").as("carr"))
+    v.join(broadcast(ca), "label")
+      .select(col("vec_id"), round(sqrt(expr(
+        "aggregate(zip_with(v, carr, (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, z) -> acc + z)")), 6)
+        .as("dist"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** Multimodal metadata extraction: binary media column -> typed decode
+    * via per-partition batch stub (see ops.Multimodal — the Spark-side
+    * plumbing is real, the codec is a deterministic md5-based fake the
+    * oracle mirrors in hex arithmetic).
+    */
+  val multimodalMeta: QueryDef = {
+    def hx(from1: Int): String = s"('0x' || substr(md5(text), $from1, 4))::BIGINT"
+    QueryDef.sql("multimodal_meta",
+      s"""SELECT doc_id,
+         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         |  1 + ${hx(1)} % 1024 AS width,
+         |  1 + ${hx(5)} % 1024 AS height,
+         |  1 + ${hx(9)} % 64 AS n_frames,
+         |  ['image', 'audio', 'video'][(${hx(13)} % 3) + 1] AS fmt
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val media = Multimodal.mediaTable(s, Tables.documents(s, dir))
+      Multimodal.decode(s, media).toDF()
+        .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+          col("n_frames"), col("fmt"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(embedKnnBrute, embedKnnLsh, embedCentroids, multimodalMeta)
+}
