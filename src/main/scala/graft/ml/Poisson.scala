@@ -1,0 +1,70 @@
+package graft.ml
+
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.regression.{GeneralizedLinearRegression, GeneralizedLinearRegressionModel}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Tables, TimeKeys}
+import graft.ops.{HourRingFeatures, SeriesAggs, WindowOps}
+
+/** M2-M5: the reference's model stage (bicis/etl/models/poisson_regression
+  * .py:12-47, evaluate_model.py:13-41) on Spark MLlib's identical GLM.
+  *
+  * Dataset assembly replaces the reference's Redis-backed per-row feature
+  * fetch + RDD pair join (build_dataset.py:63-141) with two Catalyst
+  * joins: trips ⋈ broadcast(station hour profile) for the W1 ring
+  * features, and features ⋈ targets on the event id (J2). The fails
+  * report (S8) falls out of the same plan as counts.
+  */
+object Poisson {
+
+  final case class Config(
+      window: Int = 24,
+      family: String = "poisson",
+      link: String = "identity",   // reference default, poisson_regression.py:14
+      maxIter: Int = 1)            // reference default, poisson_regression.py:13
+
+  /** ML dataset: event id, label = next-1h rents at the station, features
+    * = 24 cyclic hourly lags of the station's avg rents (W1).
+    */
+  def buildDataset(spark: SparkSession, dir: String, cfg: Config = Config()): DataFrame = {
+    val events = Tables.events(spark, dir)
+    val rents = events.where(col("event_type") === "click")
+    val hourSeries = SeriesAggs.activePeriodAvg(
+      rents, col("user_id"), TimeKeys.hourGroup(col("ts")), TimeKeys.hourKey(col("ts")), "v")
+    val profile = SeriesAggs.stationHourPivot(hourSeries, "v")
+    val ring = new HourRingFeatures(spark, profile, "n_rents", cfg.window)
+    val feats = ring(events.select(col("event_id"), col("user_id"), col("ts")))
+    val target = WindowOps.forwardWindowCount(events, "user_id", "ts", "event_id", 3600L * 1000000L)
+      .withColumnRenamed("n_rents", "label")
+    feats.join(target, "event_id")                       // J2
+      .select(Seq(col("event_id"), col("label").cast("double")) ++
+        ring.featureNames.map(col): _*)
+  }
+
+  def assemble(ds: DataFrame, featureNames: Seq[String]): DataFrame =
+    new VectorAssembler().setInputCols(featureNames.toArray).setOutputCol("features")
+      .transform(ds)
+
+  def fit(assembled: DataFrame, cfg: Config = Config()): GeneralizedLinearRegressionModel =
+    new GeneralizedLinearRegression()
+      .setFamily(cfg.family).setLink(cfg.link).setMaxIter(cfg.maxIter)
+      .setLabelCol("label").setFeaturesCol("features")
+      .fit(assembled)
+
+  def predict(model: GeneralizedLinearRegressionModel, assembled: DataFrame): DataFrame =
+    model.transform(assembled).drop("features")          // M4, poisson_regression.py:46
+
+  /** A9/M5: mean squared error as a single distributed aggregate. */
+  def mse(predictions: DataFrame): Double =
+    predictions.agg(avg(pow(col("label") - col("prediction"), 2))).head().getDouble(0)
+
+  /** End-to-end pipeline (fit on the data, predict, attach label). */
+  def run(spark: SparkSession, dir: String, cfg: Config = Config()): DataFrame = {
+    val ds = buildDataset(spark, dir, cfg)
+    val featureNames = (0 until cfg.window).map(i => s"n_rents_${i}_hb")
+    val assembled = assemble(ds, featureNames).cache()
+    val model = fit(assembled, cfg)
+    predict(model, assembled)
+  }
+}

@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.core.{Tables, TimeKeys}
+import graft.ml.Poisson
+import graft.ops.{HourRingFeatures, SeriesAggs}
+
+/** W1 feature ring (oracle-checked in long form) and the end-to-end
+  * Poisson GLM pipeline (no SQL oracle — model fitting is not DuckDB-
+  * expressible; invariants are covered by PoissonSpec unit tests, per
+  * SURVEY.md §5.2).
+  */
+object MlQueries {
+
+  /** W1: 24 cyclic hourly lags of the station's avg rents per event,
+    * emitted long-form (event_id, i, n_rents) for the oracle.
+    */
+  val hourRingFeatures: QueryDef = QueryDef.sql("hour_ring_features",
+    """WITH c AS (SELECT user_id, date_trunc('hour', ts) AS g, CAST(hour(ts) AS BIGINT) AS k, count(*) AS n
+      |           FROM events WHERE event_type = 'click' GROUP BY 1, 2, 3),
+      |s AS (SELECT user_id, k, round(avg(n), 6) AS v FROM c GROUP BY 1, 2),
+      |st AS (SELECT DISTINCT user_id FROM s),
+      |ev AS (SELECT event_id, e.user_id, hour(ts) AS h FROM events e JOIN st USING (user_id)),
+      |ring AS (SELECT event_id, user_id, h, i, (((h - 1 - i) % 24) + 24) % 24 AS hh
+      |         FROM ev, range(0, 24) r(i)),
+      |j AS (SELECT r.event_id, CAST(r.i AS BIGINT) AS i, coalesce(s.v, 0.0) AS n_rents
+      |      FROM ring r LEFT JOIN s ON s.user_id = r.user_id AND s.k = r.hh)
+      |SELECT event_id, i, n_rents FROM j ORDER BY event_id, i""".stripMargin) { (s, dir) =>
+    val events = Tables.events(s, dir)
+    val rents = events.where(col("event_type") === "click")
+    val hourSeries = SeriesAggs.activePeriodAvg(
+      rents, col("user_id"), TimeKeys.hourGroup(col("ts")), TimeKeys.hourKey(col("ts")), "v")
+    val profile = SeriesAggs.stationHourPivot(hourSeries, "v")
+    val ring = new HourRingFeatures(s, profile, "n_rents")
+    ring(events.select(col("event_id"), col("user_id"), col("ts")))
+      .select(col("event_id"),
+        posexplode(array(ring.featureNames.map(col): _*)).as(Seq("i", "n_rents")))
+      .select(col("event_id"), col("i").cast("long").as("i"), col("n_rents"))
+      .orderBy(col("event_id"), col("i"))
+  }
+
+  /** M2-M5 end to end: fit Poisson GLM on (W1 features, A5 targets),
+    * predict. Weaker rows-only driver check (no oracle).
+    */
+  val mlPoissonPredict: QueryDef = QueryDef.noOracle("ml_poisson_predict") { (s, dir) =>
+    Poisson.run(s, dir).select(col("event_id"), col("label"), col("prediction"))
+      .orderBy(col("event_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(hourRingFeatures, mlPoissonPredict)
+}

@@ -6,7 +6,7 @@ package graft.queries
 object Registry {
   val all: Seq[QueryDef] =
     BicisQueries.all ++ RelationalQueries.all ++ ScalarQueries.all ++
-      DedupQueries.all ++ TextQueries.all ++ EmbedQueries.all
+      DedupQueries.all ++ TextQueries.all ++ EmbedQueries.all ++ MlQueries.all
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 }

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TextOps
+
+class TextOpsSpec extends SparkSpec {
+
+  test("3-word shingles, distinct, short docs empty") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "x y"), (3L, "p q r p q r p q r p q"))
+      .toDF("doc_id", "text")
+    val out = TextOps.docShingles(df).orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).sorted)
+    // doc 2 (<3 words) filtered out entirely
+    assert(out.map(_._1).toSeq === Seq(1L, 3L))
+    assert(out(0)._2 === Seq("a b c", "b c d"))
+    // doc 3: rolling trigrams of p q r ... collapse to 3 distinct
+    assert(out(1)._2 === Seq("p q r", "q r p", "r p q"))
+  }
+
+  test("portable hash matches the DuckDB formula") {
+    import spark.implicits._
+    val got = Seq("hello").toDF("s")
+      .select(expr(TextOps.portableHash64Sql("7", "s"))).collect()(0).getLong(0)
+    // reference value computed independently: first 15 hex chars of
+    // md5("7:hello") parsed base 16
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("7:hello".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(got === java.lang.Long.parseLong(hex.take(15), 16))
+  }
+
+  test("jaccard on known sets") {
+    import spark.implicits._
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val sim = df.select(TextOps.jaccard(col("x"), col("y"))).collect()(0).getDouble(0)
+    assert(sim === 0.5) // |{b,c}| / |{a,b,c,d}|
+  }
+}
