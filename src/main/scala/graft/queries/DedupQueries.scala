@@ -5,32 +5,55 @@ import graft.core.Tables
 import graft.ops.TextOps
 
 /** Deduplication operators over the documents table — the LLM-training-
-  * data extension family. Three tiers:
+  * data extension family. Tiers:
   *
-  *  - exact:      hash-groupBy (one shuffle on the digest; at 100 TB this
-  *                is the only full-data shuffle and it carries 16-byte
-  *                digests, not documents)
-  *  - brute near: all-pairs Jaccard with an integer size-ratio prefilter —
-  *                the CORRECTNESS baseline, quadratic, small-data only
-  *  - MinHash-LSH: banded signatures -> equi-join on band keys -> verify.
-  *                The 100 TB path: candidate generation is a hash join on
-  *                (band, bh); cost scales with actual collisions, not n².
-  *  - SimHash:    32-bit signature + hamming<=3 pairing.
+  *  - exact:      digest groupBy (the only full-data shuffle carries
+  *                16-byte digests, not documents)
+  *  - ngram-Jaccard with PREFIX FILTERING (PPJoin-style): exact same
+  *                result set as naive all-pairs, but candidates come from
+  *                an equi-join on the first floor((1-t)*n)+1 elements of
+  *                each doc's globally-sorted shingle-hash set — if
+  *                J(A,B) >= t the prefixes must share a token, so no
+  *                recall is lost. Kills the O(n²) pair scan.
+  *  - MinHash-LSH: k=16 signatures from a universal hash family
+  *                h_i(x) = (a_i * (x mod p) + b_i) mod p over the 64-bit
+  *                shingle hashes (md5 runs once per shingle, not once per
+  *                (i, shingle)); 8x2 bands (detect P(J=0.8) ~ 0.9997);
+  *                equi-join candidates; exact verify. The 100 TB path.
+  *  - SimHash:    32-bit signature over shingle hashes + hamming<=3 pairing.
   *
-  * All hashing is md5-derived so the DuckDB oracle computes bit-identical
-  * signatures (see TextOps.portableHash64Sql).
+  * Shingle similarity is computed on 60-bit portable hashes of the
+  * shingles (identical in the DuckDB oracle); a hash collision would
+  * affect both engines identically.
   */
 object DedupQueries {
 
-  /** Shared oracle SQL fragments (must stay in lockstep with TextOps). */
+  private val P = 2147483647L // 2^31 - 1; (a < 2^31) * (x mod p) + b stays < 2^63
+  private def a(i: String) = s"(1000003 + $i * 7919)"
+
+  /** Shared oracle fragments (lockstep with TextOps). */
   private val wordsSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
-  private val shinglesCte =
+  private def duckHash(salt: String, v: String): String =
+    s"('0x' || substr(md5(CAST($salt AS VARCHAR) || ':' || $v), 1, 15))::BIGINT"
+  private val hashCte =
     s"""t AS (SELECT doc_id, $wordsSql AS w FROM documents),
        |sh AS (SELECT doc_id,
        |  list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]) AS s
-       |  FROM t WHERE len(w) >= 3)""".stripMargin
-  private def duckHash(salt: String, v: String): String =
-    s"('0x' || substr(md5(CAST($salt AS VARCHAR) || ':' || $v), 1, 15))::BIGINT"
+       |  FROM t WHERE len(w) >= 3),
+       |hs AS (SELECT doc_id, list_sort([${duckHash("'g'", "x")} for x in s]) AS hs, len(s) AS n
+       |       FROM sh WHERE len(s) > 0)""".stripMargin
+
+  /** Spark side of `hs`: doc_id, sorted 64-bit shingle hashes, count. */
+  private def docHashes(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val sh = TextOps.docShingles(Tables.documents(s, dir))
+    TextOps.barrier(sh.select(col("doc_id"),
+      array_sort(expr(s"transform(sh, x -> ${TextOps.portableHash64Sql("'g'", "x")})")).as("hs"),
+      size(col("sh")).as("n")), "doc_id")
+  }
+
+  private def duckJaccard(a: String, b: String): String =
+    s"""round(len(list_intersect($a, $b))::DOUBLE /
+       |  (len($a) + len($b) - len(list_intersect($a, $b))), 6)""".stripMargin
 
   val dedupExact: QueryDef = QueryDef.sql("dedup_exact",
     """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
@@ -41,57 +64,58 @@ object DedupQueries {
       .orderBy(col("keep_id"))
   }
 
-  /** Quadratic baseline: integer size-ratio prefilter (4*max <= 5*min
-    * <=> min/max >= 0.8, a necessary condition for J >= 0.8), then exact
-    * Jaccard on 3-word shingle sets.
+  /** Exact near-dup pairs (J >= 0.8) via prefix filtering: identical
+    * output to the naive quadratic scan, candidates from an equi-join.
     */
   val dedupNgramJaccard: QueryDef = QueryDef.sql("dedup_ngram_jaccard",
-    s"""WITH $shinglesCte
-       |SELECT a.doc_id AS i, b.doc_id AS j,
-       |  round(len(list_intersect(a.s, b.s))::DOUBLE /
-       |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS sim
-       |FROM sh a JOIN sh b
-       |  ON a.doc_id < b.doc_id
-       | AND 4 * greatest(len(a.s), len(b.s)) <= 5 * least(len(a.s), len(b.s))
-       |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
-       |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8
-       |ORDER BY i, j""".stripMargin) { (s, dir) =>
-    val sh = TextOps.docShingles(Tables.documents(s, dir))
-    val a = sh.select(col("doc_id").as("i"), col("sh").as("sa"))
-    val b = sh.select(col("doc_id").as("j"), col("sh").as("sb"))
-    a.join(broadcast(b), col("i") < col("j") &&
-        lit(4) * greatest(size(col("sa")), size(col("sb"))) <=
-          lit(5) * least(size(col("sa")), size(col("sb"))))
-      .withColumn("sim", TextOps.jaccard(col("sa"), col("sb")))
+    s"""WITH $hashCte,
+       |pre AS (SELECT doc_id, n, unnest(hs[1 : CAST(floor(0.2 * n) + 1 AS INT)]) AS tok FROM hs),
+       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |         FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |          AND 4 * greatest(a.n, b.n) <= 5 * least(a.n, b.n)),
+       |ver AS (SELECT c.i, c.j, ${duckJaccard("x.hs", "y.hs")} AS sim
+       |        FROM cand c JOIN hs x ON x.doc_id = c.i JOIN hs y ON y.doc_id = c.j)
+       |SELECT i, j, sim FROM ver WHERE sim >= 0.8 ORDER BY i, j""".stripMargin) { (s, dir) =>
+    val hs = docHashes(s, dir)
+    val pre = hs.select(col("doc_id"), col("n"),
+      explode(expr("slice(hs, 1, CAST(floor(0.2 * n) + 1 AS INT))")).as("tok"))
+    val cand = pre.as("a")
+      .join(pre.as("b"), col("a.tok") === col("b.tok") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        lit(4) * greatest(col("a.n"), col("b.n")) <= lit(5) * least(col("a.n"), col("b.n")))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    cand
+      .join(hs.select(col("doc_id").as("i"), col("hs").as("ha")), "i")
+      .join(hs.select(col("doc_id").as("j"), col("hs").as("hb")), "j")
+      .withColumn("sim", TextOps.jaccard(col("ha"), col("hb")))
       .where(col("sim") >= 0.8)
       .select(col("i"), col("j"), col("sim"))
       .orderBy(col("i"), col("j"))
   }
 
-  /** Scale path: k=24 minhashes, 8 bands x 3 rows; candidates from an
-    * equi-join on (band, band-hash); exact-Jaccard verify >= 0.8.
+  /** Scale path: k universal-hash minhashes over shingle hashes, banded;
+    * candidates from an equi-join on band keys; exact-Jaccard verify >= 0.8.
     */
   val dedupMinhashLsh: QueryDef = {
-    val (k, bands, r) = (24, 8, 3)
+    val (k, bands, r) = (16, 8, 2)
     val duckSig =
-      s"[list_min([${duckHash("i", "s2")} for s2 in s]) for i in range(0, $k)]"
+      s"[list_min([(${a("i")} * (x % $P) + i) % $P for x in hs]) for i in range(0, $k)]"
     val duckSlice = (1 to r).map(o => s"sig[$r * b + $o]").mkString(" || ',' || ")
     QueryDef.sql("dedup_minhash_lsh",
-      s"""WITH $shinglesCte,
-         |sig AS (SELECT doc_id, s, $duckSig AS sig FROM sh),
+      s"""WITH $hashCte,
+         |sig AS (SELECT doc_id, $duckSig AS sig FROM hs),
          |bands AS (SELECT doc_id, b, md5(CAST(b AS VARCHAR) || ':' || $duckSlice) AS bh
          |          FROM sig CROSS JOIN range(0, $bands) r1(b)),
          |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
          |         FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
-         |ver AS (SELECT c.i, c.j,
-         |  round(len(list_intersect(x.s, y.s))::DOUBLE /
-         |        (len(x.s) + len(y.s) - len(list_intersect(x.s, y.s))), 6) AS sim
-         |  FROM cand c JOIN sh x ON x.doc_id = c.i JOIN sh y ON y.doc_id = c.j)
+         |ver AS (SELECT c.i, c.j, ${duckJaccard("x.hs", "y.hs")} AS sim
+         |        FROM cand c JOIN hs x ON x.doc_id = c.i JOIN hs y ON y.doc_id = c.j)
          |SELECT i, j, sim FROM ver WHERE sim >= 0.8 ORDER BY i, j""".stripMargin) { (s, dir) =>
-      val sh = TextOps.docShingles(Tables.documents(s, dir))
-      // signature evaluated once per doc (optimizer barrier, see TextOps)
-      val sig = TextOps.barrier(
-        sh.select(col("doc_id"), TextOps.minhashSig(k).as("sig")), "doc_id")
+      val hs = docHashes(s, dir)
+      val sig = TextOps.barrier(hs.select(col("doc_id"), expr(
+        s"transform(sequence(0, ${k - 1}), i -> array_min(transform(hs, x -> (${a("i")} * (x % $P) + i) % $P)))")
+        .as("sig")), "doc_id")
       val bandRows = sig
         .select(col("doc_id"), explode(TextOps.bandKeys(bands, r)).as("bd"))
         .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
@@ -102,9 +126,9 @@ object DedupQueries {
         .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
         .distinct()
       cand
-        .join(sh.select(col("doc_id").as("i"), col("sh").as("sa")), "i")
-        .join(sh.select(col("doc_id").as("j"), col("sh").as("sb")), "j")
-        .withColumn("sim", TextOps.jaccard(col("sa"), col("sb")))
+        .join(hs.select(col("doc_id").as("i"), col("hs").as("ha")), "i")
+        .join(hs.select(col("doc_id").as("j"), col("hs").as("hb")), "j")
+        .withColumn("sim", TextOps.jaccard(col("ha"), col("hb")))
         .where(col("sim") >= 0.8)
         .select(col("i"), col("j"), col("sim"))
         .orderBy(col("i"), col("j"))
@@ -113,25 +137,21 @@ object DedupQueries {
 
   /** 32-bit SimHash near-dup pairs at hamming distance <= 3. */
   val dedupSimhash: QueryDef = {
-    val duckWh = s"[${duckHash("'sh'", "s2")} for s2 in s]"
     val duckSig =
-      s"""CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END for h in wh]) >= 0
+      s"""CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END for h in hs]) >= 0
          |  THEN (1::BIGINT << i) ELSE 0::BIGINT END for i in range(0, 32)]) AS BIGINT)""".stripMargin
     QueryDef.sql("dedup_simhash",
-      s"""WITH $shinglesCte,
-         |wh AS (SELECT doc_id, $duckWh AS wh FROM sh),
-         |sg AS (SELECT doc_id, $duckSig AS sig FROM wh)
+      s"""WITH $hashCte,
+         |sg AS (SELECT doc_id, $duckSig AS sig FROM hs)
          |SELECT a.doc_id AS i, b.doc_id AS j,
          |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS dist
          |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sig, b.sig)) <= 3
          |ORDER BY i, j""".stripMargin) { (s, dir) =>
-      val sh = TextOps.docShingles(Tables.documents(s, dir))
-      // hash shingles once per doc, then fold bits once per doc
-      val wh = TextOps.barrier(sh.select(col("doc_id"), expr(
-        s"transform(sh, s2 -> ${TextOps.portableHash64Sql("'sh'", "s2")})").as("__wh")), "doc_id")
+      val hs = docHashes(s, dir)
       val sg = TextOps.barrier(
-        wh.select(col("doc_id"), TextOps.simhash32.as("sig")), "doc_id")
+        hs.withColumn("__wh", col("hs"))
+          .select(col("doc_id"), TextOps.simhash32.as("sig")), "doc_id")
       sg.as("a").join(broadcast(sg.as("b")), col("a.doc_id") < col("b.doc_id"))
         .withColumn("dist", bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long"))
         .where(col("dist") <= 3)
