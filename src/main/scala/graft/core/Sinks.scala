@@ -1,0 +1,41 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Sink surface (S5 header-CSV, S8 JSON summaries + fails report).
+  *
+  * The engine's stage boundaries are parquet (columnar, statistics,
+  * splittable); CSV/JSON sinks exist for reference-compatible exports.
+  */
+object Sinks {
+
+  /** S5: header CSV export (split.py:49-72 et al.). */
+  def csvWithHeader(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  def parquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  def json(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** S8: row-count reconciliation sidecar (build_dataset.py:87-110):
+    * input/output counts, error count, and <=100 sample dropped ids —
+    * computed in ONE pass over a cached anti-join (the reference re-ran
+    * the full lineage per count, build_dataset.py:90-91).
+    */
+  def failsReport(input: DataFrame, output: DataFrame, idCol: String,
+                  path: String): Unit = {
+    val dropped = input.select(col(idCol)).join(output.select(col(idCol)),
+      Seq(idCol), "left_anti").cache()
+    try {
+      val nErr = dropped.count()
+      val sample = dropped.limit(100).collect().map(_.get(0)).mkString("[", ", ", "]")
+      val nIn = input.count()
+      val jsonStr =
+        s"""{"input_count": $nIn, "output_count": ${nIn - nErr}, "number_of_errors": $nErr, "error_ids": $sample}"""
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), jsonStr)
+    } finally dropped.unpersist()
+  }
+}

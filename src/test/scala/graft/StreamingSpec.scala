@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.Streaming
+import graft.streaming.Streaming.Ev
+
+class StreamingSpec extends SparkSpec {
+
+  test("watermarked tumbling counts over a memory stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val query = Streaming.tumblingCounts(ms.toDF(), "ts", "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("tumbling_t").outputMode("complete")
+      .start()
+    try {
+      ms.addData(
+        Ev(1, 1, ts("2024-01-01 00:10:00"), "click"),
+        Ev(2, 1, ts("2024-01-01 00:50:00"), "click"),
+        Ev(3, 2, ts("2024-01-01 01:05:00"), "click"))
+      query.processAllAvailable()
+      val got = spark.table("tumbling_t").orderBy("ws")
+        .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1)))
+      assert(got.toSeq === Seq(("2024-01-01 00:00:00.0", 2L), ("2024-01-01 01:00:00.0", 1L)))
+    } finally query.stop()
+  }
+
+  test("stateful hour profile accumulates across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val query = Streaming.runningHourProfile(spark, ms.toDS())
+      .writeStream.format("memory").queryName("profile_t").outputMode("update")
+      .start()
+    try {
+      ms.addData(Ev(1, 7, ts("2024-01-01 09:10:00"), "click"),
+        Ev(2, 7, ts("2024-01-01 09:40:00"), "click"))
+      query.processAllAvailable()
+      ms.addData(Ev(3, 7, ts("2024-01-02 09:20:00"), "click"))
+      query.processAllAvailable()
+      // state store carried hour-9 count 2 across the batch boundary -> 3
+      val last = spark.table("profile_t")
+        .where(col("user_id") === 7 && col("hour") === 9)
+        .orderBy(col("n")).collect().map(_.getLong(2))
+      assert(last.last === 3L)
+    } finally query.stop()
+  }
+}
