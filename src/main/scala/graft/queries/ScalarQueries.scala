@@ -124,6 +124,17 @@ object ScalarQueries {
       .orderBy(col("event_id"))
   }
 
+  /** F5: equality / OR predicate filter (notebook queries). */
+  val qFilterOr: QueryDef = QueryDef.sql("q_filter_or",
+    """SELECT event_id, user_id, event_type FROM events
+      |WHERE user_id = 1 OR event_type = 'signup'
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .where(col("user_id") === 1 || col("event_type") === "signup")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(qDateParse, qDurationParse, qDerivedReturn,
-    qStringFuncs, qJsonExtract)
+    qStringFuncs, qJsonExtract, qFilterOr)
 }

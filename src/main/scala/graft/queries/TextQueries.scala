@@ -114,5 +114,23 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(textTokenCount, textLangId, textQualityScore, textFingerprint)
+  /** Polynomial rolling-hash fingerprint via the native codegen'd
+    * RollingHash expression (graft.functions), over normalized text.
+    */
+  val textRollingHash: QueryDef = QueryDef.sql("text_rolling_hash",
+    """WITH n AS (SELECT doc_id, trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      |           FROM documents)
+      |SELECT doc_id,
+      |  list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT for c in string_split(norm, '')]),
+      |              (acc, x) -> (acc * 257 + x) % 1000000007) AS rh
+      |FROM n ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    graft.functions.RollingHash.register(s)
+    Tables.documents(s, dir)
+      .withColumn("norm", trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")))
+      .select(col("doc_id"), expr("rolling_hash(norm)").as("rh"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(textTokenCount, textLangId, textQualityScore,
+    textFingerprint, textRollingHash)
 }
