@@ -1,0 +1,40 @@
+package graft
+
+import graft.queries.{BicisQueries, RelationalQueries}
+
+/** Plan-quality regression tests: the properties that make these queries
+  * scale are ASSERTED, not just eyeballed — filter/column pushdown to the
+  * parquet scan, broadcast strategies for dims, and the single-exchange
+  * window plan for the flagship A5.
+  */
+class PlanSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: graft.queries.QueryDef): String =
+    q.run(spark, dir).queryExecution.executedPlan.toString
+
+  test("q1_agg pushes the shipdate filter and prunes columns at the scan") {
+    val p = plan(RelationalQueries.q1Agg)
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    // 7 referenced columns, not all 11
+    assert(p.contains("ReadSchema") && !p.contains("l_orderkey"))
+  }
+
+  test("q_join_agg broadcasts all dimension tables") {
+    val p = plan(RelationalQueries.qJoinAgg)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3)
+  }
+
+  test("flagship A5 plans exactly one data exchange for both window specs") {
+    val p = plan(BicisQueries.nextWindowTarget)
+    // one hash exchange on user_id feeding both Window operators; the only
+    // other exchange is the final deterministic orderBy (range partitioning)
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size === 1)
+    assert("Window".r.findAllIn(p).size >= 2)
+  }
+
+  test("semi/anti joins plan as LeftSemi/LeftAnti (no row explosion)") {
+    assert(plan(RelationalQueries.qSemiJoin).contains("LeftSemi"))
+    assert(plan(RelationalQueries.qAntiJoin).contains("LeftAnti"))
+  }
+}
