@@ -187,6 +187,29 @@ object RelationalQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** As-of join: each click matched to the user's latest prior (or
+    * simultaneous) purchase. Spark side is the single-shuffle union+window
+    * formulation (ops.AsOfJoin); oracle is DuckDB's native ASOF JOIN.
+    */
+  val qAsofJoin: QueryDef = QueryDef.sql("q_asof_join",
+    """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts AS rts, max(value) AS rvalue
+      |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT c.event_id, p.rts AS asof_ts, p.rvalue AS asof_rvalue
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.rts <= c.ts
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("rts"))
+      .agg(max(col("value")).as("rvalue"))
+    graft.ops.AsOfJoin.asofJoin(clicks, "user_id", "ts",
+        purchases, "user_id", "rts", Seq("rvalue"))
+      .select(col("event_id"), col("asof_ts"), col("asof_rvalue"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(q1Agg, qJoinAgg, qBroadcastJoin, qTopk,
-    qWindowRank, qSetops, qRollup, qDistinctAgg, qSemiJoin, qAntiJoin)
+    qWindowRank, qSetops, qRollup, qDistinctAgg, qSemiJoin, qAntiJoin, qAsofJoin)
 }
