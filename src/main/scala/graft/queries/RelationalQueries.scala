@@ -210,6 +210,62 @@ object RelationalQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Exact percentiles (linear interpolation — identical definition in
+    * both engines) and statistical aggregates. Rounding scaled to each
+    * statistic's cross-engine numeric error (see QueryDef contract).
+    */
+  val qPercentileStats: QueryDef = QueryDef.sql("q_percentile_stats",
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+      |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+      |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+      |  round(var_samp(l_quantity), 2) AS var_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 2).as("var_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** CUBE grouping sets (all 4 combinations; NULL markers pinned). */
+  val qCube: QueryDef = QueryDef.sql("q_cube",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(money(col("l_quantity"))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+  }
+
+  /** ROWS-frame running aggregate (cumulative revenue per customer in
+    * deterministic order) — decimal-exact so the running values match.
+    */
+  val qRunningSum: QueryDef = QueryDef.sql("q_running_sum",
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,2)))
+      |    OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        sum(money(col("o_totalprice"))).over(w).cast("double").as("running_rev"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[QueryDef] = Seq(q1Agg, qJoinAgg, qBroadcastJoin, qTopk,
-    qWindowRank, qSetops, qRollup, qDistinctAgg, qSemiJoin, qAntiJoin, qAsofJoin)
+    qWindowRank, qSetops, qRollup, qDistinctAgg, qSemiJoin, qAntiJoin,
+    qAsofJoin, qPercentileStats, qCube, qRunningSum)
 }
