@@ -265,7 +265,36 @@ object RelationalQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Range join: clicks counted inside each purchase's 2-hour follow-up
+    * window, per user. Spark side is the bucketed equi-join decomposition
+    * (ops.RangeJoin); the oracle is a plain inequality join. Zero-match
+    * intervals kept via the left join (count = 0).
+    */
+  val qRangeJoin: QueryDef = QueryDef.sql("q_range_join",
+    """WITH p AS (SELECT event_id AS pid, user_id, ts FROM events WHERE event_type = 'click'),
+      |r AS (SELECT event_id AS rid, user_id, ts AS start, ts + INTERVAL 2 HOUR AS fin
+      |      FROM events WHERE event_type = 'purchase'),
+      |m AS (SELECT r.rid, count(p.pid) AS n
+      |      FROM r LEFT JOIN p ON p.user_id = r.user_id AND p.ts >= r.start AND p.ts < r.fin
+      |      GROUP BY r.rid)
+      |SELECT rid, n FROM m ORDER BY rid""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+    val points = e.where(col("event_type") === "click")
+      .select(col("event_id").as("pid"), col("user_id"), col("ts"))
+    val intervals = e.where(col("event_type") === "purchase")
+      .select(col("event_id").as("rid"), col("user_id").as("ruser"),
+        col("ts").as("start"), (col("ts") + expr("INTERVAL 2 HOURS")).as("fin"))
+    val matched = graft.ops.RangeJoin.pointInInterval(
+        points, "user_id", "ts", intervals.withColumnRenamed("ruser", "user_id"),
+        "user_id", "start", "fin", 2L * 3600L * 1000000L)
+      .groupBy(col("rid")).agg(count(lit(1)).as("n"))
+    intervals.select(col("rid"))
+      .join(matched, Seq("rid"), "left")
+      .select(col("rid"), coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("rid"))
+  }
+
   val all: Seq[QueryDef] = Seq(q1Agg, qJoinAgg, qBroadcastJoin, qTopk,
     qWindowRank, qSetops, qRollup, qDistinctAgg, qSemiJoin, qAntiJoin,
-    qAsofJoin, qPercentileStats, qCube, qRunningSum)
+    qAsofJoin, qPercentileStats, qCube, qRunningSum, qRangeJoin)
 }
