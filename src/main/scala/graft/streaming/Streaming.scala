@@ -30,6 +30,44 @@ object Streaming {
       .groupBy(window(col(tsCol), duration).getField("start").as("ws"))
       .agg(count(lit(1)).as("n"))
 
+  final case class FwState(maxTs: Long, emittedUpTo: Long, buf: List[(Long, Long)])
+  final case class FwOut(event_id: Long, n_rents: Long)
+
+  /** The flagship A5 as an INCREMENTAL streaming operator: per key, an
+    * event at time t is emitted with its [t, t+w) forward count once the
+    * key's max event time reaches t + w (the per-key full-window cutoff,
+    * exactly the batch semantics of WindowOps.forwardWindowCount).
+    *
+    * State per key is bounded: only events within the trailing window
+    * (ts > maxTs - w) are retained — everything older is both emitted
+    * and unreachable as a counter for any pending event. Assumes per-key
+    * event-time-ordered arrival within a micro-batch horizon (replaying
+    * ordered history matches the batch operator row for row — see
+    * StreamingSpec).
+    */
+  def streamingForwardWindowCount(spark: SparkSession, events: Dataset[Ev],
+                                  windowMicros: Long): Dataset[FwOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FwState, FwOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, batch: Iterator[Ev], state: GroupState[FwState]) =>
+          val prev = state.getOption.getOrElse(FwState(Long.MinValue, Long.MinValue, Nil))
+          val incoming = batch.map(e =>
+            (e.event_id, e.ts.getTime * 1000L + (e.ts.getNanos / 1000) % 1000)).toList
+          val all = (prev.buf ++ incoming).sortBy(_._2)
+          val mx = if (all.isEmpty) prev.maxTs else math.max(prev.maxTs, all.map(_._2).max)
+          val cutoff = mx - windowMicros
+          val out = all.collect {
+            case (id, t) if t <= cutoff && t > prev.emittedUpTo =>
+              FwOut(id, all.count { case (_, o) => o >= t && o < t + windowMicros }.toLong)
+          }
+          state.update(FwState(mx, cutoff, all.filter { case (_, t) => t > cutoff }))
+          out.iterator
+      }
+  }
+
   /** Incrementally-maintained per-station hour profile (the Redis hash
     * `{station}_{hour} -> counts` as proper keyed state). Emits the
     * updated (station, hour, running count) rows per micro-batch.

@@ -26,6 +26,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming forward-window count replays to the batch A5 result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(11)
+    val events = (1 to 120).map { i =>
+      Ev(i.toLong, (i % 3).toLong, ts("2024-01-01 00:00:00"), "click")
+    }.zipWithIndex.map { case (e, i) =>
+      e.copy(ts = new java.sql.Timestamp(
+        ts("2024-01-01 00:00:00").getTime + (i * 137 + rnd.nextInt(300)) * 1000L))
+    }.sortBy(_.ts.getTime)
+
+    // batch reference
+    val batchDf = events.toDF()
+    val want = graft.ops.WindowOps
+      .forwardWindowCount(batchDf, "user_id", "ts", "event_id", 3600L * 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val ms = MemoryStream[Ev]
+    val query = Streaming.streamingForwardWindowCount(spark, ms.toDS(), 3600L * 1000000L)
+      .writeStream.format("memory").queryName("fw_t").outputMode("append").start()
+    try {
+      events.grouped(40).foreach { chunk =>
+        ms.addData(chunk); query.processAllAvailable()
+      }
+      val got = spark.table("fw_t").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === want)
+      assert(got.nonEmpty)
+    } finally query.stop()
+  }
+
   test("stateful hour profile accumulates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
