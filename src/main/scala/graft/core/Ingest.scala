@@ -104,4 +104,20 @@ object Ingest {
       .select(col("id"), col("rent_date"), col("rent_station"),
         col("return_date"), col("return_station"))
   }
+
+  /** Exact-parity variant of unify: DENSE sequential ids like the
+    * reference (unify.py:47-49), via zipWithIndex — one extra pass and a
+    * driver-coordinated offset per partition; use only when downstream
+    * consumers require gap-free ids.
+    */
+  def unifyDenseIds(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val base = unify(spark, paths).drop("id")
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType, nullable = false) +: base.schema.fields)
+    val rows = base.rdd.zipWithIndex.map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(i +: row.toSeq)
+    }
+    spark.createDataFrame(rows, schema)
+  }
 }

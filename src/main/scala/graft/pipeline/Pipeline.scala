@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Ingest, TimeKeys}
+import graft.ml.Poisson
+import graft.ops.{HourRingFeatures, SeriesAggs, TemporalSplit, WindowOps}
+
+/** End-to-end bicis pipeline as checkpointed stage composition — the
+  * engine's replacement for the Luigi DAG + Redis memoization
+  * (SURVEY.md §2.12): each stage materializes to parquet and is skipped
+  * when its output exists (the reference's target-exists idempotency,
+  * bicis/etl/raw_data/split.py:48,56,65), but within a run everything is
+  * one SparkSession and stages compose as DataFrames — the only process
+  * boundary left is the shuffle.
+  *
+  * Config is plain typed Scala (the ObjectLoader YAML-DI of
+  * bicis/lib/object_loader.py:9-97 adds nothing in a compiled language —
+  * an experiment is a named PipelineConfig value).
+  */
+final case class PipelineConfig(
+    split: TemporalSplit.Spec = TemporalSplit.Spec(),
+    windowMicros: Long = 3600L * 1000000L,
+    ring: Int = 24,
+    model: Poisson.Config = Poisson.Config())
+
+final case class PipelineResult(
+    unifiedCount: Long, trainCount: Long, valCount: Long, testCount: Long,
+    datasetCount: Long, predictionCount: Long, mse: Double)
+
+object Pipeline {
+
+  /** Checkpoint guard: compute+write unless the output already exists. */
+  def stage(spark: SparkSession, path: String, force: Boolean = false)
+           (compute: => DataFrame): DataFrame = {
+    val done = new java.io.File(path, "_SUCCESS").exists()
+    if (force || !done) compute.write.mode(SaveMode.Overwrite).parquet(path)
+    spark.read.parquet(path)
+  }
+
+  def run(spark: SparkSession, rawCsvPaths: Seq[String], outDir: String,
+          cfg: PipelineConfig = PipelineConfig(), force: Boolean = false): PipelineResult = {
+    new java.io.File(outDir).mkdirs()
+    def p(name: String) = s"$outDir/$name"
+
+    val unified = stage(spark, p("unified"), force)(Ingest.unify(spark, rawCsvPaths))
+
+    val (tr, va, te) = TemporalSplit.split(unified, "rent_date", cfg.split)
+    val train = stage(spark, p("training"), force)(tr)
+    val valid = stage(spark, p("validation"), force)(va)
+    val test = stage(spark, p("testing"), force)(te)
+    TemporalSplit.writeBoundsJson(spark, unified, "rent_date", cfg.split, p("split_bounds.json"))
+
+    // station hour profile from the training rents (A2 + A6/A7)
+    val profile = stage(spark, p("profile"), force) {
+      val series = SeriesAggs.activePeriodAvg(train,
+        col("rent_station"), TimeKeys.hourGroup(col("rent_date")),
+        TimeKeys.hourKey(col("rent_date")), "v")
+      SeriesAggs.stationHourPivot(series, "v")
+    }
+
+    // A5 forward-window target over training
+    val target = stage(spark, p("target"), force) {
+      WindowOps.forwardWindowCount(
+        train.select(col("id"), col("rent_station"), col("rent_date")),
+        "rent_station", "rent_date", "id", cfg.windowMicros)
+    }
+
+    // W1 ring features ⋈ target (J2) — the reference's Redis round-trips
+    // become one broadcast join + one id join
+    val dataset = stage(spark, p("dataset"), force) {
+      val ring = new HourRingFeatures(spark, profile, "n_rents", cfg.ring)
+      val trips = train.select(col("id"), col("rent_station").as("user_id"),
+        col("rent_date").as("ts"))
+      ring(trips).join(target.withColumnRenamed("n_rents", "label"), "id")
+        .select(Seq(col("id"), col("label").cast("double")) ++
+          ring.featureNames.map(col): _*)
+    }
+
+    val featureNames = (0 until cfg.ring).map(i => s"n_rents_${i}_hb")
+    val assembled = Poisson.assemble(dataset, featureNames).cache()
+    val model = Poisson.fit(assembled, cfg.model)
+    val predictions = stage(spark, p("predictions"), force)(
+      Poisson.predict(model, assembled))
+    val err = Poisson.mse(predictions)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p("metrics.json")),
+      s"""{"mse": $err}""")
+
+    PipelineResult(unified.count(), train.count(), valid.count(), test.count(),
+      dataset.count(), predictions.count(), err)
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.pipeline.{Pipeline, PipelineConfig}
+import graft.core.Ingest
+
+/** End-to-end pipeline on generated bicis-shaped raw CSVs: ingest →
+  * temporal split → profile → A5 targets → W1 features → GLM → MSE,
+  * with checkpoint-skip semantics (SURVEY.md §5.2.7).
+  */
+class PipelineSpec extends SparkSpec {
+
+  /** ~600 trips over 300 days, 3 stations, v4 dialect (derived returns). */
+  private def genCsv(dir: String): String = {
+    val rnd = new scala.util.Random(5)
+    val stations = Seq("RETIRO", "PACIFICO", "ADUANA")
+    val sb = new StringBuilder("FECHA_HORA_RETIRO;TIEMPO_USO;NOMBRE_ORIGEN;NOMBRE_DESTINO\n")
+    val cal = java.time.LocalDateTime.of(2016, 1, 1, 0, 0)
+    (0 until 600).foreach { i =>
+      val t = cal.plusHours(rnd.nextInt(300 * 24)).plusMinutes(rnd.nextInt(60))
+      val fmt = java.time.format.DateTimeFormatter.ofPattern("dd/MM/yyyy HH:mm")
+      sb.append(s"${t.format(fmt)};${5 + rnd.nextInt(55)};${stations(rnd.nextInt(3))};${stations(rnd.nextInt(3))}\n")
+    }
+    val p = s"$dir/recorridos-realizados-2016.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p), sb.toString)
+    p
+  }
+
+  test("full pipeline runs, splits add up, model predicts, checkpoints skip") {
+    val dir = java.nio.file.Files.createTempDirectory("pipe").toString
+    val csv = genCsv(dir)
+    val out = s"$dir/out"
+    val r1 = Pipeline.run(spark, Seq(csv), out)
+    assert(r1.unifiedCount === 600L)
+    assert(r1.trainCount + r1.valCount + r1.testCount === r1.unifiedCount)
+    assert(r1.trainCount > 0 && r1.valCount > 0 && r1.testCount > 0)
+    assert(r1.datasetCount > 0 && r1.predictionCount === r1.datasetCount)
+    assert(!r1.mse.isNaN && r1.mse >= 0.0)
+    assert(new java.io.File(s"$out/split_bounds.json").exists())
+    assert(new java.io.File(s"$out/metrics.json").exists())
+
+    // checkpoint skip: stage outputs untouched on re-run
+    val mtime = new java.io.File(s"$out/unified/_SUCCESS").lastModified()
+    val r2 = Pipeline.run(spark, Seq(csv), out)
+    assert(r2.unifiedCount === r1.unifiedCount)
+    assert(new java.io.File(s"$out/unified/_SUCCESS").lastModified() === mtime)
+  }
+
+  test("dense-id unify assigns gap-free sequential ids") {
+    val dir = java.nio.file.Files.createTempDirectory("dense").toString
+    val csv = genCsv(dir)
+    val ids = Ingest.unifyDenseIds(spark, Seq(csv))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === (0L until 600L))
+  }
+}
