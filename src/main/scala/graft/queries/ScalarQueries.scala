@@ -135,6 +135,43 @@ object ScalarQueries {
       .orderBy(col("event_id"))
   }
 
+  /** NULL-handling functions: nullif/coalesce/nvl2-style branching. */
+  val qNullFuncs: QueryDef = QueryDef.sql("q_null_funcs",
+    """SELECT event_id,
+      |  nullif(user_id % 5, 0) AS nz,
+      |  coalesce(nullif(user_id % 5, 0), -1) AS filled,
+      |  CASE WHEN nullif(user_id % 5, 0) IS NULL THEN 'none' ELSE 'some' END AS tag
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir).select(
+      col("event_id"),
+      nullif(col("user_id") % 5, lit(0)).as("nz"),
+      coalesce(nullif(col("user_id") % 5, lit(0)), lit(-1)).as("filled"),
+      when(nullif(col("user_id") % 5, lit(0)).isNull, "none").otherwise("some").as("tag"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Date-part battery (P4 family breadth): all extraction functions. */
+  val qDateParts: QueryDef = QueryDef.sql("q_date_parts",
+    """SELECT event_id,
+      |  CAST(year(ts) AS BIGINT) AS y, CAST(quarter(ts) AS BIGINT) AS q,
+      |  CAST(month(ts) AS BIGINT) AS mo, CAST(day(ts) AS BIGINT) AS d,
+      |  CAST(dayofyear(ts) AS BIGINT) AS doy, CAST(isodow(ts) AS BIGINT) AS dw,
+      |  CAST(hour(ts) AS BIGINT) AS h, CAST(minute(ts) AS BIGINT) AS mi,
+      |  CAST(second(ts) AS BIGINT) AS sec,
+      |  date_trunc('day', ts) AS day_start
+      |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir).select(
+      col("event_id"),
+      year(col("ts")).cast("long").as("y"), quarter(col("ts")).cast("long").as("q"),
+      month(col("ts")).cast("long").as("mo"), dayofmonth(col("ts")).cast("long").as("d"),
+      dayofyear(col("ts")).cast("long").as("doy"),
+      graft.core.TimeKeys.isoWeekday(col("ts")).cast("long").as("dw"),
+      hour(col("ts")).cast("long").as("h"), minute(col("ts")).cast("long").as("mi"),
+      second(col("ts")).cast("long").as("sec"),
+      date_trunc("day", col("ts")).as("day_start"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(qDateParse, qDurationParse, qDerivedReturn,
-    qStringFuncs, qJsonExtract, qFilterOr)
+    qStringFuncs, qJsonExtract, qFilterOr, qNullFuncs, qDateParts)
 }
