@@ -1,0 +1,20 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension registration for the engine's native functions:
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions` makes
+  * `rolling_hash` available in pure SQL sessions (spark-sql, JDBC) with
+  * no Scala entry point. In-process users can call
+  * `RollingHash.register(spark)` instead.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (exprs: Seq[Expression]) => new RollingHash(exprs.head)))
+  }
+}

@@ -122,7 +122,38 @@ object BicisQueries {
   val splitValidation: QueryDef = splitQuery("validation")
   val splitTesting: QueryDef = splitQuery("testing")
 
+  /** Gap-based sessionization: a new session starts after a >30 min gap
+    * per user. lag + running sum over one (user, ts) window — the same
+    * single-exchange shape as A5.
+    */
+  val sessionize: QueryDef = QueryDef.sql("sessionize",
+    """WITH g AS (SELECT user_id, ts, event_id,
+      |  CASE WHEN lag(ts) OVER w IS NULL
+      |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (SELECT user_id, ts, event_id,
+      |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM g)
+      |SELECT user_id, CAST(sid AS BIGINT) AS sid, count(*) AS n,
+      |  min(ts) AS session_start, max(ts) AS session_end
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("__prev", lag(col("ts"), 1).over(w))
+      .withColumn("__new", when(col("__prev").isNull ||
+        unix_micros(col("ts")) - unix_micros(col("__prev")) > 1800000000L, 1).otherwise(0))
+      .withColumn("sid", sum(col("__new")).over(run).cast("long"))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("n"), min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"))
+      .orderBy(col("user_id"), col("sid"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     seriesWeekday, seriesHour, seriesMonth, seriesJoin, stationHourPivot,
-    nextWindowTarget, tumblingHour, splitTraining, splitValidation, splitTesting)
+    nextWindowTarget, tumblingHour, splitTraining, splitValidation, splitTesting,
+    sessionize)
 }
