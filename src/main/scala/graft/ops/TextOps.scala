@@ -27,11 +27,19 @@ object TextOps {
 
   val wordsExpr: Column = expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
 
-  /** Distinct 3-word shingles from a `__w` words column. */
+  /** Distinct 3-word shingles from a `__w` words column. Built from
+    * whole-array slices zipped together (NOT per-element `__w[i]`
+    * indexing): if the optimizer inlines the words expression here, it is
+    * evaluated 4x per ROW — per-element indexing would re-run the
+    * full-text regexp once per element (see `barrier`).
+    */
   val shinglesExpr: Column = expr(
     """CASE WHEN size(__w) >= 3 THEN
-      |  array_distinct(transform(sequence(0, size(__w) - 3),
-      |    i -> concat_ws(' ', __w[i], __w[i+1], __w[i+2])))
+      |  array_distinct(transform(
+      |    arrays_zip(slice(__w, 1, size(__w) - 2),
+      |               slice(__w, 2, size(__w) - 2),
+      |               slice(__w, 3, size(__w) - 2)),
+      |    p -> concat_ws(' ', p.`0`, p.`1`, p.`2`)))
       |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
 
   /** Optimizer barrier: a semantic no-op aggregate on a unique key.
@@ -56,12 +64,15 @@ object TextOps {
       others.tail.map(c => first(col(c)).as(c)): _*)
   }
 
-  /** doc_id + non-empty shingle set (words and shingles each evaluated
-    * exactly once per document — see `barrier`).
+  /** doc_id + non-empty shingle set behind ONE barrier: the slice/zip
+    * shingle construction tolerates the words expression being inlined
+    * (whole-array ops, constant evals per row), so only the final shingle
+    * array needs pinning before self-joins.
     */
   def docShingles(docs: DataFrame): DataFrame = {
-    val words = barrier(docs.select(col("doc_id"), wordsExpr.as("__w")), "doc_id")
-    val sh = words.select(col("doc_id"), shinglesExpr.as("sh"))
+    val sh = docs
+      .withColumn("__w", wordsExpr)
+      .select(col("doc_id"), shinglesExpr.as("sh"))
       .where(size(col("sh")) > 0)
     barrier(sh, "doc_id")
   }
