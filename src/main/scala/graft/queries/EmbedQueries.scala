@@ -111,5 +111,25 @@ object EmbedQueries {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(embedKnnBrute, embedKnnLsh, embedCentroids, multimodalMeta)
+  /** Vector norms / stats per embedding — the normalization pass a
+    * training pipeline runs before indexing (L2, L-inf, positive-dim
+    * count; exact double folds, round-6 on the norms).
+    */
+  val embedNorms: QueryDef = QueryDef.sql("embed_norms",
+    s"""WITH $duckVectors
+       |SELECT vec_id,
+       |  round(sqrt(list_sum([x * x for x in v])), 6) AS l2,
+       |  round(list_max([abs(x) for x in v]), 6) AS linf,
+       |  CAST(len(list_filter(v, x -> x > 0)) AS BIGINT) AS n_pos
+       |FROM v ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    Similarity.vectors(Tables.embeddings(s, dir))
+      .select(col("vec_id"),
+        round(sqrt(expr("aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)")), 6).as("l2"),
+        round(expr("array_max(transform(v, x -> abs(x)))"), 6).as("linf"),
+        expr("size(filter(v, x -> x > CAST(0 AS DOUBLE)))").cast("long").as("n_pos"))
+      .orderBy(col("vec_id"))
+  }
+
+  val all: Seq[QueryDef] = Seq(embedKnnBrute, embedKnnLsh, embedCentroids,
+    multimodalMeta, embedNorms)
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+import graft.ops.TextOps
 
 /** Text-analysis operators over the documents table: token counting,
   * language-ID heuristic, quality scoring, fingerprinting. All pure
@@ -131,6 +132,44 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-group top-k: 3 longest documents per lang, deterministic
+    * (n_chars desc, doc_id) ranking.
+    */
+  val textTopPerLang: QueryDef = QueryDef.sql("text_top_per_lang",
+    """WITH r AS (SELECT lang, doc_id, n_chars,
+      |  CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rnk
+      |  FROM documents)
+      |SELECT lang, doc_id, n_chars, rnk FROM r WHERE rnk <= 3
+      |ORDER BY lang, rnk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        row_number().over(w).cast("long").as("rnk"))
+      .where(col("rnk") <= 3)
+      .orderBy(col("lang"), col("rnk"))
+  }
+
+  /** Corpus-level top-20 word bigrams (explode -> count -> deterministic
+    * top-k) — the n-gram frequency profile of the text-analysis family.
+    */
+  val textTopNgrams: QueryDef = QueryDef.sql("text_top_ngrams",
+    """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+      |b AS (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+      |      FROM t WHERE len(w) >= 2),
+      |c AS (SELECT bg, count(*) AS n FROM b GROUP BY bg)
+      |SELECT bg, n FROM c ORDER BY n DESC, bg LIMIT 20""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .withColumn("__w", TextOps.wordsExpr)
+      .where(size(col("__w")) >= 2)
+      .select(explode(expr(
+        """transform(arrays_zip(slice(__w, 1, size(__w) - 1), slice(__w, 2, size(__w) - 1)),
+          |p -> concat_ws(' ', p.`0`, p.`1`))""".stripMargin)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bg"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(textTokenCount, textLangId, textQualityScore,
-    textFingerprint, textRollingHash)
+    textFingerprint, textRollingHash, textTopPerLang, textTopNgrams)
 }

@@ -47,6 +47,22 @@ class WindowOpsSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("typed flatMapGroups fallback matches the window implementation") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    // duplicate timestamps included to pin tie semantics
+    val df = (1 to 400).map { i =>
+      (i.toLong, rnd.nextInt(4).toLong, (rnd.nextInt(600) * 60).toLong)
+    }.toDF("event_id", "user_id", "off")
+      .withColumn("ts", timestamp_seconds(col("off") + 1700000000L))
+    val a = WindowOps.forwardWindowCount(df, "user_id", "ts", "event_id", Hour)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = WindowOps.forwardWindowCountTyped(spark, df, "user_id", "ts", "event_id", Hour)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("tumbling 1h count equals hour truncation") {
     import spark.implicits._
     val df = Seq((0L, "2024-01-01 00:10:00"), (1L, "2024-01-01 00:50:00"),
