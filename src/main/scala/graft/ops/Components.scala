@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected pair list — the step that
+  * turns near-duplicate PAIRS into duplicate CLUSTERS (keep the minimum
+  * id per cluster, drop the rest).
+  *
+  * Iterative min-label propagation: every node starts as its own
+  * representative; each round a node adopts the minimum label among
+  * itself and its neighbors. Converges in O(diameter) rounds — for
+  * near-dup graphs (tiny cliques/chains) a handful of rounds is exact.
+  * Each round is two shuffles (join + min-aggregate), fully distributed;
+  * this is the standard large-graph CC shape (GraphX/GraphFrames do the
+  * same with smarter messaging).
+  */
+object Components {
+
+  /** pairs(i, j) -> (node, rep) for every node appearing in any pair.
+    * `iterations` must be >= the expected component diameter.
+    */
+  def connectedComponents(pairs: DataFrame, iterations: Int = 5): DataFrame = {
+    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
+      .unionByName(pairs.select(col("j").as("a"), col("i").as("b")))
+    var labels = edges.select(col("a").as("node")).distinct()
+      .withColumn("rep", col("node"))
+    for (_ <- 1 to iterations) {
+      val viaNeighbor = edges
+        .join(labels, edges("b") === labels("node"))
+        .select(edges("a").as("node"), col("rep"))
+      labels = labels.unionByName(viaNeighbor)
+        .groupBy("node").agg(min("rep").as("rep"))
+    }
+    labels
+  }
+}

@@ -160,5 +160,41 @@ object DedupQueries {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh, dedupSimhash)
+  /** Pairs -> duplicate clusters: connected components over the J>=0.8
+    * pair graph, each involved doc labeled with its cluster's min id
+    * (the survivor). Oracle: recursive-CTE transitive closure.
+    */
+  val dedupClusters: QueryDef = QueryDef.sql("dedup_clusters",
+    s"""WITH RECURSIVE $hashCte,
+       |pre AS (SELECT doc_id, n, unnest(hs[1 : CAST(floor(0.2 * n) + 1 AS INT)]) AS tok FROM hs),
+       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |         FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |          AND 4 * greatest(a.n, b.n) <= 5 * least(a.n, b.n)),
+       |pairs AS (SELECT c.i, c.j FROM cand c JOIN hs x ON x.doc_id = c.i JOIN hs y ON y.doc_id = c.j
+       |          WHERE ${duckJaccard("x.hs", "y.hs")} >= 0.8),
+       |e AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+       |reach AS (SELECT a AS node, a AS r FROM e
+       |          UNION SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.node)
+       |SELECT node, min(r) AS rep FROM reach GROUP BY node ORDER BY node""".stripMargin) { (s, dir) =>
+    val hs = docHashes(s, dir)
+    val pre = hs.select(col("doc_id"), col("n"),
+      explode(expr("slice(hs, 1, CAST(floor(0.2 * n) + 1 AS INT))")).as("tok"))
+    val cand = pre.as("a")
+      .join(pre.as("b"), col("a.tok") === col("b.tok") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        lit(4) * greatest(col("a.n"), col("b.n")) <= lit(5) * least(col("a.n"), col("b.n")))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    val pairs = cand
+      .join(hs.select(col("doc_id").as("i"), col("hs").as("ha")), "i")
+      .join(hs.select(col("doc_id").as("j"), col("hs").as("hb")), "j")
+      .where(TextOps.jaccard(col("ha"), col("hb")) >= 0.8)
+      .select(col("i"), col("j"))
+    graft.ops.Components.connectedComponents(pairs, iterations = 5)
+      .select(col("node"), col("rep"))
+      .orderBy(col("node"))
+  }
+
+  val all: Seq[QueryDef] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh,
+    dedupSimhash, dedupClusters)
 }
