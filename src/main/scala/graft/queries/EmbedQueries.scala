@@ -130,6 +130,54 @@ object EmbedQueries {
       .orderBy(col("vec_id"))
   }
 
+  /** IVF-variant ANN: label centroids are the cells; each query probes
+    * only its nearest cell (round-6 distances, label tiebreak), then
+    * exact cosine top-3 within the cell. Cell assignment via a broadcast
+    * of ~#labels centroids; candidate scan shrinks by the cell count.
+    */
+  val embedKnnIvf: QueryDef = {
+    val duckDist =
+      "round(sqrt(list_sum([(qv[i] - carr[i]) * (qv[i] - carr[i]) for i in range(1, len(qv) + 1)])), 6)"
+    QueryDef.sql("embed_knn_ivf",
+      s"""WITH $duckVectors,
+         |e AS (SELECT vec_id, label, i, v[i] AS x FROM v, range(1, 65) r(i)),
+         |cent AS (SELECT label, i, avg(x) AS c FROM e GROUP BY 1, 2),
+         |ca AS (SELECT label, list(c ORDER BY i) AS carr FROM cent GROUP BY label),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
+         |asg AS (SELECT qid, qv, label AS cell,
+         |          CAST(row_number() OVER (PARTITION BY qid ORDER BY $duckDist, label) AS BIGINT) AS cr
+         |        FROM q CROSS JOIN ca),
+         |probe AS (SELECT qid, qv, cell FROM asg WHERE cr = 1),
+         |c AS (SELECT vec_id AS nid, v AS cv, label FROM v WHERE vec_id >= 10),
+         |p AS (SELECT qid, nid, ${duckCos("qv", "cv")} AS sim
+         |      FROM c JOIN probe ON c.label = probe.cell),
+         |r AS (SELECT qid, nid, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk FROM p)
+         |SELECT qid, nid, sim, rnk FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      val v = Similarity.vectors(Tables.embeddings(s, dir))
+      val e = v.select(col("vec_id"), col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      val ca = e.groupBy(col("label"), col("i")).agg(avg(col("x")).as("c"))
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, c))), p -> p.c)").as("carr"))
+      val q = v.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+        .orderBy(col("__d"), col("label"))
+      val probe = q.crossJoin(broadcast(ca))
+        .withColumn("__d", round(sqrt(expr(
+          "aggregate(zip_with(qv, carr, (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, z) -> acc + z)")), 6))
+        .withColumn("cr", row_number().over(wc))
+        .where(col("cr") === 1)
+        .select(col("qid"), col("qv"), col("label").as("cell"))
+      val c = v.where(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("v").as("cv"), col("label"))
+      val pairs = c.join(broadcast(probe), c("label") === probe("cell"))
+        .withColumn("sim", Similarity.cosine("qv", "cv"))
+        .select(col("qid"), col("nid"), col("sim"))
+      Similarity.topK(pairs, 3).select(col("qid"), col("nid"), col("sim"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(embedKnnBrute, embedKnnLsh, embedCentroids,
-    multimodalMeta, embedNorms)
+    multimodalMeta, embedNorms, embedKnnIvf)
 }

@@ -68,6 +68,20 @@ object Streaming {
       }
   }
 
+  /** Streaming exact dedup: first occurrence of each content digest
+    * passes, replays and duplicates are dropped; the watermark bounds the
+    * digest state store (dedup keys older than the delay are GC'd — the
+    * standard unbounded-stream tradeoff: exactness within the watermark
+    * horizon).
+    */
+  def streamingDedup(docs: DataFrame, tsCol: String, contentCol: String,
+                     watermarkDelay: String): DataFrame =
+    docs
+      .withColumn("__digest", md5(col(contentCol).cast("binary")))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates("__digest")
+      .drop("__digest")
+
   /** Incrementally-maintained per-station hour profile (the Redis hash
     * `{station}_{hour} -> counts` as proper keyed state). Emits the
     * updated (station, hour, running count) rows per micro-batch.

@@ -57,6 +57,25 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming dedup drops same-content duplicates across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    final case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = ms.toDF().toDF("doc_id", "ts", "text")
+    val query = Streaming.streamingDedup(df, "ts", "text", "1 hour")
+      .writeStream.format("memory").queryName("dedup_t").outputMode("append").start()
+    try {
+      ms.addData((1L, ts("2024-01-01 10:00:00"), "alpha"), (2L, ts("2024-01-01 10:01:00"), "beta"))
+      query.processAllAvailable()
+      ms.addData((3L, ts("2024-01-01 10:02:00"), "alpha"), // dup across batches
+        (4L, ts("2024-01-01 10:03:00"), "gamma"))
+      query.processAllAvailable()
+      val kept = spark.table("dedup_t").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept === Set(1L, 2L, 4L))
+    } finally query.stop()
+  }
+
   test("stateful hour profile accumulates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
