@@ -21,16 +21,24 @@ object Components {
     * `iterations` must be >= the expected component diameter.
     */
   def connectedComponents(pairs: DataFrame, iterations: Int = 5): DataFrame = {
+    // checkpoint per round: each round references the previous labels
+    // twice, so an uncut lineage doubles every iteration (2^k copies of
+    // the upstream pair computation — measured 24 s vs 2 s at sf0.1).
+    // Truncating the plan per round is the standard iterative-algorithm
+    // discipline (at cluster scale: reliable checkpoint dir instead).
     val edges = pairs.select(col("i").as("a"), col("j").as("b"))
       .unionByName(pairs.select(col("j").as("a"), col("i").as("b")))
+      .localCheckpoint(true)
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("rep", col("node"))
+      .localCheckpoint(true)
     for (_ <- 1 to iterations) {
       val viaNeighbor = edges
         .join(labels, edges("b") === labels("node"))
         .select(edges("a").as("node"), col("rep"))
       labels = labels.unionByName(viaNeighbor)
         .groupBy("node").agg(min("rep").as("rep"))
+        .localCheckpoint(true)
     }
     labels
   }
