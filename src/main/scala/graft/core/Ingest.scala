@@ -53,9 +53,9 @@ object Ingest {
 
   /** P1: ordered multi-format parse; null when no format matches. */
   def parseTs(c: Column): Column = coalesce(
-    expr(s"try_to_timestamp(${c.toString}, 'dd/MM/yyyy HH:mm')"),
-    expr(s"try_to_timestamp(${c.toString}, 'dd/MM/yyyy HH:mm:ss')"),
-    expr(s"try_to_timestamp(${c.toString}, 'yyyy-MM-dd HH:mm:ss.SSSSSS')"))
+    try_to_timestamp(c, lit("dd/MM/yyyy HH:mm")),
+    try_to_timestamp(c, lit("dd/MM/yyyy HH:mm:ss")),
+    try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss.SSSSSS")))
 
   /** P2: duration string -> seconds (int = minutes; else h/m/s; else null). */
   def parseDurationSeconds(name: String): Column =

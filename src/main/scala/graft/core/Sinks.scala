@@ -33,8 +33,9 @@ object Sinks {
       val nErr = dropped.count()
       val sample = dropped.limit(100).collect().map(_.get(0)).mkString("[", ", ", "]")
       val nIn = input.count()
+      val nOut = output.count() // real output rows (may duplicate/add ids)
       val jsonStr =
-        s"""{"input_count": $nIn, "output_count": ${nIn - nErr}, "number_of_errors": $nErr, "error_ids": $sample}"""
+        s"""{"input_count": $nIn, "output_count": $nOut, "number_of_errors": $nErr, "error_ids": $sample}"""
       java.nio.file.Files.writeString(java.nio.file.Paths.get(path), jsonStr)
     } finally dropped.unpersist()
   }

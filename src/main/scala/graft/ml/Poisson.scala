@@ -64,7 +64,10 @@ object Poisson {
     val ds = buildDataset(spark, dir, cfg)
     val featureNames = (0 until cfg.window).map(i => s"n_rents_${i}_hb")
     val assembled = assemble(ds, featureNames).cache()
-    val model = fit(assembled, cfg)
-    predict(model, assembled)
+    try {
+      val model = fit(assembled, cfg)
+      // materialize before dropping the cache the plan depends on
+      predict(model, assembled).localCheckpoint(true)
+    } finally assembled.unpersist()
   }
 }

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -11,15 +11,24 @@ import org.apache.spark.sql.functions._
   * Spark has no built-in as-of join. The naive encodings are a range
   * join (O(n*m) per key) or a per-key collect. This is the single-shuffle
   * formulation: union the two sides tagged, sort within each key by
-  * (ts, rightFirst), and carry the right side's values forward with
+  * (ts, rightFirst), and carry the right side forward with
   * `last(ignoreNulls)` over an unbounded-preceding row frame. One hash
   * exchange on the key, one sort, one WindowExec — the same shape as the
   * flagship A5, so the same scale story (AQE handles hot keys; state per
   * row is O(#carried columns)).
   *
+  * Correctness details:
+  *  - all carried values travel in ONE struct column, so a right row
+  *    whose carried value is genuinely NULL still advances the as-of
+  *    match (the struct itself is non-null) instead of letting
+  *    last(ignoreNulls) reach back to a stale older row;
+  *  - right rows with a NULL key are dropped up front — SQL equality
+  *    never matches NULL keys, and the window partition otherwise would;
+  *  - ties at equal ts match (inclusive bound): the right row sorts
+  *    before the left row at the same timestamp.
+  *
   * Right rows must be unique per (key, ts) for determinism — pre-aggregate
-  * if needed. Ties at equal ts match (inclusive bound): the right row
-  * sorts before the left row at the same timestamp.
+  * if needed.
   */
 object AsOfJoin {
 
@@ -27,43 +36,43 @@ object AsOfJoin {
                right: DataFrame, rightKey: String, rightTs: String,
                carry: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    val payloadType = {
+      val fields = org.apache.spark.sql.types.StructField("__ts0",
+        org.apache.spark.sql.types.TimestampType) +:
+        carry.map(c => org.apache.spark.sql.types.StructField(c, right.schema(c).dataType))
+      org.apache.spark.sql.types.StructType(fields)
+    }
+
     val lTagged = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__is_r", lit(0))
       .withColumn("__k", col(leftKey))
-      .withColumn("__rts", lit(null).cast("timestamp"))
-    val lAligned = carry.foldLeft(lTagged) { (df, c) =>
-      df.withColumn(s"__carry_$c", lit(null).cast(right.schema(c).dataType))
+      .withColumn("__payload", lit(null).cast(payloadType))
+    val rTagged = right
+      .where(col(rightKey).isNotNull) // NULL keys never equality-match
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__is_r", lit(1))
+      .withColumn("__k", col(rightKey))
+      .withColumn("__payload",
+        struct(col(rightTs).cast("timestamp").as("__ts0") +: carry.map(col): _*))
+    val rAligned = leftCols.foldLeft(rTagged.drop(right.columns.filterNot(
+      Seq("__ts", "__is_r", "__k", "__payload").contains): _*)) { (df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
-    val rAligned = leftCols.foldLeft(
-      right
-        .withColumn("__ts", col(rightTs))
-        .withColumn("__is_r", lit(1))
-        .withColumn("__k", col(rightKey))
-        .withColumn("__rts", col(rightTs).cast("timestamp"))
-        .withColumns(carry.map(c => s"__carry_$c" -> col(c)).toMap)
-        .drop(right.columns: _*)
-    ) { (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)) }
 
-    val unioned = lAligned.select(
-      (leftCols ++ Seq("__ts", "__is_r", "__k", "__rts") ++ carry.map(c => s"__carry_$c"))
-        .map(col): _*)
-      .unionByName(rAligned.select(
-        (leftCols ++ Seq("__ts", "__is_r", "__k", "__rts") ++ carry.map(c => s"__carry_$c"))
-          .map(col): _*))
+    val cols = leftCols ++ Seq("__ts", "__is_r", "__k", "__payload")
+    val unioned = lTagged.select(cols.map(col): _*)
+      .unionByName(rAligned.select(cols.map(col): _*))
 
     // right rows sort before left rows at equal ts => inclusive <= bound
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__ts").asc, col("__is_r").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = carry.foldLeft(
-      unioned.withColumn("asof_ts", last(col("__rts"), ignoreNulls = true).over(w))
-    ) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"__carry_$c"), ignoreNulls = true).over(w))
-    }
-
-    filled.where(col("__is_r") === 0)
-      .select((leftCols ++ Seq("asof_ts") ++ carry.map(c => s"asof_$c")).map(col): _*)
+    unioned
+      .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
+      .where(col("__is_r") === 0)
+      .select(leftCols.map(col) ++ Seq(col("__asof.__ts0").as("asof_ts")) ++
+        carry.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
 }

@@ -18,12 +18,16 @@ import org.apache.spark.sql.functions._
 object Components {
 
   /** pairs(i, j) -> (node, rep) for every node appearing in any pair.
-    * `iterations` must be >= the expected component diameter.
+    * Runs to an exact fixpoint: labels only ever decrease, so the label
+    * sum is strictly monotone and equality between rounds proves
+    * convergence (one cheap aggregate per round — the labels are already
+    * materialized by the checkpoint). `maxIterations` is a runaway guard,
+    * not a correctness bound.
     */
-  def connectedComponents(pairs: DataFrame, iterations: Int = 5): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
     // checkpoint per round: each round references the previous labels
     // twice, so an uncut lineage doubles every iteration (2^k copies of
-    // the upstream pair computation — measured 24 s vs 2 s at sf0.1).
+    // the upstream pair computation — measured 24 s vs 9 s at sf0.1).
     // Truncating the plan per round is the standard iterative-algorithm
     // discipline (at cluster scale: reliable checkpoint dir instead).
     val edges = pairs.select(col("i").as("a"), col("j").as("b"))
@@ -32,13 +36,22 @@ object Components {
     var labels = edges.select(col("a").as("node")).distinct()
       .withColumn("rep", col("node"))
       .localCheckpoint(true)
-    for (_ <- 1 to iterations) {
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("rep"))).head().getLong(0)
+    var prevSum = labelSum(labels)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
       val viaNeighbor = edges
         .join(labels, edges("b") === labels("node"))
         .select(edges("a").as("node"), col("rep"))
       labels = labels.unionByName(viaNeighbor)
         .groupBy("node").agg(min("rep").as("rep"))
         .localCheckpoint(true)
+      val s = labelSum(labels)
+      converged = s == prevSum
+      prevSum = s
+      iter += 1
     }
     labels
   }

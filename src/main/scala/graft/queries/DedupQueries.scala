@@ -55,6 +55,37 @@ object DedupQueries {
     s"""round(len(list_intersect($a, $b))::DOUBLE /
        |  (len($a) + len($b) - len(list_intersect($a, $b))), 6)""".stripMargin
 
+  /** Shared prefix-filter pair pipeline (J >= 0.8), SQL side: CTEs
+    * `pre`/`cand`/`pairs` over `hs` — used by both the pair query and the
+    * cluster query so threshold/filter changes stay in lockstep.
+    */
+  private val duckPairsCte: String =
+    s"""pre AS (SELECT doc_id, n, unnest(hs[1 : CAST(floor(0.2 * n) + 1 AS INT)]) AS tok FROM hs),
+       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |         FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id
+       |          AND 4 * greatest(a.n, b.n) <= 5 * least(a.n, b.n)),
+       |pairs AS (SELECT c.i, c.j, ${duckJaccard("x.hs", "y.hs")} AS sim
+       |          FROM cand c JOIN hs x ON x.doc_id = c.i JOIN hs y ON y.doc_id = c.j)""".stripMargin
+
+  /** Shared prefix-filter pair pipeline, Spark side: (i, j, sim) with
+    * sim already rounded; caller filters on the threshold.
+    */
+  private def prefixFilteredPairs(hs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val pre = hs.select(col("doc_id"), col("n"),
+      explode(expr("slice(hs, 1, CAST(floor(0.2 * n) + 1 AS INT))")).as("tok"))
+    val cand = pre.as("a")
+      .join(pre.as("b"), col("a.tok") === col("b.tok") &&
+        col("a.doc_id") < col("b.doc_id") &&
+        lit(4) * greatest(col("a.n"), col("b.n")) <= lit(5) * least(col("a.n"), col("b.n")))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    cand
+      .join(hs.select(col("doc_id").as("i"), col("hs").as("ha")), "i")
+      .join(hs.select(col("doc_id").as("j"), col("hs").as("hb")), "j")
+      .withColumn("sim", TextOps.jaccard(col("ha"), col("hb")))
+      .select(col("i"), col("j"), col("sim"))
+  }
+
   val dedupExact: QueryDef = QueryDef.sql("dedup_exact",
     """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
       |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin) { (s, dir) =>
@@ -69,28 +100,10 @@ object DedupQueries {
     */
   val dedupNgramJaccard: QueryDef = QueryDef.sql("dedup_ngram_jaccard",
     s"""WITH $hashCte,
-       |pre AS (SELECT doc_id, n, unnest(hs[1 : CAST(floor(0.2 * n) + 1 AS INT)]) AS tok FROM hs),
-       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-       |         FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id
-       |          AND 4 * greatest(a.n, b.n) <= 5 * least(a.n, b.n)),
-       |ver AS (SELECT c.i, c.j, ${duckJaccard("x.hs", "y.hs")} AS sim
-       |        FROM cand c JOIN hs x ON x.doc_id = c.i JOIN hs y ON y.doc_id = c.j)
-       |SELECT i, j, sim FROM ver WHERE sim >= 0.8 ORDER BY i, j""".stripMargin) { (s, dir) =>
-    val hs = docHashes(s, dir)
-    val pre = hs.select(col("doc_id"), col("n"),
-      explode(expr("slice(hs, 1, CAST(floor(0.2 * n) + 1 AS INT))")).as("tok"))
-    val cand = pre.as("a")
-      .join(pre.as("b"), col("a.tok") === col("b.tok") &&
-        col("a.doc_id") < col("b.doc_id") &&
-        lit(4) * greatest(col("a.n"), col("b.n")) <= lit(5) * least(col("a.n"), col("b.n")))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .distinct()
-    cand
-      .join(hs.select(col("doc_id").as("i"), col("hs").as("ha")), "i")
-      .join(hs.select(col("doc_id").as("j"), col("hs").as("hb")), "j")
-      .withColumn("sim", TextOps.jaccard(col("ha"), col("hb")))
+       |$duckPairsCte
+       |SELECT i, j, sim FROM pairs WHERE sim >= 0.8 ORDER BY i, j""".stripMargin) { (s, dir) =>
+    prefixFilteredPairs(docHashes(s, dir))
       .where(col("sim") >= 0.8)
-      .select(col("i"), col("j"), col("sim"))
       .orderBy(col("i"), col("j"))
   }
 
@@ -166,31 +179,16 @@ object DedupQueries {
     */
   val dedupClusters: QueryDef = QueryDef.sql("dedup_clusters",
     s"""WITH RECURSIVE $hashCte,
-       |pre AS (SELECT doc_id, n, unnest(hs[1 : CAST(floor(0.2 * n) + 1 AS INT)]) AS tok FROM hs),
-       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-       |         FROM pre a JOIN pre b ON a.tok = b.tok AND a.doc_id < b.doc_id
-       |          AND 4 * greatest(a.n, b.n) <= 5 * least(a.n, b.n)),
-       |pairs AS (SELECT c.i, c.j FROM cand c JOIN hs x ON x.doc_id = c.i JOIN hs y ON y.doc_id = c.j
-       |          WHERE ${duckJaccard("x.hs", "y.hs")} >= 0.8),
-       |e AS (SELECT i AS a, j AS b FROM pairs UNION SELECT j, i FROM pairs),
+       |$duckPairsCte,
+       |p8 AS (SELECT i, j FROM pairs WHERE sim >= 0.8),
+       |e AS (SELECT i AS a, j AS b FROM p8 UNION SELECT j, i FROM p8),
        |reach AS (SELECT a AS node, a AS r FROM e
        |          UNION SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.node)
        |SELECT node, min(r) AS rep FROM reach GROUP BY node ORDER BY node""".stripMargin) { (s, dir) =>
-    val hs = docHashes(s, dir)
-    val pre = hs.select(col("doc_id"), col("n"),
-      explode(expr("slice(hs, 1, CAST(floor(0.2 * n) + 1 AS INT))")).as("tok"))
-    val cand = pre.as("a")
-      .join(pre.as("b"), col("a.tok") === col("b.tok") &&
-        col("a.doc_id") < col("b.doc_id") &&
-        lit(4) * greatest(col("a.n"), col("b.n")) <= lit(5) * least(col("a.n"), col("b.n")))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .distinct()
-    val pairs = cand
-      .join(hs.select(col("doc_id").as("i"), col("hs").as("ha")), "i")
-      .join(hs.select(col("doc_id").as("j"), col("hs").as("hb")), "j")
-      .where(TextOps.jaccard(col("ha"), col("hb")) >= 0.8)
+    val pairs = prefixFilteredPairs(docHashes(s, dir))
+      .where(col("sim") >= 0.8)
       .select(col("i"), col("j"))
-    graft.ops.Components.connectedComponents(pairs, iterations = 5)
+    graft.ops.Components.connectedComponents(pairs)
       .select(col("node"), col("rep"))
       .orderBy(col("node"))
   }

@@ -11,6 +11,19 @@ object EmbedQueries {
 
   private val duckVectors =
     "v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)"
+  /** Shared per-label centroid CTEs (`e`/`cent`/`ca`) over `v`. */
+  private val duckCentroidCte =
+    """e AS (SELECT vec_id, label, i, v[i] AS x FROM v, range(1, 65) r(i)),
+      |cent AS (SELECT label, i, avg(x) AS c FROM e GROUP BY 1, 2),
+      |ca AS (SELECT label, list(c ORDER BY i) AS carr FROM cent GROUP BY label)""".stripMargin
+
+  /** Shared Spark-side per-label centroid arrays: (label, carr). */
+  private def centroidArrays(v: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    v.select(col("vec_id"), col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i")).agg(avg(col("x")).as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, c))), p -> p.c)").as("carr"))
+
   private def duckCos(a: String, b: String): String =
     s"""round(list_sum([$a[i] * $b[i] for i in range(1, len($a) + 1)]) /
        |  (sqrt(list_sum([x * x for x in $a])) * sqrt(list_sum([x * x for x in $b]))), 6)""".stripMargin
@@ -70,17 +83,12 @@ object EmbedQueries {
     */
   val embedCentroids: QueryDef = QueryDef.sql("embed_centroids",
     s"""WITH $duckVectors,
-       |e AS (SELECT vec_id, label, i, v[i] AS x FROM v, range(1, 65) r(i)),
-       |cent AS (SELECT label, i, avg(x) AS c FROM e GROUP BY 1, 2),
-       |ca AS (SELECT label, list(c ORDER BY i) AS carr FROM cent GROUP BY label)
+       |$duckCentroidCte
        |SELECT vec_id,
        |  round(sqrt(list_sum([(v[i] - carr[i]) * (v[i] - carr[i]) for i in range(1, len(v) + 1)])), 6) AS dist
        |FROM v JOIN ca USING (label) ORDER BY vec_id""".stripMargin) { (s, dir) =>
     val v = Similarity.vectors(Tables.embeddings(s, dir))
-    val e = v.select(col("vec_id"), col("label"), posexplode(col("v")).as(Seq("i", "x")))
-    val cent = e.groupBy(col("label"), col("i")).agg(avg(col("x")).as("c"))
-    val ca = cent.groupBy(col("label"))
-      .agg(expr("transform(array_sort(collect_list(struct(i, c))), p -> p.c)").as("carr"))
+    val ca = centroidArrays(v)
     v.join(broadcast(ca), "label")
       .select(col("vec_id"), round(sqrt(expr(
         "aggregate(zip_with(v, carr, (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, z) -> acc + z)")), 6)
@@ -140,9 +148,7 @@ object EmbedQueries {
       "round(sqrt(list_sum([(qv[i] - carr[i]) * (qv[i] - carr[i]) for i in range(1, len(qv) + 1)])), 6)"
     QueryDef.sql("embed_knn_ivf",
       s"""WITH $duckVectors,
-         |e AS (SELECT vec_id, label, i, v[i] AS x FROM v, range(1, 65) r(i)),
-         |cent AS (SELECT label, i, avg(x) AS c FROM e GROUP BY 1, 2),
-         |ca AS (SELECT label, list(c ORDER BY i) AS carr FROM cent GROUP BY label),
+         |$duckCentroidCte,
          |q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
          |asg AS (SELECT qid, qv, label AS cell,
          |          CAST(row_number() OVER (PARTITION BY qid ORDER BY $duckDist, label) AS BIGINT) AS cr
@@ -155,10 +161,7 @@ object EmbedQueries {
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk FROM p)
          |SELECT qid, nid, sim, rnk FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
       val v = Similarity.vectors(Tables.embeddings(s, dir))
-      val e = v.select(col("vec_id"), col("label"), posexplode(col("v")).as(Seq("i", "x")))
-      val ca = e.groupBy(col("label"), col("i")).agg(avg(col("x")).as("c"))
-        .groupBy(col("label"))
-        .agg(expr("transform(array_sort(collect_list(struct(i, c))), p -> p.c)").as("carr"))
+      val ca = centroidArrays(v)
       val q = v.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
       val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
         .orderBy(col("__d"), col("label"))

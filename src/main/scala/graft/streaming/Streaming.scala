@@ -94,7 +94,11 @@ object Streaming {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (user: Long, batch: Iterator[Ev], state: GroupState[Map[Int, Long]]) =>
           val prev = state.getOption.getOrElse(Map.empty[Int, Long])
-          val add = batch.toSeq.groupBy(_.ts.toLocalDateTime.getHour)
+          // UTC hour from the epoch, independent of the JVM default zone
+          // (toLocalDateTime would follow user.timezone and diverge from
+          // the batch profile computed under spark.sql.session.timeZone)
+          val add = batch.toSeq
+            .groupBy(e => (math.floorMod(e.ts.getTime / 1000L, 86400L) / 3600L).toInt)
             .view.mapValues(_.size.toLong).toMap
           val next = (prev.keySet ++ add.keySet).map { h =>
             h -> (prev.getOrElse(h, 0L) + add.getOrElse(h, 0L))

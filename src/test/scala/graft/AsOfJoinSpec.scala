@@ -32,4 +32,33 @@ class AsOfJoinSpec extends SparkSpec {
       (3L, Some("2024-01-01 14:00:00.0"), Some(20.0)),
       (4L, None, None)))
   }
+
+  test("null carried value does not fall back to a stale older right row") {
+    import spark.implicits._
+    val left = Seq((1L, 7L, "2024-01-01 11:00:00"))
+      .toDF("event_id", "user_id", "s").withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val right = Seq((7L, "2024-01-01 09:00:00", Some(5.0)),
+      (7L, "2024-01-01 10:00:00", None: Option[Double]))
+      .toDF("user_id", "s", "rvalue")
+      .withColumn("rts", to_timestamp(col("s"))).drop("s")
+    val out = AsOfJoin.asofJoin(left, "user_id", "ts", right, "user_id", "rts", Seq("rvalue"))
+      .collect()(0)
+    // the 10:00 row is the as-of match; its NULL value must survive,
+    // not be replaced by the 09:00 row's 5.0
+    assert(out.getAs[java.sql.Timestamp]("asof_ts").toString === "2024-01-01 10:00:00.0")
+    assert(out.isNullAt(out.fieldIndex("asof_rvalue")))
+  }
+
+  test("null keys never match (SQL equality semantics)") {
+    import spark.implicits._
+    val left = Seq((1L, Option.empty[Long], "2024-01-01 11:00:00"))
+      .toDF("event_id", "user_id", "s").withColumn("ts", to_timestamp(col("s"))).drop("s")
+    val right = Seq((Option.empty[Long], "2024-01-01 09:00:00", 5.0))
+      .toDF("user_id", "s", "rvalue")
+      .withColumn("rts", to_timestamp(col("s"))).drop("s")
+    val out = AsOfJoin.asofJoin(left, "user_id", "ts", right, "user_id", "rts", Seq("rvalue"))
+      .collect()(0)
+    assert(out.isNullAt(out.fieldIndex("asof_ts")))
+    assert(out.isNullAt(out.fieldIndex("asof_rvalue")))
+  }
 }

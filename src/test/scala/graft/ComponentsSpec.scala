@@ -9,9 +9,18 @@ class ComponentsSpec extends SparkSpec {
     // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
       (10L, 12L), (20L, 21L)).toDF("i", "j")
-    val got = Components.connectedComponents(pairs, iterations = 5)
+    val got = Components.connectedComponents(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("long chain (diameter > 5) still converges to the min label") {
+    import spark.implicits._
+    val chain = (0 until 9).map(k => (100L + k, 101L + k)).toDF("i", "j")
+    val got = Components.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet === Set(100L))
+    assert(got.size === 10)
   }
 }
