@@ -294,7 +294,64 @@ object RelationalQueries {
       .orderBy(col("rid"))
   }
 
+  /** Data-quality profiling: per-column null/distinct/min/max stats for
+    * the orders table in long form — the pre-training sanity pass a data
+    * pipeline runs over every ingested source.
+    */
+  val qProfileStats: QueryDef = QueryDef.sql("q_profile_stats",
+    """SELECT 'o_custkey' AS col, count(*) AS n,
+      |  count(*) - count(o_custkey) AS n_null,
+      |  count(DISTINCT o_custkey) AS n_distinct,
+      |  CAST(min(o_custkey) AS VARCHAR) AS mn, CAST(max(o_custkey) AS VARCHAR) AS mx
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+      |  count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus)
+      |FROM orders
+      |UNION ALL
+      |SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+      |  count(DISTINCT o_totalprice),
+      |  CAST(round(min(o_totalprice), 2) AS VARCHAR), CAST(round(max(o_totalprice), 2) AS VARCHAR)
+      |FROM orders
+      |ORDER BY col""".stripMargin) { (s, dir) =>
+    val o = Tables.orders(s, dir)
+    def prof(name: String, mn: org.apache.spark.sql.Column, mx: org.apache.spark.sql.Column) =
+      o.agg(count(lit(1)).as("n"),
+        (count(lit(1)) - count(col(name))).as("n_null"),
+        countDistinct(col(name)).as("n_distinct"),
+        mn.as("mn"), mx.as("mx"))
+        .select(lit(name).as("col"), col("n"), col("n_null"), col("n_distinct"),
+          col("mn"), col("mx"))
+    prof("o_custkey", min(col("o_custkey")).cast("string"), max(col("o_custkey")).cast("string"))
+      .unionByName(prof("o_orderstatus", min(col("o_orderstatus")), max(col("o_orderstatus"))))
+      .unionByName(prof("o_totalprice",
+        round(min(col("o_totalprice")), 2).cast("string"),
+        round(max(col("o_totalprice")), 2).cast("string")))
+      .orderBy(col("col"))
+  }
+
+  /** Correlated-subquery pattern: customers with balance above their
+    * nation's average (decorrelated to a window aggregate — the plan
+    * Catalyst and modern engines both rewrite to).
+    */
+  val qAboveAvg: QueryDef = QueryDef.sql("q_above_avg",
+    """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS bal
+      |FROM customer c
+      |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+      |                   WHERE c2.c_nationkey = c.c_nationkey)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("c_nationkey"))
+    Tables.customer(s, dir)
+      .withColumn("__avg", avg(col("c_acctbal")).over(w))
+      .where(col("c_acctbal") > col("__avg"))
+      .select(col("c_custkey"), col("c_nationkey"),
+        round(col("c_acctbal"), 2).as("bal"))
+      .orderBy(col("c_custkey"))
+  }
+
   val all: Seq[QueryDef] = Seq(q1Agg, qJoinAgg, qBroadcastJoin, qTopk,
     qWindowRank, qSetops, qRollup, qDistinctAgg, qSemiJoin, qAntiJoin,
-    qAsofJoin, qPercentileStats, qCube, qRunningSum, qRangeJoin)
+    qAsofJoin, qPercentileStats, qCube, qRunningSum, qRangeJoin,
+    qProfileStats, qAboveAvg)
 }
