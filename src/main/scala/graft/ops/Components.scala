@@ -42,17 +42,22 @@ object Components {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
+      val prev = labels
       val viaNeighbor = edges
         .join(labels, edges("b") === labels("node"))
         .select(edges("a").as("node"), col("rep"))
       labels = labels.unionByName(viaNeighbor)
         .groupBy("node").agg(min("rep").as("rep"))
         .localCheckpoint(true)
+      prev.unpersist() // previous round's blocks are dead once the new
+                       // checkpoint is materialized — don't pin executor
+                       // storage for the rest of the session
       val s = labelSum(labels)
       converged = s == prevSum
       prevSum = s
       iter += 1
     }
+    edges.unpersist()
     labels
   }
 }
