@@ -62,26 +62,36 @@ object WindowOps {
       .as[(Long, Long, Long)]
       .groupByKey(_._1)
       .flatMapGroups { (_: Long, it: Iterator[(Long, Long, Long)]) =>
-        val es = it.map(e => (e._2, e._3)).toArray.sortBy(_._2)
-        if (es.isEmpty) Iterator.empty
-        else {
-          val cutoff = es.last._2 - windowMicros
-          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-          var lo = 0 // first idx with ts >= t (ties before the current row count!)
-          var hi = 0 // first idx with ts >= t + w
-          var idx = 0
-          while (idx < es.length && es(idx)._2 <= cutoff) {
-            val (id, t) = es(idx)
-            while (es(lo)._2 < t) lo += 1
-            if (hi < lo) hi = lo
-            while (hi < es.length && es(hi)._2 < t + windowMicros) hi += 1
-            out += ((id, (hi - lo).toLong))
-            idx += 1
-          }
-          out.iterator
-        }
+        forwardCountsCore(it.map(e => (e._2, e._3)).toArray, windowMicros).iterator
       }
       .toDF(idCol, "n_rents")
+  }
+
+  /** Pure single-group A5 core (two-pointer over the ts-sorted events):
+    * (id, count of events with ts in [t, t+w)) for every event with
+    * t <= max(ts) - w. Factored out so WindowLawsProps can law-check it
+    * against the O(n²) definition without a Spark session.
+    */
+  private[graft] def forwardCountsCore(events: Array[(Long, Long)],
+                                       windowMicros: Long): Seq[(Long, Long)] = {
+    val es = events.sortBy(_._2)
+    if (es.isEmpty) Seq.empty
+    else {
+      val cutoff = es.last._2 - windowMicros
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var lo = 0 // first idx with ts >= t (ties before the current row count!)
+      var hi = 0 // first idx with ts >= t + w
+      var idx = 0
+      while (idx < es.length && es(idx)._2 <= cutoff) {
+        val (id, t) = es(idx)
+        while (es(lo)._2 < t) lo += 1
+        if (hi < lo) hi = lo
+        while (hi < es.length && es(hi)._2 < t + windowMicros) hi += 1
+        out += ((id, (hi - lo).toLong))
+        idx += 1
+      }
+      out.toSeq
+    }
   }
 
   /** A10: tumbling event-time window count (the notebook's `resample('H')`).

@@ -33,6 +33,17 @@ class PlanSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).size >= 2)
   }
 
+  test("q1_agg stays inside whole-stage codegen (no interpreted hot path)") {
+    // AQE only finalizes (and codegen-wraps) the plan on execution —
+    // and it must be THIS DataFrame's execution (a .write plans a
+    // separate command query), so collect the 6 result rows
+    val df = RelationalQueries.q1Agg.run(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd operators are starred in the finalized plan tree
+    assert(p.contains("*("), s"expected WholeStageCodegen stages in:\n$p")
+  }
+
   test("semi/anti joins plan as LeftSemi/LeftAnti (no row explosion)") {
     assert(plan(RelationalQueries.qSemiJoin).contains("LeftSemi"))
     assert(plan(RelationalQueries.qAntiJoin).contains("LeftAnti"))
