@@ -47,5 +47,26 @@ object MlQueries {
       .orderBy(col("event_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(hourRingFeatures, mlPoissonPredict)
+  /** Feature normalization: per-group z-score (the standard preprocessing
+    * pass before model fitting) — grouped stats broadcast back via a
+    * window, no collect.
+    */
+  val mlZscore: QueryDef = QueryDef.sql("ml_zscore",
+    """WITH s AS (SELECT l_returnflag, avg(l_quantity) AS mu, stddev_samp(l_quantity) AS sd
+      |           FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_orderkey, l_linenumber, l_returnflag,
+      |  round((l_quantity - mu) / sd, 6) AS z
+      |FROM lineitem JOIN s USING (l_returnflag)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("l_returnflag"))
+    Tables.lineitem(s, dir)
+      .withColumn("mu", avg(col("l_quantity")).over(w))
+      .withColumn("sd", stddev_samp(col("l_quantity")).over(w))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        round((col("l_quantity") - col("mu")) / col("sd"), 6).as("z"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  val all: Seq[QueryDef] = Seq(hourRingFeatures, mlPoissonPredict, mlZscore)
 }
