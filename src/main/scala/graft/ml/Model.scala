@@ -1,0 +1,70 @@
+package graft.ml
+
+import org.apache.spark.ml.regression.{
+  GeneralizedLinearRegression, GeneralizedLinearRegressionModel,
+  LinearRegression, LinearRegressionModel}
+import org.apache.spark.ml.util.MLWritable
+import org.apache.spark.sql.DataFrame
+
+/** M3 + model-task interface: the reference addresses any model by name
+  * (FitModelTask/PredictTask over model_name, bicis/etl/models/
+  * interface.py:19-57, dispatched by import path through
+  * bicis/lib/object_loader.py:64-95) and persists the fitted model as a
+  * pipeline target (poisson_regression.py:28-31). Here a [[ModelFamily]]
+  * fits or loads a [[TrainedModel]]; [[Models.registry]] is the
+  * name→family dispatch. Persistence is MLlib's parquet writer — a
+  * driver-side metadata file plus coefficients, safe on any Hadoop FS.
+  */
+trait TrainedModel {
+  /** M4 batch predict: appends `prediction`, drops the assembled vector. */
+  def predict(assembled: DataFrame): DataFrame
+  def save(path: String): Unit
+}
+
+trait ModelFamily {
+  def name: String
+  def fit(assembled: DataFrame): TrainedModel
+  def load(path: String): TrainedModel
+}
+
+private final class MLlibTrained(m: org.apache.spark.ml.Model[_] with MLWritable)
+    extends TrainedModel {
+  def predict(assembled: DataFrame): DataFrame = m.transform(assembled).drop("features")
+  def save(path: String): Unit = m.write.overwrite().save(path)
+  private[ml] def underlying = m
+}
+
+/** Poisson GLM — the reference's one concrete model (poisson_regression
+  * .py:12-47), identical family/link/maxIter defaults.
+  */
+final case class PoissonFamily(cfg: Poisson.Config = Poisson.Config()) extends ModelFamily {
+  val name = "poisson"
+  def fit(assembled: DataFrame): TrainedModel =
+    new MLlibTrained(new GeneralizedLinearRegression()
+      .setFamily(cfg.family).setLink(cfg.link).setMaxIter(cfg.maxIter)
+      .setLabelCol("label").setFeaturesCol("features")
+      .fit(assembled))
+  def load(path: String): TrainedModel =
+    new MLlibTrained(GeneralizedLinearRegressionModel.load(path))
+}
+
+/** Second family, proving the interface: ordinary least squares. */
+final case class LinearFamily(maxIter: Int = 10) extends ModelFamily {
+  val name = "linear"
+  def fit(assembled: DataFrame): TrainedModel =
+    new MLlibTrained(new LinearRegression()
+      .setMaxIter(maxIter).setLabelCol("label").setFeaturesCol("features")
+      .fit(assembled))
+  def load(path: String): TrainedModel =
+    new MLlibTrained(LinearRegressionModel.load(path))
+}
+
+object Models {
+  /** model_name → family (object_loader import-path dispatch analog). */
+  val registry: Map[String, ModelFamily] =
+    Seq(PoissonFamily(), LinearFamily()).map(f => f.name -> f).toMap
+
+  /** A saved-model target exists iff MLlib finished writing metadata. */
+  def exists(path: String): Boolean =
+    new java.io.File(s"$path/metadata/_SUCCESS").exists()
+}

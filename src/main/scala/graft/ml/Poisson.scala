@@ -55,9 +55,8 @@ object Poisson {
   def predict(model: GeneralizedLinearRegressionModel, assembled: DataFrame): DataFrame =
     model.transform(assembled).drop("features")          // M4, poisson_regression.py:46
 
-  /** A9/M5: mean squared error as a single distributed aggregate. */
-  def mse(predictions: DataFrame): Double =
-    predictions.agg(avg(pow(col("label") - col("prediction"), 2))).head().getDouble(0)
+  /** A9/M5: mean squared error via the metric registry (one aggregate). */
+  def mse(predictions: DataFrame): Double = Metrics.registry("mse")(predictions)
 
   /** End-to-end pipeline (fit on the data, predict, attach label). */
   def run(spark: SparkSession, dir: String, cfg: Config = Config()): DataFrame = {

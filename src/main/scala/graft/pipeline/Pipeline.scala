@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Ingest, TimeKeys}
-import graft.ml.Poisson
+import graft.ml.{Metrics, Models, Poisson}
 import graft.ops.{HourRingFeatures, SeriesAggs, TemporalSplit, WindowOps}
 
 /** End-to-end bicis pipeline as checkpointed stage composition — the
@@ -22,11 +22,16 @@ final case class PipelineConfig(
     split: TemporalSplit.Spec = TemporalSplit.Spec(),
     windowMicros: Long = 3600L * 1000000L,
     ring: Int = 24,
-    model: Poisson.Config = Poisson.Config())
+    model: Poisson.Config = Poisson.Config(),
+    modelName: String = "poisson",               // Models.registry dispatch
+    metricNames: Seq[String] = Seq("mse", "rmse", "mae"))
 
 final case class PipelineResult(
     unifiedCount: Long, trainCount: Long, valCount: Long, testCount: Long,
-    datasetCount: Long, predictionCount: Long, mse: Double)
+    datasetCount: Long, predictionCount: Long, metrics: Map[String, Double],
+    modelLoaded: Boolean) {
+  def mse: Double = metrics("mse")
+}
 
 object Pipeline {
 
@@ -79,14 +84,29 @@ object Pipeline {
 
     val featureNames = (0 until cfg.ring).map(i => s"n_rents_${i}_hb")
     val assembled = Poisson.assemble(dataset, featureNames).cache()
-    val model = Poisson.fit(assembled, cfg.model)
+
+    // M3 model checkpoint stage: the fitted model is a pipeline target
+    // like any parquet stage — loaded, not refit, when it already exists
+    // (the reference persists the model the same way,
+    // poisson_regression.py:28-31 + Luigi target-exists semantics).
+    val family = cfg.modelName match {
+      case "poisson" => graft.ml.PoissonFamily(cfg.model) // honor the GLM config
+      case other     => Models.registry(other)
+    }
+    val modelPath = p("model")
+    val modelLoaded = !force && Models.exists(modelPath)
+    val model =
+      if (modelLoaded) family.load(modelPath)
+      else { val m = family.fit(assembled); m.save(modelPath); m }
+
     val predictions = stage(spark, p("predictions"), force)(
-      Poisson.predict(model, assembled))
-    val err = Poisson.mse(predictions)
+      model.predict(assembled))
+    // M5: every configured metric from the registry, one aggregate pass
+    val metrics = Metrics.evaluate(predictions, cfg.metricNames)
     java.nio.file.Files.writeString(java.nio.file.Paths.get(p("metrics.json")),
-      s"""{"mse": $err}""")
+      Metrics.toJson(metrics, cfg.metricNames))
 
     PipelineResult(unified.count(), train.count(), valid.count(), test.count(),
-      dataset.count(), predictions.count(), err)
+      dataset.count(), predictions.count(), metrics, modelLoaded)
   }
 }

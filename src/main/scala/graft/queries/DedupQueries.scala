@@ -148,27 +148,51 @@ object DedupQueries {
     }
   }
 
-  /** 32-bit SimHash near-dup pairs at hamming distance <= 3. */
+  /** 32-bit SimHash near-dup pairs at hamming distance <= 3.
+    *
+    * Pigeonhole banding (scale path, zero recall loss): split the 32-bit
+    * signature into 4 bytes. Two signatures at hamming distance <= 3
+    * differ in at most 3 bits, so at least one of the 4 bytes is
+    * IDENTICAL — candidates come from an equi-join on (band, band_byte),
+    * then the exact `bit_count(xor) <= 3` verify. No all-pairs scan, no
+    * broadcast of the signature table; the shuffle carries
+    * 4 x (doc_id, byte) rows per doc.
+    */
   val dedupSimhash: QueryDef = {
     val duckSig =
       s"""CAST(list_sum([CASE WHEN list_sum([CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END for h in hs]) >= 0
          |  THEN (1::BIGINT << i) ELSE 0::BIGINT END for i in range(0, 32)]) AS BIGINT)""".stripMargin
     QueryDef.sql("dedup_simhash",
       s"""WITH $hashCte,
-         |sg AS (SELECT doc_id, $duckSig AS sig FROM hs)
-         |SELECT a.doc_id AS i, b.doc_id AS j,
-         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS dist
-         |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |sg AS (SELECT doc_id, $duckSig AS sig FROM hs),
+         |bd AS (SELECT doc_id, b, (sig >> (8 * b)) & 255 AS bv
+         |       FROM sg CROSS JOIN range(0, 4) r1(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+         |         FROM bd a JOIN bd b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+         |SELECT c.i, c.j, CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS dist
+         |FROM cand c JOIN sg x ON x.doc_id = c.i JOIN sg y ON y.doc_id = c.j
+         |WHERE bit_count(xor(x.sig, y.sig)) <= 3
          |ORDER BY i, j""".stripMargin) { (s, dir) =>
       val hs = docHashes(s, dir)
       val sg = TextOps.barrier(
         hs.withColumn("__wh", col("hs"))
           .select(col("doc_id"), TextOps.simhash32.as("sig")), "doc_id")
-      sg.as("a").join(broadcast(sg.as("b")), col("a.doc_id") < col("b.doc_id"))
-        .withColumn("dist", bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).cast("long"))
+      val bd = sg.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, 3), b -> struct(b AS band, CAST(shiftright(sig, 8 * b) & 255 AS INT) AS bv))"))
+        .as("bd"))
+        .select(col("doc_id"), col("bd.band").as("band"), col("bd.bv").as("bv"))
+      val cand = bd.as("a")
+        .join(bd.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .distinct()
+      cand
+        .join(sg.select(col("doc_id").as("i"), col("sig").as("sa")), "i")
+        .join(sg.select(col("doc_id").as("j"), col("sig").as("sb")), "j")
+        .withColumn("dist", bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
         .where(col("dist") <= 3)
-        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"), col("dist"))
+        .select(col("i"), col("j"), col("dist"))
         .orderBy(col("i"), col("j"))
     }
   }

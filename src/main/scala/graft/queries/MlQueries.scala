@@ -48,8 +48,10 @@ object MlQueries {
   }
 
   /** Feature normalization: per-group z-score (the standard preprocessing
-    * pass before model fitting) — grouped stats broadcast back via a
-    * window, no collect.
+    * pass before model fitting). Grouped stats (partial-agg'd map-side,
+    * ~|groups| rows) broadcast-joined back — NOT a window over the group
+    * key: `Window.partitionBy(l_returnflag)` has ~3 distinct values and
+    * would funnel the whole table through 3 reducers at scale.
     */
   val mlZscore: QueryDef = QueryDef.sql("ml_zscore",
     """WITH s AS (SELECT l_returnflag, avg(l_quantity) AS mu, stddev_samp(l_quantity) AS sd
@@ -58,11 +60,10 @@ object MlQueries {
       |  round((l_quantity - mu) / sd, 6) AS z
       |FROM lineitem JOIN s USING (l_returnflag)
       |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("l_returnflag"))
-    Tables.lineitem(s, dir)
-      .withColumn("mu", avg(col("l_quantity")).over(w))
-      .withColumn("sd", stddev_samp(col("l_quantity")).over(w))
+    val li = Tables.lineitem(s, dir)
+    val stats = li.groupBy(col("l_returnflag"))
+      .agg(avg(col("l_quantity")).as("mu"), stddev_samp(col("l_quantity")).as("sd"))
+    li.join(broadcast(stats), Seq("l_returnflag"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         round((col("l_quantity") - col("mu")) / col("sd"), 6).as("z"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))

@@ -331,8 +331,10 @@ object RelationalQueries {
   }
 
   /** Correlated-subquery pattern: customers with balance above their
-    * nation's average (decorrelated to a window aggregate — the plan
-    * Catalyst and modern engines both rewrite to).
+    * nation's average, decorrelated to groupBy-stats + broadcast join.
+    * (A `Window.partitionBy(c_nationkey)` would cap parallelism at the
+    * ~25 nations; the grouped aggregate partial-aggregates map-side and
+    * the 25-row stats table broadcasts.)
     */
   val qAboveAvg: QueryDef = QueryDef.sql("q_above_avg",
     """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS bal
@@ -340,10 +342,10 @@ object RelationalQueries {
       |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
       |                   WHERE c2.c_nationkey = c.c_nationkey)
       |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("c_nationkey"))
-    Tables.customer(s, dir)
-      .withColumn("__avg", avg(col("c_acctbal")).over(w))
+    val c = Tables.customer(s, dir)
+    val stats = c.groupBy(col("c_nationkey"))
+      .agg(avg(col("c_acctbal")).as("__avg"))
+    c.join(broadcast(stats), Seq("c_nationkey"))
       .where(col("c_acctbal") > col("__avg"))
       .select(col("c_custkey"), col("c_nationkey"),
         round(col("c_acctbal"), 2).as("bal"))

@@ -36,13 +36,33 @@ class PipelineSpec extends SparkSpec {
     assert(r1.datasetCount > 0 && r1.predictionCount === r1.datasetCount)
     assert(!r1.mse.isNaN && r1.mse >= 0.0)
     assert(new java.io.File(s"$out/split_bounds.json").exists())
-    assert(new java.io.File(s"$out/metrics.json").exists())
+    // M5: metrics.json carries every configured registry metric
+    val mjson = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$out/metrics.json"))
+    assert(Seq("mse", "rmse", "mae").forall(mjson.contains), mjson)
+    assert(math.abs(r1.metrics("rmse") - math.sqrt(r1.metrics("mse"))) < 1e-9)
+    // M3: first run fit + persisted the model as a stage target
+    assert(!r1.modelLoaded)
+    assert(graft.ml.Models.exists(s"$out/model"))
 
-    // checkpoint skip: stage outputs untouched on re-run
+    // checkpoint skip: stage outputs untouched, model LOADED not refit
     val mtime = new java.io.File(s"$out/unified/_SUCCESS").lastModified()
+    val modelMtime = new java.io.File(s"$out/model/metadata/_SUCCESS").lastModified()
     val r2 = Pipeline.run(spark, Seq(csv), out)
     assert(r2.unifiedCount === r1.unifiedCount)
+    assert(r2.modelLoaded, "second run must load the persisted model")
     assert(new java.io.File(s"$out/unified/_SUCCESS").lastModified() === mtime)
+    assert(new java.io.File(s"$out/model/metadata/_SUCCESS").lastModified() === modelMtime)
+    assert(math.abs(r2.mse - r1.mse) < 1e-9)
+  }
+
+  test("a second model family runs through the same pipeline unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("pipe2").toString
+    val csv = genCsv(dir)
+    val r = Pipeline.run(spark, Seq(csv), s"$dir/out",
+      PipelineConfig(modelName = "linear", metricNames = Seq("rmse", "mae")))
+    assert(r.predictionCount === r.datasetCount)
+    assert(r.metrics.keySet === Set("rmse", "mae"))
+    assert(!r.metrics("rmse").isNaN)
   }
 
   test("dense-id unify assigns gap-free sequential ids") {

@@ -48,4 +48,19 @@ class PlanSpec extends SparkSpec {
     assert(plan(RelationalQueries.qSemiJoin).contains("LeftSemi"))
     assert(plan(RelationalQueries.qAntiJoin).contains("LeftAnti"))
   }
+
+  test("dedup_simhash candidates come from an equi-join, not an all-pairs scan") {
+    val p = plan(graft.queries.DedupQueries.dedupSimhash)
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"O(n²) pair scan in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("ml_zscore / q_above_avg use grouped stats + broadcast join, not a low-cardinality window") {
+    val pz = plan(graft.queries.MlQueries.mlZscore)
+    assert(!pz.contains("Window"), s"window over ~3-value l_returnflag in:\n$pz")
+    assert(pz.contains("BroadcastHashJoin"))
+    val pa = plan(RelationalQueries.qAboveAvg)
+    assert(!pa.contains("Window"), s"window over ~25-value c_nationkey in:\n$pa")
+    assert(pa.contains("BroadcastHashJoin"))
+  }
 }

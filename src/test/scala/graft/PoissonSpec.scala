@@ -30,4 +30,37 @@ class PoissonSpec extends SparkSpec {
     assert(loaded.coefficients === model.coefficients)
     assert(loaded.intercept === model.intercept)
   }
+
+  test("M5 metric registry: dispatch by name, one-pass evaluate agrees") {
+    import graft.ml.Metrics
+    val ds = Poisson.buildDataset(spark, dir)
+    val assembled = Poisson.assemble(ds, (0 until 24).map(i => s"n_rents_${i}_hb")).cache()
+    val pred = Poisson.predict(Poisson.fit(assembled), assembled).cache()
+    val one = Metrics.evaluate(pred, Seq("mse", "rmse", "mae"))
+    // registry dispatch (the object_loader-by-name analog) matches
+    Seq("mse", "rmse", "mae").foreach { n =>
+      assert(math.abs(Metrics.registry(n)(pred) - one(n)) < 1e-9, n)
+    }
+    assert(math.abs(one("rmse") - math.sqrt(one("mse"))) < 1e-9)
+    assert(one("mae") >= 0 && one("mse") >= one("mae") * 0 && !one("mse").isNaN)
+    pred.unpersist(); assembled.unpersist()
+  }
+
+  test("M3/model trait: families fit/save/load/predict via registry") {
+    import graft.ml.Models
+    val ds = Poisson.buildDataset(spark, dir)
+    val assembled = Poisson.assemble(ds, (0 until 24).map(i => s"n_rents_${i}_hb")).cache()
+    val tmp = java.nio.file.Files.createTempDirectory("fam").toString
+    Models.registry.foreach { case (name, fam) =>
+      val m = fam.fit(assembled)
+      val path = s"$tmp/$name"
+      m.save(path)
+      assert(Models.exists(path), s"$name save target missing")
+      val loaded = fam.load(path)
+      val a = m.predict(assembled).select("prediction").limit(5).collect().map(_.getDouble(0))
+      val b = loaded.predict(assembled).select("prediction").limit(5).collect().map(_.getDouble(0))
+      assert(a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-9 }, s"$name load drift")
+    }
+    assembled.unpersist()
+  }
 }
