@@ -7,35 +7,62 @@ import org.apache.spark.sql.functions._
   * turns near-duplicate PAIRS into duplicate CLUSTERS (keep the minimum
   * id per cluster, drop the rest).
   *
-  * Iterative min-label propagation: every node starts as its own
-  * representative; each round a node adopts the minimum label among
-  * itself and its neighbors. Converges in O(diameter) rounds — for
-  * near-dup graphs (tiny cliques/chains) a handful of rounds is exact.
-  * Each round is two shuffles (join + min-aggregate), fully distributed;
-  * this is the standard large-graph CC shape (GraphX/GraphFrames do the
-  * same with smarter messaging).
+  * Min-label propagation with POINTER JUMPING: every node starts as its
+  * own representative; each round a node (a) adopts the minimum label
+  * among itself and its neighbors, then (b) shortcuts to its label's
+  * label (`rep := min(rep, rep(rep))`). The neighbor hop alone needs
+  * O(diameter) rounds on chains; the jump contracts label paths
+  * geometrically, giving O(log diameter) — the same round bound as the
+  * large-star/small-star alternating algorithm, with the label table
+  * (not the edge multiset) as the only state that mutates. Each neighbor
+  * hop shuffles the edge table once; each jump is a labels⋈labels join
+  * (small — two longs per node).
   */
 object Components {
 
-  /** pairs(i, j) -> (node, rep) for every node appearing in any pair.
-    * Runs to an exact fixpoint: labels only ever decrease, so the label
-    * sum is strictly monotone and equality between rounds proves
-    * convergence (one cheap aggregate per round — the labels are already
-    * materialized by the checkpoint). `maxIterations` is a runaway guard,
-    * not a correctness bound.
+  /** Rounds taken by the most recent `connectedComponents` call on this
+    * JVM (diagnostic only — read by specs and bench logging).
     */
-  def connectedComponents(pairs: DataFrame, maxIterations: Int = 50): DataFrame = {
+  @volatile var lastRounds: Int = 0
+
+  /** pairs(i, j) -> (node, rep) for every node appearing in any pair.
+    *
+    * Runs to an exact fixpoint: labels only ever decrease (union+min and
+    * least() are both non-increasing), so the label sum is strictly
+    * monotone and equality between rounds proves no label moved — in
+    * particular the plain neighbor hop produced no change, which is
+    * exactly the min-label-propagation fixpoint, i.e. true CC labels.
+    * `maxIterations` is a runaway guard, not a correctness bound.
+    *
+    * @param checkpointDir when set, per-round lineage truncation uses a
+    *   RELIABLE checkpoint under this directory (HDFS/object-store safe:
+    *   survives executor loss on a real cluster). Default local
+    *   checkpoints keep blocks in executor storage — fine for local[n],
+    *   not fault-tolerant at cluster scale.
+    */
+  def connectedComponents(pairs: DataFrame, maxIterations: Int = 50,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val spark = pairs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     // checkpoint per round: each round references the previous labels
-    // twice, so an uncut lineage doubles every iteration (2^k copies of
-    // the upstream pair computation — measured 24 s vs 9 s at sf0.1).
-    // Truncating the plan per round is the standard iterative-algorithm
-    // discipline (at cluster scale: reliable checkpoint dir instead).
-    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
+    // more than once, so an uncut lineage doubles every iteration (2^k
+    // copies of the upstream pair computation — measured 24 s vs 9 s at
+    // sf0.1). Truncating the plan per round is the standard iterative-
+    // algorithm discipline.
+    def ckpt(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+
+    val undirected = pairs.select(col("i").as("a"), col("j").as("b"))
       .unionByName(pairs.select(col("j").as("a"), col("i").as("b")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("a").as("node")).distinct()
-      .withColumn("rep", col("node"))
-      .localCheckpoint(true)
+    var labels = ckpt(undirected.select(col("a").as("node")).distinct()
+      .withColumn("rep", col("node")))
+    // self-loops folded in ONCE so the per-round hop is join+agg with no
+    // Union in the iterated plan (a labels-union per round both doubles
+    // the plan and trips Catalyst's Union constraint rewriting when the
+    // same label subtree later self-joins for the pointer jump)
+    val edges = ckpt(undirected.unionByName(
+      labels.select(col("node").as("a"), col("node").as("b"))))
     def labelSum(df: DataFrame): Long =
       df.agg(sum(col("rep"))).head().getLong(0)
     var prevSum = labelSum(labels)
@@ -43,19 +70,25 @@ object Components {
     var iter = 0
     while (!converged && iter < maxIterations) {
       val prev = labels
-      // two propagation hops per checkpoint round: halves the number of
-      // sequential driver actions (each round costs a fixed scheduling
-      // overhead that dominates on small graphs) while the plan stays
-      // linear — both hops read only checkpointed leaves
+      // two (hop, jump) passes per checkpoint round: halves sequential
+      // driver actions (fixed scheduling cost per round dominates on
+      // small graphs) while both passes read only checkpointed leaves
       var l = labels
       for (_ <- 1 to 2) {
-        val viaNeighbor = edges
+        // (a) neighbor hop: rep := min over {self} ∪ neighbors (the
+        // self-loop rows make the aggregate cover the node's own label)
+        l = edges
           .join(l, edges("b") === l("node"))
           .select(edges("a").as("node"), col("rep"))
-        l = l.unionByName(viaNeighbor)
           .groupBy("node").agg(min("rep").as("rep"))
+        // (b) pointer jump: rep := min(rep, rep's rep). Reps are always
+        // ids of nodes present in the label table (they start as node
+        // ids and only min-combine), so the inner self-join is total.
+        val r = l.select(col("node").as("__rn"), col("rep").as("__rr"))
+        l = l.join(r, col("rep") === col("__rn"))
+          .select(col("node"), least(col("rep"), col("__rr")).as("rep"))
       }
-      labels = l.localCheckpoint(true)
+      labels = ckpt(l)
       prev.unpersist() // previous round's blocks are dead once the new
                        // checkpoint is materialized — don't pin executor
                        // storage for the rest of the session
@@ -64,6 +97,7 @@ object Components {
       prevSum = s
       iter += 1
     }
+    lastRounds = iter
     edges.unpersist()
     labels
   }

@@ -43,11 +43,16 @@ object DedupQueries {
        |hs AS (SELECT doc_id, list_sort([${duckHash("'g'", "x")} for x in s]) AS hs, len(s) AS n
        |       FROM sh WHERE len(s) > 0)""".stripMargin
 
-  /** Spark side of `hs`: doc_id, sorted 64-bit shingle hashes, count. */
-  private def docHashes(s: org.apache.spark.sql.SparkSession, dir: String) = {
+  /** Spark side of `hs`: doc_id, sorted 64-bit shingle hashes, count.
+    * `hash` defaults to the md5-derived portable hash (DuckDB-checkable);
+    * production swaps in `TextOps.xxhash64Sql` — every downstream dedup
+    * operator is hash-agnostic (proved by TextOpsSpec).
+    */
+  private[graft] def docHashes(s: org.apache.spark.sql.SparkSession, dir: String,
+                               hash: TextOps.HashSql = TextOps.portableHash64Sql) = {
     val sh = TextOps.docShingles(Tables.documents(s, dir))
     TextOps.barrier(sh.select(col("doc_id"),
-      array_sort(expr(s"transform(sh, x -> ${TextOps.portableHash64Sql("'g'", "x")})")).as("hs"),
+      array_sort(expr(s"transform(sh, x -> ${hash("'g'", "x")})")).as("hs"),
       size(col("sh")).as("n")), "doc_id")
   }
 
@@ -70,7 +75,7 @@ object DedupQueries {
   /** Shared prefix-filter pair pipeline, Spark side: (i, j, sim) with
     * sim already rounded; caller filters on the threshold.
     */
-  private def prefixFilteredPairs(hs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  private[graft] def prefixFilteredPairs(hs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val pre = hs.select(col("doc_id"), col("n"),
       explode(expr("slice(hs, 1, CAST(floor(0.2 * n) + 1 AS INT))")).as("tok"))
     val cand = pre.as("a")

@@ -139,9 +139,13 @@ object EmbedQueries {
   }
 
   /** IVF-variant ANN: label centroids are the cells; each query probes
-    * only its nearest cell (round-6 distances, label tiebreak), then
-    * exact cosine top-3 within the cell. Cell assignment via a broadcast
-    * of ~#labels centroids; candidate scan shrinks by the cell count.
+    * its nprobe=2 nearest cells (round-6 distances, label tiebreak),
+    * then exact cosine top-3 within the probed cells. nprobe>1 is the
+    * standard recall knob at scale — cell boundaries clip true
+    * neighbors when only the closest cell is scanned. Cell assignment
+    * via a broadcast of ~#labels centroids; a candidate joins at most
+    * one probed cell (its own label), so the scan shrinks by
+    * cells/nprobe and pairs stay distinct.
     */
   val embedKnnIvf: QueryDef = {
     val duckDist =
@@ -153,7 +157,7 @@ object EmbedQueries {
          |asg AS (SELECT qid, qv, label AS cell,
          |          CAST(row_number() OVER (PARTITION BY qid ORDER BY $duckDist, label) AS BIGINT) AS cr
          |        FROM q CROSS JOIN ca),
-         |probe AS (SELECT qid, qv, cell FROM asg WHERE cr = 1),
+         |probe AS (SELECT qid, qv, cell FROM asg WHERE cr <= 2),
          |c AS (SELECT vec_id AS nid, v AS cv, label FROM v WHERE vec_id >= 10),
          |p AS (SELECT qid, nid, ${duckCos("qv", "cv")} AS sim
          |      FROM c JOIN probe ON c.label = probe.cell),
@@ -169,7 +173,7 @@ object EmbedQueries {
         .withColumn("__d", round(sqrt(expr(
           "aggregate(zip_with(qv, carr, (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, z) -> acc + z)")), 6))
         .withColumn("cr", row_number().over(wc))
-        .where(col("cr") === 1)
+        .where(col("cr") <= 2)
         .select(col("qid"), col("qv"), col("label").as("cell"))
       val c = v.where(col("vec_id") >= 10)
         .select(col("vec_id").as("nid"), col("v").as("cv"), col("label"))

@@ -12,6 +12,11 @@ object TextQueries {
 
   private val stop = "the|and|of|to|in|a|is"
 
+  /** Count-only columns use `regexp_count` — same match semantics as
+    * len(regexp_extract_all(..)) but no match-array materialization
+    * (the arrays were the #2 bench cost); only n_vocab, which needs the
+    * distinct word SET, still extracts.
+    */
   val textTokenCount: QueryDef = QueryDef.sql("text_token_count",
     """SELECT doc_id,
       |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws,
@@ -21,8 +26,8 @@ object TextQueries {
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
     Tables.documents(s, dir).select(
       col("doc_id"),
-      size(expr("regexp_extract_all(text, '\\\\S+', 0)")).cast("long").as("n_ws"),
-      size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+      expr("regexp_count(text, '\\\\S+')").cast("long").as("n_ws"),
+      expr("regexp_count(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]')")
         .cast("long").as("n_bpe"),
       size(array_distinct(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")))
         .cast("long").as("n_vocab"),
@@ -43,7 +48,7 @@ object TextQueries {
     val duckCnts = markers.map { case (l, re) =>
       s"len(regexp_extract_all(lower(text), '\\b($re)\\b')) AS s_$l" }.mkString(",\n  ")
     val sparkCnts = markers.map { case (l, re) =>
-      size(expr(s"regexp_extract_all(lower(text), '\\\\b($re)\\\\b', 0)")).as(s"s_$l") }
+      expr(s"regexp_count(lower(text), '\\\\b($re)\\\\b')").as(s"s_$l") }
     val caseSql =
       """CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
         |     WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
@@ -87,11 +92,14 @@ object TextQueries {
       Tables.documents(s, dir)
         .select(col("doc_id"),
           length(col("text")).cast("long").as("nc"),
+          // nw/nv share one words regex — codegen subexpression
+          // elimination evaluates the extract once per row; the pure
+          // counts (np, ns) skip array materialization via regexp_count
           size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).cast("long").as("nw"),
           size(array_distinct(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")))
             .cast("long").as("nv"),
-          size(expr("regexp_extract_all(text, '[^a-zA-Z0-9\\\\s]', 0)")).cast("long").as("np"),
-          size(expr(s"regexp_extract_all(lower(text), '\\\\b($stop)\\\\b', 0)")).cast("long").as("ns"))
+          expr("regexp_count(text, '[^a-zA-Z0-9\\\\s]')").cast("long").as("np"),
+          expr(s"regexp_count(lower(text), '\\\\b($stop)\\\\b')").cast("long").as("ns"))
         .select(col("doc_id"),
           round(lit(0.3) * least(col("nw") / 100.0, lit(1.0))
             + lit(0.3) * (lit(1.0) - col("np") / greatest(col("nc"), lit(1)).cast("double"))

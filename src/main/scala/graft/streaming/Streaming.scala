@@ -35,18 +35,26 @@ object Streaming {
 
   /** The flagship A5 as an INCREMENTAL streaming operator: per key, an
     * event at time t is emitted with its [t, t+w) forward count once the
-    * key's max event time reaches t + w (the per-key full-window cutoff,
-    * exactly the batch semantics of WindowOps.forwardWindowCount).
+    * key's max event time reaches t + w + lateness (the per-key
+    * full-window cutoff, exactly the batch semantics of
+    * WindowOps.forwardWindowCount).
     *
-    * State per key is bounded: only events within the trailing window
-    * (ts > maxTs - w) are retained — everything older is both emitted
-    * and unreachable as a counter for any pending event. Assumes per-key
-    * event-time-ordered arrival within a micro-batch horizon (replaying
-    * ordered history matches the batch operator row for row — see
-    * StreamingSpec).
+    * Out-of-order hardening: arrivals are buffered and sorted by event
+    * time, and `latenessMicros` delays emission so that any event
+    * arriving up to that far behind the key's max STILL lands inside the
+    * retained buffer before anything overlapping its window is emitted —
+    * exact counts under bounded disorder, the watermark contract. Events
+    * later than the horizon are dropped (never emitted wrong), matching
+    * Structured Streaming's late-data semantics.
+    *
+    * State per key stays bounded: only events with ts > maxTs - w -
+    * lateness are retained. Everything older is both emitted and
+    * unreachable as a counter for any still-pending event (pending t' >
+    * cutoff, so its window only needs counters o >= t' > cutoff).
     */
   def streamingForwardWindowCount(spark: SparkSession, events: Dataset[Ev],
-                                  windowMicros: Long): Dataset[FwOut] = {
+                                  windowMicros: Long,
+                                  latenessMicros: Long = 0L): Dataset[FwOut] = {
     import spark.implicits._
     events
       .groupByKey(_.user_id)
@@ -58,7 +66,7 @@ object Streaming {
             (e.event_id, e.ts.getTime * 1000L + (e.ts.getNanos / 1000) % 1000)).toList
           val all = (prev.buf ++ incoming).sortBy(_._2)
           val mx = if (all.isEmpty) prev.maxTs else math.max(prev.maxTs, all.map(_._2).max)
-          val cutoff = mx - windowMicros
+          val cutoff = mx - windowMicros - latenessMicros
           val out = all.collect {
             case (id, t) if t <= cutoff && t > prev.emittedUpTo =>
               FwOut(id, all.count { case (_, o) => o >= t && o < t + windowMicros }.toLong)

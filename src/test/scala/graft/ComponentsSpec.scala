@@ -23,4 +23,28 @@ class ComponentsSpec extends SparkSpec {
     assert(got.values.toSet === Set(100L))
     assert(got.size === 10)
   }
+
+  test("pointer jumping: 64-node chain converges in O(log d) rounds, not O(d)") {
+    import spark.implicits._
+    val chain = (0 until 63).map(k => (1000L + k, 1001L + k)).toDF("i", "j")
+    val got = Components.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet === Set(1000L))
+    assert(got.size === 64)
+    // plain 2-hop propagation would need ~32 rounds + 1 to detect the
+    // fixpoint; (hop+jump)x2 contracts geometrically
+    assert(Components.lastRounds <= 6,
+      s"expected <=6 rounds, took ${Components.lastRounds}")
+  }
+
+  test("reliable checkpoint dir variant produces identical labels") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ccckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("i", "j")
+    val got = Components.connectedComponents(pairs, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 6L -> 5L))
+    // reliable checkpoints actually hit the directory
+    assert(new java.io.File(dir).listFiles().nonEmpty)
+  }
 }

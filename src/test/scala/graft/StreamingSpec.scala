@@ -57,6 +57,43 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("SHUFFLED replay within the lateness horizon still matches batch A5") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(23)
+    val base = ts("2024-01-01 00:00:00").getTime
+    val events = (1 to 120).map { i =>
+      Ev(i.toLong, (i % 3).toLong,
+        new java.sql.Timestamp(base + (i * 137 + rnd.nextInt(300)) * 1000L), "click")
+    }
+    // per-key flush sentinels far beyond every real window + lateness so
+    // the stream emits the full tail (batch never emits them: empty window)
+    val maxT = events.map(_.ts.getTime).max
+    val flush = (0 until 3).map(k =>
+      Ev(10000L + k, k.toLong, new java.sql.Timestamp(maxT + 4 * 3600 * 1000L), "click"))
+
+    val want = graft.ops.WindowOps
+      .forwardWindowCount((events ++ flush).toDF(), "user_id", "ts", "event_id", 3600L * 1000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // out-of-order delivery: shuffle within sliding blocks of 10 (max
+    // disorder ~75 min), lateness horizon 2 h > disorder
+    val disordered = events.sortBy(_.ts.getTime).grouped(10).flatMap(rnd.shuffle(_)).toSeq ++ flush
+    val ms = MemoryStream[Ev]
+    val query = Streaming.streamingForwardWindowCount(
+        spark, ms.toDS(), 3600L * 1000000L, latenessMicros = 2 * 3600L * 1000000L)
+      .writeStream.format("memory").queryName("fw_ooo_t").outputMode("append").start()
+    try {
+      disordered.grouped(17).foreach { chunk =>
+        ms.addData(chunk); query.processAllAvailable()
+      }
+      val got = spark.table("fw_ooo_t").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size === 120, s"tail not flushed: ${got.size}")
+      assert(got === want.filter(_._1 <= 120L))
+    } finally query.stop()
+  }
+
   test("streaming dedup drops same-content duplicates across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

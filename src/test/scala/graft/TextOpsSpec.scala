@@ -35,4 +35,20 @@ class TextOpsSpec extends SparkSpec {
     val sim = df.select(TextOps.jaccard(col("x"), col("y"))).collect()(0).getDouble(0)
     assert(sim === 0.5) // |{b,c}| / |{a,b,c,d}|
   }
+
+  test("dedup operators are hash-agnostic: portable md5 and xxhash64 yield identical pairs") {
+    import graft.queries.DedupQueries
+    val dir = "/root/testdata/sf0.001"
+    def pairs(hash: TextOps.HashSql): Set[(Long, Long, Double)] =
+      DedupQueries.prefixFilteredPairs(DedupQueries.docHashes(spark, dir, hash))
+        .where(col("sim") >= 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val portable = pairs(TextOps.portableHash64Sql)
+    val xx = pairs(TextOps.xxhash64Sql)
+    assert(portable.nonEmpty, "fixture should contain near-dup pairs")
+    // Jaccard over hashed shingle SETS only depends on set identity, so
+    // any injective-enough hash gives the same pairs and similarities;
+    // the prefix filter's global hash order differs but loses no recall
+    assert(xx === portable)
+  }
 }
