@@ -53,16 +53,25 @@ object Components {
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
       else df.localCheckpoint(eager = true)
 
-    val undirected = pairs.select(col("i").as("a"), col("j").as("b"))
-      .unionByName(pairs.select(col("j").as("a"), col("i").as("b")))
-    var labels = ckpt(undirected.select(col("a").as("node")).distinct()
-      .withColumn("rep", col("node")))
+    // materialize the (often expensive) pair plan exactly ONCE — the
+    // undirected expansion, node set, and self-loops below all reference
+    // it, and without this cut the upstream pipeline (e.g. the full
+    // shingle/prefix-filter dedup plan) re-executes per reference
+    val p0 = ckpt(pairs.select(col("i"), col("j")))
+    val undirected = p0.select(col("i").as("a"), col("j").as("b"))
+      .unionByName(p0.select(col("j").as("a"), col("i").as("b")))
     // self-loops folded in ONCE so the per-round hop is join+agg with no
     // Union in the iterated plan (a labels-union per round both doubles
     // the plan and trips Catalyst's Union constraint rewriting when the
     // same label subtree later self-joins for the pointer jump)
     val edges = ckpt(undirected.unionByName(
-      labels.select(col("node").as("a"), col("node").as("b"))))
+      undirected.select(col("a")).distinct()
+        .select(col("a"), col("a").as("b"))))
+    p0.unpersist()
+    // init = the first neighbor hop for free: one groupBy over edges
+    // (self-loops included), no join — rep₀ = min({self} ∪ neighbors)
+    var labels = ckpt(edges.groupBy(col("a").as("node"))
+      .agg(min(col("b")).as("rep")))
     def labelSum(df: DataFrame): Long =
       df.agg(sum(col("rep"))).head().getLong(0)
     var prevSum = labelSum(labels)
@@ -70,24 +79,23 @@ object Components {
     var iter = 0
     while (!converged && iter < maxIterations) {
       val prev = labels
-      // two (hop, jump) passes per checkpoint round: halves sequential
-      // driver actions (fixed scheduling cost per round dominates on
-      // small graphs) while both passes read only checkpointed leaves
-      var l = labels
-      for (_ <- 1 to 2) {
-        // (a) neighbor hop: rep := min over {self} ∪ neighbors (the
-        // self-loop rows make the aggregate cover the node's own label)
-        l = edges
-          .join(l, edges("b") === l("node"))
-          .select(edges("a").as("node"), col("rep"))
-          .groupBy("node").agg(min("rep").as("rep"))
-        // (b) pointer jump: rep := min(rep, rep's rep). Reps are always
-        // ids of nodes present in the label table (they start as node
-        // ids and only min-combine), so the inner self-join is total.
-        val r = l.select(col("node").as("__rn"), col("rep").as("__rr"))
-        l = l.join(r, col("rep") === col("__rn"))
-          .select(col("node"), least(col("rep"), col("__rr")).as("rep"))
-      }
+      // one (hop, jump) pass per checkpoint round: the jump doubles the
+      // label reach each round, so total rounds stay O(log d) while the
+      // per-round stage count stays at one edge join + one label join
+      // (measured: a second pass per round cost more in fixed stage
+      // overhead than it saved in rounds on low-diameter dedup graphs)
+      // (a) neighbor hop: rep := min over {self} ∪ neighbors (the
+      // self-loop rows make the aggregate cover the node's own label)
+      var l = edges
+        .join(labels, edges("b") === labels("node"))
+        .select(edges("a").as("node"), col("rep"))
+        .groupBy("node").agg(min("rep").as("rep"))
+      // (b) pointer jump: rep := min(rep, rep's rep). Reps are always
+      // ids of nodes present in the label table (they start as node
+      // ids and only min-combine), so the inner self-join is total.
+      val r = l.select(col("node").as("__rn"), col("rep").as("__rr"))
+      l = l.join(r, col("rep") === col("__rn"))
+        .select(col("node"), least(col("rep"), col("__rr")).as("rep"))
       labels = ckpt(l)
       prev.unpersist() // previous round's blocks are dead once the new
                        // checkpoint is materialized — don't pin executor
