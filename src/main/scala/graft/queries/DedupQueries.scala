@@ -222,6 +222,35 @@ object DedupQueries {
       .orderBy(col("node"))
   }
 
+  /** The deduplicated corpus itself: every document except non-
+    * representative cluster members (clusters from the J>=0.8 CC pass;
+    * the survivor is the cluster's min doc_id). This is the operator a
+    * training pipeline actually runs — pairs and clusters are its
+    * internals. Anti-join keeps the plan one scan + one broadcast-able
+    * drop list.
+    */
+  val dedupSurvivors: QueryDef = QueryDef.sql("dedup_survivors",
+    s"""WITH RECURSIVE $hashCte,
+       |$duckPairsCte,
+       |p8 AS (SELECT i, j FROM pairs WHERE sim >= 0.8),
+       |e AS (SELECT i AS a, j AS b FROM p8 UNION SELECT j, i FROM p8),
+       |reach AS (SELECT a AS node, a AS r FROM e
+       |          UNION SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.node),
+       |cl AS (SELECT node, min(r) AS rep FROM reach GROUP BY node)
+       |SELECT d.doc_id FROM documents d LEFT JOIN cl ON d.doc_id = cl.node
+       |WHERE cl.node IS NULL OR cl.rep = d.doc_id
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val pairs = prefixFilteredPairs(docHashes(s, dir))
+      .where(col("sim") >= 0.8)
+      .select(col("i"), col("j"))
+    val dropList = graft.ops.Components.connectedComponents(pairs)
+      .where(col("node") =!= col("rep"))
+      .select(col("node").as("doc_id"))
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(dropList, Seq("doc_id"), "left_anti")
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh,
-    dedupSimhash, dedupClusters)
+    dedupSimhash, dedupClusters, dedupSurvivors)
 }

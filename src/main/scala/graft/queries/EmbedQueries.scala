@@ -185,6 +185,55 @@ object EmbedQueries {
     }
   }
 
+  /** Embedding-cosine near-dup pairs (the dedup family's vector tier):
+    * candidates from the 8-sign-bit LSH bucket equi-join (true near-dups
+    * at cos≈1 agree on sign bits w.h.p.), exact cosine verify. Oracle
+    * mirrors the identical bucketing, so recall tradeoffs cancel out of
+    * the comparison. The 100 TB shape: bucket is the shuffle key;
+    * within-bucket pair counts stay ~n/2^bits per bucket.
+    */
+  val dedupEmbedCosine: QueryDef = {
+    val duckBucket =
+      "CAST(list_sum([CASE WHEN v[i+1] >= 0 THEN (1 << i) ELSE 0 END for i in range(0, 8)]) AS BIGINT)"
+    QueryDef.sql("dedup_embed_cosine",
+      s"""WITH $duckVectors,
+         |sb AS (SELECT vec_id, v, $duckBucket AS bucket FROM v),
+         |p AS (SELECT a.vec_id AS i, b.vec_id AS j, ${duckCos("a.v", "b.v")} AS sim
+         |      FROM sb a JOIN sb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT i, j, sim FROM p WHERE sim >= 0.4 ORDER BY i, j""".stripMargin) { (s, dir) =>
+      val sb = Similarity.vectors(Tables.embeddings(s, dir))
+        .withColumn("bucket", Similarity.signBucket("v"))
+      val l = sb.select(col("vec_id").as("i"), col("v").as("va"), col("bucket"))
+      val r = sb.select(col("vec_id").as("j"), col("v").as("vb"), col("bucket"))
+      l.join(r, l("bucket") === r("bucket") && col("i") < col("j"))
+        .withColumn("sim", Similarity.cosine("va", "vb"))
+        .where(col("sim") >= 0.4)
+        .select(col("i"), col("j"), col("sim"))
+        .orderBy(col("i"), col("j"))
+    }
+  }
+
+  /** Symmetric int8 quantization (the ANN memory-cut pass): per vector,
+    * scale = 127 / max|x|, q_i = floor(x_i*scale + 0.5) — floor(+0.5)
+    * instead of round() because double→int rounding diverges between
+    * engines while floor is exact in both. Long-form output for the
+    * hash compare.
+    */
+  val embedQuantize: QueryDef = QueryDef.sql("embed_quantize",
+    s"""WITH $duckVectors,
+       |m AS (SELECT vec_id, v, 127.0 / greatest(list_max([abs(x) for x in v]), 1e-12) AS s FROM v)
+       |SELECT vec_id, CAST(i - 1 AS BIGINT) AS i, CAST(floor(v[i] * s + 0.5) AS BIGINT) AS q
+       |FROM m, range(1, 65) r(i) ORDER BY vec_id, i""".stripMargin) { (s, dir) =>
+    Similarity.vectors(Tables.embeddings(s, dir))
+      .withColumn("s", lit(127.0) /
+        greatest(expr("array_max(transform(v, x -> abs(x)))"), lit(1e-12)))
+      .select(col("vec_id"),
+        posexplode(expr("transform(v, x -> CAST(floor(x * s + CAST(0.5 AS DOUBLE)) AS BIGINT))"))
+          .as(Seq("i", "q")))
+      .select(col("vec_id"), col("i").cast("long").as("i"), col("q"))
+      .orderBy(col("vec_id"), col("i"))
+  }
+
   val all: Seq[QueryDef] = Seq(embedKnnBrute, embedKnnLsh, embedCentroids,
-    multimodalMeta, embedNorms, embedKnnIvf)
+    multimodalMeta, embedNorms, embedKnnIvf, dedupEmbedCosine, embedQuantize)
 }

@@ -55,6 +55,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("dedup_embed_cosine buckets candidates (equi-join), dedup_survivors anti-joins") {
+    val pe = plan(graft.queries.EmbedQueries.dedupEmbedCosine)
+    assert(!pe.contains("BroadcastNestedLoopJoin") && !pe.contains("CartesianProduct"),
+      s"all-pairs scan in:\n$pe")
+    val ps = plan(graft.queries.DedupQueries.dedupSurvivors)
+    assert(ps.contains("LeftAnti"), s"expected anti join in:\n$ps")
+  }
+
   test("ml_zscore / q_above_avg use grouped stats + broadcast join, not a low-cardinality window") {
     val pz = plan(graft.queries.MlQueries.mlZscore)
     assert(!pz.contains("Window"), s"window over ~3-value l_returnflag in:\n$pz")
