@@ -178,6 +178,38 @@ object TextQueries {
       .limit(20)
   }
 
+  /** Per-language distinct-word cardinality via the native KMV sketch
+    * (functions.KMVDistinct, a TypedImperativeAggregate): one pass,
+    * fixed k·8-byte state per group, mergeable — the 100 TB cardinality
+    * shape. KMV is a deterministic function of the input SET, so the
+    * oracle reproduces the exact estimate from sorted distinct hashes
+    * (unlike HLL, which would fall out of the exact-compare gate).
+    */
+  val sketchDistinctKmv: QueryDef = {
+    def duckHash(salt: String, v: String): String =
+      s"('0x' || substr(md5(CAST($salt AS VARCHAR) || ':' || $v), 1, 15))::BIGINT"
+    QueryDef.sql("sketch_distinct_kmv",
+      s"""WITH w AS (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+         |           FROM documents),
+         |d AS (SELECT DISTINCT lang, ${duckHash("'w'", "word")} AS hv FROM w),
+         |r AS (SELECT lang, hv, row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn,
+         |             count(*) OVER (PARTITION BY lang) AS nd FROM d)
+         |SELECT lang,
+         |  round(CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+         |        ELSE 63.0 * 1152921504606846976.0 / CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE)
+         |        END, 6) AS est
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      graft.functions.KMVDistinct.register(s)
+      Tables.documents(s, dir)
+        .select(col("lang"), explode(TextOps.wordsExpr).as("word"))
+        .select(col("lang"), expr(TextOps.portableHash64Sql("'w'", "word")).as("hv"))
+        .groupBy(col("lang"))
+        .agg(round(expr("kmv_distinct(hv, 64)"), 6).as("est"))
+        .orderBy(col("lang"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(textTokenCount, textLangId, textQualityScore,
-    textFingerprint, textRollingHash, textTopPerLang, textTopNgrams)
+    textFingerprint, textRollingHash, textTopPerLang, textTopNgrams,
+    sketchDistinctKmv)
 }
