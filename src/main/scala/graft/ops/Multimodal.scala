@@ -57,4 +57,23 @@ object Multimodal {
         it.map { case (id, bytes) => decodeOne(id, bytes, md) }
       }
   }
+
+  final case class FrameRef(doc_id: Long, frame_idx: Long, fp: Long)
+
+  /** Frame sampling: decode → emit ~`every` evenly-strided frame
+    * references per media item (stride = max(n_frames / every, 1)). The
+    * variable-fanout flatMap is the real extraction shape (one input row
+    * → n output frames, executor-side, no driver involvement); the
+    * per-frame fingerprint is the stub codec's stand-in for a real
+    * perceptual hash, deterministic so the oracle mirrors it in integer
+    * arithmetic.
+    */
+  def frameSample(spark: SparkSession, media: DataFrame, every: Int = 4): Dataset[FrameRef] = {
+    import spark.implicits._
+    decode(spark, media).flatMap { m =>
+      val stride = math.max(m.n_frames / every, 1L)
+      (0L until m.n_frames by stride).map(i =>
+        FrameRef(m.doc_id, i, (m.doc_id * 1000003L + i * 7919L) % 2147483647L))
+    }
+  }
 }

@@ -119,6 +119,27 @@ object EmbedQueries {
     }
   }
 
+  /** Frame sampling over the media table: decode (stub codec) → strided
+    * frame references, ~4 per item — the variable-fanout extraction
+    * shape (ops.Multimodal.frameSample). Oracle mirrors the stub's
+    * md5-derived n_frames and the arithmetic fingerprint.
+    */
+  val multimodalFramesample: QueryDef = {
+    val nFrames = "1 + ('0x' || substr(md5(text), 9, 4))::BIGINT % 64"
+    QueryDef.sql("multimodal_framesample",
+      s"""WITH m AS (SELECT doc_id, $nFrames AS n_frames FROM documents),
+         |f AS (SELECT doc_id, n_frames, greatest(n_frames // 4, 1) AS stride FROM m)
+         |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+         |  (doc_id * 1000003 + i * 7919) % 2147483647 AS fp
+         |FROM f, range(0, 64) r(i) WHERE i < n_frames AND i % stride = 0
+         |ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+      val media = Multimodal.mediaTable(s, Tables.documents(s, dir))
+      Multimodal.frameSample(s, media).toDF()
+        .select(col("doc_id"), col("frame_idx"), col("fp"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }
+  }
+
   /** Vector norms / stats per embedding — the normalization pass a
     * training pipeline runs before indexing (L2, L-inf, positive-dim
     * count; exact double folds, round-6 on the norms).
@@ -235,5 +256,6 @@ object EmbedQueries {
   }
 
   val all: Seq[QueryDef] = Seq(embedKnnBrute, embedKnnLsh, embedCentroids,
-    multimodalMeta, embedNorms, embedKnnIvf, dedupEmbedCosine, embedQuantize)
+    multimodalMeta, multimodalFramesample, embedNorms, embedKnnIvf,
+    dedupEmbedCosine, embedQuantize)
 }

@@ -76,6 +76,28 @@ object Streaming {
       }
   }
 
+  /** Stream-stream interval join: pairs each left event with right
+    * events of the same key landing in [left.ts, left.ts + bound]. Both
+    * sides are watermarked, and the time-range predicate bounds the
+    * state store on BOTH sides (Spark GC's buffered rows once the
+    * watermark passes their join horizon — without the range condition
+    * stream-stream state grows forever). The canonical
+    * attribution/enrichment shape (click ⋈ conversions-within-1h).
+    */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame,
+                         keyCol: String, tsCol: String,
+                         watermarkDelay: String, boundSeconds: Long): DataFrame = {
+    val l = left.withWatermark(tsCol, watermarkDelay).alias("l")
+    val r = right.withWatermark(tsCol, watermarkDelay).alias("r")
+    l.join(r,
+      expr(s"""l.$keyCol = r.$keyCol AND
+              |r.$tsCol >= l.$tsCol AND
+              |r.$tsCol <= l.$tsCol + interval $boundSeconds seconds""".stripMargin))
+      .select(col(s"l.$keyCol").as(keyCol),
+        col("l.event_id").as("left_id"), col("r.event_id").as("right_id"),
+        col(s"l.$tsCol").as("left_ts"), col(s"r.$tsCol").as("right_ts"))
+  }
+
   /** Streaming exact dedup: first occurrence of each content digest
     * passes, replays and duplicates are dropped; the watermark bounds the
     * digest state store (dedup keys older than the delay are GC'd — the

@@ -113,6 +113,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-stream interval join matches the batch join on replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = Seq(
+      Ev(1, 1, ts("2024-01-01 10:00:00"), "click"),
+      Ev(2, 2, ts("2024-01-01 10:05:00"), "click"),
+      Ev(3, 1, ts("2024-01-01 12:00:00"), "click"))
+    val views = Seq(
+      Ev(101, 1, ts("2024-01-01 10:20:00"), "view"),  // joins click 1 (within 1h)
+      Ev(102, 1, ts("2024-01-01 11:30:00"), "view"),  // joins nothing (1.5h after 1)
+      Ev(103, 2, ts("2024-01-01 10:04:00"), "view"),  // before click 2 -> no
+      Ev(104, 1, ts("2024-01-01 12:59:00"), "view"))  // joins click 3
+    val msL = MemoryStream[Ev]; val msR = MemoryStream[Ev]
+    val joined = Streaming.streamIntervalJoin(
+      msL.toDF(), msR.toDF(), "user_id", "ts", "10 minutes", 3600L)
+    val query = joined.writeStream.format("memory").queryName("ssj_t")
+      .outputMode("append").start()
+    try {
+      msL.addData(clicks.take(2)); msR.addData(views.take(2))
+      query.processAllAvailable()
+      msL.addData(clicks.drop(2)); msR.addData(views.drop(2))
+      query.processAllAvailable()
+      val got = spark.table("ssj_t").select("left_id", "right_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+      assert(got === Set(1L -> 101L, 3L -> 104L))
+    } finally query.stop()
+  }
+
   test("stateful hour profile accumulates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
