@@ -6,9 +6,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
 /** Session-extension registration for the engine's native functions:
   * `--conf spark.sql.extensions=graft.functions.GraftExtensions` makes
-  * `rolling_hash` available in pure SQL sessions (spark-sql, JDBC) with
-  * no Scala entry point. In-process users can call
-  * `RollingHash.register(spark)` instead.
+  * `rolling_hash` and `kmv_distinct` available in pure SQL sessions
+  * (spark-sql, JDBC) with no Scala entry point. In-process users can
+  * call `RollingHash.register(spark)` / `KMVDistinct.register(spark)`
+  * instead.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -16,5 +17,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (exprs: Seq[Expression]) => new RollingHash(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[KMVDistinct].getName, "kmv_distinct"),
+      (exprs: Seq[Expression]) => KMVDistinct(exprs.head,
+        exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          .asInstanceOf[Int])))
   }
 }

@@ -106,6 +106,9 @@ object Components {
       iter += 1
     }
     lastRounds = iter
+    // one line per run: rounds are THE cost driver of iterative CC
+    System.err.println(s"[graft.Components] converged in $iter rounds" +
+      (if (iter >= maxIterations) " (HIT ITERATION GUARD)" else ""))
     edges.unpersist()
     labels
   }

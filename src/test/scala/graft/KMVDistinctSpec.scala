@@ -30,6 +30,11 @@ class KMVDistinctSpec extends SparkSpec {
     assert(a === b && b === c)
   }
 
+  test("GraftExtensions injects both native functions without error") {
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext) // would throw on a bad builder
+  }
+
   test("estimator lands near the true cardinality on uniform 60-bit hashes") {
     import spark.implicits._
     // real-shaped input: portable hash of 20k distinct strings
