@@ -69,5 +69,30 @@ object MlQueries {
       .orderBy(col("l_orderkey"), col("l_linenumber"))
   }
 
-  val all: Seq[QueryDef] = Seq(hourRingFeatures, mlPoissonPredict, mlZscore)
+  /** Classic forecasting lag features: per-key hourly counts with lag-1
+    * and lag-24 (seasonal) columns. The window partitions on the
+    * high-cardinality series key — parallelism scales with keys, state
+    * per task is one partition's rows (contrast ml_zscore's rejected
+    * 3-value window).
+    */
+  val mlLagFeatures: QueryDef = QueryDef.sql("ml_lag_features",
+    """WITH c AS (SELECT user_id, date_trunc('hour', ts) AS g, count(*) AS n
+      |           FROM events GROUP BY 1, 2)
+      |SELECT user_id, g, n,
+      |  lag(n, 1) OVER (PARTITION BY user_id ORDER BY g) AS lag1,
+      |  lag(n, 24) OVER (PARTITION BY user_id ORDER BY g) AS lag24
+      |FROM c ORDER BY user_id, g""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("g"))
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), TimeKeys.hourGroup(col("ts")).as("g"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("g"), col("n"),
+        lag(col("n"), 1).over(w).as("lag1"),
+        lag(col("n"), 24).over(w).as("lag24"))
+      .orderBy(col("user_id"), col("g"))
+  }
+
+  val all: Seq[QueryDef] = Seq(hourRingFeatures, mlPoissonPredict, mlZscore,
+    mlLagFeatures)
 }

@@ -352,8 +352,21 @@ object RelationalQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** Hot-key-safe aggregation through ops.Skew.saltedCount: two-phase
+    * salted count (partials on (key, salt) combine map-side, the first
+    * shuffle spreads a hot key over `buckets` reducers). Result is
+    * identical to a plain GROUP BY — which is exactly what the oracle
+    * runs, proving the salting is semantics-free.
+    */
+  val qSaltedCount: QueryDef = QueryDef.sql("q_salted_count",
+    """SELECT user_id AS k, count(*) AS n FROM events
+      |GROUP BY 1 ORDER BY k""".stripMargin) { (s, dir) =>
+    graft.ops.Skew.saltedCount(Tables.events(s, dir), col("user_id"), 8)
+      .orderBy(col("k"))
+  }
+
   val all: Seq[QueryDef] = Seq(q1Agg, qJoinAgg, qBroadcastJoin, qTopk,
     qWindowRank, qSetops, qRollup, qDistinctAgg, qSemiJoin, qAntiJoin,
     qAsofJoin, qPercentileStats, qCube, qRunningSum, qRangeJoin,
-    qProfileStats, qAboveAvg)
+    qProfileStats, qAboveAvg, qSaltedCount)
 }
