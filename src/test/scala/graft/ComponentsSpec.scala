@@ -37,6 +37,32 @@ class ComponentsSpec extends SparkSpec {
       s"expected <=6 rounds, took ${Components.lastRounds}")
   }
 
+  test("random graphs match a union-find reference (12 seeded cases)") {
+    import spark.implicits._
+    for (seed <- 1 to 12) {
+      val rnd = new scala.util.Random(seed)
+      val n = 2 + rnd.nextInt(40)
+      val pairs = (0 until rnd.nextInt(60))
+        .map(_ => (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(p => p._1 != p._2)
+      if (pairs.nonEmpty) {
+        val parent = Array.tabulate(n)(identity)
+        def find(x: Int): Int =
+          if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+        pairs.foreach { case (a, b) =>
+          val (ra, rb) = (find(a.toInt), find(b.toInt))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+          .groupBy(x => find(x.toInt))
+          .values.flatMap { s => val mn = s.min; s.map(_ -> mn) }.toMap
+        val got = Components.connectedComponents(pairs.toDF("i", "j"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === want, s"seed=$seed pairs=$pairs")
+      }
+    }
+  }
+
   test("reliable checkpoint dir variant produces identical labels") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ccckpt").toString
