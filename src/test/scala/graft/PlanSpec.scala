@@ -55,6 +55,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("kmv sketch partial-aggregates map-side (shuffle carries sketches, not rows)") {
+    val p = plan(graft.queries.TextQueries.sketchDistinctKmv)
+    assert(p.contains("partial_kmv_distinct"), s"no map-side sketch combine in:\n$p")
+    // only the two referenced columns reach the scan
+    assert(p.contains("ReadSchema") && !p.contains("doc_id"))
+  }
+
   test("dedup_embed_cosine buckets candidates (equi-join), dedup_survivors anti-joins") {
     val pe = plan(graft.queries.EmbedQueries.dedupEmbedCosine)
     assert(!pe.contains("BroadcastNestedLoopJoin") && !pe.contains("CartesianProduct"),
