@@ -22,13 +22,19 @@ object Streaming {
                       event_type: String)
   final case class ProfileRow(user_id: Long, hour: Int, n: Long)
 
-  /** A10 streaming twin: watermarked event-time tumbling counts. */
+  /** A10 streaming twin: watermarked event-time tumbling counts. Groups
+    * by the window STRUCT (projecting `start` only after the aggregate):
+    * extracting the field before grouping severs the watermark linkage
+    * and Spark rejects append-mode sinks ("aggregation without
+    * watermark").
+    */
   def tumblingCounts(events: DataFrame, tsCol: String, duration: String,
                      watermarkDelay: String): DataFrame =
     events
       .withWatermark(tsCol, watermarkDelay)
-      .groupBy(window(col(tsCol), duration).getField("start").as("ws"))
+      .groupBy(window(col(tsCol), duration).as("w"))
       .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("ws"), col("n"))
 
   final case class FwState(maxTs: Long, emittedUpTo: Long, buf: List[(Long, Long)])
   final case class FwOut(event_id: Long, n_rents: Long)

@@ -141,6 +141,33 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("parquet sink + checkpoint: restart resumes exactly-once (no dup windows)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("ssink").toString
+    val (sink, ckpt) = (s"$base/out", s"$base/ckpt")
+    val ms = MemoryStream[Ev]
+    def run() = Streaming.tumblingCounts(ms.toDF(), "ts", "1 hour", "0 seconds")
+      .writeStream.format("parquet")
+      .option("path", sink).option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    ms.addData(Ev(1, 1, ts("2024-01-01 10:10:00"), "click"),
+      Ev(2, 1, ts("2024-01-01 10:50:00"), "click"))
+    val q1 = run(); try q1.processAllAvailable() finally q1.stop()
+
+    // restart from the checkpoint; the new event advances the watermark
+    // past hour 10, finalizing its window exactly once in the new run
+    ms.addData(Ev(3, 2, ts("2024-01-01 11:05:00"), "click"))
+    val q2 = run(); try q2.processAllAvailable() finally q2.stop()
+    ms.addData(Ev(4, 2, ts("2024-01-01 12:30:00"), "click"))
+    val q3 = run(); try q3.processAllAvailable() finally q3.stop()
+
+    val got = spark.read.parquet(sink).collect()
+      .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toSeq.sorted
+    assert(got === Seq("2024-01-01 10:00:00.0" -> 2L, "2024-01-01 11:00:00.0" -> 1L))
+  }
+
   test("stateful hour profile accumulates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
