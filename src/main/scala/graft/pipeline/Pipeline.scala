@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{Ingest, TimeKeys}
+import graft.core.{Ingest, Sinks, TimeKeys}
 import graft.ml.{Metrics, Models, Poisson}
 import graft.ops.{HourRingFeatures, SeriesAggs, TemporalSplit, WindowOps}
 
@@ -28,9 +28,10 @@ final case class PipelineConfig(
 
 final case class PipelineResult(
     unifiedCount: Long, trainCount: Long, valCount: Long, testCount: Long,
-    datasetCount: Long, predictionCount: Long, metrics: Map[String, Double],
+    datasetCount: Long, predictionCount: Long,
+    metrics: Map[String, Map[String, Double]],   // split -> metric -> value
     modelLoaded: Boolean) {
-  def mse: Double = metrics("mse")
+  def mse: Double = metrics("training")("mse")
 }
 
 object Pipeline {
@@ -56,33 +57,43 @@ object Pipeline {
     val test = stage(spark, p("testing"), force)(te)
     TemporalSplit.writeBoundsJson(spark, unified, "rent_date", cfg.split, p("split_bounds.json"))
 
-    // station hour profile from the training rents (A2 + A6/A7)
+    // station hour profile from the training rents (A2 + A6/A7) — the
+    // training-fitted profile serves every split, like the reference's
+    // Redis store populated once from training
     val profile = stage(spark, p("profile"), force) {
       val series = SeriesAggs.activePeriodAvg(train,
         col("rent_station"), TimeKeys.hourGroup(col("rent_date")),
         TimeKeys.hourKey(col("rent_date")), "v")
       SeriesAggs.stationHourPivot(series, "v")
     }
-
-    // A5 forward-window target over training
-    val target = stage(spark, p("target"), force) {
-      WindowOps.forwardWindowCount(
-        train.select(col("id"), col("rent_station"), col("rent_date")),
-        "rent_station", "rent_date", "id", cfg.windowMicros)
-    }
-
-    // W1 ring features ⋈ target (J2) — the reference's Redis round-trips
-    // become one broadcast join + one id join
-    val dataset = stage(spark, p("dataset"), force) {
-      val ring = new HourRingFeatures(spark, profile, "n_rents", cfg.ring)
-      val trips = train.select(col("id"), col("rent_station").as("user_id"),
-        col("rent_date").as("ts"))
-      ring(trips).join(target.withColumnRenamed("n_rents", "label"), "id")
-        .select(Seq(col("id"), col("label").cast("double")) ++
-          ring.featureNames.map(col): _*)
-    }
-
+    val ring = new HourRingFeatures(spark, profile, "n_rents", cfg.ring)
     val featureNames = (0 until cfg.ring).map(i => s"n_rents_${i}_hb")
+
+    // per-split dataset (BuildAllDatasets: training/validation/testing):
+    // A5 forward-window target from the split's own events, W1 ring
+    // features ⋈ target (J2) — the reference's Redis round-trips become
+    // one broadcast join + one id join. A station missing from the
+    // training profile drops out of the inner join, exactly the
+    // reference's Redis-miss -> None -> filtered semantics; the fails
+    // sidecar (S8) reconciles the counts per split.
+    def buildDataset(name: String, split: DataFrame): DataFrame = {
+      val ds = stage(spark, p(s"dataset_$name"), force) {
+        val target = WindowOps.forwardWindowCount(
+          split.select(col("id"), col("rent_station"), col("rent_date")),
+          "rent_station", "rent_date", "id", cfg.windowMicros)
+        val trips = split.select(col("id"), col("rent_station").as("user_id"),
+          col("rent_date").as("ts"))
+        ring(trips).join(target.withColumnRenamed("n_rents", "label"), "id")
+          .select(Seq(col("id"), col("label").cast("double")) ++
+            ring.featureNames.map(col): _*)
+      }
+      Sinks.failsReport(split, ds, "id", p(s"fails_$name.json"))
+      ds
+    }
+    val splits = Seq("training" -> train, "validation" -> valid, "testing" -> test)
+    val datasets = splits.map { case (name, df) => name -> buildDataset(name, df) }
+
+    val dataset = datasets.head._2 // training
     val assembled = Poisson.assemble(dataset, featureNames).cache()
 
     // M3 model checkpoint stage: the fitted model is a pipeline target
@@ -99,14 +110,31 @@ object Pipeline {
       if (modelLoaded) family.load(modelPath)
       else { val m = family.fit(assembled); m.save(modelPath); m }
 
-    val predictions = stage(spark, p("predictions"), force)(
-      model.predict(assembled))
-    // M5: every configured metric from the registry, one aggregate pass
-    val metrics = Metrics.evaluate(predictions, cfg.metricNames)
+    // M4/M5 per split (PredictTask + ModelEvaluationTask over
+    // dataset_type): batch predict each split's dataset, evaluate every
+    // configured registry metric in one aggregate pass per split, write
+    // evaluation JSON per split (evaluate_model.py's
+    // evaluation/{dataset_type}.json layout)
+    val evaluated = datasets.map { case (name, ds) =>
+      val asm = if (name == "training") assembled
+                else Poisson.assemble(ds, featureNames)
+      val pred = stage(spark, p(s"predictions_$name"), force)(
+        model.predict(asm))
+      val m = Metrics.evaluate(pred, cfg.metricNames)
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(p(s"metrics_$name.json")),
+        Metrics.toJson(m, cfg.metricNames))
+      (name, pred, m)
+    }
+    assembled.unpersist() // every consumer is materialized to parquet
+    val metrics = evaluated.map { case (n, _, m) => n -> m }.toMap
+    // combined metrics.json, splits nested
     java.nio.file.Files.writeString(java.nio.file.Paths.get(p("metrics.json")),
-      Metrics.toJson(metrics, cfg.metricNames))
+      evaluated.map { case (n, _, m) =>
+        s""""$n": ${Metrics.toJson(m, cfg.metricNames)}"""
+      }.mkString("{", ", ", "}"))
 
     PipelineResult(unified.count(), train.count(), valid.count(), test.count(),
-      dataset.count(), predictions.count(), metrics, modelLoaded)
+      dataset.count(), evaluated.head._2.count(), metrics, modelLoaded)
   }
 }

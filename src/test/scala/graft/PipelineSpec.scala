@@ -36,10 +36,20 @@ class PipelineSpec extends SparkSpec {
     assert(r1.datasetCount > 0 && r1.predictionCount === r1.datasetCount)
     assert(!r1.mse.isNaN && r1.mse >= 0.0)
     assert(new java.io.File(s"$out/split_bounds.json").exists())
-    // M5: metrics.json carries every configured registry metric
+    // M5: every split evaluated with every configured registry metric
+    assert(r1.metrics.keySet === Set("training", "validation", "testing"))
     val mjson = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$out/metrics.json"))
-    assert(Seq("mse", "rmse", "mae").forall(mjson.contains), mjson)
-    assert(math.abs(r1.metrics("rmse") - math.sqrt(r1.metrics("mse"))) < 1e-9)
+    assert(Seq("training", "validation", "testing", "mse", "rmse", "mae")
+      .forall(mjson.contains), mjson)
+    r1.metrics.values.foreach { m =>
+      assert(math.abs(m("rmse") - math.sqrt(m("mse"))) < 1e-9)
+    }
+    // S8 fails sidecar per split reconciles dataset vs split counts
+    Seq("training", "validation", "testing").foreach { n =>
+      val fj = java.nio.file.Files.readString(java.nio.file.Paths.get(s"$out/fails_$n.json"))
+      assert(fj.contains("input_count") && fj.contains("number_of_errors"), fj)
+      assert(new java.io.File(s"$out/predictions_$n/_SUCCESS").exists())
+    }
     // M3: first run fit + persisted the model as a stage target
     assert(!r1.modelLoaded)
     assert(graft.ml.Models.exists(s"$out/model"))
@@ -61,8 +71,8 @@ class PipelineSpec extends SparkSpec {
     val r = Pipeline.run(spark, Seq(csv), s"$dir/out",
       PipelineConfig(modelName = "linear", metricNames = Seq("rmse", "mae")))
     assert(r.predictionCount === r.datasetCount)
-    assert(r.metrics.keySet === Set("rmse", "mae"))
-    assert(!r.metrics("rmse").isNaN)
+    assert(r.metrics("training").keySet === Set("rmse", "mae"))
+    assert(!r.metrics("validation")("rmse").isNaN)
   }
 
   test("dense-id unify assigns gap-free sequential ids") {
