@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dedup scale probe: generates synthetic corpora with planted near-dups
+  * at increasing sizes and times the prefix-filtered pair pipeline
+  * (shingle → hash → PPJoin candidates → exact verify). The point is the
+  * GROWTH CURVE, not the absolute numbers: candidate generation is an
+  * equi-join whose output tracks true collisions, so wall time should
+  * grow ~linearly in docs while the naive all-pairs space grows
+  * quadratically (50k docs = 1.25B pairs).
+  *
+  * Usage: tools/run.sh graft.ScaleProbe [sizes...]   (default 5000 20000 50000)
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sizes = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(5000, 20000, 50000)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val vocabSql = (0 until 1000).map(i => s"'w$i'").mkString("array(", ", ", ")")
+    sizes.foreach { n =>
+      val dir = java.nio.file.Files.createTempDirectory(s"probe$n").toString
+      // 80 pseudo-random vocab words per doc (hash-indexed — executor-side,
+      // deterministic); every 20th doc repeats the previous doc's first 75
+      // words -> planted near-dup pairs at J ≈ 0.88
+      spark.range(n).select(col("id").as("doc_id"), expr(
+        s"""concat_ws(' ', transform(sequence(1, 80), j ->
+           |  element_at($vocabSql, 1 + pmod(hash(IF(id % 20 = 0 AND id > 0 AND j <= 75, id - 1, id), j), 1000))))"""
+          .stripMargin).as("text"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+      val t0 = System.nanoTime()
+      val pairs = graft.queries.DedupQueries
+        .prefixFilteredPairs(graft.queries.DedupQueries.docHashes(spark, dir))
+        .where(col("sim") >= 0.8).count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[scaleprobe] docs=$n%6d near_dup_pairs=$pairs%6d wall=$secs%6.1f s")
+    }
+    spark.stop()
+  }
+}

@@ -365,8 +365,30 @@ object RelationalQueries {
       .orderBy(col("k"))
   }
 
+  /** The `spark.sql(...)` entry point, exercised with ONE SQL string that
+    * parses identically in Spark and DuckDB (TPC-H Q6 shape): proves the
+    * pure-SQL surface of the engine — temp view over the parquet scan,
+    * ANSI predicates, decimal-exact aggregation — yields the same plan
+    * quality (pushdown reaches the scan) as the DataFrame API.
+    */
+  val qSqlTpch6: QueryDef = {
+    val sharedSql =
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin
+    QueryDef.sql("q_sql_tpch6", sharedSql) { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      s.sql(sharedSql)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q1Agg, qJoinAgg, qBroadcastJoin, qTopk,
     qWindowRank, qSetops, qRollup, qDistinctAgg, qSemiJoin, qAntiJoin,
     qAsofJoin, qPercentileStats, qCube, qRunningSum, qRangeJoin,
-    qProfileStats, qAboveAvg, qSaltedCount)
+    qProfileStats, qAboveAvg, qSaltedCount, qSqlTpch6)
 }
