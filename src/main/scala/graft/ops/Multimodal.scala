@@ -58,6 +58,24 @@ object Multimodal {
       }
   }
 
+  final case class Resized(doc_id: Long, out_w: Long, out_h: Long, out_bytes: Long)
+
+  /** Resize-to-max-width stub: clamps width to `maxW`, scales height
+    * proportionally (integer math), and reports the resized payload size
+    * (w·h·3, the stub's stand-in for an RGB re-encode). Runs inside the
+    * same per-partition decoder batch as [[decode]]; a real
+    * implementation would transform the binary payload here and emit it
+    * as a new binary column.
+    */
+  def resize(spark: SparkSession, media: DataFrame, maxW: Long = 256L): Dataset[Resized] = {
+    import spark.implicits._
+    decode(spark, media).map { m =>
+      val w = math.min(m.width, maxW)
+      val h = math.max(1L, m.height * w / m.width)
+      Resized(m.doc_id, w, h, w * h * 3L)
+    }
+  }
+
   final case class FrameRef(doc_id: Long, frame_idx: Long, fp: Long)
 
   /** Frame sampling: decode → emit ~`every` evenly-strided frame

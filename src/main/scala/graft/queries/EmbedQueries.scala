@@ -119,6 +119,26 @@ object EmbedQueries {
     }
   }
 
+  /** Resize over the media table (stub codec): clamp width to 256,
+    * scale height proportionally with integer math, report the resized
+    * payload size. Oracle mirrors the stub's md5-derived dims.
+    */
+  val multimodalResize: QueryDef = {
+    def hx(from1: Int): String = s"('0x' || substr(md5(text), $from1, 4))::BIGINT"
+    QueryDef.sql("multimodal_resize",
+      s"""WITH m AS (SELECT doc_id, 1 + ${hx(1)} % 1024 AS w, 1 + ${hx(5)} % 1024 AS h
+         |           FROM documents),
+         |r AS (SELECT doc_id, least(w, 256) AS out_w,
+         |             greatest(1, (h * least(w, 256)) // w) AS out_h FROM m)
+         |SELECT doc_id, out_w, out_h, out_w * out_h * 3 AS out_bytes
+         |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val media = Multimodal.mediaTable(s, Tables.documents(s, dir))
+      Multimodal.resize(s, media).toDF()
+        .select(col("doc_id"), col("out_w"), col("out_h"), col("out_bytes"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   /** Frame sampling over the media table: decode (stub codec) → strided
     * frame references, ~4 per item — the variable-fanout extraction
     * shape (ops.Multimodal.frameSample). Oracle mirrors the stub's
@@ -256,6 +276,6 @@ object EmbedQueries {
   }
 
   val all: Seq[QueryDef] = Seq(embedKnnBrute, embedKnnLsh, embedCentroids,
-    multimodalMeta, multimodalFramesample, embedNorms, embedKnnIvf,
-    dedupEmbedCosine, embedQuantize)
+    multimodalMeta, multimodalFramesample, multimodalResize, embedNorms,
+    embedKnnIvf, dedupEmbedCosine, embedQuantize)
 }
