@@ -93,6 +93,47 @@ object MlQueries {
       .orderBy(col("user_id"), col("g"))
   }
 
+  /** Deterministic hash-based k-fold assignment — the scalable
+    * alternative to temporal splitting when order doesn't matter: fold =
+    * hash(id) mod k, reproducible across engines/runs/partitionings (no
+    * rand()). Emitted as per-fold count + id-sum checksum so the oracle
+    * verifies the exact assignment, not just fold sizes.
+    */
+  val mlHashSplit: QueryDef = {
+    val h = "('0x' || substr(md5('f:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT"
+    QueryDef.sql("ml_hash_split",
+      s"""SELECT $h % 10 AS fold, count(*) AS n, sum(event_id) AS id_sum
+         |FROM events GROUP BY 1 ORDER BY fold""".stripMargin) { (s, dir) =>
+      import graft.ops.TextOps
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          (expr(TextOps.portableHash64Sql("'f'", "CAST(event_id AS STRING)")) % 10).as("fold"))
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+        .orderBy(col("fold"))
+    }
+  }
+
+  /** Deterministic stratified sampling: per-stratum keep-rates applied
+    * via a hash threshold (keep iff hash(id) mod 100 < rate(lang)) — the
+    * reproducible downsampling pass a training corpus runs per language/
+    * source, order- and partitioning-independent unlike sample()/rand().
+    */
+  val mlSampleStratified: QueryDef = {
+    val h = "('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    val rateSql = "CASE WHEN lang = 'en' THEN 50 WHEN lang = 'es' THEN 30 ELSE 10 END"
+    QueryDef.sql("ml_sample_stratified",
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE $h % 100 < $rateSql ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.ops.TextOps
+      Tables.documents(s, dir)
+        .where((expr(TextOps.portableHash64Sql("'smp'", "CAST(doc_id AS STRING)")) % 100) <
+          when(col("lang") === "en", 50).when(col("lang") === "es", 30).otherwise(10))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(hourRingFeatures, mlPoissonPredict, mlZscore,
-    mlLagFeatures)
+    mlLagFeatures, mlHashSplit, mlSampleStratified)
 }
