@@ -20,8 +20,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("kmv_distinct"),
       new ExpressionInfo(classOf[KMVDistinct].getName, "kmv_distinct"),
-      (exprs: Seq[Expression]) => KMVDistinct(exprs.head,
-        exprs(1).eval(org.apache.spark.sql.catalyst.InternalRow.empty)
-          .asInstanceOf[Int])))
+      (exprs: Seq[Expression]) => KMVDistinct.fromExprs(exprs)))
   }
 }

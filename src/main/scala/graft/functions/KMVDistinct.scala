@@ -24,7 +24,9 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   *
   * Input is the already-hashed LongType column (compose with
   * `TextOps.portableHash64Sql` for oracle runs or `xxhash64` in
-  * production — the operator is hash-agnostic like the dedup family).
+  * production — the operator is hash-agnostic like the dedup family:
+  * update() masks every hash into [0, 2⁶⁰), identity for the portable
+  * hash and a uniform fold for full-range 64-bit hashes).
   */
 case class KMVDistinct(
     child: Expression,
@@ -51,7 +53,12 @@ case class KMVDistinct(
   override def update(buf: java.util.TreeSet[java.lang.Long], input: InternalRow): java.util.TreeSet[java.lang.Long] = {
     val v = child.eval(input)
     if (v != null) {
-      buf.add(v.asInstanceOf[Long])
+      // mask into the estimator's [0, 2^60) hash space: identity for the
+      // portable 60-bit hash (oracle parity unchanged), and maps full-
+      // range/negative hashes (xxhash64 in production) onto the uniform
+      // nonnegative domain the (k-1)·2^60/h_k estimator assumes — without
+      // this, signed ordering makes the estimate negative garbage
+      buf.add(v.asInstanceOf[Long] & KMVDistinct.HashMask)
       if (buf.size > k) buf.pollLast()
     }
     buf
@@ -91,16 +98,34 @@ case class KMVDistinct(
 }
 
 object KMVDistinct {
-  /** The portable hash is 60-bit uniform: values in [0, 2⁶⁰). The
-    * constant is exactly representable in a double.
+  /** The estimator hash space: [0, 2⁶⁰). The portable hash lands here
+    * natively; other hashes are masked in. Exactly representable in a
+    * double.
     */
   val HashSpace: Double = (1L << 60).toDouble
+  val HashMask: Long = (1L << 60) - 1
 
-  /** Idempotent SQL registration: `kmv_distinct(hash_col, k)`. */
+  /** SQL-builder shared by register() and GraftExtensions: k defaults to
+    * 64 when omitted, accepts int/long literals, rejects non-literals
+    * with a real message (instead of IndexOutOfBounds/ClassCast on
+    * `kmv_distinct(hv)` or a bigint k).
+    */
+  private[functions] def fromExprs(exprs: Seq[Expression]): KMVDistinct = {
+    val k = exprs.drop(1).headOption.map {
+      case e if e.foldable => e.eval(InternalRow.empty) match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long    => l.intValue
+        case other => throw new IllegalArgumentException(
+          s"kmv_distinct: k must be an integer literal, got $other")
+      }
+      case _ => throw new IllegalArgumentException(
+        "kmv_distinct: k must be a literal, not a column")
+    }.getOrElse(64)
+    KMVDistinct(exprs.head, k)
+  }
+
+  /** Idempotent SQL registration: `kmv_distinct(hash_col[, k])`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "kmv_distinct",
-      exprs => KMVDistinct(exprs.head,
-        exprs(1).eval(InternalRow.empty).asInstanceOf[Int]),
-      "built-in")
+      "kmv_distinct", fromExprs, "built-in")
 }

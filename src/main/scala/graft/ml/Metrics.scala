@@ -28,17 +28,26 @@ object Metrics {
     exprs.map { case (n, e) => n -> ((df: DataFrame) => df.agg(e).head().getDouble(0)) }
 
   /** All requested metrics in one aggregate (names sorted for stable
-    * output ordering in metrics.json).
+    * output ordering in metrics.json). Zero prediction rows — e.g. a
+    * split whose stations all miss the training profile — yield NaN per
+    * metric (the aggregate returns null), not an exception.
     */
   def evaluate(predictions: DataFrame, names: Seq[String] = exprs.keys.toSeq.sorted): Map[String, Double] = {
     require(names.nonEmpty && names.forall(exprs.contains),
       s"unknown metric in $names; have ${exprs.keys.toSeq.sorted}")
     val cols = names.map(n => exprs(n).cast("double").as(n))
     val row = predictions.agg(cols.head, cols.tail: _*).head()
-    names.zipWithIndex.map { case (n, i) => n -> row.getDouble(i) }.toMap
+    names.zipWithIndex.map { case (n, i) =>
+      n -> (if (row.isNullAt(i)) Double.NaN else row.getDouble(i))
+    }.toMap
   }
 
-  /** metrics.json payload, keys in the evaluation order. */
+  /** metrics.json payload, keys in the evaluation order; NaN (undefined
+    * over an empty split) serializes as JSON null, which bare NaN is not.
+    */
   def toJson(m: Map[String, Double], order: Seq[String]): String =
-    order.map(n => s""""$n": ${m(n)}""").mkString("{", ", ", "}")
+    order.map { n =>
+      val v = m(n)
+      s""""$n": ${if (v.isNaN) "null" else v.toString}"""
+    }.mkString("{", ", ", "}")
 }

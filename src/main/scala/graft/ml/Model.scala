@@ -64,7 +64,25 @@ object Models {
   val registry: Map[String, ModelFamily] =
     Seq(PoissonFamily(), LinearFamily()).map(f => f.name -> f).toMap
 
-  /** A saved-model target exists iff MLlib finished writing metadata. */
-  def exists(path: String): Boolean =
-    new java.io.File(s"$path/metadata/_SUCCESS").exists()
+  /** A saved-model target exists iff MLlib finished writing metadata.
+    * Checked through the Hadoop FileSystem API so the target-exists
+    * semantics hold on hdfs:///s3a:// paths, not just local disk.
+    */
+  def exists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/metadata/_SUCCESS")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Which family wrote a saved model, read from MLlib's metadata JSON
+    * (`"class":"org...GeneralizedLinearRegressionModel"`). Guards the
+    * pipeline's load path against a config change pointing a different
+    * family's loader at a stale directory.
+    */
+  def savedFamily(spark: org.apache.spark.sql.SparkSession, path: String): Option[String] = {
+    val meta = spark.read.text(s"$path/metadata").collect().map(_.getString(0)).mkString
+    registry.collectFirst {
+      case (name, _) if name == "poisson" && meta.contains("GeneralizedLinearRegressionModel") => name
+      case (name, _) if name == "linear" && meta.contains("\"class\":\"org.apache.spark.ml.regression.LinearRegressionModel\"") => name
+    }
+  }
 }

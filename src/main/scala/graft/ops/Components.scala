@@ -38,7 +38,12 @@ object Components {
     *   RELIABLE checkpoint under this directory (HDFS/object-store safe:
     *   survives executor loss on a real cluster). Default local
     *   checkpoints keep blocks in executor storage — fine for local[n],
-    *   not fault-tolerant at cluster scale.
+    *   not fault-tolerant at cluster scale. Two cluster caveats: this
+    *   sets the session-global SparkContext checkpoint dir, and reliable
+    *   checkpoint FILES outlive the run unless
+    *   `spark.cleaner.referenceTracking.cleanCheckpoints=true` (or the
+    *   caller prunes the directory) — budget the store accordingly on
+    *   long-lived sessions.
     */
   def connectedComponents(pairs: DataFrame, maxIterations: Int = 50,
                           checkpointDir: Option[String] = None): DataFrame = {
@@ -72,8 +77,10 @@ object Components {
     // (self-loops included), no join — rep₀ = min({self} ∪ neighbors)
     var labels = ckpt(edges.groupBy(col("a").as("node"))
       .agg(min(col("b")).as("rep")))
+    // coalesce: sum over ZERO rows is null — an empty pair set (no
+    // near-dups found) must yield an empty result, not an NPE
     def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("rep"))).head().getLong(0)
+      df.agg(coalesce(sum(col("rep")), lit(0L))).head().getLong(0)
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0

@@ -31,7 +31,8 @@ final case class PipelineResult(
     datasetCount: Long, predictionCount: Long,
     metrics: Map[String, Map[String, Double]],   // split -> metric -> value
     modelLoaded: Boolean) {
-  def mse: Double = metrics("training")("mse")
+  /** Training MSE; NaN when "mse" is not among the configured metrics. */
+  def mse: Double = metrics("training").getOrElse("mse", Double.NaN)
 }
 
 object Pipeline {
@@ -67,7 +68,7 @@ object Pipeline {
       SeriesAggs.stationHourPivot(series, "v")
     }
     val ring = new HourRingFeatures(spark, profile, "n_rents", cfg.ring)
-    val featureNames = (0 until cfg.ring).map(i => s"n_rents_${i}_hb")
+    val featureNames = ring.featureNames // single source for dataset + assembler
 
     // per-split dataset (BuildAllDatasets: training/validation/testing):
     // A5 forward-window target from the split's own events, W1 ring
@@ -87,7 +88,11 @@ object Pipeline {
           .select(Seq(col("id"), col("label").cast("double")) ++
             ring.featureNames.map(col): _*)
       }
-      Sinks.failsReport(split, ds, "id", p(s"fails_$name.json"))
+      // sidecar is a target like any stage: don't re-run its anti-join +
+      // counts on a fully-checkpointed re-run
+      val failsPath = p(s"fails_$name.json")
+      if (force || !new java.io.File(failsPath).exists())
+        Sinks.failsReport(split, ds, "id", failsPath)
       ds
     }
     val splits = Seq("training" -> train, "validation" -> valid, "testing" -> test)
@@ -105,7 +110,11 @@ object Pipeline {
       case other     => Models.registry(other)
     }
     val modelPath = p("model")
-    val modelLoaded = !force && Models.exists(modelPath)
+    // load only when the saved model exists AND was written by the same
+    // family — a config change against an existing outDir must refit,
+    // not feed stale GLM metadata to a different loader
+    val modelLoaded = !force && Models.exists(spark, modelPath) &&
+      Models.savedFamily(spark, modelPath).contains(family.name)
     val model =
       if (modelLoaded) family.load(modelPath)
       else { val m = family.fit(assembled); m.save(modelPath); m }
@@ -118,7 +127,10 @@ object Pipeline {
     val evaluated = datasets.map { case (name, ds) =>
       val asm = if (name == "training") assembled
                 else Poisson.assemble(ds, featureNames)
-      val pred = stage(spark, p(s"predictions_$name"), force)(
+      // a freshly-fit model invalidates existing prediction targets —
+      // without this a family/config switch would serve the OLD model's
+      // parquet through the stage-skip guard
+      val pred = stage(spark, p(s"predictions_$name"), force || !modelLoaded)(
         model.predict(asm))
       val m = Metrics.evaluate(pred, cfg.metricNames)
       java.nio.file.Files.writeString(

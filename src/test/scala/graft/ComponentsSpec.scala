@@ -63,6 +63,12 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("empty pair set yields an empty labeling, not an NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("i", "j")
+    assert(Components.connectedComponents(empty).count() === 0L)
+  }
+
   test("reliable checkpoint dir variant produces identical labels") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("ccckpt").toString

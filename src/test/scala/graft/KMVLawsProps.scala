@@ -38,6 +38,12 @@ object KMVLawsProps extends Properties("KMVDistinct") {
   property("equals the closed form over the distinct sorted set") =
     Prop.forAll(genVals, genK) { (vs, k) => run(vs, k) == closedForm(vs, k) }
 
+  property("full-range (negative) hashes are masked into the estimator domain") =
+    Prop.forAll(Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue)), genK) { (vs, k) =>
+      val got = run(vs, k)
+      got == closedForm(vs.map(_ & KMVDistinct.HashMask), k) && got >= 0.0
+    }
+
   property("any chunked merge equals the single-pass result") =
     Prop.forAll(genVals, genK, Gen.choose(1, 7)) { (vs, k, chunks) =>
       val a = agg(k)

@@ -52,7 +52,7 @@ class PipelineSpec extends SparkSpec {
     }
     // M3: first run fit + persisted the model as a stage target
     assert(!r1.modelLoaded)
-    assert(graft.ml.Models.exists(s"$out/model"))
+    assert(graft.ml.Models.exists(spark, s"$out/model"))
 
     // checkpoint skip: stage outputs untouched, model LOADED not refit
     val mtime = new java.io.File(s"$out/unified/_SUCCESS").lastModified()
@@ -73,6 +73,14 @@ class PipelineSpec extends SparkSpec {
     assert(r.predictionCount === r.datasetCount)
     assert(r.metrics("training").keySet === Set("rmse", "mae"))
     assert(!r.metrics("validation")("rmse").isNaN)
+    assert(r.mse.isNaN) // mse not configured -> NaN, not a thrown key error
+
+    // switching families against the same outDir must REFIT (a stale
+    // poisson model must not be fed to the linear loader or vice versa)
+    val r2 = Pipeline.run(spark, Seq(csv), s"$dir/out",
+      PipelineConfig(modelName = "poisson"))
+    assert(!r2.modelLoaded, "family switch must refit, not load stale model")
+    assert(graft.ml.Models.savedFamily(spark, s"$dir/out/model").contains("poisson"))
   }
 
   test("dense-id unify assigns gap-free sequential ids") {

@@ -55,7 +55,8 @@ class PoissonSpec extends SparkSpec {
       val m = fam.fit(assembled)
       val path = s"$tmp/$name"
       m.save(path)
-      assert(Models.exists(path), s"$name save target missing")
+      assert(Models.exists(spark, path), s"$name save target missing")
+      assert(Models.savedFamily(spark, path).contains(name), s"$name family marker")
       val loaded = fam.load(path)
       val a = m.predict(assembled).select("prediction").limit(5).collect().map(_.getDouble(0))
       val b = loaded.predict(assembled).select("prediction").limit(5).collect().map(_.getDouble(0))
