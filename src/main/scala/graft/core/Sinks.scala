@@ -21,9 +21,10 @@ object Sinks {
     df.write.mode(SaveMode.Overwrite).json(path)
 
   /** S8: row-count reconciliation sidecar (build_dataset.py:87-110):
-    * input/output counts, error count, and <=100 sample dropped ids —
-    * computed in ONE pass over a cached anti-join (the reference re-ran
-    * the full lineage per count, build_dataset.py:90-91).
+    * input/output counts, error count, and <=100 sample dropped ids.
+    * The anti-join is cached so the error count and sample share one
+    * computation; the input/output counts are separate cheap aggregates
+    * of their (typically parquet-materialized) frames.
     */
   def failsReport(input: DataFrame, output: DataFrame, idCol: String,
                   path: String): Unit = {
@@ -31,7 +32,18 @@ object Sinks {
       Seq(idCol), "left_anti").cache()
     try {
       val nErr = dropped.count()
-      val sample = dropped.limit(100).collect().map(_.get(0)).mkString("[", ", ", "]")
+      // JSON-encode ids: numeric ids print bare, anything else quoted
+      // with escapes (a raw mkString of string ids is not valid JSON)
+      val sample = dropped.limit(100).collect().map(_.get(0)).map {
+        case n: java.lang.Number => n.toString
+        case other =>
+          "\"" + String.valueOf(other).flatMap {
+            case '"' => "\\\""
+            case '\\' => "\\\\"
+            case c if c < ' ' => f"\\u${c.toInt}%04x"
+            case c => c.toString
+          } + "\""
+      }.mkString("[", ", ", "]")
       val nIn = input.count()
       val nOut = output.count() // real output rows (may duplicate/add ids)
       val jsonStr =

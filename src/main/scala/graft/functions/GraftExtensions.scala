@@ -16,7 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
-      (exprs: Seq[Expression]) => new RollingHash(exprs.head)))
+      (exprs: Seq[Expression]) => RollingHash.fromExprs(exprs)))
     ext.injectFunction((
       new FunctionIdentifier("kmv_distinct"),
       new ExpressionInfo(classOf[KMVDistinct].getName, "kmv_distinct"),

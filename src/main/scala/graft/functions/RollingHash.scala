@@ -67,8 +67,28 @@ object RollingHash {
   val DefaultBase = 257L
   val DefaultMod = 1000000007L
 
+  /** SQL builder: `rolling_hash(s[, base[, mod]])`. Validates arity and
+    * literal-ness instead of silently dropping extra args.
+    */
+  private[functions] def fromExprs(exprs: Seq[Expression]): RollingHash = {
+    require(exprs.nonEmpty && exprs.size <= 3,
+      s"rolling_hash expects (string[, base[, mod]]), got ${exprs.size} args")
+    def longLit(e: Expression, what: String): Long = {
+      require(e.foldable, s"rolling_hash: $what must be a literal")
+      e.eval(org.apache.spark.sql.catalyst.InternalRow.empty) match {
+        case i: java.lang.Integer => i.longValue
+        case l: java.lang.Long    => l.longValue
+        case other => throw new IllegalArgumentException(
+          s"rolling_hash: $what must be an integer literal, got $other")
+      }
+    }
+    val base = if (exprs.size >= 2) longLit(exprs(1), "base") else DefaultBase
+    val mod = if (exprs.size >= 3) longLit(exprs(2), "mod") else DefaultMod
+    RollingHash(exprs.head, base, mod)
+  }
+
   /** Idempotent SQL registration: `SELECT rolling_hash(col)` afterwards. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash", exprs => new RollingHash(exprs.head), "built-in")
+      "rolling_hash", fromExprs, "built-in")
 }

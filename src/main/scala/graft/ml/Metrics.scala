@@ -23,9 +23,12 @@ object Metrics {
     "rmse" -> sqrt(avg(pow(err, 2))),
     "mae"  -> avg(abs(err)))
 
-  /** The SURVEY §2.10 surface: name → predictions-DataFrame → value. */
+  /** The SURVEY §2.10 surface: name → predictions-DataFrame → value.
+    * Delegates to [[evaluate]] so the empty-input NaN guard applies to
+    * registry dispatch too.
+    */
   val registry: Map[String, DataFrame => Double] =
-    exprs.map { case (n, e) => n -> ((df: DataFrame) => df.agg(e).head().getDouble(0)) }
+    exprs.keys.map(n => n -> ((df: DataFrame) => evaluate(df, Seq(n))(n))).toMap
 
   /** All requested metrics in one aggregate (names sorted for stable
     * output ordering in metrics.json). Zero prediction rows — e.g. a
@@ -42,12 +45,13 @@ object Metrics {
     }.toMap
   }
 
-  /** metrics.json payload, keys in the evaluation order; NaN (undefined
-    * over an empty split) serializes as JSON null, which bare NaN is not.
+  /** metrics.json payload, keys in the evaluation order; non-finite
+    * values (NaN over an empty split, Infinity from a degenerate fit)
+    * serialize as JSON null — the bare tokens are not valid JSON.
     */
   def toJson(m: Map[String, Double], order: Seq[String]): String =
     order.map { n =>
       val v = m(n)
-      s""""$n": ${if (v.isNaN) "null" else v.toString}"""
+      s""""$n": ${if (java.lang.Double.isFinite(v)) v.toString else "null"}"""
     }.mkString("{", ", ", "}")
 }

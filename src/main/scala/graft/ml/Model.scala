@@ -23,6 +23,11 @@ trait TrainedModel {
 
 trait ModelFamily {
   def name: String
+  /** Concrete MLlib model class this family persists — drives
+    * [[Models.savedFamily]]'s metadata match, so new families get the
+    * load-not-refit checkpoint behavior without touching Models.
+    */
+  def modelClassName: String
   def fit(assembled: DataFrame): TrainedModel
   def load(path: String): TrainedModel
 }
@@ -39,6 +44,7 @@ private final class MLlibTrained(m: org.apache.spark.ml.Model[_] with MLWritable
   */
 final case class PoissonFamily(cfg: Poisson.Config = Poisson.Config()) extends ModelFamily {
   val name = "poisson"
+  val modelClassName: String = classOf[GeneralizedLinearRegressionModel].getName
   def fit(assembled: DataFrame): TrainedModel =
     new MLlibTrained(new GeneralizedLinearRegression()
       .setFamily(cfg.family).setLink(cfg.link).setMaxIter(cfg.maxIter)
@@ -51,6 +57,7 @@ final case class PoissonFamily(cfg: Poisson.Config = Poisson.Config()) extends M
 /** Second family, proving the interface: ordinary least squares. */
 final case class LinearFamily(maxIter: Int = 10) extends ModelFamily {
   val name = "linear"
+  val modelClassName: String = classOf[LinearRegressionModel].getName
   def fit(assembled: DataFrame): TrainedModel =
     new MLlibTrained(new LinearRegression()
       .setMaxIter(maxIter).setLabelCol("label").setFeaturesCol("features")
@@ -73,16 +80,17 @@ object Models {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** Which family wrote a saved model, read from MLlib's metadata JSON
-    * (`"class":"org...GeneralizedLinearRegressionModel"`). Guards the
-    * pipeline's load path against a config change pointing a different
-    * family's loader at a stale directory.
+  /** Which family wrote a saved model, matched registry-driven against
+    * MLlib's metadata JSON (`"class":"<modelClassName>"` — the full
+    * quoted path disambiguates LinearRegressionModel from
+    * GeneralizedLinearRegressionModel). Guards the pipeline's load path
+    * against a config change pointing a different family's loader at a
+    * stale directory.
     */
   def savedFamily(spark: org.apache.spark.sql.SparkSession, path: String): Option[String] = {
     val meta = spark.read.text(s"$path/metadata").collect().map(_.getString(0)).mkString
     registry.collectFirst {
-      case (name, _) if name == "poisson" && meta.contains("GeneralizedLinearRegressionModel") => name
-      case (name, _) if name == "linear" && meta.contains("\"class\":\"org.apache.spark.ml.regression.LinearRegressionModel\"") => name
+      case (name, fam) if meta.contains(s""""class":"${fam.modelClassName}"""") => name
     }
   }
 }

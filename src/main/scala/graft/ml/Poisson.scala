@@ -35,7 +35,10 @@ object Poisson {
     val profile = SeriesAggs.stationHourPivot(hourSeries, "v")
     val ring = new HourRingFeatures(spark, profile, "n_rents", cfg.window)
     val feats = ring(events.select(col("event_id"), col("user_id"), col("ts")))
-    val target = WindowOps.forwardWindowCount(events, "user_id", "ts", "event_id", 3600L * 1000000L)
+    // label counts RENTS (clicks) like the features' hour profile — the
+    // reference's trip table is all-rents, so feature and target frames
+    // must share the event-type role mapping here too
+    val target = WindowOps.forwardWindowCount(rents, "user_id", "ts", "event_id", 3600L * 1000000L)
       .withColumnRenamed("n_rents", "label")
     feats.join(target, "event_id")                       // J2
       .select(Seq(col("event_id"), col("label").cast("double")) ++

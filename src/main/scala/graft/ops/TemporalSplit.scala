@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions._
   *   validation = ts >= max − (validation + test)  AND  ts < max − test
   *   testing    = ts >= max − test                 AND  ts <= max   (closed!)
   *
-  * The reference collects max dates to the driver (split.py:36-42); we keep
-  * the boundary inside the plan as a broadcast 1-row aggregate
-  * (crossJoin(broadcast(bounds))) so the split is a single distributed
-  * scan-filter per branch — no driver round-trip, survives any scale.
+  * Bounds are one 1-row max aggregate COLLECTED ONCE (the S10-sanctioned
+  * tiny driver summary, like the reference's split.py:36-42) and applied
+  * as literal predicates: materializing all three branches costs one
+  * bounds scan total (an in-plan broadcast subtree would re-run the
+  * aggregate per branch action), and literal timestamp filters reach the
+  * scan for rowgroup/partition pruning.
   */
 object TemporalSplit {
 
@@ -33,17 +35,13 @@ object TemporalSplit {
   }
 
   def split(df: DataFrame, tsCol: String, spec: Spec): (DataFrame, DataFrame, DataFrame) = {
-    val b = bounds(df, tsCol, spec)
-    val withB = df.crossJoin(broadcast(b))
+    val b = bounds(df, tsCol, spec).collect()(0)
     val ts = col(tsCol)
-    val training = withB.where(ts < col("training_end_date"))
-    val validation = withB.where(ts >= col("validation_start_date") &&
-      ts < col("validation_end_date"))
-    val testing = withB.where(ts >= col("testing_start_date") &&
-      ts <= col("testing_end_date"))
-    val drop = Seq("training_end_date", "validation_start_date",
-      "validation_end_date", "testing_start_date", "testing_end_date")
-    (training.drop(drop: _*), validation.drop(drop: _*), testing.drop(drop: _*))
+    val (trEnd, vaStart, vaEnd, teStart, teEnd) =
+      (lit(b.get(0)), lit(b.get(1)), lit(b.get(2)), lit(b.get(3)), lit(b.get(4)))
+    (df.where(ts < trEnd),
+      df.where(ts >= vaStart && ts < vaEnd),
+      df.where(ts >= teStart && ts <= teEnd))
   }
 
   /** Split-metadata JSON sink (S8, split.py:74-85) — tiny driver-side write. */

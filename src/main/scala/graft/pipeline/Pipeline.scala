@@ -50,18 +50,29 @@ object Pipeline {
     new java.io.File(outDir).mkdirs()
     def p(name: String) = s"$outDir/$name"
 
-    val unified = stage(spark, p("unified"), force)(Ingest.unify(spark, rawCsvPaths))
+    // config fingerprint: an outDir is an EXPERIMENT (the reference keys
+    // targets by experiment_name). Re-running with a different config
+    // against the same outDir would silently serve stale targets through
+    // every skip guard — detect it and recompute everything instead.
+    val cfgPath = java.nio.file.Paths.get(p("config.fingerprint"))
+    val fingerprint = (cfg, rawCsvPaths).toString
+    val force0 = force ||
+      (java.nio.file.Files.exists(cfgPath) &&
+        java.nio.file.Files.readString(cfgPath) != fingerprint)
+    java.nio.file.Files.writeString(cfgPath, fingerprint)
+
+    val unified = stage(spark, p("unified"), force0)(Ingest.unify(spark, rawCsvPaths))
 
     val (tr, va, te) = TemporalSplit.split(unified, "rent_date", cfg.split)
-    val train = stage(spark, p("training"), force)(tr)
-    val valid = stage(spark, p("validation"), force)(va)
-    val test = stage(spark, p("testing"), force)(te)
+    val train = stage(spark, p("training"), force0)(tr)
+    val valid = stage(spark, p("validation"), force0)(va)
+    val test = stage(spark, p("testing"), force0)(te)
     TemporalSplit.writeBoundsJson(spark, unified, "rent_date", cfg.split, p("split_bounds.json"))
 
     // station hour profile from the training rents (A2 + A6/A7) — the
     // training-fitted profile serves every split, like the reference's
     // Redis store populated once from training
-    val profile = stage(spark, p("profile"), force) {
+    val profile = stage(spark, p("profile"), force0) {
       val series = SeriesAggs.activePeriodAvg(train,
         col("rent_station"), TimeKeys.hourGroup(col("rent_date")),
         TimeKeys.hourKey(col("rent_date")), "v")
@@ -78,7 +89,7 @@ object Pipeline {
     // reference's Redis-miss -> None -> filtered semantics; the fails
     // sidecar (S8) reconciles the counts per split.
     def buildDataset(name: String, split: DataFrame): DataFrame = {
-      val ds = stage(spark, p(s"dataset_$name"), force) {
+      val ds = stage(spark, p(s"dataset_$name"), force0) {
         val target = WindowOps.forwardWindowCount(
           split.select(col("id"), col("rent_station"), col("rent_date")),
           "rent_station", "rent_date", "id", cfg.windowMicros)
@@ -91,7 +102,7 @@ object Pipeline {
       // sidecar is a target like any stage: don't re-run its anti-join +
       // counts on a fully-checkpointed re-run
       val failsPath = p(s"fails_$name.json")
-      if (force || !new java.io.File(failsPath).exists())
+      if (force0 || !new java.io.File(failsPath).exists())
         Sinks.failsReport(split, ds, "id", failsPath)
       ds
     }
@@ -113,7 +124,7 @@ object Pipeline {
     // load only when the saved model exists AND was written by the same
     // family — a config change against an existing outDir must refit,
     // not feed stale GLM metadata to a different loader
-    val modelLoaded = !force && Models.exists(spark, modelPath) &&
+    val modelLoaded = !force0 && Models.exists(spark, modelPath) &&
       Models.savedFamily(spark, modelPath).contains(family.name)
     val model =
       if (modelLoaded) family.load(modelPath)
@@ -130,7 +141,7 @@ object Pipeline {
       // a freshly-fit model invalidates existing prediction targets —
       // without this a family/config switch would serve the OLD model's
       // parquet through the stage-skip guard
-      val pred = stage(spark, p(s"predictions_$name"), force || !modelLoaded)(
+      val pred = stage(spark, p(s"predictions_$name"), force0 || !modelLoaded)(
         model.predict(asm))
       val m = Metrics.evaluate(pred, cfg.metricNames)
       java.nio.file.Files.writeString(
