@@ -55,6 +55,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("top-per-group window gets map-side WindowGroupLimit (low-cardinality lang key is safe)") {
+    val p = plan(graft.queries.TextQueries.textTopPerLang)
+    // rank<=3 pushes a partial top-k below the exchange: the shuffle
+    // carries <= 3 x langs x tasks rows, not the table
+    assert(p.contains("WindowGroupLimit"), s"no group-limit pushdown in:\n$p")
+  }
+
   test("kmv sketch partial-aggregates map-side (shuffle carries sketches, not rows)") {
     val p = plan(graft.queries.TextQueries.sketchDistinctKmv)
     assert(p.contains("partial_kmv_distinct"), s"no map-side sketch combine in:\n$p")
