@@ -119,6 +119,53 @@ object EmbedQueries {
     }
   }
 
+  /** ANN quality evaluation: recall@5 of the sign-bucket LSH against the
+    * exact brute-force top-5, per query — the measurement a pipeline runs
+    * before trusting an approximate index (recall = |approx ∩ exact| / k).
+    * Both rankings and the intersection are one plan; the oracle
+    * recomputes the identical rankings in SQL.
+    */
+  val embedLshRecall: QueryDef = {
+    val duckBucket =
+      "CAST(list_sum([CASE WHEN v[i+1] >= 0 THEN (1 << i) ELSE 0 END for i in range(0, 8)]) AS BIGINT)"
+    QueryDef.sql("embed_lsh_recall",
+      s"""WITH $duckVectors,
+         |q AS (SELECT vec_id AS qid, v AS qv, $duckBucket AS bucket FROM v WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS nid, v AS cv, $duckBucket AS bucket FROM v WHERE vec_id >= 10),
+         |bp AS (SELECT qid, nid, ${duckCos("qv", "cv")} AS sim FROM c, q),
+         |br AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM bp),
+         |bt AS (SELECT qid, nid FROM br WHERE rnk <= 5),
+         |lp AS (SELECT qid, nid, ${duckCos("qv", "cv")} AS sim FROM c JOIN q USING (bucket)),
+         |lr AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM lp),
+         |lt AS (SELECT qid, nid FROM lr WHERE rnk <= 5)
+         |SELECT bt.qid, CAST(count(lt.nid) AS BIGINT) AS n_hit,
+         |  round(count(lt.nid) / 5.0, 6) AS recall
+         |FROM bt LEFT JOIN lt ON bt.qid = lt.qid AND bt.nid = lt.nid
+         |GROUP BY bt.qid ORDER BY bt.qid""".stripMargin) { (s, dir) =>
+      val b = Similarity.vectors(Tables.embeddings(s, dir))
+        .withColumn("bucket", Similarity.signBucket("v"))
+      val q = b.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
+      val c = b.where(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("v").as("cv"), col("bucket"))
+      val brute = Similarity.topK(
+        c.crossJoin(broadcast(q.drop("bucket")))
+          .withColumn("sim", Similarity.cosine("qv", "cv"))
+          .select(col("qid"), col("nid"), col("sim")), 5)
+        .select(col("qid"), col("nid"))
+      val lsh = Similarity.topK(
+        c.join(broadcast(q), "bucket")
+          .withColumn("sim", Similarity.cosine("qv", "cv"))
+          .select(col("qid"), col("nid"), col("sim")), 5)
+        .select(col("qid").as("lqid"), col("nid").as("lnid"))
+      brute.join(lsh, brute("qid") === lsh("lqid") && brute("nid") === lsh("lnid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(col("lnid")).as("n_hit"),
+          round(count(col("lnid")) / 5.0, 6).as("recall"))
+        .orderBy(col("qid"))
+    }
+  }
+
   /** Resize over the media table (stub codec): clamp width to 256,
     * scale height proportionally with integer math, report the resized
     * payload size. Oracle mirrors the stub's md5-derived dims.
@@ -277,5 +324,5 @@ object EmbedQueries {
 
   val all: Seq[QueryDef] = Seq(embedKnnBrute, embedKnnLsh, embedCentroids,
     multimodalMeta, multimodalFramesample, multimodalResize, embedNorms,
-    embedKnnIvf, dedupEmbedCosine, embedQuantize)
+    embedKnnIvf, dedupEmbedCosine, embedQuantize, embedLshRecall)
 }

@@ -82,6 +82,21 @@ object Streaming {
       }
   }
 
+  /** Event-time SESSION windows per key: activity separated by gaps
+    * longer than `gap` starts a new session (Spark's native
+    * `session_window` — merging windows in the state store, finalized
+    * and emitted once the watermark passes a session's end). The
+    * streaming twin of the batch gap-sessionize operator.
+    */
+  def sessionCounts(events: DataFrame, keyCol: String, tsCol: String,
+                    gap: String, watermarkDelay: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col(keyCol), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n"))
+
   /** Stream-stream interval join: pairs each left event with right
     * events of the same key landing in [left.ts, left.ts + bound]. Both
     * sides are watermarked, and the time-range predicate bounds the

@@ -113,6 +113,31 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("session windows merge activity and split on gaps") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val query = Streaming.sessionCounts(ms.toDF(), "user_id", "ts", "30 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("sess_t").outputMode("append").start()
+    try {
+      // user 1: three events within 30-min gaps -> one session of 3;
+      // then a 2-hour gap -> new session
+      ms.addData(
+        Ev(1, 1, ts("2024-01-01 10:00:00"), "click"),
+        Ev(2, 1, ts("2024-01-01 10:20:00"), "click"),
+        Ev(3, 1, ts("2024-01-01 10:45:00"), "click"),
+        Ev(4, 1, ts("2024-01-01 13:00:00"), "click"))
+      query.processAllAvailable()
+      // advance the watermark past the second session's horizon
+      ms.addData(Ev(5, 2, ts("2024-01-01 18:00:00"), "click"))
+      query.processAllAvailable()
+      val got = spark.table("sess_t").where(col("user_id") === 1)
+        .orderBy(col("session_start"))
+        .collect().map(r => (r.getTimestamp(1).toString, r.getLong(3)))
+      assert(got.toSeq === Seq(("2024-01-01 10:00:00.0", 3L), ("2024-01-01 13:00:00.0", 1L)))
+    } finally query.stop()
+  }
+
   test("stream-stream interval join matches the batch join on replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
