@@ -55,6 +55,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("GLOBAL sweep: no unintended nested-loop/cartesian join in ANY registered query") {
+    // queries whose plans legitimately contain a BroadcastNestedLoopJoin:
+    // a deliberately-broadcast tiny side crossed with the candidate scan
+    // (exact-baseline knn, centroid cell assignment, recall's exact arm,
+    // the W1 ring's 24-slot expansion, and the 1-row-bounds profile scan)
+    val intentional = Set("embed_knn_brute", "embed_knn_ivf", "embed_lsh_recall",
+      "hour_ring_features", "ml_poisson_predict", "q_profile_stats")
+    val offenders = graft.queries.Registry.all
+      .filterNot(q => intentional.contains(q.name))
+      .flatMap { q =>
+        val p = try plan(q) catch { case e: Throwable => s"PLAN FAILED: $e" }
+        if (p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct") ||
+            p.startsWith("PLAN FAILED")) Some(q.name -> p.linesIterator.take(3).mkString(" | "))
+        else None
+      }
+    assert(offenders.isEmpty,
+      s"unexpected nested-loop/cartesian plans:\n${offenders.map(o => s"  ${o._1}: ${o._2}").mkString("\n")}")
+  }
+
   test("top-per-group window gets map-side WindowGroupLimit (low-cardinality lang key is safe)") {
     val p = plan(graft.queries.TextQueries.textTopPerLang)
     // rank<=3 pushes a partial top-k below the exchange: the shuffle
