@@ -19,6 +19,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (exprs: Seq[Expression]) => RollingHash.fromExprs(exprs)))
     ext.injectFunction((
+      new FunctionIdentifier("portable_hash64"),
+      new ExpressionInfo(classOf[PortableHash64].getName, "portable_hash64"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.size == 2, "portable_hash64 expects (salt, value)")
+        PortableHash64(exprs(0), exprs(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("kmv_distinct"),
       new ExpressionInfo(classOf[KMVDistinct].getName, "kmv_distinct"),
       (exprs: Seq[Expression]) => KMVDistinct.fromExprs(exprs)))

@@ -24,9 +24,23 @@ object TextOps {
 
   /** 64-bit portable hash: first 15 hex digits of md5(salt:value) as a
     * long. Mirrors DuckDB `('0x' || substr(md5(salt || ':' || s), 1, 15))::BIGINT`.
+    * Emits the native `portable_hash64` Expression (bit-exact with the
+    * SQL formula — TextOpsSpec proves it — minus a 32-char hex
+    * allocation + base-16 parse per call); callers building plans must
+    * [[ensureFunctions]] on the session first.
     */
   def portableHash64Sql(saltSql: String, valueSql: String): String =
+    s"portable_hash64(CAST($saltSql AS STRING), $valueSql)"
+
+  /** The reference SQL formula (built-ins only), kept for differential
+    * testing against the native expression.
+    */
+  def md5Hash64Sql(saltSql: String, valueSql: String): String =
     s"CAST(conv(substr(md5(CAST(concat(CAST($saltSql AS STRING), ':', $valueSql) AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+
+  /** Idempotent registration of the native hash for this session. */
+  def ensureFunctions(spark: org.apache.spark.sql.SparkSession): Unit =
+    graft.functions.PortableHash64.register(spark)
 
   /** Production hash: Spark-native xxhash64 (codegen'd, ~10× faster than
     * the md5 path — no hex round-trip). Not DuckDB-reproducible, so

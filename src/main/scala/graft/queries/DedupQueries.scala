@@ -50,6 +50,7 @@ object DedupQueries {
     */
   private[graft] def docHashes(s: org.apache.spark.sql.SparkSession, dir: String,
                                hash: TextOps.HashSql = TextOps.portableHash64Sql) = {
+    TextOps.ensureFunctions(s)
     val sh = TextOps.docShingles(Tables.documents(s, dir))
     TextOps.barrier(sh.select(col("doc_id"),
       array_sort(expr(s"transform(sh, x -> ${hash("'g'", "x")})")).as("hs"),

@@ -105,6 +105,7 @@ object MlQueries {
       s"""SELECT $h % 10 AS fold, count(*) AS n, sum(event_id) AS id_sum
          |FROM events GROUP BY 1 ORDER BY fold""".stripMargin) { (s, dir) =>
       import graft.ops.TextOps
+      TextOps.ensureFunctions(s)
       Tables.events(s, dir)
         .select(col("event_id"),
           (expr(TextOps.portableHash64Sql("'f'", "CAST(event_id AS STRING)")) % 10).as("fold"))
@@ -126,6 +127,7 @@ object MlQueries {
       s"""SELECT doc_id, lang FROM documents
          |WHERE $h % 100 < $rateSql ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import graft.ops.TextOps
+      TextOps.ensureFunctions(s)
       Tables.documents(s, dir)
         .where((expr(TextOps.portableHash64Sql("'smp'", "CAST(doc_id AS STRING)")) % 100) <
           when(col("lang") === "en", 50).when(col("lang") === "es", 30).otherwise(10))

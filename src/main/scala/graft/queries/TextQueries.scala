@@ -200,6 +200,7 @@ object TextQueries {
          |        END, 6) AS est
          |FROM r GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
       graft.functions.KMVDistinct.register(s)
+      TextOps.ensureFunctions(s)
       Tables.documents(s, dir)
         .select(col("lang"), explode(TextOps.wordsExpr).as("word"))
         .select(col("lang"), expr(TextOps.portableHash64Sql("'w'", "word")).as("hv"))

@@ -38,6 +38,7 @@ class KMVDistinctSpec extends SparkSpec {
   test("estimator lands near the true cardinality on uniform 60-bit hashes") {
     import spark.implicits._
     // real-shaped input: portable hash of 20k distinct strings
+    graft.ops.TextOps.ensureFunctions(spark)
     val df = (1 to 20000).map(i => s"token_$i").toDF("s")
       .select(expr(graft.ops.TextOps.portableHash64Sql("'t'", "s")).as("hv"))
     val e = est(df, 256)

@@ -20,6 +20,7 @@ class TextOpsSpec extends SparkSpec {
 
   test("portable hash matches the DuckDB formula") {
     import spark.implicits._
+    TextOps.ensureFunctions(spark)
     val got = Seq("hello").toDF("s")
       .select(expr(TextOps.portableHash64Sql("7", "s"))).collect()(0).getLong(0)
     // reference value computed independently: first 15 hex chars of
@@ -27,6 +28,20 @@ class TextOpsSpec extends SparkSpec {
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest("7:hello".getBytes("UTF-8")).map(b => f"$b%02x").mkString
     assert(got === java.lang.Long.parseLong(hex.take(15), 16))
+  }
+
+  test("native portable_hash64 is bit-exact with the md5 SQL formula") {
+    import spark.implicits._
+    TextOps.ensureFunctions(spark)
+    val rnd = new scala.util.Random(17)
+    val strs = (1 to 2000).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(30)).mkString) :+
+      "" :+ "ünïcødé ∂ƒ©" :+ "tab\tnl\n"
+    val mismatches = strs.toDF("s")
+      .select(expr(TextOps.portableHash64Sql("'x'", "s")).as("native"),
+        expr(TextOps.md5Hash64Sql("'x'", "s")).as("sqlform"))
+      .where(col("native") =!= col("sqlform"))
+      .count()
+    assert(mismatches === 0L)
   }
 
   test("jaccard on known sets") {
