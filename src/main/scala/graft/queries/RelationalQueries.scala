@@ -387,8 +387,26 @@ object RelationalQueries {
     }
   }
 
+  /** Unpivot (A6/A7's inverse): wide measure columns to long
+    * (key, measure, value) rows via the codegen'd `stack` generator — no
+    * shuffle, one scan. Values rounded to the cross-engine granularity.
+    */
+  val qUnpivot: QueryDef = QueryDef.sql("q_unpivot",
+    """SELECT p_partkey, measure, round(value, 2) AS value
+      |FROM (SELECT p_partkey, CAST(p_size AS DOUBLE) AS size,
+      |             p_retailprice AS retailprice FROM part)
+      |UNPIVOT (value FOR measure IN (size, retailprice))
+      |ORDER BY p_partkey, measure""".stripMargin) { (s, dir) =>
+    Tables.part(s, dir)
+      .select(col("p_partkey"), expr(
+        """stack(2, 'size', CAST(p_size AS DOUBLE),
+          |         'retailprice', p_retailprice) AS (measure, value)""".stripMargin))
+      .select(col("p_partkey"), col("measure"), round(col("value"), 2).as("value"))
+      .orderBy(col("p_partkey"), col("measure"))
+  }
+
   val all: Seq[QueryDef] = Seq(q1Agg, qJoinAgg, qBroadcastJoin, qTopk,
     qWindowRank, qSetops, qRollup, qDistinctAgg, qSemiJoin, qAntiJoin,
     qAsofJoin, qPercentileStats, qCube, qRunningSum, qRangeJoin,
-    qProfileStats, qAboveAvg, qSaltedCount, qSqlTpch6)
+    qProfileStats, qAboveAvg, qSaltedCount, qSqlTpch6, qUnpivot)
 }
