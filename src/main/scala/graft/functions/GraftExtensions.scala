@@ -21,10 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("portable_hash64"),
       new ExpressionInfo(classOf[PortableHash64].getName, "portable_hash64"),
-      (exprs: Seq[Expression]) => {
-        require(exprs.size == 2, "portable_hash64 expects (salt, value)")
-        PortableHash64(exprs(0), exprs(1))
-      }))
+      (exprs: Seq[Expression]) => PortableHash64.fromExprs(exprs)))
     ext.injectFunction((
       new FunctionIdentifier("kmv_distinct"),
       new ExpressionInfo(classOf[KMVDistinct].getName, "kmv_distinct"),

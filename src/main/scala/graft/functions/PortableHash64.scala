@@ -75,12 +75,14 @@ object PortableHash64 {
     (acc << 4) | ((digest(7) & 0xf0L) >>> 4)
   }
 
+  /** SQL builder shared by register() and GraftExtensions. */
+  private[functions] def fromExprs(exprs: Seq[Expression]): PortableHash64 = {
+    require(exprs.size == 2, "portable_hash64 expects (salt, value)")
+    PortableHash64(exprs(0), exprs(1))
+  }
+
   /** Idempotent SQL registration: `portable_hash64(salt, value)`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "portable_hash64",
-      exprs => {
-        require(exprs.size == 2, "portable_hash64 expects (salt, value)")
-        PortableHash64(exprs(0), exprs(1))
-      }, "built-in")
+      "portable_hash64", fromExprs, "built-in")
 }

@@ -30,7 +30,7 @@ object TextOps {
     * [[ensureFunctions]] on the session first.
     */
   def portableHash64Sql(saltSql: String, valueSql: String): String =
-    s"portable_hash64(CAST($saltSql AS STRING), $valueSql)"
+    s"portable_hash64(CAST($saltSql AS STRING), CAST($valueSql AS STRING))"
 
   /** The reference SQL formula (built-ins only), kept for differential
     * testing against the native expression.

@@ -32,6 +32,12 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     conf.getConfString("spark.graft.rangeJoin.chunkMicros", "3600000000").toLong
   private def enabled: Boolean =
     conf.getConfString("spark.graft.rangeJoin.enabled", "true").toBoolean
+  /** Per-interval explode cap: intervals spanning more chunks than this
+    * (open-ended sentinels, year-long rows) keep the nested-loop path in
+    * a separate union branch instead of materializing a huge chunk array.
+    */
+  private def maxChunks: Long =
+    conf.getConfString("spark.graft.rangeJoin.maxChunksPerInterval", "4096").toLong
 
   private val PointChunk = "__chunk_p"
   private val IntervalChunk = "__chunk_i"
@@ -67,11 +73,28 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def alreadyRewritten(p: LogicalPlan): Boolean =
     p.output.exists(a => a.name == PointChunk || a.name == IntervalChunk)
 
+  /** A cross-side equality conjunct means Spark already plans a hash
+    * join (key equi + range residual) — and covers manually-bucketed
+    * plans like ops.RangeJoin's chunk equality. The rule targets only
+    * joins that would otherwise be nested loops.
+    */
+  private def hasCrossSideEquality(conjs: Seq[Expression], left: LogicalPlan,
+                                   right: LogicalPlan): Boolean =
+    conjs.exists {
+      case EqualTo(a, b) =>
+        (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet) &&
+          a.references.nonEmpty && b.references.nonEmpty) ||
+        (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet) &&
+          a.references.nonEmpty && b.references.nonEmpty)
+      case _ => false
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!enabled) return plan
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint)
-          if j.resolved && !alreadyRewritten(left) && !alreadyRewritten(right) =>
+          if j.resolved && !alreadyRewritten(left) && !alreadyRewritten(right) &&
+            !hasCrossSideEquality(splitConjunctivePredicates(cond), left, right) =>
         containment(splitConjunctivePredicates(cond), left, right) match {
           case Some((ts, start, end, pointsOnLeft)) =>
             val chunk = Literal(chunkMicros)
@@ -86,18 +109,29 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             // boundary does not own that chunk (bound from end-1); the
             // guard filter keeps the ascending sequence well-defined
             // (empty/inverted intervals can't match the residual anyway)
-            val seq = Sequence(chunkOf(start),
-              IntegralDivide(Subtract(UnixMicros(end), Literal(1L)), chunk),
+            val endChunk = IntegralDivide(Subtract(UnixMicros(end), Literal(1L)), chunk)
+            val spanOk = LessThan(Subtract(endChunk, chunkOf(start)), Literal(maxChunks))
+            val seq = Sequence(chunkOf(start), endChunk,
               Some(Literal(1L)), Some(conf.sessionLocalTimeZone))
             val iChunk = AttributeReference(IntervalChunk, LongType, nullable = false)()
-            val intervalsPlan = Generate(Explode(seq), Nil, outer = false, None,
-              Seq(iChunk), Filter(GreaterThan(end, start), intervals))
+            val shortIntervals = Generate(Explode(seq), Nil, outer = false, None,
+              Seq(iChunk), Filter(And(GreaterThan(end, start), spanOk), intervals))
 
-            val newCond = And(cond, EqualTo(pChunk.toAttribute, iChunk))
-            val rewritten =
-              if (pointsOnLeft) Join(pointsPlan, intervalsPlan, Inner, Some(newCond), hint)
-              else Join(intervalsPlan, pointsPlan, Inner, Some(newCond), hint)
-            Project(j.output, rewritten)
+            val shortCond = And(cond, EqualTo(pChunk.toAttribute, iChunk))
+            val shortJoin =
+              if (pointsOnLeft) Join(pointsPlan, shortIntervals, Inner, Some(shortCond), hint)
+              else Join(shortIntervals, pointsPlan, Inner, Some(shortCond), hint)
+
+            // intervals longer than the cap (open-ended sentinels) keep
+            // the nested-loop path — a bounded-memory union branch over
+            // what is usually a tiny minority of rows — instead of
+            // exploding a multi-million-element chunk array
+            val longIntervals = Filter(And(GreaterThan(end, start), Not(spanOk)), intervals)
+            val longJoin =
+              if (pointsOnLeft) Join(points, longIntervals, Inner, Some(cond), hint)
+              else Join(longIntervals, points, Inner, Some(cond), hint)
+
+            Union(Seq(Project(j.output, shortJoin), Project(j.output, longJoin)))
           case None => j
         }
     }

@@ -31,21 +31,63 @@ class RangeJoinRewriteSpec extends SparkSpec {
         col("pts") >= col("istart") && col("pts") < col("iend"))
       .select(col("pid"), col("iid"))
 
-  test("rewritten join output equals the naive join, and the BNLJ is gone") {
+  test("rewritten join output equals the naive join (as a MULTISET), and the BNLJ is gone") {
     val (points, intervals) = fixtures()
+    // sorted-seq compare: set equality would hide duplicated match rows,
+    // the exact failure mode the one-row-per-match argument guards
     val want = naiveJoin(points, intervals).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     assert(want.nonEmpty, "fixture should produce matches")
 
     val prev = spark.experimental.extraOptimizations
     spark.experimental.extraOptimizations = prev :+ RangeJoinRewrite
     try {
       val q = naiveJoin(points, intervals)
-      val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
       assert(got === want)
       val plan = q.queryExecution.executedPlan.toString
-      assert(!plan.contains("BroadcastNestedLoopJoin"), s"rule did not fire:\n$plan")
       assert(plan.contains("Generate explode"), s"no chunk explode in:\n$plan")
+      // the only BNLJ left is the long-interval fallback branch, which
+      // is empty for these fixtures (all spans < cap): the short branch
+      // must be an equi (hash) join
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"), s"no equi join in:\n$plan")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("open-ended sentinel intervals take the bounded fallback branch, output still exact") {
+    import spark.implicits._
+    val (points, _) = fixtures()
+    // one year-3000 sentinel (span >> cap) + one normal interval
+    val intervals = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("3000-01-01 00:00:00")),
+      (2L, ts("2024-01-01 12:00:00"), ts("2024-01-01 14:00:00"))
+    ).toDF("iid", "istart", "iend")
+    val want = naiveJoin(points, intervals).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RangeJoinRewrite
+    try {
+      val got = naiveJoin(points, intervals).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(got === want) // sentinel matches all 400 points via the fallback
+      assert(want.count(_._2 == 1L) === 400)
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
+  test("keyed interval joins (existing equi-conjunct) are left alone") {
+    import spark.implicits._
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RangeJoinRewrite
+    try {
+      val p = Seq((1L, ts("2024-01-01 10:30:00"))).toDF("k", "pts")
+      val i = Seq((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")))
+        .toDF("k2", "istart", "iend")
+      val q = p.join(i, col("k") === col("k2") &&
+        col("pts") >= col("istart") && col("pts") < col("iend"))
+      // already a hash join on k; the rule must not re-bucket it
+      assert(!q.queryExecution.executedPlan.toString.contains("Generate explode"))
+      assert(q.count() === 1L)
     } finally spark.experimental.extraOptimizations = prev
   }
 
