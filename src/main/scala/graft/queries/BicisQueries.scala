@@ -152,8 +152,35 @@ object BicisQueries {
       .orderBy(col("user_id"), col("sid"))
   }
 
+  /** Native `session_window` sessionization (merging event-time windows;
+    * the batch twin of Streaming.sessionCounts). Semantics differ from
+    * `sessionize` at the exact boundary: the window is [first, last+gap),
+    * so a gap of EXACTLY 30 min starts a new session (>=, not >) and the
+    * session end is last_ts + gap. The oracle mirrors that with a
+    * gaps-and-islands formulation.
+    */
+  val qSessionWindow: QueryDef = QueryDef.sql("q_session_window",
+    """WITH g AS (SELECT user_id, ts,
+      |  CASE WHEN lag(ts) OVER w IS NULL
+      |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (SELECT user_id, ts,
+      |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM g)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTES AS session_end, count(*) AS n
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     seriesWeekday, seriesHour, seriesMonth, seriesJoin, stationHourPivot,
     nextWindowTarget, tumblingHour, splitTraining, splitValidation, splitTesting,
-    sessionize)
+    sessionize, qSessionWindow)
 }

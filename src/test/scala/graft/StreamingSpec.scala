@@ -138,6 +138,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming session counts equal batch session_window on random replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(41)
+    val base = ts("2024-01-01 00:00:00").getTime
+    val events = (1 to 200).map { i =>
+      Ev(i.toLong, (i % 3).toLong,
+        new java.sql.Timestamp(base + rnd.nextInt(48 * 3600) * 1000L), "click")
+    }.sortBy(_.ts.getTime)
+    // flush sentinels push the watermark far past every session's end
+    val flush = (0 until 3).map(k =>
+      Ev(9000L + k, k.toLong, ts("2024-02-01 00:00:00"), "click"))
+
+    val want = events.toDF()
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w.start"), col("n"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).toSet
+
+    val ms = MemoryStream[Ev]
+    val query = Streaming.sessionCounts(ms.toDF(), "user_id", "ts", "30 minutes", "0 seconds")
+      .writeStream.format("memory").queryName("sessdiff_t").outputMode("append").start()
+    try {
+      (events ++ flush).grouped(50).foreach { c => ms.addData(c); query.processAllAvailable() }
+      val got = spark.table("sessdiff_t")
+        .where(col("user_id") < 3 && col("session_start") < ts("2024-02-01 00:00:00"))
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(3))).toSet
+      assert(got === want)
+    } finally query.stop()
+  }
+
   test("stream-stream interval join matches the batch join on replay") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
