@@ -1,0 +1,49 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** Target-exists + sidecar-write helpers through the Hadoop FileSystem
+  * API, so the pipeline's Luigi-style checkpoint semantics hold on
+  * hdfs:///s3a:// outDirs, not just local disk (java.io.File silently
+  * reports false there, defeating every skip guard).
+  */
+object Fs {
+
+  private def fs(spark: SparkSession, path: org.apache.hadoop.fs.Path) =
+    path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    fs(spark, p).exists(p)
+  }
+
+  /** Overwrite a small text sidecar (JSON summaries, fingerprints). */
+  def writeString(spark: SparkSession, path: String, content: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val out = fs(spark, p).create(p, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+  }
+
+  def readString(spark: SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = fs(spark, p).open(p)
+    try new String(in.readAllBytes(), "UTF-8") finally in.close()
+  }
+}
+
+/** The one JSON string escaper (Verify's oracle dump, the fails report,
+  * the bounds sidecar all need it; hand-rolled copies drifted).
+  */
+object Json {
+  def escape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  def quote(s: String): String = "\"" + escape(s) + "\""
+}

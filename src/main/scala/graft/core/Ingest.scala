@@ -89,16 +89,22 @@ object Ingest {
     }
     require(frames.nonEmpty, "no ingestible files (unknown years?)")
     val union = frames.map { df =>
-      unifiedCols.foldLeft(df)((d, c) =>
+      // remember per-dialect whether the source HAD a return-date
+      // column: P3 derives return_date from duration only then —
+      // a dialect WITH the column whose value fails to parse must drop
+      // the row (F4, parse_raw_data.py:108-115), not silently repair it
+      val tagged = df.withColumn("__has_ret",
+        lit(df.columns.contains("return_date")))
+      unifiedCols.foldLeft(tagged)((d, c) =>
         if (d.columns.contains(c)) d else d.withColumn(c, lit(null).cast("string")))
-        .select(unifiedCols.map(col): _*)
+        .select((unifiedCols :+ "__has_ret").map(col): _*)
     }.reduce(_ unionByName _)
     union
       .withColumn("rent_date", parseTs(col("rent_date")))
       .withColumn("duration_s", parseDurationSeconds("duration"))
-      .withColumn("return_date", coalesce(
-        parseTs(col("return_date")),
-        expr("timestampadd(SECOND, duration_s, rent_date)")))          // P3
+      .withColumn("return_date",
+        when(col("__has_ret"), parseTs(col("return_date")))
+          .otherwise(expr("timestampadd(SECOND, duration_s, rent_date)"))) // P3
       .where(col("rent_date").isNotNull && col("return_date").isNotNull) // F4/S6
       .withColumn("id", monotonically_increasing_id())
       .select(col("id"), col("rent_date"), col("rent_station"),

@@ -36,19 +36,13 @@ object Sinks {
       // with escapes (a raw mkString of string ids is not valid JSON)
       val sample = dropped.limit(100).collect().map(_.get(0)).map {
         case n: java.lang.Number => n.toString
-        case other =>
-          "\"" + String.valueOf(other).flatMap {
-            case '"' => "\\\""
-            case '\\' => "\\\\"
-            case c if c < ' ' => f"\\u${c.toInt}%04x"
-            case c => c.toString
-          } + "\""
+        case other => Json.quote(String.valueOf(other))
       }.mkString("[", ", ", "]")
       val nIn = input.count()
       val nOut = output.count() // real output rows (may duplicate/add ids)
       val jsonStr =
         s"""{"input_count": $nIn, "output_count": $nOut, "number_of_errors": $nErr, "error_ids": $sample}"""
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(path), jsonStr)
+      Fs.writeString(input.sparkSession, path, jsonStr)
     } finally dropped.unpersist()
   }
 }

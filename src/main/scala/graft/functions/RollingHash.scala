@@ -84,6 +84,11 @@ object RollingHash {
     }
     val base = if (exprs.size >= 2) longLit(exprs(1), "base") else DefaultBase
     val mod = if (exprs.size >= 3) longLit(exprs(2), "mod") else DefaultMod
+    require(base > 0 && mod > 0, s"rolling_hash: base/mod must be positive, got ($base, $mod)")
+    // the loop computes acc*base + byte with acc < mod; keep that under
+    // Long.MaxValue or hashes silently overflow into garbage
+    require(mod - 1 <= (Long.MaxValue - 255) / base,
+      s"rolling_hash: (mod-1)*base + 255 overflows long for (base=$base, mod=$mod)")
     RollingHash(exprs.head, base, mod)
   }
 

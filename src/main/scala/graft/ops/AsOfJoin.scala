@@ -22,8 +22,11 @@ import org.apache.spark.sql.functions._
   *    whose carried value is genuinely NULL still advances the as-of
   *    match (the struct itself is non-null) instead of letting
   *    last(ignoreNulls) reach back to a stale older row;
-  *  - right rows with a NULL key are dropped up front — SQL equality
-  *    never matches NULL keys, and the window partition otherwise would;
+  *  - right rows with a NULL key or NULL timestamp are dropped up front
+  *    — SQL equality never matches NULL keys, and `NULL <= ts` is never
+  *    true, but the window partition/sort would otherwise admit them
+  *    (a null ts sorts first and would become a spurious as-of match
+  *    for left rows with no real predecessor);
   *  - ties at equal ts match (inclusive bound): the right row sorts
   *    before the left row at the same timestamp.
   *
@@ -49,7 +52,7 @@ object AsOfJoin {
       .withColumn("__k", col(leftKey))
       .withColumn("__payload", lit(null).cast(payloadType))
     val rTagged = right
-      .where(col(rightKey).isNotNull) // NULL keys never equality-match
+      .where(col(rightKey).isNotNull && col(rightTs).isNotNull)
       .withColumn("__ts", col(rightTs))
       .withColumn("__is_r", lit(1))
       .withColumn("__k", col(rightKey))

@@ -34,8 +34,15 @@ object TemporalSplit {
         col("__max").as("testing_end_date"))
   }
 
-  def split(df: DataFrame, tsCol: String, spec: Spec): (DataFrame, DataFrame, DataFrame) = {
-    val b = bounds(df, tsCol, spec).collect()(0)
+  /** The collected 1-row bounds — compute ONCE per run and share between
+    * [[split]] and [[writeBoundsJson]] (each would otherwise re-scan).
+    */
+  def boundsRow(df: DataFrame, tsCol: String, spec: Spec): org.apache.spark.sql.Row =
+    bounds(df, tsCol, spec).collect()(0)
+
+  def split(df: DataFrame, tsCol: String, spec: Spec,
+            precomputed: Option[org.apache.spark.sql.Row] = None): (DataFrame, DataFrame, DataFrame) = {
+    val b = precomputed.getOrElse(boundsRow(df, tsCol, spec))
     val ts = col(tsCol)
     val (trEnd, vaStart, vaEnd, teStart, teEnd) =
       (lit(b.get(0)), lit(b.get(1)), lit(b.get(2)), lit(b.get(3)), lit(b.get(4)))
@@ -44,13 +51,17 @@ object TemporalSplit {
       df.where(ts >= teStart && ts <= teEnd))
   }
 
-  /** Split-metadata JSON sink (S8, split.py:74-85) — tiny driver-side write. */
-  def writeBoundsJson(spark: SparkSession, df: DataFrame, tsCol: String,
-                      spec: Spec, path: String): Unit = {
-    val row = bounds(df, tsCol, spec).collect()(0)
+  /** Split-metadata JSON sink (S8, split.py:74-85) — tiny driver-side
+    * write through the Hadoop FS (object-store safe), values escaped.
+    */
+  def writeBoundsJson(spark: SparkSession, row: org.apache.spark.sql.Row, path: String): Unit = {
     val fields = row.schema.fieldNames.zipWithIndex
-      .map { case (n, i) => s""""$n": "${row.get(i)}"""" }
+      .map { case (n, i) => s"${graft.core.Json.quote(n)}: ${graft.core.Json.quote(String.valueOf(row.get(i)))}" }
       .mkString("{", ", ", "}")
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(path), fields)
+    graft.core.Fs.writeString(spark, path, fields)
   }
+
+  def writeBoundsJson(spark: SparkSession, df: DataFrame, tsCol: String,
+                      spec: Spec, path: String): Unit =
+    writeBoundsJson(spark, boundsRow(df, tsCol, spec), path)
 }

@@ -37,10 +37,12 @@ final case class PipelineResult(
 
 object Pipeline {
 
-  /** Checkpoint guard: compute+write unless the output already exists. */
+  /** Checkpoint guard: compute+write unless the output already exists
+    * (Hadoop-FS check — target-exists semantics hold on object stores).
+    */
   def stage(spark: SparkSession, path: String, force: Boolean = false)
            (compute: => DataFrame): DataFrame = {
-    val done = new java.io.File(path, "_SUCCESS").exists()
+    val done = graft.core.Fs.exists(spark, s"$path/_SUCCESS")
     if (force || !done) compute.write.mode(SaveMode.Overwrite).parquet(path)
     spark.read.parquet(path)
   }
@@ -54,20 +56,26 @@ object Pipeline {
     // targets by experiment_name). Re-running with a different config
     // against the same outDir would silently serve stale targets through
     // every skip guard — detect it and recompute everything instead.
-    val cfgPath = java.nio.file.Paths.get(p("config.fingerprint"))
+    // The new fingerprint is committed only at the END of a successful
+    // run: a crash mid-recompute keeps force0 true on the next attempt
+    // instead of trusting half-recomputed targets.
+    val cfgPath = p("config.fingerprint")
     val fingerprint = (cfg, rawCsvPaths).toString
     val force0 = force ||
-      (java.nio.file.Files.exists(cfgPath) &&
-        java.nio.file.Files.readString(cfgPath) != fingerprint)
-    java.nio.file.Files.writeString(cfgPath, fingerprint)
+      (graft.core.Fs.exists(spark, cfgPath) &&
+        graft.core.Fs.readString(spark, cfgPath) != fingerprint)
 
     val unified = stage(spark, p("unified"), force0)(Ingest.unify(spark, rawCsvPaths))
 
-    val (tr, va, te) = TemporalSplit.split(unified, "rent_date", cfg.split)
+    // one bounds scan serves the three split filters AND the sidecar
+    val boundsRow = TemporalSplit.boundsRow(unified, "rent_date", cfg.split)
+    val (tr, va, te) = TemporalSplit.split(unified, "rent_date", cfg.split, Some(boundsRow))
     val train = stage(spark, p("training"), force0)(tr)
     val valid = stage(spark, p("validation"), force0)(va)
     val test = stage(spark, p("testing"), force0)(te)
-    TemporalSplit.writeBoundsJson(spark, unified, "rent_date", cfg.split, p("split_bounds.json"))
+    val boundsPath = p("split_bounds.json")
+    if (force0 || !graft.core.Fs.exists(spark, boundsPath))
+      TemporalSplit.writeBoundsJson(spark, boundsRow, boundsPath)
 
     // station hour profile from the training rents (A2 + A6/A7) — the
     // training-fitted profile serves every split, like the reference's
@@ -102,7 +110,7 @@ object Pipeline {
       // sidecar is a target like any stage: don't re-run its anti-join +
       // counts on a fully-checkpointed re-run
       val failsPath = p(s"fails_$name.json")
-      if (force0 || !new java.io.File(failsPath).exists())
+      if (force0 || !graft.core.Fs.exists(spark, failsPath))
         Sinks.failsReport(split, ds, "id", failsPath)
       ds
     }
@@ -144,18 +152,19 @@ object Pipeline {
       val pred = stage(spark, p(s"predictions_$name"), force0 || !modelLoaded)(
         model.predict(asm))
       val m = Metrics.evaluate(pred, cfg.metricNames)
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(p(s"metrics_$name.json")),
+      graft.core.Fs.writeString(spark, p(s"metrics_$name.json"),
         Metrics.toJson(m, cfg.metricNames))
       (name, pred, m)
     }
     assembled.unpersist() // every consumer is materialized to parquet
     val metrics = evaluated.map { case (n, _, m) => n -> m }.toMap
     // combined metrics.json, splits nested
-    java.nio.file.Files.writeString(java.nio.file.Paths.get(p("metrics.json")),
+    graft.core.Fs.writeString(spark, p("metrics.json"),
       evaluated.map { case (n, _, m) =>
         s""""$n": ${Metrics.toJson(m, cfg.metricNames)}"""
       }.mkString("{", ", ", "}"))
+    // the run completed: NOW the outDir is a consistent cfg snapshot
+    graft.core.Fs.writeString(spark, cfgPath, fingerprint)
 
     PipelineResult(unified.count(), train.count(), valid.count(), test.count(),
       dataset.count(), evaluated.head._2.count(), metrics, modelLoaded)

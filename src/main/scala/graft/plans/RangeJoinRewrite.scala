@@ -125,8 +125,14 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             // intervals longer than the cap (open-ended sentinels) keep
             // the nested-loop path — a bounded-memory union branch over
             // what is usually a tiny minority of rows — instead of
-            // exploding a multi-million-element chunk array
-            val longIntervals = Filter(And(GreaterThan(end, start), Not(spanOk)), intervals)
+            // exploding a multi-million-element chunk array. The constant
+            // __chunk_i marker makes alreadyRewritten() recognize this
+            // branch on the next optimizer fixpoint iteration: without it
+            // the rule re-matches its own fallback join and never
+            // converges (nesting a new Union per iteration).
+            val longIntervals = Project(
+              intervals.output :+ Alias(Literal(-1L), IntervalChunk)(),
+              Filter(And(GreaterThan(end, start), Not(spanOk)), intervals))
             val longJoin =
               if (pointsOnLeft) Join(points, longIntervals, Inner, Some(cond), hint)
               else Join(longIntervals, points, Inner, Some(cond), hint)

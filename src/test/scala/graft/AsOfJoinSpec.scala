@@ -49,6 +49,20 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out.isNullAt(out.fieldIndex("asof_rvalue")))
   }
 
+  test("null right timestamps never match (NULL <= ts is never true)") {
+    import spark.implicits._
+    val left = Seq((1L, 7L, "2024-01-01 11:00:00"))
+      .toDF("event_id", "user_id", "s").withColumn("ts", to_timestamp(col("s"))).drop("s")
+    // only right row for the key has a NULL ts: must NOT become a match
+    val right = Seq((7L, Option.empty[String], 99.0))
+      .toDF("user_id", "s", "rvalue")
+      .withColumn("rts", to_timestamp(col("s"))).drop("s")
+    val out = AsOfJoin.asofJoin(left, "user_id", "ts", right, "user_id", "rts", Seq("rvalue"))
+      .collect()(0)
+    assert(out.isNullAt(out.fieldIndex("asof_ts")))
+    assert(out.isNullAt(out.fieldIndex("asof_rvalue")))
+  }
+
   test("null keys never match (SQL equality semantics)") {
     import spark.implicits._
     val left = Seq((1L, Option.empty[Long], "2024-01-01 11:00:00"))

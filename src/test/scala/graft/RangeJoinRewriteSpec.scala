@@ -75,6 +75,20 @@ class RangeJoinRewriteSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("rule is idempotent: the optimizer converges with exactly one explode branch") {
+    val (points, intervals) = fixtures()
+    val prev = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = prev :+ RangeJoinRewrite
+    try {
+      val q = naiveJoin(points, intervals)
+      val opt = q.queryExecution.optimizedPlan.toString
+      // a non-idempotent rule would nest a Union per fixpoint iteration
+      // (its own fallback join re-matching) — ~99 stacked branches
+      assert("Generate explode".r.findAllIn(opt).size === 1, s"re-entered rewrite:\n$opt")
+      assert("Union".r.findAllIn(opt).size <= 1, s"nested unions:\n$opt")
+    } finally spark.experimental.extraOptimizations = prev
+  }
+
   test("keyed interval joins (existing equi-conjunct) are left alone") {
     import spark.implicits._
     val prev = spark.experimental.extraOptimizations
