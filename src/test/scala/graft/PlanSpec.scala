@@ -57,11 +57,10 @@ class PlanSpec extends SparkSpec {
 
   test("GLOBAL sweep: no unintended nested-loop/cartesian join in ANY registered query") {
     // queries whose plans legitimately contain a BroadcastNestedLoopJoin:
-    // a deliberately-broadcast tiny side crossed with the candidate scan
-    // (exact-baseline knn, centroid cell assignment, recall's exact arm,
-    // the W1 ring's 24-slot expansion, and the 1-row-bounds profile scan)
-    val intentional = Set("embed_knn_brute", "embed_knn_ivf", "embed_lsh_recall",
-      "hour_ring_features", "ml_poisson_predict", "q_profile_stats")
+    // a deliberately-broadcast tiny side (queries / centroids) crossed
+    // with the candidate scan — the exact-baseline knn, the centroid
+    // cell assignment, and recall's exact arm
+    val intentional = Set("embed_knn_brute", "embed_knn_ivf", "embed_lsh_recall")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>
