@@ -33,8 +33,7 @@ object DedupQueries {
 
   /** Shared oracle fragments (lockstep with TextOps). */
   private val wordsSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
-  private def duckHash(salt: String, v: String): String =
-    s"('0x' || substr(md5(CAST($salt AS VARCHAR) || ':' || $v), 1, 15))::BIGINT"
+  private def duckHash(salt: String, v: String): String = OracleSql.hash64(salt, v)
   private val hashCte =
     s"""t AS (SELECT doc_id, $wordsSql AS w FROM documents),
        |sh AS (SELECT doc_id,

@@ -53,8 +53,7 @@ object EmbedQueries {
     * bucket (equi-join; the scale path).
     */
   val embedKnnLsh: QueryDef = {
-    val duckBucket =
-      "CAST(list_sum([CASE WHEN v[i+1] >= 0 THEN (1 << i) ELSE 0 END for i in range(0, 8)]) AS BIGINT)"
+    val duckBucket = OracleSql.signBucket
     QueryDef.sql("embed_knn_lsh",
       s"""WITH $duckVectors,
          |b AS (SELECT vec_id, v, $duckBucket AS bucket FROM v),
@@ -102,7 +101,7 @@ object EmbedQueries {
     * oracle mirrors in hex arithmetic).
     */
   val multimodalMeta: QueryDef = {
-    def hx(from1: Int): String = s"('0x' || substr(md5(text), $from1, 4))::BIGINT"
+    def hx(from1: Int): String = OracleSql.stubHex(from1)
     QueryDef.sql("multimodal_meta",
       s"""SELECT doc_id,
          |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
@@ -126,8 +125,7 @@ object EmbedQueries {
     * recomputes the identical rankings in SQL.
     */
   val embedLshRecall: QueryDef = {
-    val duckBucket =
-      "CAST(list_sum([CASE WHEN v[i+1] >= 0 THEN (1 << i) ELSE 0 END for i in range(0, 8)]) AS BIGINT)"
+    val duckBucket = OracleSql.signBucket
     QueryDef.sql("embed_lsh_recall",
       s"""WITH $duckVectors,
          |q AS (SELECT vec_id AS qid, v AS qv, $duckBucket AS bucket FROM v WHERE vec_id < 10),
@@ -171,7 +169,7 @@ object EmbedQueries {
     * payload size. Oracle mirrors the stub's md5-derived dims.
     */
   val multimodalResize: QueryDef = {
-    def hx(from1: Int): String = s"('0x' || substr(md5(text), $from1, 4))::BIGINT"
+    def hx(from1: Int): String = OracleSql.stubHex(from1)
     QueryDef.sql("multimodal_resize",
       s"""WITH m AS (SELECT doc_id, 1 + ${hx(1)} % 1024 AS w, 1 + ${hx(5)} % 1024 AS h
          |           FROM documents),
@@ -192,7 +190,7 @@ object EmbedQueries {
     * md5-derived n_frames and the arithmetic fingerprint.
     */
   val multimodalFramesample: QueryDef = {
-    val nFrames = "1 + ('0x' || substr(md5(text), 9, 4))::BIGINT % 64"
+    val nFrames = s"1 + ${OracleSql.stubHex(9)} % 64"
     QueryDef.sql("multimodal_framesample",
       s"""WITH m AS (SELECT doc_id, $nFrames AS n_frames FROM documents),
          |f AS (SELECT doc_id, n_frames, greatest(n_frames // 4, 1) AS stride FROM m)
@@ -281,8 +279,7 @@ object EmbedQueries {
     * within-bucket pair counts stay ~n/2^bits per bucket.
     */
   val dedupEmbedCosine: QueryDef = {
-    val duckBucket =
-      "CAST(list_sum([CASE WHEN v[i+1] >= 0 THEN (1 << i) ELSE 0 END for i in range(0, 8)]) AS BIGINT)"
+    val duckBucket = OracleSql.signBucket
     QueryDef.sql("dedup_embed_cosine",
       s"""WITH $duckVectors,
          |sb AS (SELECT vec_id, v, $duckBucket AS bucket FROM v),

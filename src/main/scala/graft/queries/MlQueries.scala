@@ -100,7 +100,7 @@ object MlQueries {
     * verifies the exact assignment, not just fold sizes.
     */
   val mlHashSplit: QueryDef = {
-    val h = "('0x' || substr(md5('f:' || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT"
+    val h = OracleSql.hash64("'f'", "CAST(event_id AS VARCHAR)")
     QueryDef.sql("ml_hash_split",
       s"""SELECT $h % 10 AS fold, count(*) AS n, sum(event_id) AS id_sum
          |FROM events GROUP BY 1 ORDER BY fold""".stripMargin) { (s, dir) =>
@@ -121,7 +121,7 @@ object MlQueries {
     * source, order- and partitioning-independent unlike sample()/rand().
     */
   val mlSampleStratified: QueryDef = {
-    val h = "('0x' || substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT"
+    val h = OracleSql.hash64("'smp'", "CAST(doc_id AS VARCHAR)")
     val rateSql = "CASE WHEN lang = 'en' THEN 50 WHEN lang = 'es' THEN 30 ELSE 10 END"
     QueryDef.sql("ml_sample_stratified",
       s"""SELECT doc_id, lang FROM documents

@@ -24,3 +24,23 @@ object QueryDef {
   def noOracle(name: String)(run: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, run, None)
 }
+
+/** DuckDB-side mirrors of the engine's shared formulas — ONE source of
+  * truth per fragment so an oracle can't silently desync from its Spark
+  * twin (each must stay in lockstep with the cited implementation).
+  */
+object OracleSql {
+  /** Mirrors TextOps.portableHash64Sql / functions.PortableHash64. */
+  def hash64(saltSql: String, valueSql: String): String =
+    s"('0x' || substr(md5(CAST($saltSql AS VARCHAR) || ':' || $valueSql), 1, 15))::BIGINT"
+
+  /** Mirrors Similarity.signBucket (8 sign bits of the first dims). */
+  val signBucket: String =
+    "CAST(list_sum([CASE WHEN v[i+1] >= 0 THEN (1 << i) ELSE 0 END for i in range(0, 8)]) AS BIGINT)"
+
+  /** Mirrors Multimodal.decodeOne's md5-hex stub arithmetic: 4 hex chars
+    * of md5(text) starting at 1-based `from1`, as BIGINT.
+    */
+  def stubHex(from1: Int): String =
+    s"('0x' || substr(md5(text), $from1, 4))::BIGINT"
+}

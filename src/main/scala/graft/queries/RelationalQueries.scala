@@ -336,17 +336,28 @@ object RelationalQueries {
     * ~25 nations; the grouped aggregate partial-aggregates map-side and
     * the 25-row stats table broadcasts.)
     */
+  /** The bal > avg threshold is evaluated in EXACT decimal arithmetic
+    * (bal·n > Σbal, all DECIMAL): a double average is summation-order-
+    * dependent, and a customer within last-ulp distance of the mean
+    * would nondeterministically flip row membership between engines —
+    * the one divergence round(,6) cannot absorb because it changes the
+    * row SET, not a value.
+    */
   val qAboveAvg: QueryDef = QueryDef.sql("q_above_avg",
-    """SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS bal
-      |FROM customer c
-      |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
-      |                   WHERE c2.c_nationkey = c.c_nationkey)
+    """WITH s AS (SELECT c_nationkey,
+      |             sum(CAST(c_acctbal AS DECIMAL(12,2))) AS tot,
+      |             count(*) AS cnt
+      |           FROM customer GROUP BY c_nationkey)
+      |SELECT c_custkey, c_nationkey, round(c_acctbal, 2) AS bal
+      |FROM customer JOIN s USING (c_nationkey)
+      |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * cnt > tot
       |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
     val c = Tables.customer(s, dir)
     val stats = c.groupBy(col("c_nationkey"))
-      .agg(avg(col("c_acctbal")).as("__avg"))
+      .agg(sum(col("c_acctbal").cast("decimal(12,2)")).as("tot"),
+        count(lit(1)).as("cnt"))
     c.join(broadcast(stats), Seq("c_nationkey"))
-      .where(col("c_acctbal") > col("__avg"))
+      .where(col("c_acctbal").cast("decimal(12,2)") * col("cnt") > col("tot"))
       .select(col("c_custkey"), col("c_nationkey"),
         round(col("c_acctbal"), 2).as("bal"))
       .orderBy(col("c_custkey"))

@@ -186,8 +186,7 @@ object TextQueries {
     * (unlike HLL, which would fall out of the exact-compare gate).
     */
   val sketchDistinctKmv: QueryDef = {
-    def duckHash(salt: String, v: String): String =
-      s"('0x' || substr(md5(CAST($salt AS VARCHAR) || ':' || $v), 1, 15))::BIGINT"
+    def duckHash(salt: String, v: String): String = OracleSql.hash64(salt, v)
     QueryDef.sql("sketch_distinct_kmv",
       s"""WITH w AS (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
          |           FROM documents),

@@ -53,32 +53,73 @@ object Streaming {
     * later than the horizon are dropped (never emitted wrong), matching
     * Structured Streaming's late-data semantics.
     *
-    * State per key stays bounded: only events with ts > maxTs - w -
-    * lateness are retained. Everything older is both emitted and
-    * unreachable as a counter for any still-pending event (pending t' >
-    * cutoff, so its window only needs counters o >= t' > cutoff).
+    * State per key stays bounded in SIZE: only events with ts > maxTs -
+    * w - lateness are retained (everything older is both emitted and
+    * unreachable as a counter for a pending event). Bounding state in
+    * KEY COUNT needs `watermarkDelay`: with it, the operator arms an
+    * event-time timeout at maxTs + w + lateness — once the global
+    * watermark passes that, every buffered window is provably complete
+    * (nothing in-horizon can precede it), so the tail flushes with exact
+    * counts and the key's state is REMOVED. Without a watermark, dead
+    * keys pin their tail forever (the pure per-key-cutoff semantics).
+    *
+    * Counting is a two-pointer pass over the sorted buffer (O(n) per
+    * batch, the batch core's shape), not a rescan per emitted event.
     */
   def streamingForwardWindowCount(spark: SparkSession, events: Dataset[Ev],
                                   windowMicros: Long,
-                                  latenessMicros: Long = 0L): Dataset[FwOut] = {
+                                  latenessMicros: Long = 0L,
+                                  watermarkDelay: Option[String] = None): Dataset[FwOut] = {
     import spark.implicits._
-    events
+    val src = watermarkDelay.map(d => events.withWatermark("ts", d)).getOrElse(events)
+    val timeoutConf =
+      if (watermarkDelay.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+
+    // counts for the sorted buffer's prefix up to `cutoff` (exclusive of
+    // already-emitted rows): lo/hi are the [t, t+w) bounds, both only
+    // ever advancing — O(n) total
+    def emitPrefix(arr: Array[(Long, Long)], cutoff: Long, emittedUpTo: Long): List[FwOut] = {
+      val out = scala.collection.mutable.ListBuffer.empty[FwOut]
+      var lo = 0; var hi = 0; var idx = 0
+      while (idx < arr.length && arr(idx)._2 <= cutoff) {
+        val (id, t) = arr(idx)
+        while (arr(lo)._2 < t) lo += 1
+        if (hi < lo) hi = lo
+        while (hi < arr.length && arr(hi)._2 < t + windowMicros) hi += 1
+        if (t > emittedUpTo) out += FwOut(id, (hi - lo).toLong)
+        idx += 1
+      }
+      out.toList
+    }
+
+    src
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[FwState, FwOut](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[FwState, FwOut](OutputMode.Append, timeoutConf) {
         (_: Long, batch: Iterator[Ev], state: GroupState[FwState]) =>
           val prev = state.getOption.getOrElse(FwState(Long.MinValue, Long.MinValue, Nil))
-          val incoming = batch.map(e =>
-            (e.event_id, e.ts.getTime * 1000L + (e.ts.getNanos / 1000) % 1000)).toList
-          val all = (prev.buf ++ incoming).sortBy(_._2)
-          val mx = if (all.isEmpty) prev.maxTs else math.max(prev.maxTs, all.map(_._2).max)
-          val cutoff = mx - windowMicros - latenessMicros
-          val out = all.collect {
-            case (id, t) if t <= cutoff && t > prev.emittedUpTo =>
-              FwOut(id, all.count { case (_, o) => o >= t && o < t + windowMicros }.toLong)
+          if (state.hasTimedOut) {
+            // watermark >= mx + w + lateness: no in-horizon event can
+            // still land in any buffered window — flush the tail exactly
+            val arr = prev.buf.sortBy(_._2).toArray
+            val out = emitPrefix(arr, Long.MaxValue, prev.emittedUpTo)
+            state.remove()
+            out.iterator
+          } else {
+            val incoming = batch.map(e =>
+              (e.event_id, e.ts.getTime * 1000L + (e.ts.getNanos / 1000) % 1000)).toList
+            val all = (prev.buf ++ incoming).sortBy(_._2)
+            val mx = if (all.isEmpty) prev.maxTs else math.max(prev.maxTs, all.map(_._2).max)
+            val cutoff = mx - windowMicros - latenessMicros
+            val arr = all.toArray
+            val out = emitPrefix(arr, cutoff, prev.emittedUpTo)
+            state.update(FwState(mx, cutoff, all.filter { case (_, t) => t > cutoff }))
+            if (timeoutConf == GroupStateTimeout.EventTimeTimeout && mx != Long.MinValue) {
+              val atMs = (mx + windowMicros + latenessMicros) / 1000L + 1L
+              state.setTimeoutTimestamp(math.max(atMs, state.getCurrentWatermarkMs() + 1L))
+            }
+            out.iterator
           }
-          state.update(FwState(mx, cutoff, all.filter { case (_, t) => t > cutoff }))
-          out.iterator
       }
   }
 
@@ -123,21 +164,31 @@ object Streaming {
     * passes, replays and duplicates are dropped; the watermark bounds the
     * digest state store (dedup keys older than the delay are GC'd — the
     * standard unbounded-stream tradeoff: exactness within the watermark
-    * horizon).
+    * horizon). Uses `dropDuplicatesWithinWatermark`: a plain
+    * dropDuplicates on the digest alone would never evict state (Spark
+    * only GCs dedup state when the event-time column is in the subset),
+    * growing the store for the life of the query.
     */
   def streamingDedup(docs: DataFrame, tsCol: String, contentCol: String,
                      watermarkDelay: String): DataFrame =
     docs
       .withColumn("__digest", md5(col(contentCol).cast("binary")))
       .withWatermark(tsCol, watermarkDelay)
-      .dropDuplicates("__digest")
+      .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
 
   /** Incrementally-maintained per-station hour profile (the Redis hash
     * `{station}_{hour} -> counts` as proper keyed state). Emits the
     * updated (station, hour, running count) rows per micro-batch.
+    *
+    * `zone` must match `spark.sql.session.timeZone` for parity with the
+    * batch profile (TimeKeys.hourKey = `hour(ts)` follows the session
+    * zone); the UTC default matches every engine entry point, which pins
+    * the session to UTC. Never the JVM default zone — that would vary by
+    * host.
     */
-  def runningHourProfile(spark: SparkSession, events: Dataset[Ev]): Dataset[ProfileRow] = {
+  def runningHourProfile(spark: SparkSession, events: Dataset[Ev],
+                         zone: java.time.ZoneId = java.time.ZoneOffset.UTC): Dataset[ProfileRow] = {
     import spark.implicits._
     events
       .groupByKey(_.user_id)
@@ -145,11 +196,9 @@ object Streaming {
         OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (user: Long, batch: Iterator[Ev], state: GroupState[Map[Int, Long]]) =>
           val prev = state.getOption.getOrElse(Map.empty[Int, Long])
-          // UTC hour from the epoch, independent of the JVM default zone
-          // (toLocalDateTime would follow user.timezone and diverge from
-          // the batch profile computed under spark.sql.session.timeZone)
           val add = batch.toSeq
-            .groupBy(e => (math.floorMod(e.ts.getTime / 1000L, 86400L) / 3600L).toInt)
+            .groupBy(e => java.time.Instant.ofEpochMilli(e.ts.getTime)
+              .atZone(zone).getHour)
             .view.mapValues(_.size.toLong).toMap
           val next = (prev.keySet ++ add.keySet).map { h =>
             h -> (prev.getOrElse(h, 0L) + add.getOrElse(h, 0L))

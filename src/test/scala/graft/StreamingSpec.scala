@@ -94,6 +94,34 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("with a watermark, a quiet key's tail flushes exactly via event-time timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val query = Streaming.streamingForwardWindowCount(
+        spark, ms.toDS(), 3600L * 1000000L, watermarkDelay = Some("0 seconds"))
+      .writeStream.format("memory").queryName("fw_flush_t").outputMode("append").start()
+    try {
+      // key 7: three events in one hour, then silence forever
+      ms.addData(
+        Ev(1, 7, ts("2024-01-01 10:00:00"), "click"),
+        Ev(2, 7, ts("2024-01-01 10:30:00"), "click"),
+        Ev(3, 7, ts("2024-01-01 10:59:00"), "click"))
+      query.processAllAvailable()
+      // other keys keep the stream alive, advancing the global watermark
+      // far past key 7's maxTs + window -> its timeout fires and the
+      // tail emits with exact counts (no per-key flush sentinel needed)
+      ms.addData(Ev(100, 8, ts("2024-01-01 15:00:00"), "click"))
+      query.processAllAvailable()
+      ms.addData(Ev(101, 8, ts("2024-01-01 16:00:00"), "click"))
+      query.processAllAvailable()
+      val got = spark.table("fw_flush_t").where(col("event_id") < 100)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // windows: [10:00,11:00)->3, [10:30,11:30)->2, [10:59,11:59)->1
+      assert(got === Map(1L -> 3L, 2L -> 2L, 3L -> 1L))
+    } finally query.stop()
+  }
+
   test("streaming dedup drops same-content duplicates across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
