@@ -57,14 +57,22 @@ object Ingest {
     try_to_timestamp(c, lit("dd/MM/yyyy HH:mm:ss")),
     try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss.SSSSSS")))
 
-  /** P2: duration string -> seconds (int = minutes; else h/m/s; else null). */
+  /** P2: duration string -> seconds (int = minutes; else h/m/s; else
+    * null). TRY_ arithmetic throughout: garbage like a 25-digit "number"
+    * must follow the F4 unparseable→null→dropped contract, and under
+    * Spark 4's default ANSI mode a plain CAST/multiply would instead
+    * abort the whole ingest with CAST_OVERFLOW (parseTs already uses
+    * try_to_timestamp for the same reason).
+    */
   def parseDurationSeconds(name: String): Column =
-    when(col(name).rlike("^[0-9]+$"), col(name).cast("long") * 60)
+    when(col(name).rlike("^[0-9]+$"),
+        expr(s"try_multiply(try_cast($name AS BIGINT), 60L)"))
       .otherwise(expr(
         s"""CASE WHEN size(regexp_extract_all($name, '([0-9]+)', 1)) >= 3 THEN
-           |  CAST(regexp_extract_all($name, '([0-9]+)', 1)[0] AS BIGINT) * 3600
-           |  + CAST(regexp_extract_all($name, '([0-9]+)', 1)[1] AS BIGINT) * 60
-           |  + CAST(regexp_extract_all($name, '([0-9]+)', 1)[2] AS BIGINT)
+           |  try_add(try_add(
+           |    try_multiply(try_cast(regexp_extract_all($name, '([0-9]+)', 1)[0] AS BIGINT), 3600L),
+           |    try_multiply(try_cast(regexp_extract_all($name, '([0-9]+)', 1)[1] AS BIGINT), 60L)),
+           |    try_cast(regexp_extract_all($name, '([0-9]+)', 1)[2] AS BIGINT))
            |ELSE NULL END""".stripMargin))
 
   /** One dialect file -> unified string-typed projection (headers
@@ -104,7 +112,12 @@ object Ingest {
       .withColumn("duration_s", parseDurationSeconds("duration"))
       .withColumn("return_date",
         when(col("__has_ret"), parseTs(col("return_date")))
-          .otherwise(expr("timestampadd(SECOND, duration_s, rent_date)"))) // P3
+          .otherwise(
+            // sanity bound (10 years) keeps timestampadd inside the
+            // timestamp range — an absurd parsed duration nulls the row
+            // (F4) instead of throwing DATETIME_OVERFLOW under ANSI
+            when(col("duration_s").between(0L, 315360000L),
+              expr("timestampadd(SECOND, duration_s, rent_date)")))) // P3
       .where(col("rent_date").isNotNull && col("return_date").isNotNull) // F4/S6
       .withColumn("id", monotonically_increasing_id())
       .select(col("id"), col("rent_date"), col("rent_station"),

@@ -46,10 +46,7 @@ final case class PoissonFamily(cfg: Poisson.Config = Poisson.Config()) extends M
   val name = "poisson"
   val modelClassName: String = classOf[GeneralizedLinearRegressionModel].getName
   def fit(assembled: DataFrame): TrainedModel =
-    new MLlibTrained(new GeneralizedLinearRegression()
-      .setFamily(cfg.family).setLink(cfg.link).setMaxIter(cfg.maxIter)
-      .setLabelCol("label").setFeaturesCol("features")
-      .fit(assembled))
+    new MLlibTrained(Poisson.fit(assembled, cfg)) // single GLM-config source
   def load(path: String): TrainedModel =
     new MLlibTrained(GeneralizedLinearRegressionModel.load(path))
 }
@@ -71,14 +68,11 @@ object Models {
   val registry: Map[String, ModelFamily] =
     Seq(PoissonFamily(), LinearFamily()).map(f => f.name -> f).toMap
 
-  /** A saved-model target exists iff MLlib finished writing metadata.
-    * Checked through the Hadoop FileSystem API so the target-exists
-    * semantics hold on hdfs:///s3a:// paths, not just local disk.
+  /** A saved-model target exists iff MLlib finished writing metadata
+    * (Fs.exists: Hadoop-FS check, object-store safe).
     */
-  def exists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/metadata/_SUCCESS")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  def exists(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    graft.core.Fs.exists(spark, s"$path/metadata/_SUCCESS")
 
   /** Which family wrote a saved model, matched registry-driven against
     * MLlib's metadata JSON (`"class":"<modelClassName>"` — the full

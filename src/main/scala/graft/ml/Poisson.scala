@@ -64,7 +64,8 @@ object Poisson {
   /** End-to-end pipeline (fit on the data, predict, attach label). */
   def run(spark: SparkSession, dir: String, cfg: Config = Config()): DataFrame = {
     val ds = buildDataset(spark, dir, cfg)
-    val featureNames = (0 until cfg.window).map(i => s"n_rents_${i}_hb")
+    // single source for the ring naming (Features.scala), not a copy
+    val featureNames = ds.columns.filter(_.endsWith("_hb")).toSeq
     val assembled = assemble(ds, featureNames).cache()
     try {
       val model = fit(assembled, cfg)

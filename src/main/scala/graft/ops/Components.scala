@@ -77,10 +77,15 @@ object Components {
     // (self-loops included), no join — rep₀ = min({self} ∪ neighbors)
     var labels = ckpt(edges.groupBy(col("a").as("node"))
       .agg(min(col("b")).as("rep")))
-    // coalesce: sum over ZERO rows is null — an empty pair set (no
-    // near-dups found) must yield an empty result, not an NPE
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("rep")), lit(0L))).head().getLong(0)
+    // convergence probe: exact DECIMAL(38,0) sum — labels only decrease,
+    // so equal sums prove a fixpoint. Decimal because a LongType sum of
+    // monotonically_increasing_id-scale ids overflows at ~10^6 nodes
+    // (ANSI: ARITHMETIC_OVERFLOW aborts; non-ANSI: wraparound breaks the
+    // monotonicity argument). coalesce: sum over ZERO rows is null — an
+    // empty pair set must yield an empty result, not an NPE.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("rep").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
@@ -108,14 +113,19 @@ object Components {
                        // checkpoint is materialized — don't pin executor
                        // storage for the rest of the session
       val s = labelSum(labels)
-      converged = s == prevSum
+      converged = s.compareTo(prevSum) == 0
       prevSum = s
       iter += 1
     }
     lastRounds = iter
     // one line per run: rounds are THE cost driver of iterative CC
-    System.err.println(s"[graft.Components] converged in $iter rounds" +
-      (if (iter >= maxIterations) " (HIT ITERATION GUARD)" else ""))
+    System.err.println(s"[graft.Components] converged in $iter rounds")
+    if (!converged)
+      // returning non-converged labels would silently keep multiple
+      // "survivors" inside one duplicate cluster downstream — fail loud
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIterations rounds " +
+          "(hop+jump contracts O(log diameter) — raise maxIterations)")
     edges.unpersist()
     labels
   }

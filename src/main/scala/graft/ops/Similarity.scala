@@ -23,11 +23,18 @@ object Similarity {
     emb.select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("v"))
 
-  /** Cosine similarity of two double-array columns, rounded to 6. */
-  def cosine(a: String, b: String): Column = round(
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, z) -> acc + z)") /
-      (sqrt(expr(s"aggregate($a, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)")) *
-        sqrt(expr(s"aggregate($b, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)"))), 6)
+  /** Cosine similarity of two double-array columns, rounded to 6. A
+    * zero-norm vector (padding row, failed embedding) yields NULL, which
+    * threshold filters and topK ranking drop naturally — under Spark 4's
+    * default ANSI mode an unguarded divide-by-zero would instead abort
+    * the whole job.
+    */
+  def cosine(a: String, b: String): Column = {
+    val denom = sqrt(expr(s"aggregate($a, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)")) *
+      sqrt(expr(s"aggregate($b, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)"))
+    val num = expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, z) -> acc + z)")
+    when(denom === 0.0, lit(null)).otherwise(round(num / denom, 6))
+  }
 
   /** Axis-aligned LSH bucket: 8 sign bits from the first 8 dims. */
   def signBucket(vCol: String, bits: Int = 8): Column = expr(

@@ -55,8 +55,18 @@ object TemporalSplit {
     * write through the Hadoop FS (object-store safe), values escaped.
     */
   def writeBoundsJson(spark: SparkSession, row: org.apache.spark.sql.Row, path: String): Unit = {
+    // timestamps render in UTC explicitly — Timestamp.toString follows
+    // the JVM default zone (user.timezone), which is NOT pinned by the
+    // engine; the sidecar must not shift per host while the session
+    // semantics stay UTC
+    val utcFmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    def render(v: Any): String = v match {
+      case t: java.sql.Timestamp => utcFmt.format(t.toInstant)
+      case other => String.valueOf(other)
+    }
     val fields = row.schema.fieldNames.zipWithIndex
-      .map { case (n, i) => s"${graft.core.Json.quote(n)}: ${graft.core.Json.quote(String.valueOf(row.get(i)))}" }
+      .map { case (n, i) => s"${graft.core.Json.quote(n)}: ${graft.core.Json.quote(render(row.get(i)))}" }
       .mkString("{", ", ", "}")
     graft.core.Fs.writeString(spark, path, fields)
   }

@@ -57,11 +57,15 @@ object WindowOps {
                               idCol: String, windowMicros: Long): DataFrame = {
     import spark.implicits._
     events
-      .select(col(partKey).cast("long"), col(idCol).cast("long"),
+      // the partition key groups by its STRING form — injective for
+      // numerics and identity for strings, so the fallback really does
+      // accept every key type the primary operator accepts (a long cast
+      // would throw under ANSI on station-name keys, or null-merge them)
+      .select(col(partKey).cast("string"), col(idCol).cast("long"),
         unix_micros(col(tsCol).cast("timestamp")))
-      .as[(Long, Long, Long)]
+      .as[(String, Long, Long)]
       .groupByKey(_._1)
-      .flatMapGroups { (_: Long, it: Iterator[(Long, Long, Long)]) =>
+      .flatMapGroups { (_: String, it: Iterator[(String, Long, Long)]) =>
         forwardCountsCore(it.map(e => (e._2, e._3)).toArray, windowMicros).iterator
       }
       .toDF(idCol, "n_rents")
