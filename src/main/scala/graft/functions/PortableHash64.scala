@@ -32,9 +32,17 @@ case class PortableHash64(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "portable_hash64"
 
-  @transient private lazy val md = java.security.MessageDigest.getInstance("MD5")
+  // per-THREAD digest, not per-instance: one expression instance can be
+  // evaluated concurrently (driver-side constant folding / local-relation
+  // eval vs. executor task threads share the instance through the plan),
+  // and MessageDigest is stateful — interleaved updates corrupt silently
+  @transient private lazy val md0 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
 
   override def nullSafeEval(salt: Any, value: Any): Any = {
+    val md = md0.get()
     md.reset()
     md.update(salt.asInstanceOf[UTF8String].getBytes)
     md.update(':'.toByte)

@@ -89,6 +89,7 @@ object Components {
     var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
+    try {
     while (!converged && iter < maxIterations) {
       val prev = labels
       // one (hop, jump) pass per checkpoint round: the jump doubles the
@@ -126,7 +127,9 @@ object Components {
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIterations rounds " +
           "(hop+jump contracts O(log diameter) — raise maxIterations)")
-    edges.unpersist()
     labels
+    } finally edges.unpersist() // also on the non-convergence throw —
+                                // don't pin checkpointed edge blocks in
+                                // executor storage for the session
   }
 }

@@ -1,10 +1,39 @@
 package graft.plans
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, EmptyBlock, FalseLiteral, TrueLiteral}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Constant-true predicate marking [[RangeJoinRewrite]]'s long-interval
+  * fallback join so the rule recognizes its own output across optimizer
+  * fixpoint iterations. The shape is load-bearing against the
+  * operator-optimization batch it runs in when injected via
+  * `spark.sql.extensions`:
+  *  - `foldable = false` — ConstantFolding can't collapse it to TRUE
+  *    even after FoldablePropagation substitutes literal children;
+  *  - it carries one reference from EACH join side — an always-true
+  *    conjunct referencing only one side (or none) would be pushed out
+  *    of an inner-join condition by PushPredicateThroughJoin, and an
+  *    unreferenced marker *column* is stripped by ColumnPruning (the
+  *    round-2 non-convergence bug: the rule re-rewrote its own fallback
+  *    branch every iteration until maxIterations).
+  * Runtime cost is zero: codegen emits the literal `true`.
+  */
+case class RangeJoinFallbackMarker(left: Expression, right: Expression)
+    extends BinaryExpression with Predicate {
+  override def foldable: Boolean = false
+  override def nullable: Boolean = false
+  override def eval(input: InternalRow): Any = true
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    ev.copy(code = EmptyBlock, isNull = FalseLiteral, value = TrueLiteral)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
 
 /** Optimizer rule (the §7.4 tier-(c) extension): rewrites a naive
   * point-in-interval join —
@@ -73,6 +102,13 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def alreadyRewritten(p: LogicalPlan): Boolean =
     p.output.exists(a => a.name == PointChunk || a.name == IntervalChunk)
 
+  /** The fallback join carries an unremovable marker conjunct (see
+    * [[RangeJoinFallbackMarker]]); an output-name probe is NOT enough
+    * there because the fallback branch has no live chunk column.
+    */
+  private def isOwnFallback(cond: Expression): Boolean =
+    cond.exists(_.isInstanceOf[RangeJoinFallbackMarker])
+
   /** A cross-side equality conjunct means Spark already plans a hash
     * join (key equi + range residual) — and covers manually-bucketed
     * plans like ops.RangeJoin's chunk equality. The rule targets only
@@ -81,7 +117,7 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
   private def hasCrossSideEquality(conjs: Seq[Expression], left: LogicalPlan,
                                    right: LogicalPlan): Boolean =
     conjs.exists {
-      case EqualTo(a, b) =>
+      case Equality(a, b) => // EqualTo and EqualNullSafe both plan as hash joins
         (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet) &&
           a.references.nonEmpty && b.references.nonEmpty) ||
         (a.references.subsetOf(right.outputSet) && b.references.subsetOf(left.outputSet) &&
@@ -93,7 +129,8 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
     if (!enabled) return plan
     plan.transformUp {
       case j @ Join(left, right, Inner, Some(cond), hint)
-          if j.resolved && !alreadyRewritten(left) && !alreadyRewritten(right) &&
+          if j.resolved && !isOwnFallback(cond) &&
+            !alreadyRewritten(left) && !alreadyRewritten(right) &&
             !hasCrossSideEquality(splitConjunctivePredicates(cond), left, right) =>
         containment(splitConjunctivePredicates(cond), left, right) match {
           case Some((ts, start, end, pointsOnLeft)) =>
@@ -125,17 +162,17 @@ object RangeJoinRewrite extends Rule[LogicalPlan] with PredicateHelper {
             // intervals longer than the cap (open-ended sentinels) keep
             // the nested-loop path — a bounded-memory union branch over
             // what is usually a tiny minority of rows — instead of
-            // exploding a multi-million-element chunk array. The constant
-            // __chunk_i marker makes alreadyRewritten() recognize this
-            // branch on the next optimizer fixpoint iteration: without it
-            // the rule re-matches its own fallback join and never
-            // converges (nesting a new Union per iteration).
-            val longIntervals = Project(
-              intervals.output :+ Alias(Literal(-1L), IntervalChunk)(),
-              Filter(And(GreaterThan(end, start), Not(spanOk)), intervals))
+            // exploding a multi-million-element chunk array. The marker
+            // conjunct (not a column: ColumnPruning strips unreferenced
+            // columns, and single-sided constants get pushed out of the
+            // condition) makes the rule recognize this branch on later
+            // fixpoint iterations instead of re-rewriting it forever.
+            val longIntervals =
+              Filter(And(GreaterThan(end, start), Not(spanOk)), intervals)
+            val longCond = And(cond, RangeJoinFallbackMarker(ts, end))
             val longJoin =
-              if (pointsOnLeft) Join(points, longIntervals, Inner, Some(cond), hint)
-              else Join(longIntervals, points, Inner, Some(cond), hint)
+              if (pointsOnLeft) Join(points, longIntervals, Inner, Some(longCond), hint)
+              else Join(longIntervals, points, Inner, Some(longCond), hint)
 
             Union(Seq(Project(j.output, shortJoin), Project(j.output, longJoin)))
           case None => j

@@ -102,7 +102,7 @@ object MlQueries {
   val mlHashSplit: QueryDef = {
     val h = OracleSql.hash64("'f'", "CAST(event_id AS VARCHAR)")
     QueryDef.sql("ml_hash_split",
-      s"""SELECT $h % 10 AS fold, count(*) AS n, sum(event_id) AS id_sum
+      s"""SELECT $h % 10 AS fold, count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum
          |FROM events GROUP BY 1 ORDER BY fold""".stripMargin) { (s, dir) =>
       import graft.ops.TextOps
       TextOps.ensureFunctions(s)

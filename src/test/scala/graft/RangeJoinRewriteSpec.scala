@@ -123,6 +123,56 @@ class RangeJoinRewriteSpec extends SparkSpec {
     } finally spark.experimental.extraOptimizations = prev
   }
 
+  test("rule converges inside the operator-optimization batch (spark.sql.extensions path)") {
+    // injectOptimizerRule places the rule in a fixpoint batch WITH
+    // ColumnPruning/CollapseProject/FoldablePropagation — the round-2 bug:
+    // those rules eroded the fallback-branch marker column each iteration,
+    // so the rule re-rewrote its own fallback join until maxIterations
+    // (throws under spark.testing, which sbt sets). The marker is now an
+    // unprunable cross-side conjunct; this builds a REAL extensions
+    // session and asserts convergence + exactness there.
+    import org.apache.spark.sql.SparkSession
+    val base = spark // force shared-session init before we swap defaults
+    val (wantRows, pRows, iRows) = {
+      import base.implicits._
+      val (points, intervals) = fixtures()
+      (naiveJoin(points, intervals).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted,
+        points.collect().map(r => (r.getLong(0), r.getTimestamp(1))).toSeq,
+        intervals.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSeq)
+    }
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    // spark.sql.extensions is read from the SparkContext conf, frozen at
+    // context creation — unreachable when tests share one context. The
+    // builder's withExtensions hits the IDENTICAL injectOptimizerRule →
+    // operator-optimization-batch path; only class-loading differs.
+    val ext = SparkSession.builder()
+      .withExtensions(new graft.functions.GraftExtensions()(_))
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try {
+      assert(ext ne base, "extensions test needs its own session")
+      import ext.implicits._
+      val points = pRows.toDF("pid", "pts")
+      // mix in a sentinel so the fallback branch is non-empty and itself
+      // subject to re-matching on every fixpoint iteration
+      val intervals = (iRows :+ ((999L, ts("2024-01-01 00:00:00"), ts("3000-01-01 00:00:00"))))
+        .toDF("iid", "istart", "iend")
+      val q = naiveJoin(points, intervals)
+      val opt = q.queryExecution.optimizedPlan.toString // throws on non-convergence under spark.testing
+      assert("Generate explode".r.findAllIn(opt).size === 1, s"re-entered rewrite:\n$opt")
+      val got = q.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      val want = (wantRows ++ pRows.map(p => (p._1, 999L))).sorted
+      assert(got === want)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
   test("rule respects the disable conf") {
     val (points, intervals) = fixtures()
     val prev = spark.experimental.extraOptimizations
