@@ -5,7 +5,7 @@ import org.apache.spark.ml.regression.{GeneralizedLinearRegression, GeneralizedL
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Tables, TimeKeys}
-import graft.ops.{HourRingFeatures, SeriesAggs, WindowOps}
+import graft.ops.{CompositeFeatureBuilder, HourRingFeatures, SeriesAggs, WindowOps}
 
 /** M2-M5: the reference's model stage (bicis/etl/models/poisson_regression
   * .py:12-47, evaluate_model.py:13-41) on Spark MLlib's identical GLM.
@@ -25,15 +25,23 @@ object Poisson {
       maxIter: Int = 1)            // reference default, poisson_regression.py:13
 
   /** ML dataset: event id, label = next-1h rents at the station, features
-    * = 24 cyclic hourly lags of the station's avg rents (W1).
+    * = `window` cyclic hourly lags of the station's avg rents AND avg
+    * returns (W1 — the reference emits BOTH measures per ring position,
+    * hour_feature_builder.py:44-45 over its two-measure Redis store
+    * :70-89, so the baseline model trains on 2×window features).
     */
   def buildDataset(spark: SparkSession, dir: String, cfg: Config = Config()): DataFrame = {
     val events = Tables.events(spark, dir)
+    def profileOf(eventType: String): DataFrame = {
+      val series = SeriesAggs.activePeriodAvg(
+        events.where(col("event_type") === eventType),
+        col("user_id"), TimeKeys.hourGroup(col("ts")), TimeKeys.hourKey(col("ts")), "v")
+      SeriesAggs.stationHourPivot(series, "v")
+    }
     val rents = events.where(col("event_type") === "click")
-    val hourSeries = SeriesAggs.activePeriodAvg(
-      rents, col("user_id"), TimeKeys.hourGroup(col("ts")), TimeKeys.hourKey(col("ts")), "v")
-    val profile = SeriesAggs.stationHourPivot(hourSeries, "v")
-    val ring = new HourRingFeatures(spark, profile, "n_rents", cfg.window)
+    val ring = new CompositeFeatureBuilder(Seq(
+      new HourRingFeatures(spark, profileOf("click"), "n_rents", cfg.window),
+      new HourRingFeatures(spark, profileOf("purchase"), "n_returns", cfg.window)))
     val feats = ring(events.select(col("event_id"), col("user_id"), col("ts")))
     // label counts RENTS (clicks) like the features' hour profile — the
     // reference's trip table is all-rents, so feature and target frames

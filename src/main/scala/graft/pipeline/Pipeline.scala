@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Ingest, Sinks, TimeKeys}
 import graft.ml.{Metrics, Models, Poisson}
-import graft.ops.{HourRingFeatures, SeriesAggs, TemporalSplit, WindowOps}
+import graft.ops.{CompositeFeatureBuilder, HourRingFeatures, SeriesAggs, TemporalSplit, WindowOps}
 
 /** End-to-end bicis pipeline as checkpointed stage composition — the
   * engine's replacement for the Luigi DAG + Redis memoization
@@ -77,16 +77,23 @@ object Pipeline {
     if (force0 || !graft.core.Fs.exists(spark, boundsPath))
       TemporalSplit.writeBoundsJson(spark, boundsRow, boundsPath)
 
-    // station hour profile from the training rents (A2 + A6/A7) — the
-    // training-fitted profile serves every split, like the reference's
-    // Redis store populated once from training
-    val profile = stage(spark, p("profile"), force0) {
-      val series = SeriesAggs.activePeriodAvg(train,
-        col("rent_station"), TimeKeys.hourGroup(col("rent_date")),
-        TimeKeys.hourKey(col("rent_date")), "v")
-      SeriesAggs.stationHourPivot(series, "v")
-    }
-    val ring = new HourRingFeatures(spark, profile, "n_rents", cfg.ring)
+    // station hour profiles from the training split (A2 + A6/A7) — the
+    // training-fitted profiles serve every split, like the reference's
+    // Redis store populated once from training. BOTH measures: the
+    // reference's store holds per-station hourly avg rents AND returns
+    // (hour_feature_builder.py:70-89) and get_features emits both rings
+    // (:44-45) — 2×ring features (48 at the default window).
+    def profileStage(name: String, station: String, when: String): DataFrame =
+      stage(spark, p(name), force0) {
+        val series = SeriesAggs.activePeriodAvg(train,
+          col(station), TimeKeys.hourGroup(col(when)), TimeKeys.hourKey(col(when)), "v")
+        SeriesAggs.stationHourPivot(series, "v")
+      }
+    val ring = new CompositeFeatureBuilder(Seq(
+      new HourRingFeatures(spark,
+        profileStage("profile", "rent_station", "rent_date"), "n_rents", cfg.ring),
+      new HourRingFeatures(spark,
+        profileStage("profile_returns", "return_station", "return_date"), "n_returns", cfg.ring)))
     val featureNames = ring.featureNames // single source for dataset + assembler
 
     // per-split dataset (BuildAllDatasets: training/validation/testing):

@@ -41,9 +41,21 @@ object BicisQueries {
     QueryDef.sql(s"series_$kind", seriesSql(Rent, group, key, "n_rents"))(series(kind, Rent, "n_rents"))
   }
 
+  /** basic_features.py:41-66 computes BOTH measures for all three keys —
+    * the returns-mode mirror of seriesQuery (hour is covered two-sided by
+    * series_join already).
+    */
+  private def seriesReturnsQuery(kind: String): QueryDef = {
+    val (group, key) = kindToDuck(kind)
+    QueryDef.sql(s"series_${kind}_returns",
+      seriesSql(Return, group, key, "n_returns"))(series(kind, Return, "n_returns"))
+  }
+
   val seriesWeekday: QueryDef = seriesQuery("weekday")
   val seriesHour: QueryDef = seriesQuery("hour")
   val seriesMonth: QueryDef = seriesQuery("month")
+  val seriesWeekdayReturns: QueryDef = seriesReturnsQuery("weekday")
+  val seriesMonthReturns: QueryDef = seriesReturnsQuery("month")
 
   /** J1: rents ⋈ returns hour series (broadcast-sized sides). */
   val seriesJoin: QueryDef = QueryDef.sql("series_join",
@@ -180,7 +192,8 @@ object BicisQueries {
   }
 
   val all: Seq[QueryDef] = Seq(
-    seriesWeekday, seriesHour, seriesMonth, seriesJoin, stationHourPivot,
+    seriesWeekday, seriesHour, seriesMonth, seriesWeekdayReturns,
+    seriesMonthReturns, seriesJoin, stationHourPivot,
     nextWindowTarget, tumblingHour, splitTraining, splitValidation, splitTesting,
     sessionize, qSessionWindow)
 }

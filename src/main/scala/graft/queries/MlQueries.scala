@@ -12,32 +12,39 @@ import graft.ops.{HourRingFeatures, SeriesAggs}
   */
 object MlQueries {
 
-  /** W1: 24 cyclic hourly lags of the station's avg rents per event,
-    * emitted long-form (event_id, i, n_rents) for the oracle.
+  /** W1: 24 cyclic hourly lags of the station's avg measure per event,
+    * emitted long-form (event_id, i, measure) for the oracle. One query
+    * per reference measure — get_features emits BOTH n_rents and
+    * n_returns rings (hour_feature_builder.py:44-45).
     */
-  val hourRingFeatures: QueryDef = QueryDef.sql("hour_ring_features",
-    """WITH c AS (SELECT user_id, date_trunc('hour', ts) AS g, CAST(hour(ts) AS BIGINT) AS k, count(*) AS n
-      |           FROM events WHERE event_type = 'click' GROUP BY 1, 2, 3),
-      |s AS (SELECT user_id, k, round(avg(n), 6) AS v FROM c GROUP BY 1, 2),
-      |st AS (SELECT DISTINCT user_id FROM s),
-      |ev AS (SELECT event_id, e.user_id, hour(ts) AS h FROM events e JOIN st USING (user_id)),
-      |ring AS (SELECT event_id, user_id, h, i, (((h - 1 - i) % 24) + 24) % 24 AS hh
-      |         FROM ev, range(0, 24) r(i)),
-      |j AS (SELECT r.event_id, CAST(r.i AS BIGINT) AS i, coalesce(s.v, 0.0) AS n_rents
-      |      FROM ring r LEFT JOIN s ON s.user_id = r.user_id AND s.k = r.hh)
-      |SELECT event_id, i, n_rents FROM j ORDER BY event_id, i""".stripMargin) { (s, dir) =>
-    val events = Tables.events(s, dir)
-    val rents = events.where(col("event_type") === "click")
-    val hourSeries = SeriesAggs.activePeriodAvg(
-      rents, col("user_id"), TimeKeys.hourGroup(col("ts")), TimeKeys.hourKey(col("ts")), "v")
-    val profile = SeriesAggs.stationHourPivot(hourSeries, "v")
-    val ring = new HourRingFeatures(s, profile, "n_rents")
-    ring(events.select(col("event_id"), col("user_id"), col("ts")))
-      .select(col("event_id"),
-        posexplode(array(ring.featureNames.map(col): _*)).as(Seq("i", "n_rents")))
-      .select(col("event_id"), col("i").cast("long").as("i"), col("n_rents"))
-      .orderBy(col("event_id"), col("i"))
-  }
+  private def hourRing(name: String, eventType: String, measure: String): QueryDef =
+    QueryDef.sql(name,
+      s"""WITH c AS (SELECT user_id, date_trunc('hour', ts) AS g, CAST(hour(ts) AS BIGINT) AS k, count(*) AS n
+        |           FROM events WHERE event_type = '$eventType' GROUP BY 1, 2, 3),
+        |s AS (SELECT user_id, k, round(avg(n), 6) AS v FROM c GROUP BY 1, 2),
+        |st AS (SELECT DISTINCT user_id FROM s),
+        |ev AS (SELECT event_id, e.user_id, hour(ts) AS h FROM events e JOIN st USING (user_id)),
+        |ring AS (SELECT event_id, user_id, h, i, (((h - 1 - i) % 24) + 24) % 24 AS hh
+        |         FROM ev, range(0, 24) r(i)),
+        |j AS (SELECT r.event_id, CAST(r.i AS BIGINT) AS i, coalesce(s.v, 0.0) AS $measure
+        |      FROM ring r LEFT JOIN s ON s.user_id = r.user_id AND s.k = r.hh)
+        |SELECT event_id, i, $measure FROM j ORDER BY event_id, i""".stripMargin) { (s, dir) =>
+      val events = Tables.events(s, dir)
+      val typed = events.where(col("event_type") === eventType)
+      val hourSeries = SeriesAggs.activePeriodAvg(
+        typed, col("user_id"), TimeKeys.hourGroup(col("ts")), TimeKeys.hourKey(col("ts")), "v")
+      val profile = SeriesAggs.stationHourPivot(hourSeries, "v")
+      val ring = new HourRingFeatures(s, profile, measure)
+      ring(events.select(col("event_id"), col("user_id"), col("ts")))
+        .select(col("event_id"),
+          posexplode(array(ring.featureNames.map(col): _*)).as(Seq("i", measure)))
+        .select(col("event_id"), col("i").cast("long").as("i"), col(measure))
+        .orderBy(col("event_id"), col("i"))
+    }
+
+  val hourRingFeatures: QueryDef = hourRing("hour_ring_features", "click", "n_rents")
+  val hourRingFeaturesReturns: QueryDef =
+    hourRing("hour_ring_features_returns", "purchase", "n_returns")
 
   /** M2-M5 end to end: fit Poisson GLM on (W1 features, A5 targets),
     * predict. Weaker rows-only driver check (no oracle).
@@ -136,6 +143,6 @@ object MlQueries {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(hourRingFeatures, mlPoissonPredict, mlZscore,
-    mlLagFeatures, mlHashSplit, mlSampleStratified)
+  val all: Seq[QueryDef] = Seq(hourRingFeatures, hourRingFeaturesReturns,
+    mlPoissonPredict, mlZscore, mlLagFeatures, mlHashSplit, mlSampleStratified)
 }

@@ -35,6 +35,12 @@ class PipelineSpec extends SparkSpec {
     assert(r1.trainCount > 0 && r1.valCount > 0 && r1.testCount > 0)
     assert(r1.datasetCount > 0 && r1.predictionCount === r1.datasetCount)
     assert(!r1.mse.isNaN && r1.mse >= 0.0)
+    // 2×ring features: rents AND returns measures per ring position
+    // (hour_feature_builder.py:44-45) — 48 columns at the default window
+    val dsCols = spark.read.parquet(s"$out/dataset_training").columns
+    assert(dsCols.count(_.endsWith("_hb")) === 48, dsCols.mkString(","))
+    assert((0 until 24).forall(i =>
+      dsCols.contains(s"n_rents_${i}_hb") && dsCols.contains(s"n_returns_${i}_hb")))
     assert(new java.io.File(s"$out/split_bounds.json").exists())
     // M5: every split evaluated with every configured registry metric
     assert(r1.metrics.keySet === Set("training", "validation", "testing"))

@@ -8,16 +8,19 @@ import graft.ml.Poisson
 class PoissonSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
 
-  test("dataset shape: one row per labeled event, 24 ring features") {
+  test("dataset shape: one row per labeled event, 2x24 ring features (rents AND returns)") {
     val ds = Poisson.buildDataset(spark, dir)
-    assert(ds.columns.count(_.endsWith("_hb")) === 24)
+    // hour_feature_builder.py:44-45 — BOTH measures per ring position
+    assert(ds.columns.count(_.endsWith("_hb")) === 48)
+    assert((0 until 24).forall(i => ds.columns.contains(s"n_rents_${i}_hb")))
+    assert((0 until 24).forall(i => ds.columns.contains(s"n_returns_${i}_hb")))
     assert(ds.count() > 0)
   }
 
   test("fit + predict: counts preserved, MSE finite, save/load roundtrip") {
     val cfg = Poisson.Config()
     val ds = Poisson.buildDataset(spark, dir, cfg)
-    val assembled = Poisson.assemble(ds, (0 until 24).map(i => s"n_rents_${i}_hb")).cache()
+    val assembled = Poisson.assemble(ds, ds.columns.filter(_.endsWith("_hb")).toSeq).cache()
     val model = Poisson.fit(assembled, cfg)
     val pred = Poisson.predict(model, assembled)
     assert(pred.count() === assembled.count())
@@ -34,7 +37,7 @@ class PoissonSpec extends SparkSpec {
   test("M5 metric registry: dispatch by name, one-pass evaluate agrees") {
     import graft.ml.Metrics
     val ds = Poisson.buildDataset(spark, dir)
-    val assembled = Poisson.assemble(ds, (0 until 24).map(i => s"n_rents_${i}_hb")).cache()
+    val assembled = Poisson.assemble(ds, ds.columns.filter(_.endsWith("_hb")).toSeq).cache()
     val pred = Poisson.predict(Poisson.fit(assembled), assembled).cache()
     val one = Metrics.evaluate(pred, Seq("mse", "rmse", "mae"))
     // registry dispatch (the object_loader-by-name analog) matches
@@ -49,7 +52,7 @@ class PoissonSpec extends SparkSpec {
   test("M3/model trait: families fit/save/load/predict via registry") {
     import graft.ml.Models
     val ds = Poisson.buildDataset(spark, dir)
-    val assembled = Poisson.assemble(ds, (0 until 24).map(i => s"n_rents_${i}_hb")).cache()
+    val assembled = Poisson.assemble(ds, ds.columns.filter(_.endsWith("_hb")).toSeq).cache()
     val tmp = java.nio.file.Files.createTempDirectory("fam").toString
     Models.registry.foreach { case (name, fam) =>
       val m = fam.fit(assembled)
