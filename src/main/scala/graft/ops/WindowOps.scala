@@ -21,8 +21,9 @@ import org.apache.spark.sql.functions._
   * microsecond event time: one hash exchange on the partition key, one
   * sort, one WindowExec — and the full-window mask reuses the same
   * partitioning (an unordered max window), so Catalyst plans ONE shuffle.
-  * At 100 TB a hot station is handled by AQE skew hints upstream or by
-  * pre-bucketing the events table on the partition key.
+  * At 100 TB a hot station is handled by [[forwardWindowCountChunked]] —
+  * a window frame cannot be AQE-split, so skew needs the time-chunk
+  * decomposition, not a join-style hint.
   */
 object WindowOps {
 
@@ -41,6 +42,52 @@ object WindowOps {
       .withColumn("__max", max(col("__us")).over(whole))
       .where(col("__us") <= col("__max") - windowMicros)
       .select(col(idCol), col("n_rents"))
+  }
+
+  /** A5 under key skew: the plain operator's window exchange puts a whole
+    * key in ONE task (a window frame cannot be AQE-split the way a skewed
+    * join can), so a station with 30% of all events serializes 30% of the
+    * work. This variant decomposes TIME instead: events are duplicated
+    * into their own `window`-sized chunk (owner row) and the previous
+    * chunk (context row) — an event's [t, t+w) frame spans at most those
+    * two chunks — and the window runs within (key, chunk) partitions.
+    * Each real event appears exactly once per partition (chunk-c events
+    * as owners, chunk-c+1 events as context), so the frame count equals
+    * the plain operator's (WindowOpsSpec proves equality, hot key
+    * included). The full-window cutoff comes from a tiny per-key
+    * aggregate joined back (Catalyst broadcasts it under the threshold)
+    * instead of a whole-partition max window, which would re-serialize
+    * the hot key.
+    *
+    * Cost: 2× shuffle rows. Win: parallelism = keys × active chunks, so
+    * a hot key's work spreads over its time range. Use when one key
+    * holds ≳ a task's worth of rows; the plain operator is cheaper on
+    * balanced keys (SkewProbe records the crossover).
+    */
+  def forwardWindowCountChunked(events: DataFrame, partKey: String, tsCol: String,
+                                idCol: String, windowMicros: Long): DataFrame = {
+    require(windowMicros > 0, "windowMicros must be positive")
+    val w = windowMicros
+    val base = events.select(col(partKey).as("__k"), col(idCol).as("__id"),
+      unix_micros(col(tsCol).cast("timestamp")).as("__us"))
+    val cutoffs = base.groupBy(col("__k")).agg(max(col("__us")).as("__mx"))
+    // exact floor division for any sign: align to the positive remainder,
+    // then `div` (which truncates) is exact on the aligned numerator
+    val chunk = expr(s"(__us - pmod(__us, ${w}L)) div ${w}L")
+    val dup = base.select(col("__k"), col("__id"), col("__us"),
+      explode(array(
+        struct(chunk.as("__chunk"), lit(true).as("__own")),
+        struct((chunk - 1).as("__chunk"), lit(false).as("__own")))).as("__d"))
+      .select(col("__k"), col("__id"), col("__us"),
+        col("__d.__chunk").as("__chunk"), col("__d.__own").as("__own"))
+    val frame = Window.partitionBy(col("__k"), col("__chunk")).orderBy(col("__us"))
+      .rangeBetween(0L, w - 1)
+    dup
+      .withColumn("n_rents", count(lit(1)).over(frame).cast("long"))
+      .where(col("__own"))
+      .join(cutoffs, "__k")
+      .where(col("__us") <= col("__mx") - w)
+      .select(col("__id").as(idCol), col("n_rents"))
   }
 
   /** Typed escape hatch for A5 (SURVEY.md §7.4): same semantics via

@@ -63,6 +63,26 @@ class WindowOpsSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("time-chunked skew variant matches the plain window, hot key included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // one key carries 50% of events (the skew scenario the variant
+    // exists for), plus chunk-boundary-aligned timestamps to pin the
+    // owner/context split, plus duplicate timestamps for tie semantics
+    val df = (1 to 600).map { i =>
+      val key = if (i % 2 == 0) 0L else rnd.nextInt(4).toLong + 1L
+      val off = if (i % 37 == 0) (i / 37) * 3600L else rnd.nextInt(96 * 3600).toLong
+      (i.toLong, key, off)
+    }.toDF("event_id", "user_id", "off")
+      .withColumn("ts", timestamp_seconds(col("off") + 1700000000L))
+    val a = WindowOps.forwardWindowCount(df, "user_id", "ts", "event_id", Hour)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = WindowOps.forwardWindowCountChunked(df, "user_id", "ts", "event_id", Hour)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b === a)
+    assert(a.nonEmpty)
+  }
+
   test("tumbling 1h count equals hour truncation") {
     import spark.implicits._
     val df = Seq((0L, "2024-01-01 00:10:00"), (1L, "2024-01-01 00:50:00"),
