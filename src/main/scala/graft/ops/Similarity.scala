@@ -36,10 +36,33 @@ object Similarity {
     when(denom === 0.0, lit(null)).otherwise(round(num / denom, 6))
   }
 
-  /** Axis-aligned LSH bucket: 8 sign bits from the first 8 dims. */
+  /** Axis-aligned LSH bucket: 8 sign bits from the first 8 dims. Kept as
+    * the ORACLE form (trivially expressible in DuckDB); production uses
+    * [[hyperplaneBucket]] — axis-aligned planes skew badly when leading
+    * dims are correlated (e.g. all-positive first components put the
+    * whole corpus in one bucket).
+    */
   def signBucket(vCol: String, bits: Int = 8): Column = expr(
     s"""CAST(aggregate(sequence(0, ${bits - 1}), 0,
        |  (acc, i) -> acc + IF($vCol[i] >= CAST(0 AS DOUBLE), shiftleft(1, i), 0)) AS BIGINT)""".stripMargin)
+
+  /** Random-hyperplane LSH bucket (production tier): bit b = sign of
+    * v · r_b where r_b's components are seeded pseudo-random values in
+    * [-1, 1] derived from murmur3 `hash(seed, b, i)` — deterministic
+    * across runs/partitionings/engines, no hyperplane table to ship
+    * (each executor recomputes components inline, codegen'd higher-order
+    * functions, no UDF). `bits` sizes the bucket space (2^bits); at
+    * corpus scale bits should grow with n to hold the per-bucket pair
+    * count (n²/2^bits) near-constant — the knob the axis-aligned form
+    * lacked. Same bucket-equi-join downstream shape as [[signBucket]].
+    */
+  def hyperplaneBucket(vCol: String, bits: Int, seed: Int): Column = expr(
+    s"""CAST(aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT),
+       |  (acc, b) -> acc + IF(
+       |    aggregate(sequence(0, size($vCol) - 1), CAST(0 AS DOUBLE),
+       |      (dot, i) -> dot + $vCol[i] *
+       |        ((pmod(hash($seed, b, i), 2001) - 1000) / CAST(1000 AS DOUBLE))) >= CAST(0 AS DOUBLE),
+       |    shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))) AS BIGINT)""".stripMargin)
 
   /** Top-k per query with deterministic (sim desc, nid) ranking. */
   def topK(pairs: DataFrame, k: Int): DataFrame = {

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+/** LSH bucket properties: the axis-aligned oracle form degenerates on
+  * correlated leading dims; the seeded random-hyperplane form must
+  * spread the same corpus, be deterministic per seed, and vary by seed.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  /** 2000 vectors, dim 16, ALL components positive — the pathological
+    * corpus for axis-aligned sign bits (every first-8-dims sign is +).
+    */
+  private def positiveCorpus() =
+    spark.range(2000).select(col("id").as("vec_id"), expr(
+      "transform(sequence(0, 15), i -> (pmod(hash(id, i), 1000) + 1) / CAST(1000 AS DOUBLE))").as("v"))
+
+  test("axis-aligned buckets collapse on a positive corpus; hyperplane buckets spread it") {
+    val df = positiveCorpus()
+      .withColumn("axis", Similarity.signBucket("v"))
+      .withColumn("hyp", Similarity.hyperplaneBucket("v", bits = 8, seed = 1))
+      .cache()
+    try {
+      // all 8 leading components positive -> one bucket for the WHOLE corpus
+      assert(df.select(countDistinct(col("axis"))).head().getLong(0) === 1L)
+      val counts = df.groupBy(col("hyp")).count().collect().map(_.getLong(1))
+      val distinct = counts.length
+      val maxShare = counts.max.toDouble / 2000.0
+      // spread over a meaningful fraction of the 256-bucket space, with
+      // no single bucket holding a majority. Residual concentration is
+      // the DATA's: an all-positive corpus is genuinely clustered in
+      // cosine space (origin-through hyperplanes see the mean offset),
+      // so near-uniform balance is not achievable nor desirable — the
+      // property that matters vs the axis form is collapse avoidance.
+      assert(distinct >= 64, s"only $distinct hyperplane buckets")
+      assert(maxShare < 0.5, s"hot bucket holds ${maxShare * 100}% of the corpus")
+    } finally df.unpersist()
+  }
+
+  test("hyperplane buckets are deterministic per seed and differ across seeds") {
+    val df = positiveCorpus()
+      .withColumn("b1", Similarity.hyperplaneBucket("v", bits = 8, seed = 42))
+      .withColumn("b1b", Similarity.hyperplaneBucket("v", bits = 8, seed = 42))
+      .withColumn("b2", Similarity.hyperplaneBucket("v", bits = 8, seed = 43))
+    assert(df.where(col("b1") =!= col("b1b")).count() === 0L)
+    assert(df.where(col("b1") =!= col("b2")).count() > 0L)
+  }
+
+  test("bits parameter bounds the bucket space") {
+    val df = positiveCorpus()
+      .withColumn("b", Similarity.hyperplaneBucket("v", bits = 4, seed = 7))
+    val buckets = df.select(col("b")).distinct().collect().map(_.getLong(0))
+    assert(buckets.forall(b => b >= 0 && b < 16))
+  }
+
+  test("near-duplicate vectors land in the same hyperplane bucket (the LSH property)") {
+    // pairs (v, v + tiny noise): cosine ~ 1, so nearly every pair must
+    // collide; a far vector (negated) must not follow its partner
+    val df = spark.range(500).select(col("id"), expr(
+        "transform(sequence(0, 15), i -> (pmod(hash(id, i), 2001) - 1000) / CAST(1000 AS DOUBLE))").as("v"))
+      .withColumn("vnear", expr(
+        "transform(sequence(0, 15), i -> v[i] + (pmod(hash(id, i, 99), 21) - 10) / CAST(10000 AS DOUBLE))"))
+      .withColumn("vfar", expr("transform(v, x -> -x)"))
+      .withColumn("b", Similarity.hyperplaneBucket("v", 8, 5))
+      .withColumn("bn", Similarity.hyperplaneBucket("vnear", 8, 5))
+      .withColumn("bf", Similarity.hyperplaneBucket("vfar", 8, 5))
+      .cache()
+    try {
+      val nearHit = df.where(col("b") === col("bn")).count() / 500.0
+      val farHit = df.where(col("b") === col("bf")).count() / 500.0
+      assert(nearHit > 0.9, s"near-dup collision rate $nearHit")
+      assert(farHit < 0.05, s"negated vectors collide at $farHit")
+    } finally df.unpersist()
+  }
+}
