@@ -58,22 +58,47 @@ object Multimodal {
       }
   }
 
-  final case class Resized(doc_id: Long, out_w: Long, out_h: Long, out_bytes: Long)
+  final case class Resized(doc_id: Long, out_w: Long, out_h: Long, out_bytes: Long,
+                           out_media: Array[Byte])
 
-  /** Resize-to-max-width stub: clamps width to `maxW`, scales height
-    * proportionally (integer math), and reports the resized payload size
-    * (w·h·3, the stub's stand-in for an RGB re-encode). Runs inside the
-    * same per-partition decoder batch as [[decode]]; a real
-    * implementation would transform the binary payload here and emit it
-    * as a new binary column.
+  private def resizedDims(m: MediaMeta, maxW: Long): (Long, Long) = {
+    val w = math.min(m.width, maxW)
+    (w, math.max(1L, m.height * w / m.width))
+  }
+
+  /** Resize-to-max-width: clamps width to `maxW`, scales height
+    * proportionally (integer math), and emits the re-encoded payload as a
+    * new binary column — the production shape: a resized image IS a new
+    * byte buffer riding next to its id into the next parquet stage. The
+    * stub "re-encode" fills exactly w·h·3 bytes (RGB) with a
+    * deterministic per-doc pattern; a real codec replaces the fill with
+    * the encoder call, same shape and schema. Runs in the same
+    * per-partition decoder batch as [[decode]].
     */
   def resize(spark: SparkSession, media: DataFrame, maxW: Long = 256L): Dataset[Resized] = {
     import spark.implicits._
     decode(spark, media).map { m =>
-      val w = math.min(m.width, maxW)
-      val h = math.max(1L, m.height * w / m.width)
-      Resized(m.doc_id, w, h, w * h * 3L)
+      val (w, h) = resizedDims(m, maxW)
+      val n = (w * h * 3L).toInt
+      // STUB re-encode: deterministic byte pattern (real codec goes here)
+      val payload = new Array[Byte](n)
+      var i = 0
+      while (i < n) { payload(i) = ((m.doc_id * 31 + i * 7) & 0xFF).toByte; i += 1 }
+      Resized(m.doc_id, w, h, n.toLong, payload)
     }
+  }
+
+  /** Metadata-only projection of [[resize]] for the oracle/bench tier —
+    * dimension arithmetic without materializing payload bytes (the typed
+    * map in resize() computes its payload even under a downstream
+    * .select, so metadata consumers get their own path).
+    */
+  def resizeMeta(spark: SparkSession, media: DataFrame, maxW: Long = 256L): DataFrame = {
+    import spark.implicits._
+    decode(spark, media).map { m =>
+      val (w, h) = resizedDims(m, maxW)
+      (m.doc_id, w, h, w * h * 3L)
+    }.toDF("doc_id", "out_w", "out_h", "out_bytes")
   }
 
   final case class FrameRef(doc_id: Long, frame_idx: Long, fp: Long)

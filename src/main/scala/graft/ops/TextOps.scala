@@ -42,14 +42,34 @@ object TextOps {
   def ensureFunctions(spark: org.apache.spark.sql.SparkSession): Unit =
     graft.functions.PortableHash64.register(spark)
 
-  /** Production hash: Spark-native xxhash64 (codegen'd, ~10× faster than
-    * the md5 path — no hex round-trip). Not DuckDB-reproducible, so
-    * oracle-checked queries keep [[portableHash64Sql]]; the dedup
+  /** Production hash tier: Spark-native xxhash64 (codegen'd, no hex
+    * round-trip — far cheaper PER CALL than the md5 path). Measured
+    * END-TO-END (BASELINE.md r4): family totals are within host variance
+    * of the portable tier at sf0.1, because the shared signature table
+    * computes hashes once per corpus and tokenization/sort/joins dominate
+    * that stage. The tier matters when hashing dominates (very long
+    * documents, signatures recomputed per pass). Not DuckDB-reproducible,
+    * so oracle-checked queries keep [[portableHash64Sql]]; the dedup
     * operators are hash-agnostic (TextOpsSpec proves identical pair
-    * output under either), so clusters at 100 TB run this one.
+    * output under either). A/B via `SPARK_GRAFT_HASH=xxhash64`.
     */
   def xxhash64Sql(saltSql: String, valueSql: String): String =
     s"xxhash64(CAST($saltSql AS STRING), $valueSql)"
+
+  /** Session-selected shingle hash tier: `spark.graft.hash` conf (env
+    * `SPARK_GRAFT_HASH` as the fallback, so `graft.Bench` A/Bs the
+    * production tier without code changes) — "xxhash64" picks the
+    * codegen'd production hash, anything else the DuckDB-checkable
+    * portable md5. Oracle runs MUST stay on the default: xxhash64 is not
+    * DuckDB-reproducible (pair output is identical — hash-agnostic,
+    * TextOpsSpec — but hash-valued columns differ).
+    */
+  def activeHash(spark: org.apache.spark.sql.SparkSession): HashSql =
+    spark.conf.get("spark.graft.hash",
+        sys.env.getOrElse("SPARK_GRAFT_HASH", "portable")) match {
+      case "xxhash64" => xxhash64Sql
+      case _          => portableHash64Sql
+    }
 
   val wordsExpr: Column = expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
 

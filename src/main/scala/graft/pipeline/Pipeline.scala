@@ -24,7 +24,11 @@ final case class PipelineConfig(
     ring: Int = 24,
     model: Poisson.Config = Poisson.Config(),
     modelName: String = "poisson",               // Models.registry dispatch
-    metricNames: Seq[String] = Seq("mse", "rmse", "mae"))
+    metricNames: Seq[String] = Seq("mse", "rmse", "mae"),
+    // reference-format header-CSV sidecar next to each predictions stage
+    // (poisson_regression.py:43-47 writes predictions as header CSV);
+    // parquet stays the stage boundary — the CSV is export parity only
+    csvPredictions: Boolean = false)
 
 final case class PipelineResult(
     unifiedCount: Long, trainCount: Long, valCount: Long, testCount: Long,
@@ -158,6 +162,10 @@ object Pipeline {
       // parquet through the stage-skip guard
       val pred = stage(spark, p(s"predictions_$name"), force0 || !modelLoaded)(
         model.predict(asm))
+      if (cfg.csvPredictions &&
+          (force0 || !modelLoaded ||
+            !graft.core.Fs.exists(spark, p(s"predictions_csv_$name/_SUCCESS"))))
+        Sinks.csvWithHeader(pred, p(s"predictions_csv_$name"))
       val m = Metrics.evaluate(pred, cfg.metricNames)
       graft.core.Fs.writeString(spark, p(s"metrics_$name.json"),
         Metrics.toJson(m, cfg.metricNames))

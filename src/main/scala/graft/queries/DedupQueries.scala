@@ -74,13 +74,15 @@ object DedupQueries {
     new java.util.concurrent.ConcurrentHashMap[(Int, String, String), org.apache.spark.sql.DataFrame]()
 
   private[graft] def docHashes(s: org.apache.spark.sql.SparkSession, dir: String,
-                               hash: TextOps.HashSql = TextOps.portableHash64Sql) =
+                               hash: TextOps.HashSql = null) = {
+    val h = Option(hash).getOrElse(TextOps.activeHash(s)) // bench A/B hook
     if (!s.conf.get("spark.graft.dedup.shareSignatures", "true").toBoolean)
-      buildDocHashes(s, dir, hash)
+      buildDocHashes(s, dir, h)
     else hsCache.computeIfAbsent(
-      (System.identityHashCode(s), dir, hash("'s'", "x")),
-      _ => buildDocHashes(s, dir, hash)
+      (System.identityHashCode(s), dir, h("'s'", "x")),
+      _ => buildDocHashes(s, dir, h)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   private def duckJaccard(a: String, b: String): String =
     s"""round(len(list_intersect($a, $b))::DOUBLE /

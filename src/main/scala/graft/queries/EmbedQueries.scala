@@ -178,8 +178,7 @@ object EmbedQueries {
          |SELECT doc_id, out_w, out_h, out_w * out_h * 3 AS out_bytes
          |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val media = Multimodal.mediaTable(s, Tables.documents(s, dir))
-      Multimodal.resize(s, media).toDF()
-        .select(col("doc_id"), col("out_w"), col("out_h"), col("out_bytes"))
+      Multimodal.resizeMeta(s, media)
         .orderBy(col("doc_id"))
     }
   }

@@ -24,4 +24,26 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_.doc_id).toSeq === Seq(1L, 2L, 3L))
     assert(out.map(_.n_bytes).toSeq === Seq(5L, 4L, 5L))
   }
+
+  test("resize emits the re-encoded payload: |out_media| == out_bytes == w*h*3, deterministic") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val media = Multimodal.mediaTable(spark, docs)
+    val out = Multimodal.resize(spark, media).collect().sortBy(_.doc_id)
+    assert(out.length === 3)
+    out.foreach { r =>
+      assert(r.out_media.length.toLong === r.out_bytes, s"doc ${r.doc_id}")
+      assert(r.out_bytes === r.out_w * r.out_h * 3L, s"doc ${r.doc_id}")
+      assert(r.out_w >= 1 && r.out_w <= 256 && r.out_h >= 1)
+    }
+    // stub re-encode is deterministic (same doc -> same bytes)
+    val again = Multimodal.resize(spark, media).collect().sortBy(_.doc_id)
+    out.zip(again).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a.out_media, b.out_media), s"doc ${a.doc_id}")
+    }
+    // metadata projection agrees with the payload-emitting operator
+    val meta = Multimodal.resizeMeta(spark, media).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(meta.toSeq === out.toSeq.map(r => (r.doc_id, r.out_w, r.out_h, r.out_bytes)))
+  }
 }

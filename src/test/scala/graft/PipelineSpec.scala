@@ -75,9 +75,19 @@ class PipelineSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("pipe2").toString
     val csv = genCsv(dir)
     val r = Pipeline.run(spark, Seq(csv), s"$dir/out",
-      PipelineConfig(modelName = "linear", metricNames = Seq("rmse", "mae")))
+      PipelineConfig(modelName = "linear", metricNames = Seq("rmse", "mae"),
+        csvPredictions = true))
     assert(r.predictionCount === r.datasetCount)
     assert(r.metrics("training").keySet === Set("rmse", "mae"))
+    // S5 export parity: header-CSV predictions sidecar per split
+    // (poisson_regression.py:43-47), behind the csvPredictions flag
+    Seq("training", "validation", "testing").foreach { n =>
+      val d = new java.io.File(s"$dir/out/predictions_csv_$n")
+      assert(new java.io.File(d, "_SUCCESS").exists(), s"csv sidecar missing for $n")
+      val part = d.listFiles().find(_.getName.endsWith(".csv")).get
+      val header = scala.io.Source.fromFile(part).getLines().next()
+      assert(header.split(",").contains("prediction"), header)
+    }
     assert(!r.metrics("validation")("rmse").isNaN)
     assert(r.mse.isNaN) // mse not configured -> NaN, not a thrown key error
 

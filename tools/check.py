@@ -24,13 +24,38 @@ def norm(df):
         df = df.iloc[key.argsort(kind="stable")].reset_index(drop=True)
     return df
 
-def main():
-    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+def connect(sf_dir):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    return con
+
+def parse_only(sf_dir, oracle_path):
+    """Build-time gate: EXPLAIN every oracle SQL (parse + bind against the
+    real table schemas) without needing Spark results. Catches registry
+    typos at test time instead of driver time; value-level type artifacts
+    (e.g. HUGEINT stringification) still need the full compare."""
+    con = connect(sf_dir)
+    oracle = json.load(open(oracle_path))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            con.sql(f"EXPLAIN {sql}")
+            n_pass += 1
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+    print(f"== parse-only: {n_pass} pass / {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+def main():
+    if sys.argv[1] == "--parse-only":
+        parse_only(sys.argv[2], sys.argv[3])
+        return
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = connect(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
