@@ -101,6 +101,25 @@ object BicisQueries {
       .orderBy("event_id")
   }
 
+  /** A5 skew variant, oracle-checked against the SAME SQL as the plain
+    * operator: the time-chunk decomposition must be output-identical
+    * (WindowOpsSpec proves it on fixtures; this proves it on the real
+    * events table against DuckDB).
+    */
+  val nextWindowTargetChunked: QueryDef = QueryDef.sql("next_window_target_chunked",
+    s"""WITH b AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+       |w AS (SELECT event_id, us,
+       |        count(*) OVER (PARTITION BY user_id ORDER BY us
+       |                       RANGE BETWEEN CURRENT ROW AND ${HourMicros - 1} FOLLOWING) AS c,
+       |        max(us) OVER (PARTITION BY user_id) AS mx
+       |      FROM b)
+       |SELECT event_id, CAST(c AS BIGINT) AS n_rents FROM w
+       |WHERE us <= mx - $HourMicros ORDER BY event_id""".stripMargin) { (s, dir) =>
+    WindowOps.forwardWindowCountChunked(
+        Tables.events(s, dir), "user_id", "ts", "event_id", HourMicros)
+      .orderBy("event_id")
+  }
+
   /** A10: tumbling 1-hour count (aligned windows == date_trunc in the oracle). */
   val tumblingHour: QueryDef = QueryDef.sql("tumbling_hour",
     """SELECT date_trunc('hour', ts) AS ws, count(*) AS n
@@ -194,6 +213,7 @@ object BicisQueries {
   val all: Seq[QueryDef] = Seq(
     seriesWeekday, seriesHour, seriesMonth, seriesWeekdayReturns,
     seriesMonthReturns, seriesJoin, stationHourPivot,
-    nextWindowTarget, tumblingHour, splitTraining, splitValidation, splitTesting,
+    nextWindowTarget, nextWindowTargetChunked, tumblingHour,
+    splitTraining, splitValidation, splitTesting,
     sessionize, qSessionWindow)
 }
