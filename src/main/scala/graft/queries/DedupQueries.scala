@@ -279,6 +279,36 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark decontamination — the pass every training corpus runs
+    * before release: flag documents sharing any 3-gram shingle with a
+    * benchmark/eval set, reporting the distinct-overlap count as the
+    * contamination score. The benchmark here is a deterministic slice of
+    * the corpus (doc_id % 97 = 0 stands in for the external eval suite;
+    * production points the same plan at a real benchmark table).
+    *
+    * Shape at 100 TB: the benchmark shingle set is SMALL (eval suites are
+    * thousands of docs) — it broadcasts, and contamination is one scan of
+    * the corpus's exploded shingles + a map-side semi-ish join + count.
+    * No shuffle of the corpus text itself; reuses the shared signature
+    * table, so the shingle pipeline is already paid for.
+    */
+  val dedupDecontaminate: QueryDef = QueryDef.sql("dedup_decontaminate",
+    s"""WITH $hashCte,
+       |bm AS (SELECT DISTINCT unnest(hs) AS h FROM hs WHERE doc_id % 97 = 0),
+       |tok AS (SELECT doc_id, unnest(hs) AS h FROM hs WHERE doc_id % 97 <> 0)
+       |SELECT doc_id, count(*) AS n_hits
+       |FROM tok JOIN bm USING (h)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val hs = docHashes(s, dir)
+    val bm = hs.where(col("doc_id") % 97 === 0)
+      .select(explode(col("hs")).as("h")).distinct()
+    hs.where(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), explode(col("hs")).as("h"))
+      .join(broadcast(bm), "h") // hs entries are distinct per doc -> count = distinct overlap
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh,
-    dedupSimhash, dedupClusters, dedupSurvivors)
+    dedupSimhash, dedupClusters, dedupSurvivors, dedupDecontaminate)
 }

@@ -143,6 +143,47 @@ object MlQueries {
     }
   }
 
+  /** Sequence packing (concat-and-chunk, the GPT-style pretraining
+    * layout): documents are deterministically sharded by a portable id
+    * hash, concatenated per shard in doc_id order, and split into
+    * `budget`-token context windows — seq_id = the window the document
+    * STARTS in (floor of the preceding-token cumsum / budget). One
+    * running-sum window per shard: parallelism = shards (a production
+    * run sizes shards to the cluster; 8 keeps the oracle deterministic),
+    * and each shard's pass is a streaming cumulative sum, never a
+    * whole-corpus sort.
+    */
+  val mlPackSequences: QueryDef = {
+    val budget = 512
+    val shards = 8
+    val h = OracleSql.hash64("'pk'", "CAST(doc_id AS VARCHAR)")
+    QueryDef.sql("ml_pack_sequences",
+      s"""WITH t AS (SELECT doc_id, $h % $shards AS shard,
+         |             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tok
+         |           FROM documents),
+         |c AS (SELECT doc_id, shard, n_tok,
+         |        sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM t)
+         |SELECT doc_id, shard, n_tok, (cum - n_tok) // $budget AS seq_id
+         |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.TextOps
+      TextOps.ensureFunctions(s)
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          (expr(TextOps.portableHash64Sql("'pk'", "CAST(doc_id AS STRING)")) % shards).as("shard"),
+          expr("regexp_count(lower(text), '[a-z0-9]+')").cast("long").as("n_tok"))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("shard"), col("n_tok"),
+          expr(s"(cum - n_tok) div $budget").as("seq_id"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(hourRingFeatures, hourRingFeaturesReturns,
-    mlPoissonPredict, mlZscore, mlLagFeatures, mlHashSplit, mlSampleStratified)
+    mlPoissonPredict, mlZscore, mlLagFeatures, mlHashSplit, mlSampleStratified,
+    mlPackSequences)
 }
