@@ -209,7 +209,34 @@ object TextQueries {
     }
   }
 
+  /** PII scrub — the redaction pass a training corpus runs before use:
+    * count and replace email addresses and URLs with placeholder tokens.
+    * Patterns stay in the Java-regex ∩ RE2 common subset so Spark and
+    * DuckDB match identically; the redacted text is emitted as an md5
+    * checksum (compact to compare, still pins every byte). Single scan,
+    * pure codegen'd string expressions — at 100 TB this is a map-only
+    * stage with zero shuffle.
+    */
+  val textPiiScrub: QueryDef = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val url = "https?://[^ \\t\\n]+"
+    QueryDef.sql("text_pii_scrub",
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$url')) AS BIGINT) AS n_urls,
+         |  md5(regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'), '$url', '<URL>', 'g')) AS redacted_md5
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        regexp_count(col("text"), lit(email)).cast("long").as("n_emails"),
+        regexp_count(col("text"), lit(url)).cast("long").as("n_urls"),
+        md5(regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"), url, "<URL>")
+          .cast("binary")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(textTokenCount, textLangId, textQualityScore,
     textFingerprint, textRollingHash, textTopPerLang, textTopNgrams,
-    sketchDistinctKmv)
+    sketchDistinctKmv, textPiiScrub)
 }

@@ -95,6 +95,16 @@ class PlanSpec extends SparkSpec {
     assert(ps.contains("LeftAnti"), s"expected anti join in:\n$ps")
   }
 
+  test("decontamination broadcasts the benchmark shingles; packing shuffles once on the shard key") {
+    val pd = plan(graft.queries.DedupQueries.dedupDecontaminate)
+    assert(pd.contains("BroadcastHashJoin"), s"benchmark set not broadcast in:\n$pd")
+    assert(!pd.contains("SortMergeJoin"), s"corpus-side shuffle join in:\n$pd")
+    val pp = plan(graft.queries.MlQueries.mlPackSequences)
+    // one hash exchange on the shard key feeding the running sum; the
+    // only other exchange is the final deterministic orderBy
+    assert("hashpartitioning\\(shard".r.findAllIn(pp).size === 1, s"extra shard exchanges in:\n$pp")
+  }
+
   test("ml_zscore / q_above_avg use grouped stats + broadcast join, not a low-cardinality window") {
     val pz = plan(graft.queries.MlQueries.mlZscore)
     assert(!pz.contains("Window"), s"window over ~3-value l_returnflag in:\n$pz")

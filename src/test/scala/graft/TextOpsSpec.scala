@@ -66,4 +66,30 @@ class TextOpsSpec extends SparkSpec {
     // the prefix filter's global hash order differs but loses no recall
     assert(xx === portable)
   }
+
+  test("PII scrub counts and redacts planted emails/URLs (testdata has none to exercise it)") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    val docs = Seq(
+      (1L, "contact me at jane.doe+x@example.org or http://ex.com/a?b=1 thanks"),
+      (2L, "no pii here at all"),
+      (3L, "two mails a@b.co c.d@e-f.io and https://x.y/z")).toDF("doc_id", "text")
+    // run the registered query's Spark side against a planted frame by
+    // swapping the table read for a temp view is overkill — reuse the
+    // same expressions directly
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val url = "https?://[^ \\t\\n]+"
+    def scrub(df: DataFrame) = df.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(email)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(url)).cast("long").as("n_urls"),
+      regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"), url, "<URL>").as("red"))
+    val out = scrub(docs).collect().sortBy(_.getLong(0))
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq === Seq((1L, 1L), (0L, 0L), (2L, 1L)))
+    out.foreach { r =>
+      val red = r.getString(3)
+      assert(!red.matches(s".*$email.*") && !red.matches(s".*$url.*"), red)
+    }
+    assert(out(0).getString(3) === "contact me at <EMAIL> or <URL> thanks")
+  }
 }
