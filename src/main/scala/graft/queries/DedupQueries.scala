@@ -119,6 +119,25 @@ object DedupQueries {
       .select(col("i"), col("j"), col("sim"))
   }
 
+  /** Same memo pattern as [[docHashes]] one level up: the J-threshold
+    * pair table (i, j, sim) is consumed by three family members
+    * (ngram_jaccard emits it, clusters runs CC over it, survivors
+    * anti-joins its CC) — the verified-pair table is tiny (true near-dup
+    * pairs), so persisting it costs nothing and saves two candidate-join
+    * + verify passes per run. Production analog: a persisted pairs table
+    * next to the signature table, refreshed with the corpus snapshot.
+    */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), org.apache.spark.sql.DataFrame]()
+
+  private[graft] def sharedPairs(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    if (!s.conf.get("spark.graft.dedup.shareSignatures", "true").toBoolean)
+      prefixFilteredPairs(docHashes(s, dir))
+    else pairsCache.computeIfAbsent(
+      (System.identityHashCode(s), dir, TextOps.activeHash(s)("'s'", "x")),
+      _ => prefixFilteredPairs(docHashes(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   val dedupExact: QueryDef = QueryDef.sql("dedup_exact",
     """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
       |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin) { (s, dir) =>
@@ -135,7 +154,7 @@ object DedupQueries {
     s"""WITH $hashCte,
        |$duckPairsCte
        |SELECT i, j, sim FROM pairs WHERE sim >= 0.8 ORDER BY i, j""".stripMargin) { (s, dir) =>
-    prefixFilteredPairs(docHashes(s, dir))
+    sharedPairs(s, dir)
       .where(col("sim") >= 0.8)
       .orderBy(col("i"), col("j"))
   }
@@ -242,7 +261,7 @@ object DedupQueries {
        |reach AS (SELECT a AS node, a AS r FROM e
        |          UNION SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.node)
        |SELECT node, min(r) AS rep FROM reach GROUP BY node ORDER BY node""".stripMargin) { (s, dir) =>
-    val pairs = prefixFilteredPairs(docHashes(s, dir))
+    val pairs = sharedPairs(s, dir)
       .where(col("sim") >= 0.8)
       .select(col("i"), col("j"))
     graft.ops.Components.connectedComponents(pairs)
@@ -268,7 +287,7 @@ object DedupQueries {
        |SELECT d.doc_id FROM documents d LEFT JOIN cl ON d.doc_id = cl.node
        |WHERE cl.node IS NULL OR cl.rep = d.doc_id
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val pairs = prefixFilteredPairs(docHashes(s, dir))
+    val pairs = sharedPairs(s, dir)
       .where(col("sim") >= 0.8)
       .select(col("i"), col("j"))
     val dropList = graft.ops.Components.connectedComponents(pairs)
