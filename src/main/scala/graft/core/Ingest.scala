@@ -134,7 +134,7 @@ object Ingest {
     val schema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("id",
         org.apache.spark.sql.types.LongType, nullable = false) +: base.schema.fields)
-    val rows = base.rdd.zipWithIndex.map { case (row, i) =>
+    val rows = base.rdd.zipWithIndex().map { case (row, i) =>
       org.apache.spark.sql.Row.fromSeq(i +: row.toSeq)
     }
     spark.createDataFrame(rows, schema)

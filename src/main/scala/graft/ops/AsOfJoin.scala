@@ -59,7 +59,7 @@ object AsOfJoin {
       .withColumn("__payload",
         struct(col(rightTs).cast("timestamp").as("__ts0") +: carry.map(col): _*))
     val rAligned = leftCols.foldLeft(rTagged.drop(right.columns.filterNot(
-      Seq("__ts", "__is_r", "__k", "__payload").contains): _*)) { (df, c) =>
+      Seq("__ts", "__is_r", "__k", "__payload").contains).toIndexedSeq: _*)) { (df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
 

@@ -107,7 +107,7 @@ object TextOps {
   def barrier(df: DataFrame, key: String): DataFrame = {
     val others = df.columns.filterNot(_ == key)
     df.groupBy(col(key)).agg(first(col(others.head)).as(others.head),
-      others.tail.map(c => first(col(c)).as(c)): _*)
+      others.tail.toIndexedSeq.map(c => first(col(c)).as(c)): _*)
   }
 
   /** doc_id + non-empty shingle set behind ONE barrier: the slice/zip
