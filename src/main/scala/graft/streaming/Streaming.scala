@@ -177,6 +177,31 @@ object Streaming {
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
 
+  /** Stream-static decontamination: incoming documents checked against a
+    * STATIC benchmark shingle-hash table (`h: bigint`) — the in-flight
+    * twin of the batch `dedup_decontaminate` pass. STATELESS by design:
+    * the benchmark set is collapsed to one broadcast array row and the
+    * overlap is a pure projection (`array_intersect`), so the query runs
+    * in append mode with no state store, no watermark, and no shuffle —
+    * eval suites are small, corpora are not; put the small side in the
+    * row. Emits (doc_id, n_hits) for contaminated documents only.
+    * Callers must `TextOps.ensureFunctions` on the session first.
+    */
+  def streamingDecontaminate(docs: DataFrame, benchmarkHashes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val bm = broadcast(benchmarkHashes.agg(collect_set(col("h")).as("__bm")))
+    docs
+      .withColumn("__w", graft.ops.TextOps.wordsExpr)
+      .select(col("doc_id"), graft.ops.TextOps.shinglesExpr.as("__sh"))
+      .where(size(col("__sh")) > 0)
+      .select(col("doc_id"), expr(
+        s"transform(__sh, x -> ${graft.ops.TextOps.portableHash64Sql("'g'", "x")})").as("__hs"))
+      .crossJoin(bm)
+      .select(col("doc_id"),
+        size(array_intersect(col("__hs"), col("__bm"))).cast("long").as("n_hits"))
+      .where(col("n_hits") > 0)
+  }
+
   /** Incrementally-maintained per-station hour profile (the Redis hash
     * `{station}_{hour} -> counts` as proper keyed state). Emits the
     * updated (station, hour, running count) rows per micro-batch.

@@ -141,6 +141,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("stream-static decontamination flags docs overlapping the benchmark, statelessly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.ops.TextOps.ensureFunctions(spark)
+    // benchmark = shingles of one known eval document
+    val bench = Seq((0L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val bm = bench
+      .withColumn("__w", graft.ops.TextOps.wordsExpr)
+      .select(explode(graft.ops.TextOps.shinglesExpr).as("s"))
+      .select(expr(graft.ops.TextOps.portableHash64Sql("'g'", "s")).as("h"))
+      .distinct()
+    val ms = MemoryStream[(Long, String)]
+    val query = Streaming.streamingDecontaminate(ms.toDF().toDF("doc_id", "text"), bm)
+      .writeStream.format("memory").queryName("decon_t").outputMode("append").start()
+    try {
+      ms.addData(
+        (1L, "totally clean document with fresh words only"),
+        (2L, "he saw the quick brown fox jumps away"), // shares 3 shingles
+        (3L, "xy"))                                     // < 3 words -> no shingles
+      query.processAllAvailable()
+      ms.addData((4L, "the quick brown fox jumps over the lazy dog indeed")) // heavy overlap
+      query.processAllAvailable()
+      val got = spark.table("decon_t").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.keySet === Set(2L, 4L))
+      // "the quick brown", "quick brown fox", "brown fox jumps"
+      assert(got(2L) === 3L)
+      assert(got(4L) >= 6L)  // nearly the whole benchmark shingle set
+    } finally query.stop()
+  }
+
   test("session windows merge activity and split on gaps") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
