@@ -236,7 +236,49 @@ object TextQueries {
     }
   }
 
+  /** Intra-document repetition — the Gopher-style quality signal exact
+    * dedup can't see: the fraction of duplicate words and duplicate
+    * 3-grams WITHIN one document (boilerplate, copy-paste loops, decoding
+    * glitches repeat locally). Pure single-scan array arithmetic over the
+    * shared tokenization contract; docs under 3 words report 0 trigram
+    * repetition rather than a null/divide-by-zero.
+    */
+  val textRepetition: QueryDef = QueryDef.sql("text_repetition",
+    """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+      |g AS (SELECT doc_id, w,
+      |        CASE WHEN len(w) >= 3
+      |          THEN [w[i] || ' ' || w[i+1] || ' ' || w[i+2] for i in range(1, len(w) - 1)]
+      |          ELSE [] END AS t
+      |      FROM w)
+      |SELECT doc_id,
+      |  CAST(len(w) AS BIGINT) AS n_words,
+      |  CASE WHEN len(w) > 0
+      |    THEN round(1.0 - len(list_distinct(w))::DOUBLE / len(w), 6) ELSE 0.0 END AS dup_word_ratio,
+      |  CASE WHEN len(t) > 0
+      |    THEN round(1.0 - len(list_distinct(t))::DOUBLE / len(t), 6) ELSE 0.0 END AS dup_trigram_ratio
+      |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val grams = expr(
+      """CASE WHEN size(__w) >= 3 THEN
+        |  transform(arrays_zip(slice(__w, 1, size(__w) - 2),
+        |                       slice(__w, 2, size(__w) - 2),
+        |                       slice(__w, 3, size(__w) - 2)),
+        |            p -> concat_ws(' ', p.`0`, p.`1`, p.`2`))
+        |ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)
+    Tables.documents(s, dir)
+      .withColumn("__w", TextOps.wordsExpr)
+      .withColumn("__t", grams)
+      .select(col("doc_id"),
+        size(col("__w")).cast("long").as("n_words"),
+        when(size(col("__w")) > 0,
+          round(lit(1.0) - size(array_distinct(col("__w"))).cast("double") / size(col("__w")), 6))
+          .otherwise(0.0).as("dup_word_ratio"),
+        when(size(col("__t")) > 0,
+          round(lit(1.0) - size(array_distinct(col("__t"))).cast("double") / size(col("__t")), 6))
+          .otherwise(0.0).as("dup_trigram_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(textTokenCount, textLangId, textQualityScore,
     textFingerprint, textRollingHash, textTopPerLang, textTopNgrams,
-    sketchDistinctKmv, textPiiScrub)
+    sketchDistinctKmv, textPiiScrub, textRepetition)
 }
