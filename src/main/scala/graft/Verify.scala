@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Oracle runs MUST use the DuckDB-reproducible portable hash — pin it
+      // so a stray SPARK_GRAFT_HASH=xxhash64 in the env can't flip the
+      // dedup queries off the oracle-checkable tier (TextOps.activeHash).
+      .config("spark.graft.hash", "portable")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -39,9 +39,15 @@ object Poisson {
       SeriesAggs.stationHourPivot(series, "v")
     }
     val rents = events.where(col("event_type") === "click")
+    // ONE joined two-measure profile (stations active in either measure,
+    // missing measure zero-filled) feeding both rings — the reference
+    // joins measures once at the basic-features stage and zero-fills
+    // after the pivot (hour_feature_builder.py:70-89); two independent
+    // inner joins would drop trips at rents-only stations.
+    val prof = HourRingFeatures.joinedProfile(profileOf("click"), profileOf("purchase"))
     val ring = new CompositeFeatureBuilder(Seq(
-      new HourRingFeatures(spark, profileOf("click"), "n_rents", cfg.window),
-      new HourRingFeatures(spark, profileOf("purchase"), "n_returns", cfg.window)))
+      new HourRingFeatures(spark, prof.select(col("user_id"), col("__prof_n_rents")), "n_rents", cfg.window),
+      new HourRingFeatures(spark, prof.select(col("user_id"), col("__prof_n_returns")), "n_returns", cfg.window)))
     val feats = ring(events.select(col("event_id"), col("user_id"), col("ts")))
     // label counts RENTS (clicks) like the features' hour profile — the
     // reference's trip table is all-rents, so feature and target frames

@@ -37,13 +37,44 @@ final class CompositeFeatureBuilder(builders: Seq[FeatureBuilder]) extends Featu
   * one measure; stations absent from the profile are dropped (inner
   * join), missing hours are zero-filled by the pivot.
   */
+object HourRingFeatures {
+  private def arrayed(pivot: DataFrame, name: String): DataFrame =
+    pivot.select(col("user_id"), array((0 to 23).map(h => col(s"h$h")): _*).as(name))
+
+  /** Reference semantics for the TWO-measure ring (hour_feature_builder
+    * .py:44-45 over the joined rents+returns store :70-89): ONE profile
+    * holding both measures' hour arrays — stations active in EITHER
+    * measure are kept (full-outer join), a missing measure is a
+    * zero-filled 24-array (the reference zero-fills missing
+    * (station,hour) cells after its pivot). Feeding both rings from this
+    * keeps trips at stations with rents but no returns, where two
+    * independent inner joins would drop them.
+    */
+  def joinedProfile(rentsPivot: DataFrame, returnsPivot: DataFrame,
+                    m1: String = "n_rents", m2: String = "n_returns"): DataFrame = {
+    def zeros = array(Seq.fill(24)(lit(0.0)): _*)
+    arrayed(rentsPivot, s"__prof_$m1")
+      .join(arrayed(returnsPivot, s"__prof_$m2"), Seq("user_id"), "full_outer")
+      .select(col("user_id"),
+        coalesce(col(s"__prof_$m1"), zeros).as(s"__prof_$m1"),
+        coalesce(col(s"__prof_$m2"), zeros).as(s"__prof_$m2"))
+  }
+}
+
 final class HourRingFeatures(spark: SparkSession, profile: DataFrame,
                              measure: String, window: Int = 24) extends FeatureBuilder {
   val featureNames: Seq[String] = (0 until window).map(i => s"${measure}_${i}_hb")
 
-  def apply(trips: DataFrame): DataFrame = {
-    val profArr = profile.select(col("user_id"),
+  /** `profile` is either the wide A6/A7 pivot (user_id, h0..h23) or a
+    * pre-arrayed (user_id, __prof_<measure>) projection of
+    * [[HourRingFeatures.joinedProfile]] — auto-detected by column name. */
+  private def profArr: DataFrame =
+    if (profile.columns.contains(s"__prof_$measure"))
+      profile.select(col("user_id"), col(s"__prof_$measure"))
+    else profile.select(col("user_id"),
       array((0 to 23).map(h => col(s"h$h")): _*).as(s"__prof_$measure"))
+
+  def apply(trips: DataFrame): DataFrame = {
     val withProf = trips
       .join(broadcast(profArr), "user_id")
       .withColumn("__h", TimeKeys.hourKey(col("ts")))
@@ -54,4 +85,19 @@ final class HourRingFeatures(spark: SparkSession, profile: DataFrame,
     withProf.select(Seq(col("*")) ++ ringCols: _*)
       .drop(s"__prof_$measure", "__h")
   }
+
+  /** Long form (idCol, i, measure) in ONE small expression —
+    * `posexplode(transform(sequence(0,w-1), i -> prof[(h-1-i) mod 24]))`
+    * — instead of the wide path's 24 named projections + array(). The
+    * wide form compiles a ~24-column whole-stage method whose one-time
+    * JIT cost dominated fresh-JVM benches (r4: 6.8 s cold vs 3.2 s for
+    * the identical-shape twin); this form keeps codegen tiny. Semantics
+    * identical to apply() + posexplode(array(featureNames)).
+    */
+  def applyLong(trips: DataFrame, idCol: String): DataFrame =
+    trips.join(broadcast(profArr), "user_id")
+      .withColumn("__h", TimeKeys.hourKey(col("ts")))
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, ${window - 1}), i -> `__prof_$measure`[(((__h - 1 - i) % 24) + 24) % 24])"
+      )).as(Seq("i", measure)))
 }

@@ -79,6 +79,10 @@ object Multimodal {
     import spark.implicits._
     decode(spark, media).map { m =>
       val (w, h) = resizedDims(m, maxW)
+      // (w*h*3L).toInt silently overflows negative on a pathological
+      // aspect ratio (huge height, width clamped) — fail loudly instead.
+      require(w * h * 3L <= Int.MaxValue,
+        s"resize payload ${w}x$h exceeds max byte-array size (doc_id=${m.doc_id})")
       val n = (w * h * 3L).toInt
       // STUB re-encode: deterministic byte pattern (real codec goes here)
       val payload = new Array[Byte](n)

@@ -71,17 +71,60 @@ object DedupQueries {
     * `spark.graft.dedup.shareSignatures=false` to re-derive per query.
     */
   private val hsCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), org.apache.spark.sql.DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), org.apache.spark.sql.DataFrame]()
+
+  /** Cache key for the owning session: a UUID minted on first use and
+    * pinned in the SESSION-scoped conf (globally unique, no cross-session
+    * collisions — identityHashCode is NOT unique; sessionUUID is
+    * package-private). Entries are evicted + unpersisted when the
+    * session's application ends, so the memo can't pin executor blocks
+    * past the session lifetime. Known limitation (documented, not
+    * detected): entries go stale if the parquet under `dir` is REWRITTEN
+    * within one session — a corpus snapshot is immutable in the
+    * production analog; set `spark.graft.dedup.shareSignatures=false`
+    * when rewriting inputs.
+    */
+  private def sessionKey(s: org.apache.spark.sql.SparkSession): String = synchronized {
+    s.conf.getOption("spark.graft.dedup.sessionKey").getOrElse {
+      val k = java.util.UUID.randomUUID().toString
+      s.conf.set("spark.graft.dedup.sessionKey", k)
+      k
+    }
+  }
+
+  private val evictionRegistered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def registerEviction(s: org.apache.spark.sql.SparkSession): Unit = {
+    val uuid = sessionKey(s)
+    if (evictionRegistered.add(uuid))
+      s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+          import scala.jdk.CollectionConverters._
+          Seq(hsCache, pairsCache).foreach { cache =>
+            cache.keySet.asScala.filter(_._1 == uuid).foreach { k =>
+              // context is stopping: blocks die with it; removal is the point
+              Option(cache.remove(k)).foreach(df =>
+                try df.unpersist(false) catch { case _: Throwable => () })
+            }
+          }
+          evictionRegistered.remove(uuid)
+        }
+      })
+  }
 
   private[graft] def docHashes(s: org.apache.spark.sql.SparkSession, dir: String,
                                hash: TextOps.HashSql = null) = {
     val h = Option(hash).getOrElse(TextOps.activeHash(s)) // bench A/B hook
     if (!s.conf.get("spark.graft.dedup.shareSignatures", "true").toBoolean)
       buildDocHashes(s, dir, h)
-    else hsCache.computeIfAbsent(
-      (System.identityHashCode(s), dir, h("'s'", "x")),
-      _ => buildDocHashes(s, dir, h)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    else {
+      registerEviction(s)
+      hsCache.computeIfAbsent(
+        (sessionKey(s), dir, h("'s'", "x")),
+        _ => buildDocHashes(s, dir, h)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
   }
 
   private def duckJaccard(a: String, b: String): String =
@@ -128,15 +171,18 @@ object DedupQueries {
     * next to the signature table, refreshed with the corpus snapshot.
     */
   private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String, String), org.apache.spark.sql.DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), org.apache.spark.sql.DataFrame]()
 
   private[graft] def sharedPairs(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     if (!s.conf.get("spark.graft.dedup.shareSignatures", "true").toBoolean)
       prefixFilteredPairs(docHashes(s, dir))
-    else pairsCache.computeIfAbsent(
-      (System.identityHashCode(s), dir, TextOps.activeHash(s)("'s'", "x")),
-      _ => prefixFilteredPairs(docHashes(s, dir))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    else {
+      registerEviction(s)
+      pairsCache.computeIfAbsent(
+        (sessionKey(s), dir, TextOps.activeHash(s)("'s'", "x")),
+        _ => prefixFilteredPairs(docHashes(s, dir))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
 
   val dedupExact: QueryDef = QueryDef.sql("dedup_exact",
     """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n

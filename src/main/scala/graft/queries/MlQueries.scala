@@ -35,9 +35,7 @@ object MlQueries {
         typed, col("user_id"), TimeKeys.hourGroup(col("ts")), TimeKeys.hourKey(col("ts")), "v")
       val profile = SeriesAggs.stationHourPivot(hourSeries, "v")
       val ring = new HourRingFeatures(s, profile, measure)
-      ring(events.select(col("event_id"), col("user_id"), col("ts")))
-        .select(col("event_id"),
-          posexplode(array(ring.featureNames.map(col): _*)).as(Seq("i", measure)))
+      ring.applyLong(events.select(col("event_id"), col("user_id"), col("ts")), "event_id")
         .select(col("event_id"), col("i").cast("long").as("i"), col(measure))
         .orderBy(col("event_id"), col("i"))
     }
@@ -147,7 +145,9 @@ object MlQueries {
     * layout): documents are deterministically sharded by a portable id
     * hash, concatenated per shard in doc_id order, and split into
     * `budget`-token context windows — seq_id = the window the document
-    * STARTS in (floor of the preceding-token cumsum / budget). One
+    * STARTS in (floor of the preceding-token cumsum / budget) and
+    * seq_offset = its token offset within that window (what a packing
+    * job actually writes next to each document). One
     * running-sum window per shard: parallelism = shards (a production
     * run sizes shards to the cluster; 8 keeps the oracle deterministic),
     * and each shard's pass is a streaming cumulative sum, never a
@@ -165,7 +165,9 @@ object MlQueries {
          |        sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
          |                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |      FROM t)
-         |SELECT doc_id, shard, n_tok, (cum - n_tok) // $budget AS seq_id
+         |SELECT doc_id, shard, n_tok,
+         |  CAST((cum - n_tok) // $budget AS BIGINT) AS seq_id,
+         |  CAST((cum - n_tok) % $budget AS BIGINT) AS seq_offset
          |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       import graft.ops.TextOps
@@ -178,7 +180,8 @@ object MlQueries {
           expr("regexp_count(lower(text), '[a-z0-9]+')").cast("long").as("n_tok"))
         .withColumn("cum", sum(col("n_tok")).over(w))
         .select(col("doc_id"), col("shard"), col("n_tok"),
-          expr(s"(cum - n_tok) div $budget").as("seq_id"))
+          expr(s"(cum - n_tok) div $budget").as("seq_id"),
+          expr(s"(cum - n_tok) % $budget").as("seq_offset"))
         .orderBy(col("doc_id"))
     }
   }
