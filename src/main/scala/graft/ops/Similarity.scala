@@ -64,6 +64,23 @@ object Similarity {
        |        ((pmod(hash($seed, b, i), 2001) - 1000) / CAST(1000 AS DOUBLE))) >= CAST(0 AS DOUBLE),
        |    shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))) AS BIGINT)""".stripMargin)
 
+  /** Driver-side materialization of [[hyperplaneBucket]]'s planes:
+    * r_b[i] = (pmod(murmur3(seed, b, i), 2001) - 1000) / 1000. The hash
+    * args are CONSTANTS, so the planes are a pure function of
+    * (bits, seed, dim) — this lets the DuckDB oracle inline them as
+    * literal arrays (no murmur3 needed on the oracle side) and
+    * SimilaritySpec prove bit-parity with the inline-murmur3 expression.
+    * Composition mirrors Spark's Murmur3Hash fold: seed 42, then one
+    * hashInt per int argument.
+    */
+  def hyperplanes(bits: Int, seed: Int, dim: Int): Seq[Array[Double]] = {
+    import org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt
+    (0 until bits).map { b =>
+      val hb = hashInt(b, hashInt(seed, 42))
+      Array.tabulate(dim)(i => (Math.floorMod(hashInt(i, hb), 2001) - 1000) / 1000.0)
+    }
+  }
+
   /** Top-k per query with deterministic (sim desc, nid) ranking. */
   def topK(pairs: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -140,27 +140,72 @@ object EmbedQueries {
          |  round(count(lt.nid) / 5.0, 6) AS recall
          |FROM bt LEFT JOIN lt ON bt.qid = lt.qid AND bt.nid = lt.nid
          |GROUP BY bt.qid ORDER BY bt.qid""".stripMargin) { (s, dir) =>
-      val b = Similarity.vectors(Tables.embeddings(s, dir))
-        .withColumn("bucket", Similarity.signBucket("v"))
-      val q = b.where(col("vec_id") < 10)
-        .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
-      val c = b.where(col("vec_id") >= 10)
-        .select(col("vec_id").as("nid"), col("v").as("cv"), col("bucket"))
-      val brute = Similarity.topK(
-        c.crossJoin(broadcast(q.drop("bucket")))
-          .withColumn("sim", Similarity.cosine("qv", "cv"))
-          .select(col("qid"), col("nid"), col("sim")), 5)
-        .select(col("qid"), col("nid"))
-      val lsh = Similarity.topK(
-        c.join(broadcast(q), "bucket")
-          .withColumn("sim", Similarity.cosine("qv", "cv"))
-          .select(col("qid"), col("nid"), col("sim")), 5)
-        .select(col("qid").as("lqid"), col("nid").as("lnid"))
-      brute.join(lsh, brute("qid") === lsh("lqid") && brute("nid") === lsh("lnid"), "left")
-        .groupBy(col("qid"))
-        .agg(count(col("lnid")).as("n_hit"),
-          round(count(col("lnid")) / 5.0, 6).as("recall"))
-        .orderBy(col("qid"))
+      recallAt5(s, dir, Similarity.signBucket("v"))
+    }
+  }
+
+  /** Shared recall@5 frame: exact brute-force top-5 (queries broadcast)
+    * vs single-bucket-probe top-5 under `bucket`, per query vector —
+    * both rankings and the intersection in one plan.
+    */
+  private def recallAt5(s: org.apache.spark.sql.SparkSession, dir: String,
+                        bucket: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    val b = Similarity.vectors(Tables.embeddings(s, dir)).withColumn("bucket", bucket)
+    val q = b.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
+    val c = b.where(col("vec_id") >= 10)
+      .select(col("vec_id").as("nid"), col("v").as("cv"), col("bucket"))
+    val brute = Similarity.topK(
+      c.crossJoin(broadcast(q.drop("bucket")))
+        .withColumn("sim", Similarity.cosine("qv", "cv"))
+        .select(col("qid"), col("nid"), col("sim")), 5)
+      .select(col("qid"), col("nid"))
+    val lsh = Similarity.topK(
+      c.join(broadcast(q), "bucket")
+        .withColumn("sim", Similarity.cosine("qv", "cv"))
+        .select(col("qid"), col("nid"), col("sim")), 5)
+      .select(col("qid").as("lqid"), col("nid").as("lnid"))
+    brute.join(lsh, brute("qid") === lsh("lqid") && brute("nid") === lsh("lnid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("lnid")).as("n_hit"),
+        round(count(col("lnid")) / 5.0, 6).as("recall"))
+      .orderBy(col("qid"))
+  }
+
+  /** Recall@5 of the PRODUCTION ANN tier — random-hyperplane LSH
+    * (Similarity.hyperplaneBucket, seeded murmur3 planes) — against the
+    * exact brute-force top-5. Oracle trick: the planes are pure
+    * CONSTANTS of (bits, seed, dim), so they are materialized driver-side
+    * (Similarity.hyperplanes — SimilaritySpec proves bit-parity with the
+    * inline-murmur3 expression) and inlined into the DuckDB SQL as
+    * literal arrays; no murmur3 needed on the oracle side. Same 8-bit
+    * budget as embed_lsh_recall, so the pair (sign vs hyperplane) is a
+    * direct bucket-quality A/B at equal cost.
+    */
+  val embedHyperplaneRecall: QueryDef = {
+    val bits = 8; val seed = 7; val dim = 64
+    val hpValues = Similarity.hyperplanes(bits, seed, dim).zipWithIndex
+      .map { case (r, b) => s"($b, [${r.mkString(", ")}])" }.mkString(", ")
+    QueryDef.sql("embed_hyperplane_recall",
+      s"""WITH $duckVectors,
+         |hp(b, r) AS (VALUES $hpValues),
+         |vb AS (SELECT vec_id, v,
+         |         CAST(sum(CASE WHEN list_sum([v[i+1] * r[i+1] for i in range(0, $dim)]) >= 0
+         |                  THEN (1 << b) ELSE 0 END) AS BIGINT) AS bucket
+         |       FROM v, hp GROUP BY vec_id, v),
+         |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM vb WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS nid, v AS cv, bucket FROM vb WHERE vec_id >= 10),
+         |bp AS (SELECT qid, nid, ${duckCos("qv", "cv")} AS sim FROM c, q),
+         |br AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM bp),
+         |bt AS (SELECT qid, nid FROM br WHERE rnk <= 5),
+         |lp AS (SELECT qid, nid, ${duckCos("qv", "cv")} AS sim FROM c JOIN q USING (bucket)),
+         |lr AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM lp),
+         |lt AS (SELECT qid, nid FROM lr WHERE rnk <= 5)
+         |SELECT bt.qid, CAST(count(lt.nid) AS BIGINT) AS n_hit,
+         |  round(count(lt.nid) / 5.0, 6) AS recall
+         |FROM bt LEFT JOIN lt ON bt.qid = lt.qid AND bt.nid = lt.nid
+         |GROUP BY bt.qid ORDER BY bt.qid""".stripMargin) { (s, dir) =>
+      recallAt5(s, dir, Similarity.hyperplaneBucket("v", bits, seed))
     }
   }
 
@@ -320,5 +365,6 @@ object EmbedQueries {
 
   val all: Seq[QueryDef] = Seq(embedKnnBrute, embedKnnLsh, embedCentroids,
     multimodalMeta, multimodalFramesample, multimodalResize, embedNorms,
-    embedKnnIvf, dedupEmbedCosine, embedQuantize, embedLshRecall)
+    embedKnnIvf, dedupEmbedCosine, embedQuantize, embedLshRecall,
+    embedHyperplaneRecall)
 }

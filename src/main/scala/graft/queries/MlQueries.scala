@@ -44,6 +44,48 @@ object MlQueries {
   val hourRingFeaturesReturns: QueryDef =
     hourRing("hour_ring_features_returns", "purchase", "n_returns")
 
+  /** The J2 ML dataset build (ml/Poisson.buildDataset, mirroring
+    * build_dataset.py:63-141), hash-checked long-form: (event_id, label,
+    * i, feature) where i 0..23 = the n_rents ring, 24..47 = the n_returns
+    * ring, label = the A5 forward-window count. This oracles the exact
+    * frame the GLM trains on — a silent feature/label misalignment or a
+    * ring-order regression fails the hash here (the fit itself stays
+    * rows-only by design, SURVEY.md §5.2). Station universe = active in
+    * EITHER measure (joined profile, missing measure zero-filled).
+    */
+  val mlDataset: QueryDef = QueryDef.sql("ml_dataset",
+    s"""WITH c AS (SELECT user_id, event_type, date_trunc('hour', ts) AS g,
+      |             CAST(hour(ts) AS BIGINT) AS k, count(*) AS n
+      |           FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2, 3, 4),
+      |s AS (SELECT user_id, event_type, k, round(avg(n), 6) AS v FROM c GROUP BY 1, 2, 3),
+      |st AS (SELECT DISTINCT user_id FROM s),
+      |lab AS (SELECT event_id, CAST(c AS DOUBLE) AS label FROM (
+      |          SELECT event_id, us,
+      |            count(*) OVER (PARTITION BY user_id ORDER BY us
+      |                           RANGE BETWEEN CURRENT ROW AND 3599999999 FOLLOWING) AS c,
+      |            max(us) OVER (PARTITION BY user_id) AS mx
+      |          FROM (SELECT event_id, user_id, epoch_us(ts) AS us
+      |                FROM events WHERE event_type = 'click'))
+      |        WHERE us <= mx - 3600000000),
+      |ev AS (SELECT e.event_id, e.user_id, hour(e.ts) AS h, l.label
+      |       FROM events e JOIN st USING (user_id) JOIN lab l ON l.event_id = e.event_id),
+      |ring AS (SELECT event_id, label, user_id, i,
+      |           CASE WHEN i < 24 THEN 'click' ELSE 'purchase' END AS m,
+      |           (((h - 1 - (i % 24)) % 24) + 24) % 24 AS hh
+      |         FROM ev, range(0, 48) r(i))
+      |SELECT r.event_id, r.label, CAST(r.i AS BIGINT) AS i, coalesce(s.v, 0.0) AS feature
+      |FROM ring r LEFT JOIN s ON s.user_id = r.user_id AND s.event_type = r.m AND s.k = r.hh
+      |ORDER BY r.event_id, r.i""".stripMargin) { (s, dir) =>
+    val ds = Poisson.buildDataset(s, dir)
+    // single source for ring order: buildDataset's select order (rents
+    // ring 0..23 then returns ring 0..23, Features.scala featureNames)
+    val names = ds.columns.filter(_.endsWith("_hb")).toSeq
+    ds.select(col("event_id"), col("label"),
+        posexplode(array(names.map(col): _*)).as(Seq("i", "feature")))
+      .select(col("event_id"), col("label"), col("i").cast("long").as("i"), col("feature"))
+      .orderBy(col("event_id"), col("i"))
+  }
+
   /** M2-M5 end to end: fit Poisson GLM on (W1 features, A5 targets),
     * predict. Weaker rows-only driver check (no oracle).
     */
@@ -187,6 +229,6 @@ object MlQueries {
   }
 
   val all: Seq[QueryDef] = Seq(hourRingFeatures, hourRingFeaturesReturns,
-    mlPoissonPredict, mlZscore, mlLagFeatures, mlHashSplit, mlSampleStratified,
-    mlPackSequences)
+    mlDataset, mlPoissonPredict, mlZscore, mlLagFeatures, mlHashSplit,
+    mlSampleStratified, mlPackSequences)
 }

@@ -60,7 +60,8 @@ class PlanSpec extends SparkSpec {
     // a deliberately-broadcast tiny side (queries / centroids) crossed
     // with the candidate scan — the exact-baseline knn, the centroid
     // cell assignment, and recall's exact arm
-    val intentional = Set("embed_knn_brute", "embed_knn_ivf", "embed_lsh_recall")
+    val intentional = Set("embed_knn_brute", "embed_knn_ivf", "embed_lsh_recall",
+      "embed_hyperplane_recall")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>

@@ -73,4 +73,23 @@ class SimilaritySpec extends SparkSpec {
       assert(farHit < 0.05, s"negated vectors collide at $farHit")
     } finally df.unpersist()
   }
+
+  test("driver-side hyperplanes match the inline-murmur3 expression bit-for-bit") {
+    // Similarity.hyperplanes is the ORACLE's source of literal plane
+    // arrays (embed_hyperplane_recall inlines them into DuckDB SQL); this
+    // differential pins its murmur3 fold order (seed 42, one hashInt per
+    // int arg) to Spark's hash() so the two can never silently desync.
+    val bits = 8; val seed = 7; val dim = 16
+    val planes = Similarity.hyperplanes(bits, seed, dim)
+    val litBucket = planes.zipWithIndex.map { case (r, b) =>
+      val arr = r.mkString(", ")
+      when(expr(
+        s"aggregate(sequence(0, ${dim - 1}), CAST(0 AS DOUBLE), (acc, i) -> acc + v[i] * element_at(array($arr), i + 1))"
+      ) >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val df = positiveCorpus()
+      .withColumn("inline", Similarity.hyperplaneBucket("v", bits, seed))
+      .withColumn("lit", litBucket)
+    assert(df.where(col("inline") =!= col("lit")).count() === 0L)
+  }
 }
