@@ -86,18 +86,21 @@ final class HourRingFeatures(spark: SparkSession, profile: DataFrame,
       .drop(s"__prof_$measure", "__h")
   }
 
-  /** Long form (idCol, i, measure) in ONE small expression —
-    * `posexplode(transform(sequence(0,w-1), i -> prof[(h-1-i) mod 24]))`
-    * — instead of the wide path's 24 named projections + array(). The
-    * wide form compiles a ~24-column whole-stage method whose one-time
-    * JIT cost dominated fresh-JVM benches (r4: 6.8 s cold vs 3.2 s for
-    * the identical-shape twin); this form keeps codegen tiny. Semantics
-    * identical to apply() + posexplode(array(featureNames)).
+  /** Long form (idCol, i, measure): posexplode over ONE array of `window`
+    * small ring lookups, instead of the wide path's 24 NAMED projection
+    * columns then array(featureNames). The named-column layering made
+    * CollapseProject inline everything into a ~24-wide whole-stage method
+    * whose one-time compile dominated fresh-JVM benches (r4: 6.8 s cold
+    * vs 3.2 s for the identical-shape twin); the direct array keeps the
+    * generated method small while staying fully codegen'd (a
+    * transform(sequence(...)) higher-order form would be interpreted —
+    * measurably slower per row at scale). Semantics identical to
+    * apply() + posexplode(array(featureNames)).
     */
   def applyLong(trips: DataFrame, idCol: String): DataFrame =
     trips.join(broadcast(profArr), "user_id")
       .withColumn("__h", TimeKeys.hourKey(col("ts")))
-      .select(col(idCol), posexplode(expr(
-        s"transform(sequence(0, ${window - 1}), i -> `__prof_$measure`[(((__h - 1 - i) % 24) + 24) % 24])"
-      )).as(Seq("i", measure)))
+      .select(col(idCol), posexplode(array((0 until window).map(i =>
+        expr(s"`__prof_$measure`[(((__h - 1 - $i) % 24) + 24) % 24]")): _*))
+        .as(Seq("i", measure)))
 }
