@@ -148,8 +148,8 @@ object EmbedQueries {
     * vs single-bucket-probe top-5 under `bucket`, per query vector —
     * both rankings and the intersection in one plan.
     */
-  private def recallAt5(s: org.apache.spark.sql.SparkSession, dir: String,
-                        bucket: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+  private[graft] def recallAt5(s: org.apache.spark.sql.SparkSession, dir: String,
+                               bucket: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
     val b = Similarity.vectors(Tables.embeddings(s, dir)).withColumn("bucket", bucket)
     val q = b.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
