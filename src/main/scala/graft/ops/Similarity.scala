@@ -56,13 +56,30 @@ object Similarity {
     * count (n²/2^bits) near-constant — the knob the axis-aligned form
     * lacked. Same bucket-equi-join downstream shape as [[signBucket]].
     */
-  def hyperplaneBucket(vCol: String, bits: Int, seed: Int): Column = expr(
-    s"""CAST(aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT),
+  def hyperplaneBucket(vCol: String, bits: Int, seed: Int, planeOffset: Int = 0): Column = expr(
+    s"""CAST(aggregate(sequence($planeOffset, ${planeOffset + bits - 1}), CAST(0 AS BIGINT),
        |  (acc, b) -> acc + IF(
        |    aggregate(sequence(0, size($vCol) - 1), CAST(0 AS DOUBLE),
        |      (dot, i) -> dot + $vCol[i] *
        |        ((pmod(hash($seed, b, i), 2001) - 1000) / CAST(1000 AS DOUBLE))) >= CAST(0 AS DOUBLE),
-       |    shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))) AS BIGINT)""".stripMargin)
+       |    shiftleft(CAST(1 AS BIGINT), b - $planeOffset), CAST(0 AS BIGINT))) AS BIGINT)""".stripMargin)
+
+  /** OR-amplified (banded) hyperplane LSH, the minhash-bands construction
+    * for cosine space: `bands` independent `bitsPerBand`-bit codes drawn
+    * from one global plane sequence (band k owns planes
+    * [k*bitsPerBand, (k+1)*bitsPerBand)); a candidate pair is anything
+    * agreeing on ANY full band. Collision probability rises from p^bits
+    * (single code) to 1-(1-p^r)^bands — the recall lever at a fixed
+    * total plane budget, paid for in candidate volume. Emitted as
+    * (band, bkt) pairs via posexplode; downstream is the same equi-join
+    * shape, keyed on BOTH columns.
+    */
+  def bandedHyperplane(df: DataFrame, vCol: String, bands: Int, bitsPerBand: Int,
+                       seed: Int): DataFrame =
+    df.select(col("*"),
+      posexplode(array((0 until bands).map(k =>
+        hyperplaneBucket(vCol, bitsPerBand, seed, k * bitsPerBand)): _*))
+        .as(Seq("band", "bkt")))
 
   /** Driver-side materialization of [[hyperplaneBucket]]'s planes:
     * r_b[i] = (pmod(murmur3(seed, b, i), 2001) - 1000) / 1000. The hash

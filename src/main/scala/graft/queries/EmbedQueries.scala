@@ -209,6 +209,72 @@ object EmbedQueries {
     }
   }
 
+  /** Recall@5 of BANDED (OR-amplified) hyperplane LSH — 2 bands × 4
+    * bits from the same 8-plane budget as [[embedHyperplaneRecall]] — vs
+    * the exact brute-force top-5. A pair is a candidate when it agrees
+    * on ANY full band (collision prob 1-(1-p⁴)² ≥ p⁸), so this is the
+    * recall lever at fixed plane count, paid in candidate volume
+    * (buckets shrink from 2⁸ to 2⁴ per band). Spark side explodes each
+    * vector into (band, bkt) rows (Similarity.bandedHyperplane) and
+    * equi-joins on BOTH keys; duplicate pairs (agree on both bands) are
+    * collapsed with max(sim) before ranking. Oracle inlines the same
+    * literal planes (band = b // 4, bit weight = b % 4 — matching the
+    * planeOffset arithmetic in hyperplaneBucket).
+    */
+  val embedBandedRecall: QueryDef = {
+    val bands = 2; val r = 4; val seed = 7; val dim = 64
+    val hpValues = Similarity.hyperplanes(bands * r, seed, dim).zipWithIndex
+      .map { case (rw, b) => s"($b, [${rw.mkString(", ")}])" }.mkString(", ")
+    QueryDef.sql("embed_banded_recall",
+      s"""WITH $duckVectors,
+         |hp(b, r) AS (VALUES $hpValues),
+         |vb AS (SELECT vec_id, v, b // $r AS band,
+         |         CAST(sum(CASE WHEN list_sum([v[i+1] * r[i+1] for i in range(0, $dim)]) >= 0
+         |                  THEN (1 << (b % $r)) ELSE 0 END) AS BIGINT) AS bkt
+         |       FROM v, hp GROUP BY vec_id, v, b // $r),
+         |qb AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
+         |cb AS (SELECT vec_id AS nid, v AS cv FROM v WHERE vec_id >= 10),
+         |bp AS (SELECT qid, nid, ${duckCos("qv", "cv")} AS sim FROM cb, qb),
+         |br AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM bp),
+         |bt AS (SELECT qid, nid FROM br WHERE rnk <= 5),
+         |q AS (SELECT vec_id AS qid, v AS qv, band, bkt FROM vb WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS nid, v AS cv, band, bkt FROM vb WHERE vec_id >= 10),
+         |lp AS (SELECT qid, nid, max(${duckCos("qv", "cv")}) AS sim
+         |       FROM c JOIN q USING (band, bkt) GROUP BY qid, nid),
+         |lr AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM lp),
+         |lt AS (SELECT qid, nid FROM lr WHERE rnk <= 5)
+         |SELECT bt.qid, CAST(count(lt.nid) AS BIGINT) AS n_hit,
+         |  round(count(lt.nid) / 5.0, 6) AS recall
+         |FROM bt LEFT JOIN lt ON bt.qid = lt.qid AND bt.nid = lt.nid
+         |GROUP BY bt.qid ORDER BY bt.qid""".stripMargin) { (s, dir) =>
+      val base = Similarity.vectors(Tables.embeddings(s, dir))
+      val qBase = base.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val cBase = base.where(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("v").as("cv"))
+      val brute = Similarity.topK(
+        cBase.crossJoin(broadcast(qBase))
+          .withColumn("sim", Similarity.cosine("qv", "cv"))
+          .select(col("qid"), col("nid"), col("sim")), 5)
+        .select(col("qid"), col("nid"))
+      val banded = Similarity.bandedHyperplane(base, "v", bands, r, seed)
+      val q = banded.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("band"), col("bkt"))
+      val c = banded.where(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("v").as("cv"), col("band"), col("bkt"))
+      val cand = c.join(broadcast(q), Seq("band", "bkt"))
+        .withColumn("sim", Similarity.cosine("qv", "cv"))
+        .groupBy(col("qid"), col("nid")).agg(max(col("sim")).as("sim"))
+      val lsh = Similarity.topK(cand, 5)
+        .select(col("qid").as("lqid"), col("nid").as("lnid"))
+      brute.join(lsh, brute("qid") === lsh("lqid") && brute("nid") === lsh("lnid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(col("lnid")).as("n_hit"),
+          round(count(col("lnid")) / 5.0, 6).as("recall"))
+        .orderBy(col("qid"))
+    }
+  }
+
   /** Resize over the media table (stub codec): clamp width to 256,
     * scale height proportionally with integer math, report the resized
     * payload size. Oracle mirrors the stub's md5-derived dims.
@@ -366,5 +432,5 @@ object EmbedQueries {
   val all: Seq[QueryDef] = Seq(embedKnnBrute, embedKnnLsh, embedCentroids,
     multimodalMeta, multimodalFramesample, multimodalResize, embedNorms,
     embedKnnIvf, dedupEmbedCosine, embedQuantize, embedLshRecall,
-    embedHyperplaneRecall)
+    embedHyperplaneRecall, embedBandedRecall)
 }

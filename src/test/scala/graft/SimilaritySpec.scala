@@ -74,6 +74,32 @@ class SimilaritySpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("banded hyperplane codes: band k reproduces the offset single-code form, bounded by 2^r") {
+    val bands = 2; val r = 4; val seed = 11
+    val df = Similarity.bandedHyperplane(positiveCorpus(), "v", bands, r, seed)
+      .withColumn("expect0", Similarity.hyperplaneBucket("v", r, seed, planeOffset = 0))
+      .withColumn("expect1", Similarity.hyperplaneBucket("v", r, seed, planeOffset = r))
+      .cache()
+    try {
+      // exactly `bands` rows per vector, one per band id
+      assert(df.groupBy(col("vec_id")).count().where(col("count") =!= bands).count() === 0L)
+      // band k's code IS hyperplaneBucket over planes [k*r, (k+1)*r)
+      assert(df.where(col("band") === 0 && col("bkt") =!= col("expect0")).count() === 0L)
+      assert(df.where(col("band") === 1 && col("bkt") =!= col("expect1")).count() === 0L)
+      // codes live in [0, 2^r)
+      assert(df.where(col("bkt") < 0 || col("bkt") >= (1 << r)).count() === 0L)
+      // OR-amplification: banded collision rate (any band agrees) must be
+      // at least the single 8-bit code's rate on the same corpus
+      val single = positiveCorpus().withColumn("b8", Similarity.hyperplaneBucket("v", 8, seed))
+      val n = 2000L
+      val singlePairs = single.groupBy(col("b8")).count()
+        .agg(sum(col("count") * (col("count") - 1))).head().getLong(0)
+      val bandedPairs = df.groupBy(col("band"), col("bkt")).count()
+        .agg(sum(col("count") * (col("count") - 1))).head().getLong(0)
+      assert(bandedPairs >= singlePairs, s"banded $bandedPairs < single $singlePairs of ${n * (n - 1)}")
+    } finally df.unpersist()
+  }
+
   test("driver-side hyperplanes match the inline-murmur3 expression bit-for-bit") {
     // Similarity.hyperplanes is the ORACLE's source of literal plane
     // arrays (embed_hyperplane_recall inlines them into DuckDB SQL); this
