@@ -67,10 +67,34 @@ object Bench {
       // inside a smaller (passing) total
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def line(rs: Seq[(String, Double)], extra: String = ""): String = {
+      val qs = rs.map { case (k, v) =>
+        "\"" + k + "\":" + (if (v < 0) "-1" else f"$v%.2f")
+      }.mkString("{", ",", "}")
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs$extra,"sf":"$sfDir"}"""
+    }
+    // Full-precision detail goes to a FILE only — an extra stdout line
+    // would push the driver-facing JSON out of the 2000-char output tail.
+    val detail = results.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    try {
+      val out = java.nio.file.Paths.get("out")
+      java.nio.file.Files.createDirectories(out)
+      java.nio.file.Files.writeString(out.resolve("bench_detail.json"),
+        s"""{"total":$total,"n_queries":${results.size},"queries":$detail,"sf":"$sfDir"}""")
+    } catch { case _: Throwable => }
+    // Driver-facing line: MUST fit (with sbt's trailing "[success] ..."
+    // line, ~80 chars) inside the driver's 2000-char output tail, or the
+    // JSON is clipped and parses as null. 2-decimal rounding keeps the
+    // full per-query map ~1.9k; if the registry outgrows the budget, fall
+    // back to queries >= 0.3 s (plus failures) and flag the truncation —
+    // full per-query numbers always live in out/bench_detail.json.
+    val fullLine = line(results)
+    println(
+      if (fullLine.length <= 1880) fullLine
+      else line(results.filter { case (_, v) => v >= 0.3 || v < 0 },
+                s""","queries_omitted":${results.count { case (_, v) => v >= 0 && v < 0.3 }}"""))
     spark.stop()
   }
 }
