@@ -45,7 +45,7 @@ object RecallProbe {
 
     probe("sign", 8, Similarity.signBucket("v"))
     Seq(4, 6, 8, 10, 12).foreach(bits =>
-      probe("hyperplane", bits, Similarity.hyperplaneBucket("v", bits, seed = 7)))
+      probe("hyperplane", bits, Similarity.hyperplaneBucket("v", bits, seed = 7, dim = 64)))
     spark.stop()
   }
 }

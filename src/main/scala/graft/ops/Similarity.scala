@@ -23,46 +23,72 @@ object Similarity {
     emb.select(col("vec_id"), col("label"),
       col("embedding").cast("array<double>").as("v"))
 
-  /** Cosine similarity of two double-array columns, rounded to 6. A
-    * zero-norm vector (padding row, failed embedding) yields NULL, which
-    * threshold filters and topK ranking drop naturally — under Spark 4's
-    * default ANSI mode an unguarded divide-by-zero would instead abort
-    * the whole job.
+  /** Unrolled codegen'd dot product of two fixed-`dim` double-array
+    * columns: `dim` scalar multiply-adds whole-stage codegen compiles
+    * flat, vs a `zip_with`+`aggregate` HOF that Catalyst interprets
+    * per element (lambdas never enter codegen). Left-to-right sum —
+    * bit-identical to the old `aggregate` fold (0.0 + x = x).
     */
-  def cosine(a: String, b: String): Column = {
-    val denom = sqrt(expr(s"aggregate($a, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)")) *
-      sqrt(expr(s"aggregate($b, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)"))
-    val num = expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0 AS DOUBLE), (acc, z) -> acc + z)")
-    when(denom === 0.0, lit(null)).otherwise(round(num / denom, 6))
+  def dot(a: String, b: String, dim: Int): Column =
+    (0 until dim).map(i => col(a).getItem(i) * col(b).getItem(i)).reduce(_ + _)
+
+  /** Unrolled codegen'd L2 norm of a fixed-`dim` double-array column. */
+  def l2(vCol: String, dim: Int): Column =
+    sqrt((0 until dim).map(i => col(vCol).getItem(i) * col(vCol).getItem(i)).reduce(_ + _))
+
+  /** Cosine similarity of two fixed-`dim` double-array columns, rounded
+    * to 6. Formula and fold order are bit-identical to the DuckDB oracle
+    * fragment (`list_sum(products) / (sqrt(·)·sqrt(·))`), just unrolled
+    * for codegen. A zero-norm vector (padding row, failed embedding)
+    * yields NULL, which threshold filters and topK ranking drop
+    * naturally — under Spark 4's default ANSI mode an unguarded
+    * divide-by-zero would instead abort the whole job.
+    */
+  def cosine(a: String, b: String, dim: Int = 64): Column = {
+    val denom = l2(a, dim) * l2(b, dim)
+    when(denom === 0.0, lit(null)).otherwise(round(dot(a, b, dim) / denom, 6))
   }
 
-  /** Axis-aligned LSH bucket: 8 sign bits from the first 8 dims. Kept as
-    * the ORACLE form (trivially expressible in DuckDB); production uses
+  /** Axis-aligned LSH bucket: 8 sign bits from the first 8 dims,
+    * unrolled to codegen'd scalar ops. Kept as the ORACLE form
+    * (trivially expressible in DuckDB); production uses
     * [[hyperplaneBucket]] — axis-aligned planes skew badly when leading
     * dims are correlated (e.g. all-positive first components put the
     * whole corpus in one bucket).
     */
-  def signBucket(vCol: String, bits: Int = 8): Column = expr(
-    s"""CAST(aggregate(sequence(0, ${bits - 1}), 0,
-       |  (acc, i) -> acc + IF($vCol[i] >= CAST(0 AS DOUBLE), shiftleft(1, i), 0)) AS BIGINT)""".stripMargin)
+  def signBucket(vCol: String, bits: Int = 8): Column =
+    (0 until bits).map(i =>
+      when(col(vCol).getItem(i) >= lit(0.0), lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
 
   /** Random-hyperplane LSH bucket (production tier): bit b = sign of
     * v · r_b where r_b's components are seeded pseudo-random values in
     * [-1, 1] derived from murmur3 `hash(seed, b, i)` — deterministic
-    * across runs/partitionings/engines, no hyperplane table to ship
-    * (each executor recomputes components inline, codegen'd higher-order
-    * functions, no UDF). `bits` sizes the bucket space (2^bits); at
-    * corpus scale bits should grow with n to hold the per-bucket pair
-    * count (n²/2^bits) near-constant — the knob the axis-aligned form
-    * lacked. Same bucket-equi-join downstream shape as [[signBucket]].
+    * across runs/partitionings/engines. The planes are pure CONSTANTS of
+    * (bits, seed, dim), so they are materialized once driver-side
+    * ([[hyperplanes]]) and inlined as literals; each dot product unrolls
+    * into `dim` scalar multiply-adds that whole-stage codegen compiles
+    * flat — no higher-order-function lambdas (Catalyst interprets those
+    * per element) and no per-element murmur3 on the executors. At a few
+    * KB per plane set the literals ride inside the serialized plan, the
+    * cluster analog of a tiny broadcast. `bits` sizes the bucket space
+    * (2^bits); at corpus scale bits should grow with n to hold the
+    * per-bucket pair count (n²/2^bits) near-constant — the knob the
+    * axis-aligned form lacked. Same bucket-equi-join downstream shape as
+    * [[signBucket]]. `dim` must equal the vector length (out-of-bounds
+    * element access throws under ANSI mode).
     */
-  def hyperplaneBucket(vCol: String, bits: Int, seed: Int, planeOffset: Int = 0): Column = expr(
-    s"""CAST(aggregate(sequence($planeOffset, ${planeOffset + bits - 1}), CAST(0 AS BIGINT),
-       |  (acc, b) -> acc + IF(
-       |    aggregate(sequence(0, size($vCol) - 1), CAST(0 AS DOUBLE),
-       |      (dot, i) -> dot + $vCol[i] *
-       |        ((pmod(hash($seed, b, i), 2001) - 1000) / CAST(1000 AS DOUBLE))) >= CAST(0 AS DOUBLE),
-       |    shiftleft(CAST(1 AS BIGINT), b - $planeOffset), CAST(0 AS BIGINT))) AS BIGINT)""".stripMargin)
+  def hyperplaneBucket(vCol: String, bits: Int, seed: Int, dim: Int,
+                       planeOffset: Int = 0): Column = {
+    val planes = hyperplanes(planeOffset + bits, seed, dim).drop(planeOffset)
+    val v = col(vCol)
+    planes.zipWithIndex.map { case (r, b) =>
+      // 0.0 + x0 + x1 + ... of the old fold == x0 + x1 + ... bit-for-bit
+      // (IEEE: 0.0 + x = x up to the sign of zero, irrelevant to >= 0)
+      val dot = (0 until dim).map(i => v.getItem(i) * lit(r(i))).reduce(_ + _)
+      when(dot >= lit(0.0), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
 
   /** OR-amplified (banded) hyperplane LSH, the minhash-bands construction
     * for cosine space: `bands` independent `bitsPerBand`-bit codes drawn
@@ -75,10 +101,10 @@ object Similarity {
     * shape, keyed on BOTH columns.
     */
   def bandedHyperplane(df: DataFrame, vCol: String, bands: Int, bitsPerBand: Int,
-                       seed: Int): DataFrame =
+                       seed: Int, dim: Int): DataFrame =
     df.select(col("*"),
       posexplode(array((0 until bands).map(k =>
-        hyperplaneBucket(vCol, bitsPerBand, seed, k * bitsPerBand)): _*))
+        hyperplaneBucket(vCol, bitsPerBand, seed, dim, k * bitsPerBand)): _*))
         .as(Seq("band", "bkt")))
 
   /** Driver-side materialization of [[hyperplaneBucket]]'s planes:

@@ -205,7 +205,7 @@ object EmbedQueries {
          |  round(count(lt.nid) / 5.0, 6) AS recall
          |FROM bt LEFT JOIN lt ON bt.qid = lt.qid AND bt.nid = lt.nid
          |GROUP BY bt.qid ORDER BY bt.qid""".stripMargin) { (s, dir) =>
-      recallAt5(s, dir, Similarity.hyperplaneBucket("v", bits, seed))
+      recallAt5(s, dir, Similarity.hyperplaneBucket("v", bits, seed, dim))
     }
   }
 
@@ -257,7 +257,7 @@ object EmbedQueries {
           .withColumn("sim", Similarity.cosine("qv", "cv"))
           .select(col("qid"), col("nid"), col("sim")), 5)
         .select(col("qid"), col("nid"))
-      val banded = Similarity.bandedHyperplane(base, "v", bands, r, seed)
+      val banded = Similarity.bandedHyperplane(base, "v", bands, r, seed, dim)
       val q = banded.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"), col("band"), col("bkt"))
       val c = banded.where(col("vec_id") >= 10)
@@ -396,12 +396,25 @@ object EmbedQueries {
          |p AS (SELECT a.vec_id AS i, b.vec_id AS j, ${duckCos("a.v", "b.v")} AS sim
          |      FROM sb a JOIN sb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
          |SELECT i, j, sim FROM p WHERE sim >= 0.4 ORDER BY i, j""".stripMargin) { (s, dir) =>
+      // norms hoisted into the pre-join projection: each vector's L2 is
+      // computed ONCE (it would otherwise be re-derived in every one of
+      // its ~n/2^bits pairs), so per-pair work is a single codegen'd
+      // dot + divide. Identical arithmetic to duckCos (num/(na·nb)) —
+      // hoisting doesn't change the value, only where it's evaluated.
+      // Explicit a/b aliases keep the same-lineage self-join condition
+      // unambiguous (no reliance on dataset-id disambiguation).
       val sb = Similarity.vectors(Tables.embeddings(s, dir))
-        .withColumn("bucket", Similarity.signBucket("v"))
-      val l = sb.select(col("vec_id").as("i"), col("v").as("va"), col("bucket"))
-      val r = sb.select(col("vec_id").as("j"), col("v").as("vb"), col("bucket"))
-      l.join(r, l("bucket") === r("bucket") && col("i") < col("j"))
-        .withColumn("sim", Similarity.cosine("va", "vb"))
+        .select(col("vec_id"), col("v"),
+          Similarity.signBucket("v").as("bucket"),
+          Similarity.l2("v", 64).as("nrm"))
+      val a = sb.select(col("vec_id").as("i"), col("v").as("va"),
+        col("bucket"), col("nrm").as("na")).alias("a")
+      val b = sb.select(col("vec_id").as("j"), col("v").as("vb"),
+        col("bucket"), col("nrm").as("nb")).alias("b")
+      a.join(b, col("a.bucket") === col("b.bucket") && col("i") < col("j"))
+        .withColumn("den", col("na") * col("nb"))
+        .withColumn("sim", when(col("den") === 0.0, lit(null))
+          .otherwise(round(Similarity.dot("va", "vb", 64) / col("den"), 6)))
         .where(col("sim") >= 0.4)
         .select(col("i"), col("j"), col("sim"))
         .orderBy(col("i"), col("j"))

@@ -19,7 +19,7 @@ class SimilaritySpec extends SparkSpec {
   test("axis-aligned buckets collapse on a positive corpus; hyperplane buckets spread it") {
     val df = positiveCorpus()
       .withColumn("axis", Similarity.signBucket("v"))
-      .withColumn("hyp", Similarity.hyperplaneBucket("v", bits = 8, seed = 1))
+      .withColumn("hyp", Similarity.hyperplaneBucket("v", bits = 8, seed = 1, dim = 16))
       .cache()
     try {
       // all 8 leading components positive -> one bucket for the WHOLE corpus
@@ -40,16 +40,16 @@ class SimilaritySpec extends SparkSpec {
 
   test("hyperplane buckets are deterministic per seed and differ across seeds") {
     val df = positiveCorpus()
-      .withColumn("b1", Similarity.hyperplaneBucket("v", bits = 8, seed = 42))
-      .withColumn("b1b", Similarity.hyperplaneBucket("v", bits = 8, seed = 42))
-      .withColumn("b2", Similarity.hyperplaneBucket("v", bits = 8, seed = 43))
+      .withColumn("b1", Similarity.hyperplaneBucket("v", bits = 8, seed = 42, dim = 16))
+      .withColumn("b1b", Similarity.hyperplaneBucket("v", bits = 8, seed = 42, dim = 16))
+      .withColumn("b2", Similarity.hyperplaneBucket("v", bits = 8, seed = 43, dim = 16))
     assert(df.where(col("b1") =!= col("b1b")).count() === 0L)
     assert(df.where(col("b1") =!= col("b2")).count() > 0L)
   }
 
   test("bits parameter bounds the bucket space") {
     val df = positiveCorpus()
-      .withColumn("b", Similarity.hyperplaneBucket("v", bits = 4, seed = 7))
+      .withColumn("b", Similarity.hyperplaneBucket("v", bits = 4, seed = 7, dim = 16))
     val buckets = df.select(col("b")).distinct().collect().map(_.getLong(0))
     assert(buckets.forall(b => b >= 0 && b < 16))
   }
@@ -62,9 +62,9 @@ class SimilaritySpec extends SparkSpec {
       .withColumn("vnear", expr(
         "transform(sequence(0, 15), i -> v[i] + (pmod(hash(id, i, 99), 21) - 10) / CAST(10000 AS DOUBLE))"))
       .withColumn("vfar", expr("transform(v, x -> -x)"))
-      .withColumn("b", Similarity.hyperplaneBucket("v", 8, 5))
-      .withColumn("bn", Similarity.hyperplaneBucket("vnear", 8, 5))
-      .withColumn("bf", Similarity.hyperplaneBucket("vfar", 8, 5))
+      .withColumn("b", Similarity.hyperplaneBucket("v", 8, 5, 16))
+      .withColumn("bn", Similarity.hyperplaneBucket("vnear", 8, 5, 16))
+      .withColumn("bf", Similarity.hyperplaneBucket("vfar", 8, 5, 16))
       .cache()
     try {
       val nearHit = df.where(col("b") === col("bn")).count() / 500.0
@@ -76,9 +76,9 @@ class SimilaritySpec extends SparkSpec {
 
   test("banded hyperplane codes: band k reproduces the offset single-code form, bounded by 2^r") {
     val bands = 2; val r = 4; val seed = 11
-    val df = Similarity.bandedHyperplane(positiveCorpus(), "v", bands, r, seed)
-      .withColumn("expect0", Similarity.hyperplaneBucket("v", r, seed, planeOffset = 0))
-      .withColumn("expect1", Similarity.hyperplaneBucket("v", r, seed, planeOffset = r))
+    val df = Similarity.bandedHyperplane(positiveCorpus(), "v", bands, r, seed, dim = 16)
+      .withColumn("expect0", Similarity.hyperplaneBucket("v", r, seed, 16, planeOffset = 0))
+      .withColumn("expect1", Similarity.hyperplaneBucket("v", r, seed, 16, planeOffset = r))
       .cache()
     try {
       // exactly `bands` rows per vector, one per band id
@@ -90,7 +90,7 @@ class SimilaritySpec extends SparkSpec {
       assert(df.where(col("bkt") < 0 || col("bkt") >= (1 << r)).count() === 0L)
       // OR-amplification: banded collision rate (any band agrees) must be
       // at least the single 8-bit code's rate on the same corpus
-      val single = positiveCorpus().withColumn("b8", Similarity.hyperplaneBucket("v", 8, seed))
+      val single = positiveCorpus().withColumn("b8", Similarity.hyperplaneBucket("v", 8, seed, 16))
       val n = 2000L
       val singlePairs = single.groupBy(col("b8")).count()
         .agg(sum(col("count") * (col("count") - 1))).head().getLong(0)
@@ -100,22 +100,25 @@ class SimilaritySpec extends SparkSpec {
     } finally df.unpersist()
   }
 
-  test("driver-side hyperplanes match the inline-murmur3 expression bit-for-bit") {
-    // Similarity.hyperplanes is the ORACLE's source of literal plane
-    // arrays (embed_hyperplane_recall inlines them into DuckDB SQL); this
-    // differential pins its murmur3 fold order (seed 42, one hashInt per
-    // int arg) to Spark's hash() so the two can never silently desync.
+  test("literal-plane production bucket matches the inline-murmur3 expression bit-for-bit") {
+    // Similarity.hyperplanes drives BOTH the production bucket (literal
+    // planes unrolled into codegen'd dots) and the DuckDB oracle's
+    // inlined plane arrays; this differential re-derives the planes
+    // inside Spark SQL via `hash(seed, b, i)` (the construction's
+    // definition) and pins the driver-side murmur3 fold order (seed 42,
+    // one hashInt per int arg) to Spark's hash() so the two engines can
+    // never silently desync.
     val bits = 8; val seed = 7; val dim = 16
-    val planes = Similarity.hyperplanes(bits, seed, dim)
-    val litBucket = planes.zipWithIndex.map { case (r, b) =>
-      val arr = r.mkString(", ")
-      when(expr(
-        s"aggregate(sequence(0, ${dim - 1}), CAST(0 AS DOUBLE), (acc, i) -> acc + v[i] * element_at(array($arr), i + 1))"
-      ) >= 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val inlineMurmur = expr(
+      s"""CAST(aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT),
+         |  (acc, b) -> acc + IF(
+         |    aggregate(sequence(0, $dim - 1), CAST(0 AS DOUBLE),
+         |      (dot, i) -> dot + v[i] *
+         |        ((pmod(hash($seed, b, i), 2001) - 1000) / CAST(1000 AS DOUBLE))) >= CAST(0 AS DOUBLE),
+         |    shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT))) AS BIGINT)""".stripMargin)
     val df = positiveCorpus()
-      .withColumn("inline", Similarity.hyperplaneBucket("v", bits, seed))
-      .withColumn("lit", litBucket)
-    assert(df.where(col("inline") =!= col("lit")).count() === 0L)
+      .withColumn("prod", Similarity.hyperplaneBucket("v", bits, seed, dim))
+      .withColumn("murmur", inlineMurmur)
+    assert(df.where(col("prod") =!= col("murmur")).count() === 0L)
   }
 }
