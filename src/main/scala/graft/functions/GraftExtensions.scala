@@ -26,5 +26,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("kmv_distinct"),
       new ExpressionInfo(classOf[KMVDistinct].getName, "kmv_distinct"),
       (exprs: Seq[Expression]) => KMVDistinct.fromExprs(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => VecDot.fromExprs(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("hyperplane_bucket"),
+      new ExpressionInfo(classOf[HyperplaneBucket].getName, "hyperplane_bucket"),
+      (exprs: Seq[Expression]) => HyperplaneBucket.fromExprs(exprs)))
   }
 }

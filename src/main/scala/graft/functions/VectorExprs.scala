@@ -110,6 +110,15 @@ object VecDot {
   * `dim` must equal the vector length (shorter vectors yield NULL like
   * the out-of-range access they would imply; the knob exists because
   * the planes are materialized, not inferred per row).
+  *
+  * Null-ELEMENT semantics match the unrolled
+  * `CASE WHEN dot >= 0 THEN 1<<b ELSE 0 END` scalar form this replaces
+  * (and the DuckDB oracle's identical CASE): a NULL element makes every
+  * plane's dot NULL, `NULL >= 0` is NULL, so every bit falls to the
+  * ELSE branch — bucket 0, NOT a NULL bucket (every plane spans all
+  * `dim` components, so the per-plane rule collapses to a whole-bucket
+  * rule). SimilaritySpec pins this with explicit null-element rows so a
+  * swap between the forms can never silently change behavior.
   */
 case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
     extends UnaryExpression {
@@ -136,7 +145,7 @@ case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
       var dot = 0.0
       var i = 0
       while (i < r.length) {
-        if (v.isNullAt(i)) return null
+        if (v.isNullAt(i)) return 0L // NULL dot -> ELSE 0 on every plane
         dot += v.getDouble(i) * r(i)
         i += 1
       }
@@ -154,21 +163,23 @@ case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]])
       val dot = ctx.freshName("dot")
       val row = ctx.freshName("row")
       val bucket = ctx.freshName("bucket")
+      val nullElem = ctx.freshName("nullElem")
       s"""
          |if ($m.length > 0 && $v.numElements() < $m[0].length) {
          |  ${ev.isNull} = true;
          |} else {
          |  long $bucket = 0L;
-         |  for (int $b = 0; $b < $m.length && !${ev.isNull}; $b++) {
+         |  boolean $nullElem = false;
+         |  for (int $b = 0; $b < $m.length && !$nullElem; $b++) {
          |    final double[] $row = $m[$b];
          |    double $dot = 0.0;
          |    for (int $i = 0; $i < $row.length; $i++) {
-         |      if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |      if ($v.isNullAt($i)) { $nullElem = true; break; }
          |      $dot += $v.getDouble($i) * $row[$i];
          |    }
-         |    if (!${ev.isNull} && $dot >= 0.0) $bucket |= (1L << $b);
+         |    if (!$nullElem && $dot >= 0.0) $bucket |= (1L << $b);
          |  }
-         |  if (!${ev.isNull}) ${ev.value} = $bucket;
+         |  ${ev.value} = $nullElem ? 0L : $bucket;
          |}
        """.stripMargin
     })

@@ -84,14 +84,26 @@ object EmbedQueries {
     s"""WITH $duckVectors,
        |$duckCentroidCte
        |SELECT vec_id,
-       |  round(sqrt(list_sum([(v[i] - carr[i]) * (v[i] - carr[i]) for i in range(1, len(v) + 1)])), 6) AS dist
+       |  round(sqrt(greatest(
+       |    list_sum([v[i] * v[i] for i in range(1, len(v) + 1)]) +
+       |    list_sum([carr[i] * carr[i] for i in range(1, len(carr) + 1)]) -
+       |    2 * list_sum([v[i] * carr[i] for i in range(1, len(v) + 1)]), 0)), 6) AS dist
        |FROM v JOIN ca USING (label) ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    // ‖v−c‖² = ‖v‖² + ‖c‖² − 2·v·c, all three via the native vec_dot
+    // (the zip_with/aggregate HOF this replaces is interpreted per
+    // element — r7 measured it at 5.2 s). The oracle SQL states the
+    // SAME rearranged formula (same list_sum folds, same (a+b)-2c
+    // association), so both engines round the identical double;
+    // greatest(·, 0) on BOTH sides guards the tiny-negative residue
+    // a near-centroid vector could leave under FP cancellation.
+    // ‖c‖² rides the broadcast (once per label), ‖v‖² once per row.
     val v = Similarity.vectors(Tables.embeddings(s, dir))
-    val ca = centroidArrays(v)
+    val ca = centroidArrays(v).withColumn("c2", Similarity.dot("carr", "carr"))
     v.join(broadcast(ca), "label")
-      .select(col("vec_id"), round(sqrt(expr(
-        "aggregate(zip_with(v, carr, (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, z) -> acc + z)")), 6)
-        .as("dist"))
+      .select(col("vec_id"),
+        round(sqrt(greatest(
+          Similarity.dot("v", "v") + col("c2")
+            - lit(2) * Similarity.dot("v", "carr"), lit(0.0))), 6).as("dist"))
       .orderBy(col("vec_id"))
   }
 
@@ -328,7 +340,7 @@ object EmbedQueries {
        |FROM v ORDER BY vec_id""".stripMargin) { (s, dir) =>
     Similarity.vectors(Tables.embeddings(s, dir))
       .select(col("vec_id"),
-        round(sqrt(expr("aggregate(v, CAST(0 AS DOUBLE), (acc, x) -> acc + x * x)")), 6).as("l2"),
+        round(Similarity.l2("v"), 6).as("l2"),
         round(expr("array_max(transform(v, x -> abs(x)))"), 6).as("linf"),
         expr("size(filter(v, x -> x > CAST(0 AS DOUBLE)))").cast("long").as("n_pos"))
       .orderBy(col("vec_id"))
@@ -344,8 +356,14 @@ object EmbedQueries {
     * cells/nprobe and pairs stay distinct.
     */
   val embedKnnIvf: QueryDef = {
+    // Same norm-trick distance as embed_centroids (native vec_dot on
+    // the Spark side, identical fold/association in the oracle) — the
+    // cell-ranking row_number sorts these round-6 values, so the two
+    // engines must compute the same double bit-for-bit.
     val duckDist =
-      "round(sqrt(list_sum([(qv[i] - carr[i]) * (qv[i] - carr[i]) for i in range(1, len(qv) + 1)])), 6)"
+      """round(sqrt(greatest(list_sum([qv[i] * qv[i] for i in range(1, len(qv) + 1)]) +
+        |    list_sum([carr[i] * carr[i] for i in range(1, len(carr) + 1)]) -
+        |    2 * list_sum([qv[i] * carr[i] for i in range(1, len(qv) + 1)]), 0)), 6)""".stripMargin
     QueryDef.sql("embed_knn_ivf",
       s"""WITH $duckVectors,
          |$duckCentroidCte,
@@ -366,8 +384,9 @@ object EmbedQueries {
       val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
         .orderBy(col("__d"), col("label"))
       val probe = q.crossJoin(broadcast(ca))
-        .withColumn("__d", round(sqrt(expr(
-          "aggregate(zip_with(qv, carr, (x, y) -> (x - y) * (x - y)), CAST(0 AS DOUBLE), (acc, z) -> acc + z)")), 6))
+        .withColumn("__d", round(sqrt(greatest(
+          Similarity.dot("qv", "qv") + Similarity.dot("carr", "carr")
+            - lit(2) * Similarity.dot("qv", "carr"), lit(0.0))), 6))
         .withColumn("cr", row_number().over(wc))
         .where(col("cr") <= 2)
         .select(col("qid"), col("qv"), col("label").as("cell"))
@@ -406,7 +425,7 @@ object EmbedQueries {
       val sb = Similarity.vectors(Tables.embeddings(s, dir))
         .select(col("vec_id"), col("v"),
           Similarity.signBucket("v").as("bucket"),
-          Similarity.l2("v", 64).as("nrm"))
+          Similarity.l2("v").as("nrm"))
       val a = sb.select(col("vec_id").as("i"), col("v").as("va"),
         col("bucket"), col("nrm").as("na")).alias("a")
       val b = sb.select(col("vec_id").as("j"), col("v").as("vb"),
@@ -414,7 +433,7 @@ object EmbedQueries {
       a.join(b, col("a.bucket") === col("b.bucket") && col("i") < col("j"))
         .withColumn("den", col("na") * col("nb"))
         .withColumn("sim", when(col("den") === 0.0, lit(null))
-          .otherwise(round(Similarity.dot("va", "vb", 64) / col("den"), 6)))
+          .otherwise(round(Similarity.dot("va", "vb") / col("den"), 6)))
         .where(col("sim") >= 0.4)
         .select(col("i"), col("j"), col("sim"))
         .orderBy(col("i"), col("j"))

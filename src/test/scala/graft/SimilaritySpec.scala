@@ -121,4 +121,97 @@ class SimilaritySpec extends SparkSpec {
       .withColumn("murmur", inlineMurmur)
     assert(df.where(col("prod") =!= col("murmur")).count() === 0L)
   }
+
+  /** The unrolled scalar forms the native kernels replaced (r7's
+    * Similarity.dot/hyperplaneBucket) — kept here as the differential
+    * reference so a regression in either direction is loud.
+    */
+  private def unrolledDot(a: String, b: String, dim: Int) =
+    (0 until dim).map(i => col(a).getItem(i) * col(b).getItem(i)).reduce(_ + _)
+
+  private def unrolledBucket(vCol: String, bits: Int, seed: Int, dim: Int) =
+    Similarity.hyperplanes(bits, seed, dim).zipWithIndex.map { case (r, b) =>
+      val dot = (0 until dim).map(i => col(vCol).getItem(i) * lit(r(i))).reduce(_ + _)
+      when(dot >= lit(0.0), lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Two deterministic dim-16 vectors per row, signed components. */
+  private def pairCorpus() =
+    spark.range(2000).select(
+      expr("transform(sequence(0, 15), i -> (pmod(hash(id, i), 2001) - 1000) / CAST(1000 AS DOUBLE))").as("v"),
+      expr("transform(sequence(0, 15), i -> (pmod(hash(id + 7, i), 2001) - 1000) / CAST(1000 AS DOUBLE))").as("w"))
+
+  test("native vec_dot / hyperplane_bucket match the unrolled scalar forms bit-for-bit") {
+    val df = pairCorpus()
+      .withColumn("nd", Similarity.dot("v", "w")).withColumn("ud", unrolledDot("v", "w", 16))
+      .withColumn("nb", Similarity.hyperplaneBucket("v", 8, 7, 16))
+      .withColumn("ub", unrolledBucket("v", 8, 7, 16))
+      .withColumn("nbo", Similarity.hyperplaneBucket("v", 4, 7, 16, planeOffset = 4))
+      .withColumn("ubo", shiftright(unrolledBucket("v", 8, 7, 16), 4))
+    assert(df.where(col("nd") =!= col("ud")).count() === 0L)
+    assert(df.where(col("nb") =!= col("ub")).count() === 0L)
+    // planeOffset slice == high bits of the full code
+    assert(df.where(col("nbo") =!= col("ubo")).count() === 0L)
+  }
+
+  test("native kernels: interpreted eval matches codegen") {
+    val before = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val beforeWs = spark.conf.getOption("spark.sql.codegen.wholeStage")
+    val codegen = pairCorpus()
+      .withColumn("d", Similarity.dot("v", "w"))
+      .withColumn("b", Similarity.hyperplaneBucket("v", 8, 7, 16))
+      .collect()
+    try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interp = pairCorpus()
+        .withColumn("d", Similarity.dot("v", "w"))
+        .withColumn("b", Similarity.hyperplaneBucket("v", 8, 7, 16))
+        .collect()
+      assert(codegen.toSeq === interp.toSeq)
+    } finally {
+      before.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+      beforeWs.fold(spark.conf.unset("spark.sql.codegen.wholeStage"))(
+        spark.conf.set("spark.sql.codegen.wholeStage", _))
+    }
+  }
+
+  test("null-element rows: vec_dot poisons to NULL, hyperplane_bucket falls to bucket 0 (CASE parity)") {
+    // one NULL component: the fold form (and vec_dot) is NULL; the
+    // unrolled CASE form (and the DuckDB oracle's identical CASE) sends
+    // every plane's `NULL >= 0` to ELSE 0 — bucket 0, not NULL. The
+    // native kernel must reproduce EXACTLY that asymmetry or a swap
+    // between the forms silently changes query results.
+    val df = spark.range(50).select(col("id"), expr(
+        """transform(sequence(0, 15), i -> CASE WHEN i = pmod(id, 16)
+          |  THEN CAST(NULL AS DOUBLE) ELSE CAST(i + 1 AS DOUBLE) END)""".stripMargin).as("v"))
+      .withColumn("d", Similarity.dot("v", "v"))
+      .withColumn("nb", Similarity.hyperplaneBucket("v", 8, 7, 16))
+      .withColumn("ub", unrolledBucket("v", 8, 7, 16))
+    assert(df.where(col("d").isNotNull).count() === 0L)
+    assert(df.where(col("nb") =!= lit(0L)).count() === 0L)
+    assert(df.where(col("nb") =!= col("ub")).count() === 0L)
+  }
+
+  test("degenerate inputs are NULL, not an abort: vec_dot length mismatch, short-vector bucket") {
+    val df = spark.range(10).select(
+        expr("transform(sequence(0, 15), i -> CAST(i AS DOUBLE))").as("v"),
+        expr("transform(sequence(0, 7), i -> CAST(i AS DOUBLE))").as("short"))
+      .withColumn("d", Similarity.dot("v", "short"))
+      .withColumn("b", Similarity.hyperplaneBucket("short", 8, 7, 16))
+    assert(df.where(col("d").isNotNull || col("b").isNotNull).count() === 0L)
+  }
+
+  test("SQL surface: vec_dot / hyperplane_bucket register for pure-SQL sessions") {
+    graft.functions.VectorExprs.register(spark)
+    val row = spark.sql(
+      """SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d,
+        |       hyperplane_bucket(array(1.0D, -2.0D, 0.5D), 4, 7, 3) AS b""".stripMargin).head()
+    assert(row.getDouble(0) === 32.0)
+    val expected = spark.range(1)
+      .select(expr("array(1.0D, -2.0D, 0.5D)").as("v"))
+      .select(Similarity.hyperplaneBucket("v", 4, 7, 3)).head().getLong(0)
+    assert(row.getLong(1) === expected)
+  }
 }
