@@ -88,13 +88,25 @@ object Bench {
     // line, ~80 chars) inside the driver's 2000-char output tail, or the
     // JSON is clipped and parses as null. 2-decimal rounding keeps the
     // full per-query map ~1.9k; if the registry outgrows the budget, fall
-    // back to queries >= 0.3 s (plus failures) and flag the truncation —
-    // full per-query numbers always live in out/bench_detail.json.
+    // back to queries above a cutoff (plus failures), escalating the
+    // cutoff until the line fits, and flag the truncation — full
+    // per-query numbers always live in out/bench_detail.json. Queries a
+    // past round flagged slow are PINNED into the map even when
+    // currently cheap: warm-memo effects (shared dedup signatures) and
+    // codegen-cache collateral make "cheap this run" unreliable, and a
+    // regression must not be able to hide behind the tail budget.
+    val pinned = Set("dedup_ngram_jaccard", "dedup_clusters",
+      "dedup_minhash_lsh", "dedup_embed_cosine", "embed_banded_recall",
+      "embed_hyperplane_recall", "embed_centroids", "next_window_target")
     val fullLine = line(results)
     println(
       if (fullLine.length <= 1880) fullLine
-      else line(results.filter { case (_, v) => v >= 0.3 || v < 0 },
-                s""","queries_omitted":${results.count { case (_, v) => v >= 0 && v < 0.3 }}"""))
+      else Seq(0.3, 0.4, 0.5, 0.75, 1.0).iterator.map { c =>
+        line(results.filter { case (n, v) => v >= c || v < 0 || pinned(n) },
+          s""","queries_omitted":${results.count { case (n, v) => v >= 0 && v < c && !pinned(n) }}""")
+      }.find(_.length <= 1880).getOrElse(
+        line(results.filter { case (n, v) => v < 0 || pinned(n) },
+          s""","queries_omitted":${results.count { case (n, v) => v >= 0 && !pinned(n) }}""")))
     spark.stop()
   }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ops.Similarity
@@ -8,18 +8,31 @@ import graft.queries.EmbedQueries
 
 /** ANN bucket-budget probe: recall@5 and candidate cost of the
   * random-hyperplane LSH tier (Similarity.hyperplaneBucket) at several
-  * bit counts over the real embeddings table, with the axis-aligned
-  * sign bucket at 8 bits as the comparison row. This is the measurement
-  * behind the `bits` knob's sizing guidance: recall falls and candidate
-  * cost shrinks as bits grow (2^bits buckets over n vectors), so at
-  * corpus scale bits is chosen to hold n²/2^bits — the per-bucket pair
-  * count — near a target, then recall is re-measured before trusting
-  * the index (embed_lsh_recall / embed_hyperplane_recall are the
-  * oracle-checked single points; this sweeps the curve).
+  * bit counts, with the axis-aligned sign bucket at 8 bits as the
+  * comparison row. This is the measurement behind the `bits` knob's
+  * sizing guidance: recall falls and candidate cost shrinks as bits
+  * grow (2^bits buckets over n vectors), so at corpus scale bits is
+  * chosen to hold n²/2^bits — the per-bucket pair count — near a
+  * target, then recall is re-measured before trusting the index
+  * (embed_lsh_recall / embed_hyperplane_recall are the oracle-checked
+  * single points; this sweeps the curve).
+  *
+  * Two query modes per configuration:
+  *  - `corpus`: the first 10 real vectors as queries (the oracle
+  *    queries' frame). The synthetic embeddings are near-random, so
+  *    cosine neighborhoods are weak and recall is near-noise — kept as
+  *    the apples-to-apples row against the gate queries.
+  *  - `planted`: one query per ~101 corpus vectors, built as a ±5%
+  *    multiplicative perturbation of a real vector (cos ≈ 0.999 to its
+  *    base). True near-neighbors exist BY CONSTRUCTION, so this mode
+  *    has signal: a useful LSH must put the perturbed query in its
+  *    base's bucket, and recall@5 measures exactly that. This is the
+  *    number the bits-sizing guidance should be read from.
   *
   * Usage: runMain graft.RecallProbe [sfDir]
-  * Prints one JSON line per configuration:
-  *   {"tier":…,"bits":…,"buckets":…,"mean_recall":…,"cand_per_query":…}
+  * Prints one JSON line per (mode, configuration):
+  *   {"mode":…,"tier":…,"bits":…,"buckets":…,"n_queries":…,
+  *    "mean_recall":…,"cand_per_query":…}
   */
 object RecallProbe {
   def main(args: Array[String]): Unit = {
@@ -31,21 +44,67 @@ object RecallProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def probe(tier: String, bits: Int, bucket: org.apache.spark.sql.Column): Unit = {
-      val r = EmbedQueries.recallAt5(spark, sfDir, bucket)
-        .agg(avg(col("recall")).as("mr")).head().getDouble(0)
-      val b = Similarity.vectors(Tables.embeddings(spark, sfDir))
-        .withColumn("bucket", bucket)
-      val q = b.where(col("vec_id") < 10).select(col("bucket"))
-      val cand = b.where(col("vec_id") >= 10)
-        .join(broadcast(q), "bucket").count() / math.max(1L, q.count())
-      println(s"""{"tier":"$tier","bits":$bits,"buckets":${1L << bits},""" +
+    val vectors = Similarity.vectors(Tables.embeddings(spark, sfDir)).cache()
+
+    def measure(mode: String, tier: String, bits: Int,
+                q: DataFrame, c: DataFrame): Unit = {
+      val r = EmbedQueries.recallFrames(q, c)
+        .agg(coalesce(avg(col("recall")), lit(0.0)).as("mr")).head().getDouble(0)
+      val nq = math.max(1L, q.count())
+      val cand = c.join(broadcast(q.select(col("bucket"))), "bucket").count() / nq
+      println(s"""{"mode":"$mode","tier":"$tier","bits":$bits,""" +
+        s""""buckets":${1L << bits},"n_queries":$nq,""" +
         s""""mean_recall":${math.rint(r * 1e6) / 1e6},"cand_per_query":$cand}""")
     }
 
-    probe("sign", 8, Similarity.signBucket("v"))
-    Seq(4, 6, 8, 10, 12).foreach(bits =>
-      probe("hyperplane", bits, Similarity.hyperplaneBucket("v", bits, seed = 7, dim = 64)))
+    /** corpus mode: first 10 vectors as queries (the gate queries' frame). */
+    def corpus(tier: String, bits: Int, bucketOf: String => Column): Unit = {
+      val q = vectors.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+        .withColumn("bucket", bucketOf("qv"))
+      val c = vectors.where(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("v").as("cv"))
+        .withColumn("bucket", bucketOf("cv"))
+      measure("corpus", tier, bits, q, c)
+    }
+
+    /** planted mode: every ~101st vector is a query; its true top-5 is
+      * 5 PLANTED near-duplicates (±5% multiplicative perturbations,
+      * cos ≈ 0.999 — far above the ~0.5 ceiling of the random corpus)
+      * injected into the candidate set, with the base itself excluded.
+      * recall@5 therefore spans the full 0..1 range and measures
+      * exactly the LSH contract: does a near-duplicate land in its
+      * base's bucket? Deterministic noise (murmur3 of (vec_id, copy,
+      * component)) keeps the probe reproducible.
+      */
+    def planted(tier: String, bits: Int, bucketOf: String => Column): Unit = {
+      val bases = vectors.where(col("vec_id") % 101 === 0)
+      val q = bases.select(col("vec_id").as("qid"), col("v").as("qv"))
+        .withColumn("bucket", bucketOf("qv"))
+      val copies = bases
+        .select(col("vec_id"), explode(sequence(lit(0), lit(4))).as("k"), col("v"))
+        .select((col("vec_id") * 8 + col("k") + lit(1000000000L)).as("nid"), expr(
+          "transform(v, (x, i) -> x * (1.0D + (pmod(hash(vec_id, k, i), 2001) - 1000) / 20000.0D))")
+          .as("cv"))
+      val c = vectors.where(col("vec_id") % 101 =!= 0)
+        .select(col("vec_id").as("nid"), col("v").as("cv"))
+        .unionByName(copies)
+        .withColumn("bucket", bucketOf("cv"))
+      measure("planted", tier, bits, q, c)
+    }
+
+    Seq[(String, Int, String => Column)](
+      ("sign", 8, v => Similarity.signBucket(v)),
+      ("hyperplane", 4, v => Similarity.hyperplaneBucket(v, 4, seed = 7, dim = 64)),
+      ("hyperplane", 6, v => Similarity.hyperplaneBucket(v, 6, seed = 7, dim = 64)),
+      ("hyperplane", 8, v => Similarity.hyperplaneBucket(v, 8, seed = 7, dim = 64)),
+      ("hyperplane", 10, v => Similarity.hyperplaneBucket(v, 10, seed = 7, dim = 64)),
+      ("hyperplane", 12, v => Similarity.hyperplaneBucket(v, 12, seed = 7, dim = 64))
+    ).foreach { case (tier, bits, bucketOf) =>
+      corpus(tier, bits, bucketOf)
+      planted(tier, bits, bucketOf)
+    }
+    vectors.unpersist()
     spark.stop()
   }
 }

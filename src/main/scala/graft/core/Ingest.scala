@@ -75,14 +75,14 @@ object Ingest {
            |    try_cast(regexp_extract_all($name, '([0-9]+)', 1)[2] AS BIGINT))
            |ELSE NULL END""".stripMargin))
 
-  /** One dialect file -> unified string-typed projection (headers
-    * lowercased/trimmed, unmapped columns pruned).
+  /** One dialect's raw string-typed frame -> unified projection (headers
+    * lowercased/trimmed, unmapped columns pruned). Factored off the CSV
+    * read so the driver's parquet-only oracle gate can push
+    * deterministically-constructed raw frames through the REAL dialect
+    * chain (queries.BicisQueries.qUnifyParse).
     */
-  def readYear(spark: SparkSession, path: String, year: Int): DataFrame = {
+  def projectDialect(raw: DataFrame, year: Int): DataFrame = {
     val map = fieldMaps(year)
-    val raw = spark.read
-      .option("sep", ";").option("header", "true")
-      .csv(path)
     val byNorm = raw.columns.map(c => c.trim.toLowerCase -> c).toMap
     val projected = map.collect {
       case (src, dst) if byNorm.contains(src) => col(s"`${byNorm(src)}`").as(dst)
@@ -90,11 +90,23 @@ object Ingest {
     raw.select(projected: _*)
   }
 
+  /** One dialect file -> unified string-typed projection. */
+  def readYear(spark: SparkSession, path: String, year: Int): DataFrame =
+    projectDialect(
+      spark.read.option("sep", ";").option("header", "true").csv(path), year)
+
   /** U1 + S6: all files -> unified typed trips table. */
-  def unify(spark: SparkSession, paths: Seq[String]): DataFrame = {
-    val frames = paths.flatMap { p =>
-      yearOf(p).filter(fieldMaps.contains).map(y => readYear(spark, p, y))
-    }
+  def unify(spark: SparkSession, paths: Seq[String]): DataFrame =
+    unifyFrames(paths.flatMap { p =>
+      yearOf(p).filter(fieldMaps.contains)
+        .map(y => spark.read.option("sep", ";").option("header", "true").csv(p) -> y)
+    })
+
+  /** U1 + S6 over pre-loaded (raw, year) dialect frames — the whole
+    * parse/derive/drop chain behind [[unify]], CSV read excluded.
+    */
+  def unifyFrames(rawFrames: Seq[(DataFrame, Int)]): DataFrame = {
+    val frames = rawFrames.map { case (raw, y) => projectDialect(raw, y) }
     require(frames.nonEmpty, "no ingestible files (unknown years?)")
     val union = frames.map { df =>
       // remember per-dialect whether the source HAD a return-date
@@ -124,19 +136,43 @@ object Ingest {
         col("return_date"), col("return_station"))
   }
 
-  /** Exact-parity variant of unify: DENSE sequential ids like the
-    * reference (unify.py:47-49), via zipWithIndex — one extra pass and a
-    * driver-coordinated offset per partition; use only when downstream
-    * consumers require gap-free ids.
+  /** Gap-free 0..n-1 ids in physical partition order, DataFrame-native
+    * (no RDD drop-out, no shuffle of the data side).
+    *
+    * `monotonically_increasing_id` documents its layout as
+    * `(partitionId << 33) | row-in-partition`, so a dense id is just
+    * `global-offset(partition) + row-in-partition`: one aggregate over
+    * the mid's high bits (map-side partial count; the shuffle carries
+    * #partitions rows), a prefix-sum window over that tiny frame, a
+    * broadcast join back, and arithmetic on the mid's low bits. Same
+    * cost shape as RDD `zipWithIndex` — one extra counting pass, so
+    * persist upstream if recompute is expensive — but the plan stays in
+    * Catalyst/Tungsten end to end and the big side never moves. Like
+    * zipWithIndex, ids follow physical partition order (deterministic
+    * for deterministic inputs); both passes must observe the same
+    * partitioning.
     */
-  def unifyDenseIds(spark: SparkSession, paths: Seq[String]): DataFrame = {
-    val base = unify(spark, paths).drop("id")
-    val schema = org.apache.spark.sql.types.StructType(
-      org.apache.spark.sql.types.StructField("id",
-        org.apache.spark.sql.types.LongType, nullable = false) +: base.schema.fields)
-    val rows = base.rdd.zipWithIndex().map { case (row, i) =>
-      org.apache.spark.sql.Row.fromSeq(i +: row.toSeq)
-    }
-    spark.createDataFrame(rows, schema)
+  def denseIds(df: DataFrame, idCol: String = "id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.withColumn("__mid", monotonically_increasing_id())
+    val offsets = base
+      .groupBy(shiftright(col("__mid"), 33).as("__pid"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__offset", coalesce(sum(col("__n")).over(
+        Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__pid"), col("__offset"))
+    base
+      .join(broadcast(offsets), shiftright(col("__mid"), 33) === col("__pid"))
+      .withColumn(idCol, col("__offset") + (col("__mid") - shiftleft(col("__pid"), 33)))
+      .select(col(idCol) +: df.columns.map(col): _*)
   }
+
+  /** Exact-parity variant of unify: DENSE sequential ids like the
+    * reference (unify.py:47-49), via [[denseIds]]; use only when
+    * downstream consumers require gap-free ids — the default [[unify]]
+    * keeps the one-pass partition-stable `monotonically_increasing_id`.
+    */
+  def unifyDenseIds(spark: SparkSession, paths: Seq[String]): DataFrame =
+    denseIds(unify(spark, paths).drop("id"))
 }

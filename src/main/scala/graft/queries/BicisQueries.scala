@@ -210,10 +210,77 @@ object BicisQueries {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** S1/S6/U1 + P1-P3 + F4 through the driver's oracle gate: the
+    * multi-dialect unify chain (graft.core.Ingest) run END TO END. The
+    * driver only serves parquet, so the four dialect files are
+    * reconstructed as raw STRING frames from `events` — dialect-specific
+    * messy headers (mixed case, padding, an unmapped junk column),
+    * dialect-specific column sets, reference-format date/duration
+    * strings, and injected garbage rows — and pushed through the real
+    * `Ingest.unifyFrames` (identical code path to `unify` minus the CSV
+    * byte read, which IngestSpec covers with real files). The oracle
+    * re-derives what the chain must produce: per-dialect projection,
+    * first-match timestamp parse (second truncation), bare-int-minutes /
+    * h-m-s duration parse, return-date derivation for the dialect that
+    * lacks the column (v4/2016), and the unparseable-row drops
+    * (bicis/lib/parse_raw_data.py:79-117, unify.py:30-50).
+    */
+  val qUnifyParse: QueryDef = QueryDef.sql("q_unify_parse",
+    """WITH b AS (SELECT event_id, user_id, ts,
+      |  event_id % 4 AS dial,
+      |  CASE WHEN event_id % 97 = 0 THEN NULL ELSE date_trunc('second', ts) END AS rent_p,
+      |  date_trunc('second', ts + to_seconds(event_id % 5400)) AS ret_p,
+      |  CASE WHEN event_id % 3 = 0 THEN (event_id % 120) * 60
+      |       WHEN event_id % 3 = 1 THEN (event_id % 2) * 3600 + (event_id % 90) * 60 + (event_id % 60)
+      |       ELSE NULL END AS dur_s
+      |  FROM events)
+      |SELECT rent_p AS rent_date,
+      |  'S' || CAST(user_id % 50 AS VARCHAR) AS rent_station,
+      |  CASE WHEN dial = 3 THEN rent_p + to_seconds(dur_s) ELSE ret_p END AS return_date,
+      |  'T' || CAST(user_id % 37 AS VARCHAR) AS return_station
+      |FROM b
+      |WHERE rent_p IS NOT NULL AND (dial <> 3 OR dur_s IS NOT NULL)
+      |ORDER BY rent_date, rent_station, return_date, return_station""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir).select(
+      col("event_id"), col("user_id"), col("ts"),
+      (col("event_id") % 4).as("dial"),
+      when(col("event_id") % 97 === 0, lit("not a date"))
+        .otherwise(date_format(col("ts"), "dd/MM/yyyy HH:mm:ss")).as("rent_raw"),
+      date_format(expr("timestampadd(SECOND, event_id % 5400, ts)"),
+        "dd/MM/yyyy HH:mm:ss").as("ret_raw"),
+      when(col("event_id") % 3 === 0, (col("event_id") % 120).cast("string"))
+        .when(col("event_id") % 3 === 1, concat(
+          (col("event_id") % 2).cast("string"), lit("H "),
+          (col("event_id") % 90).cast("string"), lit("M "),
+          (col("event_id") % 60).cast("string"), lit("S")))
+        .otherwise(lit("n/a")).as("dur_raw"),
+      concat(lit("S"), (col("user_id") % 50).cast("string")).as("rst"),
+      concat(lit("T"), (col("user_id") % 37).cast("string")).as("tst"))
+    val v1 = ev.where(col("dial") === 0).select(
+      col("rent_raw").as(" OrigenFecha "), col("rst").as("NombreOrigen"),
+      col("ret_raw").as("DestinoFecha"), col("tst").as("NombreDestino"),
+      col("dur_raw").as("TiempoUso"), col("event_id").cast("string").as("PERIODO"))
+    val v2 = ev.where(col("dial") === 1).select(
+      col("rent_raw").as("ORIGENFECHA"), col("rst").as("OrigenNombre"),
+      col("ret_raw").as("DestinoFecha"), col("tst").as("DestinoNombre"),
+      col("dur_raw").as("TiempoUso"))
+    val v3 = ev.where(col("dial") === 2).select(
+      col("rent_raw").as("origen_fecha"), col("rst").as("nombre_origen"),
+      col("ret_raw").as("destino_fecha"), col("tst").as("destino_estacion"))
+    val v4 = ev.where(col("dial") === 3).select(
+      col("rent_raw").as("Fecha_Hora_Retiro"), col("dur_raw").as("tiempo_uso"),
+      col("rst").as("nombre_origen"), col("tst").as("nombre_destino"))
+    graft.core.Ingest.unifyFrames(Seq(v1 -> 2011, v2 -> 2012, v3 -> 2014, v4 -> 2016))
+      .select(col("rent_date"), col("rent_station"),
+        col("return_date"), col("return_station"))
+      .orderBy(col("rent_date"), col("rent_station"),
+        col("return_date"), col("return_station"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     seriesWeekday, seriesHour, seriesMonth, seriesWeekdayReturns,
     seriesMonthReturns, seriesJoin, stationHourPivot,
     nextWindowTarget, nextWindowTargetChunked, tumblingHour,
     splitTraining, splitValidation, splitTesting,
-    sessionize, qSessionWindow)
+    sessionize, qSessionWindow, qUnifyParse)
 }

@@ -167,6 +167,15 @@ object EmbedQueries {
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
     val c = b.where(col("vec_id") >= 10)
       .select(col("vec_id").as("nid"), col("v").as("cv"), col("bucket"))
+    recallFrames(q, c)
+  }
+
+  /** recall@5 over arbitrary (qid, qv, bucket) / (nid, cv, bucket)
+    * frames — lets RecallProbe measure planted-cluster queries with the
+    * exact plan the oracle-checked recall queries use.
+    */
+  private[graft] def recallFrames(q: org.apache.spark.sql.DataFrame,
+                                  c: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val brute = Similarity.topK(
       c.crossJoin(broadcast(q.drop("bucket")))
         .withColumn("sim", Similarity.cosine("qv", "cv"))

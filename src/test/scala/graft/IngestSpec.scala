@@ -48,4 +48,18 @@ class IngestSpec extends SparkSpec {
     assert(unified.where(col("rent_date") === ts("2011-02-13 10:45:30")).count() === 1L)
     assert(unified.where(col("rent_date") === ts("2013-05-02 14:30:00.5")).count() === 1L)
   }
+
+  test("denseIds: gap-free 0..n-1 in physical partition order, equal to zipWithIndex") {
+    // uneven multi-partition frame (incl. an empty partition via filter)
+    val df = spark.range(0, 1000).repartition(7)
+      .where(col("id") % 11 =!= 0).select(col("id").as("x")).cache()
+    try {
+      val dense = Ingest.denseIds(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      val viaRdd = df.rdd.zipWithIndex()
+        .map { case (row, i) => i -> row.getLong(0) }.collect().sortBy(_._1)
+      assert(dense.map(_._1).toSeq === (0L until dense.length.toLong))
+      assert(dense.map(_._2).toSeq === viaRdd.map(_._2).toSeq)
+    } finally df.unpersist()
+  }
 }
