@@ -106,6 +106,41 @@ class PlanSpec extends SparkSpec {
     assert("hashpartitioning\\(shard".r.findAllIn(pp).size === 1, s"extra shard exchanges in:\n$pp")
   }
 
+  test("embed family runs on the native vector kernels (no interpreted HOF distance)") {
+    // r7 regression class: HOF lambdas are interpreted per element and
+    // unrolled scalar trees blow janino's 64 KB limit. Assert the
+    // optimized plans actually construct VecDot/HyperplaneBucket — a
+    // revert to either form fails here, not in a bench diff.
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    def uses(df: org.apache.spark.sql.DataFrame)(
+        pf: PartialFunction[Expression, Unit]): Boolean =
+      df.queryExecution.optimizedPlan.collect {
+        case p => p.expressions.exists(_.collectFirst(pf).isDefined)
+      }.exists(identity)
+    val cent = graft.queries.EmbedQueries.embedCentroids.run(spark, dir)
+    assert(uses(cent) { case _: graft.functions.VecDot => () },
+      "embed_centroids distance is not the native vec_dot")
+    val banded = graft.queries.EmbedQueries.embedBandedRecall.run(spark, dir)
+    assert(uses(banded) { case _: graft.functions.HyperplaneBucket => () },
+      "banded recall buckets are not the native hyperplane_bucket")
+    assert(uses(banded) { case _: graft.functions.VecDot => () },
+      "banded recall cosine is not the native vec_dot")
+  }
+
+  test("banded projection node count stays orders below the codegen blowup class") {
+    import graft.ops.Similarity
+    import org.apache.spark.sql.functions.expr
+    val df = spark.range(100)
+      .select(expr("transform(sequence(0, 63), i -> CAST(i AS DOUBLE))").as("v"))
+    // 8 bands x 8 bits x dim 64 unrolled was ~64k expression nodes (a
+    // guaranteed janino 64 KB blowout); native must stay ~constant
+    val banded = Similarity.bandedHyperplane(df, "v", bands = 8, bitsPerBand = 8,
+      seed = 7, dim = 64)
+    val nodes = banded.queryExecution.optimizedPlan.expressions
+      .map(_.collect { case e => e }.size).sum
+    assert(nodes < 300, s"$nodes expression nodes in the banded projection")
+  }
+
   test("ml_zscore / q_above_avg use grouped stats + broadcast join, not a low-cardinality window") {
     val pz = plan(graft.queries.MlQueries.mlZscore)
     assert(!pz.contains("Window"), s"window over ~3-value l_returnflag in:\n$pz")
