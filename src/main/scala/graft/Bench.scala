@@ -52,6 +52,32 @@ object Bench {
         .orderBy(col("event_id"), col("i"))
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => }
+    // Same discipline for the dedup/text family: its first measured query
+    // (alphabetically dedup_clusters) otherwise carries the one-time
+    // codegen/JIT of tokenize -> shingle -> portable_hash64 -> sort ->
+    // prefix-filter join -> jaccard verify -> CC label joins (measured
+    // 10.8 s cold vs 2.4 s steady-state for the signature build alone at
+    // sf0.1). A LIMITed slice of the real documents table compiles the
+    // identical operator shapes at ~zero data cost; the measured run
+    // still pays the FULL-data signature/pair build — only the one-time
+    // JIT moves out of the loop.
+    try {
+      import org.apache.spark.sql.functions._
+      graft.ops.TextOps.ensureFunctions(spark)
+      val docsLim = graft.core.Tables.documents(spark, sfDir).limit(300)
+      val sh = graft.ops.TextOps.docShingles(docsLim)
+      val hs = sh.select(col("doc_id"),
+        array_sort(expr("transform(sh, x -> portable_hash64('g', x))")).as("hs"),
+        size(col("sh")).as("n"))
+      val pairs = graft.queries.DedupQueries.prefixFilteredPairs(hs)
+        .where(col("sim") >= 0.8).select(col("i"), col("j"))
+      graft.ops.Components.connectedComponents(pairs)
+        .write.format("noop").mode("overwrite").save()
+      // minhash signature + band-key shapes (dedup_minhash_lsh / simhash)
+      sh.select(col("doc_id"), graft.ops.TextOps.minhashSig(16).as("sig"))
+        .select(col("doc_id"), explode(graft.ops.TextOps.bandKeys(8, 2)).as("bk"))
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => }
     // optional focus filter for local iteration (unset → full suite)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
