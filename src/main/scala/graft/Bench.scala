@@ -73,9 +73,16 @@ object Bench {
         .where(col("sim") >= 0.8).select(col("i"), col("j"))
       graft.ops.Components.connectedComponents(pairs)
         .write.format("noop").mode("overwrite").save()
-      // minhash signature + band-key shapes (dedup_minhash_lsh / simhash)
-      sh.select(col("doc_id"), graft.ops.TextOps.minhashSig(16).as("sig"))
-        .select(col("doc_id"), explode(graft.ops.TextOps.bandKeys(8, 2)).as("bk"))
+      // minhash/simhash signature + band-key shapes, on the same native
+      // kernels the measured queries construct
+      hs.select(col("doc_id"),
+          org.apache.spark.sql.GraftColumns.column(graft.functions.MinHashSig(
+            org.apache.spark.sql.GraftColumns.expression(col("hs")),
+            16, 1000003L, 7919L, 2147483647L)).as("sig"),
+          org.apache.spark.sql.GraftColumns.column(graft.functions.SimHash32(
+            org.apache.spark.sql.GraftColumns.expression(col("hs")))).as("sh32"))
+        .select(col("doc_id"), col("sh32"),
+          explode(graft.ops.TextOps.bandKeys(8, 2)).as("bk"))
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => }
     // optional focus filter for local iteration (unset → full suite)

@@ -39,8 +39,11 @@ object TextOps {
     s"CAST(conv(substr(md5(CAST(concat(CAST($saltSql AS STRING), ':', $valueSql) AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
 
   /** Idempotent registration of the native hash for this session. */
-  def ensureFunctions(spark: org.apache.spark.sql.SparkSession): Unit =
+  def ensureFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
     graft.functions.PortableHash64.register(spark)
+    graft.functions.SimHash32.register(spark)
+    graft.functions.MinHashSig.register(spark)
+  }
 
   /** Production hash tier: Spark-native xxhash64 (codegen'd, no hex
     * round-trip — far cheaper PER CALL than the md5 path). Measured
@@ -141,7 +144,17 @@ object TextOps {
   }
 
   /** 32-bit SimHash over the shingle set (sign of per-bit +/-1 sums). */
-  val simhash32: Column = expr(
+  val simhash32: Column = org.apache.spark.sql.GraftColumns.column(
+    graft.functions.SimHash32(
+      org.apache.spark.sql.GraftColumns.expression(col("__wh"))))
+
+  /** The reference nested-HOF formula (built-ins only), kept for
+    * differential testing against the native expression: the inner
+    * lambda re-walks the hash array once per bit, interpreted — do not
+    * use on a hot path (TextOpsSpec pins native == HOF, including the
+    * NULL-element / NULL-array / empty-array corners).
+    */
+  val simhash32Hof: Column = expr(
     s"""CAST(aggregate(sequence(0, 31), CAST(0 AS BIGINT),
        |  (acc, i) -> acc + IF(
        |    aggregate(__wh, 0, (a2, h) -> a2 + IF(((h >> i) & 1) = 1, 1, -1)) >= 0,

@@ -224,9 +224,14 @@ object DedupQueries {
          |        FROM cand c JOIN hs x ON x.doc_id = c.i JOIN hs y ON y.doc_id = c.j)
          |SELECT i, j, sim FROM ver WHERE sim >= 0.8 ORDER BY i, j""".stripMargin) { (s, dir) =>
       val hs = docHashes(s, dir)
-      val sig = TextOps.barrier(hs.select(col("doc_id"), expr(
-        s"transform(sequence(0, ${k - 1}), i -> array_min(transform(hs, x -> (${a("i")} * (x % $P) + i) % $P)))")
-        .as("sig")), "doc_id")
+      // native one-pass k-minima kernel; the equivalent HOF form
+      // (transform(sequence(0,k-1), i -> array_min(transform(hs, ...))))
+      // walks the array once per signature row, interpreted — TextOpsSpec
+      // pins the two bit-for-bit
+      val sig = TextOps.barrier(hs.select(col("doc_id"),
+        org.apache.spark.sql.GraftColumns.column(graft.functions.MinHashSig(
+          org.apache.spark.sql.GraftColumns.expression(col("hs")),
+          k, 1000003L, 7919L, P)).as("sig")), "doc_id")
       val bandRows = sig
         .select(col("doc_id"), explode(TextOps.bandKeys(bands, r)).as("bd"))
         .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))

@@ -55,6 +55,18 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
+  test("dedup_simhash signature is the native simhash32, not the nested HOF") {
+    // same regression class as the vector kernels: the HOF form re-walks
+    // the hash array once per bit, every element an interpreted tree eval
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    val df = graft.queries.DedupQueries.dedupSimhash.run(spark, dir)
+    val uses = df.queryExecution.optimizedPlan.collect {
+      case p => p.expressions.exists(_.collectFirst {
+        case _: graft.functions.SimHash32 => () }.isDefined)
+    }.exists(identity)
+    assert(uses, "dedup_simhash signature is not the native simhash32")
+  }
+
   test("GLOBAL sweep: no unintended nested-loop/cartesian join in ANY registered query") {
     // queries whose plans legitimately contain a BroadcastNestedLoopJoin:
     // a deliberately-broadcast tiny side (queries / centroids) crossed

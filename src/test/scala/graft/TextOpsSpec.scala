@@ -92,4 +92,85 @@ class TextOpsSpec extends SparkSpec {
     }
     assert(out(0).getString(3) === "contact me at <EMAIL> or <URL> thanks")
   }
+
+  test("native simhash32 is bit-exact with the nested-HOF formula, corners included") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val rows: Seq[(Long, Seq[Option[Long]])] =
+      (1 to 500).map { i =>
+        i.toLong -> Seq.fill(1 + rnd.nextInt(40))(Option(rnd.nextLong()))
+      } ++ Seq(
+        9001L -> Seq.empty[Option[Long]],                    // empty -> all 32 bits set
+        9002L -> Seq[Option[Long]](None, Some(5L), None),    // null elements vote like 0L
+        9003L -> Seq[Option[Long]](None))
+    val df = rows.toDF("doc_id", "__wh")
+      .unionByName(Seq(Tuple1(9004L)).toDF("doc_id")                // NULL array -> 0, not NULL
+        .withColumn("__wh", lit(null).cast("array<bigint>")))
+    val out = df
+      .withColumn("native", TextOps.simhash32)
+      .withColumn("hof", TextOps.simhash32Hof)
+    assert(out.where(col("native").isNull).count() === 0L)
+    assert(out.where(not(col("native") <=> col("hof"))).count() === 0L)
+    val corners = out.where(col("doc_id") >= 9001L).orderBy("doc_id")
+      .select("native").collect().map(_.getLong(0))
+    assert(corners(0) === 0xFFFFFFFFL)
+    assert(corners(3) === 0L)
+  }
+
+  test("native minhash_sig is bit-exact with the per-row HOF formula, corners included") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumns
+    val (k, p) = (16, 2147483647L)
+    val hof = expr(
+      s"transform(sequence(0, ${k - 1}), i -> array_min(transform(__wh, " +
+        s"x -> ((1000003 + i * 7919) * (x % $p) + i) % $p)))")
+    def native(c: org.apache.spark.sql.Column) = GraftColumns.column(
+      graft.functions.MinHashSig(GraftColumns.expression(c), k, 1000003L, 7919L, p))
+    val rnd = new scala.util.Random(47)
+    val rows: Seq[(Long, Seq[Option[Long]])] =
+      (1 to 300).map { i =>
+        // negative hashes included: the xxhash64 tier produces them and
+        // Java/DuckDB remainder semantics must agree through the kernel
+        i.toLong -> Seq.fill(1 + rnd.nextInt(40))(Option(rnd.nextLong()))
+      } ++ Seq(
+        9001L -> Seq.empty[Option[Long]],                  // -> k NULL slots
+        9002L -> Seq[Option[Long]](None, Some(12345L)),    // null element skipped
+        9003L -> Seq[Option[Long]](None))                  // all-null -> k NULL slots
+    val df = rows.toDF("doc_id", "__wh")
+      // NULL array -> k NULL slots too (the outer transform runs over the
+      // non-null sequence; only the inner array_min sees the NULL array)
+      .unionByName(Seq(Tuple1(9004L)).toDF("doc_id")
+        .withColumn("__wh", lit(null).cast("array<bigint>")))
+    val out = df.withColumn("native", native(col("__wh"))).withColumn("hof", hof)
+    assert(out.where(col("native").isNull).count() === 0L)
+    assert(out.where(not(col("native") <=> col("hof"))).count() === 0L)
+    val corners = out.where(col("doc_id").isin(9001L, 9003L, 9004L)).collect()
+    assert(corners.forall(_.getSeq[Any](2) === Seq.fill(k)(null)))
+  }
+
+  test("native simhash32: interpreted eval matches codegen") {
+    import spark.implicits._
+    def frame() = {
+      val rnd = new scala.util.Random(43)
+      (1 to 200).map { i =>
+        i.toLong -> Seq.fill(1 + rnd.nextInt(20))(rnd.nextLong())
+      }.toDF("doc_id", "__wh")
+    }
+    val before = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    val beforeWs = spark.conf.getOption("spark.sql.codegen.wholeStage")
+    val codegen = frame().withColumn("sig", TextOps.simhash32)
+      .orderBy("doc_id").collect()
+    try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interp = frame().withColumn("sig", TextOps.simhash32)
+        .orderBy("doc_id").collect()
+      assert(codegen.toSeq === interp.toSeq)
+    } finally {
+      before.fold(spark.conf.unset("spark.sql.codegen.factoryMode"))(
+        spark.conf.set("spark.sql.codegen.factoryMode", _))
+      beforeWs.fold(spark.conf.unset("spark.sql.codegen.wholeStage"))(
+        spark.conf.set("spark.sql.codegen.wholeStage", _))
+    }
+  }
 }
