@@ -470,8 +470,97 @@ object EmbedQueries {
       .orderBy(col("vec_id"), col("i"))
   }
 
+  /** Product-quantization ANN (the 100 TB in-memory path): vectors are
+    * compressed to M=8 sub-codes of 4 bits (16-entry codebook per
+    * subspace) — 64 doubles (512 B) become 4 B, a 128× memory cut — and
+    * query-time scoring is ADC (asymmetric distance computation): the
+    * query precomputes its distance to every codebook entry (M·K = 128
+    * values), then each candidate costs M table LOOKUPS + a sum, no
+    * vector math. At cluster scale the encoded corpus co-partitions
+    * with any coarse index (IVF cells, LSH buckets) and the ADC tables
+    * ride a per-query broadcast.
+    *
+    * Determinism for the oracle: the codebook is TRAINING-FREE — the
+    * sub-vectors of corpus rows vec_id 10..25 (production would k-means
+    * a sample per subspace; the encode/ADC pipeline is identical).
+    * Encoding argmin uses round-6 distances with a code tiebreak
+    * (row_number, both engines); ADC sums are exact DECIMAL(18,6) so
+    * addition order can't drift the ranking; final rank tiebreaks nid.
+    */
+  val embedKnnPq: QueryDef = {
+    val (m, dsub, kCodes) = (8, 8, 16)
+    def duckSqDist(a: String, b: String): String =
+      s"""round(greatest(list_sum([$a[i] * $a[i] for i in range(1, len($a) + 1)]) +
+         |  list_sum([$b[i] * $b[i] for i in range(1, len($b) + 1)]) -
+         |  2 * list_sum([$a[i] * $b[i] for i in range(1, len($a) + 1)]), 0), 6)""".stripMargin
+    QueryDef.sql("embed_knn_pq",
+      s"""WITH $duckVectors,
+         |cb AS (SELECT vec_id - 10 AS code, s.sub,
+         |         v[s.sub * $dsub + 1 : s.sub * $dsub + $dsub] AS cvec
+         |       FROM v CROSS JOIN range(0, $m) s(sub)
+         |       WHERE vec_id >= 10 AND vec_id < ${10 + kCodes}),
+         |cs AS (SELECT c.nid, s.sub, c.v[s.sub * $dsub + 1 : s.sub * $dsub + $dsub] AS svec
+         |       FROM (SELECT vec_id AS nid, v FROM v WHERE vec_id >= 10) c
+         |       CROSS JOIN range(0, $m) s(sub)),
+         |enc0 AS (SELECT nid, cs.sub, cb.code, ${duckSqDist("svec", "cvec")} AS d
+         |         FROM cs JOIN cb ON cs.sub = cb.sub),
+         |enc AS (SELECT nid, sub, code FROM
+         |          (SELECT nid, sub, code,
+         |             row_number() OVER (PARTITION BY nid, sub ORDER BY d, code) AS rn
+         |           FROM enc0) WHERE rn = 1),
+         |qs AS (SELECT q.qid, s.sub, q.v[s.sub * $dsub + 1 : s.sub * $dsub + $dsub] AS svec
+         |       FROM (SELECT vec_id AS qid, v FROM v WHERE vec_id < 10) q
+         |       CROSS JOIN range(0, $m) s(sub)),
+         |adc AS (SELECT qid, qs.sub, cb.code,
+         |          CAST(${duckSqDist("svec", "cvec")} AS DECIMAL(18,6)) AS qd
+         |        FROM qs JOIN cb ON qs.sub = cb.sub),
+         |p AS (SELECT qid, nid, sum(qd) AS sd
+         |      FROM enc JOIN adc USING (sub, code) GROUP BY 1, 2),
+         |r AS (SELECT qid, nid, CAST(sd AS DOUBLE) AS adist,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sd, nid) AS BIGINT) AS rnk
+         |      FROM p)
+         |SELECT qid, nid, adist, rnk FROM r WHERE rnk <= 3
+         |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = Similarity.vectors(Tables.embeddings(s, dir))
+      // (id, sub, svec): one row per subspace, the dim-8 slice
+      def subSlices(df: org.apache.spark.sql.DataFrame, idOut: String) = df
+        .select(col("vec_id").as(idOut), explode(expr(
+          s"transform(sequence(0, ${m - 1}), s -> struct(s AS sub, slice(v, s * $dsub + 1, $dsub) AS svec))"))
+          .as("sc"))
+        .select(col(idOut), col("sc.sub").as("sub"), col("sc.svec").as("svec"))
+      // Same rearranged ‖a−b‖² as embed_centroids (identical folds and
+      // (a+b)−2c association in the oracle) so both engines round the
+      // same double; squared distance — PQ never needs the sqrt.
+      def sqDist(a: String, b: String) = round(greatest(
+        Similarity.dot(a, a) + Similarity.dot(b, b) -
+          lit(2) * Similarity.dot(a, b), lit(0.0)), 6)
+      val cb = subSlices(
+        v.where(col("vec_id") >= 10 && col("vec_id") < 10 + kCodes), "cbid")
+        .select((col("cbid") - 10).as("code"), col("sub"), col("svec").as("cvec"))
+      val enc = subSlices(v.where(col("vec_id") >= 10), "nid")
+        .join(broadcast(cb), "sub")
+        .withColumn("d", sqDist("svec", "cvec"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("nid"), col("sub")).orderBy(col("d"), col("code"))))
+        .where(col("rn") === 1)
+        .select(col("nid"), col("sub"), col("code"))
+      val adc = subSlices(v.where(col("vec_id") < 10), "qid")
+        .join(broadcast(cb), "sub")
+        .select(col("qid"), col("sub"), col("code"),
+          sqDist("svec", "cvec").cast("decimal(18,6)").as("qd"))
+      enc.join(broadcast(adc), Seq("sub", "code"))
+        .groupBy(col("qid"), col("nid")).agg(sum(col("qd")).as("sd"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("sd"), col("nid"))).cast("long"))
+        .where(col("rnk") <= 3)
+        .select(col("qid"), col("nid"), col("sd").cast("double").as("adist"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(embedKnnBrute, embedKnnLsh, embedCentroids,
     multimodalMeta, multimodalFramesample, multimodalResize, embedNorms,
     embedKnnIvf, dedupEmbedCosine, embedQuantize, embedLshRecall,
-    embedHyperplaneRecall, embedBandedRecall)
+    embedHyperplaneRecall, embedBandedRecall, embedKnnPq)
 }
