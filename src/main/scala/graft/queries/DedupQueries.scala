@@ -379,6 +379,66 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental dedup — the shape a 100 TB pipeline actually runs
+    * daily: a NEW batch (here doc_id % 5 = 0, standing in for today's
+    * crawl) deduped against the ACCEPTED corpus (the rest) plus earlier
+    * rows of the same batch, without ever recomputing corpus-side
+    * pairs. A new doc is dropped if it is a J>=0.8 near-dup of any
+    * corpus doc or of a lower-id batch doc; output is each dropped
+    * doc's best match (highest sim, then smallest dup_of) tagged with
+    * where it matched.
+    *
+    * Scale shape: the corpus side reads the PERSISTED signature table
+    * (the session memo here; a parquet signature table per corpus
+    * snapshot in production) — the only new work is the batch's
+    * signatures, and the prefix-token equi-join keys candidate volume
+    * by |batch|, not |corpus|². The batch side of the join is small by
+    * construction; the corpus side shuffles prefix tokens only (one
+    * long + doc_id + n per row), never documents.
+    */
+  val dedupIncremental: QueryDef = QueryDef.sql("dedup_incremental",
+    s"""WITH $hashCte,
+       |pre AS (SELECT doc_id, n, doc_id % 5 = 0 AS is_new,
+       |          unnest(hs[1 : CAST(floor(0.2 * n) + 1 AS INT)]) AS tok FROM hs),
+       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j, b.is_new AS j_new
+       |         FROM pre a JOIN pre b ON a.tok = b.tok
+       |          AND a.is_new AND (NOT b.is_new OR b.doc_id < a.doc_id)
+       |          AND a.doc_id <> b.doc_id
+       |          AND 4 * greatest(a.n, b.n) <= 5 * least(a.n, b.n)),
+       |pairs AS (SELECT c.i, c.j, c.j_new, ${duckJaccard("x.hs", "y.hs")} AS sim
+       |          FROM cand c JOIN hs x ON x.doc_id = c.i JOIN hs y ON y.doc_id = c.j),
+       |hits AS (SELECT i AS doc_id, j AS dup_of, sim,
+       |           CASE WHEN j_new THEN 'batch' ELSE 'corpus' END AS src,
+       |           row_number() OVER (PARTITION BY i ORDER BY sim DESC, j) AS rn
+       |         FROM pairs WHERE sim >= 0.8)
+       |SELECT doc_id, dup_of, sim, src FROM hits WHERE rn = 1
+       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val hs = docHashes(s, dir)
+    val pre = hs.select(col("doc_id"), col("n"),
+      (col("doc_id") % 5 === 0).as("is_new"),
+      explode(expr("slice(hs, 1, CAST(floor(0.2 * n) + 1 AS INT))")).as("tok"))
+    val cand = pre.where(col("is_new")).as("a")
+      .join(pre.as("b"), col("a.tok") === col("b.tok") &&
+        (!col("b.is_new") || col("b.doc_id") < col("a.doc_id")) &&
+        col("a.doc_id") =!= col("b.doc_id") &&
+        lit(4) * greatest(col("a.n"), col("b.n")) <= lit(5) * least(col("a.n"), col("b.n")))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"), col("b.is_new").as("j_new"))
+      .distinct()
+    cand
+      .join(hs.select(col("doc_id").as("i"), col("hs").as("ha")), "i")
+      .join(hs.select(col("doc_id").as("j"), col("hs").as("hb")), "j")
+      .withColumn("sim", TextOps.jaccard(col("ha"), col("hb")))
+      .where(col("sim") >= 0.8)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("i")).orderBy(col("sim").desc, col("j"))))
+      .where(col("rn") === 1)
+      .select(col("i").as("doc_id"), col("j").as("dup_of"), col("sim"),
+        when(col("j_new"), "batch").otherwise("corpus").as("src"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh,
-    dedupSimhash, dedupClusters, dedupSurvivors, dedupDecontaminate)
+    dedupSimhash, dedupClusters, dedupSurvivors, dedupDecontaminate,
+    dedupIncremental)
 }
