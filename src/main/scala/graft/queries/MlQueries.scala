@@ -228,7 +228,53 @@ object MlQueries {
     }
   }
 
+  /** Mixture/epoch weighting — the step between filtering and packing
+    * in a pretraining pipeline: each SOURCE gets a sampling weight,
+    * including weights ABOVE 1 ("3 epochs of wiki, 0.4 of web"), and
+    * every document materializes floor(w) copies plus one more with
+    * probability frac(w). Rounding is DETERMINISTIC-STOCHASTIC on a
+    * portable doc_id hash with the weight expressed in integer MICROS
+    * (pure integer comparison — no float frac to drift cross-engine),
+    * so the emitted (doc_id, epoch) multiset is order- and
+    * partitioning-independent and reproducible run to run. Weight tiers
+    * here key off the source's numeric suffix (src0..src19 % 4 →
+    * 2.5 / 1.0 / 0.4 / excluded); production swaps in a broadcast
+    * weights table, same plan. Map-only: no shuffle until the output
+    * sort — at 100 TB this is a scan that writes ~Σw·|corpus| rows.
+    */
+  val mlMixtureSample: QueryDef = {
+    val h = OracleSql.hash64("'mix'", "CAST(doc_id AS VARCHAR)")
+    QueryDef.sql("ml_mixture_sample",
+      s"""WITH w AS (SELECT doc_id, source,
+         |    CASE CAST(substr(source, 4) AS INT) % 4
+         |      WHEN 0 THEN 2500000 WHEN 1 THEN 1000000
+         |      WHEN 2 THEN 400000 ELSE 0 END AS wm,
+         |    $h % 1000000 AS hf FROM documents),
+         |n AS (SELECT doc_id, source,
+         |        wm // 1000000 + CASE WHEN hf < wm % 1000000 THEN 1 ELSE 0 END AS nc
+         |      FROM w)
+         |SELECT doc_id, source, CAST(unnest(range(0, nc)) AS BIGINT) AS epoch
+         |FROM n WHERE nc > 0 ORDER BY doc_id, epoch""".stripMargin) { (s, dir) =>
+      import graft.ops.TextOps
+      TextOps.ensureFunctions(s)
+      Tables.documents(s, dir)
+        .withColumn("wm",
+          when(substring(col("source"), 4, 10).cast("int") % 4 === 0, 2500000L)
+            .when(substring(col("source"), 4, 10).cast("int") % 4 === 1, 1000000L)
+            .when(substring(col("source"), 4, 10).cast("int") % 4 === 2, 400000L)
+            .otherwise(0L))
+        .withColumn("hf",
+          expr(TextOps.portableHash64Sql("'mix'", "CAST(doc_id AS STRING)")) % 1000000L)
+        .withColumn("nc", expr("wm div 1000000") +
+          when(col("hf") < col("wm") % 1000000L, 1L).otherwise(0L))
+        .where(col("nc") > 0)
+        .select(col("doc_id"), col("source"),
+          explode(expr("sequence(CAST(0 AS BIGINT), nc - 1)")).as("epoch"))
+        .orderBy(col("doc_id"), col("epoch"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(hourRingFeatures, hourRingFeaturesReturns,
     mlDataset, mlPoissonPredict, mlZscore, mlLagFeatures, mlHashSplit,
-    mlSampleStratified, mlPackSequences)
+    mlSampleStratified, mlPackSequences, mlMixtureSample)
 }
