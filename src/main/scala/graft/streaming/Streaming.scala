@@ -202,6 +202,64 @@ object Streaming {
       .where(col("n_hits") > 0)
   }
 
+  final case class BandDoc(band: Int, bh: String, doc_id: Long)
+  final case class CandPair(i: Long, j: Long, band: Int)
+
+  /** Streaming NEAR-dup candidates — the at-ingest twin of the batch
+    * `dedup_minhash_lsh` candidate stage: each arriving document is
+    * tokenized, shingled, minhash-signed (the native [[graft.functions
+    * .MinHashSig]] one-pass kernel) and banded map-only; keyed state per
+    * (band, band-hash) BUCKET then emits a candidate pair against every
+    * document already resident in that bucket. Downstream verifies
+    * exact Jaccard exactly as in batch (candidates may repeat across
+    * bands — dedup with the verify, same as the batch `.distinct()`).
+    *
+    * Scale shape: state per bucket is a doc_id list, bounded by
+    * `maxBucket` — a saturated bucket (degenerate band, e.g. boilerplate
+    * text) stops emitting instead of going quadratic, the same guard a
+    * batch LSH join needs against skewed band keys. State never times
+    * out here (a corpus accepts docs forever); production bounds the
+    * horizon with a ValueState TTL / watermark timeout like
+    * [[streamingDedup]] when "duplicate of something older than N days"
+    * is acceptable.
+    */
+  def streamingNearDupCandidates(spark: SparkSession, docs: DataFrame,
+                                 k: Int = 16, bands: Int = 8, r: Int = 2,
+                                 maxBucket: Int = 64): Dataset[CandPair] = {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumns
+    graft.ops.TextOps.ensureFunctions(spark)
+    val sigs = docs
+      .withColumn("__w", graft.ops.TextOps.wordsExpr)
+      .select(col("doc_id"), graft.ops.TextOps.shinglesExpr.as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id"), array_sort(expr(
+        s"transform(sh, x -> ${graft.ops.TextOps.portableHash64Sql("'g'", "x")})")).as("hs"))
+      .select(col("doc_id"), GraftColumns.column(graft.functions.MinHashSig(
+        GraftColumns.expression(col("hs")), k, 1000003L, 7919L, 2147483647L)).as("sig"))
+      .select(col("doc_id"), explode(graft.ops.TextOps.bandKeys(bands, r)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bh").as("bh"), col("doc_id"))
+      .as[BandDoc]
+    sigs
+      .groupByKey(bd => (bd.band, bd.bh))
+      .flatMapGroupsWithState[List[Long], CandPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((band, _), rows, state) =>
+          var seen = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer[CandPair]()
+          rows.toSeq.sortBy(_.doc_id).foreach { bd =>
+            if (!seen.contains(bd.doc_id)) {
+              if (seen.size < maxBucket)
+                seen.foreach(p => out += CandPair(
+                  math.min(p, bd.doc_id), math.max(p, bd.doc_id), band))
+              seen = bd.doc_id :: seen
+            }
+          }
+          state.update(seen)
+          out.iterator
+      }
+  }
+
   /** Incrementally-maintained per-station hour profile (the Redis hash
     * `{station}_{hour} -> counts` as proper keyed state). Emits the
     * updated (station, hour, running count) rows per micro-batch.

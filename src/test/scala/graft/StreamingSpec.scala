@@ -303,4 +303,56 @@ class StreamingSpec extends SparkSpec {
       assert(last.last === 3L)
     } finally query.stop()
   }
+
+  test("streaming LSH near-dup candidates match the batch band-bucket join on replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftColumns
+    implicit val sqlCtx = spark.sqlContext
+    graft.ops.TextOps.ensureFunctions(spark)
+    // three near-dup families + noise: docs in a family share most words
+    def doc(base: String, tail: String) = s"$base $tail"
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val b = "one two three four five six seven eight nine ten eleven twelve"
+    val c = "red orange yellow green blue indigo violet black white gray pink teal"
+    val corpus = Seq(
+      1L -> doc(a, "ending one"), 2L -> doc(a, "ending two"), 3L -> doc(a, "ending one"),
+      4L -> doc(b, "tail x"), 5L -> doc(b, "tail y"),
+      6L -> doc(c, "suffix p"), 7L -> doc(c, "suffix q"),
+      8L -> "completely unrelated text with its own private vocabulary here")
+    // batch reference: same sig/band pipeline, all-pairs within a bucket
+    val bd = corpus.toDF("doc_id", "text")
+      .withColumn("__w", graft.ops.TextOps.wordsExpr)
+      .select(col("doc_id"), graft.ops.TextOps.shinglesExpr.as("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("doc_id"), array_sort(expr(
+        s"transform(sh, x -> ${graft.ops.TextOps.portableHash64Sql("'g'", "x")})")).as("hs"))
+      .select(col("doc_id"), GraftColumns.column(graft.functions.MinHashSig(
+        GraftColumns.expression(col("hs")), 16, 1000003L, 7919L, 2147483647L)).as("sig"))
+      .select(col("doc_id"), explode(graft.ops.TextOps.bandKeys(8, 2)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.bh").as("bh"), col("doc_id"))
+    val batchPairs = bd.as("x").join(bd.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("i"), col("y.doc_id").as("j"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchPairs.nonEmpty) // families must actually collide
+    // streaming replay in three micro-batches, shuffled arrival order
+    val ms = MemoryStream[(Long, String)]
+    val query = Streaming.streamingNearDupCandidates(
+        spark, ms.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("neardup_t").outputMode("append").start()
+    try {
+      ms.addData(6L -> doc(c, "suffix p"), 1L -> doc(a, "ending one"))
+      query.processAllAvailable()
+      ms.addData(4L -> doc(b, "tail x"), 2L -> doc(a, "ending two"),
+        8L -> "completely unrelated text with its own private vocabulary here")
+      query.processAllAvailable()
+      ms.addData(7L -> doc(c, "suffix q"), 3L -> doc(a, "ending one"),
+        5L -> doc(b, "tail y"))
+      query.processAllAvailable()
+      val streamed = spark.table("neardup_t").select("i", "j")
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed === batchPairs)
+    } finally query.stop()
+  }
 }
