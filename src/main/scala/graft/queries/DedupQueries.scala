@@ -438,7 +438,79 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact-substring dedup (the "shared verbatim span" pass from the
+    * training-data literature): find document pairs sharing any long
+    * VERBATIM word run, even when whole-doc similarity is low — the
+    * case Jaccard-style near-dup misses (a press release quoted inside
+    * an otherwise unrelated article). Fixed-width W=8-word windows are
+    * hashed per position; cross-doc window matches equi-join on the
+    * hash; consecutive matches merge into runs by gaps-and-islands on
+    * the alignment diagonal (pi − pj constant, island key = pi −
+    * row_number within the diagonal); pairs pass at a ≥25-word longest
+    * run. This is the scalable alternative to suffix-array substring
+    * dedup: the shuffle carries (doc_id, pos, 8-byte hash) rows — never
+    * text — and join output tracks true shared spans only.
+    *
+    * The window aggregate before the self-join is the evaluate-once
+    * barrier (same discipline as docHashes) and gives AQE an identical
+    * exchange on both sides to reuse.
+    */
+  val dedupSubstring: QueryDef = {
+    val winW = 8
+    val minRun = 25
+    QueryDef.sql("dedup_substring",
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents),
+         |win0 AS (SELECT doc_id, unnest(range(1, len(w) - ${winW - 2})) AS pos, w
+         |         FROM t WHERE len(w) >= $winW),
+         |win AS (SELECT doc_id, pos,
+         |          ${duckHash("'w'", s"list_reduce(w[pos : pos + ${winW - 1}], (a, b) -> a || ' ' || b)")} AS h
+         |        FROM win0),
+         |m AS (SELECT a.doc_id AS i, b.doc_id AS j, a.pos AS pi, b.pos AS pj
+         |      FROM win a JOIN win b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |isl AS (SELECT i, j, pi,
+         |          pi - row_number() OVER (PARTITION BY i, j, pi - pj ORDER BY pi) AS k
+         |        FROM m),
+         |runs AS (SELECT i, j, count(*) AS run FROM isl GROUP BY i, j, k),
+         |agg AS (SELECT i, j, count(*) AS n_shared FROM m GROUP BY i, j),
+         |best AS (SELECT i, j, max(run) + ${winW - 1} AS longest_run_words FROM runs GROUP BY i, j)
+         |SELECT i, j, n_shared, CAST(longest_run_words AS BIGINT) AS longest_run_words
+         |FROM agg JOIN best USING (i, j)
+         |WHERE longest_run_words >= $minRun ORDER BY i, j""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      TextOps.ensureFunctions(s)
+      val win = Tables.documents(s, dir)
+        .withColumn("__w", TextOps.wordsExpr)
+        .where(size(col("__w")) >= winW)
+        .select(col("doc_id"), col("__w"),
+          explode(expr(s"sequence(1, size(__w) - ${winW - 1})")).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          expr(TextOps.portableHash64Sql("'w'",
+            s"concat_ws(' ', slice(__w, pos, $winW))")).as("h"))
+        // evaluate-once barrier on the composite key; both self-join
+        // sides hang off this identical exchange
+        .groupBy(col("doc_id"), col("pos")).agg(first(col("h")).as("h"))
+      val m = win.as("a")
+        .join(win.as("b"), col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+          col("a.pos").as("pi"), col("b.pos").as("pj"))
+      val runs = m
+        .withColumn("k", col("pi") - row_number().over(
+          Window.partitionBy(col("i"), col("j"), col("pi") - col("pj"))
+            .orderBy(col("pi"))))
+        .groupBy(col("i"), col("j"), col("k")).agg(count(lit(1)).as("run"))
+      val agg = m.groupBy(col("i"), col("j")).agg(count(lit(1)).as("n_shared"))
+      val best = runs.groupBy(col("i"), col("j"))
+        .agg((max(col("run")) + (winW - 1)).as("longest_run_words"))
+      agg.join(best, Seq("i", "j"))
+        .where(col("longest_run_words") >= minRun)
+        .select(col("i"), col("j"), col("n_shared"),
+          col("longest_run_words").cast("long"))
+        .orderBy(col("i"), col("j"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhash, dedupClusters, dedupSurvivors, dedupDecontaminate,
-    dedupIncremental)
+    dedupIncremental, dedupSubstring)
 }
