@@ -67,22 +67,19 @@ object Bench {
       val docsLim = graft.core.Tables.documents(spark, sfDir).limit(300)
       val sh = graft.ops.TextOps.docShingles(docsLim)
       val hs = sh.select(col("doc_id"),
-        array_sort(expr("transform(sh, x -> portable_hash64('g', x))")).as("hs"),
+        graft.ops.TextOps.sortedShingleHashes().as("hs"),
         size(col("sh")).as("n"))
       val pairs = graft.queries.DedupQueries.prefixFilteredPairs(hs)
         .where(col("sim") >= 0.8).select(col("i"), col("j"))
       graft.ops.Components.connectedComponents(pairs)
         .write.format("noop").mode("overwrite").save()
-      // minhash/simhash signature + band-key shapes, on the same native
-      // kernels the measured queries construct
+      // minhash/simhash signature + band-key shapes, through the same
+      // shared pipeline the measured queries call
+      graft.ops.TextOps.bandedSignatures(hs, 16, 8, 2)
+        .write.format("noop").mode("overwrite").save()
       hs.select(col("doc_id"),
-          org.apache.spark.sql.GraftColumns.column(graft.functions.MinHashSig(
-            org.apache.spark.sql.GraftColumns.expression(col("hs")),
-            16, 1000003L, 7919L, 2147483647L)).as("sig"),
           org.apache.spark.sql.GraftColumns.column(graft.functions.SimHash32(
             org.apache.spark.sql.GraftColumns.expression(col("hs")))).as("sh32"))
-        .select(col("doc_id"), col("sh32"),
-          explode(graft.ops.TextOps.bandKeys(8, 2)).as("bk"))
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => }
     // optional focus filter for local iteration (unset → full suite)

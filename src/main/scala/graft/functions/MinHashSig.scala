@@ -129,9 +129,14 @@ object MinHashSig {
     val aStep = lit(exprs(3), "aStep")
     val p = lit(exprs(4), "p")
     require(k > 0 && k <= 1024, s"minhash_sig: k must be in [1, 1024], got $k")
-    require(p > 0, s"minhash_sig: p must be positive, got $p")
-    require(aBase + (k - 1).toLong * aStep < Int.MaxValue.toLong,
-      s"minhash_sig: a_i must stay below 2^31 to keep a_i * (x % p) overflow-free")
+    // overflow-freedom needs BOTH bounds: every a_i in [0, 2^31) AND
+    // |x % p| < 2^31 — a huge p (or a negative aStep driving |a_i| up)
+    // would overflow a_i * (x % p) and return garbage signatures
+    require(p > 0 && p <= Int.MaxValue.toLong,
+      s"minhash_sig: p must be in (0, 2^31 - 1], got $p")
+    require(aBase >= 0 && aStep >= 0 &&
+      aBase + (k - 1).toLong * aStep < Int.MaxValue.toLong,
+      s"minhash_sig: every a_i must lie in [0, 2^31) to keep a_i * (x % p) overflow-free")
     MinHashSig(exprs.head, k, aBase, aStep, p)
   }
 

@@ -132,6 +132,45 @@ object TextOps {
   def minhashSig(k: Int, hash: HashSql = portableHash64Sql): Column = expr(
     s"transform(sequence(0, ${k - 1}), i -> array_min(transform(sh, s -> ${hash("i", "s")})))")
 
+  /** The engine's universal-hash MinHash family h_i(x) = (a_i·(x%p)+i)%p
+    * with a_i = ABase + i·AStep — ONE definition shared by the batch
+    * LSH query, the streaming near-dup candidates, the bench warm-up
+    * and the parity spec, so the constants cannot silently fork.
+    */
+  val MinHashABase = 1000003L
+  val MinHashAStep = 7919L
+  val MinHashP = 2147483647L // 2^31 − 1: keeps a_i·(x%p) under 2^62
+
+  /** Native one-pass k-minima signature over a sorted shingle-hash
+    * array column (see [[graft.functions.MinHashSig]]).
+    */
+  def minhashSigNative(hashes: Column, k: Int): Column =
+    org.apache.spark.sql.GraftColumns.column(graft.functions.MinHashSig(
+      org.apache.spark.sql.GraftColumns.expression(hashes),
+      k, MinHashABase, MinHashAStep, MinHashP))
+
+  /** Sorted 64-bit hashes of a `sh` shingle-array column — the
+    * signature-table projection shared by batch (barriered, memoized)
+    * and streaming (map-only) consumers.
+    */
+  def sortedShingleHashes(hash: HashSql = portableHash64Sql): Column =
+    array_sort(expr(s"transform(sh, x -> ${hash("'g'", "x")})"))
+
+  /** (doc_id, band, bh) LSH band keys from a (doc_id, hs) signature
+    * frame: minhash sign + band + explode. `pin = true` (batch) puts
+    * the signature behind the evaluate-once [[barrier]] before the
+    * downstream self-join; streaming callers pass `pin = false` —
+    * Structured Streaming forbids an aggregate before arbitrary
+    * stateful ops, and the banding there is map-only by design.
+    */
+  def bandedSignatures(hs: DataFrame, k: Int, bands: Int, r: Int,
+                       pin: Boolean = true): DataFrame = {
+    val sig0 = hs.select(col("doc_id"), minhashSigNative(col("hs"), k).as("sig"))
+    val sig = if (pin) barrier(sig0, "doc_id") else sig0
+    sig.select(col("doc_id"), explode(bandKeys(bands, r)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"))
+  }
+
   /** LSH band keys: b bands of r signature rows each, keyed by an md5 of
     * the band's slice. Emitted as an array of (band, bh) structs.
     */

@@ -28,8 +28,10 @@ import graft.ops.TextOps
   */
 object DedupQueries {
 
-  private val P = 2147483647L // 2^31 - 1; (a < 2^31) * (x mod p) + b stays < 2^63
-  private def a(i: String) = s"(1000003 + $i * 7919)"
+  // oracle-side spellings of the ONE MinHash family definition
+  // (TextOps.MinHash*): (a < 2^31) * (x mod p) + b stays < 2^63
+  private val P = TextOps.MinHashP
+  private def a(i: String) = s"(${TextOps.MinHashABase} + $i * ${TextOps.MinHashAStep})"
 
   /** Shared oracle fragments (lockstep with TextOps). */
   private val wordsSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
@@ -224,17 +226,11 @@ object DedupQueries {
          |        FROM cand c JOIN hs x ON x.doc_id = c.i JOIN hs y ON y.doc_id = c.j)
          |SELECT i, j, sim FROM ver WHERE sim >= 0.8 ORDER BY i, j""".stripMargin) { (s, dir) =>
       val hs = docHashes(s, dir)
-      // native one-pass k-minima kernel; the equivalent HOF form
-      // (transform(sequence(0,k-1), i -> array_min(transform(hs, ...))))
-      // walks the array once per signature row, interpreted — TextOpsSpec
-      // pins the two bit-for-bit
-      val sig = TextOps.barrier(hs.select(col("doc_id"),
-        org.apache.spark.sql.GraftColumns.column(graft.functions.MinHashSig(
-          org.apache.spark.sql.GraftColumns.expression(col("hs")),
-          k, 1000003L, 7919L, P)).as("sig")), "doc_id")
-      val bandRows = sig
-        .select(col("doc_id"), explode(TextOps.bandKeys(bands, r)).as("bd"))
-        .select(col("doc_id"), col("bd.band").as("band"), col("bd.bh").as("bh"))
+      // shared banded-signature pipeline (native one-pass MinHashSig
+      // kernel + band keys — TextOpsSpec pins it bit-for-bit against
+      // the interpreted HOF form; family constants live in
+      // TextOps.MinHash*, the single definition every consumer shares)
+      val bandRows = TextOps.bandedSignatures(hs, k, bands, r)
       val cand = bandRows.as("a")
         .join(bandRows.as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -455,6 +451,28 @@ object DedupQueries {
     * barrier (same discipline as docHashes) and gives AQE an identical
     * exchange on both sides to reuse.
     */
+  /** Longest consecutive alignment run per doc pair from cross-doc
+    * window matches (i, j, pi, pj): consecutive positions merge via
+    * gaps-and-islands PER DIAGONAL — the island key k = pi − row_number
+    * is only unique within one alignment diagonal d = pi − pj, so the
+    * run grouping MUST include d (two islands on different diagonals
+    * can share a k value; grouping on (i, j, k) alone would fuse them
+    * into a phantom run — DedupOpsSpec pins the counter-example).
+    * Returns (i, j, longest_run_words) with the window width added
+    * back (a run of r consecutive W-word windows spans r + W − 1 words).
+    */
+  private[graft] def alignmentRuns(m: org.apache.spark.sql.DataFrame,
+                                   winW: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    m.withColumn("d", col("pi") - col("pj"))
+      .withColumn("k", col("pi") - row_number().over(
+        Window.partitionBy(col("i"), col("j"), col("d")).orderBy(col("pi"))))
+      .groupBy(col("i"), col("j"), col("d"), col("k"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("i"), col("j"))
+      .agg((max(col("run")) + (winW - 1)).as("longest_run_words"))
+  }
+
   val dedupSubstring: QueryDef = {
     val winW = 8
     val minRun = 25
@@ -467,16 +485,15 @@ object DedupQueries {
          |        FROM win0),
          |m AS (SELECT a.doc_id AS i, b.doc_id AS j, a.pos AS pi, b.pos AS pj
          |      FROM win a JOIN win b ON a.h = b.h AND a.doc_id < b.doc_id),
-         |isl AS (SELECT i, j, pi,
+         |isl AS (SELECT i, j, pi, pi - pj AS d,
          |          pi - row_number() OVER (PARTITION BY i, j, pi - pj ORDER BY pi) AS k
          |        FROM m),
-         |runs AS (SELECT i, j, count(*) AS run FROM isl GROUP BY i, j, k),
+         |runs AS (SELECT i, j, count(*) AS run FROM isl GROUP BY i, j, d, k),
          |agg AS (SELECT i, j, count(*) AS n_shared FROM m GROUP BY i, j),
          |best AS (SELECT i, j, max(run) + ${winW - 1} AS longest_run_words FROM runs GROUP BY i, j)
          |SELECT i, j, n_shared, CAST(longest_run_words AS BIGINT) AS longest_run_words
          |FROM agg JOIN best USING (i, j)
          |WHERE longest_run_words >= $minRun ORDER BY i, j""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       TextOps.ensureFunctions(s)
       val win = Tables.documents(s, dir)
         .withColumn("__w", TextOps.wordsExpr)
@@ -494,14 +511,8 @@ object DedupQueries {
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
           col("a.pos").as("pi"), col("b.pos").as("pj"))
-      val runs = m
-        .withColumn("k", col("pi") - row_number().over(
-          Window.partitionBy(col("i"), col("j"), col("pi") - col("pj"))
-            .orderBy(col("pi"))))
-        .groupBy(col("i"), col("j"), col("k")).agg(count(lit(1)).as("run"))
       val agg = m.groupBy(col("i"), col("j")).agg(count(lit(1)).as("n_shared"))
-      val best = runs.groupBy(col("i"), col("j"))
-        .agg((max(col("run")) + (winW - 1)).as("longest_run_words"))
+      val best = alignmentRuns(m, winW)
       agg.join(best, Seq("i", "j"))
         .where(col("longest_run_words") >= minRun)
         .select(col("i"), col("j"), col("n_shared"),

@@ -216,8 +216,10 @@ object Streaming {
     *
     * Scale shape: state per bucket is a doc_id list, bounded by
     * `maxBucket` — a saturated bucket (degenerate band, e.g. boilerplate
-    * text) stops emitting instead of going quadratic, the same guard a
-    * batch LSH join needs against skewed band keys. State never times
+    * text) stops BOTH emitting and admitting, so the pair fan-out, the
+    * state list and the per-arrival membership scan all stay capped
+    * instead of going quadratic — the same guard a batch LSH join needs
+    * against skewed band keys. State never times
     * out here (a corpus accepts docs forever); production bounds the
     * horizon with a ValueState TTL / watermark timeout like
     * [[streamingDedup]] when "duplicate of something older than N days"
@@ -227,18 +229,16 @@ object Streaming {
                                  k: Int = 16, bands: Int = 8, r: Int = 2,
                                  maxBucket: Int = 64): Dataset[CandPair] = {
     import spark.implicits._
-    import org.apache.spark.sql.GraftColumns
     graft.ops.TextOps.ensureFunctions(spark)
-    val sigs = docs
+    val hs = docs
       .withColumn("__w", graft.ops.TextOps.wordsExpr)
       .select(col("doc_id"), graft.ops.TextOps.shinglesExpr.as("sh"))
       .where(size(col("sh")) > 0)
-      .select(col("doc_id"), array_sort(expr(
-        s"transform(sh, x -> ${graft.ops.TextOps.portableHash64Sql("'g'", "x")})")).as("hs"))
-      .select(col("doc_id"), GraftColumns.column(graft.functions.MinHashSig(
-        GraftColumns.expression(col("hs")), k, 1000003L, 7919L, 2147483647L)).as("sig"))
-      .select(col("doc_id"), explode(graft.ops.TextOps.bandKeys(bands, r)).as("bk"))
-      .select(col("bk.band").as("band"), col("bk.bh").as("bh"), col("doc_id"))
+      .select(col("doc_id"), graft.ops.TextOps.sortedShingleHashes().as("hs"))
+    // pin = false: an aggregate barrier is illegal before arbitrary
+    // stateful ops in a streaming query; the banding is map-only here
+    val sigs = graft.ops.TextOps.bandedSignatures(hs, k, bands, r, pin = false)
+      .select(col("band"), col("bh"), col("doc_id"))
       .as[BandDoc]
     sigs
       .groupByKey(bd => (bd.band, bd.bh))
@@ -248,10 +248,12 @@ object Streaming {
           var seen = state.getOption.getOrElse(Nil)
           val out = scala.collection.mutable.ListBuffer[CandPair]()
           rows.toSeq.sortBy(_.doc_id).foreach { bd =>
-            if (!seen.contains(bd.doc_id)) {
-              if (seen.size < maxBucket)
-                seen.foreach(p => out += CandPair(
-                  math.min(p, bd.doc_id), math.max(p, bd.doc_id), band))
+            // saturated bucket: neither emit nor grow state — the cap
+            // bounds BOTH the pair fan-out and the state list (and the
+            // O(|seen|) contains scan), which is the point of the guard
+            if (seen.size < maxBucket && !seen.contains(bd.doc_id)) {
+              seen.foreach(p => out += CandPair(
+                math.min(p, bd.doc_id), math.max(p, bd.doc_id), band))
               seen = bd.doc_id :: seen
             }
           }

@@ -58,12 +58,9 @@ class PlanSpec extends SparkSpec {
   test("dedup_simhash signature is the native simhash32, not the nested HOF") {
     // same regression class as the vector kernels: the HOF form re-walks
     // the hash array once per bit, every element an interpreted tree eval
-    import org.apache.spark.sql.catalyst.expressions.Expression
     val df = graft.queries.DedupQueries.dedupSimhash.run(spark, dir)
-    val uses = df.queryExecution.optimizedPlan.collect {
-      case p => p.expressions.exists(_.collectFirst {
-        case _: graft.functions.SimHash32 => () }.isDefined)
-    }.exists(identity)
+    val uses = df.queryExecution.optimizedPlan.exists(
+      _.expressions.exists(_.exists(_.isInstanceOf[graft.functions.SimHash32])))
     assert(uses, "dedup_simhash signature is not the native simhash32")
   }
 

@@ -306,7 +306,6 @@ class StreamingSpec extends SparkSpec {
 
   test("streaming LSH near-dup candidates match the batch band-bucket join on replay") {
     import spark.implicits._
-    import org.apache.spark.sql.GraftColumns
     implicit val sqlCtx = spark.sqlContext
     graft.ops.TextOps.ensureFunctions(spark)
     // three near-dup families + noise: docs in a family share most words
@@ -319,17 +318,16 @@ class StreamingSpec extends SparkSpec {
       4L -> doc(b, "tail x"), 5L -> doc(b, "tail y"),
       6L -> doc(c, "suffix p"), 7L -> doc(c, "suffix q"),
       8L -> "completely unrelated text with its own private vocabulary here")
-    // batch reference: same sig/band pipeline, all-pairs within a bucket
-    val bd = corpus.toDF("doc_id", "text")
-      .withColumn("__w", graft.ops.TextOps.wordsExpr)
-      .select(col("doc_id"), graft.ops.TextOps.shinglesExpr.as("sh"))
-      .where(size(col("sh")) > 0)
-      .select(col("doc_id"), array_sort(expr(
-        s"transform(sh, x -> ${graft.ops.TextOps.portableHash64Sql("'g'", "x")})")).as("hs"))
-      .select(col("doc_id"), GraftColumns.column(graft.functions.MinHashSig(
-        GraftColumns.expression(col("hs")), 16, 1000003L, 7919L, 2147483647L)).as("sig"))
-      .select(col("doc_id"), explode(graft.ops.TextOps.bandKeys(8, 2)).as("bk"))
-      .select(col("bk.band").as("band"), col("bk.bh").as("bh"), col("doc_id"))
+    // batch reference: the SAME shared pipeline the batch LSH query
+    // calls (TextOps.bandedSignatures) — a constant/scheme change there
+    // flows into both sides of this parity check, never one
+    val bd = graft.ops.TextOps.bandedSignatures(
+      corpus.toDF("doc_id", "text")
+        .withColumn("__w", graft.ops.TextOps.wordsExpr)
+        .select(col("doc_id"), graft.ops.TextOps.shinglesExpr.as("sh"))
+        .where(size(col("sh")) > 0)
+        .select(col("doc_id"), graft.ops.TextOps.sortedShingleHashes().as("hs")),
+      k = 16, bands = 8, r = 2)
     val batchPairs = bd.as("x").join(bd.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
