@@ -398,6 +398,30 @@ object RelationalQueries {
     }
   }
 
+  /** Explicit GROUPING SETS (the general form ROLLUP/CUBE specialize):
+    * an arbitrary set list — here (flag, status), (status), () — with
+    * `grouping()` markers distinguishing aggregation NULLs from data
+    * NULLs, which is what makes grouping-set output machine-consumable.
+    * Same Expand-based two-phase aggregate under the hood as rollup;
+    * one shuffle. SQL-first (the DataFrame API has no grouping-sets
+    * verb; rollup/cube cover the common cases).
+    */
+  val qGroupingSets: QueryDef = {
+    val sharedSql =
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+    QueryDef.sql("q_grouping_sets", sharedSql) { (s, dir) =>
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+      s.sql(sharedSql)
+    }
+  }
+
   /** Unpivot (A6/A7's inverse): wide measure columns to long
     * (key, measure, value) rows via the codegen'd `stack` generator — no
     * shuffle, one scan. Values rounded to the cross-engine granularity.
@@ -419,5 +443,6 @@ object RelationalQueries {
   val all: Seq[QueryDef] = Seq(q1Agg, qJoinAgg, qBroadcastJoin, qTopk,
     qWindowRank, qSetops, qRollup, qDistinctAgg, qSemiJoin, qAntiJoin,
     qAsofJoin, qPercentileStats, qCube, qRunningSum, qRangeJoin,
-    qProfileStats, qAboveAvg, qSaltedCount, qSqlTpch6, qUnpivot)
+    qProfileStats, qAboveAvg, qSaltedCount, qSqlTpch6, qUnpivot,
+    qGroupingSets)
 }
