@@ -278,7 +278,44 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Token-entropy quality signal: Shannon entropy (bits) of each
+    * document's word distribution — low entropy flags repetitive/spammy
+    * text that length or stopword ratios miss; a training-data filter
+    * thresholds on it next to `text_quality_score`.
+    *
+    * Cross-engine FP determinism: the per-token terms fold SEQUENTIALLY
+    * over counts sorted by token (array_sort of (token, count) structs
+    * here, `list(c ORDER BY tk)` + list_reduce in the oracle), so both
+    * engines evaluate the identical association order — no reliance on
+    * aggregate-order luck — and the token total is an exact integer.
+    */
+  val textEntropy: QueryDef = QueryDef.sql("text_entropy",
+    """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+      |tok AS (SELECT doc_id, unnest(w) AS tk FROM t),
+      |cnt AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2),
+      |g AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, list(c ORDER BY tk) AS cs
+      |      FROM cnt GROUP BY doc_id)
+      |SELECT doc_id, n AS n_tokens,
+      |  round(-list_reduce(list_prepend(0.0,
+      |      [(c::DOUBLE / CAST(n AS DOUBLE)) * ln(c::DOUBLE / CAST(n AS DOUBLE)) for c in cs]),
+      |    (a, b) -> a + b) / ln(2.0), 6) AS entropy_bits
+      |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextOps.wordsExpr).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).cast("long").as("n"),
+        expr("transform(array_sort(collect_list(struct(w, c))), p -> p.c)").as("cs"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        round(expr(
+          """-aggregate(cs, CAST(0 AS DOUBLE),
+            |  (acc, c) -> acc + (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+            |    ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) / ln(2.0)""".stripMargin), 6)
+          .as("entropy_bits"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(textTokenCount, textLangId, textQualityScore,
     textFingerprint, textRollingHash, textTopPerLang, textTopNgrams,
-    sketchDistinctKmv, textPiiScrub, textRepetition)
+    sketchDistinctKmv, textPiiScrub, textRepetition, textEntropy)
 }
