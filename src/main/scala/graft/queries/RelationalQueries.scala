@@ -422,6 +422,36 @@ object RelationalQueries {
     }
   }
 
+  /** Correlated scalar subqueries — orders priced above 1.5× THEIR
+    * customer's own average. Catalyst decorrelates
+    * (RewriteCorrelatedScalarSubquery) into aggregate + join, so the
+    * declarative form costs the same plan as the hand-written
+    * q_above_avg pattern; three correlated subqueries (predicate ×2 +
+    * projection) prove multi-use decorrelation. The predicate is
+    * DECIMAL-exact — `2·price·count > 3·sum` instead of a float-avg
+    * comparison, whose boundary could flip rows between engines — and
+    * only the DISPLAYED average divides (exact decimal → double, one
+    * deterministic division) before round-6.
+    */
+  val qCorrSubquery: QueryDef = {
+    val sharedSql =
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(o_totalprice AS DOUBLE) AS price,
+        |  round(CAST((SELECT sum(CAST(i.o_totalprice AS DECIMAL(12,2))) FROM orders i
+        |              WHERE i.o_custkey = o.o_custkey) AS DOUBLE)
+        |    / (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey), 6) AS cust_avg
+        |FROM orders o
+        |WHERE 2 * CAST(o_totalprice AS DECIMAL(12,2)) *
+        |    (SELECT count(*) FROM orders i WHERE i.o_custkey = o.o_custkey)
+        |  > 3 * (SELECT sum(CAST(i.o_totalprice AS DECIMAL(12,2))) FROM orders i
+        |         WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin
+    QueryDef.sql("q_corr_subquery", sharedSql) { (s, dir) =>
+      Tables.orders(s, dir).createOrReplaceTempView("orders")
+      s.sql(sharedSql)
+    }
+  }
+
   /** Unpivot (A6/A7's inverse): wide measure columns to long
     * (key, measure, value) rows via the codegen'd `stack` generator — no
     * shuffle, one scan. Values rounded to the cross-engine granularity.
@@ -444,5 +474,5 @@ object RelationalQueries {
     qWindowRank, qSetops, qRollup, qDistinctAgg, qSemiJoin, qAntiJoin,
     qAsofJoin, qPercentileStats, qCube, qRunningSum, qRangeJoin,
     qProfileStats, qAboveAvg, qSaltedCount, qSqlTpch6, qUnpivot,
-    qGroupingSets)
+    qGroupingSets, qCorrSubquery)
 }
