@@ -294,24 +294,36 @@ object TextQueries {
       |tok AS (SELECT doc_id, unnest(w) AS tk FROM t),
       |cnt AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY 1, 2),
       |g AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, list(c ORDER BY tk) AS cs
-      |      FROM cnt GROUP BY doc_id)
-      |SELECT doc_id, n AS n_tokens,
-      |  round(-list_reduce(list_prepend(0.0,
-      |      [(c::DOUBLE / CAST(n AS DOUBLE)) * ln(c::DOUBLE / CAST(n AS DOUBLE)) for c in cs]),
-      |    (a, b) -> a + b) / ln(2.0), 6) AS entropy_bits
-      |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    Tables.documents(s, dir)
+      |      FROM cnt GROUP BY doc_id),
+      |e AS (SELECT doc_id, n,
+      |        round(-list_reduce(list_prepend(0.0,
+      |            [(c::DOUBLE / CAST(n AS DOUBLE)) * ln(c::DOUBLE / CAST(n AS DOUBLE)) for c in cs]),
+      |          (a, b) -> a + b) / ln(2.0), 6) AS h
+      |      FROM g)
+      |SELECT d.doc_id, coalesce(e.n, 0) AS n_tokens,
+      |  coalesce(e.h, 0.0) AS entropy_bits
+      |FROM documents d LEFT JOIN e ON d.doc_id = e.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val e = docs
       .select(col("doc_id"), explode(TextOps.wordsExpr).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).cast("long").as("n"),
         expr("transform(array_sort(collect_list(struct(w, c))), p -> p.c)").as("cs"))
-      .select(col("doc_id"), col("n").as("n_tokens"),
+      .select(col("doc_id"), col("n"),
         round(expr(
           """-aggregate(cs, CAST(0 AS DOUBLE),
             |  (acc, c) -> acc + (CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
             |    ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))) / ln(2.0)""".stripMargin), 6)
-          .as("entropy_bits"))
+          .as("h"))
+    // LEFT JOIN back: a doc with ZERO extractable tokens (explode drops
+    // the row) is exactly the degenerate garbage a quality filter must
+    // SEE — it scores (0 tokens, 0 bits), never silently vanishes
+    docs.select(col("doc_id")).join(e, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n"), lit(0L)).as("n_tokens"),
+        coalesce(col("h"), lit(0.0)).as("entropy_bits"))
       .orderBy(col("doc_id"))
   }
 
