@@ -470,6 +470,72 @@ object EmbedQueries {
       .orderBy(col("vec_id"), col("i"))
   }
 
+  /** Multi-probe recall@5 at the SAME 8-bit hyperplane budget as
+    * embed_hyperplane_recall: each query probes its own bucket PLUS the
+    * 8 hamming-1 neighbors (one sign flip per plane — the buckets a
+    * near-boundary neighbor most likely fell into). Multi-probe is the
+    * standard lever for recall at a fixed plane budget WITHOUT extra
+    * index tables: candidate volume grows ~(1+bits)/2^bits of the
+    * corpus, still an equi-join on bucket values, and the single-probe /
+    * multi-probe pair of gate queries measures exactly what the knob
+    * buys. Probes are distinct values and each candidate owns one
+    * bucket, so the join cannot duplicate pairs.
+    */
+  val embedMultiprobeRecall: QueryDef = {
+    val bits = 8; val seed = 7; val dim = 64
+    val hpValues = Similarity.hyperplanes(bits, seed, dim).zipWithIndex
+      .map { case (r, b) => s"($b, [${r.mkString(", ")}])" }.mkString(", ")
+    QueryDef.sql("embed_multiprobe_recall",
+      s"""WITH $duckVectors,
+         |hp(b, r) AS (VALUES $hpValues),
+         |vb AS (SELECT vec_id, v,
+         |         CAST(sum(CASE WHEN list_sum([v[i+1] * r[i+1] for i in range(0, $dim)]) >= 0
+         |                  THEN (1 << b) ELSE 0 END) AS BIGINT) AS bucket
+         |       FROM v, hp GROUP BY vec_id, v),
+         |q AS (SELECT vec_id AS qid, v AS qv, bucket FROM vb WHERE vec_id < 10),
+         |qp AS (SELECT qid, qv,
+         |         CASE WHEN p.i = $bits THEN bucket ELSE xor(bucket, 1 << p.i) END AS probe
+         |       FROM q CROSS JOIN range(0, ${bits + 1}) p(i)),
+         |c AS (SELECT vec_id AS nid, v AS cv, bucket FROM vb WHERE vec_id >= 10),
+         |bp AS (SELECT qid, nid, ${duckCos("qv", "cv")} AS sim FROM c, q),
+         |br AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM bp),
+         |bt AS (SELECT qid, nid FROM br WHERE rnk <= 5),
+         |lp AS (SELECT qid, nid, ${duckCos("qv", "cv")} AS sim
+         |       FROM c JOIN qp ON c.bucket = qp.probe),
+         |lr AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk FROM lp),
+         |lt AS (SELECT qid, nid FROM lr WHERE rnk <= 5)
+         |SELECT bt.qid, CAST(count(lt.nid) AS BIGINT) AS n_hit,
+         |  round(count(lt.nid) / 5.0, 6) AS recall
+         |FROM bt LEFT JOIN lt ON bt.qid = lt.qid AND bt.nid = lt.nid
+         |GROUP BY bt.qid ORDER BY bt.qid""".stripMargin) { (s, dir) =>
+      val b = Similarity.vectors(Tables.embeddings(s, dir))
+        .withColumn("bucket", Similarity.hyperplaneBucket("v", bits, seed, dim))
+      val q = b.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("bucket"))
+      val probes = (0 until bits).map(i => s"bucket ^ ${1 << i}") :+ "bucket"
+      val qp = q.select(col("qid"), col("qv"),
+        explode(expr(probes.mkString("array(", ", ", ")"))).as("probe"))
+      val c = b.where(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("v").as("cv"), col("bucket"))
+      val brute = Similarity.topK(
+        c.crossJoin(broadcast(q.drop("bucket")))
+          .withColumn("sim", Similarity.cosine("qv", "cv"))
+          .select(col("qid"), col("nid"), col("sim")), 5)
+        .select(col("qid"), col("nid"))
+      val probed = Similarity.topK(
+        c.join(broadcast(qp), col("bucket") === col("probe"))
+          .withColumn("sim", Similarity.cosine("qv", "cv"))
+          .select(col("qid"), col("nid"), col("sim")), 5)
+        .select(col("qid").as("lqid"), col("nid").as("lnid"))
+      brute.join(probed,
+          brute("qid") === probed("lqid") && brute("nid") === probed("lnid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(col("lnid")).as("n_hit"),
+          round(count(col("lnid")) / 5.0, 6).as("recall"))
+        .orderBy(col("qid"))
+    }
+  }
+
   /** Product-quantization ANN (the 100 TB in-memory path): vectors are
     * compressed to M=8 sub-codes of 4 bits (16-entry codebook per
     * subspace) — 64 doubles (512 B) become 4 B, a 128× memory cut — and
@@ -562,5 +628,6 @@ object EmbedQueries {
   val all: Seq[QueryDef] = Seq(embedKnnBrute, embedKnnLsh, embedCentroids,
     multimodalMeta, multimodalFramesample, multimodalResize, embedNorms,
     embedKnnIvf, dedupEmbedCosine, embedQuantize, embedLshRecall,
-    embedHyperplaneRecall, embedBandedRecall, embedKnnPq)
+    embedHyperplaneRecall, embedBandedRecall, embedKnnPq,
+    embedMultiprobeRecall)
 }

@@ -70,7 +70,7 @@ class PlanSpec extends SparkSpec {
     // with the candidate scan — the exact-baseline knn, the centroid
     // cell assignment, and recall's exact arm
     val intentional = Set("embed_knn_brute", "embed_knn_ivf", "embed_lsh_recall",
-      "embed_hyperplane_recall", "embed_banded_recall")
+      "embed_hyperplane_recall", "embed_banded_recall", "embed_multiprobe_recall")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>
