@@ -46,15 +46,27 @@ object RecallProbe {
 
     val vectors = Similarity.vectors(Tables.embeddings(spark, sfDir)).cache()
 
-    def measure(mode: String, tier: String, bits: Int,
-                q: DataFrame, c: DataFrame): Unit = {
-      val r = EmbedQueries.recallFrames(q, c)
+    def measureWith(mode: String, tier: String, bits: Int,
+                    q: DataFrame, qp: DataFrame, c: DataFrame): Unit = {
+      val r = EmbedQueries.recallFramesProbed(q, qp, c)
         .agg(coalesce(avg(col("recall")), lit(0.0)).as("mr")).head().getDouble(0)
       val nq = math.max(1L, q.count())
-      val cand = c.join(broadcast(q.select(col("bucket"))), "bucket").count() / nq
+      val cand = c.join(broadcast(qp.select(col("bucket"))), "bucket").count() / nq
       println(s"""{"mode":"$mode","tier":"$tier","bits":$bits,""" +
         s""""buckets":${1L << bits},"n_queries":$nq,""" +
         s""""mean_recall":${math.rint(r * 1e6) / 1e6},"cand_per_query":$cand}""")
+    }
+
+    def measure(mode: String, tier: String, bits: Int,
+                q: DataFrame, c: DataFrame): Unit = {
+      measureWith(mode, tier, bits, q, q, c)
+      // multi-probe row: the same queries also probe every hamming-1
+      // neighbor bucket (the embed_multiprobe_recall lever) — recall and
+      // candidate cost at the SAME plane budget, one extra sweep row
+      val probes = (0 until bits).map(i => s"bucket ^ ${1L << i}")
+      val qp = q.select(col("qid"), col("qv"),
+        explode(expr(probes.mkString("array(bucket, ", ", ", ")"))).as("bucket"))
+      measureWith(mode + "+mp", tier, bits, q, qp, c)
     }
 
     /** corpus mode: first 10 vectors as queries (the gate queries' frame). */

@@ -175,14 +175,24 @@ object EmbedQueries {
     * exact plan the oracle-checked recall queries use.
     */
   private[graft] def recallFrames(q: org.apache.spark.sql.DataFrame,
-                                  c: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+                                  c: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    recallFramesProbed(q, q, c)
+
+  /** General form: the exact arm ranks against `q` (one row per query);
+    * the approximate arm joins `qp` — possibly SEVERAL probe rows per
+    * query with different `bucket` values (multi-probe). The single-
+    * probe recall queries pass q twice.
+    */
+  private[graft] def recallFramesProbed(q: org.apache.spark.sql.DataFrame,
+                                        qp: org.apache.spark.sql.DataFrame,
+                                        c: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val brute = Similarity.topK(
       c.crossJoin(broadcast(q.drop("bucket")))
         .withColumn("sim", Similarity.cosine("qv", "cv"))
         .select(col("qid"), col("nid"), col("sim")), 5)
       .select(col("qid"), col("nid"))
     val lsh = Similarity.topK(
-      c.join(broadcast(q), "bucket")
+      c.join(broadcast(qp), "bucket")
         .withColumn("sim", Similarity.cosine("qv", "cv"))
         .select(col("qid"), col("nid"), col("sim")), 5)
       .select(col("qid").as("lqid"), col("nid").as("lnid"))
