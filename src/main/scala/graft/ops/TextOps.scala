@@ -126,12 +126,6 @@ object TextOps {
     barrier(sh, "doc_id")
   }
 
-  /** MinHash signature: k hash functions (salted by index), min over
-    * the shingle set. One projection — no explode, no shuffle.
-    */
-  def minhashSig(k: Int, hash: HashSql = portableHash64Sql): Column = expr(
-    s"transform(sequence(0, ${k - 1}), i -> array_min(transform(sh, s -> ${hash("i", "s")})))")
-
   /** The engine's universal-hash MinHash family h_i(x) = (a_i·(x%p)+i)%p
     * with a_i = ABase + i·AStep — ONE definition shared by the batch
     * LSH query, the streaming near-dup candidates, the bench warm-up
