@@ -521,7 +521,73 @@ object DedupQueries {
     }
   }
 
+  /** Corpus-wide line-level boilerplate removal (the C4 / RefinedWeb
+    * rule: drop a LINE everywhere once it repeats across enough
+    * documents — nav bars, cookie banners, licence footers — and drop
+    * later re-occurrences of any repeated line). Distinct semantics
+    * from [[dedupSubstring]]: that one scores PAIRS by shared spans;
+    * this one scores each line against the WHOLE corpus by document
+    * frequency, no pairing at all.
+    *
+    * The synthetic corpus has no newlines, so the "line" unit is a
+    * deterministic segmenter: non-overlapping SEG-word blocks. The
+    * pipeline (segment → hash → df count → join back → per-doc stats)
+    * is the production shape either way; swapping the segmenter for
+    * `split(text, '\n')` is a one-line change.
+    *
+    * Scale: the full-data shuffle carries (doc_id, pos, 8-byte hash)
+    * rows and the df table one row per DISTINCT line — never text.
+    * The join back is a hash equi-join; no window over the corpus, no
+    * all-pairs. "First occurrence" is the minimum of a packed
+    * (doc_id, pos) key, resolved inside the same df aggregate.
+    */
+  val dedupLines: QueryDef = {
+    val seg = 3      // words per synthetic "line"
+    val minDf = 3    // boilerplate = appears in >= 3 distinct docs
+    val pack = 1000000000L // doc_id * pack + pos orders (doc_id, pos)
+    QueryDef.sql("dedup_lines",
+      s"""WITH t AS (SELECT doc_id, $wordsSql AS w FROM documents),
+         |segs0 AS (SELECT doc_id, unnest(range(1, len(w) - ${seg - 2}, $seg)) AS pos, w
+         |          FROM t WHERE len(w) >= $seg),
+         |segs AS (SELECT doc_id, pos,
+         |           ${duckHash("'l'", s"list_reduce(w[pos : pos + ${seg - 1}], (a, b) -> a || ' ' || b)")} AS h
+         |         FROM segs0),
+         |stats AS (SELECT h, count(DISTINCT doc_id) AS df, count(*) AS n_occ,
+         |            min(doc_id * $pack + pos) AS firstp
+         |          FROM segs GROUP BY h)
+         |SELECT s.doc_id AS doc_id, count(*) AS n_seg,
+         |  CAST(sum(CASE WHEN st.df >= $minDf THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+         |  CAST(sum(CASE WHEN st.n_occ > 1 AND s.doc_id * $pack + s.pos <> st.firstp
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_later
+         |FROM segs s JOIN stats st USING (h)
+         |GROUP BY s.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.ensureFunctions(s)
+      val segs = Tables.documents(s, dir)
+        .withColumn("__w", TextOps.wordsExpr)
+        .where(size(col("__w")) >= seg)
+        .select(col("doc_id"),
+          explode(expr(s"sequence(1, size(__w) - ${seg - 1}, $seg)")).as("pos"),
+          col("__w"))
+        .select(col("doc_id"), col("pos"),
+          expr(TextOps.portableHash64Sql("'l'",
+            s"concat_ws(' ', slice(__w, pos, $seg))")).as("h"))
+      val stats = segs.groupBy(col("h")).agg(
+        countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id") * pack + col("pos")).as("firstp"))
+      segs.join(stats, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_seg"),
+          sum(when(col("df") >= minDf, 1L).otherwise(0L)).as("n_boiler"),
+          sum(when(col("n_occ") > 1 &&
+            col("doc_id") * pack + col("pos") =!= col("firstp"), 1L)
+            .otherwise(0L)).as("n_dup_later"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhash, dedupClusters, dedupSurvivors, dedupDecontaminate,
-    dedupIncremental, dedupSubstring)
+    dedupIncremental, dedupSubstring, dedupLines)
 }

@@ -37,4 +37,31 @@ class DedupOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq === Seq((1L, 2L, 10L), (1L, 3L, 9L)))
   }
+
+  test("dedup_lines: df-threshold boilerplate + keep-first duplicate removal, hand fixture") {
+    import spark.implicits._
+    // seg = 3 words, minDf = 3. L = "aaa bbb ccc" is the planted
+    // boilerplate line (4 distinct docs); "xxx yyy zzz" repeats in 2
+    // docs (below threshold, but its later occurrence is a dup);
+    // doc 5 is shorter than one segment (no output row); doc 6 has a
+    // 7th word that must be dropped as an incomplete tail segment.
+    val docs = Seq(
+      (1L, "aaa bbb ccc xxx yyy zzz"),
+      (2L, "aaa bbb ccc one two three"),
+      (3L, "aaa bbb ccc aaa bbb ccc"),
+      (4L, "xxx yyy zzz foo bar baz"),
+      (5L, "pp qq"),
+      (6L, "aaa bbb ccc ddd eee fff ggg")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("lines").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.queries.DedupQueries.dedupLines.run(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, 1L, 0L), // L first occurrence + unique-first xyz
+      (2L, 2L, 1L, 1L), // L again: boiler + dup_later
+      (3L, 2L, 2L, 2L), // L twice, both later than doc 1's
+      (4L, 2L, 0L, 1L), // xyz later occurrence: dup but NOT boiler (df=2)
+      (6L, 2L, 1L, 1L)  // L later + unique "ddd eee fff"; tail word dropped
+    ))
+  }
 }
