@@ -274,7 +274,44 @@ object MlQueries {
     }
   }
 
+  /** Fixed-width overlapping document chunking — the pretraining / RAG
+    * preprocessing step [[mlPackSequences]] does NOT cover: packing
+    * concatenates whole short docs into budgeted sequences; chunking
+    * SPLITS long docs into window-sized pieces with a stride overlap so
+    * no span is lost at a boundary. Starts are 1, 1+stride, … ≤ len
+    * (tail chunks run short rather than being dropped — ceil(len/stride)
+    * chunks per doc). Map-only over the corpus: explode(sequence) +
+    * substring, no shuffle except the output sort; emits the chunk's
+    * 64-bit content hash rather than the chunk text so the oracle
+    * compare moves hashes, not prose.
+    */
+  val mlChunkDocuments: QueryDef = {
+    val width = 120
+    val stride = 90
+    QueryDef.sql("ml_chunk_documents",
+      s"""WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE length(text) > 0),
+         |c AS (SELECT doc_id, unnest(range(1, n + 1, $stride)) AS start, text FROM t)
+         |SELECT doc_id, CAST((start - 1) // $stride AS BIGINT) AS chunk_idx,
+         |  CAST(start AS BIGINT) AS chunk_start,
+         |  CAST(length(substr(text, start, $width)) AS BIGINT) AS chunk_chars,
+         |  ${OracleSql.hash64("'c'", s"substr(text, start, $width)")} AS chunk_hash
+         |FROM c ORDER BY doc_id, chunk_start""".stripMargin) { (s, dir) =>
+      graft.ops.TextOps.ensureFunctions(s)
+      Tables.documents(s, dir)
+        .where(length(col("text")) > 0)
+        .select(col("doc_id"), col("text"),
+          explode(expr(s"sequence(1, length(text), $stride)")).as("start"))
+        .select(col("doc_id"),
+          expr(s"(start - 1) div $stride").cast("long").as("chunk_idx"),
+          col("start").cast("long").as("chunk_start"),
+          length(expr(s"substr(text, start, $width)")).cast("long").as("chunk_chars"),
+          expr(graft.ops.TextOps.portableHash64Sql("'c'",
+            s"substr(text, start, $width)")).as("chunk_hash"))
+        .orderBy(col("doc_id"), col("chunk_start"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(hourRingFeatures, hourRingFeaturesReturns,
     mlDataset, mlPoissonPredict, mlZscore, mlLagFeatures, mlHashSplit,
-    mlSampleStratified, mlPackSequences, mlMixtureSample)
+    mlSampleStratified, mlPackSequences, mlMixtureSample, mlChunkDocuments)
 }
