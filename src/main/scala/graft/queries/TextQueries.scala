@@ -327,7 +327,70 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher-style rule-set filter (Rae et al. 2021, "Scaling Language
+    * Models: ... Gopher", §A1.1 quality heuristics): unlike
+    * [[textQualityScore]]'s blended score, each published rule emits
+    * its own pass/fail flag plus the conjunctive keep decision, so a
+    * pipeline can audit WHICH rule dropped a document. Rules (line-
+    * based bullet/ellipsis rules are omitted — the corpus has no
+    * newlines; [[graft.queries.DedupQueries.dedupLines]] documents the
+    * segmenter stand-in):
+    *   r_wc    word count in [50, 100000]
+    *   r_mwl   mean word length in [3, 10]
+    *   r_sym   symbol-to-word ratio <= 0.1
+    *   r_alpha >= 80% of words contain an alphabetic character
+    *   r_stop  at least 2 stop words
+    * Map-only single scan; counts via regexp_count (no match-array
+    * materialization), mean length from the alnum-char count so no
+    * second tokenization pass is needed.
+    */
+  val textGopherRules: QueryDef = {
+    val duckSql =
+      s"""WITH c AS (SELECT doc_id,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS nw,
+         |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]')) AS BIGINT) AS na,
+         |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT) AS np,
+         |  CAST(len(regexp_extract_all(lower(text), '\\b[0-9]+\\b')) AS BIGINT) AS nnum,
+         |  CAST(len(regexp_extract_all(lower(text), '\\b($stop)\\b')) AS BIGINT) AS ns
+         |  FROM documents)
+         |SELECT doc_id, nw,
+         |  round(na / CAST(greatest(nw, 1) AS DOUBLE), 6) AS mean_word_len,
+         |  CASE WHEN nw BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS r_wc,
+         |  CASE WHEN na >= 3 * nw AND na <= 10 * nw AND nw > 0 THEN 1 ELSE 0 END AS r_mwl,
+         |  CASE WHEN np * 10 <= nw THEN 1 ELSE 0 END AS r_sym,
+         |  CASE WHEN (nw - nnum) * 10 >= 8 * nw THEN 1 ELSE 0 END AS r_alpha,
+         |  CASE WHEN ns >= 2 THEN 1 ELSE 0 END AS r_stop,
+         |  CASE WHEN nw BETWEEN 50 AND 100000 AND na >= 3 * nw AND na <= 10 * nw
+         |        AND np * 10 <= nw AND (nw - nnum) * 10 >= 8 * nw AND ns >= 2
+         |       THEN 1 ELSE 0 END AS keep
+         |FROM c ORDER BY doc_id""".stripMargin
+    QueryDef.sql("text_gopher_rules", duckSql) { (s, dir) =>
+      val counted = Tables.documents(s, dir).select(
+        col("doc_id"),
+        expr("regexp_count(lower(text), '[a-z0-9]+')").cast("long").as("nw"),
+        expr("regexp_count(lower(text), '[a-z0-9]')").cast("long").as("na"),
+        expr("regexp_count(text, '[^a-zA-Z0-9\\\\s]')").cast("long").as("np"),
+        expr("regexp_count(lower(text), '\\\\b[0-9]+\\\\b')").cast("long").as("nnum"),
+        expr(s"regexp_count(lower(text), '\\\\b($stop)\\\\b')").cast("long").as("ns"))
+      // integer-only rule arithmetic (np*10 <= nw, not np/nw <= 0.1):
+      // bit-identical across engines, no FP threshold edge
+      val rWc = col("nw").between(50, 100000)
+      val rMwl = col("na") >= col("nw") * 3 && col("na") <= col("nw") * 10 && col("nw") > 0
+      val rSym = col("np") * 10 <= col("nw")
+      val rAlpha = (col("nw") - col("nnum")) * 10 >= col("nw") * 8
+      val rStop = col("ns") >= 2
+      def flag(c: org.apache.spark.sql.Column) = when(c, 1).otherwise(0)
+      counted.select(col("doc_id"), col("nw"),
+        round(col("na") / greatest(col("nw"), lit(1)).cast("double"), 6).as("mean_word_len"),
+        flag(rWc).as("r_wc"), flag(rMwl).as("r_mwl"), flag(rSym).as("r_sym"),
+        flag(rAlpha).as("r_alpha"), flag(rStop).as("r_stop"),
+        flag(rWc && rMwl && rSym && rAlpha && rStop).as("keep"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(textTokenCount, textLangId, textQualityScore,
     textFingerprint, textRollingHash, textTopPerLang, textTopNgrams,
-    sketchDistinctKmv, textPiiScrub, textRepetition, textEntropy)
+    sketchDistinctKmv, textPiiScrub, textRepetition, textEntropy,
+    textGopherRules)
 }

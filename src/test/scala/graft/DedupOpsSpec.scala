@@ -64,4 +64,23 @@ class DedupOpsSpec extends SparkSpec {
       (6L, 2L, 1L, 1L)  // L later + unique "ddd eee fff"; tail word dropped
     ))
   }
+
+  test("text_gopher_rules: digit-only tokens flip r_alpha; mixed tokens do not") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val stops = "the and of to in a is" // 7 stop words, satisfies r_stop
+    val base = (1 to 10).map(i => s"word$i alpha beta").mkString(" ") // mixed+alpha tokens
+    val docs = Seq(
+      // 37 alpha-ish words + 13 digit-only = 50 words, 26% numeric -> r_alpha fails
+      (1L, s"$stops $base " + (1 to 13).map(_.toString * 3).mkString(" ")),
+      // same shape but numeric tokens carry a letter -> r_alpha passes
+      (2L, s"$stops $base " + (1 to 13).map(i => s"x${i}0").mkString(" "))
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("gopher").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.queries.TextQueries.textGopherRules.run(spark, tmp)
+      .select(col("doc_id"), col("nw"), col("r_alpha"), col("r_stop"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(got.toSeq === Seq((1L, 50L, 0, 1), (2L, 50L, 1, 1)))
+  }
 }
