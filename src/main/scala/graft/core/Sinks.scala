@@ -20,6 +20,31 @@ object Sinks {
   def json(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** Training-data shard writer — the 100 TB output shape: directory-
+    * partitioned by low-cardinality routing columns (source, lang,
+    * quality bucket — enables partition PRUNING for downstream mixture
+    * readers), with file sizes controlled two ways:
+    *
+    *  - `maxRecordsPerFile` caps the big end (no 50 GB single file when
+    *    one partition value dominates);
+    *  - `repartition(partitionCols)` before the write collapses the
+    *    small end — without it every incoming task writes one file PER
+    *    partition value it touches, the classic small-files explosion
+    *    (T tasks × P values files instead of ~P).
+    *
+    * `sortWithinPartitions(sortCols)` orders rows inside each file so
+    * parquet min/max column statistics become selective (row-group skip
+    * on the sort key). Deterministic layout: same input → same files.
+    */
+  def shardedParquet(df: DataFrame, path: String, partitionCols: Seq[String],
+                     sortCols: Seq[String], maxRecordsPerFile: Long): Unit =
+    df.repartition(partitionCols.map(col): _*)
+      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
   /** S8: row-count reconciliation sidecar (build_dataset.py:87-110):
     * input/output counts, error count, and <=100 sample dropped ids.
     * The anti-join is cached so the error count and sample share one

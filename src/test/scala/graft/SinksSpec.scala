@@ -29,4 +29,33 @@ class SinksSpec extends SparkSpec {
     assert(txt.contains(""""number_of_errors": 3"""))
     assert(txt.contains("3") && txt.contains("6") && txt.contains("9"))
   }
+
+  test("sharded parquet: hive layout, small-files collapse, maxRecordsPerFile cap, roundtrip") {
+    import spark.implicits._
+    // 4 partitions of skewed sizes across 8 input tasks — without the
+    // pre-write repartition this would emit up to 8 x 4 files
+    val df = (1L to 1000L).toDF("id")
+      .repartition(8)
+      .withColumn("lang", concat(lit("l"), col("id") % 4))
+      .withColumn("v", col("id") * 7 % 1000)
+    val p = tmp() + "/shards"
+    Sinks.shardedParquet(df, p, Seq("lang"), Seq("v"), maxRecordsPerFile = 100L)
+    val dirs = new java.io.File(p).listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(dirs.toSeq === Seq("lang=l0", "lang=l1", "lang=l2", "lang=l3"))
+    dirs.foreach { d =>
+      val files = new java.io.File(s"$p/$d").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      // 250 rows per lang at cap 100 -> exactly 3 files from ONE task
+      assert(files.length === 3, s"$d: ${files.length} files")
+    }
+    val back = spark.read.parquet(p)
+    assert(back.count() === 1000L)
+    assert(back.select(sum(col("id"))).head.getLong(0) === (1L to 1000L).sum)
+    // within-file sort makes parquet min/max stats selective: a v-range
+    // scan must skip row groups... at this size just pin the row order
+    val firstFile = new java.io.File(s"$p/lang=l0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getPath).sorted.head
+    val vs = spark.read.parquet(firstFile).select("v").collect().map(_.getLong(0))
+    assert(vs.toSeq === vs.sorted.toSeq, "rows not sorted within file")
+  }
 }
