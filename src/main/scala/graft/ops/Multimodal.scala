@@ -123,4 +123,28 @@ object Multimodal {
         FrameRef(m.doc_id, i, (m.doc_id * 1000003L + i * 7919L) % 2147483647L))
     }
   }
+
+  final case class MediaFeat(doc_id: Long, feat: Array[Long])
+
+  /** Feature extraction: media payload → fixed-dim feature vector (the
+    * embedding-model / perceptual-descriptor step). STUB features: the
+    * 16 md5 bytes of the payload read as 8 two-hex-char bins in 0..255
+    * (a real implementation runs the vision/audio model here — one
+    * model handle per PARTITION, exactly where the MessageDigest sits).
+    * Integer bins keep the oracle compare exact; normalizing to
+    * Array[Float] for an ANN index is a one-line map downstream.
+    */
+  def featureExtract(spark: SparkSession, media: DataFrame, dims: Int = 8): Dataset[MediaFeat] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5") // the "model handle"
+        it.map { case (id, bytes) =>
+          md.reset()
+          val hex = md.digest(bytes).map(b => f"$b%02x").mkString
+          MediaFeat(id, Array.tabulate(dims)(i =>
+            java.lang.Long.parseLong(hex.substring(2 * i, 2 * i + 2), 16)))
+        }
+      }
+  }
 }

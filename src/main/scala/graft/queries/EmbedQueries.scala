@@ -635,9 +635,27 @@ object EmbedQueries {
     }
   }
 
+  /** Feature extraction over the media table (stub "model", real
+    * per-partition batch plumbing — ops.Multimodal.featureExtract):
+    * each media item → an 8-bin descriptor, emitted long-form
+    * (doc_id, i, bin) so the oracle compares exact integers.
+    */
+  val multimodalFeatures: QueryDef =
+    QueryDef.sql("multimodal_features",
+      """SELECT doc_id, CAST(i AS BIGINT) AS i,
+        |  ('0x' || substr(md5(text), 1 + 2 * i, 2))::BIGINT AS bin
+        |FROM documents, range(0, 8) r(i)
+        |ORDER BY doc_id, i""".stripMargin) { (s, dir) =>
+      val media = Multimodal.mediaTable(s, Tables.documents(s, dir))
+      Multimodal.featureExtract(s, media).toDF()
+        .select(col("doc_id"), posexplode(col("feat")).as(Seq("i", "bin")))
+        .select(col("doc_id"), col("i").cast("long").as("i"), col("bin"))
+        .orderBy(col("doc_id"), col("i"))
+    }
+
   val all: Seq[QueryDef] = Seq(embedKnnBrute, embedKnnLsh, embedCentroids,
     multimodalMeta, multimodalFramesample, multimodalResize, embedNorms,
     embedKnnIvf, dedupEmbedCosine, embedQuantize, embedLshRecall,
     embedHyperplaneRecall, embedBandedRecall, embedKnnPq,
-    embedMultiprobeRecall)
+    embedMultiprobeRecall, multimodalFeatures)
 }

@@ -46,4 +46,17 @@ class MultimodalSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
     assert(meta.toSeq === out.toSeq.map(r => (r.doc_id, r.out_w, r.out_h, r.out_bytes)))
   }
+
+  test("featureExtract: fixed dims, bins in 0..255, equals the md5 reference") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text")
+    val media = Multimodal.mediaTable(spark, docs)
+    val out = Multimodal.featureExtract(spark, media).collect().sortBy(_.doc_id)
+    assert(out.map(_.feat.length).toSeq === Seq(8, 8))
+    out.foreach(_.feat.foreach(b => assert(b >= 0 && b <= 255)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val refAlpha = md.digest("alpha".getBytes("UTF-8")).take(8)
+      .map(b => (b.toLong + 256) % 256)
+    assert(out(0).feat.toSeq === refAlpha.toSeq)
+  }
 }
