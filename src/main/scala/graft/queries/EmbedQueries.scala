@@ -653,9 +653,56 @@ object EmbedQueries {
         .orderBy(col("doc_id"), col("i"))
     }
 
+  /** Hard-negative mining for contrastive embedding training: per query
+    * vector, the nearest SAME-label candidate (the positive) and the
+    * nearest OTHER-label candidate (the hard negative — the most
+    * confusable wrong answer), plus the margin between them. The
+    * (anchor, positive, hard-negative) triplet is what a triplet /
+    * InfoNCE loss consumes; mining negatives near the decision boundary
+    * is the published recipe (e.g. DPR, Karpukhin et al. 2020).
+    *
+    * Gate tier scores the broadcast query block against all candidates
+    * exactly (same shape as [[embedKnnBrute]] — one candidate scan, no
+    * shuffle of the corpus); at 100 TB the candidate set comes from the
+    * LSH band join ([[embedKnnLsh]]'s bucket equi-join) instead of the
+    * full scan, which only improves the negatives' hardness.
+    */
+  val embedHardNegatives: QueryDef = QueryDef.sql("embed_hard_negatives",
+    s"""WITH $duckVectors,
+       |q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv FROM v WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS nid, label AS nlabel, v AS cv FROM v WHERE vec_id >= 10),
+       |p AS (SELECT qid, qlabel, nid, nlabel, ${duckCos("qv", "cv")} AS sim FROM c, q),
+       |pos AS (SELECT qid, nid, sim,
+       |          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+       |        FROM p WHERE qlabel = nlabel),
+       |neg AS (SELECT qid, nid, sim,
+       |          row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+       |        FROM p WHERE qlabel <> nlabel)
+       |SELECT pos.qid AS qid, pos.nid AS pos_id, pos.sim AS pos_sim,
+       |  neg.nid AS neg_id, neg.sim AS neg_sim,
+       |  round(pos.sim - neg.sim, 6) AS margin
+       |FROM pos JOIN neg USING (qid)
+       |WHERE pos.rnk = 1 AND neg.rnk = 1 ORDER BY qid""".stripMargin) { (s, dir) =>
+    val v = Similarity.vectors(Tables.embeddings(s, dir))
+    val q = v.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"), col("v").as("qv"))
+    val c = v.where(col("vec_id") >= 10)
+      .select(col("vec_id").as("nid"), col("label").as("nlabel"), col("v").as("cv"))
+    val pairs = c.crossJoin(broadcast(q))
+      .withColumn("sim", Similarity.cosine("qv", "cv"))
+    val pos = Similarity.topK(pairs.where(col("qlabel") === col("nlabel")), 1)
+      .select(col("qid"), col("nid").as("pos_id"), col("sim").as("pos_sim"))
+    val neg = Similarity.topK(pairs.where(col("qlabel") =!= col("nlabel")), 1)
+      .select(col("qid"), col("nid").as("neg_id"), col("sim").as("neg_sim"))
+    pos.join(neg, Seq("qid"))
+      .select(col("qid"), col("pos_id"), col("pos_sim"), col("neg_id"),
+        col("neg_sim"), round(col("pos_sim") - col("neg_sim"), 6).as("margin"))
+      .orderBy(col("qid"))
+  }
+
   val all: Seq[QueryDef] = Seq(embedKnnBrute, embedKnnLsh, embedCentroids,
     multimodalMeta, multimodalFramesample, multimodalResize, embedNorms,
     embedKnnIvf, dedupEmbedCosine, embedQuantize, embedLshRecall,
     embedHyperplaneRecall, embedBandedRecall, embedKnnPq,
-    embedMultiprobeRecall, multimodalFeatures)
+    embedMultiprobeRecall, multimodalFeatures, embedHardNegatives)
 }

@@ -214,4 +214,25 @@ class SimilaritySpec extends SparkSpec {
       .select(Similarity.hyperplaneBucket("v", 4, 7, 3)).head().getLong(0)
     assert(row.getLong(1) === expected)
   }
+
+  test("hard-negative mining picks nearest same-label and nearest other-label, planted geometry") {
+    import spark.implicits._
+    // query (label 1) at [1,0]: same-label near [0.9,0.1] and far [0,1];
+    // other-label hard [0.7,0.3] and easy [-1,0]. Expected triplet:
+    // pos=10 (not 11), neg=12 (not 13), margin > 0.
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (10L, Array(0.9f, 0.1f), 1),
+      (11L, Array(0.0f, 1.0f), 1),
+      (12L, Array(0.7f, 0.3f), 2),
+      (13L, Array(-1.0f, 0.0f), 3))
+    val tmp = java.nio.file.Files.createTempDirectory("hardneg").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = graft.queries.EmbedQueries.embedHardNegatives.run(spark, tmp).head()
+    assert(got.getLong(0) === 0L)
+    assert(got.getLong(1) === 10L, s"positive: $got")
+    assert(got.getLong(3) === 12L, s"hard negative: $got")
+    assert(got.getDouble(5) > 0.0, s"margin: $got")
+  }
 }
