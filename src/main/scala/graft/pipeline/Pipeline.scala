@@ -47,7 +47,13 @@ object Pipeline {
   def stage(spark: SparkSession, path: String, force: Boolean = false)
            (compute: => DataFrame): DataFrame = {
     val done = graft.core.Fs.exists(spark, s"$path/_SUCCESS")
-    if (force || !done) compute.write.mode(SaveMode.Overwrite).parquet(path)
+    if (force || !done) {
+      val t0 = System.nanoTime()
+      compute.write.mode(SaveMode.Overwrite).parquet(path)
+      // one stderr line per materialized stage: the wall-clock budget of
+      // a checkpointed pipeline is per-stage or it is unactionable
+      System.err.println(f"[graft.Pipeline] stage ${path.split('/').last}%-22s ${(System.nanoTime() - t0) / 1e9}%6.1f s")
+    }
     spark.read.parquet(path)
   }
 
