@@ -70,7 +70,8 @@ class PlanSpec extends SparkSpec {
     // with the candidate scan — the exact-baseline knn, the centroid
     // cell assignment, and recall's exact arm
     val intentional = Set("embed_knn_brute", "embed_knn_ivf", "embed_lsh_recall",
-      "embed_hyperplane_recall", "embed_banded_recall", "embed_multiprobe_recall")
+      "embed_hyperplane_recall", "embed_banded_recall", "embed_multiprobe_recall",
+      "embed_hard_negatives")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>
@@ -157,5 +158,22 @@ class PlanSpec extends SparkSpec {
     val pa = plan(RelationalQueries.qAboveAvg)
     assert(!pa.contains("Window"), s"window over ~25-value c_nationkey in:\n$pa")
     assert(pa.contains("BroadcastHashJoin"))
+  }
+
+  test("dedup_lines joins segments to the df table on the hash (equi-join, no pairing)") {
+    val p = plan(graft.queries.DedupQueries.dedupLines)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"all-pairs scan in:\n$p")
+    // the join back is keyed on the 8-byte segment hash
+    assert("hashpartitioning\\(h".r.findAllIn(p).nonEmpty, s"no hash-keyed exchange in:\n$p")
+  }
+
+  test("embed_hard_negatives broadcasts the query block; ranking windows partition on qid") {
+    val p = plan(graft.queries.EmbedQueries.embedHardNegatives)
+    // tiny query side broadcast against one candidate scan (the exact
+    // tier, same class as embed_knn_brute) — NOT a shuffled cross
+    assert(p.contains("BroadcastNestedLoopJoin"), s"query block not broadcast in:\n$p")
+    assert("hashpartitioning\\(qid".r.findAllIn(p).nonEmpty,
+      s"pos/neg ranking not partitioned by query id in:\n$p")
   }
 }
