@@ -311,7 +311,53 @@ object MlQueries {
     }
   }
 
+  /** The preprocessing FUNNEL as one plan — what a real corpus run looks
+    * like: Gopher rule-set filter, language-ID gate (pred != 'und'), and
+    * exact-dedup keep-first, each emitting its per-doc reason flag plus
+    * the conjunctive final keep. Composes the SAME fragments the
+    * individual queries use (TextQueries gopher and lang vals), so the
+    * funnel cannot drift from its stages. One corpus scan computes
+    * every per-doc count; the only shuffle is the digest groupBy for
+    * keep-first (16-byte digests, never text) and its equi-join back —
+    * at 100 TB this is the digest table every exact-dedup pass shares.
+    */
+  val mlQualityFunnel: QueryDef = {
+    import TextQueries.{gopherCntsDuck, gopherCntCols, gopherKeepSql,
+      langCntsDuck, langCntCols, langCaseSql}
+    QueryDef.sql("ml_quality_funnel",
+      s"""WITH c AS (SELECT doc_id, md5(text) AS dg,
+         |  $gopherCntsDuck,
+         |  $langCntsDuck
+         |  FROM documents),
+         |firsts AS (SELECT dg, min(doc_id) AS first_id FROM c GROUP BY dg)
+         |SELECT c.doc_id AS doc_id,
+         |  CASE WHEN $gopherKeepSql THEN 1 ELSE 0 END AS k_gopher,
+         |  CASE WHEN ($langCaseSql) <> 'und' THEN 1 ELSE 0 END AS k_lang,
+         |  CASE WHEN c.doc_id = f.first_id THEN 1 ELSE 0 END AS k_exact,
+         |  CASE WHEN ($gopherKeepSql) AND ($langCaseSql) <> 'und'
+         |        AND c.doc_id = f.first_id THEN 1 ELSE 0 END AS keep
+         |FROM c JOIN firsts f USING (dg)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val c = Tables.documents(s, dir).select(
+        Seq(col("doc_id"), md5(col("text")).as("dg")) ++
+          gopherCntCols ++ langCntCols: _*)
+      val firsts = c.groupBy(col("dg")).agg(min(col("doc_id")).as("first_id"))
+      val kGopher = expr(gopherKeepSql)
+      val kLang = expr(langCaseSql) =!= "und"
+      val kExact = col("doc_id") === col("first_id")
+      def flag(x: org.apache.spark.sql.Column) = when(x, 1).otherwise(0)
+      c.join(firsts, Seq("dg"))
+        .select(col("doc_id"),
+          flag(kGopher).as("k_gopher"),
+          flag(kLang).as("k_lang"),
+          flag(kExact).as("k_exact"),
+          flag(kGopher && kLang && kExact).as("keep"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(hourRingFeatures, hourRingFeaturesReturns,
     mlDataset, mlPoissonPredict, mlZscore, mlLagFeatures, mlHashSplit,
-    mlSampleStratified, mlPackSequences, mlMixtureSample, mlChunkDocuments)
+    mlSampleStratified, mlPackSequences, mlMixtureSample, mlChunkDocuments,
+    mlQualityFunnel)
 }

@@ -35,26 +35,32 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- shared language-ID fragments (ONE definition per formula; the
+  // funnel query composes these, so they must not fork from text_lang_id)
+  private[queries] val langMarkers = Seq(
+    "en" -> "the|and|of|to|in",
+    "es" -> "el|la|de|que|los",
+    "de" -> "der|die|und|das|ist",
+    "fr" -> "le|la|les|des|et")
+  private[queries] val langCntsDuck = langMarkers.map { case (l, re) =>
+    s"len(regexp_extract_all(lower(text), '\\b($re)\\b')) AS s_$l" }.mkString(",\n  ")
+  private[queries] def langCntCols = langMarkers.map { case (l, re) =>
+    expr(s"regexp_count(lower(text), '\\\\b($re)\\\\b')").as(s"s_$l") }
+  /** Valid in both engines over the s_* count columns. */
+  private[queries] val langCaseSql =
+    """CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+      |     WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+      |     WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+      |     WHEN s_de >= s_fr THEN 'de'
+      |     ELSE 'fr' END""".stripMargin
+
   /** Stopword-frequency language ID (n-gram heuristic): count per-language
     * marker words, argmax with a fixed priority order; no markers -> 'und'.
     */
   val textLangId: QueryDef = {
-    val markers = Seq(
-      "en" -> "the|and|of|to|in",
-      "es" -> "el|la|de|que|los",
-      "de" -> "der|die|und|das|ist",
-      "fr" -> "le|la|les|des|et")
-    def cnt(re: String, f: String => String): String = f(re)
-    val duckCnts = markers.map { case (l, re) =>
-      s"len(regexp_extract_all(lower(text), '\\b($re)\\b')) AS s_$l" }.mkString(",\n  ")
-    val sparkCnts = markers.map { case (l, re) =>
-      expr(s"regexp_count(lower(text), '\\\\b($re)\\\\b')").as(s"s_$l") }
-    val caseSql =
-      """CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
-        |     WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
-        |     WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
-        |     WHEN s_de >= s_fr THEN 'de'
-        |     ELSE 'fr' END""".stripMargin
+    val duckCnts = langCntsDuck
+    val sparkCnts = langCntCols
+    val caseSql = langCaseSql
     QueryDef.sql("text_lang_id",
       s"""WITH c AS (SELECT doc_id, lang,
          |  $duckCnts
@@ -344,14 +350,30 @@ object TextQueries {
     * materialization), mean length from the alnum-char count so no
     * second tokenization pass is needed.
     */
+  // ---- shared Gopher-rule fragments (the funnel query composes these)
+  private[queries] val gopherCntsDuck =
+    s"""CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS nw,
+       |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]')) AS BIGINT) AS na,
+       |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT) AS np,
+       |  CAST(len(regexp_extract_all(lower(text), '\\b[0-9]+\\b')) AS BIGINT) AS nnum,
+       |  CAST(len(regexp_extract_all(lower(text), '\\b($stop)\\b')) AS BIGINT) AS ns""".stripMargin
+  private[queries] def gopherCntCols = Seq(
+    expr("regexp_count(lower(text), '[a-z0-9]+')").cast("long").as("nw"),
+    expr("regexp_count(lower(text), '[a-z0-9]')").cast("long").as("na"),
+    expr("regexp_count(text, '[^a-zA-Z0-9\\\\s]')").cast("long").as("np"),
+    expr("regexp_count(lower(text), '\\\\b[0-9]+\\\\b')").cast("long").as("nnum"),
+    expr(s"regexp_count(lower(text), '\\\\b($stop)\\\\b')").cast("long").as("ns"))
+  /** Conjunction of all five rules over the count columns — one string,
+    * valid in both engines.
+    */
+  private[queries] val gopherKeepSql =
+    """nw BETWEEN 50 AND 100000 AND na >= 3 * nw AND na <= 10 * nw
+      | AND np * 10 <= nw AND (nw - nnum) * 10 >= 8 * nw AND ns >= 2""".stripMargin
+
   val textGopherRules: QueryDef = {
     val duckSql =
       s"""WITH c AS (SELECT doc_id,
-         |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS nw,
-         |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]')) AS BIGINT) AS na,
-         |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT) AS np,
-         |  CAST(len(regexp_extract_all(lower(text), '\\b[0-9]+\\b')) AS BIGINT) AS nnum,
-         |  CAST(len(regexp_extract_all(lower(text), '\\b($stop)\\b')) AS BIGINT) AS ns
+         |  $gopherCntsDuck
          |  FROM documents)
          |SELECT doc_id, nw,
          |  round(na / CAST(greatest(nw, 1) AS DOUBLE), 6) AS mean_word_len,
@@ -360,18 +382,11 @@ object TextQueries {
          |  CASE WHEN np * 10 <= nw THEN 1 ELSE 0 END AS r_sym,
          |  CASE WHEN (nw - nnum) * 10 >= 8 * nw THEN 1 ELSE 0 END AS r_alpha,
          |  CASE WHEN ns >= 2 THEN 1 ELSE 0 END AS r_stop,
-         |  CASE WHEN nw BETWEEN 50 AND 100000 AND na >= 3 * nw AND na <= 10 * nw
-         |        AND np * 10 <= nw AND (nw - nnum) * 10 >= 8 * nw AND ns >= 2
-         |       THEN 1 ELSE 0 END AS keep
+         |  CASE WHEN $gopherKeepSql THEN 1 ELSE 0 END AS keep
          |FROM c ORDER BY doc_id""".stripMargin
     QueryDef.sql("text_gopher_rules", duckSql) { (s, dir) =>
       val counted = Tables.documents(s, dir).select(
-        col("doc_id"),
-        expr("regexp_count(lower(text), '[a-z0-9]+')").cast("long").as("nw"),
-        expr("regexp_count(lower(text), '[a-z0-9]')").cast("long").as("na"),
-        expr("regexp_count(text, '[^a-zA-Z0-9\\\\s]')").cast("long").as("np"),
-        expr("regexp_count(lower(text), '\\\\b[0-9]+\\\\b')").cast("long").as("nnum"),
-        expr(s"regexp_count(lower(text), '\\\\b($stop)\\\\b')").cast("long").as("ns"))
+        col("doc_id") +: gopherCntCols: _*)
       // integer-only rule arithmetic (np*10 <= nw, not np/nw <= 0.1):
       // bit-identical across engines, no FP threshold edge
       val rWc = col("nw").between(50, 100000)

@@ -83,4 +83,20 @@ class DedupOpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
     assert(got.toSeq === Seq((1L, 50L, 0, 1), (2L, 50L, 1, 1)))
   }
+
+  test("ml_quality_funnel: exact-dup keep-first zeroes k_exact (corpus has no dups to exercise it)") {
+    import spark.implicits._
+    // 60 words incl. en stopwords -> k_gopher and k_lang pass for all;
+    // docs 1 and 3 are byte-identical, so doc 3 fails ONLY k_exact
+    val good = "the and of to in " + (1 to 55).map(i => s"word$i").mkString(" ")
+    val docs = Seq((1L, good), (2L, good + " extra"), (3L, good)).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("funnel").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.queries.MlQueries.mlQualityFunnel.run(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4)))
+    assert(got.toSeq === Seq(
+      (1L, 1, 1, 1, 1),
+      (2L, 1, 1, 1, 1),
+      (3L, 1, 1, 0, 0))) // the later twin: dropped by dedup alone
+  }
 }
