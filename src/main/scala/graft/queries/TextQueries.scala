@@ -37,17 +37,17 @@ object TextQueries {
 
   // ---- shared language-ID fragments (ONE definition per formula; the
   // funnel query composes these, so they must not fork from text_lang_id)
-  private[queries] val langMarkers = Seq(
+  private[graft] val langMarkers = Seq(
     "en" -> "the|and|of|to|in",
     "es" -> "el|la|de|que|los",
     "de" -> "der|die|und|das|ist",
     "fr" -> "le|la|les|des|et")
-  private[queries] val langCntsDuck = langMarkers.map { case (l, re) =>
+  private[graft] val langCntsDuck = langMarkers.map { case (l, re) =>
     s"len(regexp_extract_all(lower(text), '\\b($re)\\b')) AS s_$l" }.mkString(",\n  ")
-  private[queries] def langCntCols = langMarkers.map { case (l, re) =>
+  private[graft] def langCntCols = langMarkers.map { case (l, re) =>
     expr(s"regexp_count(lower(text), '\\\\b($re)\\\\b')").as(s"s_$l") }
   /** Valid in both engines over the s_* count columns. */
-  private[queries] val langCaseSql =
+  private[graft] val langCaseSql =
     """CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
       |     WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
       |     WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
@@ -351,13 +351,13 @@ object TextQueries {
     * second tokenization pass is needed.
     */
   // ---- shared Gopher-rule fragments (the funnel query composes these)
-  private[queries] val gopherCntsDuck =
+  private[graft] val gopherCntsDuck =
     s"""CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS nw,
        |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9]')) AS BIGINT) AS na,
        |  CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS BIGINT) AS np,
        |  CAST(len(regexp_extract_all(lower(text), '\\b[0-9]+\\b')) AS BIGINT) AS nnum,
        |  CAST(len(regexp_extract_all(lower(text), '\\b($stop)\\b')) AS BIGINT) AS ns""".stripMargin
-  private[queries] def gopherCntCols = Seq(
+  private[graft] def gopherCntCols = Seq(
     expr("regexp_count(lower(text), '[a-z0-9]+')").cast("long").as("nw"),
     expr("regexp_count(lower(text), '[a-z0-9]')").cast("long").as("na"),
     expr("regexp_count(text, '[^a-zA-Z0-9\\\\s]')").cast("long").as("np"),
@@ -366,7 +366,7 @@ object TextQueries {
   /** Conjunction of all five rules over the count columns — one string,
     * valid in both engines.
     */
-  private[queries] val gopherKeepSql =
+  private[graft] val gopherKeepSql =
     """nw BETWEEN 50 AND 100000 AND na >= 3 * nw AND na <= 10 * nw
       | AND np * 10 <= nw AND (nw - nnum) * 10 >= 8 * nw AND ns >= 2""".stripMargin
 

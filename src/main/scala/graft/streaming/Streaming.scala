@@ -177,6 +177,30 @@ object Streaming {
       .dropDuplicatesWithinWatermark("__digest")
       .drop("__digest")
 
+  /** At-ingest preprocessing funnel — the streaming twin of the batch
+    * `ml_quality_funnel`: Gopher rule-set filter and language-ID gate
+    * (STATELESS projections, composed from the same
+    * [[graft.queries.TextQueries]] fragments as the batch query, so the
+    * two tiers cannot drift), then exact-dedup keep-first
+    * ([[streamingDedup]]'s watermark-bounded digest state). Stage order
+    * is the production insight: the cheap stateless filters run BEFORE
+    * the stateful dedup, so the digest state store only ever holds
+    * documents that survived quality — at ingest rates the state-size
+    * difference is the difference between a bounded store and OOM.
+    * Emits surviving rows unchanged (plus nothing else: reason flags are
+    * the batch query's job; the stream's job is admission).
+    */
+  def streamingQualityFunnel(docs: DataFrame, tsCol: String,
+                             watermarkDelay: String): DataFrame = {
+    import graft.queries.TextQueries.{gopherCntCols, gopherKeepSql, langCntCols, langCaseSql}
+    val counted = docs.select(
+      Seq(col("*")) ++ gopherCntCols ++ langCntCols: _*)
+    val kept = counted
+      .where(expr(gopherKeepSql) && expr(langCaseSql) =!= "und")
+      .select(docs.columns.map(col).toIndexedSeq: _*)
+    streamingDedup(kept, tsCol, "text", watermarkDelay)
+  }
+
   /** Stream-static decontamination: incoming documents checked against a
     * STATIC benchmark shingle-hash table (`h: bigint`) — the in-flight
     * twin of the batch `dedup_decontaminate` pass. STATELESS by design:

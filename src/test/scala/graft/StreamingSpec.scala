@@ -141,6 +141,38 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming quality funnel matches batch ml_quality_funnel survivors on in-order replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val good1 = "the and of to in " + (1 to 55).map(i => s"word$i").mkString(" ")
+    val good2 = "the and of to in " + (1 to 55).map(i => s"item$i").mkString(" ")
+    val und = (1 to 60).map(i => s"zz$i$i").mkString(" ")       // no lang markers
+    val short = "the and of to in tiny"                          // < 50 words
+    val rows = Seq( // (doc_id, text); doc 5 is doc 1's exact twin
+      (1L, good1), (2L, good2), (3L, und), (4L, short), (5L, good1))
+    // batch truth over the same fixture
+    val tmp = java.nio.file.Files.createTempDirectory("sfunnel").toString
+    rows.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val batchKeep = graft.queries.MlQueries.mlQualityFunnel.run(spark, tmp)
+      .where(col("keep") === 1).collect().map(_.getLong(0)).toSet
+    assert(batchKeep === Set(1L, 2L)) // fixture sanity: every stage exercised
+    // streaming replay in doc_id order, split across micro-batches
+    val ms = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = ms.toDF().toDF("doc_id", "ts", "text")
+    val query = Streaming.streamingQualityFunnel(df, "ts", "1 hour")
+      .writeStream.format("memory").queryName("sfunnel_t").outputMode("append").start()
+    try {
+      ms.addData((1L, ts("2024-01-01 10:00:00"), good1), (2L, ts("2024-01-01 10:01:00"), good2),
+        (3L, ts("2024-01-01 10:02:00"), und))
+      query.processAllAvailable()
+      ms.addData((4L, ts("2024-01-01 10:03:00"), short), (5L, ts("2024-01-01 10:04:00"), good1))
+      query.processAllAvailable()
+      val streamKeep = spark.table("sfunnel_t").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(streamKeep === batchKeep)
+    } finally query.stop()
+  }
+
   test("stream-static decontamination flags docs overlapping the benchmark, statelessly") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
