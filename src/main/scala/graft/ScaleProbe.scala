@@ -40,6 +40,21 @@ object ScaleProbe {
         .where(col("sim") >= 0.8).count()
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[scaleprobe] docs=$n%6d near_dup_pairs=$pairs%6d wall=$secs%6.1f s")
+
+      // funnel leg: the composed gopher+lang+exact-dedup pass — one scan
+      // + one digest shuffle, so the curve should stay ~linear with a
+      // much smaller constant than the pair build. Separate corpus
+      // variant with an English stopword block prepended (the w-vocab
+      // alone fails the language gate), leaving the pair curve untouched.
+      val dirF = java.nio.file.Files.createTempDirectory(s"probeF$n").toString
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), concat(lit("the and of to in "), col("text")).as("text"))
+        .write.mode("overwrite").parquet(s"$dirF/documents.parquet")
+      val t1 = System.nanoTime()
+      val kept = graft.queries.MlQueries.mlQualityFunnel.run(spark, dirF)
+        .where(col("keep") === 1).count()
+      val fsecs = (System.nanoTime() - t1) / 1e9
+      println(f"[scaleprobe] docs=$n%6d funnel_kept=$kept%6d wall=$fsecs%6.1f s")
     }
     spark.stop()
   }
