@@ -55,6 +55,14 @@ object ScaleProbe {
         .where(col("keep") === 1).count()
       val fsecs = (System.nanoTime() - t1) / 1e9
       println(f"[scaleprobe] docs=$n%6d funnel_kept=$kept%6d wall=$fsecs%6.1f s")
+      // probe corpora are throwaway — don't leave 2 parquet copies per
+      // size accumulating in /tmp across sweeps
+      Seq(dir, dirF).foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(new java.io.File(d))
+      }
     }
     spark.stop()
   }

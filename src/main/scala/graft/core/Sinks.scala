@@ -27,18 +27,26 @@ object Sinks {
     *
     *  - `maxRecordsPerFile` caps the big end (no 50 GB single file when
     *    one partition value dominates);
-    *  - `repartition(partitionCols)` before the write collapses the
-    *    small end — without it every incoming task writes one file PER
-    *    partition value it touches, the classic small-files explosion
-    *    (T tasks × P values files instead of ~P).
+    *  - `repartitionByRange(partitionCols ++ sortCols)` before the write
+    *    collapses the small end — without a pre-write repartition every
+    *    incoming task writes one file PER partition value it touches,
+    *    the classic small-files explosion (T tasks × P values files
+    *    instead of ~P). Range (not hash-on-partitionCols) partitioning
+    *    matters at scale: hashing a partition value routes ALL of its
+    *    rows through ONE task — a dominant value (say one language at
+    *    50% of the corpus) becomes a single straggler task with an
+    *    unbounded sort. Ranging over (partitionCols ++ sortCols) keeps
+    *    each value contiguous across only as many tasks as its share
+    *    requires, so hot values parallelize and the small-files bound
+    *    (~max(P, shuffle partitions) files) still holds.
     *
-    * `sortWithinPartitions(sortCols)` orders rows inside each file so
-    * parquet min/max column statistics become selective (row-group skip
-    * on the sort key). Deterministic layout: same input → same files.
+    * `sortWithinPartitions` orders rows inside each file so parquet
+    * min/max column statistics become selective (row-group skip on the
+    * sort key).
     */
   def shardedParquet(df: DataFrame, path: String, partitionCols: Seq[String],
                      sortCols: Seq[String], maxRecordsPerFile: Long): Unit =
-    df.repartition(partitionCols.map(col): _*)
+    df.repartitionByRange((partitionCols ++ sortCols).map(col): _*)
       .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)

@@ -135,6 +135,9 @@ object Multimodal {
     * Array[Float] for an ANN index is a one-line map downstream.
     */
   def featureExtract(spark: SparkSession, media: DataFrame, dims: Int = 8): Dataset[MediaFeat] = {
+    // md5 yields 32 hex chars = 16 two-char bins; fail fast at the API
+    // boundary, not per-row in an executor stack trace
+    require(dims >= 1 && dims <= 16, s"dims must be in [1, 16], got $dims")
     import spark.implicits._
     media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions { it =>

@@ -317,9 +317,12 @@ object MlQueries {
     * the conjunctive final keep. Composes the SAME fragments the
     * individual queries use (TextQueries gopher and lang vals), so the
     * funnel cannot drift from its stages. One corpus scan computes
-    * every per-doc count; the only shuffle is the digest groupBy for
-    * keep-first (16-byte digests, never text) and its equi-join back —
-    * at 100 TB this is the digest table every exact-dedup pass shares.
+    * every per-doc count; keep-first is a min() window over the digest
+    * — (near-)unique per doc, so the window key is HIGH-cardinality and
+    * the repo's no-low-cardinality-window rule cuts the other way here:
+    * a groupBy+join-back would plan a SECOND full scan of documents,
+    * doubling the dominant I/O at 100 TB for no benefit. The one
+    * shuffle moves (digest, doc_id, 9 counts) rows — never text.
     */
   val mlQualityFunnel: QueryDef = {
     import TextQueries.{gopherCntsDuck, gopherCntCols, gopherKeepSql,
@@ -341,12 +344,12 @@ object MlQueries {
       val c = Tables.documents(s, dir).select(
         Seq(col("doc_id"), md5(col("text")).as("dg")) ++
           gopherCntCols ++ langCntCols: _*)
-      val firsts = c.groupBy(col("dg")).agg(min(col("doc_id")).as("first_id"))
+      val firstWin = org.apache.spark.sql.expressions.Window.partitionBy(col("dg"))
       val kGopher = expr(gopherKeepSql)
       val kLang = expr(langCaseSql) =!= "und"
       val kExact = col("doc_id") === col("first_id")
       def flag(x: org.apache.spark.sql.Column) = when(x, 1).otherwise(0)
-      c.join(firsts, Seq("dg"))
+      c.withColumn("first_id", min(col("doc_id")).over(firstWin))
         .select(col("doc_id"),
           flag(kGopher).as("k_gopher"),
           flag(kLang).as("k_lang"),

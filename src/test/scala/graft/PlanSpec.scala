@@ -168,6 +168,14 @@ class PlanSpec extends SparkSpec {
     assert("hashpartitioning\\(h".r.findAllIn(p).nonEmpty, s"no hash-keyed exchange in:\n$p")
   }
 
+  test("ml_quality_funnel scans documents ONCE (keep-first is a high-cardinality window, not a join-back)") {
+    val p = plan(graft.queries.MlQueries.mlQualityFunnel)
+    assert("FileScan parquet".r.findAllIn(p).size === 1,
+      s"documents scanned more than once in:\n$p")
+    assert("hashpartitioning\\(dg".r.findAllIn(p).nonEmpty,
+      s"no digest-keyed window exchange in:\n$p")
+  }
+
   test("embed_hard_negatives broadcasts the query block; ranking windows partition on qid") {
     val p = plan(graft.queries.EmbedQueries.embedHardNegatives)
     // tiny query side broadcast against one candidate scan (the exact
