@@ -470,9 +470,42 @@ object RelationalQueries {
       .orderBy(col("p_partkey"), col("measure"))
   }
 
+  /** Full outer join — the reconciliation shape (both sides keep their
+    * unmatched rows): per-customer order counts against the filtered
+    * customer dimension, so BOTH null sides occur (customers with no
+    * orders; ordering customers outside the segment filter). Spark
+    * plans a shuffled SMJ — full outer cannot broadcast either side.
+    */
+  val qFullOuter: QueryDef = QueryDef.sql("q_full_outer",
+    """WITH a AS (SELECT o_custkey, count(*) AS n_ord FROM orders
+      |           WHERE o_totalprice > 400000 GROUP BY o_custkey),
+      |b AS (SELECT c_custkey, c_mktsegment FROM customer
+      |      WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE'))
+      |SELECT coalesce(a.o_custkey, b.c_custkey) AS custkey,
+      |  coalesce(a.n_ord, 0) AS n_ord,
+      |  coalesce(b.c_mktsegment, 'none') AS segment,
+      |  CASE WHEN a.o_custkey IS NULL THEN 1 ELSE 0 END AS no_orders,
+      |  CASE WHEN b.c_custkey IS NULL THEN 1 ELSE 0 END AS off_segment
+      |FROM a FULL JOIN b ON a.o_custkey = b.c_custkey
+      |ORDER BY custkey""".stripMargin) { (s, dir) =>
+    val a = Tables.orders(s, dir).where(col("o_totalprice") > 400000)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_ord"))
+    val b = Tables.customer(s, dir)
+      .where(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+      .select(col("c_custkey"), col("c_mktsegment"))
+    a.join(b, col("o_custkey") === col("c_custkey"), "full_outer")
+      .select(
+        coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+        coalesce(col("n_ord"), lit(0L)).as("n_ord"),
+        coalesce(col("c_mktsegment"), lit("none")).as("segment"),
+        when(col("o_custkey").isNull, 1).otherwise(0).as("no_orders"),
+        when(col("c_custkey").isNull, 1).otherwise(0).as("off_segment"))
+      .orderBy(col("custkey"))
+  }
+
   val all: Seq[QueryDef] = Seq(q1Agg, qJoinAgg, qBroadcastJoin, qTopk,
     qWindowRank, qSetops, qRollup, qDistinctAgg, qSemiJoin, qAntiJoin,
     qAsofJoin, qPercentileStats, qCube, qRunningSum, qRangeJoin,
     qProfileStats, qAboveAvg, qSaltedCount, qSqlTpch6, qUnpivot,
-    qGroupingSets, qCorrSubquery)
+    qGroupingSets, qCorrSubquery, qFullOuter)
 }

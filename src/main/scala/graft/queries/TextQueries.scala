@@ -404,8 +404,46 @@ object TextQueries {
     }
   }
 
+  /** TF-IDF top terms per document — the classic relevance/keyword
+    * extraction pass. tf and df are exact integer aggregates (one
+    * explode, two groupBys, a term equi-join, and the corpus size as a
+    * broadcast scalar — no collect); the smoothed score
+    * tf·ln((N+1)/(df+1)) is emitted rounded, but the per-doc RANKING is
+    * the integer ordering (tf desc, df asc, term) so the top-3 cut is
+    * bit-stable across engines — ranking on the float score would hang
+    * the gate on last-ulp ln() differences between libm and the JVM.
+    */
+  val textTfidfTop: QueryDef = QueryDef.sql("text_tfidf_top",
+    """WITH w AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      |           FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+      |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |s AS (SELECT doc_id, term, tf, df,
+      |        round(tf * ln((n + 1.0) / (df + 1.0)), 6) AS score,
+      |        CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df, term) AS BIGINT) AS rnk
+      |      FROM tf JOIN df USING (term), n)
+      |SELECT doc_id, rnk, term, tf, df, score FROM s
+      |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val w = docs.select(col("doc_id"), explode(TextOps.wordsExpr).as("term"))
+    val tf = w.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfc = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    tf.join(dfc, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tf").desc, col("df"), col("term"))).cast("long"))
+      .where(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   val all: Seq[QueryDef] = Seq(textTokenCount, textLangId, textQualityScore,
     textFingerprint, textRollingHash, textTopPerLang, textTopNgrams,
     sketchDistinctKmv, textPiiScrub, textRepetition, textEntropy,
-    textGopherRules)
+    textGopherRules, textTfidfTop)
 }
