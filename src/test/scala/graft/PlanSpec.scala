@@ -71,7 +71,9 @@ class PlanSpec extends SparkSpec {
     // cell assignment, and recall's exact arm
     val intentional = Set("embed_knn_brute", "embed_knn_ivf", "embed_lsh_recall",
       "embed_hyperplane_recall", "embed_banded_recall", "embed_multiprobe_recall",
-      "embed_hard_negatives")
+      "embed_hard_negatives",
+      // one-row corpus-size scalar broadcast into every tf row
+      "text_tfidf_top")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>
