@@ -277,10 +277,80 @@ object BicisQueries {
         col("return_date"), col("return_station"))
   }
 
+  /** Ordered conversion funnel: view → click within 6 h of first view →
+    * purchase within 6 h of that click, per user. Each stage is a
+    * conditional min over the NEXT event type constrained to a time
+    * window AFTER the previous stage — the ordering + window constraint
+    * is what separates this from three independent EXISTS checks (and
+    * what makes the gate distribution non-trivial: 150 → 19 → 1 users
+    * at sf0.01). Each stage filter pushes its event_type to the scan;
+    * stage tables are per-user (tiny vs events) so the joins broadcast.
+    */
+  val qConversionFunnel: QueryDef = QueryDef.sql("q_conversion_funnel",
+    """WITH v AS (SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN v ON e.user_id = v.user_id
+      |      WHERE e.event_type = 'click' AND e.ts >= v.t1
+      |        AND e.ts <= v.t1 + INTERVAL 6 HOUR GROUP BY 1),
+      |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN c ON e.user_id = c.user_id
+      |      WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+      |        AND e.ts <= c.t2 + INTERVAL 6 HOUR GROUP BY 1)
+      |SELECT v.user_id AS user_id,
+      |  1 AS s_view,
+      |  CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END AS s_click,
+      |  CASE WHEN p.user_id IS NULL THEN 0 ELSE 1 END AS s_purchase
+      |FROM v LEFT JOIN c ON v.user_id = c.user_id
+      |       LEFT JOIN p ON v.user_id = p.user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+    val v = e.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = e.where(col("event_type") === "click").as("e")
+      .join(broadcast(v).as("v"), col("e.user_id") === col("v.user_id") &&
+        col("e.ts") >= col("v.t1") &&
+        col("e.ts") <= col("v.t1") + expr("INTERVAL 6 HOUR"))
+      .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("t2"))
+    val p = e.where(col("event_type") === "purchase").as("e")
+      .join(broadcast(c).as("c"), col("e.user_id") === col("c.user_id") &&
+        col("e.ts") >= col("c.t2") &&
+        col("e.ts") <= col("c.t2") + expr("INTERVAL 6 HOUR"))
+      .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("t3"))
+    v.join(c.withColumnRenamed("user_id", "cu"), col("user_id") === col("cu"), "left")
+      .join(p.withColumnRenamed("user_id", "pu"), col("user_id") === col("pu"), "left")
+      .select(col("user_id"), lit(1).as("s_view"),
+        when(col("cu").isNull, 0).otherwise(1).as("s_click"),
+        when(col("pu").isNull, 0).otherwise(1).as("s_purchase"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Retention cohorts: users grouped by first-activity week, activity
+    * counted per (cohort, weeks-since) cell — both week keys are
+    * date_trunc('week') so the difference is an exact multiple of 7
+    * days (integer division is safe). One distinct per (user, week),
+    * one small join to the cohort table, one aggregate.
+    */
+  val qRetentionCohort: QueryDef = QueryDef.sql("q_retention_cohort",
+    """WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cw FROM events GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+      |SELECT f.cw AS cohort_week,
+      |  CAST(date_diff('day', f.cw, a.w) // 7 AS BIGINT) AS week_n,
+      |  count(DISTINCT a.user_id) AS n_active
+      |FROM a JOIN f ON a.user_id = f.user_id
+      |GROUP BY 1, 2 ORDER BY cohort_week, week_n""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+    val f = e.groupBy(col("user_id")).agg(date_trunc("week", min(col("ts"))).as("cw"))
+    val a = e.select(col("user_id"), date_trunc("week", col("ts")).as("w")).distinct()
+    a.join(broadcast(f), Seq("user_id"))
+      .groupBy(col("cw").as("cohort_week"),
+        expr("datediff(w, cw) div 7").cast("long").as("week_n"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .orderBy(col("cohort_week"), col("week_n"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     seriesWeekday, seriesHour, seriesMonth, seriesWeekdayReturns,
     seriesMonthReturns, seriesJoin, stationHourPivot,
     nextWindowTarget, nextWindowTargetChunked, tumblingHour,
     splitTraining, splitValidation, splitTesting,
-    sessionize, qSessionWindow, qUnifyParse)
+    sessionize, qSessionWindow, qUnifyParse,
+    qConversionFunnel, qRetentionCohort)
 }
