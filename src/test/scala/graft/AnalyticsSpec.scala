@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Planted-fixture semantics for the event-sequence analytics queries —
+  * the oracle gate proves cross-engine parity, but on the synthetic
+  * corpus the ordering/window constraints barely bite; these fixtures
+  * make each constraint the deciding factor.
+  */
+class AnalyticsSpec extends SparkSpec {
+
+  private def run(q: graft.queries.QueryDef,
+                  rows: Seq[(Long, java.sql.Timestamp, Long, String)]) = {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("events").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    q.run(spark, tmp)
+  }
+
+  test("conversion funnel: ordering and 6h windows decide, not mere existence") {
+    // user 1: view 10:00 -> click 11:00 -> purchase 12:00  (converts fully)
+    // user 2: click 09:00 BEFORE first view 10:00; no later click -> stops at view
+    // user 3: view 10:00 -> click 17:00 (7h later, outside window) -> stops at view
+    // user 4: view -> click 11:00 -> purchase 18:30 (7.5h after click) -> stops at click
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "click"),
+      (3L, ts("2024-01-01 12:00:00"), 1L, "purchase"),
+      (4L, ts("2024-01-01 09:00:00"), 2L, "click"),
+      (5L, ts("2024-01-01 10:00:00"), 2L, "view"),
+      (6L, ts("2024-01-01 10:00:00"), 3L, "view"),
+      (7L, ts("2024-01-01 17:00:00"), 3L, "click"),
+      (8L, ts("2024-01-01 10:00:00"), 4L, "view"),
+      (9L, ts("2024-01-01 11:00:00"), 4L, "click"),
+      (10L, ts("2024-01-01 18:30:00"), 4L, "purchase"))
+    val got = run(graft.queries.BicisQueries.qConversionFunnel, rows)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    assert(got.toSeq === Seq(
+      (1L, 1, 1, 1),
+      (2L, 1, 0, 0), // click existed but BEFORE the first view
+      (3L, 1, 0, 0), // click outside the 6h window
+      (4L, 1, 1, 0)  // purchase outside the 6h window after the click
+    ))
+  }
+
+  test("retention cohorts: users split by first week; absence leaves a smaller cell, not a zero row") {
+    // user 1 first active week of Mon 2024-01-01, returns week 1 and week 2
+    // user 2 same cohort, returns week 2 only
+    // user 3 cohort of week Mon 2024-01-08, never returns
+    val rows = Seq(
+      (1L, ts("2024-01-02 10:00:00"), 1L, "view"),
+      (2L, ts("2024-01-09 10:00:00"), 1L, "click"),
+      (3L, ts("2024-01-16 10:00:00"), 1L, "view"),
+      (4L, ts("2024-01-03 10:00:00"), 2L, "view"),
+      (5L, ts("2024-01-17 10:00:00"), 2L, "view"),
+      (6L, ts("2024-01-10 10:00:00"), 3L, "view"))
+    val got = run(graft.queries.BicisQueries.qRetentionCohort, rows)
+      .collect().map(r => (r.getTimestamp(0).toString.take(10), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      ("2024-01-01", 0L, 2L), // both cohort-1 users active in week 0
+      ("2024-01-01", 1L, 1L), // only user 1 returned in week 1
+      ("2024-01-01", 2L, 2L), // both returned in week 2
+      ("2024-01-08", 0L, 1L)  // user 3's one-week cohort
+    ))
+  }
+}
