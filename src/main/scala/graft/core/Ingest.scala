@@ -95,6 +95,24 @@ object Ingest {
     projectDialect(
       spark.read.option("sep", ";").option("header", "true").csv(path), year)
 
+  /** JSONL corpus reader — the de-facto LLM training-data interchange
+    * format (one JSON document per line). Same posture as the parquet
+    * scans (S4): an EXPLICIT schema, never inference — schema inference
+    * reads the whole input once before the query even starts, and on a
+    * 100 TB corpus that is a full extra pass; it also silently widens
+    * types when one malformed line disagrees. PERMISSIVE mode routes
+    * malformed lines into `_corrupt` instead of failing the job (the F4
+    * skip-and-reconcile discipline; count them against the fails
+    * sidecar, don't crash on line 3 billion).
+    */
+  def readJsonl(spark: SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+
   /** U1 + S6: all files -> unified typed trips table. */
   def unify(spark: SparkSession, paths: Seq[String]): DataFrame =
     unifyFrames(paths.flatMap { p =>

@@ -62,4 +62,29 @@ class IngestSpec extends SparkSpec {
       assert(dense.map(_._2).toSeq === viaRdd.map(_._2).toSeq)
     } finally df.unpersist()
   }
+
+  test("readJsonl: explicit schema, malformed lines quarantined not fatal") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("jsonl")
+    val f = dir.resolve("docs.jsonl")
+    java.nio.file.Files.writeString(f,
+      """{"doc_id": 1, "text": "hello world", "lang": "en"}
+        |{"doc_id": 2, "text": "hola", "lang": "es"}
+        |this line is not json at all
+        |{"doc_id": 4, "text": "ok", "lang": "en", "extra_field": 9}
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val df = Ingest.readJsonl(spark, f.toString, schema).cache()
+    try {
+      val good = df.where(col("_corrupt").isNull)
+      assert(good.count() === 3L) // extra fields are fine; garbage is not
+      assert(good.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq === Seq(1L, 2L, 4L))
+      val bad = df.where(col("_corrupt").isNotNull).select("_corrupt").collect()
+      assert(bad.length === 1 && bad(0).getString(0).startsWith("this line"))
+      // schema is exactly as declared + the quarantine column
+      assert(df.columns.toSeq === Seq("doc_id", "text", "lang", "_corrupt"))
+    } finally df.unpersist()
+  }
 }
