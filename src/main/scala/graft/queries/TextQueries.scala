@@ -442,8 +442,57 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** Heavy-hitter calibration via the Count-Min sketch aggregate
+    * (functions/CMSketch.scala): build ONE 4×1024-counter sketch over
+    * every token occurrence (fixed 32 KB mergeable state — at 100 TB
+    * this is a map-side-combined single-buffer aggregate, no per-token
+    * shuffle), then probe it with the exact top-20 tokens and emit
+    * estimate next to truth. The exact arm exists to exercise the gate:
+    * production probes come from per-partition candidates (which is
+    * already how TakeOrderedAndProject computes the top-k here) or an
+    * external watchlist; the estimate itself is three integer ops per
+    * sketch row against a broadcast scalar. CMS point queries
+    * overestimate on collision only, so `cms_est >= exact_cnt` always —
+    * CMSSpec pins both that bound and bit-parity with the SQL mirror.
+    */
+  val sketchHeavyHitters: QueryDef = {
+    val (depth, width) = (4, 1024)
+    val duckHash = OracleSql.hash64("'cms'", "word")
+    QueryDef.sql("sketch_heavy_hitters",
+      s"""WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+         |           FROM documents),
+         |h AS (SELECT word, $duckHash AS hv FROM w),
+         |cnt AS (SELECT word, any_value(hv) AS hv, count(*) AS exact_cnt FROM h GROUP BY word),
+         |r AS (SELECT unnest([0, 1, 2, 3]) AS r),
+         |cells AS (SELECT r.r AS r, ((c.hv >> (12 * r.r)) & ${width - 1}) AS b,
+         |                 CAST(sum(c.exact_cnt) AS BIGINT) AS cell
+         |          FROM cnt c CROSS JOIN r GROUP BY 1, 2),
+         |probe AS (SELECT word, hv, exact_cnt FROM cnt ORDER BY exact_cnt DESC, word LIMIT 20)
+         |SELECT p.word, p.exact_cnt, min(cl.cell) AS cms_est
+         |FROM probe p CROSS JOIN r
+         |JOIN cells cl ON cl.r = r.r AND cl.b = ((p.hv >> (12 * r.r)) & ${width - 1})
+         |GROUP BY p.word, p.exact_cnt
+         |ORDER BY exact_cnt DESC, word""".stripMargin) { (s, dir) =>
+      graft.functions.CMSketch.register(s)
+      TextOps.ensureFunctions(s)
+      val words = Tables.documents(s, dir)
+        .select(explode(TextOps.wordsExpr).as("word"))
+        .select(col("word"), expr(TextOps.portableHash64Sql("'cms'", "word")).as("hv"))
+      val sketch = words.agg(expr(s"cms_sketch(hv, $depth, $width)").as("cms"))
+      val probes = words.groupBy(col("word"))
+        .agg(count(lit(1)).as("exact_cnt"), first(col("hv")).as("hv"))
+        .orderBy(col("exact_cnt").desc, col("word")).limit(20)
+      val est = (0 until depth).map(r =>
+          s"element_at(cms, ${r * width + 1} + CAST((shiftright(hv, ${12 * r}) & ${width - 1}) AS INT))")
+        .mkString("least(", ", ", ")")
+      probes.crossJoin(broadcast(sketch))
+        .select(col("word"), col("exact_cnt"), expr(est).as("cms_est"))
+        .orderBy(col("exact_cnt").desc, col("word"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(textTokenCount, textLangId, textQualityScore,
     textFingerprint, textRollingHash, textTopPerLang, textTopNgrams,
     sketchDistinctKmv, textPiiScrub, textRepetition, textEntropy,
-    textGopherRules, textTfidfTop)
+    textGopherRules, textTfidfTop, sketchHeavyHitters)
 }

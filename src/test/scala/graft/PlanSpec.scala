@@ -73,7 +73,9 @@ class PlanSpec extends SparkSpec {
       "embed_hyperplane_recall", "embed_banded_recall", "embed_multiprobe_recall",
       "embed_hard_negatives",
       // one-row corpus-size scalar broadcast into every tf row
-      "text_tfidf_top")
+      "text_tfidf_top",
+      // one-row sketch buffer broadcast into the 20 probe rows
+      "sketch_heavy_hitters")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>
