@@ -503,9 +503,73 @@ object RelationalQueries {
       .orderBy(col("custkey"))
   }
 
+  /** Bloom-pruned semi-join calibration (functions/BloomSketch.scala):
+    * build ONE 4096-bit/4-probe filter over the urgent-order custkeys
+    * (512 B of mergeable bitset state — at 100 TB you build this over
+    * the filtered-but-not-broadcastable join side and semi-prune the
+    * fact scan BEFORE its shuffle, the persistable cross-job analog of
+    * Spark's runtime bloom join), probe every customer against the
+    * broadcast scalar with pure codegen'd integer ops, and emit the
+    * calibration table next to the exact semi-join truth: per segment,
+    * how many customers pass the filter, how many truly match, and how
+    * many are false passes (the real join would drop them; there are
+    * never false negatives — BloomSketchSpec pins that plus bitset
+    * parity with the DuckDB mirror).
+    */
+  val qBloomPrune: QueryDef = {
+    val (m, k) = (4096, 4)
+    val hOrd = OracleSql.hash64("'bloom'", "o_custkey")
+    val hCust = OracleSql.hash64("'bloom'", "c_custkey")
+    QueryDef.sql("sketch_bloom_prune",
+      s"""WITH j AS (SELECT unnest([0, 1, 2, 3]) AS j),
+         |ord AS (SELECT DISTINCT o_custkey, $hOrd AS hv FROM orders
+         |        WHERE o_orderpriority = '1-URGENT'),
+         |bits AS (SELECT DISTINCT ((o.hv >> (12 * j.j)) & ${m - 1}) AS b
+         |         FROM ord o CROSS JOIN j),
+         |cust AS (SELECT c_custkey, c_mktsegment, $hCust AS hv FROM customer),
+         |probe AS (SELECT c.c_custkey, c.c_mktsegment,
+         |            count(*) FILTER (WHERE bt.b IS NULL) = 0 AS pass
+         |          FROM cust c CROSS JOIN j
+         |          LEFT JOIN bits bt ON bt.b = ((c.hv >> (12 * j.j)) & ${m - 1})
+         |          GROUP BY 1, 2)
+         |SELECT p.c_mktsegment, count(*) AS n_cust,
+         |  CAST(sum(CASE WHEN p.pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  CAST(sum(CASE WHEN o.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         |  CAST(sum(CASE WHEN p.pass AND o.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pass
+         |FROM probe p
+         |LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+         |           WHERE o_orderpriority = '1-URGENT') o
+         |  ON o.o_custkey = p.c_custkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import graft.ops.TextOps
+      graft.functions.BloomSketch.register(s)
+      TextOps.ensureFunctions(s)
+      val urgent = Tables.orders(s, dir)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")).distinct()
+      val bloom = urgent
+        .select(expr(TextOps.portableHash64Sql("'bloom'", "o_custkey")).as("hv"))
+        .agg(expr(s"bloom_sketch(hv, $m, $k)").as("bf"))
+      Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"),
+          expr(TextOps.portableHash64Sql("'bloom'", "c_custkey")).as("hv"))
+        .crossJoin(broadcast(bloom))
+        .withColumn("pass",
+          expr(graft.functions.BloomSketch.mightContainSql("bf", "hv", m, k)))
+        .join(urgent.withColumnRenamed("o_custkey", "match_key"),
+          col("c_custkey") === col("match_key"), "left")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+          sum(when(col("match_key").isNotNull, 1L).otherwise(0L)).as("n_match"),
+          sum(when(col("pass") && col("match_key").isNull, 1L).otherwise(0L)).as("n_false_pass"))
+        .orderBy(col("c_mktsegment"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q1Agg, qJoinAgg, qBroadcastJoin, qTopk,
     qWindowRank, qSetops, qRollup, qDistinctAgg, qSemiJoin, qAntiJoin,
     qAsofJoin, qPercentileStats, qCube, qRunningSum, qRangeJoin,
     qProfileStats, qAboveAvg, qSaltedCount, qSqlTpch6, qUnpivot,
-    qGroupingSets, qCorrSubquery, qFullOuter)
+    qGroupingSets, qCorrSubquery, qFullOuter, qBloomPrune)
 }

@@ -75,7 +75,9 @@ class PlanSpec extends SparkSpec {
       // one-row corpus-size scalar broadcast into every tf row
       "text_tfidf_top",
       // one-row sketch buffer broadcast into the 20 probe rows
-      "sketch_heavy_hitters")
+      "sketch_heavy_hitters",
+      // one-row bloom bitset broadcast into every customer probe row
+      "sketch_bloom_prune")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>
