@@ -359,8 +359,53 @@ object MlQueries {
     }
   }
 
+  /** Weighted sampling without replacement (Efraimidis & Spirakis, IPL
+    * 2006): each doc draws priority key ln(u)/w — u a deterministic
+    * uniform from the portable doc_id hash, w a length-proportional
+    * quality weight — and the top-5 keys per source are the sample,
+    * exactly distributed as w-weighted draws without replacement. The
+    * whole key computation is map-side; the per-source top-5 compiles
+    * to Spark 4's WindowGroupLimit (rank pushed into the window sort),
+    * so no group ever fully sorts — at 100 TB this is a scan plus a
+    * bounded per-key heap, the same shape as TakeOrderedAndProject.
+    * Key ordering is float but collision-safe: distinct 60-bit hashes
+    * put adjacent order statistics ~2⁻¹⁰ apart in u-space, astronomically
+    * beyond cross-engine libm ulp drift; the float key itself is never
+    * emitted (w is, rounded per the determinism contract).
+    */
+  val mlSampleWeighted: QueryDef = {
+    val h = OracleSql.hash64("'wsamp'", "CAST(doc_id AS VARCHAR)")
+    val u = s"(($h % 1152921504606846976) + 1) / 1152921504606846976.0"
+    QueryDef.sql("ml_sample_weighted",
+      s"""WITH t AS (SELECT doc_id, source,
+         |    1.0 + len(regexp_extract_all(lower(text), '[a-z0-9]+')) / 100.0 AS w,
+         |    ln($u) AS lnu
+         |  FROM documents),
+         |r AS (SELECT doc_id, source, w,
+         |        row_number() OVER (PARTITION BY source ORDER BY lnu / w DESC, doc_id) AS rk
+         |      FROM t)
+         |SELECT source, doc_id, round(w, 6) AS w
+         |FROM r WHERE rk <= 5 ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.TextOps
+      TextOps.ensureFunctions(s)
+      val hv = TextOps.portableHash64Sql("'wsamp'", "CAST(doc_id AS STRING)")
+      val win = Window.partitionBy(col("source"))
+        .orderBy(col("key").desc, col("doc_id"))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          (lit(1.0) + expr("regexp_count(lower(text), '[a-z0-9]+')") / lit(100.0)).as("w"),
+          expr(s"ln((($hv % 1152921504606846976L) + 1) / 1152921504606846976.0)").as("lnu"))
+        .withColumn("key", col("lnu") / col("w"))
+        .withColumn("rk", row_number().over(win))
+        .where(col("rk") <= 5)
+        .select(col("source"), col("doc_id"), round(col("w"), 6).as("w"))
+        .orderBy(col("source"), col("doc_id"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(hourRingFeatures, hourRingFeaturesReturns,
     mlDataset, mlPoissonPredict, mlZscore, mlLagFeatures, mlHashSplit,
     mlSampleStratified, mlPackSequences, mlMixtureSample, mlChunkDocuments,
-    mlQualityFunnel)
+    mlQualityFunnel, mlSampleWeighted)
 }

@@ -97,6 +97,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"no group-limit pushdown in:\n$p")
   }
 
+  test("ml_sample_weighted pushes the per-source top-5 into the window sort (WindowGroupLimit)") {
+    val p = plan(graft.queries.MlQueries.mlSampleWeighted)
+    // rk<=5 becomes a bounded per-key heap below the exchange: the
+    // shuffle carries <= 5 x sources x tasks rows, never the corpus
+    assert(p.contains("WindowGroupLimit"), s"no group-limit pushdown in:\n$p")
+  }
+
   test("kmv sketch partial-aggregates map-side (shuffle carries sketches, not rows)") {
     val p = plan(graft.queries.TextQueries.sketchDistinctKmv)
     assert(p.contains("partial_kmv_distinct"), s"no map-side sketch combine in:\n$p")
