@@ -491,8 +491,52 @@ object TextQueries {
     }
   }
 
+  /** Inverted-index build (the retrieval twin of [[textTfidfTop]]):
+    * for every term with df >= 5, the full document frequency plus the
+    * HEAD of its posting list — the 20 smallest doc_ids, the block a
+    * sharded index stores first. Skew-safe at any df distribution:
+    * pass 1 aggregates only the tiny (word, df) table and broadcasts
+    * the kept list; pass 2's head is a rank-filtered window that
+    * compiles to WindowGroupLimit, so a stopword with a billion
+    * postings contributes <= 20 rows per map task to the shuffle — the
+    * unbounded posting list a naive collect_list-per-word groupBy
+    * would OOM on never materializes. Postings are emitted as the
+    * canonical comma-joined doc_id-sorted string (numeric sort BEFORE
+    * the string cast).
+    */
+  val textInvertedIndex: QueryDef = QueryDef.sql("text_inverted_index",
+    """WITH pairs AS (
+      |  SELECT DISTINCT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      |  FROM documents),
+      |df AS (SELECT word, count(*) AS df FROM pairs GROUP BY word
+      |       HAVING count(*) >= 5),
+      |head AS (SELECT word, doc_id,
+      |           row_number() OVER (PARTITION BY word ORDER BY doc_id) AS rk
+      |         FROM pairs WHERE word IN (SELECT word FROM df))
+      |SELECT h.word, any_value(d.df) AS df,
+      |  string_agg(CAST(h.doc_id AS VARCHAR), ',' ORDER BY h.doc_id) AS postings
+      |FROM head h JOIN df d ON d.word = h.word
+      |WHERE h.rk <= 20
+      |GROUP BY h.word ORDER BY h.word""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextOps.wordsExpr).as("word"))
+      .distinct()
+    val df = pairs.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= 5)
+    val win = Window.partitionBy(col("word")).orderBy(col("doc_id"))
+    pairs.join(broadcast(df), "word")
+      .withColumn("rk", row_number().over(win))
+      .where(col("rk") <= 20)
+      .groupBy(col("word"))
+      .agg(first(col("df")).as("df"),
+        expr("array_join(transform(array_sort(collect_list(doc_id)), x -> CAST(x AS STRING)), ',')")
+          .as("postings"))
+      .orderBy(col("word"))
+  }
+
   val all: Seq[QueryDef] = Seq(textTokenCount, textLangId, textQualityScore,
     textFingerprint, textRollingHash, textTopPerLang, textTopNgrams,
     sketchDistinctKmv, textPiiScrub, textRepetition, textEntropy,
-    textGopherRules, textTfidfTop, sketchHeavyHitters)
+    textGopherRules, textTfidfTop, sketchHeavyHitters, textInvertedIndex)
 }

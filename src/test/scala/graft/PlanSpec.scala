@@ -104,6 +104,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"no group-limit pushdown in:\n$p")
   }
 
+  test("text_inverted_index broadcast-joins the word list and group-limits the posting head") {
+    val p = plan(graft.queries.TextQueries.textInvertedIndex)
+    assert(p.contains("BroadcastHashJoin"), s"kept-word list not broadcast in:\n$p")
+    // rk<=20 bounds per-word shuffle rows: a billion-posting stopword
+    // contributes <= 20 rows per map task, never its full list
+    assert(p.contains("WindowGroupLimit"), s"posting head not group-limited in:\n$p")
+  }
+
   test("kmv sketch partial-aggregates map-side (shuffle carries sketches, not rows)") {
     val p = plan(graft.queries.TextQueries.sketchDistinctKmv)
     assert(p.contains("partial_kmv_distinct"), s"no map-side sketch combine in:\n$p")
