@@ -535,8 +535,66 @@ object TextQueries {
       .orderBy(col("word"))
   }
 
+  /** BM25 retrieval scoring (Robertson et al., TREC-3; the +1 idf
+    * variant Lucene uses): rank the corpus against a fixed term query,
+    * k1=1.2, b=0.75 — the mining step that pulls topic-relevant
+    * documents into a curated training set. Shape: the per-term filter
+    * lands BEFORE the tf shuffle (only query-term occurrences leave the
+    * map side — at 100 TB the shuffle carries |terms| x |matching docs|
+    * rows, not the token stream), corpus stats (N, avgdl) and the tiny
+    * per-term df table broadcast, and the final top-20 is a rounded-
+    * score TakeOrderedAndProject. Scores round to 6 decimals BEFORE
+    * ranking so the cutoff is deterministic cross-engine (ties break on
+    * doc_id).
+    */
+  val textBm25: QueryDef = {
+    val terms = Seq("fast", "hash", "join", "dup")
+    val termList = terms.map(t => s"'$t'").mkString("[", ", ", "]")
+    val (k1, b) = (1.2, 0.75)
+    QueryDef.sql("text_bm25",
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) AS dl
+         |  FROM documents),
+         |stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM d),
+         |tf AS (SELECT doc_id, word, CAST(count(*) AS DOUBLE) AS tf
+         |       FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+         |             FROM documents)
+         |       WHERE word IN (SELECT unnest($termList)) GROUP BY 1, 2),
+         |df AS (SELECT word, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY word),
+         |sc AS (SELECT t.doc_id,
+         |         sum(ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1)
+         |             * t.tf * ${k1 + 1} / (t.tf + $k1 * (1 - $b + $b * d.dl / s.avgdl))) AS score
+         |       FROM tf t JOIN df f ON f.word = t.word
+         |       JOIN d ON d.doc_id = t.doc_id CROSS JOIN stats s
+         |       GROUP BY t.doc_id)
+         |SELECT doc_id, round(score, 6) AS score FROM sc
+         |ORDER BY round(score, 6) DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val d = docs.select(col("doc_id"),
+        expr("regexp_count(lower(text), '[a-z0-9]+')").cast("double").as("dl"))
+      val stats = d.agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
+      val tf = docs
+        .select(col("doc_id"), explode(TextOps.wordsExpr).as("word"))
+        .where(col("word").isin(terms: _*))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).cast("double").as("tf"))
+      val df = tf.groupBy(col("word")).agg(count(lit(1)).cast("double").as("df"))
+      tf.join(broadcast(df), "word")
+        .join(d, "doc_id")
+        .crossJoin(broadcast(stats))
+        .groupBy(col("doc_id"))
+        .agg(sum(
+          log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+            * col("tf") * (k1 + 1)
+            / (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))).as("score"))
+        .select(col("doc_id"), round(col("score"), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(20)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(textTokenCount, textLangId, textQualityScore,
     textFingerprint, textRollingHash, textTopPerLang, textTopNgrams,
     sketchDistinctKmv, textPiiScrub, textRepetition, textEntropy,
-    textGopherRules, textTfidfTop, sketchHeavyHitters, textInvertedIndex)
+    textGopherRules, textTfidfTop, sketchHeavyHitters, textInvertedIndex,
+    textBm25)
 }

@@ -77,7 +77,9 @@ class PlanSpec extends SparkSpec {
       // one-row sketch buffer broadcast into the 20 probe rows
       "sketch_heavy_hitters",
       // one-row bloom bitset broadcast into every customer probe row
-      "sketch_bloom_prune")
+      "sketch_bloom_prune",
+      // one-row (N, avgdl) corpus stats broadcast into every scored row
+      "text_bm25")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>
