@@ -34,4 +34,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 106 queries' generated classes overflow the 240 MB default code
+  // cache; the JIT then silently stops compiling and the suite tail
+  // runs 10-30x slow (measured: full Bench 1873 s at default vs 133 s
+  // at 1 g, same code, same host)
+  "-XX:ReservedCodeCacheSize=1g",
 )

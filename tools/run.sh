@@ -14,5 +14,6 @@ exec java $OPENS \
   -Dspark.ui.enabled=false \
   -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -XX:ReservedCodeCacheSize=1g \
   -cp "target/scala-2.13/classes:src/main/resources:/opt/spark/jars/*" \
   "$@"
