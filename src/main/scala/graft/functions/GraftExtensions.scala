@@ -35,6 +35,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HyperplaneBucket].getName, "hyperplane_bucket"),
       (exprs: Seq[Expression]) => HyperplaneBucket.fromExprs(exprs)))
     ext.injectFunction((
+      new FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[CMSketch].getName, "cms_sketch"),
+      (exprs: Seq[Expression]) => CMSketch.fromExprs(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_sketch"),
+      new ExpressionInfo(classOf[BloomSketch].getName, "bloom_sketch"),
+      (exprs: Seq[Expression]) => BloomSketch.fromExprs(exprs)))
+    ext.injectFunction((
       new FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
       (exprs: Seq[Expression]) => SimHash32.fromExprs(exprs)))
