@@ -55,6 +55,26 @@ object ScaleProbe {
         .where(col("keep") === 1).count()
       val fsecs = (System.nanoTime() - t1) / 1e9
       println(f"[scaleprobe] docs=$n%6d funnel_kept=$kept%6d wall=$fsecs%6.1f s")
+      // sketch leg: ONE aggregation pass over the full token stream
+      // builds the whole sketch family concurrently — Count-Min (32 KB),
+      // Bloom (512 B), KMV (~2 KB) — on the production hash tier
+      // (xxhash64; the sketches are hash-agnostic). State is constant in
+      // corpus size, partials map-side combine, so the curve should be
+      // a flat-constant-plus-linear-scan: the 100 TB story is "three
+      // sketches for the price of one pass and 35 KB of shuffle".
+      graft.functions.CMSketch.register(spark)
+      graft.functions.BloomSketch.register(spark)
+      graft.functions.KMVDistinct.register(spark)
+      val t2 = System.nanoTime()
+      val sk = spark.read.parquet(s"$dir/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .select(expr("xxhash64(word)").as("hv"))
+        .agg(expr("cms_sketch(hv, 4, 1024)").as("cms"),
+          expr("bloom_sketch(hv, 4096, 4)").as("bf"),
+          expr("kmv_distinct(hv, 256)").as("kmv")).head()
+      val ssecs = (System.nanoTime() - t2) / 1e9
+      println(f"[scaleprobe] docs=$n%6d tokens=${80L * n}%8d kmv_distinct_est=${sk.getDouble(2)}%8.1f wall=$ssecs%6.1f s")
+
       // probe corpora are throwaway — don't leave 2 parquet copies per
       // size accumulating in /tmp across sweeps
       Seq(dir, dirF).foreach { d =>

@@ -592,9 +592,58 @@ object TextQueries {
     }
   }
 
+  /** Collocation mining via pointwise mutual information (Church &
+    * Hanks, CL 1990): PMI(a,b) = ln(p(ab) / (p(a)p(b))) over word
+    * bigrams with count >= 20 — the corpus statistic behind multi-word
+    * vocab entries and tokenizer merges. Three aggregates (unigrams,
+    * bigrams, two scalar totals) then two joins of the bigram table
+    * against the unigram counts; at 100 TB the unigram table is
+    * vocab-sized (broadcastable) and everything else is map-side, so
+    * the only full shuffle is the bigram count itself. The PMI
+    * expression multiplies in one fixed order on both engines
+    * (c2·N1·N1 / (N2·ca·cb), all-double) so the 6-decimal round is
+    * cross-engine stable.
+    */
+  val textPmi: QueryDef = QueryDef.sql("text_pmi",
+    """WITH t AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+      |u AS (SELECT unnest(w) AS wd FROM t),
+      |uc AS (SELECT wd, count(*) AS c1 FROM u GROUP BY wd),
+      |n1 AS (SELECT CAST(sum(c1) AS DOUBLE) AS n1 FROM uc),
+      |b AS (SELECT unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+      |      FROM t WHERE len(w) >= 2),
+      |bc AS (SELECT bg, count(*) AS c2 FROM b GROUP BY bg),
+      |n2 AS (SELECT CAST(sum(c2) AS DOUBLE) AS n2 FROM bc)
+      |SELECT bc.bg, bc.c2 AS n,
+      |  round(ln(bc.c2 * n1.n1 * n1.n1 / (n2.n2 * ua.c1 * ub.c1)), 6) AS pmi
+      |FROM bc CROSS JOIN n1 CROSS JOIN n2
+      |JOIN uc ua ON ua.wd = split_part(bc.bg, ' ', 1)
+      |JOIN uc ub ON ub.wd = split_part(bc.bg, ' ', 2)
+      |WHERE bc.c2 >= 20
+      |ORDER BY pmi DESC, bg LIMIT 20""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir).withColumn("__w", TextOps.wordsExpr)
+    val uc = docs.select(explode(col("__w")).as("wd"))
+      .groupBy(col("wd")).agg(count(lit(1)).as("c1"))
+    val n1 = uc.agg(sum(col("c1")).cast("double").as("n1"))
+    val bc = docs.where(size(col("__w")) >= 2)
+      .select(explode(expr(
+        """transform(arrays_zip(slice(__w, 1, size(__w) - 1), slice(__w, 2, size(__w) - 1)),
+          |p -> concat_ws(' ', p.`0`, p.`1`))""".stripMargin)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val n2 = bc.agg(sum(col("c2")).cast("double").as("n2"))
+    bc.where(col("c2") >= 20)
+      .crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+      .join(broadcast(uc.select(col("wd"), col("c1").as("ca"))),
+        expr("split_part(bg, ' ', 1)") === col("wd")).drop("wd")
+      .join(broadcast(uc.select(col("wd"), col("c1").as("cb"))),
+        expr("split_part(bg, ' ', 2)") === col("wd")).drop("wd")
+      .select(col("bg"), col("c2").as("n"),
+        round(log(col("c2") * col("n1") * col("n1") / (col("n2") * col("ca") * col("cb"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bg")).limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(textTokenCount, textLangId, textQualityScore,
     textFingerprint, textRollingHash, textTopPerLang, textTopNgrams,
     sketchDistinctKmv, textPiiScrub, textRepetition, textEntropy,
     textGopherRules, textTfidfTop, sketchHeavyHitters, textInvertedIndex,
-    textBm25)
+    textBm25, textPmi)
 }

@@ -79,7 +79,9 @@ class PlanSpec extends SparkSpec {
       // one-row bloom bitset broadcast into every customer probe row
       "sketch_bloom_prune",
       // one-row (N, avgdl) corpus stats broadcast into every scored row
-      "text_bm25")
+      "text_bm25",
+      // two one-row token-total scalars broadcast into every bigram row
+      "text_pmi")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>
