@@ -296,6 +296,29 @@ object Streaming {
     * the session to UTC. Never the JVM default zone — that would vary by
     * host.
     */
+  /** Streaming sketch build: per watermarked tumbling window, the
+    * Count-Min counter array and KMV distinct estimate over a token-hash
+    * stream. The TypedImperativeAggregates merge each micro-batch's
+    * partial into the window's state-store entry exactly as they merge
+    * map-side partials in batch — so per-window state stays CONSTANT
+    * (32 KB CMS + k·8 B KMV) no matter how many rows stream through:
+    * the monitoring-dashboard shape (per-hour heavy-hitter and
+    * cardinality panels) with bounded state and exact batch parity
+    * (StreamingSpec pins replay equivalence against the batch
+    * aggregate). Input is the already-hashed LongType column, same
+    * hash-agnostic contract as the batch family.
+    */
+  def streamingTokenSketch(docs: DataFrame, tsCol: String, hvCol: String,
+                           duration: String, watermarkDelay: String): DataFrame = {
+    graft.functions.CMSketch.register(docs.sparkSession)
+    graft.functions.KMVDistinct.register(docs.sparkSession)
+    docs.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), duration).as("w"))
+      .agg(expr(s"cms_sketch($hvCol, 4, 1024)").as("cms"),
+        expr(s"kmv_distinct($hvCol, 64)").as("kmv"))
+      .select(col("w.start").as("ws"), col("cms"), col("kmv"))
+  }
+
   def runningHourProfile(spark: SparkSession, events: Dataset[Ev],
                          zone: java.time.ZoneId = java.time.ZoneOffset.UTC): Dataset[ProfileRow] = {
     import spark.implicits._

@@ -385,4 +385,40 @@ class StreamingSpec extends SparkSpec {
       assert(streamed === batchPairs)
     } finally query.stop()
   }
+
+  test("streaming CMS+KMV sketch state merges across micro-batches to the batch aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two tumbling hours of token hashes, shuffled across three batches:
+    // the window's state-store entry must merge TypedImperativeAggregate
+    // partials exactly as batch map-side combine does
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 3000).map { i =>
+      val hour = if (i % 3 == 0) "2024-01-01 01" else "2024-01-01 00"
+      (ts(s"$hour:${10 + i % 40}:00"), rnd.nextInt(200).toLong)
+    }
+    graft.functions.CMSketch.register(spark)
+    graft.functions.KMVDistinct.register(spark)
+    val batch = rows.toDF("ts", "hv")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(expr("cms_sketch(hv, 4, 1024)").as("cms"), expr("kmv_distinct(hv, 64)").as("kmv"))
+      .select(col("w.start").as("ws"), col("cms"), col("kmv"))
+      .collect().map(r => r.getTimestamp(0).toString -> (r.getSeq[Long](1), r.getDouble(2))).toMap
+    val ms = MemoryStream[(java.sql.Timestamp, Long)]
+    val query = Streaming.streamingTokenSketch(
+        ms.toDF().toDF("ts", "hv"), "ts", "hv", "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("sketch_t").outputMode("complete").start()
+    try {
+      scala.util.Random.shuffle(rows).grouped(1000).foreach { chunk =>
+        ms.addData(chunk); query.processAllAvailable()
+      }
+      val streamed = spark.table("sketch_t")
+        .collect().map(r => r.getTimestamp(0).toString -> (r.getSeq[Long](1), r.getDouble(2))).toMap
+      assert(streamed.keySet === batch.keySet)
+      streamed.foreach { case (w, (cms, kmv)) =>
+        assert(cms === batch(w)._1, s"window $w: CMS counters diverge from batch")
+        assert(kmv === batch(w)._2, s"window $w: KMV estimate diverges from batch")
+      }
+    } finally query.stop()
+  }
 }
