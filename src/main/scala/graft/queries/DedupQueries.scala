@@ -587,7 +587,55 @@ object DedupQueries {
     }
   }
 
+  /** Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD 1995) —
+    * the fifth candidate-generation tier: sort the corpus by a blocking
+    * key (the MIN shingle hash — near-dups share their whole shingle
+    * set minus a few, so they almost always share its minimum and land
+    * adjacent), then pair only docs within `w`=8 ranks. Cost is
+    * O(n·w) candidates regardless of key skew — the
+    * throughput-for-recall trade that complements prefix filtering
+    * (exact) and LSH (tunable): a near-dup pair whose differing
+    * shingle IS the minimum sorts apart and is missed, by design.
+    *
+    * Scale shape: the global rank is NOT a single-partition window —
+    * `repartitionByRange` + `sortWithinPartitions` + [[graft.core.Ingest.denseIds]]
+    * (partition-offset prefix sums over the range-partition counts)
+    * ranks with every partition working; the rank-window pairing is an
+    * equi-join on rank-bucket `rk div w` (each doc probes its own and
+    * the next bucket — b.rk <= a.rk + w never crosses further).
+    */
+  val dedupSortedNeighborhood: QueryDef = {
+    val w = 8
+    QueryDef.sql("dedup_sorted_neighborhood",
+      s"""WITH $hashCte,
+         |r AS (SELECT doc_id, hs,
+         |        row_number() OVER (ORDER BY hs[1], doc_id) - 1 AS rk
+         |      FROM hs),
+         |cand AS (SELECT a.doc_id AS i0, b.doc_id AS j0, a.hs AS ha, b.hs AS hb
+         |         FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + $w),
+         |p AS (SELECT least(i0, j0) AS i, greatest(i0, j0) AS j,
+         |        ${duckJaccard("ha", "hb")} AS sim FROM cand)
+         |SELECT i, j, sim FROM p WHERE sim >= 0.8 ORDER BY i, j""".stripMargin) { (s, dir) =>
+      val sorted = docHashes(s, dir)
+        .select(col("doc_id"), col("hs"), col("hs")(0).as("bk"))
+        .repartitionByRange(col("bk"), col("doc_id"))
+        .sortWithinPartitions(col("bk"), col("doc_id"))
+      val ranked = graft.core.Ingest.denseIds(sorted, "rk")
+        .withColumn("bkt", expr(s"rk div $w"))
+      val probes = ranked.select(col("rk"), col("doc_id"), col("hs"),
+        explode(array(col("bkt"), col("bkt") + 1)).as("pb"))
+      probes.as("a")
+        .join(ranked.as("b"), col("a.pb") === col("b.bkt") &&
+          col("b.rk") > col("a.rk") && col("b.rk") <= col("a.rk") + w)
+        .select(least(col("a.doc_id"), col("b.doc_id")).as("i"),
+          greatest(col("a.doc_id"), col("b.doc_id")).as("j"),
+          TextOps.jaccard(col("a.hs"), col("b.hs")).as("sim"))
+        .where(col("sim") >= 0.8)
+        .orderBy(col("i"), col("j"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhash, dedupClusters, dedupSurvivors, dedupDecontaminate,
-    dedupIncremental, dedupSubstring, dedupLines)
+    dedupIncremental, dedupSubstring, dedupLines, dedupSortedNeighborhood)
 }
