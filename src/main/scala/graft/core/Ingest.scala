@@ -169,6 +169,19 @@ object Ingest {
     * zipWithIndex, ids follow physical partition order (deterministic
     * for deterministic inputs); both passes must observe the same
     * partitioning.
+    *
+    * AQE HAZARD (measured, guarded): if `df` sits directly on an
+    * AQE-coalescable exchange (`repartition`/`repartitionByRange`
+    * WITHOUT an explicit partition count, or a bare
+    * ENSURE_REQUIREMENTS shuffle), adaptive execution may coalesce the
+    * two passes DIFFERENTLY — the tiny offsets aggregate collapses to
+    * one partition while the join pass keeps several, partition ids
+    * diverge, and the join-back silently loses every row whose pid the
+    * offsets pass never saw (measured: 125 of 500 rows survive at 4
+    * shuffle partitions). Callers must pin the upstream exchange with
+    * an explicit count (AQE preserves user-specified numbers); the
+    * join below LEFT-joins and raises on a missing offset so a future
+    * divergence fails loudly instead of corrupting ids.
     */
   def denseIds(df: DataFrame, idCol: String = "id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -181,7 +194,13 @@ object Ingest {
         lit(0L)))
       .select(col("__pid"), col("__offset"))
     base
-      .join(broadcast(offsets), shiftright(col("__mid"), 33) === col("__pid"))
+      .join(broadcast(offsets), shiftright(col("__mid"), 33) === col("__pid"), "left")
+      .withColumn("__offset",
+        when(col("__offset").isNull, expr(
+          "raise_error('denseIds: partition id absent from the offsets pass — " +
+            "the two passes observed different partitionings (AQE coalescing?); " +
+            "pin the upstream exchange with an explicit partition count')"))
+          .otherwise(col("__offset")))
       .withColumn(idCol, col("__offset") + (col("__mid") - shiftleft(col("__pid"), 33)))
       .select(col(idCol) +: df.columns.map(col): _*)
   }

@@ -103,7 +103,7 @@ object DedupQueries {
         override def onApplicationEnd(
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           import scala.jdk.CollectionConverters._
-          Seq(hsCache, pairsCache).foreach { cache =>
+          Seq(hsCache, pairsCache, snmCache).foreach { cache =>
             cache.keySet.asScala.filter(_._1 == uuid).foreach { k =>
               // context is stopping: blocks die with it; removal is the point
               Option(cache.remove(k)).foreach(df =>
@@ -604,6 +604,38 @@ object DedupQueries {
     * equi-join on rank-bucket `rk div w` (each doc probes its own and
     * the next bucket — b.rk <= a.rk + w never crosses further).
     */
+  /** SNM rank-table memo (same lifecycle as [[docHashes]]): the ranked
+    * frame is BOTH sides of the rank-window self-join, and without
+    * materialization each side re-executes the full range-exchange +
+    * prefix-sum pipeline (measured: the whole rank subtree twice in the
+    * physical plan). Production analog: a persisted rank table refreshed
+    * with the corpus snapshot, next to the signature table.
+    */
+  private val snmCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), org.apache.spark.sql.DataFrame]()
+
+  private def snmRanked(s: org.apache.spark.sql.SparkSession, dir: String, w: Int): org.apache.spark.sql.DataFrame = {
+    def build() = {
+      // EXPLICIT partition count: denseIds' two passes must observe one
+      // partitioning, and AQE only guarantees that for user-pinned
+      // exchanges (see the denseIds scaladoc for the measured failure)
+      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
+      val sorted = docHashes(s, dir)
+        .select(col("doc_id"), col("hs"), col("hs")(0).as("bk"))
+        .repartitionByRange(parts, col("bk"), col("doc_id"))
+        .sortWithinPartitions(col("bk"), col("doc_id"))
+      graft.core.Ingest.denseIds(sorted, "rk")
+        .withColumn("bkt", expr(s"rk div $w"))
+    }
+    if (!s.conf.get("spark.graft.dedup.shareSignatures", "true").toBoolean) build()
+    else {
+      registerEviction(s)
+      snmCache.computeIfAbsent(
+        (sessionKey(s), dir, TextOps.activeHash(s)("'s'", "x")),
+        _ => build().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+  }
+
   val dedupSortedNeighborhood: QueryDef = {
     val w = 8
     QueryDef.sql("dedup_sorted_neighborhood",
@@ -616,12 +648,7 @@ object DedupQueries {
          |p AS (SELECT least(i0, j0) AS i, greatest(i0, j0) AS j,
          |        ${duckJaccard("ha", "hb")} AS sim FROM cand)
          |SELECT i, j, sim FROM p WHERE sim >= 0.8 ORDER BY i, j""".stripMargin) { (s, dir) =>
-      val sorted = docHashes(s, dir)
-        .select(col("doc_id"), col("hs"), col("hs")(0).as("bk"))
-        .repartitionByRange(col("bk"), col("doc_id"))
-        .sortWithinPartitions(col("bk"), col("doc_id"))
-      val ranked = graft.core.Ingest.denseIds(sorted, "rk")
-        .withColumn("bkt", expr(s"rk div $w"))
+      val ranked = snmRanked(s, dir, w)
       val probes = ranked.select(col("rk"), col("doc_id"), col("hs"),
         explode(array(col("bkt"), col("bkt") + 1)).as("pb"))
       probes.as("a")
