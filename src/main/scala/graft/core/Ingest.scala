@@ -104,6 +104,13 @@ object Ingest {
     * malformed lines into `_corrupt` instead of failing the job (the F4
     * skip-and-reconcile discipline; count them against the fails
     * sidecar, don't crash on line 3 billion).
+    *
+    * CAVEAT (SPARK-21610): Spark rejects a query over a raw JSON scan
+    * that references ONLY the corrupt-record column —
+    * `.where(col("_corrupt").isNotNull).count()` throws
+    * AnalysisException unless the frame is cached (or a data column is
+    * referenced too). Callers building the fails sidecar must
+    * `.cache()` first, as IngestSpec's corrupt-line test does.
     */
   def readJsonl(spark: SparkSession, path: String,
                 schema: org.apache.spark.sql.types.StructType): DataFrame =
@@ -180,8 +187,11 @@ object Ingest {
     * offsets pass never saw (measured: 125 of 500 rows survive at 4
     * shuffle partitions). Callers must pin the upstream exchange with
     * an explicit count (AQE preserves user-specified numbers); the
-    * join below LEFT-joins and raises on a missing offset so a future
-    * divergence fails loudly instead of corrupting ids.
+    * join below LEFT-joins and raises when a pid has no offset OR a
+    * row's in-partition index exceeds the count the offsets pass saw —
+    * together those two checks catch EVERY divergence (see the inline
+    * pigeonhole argument), so corruption fails loudly instead of
+    * emitting colliding ids.
     */
   def denseIds(df: DataFrame, idCol: String = "id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -192,16 +202,23 @@ object Ingest {
       .withColumn("__offset", coalesce(sum(col("__n")).over(
         Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
         lit(0L)))
-      .select(col("__pid"), col("__offset"))
+      .select(col("__pid"), col("__offset"), col("__n"))
+    // Divergence detection is COMPLETE for deterministic inputs: both
+    // passes emit the same total row count, so any per-pid mismatch
+    // either leaves a pid unmatched (null __offset) or, by pigeonhole,
+    // overfills some pid past the count the offsets pass recorded
+    // (row-in-partition index >= __n). If neither guard fires, every
+    // per-pid count agrees and the emitted ids are exactly 0..n-1.
     base
       .join(broadcast(offsets), shiftright(col("__mid"), 33) === col("__pid"), "left")
+      .withColumn("__rix", col("__mid") - shiftleft(col("__pid"), 33))
       .withColumn("__offset",
-        when(col("__offset").isNull, expr(
-          "raise_error('denseIds: partition id absent from the offsets pass — " +
-            "the two passes observed different partitionings (AQE coalescing?); " +
-            "pin the upstream exchange with an explicit partition count')"))
+        when(col("__offset").isNull || col("__rix") >= col("__n"), expr(
+          "raise_error('denseIds: the two passes observed different " +
+            "partitionings (AQE coalescing?); pin the upstream exchange " +
+            "with an explicit partition count')"))
           .otherwise(col("__offset")))
-      .withColumn(idCol, col("__offset") + (col("__mid") - shiftleft(col("__pid"), 33)))
+      .withColumn(idCol, col("__offset") + col("__rix"))
       .select(col(idCol) +: df.columns.map(col): _*)
   }
 

@@ -124,26 +124,18 @@ object BloomSketch {
     }.mkString("(", " AND ", ")")
 
   /** SQL-builder: `bloom_sketch(hash_col[, mBits, k])`, literal knobs
-    * validated here (same discipline as KMVDistinct/CMSketch.fromExprs).
+    * validated here (same discipline as KMVDistinct/CMSketch.fromExprs;
+    * out-of-Int-range BIGINT literals are rejected, not truncated).
     */
-  private[functions] def fromExprs(exprs: Seq[Expression]): BloomSketch = {
-    def lit(e: Expression, what: String): Int = e match {
-      case e if e.foldable => e.eval(InternalRow.empty) match {
-        case i: java.lang.Integer => i.intValue
-        case l: java.lang.Long    => l.intValue
-        case other => throw new IllegalArgumentException(
-          s"bloom_sketch: $what must be an integer literal, got $other")
-      }
-      case _ => throw new IllegalArgumentException(
-        s"bloom_sketch: $what must be a literal, not a column")
-    }
+  private[functions] def fromExprs(exprs: Seq[Expression]): BloomSketch =
     exprs match {
       case Seq(h)       => BloomSketch(h, 4096, 4)
-      case Seq(h, m, c) => BloomSketch(h, lit(m, "mBits"), lit(c, "k"))
+      case Seq(h, m, c) => BloomSketch(h,
+        CMSketch.intLit(m, "bloom_sketch", "mBits"),
+        CMSketch.intLit(c, "bloom_sketch", "k"))
       case _ => throw new IllegalArgumentException(
         "bloom_sketch expects (hash_col) or (hash_col, mBits, k)")
     }
-  }
 
   /** Idempotent SQL registration: `bloom_sketch(hash_col[, mBits, k])`. */
   def register(spark: SparkSession): Unit =

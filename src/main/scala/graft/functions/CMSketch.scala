@@ -6,7 +6,6 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
@@ -38,19 +37,24 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   */
 case class CMSketch(
     child: Expression,
+    weight: Option[Expression],
     depth: Int,
     width: Int,
     override val mutableAggBufferOffset: Int = 0,
     override val inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[Array[Long]]
-  with UnaryLike[Expression] {
+  extends TypedImperativeAggregate[Array[Long]] {
 
-  def this(child: Expression) = this(child, 4, 1024)
+  def this(child: Expression) = this(child, None, 4, 1024)
+
+  override def children: Seq[Expression] = child +: weight.toSeq
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType != LongType)
       TypeCheckResult.TypeCheckFailure(
         s"cms_sketch requires a bigint column, got ${child.dataType.catalogString}")
+    else if (weight.exists(_.dataType != LongType))
+      TypeCheckResult.TypeCheckFailure(
+        s"cms_sketch weight must be bigint, got ${weight.get.dataType.catalogString}")
     else if (depth < 1 || width < 2 || (width & (width - 1)) != 0)
       TypeCheckResult.TypeCheckFailure(
         s"cms_sketch requires depth >= 1 and width a power of two >= 2, got depth=$depth width=$width")
@@ -68,11 +72,23 @@ case class CMSketch(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val h = v.asInstanceOf[Long] & KMVDistinct.HashMask
-      var r = 0
-      while (r < depth) {
-        buf(r * width + ((h >>> (12 * r)) & (width - 1)).toInt) += 1L
-        r += 1
+      // weighted form: a pre-aggregated (key, count) rollup builds the
+      // SAME sketch as one update per occurrence (addition commutes) —
+      // a null or negative weight contributes nothing (F4 posture)
+      val w = weight match {
+        case None => 1L
+        case Some(we) => we.eval(input) match {
+          case null => 0L
+          case x    => math.max(0L, x.asInstanceOf[Long])
+        }
+      }
+      if (w > 0L) {
+        val h = v.asInstanceOf[Long] & KMVDistinct.HashMask
+        var r = 0
+        while (r < depth) {
+          buf(r * width + ((h >>> (12 * r)) & (width - 1)).toInt) += w
+          r += 1
+        }
       }
     }
     buf
@@ -105,36 +121,58 @@ case class CMSketch(
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): CMSketch =
     copy(inputAggBufferOffset = newOffset)
-  override protected def withNewChildInternal(newChild: Expression): CMSketch =
-    copy(child = newChild)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CMSketch =
+    copy(child = newChildren.head, weight = newChildren.lift(1))
 }
 
 object CMSketch {
 
   /** SQL-builder: `cms_sketch(hash_col[, depth, width])`, literal args
-    * validated here (same discipline as KMVDistinct.fromExprs).
+    * validated here (same discipline as KMVDistinct.fromExprs). BIGINT
+    * literals outside Int range are rejected, not truncated — a
+    * silently-wrapped width would build a different geometry than the
+    * caller (and their oracle mirror) wrote.
     */
-  private[functions] def fromExprs(exprs: Seq[Expression]): CMSketch = {
-    def lit(e: Expression, what: String): Int = e match {
-      case e if e.foldable => e.eval(InternalRow.empty) match {
-        case i: java.lang.Integer => i.intValue
-        case l: java.lang.Long    => l.intValue
-        case other => throw new IllegalArgumentException(
-          s"cms_sketch: $what must be an integer literal, got $other")
-      }
-      case _ => throw new IllegalArgumentException(
-        s"cms_sketch: $what must be a literal, not a column")
+  private[functions] def intLit(e: Expression, fn: String, what: String): Int = e match {
+    case e if e.foldable => e.eval(InternalRow.empty) match {
+      case i: java.lang.Integer => i.intValue
+      case l: java.lang.Long if l >= Int.MinValue && l <= Int.MaxValue => l.intValue
+      case other => throw new IllegalArgumentException(
+        s"$fn: $what must be an int-range integer literal, got $other")
     }
+    case _ => throw new IllegalArgumentException(
+      s"$fn: $what must be a literal, not a column")
+  }
+
+  private[functions] def fromExprs(exprs: Seq[Expression]): CMSketch =
     exprs match {
-      case Seq(h)       => CMSketch(h, 4, 1024)
-      case Seq(h, d, w) => CMSketch(h, lit(d, "depth"), lit(w, "width"))
+      case Seq(h)       => CMSketch(h, None, 4, 1024)
+      case Seq(h, d, w) => CMSketch(h, None,
+        intLit(d, "cms_sketch", "depth"), intLit(w, "cms_sketch", "width"))
       case _ => throw new IllegalArgumentException(
         "cms_sketch expects (hash_col) or (hash_col, depth, width)")
     }
-  }
 
-  /** Idempotent SQL registration: `cms_sketch(hash_col[, depth, width])`. */
-  def register(spark: SparkSession): Unit =
+  /** `cms_sketch_weighted(hash_col, weight_col[, depth, width])` — the
+    * pre-aggregated form: one row per (key, count) rollup instead of one
+    * per occurrence; bit-identical output (CMSSpec pins it).
+    */
+  private[functions] def fromExprsWeighted(exprs: Seq[Expression]): CMSketch =
+    exprs match {
+      case Seq(h, wt)       => CMSketch(h, Some(wt), 4, 1024)
+      case Seq(h, wt, d, w) => CMSketch(h, Some(wt),
+        intLit(d, "cms_sketch_weighted", "depth"),
+        intLit(w, "cms_sketch_weighted", "width"))
+      case _ => throw new IllegalArgumentException(
+        "cms_sketch_weighted expects (hash_col, weight_col[, depth, width])")
+    }
+
+  /** Idempotent SQL registration of both forms. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cms_sketch", fromExprs, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cms_sketch_weighted", fromExprsWeighted, "built-in")
+  }
 }

@@ -630,8 +630,10 @@ object DedupQueries {
     if (!s.conf.get("spark.graft.dedup.shareSignatures", "true").toBoolean) build()
     else {
       registerEviction(s)
+      // w is part of the key: the cached frame bakes bkt = rk div w in,
+      // so a caller with a different window must not share the entry
       snmCache.computeIfAbsent(
-        (sessionKey(s), dir, TextOps.activeHash(s)("'s'", "x")),
+        (sessionKey(s), dir, TextOps.activeHash(s)("'s'", "x") + s"|w=$w"),
         _ => build().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
   }

@@ -544,9 +544,16 @@ object RelationalQueries {
       import graft.ops.TextOps
       graft.functions.BloomSketch.register(s)
       TextOps.ensureFunctions(s)
+      // persisted: the distinct key set feeds BOTH the bloom build and
+      // the exact-truth join — unpersisted, the full orders scan +
+      // filter + distinct exchange executes twice (the redundant pass is
+      // exactly what the calibration would mis-measure). A few KB per
+      // run; production analog: the materialized key table the filter is
+      // built from.
       val urgent = Tables.orders(s, dir)
         .where(col("o_orderpriority") === "1-URGENT")
         .select(col("o_custkey")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bloom = urgent
         .select(expr(TextOps.portableHash64Sql("'bloom'", "o_custkey")).as("hv"))
         .agg(expr(s"bloom_sketch(hv, $m, $k)").as("bf"))

@@ -475,12 +475,21 @@ object TextQueries {
          |ORDER BY exact_cnt DESC, word""".stripMargin) { (s, dir) =>
       graft.functions.CMSketch.register(s)
       TextOps.ensureFunctions(s)
-      val words = Tables.documents(s, dir)
+      // ONE tokenize+hash pass: group to (word, count) first, persist the
+      // tiny distinct-word rollup, and build the sketch from the WEIGHTED
+      // form (bit-identical: CMS addition commutes) — without the persist
+      // the exploded-token subtree executes once per consumer, and
+      // caching occurrences instead of the rollup would hold the whole
+      // corpus' tokens in memory
+      val counts = Tables.documents(s, dir)
         .select(explode(TextOps.wordsExpr).as("word"))
         .select(col("word"), expr(TextOps.portableHash64Sql("'cms'", "word")).as("hv"))
-      val sketch = words.agg(expr(s"cms_sketch(hv, $depth, $width)").as("cms"))
-      val probes = words.groupBy(col("word"))
+        .groupBy(col("word"))
         .agg(count(lit(1)).as("exact_cnt"), first(col("hv")).as("hv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sketch = counts.agg(
+        expr(s"cms_sketch_weighted(hv, exact_cnt, $depth, $width)").as("cms"))
+      val probes = counts
         .orderBy(col("exact_cnt").desc, col("word")).limit(20)
       val est = (0 until depth).map(r =>
           s"element_at(cms, ${r * width + 1} + CAST((shiftright(hv, ${12 * r}) & ${width - 1}) AS INT))")

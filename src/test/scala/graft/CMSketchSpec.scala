@@ -75,6 +75,39 @@ class CMSketchSpec extends SparkSpec {
     assert(e2.getMessage.contains("60-bit"))
   }
 
+  test("rejects an out-of-Int-range BIGINT knob instead of truncating it") {
+    import spark.implicits._
+    CMSketch.register(spark)
+    graft.functions.BloomSketch.register(spark)
+    val df = Seq(1L).toDF("hv")
+    // 2^32 + 1024 truncates to 1024 via Long.intValue — a power of two,
+    // so without the range check this silently builds the wrong geometry
+    val e1 = intercept[Exception](
+      df.agg(expr("cms_sketch(hv, 4, 4294968320)")).head())
+    assert(e1.getMessage.contains("int-range"))
+    val e2 = intercept[Exception](
+      df.agg(expr("bloom_sketch(hv, 4294971392, 4)")).head())
+    assert(e2.getMessage.contains("int-range"))
+  }
+
+  test("weighted form over a (key, count) rollup equals one update per occurrence") {
+    import spark.implicits._
+    CMSketch.register(spark)
+    val rnd = new scala.util.Random(17)
+    val pairs = (1 to 300).map(_ => rnd.nextLong() -> (1 + rnd.nextInt(9)).toLong)
+    val occurrences = pairs.flatMap { case (h, n) => Seq.fill(n.toInt)(h) }
+    val perRow = sketch(occurrences.toDF("hv").repartition(8), 4, 256)
+    val weighted = pairs.toDF("hv", "n").repartition(5)
+      .agg(expr("cms_sketch_weighted(hv, n, 4, 256)")).head().getSeq[Long](0)
+    assert(perRow == weighted)
+    // null and non-positive weights contribute nothing
+    val padded = (pairs.map { case (h, n) => (h, Some(n)) } ++
+      Seq((1L, None), (2L, Some(0L)), (3L, Some(-5L))))
+      .toDF("hv", "n")
+      .agg(expr("cms_sketch_weighted(hv, n, 4, 256)")).head().getSeq[Long](0)
+    assert(padded == weighted)
+  }
+
   test("heavy-hitters query: estimates bound truth on the real corpus slice") {
     val df = graft.queries.TextQueries.sketchHeavyHitters.run(spark, "/root/testdata/sf0.001")
     val rows = df.collect()
