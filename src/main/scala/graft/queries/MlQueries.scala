@@ -404,8 +404,70 @@ object MlQueries {
     }
   }
 
+  /** Temperature-based mixture DERIVATION — the complement of
+    * [[mlMixtureSample]] (which APPLIES given weights): compute each
+    * source's sampling share from corpus statistics as n^α / Σ n^α
+    * (α = 0.5), the exponent trick multilingual pretraining uses to
+    * flatten a skewed corpus without hand-tuned weights — big sources
+    * are downsampled toward, small sources protected. Per-doc keep
+    * probability is min(1, share·N/n_s) (no replication here; upsampling
+    * beyond 1.0 is [[mlMixtureSample]]'s epoch expansion), realized by a
+    * deterministic hash-uniform draw so both engines keep the SAME doc
+    * set — the keep threshold is rounded to 6 decimals first, making the
+    * two engines' thresholds bit-equal rather than merely close.
+    *
+    * Scale shape: pass 1 aggregates only (source → n) — a map-side
+    * combined count whose shuffle carries one row per source; the tiny
+    * stats/share table is then broadcast into pass 2's filter, which is
+    * map-only over the corpus. Two scans of a projection two columns
+    * wide, no wide shuffle — the canonical stats-then-filter plan.
+    */
+  val mlMixtureTemperature: QueryDef = {
+    val h = OracleSql.hash64("'temp'", "CAST(doc_id AS VARCHAR)")
+    QueryDef.sql("ml_mixture_temperature",
+      s"""WITH n AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+         |w AS (SELECT source, n_docs, pow(n_docs, 0.5) AS wt FROM n),
+         |t AS (SELECT sum(wt) AS sw, sum(n_docs) AS total FROM w),
+         |p AS (SELECT source, n_docs, round(wt / sw, 6) AS share,
+         |        round(least(1.0, (wt / sw) * total / n_docs), 6) AS keep_p
+         |      FROM w CROSS JOIN t),
+         |k AS (SELECT d.source, count(*) AS n_kept
+         |      FROM documents d JOIN p USING (source)
+         |      WHERE $h / 1152921504606846976.0 < p.keep_p
+         |      GROUP BY d.source)
+         |SELECT p.source, p.n_docs, p.share, p.keep_p,
+         |  coalesce(k.n_kept, 0) AS n_kept
+         |FROM p LEFT JOIN k USING (source) ORDER BY p.source""".stripMargin) { (s, dir) =>
+      import graft.ops.TextOps
+      TextOps.ensureFunctions(s)
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      val n = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+        .withColumn("wt", pow(col("n_docs"), 0.5))
+      val t = n.agg(sum(col("wt")).as("sw"),
+        sum(col("n_docs")).as("total"))
+      // tiny (one row per source) but its lineage carries a corpus scan;
+      // persisted so the probability table is computed once, not once
+      // per consumer (filter pass + final report)
+      val p = n.crossJoin(broadcast(t))
+        .select(col("source"), col("n_docs"),
+          round(col("wt") / col("sw"), 6).as("share"),
+          round(least(lit(1.0), col("wt") / col("sw") * col("total") / col("n_docs")), 6)
+            .as("keep_p"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hv = TextOps.portableHash64Sql("'temp'", "CAST(doc_id AS STRING)")
+      val kept = docs
+        .join(broadcast(p.select(col("source"), col("keep_p"))), Seq("source"))
+        .where(expr(hv) / lit(1152921504606846976.0) < col("keep_p"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+      p.join(kept, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("share"), col("keep_p"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(hourRingFeatures, hourRingFeaturesReturns,
     mlDataset, mlPoissonPredict, mlZscore, mlLagFeatures, mlHashSplit,
     mlSampleStratified, mlPackSequences, mlMixtureSample, mlChunkDocuments,
-    mlQualityFunnel, mlSampleWeighted)
+    mlQualityFunnel, mlSampleWeighted, mlMixtureTemperature)
 }

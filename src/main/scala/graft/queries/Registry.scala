@@ -6,7 +6,8 @@ package graft.queries
 object Registry {
   val all: Seq[QueryDef] =
     BicisQueries.all ++ RelationalQueries.all ++ ScalarQueries.all ++
-      DedupQueries.all ++ TextQueries.all ++ EmbedQueries.all ++ MlQueries.all
+      DedupQueries.all ++ TextQueries.all ++ EmbedQueries.all ++ MlQueries.all ++
+      GraphQueries.all
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 }

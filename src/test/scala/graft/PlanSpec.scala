@@ -81,7 +81,10 @@ class PlanSpec extends SparkSpec {
       // one-row (N, avgdl) corpus stats broadcast into every scored row
       "text_bm25",
       // two one-row token-total scalars broadcast into every bigram row
-      "text_pmi")
+      "text_pmi",
+      // one-row (sum-weight, total-docs) scalar broadcast into the
+      // per-source stats rows
+      "ml_mixture_temperature")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>
