@@ -25,14 +25,17 @@ object GraphQueries {
     *
     * Scale shape (the GraphX pattern, in plain DataFrames): the
     * dedup'd pair table is persisted (the orders ⋈ lineitem subtree
-    * runs once); the edge list joins its out-degrees ONCE, is
-    * hash-partitioned by src, SORTED on the join key and cached, so a
-    * merge join against it needs no exchange and no sort on the edge
-    * side — each round moves only the rank rows (one per vertex —
-    * thousands, against millions of edges). In this local regime the
-    * rank side is explicitly broadcast instead (zero edge movement);
-    * on a billion-vertex crawl drop the hint and the co-partitioned
-    * merge join takes over. Each round materializes via eager
+    * runs once); the edge list joins its out-degrees ONCE and is
+    * cached — each round then moves only the rank rows (one per
+    * vertex — thousands, against millions of edges). In this local
+    * regime the rank side is explicitly broadcast (zero edge
+    * movement, so pinning an edge partitioning would be a pure extra
+    * shuffle — measured +0.7 s for a layout nothing consumes); on a
+    * billion-vertex crawl, where ranks outgrow a broadcast, drop the
+    * hint and ADD `repartition(src) + sortWithinPartitions(src)`
+    * before the persist — the cached layout then feeds every round's
+    * merge join with no exchange and no sort on the edge side.
+    * Each round materializes via eager
     * localCheckpoint — plan stays one join deep, the optimizer sees
     * real sizes, and a stage retry re-runs one iteration, not the
     * chain (the Components.connected lineage discipline). The vertex
@@ -80,13 +83,10 @@ object GraphQueries {
         .persist(mem)
       val undirected = pairs.select(col("c").as("src"), col("s").as("dst"))
         .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
-      val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
       val deg = undirected.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
         .persist(mem)
       val nv = deg.count() // also materializes pairs + deg for the edge build
       val edges = undirected.join(deg, Seq("src"))
-        .repartition(parts, col("src"))
-        .sortWithinPartitions(col("src"))
         .persist(mem)
       var ranks = deg.select(col("src").as("node"), lit(1.0 / nv).as("pr"))
       for (_ <- 1 to iters) {
