@@ -75,6 +75,29 @@ object ScaleProbe {
       val ssecs = (System.nanoTime() - t2) / 1e9
       println(f"[scaleprobe] docs=$n%6d tokens=${80L * n}%8d kmv_distinct_est=${sk.getDouble(2)}%8.1f wall=$ssecs%6.1f s")
 
+      // graph leg: the pagerank power-iteration core on a synthetic
+      // bipartite graph with zipf-ish hub skew (edge count = 20·n, hubs
+      // get a large share — the crawl-graph shape). The edge table is
+      // built/cached once; per-round cost is one broadcast join + one
+      // map-side-combined sum over it, so the curve should be linear in
+      // EDGES with a fixed per-round constant — iterations don't
+      // multiply shuffled bytes, the 100 TB story for iterative graph
+      // ops.
+      val t3 = System.nanoTime()
+      val m = 20L * n
+      val raw = spark.range(m).select(
+        (pmod(expr("xxhash64(id, 1)"), lit(n.toLong)) * 2).as("c"),
+        (pmod(pmod(expr("xxhash64(id, 2)"), lit(97L)) *
+          pmod(expr("xxhash64(id, 3)"), lit(math.max(1L, n / 97L))),
+          lit(math.max(1L, n / 10L))) * 2 + 1).as("s"))
+      val und = raw.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(raw.select(col("s").as("src"), col("c").as("dst")))
+      val (pr, nvg) = graft.queries.GraphQueries.pagerank(und, 6, 0.85)
+      val topMass = pr.orderBy(col("pr").desc).limit(10)
+        .agg(sum(col("pr"))).head().getDouble(0)
+      val gsecs = (System.nanoTime() - t3) / 1e9
+      println(f"[scaleprobe] docs=$n%6d edges=${2 * m}%9d vertices=$nvg%7d top10_mass=$topMass%5.3f wall=$gsecs%6.1f s")
+
       // probe corpora are throwaway — don't leave 2 parquet copies per
       // size accumulating in /tmp across sweeps
       Seq(dir, dirF).foreach { d =>

@@ -185,8 +185,14 @@ object Ingest {
     * one partition while the join pass keeps several, partition ids
     * diverge, and the join-back silently loses every row whose pid the
     * offsets pass never saw (measured: 125 of 500 rows survive at 4
-    * shuffle partitions). Callers must pin the upstream exchange with
-    * an explicit count (AQE preserves user-specified numbers); the
+    * shuffle partitions). A RANGE exchange is worse: it re-SAMPLES its
+    * bounds on every execution with an rdd.id-derived seed, so the two
+    * passes can assign rows to partitions DIFFERENTLY even with the
+    * pid set identical (observed at sf0.1 in the SNM rank build).
+    * Callers must pin the upstream exchange with an explicit count
+    * (AQE preserves user-specified numbers) AND persist any
+    * range-partitioned input so both passes read one materialized
+    * assignment; the
     * join below LEFT-joins and raises when a pid has no offset OR a
     * row's in-partition index exceeds the count the offsets pass saw —
     * together those two checks catch EVERY divergence (see the inline
@@ -215,8 +221,9 @@ object Ingest {
       .withColumn("__offset",
         when(col("__offset").isNull || col("__rix") >= col("__n"), expr(
           "raise_error('denseIds: the two passes observed different " +
-            "partitionings (AQE coalescing?); pin the upstream exchange " +
-            "with an explicit partition count')"))
+            "partitionings (AQE coalescing, or a range exchange re-sampling " +
+            "its bounds per execution); pin the upstream exchange with an " +
+            "explicit partition count and persist range-partitioned inputs')"))
           .otherwise(col("__offset")))
       .withColumn(idCol, col("__offset") + col("__rix"))
       .select(col(idCol) +: df.columns.map(col): _*)

@@ -616,14 +616,21 @@ object DedupQueries {
 
   private def snmRanked(s: org.apache.spark.sql.SparkSession, dir: String, w: Int): org.apache.spark.sql.DataFrame = {
     def build() = {
-      // EXPLICIT partition count: denseIds' two passes must observe one
-      // partitioning, and AQE only guarantees that for user-pinned
-      // exchanges (see the denseIds scaladoc for the measured failure)
+      // EXPLICIT partition count pins the exchange against AQE
+      // coalescing, and the PERSIST below is just as load-bearing: a
+      // range exchange re-SAMPLES its bounds on every execution with an
+      // rdd.id-derived seed, so denseIds' two passes over an unpersisted
+      // range-partitioned frame can observe different row→partition
+      // assignments with the same pid set — silent rank corruption that
+      // denseIds' pigeonhole guard now raises on (first caught by it at
+      // sf0.1). Persisting materializes ONE set of bounds that both
+      // passes then read back.
       val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
       val sorted = docHashes(s, dir)
         .select(col("doc_id"), col("hs"), col("hs")(0).as("bk"))
         .repartitionByRange(parts, col("bk"), col("doc_id"))
         .sortWithinPartitions(col("bk"), col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.core.Ingest.denseIds(sorted, "rk")
         .withColumn("bkt", expr(s"rk div $w"))
     }

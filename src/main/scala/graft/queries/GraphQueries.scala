@@ -13,6 +13,33 @@ import graft.core.Tables
   */
 object GraphQueries {
 
+  /** The reusable power-iteration core over an UNDIRECTED edge list
+    * (already symmetrized: both directions present): computes
+    * out-degrees, caches the degree-annotated edge table, and runs
+    * `iters` rounds of rank flow. Returns ((node, pr) with Σ pr = 1,
+    * vertex count). Shared by [[graphPagerank]] and the ScaleProbe
+    * graph leg so the probe measures the EXACT production loop.
+    */
+  def pagerank(undirected: org.apache.spark.sql.DataFrame,
+               iters: Int, damping: Double): (org.apache.spark.sql.DataFrame, Long) = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val teleport = 1.0 - damping
+    val deg = undirected.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      .persist(mem)
+    val nv = deg.count() // also materializes deg for the edge build
+    val edges = undirected.join(deg, Seq("src")).persist(mem)
+    var ranks = deg.select(col("src").as("node"), lit(1.0 / nv).as("pr"))
+    for (_ <- 1 to iters) {
+      ranks = edges.join(broadcast(ranks), col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(sum(col("pr") / col("outdeg")).as("m"))
+        .select(col("dst").as("node"),
+          (lit(teleport / nv) + lit(damping) * col("m")).as("pr"))
+        .localCheckpoint(eager = true)
+    }
+    (ranks, nv)
+  }
+
   /** PageRank (Page et al., 1999; fixed 6 power iterations, d = 0.85)
     * over the bipartite customer–supplier graph induced by orders ⋈
     * lineitem, made symmetric (each undirected trade edge contributes
@@ -83,20 +110,7 @@ object GraphQueries {
         .persist(mem)
       val undirected = pairs.select(col("c").as("src"), col("s").as("dst"))
         .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
-      val deg = undirected.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-        .persist(mem)
-      val nv = deg.count() // also materializes pairs + deg for the edge build
-      val edges = undirected.join(deg, Seq("src"))
-        .persist(mem)
-      var ranks = deg.select(col("src").as("node"), lit(1.0 / nv).as("pr"))
-      for (_ <- 1 to iters) {
-        ranks = edges.join(broadcast(ranks), col("src") === col("node"))
-          .groupBy(col("dst"))
-          .agg(sum(col("pr") / col("outdeg")).as("m"))
-          .select(col("dst").as("node"),
-            (lit(teleport / nv) + lit(damping) * col("m")).as("pr"))
-          .localCheckpoint(eager = true)
-      }
+      val (ranks, nv) = pagerank(undirected, iters, damping)
       ranks.select(
         when(col("node") % 2 === 0, "c").otherwise("s").as("kind"),
         expr("node div 2").as("key"),
