@@ -345,6 +345,52 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Quality-aware canonical selection — [[dedupSurvivors]] keeps each
+    * cluster's MIN doc_id; real pipelines keep its BEST member (longest
+    * text is the standard heuristic: truncated/boilerplate variants
+    * lose to the full document). One row per J>=0.8 cluster: the
+    * canonical doc by (n_chars desc, doc_id) and the member count.
+    *
+    * Shape at 100 TB: clusters (CC output) are a node→rep map keyed by
+    * doc — joining the documents table touches only metadata columns
+    * (doc_id, n_chars — never text), and the per-cluster argmax is a
+    * rank-1 window that compiles to WindowGroupLimit, so a pathological
+    * million-member cluster contributes one row per map task to the
+    * window shuffle, not a sorted group.
+    */
+  val dedupBestSurvivor: QueryDef = QueryDef.sql("dedup_best_survivor",
+    s"""WITH RECURSIVE $hashCte,
+       |$duckPairsCte,
+       |p8 AS (SELECT i, j FROM pairs WHERE sim >= 0.8),
+       |e AS (SELECT i AS a, j AS b FROM p8 UNION SELECT j, i FROM p8),
+       |reach AS (SELECT a AS node, a AS r FROM e
+       |          UNION SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.node),
+       |cl AS (SELECT node, min(r) AS rep FROM reach GROUP BY node),
+       |m AS (SELECT cl.rep, cl.node, d.n_chars,
+       |        row_number() OVER (PARTITION BY cl.rep
+       |                           ORDER BY d.n_chars DESC, cl.node) AS rk
+       |      FROM cl JOIN documents d ON d.doc_id = cl.node),
+       |n AS (SELECT rep, count(*) AS n_members FROM cl GROUP BY rep)
+       |SELECT m.rep, m.node AS best_doc, m.n_chars AS best_chars, n.n_members
+       |FROM m JOIN n USING (rep) WHERE m.rk = 1 ORDER BY m.rep""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val pairs = sharedPairs(s, dir)
+      .where(col("sim") >= 0.8)
+      .select(col("i"), col("j"))
+    val cl = graft.ops.Components.connectedComponents(pairs)
+      .select(col("node"), col("rep"))
+    val m = cl.join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+        col("doc_id") === col("node"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("rep")).orderBy(col("n_chars").desc, col("node"))))
+    val n = cl.groupBy(col("rep")).agg(count(lit(1)).as("n_members"))
+    m.where(col("rk") === 1)
+      .join(n, Seq("rep"))
+      .select(col("rep"), col("node").as("best_doc"),
+        col("n_chars").as("best_chars"), col("n_members"))
+      .orderBy(col("rep"))
+  }
+
   /** Benchmark decontamination — the pass every training corpus runs
     * before release: flag documents sharing any 3-gram shingle with a
     * benchmark/eval set, reporting the distinct-overlap count as the
@@ -672,6 +718,7 @@ object DedupQueries {
   }
 
   val all: Seq[QueryDef] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh,
-    dedupSimhash, dedupClusters, dedupSurvivors, dedupDecontaminate,
-    dedupIncremental, dedupSubstring, dedupLines, dedupSortedNeighborhood)
+    dedupSimhash, dedupClusters, dedupSurvivors, dedupBestSurvivor,
+    dedupDecontaminate, dedupIncremental, dedupSubstring, dedupLines,
+    dedupSortedNeighborhood)
 }
