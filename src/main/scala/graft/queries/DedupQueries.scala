@@ -103,7 +103,7 @@ object DedupQueries {
         override def onApplicationEnd(
             e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
           import scala.jdk.CollectionConverters._
-          Seq(hsCache, pairsCache, snmCache).foreach { cache =>
+          Seq(hsCache, pairsCache, ccCache, snmCache).foreach { cache =>
             cache.keySet.asScala.filter(_._1 == uuid).foreach { k =>
               // context is stopping: blocks die with it; removal is the point
               Option(cache.remove(k)).foreach(df =>
@@ -164,6 +164,18 @@ object DedupQueries {
       .select(col("i"), col("j"), col("sim"))
   }
 
+  /** DuckDB transitive-closure mirror of Components.connectedComponents
+    * over the J>=0.8 pair table — ONE copy (same lockstep discipline as
+    * [[hashCte]]/[[duckPairsCte]]): `cl(node, rep)` with rep = min
+    * doc_id of the component. Requires WITH RECURSIVE and `pairs`.
+    */
+  private val duckClustersCte: String =
+    s"""p8 AS (SELECT i, j FROM pairs WHERE sim >= 0.8),
+       |e AS (SELECT i AS a, j AS b FROM p8 UNION SELECT j, i FROM p8),
+       |reach AS (SELECT a AS node, a AS r FROM e
+       |          UNION SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.node),
+       |cl AS (SELECT node, min(r) AS rep FROM reach GROUP BY node)""".stripMargin
+
   /** Same memo pattern as [[docHashes]] one level up: the J-threshold
     * pair table (i, j, sim) is consumed by three family members
     * (ngram_jaccard emits it, clusters runs CC over it, survivors
@@ -185,6 +197,29 @@ object DedupQueries {
         _ => prefixFilteredPairs(docHashes(s, dir))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     }
+
+  /** Third memo tier: the CC cluster map (node, rep) over the J>=0.8
+    * pairs. Strictly downstream of [[sharedPairs]] but NOT free — the
+    * multi-round pointer-jumping pass is the dedup family's most
+    * expensive step, and clusters/survivors/best_survivor each need the
+    * identical map. Production analog: the cluster-assignment table a
+    * pipeline writes next to the pairs table per corpus snapshot.
+    */
+  private val ccCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), org.apache.spark.sql.DataFrame]()
+
+  private def sharedClusters(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    def build() = graft.ops.Components.connectedComponents(
+      sharedPairs(s, dir).where(col("sim") >= 0.8).select(col("i"), col("j")))
+      .select(col("node"), col("rep"))
+    if (!s.conf.get("spark.graft.dedup.shareSignatures", "true").toBoolean) build()
+    else {
+      registerEviction(s)
+      ccCache.computeIfAbsent(
+        (sessionKey(s), dir, TextOps.activeHash(s)("'s'", "x")),
+        _ => build().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+  }
 
   val dedupExact: QueryDef = QueryDef.sql("dedup_exact",
     """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n
@@ -303,17 +338,9 @@ object DedupQueries {
   val dedupClusters: QueryDef = QueryDef.sql("dedup_clusters",
     s"""WITH RECURSIVE $hashCte,
        |$duckPairsCte,
-       |p8 AS (SELECT i, j FROM pairs WHERE sim >= 0.8),
-       |e AS (SELECT i AS a, j AS b FROM p8 UNION SELECT j, i FROM p8),
-       |reach AS (SELECT a AS node, a AS r FROM e
-       |          UNION SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.node)
-       |SELECT node, min(r) AS rep FROM reach GROUP BY node ORDER BY node""".stripMargin) { (s, dir) =>
-    val pairs = sharedPairs(s, dir)
-      .where(col("sim") >= 0.8)
-      .select(col("i"), col("j"))
-    graft.ops.Components.connectedComponents(pairs)
-      .select(col("node"), col("rep"))
-      .orderBy(col("node"))
+       |$duckClustersCte
+       |SELECT node, rep FROM cl ORDER BY node""".stripMargin) { (s, dir) =>
+    sharedClusters(s, dir).orderBy(col("node"))
   }
 
   /** The deduplicated corpus itself: every document except non-
@@ -326,18 +353,11 @@ object DedupQueries {
   val dedupSurvivors: QueryDef = QueryDef.sql("dedup_survivors",
     s"""WITH RECURSIVE $hashCte,
        |$duckPairsCte,
-       |p8 AS (SELECT i, j FROM pairs WHERE sim >= 0.8),
-       |e AS (SELECT i AS a, j AS b FROM p8 UNION SELECT j, i FROM p8),
-       |reach AS (SELECT a AS node, a AS r FROM e
-       |          UNION SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.node),
-       |cl AS (SELECT node, min(r) AS rep FROM reach GROUP BY node)
+       |$duckClustersCte
        |SELECT d.doc_id FROM documents d LEFT JOIN cl ON d.doc_id = cl.node
        |WHERE cl.node IS NULL OR cl.rep = d.doc_id
        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val pairs = sharedPairs(s, dir)
-      .where(col("sim") >= 0.8)
-      .select(col("i"), col("j"))
-    val dropList = graft.ops.Components.connectedComponents(pairs)
+    val dropList = sharedClusters(s, dir)
       .where(col("node") =!= col("rep"))
       .select(col("node").as("doc_id"))
     Tables.documents(s, dir).select(col("doc_id"))
@@ -361,11 +381,7 @@ object DedupQueries {
   val dedupBestSurvivor: QueryDef = QueryDef.sql("dedup_best_survivor",
     s"""WITH RECURSIVE $hashCte,
        |$duckPairsCte,
-       |p8 AS (SELECT i, j FROM pairs WHERE sim >= 0.8),
-       |e AS (SELECT i AS a, j AS b FROM p8 UNION SELECT j, i FROM p8),
-       |reach AS (SELECT a AS node, a AS r FROM e
-       |          UNION SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.node),
-       |cl AS (SELECT node, min(r) AS rep FROM reach GROUP BY node),
+       |$duckClustersCte,
        |m AS (SELECT cl.rep, cl.node, d.n_chars,
        |        row_number() OVER (PARTITION BY cl.rep
        |                           ORDER BY d.n_chars DESC, cl.node) AS rk
@@ -374,11 +390,7 @@ object DedupQueries {
        |SELECT m.rep, m.node AS best_doc, m.n_chars AS best_chars, n.n_members
        |FROM m JOIN n USING (rep) WHERE m.rk = 1 ORDER BY m.rep""".stripMargin) { (s, dir) =>
     import org.apache.spark.sql.expressions.Window
-    val pairs = sharedPairs(s, dir)
-      .where(col("sim") >= 0.8)
-      .select(col("i"), col("j"))
-    val cl = graft.ops.Components.connectedComponents(pairs)
-      .select(col("node"), col("rep"))
+    val cl = sharedClusters(s, dir)
     val m = cl.join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
         col("doc_id") === col("node"))
       .withColumn("rk", row_number().over(
@@ -671,23 +683,33 @@ object DedupQueries {
       // denseIds' pigeonhole guard now raises on (first caught by it at
       // sf0.1). Persisting materializes ONE set of bounds that both
       // passes then read back.
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val parts = s.conf.get("spark.sql.shuffle.partitions").toInt
       val sorted = docHashes(s, dir)
         .select(col("doc_id"), col("hs"), col("hs")(0).as("bk"))
         .repartitionByRange(parts, col("bk"), col("doc_id"))
         .sortWithinPartitions(col("bk"), col("doc_id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.core.Ingest.denseIds(sorted, "rk")
+        .persist(mem)
+      val ranked = graft.core.Ingest.denseIds(sorted, "rk")
         .withColumn("bkt", expr(s"rk div $w"))
+        .persist(mem)
+      // EAGER: materialize the rank table through sorted's one set of
+      // range bounds, then release the intermediate — without the
+      // count, the correctness-critical sorted cache (a second full
+      // signature-projection copy) would stay pinned for the session
+      ranked.count()
+      sorted.unpersist(false)
+      ranked
     }
-    if (!s.conf.get("spark.graft.dedup.shareSignatures", "true").toBoolean) build()
+    if (!s.conf.get("spark.graft.dedup.shareSignatures", "true").toBoolean)
+      build() // A/B-flag path: persisted but untracked (no eviction hook)
     else {
       registerEviction(s)
       // w is part of the key: the cached frame bakes bkt = rk div w in,
       // so a caller with a different window must not share the entry
       snmCache.computeIfAbsent(
         (sessionKey(s), dir, TextOps.activeHash(s)("'s'", "x") + s"|w=$w"),
-        _ => build().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        _ => build())
     }
   }
 

@@ -30,6 +30,10 @@ object GraphQueries {
     val edges = undirected.join(deg, Seq("src")).persist(mem)
     var ranks = deg.select(col("src").as("node"), lit(1.0 / nv).as("pr"))
     for (_ <- 1 to iters) {
+      // superseded rounds' checkpoint blocks are reclaimed by the
+      // ContextCleaner once the frames go out of scope (localCheckpoint
+      // blocks are not CacheManager entries — unpersist() can't touch
+      // them); only the final round's blocks stay live
       ranks = edges.join(broadcast(ranks), col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(sum(col("pr") / col("outdeg")).as("m"))
@@ -37,6 +41,12 @@ object GraphQueries {
           (lit(teleport / nv) + lit(damping) * col("m")).as("pr"))
         .localCheckpoint(eager = true)
     }
+    // the final ranks frame is self-contained (eager checkpoint), so
+    // the cached build inputs are dead — release them rather than pin
+    // a full edge-table copy in executor storage for the session
+    // (Components.connected applies the same discipline)
+    edges.unpersist(false)
+    deg.unpersist(false)
     (ranks, nv)
   }
 
@@ -69,13 +79,17 @@ object GraphQueries {
     * count is the one driver-side scalar (S10 tiny-summary policy).
     *
     * Determinism contract: both engines run the identical fixed
-    * iteration count from the identical uniform start; per-round sums
-    * drift only by summation order (≤ ~1e-12 relative), far inside
-    * the round-6 emit on the O(1) normalized rank. `pr_rel` = rank·V,
-    * the rank relative to uniform — 1.0 means "as central as
-    * average", and the O(1) magnitude keeps six decimals meaningful
-    * at any graph size (raw ranks shrink with V and would round to
-    * dust).
+    * iteration count from the identical uniform start, but each
+    * round's per-vertex sum is order-dependent double arithmetic —
+    * cross-engine drift compounds to ~1e-11 relative over 6 rounds.
+    * Rounding is only hash-safe when the probability of a value
+    * straddling a rounding boundary is negligible: at round-6 the
+    * exposure is ~1e-11/1e-6 per vertex × 16k vertices ≈ 1e-1 — a
+    * real flake rate — so `pr_rel` is emitted at round-3
+    * (exposure ≈ 1e-4), still 4 significant digits on the O(1)
+    * normalized rank. `pr_rel` = rank·V, the rank relative to
+    * uniform — 1.0 means "as central as average" (raw ranks shrink
+    * with V and would round to dust at any fixed scale).
     */
   val graphPagerank: QueryDef = {
     val damping = 0.85
@@ -98,7 +112,7 @@ object GraphQueries {
          |$recur
          |SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END AS kind,
          |  node // 2 AS key,
-         |  round(pr * (SELECT n FROM nv), 6) AS pr_rel
+         |  round(pr * (SELECT n FROM nv), 3) AS pr_rel
          |FROM r$iters ORDER BY kind, key""".stripMargin) { (s, dir) =>
       val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val pairs = Tables.lineitem(s, dir)
@@ -111,10 +125,13 @@ object GraphQueries {
       val undirected = pairs.select(col("c").as("src"), col("s").as("dst"))
         .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
       val (ranks, nv) = pagerank(undirected, iters, damping)
+      // ranks is eagerly checkpointed by the time pagerank returns, so
+      // the pair cache fed the build and is now dead
+      pairs.unpersist(false)
       ranks.select(
         when(col("node") % 2 === 0, "c").otherwise("s").as("kind"),
         expr("node div 2").as("key"),
-        round(col("pr") * nv, 6).as("pr_rel"))
+        round(col("pr") * nv, 3).as("pr_rel"))
         .orderBy(col("kind"), col("key"))
     }
   }

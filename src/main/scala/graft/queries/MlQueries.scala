@@ -441,19 +441,22 @@ object MlQueries {
       import graft.ops.TextOps
       TextOps.ensureFunctions(s)
       val docs = Tables.documents(s, dir).select(col("doc_id"), col("source"))
+      // the persist point is the STATS table, not the share table: n
+      // appears in BOTH t's and p's lineage (and p itself in the filter
+      // pass and the final report), so an unpersisted n re-runs the
+      // corpus aggregate once per consumer — cached, everything
+      // downstream is arithmetic over a handful of rows and the plan is
+      // the documented two scans (stats pass + filter pass)
       val n = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
         .withColumn("wt", pow(col("n_docs"), 0.5))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val t = n.agg(sum(col("wt")).as("sw"),
         sum(col("n_docs")).as("total"))
-      // tiny (one row per source) but its lineage carries a corpus scan;
-      // persisted so the probability table is computed once, not once
-      // per consumer (filter pass + final report)
       val p = n.crossJoin(broadcast(t))
         .select(col("source"), col("n_docs"),
           round(col("wt") / col("sw"), 6).as("share"),
           round(least(lit(1.0), col("wt") / col("sw") * col("total") / col("n_docs")), 6)
             .as("keep_p"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val hv = TextOps.portableHash64Sql("'temp'", "CAST(doc_id AS STRING)")
       val kept = docs
         .join(broadcast(p.select(col("source"), col("keep_p"))), Seq("source"))
