@@ -650,9 +650,59 @@ object TextQueries {
       .orderBy(col("pmi").desc, col("bg")).limit(20)
   }
 
+  /** Bigram language-model quality score — the sandbox-honest analog of
+    * the KenLM perplexity filters in the CCNet/Gopher pipelines (no
+    * model binaries here, so the LM is trained on the corpus itself):
+    * per doc, the mean add-1-smoothed conditional log-probability
+    * ln((c(ab)+1) / (c(a)+V)) over its bigrams. Low scores flag docs
+    * whose word transitions are atypical for the corpus — gibberish,
+    * boilerplate, wrong-language fragments.
+    *
+    * Shape at 100 TB: three map-only corpus passes (unigram stats,
+    * bigram stats, scoring) — the stats tables are corpus-derived and
+    * shuffle once by their own key; the scoring join keys the exploded
+    * (doc_id, bigram) stream on the bigram, so the doc side never
+    * carries text and the stats side is as broadcastable as the vocab
+    * allows (AQE decides; at web scale it's a shuffle equi-join). Docs
+    * with fewer than two tokens have no bigrams and are absent by
+    * construction in both engines.
+    */
+  val textLmScore: QueryDef = QueryDef.sql("text_lm_score",
+    """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+      |u AS (SELECT unnest(w) AS wd FROM t),
+      |uc AS (SELECT wd, count(*) AS c1 FROM u GROUP BY wd),
+      |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uc),
+      |b AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+      |      FROM t WHERE len(w) >= 2),
+      |bc AS (SELECT bg, count(*) AS c2 FROM b GROUP BY bg)
+      |SELECT b.doc_id, count(*) AS n_bigrams,
+      |  round(avg(ln((bc.c2 + 1) / (uc.c1 + v.v))), 6) AS lm_score
+      |FROM b JOIN bc USING (bg)
+      |JOIN uc ON uc.wd = split_part(b.bg, ' ', 1)
+      |CROSS JOIN v
+      |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir).withColumn("__w", TextOps.wordsExpr)
+    val uc = docs.select(explode(col("__w")).as("wd"))
+      .groupBy(col("wd")).agg(count(lit(1)).as("c1"))
+    val v = uc.agg(count(lit(1)).cast("double").as("v"))
+    val bigrams = docs.where(size(col("__w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(arrays_zip(slice(__w, 1, size(__w) - 1), slice(__w, 2, size(__w) - 1)),
+          |p -> concat_ws(' ', p.`0`, p.`1`))""".stripMargin)).as("bg"))
+    val bc = bigrams.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    bigrams
+      .join(bc, Seq("bg"))
+      .join(broadcast(uc), expr("split_part(bg, ' ', 1)") === col("wd"))
+      .crossJoin(broadcast(v))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(log((col("c2") + 1) / (col("c1") + col("v")))), 6).as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(textTokenCount, textLangId, textQualityScore,
     textFingerprint, textRollingHash, textTopPerLang, textTopNgrams,
     sketchDistinctKmv, textPiiScrub, textRepetition, textEntropy,
     textGopherRules, textTfidfTop, sketchHeavyHitters, textInvertedIndex,
-    textBm25, textPmi)
+    textBm25, textPmi, textLmScore)
 }

@@ -84,7 +84,9 @@ class PlanSpec extends SparkSpec {
       "text_pmi",
       // one-row (sum-weight, total-docs) scalar broadcast into the
       // per-source stats rows
-      "ml_mixture_temperature")
+      "ml_mixture_temperature",
+      // one-row vocab-size scalar broadcast into every scored bigram row
+      "text_lm_score")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>
