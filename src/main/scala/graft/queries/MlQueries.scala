@@ -469,8 +469,53 @@ object MlQueries {
     }
   }
 
+  /** Hashing-trick featurizer (Weinberger et al., ICML 2009): each
+    * categorical feature string "name=value" maps to dimension
+    * hash(f) mod D with a ±1 sign drawn from the NEXT hash bits, and
+    * collisions add signed — the sign makes colliding features cancel
+    * in expectation instead of biasing the sum, which is what lets D
+    * stay fixed (64 here) while the raw vocabulary (user ids!) is
+    * unbounded. That no-vocabulary property is the scale story: unlike
+    * StringIndexer-style encoding there is NO fitted dictionary to
+    * build, broadcast, or keep consistent across a 100 TB corpus — the
+    * featurizer is a pure map-only expression over each row. Emitted
+    * sparse long-form (event_id, idx, val); the one shuffle is the
+    * (event_id, idx) roll-up whose payload is three 8-byte columns.
+    */
+  val mlFeatureHash: QueryDef = {
+    val dims = 64
+    val h = OracleSql.hash64("'fh'", "f")
+    QueryDef.sql("ml_feature_hash",
+      s"""WITH f AS (SELECT event_id, unnest([
+         |    'et=' || event_type,
+         |    'u=' || CAST(user_id AS VARCHAR),
+         |    'h=' || CAST(hour(ts) AS VARCHAR)]) AS f
+         |  FROM events),
+         |x AS (SELECT event_id, $h % $dims AS idx,
+         |        CASE WHEN ($h // $dims) % 2 = 0 THEN 1 ELSE -1 END AS sgn
+         |      FROM f)
+         |SELECT event_id, CAST(idx AS BIGINT) AS idx, CAST(sum(sgn) AS BIGINT) AS val
+         |FROM x GROUP BY 1, 2 ORDER BY event_id, idx""".stripMargin) { (s, dir) =>
+      import graft.ops.TextOps
+      TextOps.ensureFunctions(s)
+      val hv = TextOps.portableHash64Sql("'fh'", "f")
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          explode(array(
+            concat(lit("et="), col("event_type")),
+            concat(lit("u="), col("user_id").cast("string")),
+            concat(lit("h="), hour(col("ts")).cast("string")))).as("f"))
+        .select(col("event_id"),
+          (expr(hv) % dims).as("idx"),
+          when(expr(s"($hv) div $dims") % 2 === 0, 1L).otherwise(-1L).as("sgn"))
+        .groupBy(col("event_id"), col("idx"))
+        .agg(sum(col("sgn")).as("val"))
+        .orderBy(col("event_id"), col("idx"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(hourRingFeatures, hourRingFeaturesReturns,
     mlDataset, mlPoissonPredict, mlZscore, mlLagFeatures, mlHashSplit,
     mlSampleStratified, mlPackSequences, mlMixtureSample, mlChunkDocuments,
-    mlQualityFunnel, mlSampleWeighted, mlMixtureTemperature)
+    mlQualityFunnel, mlSampleWeighted, mlMixtureTemperature, mlFeatureHash)
 }
