@@ -136,5 +136,95 @@ object GraphQueries {
     }
   }
 
-  val all: Seq[QueryDef] = Seq(graphPagerank)
+  /** Triangle census + global clustering coefficient over the supplier
+    * co-occurrence graph (suppliers sharing an order, kept when the
+    * pair co-occurs >= minSup times — the support threshold that keeps
+    * a co-occurrence graph sparse as the corpus grows; without it the
+    * edge count approaches |V|²/2 and no triangle algorithm helps).
+    * The counting core is compact-forward (Latapy 2008; the
+    * MapReduce/Cohen orientation): every undirected edge is oriented
+    * from lower to higher (degree, id), which (a) counts each triangle
+    * exactly once — its three vertices form a total order under
+    * (deg, id) — and (b) bounds every vertex's OUT-degree by O(√m)
+    * regardless of skew, so the wedge join (the quadratic step) does
+    * O(Σ outdeg²) ⊆ O(m^1.5) work even when a hub vertex has degree
+    * |V|. That bound is the whole scale story: the naive wedge join on
+    * an unoriented hub explodes as deg², and a crawl graph is ALL
+    * hubs. Everything is equi-joins on 8-byte vertex keys: wedges
+    * close with one join back to the oriented edge table; no
+    * cartesian, no collect. Emits the one-row census (the S10 grand-
+    * aggregate shape): node/edge/triangle counts plus the global
+    * clustering coefficient 3·T / Σ deg·(deg-1)/2.
+    */
+  /** The counting core, factored for spec-ability: takes DISTINCT
+    * undirected edges as (x, y) with x < y, returns the one-row census
+    * (n_nodes, n_edges, n_triangles, global_cc). See [[graphTriangles]]
+    * for the algorithm notes; GraphSpec pins it on known graphs (K4,
+    * paths, planted triangles).
+    */
+  def triangleCensus(e0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = e0.persist(mem)
+    val deg = e.select(col("x").as("n")).unionAll(e.select(col("y").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .persist(mem)
+    // orient lower (deg, id) -> higher; deg is |V|-sized (small here,
+    // and at crawl scale still ~1e9 rows of 16 bytes — a shuffle join
+    // by default; AQE broadcasts it when it fits)
+    val flip = struct(col("dx.d"), col("e.x")) < struct(col("dy.d"), col("e.y"))
+    val oriented = e.as("e")
+      .join(deg.as("dx"), col("dx.n") === col("e.x"))
+      .join(deg.as("dy"), col("dy.n") === col("e.y"))
+      .select(when(flip, col("e.x")).otherwise(col("e.y")).as("u"),
+        when(flip, col("e.y")).otherwise(col("e.x")).as("v"))
+      .persist(mem)
+    val tri = oriented.as("w1")
+      .join(oriented.as("w2"), col("w2.u") === col("w1.v"))
+      .join(oriented.as("w3"),
+        col("w3.u") === col("w1.u") && col("w3.v") === col("w2.v"))
+      .agg(count(lit(1)).as("tri"))
+    val stats = deg.agg(count(lit(1)).cast("long").as("n_nodes"),
+      sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))
+    val nEdges = e.agg(count(lit(1)).cast("long").as("n_edges"))
+    val out = stats.crossJoin(nEdges).crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("tri").cast("long").as("n_triangles"),
+        round(lit(3.0) * col("tri") / col("n_wedges"), 6).as("global_cc"))
+    // materialize before releasing the build caches
+    val rows = out.localCheckpoint(true)
+    oriented.unpersist(false); deg.unpersist(false); e.unpersist(false)
+    rows
+  }
+
+  val graphTriangles: QueryDef = {
+    val minSup = 8
+    QueryDef.sql("graph_triangles",
+      s"""WITH per AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem),
+         |p AS (SELECT a.sk AS x, b.sk AS y FROM per a JOIN per b ON a.o = b.o AND a.sk < b.sk),
+         |e AS (SELECT x, y FROM p GROUP BY x, y HAVING count(*) >= $minSup),
+         |deg AS (SELECT n, count(*) AS d
+         |        FROM (SELECT x AS n FROM e UNION ALL SELECT y AS n FROM e) GROUP BY n),
+         |o AS (SELECT CASE WHEN (dx.d, e.x) < (dy.d, e.y) THEN e.x ELSE e.y END AS u,
+         |             CASE WHEN (dx.d, e.x) < (dy.d, e.y) THEN e.y ELSE e.x END AS v
+         |      FROM e JOIN deg dx ON dx.n = e.x JOIN deg dy ON dy.n = e.y),
+         |t AS (SELECT count(*) AS tri
+         |      FROM o w1 JOIN o w2 ON w2.u = w1.v
+         |           JOIN o w3 ON w3.u = w1.u AND w3.v = w2.v),
+         |s AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+         |             CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges FROM deg),
+         |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+         |SELECT n_nodes, n_edges, CAST(tri AS BIGINT) AS n_triangles,
+         |  round(3.0 * tri / n_wedges, 6) AS global_cc
+         |FROM s, ne, t""".stripMargin) { (s, dir) =>
+      val per = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sk")).distinct()
+      val e = per.as("a").join(per.as("b"),
+          col("a.o") === col("b.o") && col("a.sk") < col("b.sk"))
+        .groupBy(col("a.sk").as("x"), col("b.sk").as("y"))
+        .agg(count(lit(1)).as("cnt")).where(col("cnt") >= minSup)
+        .select(col("x"), col("y"))
+      triangleCensus(e)
+    }
+  }
+
+  val all: Seq[QueryDef] = Seq(graphPagerank, graphTriangles)
 }

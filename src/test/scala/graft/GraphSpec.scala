@@ -31,6 +31,50 @@ class GraphSpec extends SparkSpec {
       s"supplier avg ${byKind("s")} not above customer avg ${byKind("c")}")
   }
 
+  private def census(edges: (Int, Int)*): (Long, Long, Long, Double) = {
+    import spark.implicits._
+    val e = edges.map { case (a, b) => (math.min(a, b).toLong, math.max(a, b).toLong) }
+      .distinct.toDF("x", "y")
+    val r = graft.queries.GraphQueries.triangleCensus(e).collect().head
+    (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"),
+      r.getAs[Long]("n_triangles"), r.getAs[Double]("global_cc"))
+  }
+
+  test("triangles: K4 has 4, a path has 0, cc follows 3T/wedges") {
+    // K4: 4 nodes, 6 edges, C(4,3)=4 triangles, every wedge closed -> cc 1
+    val k4 = census((1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4))
+    assert(k4 == ((4L, 6L, 4L, 1.0)), s"K4 census was $k4")
+    // path 1-2-3-4: 2 open wedges, no triangles
+    val path = census((1, 2), (2, 3), (3, 4))
+    assert(path == ((4L, 3L, 0L, 0.0)), s"path census was $path")
+  }
+
+  test("triangles: planted triangle + pendant; hub skew does not multi-count") {
+    // triangle {1,2,3} with a pendant 4 off node 1: degrees 3,2,2,1 ->
+    // wedges C(3,2)+C(2,2)+C(2,2) = 5, cc = 3/5
+    val t = census((1, 2), (2, 3), (1, 3), (1, 4))
+    assert(t._3 == 1L, s"expected 1 triangle, got ${t._3}")
+    assert(t._4 == 0.6, s"cc was ${t._4}")
+    // star hub + one closing rim edge: exactly one triangle even though
+    // the hub sits on every wedge (orientation counts it once)
+    val star = census((0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (1, 2))
+    assert(star._3 == 1L, s"star+rim expected 1 triangle, got ${star._3}")
+  }
+
+  test("triangles: matches brute force on a random graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 14
+    val edges = (for {
+      a <- 0 until n; b <- (a + 1) until n if rnd.nextDouble() < 0.35
+    } yield (a, b)).toSeq
+    val brute = (for {
+      a <- 0 until n; b <- (a + 1) until n; c <- (b + 1) until n
+      if edges.contains((a, b)) && edges.contains((b, c)) && edges.contains((a, c))
+    } yield 1).size
+    val got = census(edges: _*)
+    assert(got._3 == brute.toLong, s"expected $brute triangles, got ${got._3}")
+  }
+
   test("mixture temperature: shares form a distribution and keep_p flattens the skew") {
     val rows = graft.queries.MlQueries.mlMixtureTemperature.run(spark, dir).collect()
     val share = rows.map(_.getAs[Double]("share"))
