@@ -49,6 +49,16 @@ object Similarity {
   /** Native codegen'd L2 norm: sqrt(vec_dot(v, v)). */
   def l2(vCol: String): Column = sqrt(dot(vCol, vCol))
 
+  /** Native dot of a vector column against a CONSTANT vector (the
+    * projection kernel): the constant ships as a plan literal, so the
+    * executor-side work is the same single vec_dot loop — no per-row
+    * array construction, no second column scan.
+    */
+  def dotConst(vCol: String, r: Seq[Double]): Column =
+    GraftColumns.column(graft.functions.VecDot(
+      GraftColumns.expression(col(vCol)),
+      GraftColumns.expression(lit(r.toArray))))
+
   /** Cosine similarity of two double-array columns, rounded to 6.
     * Formula and fold order are bit-identical to the DuckDB oracle
     * fragment (`list_sum(products) / (sqrt(·)·sqrt(·))`), via the

@@ -700,9 +700,43 @@ object EmbedQueries {
       .orderBy(col("qid"))
   }
 
+  /** Johnson–Lindenstrauss random projection, 64 → 16 dims: p_j =
+    * v · r_j for 16 seeded pseudo-random planes — the standard
+    * embedding-compression pass before clustering or coarse ANN (JL:
+    * pairwise distances are preserved within 1±ε at k = O(log n / ε²)).
+    * The planes are the SAME murmur3-derived constants the LSH family
+    * uses (Similarity.hyperplanes — one canonical derivation,
+    * spec-pinned), materialized at plan-build time and shipped as plan
+    * literals; each output dim is one native vec_dot loop (16 VecDot
+    * nodes total — constant codegen size, well under the janino
+    * budget that killed the unrolled forms in r7). Map-only over the
+    * corpus; emitted long-form (vec_id, j, p) for the oracle, the
+    * production shape packs the 16 doubles back into an array column.
+    */
+  val embedRandomProjection: QueryDef = {
+    val k = 16; val seed = 11; val dim = 64
+    val planes = Similarity.hyperplanes(k, seed, dim)
+    val hpValues = planes.zipWithIndex
+      .map { case (r, j) => s"($j, [${r.mkString(", ")}])" }.mkString(", ")
+    QueryDef.sql("embed_random_projection",
+      s"""WITH $duckVectors,
+         |hp(j, r) AS (VALUES $hpValues)
+         |SELECT vec_id, CAST(j AS BIGINT) AS j,
+         |  round(list_sum([v[i+1] * r[i+1] for i in range(0, $dim)]), 6) AS p
+         |FROM v, hp ORDER BY vec_id, j""".stripMargin) { (s, dir) =>
+      val v = Similarity.vectors(Tables.embeddings(s, dir))
+      v.select(col("vec_id"),
+          posexplode(array(planes.map(r =>
+            round(Similarity.dotConst("v", r.toSeq), 6)): _*)).as(Seq("j", "p")))
+        .select(col("vec_id"), col("j").cast("long").as("j"), col("p"))
+        .orderBy(col("vec_id"), col("j"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(embedKnnBrute, embedKnnLsh, embedCentroids,
     multimodalMeta, multimodalFramesample, multimodalResize, embedNorms,
     embedKnnIvf, dedupEmbedCosine, embedQuantize, embedLshRecall,
     embedHyperplaneRecall, embedBandedRecall, embedKnnPq,
-    embedMultiprobeRecall, multimodalFeatures, embedHardNegatives)
+    embedMultiprobeRecall, multimodalFeatures, embedHardNegatives,
+    embedRandomProjection)
 }
