@@ -733,10 +733,94 @@ object EmbedQueries {
     }
   }
 
+  /** Lloyd's k-means, 3 fixed iterations, k = 4 — the iterative
+    * clustering pass between [[embedRandomProjection]]-style compression
+    * and IVF index builds (embed_knn_ivf consumes exactly this kind of
+    * centroid table). Execution is the MLlib shape in plain DataFrames:
+    * centroids are a k×d driver-side summary (256 doubles — the S10
+    * tiny-collect policy; a cluster broadcasts them), assignment is a
+    * MAP-ONLY pass (k distances per row against plan-literal centroids
+    * via the native vec_dot — no join, no shuffle), and the update is
+    * long-form (cl, i, x) groupBy whose map-side combine reduces every
+    * partition to ≤ k·d rows before the one shuffle. Per iteration at
+    * 100 TB: one scan + one k·d-row shuffle — nothing grows with n.
+    *
+    * Determinism contract: distances use the rearranged
+    * ‖v‖²+‖c‖²−2v·c with the shared ascending fold (bit-identical
+    * cross-engine, same as dedup_embed_cosine); argmin ties break to
+    * the lower cluster id in both engines (array_position-first vs
+    * ORDER BY d2, cl); updated centroid components are ROUNDED to 6
+    * decimals each iteration, collapsing the engines' different
+    * summation orders back to bit-equal inputs for the next round —
+    * without it the 1e-16 avg() drift compounds through 3 rounds of
+    * argmin. ‖c‖² is folded driver-side with the same ascending loop.
+    */
+  val embedKmeans: QueryDef = {
+    val k = 4; val iters = 3; val dim = 64
+    def duckD2(vc: String, cc: String): String =
+      s"""list_sum([$vc[i] * $vc[i] for i in range(1, ${dim + 1})]) +
+         |      list_sum([$cc[i] * $cc[i] for i in range(1, ${dim + 1})]) -
+         |      2 * list_sum([$vc[i] * $cc[i] for i in range(1, ${dim + 1})])""".stripMargin
+    val iterCtes = (1 to iters).map { t =>
+      val upd =
+        s"""u$t AS (SELECT cl, i, round(avg(v[i]), 6) AS x
+           |       FROM a$t, range(1, ${dim + 1}) r(i) GROUP BY cl, i),
+           |c$t AS (SELECT cl, list(x ORDER BY i) AS cv FROM u$t GROUP BY cl)""".stripMargin
+      val body =
+        s"""d$t AS (SELECT vec_id, v, cl, ${duckD2("v", "cv")} AS d2 FROM v, c${t - 1}),
+           |a$t AS (SELECT vec_id, v, cl, d2 FROM (
+           |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rk
+           |         FROM d$t) WHERE rk = 1)""".stripMargin
+      if (t < iters) s"$body,\n$upd" else body
+    }.mkString(",\n")
+    QueryDef.sql("embed_kmeans",
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cl, v AS cv FROM v WHERE vec_id < $k),
+         |$iterCtes
+         |SELECT cl AS cluster, CAST(count(*) AS BIGINT) AS n,
+         |  round(sum(d2), 3) AS inertia, round(avg(d2), 6) AS avg_d2
+         |FROM a$iters GROUP BY cl ORDER BY cluster""".stripMargin) { (s, dir) =>
+      val v = Similarity.vectors(Tables.embeddings(s, dir)).select(col("vec_id"), col("v"))
+      var cents: Seq[(Long, Seq[Double])] = v.where(col("vec_id") < k)
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+      var assigned: org.apache.spark.sql.DataFrame = null
+      for (t <- 1 to iters) {
+        val ids = cents.map(_._1)
+        val dists = cents.map { case (_, c) =>
+          var cn = 0.0; c.foreach(x => cn += x * x) // ascending fold = list_sum parity
+          Similarity.dot("v", "v") + lit(cn) - lit(2.0) * Similarity.dotConst("v", c)
+        }
+        assigned = v
+          .withColumn("dists", array(dists: _*))
+          .withColumn("d2", array_min(col("dists")))
+          .withColumn("cl", element_at(typedLit(ids),
+            expr("array_position(dists, array_min(dists))").cast("int")))
+          .drop("dists")
+        if (t < iters) {
+          cents = assigned
+            .select(col("cl"), posexplode(col("v")).as(Seq("i", "x")))
+            .groupBy(col("cl"), col("i")).agg(round(avg(col("x")), 6).as("x"))
+            .groupBy(col("cl"))
+            .agg(expr("transform(array_sort(collect_list(struct(i, x))), p -> p.x)").as("cv"))
+            .collect().toSeq
+            .map(r => (r.getLong(0), r.getSeq[Double](1)))
+            .sortBy(_._1)
+        }
+      }
+      assigned.groupBy(col("cl"))
+        .agg(count(lit(1)).as("n"), round(sum(col("d2")), 3).as("inertia"),
+          round(avg(col("d2")), 6).as("avg_d2"))
+        .select(col("cl").as("cluster"), col("n"), col("inertia"), col("avg_d2"))
+        .orderBy(col("cluster"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(embedKnnBrute, embedKnnLsh, embedCentroids,
     multimodalMeta, multimodalFramesample, multimodalResize, embedNorms,
     embedKnnIvf, dedupEmbedCosine, embedQuantize, embedLshRecall,
     embedHyperplaneRecall, embedBandedRecall, embedKnnPq,
     embedMultiprobeRecall, multimodalFeatures, embedHardNegatives,
-    embedRandomProjection)
+    embedRandomProjection, embedKmeans)
 }
