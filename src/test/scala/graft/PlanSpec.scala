@@ -167,6 +167,21 @@ class PlanSpec extends SparkSpec {
       "banded recall cosine is not the native vec_dot")
   }
 
+  test("embed_kmeans assignment is map-only: no join anywhere, native vec_dot distances") {
+    // Lloyd's at scale = broadcast-centroid assignment; a join-based
+    // assignment (vectors x centroid table) would shuffle the corpus
+    // k times per iteration. Centroids must enter as plan literals.
+    val df = graft.queries.EmbedQueries.embedKmeans.run(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"join-based centroid assignment in:\n$p")
+    import org.apache.spark.sql.catalyst.expressions.Expression
+    val usesDot = df.queryExecution.optimizedPlan.collect {
+      case pl => pl.expressions.exists(
+        _.collectFirst { case _: graft.functions.VecDot => () }.isDefined)
+    }.exists(identity)
+    assert(usesDot, "kmeans distances are not the native vec_dot")
+  }
+
   test("banded projection node count stays orders below the codegen blowup class") {
     import graft.ops.Similarity
     import org.apache.spark.sql.functions.expr
