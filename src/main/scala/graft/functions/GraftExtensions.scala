@@ -43,6 +43,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[BloomSketch].getName, "bloom_sketch"),
       (exprs: Seq[Expression]) => BloomSketch.fromExprs(exprs)))
     ext.injectFunction((
+      new FunctionIdentifier("sample_quantiles"),
+      new ExpressionInfo(classOf[QuantileSketch].getName, "sample_quantiles"),
+      (exprs: Seq[Expression]) => QuantileSketch.fromExprs(exprs)))
+    ext.injectFunction((
       new FunctionIdentifier("simhash32"),
       new ExpressionInfo(classOf[SimHash32].getName, "simhash32"),
       (exprs: Seq[Expression]) => SimHash32.fromExprs(exprs)))

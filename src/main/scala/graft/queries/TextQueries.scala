@@ -700,9 +700,62 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Single-pass per-group quantiles via the bottom-k-by-hash sample
+    * sketch (`functions/QuantileSketch`) — the quantile member of the
+    * sketch family, and the length-distribution profile a corpus
+    * pipeline derives its truncation/quality cutoffs from. Two tiers in
+    * one pass: the k=128 production sample (2 KB mergeable state — the
+    * 100 TB shape, ~1/√k rank error) and a k=65536 reference leg that
+    * is exact at any group size seen in testing (every tested lang
+    * group is ≪ 64k docs; both tiers are the same operator, so "exact"
+    * is literally the sketch with the truncation never reached).
+    *
+    * Determinism: the sample is the k smallest portable-hash values of
+    * doc_id — a pure function of the input set — and the interpolation
+    * is bit-equal to DuckDB's `quantile_cont` (measured; see
+    * QuantileSketch scaladoc), so the oracle mirrors both tiers with a
+    * rank filter + quantile_cont. round-6 belts-and-braces only.
+    */
+  val sketchQuantiles: QueryDef = {
+    val duckHash = OracleSql.hash64("'q'", "doc_id")
+    QueryDef.sql("sketch_quantiles",
+      s"""WITH d AS (SELECT lang, $duckHash AS hv, CAST(n_chars AS DOUBLE) AS val
+         |           FROM documents),
+         |r AS (SELECT lang, val, row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn
+         |      FROM d),
+         |s AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |             quantile_cont(CASE WHEN rn <= 128 THEN val END, [0.25, 0.5, 0.75, 0.95]) AS q,
+         |             quantile_cont(CASE WHEN rn <= 65536 THEN val END, [0.5, 0.95]) AS eq
+         |      FROM r GROUP BY lang)
+         |SELECT lang, n_docs,
+         |  round(q[1], 6) AS p25, round(q[2], 6) AS p50,
+         |  round(q[3], 6) AS p75, round(q[4], 6) AS p95,
+         |  round(eq[1], 6) AS exact_p50, round(eq[2], 6) AS exact_p95
+         |FROM s ORDER BY lang""".stripMargin) { (s, dir) =>
+      graft.functions.QuantileSketch.register(s)
+      TextOps.ensureFunctions(s)
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          expr(TextOps.portableHash64Sql("'q'", "doc_id")).as("hv"),
+          col("n_chars").cast("double").as("val"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sample_quantiles(hv, val, 128, array(0.25D, 0.5D, 0.75D, 0.95D))").as("q"),
+          expr("sample_quantiles(hv, val, 65536, array(0.5D, 0.95D))").as("eq"))
+        .select(col("lang"), col("n_docs"),
+          round(element_at(col("q"), 1), 6).as("p25"),
+          round(element_at(col("q"), 2), 6).as("p50"),
+          round(element_at(col("q"), 3), 6).as("p75"),
+          round(element_at(col("q"), 4), 6).as("p95"),
+          round(element_at(col("eq"), 1), 6).as("exact_p50"),
+          round(element_at(col("eq"), 2), 6).as("exact_p95"))
+        .orderBy(col("lang"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(textTokenCount, textLangId, textQualityScore,
     textFingerprint, textRollingHash, textTopPerLang, textTopNgrams,
     sketchDistinctKmv, textPiiScrub, textRepetition, textEntropy,
     textGopherRules, textTfidfTop, sketchHeavyHitters, textInvertedIndex,
-    textBm25, textPmi, textLmScore)
+    textBm25, textPmi, textLmScore, sketchQuantiles)
 }
