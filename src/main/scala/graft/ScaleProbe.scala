@@ -98,6 +98,53 @@ object ScaleProbe {
       val gsecs = (System.nanoTime() - t3) / 1e9
       println(f"[scaleprobe] docs=$n%6d edges=${2 * m}%9d vertices=$nvg%7d top10_mass=$topMass%5.3f wall=$gsecs%6.1f s")
 
+      // embed leg: the native-kernel vector path at growing n — (a) the
+      // banded random-hyperplane near-dup pipeline (4 bands × 16 bits:
+      // bucket equi-join, exact cosine verify at 0.95) on 64-dim
+      // synthetic vectors with an exact duplicate planted every 25th
+      // row; candidates must track true collisions (~n/25 + noise), not
+      // n²/2. (b) one Lloyd round against k=16 plan-literal centroids —
+      // a map-only assignment scan plus a ≤ k·d-row update shuffle, the
+      // per-iteration cost that must stay linear-in-n with a constant
+      // shuffle payload. Both stages run entirely on VecDot/
+      // HyperplaneBucket (constant codegen size — the r7 unrolled forms
+      // fell out of whole-stage codegen exactly here).
+      import graft.ops.Similarity
+      val vecs = spark.range(n).select(col("id").as("vec_id"), expr(
+        """transform(sequence(0, 63), j -> CAST(pmod(xxhash64(
+          |  IF(id % 25 = 0 AND id > 0, id - 1, id), j), 2001) - 1000 AS DOUBLE) / 1000.0)"""
+          .stripMargin).as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val t4 = System.nanoTime()
+      val banded = Similarity.bandedHyperplane(vecs, "v", bands = 4,
+        bitsPerBand = 16, seed = 7, dim = 64)
+        .select(col("vec_id"), col("v"), col("band"), col("bkt"))
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.bkt") === col("b.bkt") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+          col("a.v").as("va"), col("b.v").as("vb"))
+        .distinct()
+      val nearDup = cand.where(Similarity.cosine("va", "vb") >= 0.95).count()
+      val esecs = (System.nanoTime() - t4) / 1e9
+      println(f"[scaleprobe] docs=$n%6d planted=${(n - 1) / 25}%6d embed_near_dup=$nearDup%6d wall=$esecs%6.1f s")
+      val t5 = System.nanoTime()
+      val cents = vecs.where(col("vec_id") < 16).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+      val dists = cents.map { case (_, c) =>
+        var cn = 0.0; c.foreach(x => cn += x * x)
+        Similarity.dot("v", "v") + lit(cn) - lit(2.0) * Similarity.dotConst("v", c)
+      }
+      val updated = vecs
+        .withColumn("dists", array(dists.toIndexedSeq: _*))
+        .withColumn("cl", expr("array_position(dists, array_min(dists))"))
+        .select(col("cl"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cl"), col("i")).agg(avg(col("x")).as("x"))
+        .count()
+      val ksecs = (System.nanoTime() - t5) / 1e9
+      println(f"[scaleprobe] docs=$n%6d kmeans_round_rows=$updated%5d wall=$ksecs%6.1f s")
+      vecs.unpersist(false)
+
       // probe corpora are throwaway — don't leave 2 parquet copies per
       // size accumulating in /tmp across sweeps
       Seq(dir, dirF).foreach { d =>

@@ -309,14 +309,27 @@ object Streaming {
     * hash-agnostic contract as the batch family.
     */
   def streamingTokenSketch(docs: DataFrame, tsCol: String, hvCol: String,
-                           duration: String, watermarkDelay: String): DataFrame = {
+                           duration: String, watermarkDelay: String,
+                           valCol: Option[String] = None): DataFrame = {
     graft.functions.CMSketch.register(docs.sparkSession)
     graft.functions.KMVDistinct.register(docs.sparkSession)
+    graft.functions.QuantileSketch.register(docs.sparkSession)
+    val base = Seq(
+      expr(s"cms_sketch($hvCol, 4, 1024)").as("cms"),
+      expr(s"kmv_distinct($hvCol, 64)").as("kmv"))
+    // optional fourth sketch: per-window value-distribution quantiles
+    // (e.g. doc lengths keyed by doc-hash) — the bottom-k sample merges
+    // across micro-batches like the others (pure function of the
+    // window's row SET, so late arrivals within the watermark can't
+    // change the converged result either)
+    val aggs = base ++ valCol.map(v =>
+      expr(s"sample_quantiles($hvCol, $v, 128, array(0.25D, 0.5D, 0.95D))").as("qs"))
+    val out = Seq(col("w.start").as("ws"), col("cms"), col("kmv")) ++
+      valCol.map(_ => col("qs"))
     docs.withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), duration).as("w"))
-      .agg(expr(s"cms_sketch($hvCol, 4, 1024)").as("cms"),
-        expr(s"kmv_distinct($hvCol, 64)").as("kmv"))
-      .select(col("w.start").as("ws"), col("cms"), col("kmv"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(out: _*)
   }
 
   def runningHourProfile(spark: SparkSession, events: Dataset[Ev],

@@ -421,4 +421,38 @@ class StreamingSpec extends SparkSpec {
       }
     } finally query.stop()
   }
+
+  test("streaming quantile sketch converges to the batch sample across shuffled micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // doc-level stream (ts, doc-hash, length): the bottom-k sample is a
+    // pure function of the window's row set, so any micro-batch split /
+    // arrival order must produce the batch aggregate's exact quantiles
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 2000).map { i =>
+      val hour = if (i % 4 == 0) "2024-01-01 01" else "2024-01-01 00"
+      (ts(s"$hour:${10 + i % 40}:00"), rnd.nextLong(), rnd.nextDouble() * 900 + 100)
+    }
+    graft.functions.QuantileSketch.register(spark)
+    val batch = rows.toDF("ts", "hv", "len")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(expr("sample_quantiles(hv, len, 128, array(0.25D, 0.5D, 0.95D))").as("qs"))
+      .collect().map(r => r.getStruct(0).getTimestamp(0).toString -> r.getSeq[Double](1)).toMap
+    val ms = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val query = Streaming.streamingTokenSketch(
+        ms.toDF().toDF("ts", "hv", "len"), "ts", "hv", "1 hour", "10 minutes",
+        valCol = Some("len"))
+      .writeStream.format("memory").queryName("sketch_q").outputMode("complete").start()
+    try {
+      scala.util.Random.shuffle(rows).grouped(700).foreach { chunk =>
+        ms.addData(chunk); query.processAllAvailable()
+      }
+      val streamed = spark.table("sketch_q")
+        .collect().map(r => r.getTimestamp(0).toString -> r.getSeq[Double](3)).toMap
+      assert(streamed.keySet === batch.keySet)
+      streamed.foreach { case (w, qs) =>
+        assert(qs === batch(w), s"window $w: quantile sample diverges from batch")
+      }
+    } finally query.stop()
+  }
 }
