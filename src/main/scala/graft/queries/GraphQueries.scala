@@ -273,5 +273,45 @@ object GraphQueries {
       .orderBy(col("kind"), col("key"))
   }
 
-  val all: Seq[QueryDef] = Seq(graphPagerank, graphTriangles, graphComponents)
+  /** Log2-bucketed degree histogram of the bipartite trade graph — the
+    * profile-before-you-pay step every expensive graph op (pagerank,
+    * triangles, CC) should be preceded by at scale: the histogram tells
+    * you whether a hub exists (skew → salting / orientation needed) and
+    * what the wedge bound Σ d² will cost, for the price of two map-side-
+    * combinable aggregations over the edge list. No joins, no windows —
+    * the whole query partial-aggregates before its one shuffle each.
+    *
+    * The bucket is floor(log2(d)) computed as length(bin(d)) - 1 —
+    * integer string length, bit-identical across engines, where
+    * floating log2 at exact powers of two is engine-dependent
+    * (Spark computes log(x)/log(2)).
+    */
+  val graphDegreeStats: QueryDef = QueryDef.sql("graph_degree_stats",
+    """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |eu AS (SELECT c AS src FROM e0 UNION ALL SELECT s AS src FROM e0),
+      |deg AS (SELECT src AS node, count(*) AS d FROM eu GROUP BY src)
+      |SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END AS kind,
+      |  CAST(length(bin(d)) - 1 AS BIGINT) AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_nodes,
+      |  CAST(min(d) AS BIGINT) AS min_deg, CAST(max(d) AS BIGINT) AS max_deg
+      |FROM deg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val e0 = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    e0.select(col("c").as("node")).unionAll(e0.select(col("s").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      .groupBy(
+        when(col("node") % 2 === 0, "c").otherwise("s").as("kind"),
+        (length(bin(col("d"))) - 1).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("d")).as("min_deg"), max(col("d")).as("max_deg"))
+      .orderBy(col("kind"), col("bucket"))
+  }
+
+  val all: Seq[QueryDef] = Seq(graphPagerank, graphTriangles, graphComponents,
+    graphDegreeStats)
 }

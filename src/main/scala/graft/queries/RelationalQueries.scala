@@ -574,9 +574,92 @@ object RelationalQueries {
     }
   }
 
+  /** Time-series gap fill + forward fill (densification): per user, an
+    * hourly spine from first to last active hour (`sequence` + explode —
+    * generated, never stored), left-joined against the hourly aggregate,
+    * missing hours emitted with n_events = 0 and the value carried
+    * forward by `last(ignoreNulls)` over one (user, hour) window. The
+    * standard sensor/feature-store densification op the reference's
+    * pivot-era dense fill (A7) only approximates per station-hour.
+    *
+    * Scale shape (observed plan, PlanSpec-pinned): ONE hash exchange on
+    * user_id builds the span table; the spine explode (Generate) keeps
+    * that partitioning, the hourly aggregate broadcasts into the left
+    * join, and the forward-fill window reuses the spine's partitioning —
+    * zero exchanges between join and window. The spine is proportional
+    * to Σ per-key span, never wider than the output. At a scale where
+    * the hourly aggregate outgrows a broadcast, the join becomes a SMJ
+    * on (user_id, h) and the window re-exchanges on user_id — still one
+    * pass of output-sized data. A key whose span explodes (years of
+    * hours) is the same hot-key problem as A5 and takes the same chunked
+    * decomposition; here spans are bounded by the corpus window. First
+    * spine hour always has data (it IS min(h)), so the fill never emits
+    * a leading null.
+    */
+  val qGapFill: QueryDef = QueryDef.sql("q_gap_fill",
+    """WITH b AS (SELECT user_id, date_trunc('hour', ts) AS h,
+      |             count(*) AS n_events, sum(value) AS v
+      |           FROM events WHERE user_id % 25 = 0 GROUP BY 1, 2),
+      |sp AS (SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+      |       FROM (SELECT user_id, min(h) AS h0, max(h) AS h1 FROM b GROUP BY user_id)),
+      |j AS (SELECT sp.user_id, sp.h, b.n_events, b.v
+      |      FROM sp LEFT JOIN b ON b.user_id = sp.user_id AND b.h = sp.h)
+      |SELECT user_id, h, CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+      |  round(last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_ffill
+      |FROM j ORDER BY user_id, h""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val b = Tables.events(s, dir).where(col("user_id") % 25 === 0)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("v"))
+    val spine = b.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(b, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        round(last(col("v"), ignoreNulls = true).over(w), 6).as("v_ffill"))
+      .orderBy(col("user_id"), col("h"))
+  }
+
+  /** Changelog compaction (CDC latest-snapshot / SCD-1 merge read side):
+    * one row per key carrying the columns of its latest version, ordered
+    * by (ts, event_id) — event_id breaks timestamp ties deterministically.
+    * Implemented as a single `max(struct(ord..., payload...))` hash
+    * aggregate, NOT a row_number window: the aggregate partial-combines
+    * map-side (each task keeps one struct per local key, the shuffle
+    * moves one row per key per task) where the window formulation must
+    * shuffle EVERY version to its key's partition and sort — at 100 TB of
+    * changelog with high version-to-key ratios the aggregate is the only
+    * viable shape. Struct comparison is lexicographic, so leading
+    * (ts, event_id) decides and the payload fields ride along.
+    */
+  val qChangelogCompact: QueryDef = QueryDef.sql("q_changelog_compact",
+    """WITH r AS (SELECT user_id, ts, event_id, event_type, value,
+      |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+      |  count(*) OVER (PARTITION BY user_id) AS n_versions FROM events)
+      |SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+      |  event_type AS last_type, value AS last_value, n_versions
+      |FROM r WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        max(struct(col("ts"), col("event_id"), col("event_type"), col("value"))).as("m"),
+        count(lit(1)).as("n_versions"))
+      .select(col("user_id"), col("m.ts").as("last_ts"),
+        col("m.event_id").as("last_event_id"),
+        col("m.event_type").as("last_type"),
+        col("m.value").as("last_value"), col("n_versions"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(q1Agg, qJoinAgg, qBroadcastJoin, qTopk,
     qWindowRank, qSetops, qRollup, qDistinctAgg, qSemiJoin, qAntiJoin,
     qAsofJoin, qPercentileStats, qCube, qRunningSum, qRangeJoin,
     qProfileStats, qAboveAvg, qSaltedCount, qSqlTpch6, qUnpivot,
-    qGroupingSets, qCorrSubquery, qFullOuter, qBloomPrune)
+    qGroupingSets, qCorrSubquery, qFullOuter, qBloomPrune, qGapFill,
+    qChangelogCompact)
 }

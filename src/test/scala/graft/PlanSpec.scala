@@ -229,4 +229,29 @@ class PlanSpec extends SparkSpec {
     assert("hashpartitioning\\(qid".r.findAllIn(p).nonEmpty,
       s"pos/neg ranking not partitioned by query id in:\n$p")
   }
+
+  test("q_changelog_compact compacts via hash aggregate (map-side combine), never a window sort") {
+    // the whole point of the max(struct) formulation: no WindowExec —
+    // a row_number window would shuffle+sort every version per key
+    val p = plan(RelationalQueries.qChangelogCompact)
+    assert(!p.contains("Window"), s"changelog compaction fell back to a window in:\n$p")
+    assert("partial_max|HashAggregate".r.findAllIn(p).nonEmpty,
+      s"no hash aggregate in:\n$p")
+  }
+
+  test("q_gap_fill reuses one user_id partitioning for spine, join and forward-fill window") {
+    val df = RelationalQueries.qGapFill.run(spark, dir)
+    df.collect() // finalize AQE so exchange reuse is decided
+    // AQE toString appends the pre-adaptive "Initial Plan" — count the
+    // final plan section only or every exchange double-counts
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // exactly ONE single-key hashpartitioning(user_id) exchange: it
+    // feeds the span agg, survives the spine Generate, and the fill
+    // window consumes it with no re-exchange (the hourly agg broadcasts
+    // into the left join; its (user_id, h) exchange keys differently)
+    assert("hashpartitioning\\(user_id#\\d+L?, \\d".r.findAllIn(p).size === 1,
+      s"expected one user_id-only exchange in:\n$p")
+    assert(p.contains("Window"), s"no forward-fill window in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian spine join in:\n$p")
+  }
 }
