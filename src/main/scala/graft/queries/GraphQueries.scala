@@ -273,6 +273,97 @@ object GraphQueries {
       .orderBy(col("kind"), col("key"))
   }
 
+  /** Synchronous label-propagation core (Raghavan et al. 2007, made
+    * deterministic): labels start as node ids; each round every node
+    * adopts the label with the most votes among its neighbors' labels
+    * plus ONE self-vote, ties broken by smallest label. All-integer
+    * arithmetic — bit-exact across engines at any iteration count,
+    * unlike rank flow. Same per-round discipline as [[pagerank]]:
+    * labels broadcast against the cached edge table, eager
+    * localCheckpoint so a retry re-runs one round and the plan never
+    * deepens. Returns (node, label) after `iters` rounds.
+    */
+  def labelPropagation(undirected: org.apache.spark.sql.DataFrame,
+                       iters: Int): org.apache.spark.sql.DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = undirected.persist(mem)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint(eager = true)
+    for (_ <- 1 to iters) {
+      val votes = edges.join(broadcast(labels), col("src") === col("node"))
+        .select(col("dst").as("n2"), col("label"))
+        .unionAll(labels.select(col("node").as("n2"), col("label")))
+        .groupBy(col("n2"), col("label")).agg(count(lit(1)).as("c"))
+      labels = votes
+        .groupBy(col("n2"))
+        .agg(max(struct(col("c").as("c"), negate(col("label")).as("nl"))).as("m"))
+        .select(col("n2").as("node"), negate(col("m.nl")).as("label"))
+        .localCheckpoint(eager = true)
+    }
+    edges.unpersist(false)
+    labels
+  }
+
+  /** Label-propagation communities over the STRONG trade graph (the
+    * [[graphComponents]] support-≥3 edge set): 3 fixed synchronous
+    * rounds of majority-vote label adoption. Where CC answers "what is
+    * connected", LP answers "what is densely connected" — the standard
+    * cheap community detector for domain/topic grouping over a crawl
+    * graph. Deterministic by construction (integer votes, smallest-
+    * label tie-break, fixed rounds) so the oracle replays the identical
+    * 3 rounds as materialized CTEs and the hash compare is exact.
+    *
+    * Scale shape: per round, votes = one edge-table join against the
+    * |V|-row label table (broadcast here; at crawl scale drop the hint
+    * and pre-partition edges by src — the pagerank note applies
+    * verbatim) + two map-side-combinable aggregations keyed on the
+    * receiving node. Vote rows ∝ |E| per round, never |V|²; rounds
+    * don't multiply shuffled bytes.
+    */
+  val graphLabelProp: QueryDef = {
+    val minSup = 3
+    val iters = 3
+    def roundCte(i: Int): String = {
+      val p = i - 1
+      s"""v$i AS (SELECT node, label, sum(c) AS c FROM (
+         |   SELECT e.b AS node, r.label, CAST(count(*) AS BIGINT) AS c
+         |   FROM e JOIN r$p r ON r.node = e.a GROUP BY 1, 2
+         |   UNION ALL SELECT node, label, 1 FROM r$p) GROUP BY 1, 2),
+         |r$i AS (SELECT node, label FROM (
+         |   SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
+         |   FROM v$i) WHERE rn = 1)""".stripMargin
+    }
+    QueryDef.sql("graph_label_prop",
+      s"""WITH w AS (SELECT o_custkey AS c, l_suppkey AS s, count(*) AS n
+         |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1, 2),
+         |e0 AS (SELECT c * 2 AS a, s * 2 + 1 AS b FROM w WHERE n >= $minSup),
+         |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+         |nd AS (SELECT DISTINCT a AS node FROM e),
+         |r0 AS (SELECT node, node AS label FROM nd),
+         |${(1 to iters).map(roundCte).mkString(",\n")},
+         |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS comm_size FROM r$iters GROUP BY label)
+         |SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END AS kind,
+         |  node // 2 AS key, label, comm_size
+         |FROM r$iters JOIN sz USING (label) ORDER BY kind, key""".stripMargin) { (s, dir) =>
+      val pairs = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("i"), (col("l_suppkey") * 2 + 1).as("j"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= minSup)
+        .select(col("i"), col("j"))
+      val undirected = pairs.select(col("i").as("src"), col("j").as("dst"))
+        .unionAll(pairs.select(col("j").as("src"), col("i").as("dst")))
+      val labels = labelPropagation(undirected, iters)
+      val sz = labels.groupBy(col("label")).agg(count(lit(1)).as("comm_size"))
+      labels.join(sz, "label")
+        .select(when(col("node") % 2 === 0, "c").otherwise("s").as("kind"),
+          expr("node div 2").as("key"), col("label"), col("comm_size"))
+        .orderBy(col("kind"), col("key"))
+    }
+  }
+
   /** Log2-bucketed degree histogram of the bipartite trade graph — the
     * profile-before-you-pay step every expensive graph op (pagerank,
     * triangles, CC) should be preceded by at scale: the histogram tells
@@ -313,5 +404,5 @@ object GraphQueries {
   }
 
   val all: Seq[QueryDef] = Seq(graphPagerank, graphTriangles, graphComponents,
-    graphDegreeStats)
+    graphDegreeStats, graphLabelProp)
 }

@@ -75,6 +75,21 @@ class GraphSpec extends SparkSpec {
     assert(got._3 == brute.toLong, s"expected $brute triangles, got ${got._3}")
   }
 
+  test("label propagation: two triangles over a bridge resolve to two communities") {
+    import spark.implicits._
+    // triangle {0,1,2} — bridge 2-3 — triangle {3,4,5}; after 3 sync
+    // rounds (self-vote, min-label ties) each triangle holds one label
+    val und = Seq((0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (3, 5))
+      .flatMap { case (a, b) => Seq((a.toLong, b.toLong), (b.toLong, a.toLong)) }
+      .toDF("src", "dst")
+    val labels = graft.queries.GraphQueries.labelPropagation(und, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 6)
+    assert(Set(labels(0), labels(1), labels(2)).size == 1, s"left triangle split: $labels")
+    assert(Set(labels(3), labels(4), labels(5)).size == 1, s"right triangle split: $labels")
+    assert(labels(0) != labels(3), s"bridge merged the communities: $labels")
+  }
+
   test("mixture temperature: shares form a distribution and keep_p flattens the skew") {
     val rows = graft.queries.MlQueries.mlMixtureTemperature.run(spark, dir).collect()
     val share = rows.map(_.getAs[Double]("share"))
