@@ -346,11 +346,92 @@ object BicisQueries {
       .orderBy(col("cohort_week"), col("week_n"))
   }
 
+  /** Truncated exponential smoothing (EWMA, α = 0.5, 8-term horizon)
+    * over per-user hourly activity counts — the standard trend feature
+    * beside raw lags (`ml_lag_features`). α = 0.5 makes every weight an
+    * exact binary fraction (2^-(j+1)) and the counts are integers, so
+    * each product is exact in double; numerator and denominator are
+    * written as the identical left-associated chain on both engines —
+    * bit-reproducible without rounding tricks. Missing leading lags drop
+    * out of BOTH sums (renormalized partial window), so early rows are
+    * true partial-window averages, not zero-padded. Smoothing is over
+    * observed hours; compose with q_gap_fill's spine first when true-
+    * clock decay matters.
+    *
+    * Scale: one (user_id) exchange shared by the 7 lag evaluations in a
+    * single Window operator; everything else is map-side.
+    */
+  val seriesEwma: QueryDef = {
+    val horizon = 8 // current + 7 lags
+    // 0.5, 0.25, ... as exact decimal literals both engines parse identically
+    def w(j: Int): String = java.math.BigDecimal.valueOf(0.5).pow(j + 1).toPlainString
+    val lagCols = (1 until horizon).map(j => s"lag(c, $j) OVER w AS c$j").mkString(",\n      |  ")
+    // e0 suffix: DuckDB otherwise parses bare decimals as DECIMAL and the
+    // arithmetic diverges from Spark's double path
+    val num = (s"c * ${w(0)}e0" +: (1 until horizon).map(j => s"coalesce(c$j, 0) * ${w(j)}e0")).mkString(" + ")
+    val den = (s"${w(0)}e0" +: (1 until horizon).map(j =>
+      s"CASE WHEN c$j IS NULL THEN 0e0 ELSE ${w(j)}e0 END")).mkString(" + ")
+    QueryDef.sql("series_ewma",
+      s"""WITH h AS (SELECT user_id, date_trunc('hour', ts) AS h, CAST(count(*) AS BIGINT) AS c
+         |           FROM events WHERE user_id % 25 = 0 GROUP BY 1, 2),
+         |l AS (SELECT user_id, h, c,
+         |  $lagCols
+         |  FROM h WINDOW w AS (PARTITION BY user_id ORDER BY h))
+         |SELECT user_id, h, c AS n_events,
+         |  round(($num) / ($den), 6) AS ewma
+         |FROM l ORDER BY user_id, h""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val win = Window.partitionBy(col("user_id")).orderBy(col("h"))
+      val base = Tables.events(s, dir).where(col("user_id") % 25 === 0)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("c"))
+      val lagged = (1 until horizon).foldLeft(base) { (df, j) =>
+        df.withColumn(s"c$j", lag(col("c"), j).over(win))
+      }
+      val numE = (1 until horizon).foldLeft(col("c") * lit(w(0).toDouble): org.apache.spark.sql.Column) {
+        (acc, j) => acc + coalesce(col(s"c$j"), lit(0L)) * lit(w(j).toDouble)
+      }
+      val denE = (1 until horizon).foldLeft(lit(w(0).toDouble): org.apache.spark.sql.Column) {
+        (acc, j) => acc + when(col(s"c$j").isNull, lit(0.0)).otherwise(lit(w(j).toDouble))
+      }
+      lagged.select(col("user_id"), col("h"), col("c").as("n_events"),
+        round(numE / denE, 6).as("ewma"))
+        .orderBy(col("user_id"), col("h"))
+    }
+  }
+
+  /** SCD-2 history build from the event changelog: each version row gets
+    * its validity interval [valid_from, valid_to) via one lead() over
+    * (key, ts, id) and an is_current flag — the temporal-table
+    * construction that turns an append-only log into point-in-time
+    * joinable history (the write-side complement of
+    * `q_changelog_compact`'s read-side latest-snapshot).
+    *
+    * Scale: one exchange on the key, one pass; lead(1) holds one row of
+    * state per partition stream. Versions-per-key skew is the same A5
+    * hot-key class; intervals are emitted, never materialized as ranges.
+    */
+  val qScd2History: QueryDef = QueryDef.sql("q_scd2_history",
+    """SELECT user_id, event_id, event_type, value, ts AS valid_from,
+      |  lead(ts) OVER w AS valid_to,
+      |  CAST(lead(ts) OVER w IS NULL AS BIGINT) AS is_current
+      |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, valid_from, event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(w).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull.cast("long"))
+      .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     seriesWeekday, seriesHour, seriesMonth, seriesWeekdayReturns,
     seriesMonthReturns, seriesJoin, stationHourPivot,
     nextWindowTarget, nextWindowTargetChunked, tumblingHour,
     splitTraining, splitValidation, splitTesting,
     sessionize, qSessionWindow, qUnifyParse,
-    qConversionFunnel, qRetentionCohort)
+    qConversionFunnel, qRetentionCohort, seriesEwma, qScd2History)
 }

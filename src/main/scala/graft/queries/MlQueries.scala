@@ -514,8 +514,46 @@ object MlQueries {
     }
   }
 
+  /** Decile length-bucketing of the corpus — the pre-tokenization
+    * bucketing step that minimizes padding waste when batching
+    * variable-length documents (group similar lengths, pad to the
+    * bucket max, not the corpus max). Deliberately NOT a global
+    * `ntile(10)` window: that shape drags every row through one
+    * partition. Instead: one percentile aggregate computes the 9
+    * boundaries, broadcast to a map-only binning pass (count of
+    * boundaries strictly below the length) — the ml_zscore
+    * stats-then-broadcast discipline. Same result class as ntile up to
+    * boundary ties, at scan cost; at 100 TB swap the exact percentile
+    * for the mergeable quantile sketch (`sketch_quantiles`) and nothing
+    * else changes.
+    */
+  val mlLengthBuckets: QueryDef = {
+    val qs = (1 to 9).map(i => s"0.${i}").mkString(", ")
+    QueryDef.sql("ml_length_buckets",
+      s"""WITH b AS (SELECT quantile_cont(n_chars, [$qs]) AS bs FROM documents),
+         |a AS (SELECT d.doc_id, d.n_chars,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM unnest(b.bs) AS t(e) WHERE d.n_chars > e) AS bucket
+         |  FROM documents d, b)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(min(n_chars) AS BIGINT) AS min_chars, CAST(max(n_chars) AS BIGINT) AS max_chars
+         |FROM a GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val bounds = docs.agg(
+        expr(s"percentile(n_chars, array($qs))").as("bs"))
+      docs.select(col("doc_id"), col("n_chars"))
+        .crossJoin(broadcast(bounds))
+        .select(col("n_chars"),
+          size(filter(col("bs"), e => col("n_chars") > e)).cast("long").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("n_chars")).as("min_chars"), max(col("n_chars")).as("max_chars"))
+        .orderBy(col("bucket"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(hourRingFeatures, hourRingFeaturesReturns,
     mlDataset, mlPoissonPredict, mlZscore, mlLagFeatures, mlHashSplit,
     mlSampleStratified, mlPackSequences, mlMixtureSample, mlChunkDocuments,
-    mlQualityFunnel, mlSampleWeighted, mlMixtureTemperature, mlFeatureHash)
+    mlQualityFunnel, mlSampleWeighted, mlMixtureTemperature, mlFeatureHash,
+    mlLengthBuckets)
 }
