@@ -739,8 +739,53 @@ object DedupQueries {
     }
   }
 
+  /** Asymmetric CONTAINMENT dedup: C(A,B) = |A∩B| / |A| ≥ 0.8 — the
+    * doc-inside-doc detector (quote farms, boilerplate wrappers,
+    * re-posts with added headers) that the symmetric Jaccard tiers
+    * structurally miss: a small doc fully inside a big one has
+    * J ≈ |A|/|B| (arbitrarily low) but C(A,B) = 1.
+    *
+    * Candidates stay an equi-join with ZERO recall loss via the
+    * containment form of the prefix pigeonhole: if C(A,B) ≥ t then
+    * fewer than (1-t)·|A|+1 of A's shingles miss B, so any
+    * floor((1-t)·n)+1 of A's shingles must hit B — A's prefix joins
+    * against B's FULL token list (not B's prefix: containment has no
+    * size-ratio bound, which is also why the Jaccard tier's
+    * 4·max ≤ 5·min filter is absent here). The full-list side is the
+    * price of asymmetry: |corpus tokens| join rows instead of prefix ×
+    * prefix — still linear in corpus shingles, never O(n²) pairs.
+    * Reuses the session signature memo ([[docHashes]]); emits directed
+    * (contained i, container j) pairs.
+    */
+  val dedupContainment: QueryDef = QueryDef.sql("dedup_containment",
+    s"""WITH $hashCte,
+       |prea AS (SELECT doc_id, n, unnest(hs[1 : CAST(floor(0.2 * n) + 1 AS INT)]) AS tok FROM hs),
+       |alltok AS (SELECT doc_id, unnest(hs) AS tok FROM hs),
+       |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |         FROM prea a JOIN alltok b ON a.tok = b.tok AND a.doc_id != b.doc_id),
+       |pairs AS (SELECT c.i, c.j,
+       |  round(len(list_intersect(x.hs, y.hs))::DOUBLE / len(x.hs), 6) AS containment
+       |  FROM cand c JOIN hs x ON x.doc_id = c.i JOIN hs y ON y.doc_id = c.j)
+       |SELECT i, j, containment FROM pairs WHERE containment >= 0.8 ORDER BY i, j""".stripMargin) { (s, dir) =>
+    val hs = docHashes(s, dir)
+    val pre = hs.select(col("doc_id").as("i"),
+      explode(expr("slice(hs, 1, CAST(floor(0.2 * n) + 1 AS INT))")).as("tok"))
+    val alltok = hs.select(col("doc_id").as("j"), explode(col("hs")).as("tok"))
+    val cand = pre.join(alltok, Seq("tok"))
+      .where(col("i") =!= col("j"))
+      .select(col("i"), col("j")).distinct()
+    cand
+      .join(hs.select(col("doc_id").as("i"), col("hs").as("ha")), "i")
+      .join(hs.select(col("doc_id").as("j"), col("hs").as("hb")), "j")
+      .withColumn("containment",
+        round(size(array_intersect(col("ha"), col("hb"))).cast("double") / size(col("ha")), 6))
+      .where(col("containment") >= 0.8)
+      .select(col("i"), col("j"), col("containment"))
+      .orderBy(col("i"), col("j"))
+  }
+
   val all: Seq[QueryDef] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhash, dedupClusters, dedupSurvivors, dedupBestSurvivor,
     dedupDecontaminate, dedupIncremental, dedupSubstring, dedupLines,
-    dedupSortedNeighborhood)
+    dedupSortedNeighborhood, dedupContainment)
 }

@@ -86,7 +86,9 @@ class PlanSpec extends SparkSpec {
       // per-source stats rows
       "ml_mixture_temperature",
       // one-row vocab-size scalar broadcast into every scored bigram row
-      "text_lm_score")
+      "text_lm_score",
+      // one-row percentile-boundaries broadcast into the map-only binning scan
+      "ml_length_buckets")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>
