@@ -459,6 +459,112 @@ object EmbedQueries {
     }
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the corpus, compare pairs only WITHIN a
+    * cluster, and inside each near-duplicate pair keep the member
+    * FARTHEST from its cluster centroid (the paper's diversity-keeping
+    * policy) — the embedding-space dedup tier beside
+    * [[dedupEmbedCosine]]'s LSH buckets, catching paraphrases and
+    * template re-writes whose token shingles share nothing.
+    *
+    * Execution shape: cells are the per-label centroids the IVF index
+    * family already maintains; the k×d centroid table is a driver-side
+    * tiny summary (S10 policy, 640 doubles), each component ROUNDED to
+    * 6 dp so both engines assign from bit-identical literals (the
+    * embed_kmeans discipline — unrounded avg() drift would flip
+    * boundary argmins). Assignment is then a MAP-ONLY pass (k native
+    * vec_dot distances per row against plan literals — no join, no
+    * shuffle); candidate pairs are an equi-join on the assigned cell
+    * (never all-pairs); the drop rule is a purely LOCAL pairwise
+    * policy (no connected components): x is dropped iff some
+    * cell-mate y with pair cosine ≥ τ sits strictly farther from the
+    * centroid (ties → lower vec_id survives). At 100 TB the cell count
+    * scales with n (SemDeDup runs tens of thousands of k-means cells)
+    * so per-cell pair volume stays bounded; everything else — literal
+    * broadcast, map-only assign, cell equi-join — is unchanged.
+    */
+  val dedupSemantic: QueryDef = {
+    val tau = 0.35; val dim = 64
+    def duckD2(vc: String, cc: String): String =
+      s"""list_sum([$vc[i] * $vc[i] for i in range(1, ${dim + 1})]) +
+         |      list_sum([$cc[i] * $cc[i] for i in range(1, ${dim + 1})]) -
+         |      2 * list_sum([$vc[i] * $cc[i] for i in range(1, ${dim + 1})])""".stripMargin
+    QueryDef.sql("dedup_semantic",
+      s"""WITH $duckVectors,
+         |e AS (SELECT vec_id, label, i, v[i] AS x FROM v, range(1, ${dim + 1}) r(i)),
+         |cent AS (SELECT label, i, round(avg(x), 6) AS c FROM e GROUP BY 1, 2),
+         |ca AS (SELECT label, list(c ORDER BY i) AS carr FROM cent GROUP BY label),
+         |d AS (SELECT v.vec_id, v.v, ca.label AS cell, ca.carr,
+         |        round(${duckD2("v.v", "ca.carr")}, 6) AS d2
+         |      FROM v, ca),
+         |a AS (SELECT vec_id, v, cell, carr FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
+         |        FROM d) WHERE rk = 1),
+         |cs AS (SELECT vec_id, cell, v, ${duckCos("v", "carr")} AS cent_sim FROM a),
+         |p AS (SELECT x.cell, x.vec_id AS i, x.cent_sim AS si,
+         |             y.vec_id AS j, y.cent_sim AS sj, ${duckCos("x.v", "y.v")} AS sim
+         |      FROM cs x JOIN cs y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+         |t AS (SELECT * FROM p WHERE sim >= $tau),
+         |sym AS (SELECT cell, i AS a, si AS sa, j AS b, sj AS sb, sim FROM t
+         |        UNION ALL
+         |        SELECT cell, j, sj, i, si, sim FROM t),
+         |drp AS (SELECT cell, a AS vec_id, sa AS cent_sim, sim FROM sym
+         |        WHERE sb < sa OR (sb = sa AND b < a))
+         |SELECT cell, vec_id, cent_sim, CAST(count(*) AS BIGINT) AS n_better,
+         |  max(sim) AS best_sim
+         |FROM drp GROUP BY 1, 2, 3 ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val v = Similarity.vectors(Tables.embeddings(s, dir))
+      // k x d tiny summary, round-6 per component (bit-shared with the
+      // oracle's cent CTE), ascending label order
+      val cents: Seq[(Int, Seq[Double])] = v
+        .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("label"), col("i")).agg(round(avg(col("x")), 6).as("c"))
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, c))), p -> p.c)").as("carr"))
+        .collect().toSeq
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+      val cellIds = cents.map(_._1.toLong)
+      val ccNorms = cents.map { case (_, c) =>
+        var cn = 0.0; c.foreach(x => cn += x * x); cn // ascending fold = list_sum parity
+      }
+      val dists = cents.zip(ccNorms).map { case ((_, c), cn) =>
+        round(Similarity.dot("v", "v") + lit(cn)
+          - lit(2.0) * Similarity.dotConst("v", c), 6)
+      }
+      val centSims = cents.zip(ccNorms).map { case ((_, c), cn) =>
+        val den = Similarity.l2("v") * lit(math.sqrt(cn))
+        when(den === 0.0, lit(null))
+          .otherwise(round(Similarity.dotConst("v", c) / den, 6))
+      }
+      val cs = v
+        .withColumn("dists", array(dists: _*))
+        .withColumn("pos", expr("array_position(dists, array_min(dists))").cast("int"))
+        .withColumn("cell", element_at(typedLit(cellIds), col("pos")).cast("int"))
+        .withColumn("cent_sim", element_at(array(centSims: _*), col("pos")))
+        .withColumn("nrm", Similarity.l2("v"))
+        .select(col("vec_id"), col("cell"), col("v"), col("cent_sim"), col("nrm"))
+      val x = cs.select(col("vec_id").as("i"), col("cell"), col("v").as("va"),
+        col("cent_sim").as("si"), col("nrm").as("na")).alias("x")
+      val y = cs.select(col("vec_id").as("j"), col("cell"), col("v").as("vb"),
+        col("cent_sim").as("sj"), col("nrm").as("nb")).alias("y")
+      val t = x.join(y, col("x.cell") === col("y.cell") && col("i") < col("j"))
+        .withColumn("den", col("na") * col("nb"))
+        .withColumn("sim", when(col("den") === 0.0, lit(null))
+          .otherwise(round(Similarity.dot("va", "vb") / col("den"), 6)))
+        .where(col("sim") >= tau)
+        .select(col("x.cell").as("cell"), col("i"), col("si"), col("j"), col("sj"), col("sim"))
+      val sym = t.select(col("cell"), col("i").as("a"), col("si").as("sa"),
+          col("j").as("b"), col("sj").as("sb"), col("sim"))
+        .unionByName(t.select(col("cell"), col("j").as("a"), col("sj").as("sa"),
+          col("i").as("b"), col("si").as("sb"), col("sim")))
+      sym.where(col("sb") < col("sa") || (col("sb") === col("sa") && col("b") < col("a")))
+        .groupBy(col("cell"), col("a").as("vec_id"), col("sa").as("cent_sim"))
+        .agg(count(lit(1)).as("n_better"), max(col("sim")).as("best_sim"))
+        .orderBy(col("vec_id"))
+    }
+  }
+
   /** Symmetric int8 quantization (the ANN memory-cut pass): per vector,
     * scale = 127 / max|x|, q_i = floor(x_i*scale + 0.5) — floor(+0.5)
     * instead of round() because double→int rounding diverges between
@@ -914,7 +1020,7 @@ object EmbedQueries {
 
   val all: Seq[QueryDef] = Seq(embedKnnBrute, embedKnnLsh, embedCentroids,
     multimodalMeta, multimodalFramesample, multimodalResize, embedNorms,
-    embedKnnIvf, dedupEmbedCosine, embedQuantize, embedLshRecall,
+    embedKnnIvf, dedupEmbedCosine, dedupSemantic, embedQuantize, embedLshRecall,
     embedHyperplaneRecall, embedBandedRecall, embedKnnPq,
     embedMultiprobeRecall, multimodalFeatures, embedHardNegatives,
     embedRandomProjection, embedKmeans, embedPca)

@@ -235,4 +235,25 @@ class SimilaritySpec extends SparkSpec {
     assert(got.getLong(3) === 12L, s"hard negative: $got")
     assert(got.getDouble(5) > 0.0, s"margin: $got")
   }
+
+  test("semantic dedup keeps the member farthest from the centroid, planted geometry") {
+    import spark.implicits._
+    // Cell 0 (label 0): a=(1,0), b=(0.8,0.6), c=(0.6,0.8) — all three
+    // pairs clear tau=0.35 (cosines 0.8, 0.6, 0.96). Centroid points at
+    // ~30.2 deg, so cent_sim ranks b (6.6 deg off) > c (22.9) > a (30.2):
+    // a survives (farthest), c is outranked only by a (n_better=1),
+    // b by both (n_better=2). Label 1's lone vector is its own centroid
+    // (no pairs) and far enough that cells never mix.
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f), 0),
+      (1L, Array(0.8f, 0.6f), 0),
+      (2L, Array(0.6f, 0.8f), 0),
+      (100L, Array(0.0f, -1.0f), 1))
+    val tmp = java.nio.file.Files.createTempDirectory("semdedup").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = graft.queries.EmbedQueries.dedupSemantic.run(spark, tmp)
+      .select("vec_id", "n_better").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 2L), (2L, 1L)), s"dropped set: $got")
+  }
 }
