@@ -403,6 +403,81 @@ object GraphQueries {
       .orderBy(col("kind"), col("bucket"))
   }
 
+  /** Neighborhood-Jaccard similarity (Liben-Nowell & Kleinberg 2003's
+    * link-prediction score) between SUPPLIERS through their shared
+    * customer base — the item-item collaborative-filtering shape:
+    * J(s₁,s₂) = |C(s₁)∩C(s₂)| / |C(s₁)∪C(s₂)| over the distinct
+    * bipartite trade graph, ranked global top-100.
+    *
+    * Execution shape: common-customer counting is ONE wedge self-join
+    * through the shared customer — deliberately the LOW-degree side
+    * (customers buy from ~tens of suppliers; a supplier serves
+    * hundreds): wedge volume is Σ_c d_c², not the Σ_s d_s² a
+    * supplier-side pivot would cost (~15× more here, and the gap
+    * widens with catalog skew — the orientation discipline
+    * [[graphTriangles]] applies per-edge, applied side-wise). The
+    * ≥2-common significance floor lands in the wedge HAVING, before
+    * degrees or scores are touched; union size needs no set
+    * materialization (|A∪B| = d₁ + d₂ − common; the supplier degree
+    * table is broadcast-sized by construction). The result is the
+    * global top-100 by (J, common, ids) — an absolute J cutoff
+    * degenerates across densities (measured on the support-3 strong
+    * graph: 7892 rows at sf0.001, zero at sf0.1), while a ranked head
+    * is what a recommender consumes; row_number + rank≤100 gets
+    * WindowGroupLimit pushdown, so every task forwards ≤100 rows to
+    * the final cut. At crawl scale the standard extra move is capping
+    * super-hub customers before the wedge join (a hub contributes d²
+    * pairs and near-zero Jaccard evidence).
+    */
+  val graphJaccard: QueryDef = {
+    val minCommon = 2; val topK = 100
+    QueryDef.sql("graph_jaccard",
+      s"""WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+         |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |deg AS (SELECT s, count(*) AS d FROM e GROUP BY s),
+         |wed AS (SELECT e1.s AS u, e2.s AS v, count(*) AS common
+         |        FROM e e1 JOIN e e2 ON e1.c = e2.c AND e1.s < e2.s
+         |        GROUP BY 1, 2 HAVING count(*) >= $minCommon),
+         |sc AS (SELECT u, v, common,
+         |         round(common::DOUBLE / (du.d + dv.d - common), 6) AS jaccard
+         |       FROM wed JOIN deg du ON du.s = u JOIN deg dv ON dv.s = v),
+         |r AS (SELECT *, CAST(row_number() OVER (
+         |         ORDER BY jaccard DESC, common DESC, u, v) AS BIGINT) AS rnk FROM sc)
+         |SELECT rnk, u AS supp_a, v AS supp_b, CAST(common AS BIGINT) AS common, jaccard
+         |FROM r WHERE rnk <= $topK ORDER BY rnk""".stripMargin) { (s, dir) =>
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // distinct (customer, supplier) edge table evaluated once: it
+      // feeds the wedge join twice and the degree table
+      val e = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sk"))
+        .distinct()
+        .persist(mem)
+      val deg = e.groupBy(col("sk").as("n")).agg(count(lit(1)).as("d"))
+      val wed = e.as("e1").join(e.as("e2"),
+          col("e1.c") === col("e2.c") && col("e1.sk") < col("e2.sk"))
+        .groupBy(col("e1.sk").as("u"), col("e2.sk").as("v"))
+        .agg(count(lit(1)).as("common"))
+        .where(col("common") >= minCommon)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("jaccard").desc, col("common").desc, col("u"), col("v"))
+      val out = wed
+        .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+        .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+        .withColumn("jaccard",
+          round(col("common").cast("double") / (col("du") + col("dv") - col("common")), 6))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where(col("rnk") <= topK)
+        .select(col("rnk"), col("u").as("supp_a"), col("v").as("supp_b"),
+          col("common"), col("jaccard"))
+        .orderBy(col("rnk"))
+      val rows = out.localCheckpoint(eager = true)
+      e.unpersist(false)
+      rows
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(graphPagerank, graphTriangles, graphComponents,
-    graphDegreeStats, graphLabelProp)
+    graphDegreeStats, graphLabelProp, graphJaccard)
 }

@@ -90,6 +90,34 @@ class GraphSpec extends SparkSpec {
     assert(labels(0) != labels(3), s"bridge merged the communities: $labels")
   }
 
+  test("supplier jaccard: ranked head is contiguous, monotone, and degree-consistent") {
+    val rows = graft.queries.GraphQueries.graphJaccard.run(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // contiguous rank 1..n in emit order
+    assert(rows.map(_.getAs[Long]("rnk")).toSeq === (1L to rows.length).toSeq)
+    // scores weakly decrease along the ranking and live in (0, 1]
+    val js = rows.map(_.getAs[Double]("jaccard"))
+    assert(js.forall(j => j > 0.0 && j <= 1.0))
+    assert(js.zip(js.tail).forall { case (a, b) => a >= b }, "jaccard not sorted")
+    // every row's score reconstructs from independently recomputed degrees
+    val e = graft.core.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(graft.core.Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("sk")).distinct()
+    val deg = e.groupBy("sk").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (a, b, common) = (r.getAs[Long]("supp_a"), r.getAs[Long]("supp_b"),
+        r.getAs[Long]("common"))
+      val expect = BigDecimal(common.toDouble / (deg(a) + deg(b) - common))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("jaccard") === expect, s"row $r")
+      assert(common >= 2 && a < b)
+    }
+  }
+
   test("mixture temperature: shares form a distribution and keep_p flattens the skew") {
     val rows = graft.queries.MlQueries.mlMixtureTemperature.run(spark, dir).collect()
     val share = rows.map(_.getAs[Double]("share"))
