@@ -203,6 +203,55 @@ object EmbedQueries {
       .orderBy(col("qid"))
   }
 
+  /** Per-query recall@5 of the PQ/ADC ranking against exact squared-L2
+    * over arbitrary (qid, qv) / (nid, cv) frames — the RecallProbe
+    * entry for the PQ tier ([[embedPqRecall]] is the oracle-checked
+    * single point on the corpus frame). Codebook = the kCodes
+    * lowest-id candidate rows per subspace, the gate query's
+    * training-free convention.
+    */
+  private[graft] def pqRecallFrames(q0: org.apache.spark.sql.DataFrame,
+                                    c0: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (m, dsub, kCodes) = (8, 8, 16)
+    def slices(df: org.apache.spark.sql.DataFrame, idCol: String, vCol: String, idOut: String) =
+      pqSubSlices(df.select(col(idCol).as("vec_id"), col(vCol).as("v")), idOut, m, dsub)
+    val cbBase = c0.orderBy(col("nid")).limit(kCodes)
+      .withColumn("code", row_number().over(Window.orderBy(col("nid"))) - 1)
+    val cb = slices(cbBase, "nid", "cv", "cbid")
+      .join(broadcast(cbBase.select(col("nid").as("cbid"), col("code"))), "cbid")
+      .select(col("code"), col("sub"), col("svec").as("cvec"))
+    val enc = slices(c0, "nid", "cv", "nid")
+      .join(broadcast(cb), "sub")
+      .withColumn("d", pqSqDist("svec", "cvec"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("nid"), col("sub")).orderBy(col("d"), col("code"))))
+      .where(col("rn") === 1)
+      .select(col("nid"), col("sub"), col("code"))
+    val adc = slices(q0, "qid", "qv", "qid")
+      .join(broadcast(cb), "sub")
+      .select(col("qid"), col("sub"), col("code"),
+        pqSqDist("svec", "cvec").cast("decimal(18,6)").as("qd"))
+    val approx = enc.join(broadcast(adc), Seq("sub", "code"))
+      .groupBy(col("qid"), col("nid")).agg(sum(col("qd")).as("sd"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("sd"), col("nid"))))
+      .where(col("rnk") <= 5)
+      .select(col("qid").as("lqid"), col("nid").as("lnid"))
+    val brute = c0.crossJoin(broadcast(q0))
+      .withColumn("d", pqSqDist("qv", "cv"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("d"), col("nid"))))
+      .where(col("rnk") <= 5)
+      .select(col("qid"), col("nid"))
+    brute.join(approx,
+        brute("qid") === approx("lqid") && brute("nid") === approx("lnid"), "left")
+      .groupBy(col("qid"))
+      .agg(count(col("lnid")).as("n_hit"),
+        round(count(col("lnid")) / 5.0, 6).as("recall"))
+      .orderBy(col("qid"))
+  }
+
   /** Recall@5 of the PRODUCTION ANN tier — random-hyperplane LSH
     * (Similarity.hyperplaneBucket, seeded murmur3 planes) — against the
     * exact brute-force top-5. Oracle trick: the planes are pure
@@ -669,6 +718,23 @@ object EmbedQueries {
     * (row_number, both engines); ADC sums are exact DECIMAL(18,6) so
     * addition order can't drift the ranking; final rank tiebreaks nid.
     */
+  /** (id, sub, svec): one row per subspace, the dim-`dsub` slice. */
+  private def pqSubSlices(df: org.apache.spark.sql.DataFrame, idOut: String,
+                          m: Int, dsub: Int): org.apache.spark.sql.DataFrame = df
+    .select(col("vec_id").as(idOut), explode(expr(
+      s"transform(sequence(0, ${m - 1}), s -> struct(s AS sub, slice(v, s * $dsub + 1, $dsub) AS svec))"))
+      .as("sc"))
+    .select(col(idOut), col("sc.sub").as("sub"), col("sc.svec").as("svec"))
+
+  /** Same rearranged ‖a−b‖² as embed_centroids (identical folds and
+    * (a+b)−2c association in the oracle) so both engines round the
+    * same double; squared distance — PQ never needs the sqrt.
+    */
+  private def pqSqDist(a: String, b: String): org.apache.spark.sql.Column =
+    round(greatest(
+      Similarity.dot(a, a) + Similarity.dot(b, b) -
+        lit(2) * Similarity.dot(a, b), lit(0.0)), 6)
+
   val embedKnnPq: QueryDef = {
     val (m, dsub, kCodes) = (8, 8, 16)
     def duckSqDist(a: String, b: String): String =
@@ -705,18 +771,9 @@ object EmbedQueries {
          |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val v = Similarity.vectors(Tables.embeddings(s, dir))
-      // (id, sub, svec): one row per subspace, the dim-8 slice
-      def subSlices(df: org.apache.spark.sql.DataFrame, idOut: String) = df
-        .select(col("vec_id").as(idOut), explode(expr(
-          s"transform(sequence(0, ${m - 1}), s -> struct(s AS sub, slice(v, s * $dsub + 1, $dsub) AS svec))"))
-          .as("sc"))
-        .select(col(idOut), col("sc.sub").as("sub"), col("sc.svec").as("svec"))
-      // Same rearranged ‖a−b‖² as embed_centroids (identical folds and
-      // (a+b)−2c association in the oracle) so both engines round the
-      // same double; squared distance — PQ never needs the sqrt.
-      def sqDist(a: String, b: String) = round(greatest(
-        Similarity.dot(a, a) + Similarity.dot(b, b) -
-          lit(2) * Similarity.dot(a, b), lit(0.0)), 6)
+      def subSlices(df: org.apache.spark.sql.DataFrame, idOut: String) =
+        pqSubSlices(df, idOut, m, dsub)
+      def sqDist(a: String, b: String) = pqSqDist(a, b)
       val cb = subSlices(
         v.where(col("vec_id") >= 10 && col("vec_id") < 10 + kCodes), "cbid")
         .select((col("cbid") - 10).as("code"), col("sub"), col("svec").as("cvec"))
@@ -738,6 +795,99 @@ object EmbedQueries {
         .where(col("rnk") <= 3)
         .select(col("qid"), col("nid"), col("sd").cast("double").as("adist"), col("rnk"))
         .orderBy(col("qid"), col("rnk"))
+    }
+  }
+
+  /** Recall@5 of the PQ/ADC ranking against EXACT squared-L2 top-5 —
+    * the measurement gate the other index tiers already carry
+    * (embed_lsh/hyperplane/banded/multiprobe_recall): it prices what
+    * the 128× memory cut costs in ranking fidelity, per query. The
+    * exact arm ranks candidates by the same round-6 rearranged ‖q−c‖²
+    * the encoder uses (PQ approximates L2, so cosine would gate the
+    * wrong metric); the approximate arm is the identical
+    * encode-once / ADC-lookup pipeline as [[embedKnnPq]] (shared
+    * [[pqSubSlices]]/[[pqSqDist]] kernels, DECIMAL(18,6) ADC sums so
+    * addition order can't drift the ranking). Candidate-side cost is
+    * unchanged from the production query — the gate adds only the
+    * 10-query brute scan.
+    */
+  val embedPqRecall: QueryDef = {
+    val (m, dsub, kCodes) = (8, 8, 16)
+    def duckSqDist(a: String, b: String): String =
+      s"""round(greatest(list_sum([$a[i] * $a[i] for i in range(1, len($a) + 1)]) +
+         |  list_sum([$b[i] * $b[i] for i in range(1, len($b) + 1)]) -
+         |  2 * list_sum([$a[i] * $b[i] for i in range(1, len($a) + 1)]), 0), 6)""".stripMargin
+    QueryDef.sql("embed_pq_recall",
+      s"""WITH $duckVectors,
+         |cb AS (SELECT vec_id - 10 AS code, s.sub,
+         |         v[s.sub * $dsub + 1 : s.sub * $dsub + $dsub] AS cvec
+         |       FROM v CROSS JOIN range(0, $m) s(sub)
+         |       WHERE vec_id >= 10 AND vec_id < ${10 + kCodes}),
+         |cs AS (SELECT c.nid, s.sub, c.v[s.sub * $dsub + 1 : s.sub * $dsub + $dsub] AS svec
+         |       FROM (SELECT vec_id AS nid, v FROM v WHERE vec_id >= 10) c
+         |       CROSS JOIN range(0, $m) s(sub)),
+         |enc0 AS (SELECT nid, cs.sub, cb.code, ${duckSqDist("svec", "cvec")} AS d
+         |         FROM cs JOIN cb ON cs.sub = cb.sub),
+         |enc AS (SELECT nid, sub, code FROM
+         |          (SELECT nid, sub, code,
+         |             row_number() OVER (PARTITION BY nid, sub ORDER BY d, code) AS rn
+         |           FROM enc0) WHERE rn = 1),
+         |qs AS (SELECT q.qid, s.sub, q.v[s.sub * $dsub + 1 : s.sub * $dsub + $dsub] AS svec
+         |       FROM (SELECT vec_id AS qid, v FROM v WHERE vec_id < 10) q
+         |       CROSS JOIN range(0, $m) s(sub)),
+         |adc AS (SELECT qid, qs.sub, cb.code,
+         |          CAST(${duckSqDist("svec", "cvec")} AS DECIMAL(18,6)) AS qd
+         |        FROM qs JOIN cb ON qs.sub = cb.sub),
+         |p AS (SELECT qid, nid, sum(qd) AS sd
+         |      FROM enc JOIN adc USING (sub, code) GROUP BY 1, 2),
+         |lr AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sd, nid) AS rnk FROM p),
+         |lt AS (SELECT qid, nid FROM lr WHERE rnk <= 5),
+         |bp AS (SELECT q.vec_id AS qid, c.vec_id AS nid, ${duckSqDist("q.v", "c.v")} AS d
+         |       FROM v q, v c WHERE q.vec_id < 10 AND c.vec_id >= 10),
+         |br AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rnk FROM bp),
+         |bt AS (SELECT qid, nid FROM br WHERE rnk <= 5)
+         |SELECT bt.qid, CAST(count(lt.nid) AS BIGINT) AS n_hit,
+         |  round(count(lt.nid) / 5.0, 6) AS recall
+         |FROM bt LEFT JOIN lt ON bt.qid = lt.qid AND bt.nid = lt.nid
+         |GROUP BY bt.qid ORDER BY bt.qid""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = Similarity.vectors(Tables.embeddings(s, dir))
+      val cb = pqSubSlices(
+        v.where(col("vec_id") >= 10 && col("vec_id") < 10 + kCodes), "cbid", m, dsub)
+        .select((col("cbid") - 10).as("code"), col("sub"), col("svec").as("cvec"))
+      val enc = pqSubSlices(v.where(col("vec_id") >= 10), "nid", m, dsub)
+        .join(broadcast(cb), "sub")
+        .withColumn("d", pqSqDist("svec", "cvec"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("nid"), col("sub")).orderBy(col("d"), col("code"))))
+        .where(col("rn") === 1)
+        .select(col("nid"), col("sub"), col("code"))
+      val adc = pqSubSlices(v.where(col("vec_id") < 10), "qid", m, dsub)
+        .join(broadcast(cb), "sub")
+        .select(col("qid"), col("sub"), col("code"),
+          pqSqDist("svec", "cvec").cast("decimal(18,6)").as("qd"))
+      val approx = enc.join(broadcast(adc), Seq("sub", "code"))
+        .groupBy(col("qid"), col("nid")).agg(sum(col("qd")).as("sd"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("sd"), col("nid"))))
+        .where(col("rnk") <= 5)
+        .select(col("qid").as("lqid"), col("nid").as("lnid"))
+      val q = v.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val brute = v.where(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("v").as("cv"))
+        .crossJoin(broadcast(q))
+        .withColumn("d", pqSqDist("qv", "cv"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("d"), col("nid"))))
+        .where(col("rnk") <= 5)
+        .select(col("qid"), col("nid"))
+      brute.join(approx,
+          brute("qid") === approx("lqid") && brute("nid") === approx("lnid"), "left")
+        .groupBy(col("qid"))
+        .agg(count(col("lnid")).as("n_hit"),
+          round(count(col("lnid")) / 5.0, 6).as("recall"))
+        .orderBy(col("qid"))
     }
   }
 
@@ -1022,6 +1172,6 @@ object EmbedQueries {
     multimodalMeta, multimodalFramesample, multimodalResize, embedNorms,
     embedKnnIvf, dedupEmbedCosine, dedupSemantic, embedQuantize, embedLshRecall,
     embedHyperplaneRecall, embedBandedRecall, embedKnnPq,
-    embedMultiprobeRecall, multimodalFeatures, embedHardNegatives,
+    embedMultiprobeRecall, embedPqRecall, multimodalFeatures, embedHardNegatives,
     embedRandomProjection, embedKmeans, embedPca)
 }

@@ -71,7 +71,7 @@ class PlanSpec extends SparkSpec {
     // cell assignment, and recall's exact arm
     val intentional = Set("embed_knn_brute", "embed_knn_ivf", "embed_lsh_recall",
       "embed_hyperplane_recall", "embed_banded_recall", "embed_multiprobe_recall",
-      "embed_hard_negatives",
+      "embed_pq_recall", "embed_hard_negatives",
       // one-row corpus-size scalar broadcast into every tf row
       "text_tfidf_top",
       // one-row sketch buffer broadcast into the 20 probe rows
