@@ -18,10 +18,14 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark 4 does
-    * not model natively. We read nanos as long (dynamic legacy conf) and
-    * truncate to microsecond timestamps with exact integer division —
-    * matching DuckDB's ns→µs truncation, so oracle parity holds.
+  /** `events.ts` normalization. The generator has shipped two encodings:
+    * parquet TIMESTAMP(NANOS) (read nanos-as-long via the legacy conf,
+    * truncated to µs — matching DuckDB's ns→µs truncation) and untagged
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false, which Spark 4 reads as
+    * TIMESTAMP_NTZ (`spark.sql.parquet.inferTimestampNTZ.enabled` default).
+    * Either way the engine's contract is a session-zone (UTC) instant
+    * timestamp — the NTZ cast preserves the wall clock under the pinned
+    * UTC session zone, so oracle parity holds unchanged.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -30,6 +34,9 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
   }
