@@ -478,6 +478,156 @@ object GraphQueries {
     }
   }
 
+  /** k-core decomposition (k = 4) of the bipartite trade graph by
+    * synchronous peeling (Matula & Beck 1983's algorithm, batched):
+    * each round recomputes degrees and drops every node with degree
+    * < k, until the subgraph is stable — what survives is the maximal
+    * subgraph where every node keeps >= k neighbors, the standard
+    * "dense core vs tendril" split for crawl-graph quality tiers
+    * (a page in a high core is structurally endorsed; degree alone is
+    * spoofable by one spammy hub).
+    *
+    * Both engines run the identical FIXED round count (peeling is
+    * monotone — once stable, further rounds are no-ops, so a fixed
+    * bound ≥ the peel depth is exact; GraphSpec pins convergence on
+    * the fixtures and deep-peel chains). Scale shape per round: one
+    * map-side-combinable degree aggregation + two semi-joins of the
+    * edge table against the |V|-sized survivor set (broadcast here;
+    * at crawl scale pre-partition edges by src and let the survivor
+    * filter shuffle to match — the pagerank note verbatim). Rounds
+    * move |E| rows at most; nothing is ever quadratic. Eager
+    * localCheckpoint per round keeps the plan one round deep (the
+    * Components.connectedComponents lineage discipline).
+    */
+  val graphKcore: QueryDef = {
+    val k = 4; val rounds = 8
+    def roundCte(i: Int): String = {
+      val p = i - 1
+      // MATERIALIZED is load-bearing on every round CTE: DuckDB inlines
+      // plain CTEs per reference, and e_i references e_{i-1} three times
+      // (scan + two survivor subqueries) — 8 un-materialized rounds
+      // expand to ~4^8 copies of the base scan and exhaust the fd limit
+      s"""k$i AS MATERIALIZED (SELECT a FROM (SELECT a, count(*) AS d FROM e$p GROUP BY a)
+         |        WHERE d >= $k),
+         |e$i AS MATERIALIZED (SELECT e.a, e.b FROM e$p e
+         |        WHERE e.a IN (SELECT a FROM k$i) AND e.b IN (SELECT a FROM k$i))""".stripMargin
+    }
+    QueryDef.sql("graph_kcore",
+      s"""WITH ec AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+         |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e0 AS MATERIALIZED (SELECT a, b FROM ec UNION ALL SELECT b, a FROM ec),
+         |${(1 to rounds).map(roundCte).mkString(",\n")},
+         |fin AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS core_deg
+         |        FROM e$rounds GROUP BY a)
+         |SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END AS kind,
+         |  node // 2 AS key, core_deg
+         |FROM fin ORDER BY kind, key""".stripMargin) { (s, dir) =>
+      val pairs = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val e = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+      kcorePeel(e, k, rounds)
+        .select(when(col("node") % 2 === 0, "c").otherwise("s").as("kind"),
+          expr("node div 2").as("key"), col("core_deg"))
+        .orderBy(col("kind"), col("key"))
+    }
+  }
+
+  /** The peel loop, factored for spec-ability: takes SYMMETRIZED edges
+    * (a, b), returns (node, core_deg) for the k-core survivors after
+    * `rounds` synchronous peels. GraphSpec pins cascade behavior
+    * (chains that need the full round budget) on synthetic graphs.
+    */
+  def kcorePeel(symmetric: org.apache.spark.sql.DataFrame, k: Int,
+                rounds: Int): org.apache.spark.sql.DataFrame = {
+    var e = symmetric.localCheckpoint(eager = true)
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("a")).agg(count(lit(1)).as("d"))
+        .where(col("d") >= k).select(col("a").as("n"))
+      e = e.join(broadcast(keep), col("a") === col("n"), "leftsemi")
+        .join(broadcast(keep), col("b") === col("n"), "leftsemi")
+        .localCheckpoint(eager = true)
+    }
+    e.groupBy(col("a").as("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** Multi-source BFS hop distance over the bipartite trade graph:
+    * every 100th customer seeds at distance 0; 3 synchronous frontier
+    * expansions label each reached node with its hop count — the
+    * "distance from trusted seed set" signal (TrustRank's propagation
+    * skeleton) and the reachability primitive under crawl-frontier
+    * scheduling.
+    *
+    * Frontier discipline, not min-agg relaxation: each round joins
+    * ONLY the newly-reached frontier against the edge table, then
+    * anti-joins the visited set — every edge is traversed at most once
+    * per endpoint discovery, where the relax-everything alternative
+    * re-joins the full distance table every round. Frontier and
+    * visited are |V|-bounded (broadcast here; at crawl scale
+    * pre-partition edges by src and drop the hints — both joins then
+    * co-locate on the edge layout). Integer-only state: bit-exact at
+    * any round count, so the oracle replays the identical 3 rounds as
+    * materialized CTEs.
+    */
+  val graphBfs: QueryDef = {
+    val rounds = 3
+    def roundCte(i: Int): String = {
+      val p = i - 1
+      s"""f$i AS (SELECT DISTINCT e.b AS node FROM e JOIN v$p ON v$p.node = e.a
+         |        WHERE e.b NOT IN (SELECT node FROM v$p)),
+         |v$i AS (SELECT node, dist FROM v$p
+         |        UNION ALL SELECT node, CAST($i AS BIGINT) FROM f$i)""".stripMargin
+    }
+    QueryDef.sql("graph_bfs",
+      s"""WITH ec AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+         |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS (SELECT a, b FROM ec UNION ALL SELECT b, a FROM ec),
+         |v0 AS (SELECT DISTINCT a AS node, CAST(0 AS BIGINT) AS dist FROM ec
+         |       WHERE a % 200 = 0),
+         |${(1 to rounds).map(roundCte).mkString(",\n")}
+         |SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END AS kind,
+         |  node // 2 AS key, dist
+         |FROM v$rounds ORDER BY kind, key""".stripMargin) { (s, dir) =>
+      val pairs = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+        .localCheckpoint(eager = true)
+      val edges = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+      val seeds = pairs.where(col("a") % 200 === 0).select(col("a").as("node")).distinct()
+      bfsLevels(edges, seeds, rounds)
+        .select(when(col("node") % 2 === 0, "c").otherwise("s").as("kind"),
+          expr("node div 2").as("key"), col("dist"))
+        .orderBy(col("kind"), col("key"))
+    }
+  }
+
+  /** The frontier loop, factored for spec-ability: takes SYMMETRIZED
+    * edges (a, b) and a seed set (node), returns (node, dist) for every
+    * node reached within `rounds` hops (seeds at dist 0). GraphSpec
+    * pins hop counts on known chains/stars.
+    */
+  def bfsLevels(symmetric: org.apache.spark.sql.DataFrame,
+                seeds: org.apache.spark.sql.DataFrame,
+                rounds: Int): org.apache.spark.sql.DataFrame = {
+    var frontier = seeds.withColumn("dist", lit(0L)).localCheckpoint(eager = true)
+    var visited = frontier
+    for (i <- 1 to rounds) {
+      val nxt = symmetric.join(broadcast(frontier.select(col("node"))),
+          col("a") === col("node"), "leftsemi")
+        .select(col("b").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "leftanti")
+        .withColumn("dist", lit(i.toLong))
+        .localCheckpoint(eager = true)
+      visited = visited.unionAll(nxt).localCheckpoint(eager = true)
+      frontier = nxt
+    }
+    visited
+  }
+
   val all: Seq[QueryDef] = Seq(graphPagerank, graphTriangles, graphComponents,
-    graphDegreeStats, graphLabelProp, graphJaccard)
+    graphDegreeStats, graphLabelProp, graphJaccard, graphKcore, graphBfs)
 }

@@ -90,6 +90,46 @@ class GraphSpec extends SparkSpec {
     assert(labels(0) != labels(3), s"bridge merged the communities: $labels")
   }
 
+  private def sym(edges: (Int, Int)*): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    edges.flatMap { case (a, b) => Seq((a.toLong, b.toLong), (b.toLong, a.toLong)) }
+      .distinct.toDF("a", "b")
+  }
+
+  test("kcore: pendant chain cascades off K4; the peel needs its full round budget") {
+    // K4 {0,1,2,3} with a pendant chain 3-4-5-6-7: at k=2 each round
+    // peels exactly ONE chain node (7, then 6, ...) — the cascade that
+    // proves a one-shot degree filter is not a k-core
+    val g = sym((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+      (3, 4), (4, 5), (5, 6), (6, 7))
+    val core = graft.queries.GraphQueries.kcorePeel(g, 2, 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core.keySet == Set(0L, 1L, 2L, 3L), s"2-core was ${core.keySet}")
+    assert(core.values.forall(_ == 3L), s"K4 core degrees: $core")
+    // an insufficient round budget leaves chain remnants (proves the
+    // fixed bound must cover the peel depth — 4 rounds needed here)
+    val shallow = graft.queries.GraphQueries.kcorePeel(g, 2, 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(shallow == Set(0L, 1L, 2L, 3L, 4L, 5L), s"2-round peel was $shallow")
+    // k above the max clique degree empties the graph
+    assert(graft.queries.GraphQueries.kcorePeel(g, 4, 8).count() == 0L)
+  }
+
+  test("bfs: hop counts on a chain with a branch; unreached stays absent") {
+    import spark.implicits._
+    // chain 0-1-2-3-4 with branch 2-9; island {20,21}
+    val g = sym((0, 1), (1, 2), (2, 3), (3, 4), (2, 9), (20, 21))
+    val seeds = Seq(0L).toDF("node")
+    val d = graft.queries.GraphQueries.bfsLevels(g, seeds, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 9L -> 3L),
+      s"bfs levels were $d")
+    // multi-source: nearest seed wins; islands reachable from their own seed
+    val d2 = graft.queries.GraphQueries.bfsLevels(g, Seq(4L, 20L).toDF("node"), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d2(20L) == 0L && d2(21L) == 1L && d2(2L) == 2L && d2(3L) == 1L, s"$d2")
+  }
+
   test("supplier jaccard: ranked head is contiguous, monotone, and degree-consistent") {
     val rows = graft.queries.GraphQueries.graphJaccard.run(spark, dir).collect()
     assert(rows.nonEmpty)
