@@ -427,11 +427,64 @@ object BicisQueries {
       .orderBy(col("user_id"), col("valid_from"), col("event_id"))
   }
 
+  /** Rolling z-score anomaly detection over each user's event stream:
+    * every event is scored against the trailing-24-event window's
+    * sample mean/stddev (the event itself EXCLUDED — a self-including
+    * frame dilutes its own anomaly), and rows with z ≥ 3 emit. The
+    * monitoring primitive for drift/outlier gating a training-data
+    * feed: per-key streaming stats with a warm-up floor (≥ 12 prior
+    * events) so cold keys can't fire on noise.
+    *
+    * Scale: ONE exchange on user_id; both window aggregates share the
+    * same frame, and the trailing ROWS frame is bounded state (24 rows)
+    * per partition stream, skew class A5. The anomaly filter runs
+    * map-side after the window — output is the (tiny) flagged set, not
+    * the stream.
+    *
+    * Determinism: mean/stddev over a 24-row frame differ across engines
+    * only by summation order (~1e-13 relative); the flag compares the
+    * ROUND-3 z on both sides, so a row flips only if true z sits within
+    * drift of a 0.0005 rounding boundary AND that boundary is 3.000 —
+    * the pr_rel exposure argument, smaller (z spans [3, ~7] while the
+    * cut sits at one point). stddev is SAMPLE (n−1) on both sides, and
+    * the n ≥ 12, sd > 0 guards run on the unrounded value identically.
+    */
+  val seriesAnomaly: QueryDef = QueryDef.sql("series_anomaly",
+    """WITH b AS (SELECT event_id, user_id, ts, value,
+      |    avg(value) OVER w AS mu,
+      |    stddev_samp(value) OVER w AS sd,
+      |    count(*) OVER w AS n
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      |SELECT event_id, user_id, ts, value,
+      |  round(mu, 6) AS mu, round(sd, 6) AS sd,
+      |  round((value - mu) / sd, 3) AS z
+      |FROM b
+      |WHERE n >= 12 AND sd > 0 AND round((value - mu) / sd, 3) >= 3.0
+      |ORDER BY user_id, ts, event_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-24, -1)
+    Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        avg(col("value")).over(w).as("mu"),
+        stddev_samp(col("value")).over(w).as("sd"),
+        count(lit(1)).over(w).as("n"))
+      .where(col("n") >= 12 && col("sd") > 0 &&
+        round((col("value") - col("mu")) / col("sd"), 3) >= 3.0)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        round(col("mu"), 6).as("mu"), round(col("sd"), 6).as("sd"),
+        round((col("value") - col("mu")) / col("sd"), 3).as("z"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     seriesWeekday, seriesHour, seriesMonth, seriesWeekdayReturns,
     seriesMonthReturns, seriesJoin, stationHourPivot,
     nextWindowTarget, nextWindowTargetChunked, tumblingHour,
     splitTraining, splitValidation, splitTesting,
     sessionize, qSessionWindow, qUnifyParse,
-    qConversionFunnel, qRetentionCohort, seriesEwma, qScd2History)
+    qConversionFunnel, qRetentionCohort, seriesEwma, qScd2History,
+    seriesAnomaly)
 }

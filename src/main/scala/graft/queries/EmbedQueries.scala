@@ -1168,10 +1168,66 @@ object EmbedQueries {
     }
   }
 
+  /** Per-cluster embedding outliers: each vector's distance to its own
+    * label centroid, z-scored against the label's distance distribution,
+    * top-5 farthest per label — the embedding-space mislabel/noise
+    * detector (a vector far outside its cluster's radius is a labeling
+    * error or an off-distribution sample; SemDeDup's keep-farthest is
+    * the dual that KEEPS one such row per duplicate cluster).
+    *
+    * Scale: centroids and per-label stats are both label-cardinality
+    * tables (broadcast); the distance pass is map-only native vec_dot
+    * (‖v−c‖² = ‖v‖² + ‖c‖² − 2·v·c, the embed_centroids kernel); the
+    * top-5 cut is a WindowGroupLimit-eligible rank. Nothing shuffles
+    * the vector table beyond the one rank exchange on label.
+    *
+    * Determinism: stats aggregate the ROUND-6 distances (bit-identical
+    * across engines by embed_centroids' argument), so mu/sd drift only
+    * by summation order (~1e-13); z emits at round-3 and the top-5 cut
+    * ranks on (round-6 dist, vec_id) — both engine-stable.
+    */
+  val embedOutliers: QueryDef = QueryDef.sql("embed_outliers",
+    s"""WITH $duckVectors,
+       |$duckCentroidCte,
+       |d AS (SELECT vec_id, label,
+       |  round(sqrt(greatest(
+       |    list_sum([v[i] * v[i] for i in range(1, len(v) + 1)]) +
+       |    list_sum([carr[i] * carr[i] for i in range(1, len(carr) + 1)]) -
+       |    2 * list_sum([v[i] * carr[i] for i in range(1, len(v) + 1)]), 0)), 6) AS dist
+       |  FROM v JOIN ca USING (label)),
+       |st AS (SELECT label, avg(dist) AS mu, stddev_samp(dist) AS sd
+       |       FROM d GROUP BY label HAVING stddev_samp(dist) > 0),
+       |r AS (SELECT d.label, d.vec_id, d.dist,
+       |        round((d.dist - mu) / sd, 3) AS z,
+       |        CAST(row_number() OVER (PARTITION BY d.label
+       |          ORDER BY d.dist DESC, d.vec_id) AS BIGINT) AS rnk
+       |      FROM d JOIN st USING (label))
+       |SELECT label, rnk, vec_id, dist, z
+       |FROM r WHERE rnk <= 5 ORDER BY label, rnk""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val v = Similarity.vectors(Tables.embeddings(s, dir))
+    val ca = centroidArrays(v).withColumn("c2", Similarity.dot("carr", "carr"))
+    val d = v.join(broadcast(ca), "label")
+      .select(col("label"), col("vec_id"),
+        round(sqrt(greatest(
+          Similarity.dot("v", "v") + col("c2")
+            - lit(2) * Similarity.dot("v", "carr"), lit(0.0))), 6).as("dist"))
+    val st = d.groupBy(col("label"))
+      .agg(avg(col("dist")).as("mu"), stddev_samp(col("dist")).as("sd"))
+      .where(col("sd") > 0)
+    val w = Window.partitionBy(col("label")).orderBy(col("dist").desc, col("vec_id"))
+    d.join(broadcast(st), "label")
+      .withColumn("z", round((col("dist") - col("mu")) / col("sd"), 3))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 5)
+      .select(col("label"), col("rnk"), col("vec_id"), col("dist"), col("z"))
+      .orderBy(col("label"), col("rnk"))
+  }
+
   val all: Seq[QueryDef] = Seq(embedKnnBrute, embedKnnLsh, embedCentroids,
     multimodalMeta, multimodalFramesample, multimodalResize, embedNorms,
     embedKnnIvf, dedupEmbedCosine, dedupSemantic, embedQuantize, embedLshRecall,
     embedHyperplaneRecall, embedBandedRecall, embedKnnPq,
     embedMultiprobeRecall, embedPqRecall, multimodalFeatures, embedHardNegatives,
-    embedRandomProjection, embedKmeans, embedPca)
+    embedRandomProjection, embedKmeans, embedPca, embedOutliers)
 }

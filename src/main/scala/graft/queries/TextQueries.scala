@@ -753,9 +753,54 @@ object TextQueries {
     }
   }
 
+  /** Zipf-law conformance per source: OLS slope of ln(freq) on ln(rank)
+    * over each source's top-200 words. Natural corpora slope ≈ −1
+    * (Zipf 1949); machine-generated/boilerplate text flattens or
+    * steepens the curve, making the slope a cheap corpus-level quality
+    * signal beside the per-doc gopher/quality scores.
+    *
+    * Scale: tokenize+count is map-side-combinable (one shuffle on
+    * (source, word)); the top-200 cut is a row_number over the
+    * low-cardinality source key — WindowGroupLimit pushes the cut
+    * below the exchange so tasks forward ≤200 rows each (the
+    * text_top_per_lang note applies); regr_slope is a one-pass
+    * distributive aggregate (sum/sumx/sumy/sumxy moments), so the fit
+    * costs one tiny aggregation, never a driver-side regression.
+    * Cross-engine: regr_slope = covar_pop/var_pop in both engines;
+    * round-6 absorbs the ~1e-13 summation-order drift.
+    */
+  val textZipf: QueryDef = QueryDef.sql("text_zipf",
+    """WITH w AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+      |           FROM documents),
+      |c AS (SELECT source, word, count(*) AS n FROM w GROUP BY 1, 2),
+      |v AS (SELECT source, CAST(count(*) AS BIGINT) AS n_vocab,
+      |             CAST(sum(n) AS BIGINT) AS n_tokens FROM c GROUP BY source),
+      |r AS (SELECT source, n,
+      |        CAST(row_number() OVER (PARTITION BY source ORDER BY n DESC, word) AS BIGINT) AS rnk
+      |      FROM c),
+      |s AS (SELECT source, round(regr_slope(ln(n), ln(rnk)), 6) AS zipf_slope
+      |      FROM r WHERE rnk <= 200 GROUP BY source)
+      |SELECT source, n_vocab, n_tokens, zipf_slope
+      |FROM v JOIN s USING (source) ORDER BY source""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.documents(s, dir)
+      .select(col("source"), explode(TextOps.wordsExpr).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("n"))
+    val v = c.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_vocab"), sum(col("n")).as("n_tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n").desc, col("word"))
+    val sl = c.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 200)
+      .groupBy(col("source"))
+      .agg(round(regr_slope(log(col("n")), log(col("rnk"))), 6).as("zipf_slope"))
+    v.join(sl, "source")
+      .select(col("source"), col("n_vocab"), col("n_tokens"), col("zipf_slope"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(textTokenCount, textLangId, textQualityScore,
     textFingerprint, textRollingHash, textTopPerLang, textTopNgrams,
     sketchDistinctKmv, textPiiScrub, textRepetition, textEntropy,
     textGopherRules, textTfidfTop, sketchHeavyHitters, textInvertedIndex,
-    textBm25, textPmi, textLmScore, sketchQuantiles)
+    textBm25, textPmi, textLmScore, sketchQuantiles, textZipf)
 }

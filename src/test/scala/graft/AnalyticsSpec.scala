@@ -64,4 +64,29 @@ class AnalyticsSpec extends SparkSpec {
       ("2024-01-08", 0L, 1L)  // user 3's one-week cohort
     ))
   }
+
+  test("series_anomaly: planted spike fires; warm-up and self-exclusion hold") {
+    import spark.implicits._
+    // one user, 40 minutely events alternating 9/11 (sd ≈ 1), with a
+    // 100.0 spike at index 4 (only 4 prior events — under the 12-event
+    // warm-up floor, must NOT fire) and at index 30 (24 clean priors —
+    // must fire). Neighbors of the spikes stay quiet: rows before the
+    // late spike never see it (trailing frame excludes self), rows
+    // after it absorb it INTO their window stats, inflating sd and
+    // suppressing z — the self-exclusion/contamination geometry that
+    // the oracle's hash can't articulate.
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val rows = (0 until 40).map { i =>
+      val v = if (i == 4 || i == 30) 100.0 else if (i % 2 == 0) 9.0 else 11.0
+      (i.toLong, new java.sql.Timestamp(base + i * 60000L), 1L, "view", v)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("anomaly").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = graft.queries.BicisQueries.seriesAnomaly.run(spark, tmp).collect()
+    assert(got.map(_.getAs[Long]("event_id")).toSeq === Seq(30L),
+      s"flagged set was ${got.map(_.getAs[Long]("event_id")).mkString(",")}")
+    assert(got.head.getAs[Double]("z") >= 3.0)
+    assert(got.head.getAs[Double]("mu") === 10.0)
+  }
 }

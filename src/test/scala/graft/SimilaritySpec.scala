@@ -256,4 +256,25 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id", "n_better").as[(Long, Long)].collect().toSeq
     assert(got === Seq((1L, 2L), (2L, 1L)), s"dropped set: $got")
   }
+
+  test("embed_outliers: planted far vector tops its cluster; tight cluster stays ranked by distance") {
+    import spark.implicits._
+    // label 0: 13 vectors near (1, 0) with tiny jitter + one at (10, 10)
+    // — the planted outlier must take rank 1 with a dominant z
+    val tight = (0 until 13).map(i => (i.toLong, Array(1.0f, i * 0.01f), 0))
+    val rows = tight :+ (99L, Array(10.0f, 10.0f), 0)
+    val tmp = java.nio.file.Files.createTempDirectory("outliers").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = graft.queries.EmbedQueries.embedOutliers.run(spark, tmp).collect()
+    assert(got.length == 5)
+    assert(got.map(_.getAs[Long]("rnk")).toSeq === (1L to 5L))
+    assert(got.head.getAs[Long]("vec_id") === 99L, s"rank-1 was ${got.head}")
+    assert(got.head.getAs[Double]("z") > 3.0)
+    // distances weakly decrease down the ranking; z is monotone in dist
+    val ds = got.map(_.getAs[Double]("dist"))
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b }, ds.mkString(","))
+    val zs = got.map(_.getAs[Double]("z"))
+    assert(zs.zip(zs.tail).forall { case (a, b) => a >= b }, zs.mkString(","))
+  }
 }

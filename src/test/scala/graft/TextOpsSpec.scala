@@ -173,4 +173,18 @@ class TextOpsSpec extends SparkSpec {
         spark.conf.set("spark.sql.codegen.wholeStage", _))
     }
   }
+
+  test("text_zipf: every source fits a negative power-law slope with sane counts") {
+    val rows = graft.queries.TextQueries.textZipf
+      .run(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 20, s"expected 20 sources, got ${rows.length}")
+    rows.foreach { r =>
+      val (vocab, toks, slope) = (r.getAs[Long]("n_vocab"),
+        r.getAs[Long]("n_tokens"), r.getAs[Double]("zipf_slope"))
+      assert(vocab > 0 && toks >= vocab, s"counts off: $r")
+      // frequency must fall as rank rises; natural-ish corpora sit
+      // well inside (-5, 0) — 0 or positive means the ranking broke
+      assert(slope < 0.0 && slope > -5.0, s"slope out of range: $r")
+    }
+  }
 }
