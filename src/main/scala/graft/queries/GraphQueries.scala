@@ -543,12 +543,23 @@ object GraphQueries {
   def kcorePeel(symmetric: org.apache.spark.sql.DataFrame, k: Int,
                 rounds: Int): org.apache.spark.sql.DataFrame = {
     var e = symmetric.localCheckpoint(eager = true)
-    for (_ <- 1 to rounds) {
+    var last = e.count() // cheap: counts the checkpointed blocks
+    var i = 0
+    var stable = false
+    while (i < rounds && !stable) {
       val keep = e.groupBy(col("a")).agg(count(lit(1)).as("d"))
         .where(col("d") >= k).select(col("a").as("n"))
       e = e.join(broadcast(keep), col("a") === col("n"), "leftsemi")
         .join(broadcast(keep), col("b") === col("n"), "leftsemi")
         .localCheckpoint(eager = true)
+      // peeling is monotone (edges only leave), so an unchanged edge
+      // count IS the fixpoint — every later round would no-op, exactly
+      // as the oracle's fixed-round replay does. Early exit trades the
+      // remaining rounds' scheduling for one count over cached blocks.
+      val n = e.count()
+      stable = n == last
+      last = n
+      i += 1
     }
     e.groupBy(col("a").as("node")).agg(count(lit(1)).as("core_deg"))
   }
@@ -615,15 +626,23 @@ object GraphQueries {
                 rounds: Int): org.apache.spark.sql.DataFrame = {
     var frontier = seeds.withColumn("dist", lit(0L)).localCheckpoint(eager = true)
     var visited = frontier
-    for (i <- 1 to rounds) {
+    var i = 1
+    // an empty frontier is the fixpoint (nothing left to expand —
+    // every later round would emit nothing, as the oracle's fixed-round
+    // CTEs do); count() reads the just-checkpointed blocks
+    while (i <= rounds && frontier.count() > 0) {
       val nxt = symmetric.join(broadcast(frontier.select(col("node"))),
           col("a") === col("node"), "leftsemi")
         .select(col("b").as("node")).distinct()
         .join(visited.select(col("node")), Seq("node"), "leftanti")
         .withColumn("dist", lit(i.toLong))
         .localCheckpoint(eager = true)
-      visited = visited.unionAll(nxt).localCheckpoint(eager = true)
+      // no re-checkpoint: both union legs are already materialized, so
+      // the lineage is a depth-R union of checkpointed blocks — nothing
+      // ever recomputes, and each round saves one materialization pass
+      visited = visited.unionAll(nxt)
       frontier = nxt
+      i += 1
     }
     visited
   }
