@@ -115,6 +115,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), s"no group-limit pushdown in:\n$p")
   }
 
+  test("series_anomaly plans ONE user exchange; both rolling stats share a Window operator") {
+    val p = plan(graft.queries.BicisQueries.seriesAnomaly)
+    // avg/stddev/count over the identical trailing frame must evaluate
+    // in one Window pass on one user_id partitioning — a second
+    // exchange or Window would re-shuffle the stream per statistic
+    assert("hashpartitioning\\(user_id".r.findAllIn(p).size === 1, s"extra exchanges in:\n$p")
+    assert("Window".r.findAllIn(p).size === 1, s"stats split across Windows in:\n$p")
+  }
+
+  test("text_zipf group-limits the top-200 cut and never window-sorts the vocabulary") {
+    val p = plan(graft.queries.TextQueries.textZipf)
+    assert(p.contains("WindowGroupLimit"), s"top-200 not group-limited in:\n$p")
+  }
+
+  test("embed_outliers broadcasts centroids and label stats; rank is group-limited") {
+    val p = plan(graft.queries.EmbedQueries.embedOutliers)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, s"label-sized sides not broadcast in:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-5 not group-limited in:\n$p")
+  }
+
   test("text_inverted_index broadcast-joins the word list and group-limits the posting head") {
     val p = plan(graft.queries.TextQueries.textInvertedIndex)
     assert(p.contains("BroadcastHashJoin"), s"kept-word list not broadcast in:\n$p")
