@@ -656,10 +656,74 @@ object RelationalQueries {
       .orderBy(col("user_id"))
   }
 
+  /** 2-D Pareto frontier (skyline) of customers by (total spend,
+    * order count), both maximized: a customer emits iff no other
+    * customer is >= on both measures with one strict (exact duplicates
+    * keep the lowest key). The multi-criteria "best set" operator
+    * (Börzsönyi et al. 2001) — top-k by any single score can't express
+    * it, and the naive formulation is an O(n²) NOT EXISTS self-join.
+    *
+    * One sorted pass instead: order by (spend DESC, n DESC, key), keep
+    * a row iff its n strictly exceeds the running max n of everything
+    * earlier — earlier rows are exactly the potential dominators, so
+    * the filter is provably the skyline (ties and duplicates fall out
+    * of the order's tiebreak). The global sort is the scale hazard,
+    * and the fix is the skyline's distributive law: a partition-local
+    * skyline pass (same window keyed by spark_partition_id) can only
+    * drop rows some partition-mate already dominates, so it preserves
+    * the global skyline while shrinking the global pass's input from
+    * n to Σ(per-partition frontier) — the local/global two-phase of
+    * Börzsönyi's block-nested-loop made shuffle-shaped. The local
+    * pass's partitioning dependence is immaterial: it is a FILTER
+    * whose keep-set varies but whose downstream result is invariant
+    * (oracle-checked either way).
+    */
+  val qSkyline: QueryDef = QueryDef.sql("q_skyline",
+    """WITH s AS (SELECT c_mktsegment AS segment, o_custkey AS cust,
+      |    CAST(count(*) AS BIGINT) AS n_orders,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      |  FROM orders JOIN customer ON c_custkey = o_custkey
+      |  GROUP BY 1, 2),
+      |r AS (SELECT segment, cust, n_orders, spend,
+      |    max(n_orders) OVER (PARTITION BY segment
+      |      ORDER BY spend DESC, n_orders DESC, cust
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+      |  FROM s)
+      |SELECT segment, cust, n_orders, spend FROM r
+      |WHERE rm IS NULL OR n_orders > rm
+      |ORDER BY segment, spend DESC, cust""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val stats = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment").as("segment"))),
+        col("c_custkey") === col("o_custkey"))
+      .groupBy(col("segment"), col("o_custkey").as("cust"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("spend"))
+    // local prune: per-(segment, input-partition) skyline — any row
+    // dominated inside its own partition slice is dominated globally,
+    // so this FILTER preserves the frontier while shrinking the sorted
+    // pass's input from n to Σ(per-slice frontier)
+    val lw = Window.partitionBy(col("segment"), spark_partition_id())
+      .orderBy(col("spend").desc, col("n_orders").desc, col("cust"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pruned = stats.withColumn("__lrm", max(col("n_orders")).over(lw))
+      .where(col("__lrm").isNull || col("n_orders") > col("__lrm"))
+      .drop("__lrm")
+    // exact pass per segment over the pruned candidates
+    val gw = Window.partitionBy(col("segment"))
+      .orderBy(col("spend").desc, col("n_orders").desc, col("cust"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pruned.withColumn("__rm", max(col("n_orders")).over(gw))
+      .where(col("__rm").isNull || col("n_orders") > col("__rm"))
+      .select(col("segment"), col("cust"), col("n_orders"), col("spend"))
+      .orderBy(col("segment"), col("spend").desc, col("cust"))
+  }
+
   val all: Seq[QueryDef] = Seq(q1Agg, qJoinAgg, qBroadcastJoin, qTopk,
     qWindowRank, qSetops, qRollup, qDistinctAgg, qSemiJoin, qAntiJoin,
     qAsofJoin, qPercentileStats, qCube, qRunningSum, qRangeJoin,
     qProfileStats, qAboveAvg, qSaltedCount, qSqlTpch6, qUnpivot,
     qGroupingSets, qCorrSubquery, qFullOuter, qBloomPrune, qGapFill,
-    qChangelogCompact)
+    qChangelogCompact, qSkyline)
 }

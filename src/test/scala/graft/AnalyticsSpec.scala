@@ -89,4 +89,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.head.getAs[Double]("z") >= 3.0)
     assert(got.head.getAs[Double]("mu") === 10.0)
   }
+
+  test("q_skyline: planted frontier — dominated and duplicate points drop, incomparable points survive") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("skyline").toString
+    // one segment; (n_orders, spend): A(3,300) B(2,400) C(1,500) keep —
+    // pairwise incomparable; D(2,350) dominated by B on both; E(1,100)
+    // dominated by everyone; F duplicates B exactly — lowest-key B wins
+    val orders = Seq(
+      (1L, 100.0), (1L, 100.0), (1L, 100.0), // A = cust 1
+      (2L, 200.0), (2L, 200.0),              // B = cust 2
+      (3L, 500.0),                           // C
+      (4L, 175.0), (4L, 175.0),              // D
+      (5L, 100.0),                           // E
+      (9L, 200.0), (9L, 200.0))              // F = duplicate of B, higher key
+    orders.toDF("o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    (1L to 9L).map(k => (k, "SEG")).toDF("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$tmp/customer.parquet")
+    val got = graft.queries.RelationalQueries.qSkyline.run(spark, tmp)
+      .collect().map(r => (r.getAs[Long]("cust"), r.getAs[Long]("n_orders"),
+        r.getAs[Double]("spend")))
+    assert(got.toSeq === Seq((3L, 1L, 500.0), (2L, 2L, 400.0), (1L, 3L, 300.0)),
+      s"frontier was ${got.mkString(",")}")
+  }
 }
