@@ -130,6 +130,45 @@ class GraphSpec extends SparkSpec {
     assert(d2(20L) == 0L && d2(21L) == 1L && d2(2L) == 2L && d2(3L) == 1L, s"$d2")
   }
 
+  test("kcore/bfs match in-memory references on seeded random graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 30
+      val edges = (for {
+        a <- 0 until n; b <- (a + 1) until n if rng.nextDouble() < 0.12
+      } yield (a, b)).toList
+      // reference k-core: literal peel-to-fixpoint over an adjacency map
+      val k = 3
+      var adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      var changed = true
+      while (changed) {
+        val dead = adj.collect { case (v, ns) if ns.size < k => v }.toSet
+        changed = dead.nonEmpty
+        adj = (adj -- dead).view.mapValues(_ -- dead).toMap.filter(_._2.nonEmpty)
+      }
+      val wantCore = adj.map { case (v, ns) => v.toLong -> ns.size.toLong }
+      val g = sym(edges: _*)
+      val gotCore = graft.queries.GraphQueries.kcorePeel(g, k, 15)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotCore == wantCore, s"kcore mismatch on $edges")
+      // reference BFS: queue from seeds {0, 1}, hop cap 3
+      val full = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      val wantDist = scala.collection.mutable.Map(0L -> 0L, 1L -> 0L)
+      var frontier = Set(0, 1)
+      for (d <- 1 to 3) {
+        frontier = frontier.flatMap(v => full.getOrElse(v, Nil))
+          .filterNot(v => wantDist.contains(v.toLong))
+        frontier.foreach(v => wantDist(v.toLong) = d.toLong)
+      }
+      val gotDist = graft.queries.GraphQueries.bfsLevels(g, Seq(0L, 1L).toDF("node"), 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(gotDist == wantDist.toMap, s"bfs mismatch on $edges")
+    }
+  }
+
   test("supplier jaccard: ranked head is contiguous, monotone, and degree-consistent") {
     val rows = graft.queries.GraphQueries.graphJaccard.run(spark, dir).collect()
     assert(rows.nonEmpty)
