@@ -720,10 +720,69 @@ object RelationalQueries {
       .orderBy(col("segment"), col("spend").desc, col("cust"))
   }
 
+  /** Snapshot diff — the corpus-versioning audit between two dataset
+    * versions: which keys were ADDED, REMOVED, or CHANGED (any payload
+    * field differs), with unchanged rows never emitted. The shape every
+    * periodic-recrawl / incremental-training pipeline needs before
+    * deciding what to re-embed, re-dedup, or re-train on — and the
+    * verification step after any migration. Versions are derived
+    * deterministically from `events` (v1 = the table; v2 drops every
+    * 11th key, doubles value on every 13th, appends a shifted copy of
+    * every 17th as new keys) so both engines diff identical inputs.
+    *
+    * Execution: ONE full-outer join on the key, change detection via
+    * null-safe payload comparison (`IS DISTINCT FROM` — NULL payloads
+    * can't masquerade as equal or unequal), then a filter that keeps
+    * only the three verdicts. At 100 TB both sides are parquet
+    * snapshots bucketed/partitioned by the same key, so the join is
+    * co-located; the emitted diff is change-volume-sized, not
+    * corpus-sized. A hash-compare variant (digest the payload struct,
+    * compare digests) halves the shuffled payload when rows are wide —
+    * the same md5 machinery as `dedup_exact`; spelled here with the
+    * raw columns because the gate compares payload semantics, not
+    * digest plumbing.
+    */
+  val qSnapshotDiff: QueryDef = QueryDef.sql("q_snapshot_diff",
+    """WITH v1 AS (SELECT event_id AS k, event_type, value FROM events),
+      |v2 AS (SELECT event_id AS k, event_type,
+      |         CASE WHEN event_id % 13 = 0 THEN value * 2 ELSE value END AS value
+      |       FROM events WHERE event_id % 11 <> 0
+      |       UNION ALL
+      |       SELECT event_id + 1000000000 AS k, event_type, value
+      |       FROM events WHERE event_id % 17 = 0)
+      |SELECT coalesce(v1.k, v2.k) AS k,
+      |  CASE WHEN v1.k IS NULL THEN 'added'
+      |       WHEN v2.k IS NULL THEN 'removed'
+      |       ELSE 'changed' END AS status,
+      |  v1.value AS old_value, v2.value AS new_value
+      |FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+      |WHERE v1.k IS NULL OR v2.k IS NULL
+      |   OR (v1.value IS DISTINCT FROM v2.value)
+      |   OR (v1.event_type IS DISTINCT FROM v2.event_type)
+      |ORDER BY k""".stripMargin) { (s, dir) =>
+    val ev = Tables.events(s, dir)
+    val v1 = ev.select(col("event_id").as("k"), col("event_type"), col("value"))
+    val v2 = ev.where(col("event_id") % 11 =!= 0)
+      .select(col("event_id").as("k"), col("event_type"),
+        when(col("event_id") % 13 === 0, col("value") * 2).otherwise(col("value")).as("value"))
+      .unionAll(ev.where(col("event_id") % 17 === 0)
+        .select((col("event_id") + 1000000000L).as("k"), col("event_type"), col("value")))
+    v1.as("a").join(v2.as("b"), col("a.k") === col("b.k"), "full_outer")
+      .where(col("a.k").isNull || col("b.k").isNull ||
+        !(col("a.value") <=> col("b.value")) ||
+        !(col("a.event_type") <=> col("b.event_type")))
+      .select(coalesce(col("a.k"), col("b.k")).as("k"),
+        when(col("a.k").isNull, "added")
+          .when(col("b.k").isNull, "removed")
+          .otherwise("changed").as("status"),
+        col("a.value").as("old_value"), col("b.value").as("new_value"))
+      .orderBy(col("k"))
+  }
+
   val all: Seq[QueryDef] = Seq(q1Agg, qJoinAgg, qBroadcastJoin, qTopk,
     qWindowRank, qSetops, qRollup, qDistinctAgg, qSemiJoin, qAntiJoin,
     qAsofJoin, qPercentileStats, qCube, qRunningSum, qRangeJoin,
     qProfileStats, qAboveAvg, qSaltedCount, qSqlTpch6, qUnpivot,
     qGroupingSets, qCorrSubquery, qFullOuter, qBloomPrune, qGapFill,
-    qChangelogCompact, qSkyline)
+    qChangelogCompact, qSkyline, qSnapshotDiff)
 }
