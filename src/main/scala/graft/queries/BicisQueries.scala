@@ -479,6 +479,56 @@ object BicisQueries {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** Interval-union coverage per user: each event spans [ts, ts +
+    * floor(value) seconds]; overlapping/touching spans merge, and the
+    * query emits each user's merged-island count and total covered
+    * time — the "how much wall clock does this key actually cover"
+    * operator (audio/video segment coverage, session-time billing,
+    * sensor uptime), distinct from gap-sessionization (`sessionize`
+    * groups by inactivity gaps; this unions explicit durations).
+    *
+    * The classic sweep, shuffle-shaped: per key, order intervals by
+    * (start, end); a row opens a NEW island iff its start exceeds the
+    * running max end of everything earlier (touching merges); the
+    * island id is the running sum of open flags; covered time is
+    * Σ island (max end − min start). ONE exchange on user_id feeds
+    * both windows and the island aggregation (same partitioning).
+    * All-integer microsecond arithmetic — bit-exact cross-engine.
+    * Duplicate (start, end) ties are island-stable under ANY tie
+    * order, so the window's tie ambiguity can't leak into results.
+    */
+  val qIntervalCoverage: QueryDef = QueryDef.sql("q_interval_coverage",
+    """WITH iv AS (SELECT user_id, ts AS s,
+      |    ts + to_seconds(CAST(floor(value) AS BIGINT)) AS e FROM events),
+      |m AS (SELECT user_id, s, e,
+      |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm
+      |  FROM iv),
+      |g AS (SELECT user_id, s, e,
+      |    sum(CASE WHEN rm IS NULL OR s > rm THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM m),
+      |isl AS (SELECT user_id, island, min(s) AS st, max(e) AS en FROM g GROUP BY 1, 2)
+      |SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands,
+      |  CAST(sum(epoch_us(en) - epoch_us(st)) AS BIGINT) AS covered_us
+      |FROM isl GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val iv = Tables.events(s, dir).select(col("user_id"), col("ts").as("s"),
+      expr("timestampadd(SECOND, CAST(floor(value) AS BIGINT), ts)").as("e"))
+    val ord = Window.partitionBy(col("user_id")).orderBy(col("s"), col("e"))
+    val g = iv
+      .withColumn("rm", max(col("e")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("island", sum(
+        when(col("rm").isNull || col("s") > col("rm"), 1L).otherwise(0L))
+        .over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+    g.groupBy(col("user_id"), col("island"))
+      .agg(min(col("s")).as("st"), max(col("e")).as("en"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(expr("unix_micros(en) - unix_micros(st)")).as("covered_us"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     seriesWeekday, seriesHour, seriesMonth, seriesWeekdayReturns,
     seriesMonthReturns, seriesJoin, stationHourPivot,
@@ -486,5 +536,5 @@ object BicisQueries {
     splitTraining, splitValidation, splitTesting,
     sessionize, qSessionWindow, qUnifyParse,
     qConversionFunnel, qRetentionCohort, seriesEwma, qScd2History,
-    seriesAnomaly)
+    seriesAnomaly, qIntervalCoverage)
 }

@@ -215,6 +215,61 @@ object TextQueries {
     }
   }
 
+  /** KMV sketch SET ALGEBRA across corpus partitions — the theta-sketch
+    * workflow on the engine's deterministic KMV: per-partition distinct
+    * estimates (en / fr vocabularies), the UNION estimate from one
+    * aggregate over both partitions' rows (KMV union = bottom-k of the
+    * merged distinct-hash set — exactly what the aggregate's merge
+    * computes, so a persisted per-partition sketch table unions without
+    * touching raw data), and the INTERSECTION by inclusion-exclusion
+    * (est_a + est_b − est_union) — the "how much vocabulary do these
+    * two corpora share" question answered from k·8-byte summaries
+    * instead of a distinct-join over the raw corpora.
+    *
+    * Determinism: KMV is a pure function of the input hash SET
+    * (sketch_distinct_kmv's argument); the oracle replays each
+    * estimate from sorted distinct hashes and composes the identical
+    * rounded values, so inclusion-exclusion over rounds is exact.
+    */
+  val sketchSetops: QueryDef = {
+    def duckHash(salt: String, v: String): String = OracleSql.hash64(salt, v)
+    def duckEst(rnCol: String, ndCol: String, hvCol: String): String =
+      s"""round(CASE WHEN max($ndCol) < 64 THEN CAST(max($ndCol) AS DOUBLE)
+         |  ELSE 63.0 * 1152921504606846976.0 /
+         |       CAST(max(CASE WHEN $rnCol = 64 THEN $hvCol END) AS DOUBLE)
+         |  END, 6)""".stripMargin
+    QueryDef.sql("sketch_setops",
+      s"""WITH w AS (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+         |           FROM documents WHERE lang IN ('en', 'fr')),
+         |d AS (SELECT DISTINCT lang, ${duckHash("'w'", "word")} AS hv FROM w),
+         |ra AS (SELECT lang, hv, row_number() OVER (PARTITION BY lang ORDER BY hv) AS rn,
+         |              count(*) OVER (PARTITION BY lang) AS nd FROM d),
+         |es AS (SELECT lang, ${duckEst("rn", "nd", "hv")} AS est FROM ra GROUP BY lang),
+         |du AS (SELECT DISTINCT hv FROM d),
+         |ru AS (SELECT hv, row_number() OVER (ORDER BY hv) AS rn,
+         |              count(*) OVER () AS nd FROM du),
+         |eu AS (SELECT ${duckEst("rn", "nd", "hv")} AS est_union FROM ru)
+         |SELECT ea.est AS est_en, eb.est AS est_fr, est_union,
+         |  round(ea.est + eb.est - est_union, 6) AS est_intersect
+         |FROM (SELECT est FROM es WHERE lang = 'en') ea,
+         |     (SELECT est FROM es WHERE lang = 'fr') eb, eu""".stripMargin) { (s, dir) =>
+      graft.functions.KMVDistinct.register(s)
+      TextOps.ensureFunctions(s)
+      val hv = Tables.documents(s, dir)
+        .where(col("lang").isin("en", "fr"))
+        .select(col("lang"), explode(TextOps.wordsExpr).as("word"))
+        .select(col("lang"), expr(TextOps.portableHash64Sql("'w'", "word")).as("hv"))
+      val per = hv.groupBy(col("lang"))
+        .agg(round(expr("kmv_distinct(hv, 64)"), 6).as("est"))
+      val union = hv.agg(round(expr("kmv_distinct(hv, 64)"), 6).as("est_union"))
+      per.where(col("lang") === "en").select(col("est").as("est_en"))
+        .crossJoin(per.where(col("lang") === "fr").select(col("est").as("est_fr")))
+        .crossJoin(union)
+        .withColumn("est_intersect",
+          round(col("est_en") + col("est_fr") - col("est_union"), 6))
+    }
+  }
+
   /** PII scrub — the redaction pass a training corpus runs before use:
     * count and replace email addresses and URLs with placeholder tokens.
     * Patterns stay in the Java-regex ∩ RE2 common subset so Spark and
@@ -802,5 +857,6 @@ object TextQueries {
     textFingerprint, textRollingHash, textTopPerLang, textTopNgrams,
     sketchDistinctKmv, textPiiScrub, textRepetition, textEntropy,
     textGopherRules, textTfidfTop, sketchHeavyHitters, textInvertedIndex,
-    textBm25, textPmi, textLmScore, sketchQuantiles, textZipf)
+    textBm25, textPmi, textLmScore, sketchQuantiles, textZipf,
+    sketchSetops)
 }

@@ -113,4 +113,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.toSeq === Seq((3L, 1L, 500.0), (2L, 2L, 400.0), (1L, 3L, 300.0)),
       s"frontier was ${got.mkString(",")}")
   }
+
+  test("q_interval_coverage: overlap and touch merge, gaps split, duplicates are absorbed") {
+    import spark.implicits._
+    val base = java.sql.Timestamp.valueOf("2024-05-01 00:00:00").getTime
+    def at(s: Long) = new java.sql.Timestamp(base + s * 1000L)
+    // user 1: [0,10]+[5,20] overlap → merge; [20,25] TOUCHES → same
+    // island; [40,45] gapped → second island; duplicate [40,45] absorbs.
+    // user 2: one zero-length interval (value 0) → 1 island, 0 covered
+    val rows = Seq(
+      (1L, at(0), 1L, "e", 10.0), (2L, at(5), 1L, "e", 15.0),
+      (3L, at(20), 1L, "e", 5.0), (4L, at(40), 1L, "e", 5.0),
+      (5L, at(40), 1L, "e", 5.0), (6L, at(100), 2L, "e", 0.4))
+    val tmp = java.nio.file.Files.createTempDirectory("coverage").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = graft.queries.BicisQueries.qIntervalCoverage.run(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("n_islands"),
+        r.getAs[Long]("covered_us")))
+    assert(got.toSeq === Seq((1L, 2L, 30000000L), (2L, 1L, 0L)),
+      s"coverage was ${got.mkString(",")}")
+  }
+
+  test("sketch_setops: under-k vocabularies make every estimate the exact count") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("setops").toString
+    // |en| = 3, |fr| = 4, overlap {banana, cherry} → union 5, intersect 2;
+    // both under k=64 so KMV's small-set branch returns exact cardinality
+    Seq((1L, "apple banana cherry", "en"),
+        (2L, "banana cherry durian elderberry", "fr"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = graft.queries.TextQueries.sketchSetops.run(spark, tmp).collect().head
+    assert(r.getAs[Double]("est_en") === 3.0)
+    assert(r.getAs[Double]("est_fr") === 4.0)
+    assert(r.getAs[Double]("est_union") === 5.0)
+    assert(r.getAs[Double]("est_intersect") === 2.0)
+  }
 }
