@@ -76,6 +76,9 @@ class PlanSpec extends SparkSpec {
       "text_tfidf_top",
       // one-row sketch buffer broadcast into the 20 probe rows
       "sketch_heavy_hitters",
+      // three ONE-ROW sketch scalars (est_en, est_fr, est_union) composed
+      // by construction-time cross joins — 1×1 rows, never data-sized
+      "sketch_setops",
       // one-row bloom bitset broadcast into every customer probe row
       "sketch_bloom_prune",
       // one-row (N, avgdl) corpus stats broadcast into every scored row
