@@ -124,6 +124,30 @@ object Multimodal {
     }
   }
 
+  final case class MediaPhash(doc_id: Long, ph: Long)
+
+  /** Perceptual hash over the decoded descriptor: bit i set iff the
+    * i-th descriptor bin clears its midpoint (>= 128) — the stub
+    * stand-in for DCT-sign pHash (real codec: decode, downsample to
+    * `bits` pixels, DCT, sign of the AC coefficients — exactly where
+    * the bin comparison sits). Computed inside the same per-partition
+    * decoder batch as [[featureExtract]]; the hash leaves the executor
+    * as one BIGINT per media item, so downstream dedup shuffles 8
+    * bytes per image no matter the payload size.
+    */
+  def phash(spark: SparkSession, media: DataFrame, bits: Int = 16): Dataset[MediaPhash] = {
+    import spark.implicits._
+    featureExtract(spark, media, bits).map { f =>
+      var ph = 0L
+      var i = 0
+      while (i < f.feat.length) {
+        if (f.feat(i) >= 128L) ph |= (1L << i)
+        i += 1
+      }
+      MediaPhash(f.doc_id, ph)
+    }
+  }
+
   final case class MediaFeat(doc_id: Long, feat: Array[Long])
 
   /** Feature extraction: media payload → fixed-dim feature vector (the

@@ -46,6 +46,13 @@ object Similarity {
     GraftColumns.column(graft.functions.VecDot(
       GraftColumns.expression(col(a)), GraftColumns.expression(col(b))))
 
+  /** Column-expression variant of [[dot]] for derived arrays (slices,
+    * transforms) that have no column name to refer to.
+    */
+  def dotC(a: Column, b: Column): Column =
+    GraftColumns.column(graft.functions.VecDot(
+      GraftColumns.expression(a), GraftColumns.expression(b)))
+
   /** Native codegen'd L2 norm: sqrt(vec_dot(v, v)). */
   def l2(vCol: String): Column = sqrt(dot(vCol, vCol))
 
@@ -70,6 +77,15 @@ object Similarity {
   def cosine(a: String, b: String): Column = {
     val denom = l2(a) * l2(b)
     when(denom === 0.0, lit(null)).otherwise(round(dot(a, b) / denom, 6))
+  }
+
+  /** [[cosine]] over column expressions (e.g. `slice(col("v"), 1, d)`
+    * for prefix-dim similarity) — same formula, fold order, zero-norm
+    * guard, and 6-decimal round.
+    */
+  def cosineC(a: Column, b: Column): Column = {
+    val denom = sqrt(dotC(a, a)) * sqrt(dotC(b, b))
+    when(denom === 0.0, lit(null)).otherwise(round(dotC(a, b) / denom, 6))
   }
 
   /** Axis-aligned LSH bucket: 8 sign bits from the first 8 dims,

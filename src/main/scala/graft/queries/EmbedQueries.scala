@@ -1224,10 +1224,118 @@ object EmbedQueries {
       .orderBy(col("label"), col("rnk"))
   }
 
+  /** Image near-duplicate detection by perceptual hash — the multimodal
+    * arm of the dedup family (crop/re-encode/watermark variants of one
+    * image land within a few bits of each other under a real pHash).
+    * Pipeline: per-partition batch decode → 16-bit descriptor-sign hash
+    * (ops.Multimodal.phash; stub codec, real plumbing) → 4×4-bit
+    * pigeonhole bands (hamming ≤ 3 cannot dirty all 4 bands, so the
+    * band equi-join is recall-LOSSLESS for the threshold, same argument
+    * as dedup_simhash) → candidate pairs → exact hamming verify.
+    *
+    * Shape at 100 TB: the hash leaves the decode stage as 8 bytes per
+    * image; banding fans each image to 4 (band, bv) rows; candidates
+    * come from an equi-join on the band key, never an all-pairs scan;
+    * the verify join re-keys by doc id. A production 64-bit pHash =
+    * `bits`/band-count knobs, identical plan.
+    */
+  val multimodalPhashDedup: QueryDef = QueryDef.sql("multimodal_phash_dedup",
+    """WITH f AS (SELECT doc_id, CAST(list_sum([CASE WHEN ('0x' || substr(md5(text), 1 + 2 * i, 2))::BIGINT >= 128
+      |    THEN (1::BIGINT << i) ELSE 0::BIGINT END for i in range(0, 16)]) AS BIGINT) AS ph
+      |  FROM documents),
+      |bd AS (SELECT doc_id, b, (ph >> (4 * b)) & 15 AS bv FROM f CROSS JOIN range(0, 4) r1(b)),
+      |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+      |         FROM bd a JOIN bd b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id)
+      |SELECT c.i, c.j, CAST(bit_count(xor(x.ph, y.ph)) AS BIGINT) AS dist
+      |FROM cand c JOIN f x ON x.doc_id = c.i JOIN f y ON y.doc_id = c.j
+      |WHERE bit_count(xor(x.ph, y.ph)) <= 3
+      |ORDER BY i, j""".stripMargin) { (s, dir) =>
+    val media = Multimodal.mediaTable(s, Tables.documents(s, dir))
+    val ph = Multimodal.phash(s, media).toDF()
+    val bd = ph.select(col("doc_id"), explode(expr(
+      "transform(sequence(0, 3), b -> struct(b AS band, CAST(shiftright(ph, 4 * b) & 15 AS INT) AS bv))"))
+      .as("bd"))
+      .select(col("doc_id"), col("bd.band").as("band"), col("bd.bv").as("bv"))
+    val cand = bd.as("a")
+      .join(bd.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    cand
+      .join(ph.select(col("doc_id").as("i"), col("ph").as("pa")), "i")
+      .join(ph.select(col("doc_id").as("j"), col("ph").as("pb")), "j")
+      .withColumn("dist", bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long"))
+      .where(col("dist") <= 3)
+      .select(col("i"), col("j"), col("dist"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Matryoshka (MRL, Kusupati et al. 2022) truncation evaluation:
+    * recall@5 of PREFIX-dim cosine ranking (first 8/16/32 components)
+    * against the full 64-dim exact top-5, per query — the measurement
+    * behind serving truncated embeddings (cheaper ANN index, smaller
+    * shuffle) at a known quality cost. One candidate scan computes the
+    * full-dim similarity AND all three prefix similarities per pair
+    * (native vec_dot over array slices — the slice is the only extra
+    * cost); the three prefix rankings share one window pass keyed
+    * (d, qid). At 100 TB the scan is the same single broadcast-join
+    * pass as [[embedKnnBrute]]; nothing here shuffles the corpus.
+    */
+  val embedMatryoshkaRecall: QueryDef = QueryDef.sql("embed_matryoshka_recall",
+    s"""WITH $duckVectors,
+       |q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
+       |c AS (SELECT vec_id AS nid, v AS cv FROM v WHERE vec_id >= 10),
+       |p AS (SELECT qid, nid, ${duckCos("qv", "cv")} AS simf,
+       |        ${duckCos("qv[1:8]", "cv[1:8]")} AS s8,
+       |        ${duckCos("qv[1:16]", "cv[1:16]")} AS s16,
+       |        ${duckCos("qv[1:32]", "cv[1:32]")} AS s32
+       |      FROM c, q),
+       |br AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY simf DESC, nid) AS rnk FROM p),
+       |bt AS (SELECT qid, nid FROM br WHERE rnk <= 5),
+       |pd AS (SELECT CAST(d AS BIGINT) AS d, qid, nid,
+       |         CASE d WHEN 8 THEN s8 WHEN 16 THEN s16 ELSE s32 END AS sim
+       |       FROM p, (VALUES (8), (16), (32)) dims(d)),
+       |lr AS (SELECT d, qid, nid, row_number() OVER (PARTITION BY d, qid ORDER BY sim DESC, nid) AS rnk FROM pd),
+       |lt AS (SELECT d, qid, nid FROM lr WHERE rnk <= 5),
+       |bd AS (SELECT CAST(d AS BIGINT) AS d, qid, nid FROM bt, (VALUES (8), (16), (32)) dims(d))
+       |SELECT bd.d, bd.qid, CAST(count(lt.nid) AS BIGINT) AS n_hit,
+       |  round(count(lt.nid) / 5.0, 6) AS recall
+       |FROM bd LEFT JOIN lt ON bd.d = lt.d AND bd.qid = lt.qid AND bd.nid = lt.nid
+       |GROUP BY bd.d, bd.qid ORDER BY bd.d, bd.qid""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val dims = Seq(8, 16, 32)
+    val v = Similarity.vectors(Tables.embeddings(s, dir))
+    val q = v.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val c = v.where(col("vec_id") >= 10).select(col("vec_id").as("nid"), col("v").as("cv"))
+    val scored = c.crossJoin(broadcast(q)).select(
+      col("qid"), col("nid"),
+      Similarity.cosine("qv", "cv").as("simf"),
+      map(dims.flatMap(d => Seq(lit(d.toLong),
+        Similarity.cosineC(slice(col("qv"), 1, d), slice(col("cv"), 1, d)))): _*).as("pre"))
+    val bt = scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("simf").desc, col("nid"))))
+      .where(col("rnk") <= 5).select(col("qid"), col("nid"))
+    val lt = scored.select(col("qid"), col("nid"), explode(col("pre")).as(Seq("d", "sim")))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("d"), col("qid")).orderBy(col("sim").desc, col("nid"))))
+      .where(col("rnk") <= 5)
+      .select(col("d").as("ld"), col("qid").as("lqid"), col("nid").as("lnid"))
+    bt.select(col("qid"), col("nid"),
+        explode(array(dims.map(d => lit(d.toLong)): _*)).as("d"))
+      .join(lt, col("d") === col("ld") && col("qid") === col("lqid") && col("nid") === col("lnid"), "left")
+      .groupBy(col("d"), col("qid"))
+      .agg(count(col("lnid")).as("n_hit"),
+        round(count(col("lnid")) / 5.0, 6).as("recall"))
+      .orderBy(col("d"), col("qid"))
+  }
+
   val all: Seq[QueryDef] = Seq(embedKnnBrute, embedKnnLsh, embedCentroids,
     multimodalMeta, multimodalFramesample, multimodalResize, embedNorms,
     embedKnnIvf, dedupEmbedCosine, dedupSemantic, embedQuantize, embedLshRecall,
     embedHyperplaneRecall, embedBandedRecall, embedKnnPq,
     embedMultiprobeRecall, embedPqRecall, multimodalFeatures, embedHardNegatives,
-    embedRandomProjection, embedKmeans, embedPca, embedOutliers)
+    embedRandomProjection, embedKmeans, embedPca, embedOutliers,
+    embedMatryoshkaRecall, multimodalPhashDedup)
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.core.{Tables, TimeKeys}
 import graft.ml.Poisson
-import graft.ops.{HourRingFeatures, SeriesAggs}
+import graft.ops.{HourRingFeatures, SeriesAggs, TextOps}
 
 /** W1 feature ring (oracle-checked in long form) and the end-to-end
   * Poisson GLM pipeline (no SQL oracle — model fitting is not DuckDB-
@@ -551,9 +551,57 @@ object MlQueries {
     }
   }
 
+  /** Tokenizer vocabulary-size coverage curve: for candidate vocab sizes
+    * (100 / 1,000 / 10,000 types), the share of ALL token occurrences
+    * covered by the that-many most frequent words — the measurement
+    * behind choosing a tokenizer vocab budget (coverage knees where
+    * added types stop paying for themselves; complements `text_zipf`'s
+    * slope fit with the cumulative view). Types ranked by (count desc,
+    * word) so the cut is deterministic under count ties.
+    *
+    * Shape at 100 TB: one exploded token count (THE shuffle — same as
+    * any word count), then a top-10k TakeOrdered to the driver-side
+    * rank window — vocab heads are bounded by the largest cut, never
+    * corpus-sized, so the window sorts 10k rows regardless of corpus
+    * scale. The cut fan-out is a map-side explode of the (≤3) cuts
+    * each rank belongs to; no join anywhere.
+    */
+  val mlVocabCoverage: QueryDef = {
+    val cuts = Seq(100, 1000, 10000)
+    val cutsSql = cuts.map(c => s"($c)").mkString(", ")
+    QueryDef.sql("ml_vocab_coverage",
+      s"""WITH w AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word FROM documents),
+         |wc AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+         |t AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM wc),
+         |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, word) AS rnk FROM wc),
+         |x AS (SELECT CAST(d AS BIGINT) AS vocab_size, sum(c) AS cov
+         |      FROM r, (VALUES $cutsSql) dims(d) WHERE rnk <= d GROUP BY 1)
+         |SELECT vocab_size, CAST(cov AS BIGINT) AS n_covered,
+         |  round(cov / total, 6) AS coverage
+         |FROM x, t ORDER BY vocab_size""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wc = Tables.documents(s, dir)
+        .select(explode(TextOps.wordsExpr).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      val total = wc.agg(sum(col("c")).cast("double").as("total"))
+      val cutsArr = array(cuts.map(c => lit(c.toLong)): _*)
+      // rank only the top-max(cuts) head (TakeOrdered, not a vocab sort)
+      wc.orderBy(col("c").desc, col("word")).limit(cuts.max)
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("c").desc, col("word"))))
+        .select(col("c"),
+          explode(filter(cutsArr, d => col("rnk") <= d)).as("vocab_size"))
+        .groupBy(col("vocab_size")).agg(sum(col("c")).as("cov"))
+        .crossJoin(broadcast(total))
+        .select(col("vocab_size"), col("cov").as("n_covered"),
+          round(col("cov") / col("total"), 6).as("coverage"))
+        .orderBy(col("vocab_size"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(hourRingFeatures, hourRingFeaturesReturns,
     mlDataset, mlPoissonPredict, mlZscore, mlLagFeatures, mlHashSplit,
     mlSampleStratified, mlPackSequences, mlMixtureSample, mlChunkDocuments,
     mlQualityFunnel, mlSampleWeighted, mlMixtureTemperature, mlFeatureHash,
-    mlLengthBuckets)
+    mlLengthBuckets, mlVocabCoverage)
 }

@@ -59,4 +59,37 @@ class MultimodalSpec extends SparkSpec {
       .map(b => (b.toLong + 256) % 256)
     assert(out(0).feat.toSeq === refAlpha.toSeq)
   }
+
+  test("phash: bit i = descriptor sign bit; banded dedup equals brute-force hamming <= 3") {
+    import spark.implicits._
+    // 120 synthetic "images": enough that a few random 16-bit hashes
+    // land within hamming 3 of each other. The banded candidate path
+    // must reproduce the all-pairs answer EXACTLY (4x4-bit pigeonhole
+    // is lossless at threshold 3) — a band arithmetic bug or a lossy
+    // banding shows up as a missing pair here.
+    val docs = (1 to 120).map(i => (i.toLong, s"media payload number $i"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.mediaTable(spark, docs)
+    val ph = Multimodal.phash(spark, media).collect().sortBy(_.doc_id)
+    // formula pin vs the featureExtract reference
+    val feats = Multimodal.featureExtract(spark, media, 16).collect()
+      .map(f => f.doc_id -> f.feat).toMap
+    ph.foreach { p =>
+      val expected = feats(p.doc_id).zipWithIndex
+        .map { case (b, i) => if (b >= 128L) 1L << i else 0L }.sum
+      assert(p.ph === expected, s"doc ${p.doc_id}")
+      assert(p.ph >= 0L && p.ph < (1L << 16), s"doc ${p.doc_id} out of 16-bit range")
+    }
+    // query output == brute-force all-pairs
+    val tmp = java.nio.file.Files.createTempDirectory("phash").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val expectedPairs = (for {
+      a <- ph; b <- ph if a.doc_id < b.doc_id
+      d = java.lang.Long.bitCount(a.ph ^ b.ph) if d <= 3
+    } yield (a.doc_id, b.doc_id, d.toLong)).sortBy(t => (t._1, t._2)).toSeq
+    val got = graft.queries.EmbedQueries.multimodalPhashDedup.run(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === expectedPairs)
+    assert(expectedPairs.nonEmpty, "fixture produced no near pairs — enlarge it")
+  }
 }

@@ -277,4 +277,44 @@ class SimilaritySpec extends SparkSpec {
     val zs = got.map(_.getAs[Double]("z"))
     assert(zs.zip(zs.tail).forall { case (a, b) => a >= b }, zs.mkString(","))
   }
+
+  test("matryoshka recall matches an in-memory brute mirror on seeded random vectors") {
+    import spark.implicits._
+    // 3 queries (ids < 10) + 30 candidates, dim 64, seeded — the mirror
+    // recomputes both rankings with the query's exact fold order and
+    // 6-decimal HALF_UP round, so a slice/off-by-one or a ranking-key
+    // regression in embed_matryoshka_recall fails here with small data.
+    val rnd = new scala.util.Random(7)
+    val rows = ((0 until 3).map(i => (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1), 0)) ++
+      (0 until 30).map(i => (10L + i, Array.fill(64)(rnd.nextFloat() * 2 - 1), 0)))
+    val tmp = java.nio.file.Files.createTempDirectory("matry").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+
+    def cos(a: Array[Float], b: Array[Float], d: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < d) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      BigDecimal(dot / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val q = rows.filter(_._1 < 10)
+    val c = rows.filter(_._1 >= 10)
+    def top5(qv: Array[Float], d: Int): Set[Long] =
+      c.map(n => (n._1, cos(qv, n._2, d))).sortBy(p => (-p._2, p._1)).take(5).map(_._1).toSet
+    val expected = (for {
+      d <- Seq(8, 16, 32); (qid, qv, _) <- q
+    } yield {
+      val hits = (top5(qv, 64) & top5(qv, d)).size
+      (d.toLong, qid, hits.toLong,
+        BigDecimal(hits / 5.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }).sortBy(t => (t._1, t._2))
+    val got = graft.queries.EmbedQueries.embedMatryoshkaRecall.run(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === expected)
+    // sanity: truncation must actually bite somewhere on random vectors
+    assert(got.exists(_._3 < 5L), "every prefix ranking matched full-dim — fixture too easy")
+  }
 }

@@ -187,4 +187,26 @@ class TextOpsSpec extends SparkSpec {
       assert(slope < 0.0 && slope > -5.0, s"slope out of range: $r")
     }
   }
+
+  test("ml_vocab_coverage: 150-type fixture — the 100-cut bites exactly, larger cuts saturate") {
+    import spark.implicits._
+    // word w001..w150, word wNNN occurs (151 - NNN) times: ranking by
+    // (count desc, word) is w001, w002, ... so the top-100 head and
+    // every coverage share are closed-form.
+    val docs = (1 to 150).map { i =>
+      (i.toLong, (s"w${"%03d".format(i)} " * (151 - i)).trim)
+    }.toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("vocab").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val total = (1 to 150).map(i => 151 - i).sum.toDouble      // 11325
+    val cov100 = (1 to 100).map(i => 151 - i).sum              // top-100 head
+    val got = graft.queries.MlQueries.mlVocabCoverage.run(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Seq(
+      (100L, cov100.toLong, r6(cov100 / total)),
+      (1000L, 11325L, 1.0),
+      (10000L, 11325L, 1.0)))
+  }
 }
