@@ -91,7 +91,12 @@ class PlanSpec extends SparkSpec {
       // one-row vocab-size scalar broadcast into every scored bigram row
       "text_lm_score",
       // one-row percentile-boundaries broadcast into the map-only binning scan
-      "ml_length_buckets")
+      "ml_length_buckets",
+      // broadcast query block × candidate scan (the exact arm), same
+      // shape as embed_knn_brute, scored at 4 dims per pair in one pass
+      "embed_matryoshka_recall",
+      // one-row total-token scalar broadcast into the (≤3)-row coverage agg
+      "ml_vocab_coverage")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>
@@ -102,6 +107,20 @@ class PlanSpec extends SparkSpec {
       }
     assert(offenders.isEmpty,
       s"unexpected nested-loop/cartesian plans:\n${offenders.map(o => s"  ${o._1}: ${o._2}").mkString("\n")}")
+  }
+
+  test("ml_vocab_coverage ranks a bounded head (TakeOrdered), never window-sorts the vocabulary") {
+    val p = plan(graft.queries.MlQueries.mlVocabCoverage)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10k head cut is not a TakeOrdered in:\n$p")
+  }
+
+  test("multimodal_phash_dedup candidates come from a band equi-join (hash join, no pairing scan)") {
+    val p = plan(graft.queries.EmbedQueries.multimodalPhashDedup)
+    // the global sweep already rejects BNLJ/cartesian here; pin the
+    // positive shape too — band-key hash equi-join feeding the verify
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("BroadcastHashJoin"), s"no equi-join in candidate path:\n$p")
   }
 
   test("top-per-group window gets map-side WindowGroupLimit (low-cardinality lang key is safe)") {
