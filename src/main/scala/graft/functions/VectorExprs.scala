@@ -100,6 +100,66 @@ object VecDot {
   }
 }
 
+/** `vec_dot_n(a, b, n)`: dot product of the first `n` elements of two
+  * double arrays — the prefix-dim (Matryoshka) kernel. Equivalent to
+  * `vec_dot(slice(a, 1, n), slice(b, 1, n))` but without materializing
+  * two sliced array copies per pair (slice allocates a GenericArrayData
+  * each call — measurable when the scorer evaluates several prefixes
+  * per candidate pair). NULL if either array is shorter than n or a
+  * read element is NULL; same ascending-index IEEE fold as [[VecDot]].
+  * `n` is a plan-time literal (the prefix dim is a query constant).
+  */
+case class VecDotN(left: Expression, right: Expression, n: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) if n > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+      TypeCheckResult.TypeCheckFailure(s"vec_dot_n requires n > 0, got $n")
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"vec_dot_n requires two array<double> arguments, got (${l.catalogString}, ${r.catalogString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_dot_n"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() < n || y.numElements() < n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($a.numElements() < $n || $b.numElements() < $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDotN =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `hyperplane_bucket(v, bits, seed, dim[, planeOffset])`: random-
   * hyperplane LSH code — bit b set iff v · r_(planeOffset+b) >= 0, for
   * `bits` planes whose components are seeded murmur3-derived constants

@@ -88,6 +88,23 @@ object Similarity {
     when(denom === 0.0, lit(null)).otherwise(round(dotC(a, b) / denom, 6))
   }
 
+  /** Native prefix dot: the first `n` components only
+    * (graft.functions.VecDotN) — bit-identical to
+    * `dotC(slice(a,1,n), slice(b,1,n))` without the two sliced-copy
+    * allocations per evaluation.
+    */
+  def dotPrefix(a: Column, b: Column, n: Int): Column =
+    GraftColumns.column(graft.functions.VecDotN(
+      GraftColumns.expression(a), GraftColumns.expression(b), n))
+
+  /** Prefix-dim cosine (Matryoshka truncation scoring): [[cosine]]'s
+    * exact formula over the first `n` components via [[dotPrefix]].
+    */
+  def cosinePrefix(a: Column, b: Column, n: Int): Column = {
+    val denom = sqrt(dotPrefix(a, a, n)) * sqrt(dotPrefix(b, b, n))
+    when(denom === 0.0, lit(null)).otherwise(round(dotPrefix(a, b, n) / denom, 6))
+  }
+
   /** Axis-aligned LSH bucket: 8 sign bits from the first 8 dims,
     * unrolled to codegen'd scalar ops (small enough to stay well under
     * the codegen budget). Kept as the ORACLE form (trivially

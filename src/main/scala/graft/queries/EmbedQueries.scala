@@ -1312,7 +1312,7 @@ object EmbedQueries {
       col("qid"), col("nid"),
       Similarity.cosine("qv", "cv").as("simf"),
       map(dims.flatMap(d => Seq(lit(d.toLong),
-        Similarity.cosineC(slice(col("qv"), 1, d), slice(col("cv"), 1, d)))): _*).as("pre"))
+        Similarity.cosinePrefix(col("qv"), col("cv"), d))): _*).as("pre"))
     val bt = scored
       .withColumn("rnk", row_number().over(
         Window.partitionBy(col("qid")).orderBy(col("simf").desc, col("nid"))))

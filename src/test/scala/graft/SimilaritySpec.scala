@@ -154,6 +154,30 @@ class SimilaritySpec extends SparkSpec {
     assert(df.where(col("nbo") =!= col("ubo")).count() === 0L)
   }
 
+  test("native vec_dot_n equals vec_dot over slices, bit-for-bit, corners included") {
+    val df = pairCorpus()
+      .withColumn("np", Similarity.dotPrefix(col("v"), col("w"), 7))
+      .withColumn("sp", Similarity.dotC(slice(col("v"), 1, 7), slice(col("w"), 1, 7)))
+      .withColumn("cp", Similarity.cosinePrefix(col("v"), col("w"), 7))
+      .withColumn("cs", Similarity.cosineC(slice(col("v"), 1, 7), slice(col("w"), 1, 7)))
+    assert(df.where(col("np") =!= col("sp")).count() === 0L)
+    assert(df.where(col("np").isNull).count() === 0L)
+    assert(df.where(col("cp") =!= col("cs")).count() === 0L)
+    // corners: n longer than the array -> NULL; a NULL element inside
+    // the prefix poisons; a NULL element BEYOND the prefix does not
+    val c = spark.range(1).select(
+      Similarity.dotPrefix(
+        expr("array(1.0D, 2.0D)"), expr("array(3.0D, 4.0D)"), 3).as("short"),
+      Similarity.dotPrefix(
+        expr("array(1.0D, CAST(NULL AS DOUBLE), 2.0D)"), expr("array(1.0D, 1.0D, 1.0D)"), 2).as("poisoned"),
+      Similarity.dotPrefix(
+        expr("array(1.0D, 2.0D, CAST(NULL AS DOUBLE))"), expr("array(3.0D, 4.0D, 5.0D)"), 2).as("beyond"))
+      .head()
+    assert(c.isNullAt(0), "n past the array end must be NULL")
+    assert(c.isNullAt(1), "NULL inside the prefix must poison")
+    assert(c.getDouble(2) === 11.0, "NULL beyond the prefix must not poison")
+  }
+
   test("native kernels: interpreted eval matches codegen") {
     val before = spark.conf.getOption("spark.sql.codegen.factoryMode")
     val beforeWs = spark.conf.getOption("spark.sql.codegen.wholeStage")
