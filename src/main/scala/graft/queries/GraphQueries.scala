@@ -647,6 +647,94 @@ object GraphQueries {
     visited
   }
 
+  /** Personalized-PageRank power loop: like [[pagerank]] but the
+    * teleport mass returns to `seeds` (uniformly) instead of to every
+    * node. Per round: one edges ⋈ broadcast(ranks) map-side join + one
+    * node-keyed sum, with the seed teleport injected as a UNION into
+    * the same aggregate (no outer join — nodes absent from the flow
+    * simply contribute no term). Takes the degree-annotated edge table
+    * (src, dst, outdeg) and the seed node list; same per-round
+    * localCheckpoint discipline as [[pagerank]].
+    */
+  def ppr(edges: org.apache.spark.sql.DataFrame, seeds: org.apache.spark.sql.DataFrame,
+          nSeeds: Long, iters: Int, damping: Double): org.apache.spark.sql.DataFrame = {
+    val teleport = 1.0 - damping
+    var ranks = seeds.select(col("node"), lit(1.0 / nSeeds).as("pr"))
+    for (_ <- 1 to iters) {
+      val flow = edges.join(broadcast(ranks), col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg((lit(damping) * sum(col("pr") / col("outdeg"))).as("pr"))
+        .select(col("dst").as("node"), col("pr"))
+      ranks = flow
+        .unionAll(seeds.select(col("node"), lit(teleport / nSeeds).as("pr")))
+        .groupBy(col("node")).agg(sum(col("pr")).as("pr"))
+        .localCheckpoint(eager = true)
+    }
+    ranks
+  }
+
+  /** Personalized PageRank (the random walk teleports back to a SEED
+    * SET instead of everywhere — Jeh & Widom 2003, the seed-expansion
+    * primitive behind "find data similar to this curated set"): seeds
+    * are the customers with key <= 5, teleport mass splits evenly
+    * across them, 6 power rounds at d = 0.85 via [[ppr]]. Output:
+    * top-20 nodes by relative rank, ordered on the ROUNDED value
+    * (+ node key) so the cut is cross-engine stable.
+    */
+  val graphPpr: QueryDef = {
+    val damping = 0.85
+    val iters = 6
+    val recur = (1 to iters).map { i =>
+      s"""r$i AS (SELECT node, sum(pr) AS pr FROM (
+         |  SELECT e.dst AS node, ${damping}e0 * sum(r.pr / e.outdeg) AS pr
+         |  FROM e JOIN r${i - 1} r ON r.node = e.src GROUP BY e.dst
+         |  UNION ALL SELECT node, 0.15e0 / (SELECT k FROM ns) FROM seeds) u
+         |GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    QueryDef.sql("graph_ppr",
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |eu AS (SELECT c AS src, s AS dst FROM e0
+         |       UNION ALL SELECT s AS src, c AS dst FROM e0),
+         |deg AS (SELECT src, count(*) AS outdeg FROM eu GROUP BY src),
+         |e AS (SELECT eu.src, eu.dst, d.outdeg FROM eu JOIN deg d USING (src)),
+         |nv AS (SELECT count(*) AS n FROM deg),
+         |seeds AS (SELECT src AS node FROM deg WHERE src % 2 = 0 AND src // 2 <= 5),
+         |ns AS (SELECT count(*) AS k FROM seeds),
+         |r0 AS (SELECT node, 1.0e0 / (SELECT k FROM ns) AS pr FROM seeds),
+         |$recur
+         |SELECT kind, key, ppr_rel FROM (
+         |  SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END AS kind,
+         |    node // 2 AS key, round(pr * (SELECT n FROM nv), 3) AS ppr_rel
+         |  FROM r$iters) t
+         |ORDER BY ppr_rel DESC, kind, key LIMIT 20""".stripMargin) { (s, dir) =>
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val pairs = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+        .persist(mem)
+      val undirected = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+      val deg = undirected.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).persist(mem)
+      val nv = deg.count()
+      val edges = undirected.join(deg, Seq("src")).persist(mem)
+      val seeds = deg.where(col("src") % 2 === 0 && expr("src div 2") <= 5)
+        .select(col("src").as("node")).persist(mem)
+      val nS = seeds.count()
+      val ranks = ppr(edges, seeds, nS, iters, damping)
+      Seq(edges, deg, seeds, pairs).foreach(_.unpersist(false))
+      ranks.select(
+        when(col("node") % 2 === 0, "c").otherwise("s").as("kind"),
+        expr("node div 2").as("key"),
+        round(col("pr") * nv, 3).as("ppr_rel"))
+        .orderBy(col("ppr_rel").desc, col("kind"), col("key")).limit(20)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(graphPagerank, graphTriangles, graphComponents,
-    graphDegreeStats, graphLabelProp, graphJaccard, graphKcore, graphBfs)
+    graphDegreeStats, graphLabelProp, graphJaccard, graphKcore, graphBfs,
+    graphPpr)
 }

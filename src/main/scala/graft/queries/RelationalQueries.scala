@@ -779,10 +779,41 @@ object RelationalQueries {
       .orderBy(col("k"))
   }
 
+  /** Equi-width histogram of l_extendedprice in 16 bins between the
+    * global min and max — the profiling primitive behind range-partition
+    * sizing and skew diagnosis. Two passes: a scalar (min, max) agg
+    * broadcast into a map-only binning scan + count; the bin id is
+    * `least(floor((x - lo) / w), 15)` (the `least` folds the x == max
+    * row into the last bin). Every arithmetic step is the same double
+    * op in the same order on both engines, so bin edges are exact —
+    * no rounding ambiguity at boundaries.
+    */
+  val qHistogram: QueryDef = QueryDef.sql("q_histogram",
+    """WITH s AS (SELECT min(l_extendedprice) AS lo, max(l_extendedprice) AS hi FROM lineitem),
+      |b AS (SELECT least(CAST(floor((l_extendedprice - s.lo) / ((s.hi - s.lo) / 16)) AS BIGINT), 15) AS bin
+      |      FROM lineitem, s)
+      |SELECT b.bin,
+      |  CAST(count(*) AS BIGINT) AS n_items,
+      |  round(s.lo + b.bin * (s.hi - s.lo) / 16, 6) AS bin_lo,
+      |  round(s.lo + (b.bin + 1) * (s.hi - s.lo) / 16, 6) AS bin_hi
+      |FROM b, s GROUP BY b.bin, s.lo, s.hi ORDER BY b.bin""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir).select(col("l_extendedprice").as("x"))
+    val stats = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+    li.crossJoin(broadcast(stats))
+      .select(least(floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / 16)).cast("long"),
+        lit(15L)).as("bin"), col("lo"), col("hi"))
+      .groupBy(col("bin"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("n_items"))
+      .select(col("bin"), col("n_items"),
+        round(col("lo") + col("bin") * (col("hi") - col("lo")) / 16, 6).as("bin_lo"),
+        round(col("lo") + (col("bin") + 1) * (col("hi") - col("lo")) / 16, 6).as("bin_hi"))
+      .orderBy(col("bin"))
+  }
+
   val all: Seq[QueryDef] = Seq(q1Agg, qJoinAgg, qBroadcastJoin, qTopk,
     qWindowRank, qSetops, qRollup, qDistinctAgg, qSemiJoin, qAntiJoin,
     qAsofJoin, qPercentileStats, qCube, qRunningSum, qRangeJoin,
     qProfileStats, qAboveAvg, qSaltedCount, qSqlTpch6, qUnpivot,
     qGroupingSets, qCorrSubquery, qFullOuter, qBloomPrune, qGapFill,
-    qChangelogCompact, qSkyline, qSnapshotDiff)
+    qChangelogCompact, qSkyline, qSnapshotDiff, qHistogram)
 }

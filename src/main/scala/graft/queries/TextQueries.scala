@@ -853,10 +853,51 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Distribution drift per source: KL(p_source ‖ p_corpus) over word
+    * unigrams — the monitoring statistic for "has this feed's language
+    * shifted away from the mix the model was trained on" (and the
+    * per-source term of the mixture-selection objective in data-curation
+    * pipelines). Support(p_source) ⊆ support(p_corpus) by construction,
+    * so the ratio needs no smoothing; KL ≥ 0 with equality iff the
+    * source matches the corpus mix.
+    *
+    * Shape at 100 TB: ONE exploded (source, word) count is the only
+    * corpus-sized shuffle; source totals and corpus word totals both
+    * roll up FROM that table (map-side combine), and the scoring join
+    * keys the per-source rows on the word — the corpus table is
+    * vocab-sized, never document-sized. Σ-of-doubles FP noise
+    * (~1e-13 relative) sits far below the 6-decimal round, the same
+    * argument as text_entropy/text_pmi.
+    */
+  val textKlDrift: QueryDef = QueryDef.sql("text_kl_drift",
+    """WITH t AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word FROM documents),
+      |sc AS (SELECT source, word, count(*) AS c FROM t GROUP BY 1, 2),
+      |st AS (SELECT source, CAST(sum(c) AS DOUBLE) AS ts FROM sc GROUP BY 1),
+      |cc AS (SELECT word, CAST(sum(c) AS DOUBLE) AS cw FROM sc GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS tt FROM sc)
+      |SELECT source, CAST(st.ts AS BIGINT) AS n_tokens,
+      |  round(sum((sc.c / st.ts) * ln((sc.c / st.ts) / (cc.cw / tot.tt))), 6) AS kl
+      |FROM sc JOIN st USING (source) JOIN cc USING (word) CROSS JOIN tot
+      |GROUP BY source, st.ts ORDER BY source""".stripMargin) { (s, dir) =>
+    val sc = Tables.documents(s, dir)
+      .select(col("source"), explode(TextOps.wordsExpr).as("word"))
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("c"))
+    val st = sc.groupBy(col("source")).agg(sum(col("c")).cast("double").as("ts"))
+    val cc = sc.groupBy(col("word")).agg(sum(col("c")).cast("double").as("cw"))
+    val tot = sc.agg(sum(col("c")).cast("double").as("tt"))
+    sc.join(broadcast(st), "source")
+      .join(cc, "word")
+      .crossJoin(broadcast(tot))
+      .groupBy(col("source"), col("ts"))
+      .agg(round(sum((col("c") / col("ts")) * log((col("c") / col("ts")) / (col("cw") / col("tt")))), 6).as("kl"))
+      .select(col("source"), col("ts").cast("long").as("n_tokens"), col("kl"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(textTokenCount, textLangId, textQualityScore,
     textFingerprint, textRollingHash, textTopPerLang, textTopNgrams,
     sketchDistinctKmv, textPiiScrub, textRepetition, textEntropy,
     textGopherRules, textTfidfTop, sketchHeavyHitters, textInvertedIndex,
     textBm25, textPmi, textLmScore, sketchQuantiles, textZipf,
-    sketchSetops)
+    sketchSetops, textKlDrift)
 }

@@ -150,4 +150,19 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Double]("est_union") === 5.0)
     assert(r.getAs[Double]("est_intersect") === 2.0)
   }
+
+  test("q_histogram: unit-spaced fixture fills every bin; the max value folds into the last") {
+    import spark.implicits._
+    // prices 0..16: min 0, max 16, width 1 — bin i holds value i for
+    // i < 15, and bin 15 holds BOTH 15 and 16 (the least() fold that
+    // keeps x == max in range)
+    val tmp = java.nio.file.Files.createTempDirectory("hist").toString
+    (0 to 16).map(i => (i.toLong, i.toDouble)).toDF("l_orderkey", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val got = graft.queries.RelationalQueries.qHistogram.run(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    val expected = (0L to 15L).map(i =>
+      (i, if (i == 15L) 2L else 1L, i.toDouble, (i + 1).toDouble))
+    assert(got === expected)
+  }
 }

@@ -213,4 +213,50 @@ class GraphSpec extends SparkSpec {
     assert(byN.zip(byN.tail).forall { case (a, b) => b <= a + 1e-9 },
       s"keep_p not non-increasing in n_docs: ${byN.mkString(",")}")
   }
+
+  test("ppr matches an in-memory power-iteration mirror on a path + branch graph") {
+    import spark.implicits._
+    // 1-2-3-4-5 chain with a 3-6 branch, seed {1}: the mirror runs the
+    // IDENTICAL recurrence (r' = 0.85·flow + 0.15·s) in plain Scala.
+    // NOTE ppr is NOT monotone in hop distance — a degree-1 seed
+    // forwards its whole mass, so its neighbor out-ranks it; the
+    // differential is the honest check, not a decay assertion.
+    val raw = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (3L, 6L))
+    val und = raw.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val undDf = und.toDF("src", "dst")
+    val deg = undDf.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edges = undDf.join(deg, Seq("src"))
+    val seeds = Seq(1L).toDF("node")
+    val got = graft.queries.GraphQueries.ppr(edges, seeds, 1L, 6, 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    val outdeg = und.groupBy(_._1).map { case (k, v) => k -> v.size }
+    var pr = Map(1L -> 1.0)
+    for (_ <- 1 to 6) {
+      val flow = und.flatMap { case (s, d) =>
+        pr.get(s).map(p => d -> 0.85 * p / outdeg(s))
+      }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      pr = (flow.keySet + 1L).map(n =>
+        n -> (flow.getOrElse(n, 0.0) + (if (n == 1L) 0.15 else 0.0))).toMap
+    }
+    assert(got.keySet === pr.keySet)
+    got.foreach { case (n, v) =>
+      assert(math.abs(v - pr(n)) < 1e-12, s"node $n: got $v, mirror ${pr(n)}")
+    }
+    // no dangling nodes -> Σ pr = 1 every round
+    assert(math.abs(got.values.sum - 1.0) < 1e-9, s"mass leaked: ${got.values.sum}")
+  }
+
+  test("graph_ppr: seed neighborhood dominates the top of the ranking") {
+    val rows = graft.queries.GraphQueries.graphPpr.run(spark, dir).collect()
+    assert(rows.length === 20)
+    assert(rows.forall(_.getDouble(2) > 0.0), "non-positive rank in the head")
+    // the teleport anchors the seed customers: most of the 5 must sit
+    // in the 20-node head of a ~4k-node graph (hub suppliers adjacent
+    // to several seeds may legitimately out-rank an individual seed)
+    val seedRows = rows.count(r => r.getString(0) == "c" && r.getLong(1) <= 5L)
+    assert(seedRows >= 3, s"only $seedRows seed customers in the top-20")
+    val vals = rows.map(_.getDouble(2))
+    assert(vals.zip(vals.tail).forall { case (a, b) => a >= b }, "ranking not sorted")
+  }
 }

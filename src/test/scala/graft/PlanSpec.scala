@@ -96,7 +96,11 @@ class PlanSpec extends SparkSpec {
       // shape as embed_knn_brute, scored at 4 dims per pair in one pass
       "embed_matryoshka_recall",
       // one-row total-token scalar broadcast into the (≤3)-row coverage agg
-      "ml_vocab_coverage")
+      "ml_vocab_coverage",
+      // one-row corpus-token-total scalar broadcast into the scoring rows
+      "text_kl_drift",
+      // one-row (min, max) stats broadcast into the map-only binning scan
+      "q_histogram")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>

@@ -188,6 +188,28 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("text_kl_drift: identical sources score 0; disjoint halves score exactly ln 2") {
+    import spark.implicits._
+    def run(docs: org.apache.spark.sql.DataFrame) = {
+      val tmp = java.nio.file.Files.createTempDirectory("kl").toString
+      docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      graft.queries.TextQueries.textKlDrift.run(spark, tmp)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    }
+    // both sources emit the same distribution -> corpus == source -> KL 0
+    val same = run(Seq(
+      (1L, "x y", "a"), (2L, "x y", "a"),
+      (3L, "y x", "b"), (4L, "x y", "b")).toDF("doc_id", "text", "source"))
+    assert(same === Seq(("a", 4L, 0.0), ("b", 4L, 0.0)), s"got $same")
+    // disjoint vocabularies, equal sizes: p_s(w)=1, p_c(w)=1/2 -> KL = ln 2
+    val ln2 = BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val split = run(Seq(
+      (1L, "x x x", "a"), (2L, "x x x", "a"),
+      (3L, "y y y", "b"), (4L, "y y y", "b")).toDF("doc_id", "text", "source"))
+    assert(split === Seq(("a", 6L, ln2), ("b", 6L, ln2)), s"got $split")
+  }
+
   test("ml_vocab_coverage: 150-type fixture — the 100-cut bites exactly, larger cuts saturate") {
     import spark.implicits._
     // word w001..w150, word wNNN occurs (151 - NNN) times: ranking by
