@@ -245,33 +245,46 @@ object DedupQueries {
   /** Scale path: k universal-hash minhashes over shingle hashes, banded;
     * candidates from an equi-join on band keys; exact-Jaccard verify >= 0.8.
     */
-  val dedupMinhashLsh: QueryDef = {
-    val (k, bands, r) = (16, 8, 2)
+  // the banded MinHash candidate pipeline, oracle side — ONE copy
+  // (k=16, 8 bands × 2 rows) shared by dedup_minhash_lsh (which
+  // verifies candidates) and dedup_lsh_recall (which measures them);
+  // Spark twin: TextOps.bandedSignatures with the same constants
+  private val (minhashK, minhashBands, minhashR) = (16, 8, 2)
+  private val duckMinhashCandCte: String = {
     val duckSig =
-      s"[list_min([(${a("i")} * (x % $P) + i) % $P for x in hs]) for i in range(0, $k)]"
-    val duckSlice = (1 to r).map(o => s"sig[$r * b + $o]").mkString(" || ',' || ")
+      s"[list_min([(${a("i")} * (x % $P) + i) % $P for x in hs]) for i in range(0, $minhashK)]"
+    val duckSlice = (1 to minhashR).map(o => s"sig[$minhashR * b + $o]").mkString(" || ',' || ")
+    s"""sig AS (SELECT doc_id, $duckSig AS sig FROM hs),
+       |bands AS (SELECT doc_id, b, md5(CAST(b AS VARCHAR) || ':' || $duckSlice) AS bh
+       |          FROM sig CROSS JOIN range(0, $minhashBands) r1(b)),
+       |mcand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |          FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  /** Spark twin of `mcand`: the banded-signature candidate pairs. */
+  private def minhashCandidates(hs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val bandRows = TextOps.bandedSignatures(hs, minhashK, minhashBands, minhashR)
+    bandRows.as("a")
+      .join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+  }
+
+  val dedupMinhashLsh: QueryDef = {
     QueryDef.sql("dedup_minhash_lsh",
       s"""WITH $hashCte,
-         |sig AS (SELECT doc_id, $duckSig AS sig FROM hs),
-         |bands AS (SELECT doc_id, b, md5(CAST(b AS VARCHAR) || ':' || $duckSlice) AS bh
-         |          FROM sig CROSS JOIN range(0, $bands) r1(b)),
-         |cand AS (SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-         |         FROM bands a JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |$duckMinhashCandCte,
          |ver AS (SELECT c.i, c.j, ${duckJaccard("x.hs", "y.hs")} AS sim
-         |        FROM cand c JOIN hs x ON x.doc_id = c.i JOIN hs y ON y.doc_id = c.j)
+         |        FROM mcand c JOIN hs x ON x.doc_id = c.i JOIN hs y ON y.doc_id = c.j)
          |SELECT i, j, sim FROM ver WHERE sim >= 0.8 ORDER BY i, j""".stripMargin) { (s, dir) =>
       val hs = docHashes(s, dir)
       // shared banded-signature pipeline (native one-pass MinHashSig
       // kernel + band keys — TextOpsSpec pins it bit-for-bit against
       // the interpreted HOF form; family constants live in
       // TextOps.MinHash*, the single definition every consumer shares)
-      val bandRows = TextOps.bandedSignatures(hs, k, bands, r)
-      val cand = bandRows.as("a")
-        .join(bandRows.as("b"),
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-        .distinct()
+      val cand = minhashCandidates(hs)
       cand
         .join(hs.select(col("doc_id").as("i"), col("hs").as("ha")), "i")
         .join(hs.select(col("doc_id").as("j"), col("hs").as("hb")), "j")
@@ -784,8 +797,45 @@ object DedupQueries {
       .orderBy(col("i"), col("j"))
   }
 
+  /** Candidate-quality audit of the MinHash-LSH tier against the exact
+    * J >= 0.8 truth (the prefix-filtered PPJoin pipeline, which is
+    * recall-LOSSLESS by construction): recall = how many true near-dup
+    * pairs the band join surfaces; candidate precision = what fraction
+    * of surfaced candidates are true — the two numbers a pipeline
+    * checks before trusting the approximate tier at a scale where the
+    * exact one is unaffordable. Expected shape for 8 bands × 2 rows at
+    * J = 0.8: pair-collision probability 1-(1-J²)⁸ ≈ 0.9997, so recall
+    * should sit at/near 1.0 while precision stays low (bands collide
+    * happily below the threshold) — that asymmetry IS the LSH contract
+    * (candidates are cheap, the verify join disposes of the junk).
+    * Both pair tables come from the session memos ([[sharedPairs]],
+    * signature cache), so the audit costs two counts and a tiny join.
+    */
+  val dedupLshRecall: QueryDef = QueryDef.sql("dedup_lsh_recall",
+    s"""WITH $hashCte,
+       |$duckPairsCte,
+       |$duckMinhashCandCte,
+       |tr AS (SELECT i, j FROM pairs WHERE sim >= 0.8),
+       |hit AS (SELECT t.i FROM tr t JOIN mcand c ON t.i = c.i AND t.j = c.j)
+       |SELECT (SELECT count(*) FROM tr) AS n_true,
+       |  (SELECT count(*) FROM mcand) AS n_cand,
+       |  (SELECT count(*) FROM hit) AS n_hit,
+       |  round((SELECT count(*) FROM hit) / greatest((SELECT count(*) FROM tr), 1)::DOUBLE, 6) AS recall,
+       |  round((SELECT count(*) FROM hit) / greatest((SELECT count(*) FROM mcand), 1)::DOUBLE, 6) AS precision""".stripMargin) { (s, dir) =>
+    val hs = docHashes(s, dir)
+    val truth = sharedPairs(s, dir).where(col("sim") >= 0.8).select(col("i"), col("j"))
+    val cand = minhashCandidates(hs)
+    val hit = truth.join(cand, Seq("i", "j"))
+    truth.agg(count(lit(1)).as("n_true"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hit.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        round(col("n_hit") / greatest(col("n_true"), lit(1)).cast("double"), 6).as("recall"),
+        round(col("n_hit") / greatest(col("n_cand"), lit(1)).cast("double"), 6).as("precision"))
+  }
+
   val all: Seq[QueryDef] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhash, dedupClusters, dedupSurvivors, dedupBestSurvivor,
     dedupDecontaminate, dedupIncremental, dedupSubstring, dedupLines,
-    dedupSortedNeighborhood, dedupContainment)
+    dedupSortedNeighborhood, dedupContainment, dedupLshRecall)
 }

@@ -599,9 +599,44 @@ object MlQueries {
     }
   }
 
+  /** Differentially-private histogram release (Laplace mechanism,
+    * Dwork et al. 2006): per-event-type counts + Laplace(1/ε) noise at
+    * ε = 1 — the standard shape for sharing corpus statistics without
+    * exposing any single user's contribution. The noise draw is the
+    * inverse-CDF transform noise = -(1/ε)·sign(u)·ln(1−2|u|),
+    * u ∈ (−½, ½) derived from the portable 64-bit key hash, so the
+    * release is deterministic per key (reproducible pipelines re-release
+    * identical numbers — and the oracle can check it; a production
+    * deployment would salt with a secret per release instead). The true
+    * count rides along for the oracle/spec; a real release drops it.
+    * Shape: one map-side-combined count, noise is per-GROUP scalar
+    * arithmetic — the privacy layer adds zero shuffle.
+    */
+  val mlDpHistogram: QueryDef = {
+    val eps = 1.0
+    val hSql = OracleSql.hash64("'dp'", "event_type")
+    val uSql = s"(($hSql % 999999) + 1) / 1000001.0 - 0.5"
+    QueryDef.sql("ml_dp_histogram",
+      s"""WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+         |u AS (SELECT event_type, n, $uSql AS u FROM c)
+         |SELECT event_type, n,
+         |  round(n + (-1.0 / $eps) * sign(u) * ln(1 - 2 * abs(u)), 6) AS dp_n
+         |FROM u ORDER BY event_type""".stripMargin) { (s, dir) =>
+      import graft.ops.TextOps
+      TextOps.ensureFunctions(s)
+      val h = expr(TextOps.portableHash64Sql("'dp'", "event_type"))
+      Tables.events(s, dir)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .withColumn("u", ((h % 999999) + 1) / 1000001.0 - 0.5)
+        .select(col("event_type"), col("n"),
+          round(col("n") + (lit(-1.0 / eps) * signum(col("u")) * log(lit(1) - lit(2) * abs(col("u")))), 6).as("dp_n"))
+        .orderBy(col("event_type"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(hourRingFeatures, hourRingFeaturesReturns,
     mlDataset, mlPoissonPredict, mlZscore, mlLagFeatures, mlHashSplit,
     mlSampleStratified, mlPackSequences, mlMixtureSample, mlChunkDocuments,
     mlQualityFunnel, mlSampleWeighted, mlMixtureTemperature, mlFeatureHash,
-    mlLengthBuckets, mlVocabCoverage)
+    mlLengthBuckets, mlVocabCoverage, mlDpHistogram)
 }

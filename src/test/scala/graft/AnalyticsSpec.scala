@@ -151,6 +151,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Double]("est_intersect") === 2.0)
   }
 
+  test("ml_dp_histogram: noise equals the md5 closed form, deterministic across runs") {
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (2L, ts("2024-01-01 10:01:00"), 1L, "view"),
+      (3L, ts("2024-01-01 10:02:00"), 2L, "click"))
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("dp").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    def expectedNoise(eventType: String): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"dp:$eventType".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val u = (h % 999999L + 1L) / 1000001.0 - 0.5
+      -1.0 * math.signum(u) * math.log(1 - 2 * math.abs(u))
+    }
+    def fetch() = graft.queries.MlQueries.mlDpHistogram.run(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val a = fetch()
+    assert(a.map(_._1) === Seq("click", "view"))
+    a.foreach { case (et, n, dp) =>
+      val want = BigDecimal(n + expectedNoise(et))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(dp === want, s"$et: dp_n $dp != closed form $want")
+      assert(dp !== n.toDouble, s"$et: noise collapsed to zero")
+      assert(math.abs(dp - n) < 14.0, s"$et: noise outside the bounded-u envelope")
+    }
+    assert(fetch() === a, "release is not deterministic")
+  }
+
   test("q_histogram: unit-spaced fixture fills every bin; the max value folds into the last") {
     import spark.implicits._
     // prices 0..16: min 0, max 16, width 1 — bin i holds value i for

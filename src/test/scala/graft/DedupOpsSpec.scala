@@ -99,4 +99,28 @@ class DedupOpsSpec extends SparkSpec {
       (2L, 1, 1, 1, 1),
       (3L, 1, 1, 0, 0))) // the later twin: dropped by dedup alone
   }
+
+  test("dedup_lsh_recall: identical docs are always surfaced (recall 1), counts reconcile") {
+    import spark.implicits._
+    // three identical docs -> 3 true pairs with identical MinHash sigs
+    // (every band collides -> all 3 in the candidate set, recall 1.0);
+    // two unrelated docs contribute no truth. Long docs so the 20%
+    // prefix filter has tokens to work with.
+    val body = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, body), (2L, body), (3L, body),
+      (4L, (1 to 30).map(i => s"alpha$i").mkString(" ")),
+      (5L, (1 to 30).map(i => s"beta$i").mkString(" "))).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("lshrec").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    spark.conf.set("spark.graft.dedup.shareSignatures", "false")
+    try {
+      val r = graft.queries.DedupQueries.dedupLshRecall.run(spark, tmp).head()
+      assert(r.getAs[Long]("n_true") === 3L)
+      assert(r.getAs[Long]("n_hit") === 3L)
+      assert(r.getAs[Double]("recall") === 1.0)
+      assert(r.getAs[Long]("n_cand") >= 3L)
+      assert(r.getAs[Double]("precision") > 0.0 && r.getAs[Double]("precision") <= 1.0)
+    } finally spark.conf.set("spark.graft.dedup.shareSignatures", "true")
+  }
 }

@@ -100,7 +100,9 @@ class PlanSpec extends SparkSpec {
       // one-row corpus-token-total scalar broadcast into the scoring rows
       "text_kl_drift",
       // one-row (min, max) stats broadcast into the map-only binning scan
-      "q_histogram")
+      "q_histogram",
+      // three ONE-ROW pair-count scalars composed by cross join
+      "dedup_lsh_recall")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>
