@@ -529,6 +529,49 @@ object BicisQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Seasonality strength per user: the share of hourly-count variance
+    * explained by the hour-of-day profile, 1 − SSE/SST over the ACTIVE
+    * (date, hour) cells (same no-zero-fill convention as the A2 series)
+    * — SST around the user's grand mean, SSE around the user's per-hour
+    * means. ≈1 means the user's volume is a pure daily rhythm (the hour
+    * profile features will predict well); ≈0 means the profile explains
+    * nothing. This is the eta-squared screen a pipeline runs before
+    * paying for the W1 ring features.
+    *
+    * Shape at 100 TB: one (user, date, hour) count (THE shuffle), then
+    * both mean tables roll up from it and join back keyed on the user —
+    * profile tables are user×24-sized, never event-sized.
+    */
+  val seriesSeasonality: QueryDef = QueryDef.sql("series_seasonality",
+    """WITH c AS (SELECT user_id, CAST(ts AS DATE) AS d, hour(ts) AS h, count(*) AS n
+      |           FROM events GROUP BY 1, 2, 3),
+      |m AS (SELECT user_id, avg(n) AS mu FROM c GROUP BY 1),
+      |mh AS (SELECT user_id, h, avg(n) AS muh FROM c GROUP BY 1, 2),
+      |x AS (SELECT c.user_id,
+      |        CAST(count(*) AS BIGINT) AS n_cells,
+      |        sum((n - mu) * (n - mu)) AS sst,
+      |        sum((n - muh) * (n - muh)) AS sse
+      |      FROM c JOIN m USING (user_id)
+      |      JOIN mh ON mh.user_id = c.user_id AND mh.h = c.h
+      |      GROUP BY c.user_id)
+      |SELECT user_id, n_cells, round(1 - sse / sst, 6) AS strength
+      |FROM x WHERE sst > 0 ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val c = Tables.events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"), hour(col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val m = c.groupBy(col("user_id")).agg(avg(col("n")).as("mu"))
+    val mh = c.groupBy(col("user_id"), col("h")).agg(avg(col("n")).as("muh"))
+    c.join(m, "user_id")
+      .join(mh, Seq("user_id", "h"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_cells"),
+        sum((col("n") - col("mu")) * (col("n") - col("mu"))).as("sst"),
+        sum((col("n") - col("muh")) * (col("n") - col("muh"))).as("sse"))
+      .where(col("sst") > 0)
+      .select(col("user_id"), col("n_cells"), round(lit(1) - col("sse") / col("sst"), 6).as("strength"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     seriesWeekday, seriesHour, seriesMonth, seriesWeekdayReturns,
     seriesMonthReturns, seriesJoin, stationHourPivot,
@@ -536,5 +579,5 @@ object BicisQueries {
     splitTraining, splitValidation, splitTesting,
     sessionize, qSessionWindow, qUnifyParse,
     qConversionFunnel, qRetentionCohort, seriesEwma, qScd2History,
-    seriesAnomaly, qIntervalCoverage)
+    seriesAnomaly, qIntervalCoverage, seriesSeasonality)
 }

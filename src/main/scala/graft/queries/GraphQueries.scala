@@ -734,7 +734,81 @@ object GraphQueries {
     }
   }
 
+  /** Deterministic random-walk sampling (the node2vec/DeepWalk corpus
+    * generator, Grover & Leskovec 2016 / Perozzi et al. 2014): one
+    * 4-step walk per seed (customers key <= 20), where step t moves to
+    * the neighbor minimizing hash('rw', walk:t:neighbor) — a uniform
+    * choice that is a pure function of (walk, step, neighbor), so the
+    * corpus is reproducible across runs/engines and the oracle can
+    * check it. Each step is ONE equi-join of the frontier on the edge
+    * table + a per-walk min — the 100 TB shape (frontier rows ≪ edges;
+    * no adjacency collection to the driver). The min is taken as
+    * min(h) then min(dst) at that h, which is engine-order-independent
+    * even under hash ties.
+    */
+  val graphRandomWalk: QueryDef = {
+    val steps = 4
+    def h(stepLit: Int) = OracleSql.hash64("'rw'",
+      s"CAST(walk AS VARCHAR) || ':' || '$stepLit' || ':' || CAST(dst AS VARCHAR)")
+    val stepCtes = (1 to steps).map { t =>
+      s"""s${t}c AS (SELECT w.walk, e.dst, ${h(t)} AS h
+         |  FROM w${t - 1} w JOIN e ON e.src = w.node),
+         |s${t}m AS (SELECT walk, min(h) AS mh FROM s${t}c GROUP BY walk),
+         |w$t AS (SELECT c.walk, $t AS step, min(c.dst) AS node
+         |  FROM s${t}c c JOIN s${t}m m ON c.walk = m.walk AND c.h = m.mh
+         |  GROUP BY c.walk)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = (0 to steps).map(t => s"SELECT walk, step, node FROM w$t").mkString("\nUNION ALL ")
+    QueryDef.sql("graph_random_walk",
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS (SELECT c AS src, s AS dst FROM e0
+         |      UNION ALL SELECT s AS src, c AS dst FROM e0),
+         |seeds AS (SELECT DISTINCT src AS node FROM e WHERE src % 2 = 0 AND src // 2 <= 20),
+         |w0 AS (SELECT node AS walk, 0 AS step, node FROM seeds),
+         |$stepCtes
+         |SELECT walk, CAST(step AS BIGINT) AS step, node FROM (
+         |$unionAll) u ORDER BY walk, step""".stripMargin) { (s, dir) =>
+      import graft.ops.TextOps
+      TextOps.ensureFunctions(s)
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val pairs = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+        .persist(mem)
+      val seeds = edges.where(col("src") % 2 === 0 && expr("src div 2") <= 20)
+        .select(col("src").as("node")).distinct()
+      var frontier = seeds.select(col("node").as("walk"), lit(0).as("step"), col("node"))
+      val positions = scala.collection.mutable.Buffer(frontier)
+      for (t <- 1 to steps) {
+        val cand = frontier.select(col("walk"), col("node"))
+          .join(edges, col("node") === col("src"))
+          .select(col("walk"), col("dst"),
+            expr(TextOps.portableHash64Sql("'rw'",
+              s"concat(CAST(walk AS STRING), ':', '$t', ':', CAST(dst AS STRING))")).as("h"))
+        val minH = cand.groupBy(col("walk")).agg(min(col("h")).as("mh"))
+          .select(col("walk").as("mwalk"), col("mh"))
+        frontier = cand
+          .join(minH, col("walk") === col("mwalk") && col("h") === col("mh"))
+          .groupBy(col("walk"))
+          .agg(min(col("dst")).as("node"))
+          .select(col("walk"), lit(t).as("step"), col("node"))
+          .localCheckpoint(eager = true)
+        positions += frontier
+      }
+      edges.unpersist(false)
+      positions.reduce(_ unionAll _)
+        .select(col("walk"), col("step").cast("long").as("step"), col("node"))
+        .orderBy(col("walk"), col("step"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(graphPagerank, graphTriangles, graphComponents,
     graphDegreeStats, graphLabelProp, graphJaccard, graphKcore, graphBfs,
-    graphPpr)
+    graphPpr, graphRandomWalk)
 }

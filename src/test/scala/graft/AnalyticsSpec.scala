@@ -151,6 +151,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getAs[Double]("est_intersect") === 2.0)
   }
 
+  test("series_seasonality: pure rhythm scores 1, pure cross-day noise scores 0, flat users drop") {
+    import spark.implicits._
+    // user 1: identical hour profile on both days (h10: 2 events, h11: 1)
+    //   -> per-hour means explain everything -> strength 1.0
+    // user 2: same hour, different days (1 vs 3 events) -> hour mean
+    //   explains nothing -> strength 0.0
+    // user 3: one cell only -> SST = 0 -> filtered out
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"), (2L, ts("2024-01-01 10:30:00"), 1L, "view"),
+      (3L, ts("2024-01-01 11:00:00"), 1L, "view"),
+      (4L, ts("2024-01-02 10:00:00"), 1L, "view"), (5L, ts("2024-01-02 10:30:00"), 1L, "view"),
+      (6L, ts("2024-01-02 11:00:00"), 1L, "view"),
+      (7L, ts("2024-01-01 09:00:00"), 2L, "view"),
+      (8L, ts("2024-01-02 09:00:00"), 2L, "view"), (9L, ts("2024-01-02 09:10:00"), 2L, "view"),
+      (10L, ts("2024-01-02 09:20:00"), 2L, "view"),
+      (11L, ts("2024-01-01 12:00:00"), 3L, "view"))
+    val tmp = java.nio.file.Files.createTempDirectory("season").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = graft.queries.BicisQueries.seriesSeasonality.run(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === Seq((1L, 4L, 1.0), (2L, 2L, 0.0)), s"got $got")
+  }
+
   test("ml_dp_histogram: noise equals the md5 closed form, deterministic across runs") {
     val rows = Seq(
       (1L, ts("2024-01-01 10:00:00"), 1L, "view"),

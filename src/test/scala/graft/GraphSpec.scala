@@ -247,6 +247,46 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-9, s"mass leaked: ${got.values.sum}")
   }
 
+  test("graph_random_walk matches an md5-argmin mirror on a planted graph") {
+    import spark.implicits._
+    // customers 1..3 x suppliers 1..4, partial bipartite adjacency; the
+    // mirror recomputes every hop with the same hash64 argmin (min h,
+    // then min dst) from the raw adjacency
+    val ol = Seq((10L, 1L), (11L, 2L), (12L, 3L))           // order -> cust
+    val li = Seq((10L, 1L), (10L, 2L), (11L, 2L), (11L, 3L), (12L, 3L), (12L, 4L))
+    val tmp = java.nio.file.Files.createTempDirectory("walk").toString
+    ol.toDF("o_orderkey", "o_custkey").write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    li.toDF("l_orderkey", "l_suppkey").write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val got = graft.queries.GraphQueries.graphRandomWalk.run(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    def h64(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val edges = ol.flatMap { case (ok, ck) =>
+      li.filter(_._1 == ok).map(l => (ck * 2, l._2 * 2 + 1))
+    }.distinct.flatMap { case (c, s) => Seq((c, s), (s, c)) }
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct }
+    val expectedRows = adj.keys.filter(n => n % 2 == 0 && n / 2 <= 20).toSeq.sorted.flatMap { seed =>
+      var node = seed
+      Seq((seed, 0L, seed)) ++ (1 to 4).map { t =>
+        val scored = adj(node).map(d => (h64(s"rw:$seed:$t:$d"), d))
+        val mh = scored.map(_._1).min
+        node = scored.filter(_._1 == mh).map(_._2).min
+        (seed, t.toLong, node)
+      }
+    }
+    assert(got === expectedRows)
+    // every hop is a real edge (walks never teleport)
+    got.sliding(2).foreach {
+      case Seq((w1, s1, n1), (w2, s2, n2)) if w1 == w2 && s2 == s1 + 1 =>
+        assert(adj(n1).contains(n2), s"walk $w1 hop $s1->$s2 is not an edge: $n1 -> $n2")
+      case _ => ()
+    }
+  }
+
   test("graph_ppr: seed neighborhood dominates the top of the ranking") {
     val rows = graft.queries.GraphQueries.graphPpr.run(spark, dir).collect()
     assert(rows.length === 20)
