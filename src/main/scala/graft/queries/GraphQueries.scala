@@ -321,9 +321,12 @@ object GraphQueries {
     * receiving node. Vote rows ∝ |E| per round, never |V|²; rounds
     * don't multiply shuffled bytes.
     */
-  val graphLabelProp: QueryDef = {
-    val minSup = 3
-    val iters = 3
+  // the strong-graph label-propagation CTE chain (w/e0/e/nd/r0/r1..rN),
+  // oracle side — ONE copy shared by graph_label_prop and
+  // graph_modularity; Spark twin: strongPairs + labelPropagation
+  private val lpMinSup = 3
+  private val lpIters = 3
+  private def lpOracleCtes: String = {
     def roundCte(i: Int): String = {
       val p = i - 1
       s"""v$i AS (SELECT node, label, sum(c) AS c FROM (
@@ -334,25 +337,36 @@ object GraphQueries {
          |   SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY c DESC, label ASC) AS rn
          |   FROM v$i) WHERE rn = 1)""".stripMargin
     }
+    s"""w AS (SELECT o_custkey AS c, l_suppkey AS s, count(*) AS n
+       |     FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1, 2),
+       |e0 AS (SELECT c * 2 AS a, s * 2 + 1 AS b FROM w WHERE n >= $lpMinSup),
+       |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+       |nd AS (SELECT DISTINCT a AS node FROM e),
+       |r0 AS (SELECT node, node AS label FROM nd),
+       |${(1 to lpIters).map(roundCte).mkString(",\n")}""".stripMargin
+  }
+
+  /** Spark twin of the `e0` CTE: the support-thresholded directed
+    * strong-trade pair list (i = customer node, j = supplier node).
+    */
+  private def strongPairs(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+    Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("i"), (col("l_suppkey") * 2 + 1).as("j"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= lpMinSup)
+      .select(col("i"), col("j"))
+
+  val graphLabelProp: QueryDef = {
+    val iters = lpIters
     QueryDef.sql("graph_label_prop",
-      s"""WITH w AS (SELECT o_custkey AS c, l_suppkey AS s, count(*) AS n
-         |           FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1, 2),
-         |e0 AS (SELECT c * 2 AS a, s * 2 + 1 AS b FROM w WHERE n >= $minSup),
-         |e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
-         |nd AS (SELECT DISTINCT a AS node FROM e),
-         |r0 AS (SELECT node, node AS label FROM nd),
-         |${(1 to iters).map(roundCte).mkString(",\n")},
+      s"""WITH $lpOracleCtes,
          |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS comm_size FROM r$iters GROUP BY label)
          |SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END AS kind,
          |  node // 2 AS key, label, comm_size
          |FROM r$iters JOIN sz USING (label) ORDER BY kind, key""".stripMargin) { (s, dir) =>
-      val pairs = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy((col("o_custkey") * 2).as("i"), (col("l_suppkey") * 2 + 1).as("j"))
-        .agg(count(lit(1)).as("n"))
-        .where(col("n") >= minSup)
-        .select(col("i"), col("j"))
+      val pairs = strongPairs(s, dir)
       val undirected = pairs.select(col("i").as("src"), col("j").as("dst"))
         .unionAll(pairs.select(col("j").as("src"), col("i").as("dst")))
       val labels = labelPropagation(undirected, iters)
@@ -808,7 +822,58 @@ object GraphQueries {
     }
   }
 
+  /** Modularity audit of the label-propagation communities (Newman &
+    * Girvan 2004): per community c, Q_c = L_c/m − (D_c/2m)² where L_c
+    * is the intra-community edge count, D_c the degree mass and m the
+    * (undirected) edge count — positive means denser-than-random, the
+    * quantitative answer to "are graph_label_prop's communities real
+    * structure or noise" (Σ Q_c is the global modularity). Rerun after
+    * any LP knob change: a partition whose Q collapses means the round
+    * budget or tie policy broke it.
+    *
+    * Shape: labels (|V| rows) broadcast against the directed pair list
+    * for the intra count; degree mass rolls up from the same cached
+    * edge set; m is a one-row scalar cross join. All-integer counts →
+    * the round-6 division is bit-identical cross-engine.
+    */
+  val graphModularity: QueryDef = QueryDef.sql("graph_modularity",
+    s"""WITH $lpOracleCtes,
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e0),
+       |deg AS (SELECT a AS node, count(*) AS d FROM e GROUP BY 1),
+       |intra AS (SELECT x.label, CAST(count(*) AS BIGINT) AS lc
+       |          FROM e0 JOIN r$lpIters x ON x.node = e0.a JOIN r$lpIters y ON y.node = e0.b
+       |          WHERE x.label = y.label GROUP BY 1),
+       |ds AS (SELECT r.label, CAST(count(*) AS BIGINT) AS n_nodes, CAST(sum(d.d) AS BIGINT) AS dc
+       |       FROM r$lpIters r JOIN deg d USING (node) GROUP BY 1)
+       |SELECT ds.label, ds.n_nodes, coalesce(intra.lc, 0) AS l_intra, ds.dc AS d_sum,
+       |  round(coalesce(intra.lc, 0) / CAST(m.m AS DOUBLE)
+       |    - (ds.dc / (2.0 * m.m)) * (ds.dc / (2.0 * m.m)), 6) AS q_c
+       |FROM ds LEFT JOIN intra USING (label) CROSS JOIN m
+       |ORDER BY label""".stripMargin) { (s, dir) =>
+    val pairs = strongPairs(s, dir)
+    val undirected = pairs.select(col("i").as("src"), col("j").as("dst"))
+      .unionAll(pairs.select(col("j").as("src"), col("i").as("dst")))
+    val labels = labelPropagation(undirected, lpIters)
+    val m = pairs.agg(count(lit(1)).as("m"))
+    val deg = undirected.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val intra = pairs
+      .join(broadcast(labels.select(col("node").as("i"), col("label").as("la"))), "i")
+      .join(broadcast(labels.select(col("node").as("j"), col("label").as("lb"))), "j")
+      .where(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("lc"))
+    val ds = labels.join(deg, "node")
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("dc"))
+    ds.join(intra, Seq("label"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("label"), col("n_nodes"),
+        coalesce(col("lc"), lit(0L)).as("l_intra"), col("dc").as("d_sum"),
+        round(coalesce(col("lc"), lit(0L)) / col("m").cast("double")
+          - (col("dc") / (lit(2.0) * col("m"))) * (col("dc") / (lit(2.0) * col("m"))), 6).as("q_c"))
+      .orderBy(col("label"))
+  }
+
   val all: Seq[QueryDef] = Seq(graphPagerank, graphTriangles, graphComponents,
     graphDegreeStats, graphLabelProp, graphJaccard, graphKcore, graphBfs,
-    graphPpr, graphRandomWalk)
+    graphPpr, graphRandomWalk, graphModularity)
 }

@@ -247,6 +247,44 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(got.values.sum - 1.0) < 1e-9, s"mass leaked: ${got.values.sum}")
   }
 
+  test("graph_modularity equals a Scala mirror over the LP labels; blocks beat the null model") {
+    import spark.implicits._
+    // two dense bipartite blocks (custs 1,2 × supps 1,2 and custs 3,4 ×
+    // supps 3,4) + one bridge (2,3); every edge repeated 3× to clear
+    // the strong-graph support. The mirror recomputes Q_c from the
+    // label_prop output and the raw edge list.
+    val edges = Seq((1, 1), (1, 2), (2, 1), (2, 2), (3, 3), (3, 4), (4, 3), (4, 4), (2, 3))
+    val tmp = java.nio.file.Files.createTempDirectory("modul").toString
+    (1 to 4).map(c => ((100 + c).toLong, c.toLong)).toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    edges.flatMap { case (c, s) => Seq.fill(3)(((100 + c).toLong, s.toLong)) }
+      .toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+
+    val labels = graft.queries.GraphQueries.graphLabelProp.run(spark, tmp)
+      .collect().map(r => ((if (r.getString(0) == "c") r.getLong(1) * 2 else r.getLong(1) * 2 + 1),
+        r.getLong(2))).toMap
+    val nodePairs = edges.map { case (c, s) => (c * 2L, s * 2L + 1) }
+    val m = nodePairs.size.toDouble
+    val deg = nodePairs.flatMap { case (a, b) => Seq(a, b) }.groupBy(identity).map { case (k, v) => k -> v.size }
+    val expected = labels.values.toSeq.distinct.sorted.map { lab =>
+      val members = labels.filter(_._2 == lab).keySet
+      val lc = nodePairs.count { case (a, b) => members(a) && members(b) }
+      val dc = members.toSeq.map(deg).sum
+      val q = BigDecimal(lc / m - (dc / (2.0 * m)) * (dc / (2.0 * m)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (lab, members.size.toLong, lc.toLong, dc.toLong, q)
+    }
+    val got = graft.queries.GraphQueries.graphModularity.run(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toSeq
+    assert(got === expected)
+    // the partition beats the configuration-model null overall (LP
+    // floods the smallest label across the bridge, so the planted
+    // 2-block split is NOT what it finds — Q stays positive anyway;
+    // the exact mirror above is the real check)
+    assert(got.map(_._5).sum > 0.0, s"global modularity not positive: $got")
+  }
+
   test("graph_random_walk matches an md5-argmin mirror on a planted graph") {
     import spark.implicits._
     // customers 1..3 x suppliers 1..4, partial bipartite adjacency; the

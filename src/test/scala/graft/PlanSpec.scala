@@ -102,7 +102,9 @@ class PlanSpec extends SparkSpec {
       // one-row (min, max) stats broadcast into the map-only binning scan
       "q_histogram",
       // three ONE-ROW pair-count scalars composed by cross join
-      "dedup_lsh_recall")
+      "dedup_lsh_recall",
+      // one-row edge-count scalar broadcast into the per-community rows
+      "graph_modularity")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>
