@@ -834,8 +834,35 @@ object DedupQueries {
         round(col("n_hit") / greatest(col("n_cand"), lit(1)).cast("double"), 6).as("precision"))
   }
 
+  /** Duplicate-cluster size distribution — the report every dedup run
+    * emits before anyone trusts its output: how many near-dup clusters
+    * exist at each size, how many documents they bind, and (as
+    * Σ n_docs − n_clusters per row) how many rows survivor-selection
+    * will drop. A sudden fat tail here means a boilerplate template or
+    * a crawler loop entered the corpus; a missing tail after a config
+    * change means the candidate tier silently lost recall. Covers the
+    * PAIRED nodes only (singletons never enter the pair graph).
+    * Cost on top of the session memos: one count over the cluster map
+    * + one count over the (tiny) sizes table.
+    */
+  val dedupClusterStats: QueryDef = QueryDef.sql("dedup_cluster_stats",
+    s"""WITH RECURSIVE $hashCte,
+       |$duckPairsCte,
+       |$duckClustersCte,
+       |sz AS (SELECT rep, CAST(count(*) AS BIGINT) AS csize FROM cl GROUP BY rep)
+       |SELECT csize, CAST(count(*) AS BIGINT) AS n_clusters,
+       |  CAST(sum(csize) AS BIGINT) AS n_docs
+       |FROM sz GROUP BY csize ORDER BY csize""".stripMargin) { (s, dir) =>
+    sharedClusters(s, dir)
+      .groupBy(col("rep")).agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("csize")).as("n_docs"))
+      .orderBy(col("csize"))
+  }
+
   val all: Seq[QueryDef] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhash, dedupClusters, dedupSurvivors, dedupBestSurvivor,
     dedupDecontaminate, dedupIncremental, dedupSubstring, dedupLines,
-    dedupSortedNeighborhood, dedupContainment, dedupLshRecall)
+    dedupSortedNeighborhood, dedupContainment, dedupLshRecall,
+    dedupClusterStats)
 }

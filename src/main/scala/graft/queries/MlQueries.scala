@@ -634,9 +634,43 @@ object MlQueries {
     }
   }
 
+  /** Epoch planner for a temperature-weighted corpus mix: given a total
+    * token budget, how many PASSES over each source does the α = 0.5
+    * mixture imply — epochs_s = budget·share_s / tokens_s, the
+    * repetition factor data-recipe work plans around (epochs ≫ 1 on a
+    * small high-share source warns of memorization; ≪ 1 means the
+    * source is subsampled). Complements `ml_mixture_temperature`
+    * (which derives the shares and keep probabilities over DOCS) with
+    * the token-budget view. One token-count aggregate; everything
+    * downstream is per-source scalar arithmetic over ~20 rows.
+    */
+  val mlMixtureEpochs: QueryDef = {
+    val budget = 1000000L
+    QueryDef.sql("ml_mixture_epochs",
+      s"""WITH n AS (SELECT source,
+         |      CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS n_tokens
+         |    FROM documents GROUP BY source),
+         |w AS (SELECT source, n_tokens, pow(n_tokens, 0.5) AS wt FROM n),
+         |t AS (SELECT sum(wt) AS sw FROM w)
+         |SELECT source, n_tokens, round(wt / sw, 6) AS share,
+         |  round($budget * (wt / sw) / n_tokens, 6) AS epochs
+         |FROM w CROSS JOIN t ORDER BY source""".stripMargin) { (s, dir) =>
+      val n = Tables.documents(s, dir)
+        .groupBy(col("source"))
+        .agg(sum(size(TextOps.wordsExpr)).as("n_tokens"))
+        .withColumn("wt", pow(col("n_tokens"), 0.5))
+      val t = n.agg(sum(col("wt")).as("sw"))
+      n.crossJoin(broadcast(t))
+        .select(col("source"), col("n_tokens"),
+          round(col("wt") / col("sw"), 6).as("share"),
+          round(lit(budget) * (col("wt") / col("sw")) / col("n_tokens"), 6).as("epochs"))
+        .orderBy(col("source"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(hourRingFeatures, hourRingFeaturesReturns,
     mlDataset, mlPoissonPredict, mlZscore, mlLagFeatures, mlHashSplit,
     mlSampleStratified, mlPackSequences, mlMixtureSample, mlChunkDocuments,
     mlQualityFunnel, mlSampleWeighted, mlMixtureTemperature, mlFeatureHash,
-    mlLengthBuckets, mlVocabCoverage, mlDpHistogram)
+    mlLengthBuckets, mlVocabCoverage, mlDpHistogram, mlMixtureEpochs)
 }

@@ -100,6 +100,23 @@ class DedupOpsSpec extends SparkSpec {
       (3L, 1, 1, 0, 0))) // the later twin: dropped by dedup alone
   }
 
+  test("dedup_cluster_stats: one planted triple -> a single size-3 cluster row") {
+    import spark.implicits._
+    val body = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, body), (2L, body), (3L, body),
+      (4L, (1 to 30).map(i => s"alpha$i").mkString(" ")),
+      (5L, (1 to 30).map(i => s"beta$i").mkString(" "))).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("cstats").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    spark.conf.set("spark.graft.dedup.shareSignatures", "false")
+    try {
+      val got = graft.queries.DedupQueries.dedupClusterStats.run(spark, tmp)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got === Seq((3L, 1L, 3L)), s"got $got")
+    } finally spark.conf.set("spark.graft.dedup.shareSignatures", "true")
+  }
+
   test("dedup_lsh_recall: identical docs are always surfaced (recall 1), counts reconcile") {
     import spark.implicits._
     // three identical docs -> 3 true pairs with identical MinHash sigs

@@ -104,7 +104,9 @@ class PlanSpec extends SparkSpec {
       // three ONE-ROW pair-count scalars composed by cross join
       "dedup_lsh_recall",
       // one-row edge-count scalar broadcast into the per-community rows
-      "graph_modularity")
+      "graph_modularity",
+      // one-row weight-sum scalar broadcast into the ~20 source rows
+      "ml_mixture_epochs")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>

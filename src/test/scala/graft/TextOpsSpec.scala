@@ -188,6 +188,24 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("ml_mixture_epochs: closed-form epochs on a 100/400-token two-source corpus") {
+    import spark.implicits._
+    // tokens 100 vs 400 -> wt 10 vs 20, shares 1/3 and 2/3;
+    // epochs = 1e6·share/tokens: small source repeats ~3333x, big ~1667x
+    val docs = Seq(
+      (1L, ("x " * 100).trim, "a"),
+      (2L, ("y " * 400).trim, "b")).toDF("doc_id", "text", "source")
+    val tmp = java.nio.file.Files.createTempDirectory("epochs").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = graft.queries.MlQueries.mlMixtureEpochs.run(spark, tmp)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got === Seq(
+      ("a", 100L, r6(10.0 / 30), r6(1000000L * (10.0 / 30) / 100)),
+      ("b", 400L, r6(20.0 / 30), r6(1000000L * (20.0 / 30) / 400))), s"got $got")
+  }
+
   test("text_kl_drift: identical sources score 0; disjoint halves score exactly ln 2") {
     import spark.implicits._
     def run(docs: org.apache.spark.sql.DataFrame) = {
