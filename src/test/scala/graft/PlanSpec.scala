@@ -119,6 +119,38 @@ class PlanSpec extends SparkSpec {
       s"unexpected nested-loop/cartesian plans:\n${offenders.map(o => s"  ${o._1}: ${o._2}").mkString("\n")}")
   }
 
+  test("runtime bloom-filter injection prunes the fact side of a selective shuffle join") {
+    // The 100 TB shape Catalyst provides for free when broadcast is off
+    // the table (both sides big): a selective dim filter becomes a bloom
+    // filter evaluated ON THE FACT SCAN before the shuffle — rows that
+    // can't join never get hashed or shipped. Thresholds floored so the
+    // sf0.001 fixture triggers the same rule a cluster run would.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val orders = graft.core.Tables.orders(spark, dir)
+        .where(org.apache.spark.sql.functions.col("o_custkey") === 7)
+      val li = graft.core.Tables.lineitem(spark, dir)
+      val joined = li.join(orders,
+        li("l_orderkey") === orders("o_orderkey"))
+        .groupBy(li("l_returnflag"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter_agg") || p.contains("BloomFilter"),
+        s"no runtime bloom filter injected in:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("ml_vocab_coverage ranks a bounded head (TakeOrdered), never window-sorts the vocabulary") {
     val p = plan(graft.queries.MlQueries.mlVocabCoverage)
     assert(p.contains("TakeOrderedAndProject"),
