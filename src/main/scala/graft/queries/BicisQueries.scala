@@ -529,6 +529,49 @@ object BicisQueries {
       .orderBy(col("user_id"))
   }
 
+  /** The flagship A5 operator executed through the STREAMING engine and
+    * hash-checked against the same DuckDB oracle as the batch
+    * `next_window_target` — the strongest replay-parity statement the
+    * gate can make: the incremental `flatMapGroupsWithState` operator
+    * (graft.streaming.Streaming.streamingForwardWindowCount), fed the
+    * events table as an in-order micro-batched MemoryStream, produces
+    * BIT-IDENTICAL labels to the batch RANGE-window plan (both emit
+    * exactly the events at or before max − w; in-order feed means
+    * nothing lands beyond the no-watermark cutoff).
+    *
+    * The driver-side materialization is the REPLAY HARNESS, not the
+    * production shape — a deployment reads Kafka/files and never
+    * collects; the operator under test is identical. Rough cost: one
+    * stateful pass over events in 4 micro-batches.
+    */
+  val streamingA5Replay: QueryDef = QueryDef.sql("streaming_a5_replay",
+    s"""WITH b AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
+       |w AS (SELECT event_id, us,
+       |        count(*) OVER (PARTITION BY user_id ORDER BY us
+       |                       RANGE BETWEEN CURRENT ROW AND ${HourMicros - 1} FOLLOWING) AS c,
+       |        max(us) OVER (PARTITION BY user_id) AS mx
+       |      FROM b)
+       |SELECT event_id, CAST(c AS BIGINT) AS n_rents FROM w
+       |WHERE us <= mx - $HourMicros ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.streaming.Streaming
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val events = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .as[Streaming.Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Ev]
+    val sink = s"a5_replay_${replaySeq.incrementAndGet()}"
+    val query = Streaming.streamingForwardWindowCount(s, ms.toDS(), HourMicros)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val chunk = math.max(events.length / 4, 1)
+      events.grouped(chunk).foreach { c => ms.addData(c); query.processAllAvailable() }
+    } finally query.stop()
+    s.table(sink).select(col("event_id"), col("n_rents")).orderBy(col("event_id"))
+  }
+
+  private val replaySeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Seasonality strength per user: the share of hourly-count variance
     * explained by the hour-of-day profile, 1 − SSE/SST over the ACTIVE
     * (date, hour) cells (same no-zero-fill convention as the A2 series)
@@ -579,5 +622,5 @@ object BicisQueries {
     splitTraining, splitValidation, splitTesting,
     sessionize, qSessionWindow, qUnifyParse,
     qConversionFunnel, qRetentionCohort, seriesEwma, qScd2History,
-    seriesAnomaly, qIntervalCoverage, seriesSeasonality)
+    seriesAnomaly, qIntervalCoverage, seriesSeasonality, streamingA5Replay)
 }
