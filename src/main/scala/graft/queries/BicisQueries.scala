@@ -572,6 +572,63 @@ object BicisQueries {
 
   private val replaySeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Native `session_window` sessionization through the STREAMING engine
+    * (Streaming.sessionCounts: watermarked merging session windows in
+    * the state store), hash-checked against the same gaps-and-islands
+    * oracle as the batch `q_session_window` — the stateful-aggregation
+    * counterpart to `streaming_a5_replay`'s flatMapGroupsWithState gate
+    * entry, proving the WHOLE session set matches batch bit-for-bit.
+    *
+    * Append-mode session windows only emit once the watermark passes a
+    * session's end, so a bare replay would pin the tail sessions in the
+    * state store forever (the watermark never outruns the last event).
+    * The replay closes them with a WATERMARK SENTINEL: two far-future
+    * events on a reserved key (user −1, beyond every real session end)
+    * — the first advances the event-time watermark past all real
+    * sessions, the second triggers the eviction pass that emits them.
+    * Sentinel rows are dropped from the result; a production deployment
+    * doesn't need this because its stream outlives any session horizon.
+    */
+  val streamingSessionizeReplay: QueryDef = QueryDef.sql("streaming_sessionize_replay",
+    """WITH g AS (SELECT user_id, ts,
+      |  CASE WHEN lag(ts) OVER w IS NULL
+      |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (SELECT user_id, ts,
+      |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM g)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTES AS session_end, count(*) AS n
+      |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.streaming.Streaming
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val events = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .as[Streaming.Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val maxMs = events.map(_.ts.getTime).max
+    def sentinel(id: Long, offsetMs: Long) = Streaming.Ev(
+      id, -1L, new java.sql.Timestamp(maxMs + offsetMs), "sentinel")
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Ev]
+    val sink = s"sess_replay_${replaySeq.incrementAndGet()}"
+    val query = Streaming.sessionCounts(ms.toDS().toDF(), "user_id", "ts",
+        "30 minutes", "0 seconds")
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      val chunk = math.max(events.length / 4, 1)
+      events.grouped(chunk).foreach { c => ms.addData(c); query.processAllAvailable() }
+      // day +1: watermark jumps past every real session end; day +2:
+      // the next batch evicts + emits the closed tail sessions
+      ms.addData(Seq(sentinel(-1L, 86400000L))); query.processAllAvailable()
+      ms.addData(Seq(sentinel(-2L, 172800000L))); query.processAllAvailable()
+    } finally query.stop()
+    s.table(sink)
+      .where(col("user_id") >= 0)
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
   /** Seasonality strength per user: the share of hourly-count variance
     * explained by the hour-of-day profile, 1 − SSE/SST over the ACTIVE
     * (date, hour) cells (same no-zero-fill convention as the A2 series)
@@ -622,5 +679,6 @@ object BicisQueries {
     splitTraining, splitValidation, splitTesting,
     sessionize, qSessionWindow, qUnifyParse,
     qConversionFunnel, qRetentionCohort, seriesEwma, qScd2History,
-    seriesAnomaly, qIntervalCoverage, seriesSeasonality, streamingA5Replay)
+    seriesAnomaly, qIntervalCoverage, seriesSeasonality, streamingA5Replay,
+    streamingSessionizeReplay)
 }

@@ -860,9 +860,59 @@ object DedupQueries {
       .orderBy(col("csize"))
   }
 
+  /** Leakage-aware train/valid/test split — the step that makes dedup
+    * actually protect evaluation: a hash split on doc_id (ml_hash_split)
+    * still puts two near-identical documents on opposite sides of the
+    * train/test fence, leaking test answers into training. Here the
+    * split key is the near-dup CLUSTER (J>=0.8 CC rep; singletons key on
+    * their own id), so every cluster lands WHOLLY in one split —
+    * cross-split near-dup leakage is zero by construction. 80/10/10 via
+    * the portable hash of the group key; emits the per-split census
+    * (docs, groups, char mass, id checksum) the oracle verifies as an
+    * exact assignment, not just sizes.
+    *
+    * Shape at 100 TB: the cluster map is the dedup family's persisted
+    * (node, rep) table — doc-keyed, so the join is an equi-join on the
+    * corpus's own key (near-dup clusters are a few % of docs: AQE
+    * broadcasts the map when it fits); the split itself is a map-only
+    * hash. No new shuffle class beyond what dedup already paid.
+    */
+  val mlClusterSplit: QueryDef = {
+    val h = OracleSql.hash64("'cs'", "CAST(grp AS VARCHAR)")
+    QueryDef.sql("ml_cluster_split",
+      s"""WITH RECURSIVE $hashCte,
+         |$duckPairsCte,
+         |$duckClustersCte,
+         |g AS (SELECT d.doc_id, d.n_chars, coalesce(cl.rep, d.doc_id) AS grp
+         |      FROM documents d LEFT JOIN cl ON cl.node = d.doc_id),
+         |a AS (SELECT doc_id, n_chars, grp,
+         |        CASE WHEN $h % 10 < 8 THEN 'train'
+         |             WHEN $h % 10 = 8 THEN 'valid' ELSE 'test' END AS split
+         |      FROM g)
+         |SELECT split, count(*) AS n_docs,
+         |  CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM a GROUP BY split ORDER BY split""".stripMargin) { (s, dir) =>
+      TextOps.ensureFunctions(s)
+      val cl = sharedClusters(s, dir)
+      val hv = expr(TextOps.portableHash64Sql("'cs'", "CAST(grp AS STRING)")) % 10
+      Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+        .join(cl.select(col("node").as("doc_id"), col("rep")), Seq("doc_id"), "left")
+        .withColumn("grp", coalesce(col("rep"), col("doc_id")))
+        .withColumn("split", when(hv < 8, "train").when(hv === 8, "valid").otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("grp")).as("n_groups"),
+          sum(col("n_chars")).as("n_chars"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("split"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhash, dedupClusters, dedupSurvivors, dedupBestSurvivor,
     dedupDecontaminate, dedupIncremental, dedupSubstring, dedupLines,
     dedupSortedNeighborhood, dedupContainment, dedupLshRecall,
-    dedupClusterStats)
+    dedupClusterStats, mlClusterSplit)
 }

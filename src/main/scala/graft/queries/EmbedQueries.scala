@@ -1331,11 +1331,61 @@ object EmbedQueries {
       .orderBy(col("d"), col("qid"))
   }
 
+  /** Threshold-sweep dedup-rate curve — the tuning companion to
+    * [[dedupEmbedCosine]]: a pipeline picks its cosine cutoff by looking
+    * at how pair volume and affected-doc count move with the threshold
+    * (too low ⇒ false merges collapse the corpus, too high ⇒ dups
+    * survive). One candidate pass (the SAME sign-bucket equi-join +
+    * exact verify as the dedup query — one definition of "candidate"),
+    * then each verified pair is counted under every threshold it clears:
+    * per threshold, the pair count and the would-be-dropped doc count
+    * (keep-min policy ⇒ dropped = distinct larger ids). The 3-row
+    * threshold table left-joins the pair set so an empty tier still
+    * reports a 0 row (PlanSpec allowlists this one intentional 3-row
+    * nested-loop join; candidates themselves stay equi-join).
+    *
+    * Shape at 100 TB: identical to dedup_embed_cosine — bucket-keyed
+    * shuffle, per-pair native vec_dot — plus a 3× fanout of the tiny
+    * verified-pair table. The sweep costs one dedup pass, not three.
+    */
+  val embedDedupSweep: QueryDef = QueryDef.sql("embed_dedup_sweep",
+    s"""WITH $duckVectors,
+       |sb AS (SELECT vec_id, v, ${OracleSql.signBucket} AS bucket FROM v),
+       |p AS (SELECT a.vec_id AS i, b.vec_id AS j, ${duckCos("a.v", "b.v")} AS sim
+       |      FROM sb a JOIN sb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |t(thr) AS (VALUES (0.30), (0.35), (0.40))
+       |SELECT round(thr, 2) AS thr, CAST(count(p.i) AS BIGINT) AS n_pairs,
+       |  CAST(count(DISTINCT p.j) AS BIGINT) AS n_dropped
+       |FROM t LEFT JOIN p ON p.sim >= t.thr
+       |GROUP BY thr ORDER BY thr""".stripMargin) { (s, dir) =>
+    val sb = Similarity.vectors(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("v"),
+        Similarity.signBucket("v").as("bucket"),
+        Similarity.l2("v").as("nrm"))
+    val a = sb.select(col("vec_id").as("i"), col("v").as("va"),
+      col("bucket"), col("nrm").as("na")).alias("a")
+    val b = sb.select(col("vec_id").as("j"), col("v").as("vb"),
+      col("bucket"), col("nrm").as("nb")).alias("b")
+    val pairs = a.join(b, col("a.bucket") === col("b.bucket") && col("i") < col("j"))
+      .withColumn("den", col("na") * col("nb"))
+      .withColumn("sim", when(col("den") === 0.0, lit(null))
+        .otherwise(round(Similarity.dot("va", "vb") / col("den"), 6)))
+      .select(col("i"), col("j"), col("sim"))
+    val thr = s.range(1).select(explode(
+      array(lit(0.30), lit(0.35), lit(0.40))).as("thr"))
+    broadcast(thr).join(pairs, col("sim") >= col("thr"), "left")
+      .groupBy(col("thr"))
+      .agg(count(col("i")).as("n_pairs"),
+        countDistinct(col("j")).as("n_dropped"))
+      .select(round(col("thr"), 2).as("thr"), col("n_pairs"), col("n_dropped"))
+      .orderBy(col("thr"))
+  }
+
   val all: Seq[QueryDef] = Seq(embedKnnBrute, embedKnnLsh, embedCentroids,
     multimodalMeta, multimodalFramesample, multimodalResize, embedNorms,
     embedKnnIvf, dedupEmbedCosine, dedupSemantic, embedQuantize, embedLshRecall,
     embedHyperplaneRecall, embedBandedRecall, embedKnnPq,
     embedMultiprobeRecall, embedPqRecall, multimodalFeatures, embedHardNegatives,
     embedRandomProjection, embedKmeans, embedPca, embedOutliers,
-    embedMatryoshkaRecall, multimodalPhashDedup)
+    embedMatryoshkaRecall, multimodalPhashDedup, embedDedupSweep)
 }

@@ -873,7 +873,85 @@ object GraphQueries {
       .orderBy(col("label"))
   }
 
+  /** Per-node LOCAL clustering coefficient over the co-supply graph —
+    * the node-granular companion to [[graphTriangles]]'s one-row global
+    * census: lcc(v) = t(v) / (d(v) choose 2), the fraction of v's
+    * neighbor pairs that are themselves connected. The crawl-graph
+    * quality reading: high-lcc nodes sit in tight communities (link
+    * farms score ~1.0), low-lcc high-degree nodes are genuine hubs —
+    * a standard per-page spam feature next to pagerank.
+    *
+    * Same degree-oriented wedge join as the census (each triangle found
+    * ONCE, as (u < v < w) in (deg, id) order, O(m^1.5) work bound), then
+    * one explode: a triangle credits each of its three corners, so
+    * per-node counts are a groupBy over 3·T rows — never a per-node
+    * neighborhood materialization (a hub's neighbor SET never ships).
+    * Nodes with d >= 2 and no closed wedge emit lcc = 0 via the left
+    * join; d < 2 nodes have no defined lcc and are excluded in both
+    * engines.
+    */
+  val graphClusteringCoeff: QueryDef = {
+    val minSup = 8
+    QueryDef.sql("graph_clustering_coeff",
+      s"""WITH per AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem),
+         |p AS (SELECT a.sk AS x, b.sk AS y FROM per a JOIN per b ON a.o = b.o AND a.sk < b.sk),
+         |e AS (SELECT x, y FROM p GROUP BY x, y HAVING count(*) >= $minSup),
+         |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+         |        FROM (SELECT x AS n FROM e UNION ALL SELECT y AS n FROM e) GROUP BY n),
+         |o AS (SELECT CASE WHEN (dx.d, e.x) < (dy.d, e.y) THEN e.x ELSE e.y END AS u,
+         |             CASE WHEN (dx.d, e.x) < (dy.d, e.y) THEN e.y ELSE e.x END AS v
+         |      FROM e JOIN deg dx ON dx.n = e.x JOIN deg dy ON dy.n = e.y),
+         |tr AS (SELECT w1.u AS a, w1.v AS b, w2.v AS c
+         |       FROM o w1 JOIN o w2 ON w2.u = w1.v
+         |            JOIN o w3 ON w3.u = w1.u AND w3.v = w2.v),
+         |pn AS (SELECT n, CAST(count(*) AS BIGINT) AS t FROM (
+         |         SELECT a AS n FROM tr UNION ALL SELECT b FROM tr
+         |         UNION ALL SELECT c FROM tr) GROUP BY n)
+         |SELECT deg.n AS node, deg.d AS degree, coalesce(pn.t, 0) AS n_tri,
+         |  round(2.0 * coalesce(pn.t, 0) / (deg.d * (deg.d - 1)), 6) AS lcc
+         |FROM deg LEFT JOIN pn ON pn.n = deg.n
+         |WHERE deg.d >= 2 ORDER BY node""".stripMargin) { (s, dir) =>
+      val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val per = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sk")).distinct()
+      val e = per.as("a").join(per.as("b"),
+          col("a.o") === col("b.o") && col("a.sk") < col("b.sk"))
+        .groupBy(col("a.sk").as("x"), col("b.sk").as("y"))
+        .agg(count(lit(1)).as("cnt")).where(col("cnt") >= minSup)
+        .select(col("x"), col("y"))
+        .persist(mem)
+      val deg = e.select(col("x").as("n")).unionAll(e.select(col("y").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+        .persist(mem)
+      val flip = struct(col("dx.d"), col("e.x")) < struct(col("dy.d"), col("e.y"))
+      val oriented = e.as("e")
+        .join(deg.as("dx"), col("dx.n") === col("e.x"))
+        .join(deg.as("dy"), col("dy.n") === col("e.y"))
+        .select(when(flip, col("e.x")).otherwise(col("e.y")).as("u"),
+          when(flip, col("e.y")).otherwise(col("e.x")).as("v"))
+        .persist(mem)
+      val tri = oriented.as("w1")
+        .join(oriented.as("w2"), col("w2.u") === col("w1.v"))
+        .join(oriented.as("w3"),
+          col("w3.u") === col("w1.u") && col("w3.v") === col("w2.v"))
+        .select(col("w1.u").as("a"), col("w1.v").as("b"), col("w2.v").as("c"))
+      val perNode = tri
+        .select(explode(array(col("a"), col("b"), col("c"))).as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("t"))
+      val out = deg.where(col("d") >= 2)
+        .join(perNode, Seq("n"), "left")
+        .select(col("n").as("node"), col("d").cast("long").as("degree"),
+          coalesce(col("t"), lit(0L)).as("n_tri"),
+          round(lit(2.0) * coalesce(col("t"), lit(0L)) /
+            (col("d") * (col("d") - 1)), 6).as("lcc"))
+        .orderBy(col("node"))
+      val rows = out.localCheckpoint(true)
+      oriented.unpersist(false); deg.unpersist(false); e.unpersist(false)
+      rows
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(graphPagerank, graphTriangles, graphComponents,
     graphDegreeStats, graphLabelProp, graphJaccard, graphKcore, graphBfs,
-    graphPpr, graphRandomWalk, graphModularity)
+    graphPpr, graphRandomWalk, graphModularity, graphClusteringCoeff)
 }

@@ -722,20 +722,27 @@ object TextQueries {
     * with fewer than two tokens have no bigrams and are absent by
     * construction in both engines.
     */
-  val textLmScore: QueryDef = QueryDef.sql("text_lm_score",
-    """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+  /** Oracle CTE chain ending in `lm(doc_id, n_bigrams, lm_score)` — ONE
+    * copy shared by [[textLmScore]] and [[textPerplexityBuckets]] so the
+    * scoring formula can't fork between the scorer and its consumer.
+    */
+  private val lmCtes =
+    """t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
       |u AS (SELECT unnest(w) AS wd FROM t),
       |uc AS (SELECT wd, count(*) AS c1 FROM u GROUP BY wd),
       |v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM uc),
       |b AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
       |      FROM t WHERE len(w) >= 2),
-      |bc AS (SELECT bg, count(*) AS c2 FROM b GROUP BY bg)
-      |SELECT b.doc_id, count(*) AS n_bigrams,
-      |  round(avg(ln((bc.c2 + 1) / (uc.c1 + v.v))), 6) AS lm_score
-      |FROM b JOIN bc USING (bg)
-      |JOIN uc ON uc.wd = split_part(b.bg, ' ', 1)
-      |CROSS JOIN v
-      |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin) { (s, dir) =>
+      |bc AS (SELECT bg, count(*) AS c2 FROM b GROUP BY bg),
+      |lm AS (SELECT b.doc_id, count(*) AS n_bigrams,
+      |         round(avg(ln((bc.c2 + 1) / (uc.c1 + v.v))), 6) AS lm_score
+      |       FROM b JOIN bc USING (bg)
+      |       JOIN uc ON uc.wd = split_part(b.bg, ' ', 1)
+      |       CROSS JOIN v
+      |       GROUP BY b.doc_id)""".stripMargin
+
+  /** Spark side of [[lmCtes]]: (doc_id, n_bigrams, lm_score), unordered. */
+  private def lmScores(s: org.apache.spark.sql.SparkSession, dir: String) = {
     val docs = Tables.documents(s, dir).withColumn("__w", TextOps.wordsExpr)
     val uc = docs.select(explode(col("__w")).as("wd"))
       .groupBy(col("wd")).agg(count(lit(1)).as("c1"))
@@ -752,7 +759,60 @@ object TextQueries {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
         round(avg(log((col("c2") + 1) / (col("c1") + col("v")))), 6).as("lm_score"))
-      .orderBy(col("doc_id"))
+  }
+
+  val textLmScore: QueryDef = QueryDef.sql("text_lm_score",
+    s"""WITH $lmCtes
+       |SELECT doc_id, n_bigrams, lm_score FROM lm ORDER BY doc_id""".stripMargin) {
+    (s, dir) => lmScores(s, dir).orderBy(col("doc_id"))
+  }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    * arXiv:1911.00359 §4.3): per language, rank documents by LM quality
+    * and cut the corpus into head/middle/tail TERCILES — the standard
+    * pre-training recipe keeps head+middle and drops (or downweights)
+    * the tail. Score is [[textLmScore]]'s bigram LM (one shared
+    * definition, [[lmCtes]]); the bucket boundary is ntile(3) over
+    * (lm_score DESC, doc_id) — both engines sort bit-identical round-6
+    * doubles with a unique tiebreak, so assignment is exact. Emits the
+    * per-(lang, bucket) census a pipeline turns into sampling weights:
+    * doc count, char mass, mean score.
+    *
+    * Shape at 100 TB: scoring is the LM pipeline (three corpus passes,
+    * see textLmScore); bucketing adds ONE per-language window. A
+    * language is the coarsest practical partition key (real corpora:
+    * ~100 languages, the biggest holding ~half the corpus), so at
+    * extreme scale the ntile window over the dominant language is the
+    * bottleneck — production replaces the exact tercile with quantile
+    * cutoffs from the sketch family (sketch_quantiles' bottom-k sample)
+    * and a map-only threshold compare; the exact form here is what the
+    * sketch is checked against.
+    */
+  val textPerplexityBuckets: QueryDef = QueryDef.sql("text_perplexity_buckets",
+    s"""WITH $lmCtes,
+       |r AS (SELECT d.lang, d.n_chars, lm.lm_score,
+       |        ntile(3) OVER (PARTITION BY d.lang
+       |                       ORDER BY lm.lm_score DESC, lm.doc_id) AS tile
+       |      FROM lm JOIN documents d ON d.doc_id = lm.doc_id)
+       |SELECT lang,
+       |  CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       |  round(avg(lm_score), 6) AS mean_score
+       |FROM r GROUP BY lang, tile ORDER BY lang, bucket""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang")).orderBy(col("lm_score").desc, col("doc_id"))
+    lmScores(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars")),
+        Seq("doc_id"))
+      .withColumn("tile", ntile(3).over(w))
+      .groupBy(col("lang"), col("tile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+        round(avg(col("lm_score")), 6).as("mean_score"))
+      .select(col("lang"),
+        when(col("tile") === 1, "head").when(col("tile") === 2, "middle")
+          .otherwise("tail").as("bucket"),
+        col("n_docs"), col("n_chars"), col("mean_score"))
+      .orderBy(col("lang"), col("bucket"))
   }
 
   /** Single-pass per-group quantiles via the bottom-k-by-hash sample
@@ -898,6 +958,6 @@ object TextQueries {
     textFingerprint, textRollingHash, textTopPerLang, textTopNgrams,
     sketchDistinctKmv, textPiiScrub, textRepetition, textEntropy,
     textGopherRules, textTfidfTop, sketchHeavyHitters, textInvertedIndex,
-    textBm25, textPmi, textLmScore, sketchQuantiles, textZipf,
-    sketchSetops, textKlDrift)
+    textBm25, textPmi, textLmScore, textPerplexityBuckets, sketchQuantiles,
+    textZipf, sketchSetops, textKlDrift)
 }

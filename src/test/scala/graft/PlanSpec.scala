@@ -89,7 +89,8 @@ class PlanSpec extends SparkSpec {
       // per-source stats rows
       "ml_mixture_temperature",
       // one-row vocab-size scalar broadcast into every scored bigram row
-      "text_lm_score",
+      // (perplexity_buckets composes the same lm pipeline)
+      "text_lm_score", "text_perplexity_buckets",
       // one-row percentile-boundaries broadcast into the map-only binning scan
       "ml_length_buckets",
       // broadcast query block × candidate scan (the exact arm), same
@@ -106,7 +107,10 @@ class PlanSpec extends SparkSpec {
       // one-row edge-count scalar broadcast into the per-community rows
       "graph_modularity",
       // one-row weight-sum scalar broadcast into the ~20 source rows
-      "ml_mixture_epochs")
+      "ml_mixture_epochs",
+      // THREE-row threshold table left-joined (sim >= thr inequality)
+      // against the tiny verified-pair set — candidates stay equi-join
+      "embed_dedup_sweep")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>
