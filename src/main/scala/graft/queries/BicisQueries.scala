@@ -561,8 +561,15 @@ object BicisQueries {
       .as[Streaming.Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Ev]
     val sink = s"a5_replay_${replaySeq.incrementAndGet()}"
-    val query = Streaming.streamingForwardWindowCount(s, ms.toDS(), HourMicros)
-      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    // State partitioning sized to the keyspace (~3k users), captured at
+    // stream start only — same replay-harness discipline as
+    // streaming_sessionize_replay; result-invariant (state is per-key)
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val query =
+      try Streaming.streamingForwardWindowCount(s, ms.toDS(), HourMicros)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
     try {
       val chunk = math.max(events.length / 4, 1)
       events.grouped(chunk).foreach { c => ms.addData(c); query.processAllAvailable() }
@@ -612,15 +619,29 @@ object BicisQueries {
       id, -1L, new java.sql.Timestamp(maxMs + offsetMs), "sentinel")
     val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Ev]
     val sink = s"sess_replay_${replaySeq.incrementAndGet()}"
-    val query = Streaming.sessionCounts(ms.toDS().toDF(), "user_id", "ts",
-        "30 minutes", "0 seconds")
-      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    // The replay's cost is per-batch state-store commit overhead ×
+    // partitions: size the stream's state partitioning to the keyspace
+    // (~3k users) instead of the batch engine's CPU-count default — the
+    // setting is captured at stream START, so the batch queries around
+    // this one are untouched. Result-invariant (state is per-key).
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val query =
+      try Streaming.sessionCounts(ms.toDS().toDF(), "user_id", "ts",
+          "30 minutes", "0 seconds")
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
     try {
-      val chunk = math.max(events.length / 4, 1)
-      events.grouped(chunk).foreach { c => ms.addData(c); query.processAllAvailable() }
-      // day +1: watermark jumps past every real session end; day +2:
-      // the next batch evicts + emits the closed tail sessions
-      ms.addData(Seq(sentinel(-1L, 86400000L))); query.processAllAvailable()
+      val chunks = events.grouped(math.max(events.length / 3, 1)).toSeq
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        // day +1 sentinel rides the LAST data batch: the watermark
+        // computed from it is already past every real session end
+        val batch = if (i == chunks.size - 1) c.toSeq :+ sentinel(-1L, 86400000L)
+                    else c.toSeq
+        ms.addData(batch); query.processAllAvailable()
+      }
+      // one more batch runs with that watermark and evicts + emits the
+      // closed tail sessions
       ms.addData(Seq(sentinel(-2L, 172800000L))); query.processAllAvailable()
     } finally query.stop()
     s.table(sink)
