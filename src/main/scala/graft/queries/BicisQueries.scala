@@ -650,6 +650,59 @@ object BicisQueries {
       .orderBy(col("user_id"), col("session_start"))
   }
 
+  /** STREAM-STREAM interval join through the oracle gate — the third
+    * stateful-operator class after flatMapGroupsWithState
+    * (`streaming_a5_replay`) and merging session windows
+    * (`streaming_sessionize_replay`): view events joined to purchase
+    * events of the same user landing within 6 h (the attribution shape,
+    * Streaming.streamIntervalJoin — both sides watermarked, the range
+    * predicate bounds BOTH state stores). Replay feeds both sides from
+    * the same globally ts-ordered chunks, so arrivals are in order and
+    * the inner join emits every match before GC can touch its partner:
+    * a buffered left row is evicted only once the watermark passes
+    * l.ts + bound, and every not-yet-seen right row has ts ≥ the
+    * watermark — already outside that window. No sentinel needed (inner
+    * joins emit on match, not on watermark).
+    */
+  val streamingIntervalJoinReplay: QueryDef = QueryDef.sql("streaming_interval_join_replay",
+    """SELECT l.user_id, l.event_id AS left_id, r.event_id AS right_id,
+      |  l.ts AS left_ts, r.ts AS right_ts
+      |FROM events l JOIN events r
+      |  ON l.user_id = r.user_id AND l.event_type = 'view' AND r.event_type = 'purchase'
+      | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOURS
+      |ORDER BY left_id, right_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.streaming.Streaming
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = Tables.events(s, dir)
+      .where(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .as[Streaming.Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val msL = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Ev]
+    val msR = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Ev]
+    val sink = s"ij_replay_${replaySeq.incrementAndGet()}"
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val query =
+      try Streaming.streamIntervalJoin(msL.toDS().toDF(), msR.toDS().toDF(),
+          "user_id", "ts", "0 seconds", 21600L)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    try {
+      // one global ts-ordered chunking drives BOTH sides, so neither
+      // stream's watermark outruns the other's unfed data
+      ev.grouped(math.max(ev.length / 3, 1)).foreach { c =>
+        msL.addData(c.filter(_.event_type == "view"))
+        msR.addData(c.filter(_.event_type == "purchase"))
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    s.table(sink)
+      .select(col("user_id"), col("left_id"), col("right_id"),
+        col("left_ts"), col("right_ts"))
+      .orderBy(col("left_id"), col("right_id"))
+  }
+
   /** Seasonality strength per user: the share of hourly-count variance
     * explained by the hour-of-day profile, 1 − SSE/SST over the ACTIVE
     * (date, hour) cells (same no-zero-fill convention as the A2 series)
@@ -701,5 +754,5 @@ object BicisQueries {
     sessionize, qSessionWindow, qUnifyParse,
     qConversionFunnel, qRetentionCohort, seriesEwma, qScd2History,
     seriesAnomaly, qIntervalCoverage, seriesSeasonality, streamingA5Replay,
-    streamingSessionizeReplay)
+    streamingSessionizeReplay, streamingIntervalJoinReplay)
 }

@@ -910,9 +910,47 @@ object DedupQueries {
     }
   }
 
+  /** Per-source duplicate-rate census — the dedup line of a dataset
+    * card: for each source, exact-dup statistics (docs, distinct texts,
+    * removable copies, dup rate) plus how many of its texts also appear
+    * in ANOTHER source (cross-source contamination — the signal that two
+    * crawls overlap and one should be dropped entirely). All from ONE
+    * digest aggregation: the (digest, source) rollup is the only
+    * text-derived shuffle (16-byte digests), the global digest table
+    * derives from it, and both rollups are source-keyed joins.
+    */
+  val mlDedupRateBySource: QueryDef = QueryDef.sql("ml_dedup_rate_by_source",
+    """WITH ds AS (SELECT source, md5(text) AS h, count(*) AS n
+      |            FROM documents GROUP BY 1, 2),
+      |g AS (SELECT h, count(*) AS n_src FROM ds GROUP BY h),
+      |per AS (SELECT ds.source,
+      |          CAST(sum(ds.n) AS BIGINT) AS n_docs,
+      |          CAST(count(*) AS BIGINT) AS n_distinct,
+      |          CAST(sum(ds.n) - count(*) AS BIGINT) AS n_removable,
+      |          CAST(sum(CASE WHEN g.n_src > 1 THEN ds.n ELSE 0 END) AS BIGINT) AS n_cross
+      |        FROM ds JOIN g USING (h) GROUP BY ds.source)
+      |SELECT source, n_docs, n_distinct, n_removable,
+      |  round(CAST(n_removable AS DOUBLE) / n_docs, 6) AS dup_rate, n_cross
+      |FROM per ORDER BY source""".stripMargin) { (s, dir) =>
+    val ds = Tables.documents(s, dir)
+      .groupBy(col("source"), md5(col("text").cast("binary")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val g = ds.groupBy(col("h")).agg(count(lit(1)).as("n_src"))
+    ds.join(g, Seq("h"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_distinct"),
+        (sum(col("n")) - count(lit(1))).as("n_removable"),
+        sum(when(col("n_src") > 1, col("n")).otherwise(0L)).as("n_cross"))
+      .select(col("source"), col("n_docs"), col("n_distinct"), col("n_removable"),
+        round(col("n_removable").cast("double") / col("n_docs"), 6).as("dup_rate"),
+        col("n_cross"))
+      .orderBy(col("source"))
+  }
+
   val all: Seq[QueryDef] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhash, dedupClusters, dedupSurvivors, dedupBestSurvivor,
     dedupDecontaminate, dedupIncremental, dedupSubstring, dedupLines,
     dedupSortedNeighborhood, dedupContainment, dedupLshRecall,
-    dedupClusterStats, mlClusterSplit)
+    dedupClusterStats, mlClusterSplit, mlDedupRateBySource)
 }

@@ -951,7 +951,84 @@ object GraphQueries {
     }
   }
 
+  /** Degree assortativity (Newman 2002) of the co-supply graph — the
+    * one-number "do hubs link to hubs?" census beside the triangle
+    * census: Pearson correlation of the endpoint degrees over every
+    * DIRECTED edge (both orientations of each undirected edge, the
+    * standard symmetrization). Crawl-graph reading: strong negative r is
+    * hub-and-spoke (organic web), r ≈ +1 flags mirror farms / link rings
+    * — a corpus-level structural quality signal.
+    *
+    * Determinism discipline: degrees are integers, so ALL five moment
+    * sums (Σx, Σy, Σxy, Σx², Σy²) are exact BIGINTs in both engines; the
+    * single double division happens once at the end, round-6. No
+    * engine-specific corr() implementation is trusted.
+    *
+    * Shape at 100 TB: two joins of the edge list against the |V|-sized
+    * degree table (shuffle equi-joins; AQE broadcasts when deg fits),
+    * then one grand aggregate — no per-node neighborhood state.
+    */
+  val graphAssortativity: QueryDef = {
+    val minSup = 8
+    QueryDef.sql("graph_assortativity",
+      s"""WITH per AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem),
+         |p AS (SELECT a.sk AS x, b.sk AS y FROM per a JOIN per b ON a.o = b.o AND a.sk < b.sk),
+         |e AS (SELECT x, y FROM p GROUP BY x, y HAVING count(*) >= $minSup),
+         |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+         |        FROM (SELECT x AS n FROM e UNION ALL SELECT y AS n FROM e) GROUP BY n),
+         |e2 AS (SELECT x AS a, y AS b FROM e UNION ALL SELECT y, x FROM e),
+         |j AS (SELECT da.d AS dx, db.d AS dy
+         |      FROM e2 JOIN deg da ON da.n = e2.a JOIN deg db ON db.n = e2.b),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+         |             CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+         |             CAST(sum(dx * dy) AS BIGINT) AS sxy,
+         |             CAST(sum(dx * dx) AS BIGINT) AS sxx,
+         |             CAST(sum(dy * dy) AS BIGINT) AS syy
+         |      FROM j)
+         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+         |  round((m2 * sxy - sx * sy) /
+         |        nullif(sqrt(CAST(m2 * sxx - sx * sx AS DOUBLE)) *
+         |               sqrt(CAST(m2 * syy - sy * sy AS DOUBLE)), 0), 6) AS assortativity
+         |FROM m""".stripMargin) { (s, dir) =>
+      val per = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sk")).distinct()
+      val e = per.as("a").join(per.as("b"),
+          col("a.o") === col("b.o") && col("a.sk") < col("b.sk"))
+        .groupBy(col("a.sk").as("x"), col("b.sk").as("y"))
+        .agg(count(lit(1)).as("cnt")).where(col("cnt") >= minSup)
+        .select(col("x"), col("y"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val deg = e.select(col("x").as("n")).unionAll(e.select(col("y").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val e2 = e.select(col("x").as("a"), col("y").as("b"))
+        .unionAll(e.select(col("y").as("a"), col("x").as("b")))
+      val j = e2
+        .join(deg.select(col("n"), col("d").as("dx")), col("n") === col("a")).drop("n")
+        .join(deg.select(col("n"), col("d").as("dy")), col("n") === col("b")).drop("n")
+      val m = j.agg(count(lit(1)).as("m2"),
+        sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+        sum(col("dx") * col("dy")).as("sxy"),
+        sum(col("dx") * col("dx")).as("sxx"),
+        sum(col("dy") * col("dy")).as("syy"))
+      val stats = deg.agg(count(lit(1)).cast("long").as("n_nodes"))
+        .crossJoin(e.agg(count(lit(1)).cast("long").as("n_edges")))
+      // a degree-regular graph has zero degree variance: assortativity
+      // is undefined -> NULL (nullif also keeps ANSI mode from aborting)
+      val out = m.crossJoin(stats)
+        .select(col("n_nodes"), col("n_edges"),
+          round((col("m2") * col("sxy") - col("sx") * col("sy")) /
+            nullif(sqrt((col("m2") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+              sqrt((col("m2") * col("syy") - col("sy") * col("sy")).cast("double")), lit(0.0)), 6)
+            .as("assortativity"))
+      val rows = out.localCheckpoint(true)
+      e.unpersist(false)
+      rows
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(graphPagerank, graphTriangles, graphComponents,
     graphDegreeStats, graphLabelProp, graphJaccard, graphKcore, graphBfs,
-    graphPpr, graphRandomWalk, graphModularity, graphClusteringCoeff)
+    graphPpr, graphRandomWalk, graphModularity, graphClusteringCoeff,
+    graphAssortativity)
 }

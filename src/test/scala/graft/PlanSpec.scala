@@ -110,7 +110,10 @@ class PlanSpec extends SparkSpec {
       "ml_mixture_epochs",
       // THREE-row threshold table left-joined (sim >= thr inequality)
       // against the tiny verified-pair set — candidates stay equi-join
-      "embed_dedup_sweep")
+      "embed_dedup_sweep",
+      // one-row moment-sums × one-row node/edge-count scalars composed
+      // by construction-time cross joins — 1×1 rows, never data-sized
+      "graph_assortativity")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>
