@@ -703,6 +703,142 @@ object BicisQueries {
       .orderBy(col("left_id"), col("right_id"))
   }
 
+  final case class SDoc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
+  /** Streaming EXACT DEDUP through the oracle gate — the fourth stateful
+    * operator class after flatMapGroupsWithState, merging session
+    * windows and the stream-stream join: `dropDuplicatesWithinWatermark`
+    * keyed on the content digest (Streaming.streamingDedup — the
+    * watermark GC's digest state older than the delay, so the store is
+    * bounded on an unbounded stream). Replay feeds the documents table
+    * in doc_id order with a synthetic event time (doc_id seconds — the
+    * corpus as an arrival log) and a delay covering the whole span, so
+    * no state is evicted and the streamed survivor set must equal the
+    * batch distinct-text set EXACTLY.
+    *
+    * Which row of a duplicate group survives is an arrival-order detail
+    * (within a micro-batch it is not contractual), so the gate projects
+    * the survivor rows onto digest-determined columns only (digest,
+    * n_chars) — any survivor yields the identical row, and the hash
+    * compare proves the STATE SEMANTICS: one survivor per distinct
+    * content, none dropped, none duplicated. Eviction-horizon behavior
+    * is StreamingSpec territory.
+    */
+  val streamingDedupReplay: QueryDef = QueryDef.sql("streaming_dedup_replay",
+    """SELECT DISTINCT md5(text) AS digest, CAST(length(text) AS BIGINT) AS n_chars
+      |FROM documents ORDER BY digest""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.streaming.Streaming
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).collect()
+      // offset the synthetic clock well past epoch 0: an event time equal
+      // to the stream's initial watermark (0) is treated as late and
+      // silently dropped — doc_id 0 would never reach the dedup state
+      .map(r => SDoc(r.getLong(0),
+        new java.sql.Timestamp((1000000000L + r.getLong(0)) * 1000L), r.getString(1)))
+      .sortBy(_.doc_id)
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SDoc]
+    val sink = s"dedup_replay_${replaySeq.incrementAndGet()}"
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val query =
+      try Streaming.streamingDedup(ms.toDS().toDF(), "ts", "text", "3650 days")
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    try {
+      docs.grouped(math.max(docs.length / 4, 1)).foreach { c =>
+        ms.addData(c.toSeq); query.processAllAvailable()
+      }
+    } finally query.stop()
+    s.table(sink)
+      .select(md5(col("text").cast("binary")).as("digest"),
+        length(col("text")).cast("long").as("n_chars"))
+      .orderBy(col("digest"))
+  }
+
+  /** Lead-lag cross-correlation between the click and purchase hourly
+    * series: Pearson corr of (clicks in hour h, purchases in hour h+L)
+    * for L ∈ 0..3, over the DENSE hour spine (zero-filled — skipping
+    * inactive hours would condition the estimate on activity and
+    * overstate the coupling). The lag that maximizes xcorr is the
+    * conversion latency estimate; the cross-family analog of
+    * `series_seasonality`'s own-rhythm screen.
+    *
+    * Determinism: counts are integers, so for each lag ALL five moment
+    * sums (Σx, Σy, Σxy, Σx², Σy²) are exact BIGINTs in both engines and
+    * the single double division happens once, round-6 — no engine
+    * corr() is trusted (same discipline as graph_assortativity).
+    *
+    * Shape at 100 TB: ONE exchange (the per-hour count over events);
+    * the spine and the counts table are hours-sized, the lag pairing is
+    * an integer-key equi-join between two tiny tables the optimizer
+    * broadcasts, and the moments are a 4-group aggregate. Nothing
+    * downstream of the first count is event-sized.
+    */
+  val seriesCrossCorr: QueryDef = QueryDef.sql("series_cross_corr",
+    s"""WITH c AS (SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hr,
+       |    CAST(count(*) FILTER (event_type = '$Rent') AS BIGINT) AS x,
+       |    CAST(count(*) FILTER (event_type = '$Return') AS BIGINT) AS y
+       |  FROM events GROUP BY 1),
+       |b AS (SELECT min(hr) AS h0, max(hr) AS h1 FROM c),
+       |sp AS (SELECT unnest(range(h0, h1 + 1)) AS hr FROM b),
+       |s AS (SELECT sp.hr, coalesce(c.x, 0) AS x, coalesce(c.y, 0) AS y
+       |      FROM sp LEFT JOIN c ON c.hr = sp.hr),
+       |p AS (SELECT l.lag, a.x, b2.y
+       |      FROM range(0, 4) l(lag)
+       |      CROSS JOIN s a JOIN s b2 ON b2.hr = a.hr + l.lag),
+       |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |        CAST(sum(x * y) AS BIGINT) AS sxy,
+       |        CAST(sum(x * x) AS BIGINT) AS sxx,
+       |        CAST(sum(y * y) AS BIGINT) AS syy
+       |      FROM p GROUP BY lag)
+       |SELECT CAST(lag AS BIGINT) AS lag, n,
+       |  round((n * sxy - sx * sy) /
+       |        nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+       |               sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0), 6) AS xcorr
+       |FROM m ORDER BY lag""".stripMargin) { (s, dir) =>
+    val (out, series) = crossCorrFrames(s, dir)
+    val rows = out.localCheckpoint(true)
+    series.unpersist(false)
+    rows
+  }
+
+  /** (result, cached series) — split out so PlanSpec can assert on the
+    * pre-checkpoint plan (localCheckpoint erases it to an RDD scan).
+    */
+  private[graft] def crossCorrFrames(s: org.apache.spark.sql.SparkSession,
+                                     dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val c = Tables.events(s, dir)
+      .groupBy(floor(unix_micros(col("ts")) / lit(3600000000L)).cast("long").as("hr"))
+      .agg(count(when(col("event_type") === Rent, 1)).as("x"),
+        count(when(col("event_type") === Return, 1)).as("y"))
+    val spine = c.agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"))).as("hr"))
+    val series = spine.join(c, Seq("hr"), "left")
+      .select(col("hr"), coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lags = s.range(0, 4).select(col("id").as("lag"))
+    val paired = lags.crossJoin(series.select(col("hr").as("ah"), col("x")))
+      .join(series.select(col("hr").as("bh"), col("y")),
+        col("bh") === col("ah") + col("lag"))
+    val out = paired.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lag"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          nullif(sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")), lit(0.0)), 6)
+          .as("xcorr"))
+      .orderBy(col("lag"))
+    (out, series)
+  }
+
   /** Seasonality strength per user: the share of hourly-count variance
     * explained by the hour-of-day profile, 1 − SSE/SST over the ACTIVE
     * (date, hour) cells (same no-zero-fill convention as the A2 series)
@@ -754,5 +890,6 @@ object BicisQueries {
     sessionize, qSessionWindow, qUnifyParse,
     qConversionFunnel, qRetentionCohort, seriesEwma, qScd2History,
     seriesAnomaly, qIntervalCoverage, seriesSeasonality, streamingA5Replay,
-    streamingSessionizeReplay, streamingIntervalJoinReplay)
+    streamingSessionizeReplay, streamingIntervalJoinReplay,
+    streamingDedupReplay, seriesCrossCorr)
 }

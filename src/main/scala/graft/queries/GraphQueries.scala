@@ -1027,8 +1027,81 @@ object GraphQueries {
     }
   }
 
+  /** Edge reciprocity of the DIRECTED nation trade graph (customer
+    * nation → supplier nation per lineitem, self-loops excluded, thinned
+    * to above-mean-weight edges so the metric is not saturated by the
+    * dense tail): the share of directed edges whose reverse also
+    * qualifies, plus the weighted variant Σ min(w_ab, w_ba) / Σ w —
+    * "how much of the flow is mutual". The one directed-graph structure
+    * metric the family lacked (components/triangles/assortativity all
+    * symmetrize); imbalance here is the trade-deficit signal.
+    *
+    * Determinism: weights and counts are exact BIGINTs; the mean-weight
+    * threshold is one double division of two exact ints (identical in
+    * both engines), and the two output ratios round-6 once at the end.
+    *
+    * Shape at 100 TB: the cost is the fact-table resolution (lineitem ⋈
+    * orders shuffles on orderkey; customer/supplier dims broadcast),
+    * collapsing immediately to a ≤|N|² edge list — the reciprocity
+    * self-join and threshold run on a table the optimizer broadcasts.
+    */
+  val graphReciprocity: QueryDef = QueryDef.sql("graph_reciprocity",
+    """WITH e0 AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+      |         CAST(count(*) AS BIGINT) AS w
+      |       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |       JOIN customer c ON o.o_custkey = c.c_custkey
+      |       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |       WHERE c.c_nationkey <> s.s_nationkey
+      |       GROUP BY 1, 2),
+      |e AS (SELECT src, dst, w FROM e0
+      |      WHERE w > (SELECT sum(w) * 1.0 / count(*) FROM e0)),
+      |j AS (SELECT a.src, a.dst, a.w, b.w AS wr
+      |      FROM e a LEFT JOIN e b ON b.src = a.dst AND b.dst = a.src)
+      |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+      |  CAST(count(wr) AS BIGINT) AS n_recip,
+      |  round(count(wr) * 1.0 / count(*), 6) AS reciprocity,
+      |  round(sum(CASE WHEN wr IS NULL THEN 0 ELSE least(w, wr) END) * 1.0
+      |        / sum(w), 6) AS w_reciprocity
+      |FROM j""".stripMargin) { (s, dir) =>
+    val (out, e0) = reciprocityFrames(s, dir)
+    val rows = out.localCheckpoint(true)
+    e0.unpersist(false)
+    rows
+  }
+
+  /** (result, cached edge list) — split out so PlanSpec can assert on
+    * the pre-checkpoint plan (localCheckpoint erases it to an RDD scan).
+    */
+  private[graft] def reciprocityFrames(s: org.apache.spark.sql.SparkSession,
+                                       dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val e0 = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey").as("src"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey").as("dst"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .where(col("src") =!= col("dst"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mean = e0.agg((sum(col("w")) * lit(1.0) / count(lit(1))).as("mw"))
+    val e = e0.crossJoin(broadcast(mean)).where(col("w") > col("mw"))
+      .select(col("src"), col("dst"), col("w"))
+    val j = e.as("a").join(broadcast(e.select(col("src").as("bsrc"),
+        col("dst").as("bdst"), col("w").as("wr"))),
+      col("bsrc") === col("a.dst") && col("bdst") === col("a.src"), "left")
+    val out = j.agg(count(lit(1)).as("n_edges"),
+        count(col("wr")).as("n_recip"),
+        round(count(col("wr")) * lit(1.0) / count(lit(1)), 6).as("reciprocity"),
+        round(sum(when(col("wr").isNull, 0L).otherwise(least(col("w"), col("wr")))) * lit(1.0)
+          / sum(col("w")), 6).as("w_reciprocity"))
+    (out, e0)
+  }
+
   val all: Seq[QueryDef] = Seq(graphPagerank, graphTriangles, graphComponents,
     graphDegreeStats, graphLabelProp, graphJaccard, graphKcore, graphBfs,
     graphPpr, graphRandomWalk, graphModularity, graphClusteringCoeff,
-    graphAssortativity)
+    graphAssortativity, graphReciprocity)
 }

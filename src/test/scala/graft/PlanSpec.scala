@@ -113,7 +113,11 @@ class PlanSpec extends SparkSpec {
       "embed_dedup_sweep",
       // one-row moment-sums × one-row node/edge-count scalars composed
       // by construction-time cross joins — 1×1 rows, never data-sized
-      "graph_assortativity")
+      "graph_assortativity",
+      // 4-row lag table × hours-sized series spine — never event-sized
+      "series_cross_corr",
+      // one-row mean-weight scalar broadcast into the ≤|N|² edge list
+      "graph_reciprocity")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>
@@ -346,5 +350,27 @@ class PlanSpec extends SparkSpec {
       s"expected one user_id-only exchange in:\n$p")
     assert(p.contains("Window"), s"no forward-fill window in:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian spine join in:\n$p")
+  }
+
+  test("series_cross_corr broadcasts the hours-sized series into the lag pairing") {
+    val (df, series) = BicisQueries.crossCorrFrames(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // the lag equi-join runs between two hours-sized tables — a
+    // broadcast, never a shuffle of anything event-sized; the one
+    // event-sized exchange is the per-hour count's aggregate
+    assert(p.contains("BroadcastHashJoin"), s"lag pairing shuffled in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    series.unpersist(true)
+  }
+
+  test("graph_reciprocity broadcasts both dims and the reverse-edge side") {
+    val (df, e0) = graft.queries.GraphQueries.reciprocityFrames(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // customer + supplier dims and the ≤|N|² reverse edge list all ride
+    // broadcasts; the only shuffle joins are the fact-table resolution
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"expected ≥3 broadcast joins in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+    e0.unpersist(true)
   }
 }
