@@ -839,6 +839,73 @@ object BicisQueries {
     (out, series)
   }
 
+  /** CUSUM level-shift detection per user over the daily count series:
+    * the cumulative sum of deviations from the user's mean daily volume,
+    * S_t = Σ_{i≤t}(n_i − μ̂), peaks at the most likely change point —
+    * the complement of `series_anomaly` (point outliers) for REGIME
+    * changes (a user whose baseline volume stepped up/down mid-history,
+    * the drift signal that invalidates a trained profile). Emits the
+    * break date (first argmax of |S_t|) and the standardized statistic
+    * max|S_t| / (σ̂·√N); ≳1.3 rejects "no change" at ~5% for a
+    * Brownian-bridge null.
+    *
+    * Determinism: daily counts are integers, so the running sum, the
+    * count and both moment sums are EXACT; μ̂ and σ̂² are single
+    * divisions of exact ints (identical doubles in both engines), |S_t|
+    * is one multiply-subtract per row from exact inputs, rounded to 6
+    * before the argmax so the break-date pick can't straddle an ulp.
+    *
+    * Shape at 100 TB: one (user, date) count (THE event-sized shuffle),
+    * then one user-keyed window pass over the user×days table and
+    * user-sized joins — same exchange-reuse class as series_anomaly.
+    */
+  val seriesCusum: QueryDef = QueryDef.sql("series_cusum",
+    """WITH c AS (SELECT user_id, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n
+      |           FROM events GROUP BY 1, 2),
+      |u AS (SELECT user_id, CAST(count(*) AS BIGINT) AS nd,
+      |        CAST(sum(n) AS BIGINT) AS sx, CAST(sum(n * n) AS BIGINT) AS sxx
+      |      FROM c GROUP BY 1),
+      |r AS (SELECT user_id, d,
+      |        row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn,
+      |        sum(n) OVER (PARTITION BY user_id ORDER BY d
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs
+      |      FROM c),
+      |x AS (SELECT r.user_id, d, round(abs(rs - rn * (sx * 1.0 / nd)), 6) AS cus
+      |      FROM r JOIN u USING (user_id)),
+      |m AS (SELECT user_id, max(cus) AS mx FROM x GROUP BY 1),
+      |b AS (SELECT x.user_id, min(d) AS break_date
+      |      FROM x JOIN m ON m.user_id = x.user_id AND x.cus = m.mx GROUP BY 1)
+      |SELECT u.user_id, u.nd AS n_days, b.break_date,
+      |  round(m.mx / sqrt(((sxx - sx * sx * 1.0 / nd) / (nd - 1)) * nd), 6) AS cusum_stat
+      |FROM u JOIN m USING (user_id) JOIN b USING (user_id)
+      |WHERE nd >= 14 AND (sxx - sx * sx * 1.0 / nd) > 0
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.events(s, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val u = c.groupBy(col("user_id")).agg(count(lit(1)).as("nd"),
+      sum(col("n")).as("sx"), sum(col("n") * col("n")).as("sxx"))
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val r = c.select(col("user_id"), col("d"),
+      row_number().over(wOrd).cast("long").as("rn"),
+      sum(col("n")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)).as("rs"))
+    val x = r.join(u, "user_id")
+      .select(col("user_id"), col("d"),
+        round(abs(col("rs") - col("rn") * (col("sx") * lit(1.0) / col("nd"))), 6).as("cus"))
+    val m = x.groupBy(col("user_id")).agg(max(col("cus")).as("mx"))
+    val b = x.join(m, Seq("user_id"))
+      .where(col("cus") === col("mx"))
+      .groupBy(col("user_id")).agg(min(col("d")).as("break_date"))
+    u.join(m, "user_id").join(b, "user_id")
+      .where(col("nd") >= 14 &&
+        (col("sxx") - col("sx") * col("sx") * lit(1.0) / col("nd")) > 0)
+      .select(col("user_id"), col("nd").as("n_days"), col("break_date"),
+        round(col("mx") / sqrt(((col("sxx") - col("sx") * col("sx") * lit(1.0) / col("nd"))
+          / (col("nd") - 1)) * col("nd")), 6).as("cusum_stat"))
+      .orderBy(col("user_id"))
+  }
+
   /** Seasonality strength per user: the share of hourly-count variance
     * explained by the hour-of-day profile, 1 − SSE/SST over the ACTIVE
     * (date, hour) cells (same no-zero-fill convention as the A2 series)
@@ -891,5 +958,5 @@ object BicisQueries {
     qConversionFunnel, qRetentionCohort, seriesEwma, qScd2History,
     seriesAnomaly, qIntervalCoverage, seriesSeasonality, streamingA5Replay,
     streamingSessionizeReplay, streamingIntervalJoinReplay,
-    streamingDedupReplay, seriesCrossCorr)
+    streamingDedupReplay, seriesCrossCorr, seriesCusum)
 }

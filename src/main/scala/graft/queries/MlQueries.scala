@@ -668,9 +668,49 @@ object MlQueries {
     }
   }
 
+  /** Deterministic epoch-order materialization — the GLOBAL SHUFFLE a
+    * training run needs, without a global sort: each document draws a
+    * pseudorandom permutation key from a seeded portable hash, lands in
+    * a hash shard, and gets its visit position by a SHARD-LOCAL rank on
+    * that key (hash-uniform keys make shard-major concatenation a
+    * uniform random permutation of the corpus; a new seed string is a
+    * fresh epoch order). Contrast with orderBy(rand()): this is
+    * reproducible across runs/partitionings/engines, and the only
+    * whole-corpus operation is ONE hash-partition exchange — ranking
+    * happens inside each shard in parallel (shards are sized to the
+    * cluster; 8 keeps the oracle deterministic), never a total sort.
+    * Completes the layout trio: ml_mixture_epochs decides WHICH docs an
+    * epoch sees, ml_pack_sequences how they pack, this the ORDER they
+    * are visited.
+    */
+  val mlEpochOrder: QueryDef = {
+    val shards = 8
+    val h = OracleSql.hash64("'ep1'", "CAST(doc_id AS VARCHAR)")
+    QueryDef.sql("ml_epoch_order",
+      s"""WITH k AS (SELECT doc_id, $h AS rk FROM documents),
+         |s AS (SELECT doc_id, rk, ((rk % $shards) + $shards) % $shards AS shard FROM k)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id) AS BIGINT) AS pos,
+         |  doc_id
+         |FROM s ORDER BY shard, pos""".stripMargin) { (s, dir) =>
+      import graft.ops.TextOps
+      import org.apache.spark.sql.expressions.Window
+      TextOps.ensureFunctions(s)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          expr(TextOps.portableHash64Sql("'ep1'", "CAST(doc_id AS STRING)")).as("rk"))
+        .withColumn("shard", pmod(col("rk"), lit(shards)).cast("long"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("rk"), col("doc_id"))).cast("long"))
+        .select(col("shard"), col("pos"), col("doc_id"))
+        .orderBy(col("shard"), col("pos"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(hourRingFeatures, hourRingFeaturesReturns,
     mlDataset, mlPoissonPredict, mlZscore, mlLagFeatures, mlHashSplit,
     mlSampleStratified, mlPackSequences, mlMixtureSample, mlChunkDocuments,
     mlQualityFunnel, mlSampleWeighted, mlMixtureTemperature, mlFeatureHash,
-    mlLengthBuckets, mlVocabCoverage, mlDpHistogram, mlMixtureEpochs)
+    mlLengthBuckets, mlVocabCoverage, mlDpHistogram, mlMixtureEpochs,
+    mlEpochOrder)
 }

@@ -363,6 +363,17 @@ class PlanSpec extends SparkSpec {
     series.unpersist(true)
   }
 
+  test("ml_epoch_order plans ONE hash exchange (shard) and a shard-local rank — no global sort before the window") {
+    val p = plan(graft.queries.MlQueries.mlEpochOrder)
+    // the permutation is hash-derived: one exchange on the shard key
+    // feeds the per-shard row_number; a rangepartitioning before the
+    // Window would mean a global sort crept in (the output orderBy is
+    // the only legitimate range exchange, and it comes after)
+    assert("hashpartitioning\\(shard".r.findAllIn(p).size === 1,
+      s"expected exactly one shard exchange in:\n$p")
+    assert(p.contains("Window"), s"no shard-local rank window in:\n$p")
+  }
+
   test("graph_reciprocity broadcasts both dims and the reverse-edge side") {
     val (df, e0) = graft.queries.GraphQueries.reciprocityFrames(spark, dir)
     val p = df.queryExecution.executedPlan.toString
