@@ -219,4 +219,86 @@ class AnalyticsSpec extends SparkSpec {
       (i, if (i == 15L) 2L else 1L, i.toDouble, (i + 1).toDouble))
     assert(got === expected)
   }
+
+  test("series_cusum: planted level shift breaks at the step; flat and short users drop") {
+    import spark.implicits._
+    // user 1: 15 days at 2/day then 15 days at 8/day — mean 5, S_t adds
+    // −3/day through day 15 (|S| peaks at 45 on the last low day) then
+    // +3/day back to 0: break date = the last LOW day, stat =
+    // 45/sqrt(var·N) with var = 270/29 exactly
+    // user 2: 20 flat days (zero variance) — filtered
+    // user 3: 10 days (under the 14-day floor) — filtered
+    val base = java.sql.Timestamp.valueOf("2024-02-01 00:00:00").getTime
+    def day(d: Int) = base + d * 86400000L
+    var id = 0L
+    val rows =
+      (0 until 30).flatMap { d =>
+        val n = if (d < 15) 2 else 8
+        (0 until n).map { j => id += 1; (id, new java.sql.Timestamp(day(d) + j * 60000L), 1L, "view", 1.0) }
+      } ++
+      (0 until 20).map { d => id += 1; (id, new java.sql.Timestamp(day(d)), 2L, "view", 1.0) } ++
+      (0 until 10).flatMap { d =>
+        (0 until (d % 3 + 1)).map { j => id += 1; (id, new java.sql.Timestamp(day(d) + j * 60000L), 3L, "view", 1.0) }
+      }
+    val tmp = java.nio.file.Files.createTempDirectory("cusum").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = graft.queries.BicisQueries.seriesCusum.run(spark, tmp).collect()
+    assert(got.map(_.getAs[Long]("user_id")).toSeq === Seq(1L),
+      s"emitted users: ${got.map(_.getAs[Long]("user_id")).mkString(",")}")
+    val r = got.head
+    assert(r.getAs[java.sql.Date]("break_date").toString === "2024-02-15") // last 2/day day
+    val expStat = math.rint(45.0 / math.sqrt(270.0 / 29.0 * 30.0) * 1e6) / 1e6
+    assert(r.getAs[Double]("cusum_stat") === expStat)
+    assert(r.getAs[Double]("cusum_stat") > 1.3) // clears the Brownian-bridge 5% line
+  }
+
+  test("series_cross_corr: purchases shifted +2h peak the xcorr at exactly lag 2") {
+    import spark.implicits._
+    // clicks follow a varying hourly pattern p(h); purchases replay the
+    // SAME counts 2 hours later — lag 2 pairs are identical series
+    // (xcorr 1.0 exactly under integer moments), every other lag pairs
+    // misaligned values and scores strictly lower. The zero-filled
+    // spine is load-bearing: hours where only one side is active enter
+    // as 0, not dropped.
+    val base = java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime
+    def p(h: Int) = 1 + (h * 7) % 5
+    var id = 0L
+    val rows =
+      (0 until 24).flatMap { h =>
+        (0 until p(h)).map { j => id += 1; (id, new java.sql.Timestamp(base + h * 3600000L + j * 1000L), 1L, "click", 1.0) }
+      } ++
+      (0 until 24).flatMap { h =>
+        (0 until p(h)).map { j => id += 1; (id, new java.sql.Timestamp(base + (h + 2) * 3600000L + j * 1000L), 1L, "purchase", 1.0) }
+      }
+    val tmp = java.nio.file.Files.createTempDirectory("xcorr").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = graft.queries.BicisQueries.seriesCrossCorr.run(spark, tmp)
+      .collect().map(r => r.getAs[Long]("lag") -> r.getAs[Double]("xcorr")).toMap
+    assert(got(2L) === 1.0, s"lag-2 xcorr was ${got(2L)}")
+    Seq(0L, 1L, 3L).foreach(l => assert(got(l) < 1.0, s"lag $l also scored ${got(l)}"))
+  }
+
+  test("ml_epoch_order: a true permutation — shard-dense positions, full coverage, run-stable, not id order") {
+    val dir = "/root/testdata/sf0.001"
+    val q = graft.queries.MlQueries.mlEpochOrder
+    val a = q.run(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every doc exactly once
+    val docs = graft.core.Tables.documents(spark, dir).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a.map(_._3).sorted.toSeq === docs)
+    // positions within each shard are dense 1..n_s
+    a.groupBy(_._1).foreach { case (s, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (1L to rs.length).toSeq, s"shard $s positions not dense")
+    }
+    // deterministic across runs
+    val b = q.run(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.toSeq === b.toSeq)
+    // actually shuffles: within some shard, visit order inverts doc_id order
+    assert(a.groupBy(_._1).values.exists { rs =>
+      val order = rs.sortBy(_._2).map(_._3)
+      order.zip(order.tail).exists { case (x, y) => x > y }
+    }, "epoch order is doc_id order — no permutation happened")
+  }
 }
