@@ -632,7 +632,7 @@ object BicisQueries {
         .writeStream.format("memory").queryName(sink).outputMode("append").start()
       finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
     try {
-      val chunks = events.grouped(math.max(events.length / 3, 1)).toSeq
+      val chunks = events.grouped(math.max(events.length / 2, 1)).toSeq
       chunks.zipWithIndex.foreach { case (c, i) =>
         // day +1 sentinel rides the LAST data batch: the watermark
         // computed from it is already past every real session end
@@ -691,7 +691,7 @@ object BicisQueries {
     try {
       // one global ts-ordered chunking drives BOTH sides, so neither
       // stream's watermark outruns the other's unfed data
-      ev.grouped(math.max(ev.length / 3, 1)).foreach { c =>
+      ev.grouped(math.max(ev.length / 2, 1)).foreach { c =>
         msL.addData(c.filter(_.event_type == "view"))
         msR.addData(c.filter(_.event_type == "purchase"))
         query.processAllAvailable()
