@@ -27,7 +27,7 @@ object GraphQueries {
     * input caveat as the dedup memo).
     */
   private val pairsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), org.apache.spark.sql.DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String, String), org.apache.spark.sql.DataFrame]()
 
   private def sessionKey(s: org.apache.spark.sql.SparkSession): String = synchronized {
     s.conf.getOption("spark.graft.graph.sessionKey").getOrElse {
@@ -64,18 +64,38 @@ object GraphQueries {
       .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
       .distinct()
 
+  private def memoized(s: org.apache.spark.sql.SparkSession, dir: String, kind: String)
+                      (build: => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (!s.conf.get("spark.graft.graph.sharePairs", "true").toBoolean) build
+    else {
+      registerEviction(s)
+      pairsMemo.computeIfAbsent((sessionKey(s), dir, kind),
+        _ => build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+
   /** DISTINCT packed (c = 2·custkey, s = 2·suppkey+1) trade pairs,
     * memoized per (session, dir). Callers must NOT unpersist it.
     */
   private[graft] def packedTradePairs(s: org.apache.spark.sql.SparkSession,
                                       dir: String): org.apache.spark.sql.DataFrame =
-    if (!s.conf.get("spark.graft.graph.sharePairs", "true").toBoolean)
-      buildPackedPairs(s, dir)
-    else {
-      registerEviction(s)
-      pairsMemo.computeIfAbsent((sessionKey(s), dir),
-        _ => buildPackedPairs(s, dir)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    memoized(s, dir, "packed")(buildPackedPairs(s, dir))
+
+  /** The support-8 co-supply edge list (x < y suppliers sharing ≥ 8
+    * orders) — triangles, local clustering and assortativity all start
+    * from THIS table, and the per-order wedge self-join that builds it
+    * is the family's cost driver. Memoized like [[packedTradePairs]];
+    * callers must NOT unpersist it.
+    */
+  private[graft] def coSupplyEdges(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): org.apache.spark.sql.DataFrame =
+    memoized(s, dir, "cosupply8") {
+      val per = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sk")).distinct()
+      per.as("a").join(per.as("b"),
+          col("a.o") === col("b.o") && col("a.sk") < col("b.sk"))
+        .groupBy(col("a.sk").as("x"), col("b.sk").as("y"))
+        .agg(count(lit(1)).as("cnt")).where(col("cnt") >= 8)
+        .select(col("x"), col("y"))
     }
 
   /** The reusable power-iteration core over an UNDIRECTED edge list
@@ -270,14 +290,10 @@ object GraphQueries {
          |SELECT n_nodes, n_edges, CAST(tri AS BIGINT) AS n_triangles,
          |  round(3.0 * tri / n_wedges, 6) AS global_cc
          |FROM s, ne, t""".stripMargin) { (s, dir) =>
-      val per = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sk")).distinct()
-      val e = per.as("a").join(per.as("b"),
-          col("a.o") === col("b.o") && col("a.sk") < col("b.sk"))
-        .groupBy(col("a.sk").as("x"), col("b.sk").as("y"))
-        .agg(count(lit(1)).as("cnt")).where(col("cnt") >= minSup)
-        .select(col("x"), col("y"))
-      triangleCensus(e)
+      require(minSup == 8, "coSupplyEdges memo is built at support 8")
+      // defensive projection: the census persists AND unpersists its
+      // input — hand it a child of the memo, never the memo itself
+      triangleCensus(coSupplyEdges(s, dir).select(col("x"), col("y")))
     }
   }
 
@@ -313,14 +329,7 @@ object GraphQueries {
       |SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END AS kind,
       |  node // 2 AS key, rep, comp_size
       |FROM cl JOIN sz USING (rep) ORDER BY kind, key""".stripMargin) { (s, dir) =>
-    val pairs = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy((col("o_custkey") * 2).as("i"), (col("l_suppkey") * 2 + 1).as("j"))
-      .agg(count(lit(1)).as("n"))
-      .where(col("n") >= 3)
-      .select(col("i"), col("j"))
-    val cl = graft.ops.Components.connectedComponents(pairs)
+    val cl = graft.ops.Components.connectedComponents(strongPairs(s, dir))
     val sz = cl.groupBy(col("rep")).agg(count(lit(1)).as("comp_size"))
     cl.join(sz, "rep")
       .select(when(col("node") % 2 === 0, "c").otherwise("s").as("kind"),
@@ -404,14 +413,20 @@ object GraphQueries {
   /** Spark twin of the `e0` CTE: the support-thresholded directed
     * strong-trade pair list (i = customer node, j = supplier node).
     */
+  /** Support-thresholded (≥ lpMinSup order lines) packed trade pairs —
+    * shared by components, label propagation and modularity; memoized
+    * like [[packedTradePairs]]. Callers must NOT unpersist it.
+    */
   private def strongPairs(s: org.apache.spark.sql.SparkSession, dir: String): org.apache.spark.sql.DataFrame =
-    Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy((col("o_custkey") * 2).as("i"), (col("l_suppkey") * 2 + 1).as("j"))
-      .agg(count(lit(1)).as("n"))
-      .where(col("n") >= lpMinSup)
-      .select(col("i"), col("j"))
+    memoized(s, dir, s"strong$lpMinSup") {
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("i"), (col("l_suppkey") * 2 + 1).as("j"))
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") >= lpMinSup)
+        .select(col("i"), col("j"))
+    }
 
   val graphLabelProp: QueryDef = {
     val iters = lpIters
@@ -949,14 +964,8 @@ object GraphQueries {
          |FROM deg LEFT JOIN pn ON pn.n = deg.n
          |WHERE deg.d >= 2 ORDER BY node""".stripMargin) { (s, dir) =>
       val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val per = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sk")).distinct()
-      val e = per.as("a").join(per.as("b"),
-          col("a.o") === col("b.o") && col("a.sk") < col("b.sk"))
-        .groupBy(col("a.sk").as("x"), col("b.sk").as("y"))
-        .agg(count(lit(1)).as("cnt")).where(col("cnt") >= minSup)
-        .select(col("x"), col("y"))
-        .persist(mem)
+      require(minSup == 8, "coSupplyEdges memo is built at support 8")
+      val e = coSupplyEdges(s, dir) // session-persisted; do not re-persist/unpersist
       val deg = e.select(col("x").as("n")).unionAll(e.select(col("y").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
         .persist(mem)
@@ -983,7 +992,7 @@ object GraphQueries {
             (col("d") * (col("d") - 1)), 6).as("lcc"))
         .orderBy(col("node"))
       val rows = out.localCheckpoint(true)
-      oriented.unpersist(false); deg.unpersist(false); e.unpersist(false)
+      oriented.unpersist(false); deg.unpersist(false)
       rows
     }
   }
@@ -1028,14 +1037,8 @@ object GraphQueries {
          |        nullif(sqrt(CAST(m2 * sxx - sx * sx AS DOUBLE)) *
          |               sqrt(CAST(m2 * syy - sy * sy AS DOUBLE)), 0), 6) AS assortativity
          |FROM m""".stripMargin) { (s, dir) =>
-      val per = Tables.lineitem(s, dir)
-        .select(col("l_orderkey").as("o"), col("l_suppkey").as("sk")).distinct()
-      val e = per.as("a").join(per.as("b"),
-          col("a.o") === col("b.o") && col("a.sk") < col("b.sk"))
-        .groupBy(col("a.sk").as("x"), col("b.sk").as("y"))
-        .agg(count(lit(1)).as("cnt")).where(col("cnt") >= minSup)
-        .select(col("x"), col("y"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      require(minSup == 8, "coSupplyEdges memo is built at support 8")
+      val e = coSupplyEdges(s, dir) // session-persisted; do not re-persist/unpersist
       val deg = e.select(col("x").as("n")).unionAll(e.select(col("y").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
       val e2 = e.select(col("x").as("a"), col("y").as("b"))
@@ -1058,9 +1061,7 @@ object GraphQueries {
             nullif(sqrt((col("m2") * col("sxx") - col("sx") * col("sx")).cast("double")) *
               sqrt((col("m2") * col("syy") - col("sy") * col("sy")).cast("double")), lit(0.0)), 6)
             .as("assortativity"))
-      val rows = out.localCheckpoint(true)
-      e.unpersist(false)
-      rows
+      out.localCheckpoint(true)
     }
   }
 
