@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[HyperplaneBucket].getName, "hyperplane_bucket"),
       (exprs: Seq[Expression]) => HyperplaneBucket.fromExprs(exprs)))
     ext.injectFunction((
+      new FunctionIdentifier("hll_distinct"),
+      new ExpressionInfo(classOf[HLLDistinct].getName, "hll_distinct"),
+      (exprs: Seq[Expression]) => HLLDistinct.fromExprs(exprs)))
+    ext.injectFunction((
       new FunctionIdentifier("cms_sketch"),
       new ExpressionInfo(classOf[CMSketch].getName, "cms_sketch"),
       (exprs: Seq[Expression]) => CMSketch.fromExprs(exprs)))

@@ -188,8 +188,9 @@ object TextQueries {
     * (functions.KMVDistinct, a TypedImperativeAggregate): one pass,
     * fixed k·8-byte state per group, mergeable — the 100 TB cardinality
     * shape. KMV is a deterministic function of the input SET, so the
-    * oracle reproduces the exact estimate from sorted distinct hashes
-    * (unlike HLL, which would fall out of the exact-compare gate).
+    * oracle reproduces the exact estimate from sorted distinct hashes;
+    * [[sketchDistinctHll]] is the register-based alternative whose
+    * update needs no distinct pass at all.
     */
   val sketchDistinctKmv: QueryDef = {
     def duckHash(salt: String, v: String): String = OracleSql.hash64(salt, v)
@@ -211,6 +212,67 @@ object TextQueries {
         .select(col("lang"), expr(TextOps.portableHash64Sql("'w'", "word")).as("hv"))
         .groupBy(col("lang"))
         .agg(round(expr("kmv_distinct(hv, 64)"), 6).as("est"))
+        .orderBy(col("lang"))
+    }
+  }
+
+  /** Per-language distinct-word cardinality via the native HLL sketch
+    * (functions.HLLDistinct, m = 64 dense byte registers): the
+    * register-file tier beside [[sketchDistinctKmv]]. The update is two
+    * bit-ops + a byte max — duplicate-insensitive, so the word stream
+    * feeds the aggregate with NO distinct pass (KMV's oracle needs
+    * one), and partials merge as an element-wise max of 64-byte
+    * buffers. That is the 100 TB trade: per-group state shrinks from
+    * k·8 B sets to a fixed register file and the shuffle payload is
+    * constant regardless of duplicate rate or group skew.
+    *
+    * In the exact-compare gate despite being HLL: the estimate is
+    * reached through the EXACT integer register sum
+    * S = Σ 2^(55−M_j) (one double division of identical operands on
+    * both engines — see HLLDistinct's scaladoc), and the oracle
+    * replays the registers in SQL: bucket = hv % 64, rho = 55 −
+    * bit_length(hv // 64) via `length(bin(x))` (both engines' bin()
+    * drops leading zeros), max per bucket over a dense 64-row grid.
+    * The linear-counting branch (E ≤ 160 ∧ V > 0 → 64·ln(64/V)) is in
+    * both SQL and the aggregate; its 63 possible outputs all sit far
+    * from 6-decimal rounding boundaries, so round-6 absorbs any libm
+    * ulp (the per-lang sf≥0.01 vocabularies take the raw branch; the
+    * small branch is spec-covered).
+    */
+  val sketchDistinctHll: QueryDef = {
+    def duckHash(salt: String, v: String): String = OracleSql.hash64(salt, v)
+    QueryDef.sql("sketch_distinct_hll",
+      s"""WITH w AS (SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+         |           FROM documents),
+         |h AS (SELECT lang, ${duckHash("'w'", "word")} AS hv FROM w),
+         |r AS (SELECT lang, hv % 64 AS bucket,
+         |        CASE WHEN hv // 64 = 0 THEN 55
+         |             ELSE 55 - length(bin(hv // 64)) END AS rho
+         |      FROM h),
+         |mx AS (SELECT lang, bucket, max(rho) AS mr FROM r GROUP BY 1, 2),
+         |grid AS (SELECT l.lang, g.b AS bucket
+         |         FROM (SELECT DISTINCT lang FROM mx) l, range(0, 64) g(b)),
+         |reg AS (SELECT grid.lang, coalesce(mx.mr, 0) AS mr
+         |        FROM grid LEFT JOIN mx
+         |          ON grid.lang = mx.lang AND grid.bucket = mx.bucket),
+         |sm AS (SELECT lang, sum(CAST(1 AS BIGINT) << (55 - mr)) AS s,
+         |              sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END) AS nv
+         |       FROM reg GROUP BY lang),
+         |est AS (SELECT lang, nv,
+         |          CAST(0.709 AS DOUBLE) * 4096.0 *
+         |            CAST(36028797018963968 AS DOUBLE) / CAST(s AS DOUBLE) AS raw
+         |        FROM sm)
+         |SELECT lang,
+         |  round(CASE WHEN raw <= 160.0 AND nv > 0
+         |        THEN 64.0 * ln(64.0 / nv) ELSE raw END, 6) AS est
+         |FROM est ORDER BY lang""".stripMargin) { (s, dir) =>
+      graft.functions.HLLDistinct.register(s)
+      TextOps.ensureFunctions(s)
+      Tables.documents(s, dir)
+        .select(col("lang"), explode(TextOps.wordsExpr).as("word"))
+        .select(col("lang"), expr(TextOps.portableHash64Sql("'w'", "word")).as("hv"))
+        .groupBy(col("lang"))
+        .agg(round(expr("hll_distinct(hv, 6)"), 6).as("est"))
         .orderBy(col("lang"))
     }
   }
@@ -956,7 +1018,7 @@ object TextQueries {
 
   val all: Seq[QueryDef] = Seq(textTokenCount, textLangId, textQualityScore,
     textFingerprint, textRollingHash, textTopPerLang, textTopNgrams,
-    sketchDistinctKmv, textPiiScrub, textRepetition, textEntropy,
+    sketchDistinctKmv, sketchDistinctHll, textPiiScrub, textRepetition, textEntropy,
     textGopherRules, textTfidfTop, sketchHeavyHitters, textInvertedIndex,
     textBm25, textPmi, textLmScore, textPerplexityBuckets, sketchQuantiles,
     textZipf, sketchSetops, textKlDrift)
