@@ -891,6 +891,114 @@ object EmbedQueries {
     }
   }
 
+  /** IVF+PQ composed ANN (IVFADC — Jégou, Douze, Schmid, "Product
+    * quantization for nearest neighbor search", TPAMI 2011): the coarse
+    * quantizer routes each query to its nprobe=2 nearest label cells
+    * ([[embedKnnIvf]]'s probe stage) and candidates are PQ-scored by
+    * ADC table lookups ([[embedKnnPq]]'s encode/ADC stages) — the
+    * production billion-vector layout, where NEITHER full vectors nor
+    * full scans survive: the corpus is partitioned by cell (cell id =
+    * shuffle/storage key), each partition holds only 4-byte PQ codes,
+    * and a query ships as (probed cell ids + a 128-entry ADC table)
+    * riding a broadcast. Per-candidate cost is M=8 byte lookups + a
+    * decimal sum; per-query scan cost shrinks by cells/nprobe on top
+    * of PQ's 128× memory cut.
+    *
+    * Determinism composes from the two parents: cell ranking sorts
+    * round-6 distances (label tiebreak), encoding argmin sorts round-6
+    * sub-distances (code tiebreak), ADC sums are exact DECIMAL(18,6),
+    * final rank tiebreaks nid — every comparison the two engines make
+    * is over bit-identical values.
+    */
+  val embedKnnIvfPq: QueryDef = {
+    val (m, dsub, kCodes) = (8, 8, 16)
+    val duckDist =
+      """round(sqrt(greatest(list_sum([qv[i] * qv[i] for i in range(1, len(qv) + 1)]) +
+        |    list_sum([carr[i] * carr[i] for i in range(1, len(carr) + 1)]) -
+        |    2 * list_sum([qv[i] * carr[i] for i in range(1, len(qv) + 1)]), 0)), 6)""".stripMargin
+    def duckSqDist(a: String, b: String): String =
+      s"""round(greatest(list_sum([$a[i] * $a[i] for i in range(1, len($a) + 1)]) +
+         |  list_sum([$b[i] * $b[i] for i in range(1, len($b) + 1)]) -
+         |  2 * list_sum([$a[i] * $b[i] for i in range(1, len($a) + 1)]), 0), 6)""".stripMargin
+    QueryDef.sql("embed_knn_ivfpq",
+      s"""WITH $duckVectors,
+         |$duckCentroidCte,
+         |q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
+         |asg AS (SELECT qid, label AS cell,
+         |          CAST(row_number() OVER (PARTITION BY qid ORDER BY $duckDist, label) AS BIGINT) AS cr
+         |        FROM q CROSS JOIN ca),
+         |probe AS (SELECT qid, cell FROM asg WHERE cr <= 2),
+         |cb AS (SELECT vec_id - 10 AS code, s.sub,
+         |         v[s.sub * $dsub + 1 : s.sub * $dsub + $dsub] AS cvec
+         |       FROM v CROSS JOIN range(0, $m) s(sub)
+         |       WHERE vec_id >= 10 AND vec_id < ${10 + kCodes}),
+         |cs AS (SELECT c.nid, s.sub, c.v[s.sub * $dsub + 1 : s.sub * $dsub + $dsub] AS svec
+         |       FROM (SELECT vec_id AS nid, v FROM v WHERE vec_id >= 10) c
+         |       CROSS JOIN range(0, $m) s(sub)),
+         |enc0 AS (SELECT nid, cs.sub, cb.code, ${duckSqDist("svec", "cvec")} AS d
+         |         FROM cs JOIN cb ON cs.sub = cb.sub),
+         |enc AS (SELECT nid, sub, code FROM
+         |          (SELECT nid, sub, code,
+         |             row_number() OVER (PARTITION BY nid, sub ORDER BY d, code) AS rn
+         |           FROM enc0) WHERE rn = 1),
+         |cl AS (SELECT vec_id AS nid, label FROM v WHERE vec_id >= 10),
+         |qs AS (SELECT q.qid, s.sub, q.v[s.sub * $dsub + 1 : s.sub * $dsub + $dsub] AS svec
+         |       FROM (SELECT vec_id AS qid, v FROM v WHERE vec_id < 10) q
+         |       CROSS JOIN range(0, $m) s(sub)),
+         |adc AS (SELECT qid, qs.sub, cb.code,
+         |          CAST(${duckSqDist("svec", "cvec")} AS DECIMAL(18,6)) AS qd
+         |        FROM qs JOIN cb ON qs.sub = cb.sub),
+         |p AS (SELECT probe.qid, enc.nid, sum(adc.qd) AS sd
+         |      FROM enc
+         |      JOIN cl ON enc.nid = cl.nid
+         |      JOIN probe ON cl.label = probe.cell
+         |      JOIN adc ON adc.qid = probe.qid AND adc.sub = enc.sub AND adc.code = enc.code
+         |      GROUP BY 1, 2),
+         |r AS (SELECT qid, nid, CAST(sd AS DOUBLE) AS adist,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sd, nid) AS BIGINT) AS rnk
+         |      FROM p)
+         |SELECT qid, nid, adist, rnk FROM r WHERE rnk <= 3
+         |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = Similarity.vectors(Tables.embeddings(s, dir))
+      val ca = centroidArrays(v)
+      val q = v.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
+      val wc = Window.partitionBy(col("qid")).orderBy(col("__d"), col("label"))
+      val probe = q.crossJoin(broadcast(ca))
+        .withColumn("__d", round(sqrt(greatest(
+          Similarity.dot("qv", "qv") + Similarity.dot("carr", "carr")
+            - lit(2) * Similarity.dot("qv", "carr"), lit(0.0))), 6))
+        .withColumn("cr", row_number().over(wc))
+        .where(col("cr") <= 2)
+        .select(col("qid"), col("label").as("cell"))
+      val cb = pqSubSlices(
+        v.where(col("vec_id") >= 10 && col("vec_id") < 10 + kCodes), "cbid", m, dsub)
+        .select((col("cbid") - 10).as("code"), col("sub"), col("svec").as("cvec"))
+      val enc = pqSubSlices(v.where(col("vec_id") >= 10), "nid", m, dsub)
+        .join(broadcast(cb), "sub")
+        .withColumn("d", pqSqDist("svec", "cvec"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("nid"), col("sub")).orderBy(col("d"), col("code"))))
+        .where(col("rn") === 1)
+        .select(col("nid"), col("sub"), col("code"))
+      val cl = v.where(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("label"))
+      val adc = pqSubSlices(v.where(col("vec_id") < 10), "qid", m, dsub)
+        .join(broadcast(cb), "sub")
+        .select(col("qid"), col("sub"), col("code"),
+          pqSqDist("svec", "cvec").cast("decimal(18,6)").as("qd"))
+      enc.join(cl, "nid")
+        .join(broadcast(probe), col("label") === col("cell"))
+        .join(broadcast(adc), Seq("qid", "sub", "code"))
+        .groupBy(col("qid"), col("nid")).agg(sum(col("qd")).as("sd"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("sd"), col("nid"))).cast("long"))
+        .where(col("rnk") <= 3)
+        .select(col("qid"), col("nid"), col("sd").cast("double").as("adist"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }
+  }
+
   /** Feature extraction over the media table (stub "model", real
     * per-partition batch plumbing — ops.Multimodal.featureExtract):
     * each media item → an 8-bin descriptor, emitted long-form
@@ -1385,7 +1493,7 @@ object EmbedQueries {
     multimodalMeta, multimodalFramesample, multimodalResize, embedNorms,
     embedKnnIvf, dedupEmbedCosine, dedupSemantic, embedQuantize, embedLshRecall,
     embedHyperplaneRecall, embedBandedRecall, embedKnnPq,
-    embedMultiprobeRecall, embedPqRecall, multimodalFeatures, embedHardNegatives,
+    embedMultiprobeRecall, embedPqRecall, embedKnnIvfPq, multimodalFeatures, embedHardNegatives,
     embedRandomProjection, embedKmeans, embedPca, embedOutliers,
     embedMatryoshkaRecall, multimodalPhashDedup, embedDedupSweep)
 }

@@ -72,6 +72,9 @@ class PlanSpec extends SparkSpec {
     val intentional = Set("embed_knn_brute", "embed_knn_ivf", "embed_lsh_recall",
       "embed_hyperplane_recall", "embed_banded_recall", "embed_multiprobe_recall",
       "embed_pq_recall", "embed_hard_negatives",
+      // 10-query block × 5-centroid cell assignment (the coarse-quantizer
+      // probe stage, same shape as embed_knn_ivf's)
+      "embed_knn_ivfpq",
       // one-row corpus-size scalar broadcast into every tf row
       "text_tfidf_top",
       // one-row sketch buffer broadcast into the 20 probe rows
@@ -372,6 +375,27 @@ class PlanSpec extends SparkSpec {
     assert("hashpartitioning\\(shard".r.findAllIn(p).size === 1,
       s"expected exactly one shard exchange in:\n$p")
     assert(p.contains("Window"), s"no shard-local rank window in:\n$p")
+  }
+
+  test("hll sketch partial-aggregates map-side (shuffle carries 64-byte registers, not words)") {
+    val p = plan(graft.queries.TextQueries.sketchDistinctHll)
+    assert(p.contains("partial_hll_distinct"), s"no map-side register combine in:\n$p")
+    // no pre-distinct pass: the word stream feeds the aggregate directly,
+    // so the ONLY exchange is the lang-keyed buffer shuffle
+    assert("Exchange hashpartitioning".r.findAllIn(p).size === 1,
+      s"expected exactly one exchange in:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("doc_id"))
+  }
+
+  test("embed_knn_ivfpq: PQ candidates stay equi-join; probe/ADC/codebook ride broadcasts") {
+    val p = plan(graft.queries.EmbedQueries.embedKnnIvfPq)
+    // the ONLY nested-loop is the 10-query × 5-centroid probe assignment;
+    // encode + cell-restrict + ADC lookups are all hash joins
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size === 1,
+      s"expected exactly the probe cross join in:\n$p")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      s"expected codebook/probe/ADC broadcast joins in:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
   }
 
   test("graph_reciprocity broadcasts both dims and the reverse-edge side") {
