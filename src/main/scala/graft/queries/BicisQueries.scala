@@ -757,6 +757,62 @@ object BicisQueries {
       .orderBy(col("digest"))
   }
 
+  /** Watermarked event-time TUMBLING AGGREGATION through the oracle gate
+    * — the fifth stateful operator class (after flatMapGroupsWithState,
+    * merging session windows, the stream-stream join and
+    * dropDuplicatesWithinWatermark): the canonical Structured Streaming
+    * shape, `withWatermark → groupBy(window(ts)) → count` in APPEND mode
+    * (Streaming.tumblingCounts), where a window's count lives in the
+    * state store until the watermark passes its end and is emitted
+    * exactly once. Hash-checked against the SAME DuckDB oracle as the
+    * batch `tumbling_hour` — streamed hourly counts must equal the batch
+    * group-by bit-for-bit, including windows whose events are split
+    * across micro-batches (the cross-batch partial-merge path).
+    *
+    * Same watermark-sentinel discipline as sessionize: append mode
+    * never emits the tail windows on its own (the watermark cannot
+    * outrun the last event), so a reserved far-future row advances it
+    * past every real window end and a second batch runs the eviction
+    * pass. Sentinel windows are dropped by the ws cutoff; a production
+    * deployment needs neither because its stream outlives any window.
+    */
+  val streamingTumblingReplay: QueryDef = QueryDef.sql("streaming_tumbling_replay",
+    """SELECT date_trunc('hour', ts) AS ws, count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY ws""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.streaming.Streaming
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val events = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .as[Streaming.Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val maxMs = events.map(_.ts.getTime).max
+    def sentinel(id: Long, offsetMs: Long) = Streaming.Ev(
+      id, -1L, new java.sql.Timestamp(maxMs + offsetMs), "sentinel")
+    // every real window starts at or before the max event's hour floor
+    val lastRealWs = new java.sql.Timestamp(maxMs - maxMs % 3600000L)
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Ev]
+    val sink = s"tumb_replay_${replaySeq.incrementAndGet()}"
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val query =
+      try Streaming.tumblingCounts(ms.toDS().toDF(), "ts", "1 hour", "0 seconds")
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    try {
+      val chunks = events.grouped(math.max(events.length / 2, 1)).toSeq
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        val batch = if (i == chunks.size - 1) c.toSeq :+ sentinel(-1L, 86400000L)
+                    else c.toSeq
+        ms.addData(batch); query.processAllAvailable()
+      }
+      ms.addData(Seq(sentinel(-2L, 172800000L))); query.processAllAvailable()
+    } finally query.stop()
+    s.table(sink)
+      .where(col("ws") <= lit(lastRealWs))
+      .select(col("ws"), col("n"))
+      .orderBy(col("ws"))
+  }
+
   /** Lead-lag cross-correlation between the click and purchase hourly
     * series: Pearson corr of (clicks in hour h, purchases in hour h+L)
     * for L ∈ 0..3, over the DENSE hour spine (zero-filled — skipping
@@ -958,5 +1014,5 @@ object BicisQueries {
     qConversionFunnel, qRetentionCohort, seriesEwma, qScd2History,
     seriesAnomaly, qIntervalCoverage, seriesSeasonality, streamingA5Replay,
     streamingSessionizeReplay, streamingIntervalJoinReplay,
-    streamingDedupReplay, seriesCrossCorr, seriesCusum)
+    streamingDedupReplay, streamingTumblingReplay, seriesCrossCorr, seriesCusum)
 }
