@@ -446,6 +446,53 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  private final case class DDoc(doc_id: Long, text: String)
+  private val decontReplaySeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** STREAM-STATIC broadcast join through the oracle gate — the sixth
+    * streaming operator class beside the five stateful replays: each
+    * arriving corpus document is checked against the STATIC benchmark
+    * shingle-hash table in-flight (Streaming.streamingDecontaminate),
+    * hash-checked against the SAME DuckDB oracle as the batch
+    * `dedup_decontaminate`. Stateless by construction — the benchmark
+    * set rides a one-row broadcast array and contamination is a pure
+    * projection (`array_intersect` over the doc's distinct shingle
+    * hashes = the batch side's distinct-overlap join count) — so the
+    * query runs append-mode with no watermark, no state store and no
+    * shuffle: the at-ingest shape for keeping eval suites out of a
+    * training corpus without a second full-corpus pass.
+    */
+  val streamingDecontaminateReplay: QueryDef = QueryDef.sql("streaming_decontaminate_replay",
+    s"""WITH $hashCte,
+       |bm AS (SELECT DISTINCT unnest(hs) AS h FROM hs WHERE doc_id % 97 = 0),
+       |tok AS (SELECT doc_id, unnest(hs) AS h FROM hs WHERE doc_id % 97 <> 0)
+       |SELECT doc_id, count(*) AS n_hits
+       |FROM tok JOIN bm USING (h)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    TextOps.ensureFunctions(s)
+    val corpus = Tables.documents(s, dir).where(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), col("text"))
+      .as[DDoc].collect().sortBy(_.doc_id)
+    // static side: the shared signature memo, restricted to the benchmark
+    // slice (oracle runs use the portable hash; the operator itself is
+    // hash-agnostic like the rest of the dedup family)
+    val bm = docHashes(s, dir).where(col("doc_id") % 97 === 0)
+      .select(explode(col("hs")).as("h")).distinct()
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DDoc]
+    val sink = s"decont_replay_${decontReplaySeq.incrementAndGet()}"
+    val query = graft.streaming.Streaming
+      .streamingDecontaminate(ms.toDS().toDF(), bm)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try {
+      corpus.grouped(math.max(corpus.length / 2, 1)).foreach { c =>
+        ms.addData(c.toSeq); query.processAllAvailable()
+      }
+    } finally query.stop()
+    s.table(sink).select(col("doc_id"), col("n_hits")).orderBy(col("doc_id"))
+  }
+
   /** Incremental dedup — the shape a 100 TB pipeline actually runs
     * daily: a NEW batch (here doc_id % 5 = 0, standing in for today's
     * crawl) deduped against the ACCEPTED corpus (the rest) plus earlier
@@ -950,7 +997,7 @@ object DedupQueries {
 
   val all: Seq[QueryDef] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhash, dedupClusters, dedupSurvivors, dedupBestSurvivor,
-    dedupDecontaminate, dedupIncremental, dedupSubstring, dedupLines,
+    dedupDecontaminate, streamingDecontaminateReplay, dedupIncremental, dedupSubstring, dedupLines,
     dedupSortedNeighborhood, dedupContainment, dedupLshRecall,
     dedupClusterStats, mlClusterSplit, mlDedupRateBySource)
 }
