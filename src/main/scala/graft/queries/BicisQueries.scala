@@ -813,6 +813,70 @@ object BicisQueries {
       .orderBy(col("ws"))
   }
 
+  private final case class HvEv(ts: java.sql.Timestamp, hv: Long)
+
+  /** Native SKETCH AGGREGATES inside the streaming state store, through
+    * the oracle gate: per watermarked hourly window, the KMV distinct-
+    * user estimate (Streaming.streamingTokenSketch — the monitoring-
+    * dashboard shape, whose per-window state is a CONSTANT 32 KB CMS +
+    * k·8 B KMV regardless of row volume; each micro-batch's partial
+    * merges into the window's entry exactly as map-side partials merge
+    * in batch). KMV is a pure function of the window's row SET, so the
+    * DuckDB oracle replays each window's estimate from sorted distinct
+    * hashes — proving the TypedImperativeAggregate's serialize /
+    * deserialize / merge cycle through the state store is lossless, not
+    * just batch-consistent (StreamingSpec pins the CMS counters and
+    * quantile sample the same way, engine-to-engine). Append-mode
+    * eviction + watermark sentinel as in the other windowed replays.
+    */
+  val streamingSketchReplay: QueryDef = {
+    val duckHash = OracleSql.hash64("'u'", "CAST(user_id AS VARCHAR)")
+    QueryDef.sql("streaming_sketch_replay",
+      s"""WITH b AS (SELECT date_trunc('hour', ts) AS ws, $duckHash AS hv FROM events),
+         |d AS (SELECT DISTINCT ws, hv FROM b),
+         |r AS (SELECT ws, hv, row_number() OVER (PARTITION BY ws ORDER BY hv) AS rn,
+         |             count(*) OVER (PARTITION BY ws) AS nd FROM d)
+         |SELECT ws,
+         |  round(CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+         |        ELSE 63.0 * 1152921504606846976.0 / CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE)
+         |        END, 6) AS est
+         |FROM r GROUP BY ws ORDER BY ws""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      graft.ops.TextOps.ensureFunctions(s)
+      val rows = Tables.events(s, dir)
+        .select(col("ts"),
+          expr(graft.ops.TextOps.portableHash64Sql("'u'", "CAST(user_id AS STRING)")).as("hv"))
+        .as[HvEv].collect().sortBy(e => (e.ts.getTime, e.hv))
+      val maxMs = rows.map(_.ts.getTime).max
+      val lastRealWs = new java.sql.Timestamp(maxMs - maxMs % 3600000L)
+      def sentinel(offsetMs: Long) =
+        HvEv(new java.sql.Timestamp(maxMs + offsetMs), -1L)
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[HvEv]
+      val sink = s"sketch_replay_${replaySeq.incrementAndGet()}"
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val query =
+        try graft.streaming.Streaming
+          .streamingTokenSketch(ms.toDS().toDF(), "ts", "hv", "1 hour", "0 seconds")
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      try {
+        val chunks = rows.grouped(math.max(rows.length / 2, 1)).toSeq
+        chunks.zipWithIndex.foreach { case (c, i) =>
+          val batch = if (i == chunks.size - 1) c.toSeq :+ sentinel(86400000L)
+                      else c.toSeq
+          ms.addData(batch); query.processAllAvailable()
+        }
+        ms.addData(Seq(sentinel(172800000L))); query.processAllAvailable()
+      } finally query.stop()
+      s.table(sink)
+        .where(col("ws") <= lit(lastRealWs))
+        .select(col("ws"), round(col("kmv"), 6).as("est"))
+        .orderBy(col("ws"))
+    }
+  }
+
   /** Lead-lag cross-correlation between the click and purchase hourly
     * series: Pearson corr of (clicks in hour h, purchases in hour h+L)
     * for L ∈ 0..3, over the DENSE hour spine (zero-filled — skipping
@@ -1014,5 +1078,6 @@ object BicisQueries {
     qConversionFunnel, qRetentionCohort, seriesEwma, qScd2History,
     seriesAnomaly, qIntervalCoverage, seriesSeasonality, streamingA5Replay,
     streamingSessionizeReplay, streamingIntervalJoinReplay,
-    streamingDedupReplay, streamingTumblingReplay, seriesCrossCorr, seriesCusum)
+    streamingDedupReplay, streamingTumblingReplay, streamingSketchReplay,
+    seriesCrossCorr, seriesCusum)
 }
