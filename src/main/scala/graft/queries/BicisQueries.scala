@@ -813,7 +813,9 @@ object BicisQueries {
       .orderBy(col("ws"))
   }
 
-  private final case class HvEv(ts: java.sql.Timestamp, hv: Long)
+  // NOT private: janino cannot compile generated projections over a
+  // private nested class (interpreted-path fallback + logged ERROR).
+  final case class HvEv(ts: java.sql.Timestamp, hv: Long)
 
   /** Native SKETCH AGGREGATES inside the streaming state store, through
     * the oracle gate: per watermarked hourly window, the KMV distinct-
