@@ -1071,6 +1071,83 @@ object BicisQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Autocorrelation function of the daily event-count series at lags
+    * 1..7: Pearson corr of (count on day d, count on day d+L) over the
+    * DENSE day spine (zero-filled, same conditioning argument as
+    * `series_cross_corr`). The lag-7 peak is the weekly-rhythm
+    * signature; a slow monotone decay instead flags trend
+    * non-stationarity (difference before modeling). Complements
+    * `series_cross_corr` (coupling BETWEEN two series) and
+    * `series_seasonality` (variance decomposition by hour) with the
+    * series' own temporal memory.
+    *
+    * Determinism: same discipline as series_cross_corr — daily counts
+    * are integers, so for each lag all five moment sums are exact
+    * BIGINTs in both engines; one double division per lag, round-6.
+    *
+    * Shape at 100 TB: ONE event-sized exchange (the per-day count);
+    * the spine and lag pairing are days-sized broadcasts, the moments
+    * a 7-group aggregate. Identical execution class to cross_corr.
+    */
+  val seriesAcf: QueryDef = QueryDef.sql("series_acf",
+    """WITH c AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |b AS (SELECT min(d) AS d0, max(d) AS d1 FROM c),
+      |sp AS (SELECT unnest(range(d0, d1 + 1)) AS d FROM b),
+      |s AS (SELECT sp.d, coalesce(c.n, 0) AS n FROM sp LEFT JOIN c ON c.d = sp.d),
+      |p AS (SELECT l.lag, a.n AS x, b2.n AS y
+      |      FROM range(1, 8) l(lag)
+      |      CROSS JOIN s a JOIN s b2 ON b2.d = a.d + l.lag),
+      |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |        CAST(sum(x * y) AS BIGINT) AS sxy,
+      |        CAST(sum(x * x) AS BIGINT) AS sxx,
+      |        CAST(sum(y * y) AS BIGINT) AS syy
+      |      FROM p GROUP BY lag)
+      |SELECT CAST(lag AS BIGINT) AS lag, n,
+      |  round((n * sxy - sx * sy) /
+      |        nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |               sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0), 6) AS acf
+      |FROM m ORDER BY lag""".stripMargin) { (s, dir) =>
+    val c = Tables.events(s, dir)
+      .groupBy(floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val spine = c.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("d"))
+    val series = spine.join(c, Seq("d"), "left")
+      .select(col("d"), coalesce(col("n"), lit(0L)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = acfOf(s, series, 7).localCheckpoint(true)
+    series.unpersist(false)
+    rows
+  }
+
+  /** The ACF core over a DENSE integer series (d, n): per-lag Pearson
+    * from exact BIGINT moments, lags 1..maxLag, round-6. Factored for
+    * AnalyticsSpec's planted-rhythm pins; see [[seriesAcf]].
+    */
+  private[graft] def acfOf(s: org.apache.spark.sql.SparkSession,
+                           series: org.apache.spark.sql.DataFrame,
+                           maxLag: Int): org.apache.spark.sql.DataFrame = {
+    val lags = s.range(1, maxLag + 1).select(col("id").as("lag"))
+    val paired = lags.crossJoin(series.select(col("d").as("ad"), col("n").as("x")))
+      .join(series.select(col("d").as("bd"), col("n").as("y")),
+        col("bd") === col("ad") + col("lag"))
+    paired.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lag"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          nullif(sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double")), lit(0.0)), 6)
+          .as("acf"))
+      .orderBy(col("lag"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     seriesWeekday, seriesHour, seriesMonth, seriesWeekdayReturns,
     seriesMonthReturns, seriesJoin, stationHourPivot,
@@ -1081,5 +1158,5 @@ object BicisQueries {
     seriesAnomaly, qIntervalCoverage, seriesSeasonality, streamingA5Replay,
     streamingSessionizeReplay, streamingIntervalJoinReplay,
     streamingDedupReplay, streamingTumblingReplay, streamingSketchReplay,
-    seriesCrossCorr, seriesCusum)
+    seriesCrossCorr, seriesCusum, seriesAcf)
 }

@@ -1107,11 +1107,12 @@ object GraphQueries {
     rows
   }
 
-  /** (result, cached edge list) — split out so PlanSpec can assert on
-    * the pre-checkpoint plan (localCheckpoint erases it to an RDD scan).
+  /** (above-mean directed nation-trade edges, cached weighted edge
+    * list) — the shared construction behind [[graphReciprocity]] and
+    * [[graphScc]]. Caller must unpersist the second frame when done.
     */
-  private[graft] def reciprocityFrames(s: org.apache.spark.sql.SparkSession,
-                                       dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+  private[graft] def nationEdgeFrames(s: org.apache.spark.sql.SparkSession,
+                                      dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
     val e0 = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
       .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
         col("l_orderkey") === col("o_orderkey"))
@@ -1127,6 +1128,27 @@ object GraphQueries {
     val mean = e0.agg((sum(col("w")) * lit(1.0) / count(lit(1))).as("mw"))
     val e = e0.crossJoin(broadcast(mean)).where(col("w") > col("mw"))
       .select(col("src"), col("dst"), col("w"))
+    (e, e0)
+  }
+
+  /** The shared nation-graph oracle CTE prefix (e0 → above-mean e). */
+  private val nationEdgeCtes: String =
+    """e0 AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+      |         CAST(count(*) AS BIGINT) AS w
+      |       FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |       JOIN customer c ON o.o_custkey = c.c_custkey
+      |       JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |       WHERE c.c_nationkey <> s.s_nationkey
+      |       GROUP BY 1, 2),
+      |e AS (SELECT src, dst, w FROM e0
+      |      WHERE w > (SELECT sum(w) * 1.0 / count(*) FROM e0))""".stripMargin
+
+  /** (result, cached edge list) — split out so PlanSpec can assert on
+    * the pre-checkpoint plan (localCheckpoint erases it to an RDD scan).
+    */
+  private[graft] def reciprocityFrames(s: org.apache.spark.sql.SparkSession,
+                                       dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val (e, e0) = nationEdgeFrames(s, dir)
     val j = e.as("a").join(broadcast(e.select(col("src").as("bsrc"),
         col("dst").as("bdst"), col("w").as("wr"))),
       col("bsrc") === col("a.dst") && col("bdst") === col("a.src"), "left")
@@ -1138,8 +1160,164 @@ object GraphQueries {
     (out, e0)
   }
 
+  /** HITS hubs & authorities (Kleinberg 1999; fixed 4 rounds) over the
+    * DIRECTED bipartite customer→supplier trade graph: customers are
+    * pure hubs (out-links only), suppliers pure authorities —
+    * a(s) = Σ_{c→s} h(c), then h(c) = Σ_{c→s} a(s), the mutual
+    * recursion PageRank's single score can't express (a customer is
+    * important for POINTING at important suppliers, not for being
+    * pointed at). No per-round normalization: the iteration is linear,
+    * so normalizing once at the end yields the same direction with
+    * fewer float ops, and 4 rounds of integer-weighted sums stay ~1e23
+    * — far inside double range. Emitted per vertex as score relative
+    * to uniform (score·V_side/Σ_side), the pagerank `pr_rel`
+    * convention.
+    *
+    * Determinism: each round's per-vertex sum is order-dependent
+    * double arithmetic; 8 summation layers compound to ~1e-10
+    * relative, so round-3 emission keeps the boundary-straddle
+    * exposure ≈ 4k vertices × 1e-10/1e-3 ≈ 4e-7 (the pagerank
+    * analysis, one layer deeper).
+    *
+    * Shape at 100 TB: identical to pagerank's — the memoized DISTINCT
+    * pair table is the only fact-sized input; each round joins the
+    * vertex-sized score vector (broadcast here; at crawl scale, a
+    * pinned src-partitioned edge cache) against the static edge table
+    * and aggregates. Rounds move score rows, never edges.
+    */
+  val graphHits: QueryDef = {
+    val iters = 4
+    val recur = (1 to iters).map { i =>
+      s"""a$i AS (SELECT e0.s AS node, sum(h.h) AS a FROM e0 JOIN h${i - 1} h ON h.node = e0.c GROUP BY e0.s),
+         |h$i AS (SELECT e0.c AS node, sum(a.a) AS h FROM e0 JOIN a$i a ON a.node = e0.s GROUP BY e0.c)""".stripMargin
+    }.mkString(",\n")
+    QueryDef.sql("graph_hits",
+      s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+         |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |h0 AS (SELECT c AS node, 1.0e0 AS h FROM (SELECT DISTINCT c FROM e0)),
+         |$recur,
+         |sa AS (SELECT sum(a) AS t, CAST(count(*) AS BIGINT) AS k FROM a$iters),
+         |sh AS (SELECT sum(h) AS t, CAST(count(*) AS BIGINT) AS k FROM h$iters)
+         |SELECT kind, key, score FROM (
+         |  SELECT 's' AS kind, node // 2 AS key,
+         |    round((a * (SELECT k FROM sa)) / (SELECT t FROM sa), 3) AS score FROM a$iters
+         |  UNION ALL
+         |  SELECT 'c' AS kind, node // 2 AS key,
+         |    round((h * (SELECT k FROM sh)) / (SELECT t FROM sh), 3) AS score FROM h$iters)
+         |ORDER BY kind, key""".stripMargin) { (s, dir) =>
+      val (a, h) = hitsScores(packedTradePairs(s, dir), iters)
+      val sa = a.agg(sum(col("a")).as("t"), count(lit(1)).as("k"))
+      val sh = h.agg(sum(col("h")).as("t"), count(lit(1)).as("k"))
+      val aOut = a.crossJoin(broadcast(sa)).select(lit("s").as("kind"),
+        expr("node div 2").as("key"),
+        round((col("a") * col("k")) / col("t"), 3).as("score"))
+      val hOut = h.crossJoin(broadcast(sh)).select(lit("c").as("kind"),
+        expr("node div 2").as("key"),
+        round((col("h") * col("k")) / col("t"), 3).as("score"))
+      aOut.unionAll(hOut).orderBy(col("kind"), col("key"))
+    }
+  }
+
+  /** The HITS iteration core over DISTINCT directed hub→authority
+    * pairs (c, s): `iters` rounds of a = Aᵀh then h = A·a from h₀ ≡ 1,
+    * UN-normalized (see [[graphHits]]). Returns (authorities (node, a),
+    * hubs (node, h)). Factored for GraphSpec's planted-geometry pins.
+    */
+  private[graft] def hitsScores(pairs: org.apache.spark.sql.DataFrame,
+                                iters: Int): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    var h = pairs.select(col("c").as("node")).distinct()
+      .select(col("node"), lit(1.0).as("h"))
+    var a: org.apache.spark.sql.DataFrame = null
+    for (_ <- 1 to iters) {
+      a = pairs.join(broadcast(h), col("node") === col("c"))
+        .groupBy(col("s")).agg(sum(col("h")).as("a"))
+        .select(col("s").as("node"), col("a"))
+        .localCheckpoint(eager = true)
+      h = pairs.join(broadcast(a), col("node") === col("s"))
+        .groupBy(col("c")).agg(sum(col("a")).as("h"))
+        .select(col("c").as("node"), col("h"))
+        .localCheckpoint(eager = true)
+    }
+    (a, h)
+  }
+
+  /** Strongly connected components of the above-mean nation-trade
+    * digraph via bounded-horizon transitive closure: 3 path-doubling
+    * rounds (R ← R ∪ R∘R, reach radius 8 ≥ any 25-node trade cycle),
+    * mutual pairs M = R ∩ Rᵀ, scc_id(v) = min(v, min{u : v⇄u}).
+    * Reciprocated above-mean trade (graph_reciprocity counts it at
+    * ~28%) chains into multi-nation cycles; the SCC rollup names them.
+    *
+    * Determinism: pure set algebra on integer pairs — no floats
+    * anywhere; the doubling horizon is part of the operator's
+    * definition and the oracle unrolls the identical 3 rounds, so
+    * parity holds even if a >8-hop cycle ever appeared.
+    *
+    * Shape at 100 TB: path-doubling is O(log d) rounds of equi-join +
+    * distinct — but the closure PAIR TABLE is what you must bound, so
+    * this operator is for QUOTIENT digraphs (nation-, source-,
+    * domain-level rollups, 1e3-1e6 nodes), the graphs metadata
+    * pipelines actually query. At raw-crawl scale you run FW-BW
+    * decomposition and contract; the contracted quotient then feeds
+    * exactly this closure. Every round is an equi-join on 8-byte keys
+    * with map-side-combined distinct.
+    */
+  val graphScc: QueryDef = {
+    val doublings = 3
+    val closure = (1 to doublings).map { i =>
+      s"""r$i AS (SELECT src, dst FROM r${i - 1}
+         |  UNION SELECT a.src, b.dst FROM r${i - 1} a JOIN r${i - 1} b ON a.dst = b.src)""".stripMargin
+    }.mkString(",\n")
+    QueryDef.sql("graph_scc",
+      s"""WITH $nationEdgeCtes,
+         |r0 AS (SELECT DISTINCT src, dst FROM e),
+         |$closure,
+         |m AS (SELECT a.src AS v, a.dst AS u
+         |      FROM r$doublings a JOIN r$doublings b ON b.src = a.dst AND b.dst = a.src),
+         |nodes AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+         |scc AS (SELECT n.v, least(n.v, coalesce(min(m.u), n.v)) AS scc_id
+         |        FROM nodes n LEFT JOIN m ON m.v = n.v GROUP BY n.v),
+         |sz AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS scc_size FROM scc GROUP BY 1)
+         |SELECT v AS nationkey, scc_id, scc_size
+         |FROM scc JOIN sz USING (scc_id) ORDER BY v""".stripMargin) { (s, dir) =>
+      val (e, e0) = nationEdgeFrames(s, dir)
+      val rows = sccComponents(e.select(col("src"), col("dst")), doublings)
+        .select(col("v").as("nationkey"), col("scc_id"), col("scc_size"))
+        .orderBy(col("nationkey")).localCheckpoint(eager = true)
+      e0.unpersist(false)
+      rows
+    }
+  }
+
+  /** The SCC core over a directed edge frame (src, dst): bounded-
+    * horizon closure (`doublings` path-doubling rounds, reach radius
+    * 2^doublings) → mutual-pair intersect → min-label scc_id. Returns
+    * (v, scc_id, scc_size) for every endpoint vertex. Factored for
+    * GraphSpec's known-digraph pins; see [[graphScc]] for semantics.
+    */
+  private[graft] def sccComponents(e: org.apache.spark.sql.DataFrame,
+                                   doublings: Int): org.apache.spark.sql.DataFrame = {
+    var r = e.distinct().localCheckpoint(eager = true)
+    for (_ <- 1 to doublings) {
+      val l = r.select(col("src"), col("dst").as("mid"))
+      val rr = r.select(col("src").as("mid2"), col("dst"))
+      r = r.unionAll(
+          l.join(rr, col("mid") === col("mid2")).select(col("src"), col("dst")))
+        .distinct().localCheckpoint(eager = true)
+    }
+    val rev = r.select(col("src").as("rs"), col("dst").as("rd"))
+    val m = r.join(rev, col("src") === col("rd") && col("dst") === col("rs"))
+      .select(col("src").as("v"), col("dst").as("u"))
+    val nodes = e.select(col("src").as("v")).unionAll(e.select(col("dst").as("v"))).distinct()
+    val scc = nodes.join(m, Seq("v"), "left")
+      .groupBy(col("v")).agg(min(col("u")).as("mu"))
+      .select(col("v"), least(col("v"), coalesce(col("mu"), col("v"))).as("scc_id"))
+    val sz = scc.groupBy(col("scc_id")).agg(count(lit(1)).as("scc_size"))
+    scc.join(sz, "scc_id").select(col("v"), col("scc_id"), col("scc_size"))
+  }
+
   val all: Seq[QueryDef] = Seq(graphPagerank, graphTriangles, graphComponents,
     graphDegreeStats, graphLabelProp, graphJaccard, graphKcore, graphBfs,
     graphPpr, graphRandomWalk, graphModularity, graphClusteringCoeff,
-    graphAssortativity, graphReciprocity)
+    graphAssortativity, graphReciprocity, graphHits, graphScc)
 }

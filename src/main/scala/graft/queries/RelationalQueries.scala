@@ -810,10 +810,145 @@ object RelationalQueries {
       .orderBy(col("bin"))
   }
 
+  /** Join-key skew census over the four hot fact keys — the pre-join
+    * diagnosis a 100 TB planner runs BEFORE choosing salting factors,
+    * AQE skew thresholds, or bucketing layouts (the q_salted_count /
+    * Skew.saltedAgg knobs in this repo). Per key: row and distinct-key
+    * counts, the share held by the heaviest key and the heaviest 10,
+    * the top-1/mean ratio (the salting multiplier lower bound), and
+    * normalized Shannon entropy H/ln(k) (1 = uniform, → 0 = one key
+    * dominates).
+    *
+    * Determinism: every count is an exact BIGINT; the top-10 mass is
+    * order-free even under count ties (tied keys contribute equal
+    * counts). The single float accumulation is Σ cnt·ln cnt, whose
+    * partition-order drift (~1e-9 absolute on an O(1e6) sum) is ~1e-14
+    * after the /n normalization — round-6 safe (the text_kl_drift
+    * argument). Shares are single divisions of exact ints.
+    *
+    * Shape at 100 TB: per key ONE count aggregate (map-side combined,
+    * the shuffle carries one row per distinct key), then keys-sized
+    * scalar rollups; the top-10 is TakeOrderedAndProject (a per-
+    * partition heap + driver merge of 10-row heads), never a global
+    * sort. Nothing after the first rollup is fact-sized.
+    */
+  val qSkewAudit: QueryDef = {
+    val keys = Seq( // (label, table, column) — ordered by label for the output sort
+      ("events.user_id", "events", "user_id"),
+      ("lineitem.l_partkey", "lineitem", "l_partkey"),
+      ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+      ("orders.o_custkey", "orders", "o_custkey"))
+    val blocks = keys.map { case (label, tbl, c) =>
+      s"""SELECT '$label' AS tbl_key, n_rows, n_keys,
+         |  round(CAST(top1 AS DOUBLE) / n_rows, 6) AS top1_share,
+         |  round(CAST(s10 AS DOUBLE) / n_rows, 6) AS top10_share,
+         |  round(CAST(top1 * n_keys AS DOUBLE) / n_rows, 6) AS skew_ratio,
+         |  round((ln(CAST(n_rows AS DOUBLE)) - sl / n_rows) / ln(CAST(n_keys AS DOUBLE)), 6) AS h_norm
+         |FROM (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys,
+         |        CAST(max(cnt) AS BIGINT) AS top1, sum(cnt * ln(cnt)) AS sl
+         |      FROM (SELECT $c AS k, count(*) AS cnt FROM $tbl GROUP BY 1))
+         |CROSS JOIN (SELECT CAST(sum(cnt) AS BIGINT) AS s10
+         |      FROM (SELECT cnt FROM (SELECT $c AS k, count(*) AS cnt FROM $tbl GROUP BY 1)
+         |            ORDER BY cnt DESC, k LIMIT 10))""".stripMargin
+    }
+    QueryDef.sql("q_skew_audit",
+      blocks.mkString("", "\nUNION ALL\n", "\nORDER BY tbl_key")) { (s, dir) =>
+      val (out, cached) = skewAuditFrames(s, dir)
+      val rows = out.localCheckpoint(true)
+      cached.foreach(_.unpersist(false))
+      rows
+    }
+  }
+
+  /** (result, cached per-key rollups) — split out so PlanSpec can assert
+    * on the pre-checkpoint plan (localCheckpoint erases it to an RDD scan).
+    */
+  private[graft] def skewAuditFrames(s: org.apache.spark.sql.SparkSession,
+                                     dir: String): (org.apache.spark.sql.DataFrame, Seq[org.apache.spark.sql.DataFrame]) = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    def audit(df: org.apache.spark.sql.DataFrame, key: String, label: String) = {
+      val c = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("cnt")).persist(mem)
+      val stats = c.agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("top1"), sum(col("cnt") * log(col("cnt"))).as("sl"))
+      val t10 = c.orderBy(col("cnt").desc, col("k")).limit(10)
+        .agg(sum(col("cnt")).as("s10"))
+      val out = stats.crossJoin(t10).select(lit(label).as("tbl_key"),
+        col("n_rows"), col("n_keys"),
+        round(col("top1").cast("double") / col("n_rows"), 6).as("top1_share"),
+        round(col("s10").cast("double") / col("n_rows"), 6).as("top10_share"),
+        round((col("top1") * col("n_keys")).cast("double") / col("n_rows"), 6).as("skew_ratio"),
+        round((log(col("n_rows").cast("double")) - col("sl") / col("n_rows")) /
+          log(col("n_keys").cast("double")), 6).as("h_norm"))
+      (out, c)
+    }
+    val (a1, c1) = audit(Tables.events(s, dir), "user_id", "events.user_id")
+    val (a2, c2) = audit(Tables.lineitem(s, dir), "l_partkey", "lineitem.l_partkey")
+    val (a3, c3) = audit(Tables.lineitem(s, dir), "l_suppkey", "lineitem.l_suppkey")
+    val (a4, c4) = audit(Tables.orders(s, dir), "o_custkey", "orders.o_custkey")
+    (a1.unionAll(a2).unionAll(a3).unionAll(a4).orderBy(col("tbl_key")),
+      Seq(c1, c2, c3, c4))
+  }
+
+  /** Incremental view maintenance (mergeable partial aggregates): the
+    * orders pricing rollup is computed as per-priority ALGEBRAIC STATES
+    * (n, Σ, Σ², min, max) over two disjoint date slices — the
+    * "materialized history" and the "daily delta" — then combined with
+    * the state-merge operator (sums add, extrema least/greatest) and
+    * only THEN finalized into avg/stddev. The oracle computes the same
+    * rollup in one direct pass, so the green hash is a machine-checked
+    * proof of the merge law state(A ∪ B) = merge(state(A), state(B)) —
+    * exactly because the money sums run in DECIMAL (associative and
+    * exact; float sums would break the law at the 1e-16 level and flake
+    * the hash). This is the pattern that lets a 100 TB nightly rollup
+    * touch ONLY the new partition: per-slice states are partition-local
+    * aggregates, the merge is keys-sized, and history is never
+    * rescanned. Finalizers (two divisions, one sqrt per group) run on
+    * exact merged inputs, round-6.
+    */
+  val qIvmMerge: QueryDef = {
+    val cut = "1997-01-01 00:00:00"
+    QueryDef.sql("q_ivm_merge",
+      s"""WITH st AS (
+         |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+         |    sum(CAST(o_totalprice AS DECIMAL(12,2))) AS s,
+         |    sum(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2))) AS s2,
+         |    min(CAST(o_totalprice AS DECIMAL(12,2))) AS mn,
+         |    max(CAST(o_totalprice AS DECIMAL(12,2))) AS mx
+         |  FROM orders GROUP BY 1)
+         |SELECT o_orderpriority, n AS n_orders,
+         |  CAST(s AS DOUBLE) AS sum_price,
+         |  round(CAST(s AS DOUBLE) / n, 6) AS avg_price,
+         |  round(sqrt((CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)), 6) AS sd_price,
+         |  CAST(mn AS DOUBLE) AS min_price, CAST(mx AS DOUBLE) AS max_price
+         |FROM st ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val price = col("o_totalprice").cast("decimal(12,2)")
+      def state(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), sum(price).as("s"), sum(price * price).as("s2"),
+            min(price).as("mn"), max(price).as("mx"))
+      val orders = Tables.orders(s, dir)
+      val history = state(orders.where(col("o_orderdate") < lit(cut).cast("timestamp")))
+      val delta = state(orders.where(col("o_orderdate") >= lit(cut).cast("timestamp")))
+      // the merge operator: states are rows, merging is itself an aggregate
+      val merged = history.unionAll(delta)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("n")).as("n"), sum(col("s")).as("s"), sum(col("s2")).as("s2"),
+          min(col("mn")).as("mn"), max(col("mx")).as("mx"))
+      merged.select(col("o_orderpriority"), col("n").as("n_orders"),
+        col("s").cast("double").as("sum_price"),
+        round(col("s").cast("double") / col("n"), 6).as("avg_price"),
+        round(sqrt((col("s2").cast("double") - col("s").cast("double") * col("s").cast("double") / col("n"))
+          / (col("n") - 1)), 6).as("sd_price"),
+        col("mn").cast("double").as("min_price"), col("mx").cast("double").as("max_price"))
+        .orderBy(col("o_orderpriority"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q1Agg, qJoinAgg, qBroadcastJoin, qTopk,
     qWindowRank, qSetops, qRollup, qDistinctAgg, qSemiJoin, qAntiJoin,
     qAsofJoin, qPercentileStats, qCube, qRunningSum, qRangeJoin,
     qProfileStats, qAboveAvg, qSaltedCount, qSqlTpch6, qUnpivot,
     qGroupingSets, qCorrSubquery, qFullOuter, qBloomPrune, qGapFill,
-    qChangelogCompact, qSkyline, qSnapshotDiff, qHistogram)
+    qChangelogCompact, qSkyline, qSnapshotDiff, qHistogram,
+    qSkewAudit, qIvmMerge)
 }

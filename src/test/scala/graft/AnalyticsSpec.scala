@@ -301,4 +301,21 @@ class AnalyticsSpec extends SparkSpec {
       order.zip(order.tail).exists { case (x, y) => x > y }
     }, "epoch order is doc_id order — no permutation happened")
   }
+
+  test("series_acf core: planted period-2 rhythm scores -1/+1 exactly; a flat series is NULL") {
+    import spark.implicits._
+    // alternating 0,4,0,4,... over 11 days: lag-1 pairs are perfectly
+    // anti-phase (-1), lag-2 pairs in phase (+1) — both EXACT under the
+    // integer-moment formula (x == y at even lags makes corr 1 by identity)
+    val alt = (0L to 10L).map(d => (d, if (d % 2 == 0) 0L else 4L)).toDF("d", "n")
+    val got = graft.queries.BicisQueries.acfOf(spark, alt, 4)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) === -1.0 && got(3L) === -1.0, s"odd lags: $got")
+    assert(got(2L) === 1.0 && got(4L) === 1.0, s"even lags: $got")
+    // zero-variance series: the nullif guard yields NULL, not a 0/0 abort
+    val flat = (0L to 9L).map(d => (d, 7L)).toDF("d", "n")
+    val flatRows = graft.queries.BicisQueries.acfOf(spark, flat, 2).collect()
+    assert(flatRows.length === 2 && flatRows.forall(_.isNullAt(2)),
+      "flat series must emit NULL acf per lag")
+  }
 }

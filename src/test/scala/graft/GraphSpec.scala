@@ -337,4 +337,52 @@ class GraphSpec extends SparkSpec {
     val vals = rows.map(_.getDouble(2))
     assert(vals.zip(vals.tail).forall { case (a, b) => a >= b }, "ranking not sorted")
   }
+
+  test("scc: planted cycles resolve; a one-way bridge does not merge them") {
+    import spark.implicits._
+    // cycle {1,2,3}, one-way bridge 3->4, 2-cycle {4,5}, lone edge 6->7
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L),
+      (4L, 5L), (5L, 4L), (6L, 7L)).toDF("src", "dst")
+    val got = graft.queries.GraphQueries.sccComponents(e, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (4L, 4L, 2L), (5L, 4L, 2L),
+      (6L, 6L, 1L), (7L, 7L, 1L)))
+  }
+
+  test("scc: an 8-node directed ring needs the full doubling horizon") {
+    import spark.implicits._
+    // ring 0->1->...->7->0: mutual reachability needs paths of length up
+    // to 7 — radius 2^3 = 8 just covers it, 2 doublings (radius 4) must NOT
+    val ring = (0L until 8L).map(i => (i, (i + 1) % 8)).toDF("src", "dst")
+    val full = graft.queries.GraphQueries.sccComponents(ring, 3).collect()
+    assert(full.forall(r => r.getLong(1) == 0L && r.getLong(2) == 8L),
+      "radius-8 closure must resolve the 8-ring to one SCC")
+    val short = graft.queries.GraphQueries.sccComponents(ring, 2).collect()
+    assert(short.exists(_.getLong(1) != 0L),
+      "radius-4 closure resolving an 8-ring means the horizon knob is dead")
+  }
+
+  test("hits: authorities and hubs match an in-memory mirror on a planted bipartite graph") {
+    import spark.implicits._
+    // hubs 10, 11; authorities 21, 22; 10 cites both, 11 cites only 21
+    val pairs = Seq((10L, 21L), (10L, 22L), (11L, 21L)).toDF("c", "s")
+    val (aDf, hDf) = graft.queries.GraphQueries.hitsScores(pairs, 4)
+    val a = aDf.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val h = hDf.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // mirror the un-normalized iteration exactly (tiny sums: no float drift)
+    var hm = Map(10L -> 1.0, 11L -> 1.0)
+    var am = Map[Long, Double]()
+    val edges = Seq((10L, 21L), (10L, 22L), (11L, 21L))
+    for (_ <- 1 to 4) {
+      am = edges.groupBy(_._2).view.mapValues(_.map(e => hm(e._1)).sum).toMap
+      hm = edges.groupBy(_._1).view.mapValues(_.map(e => am(e._2)).sum).toMap
+    }
+    assert(a === am, s"authority vector $a != mirror $am")
+    assert(h === hm, s"hub vector $h != mirror $hm")
+    // the structural ordering HITS exists to express
+    assert(a(21L) > a(22L), "the doubly-cited authority must dominate")
+    assert(h(10L) > h(11L), "the hub citing both authorities must dominate")
+  }
 }

@@ -120,7 +120,9 @@ class PlanSpec extends SparkSpec {
       // 4-row lag table × hours-sized series spine — never event-sized
       "series_cross_corr",
       // one-row mean-weight scalar broadcast into the ≤|N|² edge list
-      "graph_reciprocity")
+      "graph_reciprocity",
+      // two one-row Σscore/count scalars broadcast into the vertex rows
+      "graph_hits")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>
@@ -407,5 +409,18 @@ class PlanSpec extends SparkSpec {
       s"expected ≥3 broadcast joins in:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
     e0.unpersist(true)
+  }
+
+  test("q_skew_audit: top-10 heads are TakeOrdered limits, never a global sort of the key rollup") {
+    val (df, cached) = RelationalQueries.skewAuditFrames(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    // four audited keys -> four per-partition-heap limit operators
+    assert("TakeOrderedAndProject".r.findAllIn(p).size === 4,
+      s"expected 4 TakeOrderedAndProject in:\n$p")
+    // the only Sort allowed is the final 4-row output ordering
+    assert("Sort \\[tbl_key".r.findAllIn(p).size <= 1 &&
+      !"Sort \\[cnt".r.findAllIn(p).hasNext,
+      s"a keys-sized global sort crept into:\n$p")
+    cached.foreach(_.unpersist(true))
   }
 }
