@@ -1148,6 +1148,77 @@ object BicisQueries {
       .orderBy(col("lag"))
   }
 
+  /** Seasonal-naive forecast evaluation per user: forecast each day's
+    * count with the SAME WEEKDAY LAST WEEK (f_d = n_{d-7}) over the
+    * user's dense zero-filled day spine, and score it with MASE =
+    * Σ|n−f| / Σ|n−n_{d-1}| — the scale-free standard (Hyndman &
+    * Koehler 2006) that compares the weekly-seasonal baseline against
+    * the one-day-naive baseline on the same eval rows. MASE < 1 means
+    * the user's volume is weekly-rhythmic enough that the seasonal
+    * forecast beats persistence — the go/no-go a pipeline checks
+    * before paying for per-user models (the decision complement of
+    * `series_seasonality`/`series_acf`'s descriptive scores).
+    *
+    * Determinism: counts, both lag differences and both error sums are
+    * EXACT BIGINTs (the spine is dense, so lag-k is well-defined);
+    * MASE is one double division of exact ints, round-6. Users whose
+    * naive denominator is 0 (constant series) are filtered, as are
+    * users with < 21 spine days (too little history for 7-lag eval).
+    *
+    * Shape at 100 TB: one (user, day) count — THE event-sized
+    * exchange — then a user-keyed window pass over the users×days
+    * spine for both lags (one partitioning serves both, the cusum
+    * exchange-reuse class) and a per-user aggregate. Nothing after
+    * the count is event-sized.
+    */
+  val seriesSnaiveEval: QueryDef = QueryDef.sql("series_snaive_eval",
+    """WITH c AS (SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM c GROUP BY 1),
+      |sp AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS d FROM b),
+      |s AS (SELECT sp.user_id, sp.d, coalesce(c.n, 0) AS n
+      |      FROM sp LEFT JOIN c ON c.user_id = sp.user_id AND c.d = sp.d),
+      |l AS (SELECT user_id, d, n,
+      |        row_number() OVER (PARTITION BY user_id ORDER BY d) AS rn,
+      |        lag(n, 7) OVER (PARTITION BY user_id ORDER BY d) AS f,
+      |        lag(n, 1) OVER (PARTITION BY user_id ORDER BY d) AS p
+      |      FROM s),
+      |m AS (SELECT user_id,
+      |        CAST(count(*) AS BIGINT) AS n_eval,
+      |        CAST(sum(abs(n - f)) AS BIGINT) AS se,
+      |        CAST(sum(abs(n - p)) AS BIGINT) AS sn
+      |      FROM l WHERE rn > 7 GROUP BY 1)
+      |SELECT m.user_id, n_eval, se AS snaive_abs_err, sn AS naive_abs_err,
+      |  round(CAST(se AS DOUBLE) / sn, 6) AS mase
+      |FROM m WHERE sn > 0 AND n_eval >= 14
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.events(s, dir)
+      .groupBy(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val b = c.groupBy(col("user_id")).agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+    val sp = b.select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("d"))
+    val series = sp.join(c, Seq("user_id", "d"), "left")
+      .select(col("user_id"), col("d"), coalesce(col("n"), lit(0L)).as("n"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val l = series.select(col("user_id"), col("n"),
+      row_number().over(w).as("rn"),
+      lag(col("n"), 7).over(w).as("f"),
+      lag(col("n"), 1).over(w).as("p"))
+    l.where(col("rn") > 7)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(col("n") - col("f"))).as("se"),
+        sum(abs(col("n") - col("p"))).as("sn"))
+      .where(col("sn") > 0 && col("n_eval") >= 14)
+      .select(col("user_id"), col("n_eval"),
+        col("se").as("snaive_abs_err"), col("sn").as("naive_abs_err"),
+        round(col("se").cast("double") / col("sn"), 6).as("mase"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     seriesWeekday, seriesHour, seriesMonth, seriesWeekdayReturns,
     seriesMonthReturns, seriesJoin, stationHourPivot,
@@ -1158,5 +1229,5 @@ object BicisQueries {
     seriesAnomaly, qIntervalCoverage, seriesSeasonality, streamingA5Replay,
     streamingSessionizeReplay, streamingIntervalJoinReplay,
     streamingDedupReplay, streamingTumblingReplay, streamingSketchReplay,
-    seriesCrossCorr, seriesCusum, seriesAcf)
+    seriesCrossCorr, seriesCusum, seriesAcf, seriesSnaiveEval)
 }

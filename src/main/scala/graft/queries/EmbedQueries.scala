@@ -1489,11 +1489,99 @@ object EmbedQueries {
       .orderBy(col("thr"))
   }
 
+  /** Maximal marginal relevance (Carbonell & Goldstein 1998): greedy
+    * diversity-aware selection of 5 from each query's cosine top-20 —
+    * step 1 takes the most relevant candidate; step t takes
+    * argmax λ·rel − (1−λ)·max_{s∈selected} sim(cand, s), so near-
+    * duplicates of an already-picked document are penalized out. The
+    * training-data shape: retrieval-then-diversify is how a curated
+    * fine-tuning set avoids paying 5 slots for one near-duplicated
+    * fact, and the same greedy core drives diverse few-shot example
+    * selection.
+    *
+    * Determinism: rel and pair sims are the shared round-6 cosine;
+    * λ literals are written as 0.7/0.3 in BOTH engines (never 1−0.7,
+    * whose double differs from parsed 0.3 in the last ulp), so scores
+    * are identical doubles and the (score desc, nid) argmax can't
+    * diverge. Step-1 score is rel itself, by convention.
+    *
+    * Shape at 100 TB: the expensive stage is candidate generation,
+    * which is [[embedKnnBrute]]'s broadcast-queries scan (swap in the
+    * LSH/IVF tier for big corpora); the greedy loop then runs on
+    * queries×20 rows — each of the 4 steps is an anti-join + a
+    * per-query max over ≤ 20×5 pairs and a group-limited argmax,
+    * all on the tiny selected frame. Steps are sequential by nature
+    * (each pick changes the next penalty); the per-step work is
+    * constant in corpus size.
+    */
+  val embedMmr: QueryDef = {
+    val kCand = 20; val kSel = 5
+    val steps = (2 to kSel).map { t =>
+      s"""rem$t AS (SELECT c.* FROM cand c LEFT JOIN sel${t - 1} s
+         |  ON s.qid = c.qid AND s.nid = c.nid WHERE s.nid IS NULL),
+         |ms$t AS (SELECT r.qid, r.nid, max(${duckCos("r.cv", "s.cv")}) AS ms
+         |  FROM rem$t r JOIN sel${t - 1} s ON s.qid = r.qid GROUP BY r.qid, r.nid),
+         |sc$t AS (SELECT r.qid, r.nid, r.cv, r.rel, 0.7 * r.rel - 0.3 * m.ms AS score
+         |  FROM rem$t r JOIN ms$t m ON m.qid = r.qid AND m.nid = r.nid),
+         |pk$t AS (SELECT qid, nid, cv, rel, $t AS step, score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY score DESC, nid) AS rk
+         |  FROM sc$t) WHERE rk = 1),
+         |sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM pk$t)""".stripMargin
+    }.mkString(",\n")
+    QueryDef.sql("embed_mmr",
+      s"""WITH $duckVectors,
+         |q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS nid, v AS cv FROM v WHERE vec_id >= 10),
+         |p AS (SELECT qid, nid, cv, ${duckCos("qv", "cv")} AS rel FROM c, q),
+         |cand AS (SELECT qid, nid, cv, rel FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rnk
+         |  FROM p) WHERE rnk <= $kCand),
+         |sel1 AS (SELECT qid, nid, cv, rel, 1 AS step, rel AS score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, nid) AS rk
+         |  FROM cand) WHERE rk = 1),
+         |$steps
+         |SELECT qid, CAST(step AS BIGINT) AS step, nid, round(score, 6) AS score
+         |FROM sel$kSel ORDER BY qid, step""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = Similarity.vectors(Tables.embeddings(s, dir))
+      val q = v.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val c = v.where(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("v").as("cv"))
+      val pairs = c.crossJoin(broadcast(q))
+        .withColumn("sim", Similarity.cosine("qv", "cv"))
+      val cand = Similarity.topK(pairs, kCand)
+        .select(col("qid"), col("nid"), col("cv"), col("sim").as("rel"), col("rnk"))
+        .localCheckpoint(eager = true)
+      var sel = cand.where(col("rnk") === 1)
+        .select(col("qid"), col("nid"), col("cv"), col("rel"),
+          lit(1L).as("step"), col("rel").as("score"))
+        .localCheckpoint(eager = true)
+      for (t <- 2 to kSel) {
+        val rem = cand.join(sel.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_anti")
+        val ms = rem.select(col("qid"), col("nid"), col("cv"))
+          .join(sel.select(col("qid"), col("cv").as("sv")), Seq("qid"))
+          .withColumn("s", Similarity.cosineC(col("cv"), col("sv")))
+          .groupBy(col("qid"), col("nid")).agg(max(col("s")).as("ms"))
+        val scored = rem.join(ms, Seq("qid", "nid"))
+          .withColumn("score", lit(0.7) * col("rel") - lit(0.3) * col("ms"))
+        val w = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("nid"))
+        val pick = scored.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+          .select(col("qid"), col("nid"), col("cv"), col("rel"),
+            lit(t.toLong).as("step"), col("score"))
+        sel = sel.unionAll(pick).localCheckpoint(eager = true)
+      }
+      sel.select(col("qid"), col("step"), col("nid"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("qid"), col("step"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(embedKnnBrute, embedKnnLsh, embedCentroids,
     multimodalMeta, multimodalFramesample, multimodalResize, embedNorms,
     embedKnnIvf, dedupEmbedCosine, dedupSemantic, embedQuantize, embedLshRecall,
     embedHyperplaneRecall, embedBandedRecall, embedKnnPq,
     embedMultiprobeRecall, embedPqRecall, embedKnnIvfPq, multimodalFeatures, embedHardNegatives,
     embedRandomProjection, embedKmeans, embedPca, embedOutliers,
-    embedMatryoshkaRecall, multimodalPhashDedup, embedDedupSweep)
+    embedMatryoshkaRecall, multimodalPhashDedup, embedDedupSweep, embedMmr)
 }

@@ -302,6 +302,25 @@ class AnalyticsSpec extends SparkSpec {
     }, "epoch order is doc_id order — no permutation happened")
   }
 
+  test("series_snaive_eval: a perfect weekly rhythm scores MASE 0; a linear trend scores exactly 7") {
+    // user 1: daily counts cycle 1..7 over 28 days — every eval day's
+    // seasonal forecast is exact (se = 0 -> mase 0) while the naive
+    // denominator is positive. user 2: count = day index + 1 — each eval
+    // day errs by 7 seasonally and 1 naively -> mase = 7 exactly.
+    var id = 0L
+    val rows = for {
+      (user, countOf) <- Seq(1L -> ((d: Int) => d % 7 + 1), 2L -> ((d: Int) => d + 1))
+      d <- 0 until 28
+      _ <- 1 to countOf(d)
+    } yield {
+      id += 1
+      (id, ts(f"2024-01-${d + 1}%02d 12:00:00"), user, "click")
+    }
+    val got = run(graft.queries.BicisQueries.seriesSnaiveEval, rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSeq
+    assert(got === Seq((1L, 21L, 0.0), (2L, 21L, 7.0)), s"got $got")
+  }
+
   test("series_acf core: planted period-2 rhythm scores -1/+1 exactly; a flat series is NULL") {
     import spark.implicits._
     // alternating 0,4,0,4,... over 11 days: lag-1 pairs are perfectly

@@ -341,4 +341,25 @@ class SimilaritySpec extends SparkSpec {
     // sanity: truncation must actually bite somewhere on random vectors
     assert(got.exists(_._3 < 5L), "every prefix ranking matched full-dim — fixture too easy")
   }
+
+  test("embed_mmr: the diversity penalty demotes an exact duplicate below a diverse candidate") {
+    import spark.implicits._
+    // query at (1,1); candidates 10 and 11 are IDENTICAL (1, 0.2), 12 is
+    // the reflection (0.2, 1). All three tie on relevance (cos = 0.832),
+    // so pure top-k order would be 10, 11, 12 (nid tie-break). MMR step 2:
+    // the duplicate 11 scores 0.7·0.832 − 0.3·1.0 = 0.28 while diverse 12
+    // scores 0.7·0.832 − 0.3·0.385 = 0.47 — selection must go 10, 12, 11.
+    val rows = Seq(
+      (0L, Array(1.0f, 1.0f), 0),
+      (10L, Array(1.0f, 0.2f), 0),
+      (11L, Array(1.0f, 0.2f), 0),
+      (12L, Array(0.2f, 1.0f), 0))
+    val tmp = java.nio.file.Files.createTempDirectory("mmr").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = graft.queries.EmbedQueries.embedMmr.run(spark, tmp)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 10L), (2L, 12L), (3L, 11L)),
+      s"selection order was ${got.toSeq}")
+  }
 }
