@@ -1219,6 +1219,55 @@ object BicisQueries {
       .orderBy(col("user_id"))
   }
 
+  /** M4 time-series downsampling (Jugel et al., VLDB 2014): per
+    * (user, day) bucket emit min, max, first and last of the `value`
+    * measure — the four points that make a downsampled line chart
+    * pixel-identical to the full-resolution series at day granularity.
+    * This is the dashboard-feeding reduction every monitoring pipeline
+    * runs; unlike LTTB it has no sequential dependency between buckets,
+    * so it parallelizes as a plain keyed aggregate.
+    *
+    * Determinism: min/max/first/last are SELECTIONS, not arithmetic —
+    * the emitted doubles are bit-identical parquet inputs in both
+    * engines; first/last resolve ts ties by event_id via explicit
+    * row_number windows (no engine first()/arg_min tie luck).
+    *
+    * Shape at 100 TB: ONE (user, day) hash exchange serves both
+    * row_number windows AND the final aggregate (same keys — Catalyst
+    * reuses the partitioning; the windows add only per-partition
+    * sorts). Output is buckets-sized.
+    */
+  val seriesM4Downsample: QueryDef = QueryDef.sql("series_m4_downsample",
+    """WITH e AS (SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+      |    ts, event_id, value FROM events),
+      |l AS (SELECT user_id, d, value,
+      |        row_number() OVER (PARTITION BY user_id, d ORDER BY ts, event_id) AS ra,
+      |        row_number() OVER (PARTITION BY user_id, d ORDER BY ts DESC, event_id DESC) AS rd
+      |      FROM e)
+      |SELECT user_id, d, CAST(count(*) AS BIGINT) AS n,
+      |  min(value) AS vmin, max(value) AS vmax,
+      |  max(CASE WHEN ra = 1 THEN value END) AS vfirst,
+      |  max(CASE WHEN rd = 1 THEN value END) AS vlast
+      |FROM l GROUP BY user_id, d
+      |ORDER BY user_id, d""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.events(s, dir).select(col("user_id"),
+      floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("d"),
+      col("ts"), col("event_id"), col("value"))
+    val wA = Window.partitionBy(col("user_id"), col("d"))
+      .orderBy(col("ts"), col("event_id"))
+    val wD = Window.partitionBy(col("user_id"), col("d"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    e.select(col("user_id"), col("d"), col("value"),
+        row_number().over(wA).as("ra"), row_number().over(wD).as("rd"))
+      .groupBy(col("user_id"), col("d"))
+      .agg(count(lit(1)).as("n"),
+        min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+        max(when(col("ra") === 1, col("value"))).as("vfirst"),
+        max(when(col("rd") === 1, col("value"))).as("vlast"))
+      .orderBy(col("user_id"), col("d"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     seriesWeekday, seriesHour, seriesMonth, seriesWeekdayReturns,
     seriesMonthReturns, seriesJoin, stationHourPivot,
@@ -1229,5 +1278,6 @@ object BicisQueries {
     seriesAnomaly, qIntervalCoverage, seriesSeasonality, streamingA5Replay,
     streamingSessionizeReplay, streamingIntervalJoinReplay,
     streamingDedupReplay, streamingTumblingReplay, streamingSketchReplay,
-    seriesCrossCorr, seriesCusum, seriesAcf, seriesSnaiveEval)
+    seriesCrossCorr, seriesCusum, seriesAcf, seriesSnaiveEval,
+    seriesM4Downsample)
 }

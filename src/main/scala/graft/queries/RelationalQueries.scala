@@ -944,11 +944,60 @@ object RelationalQueries {
     }
   }
 
+  /** Customer spend deciles via `ntile(10)` — the L-tier window
+    * primitive the suite lacked (rank/row_number/lag/running-sum are
+    * covered; ntile's equal-height bucketing is its own operator with
+    * its own remainder rule: the first n_rows mod 10 buckets get the
+    * extra row). Per decile: customer count, total and fenceposts of
+    * spend — the mailing-list segmentation / LTV-tier rollup.
+    *
+    * Determinism: the ntile ORDER BY is (spend desc, custkey) over
+    * EXACT decimal spend — total order, no tie luck; per-decile sums
+    * stay decimal until the final double cast.
+    *
+    * Shape at 100 TB: the window runs over the CUSTOMER ROLLUP (one
+    * row per customer), never the order fact table — the rollup
+    * shuffles once, and the single-partition global sort the window
+    * needs is keys-sized (the acceptable tier of the low-cardinality-
+    * window rule; at billions of customers swap ntile for a
+    * percentile-sketch cut over the same rollup).
+    */
+  val qDecileProfile: QueryDef = QueryDef.sql("q_decile_profile",
+    """WITH c AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS spend,
+      |    CAST(count(*) AS BIGINT) AS n_orders
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT o_custkey, spend, n_orders,
+      |        ntile(10) OVER (ORDER BY spend DESC, o_custkey) AS decile
+      |      FROM c)
+      |SELECT CAST(decile AS BIGINT) AS decile,
+      |  CAST(count(*) AS BIGINT) AS n_customers,
+      |  CAST(sum(n_orders) AS BIGINT) AS n_orders,
+      |  CAST(sum(spend) AS DOUBLE) AS total_spend,
+      |  CAST(max(spend) AS DOUBLE) AS top_spend,
+      |  CAST(min(spend) AS DOUBLE) AS floor_spend
+      |FROM t GROUP BY decile ORDER BY decile""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.orders(s, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast("decimal(12,2)")).as("spend"),
+        count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("spend").desc, col("o_custkey"))
+    c.withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"), sum(col("n_orders")).as("n_orders"),
+        sum(col("spend")).cast("double").as("total_spend"),
+        max(col("spend")).cast("double").as("top_spend"),
+        min(col("spend")).cast("double").as("floor_spend"))
+      .select(col("decile").cast("long").as("decile"), col("n_customers"),
+        col("n_orders"), col("total_spend"), col("top_spend"), col("floor_spend"))
+      .orderBy(col("decile"))
+  }
+
   val all: Seq[QueryDef] = Seq(q1Agg, qJoinAgg, qBroadcastJoin, qTopk,
     qWindowRank, qSetops, qRollup, qDistinctAgg, qSemiJoin, qAntiJoin,
     qAsofJoin, qPercentileStats, qCube, qRunningSum, qRangeJoin,
     qProfileStats, qAboveAvg, qSaltedCount, qSqlTpch6, qUnpivot,
     qGroupingSets, qCorrSubquery, qFullOuter, qBloomPrune, qGapFill,
     qChangelogCompact, qSkyline, qSnapshotDiff, qHistogram,
-    qSkewAudit, qIvmMerge)
+    qSkewAudit, qIvmMerge, qDecileProfile)
 }

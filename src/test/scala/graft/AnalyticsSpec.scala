@@ -321,6 +321,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === Seq((1L, 21L, 0.0), (2L, 21L, 7.0)), s"got $got")
   }
 
+  test("series_m4_downsample: min/max/first/last are selections; ts ties resolve by event_id") {
+    import spark.implicits._
+    // one user, one day: values arrive 5.0, 1.0, 9.0, 3.0 — and the LAST
+    // two rows share a timestamp, so vlast must follow the higher event_id
+    val rows = Seq(
+      (1L, ts("2024-01-01 08:00:00"), 1L, "click", 5.0),
+      (2L, ts("2024-01-01 09:00:00"), 1L, "click", 1.0),
+      (3L, ts("2024-01-01 10:00:00"), 1L, "click", 9.0),
+      (4L, ts("2024-01-01 10:00:00"), 1L, "click", 3.0))
+    val tmp = java.nio.file.Files.createTempDirectory("m4").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = graft.queries.BicisQueries.seriesM4Downsample.run(spark, tmp).collect()
+    assert(r.length === 1)
+    val (n, vmin, vmax, vfirst, vlast) =
+      (r(0).getLong(2), r(0).getDouble(3), r(0).getDouble(4), r(0).getDouble(5), r(0).getDouble(6))
+    assert((n, vmin, vmax, vfirst, vlast) === ((4L, 1.0, 9.0, 5.0, 3.0)))
+  }
+
+  test("q_decile_profile: ntile heights differ by at most one and spend fenceposts nest") {
+    val r = graft.queries.RelationalQueries.qDecileProfile.run(spark, "/root/testdata/sf0.001")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(4), x.getDouble(5)))
+    assert(r.length === 10 && r.map(_._1).toSeq === (1L to 10L).toSeq)
+    val sizes = r.map(_._2)
+    assert(sizes.max - sizes.min <= 1, s"ntile heights not equal-height: ${sizes.toSeq}")
+    // decile d's floor must be >= decile d+1's top (descending spend order)
+    r.sliding(2).foreach { case Array((d, _, _, floor), (_, _, top2, _)) =>
+      assert(floor >= top2, s"decile $d floor $floor below next top $top2")
+    }
+  }
+
   test("series_acf core: planted period-2 rhythm scores -1/+1 exactly; a flat series is NULL") {
     import spark.implicits._
     // alternating 0,4,0,4,... over 11 days: lag-1 pairs are perfectly
