@@ -1268,6 +1268,49 @@ object BicisQueries {
       .orderBy(col("user_id"), col("d"))
   }
 
+  /** The event-time rate limiter ([[graft.streaming.Streaming
+    * .streamingRateLimit]], eighth streaming class: row-level admission
+    * with keyed counter state) replayed over the events table and
+    * hash-checked against the batch rank filter — per (user, hour
+    * window) the first 5 events in (ts, event_id) order are admitted
+    * with their admission index; everything else is dropped in flight.
+    * Two-chunk in-order replay exercises cross-batch counter state
+    * (a window spanning the chunk boundary must not restart at k=1);
+    * the window-pruning keeps state O(1) windows per key.
+    */
+  val streamingRatelimitReplay: QueryDef = QueryDef.sql("streaming_ratelimit_replay",
+    """SELECT event_id, user_id,
+      |  CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS win, CAST(rk AS BIGINT) AS k
+      |FROM (SELECT event_id, user_id, ts,
+      |        row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 3600000000
+      |                           ORDER BY ts, event_id) AS rk
+      |      FROM events)
+      |WHERE rk <= 5 ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.streaming.Streaming
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val events = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .as[Streaming.Ev].collect()
+      // full-microsecond feed order: an in-order chunk boundary split on
+      // truncated millis could invert two same-ms events across batches
+      .sortBy(e => (e.ts.getTime * 1000L + (e.ts.getNanos / 1000) % 1000, e.event_id))
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Ev]
+    val sink = s"ratelimit_replay_${replaySeq.incrementAndGet()}"
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val query =
+      try Streaming.streamingRateLimit(s, ms.toDS(), HourMicros, 5)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    try {
+      val chunk = math.max(events.length / 2, 1)
+      events.grouped(chunk).foreach { c => ms.addData(c); query.processAllAvailable() }
+    } finally query.stop()
+    s.table(sink).select(col("event_id"), col("user_id"), col("win"), col("k"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     seriesWeekday, seriesHour, seriesMonth, seriesWeekdayReturns,
     seriesMonthReturns, seriesJoin, stationHourPivot,
@@ -1279,5 +1322,5 @@ object BicisQueries {
     streamingSessionizeReplay, streamingIntervalJoinReplay,
     streamingDedupReplay, streamingTumblingReplay, streamingSketchReplay,
     seriesCrossCorr, seriesCusum, seriesAcf, seriesSnaiveEval,
-    seriesM4Downsample)
+    seriesM4Downsample, streamingRatelimitReplay)
 }

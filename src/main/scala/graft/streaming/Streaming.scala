@@ -226,6 +226,59 @@ object Streaming {
       .where(col("n_hits") > 0)
   }
 
+  final case class RlOut(event_id: Long, user_id: Long, win: Long, k: Long)
+
+  /** Event-time rate limiter: per (key, tumbling window) admit the first
+    * `cap` events in EVENT-TIME order and drop the rest — the per-source
+    * ingestion cap every crawl/feed pipeline runs in front of expensive
+    * stages (one hot feed must not monopolize a batch), as explicit
+    * keyed state rather than best-effort sampling. Emits admitted rows
+    * with their admission index k ∈ [1, cap].
+    *
+    * Parity contract: under an in-order feed (the replay harness sorts
+    * by (ts, event_id); a production deployment gets the same guarantee
+    * from a watermark + per-key buffering as in
+    * [[streamingForwardWindowCount]]), the admitted set is EXACTLY the
+    * batch rank filter `row_number() OVER (PARTITION BY key, window
+    * ORDER BY ts, event_id) <= cap` — the oracle the gate checks.
+    *
+    * State per key is a (window → count) map PRUNED to windows at or
+    * after the current batch's minimum: with non-decreasing event time
+    * across batches nothing can land in an older window again, so state
+    * is O(1) windows per key — the manual analog of watermark eviction
+    * (kept explicit here because admission must act row-by-row, which a
+    * windowed aggregate cannot).
+    */
+  def streamingRateLimit(spark: SparkSession, events: Dataset[Ev],
+                         windowMicros: Long, cap: Int): Dataset[RlOut] = {
+    import spark.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Map[Long, Long], RlOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Ev], state: GroupState[Map[Long, Long]]) =>
+          var counts = state.getOption.getOrElse(Map.empty[Long, Long])
+          val evs = batch.toArray.sortBy(e => (micros(e.ts), e.event_id))
+          val out = scala.collection.mutable.ListBuffer.empty[RlOut]
+          evs.foreach { e =>
+            val win = Math.floorDiv(micros(e.ts), windowMicros)
+            val c = counts.getOrElse(win, 0L)
+            if (c < cap) {
+              counts = counts.updated(win, c + 1)
+              out += RlOut(e.event_id, user, win, c + 1)
+            }
+          }
+          if (evs.nonEmpty) {
+            val minWin = Math.floorDiv(micros(evs.head.ts), windowMicros)
+            counts = counts.filter { case (w, _) => w >= minWin }
+          }
+          state.update(counts)
+          out.iterator
+      }
+  }
+
   final case class BandDoc(band: Int, bh: String, doc_id: Long)
   final case class CandPair(i: Long, j: Long, band: Int)
 

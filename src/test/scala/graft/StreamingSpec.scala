@@ -455,4 +455,33 @@ class StreamingSpec extends SparkSpec {
       }
     } finally query.stop()
   }
+
+  test("streaming rate limiter: cap binds across micro-batches; a new window resets the count") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hour = 3600L * 1000000L
+    val ms = MemoryStream[Ev]
+    val query = Streaming.streamingRateLimit(spark, ms.toDS(), hour, cap = 2)
+      .writeStream.format("memory").queryName("rl_t").outputMode("append").start()
+    try {
+      // batch 1: user 1 admits events 1, 2 in hour A (event 3 over cap);
+      // user 2 admits its single event
+      ms.addData(
+        Ev(1L, 1L, ts("2024-01-01 10:00:00"), "click"),
+        Ev(2L, 1L, ts("2024-01-01 10:05:00"), "click"),
+        Ev(3L, 1L, ts("2024-01-01 10:10:00"), "click"),
+        Ev(4L, 2L, ts("2024-01-01 10:00:00"), "click"))
+      query.processAllAvailable()
+      // batch 2: same hour A for user 1 -> STATE must keep the cap shut;
+      // hour B resets the count to admit again
+      ms.addData(
+        Ev(5L, 1L, ts("2024-01-01 10:20:00"), "click"),
+        Ev(6L, 1L, ts("2024-01-01 11:00:00"), "click"))
+      query.processAllAvailable()
+      val got = spark.table("rl_t")
+        .collect().map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1)
+      assert(got.toSeq === Seq((1L, 1L), (2L, 2L), (4L, 1L), (6L, 1L)),
+        s"admissions were ${got.toSeq}")
+    } finally query.stop()
+  }
 }
