@@ -1016,10 +1016,119 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  /** Robust winnowing fingerprint selection (Schleimer, Wilkerson &
+    * Aiken, SIGMOD 2003 — the MOSS algorithm): hash every word 3-gram,
+    * slide a window of 4 consecutive hashes, and keep each window's
+    * minimum (ties to the RIGHTMOST position, the paper's rule), then
+    * de-duplicate selections shared by overlapping windows. Guarantees
+    * every match of ≥ w+k−1 words shares a fingerprint while storing
+    * ~2/(w+1) of the hashes — the position-aware middle ground between
+    * whole-doc digests (text_fingerprint) and per-shingle MinHash
+    * (membership only, no positions), and the substring-match index
+    * plagiarism/clone detectors build.
+    *
+    * Determinism: hashes are the shared rolling_hash mod 1e9+7
+    * (< 2^30), and the (h asc, pos desc) argmin is realized by packing
+    * code = h·2^20 + (2^20−1−pos) into one BIGINT min — pure integer
+    * arithmetic, no tie luck in either engine.
+    *
+    * Shape at 100 TB: ONE doc_id-keyed exchange of (pos, hash) rows;
+    * the window min and the per-doc max ride the same partitioning,
+    * and dedup is a map-side-combined distinct. Selected rows are the
+    * output index (~n/2.5 per doc at these knobs).
+    */
+  val textWinnowing: QueryDef = {
+    val k = 3; val w = 4
+    QueryDef.sql("text_winnowing",
+      s"""WITH n AS (SELECT doc_id,
+         |    string_split(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), ' ') AS ws
+         |  FROM documents),
+         |g0 AS (SELECT doc_id, ws, unnest(range(0, len(ws) - ${k - 1})) AS p
+         |  FROM n WHERE len(ws) >= $k),
+         |g AS (SELECT doc_id, p,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |        [ascii(c)::BIGINT for c in string_split(array_to_string(ws[p+1:p+$k], ' '), '')]),
+         |      (acc, x) -> (acc * 257 + x) % 1000000007) AS h
+         |  FROM g0),
+         |c AS (SELECT doc_id, p, h * 1048576 + (1048575 - p) AS code FROM g),
+         |win AS (SELECT doc_id, p,
+         |    min(code) OVER (PARTITION BY doc_id ORDER BY p
+         |                    ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS mc,
+         |    max(p) OVER (PARTITION BY doc_id) AS mp
+         |  FROM c)
+         |SELECT DISTINCT doc_id,
+         |  CAST(1048575 - (mc % 1048576) AS BIGINT) AS pos,
+         |  CAST(mc // 1048576 AS BIGINT) AS h
+         |FROM win WHERE p <= mp - ${w - 1}
+         |ORDER BY doc_id, pos""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.RollingHash.register(s)
+      val n = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          split(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), " ").as("ws"))
+        .where(size(col("ws")) >= k)
+      val g = n.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(ws) - $k), p -> rolling_hash(concat_ws(' ', slice(ws, p + 1, $k))))"))
+        .as(Seq("p", "h")))
+      val c = g.select(col("doc_id"), col("p"),
+        (col("h") * 1048576L + (lit(1048575L) - col("p"))).as("code"))
+      val ord = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+      val win = c.select(col("doc_id"), col("p"),
+        min(col("code")).over(ord.rowsBetween(0, w - 1)).as("mc"),
+        max(col("p")).over(Window.partitionBy(col("doc_id"))).as("mp"))
+      win.where(col("p") <= col("mp") - (w - 1))
+        .select(col("doc_id"), (lit(1048575L) - col("mc") % 1048576L).as("pos"),
+          expr("mc div 1048576").as("h"))
+        .distinct()
+        .orderBy(col("doc_id"), col("pos"))
+    }
+  }
+
+  /** Code-vs-prose detection — the pretraining-router sibling of
+    * [[textLangId]]: structural-symbol density ({}();=<>[]), digit
+    * density, and programming-keyword hits decide whether a document
+    * routes to the code pipeline (different tokenizer, different
+    * quality rules) or the prose one. The synthetic corpus is prose,
+    * so the gate pins the all-negative band; DedupOpsSpec plants a
+    * real code snippet to prove each signal fires.
+    *
+    * Determinism: counts are exact length differences / match counts;
+    * the two densities are single divisions of exact ints, round-6.
+    * Map-only over documents — one scan, no shuffle (the orderBy is
+    * the gate's determinism requirement, not part of the operator).
+    */
+  val textCodeDetect: QueryDef = QueryDef.sql("text_code_detect",
+    """SELECT doc_id,
+      |  CAST(length(text) - length(regexp_replace(text, '[{}();=<>\[\]]', '', 'g')) AS BIGINT) AS n_sym,
+      |  CAST(len(regexp_extract_all(text, 'def |class |return |import |function |void |#include')) AS BIGINT) AS kw_hits,
+      |  round(CAST(length(text) - length(regexp_replace(text, '[{}();=<>\[\]]', '', 'g')) AS DOUBLE)
+      |        / nullif(length(text), 0), 6) AS r_sym,
+      |  round(CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE)
+      |        / nullif(length(text), 0), 6) AS r_digit,
+      |  CAST(CASE WHEN (length(text) - length(regexp_replace(text, '[{}();=<>\[\]]', '', 'g'))) * 1.0
+      |                  / nullif(length(text), 0) >= 0.03
+      |             OR len(regexp_extract_all(text, 'def |class |return |import |function |void |#include')) >= 2
+      |       THEN 1 ELSE 0 END AS BIGINT) AS is_code
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val symCnt = (length(col("text")) -
+      length(regexp_replace(col("text"), "[{}();=<>\\[\\]]", ""))).cast("long")
+    val digCnt = (length(col("text")) -
+      length(regexp_replace(col("text"), "[0-9]", ""))).cast("long")
+    val kwCnt = expr(
+      "size(regexp_extract_all(text, 'def |class |return |import |function |void |#include', 0))").cast("long")
+    Tables.documents(s, dir).select(col("doc_id"),
+        symCnt.as("n_sym"), kwCnt.as("kw_hits"),
+        round(symCnt.cast("double") / nullif(length(col("text")).cast("long"), lit(0L)), 6).as("r_sym"),
+        round(digCnt.cast("double") / nullif(length(col("text")).cast("long"), lit(0L)), 6).as("r_digit"),
+        when(symCnt * lit(1.0) / nullif(length(col("text")).cast("long"), lit(0L)) >= 0.03 ||
+          kwCnt >= 2, 1L).otherwise(0L).as("is_code"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(textTokenCount, textLangId, textQualityScore,
     textFingerprint, textRollingHash, textTopPerLang, textTopNgrams,
     sketchDistinctKmv, sketchDistinctHll, textPiiScrub, textRepetition, textEntropy,
     textGopherRules, textTfidfTop, sketchHeavyHitters, textInvertedIndex,
     textBm25, textPmi, textLmScore, textPerplexityBuckets, sketchQuantiles,
-    textZipf, sketchSetops, textKlDrift)
+    textZipf, sketchSetops, textKlDrift, textWinnowing, textCodeDetect)
 }

@@ -140,4 +140,47 @@ class DedupOpsSpec extends SparkSpec {
       assert(r.getAs[Double]("precision") > 0.0 && r.getAs[Double]("precision") <= 1.0)
     } finally spark.conf.set("spark.graft.dedup.shareSignatures", "true")
   }
+
+  test("text_winnowing: the w+k-1 guarantee — docs sharing a long run share a fingerprint") {
+    import spark.implicits._
+    // w=4, k=3: any shared run of >= 6 words must contribute at least one
+    // COMMON selected hash. Docs 1 and 2 share an 8-word run embedded in
+    // otherwise disjoint text; doc 3 is fully disjoint.
+    val shared = "quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon zeta"),
+      (2L, s"one two three four $shared five six seven"),
+      (3L, "red green blue cyan magenta yellow black white grey pink")).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("winnow").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val sel = graft.queries.TextQueries.textWinnowing.run(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = sel.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty, "shared 8-word run left no common fingerprint")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty && (byDoc(2L) & byDoc(3L)).isEmpty,
+      "disjoint doc shares a fingerprint — hash space too collided for the fixture")
+    // density: winnowing keeps a strict subset, and every doc keeps >= 1
+    sel.groupBy(_._1).foreach { case (d, rows) =>
+      val nPos = docs.where(col("doc_id") === d).head().getString(1).split(" ").length - 2
+      assert(rows.length >= 1 && rows.length < nPos, s"doc $d selected ${rows.length} of $nPos")
+      rows.foreach { case (_, pos, _) => assert(pos >= 0 && pos < nPos) }
+    }
+  }
+
+  test("text_code_detect: a planted code snippet fires both signals; prose stays negative") {
+    import spark.implicits._
+    val code = "def main(args): { int x = compute(1); return x; } " +
+      "import sys; class Foo { void run() { y = x[0] <= 3; } }"
+    val prose = "the quiet afternoon settled over the valley as the travellers " +
+      "walked toward the distant village and spoke of the harvest"
+    val docs = Seq((1L, code), (2L, prose)).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("codedetect").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.queries.TextQueries.textCodeDetect.run(spark, tmp)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(5))).toMap
+    val (sym, kw, isCode) = got(1L)
+    assert(sym > 10 && kw >= 2 && isCode === 1L, s"code doc signals: $sym, $kw, $isCode")
+    val (symP, kwP, isCodeP) = got(2L)
+    assert(symP === 0L && kwP === 0L && isCodeP === 0L, s"prose doc signals: $symP, $kwP, $isCodeP")
+  }
 }
