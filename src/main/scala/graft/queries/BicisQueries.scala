@@ -1311,6 +1311,67 @@ object BicisQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Per-user OLS trend of the daily-count series: slope (events/day),
+    * intercept and R² over the user's ACTIVE days, x = day − first day
+    * (small exact integers). The volume-trajectory screen beside
+    * series_cusum (abrupt regime change) and series_snaive_eval
+    * (rhythm): a steep |slope| with high R² marks users whose level is
+    * DRIFTING — the population a static profile model silently
+    * mispredicts first.
+    *
+    * Determinism: x and y are BIGINTs, so all five regression moments
+    * are exact; slope/intercept/R² are the same double expressions on
+    * identical inputs in both engines, round-6. Users need ≥ 14 active
+    * days and non-degenerate x/y variance (R²'s denominator).
+    *
+    * Shape at 100 TB: one (user, day) count — the event-sized
+    * exchange — then a per-user moment aggregate; closed-form math on
+    * the users-sized result. No window pass at all (the regression
+    * needs only sums, not order).
+    */
+  val seriesTrend: QueryDef = QueryDef.sql("series_trend",
+    """WITH c AS (SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |x AS (SELECT user_id, d - min(d) OVER (PARTITION BY user_id) AS x, y FROM c),
+      |m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |        CAST(sum(x * y) AS BIGINT) AS sxy,
+      |        CAST(sum(x * x) AS BIGINT) AS sxx,
+      |        CAST(sum(y * y) AS BIGINT) AS syy
+      |      FROM x GROUP BY 1)
+      |SELECT user_id, n AS n_days,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 6) AS slope,
+      |  round((sy - CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept,
+      |  round(CAST(n * sxy - sx * sy AS DOUBLE) * (n * sxy - sx * sy)
+      |        / ((n * sxx - sx * sx) * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+      |FROM m
+      |WHERE n >= 14 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.events(s, dir)
+      .groupBy(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("d"))
+      .agg(count(lit(1)).as("y"))
+    val x = c.select(col("user_id"),
+      (col("d") - min(col("d")).over(Window.partitionBy(col("user_id")))).as("x"), col("y"))
+    val m = x.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+    val num = (col("n") * col("sxy") - col("sx") * col("sy"))
+    val dx = (col("n") * col("sxx") - col("sx") * col("sx"))
+    val dy = (col("n") * col("syy") - col("sy") * col("sy"))
+    m.where(col("n") >= 14 && dx > 0 && dy > 0)
+      .select(col("user_id"), col("n").as("n_days"),
+        round(num.cast("double") / dx, 6).as("slope"),
+        round((col("sy") - num.cast("double") / dx * col("sx")) / col("n"), 6).as("intercept"),
+        round(num.cast("double") * num / (dx * dy.cast("double")), 6).as("r2"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     seriesWeekday, seriesHour, seriesMonth, seriesWeekdayReturns,
     seriesMonthReturns, seriesJoin, stationHourPivot,
@@ -1322,5 +1383,6 @@ object BicisQueries {
     streamingSessionizeReplay, streamingIntervalJoinReplay,
     streamingDedupReplay, streamingTumblingReplay, streamingSketchReplay,
     seriesCrossCorr, seriesCusum, seriesAcf, seriesSnaiveEval,
-    seriesM4Downsample, streamingRatelimitReplay)
+    seriesM4Downsample, streamingRatelimitReplay, seriesTrend)
+
 }

@@ -993,11 +993,69 @@ object RelationalQueries {
       .orderBy(col("decile"))
   }
 
+  /** Pairwise Welch's t-test over event-type groups on the `value`
+    * measure — the experiment-analysis primitive (unequal variances,
+    * unequal n): for every group pair, t = (m₁−m₂)/√(s₁²/n₁+s₂²/n₂)
+    * and the Welch–Satterthwaite df, flagged at |t| > 1.96. The
+    * data-pipeline use is drift triage: which feeds differ in level
+    * beyond noise before anyone retrains on the mix.
+    *
+    * Determinism: `value` is cast to DECIMAL(12,2) — bit-identical in
+    * both engines since the doubles carry 2 decimals — so Σx and Σx²
+    * are EXACT decimal sums (the assortativity exact-moments
+    * discipline, extended to a measure column); every derived double
+    * is then the same arithmetic on identical inputs, round-6.
+    *
+    * Shape at 100 TB: ONE map-side-combined 5-row moment rollup; the
+    * pairing is a self-join of a 5-row table. Nothing after the scan
+    * is event-sized.
+    */
+  val qAbTest: QueryDef = QueryDef.sql("q_ab_test",
+    """WITH m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      |    sum(CAST(value AS DECIMAL(12,2))) AS s,
+      |    sum(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS s2
+      |  FROM events GROUP BY 1),
+      |p AS (SELECT a.event_type AS g1, b.event_type AS g2,
+      |        a.n AS n1, b.n AS n2,
+      |        CAST(a.s AS DOUBLE) / a.n AS m1, CAST(b.s AS DOUBLE) / b.n AS m2,
+      |        (CAST(a.s2 AS DOUBLE) - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE) / a.n) / (a.n - 1) / a.n AS va,
+      |        (CAST(b.s2 AS DOUBLE) - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE) / b.n) / (b.n - 1) / b.n AS vb
+      |      FROM m a JOIN m b ON a.event_type < b.event_type)
+      |SELECT g1, g2, n1, n2, round(m1, 6) AS mean1, round(m2, 6) AS mean2,
+      |  round((m1 - m2) / sqrt(va + vb), 6) AS t_welch,
+      |  round((va + vb) * (va + vb) / (va * va / (n1 - 1) + vb * vb / (n2 - 1)), 6) AS df,
+      |  CAST(CASE WHEN abs((m1 - m2) / sqrt(va + vb)) > 1.96 THEN 1 ELSE 0 END AS BIGINT) AS significant
+      |FROM p ORDER BY g1, g2""".stripMargin) { (s, dir) =>
+    val v = col("value").cast("decimal(12,2)")
+    val m = Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(v).as("s"), sum(v * v).as("s2"))
+    val a = m.select(col("event_type").as("g1"), col("n").as("n1"),
+      col("s").as("sa"), col("s2").as("s2a"))
+    val b = m.select(col("event_type").as("g2"), col("n").as("n2"),
+      col("s").as("sb"), col("s2").as("s2b"))
+    val p = a.join(b, col("g1") < col("g2"))
+      .withColumn("m1", col("sa").cast("double") / col("n1"))
+      .withColumn("m2", col("sb").cast("double") / col("n2"))
+      .withColumn("va", (col("s2a").cast("double") -
+        col("sa").cast("double") * col("sa").cast("double") / col("n1")) / (col("n1") - 1) / col("n1"))
+      .withColumn("vb", (col("s2b").cast("double") -
+        col("sb").cast("double") * col("sb").cast("double") / col("n2")) / (col("n2") - 1) / col("n2"))
+    p.select(col("g1"), col("g2"), col("n1"), col("n2"),
+        round(col("m1"), 6).as("mean1"), round(col("m2"), 6).as("mean2"),
+        round((col("m1") - col("m2")) / sqrt(col("va") + col("vb")), 6).as("t_welch"),
+        round((col("va") + col("vb")) * (col("va") + col("vb")) /
+          (col("va") * col("va") / (col("n1") - 1) + col("vb") * col("vb") / (col("n2") - 1)), 6).as("df"),
+        when(abs((col("m1") - col("m2")) / sqrt(col("va") + col("vb"))) > 1.96, 1L)
+          .otherwise(0L).as("significant"))
+      .orderBy(col("g1"), col("g2"))
+  }
+
   val all: Seq[QueryDef] = Seq(q1Agg, qJoinAgg, qBroadcastJoin, qTopk,
     qWindowRank, qSetops, qRollup, qDistinctAgg, qSemiJoin, qAntiJoin,
     qAsofJoin, qPercentileStats, qCube, qRunningSum, qRangeJoin,
     qProfileStats, qAboveAvg, qSaltedCount, qSqlTpch6, qUnpivot,
     qGroupingSets, qCorrSubquery, qFullOuter, qBloomPrune, qGapFill,
     qChangelogCompact, qSkyline, qSnapshotDiff, qHistogram,
-    qSkewAudit, qIvmMerge, qDecileProfile)
+    qSkewAudit, qIvmMerge, qDecileProfile, qAbTest)
 }

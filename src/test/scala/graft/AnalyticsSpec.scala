@@ -352,6 +352,39 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q_ab_test: planted shifted groups score Welch t = -6 and df = 8 exactly") {
+    import spark.implicits._
+    // both groups have variance 2.5 over n=5; means 10 vs 16 ->
+    // t = -6/sqrt(0.5+0.5) = -6, Welch df = 1/( (0.5)^2/4 * 2 ) = 8
+    var id = 0L
+    def g(name: String, vals: Seq[Double]) = vals.map { v =>
+      id += 1; (id, ts("2024-01-01 10:00:00"), 1L, name, v)
+    }
+    val rows = g("alpha", Seq(8.0, 9.0, 10.0, 11.0, 12.0)) ++
+      g("beta", Seq(14.0, 15.0, 16.0, 17.0, 18.0))
+    val tmp = java.nio.file.Files.createTempDirectory("abtest").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = graft.queries.RelationalQueries.qAbTest.run(spark, tmp).head()
+    assert(r.getString(0) === "alpha" && r.getString(1) === "beta")
+    assert(r.getDouble(6) === -6.0, s"t was ${r.getDouble(6)}")
+    assert(r.getDouble(7) === 8.0, s"df was ${r.getDouble(7)}")
+    assert(r.getLong(8) === 1L, "shift of 6 pooled sd must flag significant")
+  }
+
+  test("series_trend: a perfect linear ramp fits slope 1 / R2 1; a constant user is filtered") {
+    var id = 0L
+    val rows = (for {
+      (user, countOf) <- Seq(1L -> ((d: Int) => d + 1), 2L -> ((_: Int) => 3))
+      d <- 0 until 20
+      _ <- 1 to countOf(d)
+    } yield { id += 1; (id, ts(f"2024-01-${d + 1}%02d 12:00:00"), user, "click") })
+    val got = run(graft.queries.BicisQueries.seriesTrend, rows)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq === Seq((1L, 1.0, 1.0, 1.0)),
+      s"constant user must drop (zero y-variance), ramp fits exactly: $got")
+  }
+
   test("series_acf core: planted period-2 rhythm scores -1/+1 exactly; a flat series is NULL") {
     import spark.implicits._
     // alternating 0,4,0,4,... over 11 days: lag-1 pairs are perfectly
