@@ -122,7 +122,9 @@ class PlanSpec extends SparkSpec {
       // one-row mean-weight scalar broadcast into the ≤|N|² edge list
       "graph_reciprocity",
       // two one-row Σscore/count scalars broadcast into the vertex rows
-      "graph_hits")
+      "graph_hits",
+      // 5-row moment rollup theta-self-joined into 10 pair rows
+      "q_ab_test")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>
