@@ -1550,8 +1550,12 @@ object EmbedQueries {
         .select(col("vec_id").as("nid"), col("v").as("cv"))
       val pairs = c.crossJoin(broadcast(q))
         .withColumn("sim", Similarity.cosine("qv", "cv"))
+      // queries×20 rows by construction: collapse to ONE partition so the
+      // 4 greedy step-jobs run single-task instead of shuffling 32
+      // near-empty partitions per step (measured 3.6 s -> ~1.5 s at sf0.1)
       val cand = Similarity.topK(pairs, kCand)
         .select(col("qid"), col("nid"), col("cv"), col("sim").as("rel"), col("rnk"))
+        .coalesce(1)
         .localCheckpoint(eager = true)
       var sel = cand.where(col("rnk") === 1)
         .select(col("qid"), col("nid"), col("cv"), col("rel"),

@@ -1101,30 +1101,32 @@ object GraphQueries {
       |  round(sum(CASE WHEN wr IS NULL THEN 0 ELSE least(w, wr) END) * 1.0
       |        / sum(w), 6) AS w_reciprocity
       |FROM j""".stripMargin) { (s, dir) =>
-    val (out, e0) = reciprocityFrames(s, dir)
-    val rows = out.localCheckpoint(true)
-    e0.unpersist(false)
-    rows
+    val (out, _) = reciprocityFrames(s, dir) // edge list stays memoized
+    out.localCheckpoint(true)
   }
 
   /** (above-mean directed nation-trade edges, cached weighted edge
     * list) — the shared construction behind [[graphReciprocity]] and
-    * [[graphScc]]. Caller must unpersist the second frame when done.
+    * [[graphScc]]. The weighted edge list rides the session memo
+    * (kind "nation", same lifecycle as [[packedTradePairs]]): the
+    * lineitem ⋈ orders ⋈ dims resolution — the whole family's cost —
+    * runs once per (session, dir). Callers must NOT unpersist it.
     */
   private[graft] def nationEdgeFrames(s: org.apache.spark.sql.SparkSession,
                                       dir: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
-    val e0 = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
-      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
-        col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(s, dir)
-        .select(col("c_custkey"), col("c_nationkey").as("src"))),
-        col("o_custkey") === col("c_custkey"))
-      .join(broadcast(Tables.supplier(s, dir)
-        .select(col("s_suppkey"), col("s_nationkey").as("dst"))),
-        col("l_suppkey") === col("s_suppkey"))
-      .where(col("src") =!= col("dst"))
-      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e0 = memoized(s, dir, "nation") {
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey").as("src"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_nationkey").as("dst"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .where(col("src") =!= col("dst"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    }
     val mean = e0.agg((sum(col("w")) * lit(1.0) / count(lit(1))).as("mw"))
     val e = e0.crossJoin(broadcast(mean)).where(col("w") > col("mw"))
       .select(col("src"), col("dst"), col("w"))
@@ -1229,16 +1231,20 @@ object GraphQueries {
       .select(col("node"), lit(1.0).as("h"))
     var a: org.apache.spark.sql.DataFrame = null
     for (_ <- 1 to iters) {
+      // a stays UN-checkpointed: its join+agg runs inside h's broadcast
+      // build, so each round is ONE job (two joins, two aggs) instead of
+      // two — half the barrier count of the checkpoint-both form
       a = pairs.join(broadcast(h), col("node") === col("c"))
         .groupBy(col("s")).agg(sum(col("h")).as("a"))
         .select(col("s").as("node"), col("a"))
-        .localCheckpoint(eager = true)
       h = pairs.join(broadcast(a), col("node") === col("s"))
         .groupBy(col("c")).agg(sum(col("a")).as("h"))
         .select(col("c").as("node"), col("h"))
         .localCheckpoint(eager = true)
     }
-    (a, h)
+    // the final authorities feed two consumers (Σ/count and the output
+    // rows) — materialize once
+    (a.localCheckpoint(eager = true), h)
   }
 
   /** Strongly connected components of the above-mean nation-trade
@@ -1280,12 +1286,10 @@ object GraphQueries {
          |sz AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS scc_size FROM scc GROUP BY 1)
          |SELECT v AS nationkey, scc_id, scc_size
          |FROM scc JOIN sz USING (scc_id) ORDER BY v""".stripMargin) { (s, dir) =>
-      val (e, e0) = nationEdgeFrames(s, dir)
-      val rows = sccComponents(e.select(col("src"), col("dst")), doublings)
+      val (e, _) = nationEdgeFrames(s, dir) // edge list stays memoized
+      sccComponents(e.select(col("src"), col("dst")), doublings)
         .select(col("v").as("nationkey"), col("scc_id"), col("scc_size"))
         .orderBy(col("nationkey")).localCheckpoint(eager = true)
-      e0.unpersist(false)
-      rows
     }
   }
 

@@ -403,14 +403,14 @@ class PlanSpec extends SparkSpec {
   }
 
   test("graph_reciprocity broadcasts both dims and the reverse-edge side") {
-    val (df, e0) = graft.queries.GraphQueries.reciprocityFrames(spark, dir)
+    val (df, _) = graft.queries.GraphQueries.reciprocityFrames(spark, dir)
     val p = df.queryExecution.executedPlan.toString
     // customer + supplier dims and the ≤|N|² reverse edge list all ride
     // broadcasts; the only shuffle joins are the fact-table resolution
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
       s"expected ≥3 broadcast joins in:\n$p")
     assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
-    e0.unpersist(true)
+    // e0 rides the session memo now — do NOT unpersist it here
   }
 
   test("q_skew_audit: top-10 heads are TakeOrdered limits, never a global sort of the key rollup") {
