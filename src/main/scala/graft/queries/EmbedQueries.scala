@@ -1581,11 +1581,73 @@ object EmbedQueries {
     }
   }
 
+  /** Embedding drift monitor: per label, the centroid of the FIRST half
+    * of the corpus (vec_id ≤ mid — id order is the arrival/time proxy)
+    * vs the SECOND half — Euclidean shift ‖c_a − c_b‖ and centroid
+    * cosine. The embedding-space analog of text_kl_drift: a re-embedded
+    * or re-crawled feed whose class centroids move invalidates cached
+    * ANN indexes and nearest-centroid routers before any accuracy
+    * metric notices. Per-dim centroid components are rounded to 6 like
+    * embed_kmeans' update step, collapsing both engines' different
+    * avg() summation orders to identical inputs for the distance fold.
+    *
+    * Shape at 100 TB: one long-form (half, label, i) average — the
+    * exploded scan is the only corpus-sized stage, map-side combined to
+    * ≤ 2·labels·dim rows — then label-keyed joins on the tiny centroid
+    * table. Same execution class as embed_centroids.
+    */
+  val embedCentroidShift: QueryDef = QueryDef.sql("embed_centroid_shift",
+    s"""WITH $duckVectors,
+       |md AS (SELECT (min(vec_id) + max(vec_id)) // 2 AS m FROM v),
+       |e AS (SELECT CASE WHEN vec_id <= (SELECT m FROM md) THEN 'a' ELSE 'b' END AS half,
+       |        label, i, v[i] AS x FROM v, range(1, 65) r(i)),
+       |cent AS (SELECT half, label, i, round(avg(x), 6) AS c FROM e GROUP BY 1, 2, 3),
+       |n AS (SELECT CASE WHEN vec_id <= (SELECT m FROM md) THEN 'a' ELSE 'b' END AS half,
+       |        label, CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1, 2),
+       |j AS (SELECT a.label, a.i, a.c AS ca, b.c AS cb
+       |      FROM cent a JOIN cent b ON b.label = a.label AND b.i = a.i
+       |      WHERE a.half = 'a' AND b.half = 'b'),
+       |d AS (SELECT label, sqrt(sum((ca - cb) * (ca - cb))) AS shift,
+       |        sum(ca * cb) / (sqrt(sum(ca * ca)) * sqrt(sum(cb * cb))) AS cs
+       |      FROM j GROUP BY label)
+       |SELECT d.label, na.n AS n_a, nb.n AS n_b,
+       |  round(shift, 6) AS shift, round(cs, 6) AS cos_sim
+       |FROM d
+       |JOIN n na ON na.label = d.label AND na.half = 'a'
+       |JOIN n nb ON nb.label = d.label AND nb.half = 'b'
+       |ORDER BY d.label""".stripMargin) { (s, dir) =>
+    val v = Similarity.vectors(Tables.embeddings(s, dir))
+    val md = v.agg(((min(col("vec_id")) + max(col("vec_id"))) / 2).cast("long").as("m"))
+    val withHalf = v.crossJoin(broadcast(md))
+      .select(when(col("vec_id") <= col("m"), "a").otherwise("b").as("half"),
+        col("label"), col("v"))
+    val cent = withHalf
+      .select(col("half"), col("label"), posexplode(col("v")).as(Seq("i0", "x")))
+      .groupBy(col("half"), col("label"), (col("i0") + 1).as("i"))
+      .agg(round(avg(col("x")), 6).as("c"))
+    val n = withHalf.groupBy(col("half"), col("label")).agg(count(lit(1)).as("n"))
+    val j = cent.where(col("half") === "a")
+      .select(col("label"), col("i"), col("c").as("ca"))
+      .join(cent.where(col("half") === "b")
+        .select(col("label").as("lb"), col("i").as("ib"), col("c").as("cb")),
+        col("lb") === col("label") && col("ib") === col("i"))
+    val d = j.groupBy(col("label"))
+      .agg(sqrt(sum((col("ca") - col("cb")) * (col("ca") - col("cb")))).as("shift"),
+        (sum(col("ca") * col("cb")) /
+          (sqrt(sum(col("ca") * col("ca"))) * sqrt(sum(col("cb") * col("cb"))))).as("cs"))
+    d.join(n.where(col("half") === "a").select(col("label"), col("n").as("n_a")), "label")
+      .join(n.where(col("half") === "b").select(col("label"), col("n").as("n_b")), "label")
+      .select(col("label"), col("n_a"), col("n_b"),
+        round(col("shift"), 6).as("shift"), round(col("cs"), 6).as("cos_sim"))
+      .orderBy(col("label"))
+  }
+
   val all: Seq[QueryDef] = Seq(embedKnnBrute, embedKnnLsh, embedCentroids,
     multimodalMeta, multimodalFramesample, multimodalResize, embedNorms,
     embedKnnIvf, dedupEmbedCosine, dedupSemantic, embedQuantize, embedLshRecall,
     embedHyperplaneRecall, embedBandedRecall, embedKnnPq,
     embedMultiprobeRecall, embedPqRecall, embedKnnIvfPq, multimodalFeatures, embedHardNegatives,
     embedRandomProjection, embedKmeans, embedPca, embedOutliers,
-    embedMatryoshkaRecall, multimodalPhashDedup, embedDedupSweep, embedMmr)
+    embedMatryoshkaRecall, multimodalPhashDedup, embedDedupSweep, embedMmr,
+    embedCentroidShift)
 }

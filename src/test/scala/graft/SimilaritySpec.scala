@@ -362,4 +362,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 10L), (2L, 12L), (3L, 11L)),
       s"selection order was ${got.toSeq}")
   }
+
+  test("embed_centroid_shift: a planted 90-degree rotation scores shift sqrt(2) and cosine 0") {
+    import spark.implicits._
+    // mid = (0+11)/2 = 5: ids 0,1 land in half a at (1,0); ids 10,11 in
+    // half b at (0,1) -> centroid shift sqrt(2), centroid cosine 0
+    val rows = Seq(
+      (0L, Array(1.0f, 0.0f), 7),
+      (1L, Array(1.0f, 0.0f), 7),
+      (10L, Array(0.0f, 1.0f), 7),
+      (11L, Array(0.0f, 1.0f), 7))
+    val tmp = java.nio.file.Files.createTempDirectory("cshift").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val r = graft.queries.EmbedQueries.embedCentroidShift.run(spark, tmp).head()
+    assert((r.getInt(0), r.getLong(1), r.getLong(2)) === ((7, 2L, 2L)))
+    assert(r.getDouble(3) === 1.414214, s"shift was ${r.getDouble(3)}")
+    assert(r.getDouble(4) === 0.0, s"cos was ${r.getDouble(4)}")
+  }
 }
