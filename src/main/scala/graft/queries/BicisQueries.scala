@@ -1311,6 +1311,53 @@ object BicisQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Per-user burstiness of the inter-event gap process: B = (σ−μ)/(σ+μ)
+    * over microsecond gaps between consecutive events (Goh & Barabási
+    * 2008) — B → −1 is clockwork, 0 is Poisson, → 1 is bursty. The
+    * traffic-shape screen beside series_trend (level drift) and
+    * series_cusum (regime change): bursty keys are the ones whose
+    * rate-limit and session knobs actually bite, and a burstiness flip
+    * without a volume change is a bot-behavior signature volume
+    * monitors miss.
+    *
+    * Determinism: gaps are exact BIGINT microsecond differences over
+    * the total (ts, event_id) order, so n, Σg, Σg² are exact; σ uses
+    * the population form, one sqrt + one rounded division per user.
+    *
+    * Shape at 100 TB: one user-keyed window pass for the lag (the
+    * cusum exchange class), then a per-user moment aggregate on the
+    * same partitioning — Catalyst plans ONE exchange.
+    */
+  val seriesBurstiness: QueryDef = QueryDef.sql("series_burstiness",
+    """WITH g AS (SELECT user_id,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gp
+      |  FROM events),
+      |m AS (SELECT user_id, CAST(count(gp) AS BIGINT) AS n,
+      |        CAST(sum(gp) AS BIGINT) AS sg,
+      |        sum(CAST(gp AS DECIMAL(19,0)) * CAST(gp AS DECIMAL(19,0))) AS sg2
+      |      FROM g WHERE gp IS NOT NULL GROUP BY 1)
+      |SELECT user_id, n AS n_gaps,
+      |  round((sqrt((CAST(sg2 AS DOUBLE) - CAST(sg AS DOUBLE) * sg / n) / n) - CAST(sg AS DOUBLE) / n)
+      |        / (sqrt((CAST(sg2 AS DOUBLE) - CAST(sg AS DOUBLE) * sg / n) / n) + CAST(sg AS DOUBLE) / n), 6) AS burstiness
+      |FROM m WHERE n >= 20 AND sg > 0
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val g = Tables.events(s, dir).select(col("user_id"),
+      (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gp"))
+    val m = g.where(col("gp").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(col("gp")).as("n"), sum(col("gp")).as("sg"),
+        // µs gaps square past Long range — exact DECIMAL, like the money sums
+        sum(col("gp").cast("decimal(19,0)") * col("gp").cast("decimal(19,0)")).as("sg2"))
+    val sd = sqrt((col("sg2").cast("double") - col("sg").cast("double") * col("sg") / col("n")) / col("n"))
+    m.where(col("n") >= 20 && col("sg") > 0)
+      .select(col("user_id"), col("n").as("n_gaps"),
+        round((sd - col("sg").cast("double") / col("n")) /
+          (sd + col("sg").cast("double") / col("n")), 6).as("burstiness"))
+      .orderBy(col("user_id"))
+  }
+
   /** Per-user OLS trend of the daily-count series: slope (events/day),
     * intercept and R² over the user's ACTIVE days, x = day − first day
     * (small exact integers). The volume-trajectory screen beside
@@ -1383,6 +1430,7 @@ object BicisQueries {
     streamingSessionizeReplay, streamingIntervalJoinReplay,
     streamingDedupReplay, streamingTumblingReplay, streamingSketchReplay,
     seriesCrossCorr, seriesCusum, seriesAcf, seriesSnaiveEval,
-    seriesM4Downsample, streamingRatelimitReplay, seriesTrend)
+    seriesM4Downsample, streamingRatelimitReplay, seriesTrend,
+    seriesBurstiness)
 
 }

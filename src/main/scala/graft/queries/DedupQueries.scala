@@ -998,9 +998,53 @@ object DedupQueries {
       .orderBy(col("source"))
   }
 
+  /** Edit-distance (Levenshtein) near-dup tier over the normalized
+    * 32-char document head — the record-linkage measure the set-based
+    * tiers can't express (Jaccard/MinHash see token SETS; edit distance
+    * sees typo-class character churn: OCR noise, title variants,
+    * truncated re-posts). Candidates come from standard BLOCKING
+    * (Fellegi–Sunter practice): equal 8-char normalized prefix — an
+    * equi-join, never all-pairs — then the exact DP verify
+    * `levenshtein(ka, kb) <= 4` on candidates only. The documented
+    * tradeoff: an edit inside the first 8 chars escapes the block
+    * (recall loss the same way SNM's sort key misses lead edits);
+    * production stacks a second blocking pass (e.g. suffix or simhash
+    * band) exactly like the LSH band family here stacks bands.
+    *
+    * Determinism: levenshtein is an exact integer DP with identical
+    * unit costs in both engines; pairs order by (i, j). The synthetic
+    * corpus yields few/no sub-threshold pairs — DedupOpsSpec plants
+    * typo twins to prove the verify bites.
+    *
+    * Shape at 100 TB: one 40-byte-key rollup per doc, a block-keyed
+    * self-join whose output is Σ block² (bounded by blocking
+    * selectivity, monitored via q_skew_audit's same census math), and
+    * a per-pair O(32²) verify — the PPJoin/SNM execution class.
+    */
+  val dedupEditDistance: QueryDef = QueryDef.sql("dedup_edit_distance",
+    """WITH k AS (SELECT doc_id,
+      |    substr(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')), 1, 32) AS hd
+      |  FROM documents),
+      |p AS (SELECT a.doc_id AS i, b.doc_id AS j,
+      |        CAST(levenshtein(a.hd, b.hd) AS BIGINT) AS d
+      |      FROM k a JOIN k b
+      |        ON substr(a.hd, 1, 8) = substr(b.hd, 1, 8) AND a.doc_id < b.doc_id)
+      |SELECT i, j, d FROM p WHERE d <= 4 ORDER BY i, j""".stripMargin) { (s, dir) =>
+    val k = Tables.documents(s, dir).select(col("doc_id"),
+      substring(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")), 1, 32).as("hd"))
+    val a = k.select(col("doc_id").as("i"), col("hd").as("ka"),
+      substring(col("hd"), 1, 8).as("blk"))
+    val b = k.select(col("doc_id").as("j"), col("hd").as("kb"),
+      substring(col("hd"), 1, 8).as("blk"))
+    a.join(b, Seq("blk")).where(col("i") < col("j"))
+      .select(col("i"), col("j"), levenshtein(col("ka"), col("kb")).cast("long").as("d"))
+      .where(col("d") <= 4)
+      .orderBy(col("i"), col("j"))
+  }
+
   val all: Seq[QueryDef] = Seq(dedupExact, dedupNgramJaccard, dedupMinhashLsh,
     dedupSimhash, dedupClusters, dedupSurvivors, dedupBestSurvivor,
     dedupDecontaminate, streamingDecontaminateReplay, dedupIncremental, dedupSubstring, dedupLines,
     dedupSortedNeighborhood, dedupContainment, dedupLshRecall,
-    dedupClusterStats, mlClusterSplit, mlDedupRateBySource)
+    dedupClusterStats, mlClusterSplit, mlDedupRateBySource, dedupEditDistance)
 }

@@ -385,6 +385,27 @@ class AnalyticsSpec extends SparkSpec {
       s"constant user must drop (zero y-variance), ramp fits exactly: $got")
   }
 
+  test("series_burstiness: clockwork gaps score -1; alternating near-zero/huge gaps approach 0") {
+    var id = 0L
+    def user(uid: Long, gapsSec: Seq[Int]) = {
+      var t = java.time.LocalDateTime.of(2024, 1, 1, 0, 0, 0)
+      (Seq(t) ++ gapsSec.map { g => t = t.plusSeconds(g); t }).map { ts0 =>
+        id += 1
+        (id, java.sql.Timestamp.valueOf(ts0), uid, "click")
+      }
+    }
+    // user 1: 21 exactly-hourly gaps -> sigma 0 -> B = -1 (round-6 absorbs
+    // the ~1e-8 float residue of the big-magnitude moment difference);
+    // user 2: alternating 1 s / 3599 s -> sigma ~ mu, B near the Poisson 0
+    // (the 11/10 gap-count imbalance lands it a hair above)
+    val rows = user(1L, Seq.fill(21)(3600)) ++
+      user(2L, (1 to 21).map(i => if (i % 2 == 1) 1 else 3599))
+    val got = run(graft.queries.BicisQueries.seriesBurstiness, rows)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) === -1.0, s"clockwork user scored ${got(1L)}")
+    assert(math.abs(got(2L)) < 0.1, s"alternating user scored ${got(2L)}, expected near 0")
+  }
+
   test("series_acf core: planted period-2 rhythm scores -1/+1 exactly; a flat series is NULL") {
     import spark.implicits._
     // alternating 0,4,0,4,... over 11 days: lag-1 pairs are perfectly

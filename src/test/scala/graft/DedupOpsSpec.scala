@@ -167,6 +167,23 @@ class DedupOpsSpec extends SparkSpec {
     }
   }
 
+  test("dedup_edit_distance: typo twins pair within the block; lead-edits escape it; far pairs verify out") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (1L, base),
+      (2L, "the quick brewn fox jumps over the lazy dog"),  // 1 edit past char 8 -> pairs with 1
+      (3L, "xhe quick brown fox jumps over the lazy dog"),  // lead edit: different block, escapes
+      (4L, "the quick aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa")      // same block, d >> 4 -> verified out
+    ).toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("editdist").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.queries.DedupQueries.dedupEditDistance.run(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 2L, 1L)),
+      s"expected exactly the typo twin at distance 1, got ${got.toSeq}")
+  }
+
   test("text_code_detect: a planted code snippet fires both signals; prose stays negative") {
     import spark.implicits._
     val code = "def main(args): { int x = compute(1); return x; } " +
