@@ -124,7 +124,9 @@ class PlanSpec extends SparkSpec {
       // two one-row Σscore/count scalars broadcast into the vertex rows
       "graph_hits",
       // 5-row moment rollup theta-self-joined into 10 pair rows
-      "q_ab_test")
+      "q_ab_test",
+      // one-row corpus-midpoint scalar broadcast into the half split
+      "embed_centroid_shift")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>
