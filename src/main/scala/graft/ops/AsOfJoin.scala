@@ -78,4 +78,46 @@ object AsOfJoin {
       .select(leftCols.map(col) ++ Seq(col("__asof.__ts0").as("asof_ts")) ++
         carry.map(c => col(s"__asof.$c").as(s"asof_$c")): _*)
   }
+
+  /** The NATIVE formulation: same semantics and output schema as
+    * [[asofJoin]], executed by the custom physical operator
+    * (graft.plans.AsOfJoinExec — two thin per-side exchanges + sorted
+    * two-pointer merge, instead of one fat padded-union exchange + a
+    * window carry; see the plan file's scaladoc for the 100 TB bytes
+    * argument). Installs the planner strategy on the session lazily.
+    * Both ts columns must be TIMESTAMP.
+    */
+  def asofJoinNative(left: DataFrame, leftKey: String, leftTs: String,
+                     right: DataFrame, rightKey: String, rightTs: String,
+                     carry: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.GraftColumns
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val spark = left.sparkSession
+    GraftColumns.installStrategy(spark, graft.plans.AsOfJoinStrategy)
+    // Re-alias both inputs so the attributes this node anchors to carry
+    // FRESH, non-conflicting exprIds. Without this, two sides scanning
+    // the same base table share attribute ids; the analyzer's
+    // DeduplicateRelations rewrites the right SUBTREE's ids but cannot
+    // rewrite a custom node's captured key/ts/carry fields, leaving
+    // them dangling (column pruning then drops the "unreferenced" key
+    // and execution fails to bind). Alias outputs are fresh ids the
+    // dedup pass never needs to touch.
+    val lf = left.select(left.columns.toIndexedSeq.map(c => col(c).as(c)): _*)
+    val rf = right.select(right.columns.toIndexedSeq.map(c => col(c).as(c)): _*)
+    val la = lf.queryExecution.analyzed
+    val ra = rf.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"asofJoinNative: no column '$n' in ${p.output.map(_.name)}"))
+    val rts = attr(ra, rightTs)
+    require(rts.dataType == org.apache.spark.sql.types.TimestampType &&
+      attr(la, leftTs).dataType == org.apache.spark.sql.types.TimestampType,
+      "asofJoinNative: both ts columns must be TIMESTAMP")
+    val carryAttrs = carry.map(c => attr(ra, c))
+    val matched = AttributeReference("asof_ts", rts.dataType, nullable = true)() +:
+      carryAttrs.map(a => AttributeReference(s"asof_${a.name}", a.dataType, nullable = true)())
+    GraftColumns.ofRows(spark, graft.plans.AsOfJoinPlan(
+      la, ra, attr(la, leftKey), attr(la, leftTs), attr(ra, rightKey), rts,
+      carryAttrs, matched))
+  }
 }

@@ -1051,11 +1051,39 @@ object RelationalQueries {
       .orderBy(col("g1"), col("g2"))
   }
 
+  /** The SAME as-of semantics as q_asof_join, executed by the CUSTOM
+    * PHYSICAL OPERATOR (graft.plans.AsOfJoinExec: logical node +
+    * planner strategy + two-pointer merge exec — the §7.4 tier-(c)
+    * whole-operator extension). Identical oracle, so the gate proves
+    * the exec path row-for-row against DuckDB's native ASOF JOIN;
+    * AsOfJoinSpec additionally pins native ≡ composed on edge
+    * fixtures and asserts AsOfJoinExec actually planned (no silent
+    * fallback to the window form).
+    */
+  val qAsofJoinNative: QueryDef = QueryDef.sql("q_asof_join_native",
+    """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts AS rts, max(value) AS rvalue
+      |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT c.event_id, p.rts AS asof_ts, p.rvalue AS asof_rvalue
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.rts <= c.ts
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("rts"))
+      .agg(max(col("value")).as("rvalue"))
+    graft.ops.AsOfJoin.asofJoinNative(clicks, "user_id", "ts",
+        purchases, "user_id", "rts", Seq("rvalue"))
+      .select(col("event_id"), col("asof_ts"), col("asof_rvalue"))
+      .orderBy(col("event_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(q1Agg, qJoinAgg, qBroadcastJoin, qTopk,
     qWindowRank, qSetops, qRollup, qDistinctAgg, qSemiJoin, qAntiJoin,
     qAsofJoin, qPercentileStats, qCube, qRunningSum, qRangeJoin,
     qProfileStats, qAboveAvg, qSaltedCount, qSqlTpch6, qUnpivot,
     qGroupingSets, qCorrSubquery, qFullOuter, qBloomPrune, qGapFill,
     qChangelogCompact, qSkyline, qSnapshotDiff, qHistogram,
-    qSkewAudit, qIvmMerge, qDecileProfile, qAbTest)
+    qSkewAudit, qIvmMerge, qDecileProfile, qAbTest, qAsofJoinNative)
 }

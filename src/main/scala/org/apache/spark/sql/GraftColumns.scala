@@ -26,4 +26,23 @@ object GraftColumns {
     * expression, for use as a child of a native expression.
     */
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Wrap a custom LogicalPlan (e.g. graft.plans.AsOfJoinPlan) as a
+    * DataFrame — the plan-level sibling of [[column]]: Spark 4 scopes
+    * `Dataset.ofRows` private[sql], so a library shipping its own
+    * logical operators needs this one-line delegate.
+    */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Idempotently install a planner strategy on the session
+    * (`experimental.extraStrategies` lives on the classic session).
+    */
+  def installStrategy(spark: SparkSession,
+                      strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    if (!cs.experimental.extraStrategies.contains(strategy))
+      cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ strategy
+  }
 }

@@ -1,9 +1,19 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.ops.AsOfJoin
 
+/** Semantics fixtures run against BOTH as-of formulations — the
+  * composed union-and-window form and the native physical operator
+  * (graft.plans.AsOfJoinExec) — so the two can never silently drift.
+  */
 class AsOfJoinSpec extends SparkSpec {
+
+  private type Impl = (DataFrame, String, String, DataFrame, String, String, Seq[String]) => DataFrame
+  private val impls: Seq[(String, Impl)] = Seq(
+    "composed" -> (AsOfJoin.asofJoin _),
+    "native" -> (AsOfJoin.asofJoinNative _))
 
   test("latest prior match, inclusive tie, and null for no-match") {
     import spark.implicits._
@@ -20,17 +30,18 @@ class AsOfJoinSpec extends SparkSpec {
       .toDF("user_id", "s", "rvalue")
       .withColumn("rts", to_timestamp(col("s"))).drop("s")
 
-    val out = AsOfJoin.asofJoin(left, "user_id", "ts", right, "user_id", "rts", Seq("rvalue"))
-      .orderBy("event_id")
-      .collect()
-      .map(r => (r.getLong(0), Option(r.getAs[java.sql.Timestamp]("asof_ts")).map(_.toString),
-        Option(r.getAs[java.lang.Double]("asof_rvalue")).map(_.toDouble)))
-
-    assert(out.toSeq === Seq(
-      (1L, None, None),
-      (2L, Some("2024-01-01 12:00:00.0"), Some(10.0)),
-      (3L, Some("2024-01-01 14:00:00.0"), Some(20.0)),
-      (4L, None, None)))
+    for ((name, impl) <- impls) {
+      val out = impl(left, "user_id", "ts", right, "user_id", "rts", Seq("rvalue"))
+        .orderBy("event_id")
+        .collect()
+        .map(r => (r.getLong(0), Option(r.getAs[java.sql.Timestamp]("asof_ts")).map(_.toString),
+          Option(r.getAs[java.lang.Double]("asof_rvalue")).map(_.toDouble)))
+      assert(out.toSeq === Seq(
+        (1L, None, None),
+        (2L, Some("2024-01-01 12:00:00.0"), Some(10.0)),
+        (3L, Some("2024-01-01 14:00:00.0"), Some(20.0)),
+        (4L, None, None)), s"impl $name")
+    }
   }
 
   test("null carried value does not fall back to a stale older right row") {
@@ -41,12 +52,15 @@ class AsOfJoinSpec extends SparkSpec {
       (7L, "2024-01-01 10:00:00", None: Option[Double]))
       .toDF("user_id", "s", "rvalue")
       .withColumn("rts", to_timestamp(col("s"))).drop("s")
-    val out = AsOfJoin.asofJoin(left, "user_id", "ts", right, "user_id", "rts", Seq("rvalue"))
-      .collect()(0)
-    // the 10:00 row is the as-of match; its NULL value must survive,
-    // not be replaced by the 09:00 row's 5.0
-    assert(out.getAs[java.sql.Timestamp]("asof_ts").toString === "2024-01-01 10:00:00.0")
-    assert(out.isNullAt(out.fieldIndex("asof_rvalue")))
+    for ((name, impl) <- impls) {
+      val out = impl(left, "user_id", "ts", right, "user_id", "rts", Seq("rvalue"))
+        .collect()(0)
+      // the 10:00 row is the as-of match; its NULL value must survive,
+      // not be replaced by the 09:00 row's 5.0
+      assert(out.getAs[java.sql.Timestamp]("asof_ts").toString === "2024-01-01 10:00:00.0",
+        s"impl $name")
+      assert(out.isNullAt(out.fieldIndex("asof_rvalue")), s"impl $name")
+    }
   }
 
   test("null right timestamps never match (NULL <= ts is never true)") {
@@ -57,10 +71,12 @@ class AsOfJoinSpec extends SparkSpec {
     val right = Seq((7L, Option.empty[String], 99.0))
       .toDF("user_id", "s", "rvalue")
       .withColumn("rts", to_timestamp(col("s"))).drop("s")
-    val out = AsOfJoin.asofJoin(left, "user_id", "ts", right, "user_id", "rts", Seq("rvalue"))
-      .collect()(0)
-    assert(out.isNullAt(out.fieldIndex("asof_ts")))
-    assert(out.isNullAt(out.fieldIndex("asof_rvalue")))
+    for ((name, impl) <- impls) {
+      val out = impl(left, "user_id", "ts", right, "user_id", "rts", Seq("rvalue"))
+        .collect()(0)
+      assert(out.isNullAt(out.fieldIndex("asof_ts")), s"impl $name")
+      assert(out.isNullAt(out.fieldIndex("asof_rvalue")), s"impl $name")
+    }
   }
 
   test("null keys never match (SQL equality semantics)") {
@@ -70,9 +86,52 @@ class AsOfJoinSpec extends SparkSpec {
     val right = Seq((Option.empty[Long], "2024-01-01 09:00:00", 5.0))
       .toDF("user_id", "s", "rvalue")
       .withColumn("rts", to_timestamp(col("s"))).drop("s")
-    val out = AsOfJoin.asofJoin(left, "user_id", "ts", right, "user_id", "rts", Seq("rvalue"))
-      .collect()(0)
-    assert(out.isNullAt(out.fieldIndex("asof_ts")))
-    assert(out.isNullAt(out.fieldIndex("asof_rvalue")))
+    for ((name, impl) <- impls) {
+      val out = impl(left, "user_id", "ts", right, "user_id", "rts", Seq("rvalue"))
+        .collect()(0)
+      assert(out.isNullAt(out.fieldIndex("asof_ts")), s"impl $name")
+      assert(out.isNullAt(out.fieldIndex("asof_rvalue")), s"impl $name")
+    }
+  }
+
+  test("native == composed on seeded random data (differential, multi-partition)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(404)
+    def ts0(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val left = (1 to 400).map(i =>
+      (i.toLong, rnd.nextInt(12).toLong, ts0(rnd.nextInt(500)))).toDF("event_id", "user_id", "ts")
+    val right = (1 to 150).map(_ =>
+      (rnd.nextInt(12).toLong, ts0(rnd.nextInt(500)), rnd.nextInt(1000).toDouble))
+      .toDF("user_id", "rts", "rvalue")
+      // the merge is undefined for duplicate (key, ts) right rows — dedup
+      .groupBy("user_id", "rts").agg(max("rvalue").as("rvalue"))
+    val a = AsOfJoin.asofJoin(left, "user_id", "ts", right, "user_id", "rts", Seq("rvalue"))
+      .orderBy("event_id").collect().map(_.toString).toSeq
+    val b = AsOfJoin.asofJoinNative(left, "user_id", "ts", right, "user_id", "rts", Seq("rvalue"))
+      .orderBy("event_id").collect().map(_.toString).toSeq
+    assert(a === b)
+  }
+
+  test("the native plan actually uses AsOfJoinExec: two thin exchanges, no union, no window") {
+    import spark.implicits._
+    val left = (1 to 50).map(i => (i.toLong, (i % 5).toLong,
+      new java.sql.Timestamp(1700000000000L + i * 1000L))).toDF("event_id", "user_id", "ts")
+    val right = (1 to 20).map(i => ((i % 5).toLong,
+      new java.sql.Timestamp(1700000000000L + i * 2500L), i.toDouble))
+      .toDF("user_id", "rts", "rvalue")
+    val df = AsOfJoin.asofJoinNative(left, "user_id", "ts", right, "user_id", "rts", Seq("rvalue"))
+    df.collect() // finalize AQE
+    val p = df.queryExecution.executedPlan.toString
+    // nodeName strips the Exec suffix; "!" would flag unresolved refs
+    assert(p.contains("AsOfJoin") && !p.contains("!AsOfJoin"),
+      s"native exec missing or invalid in:\n$p")
+    assert(!p.contains("Window") && !p.contains("Union"),
+      s"fell back to the composed union+window shape:\n$p")
+    // one hash exchange per side, keyed on the join key — the thin-shuffle
+    // contract (count the AQE FINAL plan only; the string repeats the
+    // initial plan below it)
+    val pf = p.split("== Initial Plan ==")(0)
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(pf).size === 2,
+      s"expected exactly two per-side exchanges in:\n$pf")
   }
 }
