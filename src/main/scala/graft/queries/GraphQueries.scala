@@ -1320,8 +1320,50 @@ object GraphQueries {
     scc.join(sz, "scc_id").select(col("v"), col("scc_id"), col("scc_size"))
   }
 
+  /** Power-law fit of the trade-graph degree distribution: OLS of
+    * ln(#nodes with degree d) against ln(d) over the degree histogram —
+    * the text_zipf of graphs. A crawl/link graph's health check: a
+    * near-linear log-log decay (slope ≈ −2..−3, high R²) is the
+    * scale-free signature; a hump or truncated tail flags a bot farm
+    * or a crawler trap flattening the distribution. Slope/R² via the
+    * same engine-native regr_* aggregates text_zipf pins, round-6 over
+    * exact integer histogram points.
+    *
+    * Shape at 100 TB: degrees are one rollup of the memoized pair
+    * table; the histogram collapses |V| rows to ≤ max-degree points
+    * (map-side combined) and the regression is a one-row aggregate of
+    * that tiny table.
+    */
+  val graphPowerlaw: QueryDef = QueryDef.sql("graph_powerlaw",
+    """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+      |        FROM (SELECT c AS n FROM e0 UNION ALL SELECT s FROM e0) GROUP BY n),
+      |h AS (SELECT d, CAST(count(*) AS BIGINT) AS cnt FROM deg GROUP BY d)
+      |SELECT CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+      |  CAST(count(*) AS BIGINT) AS n_points,
+      |  CAST(max(d) AS BIGINT) AS max_deg,
+      |  round(regr_slope(ln(cnt), ln(d)), 6) AS slope,
+      |  round(regr_r2(ln(cnt), ln(d)), 6) AS r2
+      |FROM h""".stripMargin) { (s, dir) =>
+    val pairs = packedTradePairs(s, dir)
+    val deg = pairs.select(col("c").as("n")).unionAll(pairs.select(col("s").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val h = deg.groupBy(col("d")).agg(count(lit(1)).as("cnt"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val fit = h.agg(count(lit(1)).as("n_points"), max(col("d")).as("max_deg"),
+      round(regr_slope(log(col("cnt")), log(col("d"))), 6).as("slope"),
+      round(regr_r2(log(col("cnt")), log(col("d"))), 6).as("r2"))
+    val rows = nNodes.crossJoin(fit)
+      .select(col("n_nodes"), col("n_points"), col("max_deg"), col("slope"), col("r2"))
+      .localCheckpoint(true)
+    deg.unpersist(false)
+    rows
+  }
+
   val all: Seq[QueryDef] = Seq(graphPagerank, graphTriangles, graphComponents,
     graphDegreeStats, graphLabelProp, graphJaccard, graphKcore, graphBfs,
     graphPpr, graphRandomWalk, graphModularity, graphClusteringCoeff,
-    graphAssortativity, graphReciprocity, graphHits, graphScc)
+    graphAssortativity, graphReciprocity, graphHits, graphScc, graphPowerlaw)
 }

@@ -1079,11 +1079,74 @@ object RelationalQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Chi-square independence test on the event_type × ISO-weekday
+    * contingency table — the categorical sibling of q_ab_test's
+    * mean test: does event mix depend on weekday? Emits the statistic,
+    * degrees of freedom, and Cramér's V effect size (the scale-free
+    * 0..1 association strength a dashboard thresholds on; chi² alone
+    * grows with n and flags everything at 100 TB).
+    *
+    * Determinism: observed counts and marginals are exact BIGINTs from
+    * ONE contingency rollup; each cell's (o−e)²/e is the same double
+    * arithmetic on identical exact inputs, summed over 35 cells —
+    * partition-order drift ~1e-12 of an O(1..100) statistic, round-6
+    * safe.
+    *
+    * Shape at 100 TB: one map-side-combined (type, weekday) count is
+    * the only event-sized stage; marginals roll up FROM it and join
+    * back broadcast; the statistic is a one-row aggregate.
+    */
+  val qChi2Independence: QueryDef = QueryDef.sql("q_chi2_independence",
+    """WITH o AS (SELECT event_type AS t, isodow(ts) AS d, CAST(count(*) AS BIGINT) AS o
+      |  FROM events GROUP BY 1, 2),
+      |rt AS (SELECT t, CAST(sum(o) AS BIGINT) AS rtot FROM o GROUP BY 1),
+      |ct AS (SELECT d, CAST(sum(o) AS BIGINT) AS ctot FROM o GROUP BY 1),
+      |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+      |cells AS (SELECT rt.t, ct.d, rt.rtot, ct.ctot, coalesce(o.o, 0) AS o
+      |          FROM rt CROSS JOIN ct LEFT JOIN o ON o.t = rt.t AND o.d = ct.d),
+      |x AS (SELECT sum((o - CAST(rtot AS DOUBLE) * ctot / (SELECT n FROM n))
+      |               * (o - CAST(rtot AS DOUBLE) * ctot / (SELECT n FROM n))
+      |               / (CAST(rtot AS DOUBLE) * ctot / (SELECT n FROM n))) AS chi2
+      |      FROM cells)
+      |SELECT (SELECT n FROM n) AS n,
+      |  CAST(((SELECT count(*) FROM rt) - 1) * ((SELECT count(*) FROM ct) - 1) AS BIGINT) AS dof,
+      |  round(chi2, 6) AS chi2,
+      |  round(sqrt(chi2 / ((SELECT n FROM n) *
+      |    least((SELECT count(*) FROM rt) - 1, (SELECT count(*) FROM ct) - 1))), 6) AS cramers_v
+      |FROM x""".stripMargin) { (s, dir) =>
+    val o = Tables.events(s, dir)
+      .groupBy(col("event_type").as("t"),
+        graft.core.TimeKeys.isoWeekday(col("ts")).as("d"))
+      .agg(count(lit(1)).as("o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rt = o.groupBy(col("t")).agg(sum(col("o")).as("rtot"))
+    val ct = o.groupBy(col("d")).agg(sum(col("o")).as("ctot"))
+    val n = o.agg(sum(col("o")).as("n"))
+    val dims = rt.agg(count(lit(1)).as("nr")).crossJoin(ct.agg(count(lit(1)).as("nc")))
+    val e = col("rtot").cast("double") * col("ctot") / col("n")
+    // DENSE the table: a structural-zero cell still contributes e to chi2
+    // (summing only observed cells halves the statistic on sparse tables)
+    val cells = rt.crossJoin(ct)
+      .join(o, Seq("t", "d"), "left")
+      .select(col("rtot"), col("ctot"), coalesce(col("o"), lit(0L)).as("o"))
+    val x = cells.crossJoin(broadcast(n))
+      .agg(sum((col("o") - e) * (col("o") - e) / e).as("chi2"), first(col("n")).as("n"))
+    val rows = x.crossJoin(broadcast(dims))
+      .select(col("n"),
+        ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
+        round(col("chi2"), 6).as("chi2"),
+        round(sqrt(col("chi2") / (col("n") * least(col("nr") - 1, col("nc") - 1))), 6).as("cramers_v"))
+      .localCheckpoint(true)
+    o.unpersist(false)
+    rows
+  }
+
   val all: Seq[QueryDef] = Seq(q1Agg, qJoinAgg, qBroadcastJoin, qTopk,
     qWindowRank, qSetops, qRollup, qDistinctAgg, qSemiJoin, qAntiJoin,
     qAsofJoin, qPercentileStats, qCube, qRunningSum, qRangeJoin,
     qProfileStats, qAboveAvg, qSaltedCount, qSqlTpch6, qUnpivot,
     qGroupingSets, qCorrSubquery, qFullOuter, qBloomPrune, qGapFill,
     qChangelogCompact, qSkyline, qSnapshotDiff, qHistogram,
-    qSkewAudit, qIvmMerge, qDecileProfile, qAbTest, qAsofJoinNative)
+    qSkewAudit, qIvmMerge, qDecileProfile, qAbTest, qAsofJoinNative,
+    qChi2Independence)
 }

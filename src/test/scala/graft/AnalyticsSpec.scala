@@ -406,6 +406,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(math.abs(got(2L)) < 0.1, s"alternating user scored ${got(2L)}, expected near 0")
   }
 
+  test("q_chi2_independence: perfect association scores Cramer's V = 1; a balanced table scores 0") {
+    var id = 0L
+    def ev(day: String, tpe: String, k: Int) = (1 to k).map { _ =>
+      id += 1; (id, ts(s"$day 10:00:00"), 1L, tpe)
+    }
+    // 2024-01-01 is a Monday, 01-02 a Tuesday
+    val dependent = ev("2024-01-01", "alpha", 10) ++ ev("2024-01-02", "beta", 10)
+    val r1 = run(graft.queries.RelationalQueries.qChi2Independence, dependent).head()
+    assert(r1.getLong(0) === 20L && r1.getLong(1) === 1L)
+    assert(r1.getDouble(2) === 20.0, s"chi2 was ${r1.getDouble(2)}")   // chi2 = n for a perfect 2x2
+    assert(r1.getDouble(3) === 1.0, s"V was ${r1.getDouble(3)}")
+    id = 0L
+    val balanced = ev("2024-01-01", "alpha", 5) ++ ev("2024-01-02", "alpha", 5) ++
+      ev("2024-01-01", "beta", 5) ++ ev("2024-01-02", "beta", 5)
+    val r2 = run(graft.queries.RelationalQueries.qChi2Independence, balanced).head()
+    assert(r2.getDouble(2) === 0.0 && r2.getDouble(3) === 0.0,
+      s"independent table scored chi2=${r2.getDouble(2)}, V=${r2.getDouble(3)}")
+  }
+
   test("series_acf core: planted period-2 rhythm scores -1/+1 exactly; a flat series is NULL") {
     import spark.implicits._
     // alternating 0,4,0,4,... over 11 days: lag-1 pairs are perfectly

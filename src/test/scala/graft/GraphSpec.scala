@@ -364,6 +364,15 @@ class GraphSpec extends SparkSpec {
       "radius-4 closure resolving an 8-ring means the horizon knob is dead")
   }
 
+  test("powerlaw: the trade graph's degree histogram fits a decaying log-log line") {
+    val r = graft.queries.GraphQueries.graphPowerlaw.run(spark, dir).head()
+    val (nNodes, nPoints, slope, r2) =
+      (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4))
+    assert(nNodes > 100 && nPoints >= 3, s"degenerate histogram: $nNodes nodes, $nPoints points")
+    assert(slope < 0.0, s"degree histogram must decay, slope was $slope")
+    assert(r2 > 0.0 && r2 <= 1.0, s"r2 out of range: $r2")
+  }
+
   test("hits: authorities and hubs match an in-memory mirror on a planted bipartite graph") {
     import spark.implicits._
     // hubs 10, 11; authorities 21, 22; 10 cites both, 11 cites only 21
