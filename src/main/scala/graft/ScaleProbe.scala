@@ -145,6 +145,40 @@ object ScaleProbe {
       println(f"[scaleprobe] docs=$n%6d kmeans_round_rows=$updated%5d wall=$ksecs%6.1f s")
       vecs.unpersist(false)
 
+      // asof leg: composed union+window vs the native AsOfJoinExec on
+      // the SAME synthetic feed — n left points and n/4 right quotes
+      // over n/100 keys, plus 6 fat left payload columns so the padded
+      // union's extra shuffled bytes are visible. Both sides computed
+      // to a count; equality asserted (differential at scale).
+      {
+        val keys = math.max(n / 100, 1)
+        val lhs = spark.range(n).select(col("id").as("event_id"),
+            pmod(col("id"), lit(keys)).as("user_id"),
+            timestamp_micros(lit(1700000000000000L) + col("id") * 1000000L).as("ts"),
+            col("id").as("p1"), (col("id") * 2).as("p2"), (col("id") * 3).as("p3"),
+            (col("id") * 5).as("p4"), (col("id") * 7).as("p5"), (col("id") * 11).as("p6"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val rhs = spark.range(n / 4).select(
+            pmod(col("id"), lit(keys)).as("user_id"),
+            timestamp_micros(lit(1700000000000000L) + col("id") * 3999999L).as("rts"),
+            (col("id") % 97).cast("double").as("rvalue"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        lhs.count(); rhs.count() // materialize inputs outside the timers
+        val t6 = System.nanoTime()
+        val cMatched = graft.ops.AsOfJoin
+          .asofJoin(lhs, "user_id", "ts", rhs, "user_id", "rts", Seq("rvalue"))
+          .where(col("asof_ts").isNotNull).count()
+        val cSecs = (System.nanoTime() - t6) / 1e9
+        val t7 = System.nanoTime()
+        val nMatched = graft.ops.AsOfJoin
+          .asofJoinNative(lhs, "user_id", "ts", rhs, "user_id", "rts", Seq("rvalue"))
+          .where(col("asof_ts").isNotNull).count()
+        val nSecs = (System.nanoTime() - t7) / 1e9
+        require(cMatched == nMatched, s"asof differential: composed=$cMatched native=$nMatched")
+        println(f"[scaleprobe] docs=$n%6d asof_matched=$cMatched%7d composed=$cSecs%6.1f s native=$nSecs%6.1f s")
+        lhs.unpersist(false); rhs.unpersist(false)
+      }
+
       // probe corpora are throwaway — don't leave 2 parquet copies per
       // size accumulating in /tmp across sweeps
       Seq(dir, dirF).foreach { d =>
