@@ -1141,6 +1141,84 @@ object RelationalQueries {
     rows
   }
 
+  /** TPC-H Q3 (shipping-priority) adapted to the synthetic schema
+    * (o_orderpriority for the absent o_shippriority): top-10 unshipped
+    * BUILDING orders by revenue as of the cutoff. Beside q_sql_tpch6's
+    * single-scan filter this is the classic selective-dim 3-way join +
+    * grouped top-k. Revenue is exact DECIMAL, so the top-10 ordering
+    * (revenue desc, l_orderkey) cannot straddle an ulp; the limit plans
+    * as TakeOrderedAndProject, never a global sort.
+    *
+    * Shape at 100 TB: the mktsegment filter prunes customers BEFORE the
+    * join (broadcast dim), the o_orderdate/l_shipdate predicates push
+    * to the fact scans, and the grouped top-k is per-partition heaps +
+    * a 10-row driver merge.
+    */
+  val qSqlTpch3: QueryDef = QueryDef.sql("q_sql_tpch3",
+    """SELECT l_orderkey,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  o_orderdate, o_orderpriority
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+    val cut = lit("1998-03-15 00:00:00").cast("timestamp")
+    Tables.lineitem(s, dir).where(col("l_shipdate") > cut)
+      .join(Tables.orders(s, dir).where(col("o_orderdate") < cut),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+        .where(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 (local-supplier volume): revenue per ASIA nation from
+    * orders where the customer and the line's supplier share the
+    * nation — the 6-table star-plus-theta classic, one year of orders.
+    * All dims broadcast; the c_nationkey = s_nationkey conjunct rides
+    * the hash join as a residual. Exact DECIMAL revenue; deterministic
+    * (revenue desc, n_name) order.
+    */
+  val qSqlTpch5: QueryDef = QueryDef.sql("q_sql_tpch5",
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir)
+          .where(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+    li.groupBy(col("n_name"))
+      .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   val all: Seq[QueryDef] = Seq(q1Agg, qJoinAgg, qBroadcastJoin, qTopk,
     qWindowRank, qSetops, qRollup, qDistinctAgg, qSemiJoin, qAntiJoin,
     qAsofJoin, qPercentileStats, qCube, qRunningSum, qRangeJoin,
@@ -1148,5 +1226,5 @@ object RelationalQueries {
     qGroupingSets, qCorrSubquery, qFullOuter, qBloomPrune, qGapFill,
     qChangelogCompact, qSkyline, qSnapshotDiff, qHistogram,
     qSkewAudit, qIvmMerge, qDecileProfile, qAbTest, qAsofJoinNative,
-    qChi2Independence)
+    qChi2Independence, qSqlTpch3, qSqlTpch5)
 }

@@ -415,6 +415,19 @@ class PlanSpec extends SparkSpec {
     // e0 rides the session memo now — do NOT unpersist it here
   }
 
+  test("tpch3/tpch5: date filters push to the fact scans, dims broadcast, top-k never global-sorts") {
+    val p3 = plan(RelationalQueries.qSqlTpch3)
+    assert(p3.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
+      s"l_shipdate not pushed in:\n$p3")
+    assert(p3.contains("TakeOrderedAndProject"), s"top-10 global-sorted in:\n$p3")
+    assert("BroadcastHashJoin".r.findAllIn(p3).size >= 1, s"customer dim not broadcast in:\n$p3")
+    val p5 = plan(RelationalQueries.qSqlTpch5)
+    assert("BroadcastHashJoin".r.findAllIn(p5).size >= 4,
+      s"expected >=4 broadcast dim joins in:\n$p5")
+    assert(!p5.contains("CartesianProduct") && !p5.contains("BroadcastNestedLoopJoin"),
+      s"row explosion in:\n$p5")
+  }
+
   test("q_skew_audit: top-10 heads are TakeOrdered limits, never a global sort of the key rollup") {
     val (df, cached) = RelationalQueries.skewAuditFrames(spark, dir)
     val p = df.queryExecution.executedPlan.toString
