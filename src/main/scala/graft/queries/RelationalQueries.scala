@@ -1219,6 +1219,84 @@ object RelationalQueries {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  /** MERGE INTO semantics (SQL:2003 / Delta-style upsert) as one
+    * full-outer join pass: a BASE snapshot (orders before the cut)
+    * absorbs a CHANGE SET (orders at/after the cut carrying op codes
+    * derived deterministically from o_orderstatus: F → D delete,
+    * P → U update re-pricing ×1.1, O → I insert). Matched+U rewrites
+    * the row, matched+D drops it, unmatched+I inserts, unmatched
+    * U/D are no-ops (upsert leniency), untouched base rows pass
+    * through — the CDC-APPLY operator that complements
+    * q_changelog_compact (latest-state OF a log) and q_scd2_history
+    * (versioned history): this one produces the NEXT SNAPSHOT.
+    * Emits the per-row action tag so the gate checks the decision,
+    * not just survivorship.
+    *
+    * Determinism: keys and statuses are exact; the one arithmetic
+    * (price×1.1) runs in DECIMAL (exact in both engines). Output
+    * orders by key.
+    *
+    * Shape at 100 TB: ONE full-outer hash join keyed on the snapshot
+    * key — the change set is daily-sized, so AQE broadcasts it and
+    * base partitions stream through untouched; nothing is rescanned
+    * twice (the same single-pass law q_ivm_merge proves for
+    * aggregates, here for row state).
+    */
+  val qMergeUpsert: QueryDef = {
+    val cut = "1997-01-01 00:00:00"
+    QueryDef.sql("q_merge_upsert",
+      s"""WITH base AS (SELECT o_orderkey, o_orderstatus, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+         |  FROM orders WHERE o_orderdate < TIMESTAMP '$cut'),
+         |chg AS (SELECT o_orderkey - 1 AS o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS cprice,
+         |    CASE o_orderstatus WHEN 'F' THEN 'D' WHEN 'P' THEN 'U' ELSE 'I' END AS op
+         |  FROM orders WHERE o_orderdate >= TIMESTAMP '$cut'),
+         |m AS (SELECT coalesce(base.o_orderkey, chg.o_orderkey) AS o_orderkey,
+         |        base.o_orderkey IS NOT NULL AS in_base, base.price, chg.cprice, chg.op
+         |      FROM base FULL OUTER JOIN chg ON base.o_orderkey = chg.o_orderkey),
+         |a AS (SELECT o_orderkey,
+         |    CASE WHEN in_base AND op = 'U' THEN 'updated'
+         |         WHEN in_base AND op IS NULL THEN 'kept'
+         |         WHEN NOT in_base AND op = 'I' THEN 'inserted' END AS action,
+         |    CAST(CASE WHEN in_base AND op = 'U' THEN cprice * CAST(1.1 AS DECIMAL(3,1))
+         |              WHEN in_base AND op IS NULL THEN price
+         |              ELSE cprice END AS DOUBLE) AS price
+         |  FROM m)
+         |SELECT o_orderkey, action, price FROM a
+         |WHERE action IS NOT NULL  -- matched-D, unmatched-U/D and colliding-I all fall out here
+         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+      val base = orders.where(col("o_orderdate") < lit(cut).cast("timestamp"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(12,2)").as("price"))
+      val chg = orders.where(col("o_orderdate") >= lit(cut).cast("timestamp"))
+        // key−1 remap: date-partitioned keys would never collide with the
+        // base otherwise, leaving every MATCHED branch dead on the corpus
+        .select((col("o_orderkey") - 1).as("ckey"),
+          col("o_totalprice").cast("decimal(12,2)").as("cprice"),
+          when(col("o_orderstatus") === "F", "D")
+            .when(col("o_orderstatus") === "P", "U").otherwise("I").as("op"))
+      val m = base.join(chg, col("o_orderkey") === col("ckey"), "full_outer")
+        .select(coalesce(col("o_orderkey"), col("ckey")).as("k"),
+          col("o_orderkey").isNotNull.as("in_base"),
+          col("price"), col("cprice"), col("op"))
+      // decide the action FIRST, then filter on it — a direct
+      // NOT(in_base AND op = 'D') WHERE would go NULL (not true) for
+      // every unmatched base row under three-valued logic and silently
+      // drop the whole 'kept' class; BOTH engines share that semantic,
+      // so only the planted spec (not the hash gate) can catch it
+      m.select(col("k").as("o_orderkey"),
+          when(col("in_base") && col("op") === "U", "updated")
+            .when(col("in_base") && col("op").isNull, "kept")
+            .when(!col("in_base") && col("op") === "I", "inserted").as("action"),
+          when(col("in_base") && col("op") === "U",
+              col("cprice") * lit("1.1").cast("decimal(3,1)"))
+            .when(col("in_base") && col("op").isNull, col("price"))
+            .otherwise(col("cprice")).cast("double").as("price"))
+        .where(col("action").isNotNull)
+        .orderBy(col("o_orderkey"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(q1Agg, qJoinAgg, qBroadcastJoin, qTopk,
     qWindowRank, qSetops, qRollup, qDistinctAgg, qSemiJoin, qAntiJoin,
     qAsofJoin, qPercentileStats, qCube, qRunningSum, qRangeJoin,
@@ -1226,5 +1304,5 @@ object RelationalQueries {
     qGroupingSets, qCorrSubquery, qFullOuter, qBloomPrune, qGapFill,
     qChangelogCompact, qSkyline, qSnapshotDiff, qHistogram,
     qSkewAudit, qIvmMerge, qDecileProfile, qAbTest, qAsofJoinNative,
-    qChi2Independence, qSqlTpch3, qSqlTpch5)
+    qChi2Independence, qSqlTpch3, qSqlTpch5, qMergeUpsert)
 }

@@ -425,6 +425,34 @@ class AnalyticsSpec extends SparkSpec {
       s"independent table scored chi2=${r2.getDouble(2)}, V=${r2.getDouble(3)}")
   }
 
+  test("q_merge_upsert: every MERGE branch decides correctly, including the null-op kept class") {
+    import spark.implicits._
+    // base keys (orders < 1997): 10, 20, 30, 40. change source rows are
+    // orders >= 1997 whose key-1 remap targets: 10 (P->U update),
+    // 20 (F->D delete), 30 (O->I collide: drop), 99 (O->I insert),
+    // 98 (P->U no-op: unmatched), while base 40 is untouched -> kept
+    def o(key: Long, status: String, price: Double, date: String) =
+      (key, 1L, status, price, ts(s"$date 00:00:00"), "1-URGENT")
+    val rows = Seq(
+      o(10L, "O", 100.0, "1996-01-01"), o(20L, "O", 200.0, "1996-01-02"),
+      o(30L, "O", 300.0, "1996-01-03"), o(40L, "O", 400.0, "1996-01-04"),
+      o(11L, "P", 555.0, "1997-06-01"),  // -> key 10, update
+      o(21L, "F", 666.0, "1997-06-02"),  // -> key 20, delete
+      o(31L, "O", 777.0, "1997-06-03"),  // -> key 30, colliding insert: drop
+      o(100L, "O", 888.0, "1997-06-04"), // -> key 99, clean insert
+      o(99L, "P", 999.0, "1997-06-05"))  // -> key 98, unmatched update: no-op
+    val tmp = java.nio.file.Files.createTempDirectory("merge").toString
+    rows.toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val got = graft.queries.RelationalQueries.qMergeUpsert.run(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got === Seq(
+      (10L, "updated", 610.5),   // 555.0 * 1.1 exact in decimal
+      (40L, "kept", 400.0),
+      (99L, "inserted", 888.0)), s"got $got")
+  }
+
   test("series_acf core: planted period-2 rhythm scores -1/+1 exactly; a flat series is NULL") {
     import spark.implicits._
     // alternating 0,4,0,4,... over 11 days: lag-1 pairs are perfectly
