@@ -164,17 +164,27 @@ object ScaleProbe {
             (col("id") % 97).cast("double").as("rvalue"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         lhs.count(); rhs.count() // materialize inputs outside the timers
+        // content checksum, not just a count: (count, sum(hash(row)))
+        // catches the case where the two formulations match the same
+        // NUMBER of rows but disagree on WHICH timestamp/value matched
+        def checksum(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+          val r = df.agg(count(lit(1)).as("n"),
+            coalesce(sum(hash(col("event_id"), col("asof_ts"), col("asof_rvalue"))
+              .cast("long")), lit(0L)).as("h")).head()
+          (r.getLong(0), r.getLong(1))
+        }
         val t6 = System.nanoTime()
-        val cMatched = graft.ops.AsOfJoin
+        val (cMatched, cHash) = checksum(graft.ops.AsOfJoin
           .asofJoin(lhs, "user_id", "ts", rhs, "user_id", "rts", Seq("rvalue"))
-          .where(col("asof_ts").isNotNull).count()
+          .where(col("asof_ts").isNotNull))
         val cSecs = (System.nanoTime() - t6) / 1e9
         val t7 = System.nanoTime()
-        val nMatched = graft.ops.AsOfJoin
+        val (nMatched, nHash) = checksum(graft.ops.AsOfJoin
           .asofJoinNative(lhs, "user_id", "ts", rhs, "user_id", "rts", Seq("rvalue"))
-          .where(col("asof_ts").isNotNull).count()
+          .where(col("asof_ts").isNotNull))
         val nSecs = (System.nanoTime() - t7) / 1e9
-        require(cMatched == nMatched, s"asof differential: composed=$cMatched native=$nMatched")
+        require(cMatched == nMatched && cHash == nHash,
+          s"asof differential: composed=($cMatched,$cHash) native=($nMatched,$nHash)")
         println(f"[scaleprobe] docs=$n%6d asof_matched=$cMatched%7d composed=$cSecs%6.1f s native=$nSecs%6.1f s")
         lhs.unpersist(false); rhs.unpersist(false)
       }

@@ -86,6 +86,13 @@ object AsOfJoin {
     * window carry; see the plan file's scaladoc for the 100 TB bytes
     * argument). Installs the planner strategy on the session lazily.
     * Both ts columns must be TIMESTAMP.
+    *
+    * PRECONDITION (both formulations): right-side (key, ts) pairs must
+    * be unique. With duplicates at the same (key, ts), WHICH duplicate's
+    * carry values are emitted is formulation- and partitioning-dependent
+    * (the merge keeps the last in sort order, the window form an
+    * arbitrary last(ignoreNulls)) — dedup the right side or add a
+    * tie-break column to ts first, as DuckDB/pandas ASOF require.
     */
   def asofJoinNative(left: DataFrame, leftKey: String, leftTs: String,
                      right: DataFrame, rightKey: String, rightTs: String,

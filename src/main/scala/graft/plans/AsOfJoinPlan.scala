@@ -31,7 +31,13 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *  - null right keys and timestamps are skipped in the merge;
   *  - a genuinely-NULL carried value still advances the match (the
   *    match is the right ROW, not a non-null value);
-  *  - ties at equal ts match (inclusive bound).
+  *  - ties at equal ts match (inclusive bound);
+  *  - PRECONDITION: right-side (key, ts) pairs must be unique. With
+  *    duplicates, which duplicate wins is formulation-dependent (the
+  *    merge takes the last in sort order, which is unstable across
+  *    partitionings; the composed window form takes an arbitrary
+  *    last(ignoreNulls)). Dedup or add a tie-break column first —
+  *    same contract as DuckDB/pandas ASOF joins.
   * AsOfJoinSpec pins native ≡ composed on the edge fixtures and on
   * random data; the q_asof_join_native gate entry hash-checks it
   * against DuckDB's native ASOF JOIN.
@@ -118,7 +124,13 @@ case class AsOfJoinExec(
         if (k != null && t != null) {
           val tl = t.asInstanceOf[Long]
           if (!curKeySet || keyOrd.compare(curKey, k) != 0) {
-            curKey = k; curKeySet = true; cand = null
+            // COPY the key: for StringType/BinaryType/struct keys eval
+            // returns a view into the upstream sort iterator's reused row
+            // buffer; caching the alias would let curKey mutate under us
+            // when the buffer is recycled (e.g. a spilled-sort reader),
+            // suppressing the key-change reset and emitting a stale match.
+            // Mirrors SortMergeJoinScanner's streamedRowKey.copy().
+            curKey = InternalRow.copyValue(k); curKeySet = true; cand = null
           }
           var done = false
           while (!done && rHead != null) {

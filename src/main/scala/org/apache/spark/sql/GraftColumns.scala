@@ -38,11 +38,16 @@ object GraftColumns {
 
   /** Idempotently install a planner strategy on the session
     * (`experimental.extraStrategies` lives on the classic session).
+    * Synchronized on the session: the read-modify-write below would
+    * otherwise let two concurrent first calls drop each other's
+    * strategy or append duplicates.
     */
   def installStrategy(spark: SparkSession,
                       strategy: org.apache.spark.sql.execution.SparkStrategy): Unit = {
     val cs = spark.asInstanceOf[classic.SparkSession]
-    if (!cs.experimental.extraStrategies.contains(strategy))
-      cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ strategy
+    cs.synchronized {
+      if (!cs.experimental.extraStrategies.contains(strategy))
+        cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ strategy
+    }
   }
 }
