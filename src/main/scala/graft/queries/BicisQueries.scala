@@ -529,356 +529,6 @@ object BicisQueries {
       .orderBy(col("user_id"))
   }
 
-  /** The flagship A5 operator executed through the STREAMING engine and
-    * hash-checked against the same DuckDB oracle as the batch
-    * `next_window_target` — the strongest replay-parity statement the
-    * gate can make: the incremental `flatMapGroupsWithState` operator
-    * (graft.streaming.Streaming.streamingForwardWindowCount), fed the
-    * events table as an in-order micro-batched MemoryStream, produces
-    * BIT-IDENTICAL labels to the batch RANGE-window plan (both emit
-    * exactly the events at or before max − w; in-order feed means
-    * nothing lands beyond the no-watermark cutoff).
-    *
-    * The driver-side materialization is the REPLAY HARNESS, not the
-    * production shape — a deployment reads Kafka/files and never
-    * collects; the operator under test is identical. Rough cost: one
-    * stateful pass over events in 4 micro-batches.
-    */
-  val streamingA5Replay: QueryDef = QueryDef.sql("streaming_a5_replay",
-    s"""WITH b AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
-       |w AS (SELECT event_id, us,
-       |        count(*) OVER (PARTITION BY user_id ORDER BY us
-       |                       RANGE BETWEEN CURRENT ROW AND ${HourMicros - 1} FOLLOWING) AS c,
-       |        max(us) OVER (PARTITION BY user_id) AS mx
-       |      FROM b)
-       |SELECT event_id, CAST(c AS BIGINT) AS n_rents FROM w
-       |WHERE us <= mx - $HourMicros ORDER BY event_id""".stripMargin) { (s, dir) =>
-    import s.implicits._
-    import graft.streaming.Streaming
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val events = Tables.events(s, dir)
-      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-      .as[Streaming.Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
-    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Ev]
-    val sink = s"a5_replay_${replaySeq.incrementAndGet()}"
-    // State partitioning sized to the keyspace (~3k users), captured at
-    // stream start only — same replay-harness discipline as
-    // streaming_sessionize_replay; result-invariant (state is per-key)
-    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val query =
-      try Streaming.streamingForwardWindowCount(s, ms.toDS(), HourMicros)
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
-    try {
-      val chunk = math.max(events.length / 4, 1)
-      events.grouped(chunk).foreach { c => ms.addData(c); query.processAllAvailable() }
-    } finally query.stop()
-    s.table(sink).select(col("event_id"), col("n_rents")).orderBy(col("event_id"))
-  }
-
-  private val replaySeq = new java.util.concurrent.atomic.AtomicLong(0L)
-
-  /** Native `session_window` sessionization through the STREAMING engine
-    * (Streaming.sessionCounts: watermarked merging session windows in
-    * the state store), hash-checked against the same gaps-and-islands
-    * oracle as the batch `q_session_window` — the stateful-aggregation
-    * counterpart to `streaming_a5_replay`'s flatMapGroupsWithState gate
-    * entry, proving the WHOLE session set matches batch bit-for-bit.
-    *
-    * Append-mode session windows only emit once the watermark passes a
-    * session's end, so a bare replay would pin the tail sessions in the
-    * state store forever (the watermark never outruns the last event).
-    * The replay closes them with a WATERMARK SENTINEL: two far-future
-    * events on a reserved key (user −1, beyond every real session end)
-    * — the first advances the event-time watermark past all real
-    * sessions, the second triggers the eviction pass that emits them.
-    * Sentinel rows are dropped from the result; a production deployment
-    * doesn't need this because its stream outlives any session horizon.
-    */
-  val streamingSessionizeReplay: QueryDef = QueryDef.sql("streaming_sessionize_replay",
-    """WITH g AS (SELECT user_id, ts,
-      |  CASE WHEN lag(ts) OVER w IS NULL
-      |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS new_s
-      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-      |s AS (SELECT user_id, ts,
-      |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-      |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-      |  FROM g)
-      |SELECT user_id, min(ts) AS session_start,
-      |  max(ts) + INTERVAL 30 MINUTES AS session_end, count(*) AS n
-      |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
-    import s.implicits._
-    import graft.streaming.Streaming
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val events = Tables.events(s, dir)
-      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-      .as[Streaming.Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
-    val maxMs = events.map(_.ts.getTime).max
-    def sentinel(id: Long, offsetMs: Long) = Streaming.Ev(
-      id, -1L, new java.sql.Timestamp(maxMs + offsetMs), "sentinel")
-    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Ev]
-    val sink = s"sess_replay_${replaySeq.incrementAndGet()}"
-    // The replay's cost is per-batch state-store commit overhead ×
-    // partitions: size the stream's state partitioning to the keyspace
-    // (~3k users) instead of the batch engine's CPU-count default — the
-    // setting is captured at stream START, so the batch queries around
-    // this one are untouched. Result-invariant (state is per-key).
-    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val query =
-      try Streaming.sessionCounts(ms.toDS().toDF(), "user_id", "ts",
-          "30 minutes", "0 seconds")
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
-    try {
-      val chunks = events.grouped(math.max(events.length / 2, 1)).toSeq
-      chunks.zipWithIndex.foreach { case (c, i) =>
-        // day +1 sentinel rides the LAST data batch: the watermark
-        // computed from it is already past every real session end
-        val batch = if (i == chunks.size - 1) c.toSeq :+ sentinel(-1L, 86400000L)
-                    else c.toSeq
-        ms.addData(batch); query.processAllAvailable()
-      }
-      // one more batch runs with that watermark and evicts + emits the
-      // closed tail sessions
-      ms.addData(Seq(sentinel(-2L, 172800000L))); query.processAllAvailable()
-    } finally query.stop()
-    s.table(sink)
-      .where(col("user_id") >= 0)
-      .select(col("user_id"), col("session_start"), col("session_end"), col("n"))
-      .orderBy(col("user_id"), col("session_start"))
-  }
-
-  /** STREAM-STREAM interval join through the oracle gate — the third
-    * stateful-operator class after flatMapGroupsWithState
-    * (`streaming_a5_replay`) and merging session windows
-    * (`streaming_sessionize_replay`): view events joined to purchase
-    * events of the same user landing within 6 h (the attribution shape,
-    * Streaming.streamIntervalJoin — both sides watermarked, the range
-    * predicate bounds BOTH state stores). Replay feeds both sides from
-    * the same globally ts-ordered chunks, so arrivals are in order and
-    * the inner join emits every match before GC can touch its partner:
-    * a buffered left row is evicted only once the watermark passes
-    * l.ts + bound, and every not-yet-seen right row has ts ≥ the
-    * watermark — already outside that window. No sentinel needed (inner
-    * joins emit on match, not on watermark).
-    */
-  val streamingIntervalJoinReplay: QueryDef = QueryDef.sql("streaming_interval_join_replay",
-    """SELECT l.user_id, l.event_id AS left_id, r.event_id AS right_id,
-      |  l.ts AS left_ts, r.ts AS right_ts
-      |FROM events l JOIN events r
-      |  ON l.user_id = r.user_id AND l.event_type = 'view' AND r.event_type = 'purchase'
-      | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOURS
-      |ORDER BY left_id, right_id""".stripMargin) { (s, dir) =>
-    import s.implicits._
-    import graft.streaming.Streaming
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val ev = Tables.events(s, dir)
-      .where(col("event_type").isin("view", "purchase"))
-      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-      .as[Streaming.Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
-    val msL = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Ev]
-    val msR = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Ev]
-    val sink = s"ij_replay_${replaySeq.incrementAndGet()}"
-    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val query =
-      try Streaming.streamIntervalJoin(msL.toDS().toDF(), msR.toDS().toDF(),
-          "user_id", "ts", "0 seconds", 21600L)
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
-    try {
-      // one global ts-ordered chunking drives BOTH sides, so neither
-      // stream's watermark outruns the other's unfed data
-      ev.grouped(math.max(ev.length / 2, 1)).foreach { c =>
-        msL.addData(c.filter(_.event_type == "view"))
-        msR.addData(c.filter(_.event_type == "purchase"))
-        query.processAllAvailable()
-      }
-    } finally query.stop()
-    s.table(sink)
-      .select(col("user_id"), col("left_id"), col("right_id"),
-        col("left_ts"), col("right_ts"))
-      .orderBy(col("left_id"), col("right_id"))
-  }
-
-  final case class SDoc(doc_id: Long, ts: java.sql.Timestamp, text: String)
-
-  /** Streaming EXACT DEDUP through the oracle gate — the fourth stateful
-    * operator class after flatMapGroupsWithState, merging session
-    * windows and the stream-stream join: `dropDuplicatesWithinWatermark`
-    * keyed on the content digest (Streaming.streamingDedup — the
-    * watermark GC's digest state older than the delay, so the store is
-    * bounded on an unbounded stream). Replay feeds the documents table
-    * in doc_id order with a synthetic event time (doc_id seconds — the
-    * corpus as an arrival log) and a delay covering the whole span, so
-    * no state is evicted and the streamed survivor set must equal the
-    * batch distinct-text set EXACTLY.
-    *
-    * Which row of a duplicate group survives is an arrival-order detail
-    * (within a micro-batch it is not contractual), so the gate projects
-    * the survivor rows onto digest-determined columns only (digest,
-    * n_chars) — any survivor yields the identical row, and the hash
-    * compare proves the STATE SEMANTICS: one survivor per distinct
-    * content, none dropped, none duplicated. Eviction-horizon behavior
-    * is StreamingSpec territory.
-    */
-  val streamingDedupReplay: QueryDef = QueryDef.sql("streaming_dedup_replay",
-    """SELECT DISTINCT md5(text) AS digest, CAST(length(text) AS BIGINT) AS n_chars
-      |FROM documents ORDER BY digest""".stripMargin) { (s, dir) =>
-    import s.implicits._
-    import graft.streaming.Streaming
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text")).collect()
-      // offset the synthetic clock well past epoch 0: an event time equal
-      // to the stream's initial watermark (0) is treated as late and
-      // silently dropped — doc_id 0 would never reach the dedup state
-      .map(r => SDoc(r.getLong(0),
-        new java.sql.Timestamp((1000000000L + r.getLong(0)) * 1000L), r.getString(1)))
-      .sortBy(_.doc_id)
-    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SDoc]
-    val sink = s"dedup_replay_${replaySeq.incrementAndGet()}"
-    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val query =
-      try Streaming.streamingDedup(ms.toDS().toDF(), "ts", "text", "3650 days")
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
-    try {
-      docs.grouped(math.max(docs.length / 4, 1)).foreach { c =>
-        ms.addData(c.toSeq); query.processAllAvailable()
-      }
-    } finally query.stop()
-    s.table(sink)
-      .select(md5(col("text").cast("binary")).as("digest"),
-        length(col("text")).cast("long").as("n_chars"))
-      .orderBy(col("digest"))
-  }
-
-  /** Watermarked event-time TUMBLING AGGREGATION through the oracle gate
-    * — the fifth stateful operator class (after flatMapGroupsWithState,
-    * merging session windows, the stream-stream join and
-    * dropDuplicatesWithinWatermark): the canonical Structured Streaming
-    * shape, `withWatermark → groupBy(window(ts)) → count` in APPEND mode
-    * (Streaming.tumblingCounts), where a window's count lives in the
-    * state store until the watermark passes its end and is emitted
-    * exactly once. Hash-checked against the SAME DuckDB oracle as the
-    * batch `tumbling_hour` — streamed hourly counts must equal the batch
-    * group-by bit-for-bit, including windows whose events are split
-    * across micro-batches (the cross-batch partial-merge path).
-    *
-    * Same watermark-sentinel discipline as sessionize: append mode
-    * never emits the tail windows on its own (the watermark cannot
-    * outrun the last event), so a reserved far-future row advances it
-    * past every real window end and a second batch runs the eviction
-    * pass. Sentinel windows are dropped by the ws cutoff; a production
-    * deployment needs neither because its stream outlives any window.
-    */
-  val streamingTumblingReplay: QueryDef = QueryDef.sql("streaming_tumbling_replay",
-    """SELECT date_trunc('hour', ts) AS ws, count(*) AS n
-      |FROM events GROUP BY 1 ORDER BY ws""".stripMargin) { (s, dir) =>
-    import s.implicits._
-    import graft.streaming.Streaming
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val events = Tables.events(s, dir)
-      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-      .as[Streaming.Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
-    val maxMs = events.map(_.ts.getTime).max
-    def sentinel(id: Long, offsetMs: Long) = Streaming.Ev(
-      id, -1L, new java.sql.Timestamp(maxMs + offsetMs), "sentinel")
-    // every real window starts at or before the max event's hour floor
-    val lastRealWs = new java.sql.Timestamp(maxMs - maxMs % 3600000L)
-    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Ev]
-    val sink = s"tumb_replay_${replaySeq.incrementAndGet()}"
-    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val query =
-      try Streaming.tumblingCounts(ms.toDS().toDF(), "ts", "1 hour", "0 seconds")
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
-    try {
-      val chunks = events.grouped(math.max(events.length / 2, 1)).toSeq
-      chunks.zipWithIndex.foreach { case (c, i) =>
-        val batch = if (i == chunks.size - 1) c.toSeq :+ sentinel(-1L, 86400000L)
-                    else c.toSeq
-        ms.addData(batch); query.processAllAvailable()
-      }
-      ms.addData(Seq(sentinel(-2L, 172800000L))); query.processAllAvailable()
-    } finally query.stop()
-    s.table(sink)
-      .where(col("ws") <= lit(lastRealWs))
-      .select(col("ws"), col("n"))
-      .orderBy(col("ws"))
-  }
-
-  // NOT private: janino cannot compile generated projections over a
-  // private nested class (interpreted-path fallback + logged ERROR).
-  final case class HvEv(ts: java.sql.Timestamp, hv: Long)
-
-  /** Native SKETCH AGGREGATES inside the streaming state store, through
-    * the oracle gate: per watermarked hourly window, the KMV distinct-
-    * user estimate (Streaming.streamingTokenSketch — the monitoring-
-    * dashboard shape, whose per-window state is a CONSTANT 32 KB CMS +
-    * k·8 B KMV regardless of row volume; each micro-batch's partial
-    * merges into the window's entry exactly as map-side partials merge
-    * in batch). KMV is a pure function of the window's row SET, so the
-    * DuckDB oracle replays each window's estimate from sorted distinct
-    * hashes — proving the TypedImperativeAggregate's serialize /
-    * deserialize / merge cycle through the state store is lossless, not
-    * just batch-consistent (StreamingSpec pins the CMS counters and
-    * quantile sample the same way, engine-to-engine). Append-mode
-    * eviction + watermark sentinel as in the other windowed replays.
-    */
-  val streamingSketchReplay: QueryDef = {
-    val duckHash = OracleSql.hash64("'u'", "CAST(user_id AS VARCHAR)")
-    QueryDef.sql("streaming_sketch_replay",
-      s"""WITH b AS (SELECT date_trunc('hour', ts) AS ws, $duckHash AS hv FROM events),
-         |d AS (SELECT DISTINCT ws, hv FROM b),
-         |r AS (SELECT ws, hv, row_number() OVER (PARTITION BY ws ORDER BY hv) AS rn,
-         |             count(*) OVER (PARTITION BY ws) AS nd FROM d)
-         |SELECT ws,
-         |  round(CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
-         |        ELSE 63.0 * 1152921504606846976.0 / CAST(max(CASE WHEN rn = 64 THEN hv END) AS DOUBLE)
-         |        END, 6) AS est
-         |FROM r GROUP BY ws ORDER BY ws""".stripMargin) { (s, dir) =>
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      graft.ops.TextOps.ensureFunctions(s)
-      val rows = Tables.events(s, dir)
-        .select(col("ts"),
-          expr(graft.ops.TextOps.portableHash64Sql("'u'", "CAST(user_id AS STRING)")).as("hv"))
-        .as[HvEv].collect().sortBy(e => (e.ts.getTime, e.hv))
-      val maxMs = rows.map(_.ts.getTime).max
-      val lastRealWs = new java.sql.Timestamp(maxMs - maxMs % 3600000L)
-      def sentinel(offsetMs: Long) =
-        HvEv(new java.sql.Timestamp(maxMs + offsetMs), -1L)
-      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[HvEv]
-      val sink = s"sketch_replay_${replaySeq.incrementAndGet()}"
-      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val query =
-        try graft.streaming.Streaming
-          .streamingTokenSketch(ms.toDS().toDF(), "ts", "hv", "1 hour", "0 seconds")
-          .writeStream.format("memory").queryName(sink).outputMode("append").start()
-        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
-      try {
-        val chunks = rows.grouped(math.max(rows.length / 2, 1)).toSeq
-        chunks.zipWithIndex.foreach { case (c, i) =>
-          val batch = if (i == chunks.size - 1) c.toSeq :+ sentinel(86400000L)
-                      else c.toSeq
-          ms.addData(batch); query.processAllAvailable()
-        }
-        ms.addData(Seq(sentinel(172800000L))); query.processAllAvailable()
-      } finally query.stop()
-      s.table(sink)
-        .where(col("ws") <= lit(lastRealWs))
-        .select(col("ws"), round(col("kmv"), 6).as("est"))
-        .orderBy(col("ws"))
-    }
-  }
-
   /** Lead-lag cross-correlation between the click and purchase hourly
     * series: Pearson corr of (clicks in hour h, purchases in hour h+L)
     * for L ∈ 0..3, over the DENSE hour spine (zero-filled — skipping
@@ -1268,49 +918,6 @@ object BicisQueries {
       .orderBy(col("user_id"), col("d"))
   }
 
-  /** The event-time rate limiter ([[graft.streaming.Streaming
-    * .streamingRateLimit]], eighth streaming class: row-level admission
-    * with keyed counter state) replayed over the events table and
-    * hash-checked against the batch rank filter — per (user, hour
-    * window) the first 5 events in (ts, event_id) order are admitted
-    * with their admission index; everything else is dropped in flight.
-    * Two-chunk in-order replay exercises cross-batch counter state
-    * (a window spanning the chunk boundary must not restart at k=1);
-    * the window-pruning keeps state O(1) windows per key.
-    */
-  val streamingRatelimitReplay: QueryDef = QueryDef.sql("streaming_ratelimit_replay",
-    """SELECT event_id, user_id,
-      |  CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS win, CAST(rk AS BIGINT) AS k
-      |FROM (SELECT event_id, user_id, ts,
-      |        row_number() OVER (PARTITION BY user_id, epoch_us(ts) // 3600000000
-      |                           ORDER BY ts, event_id) AS rk
-      |      FROM events)
-      |WHERE rk <= 5 ORDER BY event_id""".stripMargin) { (s, dir) =>
-    import s.implicits._
-    import graft.streaming.Streaming
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val events = Tables.events(s, dir)
-      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-      .as[Streaming.Ev].collect()
-      // full-microsecond feed order: an in-order chunk boundary split on
-      // truncated millis could invert two same-ms events across batches
-      .sortBy(e => (e.ts.getTime * 1000L + (e.ts.getNanos / 1000) % 1000, e.event_id))
-    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Ev]
-    val sink = s"ratelimit_replay_${replaySeq.incrementAndGet()}"
-    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val query =
-      try Streaming.streamingRateLimit(s, ms.toDS(), HourMicros, 5)
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
-    try {
-      val chunk = math.max(events.length / 2, 1)
-      events.grouped(chunk).foreach { c => ms.addData(c); query.processAllAvailable() }
-    } finally query.stop()
-    s.table(sink).select(col("event_id"), col("user_id"), col("win"), col("k"))
-      .orderBy(col("event_id"))
-  }
-
   /** Per-user burstiness of the inter-event gap process: B = (σ−μ)/(σ+μ)
     * over microsecond gaps between consecutive events (Goh & Barabási
     * 2008) — B → −1 is clockwork, 0 is Poisson, → 1 is bursty. The
@@ -1426,11 +1033,8 @@ object BicisQueries {
     splitTraining, splitValidation, splitTesting,
     sessionize, qSessionWindow, qUnifyParse,
     qConversionFunnel, qRetentionCohort, seriesEwma, qScd2History,
-    seriesAnomaly, qIntervalCoverage, seriesSeasonality, streamingA5Replay,
-    streamingSessionizeReplay, streamingIntervalJoinReplay,
-    streamingDedupReplay, streamingTumblingReplay, streamingSketchReplay,
+    seriesAnomaly, qIntervalCoverage, seriesSeasonality,
     seriesCrossCorr, seriesCusum, seriesAcf, seriesSnaiveEval,
-    seriesM4Downsample, streamingRatelimitReplay, seriesTrend,
-    seriesBurstiness)
+    seriesM4Downsample, seriesTrend, seriesBurstiness)
 
 }

@@ -5,9 +5,9 @@ package graft.queries
   */
 object Registry {
   val all: Seq[QueryDef] =
-    BicisQueries.all ++ RelationalQueries.all ++ ScalarQueries.all ++
-      DedupQueries.all ++ TextQueries.all ++ EmbedQueries.all ++ MlQueries.all ++
-      GraphQueries.all
+    BicisQueries.all ++ StreamingReplays.all ++ RelationalQueries.all ++
+      ScalarQueries.all ++ DedupQueries.all ++ TextQueries.all ++
+      EmbedQueries.all ++ MlQueries.all ++ GraphQueries.all
 
   require(all.map(_.name).distinct.size == all.size, "duplicate query names")
 }
