@@ -20,15 +20,17 @@ object StreamingReplays {
     * `next_window_target` — the strongest replay-parity statement the
     * gate can make: the incremental `flatMapGroupsWithState` operator
     * (graft.streaming.Streaming.streamingForwardWindowCount), fed the
-    * events table as an in-order micro-batched MemoryStream, produces
+    * events table as an in-order micro-batched FILE SOURCE, produces
     * BIT-IDENTICAL labels to the batch RANGE-window plan (both emit
     * exactly the events at or before max − w; in-order feed means
     * nothing lands beyond the no-watermark cutoff).
     *
-    * The driver-side materialization is the REPLAY HARNESS, not the
-    * production shape — a deployment reads Kafka/files and never
-    * collects; the operator under test is identical. Rough cost: one
-    * stateful pass over events in 4 micro-batches.
+    * The replay path is the production shape end to end: a distributed
+    * range-sort write stages the corpus as ordered chunk files (see
+    * [[stageOrderedFiles]] — nothing is collected to the driver) and
+    * `readStream.parquet` + maxFilesPerTrigger=1 replays them as 4
+    * in-order micro-batches, exactly how a file-fed deployment would
+    * run. Rough cost: one staging write + one stateful pass over events.
     */
   val streamingA5Replay: QueryDef = QueryDef.sql("streaming_a5_replay",
     s"""WITH b AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events),
@@ -41,29 +43,63 @@ object StreamingReplays {
        |WHERE us <= mx - $HourMicros ORDER BY event_id""".stripMargin) { (s, dir) =>
     import s.implicits._
     import graft.streaming.Streaming
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val events = Tables.events(s, dir)
+    val src = Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-      .as[Streaming.Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
-    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Ev]
-    val sink = s"a5_replay_${replaySeq.incrementAndGet()}"
-    // State partitioning sized to the keyspace (~3k users), captured at
-    // stream start only — same replay-harness discipline as
-    // streaming_sessionize_replay; result-invariant (state is per-key)
-    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val query =
-      try Streaming.streamingForwardWindowCount(s, ms.toDS(), HourMicros)
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    val (watched, base) = stageOrderedFiles(src, 4, Seq(col("ts"), col("event_id")))
     try {
-      val chunk = math.max(events.length / 4, 1)
-      events.grouped(chunk).foreach { c => ms.addData(c); query.processAllAvailable() }
-    } finally query.stop()
-    s.table(sink).select(col("event_id"), col("n_rents")).orderBy(col("event_id"))
+      val stream = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watched).as[Streaming.Ev]
+      val sink = s"a5_replay_${replaySeq.incrementAndGet()}"
+      // State partitioning sized to the keyspace (~3k users), captured at
+      // stream start only — same replay-harness discipline as
+      // streaming_sessionize_replay; result-invariant (state is per-key)
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val query =
+        try Streaming.streamingForwardWindowCount(s, stream, HourMicros)
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      try query.processAllAvailable() finally query.stop()
+      s.table(sink).select(col("event_id"), col("n_rents")).orderBy(col("event_id"))
+    } finally rmTree(base)
   }
 
   private val replaySeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Stage `df` as `n` chronologically-ordered parquet files for a FILE-
+    * SOURCE replay — the harness-honesty upgrade over collect()+
+    * MemoryStream: the input never materializes on the driver, it flows
+    * through a distributed range-sort write and back in through
+    * `readStream.parquet` exactly as a production file/Kafka deployment
+    * would. `repartitionByRange(n, rangeCols)` makes partition i hold
+    * strictly earlier range values than partition i+1, so the written
+    * part files ARE the in-order micro-batch chunks; they are renamed
+    * c0000..c000(n-1) with strictly ascending modification times because
+    * FileStreamSource triggers batches oldest-mod-time-first — with
+    * `maxFilesPerTrigger=1` the stream replays the corpus in order, one
+    * chunk per micro-batch. Returns (watchedDir, baseDir-to-delete).
+    */
+  private def stageOrderedFiles(df: org.apache.spark.sql.DataFrame, n: Int,
+      rangeCols: Seq[org.apache.spark.sql.Column]): (String, java.io.File) = {
+    val base = java.nio.file.Files.createTempDirectory("graft_replay_").toFile
+    val staging = new java.io.File(base, "stage")
+    val watched = new java.io.File(base, "in"); watched.mkdirs()
+    df.repartitionByRange(n, rangeCols: _*)
+      .write.mode("overwrite").parquet(staging.getAbsolutePath)
+    val parts = staging.listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      val dst = new java.io.File(watched, f"c$i%04d.parquet")
+      java.nio.file.Files.move(f.toPath, dst.toPath)
+      // fixed, strictly ascending mod-times: the source's trigger order
+      // must not depend on how fast the filesystem stamped the writes
+      dst.setLastModified(1600000000000L + i * 60000L): Unit
+    }
+    (watched.getAbsolutePath, base)
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(): Unit
+  }
 
   /** Native `session_window` sessionization through the STREAMING engine
     * (Streaming.sessionCounts: watermarked merging session windows in
@@ -189,8 +225,6 @@ object StreamingReplays {
       .orderBy(col("left_id"), col("right_id"))
   }
 
-  final case class SDoc(doc_id: Long, ts: java.sql.Timestamp, text: String)
-
   /** Streaming EXACT DEDUP through the oracle gate — the fourth stateful
     * operator class after flatMapGroupsWithState, merging session
     * windows and the stream-stream join: `dropDuplicatesWithinWatermark`
@@ -213,34 +247,29 @@ object StreamingReplays {
   val streamingDedupReplay: QueryDef = QueryDef.sql("streaming_dedup_replay",
     """SELECT DISTINCT md5(text) AS digest, CAST(length(text) AS BIGINT) AS n_chars
       |FROM documents ORDER BY digest""".stripMargin) { (s, dir) =>
-    import s.implicits._
     import graft.streaming.Streaming
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val docs = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text")).collect()
-      // offset the synthetic clock well past epoch 0: an event time equal
-      // to the stream's initial watermark (0) is treated as late and
-      // silently dropped — doc_id 0 would never reach the dedup state
-      .map(r => SDoc(r.getLong(0),
-        new java.sql.Timestamp((1000000000L + r.getLong(0)) * 1000L), r.getString(1)))
-      .sortBy(_.doc_id)
-    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[SDoc]
-    val sink = s"dedup_replay_${replaySeq.incrementAndGet()}"
-    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val query =
-      try Streaming.streamingDedup(ms.toDS().toDF(), "ts", "text", "3650 days")
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    // offset the synthetic clock well past epoch 0: an event time equal
+    // to the stream's initial watermark (0) is treated as late and
+    // silently dropped — doc_id 0 would never reach the dedup state
+    val src = Tables.documents(s, dir).select(col("doc_id"),
+      timestamp_seconds(lit(1000000000L) + col("doc_id")).as("ts"), col("text"))
+    val (watched, base) = stageOrderedFiles(src, 4, Seq(col("doc_id")))
     try {
-      docs.grouped(math.max(docs.length / 4, 1)).foreach { c =>
-        ms.addData(c.toSeq); query.processAllAvailable()
-      }
-    } finally query.stop()
-    s.table(sink)
-      .select(md5(col("text").cast("binary")).as("digest"),
-        length(col("text")).cast("long").as("n_chars"))
-      .orderBy(col("digest"))
+      val stream = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watched)
+      val sink = s"dedup_replay_${replaySeq.incrementAndGet()}"
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val query =
+        try Streaming.streamingDedup(stream, "ts", "text", "3650 days")
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      try query.processAllAvailable() finally query.stop()
+      s.table(sink)
+        .select(md5(col("text").cast("binary")).as("digest"),
+          length(col("text")).cast("long").as("n_chars"))
+        .orderBy(col("digest"))
+    } finally rmTree(base)
   }
 
   /** Watermarked event-time TUMBLING AGGREGATION through the oracle gate
