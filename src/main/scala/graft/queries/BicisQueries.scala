@@ -1026,7 +1026,56 @@ object BicisQueries {
       .orderBy(col("user_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(
+  /** S5/S6 WRITE PATH under the oracle gate — the last spec-only sink op
+    * gets a hard CORRECTNESS row. [[graft.core.Sinks.shardedParquet]]
+    * writes the documents projection directory-partitioned by
+    * (lang, source), sorted by doc_id, with an 8-row per-file cap (small
+    * enough to force the cap to actually split files at gate scale);
+    * the query then reads the shards BACK and emits a per-partition
+    * census: counts, char mass, id bounds and a content signature over
+    * the roundtripped TEXT. The oracle reproduces the census from the
+    * same LOGICAL input — it never sees the files — so lost/duplicated
+    * rows, mangled partition-directory values, or a broken text
+    * roundtrip all break the hash. `files_ok` gates the
+    * maxRecordsPerFile contract: the Spark side computes it from the
+    * real file layout (max rows per written file ≤ cap — a files-sized
+    * aggregate, S10-tiny), the oracle states it as the literal TRUE the
+    * contract requires, so a cap violation fails the row.
+    *
+    * Shards land under java.io.tmpdir at a per-sfDir path (Overwrite
+    * mode — reruns replace, nothing accumulates); they must outlive
+    * this function because the census plan is evaluated lazily by the
+    * caller.
+    */
+  val qShardRoundtrip: QueryDef = QueryDef.sql("q_shard_roundtrip",
+    s"""SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id,
+       |  CAST(sum(${OracleSql.hash64("'rt'", "text")} % 1000003) AS BIGINT) AS text_sig,
+       |  TRUE AS files_ok
+       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (s, dir) =>
+    graft.ops.TextOps.ensureFunctions(s)
+    val src = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    val cap = 8L
+    val shardDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_q_shard_roundtrip_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+    graft.core.Sinks.shardedParquet(src, shardDir, Seq("lang", "source"), Seq("doc_id"), cap)
+    val back = s.read.parquet(shardDir)
+    val filesOk = back.groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("n")).agg(max(col("n")).as("mx"))
+      .head().getLong(0) <= cap
+    back.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+        sum(expr(graft.ops.TextOps.portableHash64Sql("'rt'", "text")) % 1000003L).as("text_sig"))
+      .withColumn("files_ok", lit(filesOk))
+      .select(col("lang"), col("source"), col("n_rows"), col("sum_chars"),
+        col("min_id"), col("max_id"), col("text_sig"), col("files_ok"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  val all: Seq[QueryDef] = Seq(qShardRoundtrip,
     seriesWeekday, seriesHour, seriesMonth, seriesWeekdayReturns,
     seriesMonthReturns, seriesJoin, stationHourPivot,
     nextWindowTarget, nextWindowTargetChunked, tumblingHour,
