@@ -29,6 +29,40 @@ object GraphQueries {
   private val pairsMemo =
     new java.util.concurrent.ConcurrentHashMap[(String, String, String), org.apache.spark.sql.DataFrame]()
 
+  /** Conditional broadcast hint for ITERATION-STATE tables whose row
+    * count grows with |V| — ranks, labels, frontiers, HITS scores,
+    * k-core survivor sets. At gate scale these are thousands of rows
+    * and the per-round broadcast join is the right plan; at a billion
+    * vertices a FORCED broadcast is an executor OOM, so the scale path
+    * must be a code path, not a docstring.
+    *
+    * Modes (`spark.graft.graph.broadcastVertices`):
+    *  - `auto` (default): hint iff the caller's row-count bound is
+    *    under `spark.graft.graph.broadcastVertexLimit` (default 1e7
+    *    rows ≈ low hundreds of MB of (long, double) state — safe for a
+    *    standard executor). Past the limit the hint is withheld and the
+    *    planner/AQE picks a shuffle join; at crawl scale pre-partition
+    *    the edge table by src and every per-round join co-locates on
+    *    that layout with zero edge movement.
+    *  - `on` / `off`: force either plan — GraphSpec's differential
+    *    proves off-rounds ≡ on-rounds bit-for-bit on planted graphs.
+    *
+    * Callers pass a cheap UPPER BOUND on the state table's rows (vertex
+    * count, current edge count, seed count): bounds only ever err
+    * toward withholding the hint, never toward an OOM.
+    */
+  private[graft] def vhint(df: org.apache.spark.sql.DataFrame,
+                           boundRows: Long): org.apache.spark.sql.DataFrame = {
+    val conf = df.sparkSession.conf
+    conf.get("spark.graft.graph.broadcastVertices", "auto") match {
+      case "on"  => broadcast(df)
+      case "off" => df
+      case _ =>
+        val lim = conf.get("spark.graft.graph.broadcastVertexLimit", "10000000").toLong
+        if (boundRows <= lim) broadcast(df) else df
+    }
+  }
+
   private def sessionKey(s: org.apache.spark.sql.SparkSession): String = synchronized {
     s.conf.getOption("spark.graft.graph.sessionKey").getOrElse {
       val k = java.util.UUID.randomUUID().toString
@@ -119,7 +153,7 @@ object GraphQueries {
       // ContextCleaner once the frames go out of scope (localCheckpoint
       // blocks are not CacheManager entries — unpersist() can't touch
       // them); only the final round's blocks stay live
-      ranks = edges.join(broadcast(ranks), col("src") === col("node"))
+      ranks = edges.join(vhint(ranks, nv), col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(sum(col("pr") / col("outdeg")).as("m"))
         .select(col("dst").as("node"),
@@ -354,8 +388,9 @@ object GraphQueries {
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint(eager = true)
+    val nv = labels.count() // cheap: counts the checkpointed blocks
     for (_ <- 1 to iters) {
-      val votes = edges.join(broadcast(labels), col("src") === col("node"))
+      val votes = edges.join(vhint(labels, nv), col("src") === col("node"))
         .select(col("dst").as("n2"), col("label"))
         .unionAll(labels.select(col("node").as("n2"), col("label")))
         .groupBy(col("n2"), col("label")).agg(count(lit(1)).as("c"))
@@ -630,8 +665,9 @@ object GraphQueries {
     while (i < rounds && !stable) {
       val keep = e.groupBy(col("a")).agg(count(lit(1)).as("d"))
         .where(col("d") >= k).select(col("a").as("n"))
-      e = e.join(broadcast(keep), col("a") === col("n"), "leftsemi")
-        .join(broadcast(keep), col("b") === col("n"), "leftsemi")
+      // `last` (current edge count) bounds the survivor set's rows
+      e = e.join(vhint(keep, last), col("a") === col("n"), "leftsemi")
+        .join(vhint(keep, last), col("b") === col("n"), "leftsemi")
         .localCheckpoint(eager = true)
       // peeling is monotone (edges only leave), so an unchanged edge
       // count IS the fixpoint — every later round would no-op, exactly
@@ -706,9 +742,11 @@ object GraphQueries {
     var i = 1
     // an empty frontier is the fixpoint (nothing left to expand —
     // every later round would emit nothing, as the oracle's fixed-round
-    // CTEs do); count() reads the just-checkpointed blocks
-    while (i <= rounds && frontier.count() > 0) {
-      val nxt = symmetric.join(broadcast(frontier.select(col("node"))),
+    // CTEs do); count() reads the just-checkpointed blocks — and doubles
+    // as the vhint bound for the frontier semi-join
+    var fc = frontier.count()
+    while (i <= rounds && fc > 0) {
+      val nxt = symmetric.join(vhint(frontier.select(col("node")), fc),
           col("a") === col("node"), "leftsemi")
         .select(col("b").as("node")).distinct()
         .join(visited.select(col("node")), Seq("node"), "leftanti")
@@ -719,6 +757,7 @@ object GraphQueries {
       // ever recomputes, and each round saves one materialization pass
       visited = visited.unionAll(nxt)
       frontier = nxt
+      fc = frontier.count()
       i += 1
     }
     visited
@@ -734,11 +773,15 @@ object GraphQueries {
     * localCheckpoint discipline as [[pagerank]].
     */
   def ppr(edges: org.apache.spark.sql.DataFrame, seeds: org.apache.spark.sql.DataFrame,
-          nSeeds: Long, iters: Int, damping: Double): org.apache.spark.sql.DataFrame = {
+          nSeeds: Long, iters: Int, damping: Double,
+          nVerticesBound: Long = Long.MaxValue): org.apache.spark.sql.DataFrame = {
     val teleport = 1.0 - damping
     var ranks = seeds.select(col("node"), lit(1.0 / nSeeds).as("pr"))
+    // round 1's state is seeds-sized; every later round's is reach-set-
+    // sized, bounded by the caller's vertex bound
+    var bound = nSeeds
     for (_ <- 1 to iters) {
-      val flow = edges.join(broadcast(ranks), col("src") === col("node"))
+      val flow = edges.join(vhint(ranks, bound), col("src") === col("node"))
         .groupBy(col("dst"))
         .agg((lit(damping) * sum(col("pr") / col("outdeg"))).as("pr"))
         .select(col("dst").as("node"), col("pr"))
@@ -746,6 +789,7 @@ object GraphQueries {
         .unionAll(seeds.select(col("node"), lit(teleport / nSeeds).as("pr")))
         .groupBy(col("node")).agg(sum(col("pr")).as("pr"))
         .localCheckpoint(eager = true)
+      bound = nVerticesBound
     }
     ranks
   }
@@ -795,7 +839,7 @@ object GraphQueries {
       val seeds = deg.where(col("src") % 2 === 0 && expr("src div 2") <= 5)
         .select(col("src").as("node")).persist(mem)
       val nS = seeds.count()
-      val ranks = ppr(edges, seeds, nS, iters, damping)
+      val ranks = ppr(edges, seeds, nS, iters, damping, nVerticesBound = nv)
       Seq(edges, deg, seeds).foreach(_.unpersist(false))
       ranks.select(
         when(col("node") % 2 === 0, "c").otherwise("s").as("kind"),
@@ -908,9 +952,10 @@ object GraphQueries {
     val labels = labelPropagation(undirected, lpIters)
     val m = pairs.agg(count(lit(1)).as("m"))
     val deg = undirected.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+    val nl = labels.count() // cheap: labelPropagation checkpoints its result
     val intra = pairs
-      .join(broadcast(labels.select(col("node").as("i"), col("label").as("la"))), "i")
-      .join(broadcast(labels.select(col("node").as("j"), col("label").as("lb"))), "j")
+      .join(vhint(labels.select(col("node").as("i"), col("label").as("la")), nl), "i")
+      .join(vhint(labels.select(col("node").as("j"), col("label").as("lb")), nl), "j")
       .where(col("la") === col("lb"))
       .groupBy(col("la").as("label")).agg(count(lit(1)).as("lc"))
     val ds = labels.join(deg, "node")
@@ -1230,14 +1275,17 @@ object GraphQueries {
     var h = pairs.select(col("c").as("node")).distinct()
       .select(col("node"), lit(1.0).as("h"))
     var a: org.apache.spark.sql.DataFrame = null
+    // distinct c / distinct s are both bounded by the pair count; one
+    // count over the (memoized, persisted) pair table bounds every round
+    val bound = pairs.count()
     for (_ <- 1 to iters) {
       // a stays UN-checkpointed: its join+agg runs inside h's broadcast
       // build, so each round is ONE job (two joins, two aggs) instead of
       // two — half the barrier count of the checkpoint-both form
-      a = pairs.join(broadcast(h), col("node") === col("c"))
+      a = pairs.join(vhint(h, bound), col("node") === col("c"))
         .groupBy(col("s")).agg(sum(col("h")).as("a"))
         .select(col("s").as("node"), col("a"))
-      h = pairs.join(broadcast(a), col("node") === col("s"))
+      h = pairs.join(vhint(a, bound), col("node") === col("s"))
         .groupBy(col("c")).agg(sum(col("a")).as("h"))
         .select(col("c").as("node"), col("h"))
         .localCheckpoint(eager = true)

@@ -394,4 +394,39 @@ class GraphSpec extends SparkSpec {
     assert(a(21L) > a(22L), "the doubly-cited authority must dominate")
     assert(h(10L) > h(11L), "the hub citing both authorities must dominate")
   }
+
+  test("vhint differential: broadcast-off iteration rounds equal broadcast-on") {
+    import spark.implicits._
+    // the 100 TB path must be executable, not a docstring: every
+    // iterative loop's result is identical whether the |V|-row state
+    // table is broadcast (gate-scale plan) or shuffle-joined (the plan
+    // a billion-vertex run gets when vhint withholds the hint)
+    val und = Seq((0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (4, 5), (3, 5), (5, 6))
+      .flatMap { case (a, b) => Seq((a.toLong, b.toLong), (b.toLong, a.toLong)) }
+      .toDF("src", "dst")
+    val symAb = und.select(col("src").as("a"), col("dst").as("b"))
+    val seeds = Seq(0L).toDF("node")
+    def run(mode: String): Seq[Set[String]] = {
+      spark.conf.set("spark.graft.graph.broadcastVertices", mode)
+      try {
+        val pr = graft.queries.GraphQueries.pagerank(und, 4, 0.85)._1
+          .select(col("node"), round(col("pr"), 9).as("pr"))
+        val lp = graft.queries.GraphQueries.labelPropagation(und, 3)
+        val kc = graft.queries.GraphQueries.kcorePeel(symAb, 2, 4)
+        val bf = graft.queries.GraphQueries.bfsLevels(symAb, seeds, 3)
+        Seq(pr, lp, kc, bf).map(_.collect().map(_.toString).toSet)
+      } finally spark.conf.unset("spark.graft.graph.broadcastVertices")
+    }
+    val on = run("on")
+    val off = run("off")
+    val names = Seq("pagerank", "labelPropagation", "kcorePeel", "bfsLevels")
+    names.zip(on.zip(off)).foreach { case (n, (x, y)) =>
+      assert(x == y, s"$n diverged between broadcast-on and broadcast-off rounds")
+    }
+    // auto at gate scale takes the broadcast branch (bound << default limit)
+    val auto = run("auto")
+    names.zip(auto.zip(on)).foreach { case (n, (x, y)) =>
+      assert(x == y, s"$n diverged between auto and broadcast-on rounds")
+    }
+  }
 }
