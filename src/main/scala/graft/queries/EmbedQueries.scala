@@ -516,21 +516,24 @@ object EmbedQueries {
     * [[dedupEmbedCosine]]'s LSH buckets, catching paraphrases and
     * template re-writes whose token shingles share nothing.
     *
-    * Execution shape: cells are the per-label centroids the IVF index
-    * family already maintains; the k×d centroid table is a driver-side
-    * tiny summary (S10 policy, 640 doubles), each component ROUNDED to
-    * 6 dp so both engines assign from bit-identical literals (the
-    * embed_kmeans discipline — unrounded avg() drift would flip
-    * boundary argmins). Assignment is then a MAP-ONLY pass (k native
-    * vec_dot distances per row against plan literals — no join, no
-    * shuffle); candidate pairs are an equi-join on the assigned cell
+    * Execution shape: cells come from a deterministic 2-round Lloyd
+    * k-means (seeds = the first k vec_ids, one ROUND-6 centroid update,
+    * final re-assign — the [[embedKmeans]] determinism discipline, so
+    * both engines iterate bit-identical matrices). The CELL COUNT
+    * SCALES WITH THE CORPUS: k defaults to ⌈√n⌉ (SemDeDup's
+    * tens-of-thousands-of-cells regime at crawl scale — per-cell pair
+    * volume then grows ~linearly in n, never O(n²/const)), overridable
+    * via `spark.graft.dedup.semanticCells` (a scale knob; the oracle
+    * replays the ⌈√n⌉ default). The k×d centroid table is a driver-side
+    * tiny summary (S10 policy) broadcast as plan literals; assignment
+    * is a MAP-ONLY pass (k native vec_dot distances per row — no join,
+    * no shuffle); candidate pairs are an equi-join on the assigned cell
     * (never all-pairs); the drop rule is a purely LOCAL pairwise
     * policy (no connected components): x is dropped iff some
     * cell-mate y with pair cosine ≥ τ sits strictly farther from the
-    * centroid (ties → lower vec_id survives). At 100 TB the cell count
-    * scales with n (SemDeDup runs tens of thousands of k-means cells)
-    * so per-cell pair volume stays bounded; everything else — literal
-    * broadcast, map-only assign, cell equi-join — is unchanged.
+    * centroid (ties → lower vec_id survives). SimilaritySpec pins the
+    * planted-geometry behavior at k above the label cardinality and
+    * the per-cell candidate-volume bound.
     */
   val dedupSemantic: QueryDef = {
     val tau = 0.35; val dim = 64
@@ -540,16 +543,21 @@ object EmbedQueries {
          |      2 * list_sum([$vc[i] * $cc[i] for i in range(1, ${dim + 1})])""".stripMargin
     QueryDef.sql("dedup_semantic",
       s"""WITH $duckVectors,
-         |e AS (SELECT vec_id, label, i, v[i] AS x FROM v, range(1, ${dim + 1}) r(i)),
-         |cent AS (SELECT label, i, round(avg(x), 6) AS c FROM e GROUP BY 1, 2),
-         |ca AS (SELECT label, list(c ORDER BY i) AS carr FROM cent GROUP BY label),
-         |d AS (SELECT v.vec_id, v.v, ca.label AS cell, ca.carr,
-         |        round(${duckD2("v.v", "ca.carr")}, 6) AS d2
-         |      FROM v, ca),
-         |a AS (SELECT vec_id, v, cell, carr FROM (
-         |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rk
-         |        FROM d) WHERE rk = 1),
-         |cs AS (SELECT vec_id, cell, v, ${duckCos("v", "carr")} AS cent_sim FROM a),
+         |kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM v),
+         |c0 AS (SELECT vec_id AS cl, v AS cv FROM v WHERE vec_id < (SELECT k FROM kk)),
+         |d1 AS (SELECT v.vec_id, v.v, c0.cl, ${duckD2("v.v", "c0.cv")} AS d2 FROM v, c0),
+         |a1 AS (SELECT vec_id, v, cl FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rk
+         |        FROM d1) WHERE rk = 1),
+         |u1 AS (SELECT cl, i, round(avg(v[i]), 6) AS x
+         |       FROM a1, range(1, ${dim + 1}) r(i) GROUP BY cl, i),
+         |c1 AS (SELECT cl, list(x ORDER BY i) AS cv FROM u1 GROUP BY cl),
+         |d2c AS (SELECT v.vec_id, v.v, c1.cl, ${duckD2("v.v", "c1.cv")} AS d2 FROM v, c1),
+         |a2 AS (SELECT vec_id, v, cl FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rk
+         |        FROM d2c) WHERE rk = 1),
+         |cs AS (SELECT a2.vec_id, a2.cl AS cell, a2.v, ${duckCos("a2.v", "c1.cv")} AS cent_sim
+         |       FROM a2 JOIN c1 ON c1.cl = a2.cl),
          |p AS (SELECT x.cell, x.vec_id AS i, x.cent_sim AS si,
          |             y.vec_id AS j, y.cent_sim AS sj, ${duckCos("x.v", "y.v")} AS sim
          |      FROM cs x JOIN cs y ON x.cell = y.cell AND x.vec_id < y.vec_id),
@@ -563,24 +571,50 @@ object EmbedQueries {
          |  max(sim) AS best_sim
          |FROM drp GROUP BY 1, 2, 3 ORDER BY vec_id""".stripMargin) { (s, dir) =>
       val v = Similarity.vectors(Tables.embeddings(s, dir))
-      // k x d tiny summary, round-6 per component (bit-shared with the
-      // oracle's cent CTE), ascending label order
-      val cents: Seq[(Int, Seq[Double])] = v
-        .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
-        .groupBy(col("label"), col("i")).agg(round(avg(col("x")), 6).as("c"))
-        .groupBy(col("label"))
-        .agg(expr("transform(array_sort(collect_list(struct(i, c))), p -> p.c)").as("carr"))
+      val kConf = s.conf.getOption("spark.graft.dedup.semanticCells")
+        .map(_.toLong).getOrElse(0L)
+      val k = if (kConf > 0) kConf
+              else math.ceil(math.sqrt(v.count().toDouble)).toLong
+      semanticDedupFrame(v, k, tau)
+    }
+  }
+
+  /** The [[dedupSemantic]] core over a prepared (vec_id, v) frame with
+    * an EXPLICIT cell count — factored so the planted-geometry spec can
+    * drive k independently of the corpus. 2-round deterministic Lloyd:
+    * assign to the first-k seed vectors, ONE round-6 centroid update,
+    * final re-assign (= the oracle's c0→a1→u1/c1→a2 CTE chain).
+    */
+  private[graft] def semanticDedupFrame(v: org.apache.spark.sql.DataFrame,
+      k: Long, tau: Double): org.apache.spark.sql.DataFrame = {
+      def distArr(cs: Seq[(Long, Seq[Double])]) = cs.map { case (_, c) =>
+        var cn = 0.0; c.foreach(x => cn += x * x) // ascending fold = list_sum parity
+        Similarity.dot("v", "v") + lit(cn) - lit(2.0) * Similarity.dotConst("v", c)
+      }
+      // seed assignment against the raw first-k vectors
+      val seeds: Seq[(Long, Seq[Double])] = v.where(col("vec_id") < k)
+        .select(col("vec_id"), col("v")).collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+      val a1 = v
+        .withColumn("dists", array(distArr(seeds): _*))
+        .withColumn("cl", element_at(typedLit(seeds.map(_._1)),
+          expr("array_position(dists, array_min(dists))").cast("int")))
+        .drop("dists")
+      // one round-6 centroid update: k x d tiny summary (S10 policy),
+      // bit-shared with the oracle's u1/c1 CTEs
+      val cents: Seq[(Long, Seq[Double])] = a1
+        .select(col("cl"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cl"), col("i")).agg(round(avg(col("x")), 6).as("x"))
+        .groupBy(col("cl"))
+        .agg(expr("transform(array_sort(collect_list(struct(i, x))), p -> p.x)").as("cv"))
         .collect().toSeq
-        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
         .sortBy(_._1)
-      val cellIds = cents.map(_._1.toLong)
+      val cellIds = cents.map(_._1)
       val ccNorms = cents.map { case (_, c) =>
         var cn = 0.0; c.foreach(x => cn += x * x); cn // ascending fold = list_sum parity
       }
-      val dists = cents.zip(ccNorms).map { case ((_, c), cn) =>
-        round(Similarity.dot("v", "v") + lit(cn)
-          - lit(2.0) * Similarity.dotConst("v", c), 6)
-      }
+      val dists = distArr(cents)
       val centSims = cents.zip(ccNorms).map { case ((_, c), cn) =>
         val den = Similarity.l2("v") * lit(math.sqrt(cn))
         when(den === 0.0, lit(null))
@@ -589,7 +623,7 @@ object EmbedQueries {
       val cs = v
         .withColumn("dists", array(dists: _*))
         .withColumn("pos", expr("array_position(dists, array_min(dists))").cast("int"))
-        .withColumn("cell", element_at(typedLit(cellIds), col("pos")).cast("int"))
+        .withColumn("cell", element_at(typedLit(cellIds), col("pos")))
         .withColumn("cent_sim", element_at(array(centSims: _*), col("pos")))
         .withColumn("nrm", Similarity.l2("v"))
         .select(col("vec_id"), col("cell"), col("v"), col("cent_sim"), col("nrm"))
@@ -611,7 +645,6 @@ object EmbedQueries {
         .groupBy(col("cell"), col("a").as("vec_id"), col("sa").as("cent_sim"))
         .agg(count(lit(1)).as("n_better"), max(col("sim")).as("best_sim"))
         .orderBy(col("vec_id"))
-    }
   }
 
   /** Symmetric int8 quantization (the ANN memory-cut pass): per vector,

@@ -262,12 +262,13 @@ class SimilaritySpec extends SparkSpec {
 
   test("semantic dedup keeps the member farthest from the centroid, planted geometry") {
     import spark.implicits._
-    // Cell 0 (label 0): a=(1,0), b=(0.8,0.6), c=(0.6,0.8) — all three
-    // pairs clear tau=0.35 (cosines 0.8, 0.6, 0.96). Centroid points at
-    // ~30.2 deg, so cent_sim ranks b (6.6 deg off) > c (22.9) > a (30.2):
-    // a survives (farthest), c is outranked only by a (n_better=1),
-    // b by both (n_better=2). Label 1's lone vector is its own centroid
-    // (no pairs) and far enough that cells never mix.
+    // auto k = ceil(sqrt(4)) = 2: seeds are vec_ids 0 and 1. Seed-assign
+    // puts c with b (d2 0.08 vs 0.8) and the antipode with a; the
+    // round-6 update gives centroids (0.5,-0.5) and (0.7,0.7); the final
+    // re-assign keeps both cells. Only the {b, c} pair clears tau
+    // (cos 0.96; cos(a, antipode) = 0). b and c are mirror-symmetric
+    // about their centroid — an EXACT cent_sim tie — so the tie rule
+    // (lower vec_id survives) drops c with n_better = 1.
     val rows = Seq(
       (0L, Array(1.0f, 0.0f), 0),
       (1L, Array(0.8f, 0.6f), 0),
@@ -278,7 +279,7 @@ class SimilaritySpec extends SparkSpec {
       .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
     val got = graft.queries.EmbedQueries.dedupSemantic.run(spark, tmp)
       .select("vec_id", "n_better").as[(Long, Long)].collect().toSeq
-    assert(got === Seq((1L, 2L), (2L, 1L)), s"dropped set: $got")
+    assert(got === Seq((2L, 1L)), s"dropped set: $got")
   }
 
   test("embed_outliers: planted far vector tops its cluster; tight cluster stays ranked by distance") {
@@ -379,5 +380,36 @@ class SimilaritySpec extends SparkSpec {
     assert((r.getInt(0), r.getLong(1), r.getLong(2)) === ((7, 2L, 2L)))
     assert(r.getDouble(3) === 1.414214, s"shift was ${r.getDouble(3)}")
     assert(r.getDouble(4) === 0.0, s"cos was ${r.getDouble(4)}")
+  }
+
+  test("semantic dedup: k-means cells track planted geometry; k bounds per-cell volume") {
+    import spark.implicits._
+    // 8 tight clusters × 8 members in R^8: cluster c sits on 10·e_c with
+    // a 0.01·j jitter on the next axis (intra-cosine ≈ 1, cross ≈ 0.001).
+    // vec_id = j*8 + c, so the first-k seeds are one per planted cluster.
+    val dim = 8
+    val rows = for (c <- 0 until 8; j <- 0 until 8) yield {
+      val v = Array.fill(dim)(0.0)
+      v(c) = 10.0
+      if (j > 0) v((c + 1) % dim) = 0.01 * j
+      ((j * 8 + c).toLong, v.toSeq)
+    }
+    val v = rows.toDF("vec_id", "v")
+    // k = 8, ABOVE any label cardinality a per-label cell scheme could
+    // reach: Lloyd recovers the 8 planted cells and each cell keeps only
+    // its farthest-from-centroid member (7 of 8 dropped)
+    val out = graft.queries.EmbedQueries.semanticDedupFrame(v, 8L, 0.35).collect()
+    assert(out.length === 56, s"expected 56 dropped rows, got ${out.length}")
+    val byCell = out.groupBy(_.getAs[Long]("cell"))
+    assert(byCell.size === 8, s"expected 8 cells, got ${byCell.keySet}")
+    assert(byCell.values.forall(_.length === 7), "a cell dropped the wrong count")
+    // per-cell candidate volume is k-bounded: nobody outranks more than
+    // a cell's worth of mates
+    assert(out.forall(_.getAs[Long]("n_better") <= 7L))
+    // the knob drives the cell count — the O(n²/k) → O(n²·k/n²)=O(k)
+    // volume control the 100 TB run turns: k=2 collapses to 2 cells
+    val coarse = graft.queries.EmbedQueries.semanticDedupFrame(v, 2L, 0.35).collect()
+    assert(coarse.map(_.getAs[Long]("cell")).distinct.length <= 2)
+    assert(coarse.length === 56, "coarse cells must still drop per planted cluster")
   }
 }
