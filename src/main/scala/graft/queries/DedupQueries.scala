@@ -50,11 +50,21 @@ object DedupQueries {
     * operator is hash-agnostic (proved by TextOpsSpec).
     */
   private def buildDocHashes(s: org.apache.spark.sql.SparkSession, dir: String,
-                             hash: TextOps.HashSql) = {
+                             hash: TextOps.HashSql) =
+    hashesOfDocs(s, Tables.documents(s, dir), hash)
+
+  /** The signature build over an arbitrary documents frame — the
+    * [[docHashes]] body below the memo tier, shared with
+    * CorpusPipeline's dedup stages: (doc_id, sorted shingle hashes, n).
+    */
+  private[graft] def hashesOfDocs(s: org.apache.spark.sql.SparkSession,
+                                  docs: org.apache.spark.sql.DataFrame,
+                                  hash: TextOps.HashSql = null) = {
     TextOps.ensureFunctions(s)
-    val sh = TextOps.docShingles(Tables.documents(s, dir))
+    val h = Option(hash).getOrElse(TextOps.activeHash(s))
+    val sh = TextOps.docShingles(docs)
     TextOps.barrier(sh.select(col("doc_id"),
-      array_sort(expr(s"transform(sh, x -> ${hash("'g'", "x")})")).as("hs"),
+      array_sort(expr(s"transform(sh, x -> ${h("'g'", "x")})")).as("hs"),
       size(col("sh")).as("n")), "doc_id")
   }
 
@@ -279,21 +289,26 @@ object DedupQueries {
          |ver AS (SELECT c.i, c.j, ${duckJaccard("x.hs", "y.hs")} AS sim
          |        FROM mcand c JOIN hs x ON x.doc_id = c.i JOIN hs y ON y.doc_id = c.j)
          |SELECT i, j, sim FROM ver WHERE sim >= 0.8 ORDER BY i, j""".stripMargin) { (s, dir) =>
-      val hs = docHashes(s, dir)
       // shared banded-signature pipeline (native one-pass MinHashSig
       // kernel + band keys — TextOpsSpec pins it bit-for-bit against
       // the interpreted HOF form; family constants live in
       // TextOps.MinHash*, the single definition every consumer shares)
-      val cand = minhashCandidates(hs)
-      cand
-        .join(hs.select(col("doc_id").as("i"), col("hs").as("ha")), "i")
-        .join(hs.select(col("doc_id").as("j"), col("hs").as("hb")), "j")
-        .withColumn("sim", TextOps.jaccard(col("ha"), col("hb")))
-        .where(col("sim") >= 0.8)
-        .select(col("i"), col("j"), col("sim"))
-        .orderBy(col("i"), col("j"))
+      minhashVerifiedPairs(docHashes(s, dir), 0.8).orderBy(col("i"), col("j"))
     }
   }
+
+  /** MinHash-LSH candidates + exact-Jaccard verify over a signature
+    * frame — the [[dedupMinhashLsh]] body, shared with CorpusPipeline's
+    * pair stage. Unordered (i, j, sim >= tau).
+    */
+  private[graft] def minhashVerifiedPairs(hs: org.apache.spark.sql.DataFrame,
+                                          tau: Double): org.apache.spark.sql.DataFrame =
+    minhashCandidates(hs)
+      .join(hs.select(col("doc_id").as("i"), col("hs").as("ha")), "i")
+      .join(hs.select(col("doc_id").as("j"), col("hs").as("hb")), "j")
+      .withColumn("sim", TextOps.jaccard(col("ha"), col("hb")))
+      .where(col("sim") >= tau)
+      .select(col("i"), col("j"), col("sim"))
 
   /** 32-bit SimHash near-dup pairs at hamming distance <= 3.
     *
@@ -402,9 +417,18 @@ object DedupQueries {
        |n AS (SELECT rep, count(*) AS n_members FROM cl GROUP BY rep)
        |SELECT m.rep, m.node AS best_doc, m.n_chars AS best_chars, n.n_members
        |FROM m JOIN n USING (rep) WHERE m.rk = 1 ORDER BY m.rep""".stripMargin) { (s, dir) =>
+    bestSurvivors(sharedClusters(s, dir), Tables.documents(s, dir)).orderBy(col("rep"))
+  }
+
+  /** Per-cluster canonical selection over a (node, rep) cluster map and
+    * a documents frame — the [[dedupBestSurvivor]] body, shared with
+    * CorpusPipeline's canonical stage. Unordered
+    * (rep, best_doc, best_chars, n_members).
+    */
+  private[graft] def bestSurvivors(cl: org.apache.spark.sql.DataFrame,
+                                   docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cl = sharedClusters(s, dir)
-    val m = cl.join(Tables.documents(s, dir).select(col("doc_id"), col("n_chars")),
+    val m = cl.join(docs.select(col("doc_id"), col("n_chars")),
         col("doc_id") === col("node"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("rep")).orderBy(col("n_chars").desc, col("node"))))
@@ -413,7 +437,6 @@ object DedupQueries {
       .join(n, Seq("rep"))
       .select(col("rep"), col("node").as("best_doc"),
         col("n_chars").as("best_chars"), col("n_members"))
-      .orderBy(col("rep"))
   }
 
   /** Benchmark decontamination — the pass every training corpus runs
@@ -945,20 +968,33 @@ object DedupQueries {
          |  CAST(sum(doc_id) AS BIGINT) AS id_sum
          |FROM a GROUP BY split ORDER BY split""".stripMargin) { (s, dir) =>
       TextOps.ensureFunctions(s)
-      val cl = sharedClusters(s, dir)
-      val hv = expr(TextOps.portableHash64Sql("'cs'", "CAST(grp AS STRING)")) % 10
-      Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
-        .join(cl.select(col("node").as("doc_id"), col("rep")), Seq("doc_id"), "left")
-        .withColumn("grp", coalesce(col("rep"), col("doc_id")))
-        .withColumn("split", when(hv < 8, "train").when(hv === 8, "valid").otherwise("test"))
-        .groupBy(col("split"))
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("grp")).as("n_groups"),
-          sum(col("n_chars")).as("n_chars"),
-          sum(col("doc_id")).as("id_sum"))
+      clusterSplitCensus(
+        clusterSplitAssign(Tables.documents(s, dir), sharedClusters(s, dir)))
         .orderBy(col("split"))
     }
   }
+
+  /** Leakage-aware split ASSIGNMENT over a documents frame and a
+    * (node, rep) cluster map — the [[mlClusterSplit]] per-doc body
+    * (doc_id, n_chars, grp, split), shared with CorpusPipeline's split
+    * stage. Caller must TextOps.ensureFunctions first.
+    */
+  private[graft] def clusterSplitAssign(docs: org.apache.spark.sql.DataFrame,
+                                        cl: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val hv = expr(TextOps.portableHash64Sql("'cs'", "CAST(grp AS STRING)")) % 10
+    docs.select(col("doc_id"), col("n_chars"))
+      .join(cl.select(col("node").as("doc_id"), col("rep")), Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("rep"), col("doc_id")))
+      .withColumn("split", when(hv < 8, "train").when(hv === 8, "valid").otherwise("test"))
+  }
+
+  /** The [[mlClusterSplit]] census over an assignment frame. Unordered. */
+  private[graft] def clusterSplitCensus(a: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    a.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("grp")).as("n_groups"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("doc_id")).as("id_sum"))
 
   /** Per-source duplicate-rate census — the dedup line of a dataset
     * card: for each source, exact-dup statistics (docs, distinct texts,

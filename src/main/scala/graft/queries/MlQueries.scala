@@ -341,22 +341,31 @@ object MlQueries {
          |        AND c.doc_id = f.first_id THEN 1 ELSE 0 END AS keep
          |FROM c JOIN firsts f USING (dg)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val c = Tables.documents(s, dir).select(
-        Seq(col("doc_id"), md5(col("text")).as("dg")) ++
-          gopherCntCols ++ langCntCols: _*)
-      val firstWin = org.apache.spark.sql.expressions.Window.partitionBy(col("dg"))
-      val kGopher = expr(gopherKeepSql)
-      val kLang = expr(langCaseSql) =!= "und"
-      val kExact = col("doc_id") === col("first_id")
-      def flag(x: org.apache.spark.sql.Column) = when(x, 1).otherwise(0)
-      c.withColumn("first_id", min(col("doc_id")).over(firstWin))
-        .select(col("doc_id"),
-          flag(kGopher).as("k_gopher"),
-          flag(kLang).as("k_lang"),
-          flag(kExact).as("k_exact"),
-          flag(kGopher && kLang && kExact).as("keep"))
-        .orderBy(col("doc_id"))
+      qualityFunnelFlags(Tables.documents(s, dir)).orderBy(col("doc_id"))
     }
+  }
+
+  /** The [[mlQualityFunnel]] body over an arbitrary documents frame —
+    * factored so CorpusPipeline's funnel stage IS the gate query's plan
+    * (stage-vs-gate parity is a spec, not a hope). Unordered; the gate
+    * entry adds its ORDER BY.
+    */
+  private[graft] def qualityFunnelFlags(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import TextQueries.{gopherCntCols, gopherKeepSql, langCntCols, langCaseSql}
+    val c = docs.select(
+      Seq(col("doc_id"), md5(col("text")).as("dg")) ++
+        gopherCntCols ++ langCntCols: _*)
+    val firstWin = org.apache.spark.sql.expressions.Window.partitionBy(col("dg"))
+    val kGopher = expr(gopherKeepSql)
+    val kLang = expr(langCaseSql) =!= "und"
+    val kExact = col("doc_id") === col("first_id")
+    def flag(x: org.apache.spark.sql.Column) = when(x, 1).otherwise(0)
+    c.withColumn("first_id", min(col("doc_id")).over(firstWin))
+      .select(col("doc_id"),
+        flag(kGopher).as("k_gopher"),
+        flag(kLang).as("k_lang"),
+        flag(kExact).as("k_exact"),
+        flag(kGopher && kLang && kExact).as("keep"))
   }
 
   /** Weighted sampling without replacement (Efraimidis & Spirakis, IPL
@@ -655,17 +664,24 @@ object MlQueries {
          |SELECT source, n_tokens, round(wt / sw, 6) AS share,
          |  round($budget * (wt / sw) / n_tokens, 6) AS epochs
          |FROM w CROSS JOIN t ORDER BY source""".stripMargin) { (s, dir) =>
-      val n = Tables.documents(s, dir)
-        .groupBy(col("source"))
-        .agg(sum(size(TextOps.wordsExpr)).as("n_tokens"))
-        .withColumn("wt", pow(col("n_tokens"), 0.5))
-      val t = n.agg(sum(col("wt")).as("sw"))
-      n.crossJoin(broadcast(t))
-        .select(col("source"), col("n_tokens"),
-          round(col("wt") / col("sw"), 6).as("share"),
-          round(lit(budget) * (col("wt") / col("sw")) / col("n_tokens"), 6).as("epochs"))
-        .orderBy(col("source"))
+      mixtureEpochsFrame(Tables.documents(s, dir), budget).orderBy(col("source"))
     }
+  }
+
+  /** The [[mlMixtureEpochs]] body over an arbitrary documents frame
+    * (CorpusPipeline's mixture stage shares the exact plan). Unordered.
+    */
+  private[graft] def mixtureEpochsFrame(docs: org.apache.spark.sql.DataFrame,
+                                        budget: Long): org.apache.spark.sql.DataFrame = {
+    val n = docs
+      .groupBy(col("source"))
+      .agg(sum(size(TextOps.wordsExpr)).as("n_tokens"))
+      .withColumn("wt", pow(col("n_tokens"), 0.5))
+    val t = n.agg(sum(col("wt")).as("sw"))
+    n.crossJoin(broadcast(t))
+      .select(col("source"), col("n_tokens"),
+        round(col("wt") / col("sw"), 6).as("share"),
+        round(lit(budget) * (col("wt") / col("sw")) / col("n_tokens"), 6).as("epochs"))
   }
 
   /** Deterministic epoch-order materialization — the GLOBAL SHUFFLE a
@@ -693,18 +709,26 @@ object MlQueries {
          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY rk, doc_id) AS BIGINT) AS pos,
          |  doc_id
          |FROM s ORDER BY shard, pos""".stripMargin) { (s, dir) =>
-      import graft.ops.TextOps
-      import org.apache.spark.sql.expressions.Window
-      TextOps.ensureFunctions(s)
-      Tables.documents(s, dir)
-        .select(col("doc_id"),
-          expr(TextOps.portableHash64Sql("'ep1'", "CAST(doc_id AS STRING)")).as("rk"))
-        .withColumn("shard", pmod(col("rk"), lit(shards)).cast("long"))
-        .withColumn("pos", row_number().over(
-          Window.partitionBy(col("shard")).orderBy(col("rk"), col("doc_id"))).cast("long"))
-        .select(col("shard"), col("pos"), col("doc_id"))
+      graft.ops.TextOps.ensureFunctions(s)
+      epochOrderFrame(Tables.documents(s, dir), "ep1", shards)
         .orderBy(col("shard"), col("pos"))
     }
+  }
+
+  /** The [[mlEpochOrder]] body over an arbitrary documents frame —
+    * seedSalt names the epoch (a new salt is a fresh permutation).
+    * Caller must TextOps.ensureFunctions first. Unordered.
+    */
+  private[graft] def epochOrderFrame(docs: org.apache.spark.sql.DataFrame,
+                                     seedSalt: String, shards: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .select(col("doc_id"),
+        expr(TextOps.portableHash64Sql(s"'$seedSalt'", "CAST(doc_id AS STRING)")).as("rk"))
+      .withColumn("shard", pmod(col("rk"), lit(shards)).cast("long"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("rk"), col("doc_id"))).cast("long"))
+      .select(col("shard"), col("pos"), col("doc_id"))
   }
 
   val all: Seq[QueryDef] = Seq(hourRingFeatures, hourRingFeaturesReturns,
