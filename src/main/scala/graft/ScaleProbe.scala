@@ -55,6 +55,27 @@ object ScaleProbe {
         .where(col("keep") === 1).count()
       val fsecs = (System.nanoTime() - t1) / 1e9
       println(f"[scaleprobe] docs=$n%6d funnel_kept=$kept%6d wall=$fsecs%6.1f s")
+
+      // corpus-pipeline leg: the COMPOSED CorpusPipeline DAG end to end
+      // (JSONL ingest → funnel → signature build → LSH pairs → CC →
+      // canonical → split → mixture → epoch order → sharded write) on
+      // the funnel corpus (lang-gate passes; planted near-dups from the
+      // base corpus survive into the dedup tiers) with a source column
+      // for the mixture/shard stages. This is the number that answers
+      // "what does the whole product cost per corpus snapshot", not any
+      // single stage: expect ~the pair-build curve plus a constant,
+      // since candidates dominate and every other stage is map-only or
+      // id-sized. Run with sizes "200000" for the documented 200k point.
+      val dirP = java.nio.file.Files.createTempDirectory(s"probeP$n").toString
+      spark.read.parquet(s"$dirF/documents.parquet")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          concat(lit("src"), pmod(col("doc_id"), lit(20))).as("source"),
+          length(col("text")).cast("long").as("n_chars"))
+        .toJSON.write.mode("overwrite").text(s"$dirP/jsonl")
+      val t15 = System.nanoTime()
+      val cr = graft.pipeline.CorpusPipeline.run(spark, s"$dirP/jsonl", s"$dirP/out")
+      val psecs = (System.nanoTime() - t15) / 1e9
+      println(f"[scaleprobe] docs=$n%6d corpus_pipeline kept=${cr.nKept}%6d survivors=${cr.nSurvivors}%6d wall=$psecs%6.1f s")
       // sketch leg: ONE aggregation pass over the full token stream
       // builds the whole sketch family concurrently — Count-Min (32 KB),
       // Bloom (512 B), KMV (~2 KB) — on the production hash tier
@@ -191,7 +212,7 @@ object ScaleProbe {
 
       // probe corpora are throwaway — don't leave 2 parquet copies per
       // size accumulating in /tmp across sweeps
-      Seq(dir, dirF).foreach { d =>
+      Seq(dir, dirF, dirP).foreach { d =>
         def rm(f: java.io.File): Unit = {
           Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
         }
