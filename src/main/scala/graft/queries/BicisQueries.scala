@@ -1057,19 +1057,25 @@ object BicisQueries {
     graft.ops.TextOps.ensureFunctions(s)
     val src = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
-    val cap = 8L
+    // the cap scales with the corpus (n/100, floor 8) so the gate corpus
+    // still forces real file splits while a 10x corpus doesn't explode
+    // into 10x tiny files (the n/cap file-count floor is the cost knob;
+    // a fixed cap made this query write-bound at bench SF)
+    val cap = math.max(8L, src.count() / 100L)
     val shardDir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_q_shard_roundtrip_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
     graft.core.Sinks.shardedParquet(src, shardDir, Seq("lang", "source"), Seq("doc_id"), cap)
-    val back = s.read.parquet(shardDir)
-    val filesOk = back.groupBy(input_file_name().as("f"))
-      .agg(count(lit(1)).as("n")).agg(max(col("n")).as("mx"))
-      .head().getLong(0) <= cap
-    back.groupBy(col("lang"), col("source"))
-      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"),
-        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
-        sum(expr(graft.ops.TextOps.portableHash64Sql("'rt'", "text")) % 1000003L).as("text_sig"))
-      .withColumn("files_ok", lit(filesOk))
+    // ONE read-back pass: per-file sub-aggregates roll up to the census
+    // AND the per-group max-rows-per-file that gates the cap contract
+    s.read.parquet(shardDir)
+      .groupBy(col("lang"), col("source"), input_file_name().as("f"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sc"),
+        min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"),
+        sum(expr(graft.ops.TextOps.portableHash64Sql("'rt'", "text")) % 1000003L).as("sig"))
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("n")).as("n_rows"), sum(col("sc")).as("sum_chars"),
+        min(col("mn")).as("min_id"), max(col("mx")).as("max_id"),
+        sum(col("sig")).as("text_sig"), (max(col("n")) <= cap).as("files_ok"))
       .select(col("lang"), col("source"), col("n_rows"), col("sum_chars"),
         col("min_id"), col("max_id"), col("text_sig"), col("files_ok"))
       .orderBy(col("lang"), col("source"))
