@@ -1163,11 +1163,16 @@ object GraphQueries {
       Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey"))
         .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, dir)
-          .select(col("c_custkey"), col("c_nationkey").as("src"))),
+        // dims UN-hinted: parquet stats put customer/supplier far under
+        // the broadcast threshold at any tested SF (the planner still
+        // picks BroadcastHashJoin — PlanSpec pins it), while a
+        // billion-customer corpus gets a shuffle join instead of a
+        // forced-broadcast OOM. Same discipline as vhint, via stats.
+        .join(Tables.customer(s, dir)
+          .select(col("c_custkey"), col("c_nationkey").as("src")),
           col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.supplier(s, dir)
-          .select(col("s_suppkey"), col("s_nationkey").as("dst"))),
+        .join(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_nationkey").as("dst")),
           col("l_suppkey") === col("s_suppkey"))
         .where(col("src") =!= col("dst"))
         .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
