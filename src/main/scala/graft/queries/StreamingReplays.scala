@@ -225,6 +225,73 @@ object StreamingReplays {
       .orderBy(col("left_id"), col("right_id"))
   }
 
+  /** Stream-stream LEFT OUTER interval join through the oracle gate —
+    * the ninth streaming class, and the semantics the inner replay
+    * can't reach: a view with NO purchase inside its 6-hour window must
+    * still be emitted (null right columns), but only once the watermark
+    * proves no partner can arrive — STATE-STORE EVICTION as the
+    * emission trigger. Hash-checked against the batch LEFT JOIN oracle,
+    * so the gate proves the full trichotomy: every matched pair emitted
+    * exactly once, every unmatched view null-emitted exactly once,
+    * nothing null-emitted while a partner was still admissible.
+    *
+    * Replay mechanics: same globally ts-ordered two-chunk feed as the
+    * inner replay (in-order arrivals), then a WATERMARK SENTINEL pair
+    * on both streams — the first (7 h past the last event, beyond every
+    * open window's close at delay 0s) advances both watermarks, the
+    * second triggers the eviction batch that emits the outer nulls
+    * (watermark movement is observed at the NEXT batch). Sentinel rows
+    * (user −1) are dropped from the result; the sentinel left row
+    * itself never emits (its own window never closes before stop).
+    */
+  val streamingOuterJoinReplay: QueryDef = QueryDef.sql("streaming_outer_join_replay",
+    """SELECT l.user_id, l.event_id AS left_id, r.event_id AS right_id,
+      |  l.ts AS left_ts, r.ts AS right_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'view') l
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      |  ON l.user_id = r.user_id
+      | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOURS
+      |ORDER BY left_id, right_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.streaming.Streaming
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val ev = Tables.events(s, dir)
+      .where(col("event_type").isin("view", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+      .as[Streaming.Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val maxMs = ev.map(_.ts.getTime).max
+    def sentinel(offsetMs: Long) = Streaming.Ev(
+      -1L, -1L, new java.sql.Timestamp(maxMs + offsetMs), "sentinel")
+    val msL = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Ev]
+    val msR = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Ev]
+    val sink = s"oj_replay_${replaySeq.incrementAndGet()}"
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    val query =
+      try Streaming.streamIntervalJoinLeftOuter(msL.toDS().toDF(), msR.toDS().toDF(),
+          "user_id", "ts", "0 seconds", 21600L)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    try {
+      ev.grouped(math.max(ev.length / 2, 1)).foreach { c =>
+        msL.addData(c.filter(_.event_type == "view"))
+        msR.addData(c.filter(_.event_type == "purchase"))
+        query.processAllAvailable()
+      }
+      // watermark-close + eviction-observe sentinel pair (7 h and 14 h
+      // past the last event; every real window closes at +6 h)
+      Seq(25200000L, 50400000L).foreach { off =>
+        msL.addData(Seq(sentinel(off))); msR.addData(Seq(sentinel(off)))
+        query.processAllAvailable()
+      }
+    } finally query.stop()
+    s.table(sink)
+      .where(col("user_id") =!= -1L)
+      .select(col("user_id"), col("left_id"), col("right_id"),
+        col("left_ts"), col("right_ts"))
+      .orderBy(col("left_id"), col("right_id"))
+  }
+
   /** Streaming EXACT DEDUP through the oracle gate — the fourth stateful
     * operator class after flatMapGroupsWithState, merging session
     * windows and the stream-stream join: `dropDuplicatesWithinWatermark`
@@ -439,6 +506,7 @@ object StreamingReplays {
 
   val all: Seq[QueryDef] = Seq(streamingA5Replay,
     streamingSessionizeReplay, streamingIntervalJoinReplay,
+    streamingOuterJoinReplay,
     streamingDedupReplay, streamingTumblingReplay, streamingSketchReplay,
     streamingRatelimitReplay)
 }

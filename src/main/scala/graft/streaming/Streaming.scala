@@ -160,6 +160,35 @@ object Streaming {
         col(s"l.$tsCol").as("left_ts"), col(s"r.$tsCol").as("right_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — the outer-join-on-streams
+    * semantics the inner form can't show: a left row with NO partner in
+    * [ts, ts+bound] is emitted with null right columns, but only once
+    * the watermark provably CLOSES its window (state-store eviction is
+    * the emission trigger — before that, a partner could still arrive).
+    * Matched rows emit on match, exactly as in [[streamIntervalJoin]];
+    * the outer nulls are the late tail. Both state stores stay bounded
+    * by the same watermark + range-condition GC as the inner join.
+    *
+    * The replay gate hash-checks the complete output (matches + null
+    * rows) against the batch LEFT JOIN oracle — proving no left row is
+    * dropped, duplicated, or null-emitted while a partner was still
+    * admissible.
+    */
+  def streamIntervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+                                  keyCol: String, tsCol: String,
+                                  watermarkDelay: String, boundSeconds: Long): DataFrame = {
+    val l = left.withWatermark(tsCol, watermarkDelay).alias("l")
+    val r = right.withWatermark(tsCol, watermarkDelay).alias("r")
+    l.join(r,
+      expr(s"""l.$keyCol = r.$keyCol AND
+              |r.$tsCol >= l.$tsCol AND
+              |r.$tsCol <= l.$tsCol + interval $boundSeconds seconds""".stripMargin),
+      "leftOuter")
+      .select(col(s"l.$keyCol").as(keyCol),
+        col("l.event_id").as("left_id"), col("r.event_id").as("right_id"),
+        col(s"l.$tsCol").as("left_ts"), col(s"r.$tsCol").as("right_ts"))
+  }
+
   /** Streaming exact dedup: first occurrence of each content digest
     * passes, replays and duplicates are dropped; the watermark bounds the
     * digest state store (dedup keys older than the delay are GC'd — the
