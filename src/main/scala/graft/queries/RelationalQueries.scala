@@ -1297,6 +1297,82 @@ object RelationalQueries {
     }
   }
 
+  /** TPC-H Q18 (large-volume customers): orders whose total line
+    * quantity clears 300, joined back to their customer and re-grouped
+    * — the classic AGGREGATE-DRIVEN SEMI-JOIN (the IN subquery is a
+    * HAVING set), distinct from Q3/Q5's selective-dim stars. Quantity
+    * sums ride DECIMAL so both engines' HAVING cut and output sums are
+    * exact; top-100 on (o_totalprice desc, o_orderkey) is
+    * engine-stable (prices are the same parquet doubles).
+    *
+    * Shape at 100 TB: the HAVING set is a tiny fraction of orders
+    * (runtime-sized — AQE broadcasts the agg result when it fits,
+    * nothing is hinted), so the fact table is filtered by a hash
+    * semi-join before the wide join; the top-100 compiles to
+    * TakeOrderedAndProject, never a global sort.
+    */
+  val qSqlTpch18: QueryDef = QueryDef.sql("q_sql_tpch18",
+    """WITH big AS (SELECT l_orderkey FROM lineitem
+      |            GROUP BY 1 HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 300)
+      |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |JOIN big ON big.l_orderkey = lineitem.l_orderkey
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, dir) =>
+    val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_quantity"))
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).as("q"))
+      .where(col("q") > 300).select(col("l_orderkey").as("bigkey"))
+    li.join(big, col("l_orderkey") === col("bigkey"))
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_name"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      .agg(sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q10 (returned-item reporting): revenue lost to returns per
+    * customer over one quarter, top-20 — the selective-fact + wide-dim
+    * reporting star. Exact DECIMAL revenue (the Q3/Q5 discipline);
+    * deterministic (revenue desc, c_custkey) cut.
+    *
+    * Shape: both fact filters (o_orderdate range, l_returnflag = 'R')
+    * push to the scans; customer/nation broadcast; top-20 is
+    * TakeOrderedAndProject.
+    */
+  val qSqlTpch10: QueryDef = QueryDef.sql("q_sql_tpch10",
+    """SELECT c_custkey, c_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  c_acctbal, n_name
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, dir) =>
+    Tables.lineitem(s, dir).where(col("l_returnflag") === "R")
+      .join(Tables.orders(s, dir)
+          .where(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-04-01 00:00:00").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(graft.ops.Relational.revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(q1Agg, qJoinAgg, qBroadcastJoin, qTopk,
     qWindowRank, qSetops, qRollup, qDistinctAgg, qSemiJoin, qAntiJoin,
     qAsofJoin, qPercentileStats, qCube, qRunningSum, qRangeJoin,
@@ -1304,5 +1380,6 @@ object RelationalQueries {
     qGroupingSets, qCorrSubquery, qFullOuter, qBloomPrune, qGapFill,
     qChangelogCompact, qSkyline, qSnapshotDiff, qHistogram,
     qSkewAudit, qIvmMerge, qDecileProfile, qAbTest, qAsofJoinNative,
-    qChi2Independence, qSqlTpch3, qSqlTpch5, qMergeUpsert)
+    qChi2Independence, qSqlTpch3, qSqlTpch5, qSqlTpch18, qSqlTpch10,
+    qMergeUpsert)
 }

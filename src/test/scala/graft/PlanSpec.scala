@@ -428,6 +428,20 @@ class PlanSpec extends SparkSpec {
       s"row explosion in:\n$p5")
   }
 
+  test("tpch18/tpch10: filters push, top-k never global-sorts, no row explosion") {
+    val p18 = plan(RelationalQueries.qSqlTpch18)
+    assert(p18.contains("TakeOrderedAndProject"), s"top-100 global-sorted in:\n$p18")
+    assert(!p18.contains("CartesianProduct") && !p18.contains("BroadcastNestedLoopJoin"),
+      s"row explosion in:\n$p18")
+    val p10 = plan(RelationalQueries.qSqlTpch10)
+    assert(p10.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)"),
+      s"l_returnflag not pushed in:\n$p10")
+    assert(p10.contains("TakeOrderedAndProject"), s"top-20 global-sorted in:\n$p10")
+    assert("BroadcastHashJoin".r.findAllIn(p10).size >= 2,
+      s"customer/nation dims not broadcast in:\n$p10")
+    assert(!p10.contains("CartesianProduct"), s"cartesian in:\n$p10")
+  }
+
   test("q_skew_audit: top-10 heads are TakeOrdered limits, never a global sort of the key rollup") {
     val (df, cached) = RelationalQueries.skewAuditFrames(spark, dir)
     val p = df.queryExecution.executedPlan.toString
