@@ -731,7 +731,62 @@ object MlQueries {
       .select(col("shard"), col("pos"), col("doc_id"))
   }
 
-  val all: Seq[QueryDef] = Seq(hourRingFeatures, hourRingFeaturesReturns,
+  /** Deequ-style data-quality CONSTRAINT AUDIT over the documents table
+    * — the validation gate a dataset passes before training jobs may
+    * read it (the declarative cousin of the fails sidecars): six
+    * constraints (row volume, text/lang completeness, key uniqueness,
+    * n_chars ∈ [1, 10⁶] range, lang accepted-values, n_chars ≡
+    * length(text) consistency) evaluated in ONE pass and emitted as a
+    * (constraint, metric, pass) report row each.
+    *
+    * Shape at 100 TB: every constraint is a conditional aggregate over
+    * the same scan — one map-side-combined pass, a single one-row
+    * result, and the report rows are an explode of that row (uniqueness
+    * is the one distinct-shuffle, over the key column only). Adding a
+    * constraint = adding an aggregate, never a pass.
+    */
+  val mlConstraintAudit: QueryDef = QueryDef.sql("ml_constraint_audit",
+    """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(text) AS BIGINT) AS n_text,
+      |    CAST(count(lang) AS BIGINT) AS n_lang,
+      |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_keys,
+      |    CAST(sum(CASE WHEN n_chars BETWEEN 1 AND 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_range,
+      |    CAST(sum(CASE WHEN lang IN ('en', 'de', 'es', 'fr', 'zh') THEN 1 ELSE 0 END) AS BIGINT) AS n_accept,
+      |    CAST(sum(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_consist
+      |  FROM documents)
+      |SELECT * FROM (
+      |  SELECT 'row_count' AS con, CAST(n AS DOUBLE) AS metric, n > 0 AS pass FROM m
+      |  UNION ALL SELECT 'text_completeness', round(CAST(n_text AS DOUBLE) / n, 6), n_text = n FROM m
+      |  UNION ALL SELECT 'lang_completeness', round(CAST(n_lang AS DOUBLE) / n, 6), n_lang = n FROM m
+      |  UNION ALL SELECT 'key_uniqueness', round(CAST(n_keys AS DOUBLE) / n, 6), n_keys = n FROM m
+      |  UNION ALL SELECT 'chars_in_range', round(CAST(n_range AS DOUBLE) / n, 6), n_range = n FROM m
+      |  UNION ALL SELECT 'lang_accepted', round(CAST(n_accept AS DOUBLE) / n, 6), n_accept = n FROM m
+      |  UNION ALL SELECT 'chars_consistent', round(CAST(n_consist AS DOUBLE) / n, 6), n_consist = n FROM m)
+      |ORDER BY con""".stripMargin) { (s, dir) =>
+    val m = Tables.documents(s, dir).agg(
+      count(lit(1)).as("n"),
+      count(col("text")).as("n_text"),
+      count(col("lang")).as("n_lang"),
+      countDistinct(col("doc_id")).as("n_keys"),
+      sum(when(col("n_chars").between(1, 1000000), 1L).otherwise(0L)).as("n_range"),
+      sum(when(col("lang").isin("en", "de", "es", "fr", "zh"), 1L).otherwise(0L)).as("n_accept"),
+      sum(when(col("n_chars") === length(col("text")), 1L).otherwise(0L)).as("n_consist"))
+    def frac(c: org.apache.spark.sql.Column) = round(c.cast("double") / col("n"), 6)
+    def row(name: String, metric: org.apache.spark.sql.Column, pass: org.apache.spark.sql.Column) =
+      struct(lit(name).as("con"), metric.as("metric"), pass.as("pass"))
+    m.select(explode(array(
+        row("row_count", col("n").cast("double"), col("n") > 0),
+        row("text_completeness", frac(col("n_text")), col("n_text") === col("n")),
+        row("lang_completeness", frac(col("n_lang")), col("n_lang") === col("n")),
+        row("key_uniqueness", frac(col("n_keys")), col("n_keys") === col("n")),
+        row("chars_in_range", frac(col("n_range")), col("n_range") === col("n")),
+        row("lang_accepted", frac(col("n_accept")), col("n_accept") === col("n")),
+        row("chars_consistent", frac(col("n_consist")), col("n_consist") === col("n")))).as("c"))
+      .select(col("c.con").as("con"), col("c.metric").as("metric"), col("c.pass").as("pass"))
+      .orderBy(col("con"))
+  }
+
+  val all: Seq[QueryDef] = Seq(mlConstraintAudit, hourRingFeatures, hourRingFeaturesReturns,
     mlDataset, mlPoissonPredict, mlZscore, mlLagFeatures, mlHashSplit,
     mlSampleStratified, mlPackSequences, mlMixtureSample, mlChunkDocuments,
     mlQualityFunnel, mlSampleWeighted, mlMixtureTemperature, mlFeatureHash,
