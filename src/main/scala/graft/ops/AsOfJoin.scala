@@ -127,4 +127,27 @@ object AsOfJoin {
       la, ra, attr(la, leftKey), attr(la, leftTs), attr(ra, rightKey), rts,
       carryAttrs, matched))
   }
+
+  /** FORWARD as-of join: for each left row, the EARLIEST right row with
+    * `right.ts >= left.ts` on the same key — pure REUSE of the backward
+    * machinery on a NEGATED microsecond axis (latest −rts ≤ −ts is
+    * exactly earliest rts ≥ ts), so both formulations, their specs and
+    * the physical operator's scale story carry over unchanged. The
+    * matched original right timestamp rides the carry set and is
+    * emitted as `asof_ts`; the negated-axis timestamp never escapes.
+    * Same unique-(key, ts) right-side precondition as the backward
+    * forms. `native = true` routes through AsOfJoinExec.
+    */
+  def asofJoinForward(left: DataFrame, leftKey: String, leftTs: String,
+                      right: DataFrame, rightKey: String, rightTs: String,
+                      carry: Seq[String], native: Boolean = false): DataFrame = {
+    def neg(c: org.apache.spark.sql.Column) = timestamp_micros(-unix_micros(c))
+    val ln = left.withColumn("__nts", neg(col(leftTs)))
+    val rn = right.withColumn("__nts", neg(col(rightTs)))
+    val joined =
+      if (native) asofJoinNative(ln, leftKey, "__nts", rn, rightKey, "__nts", rightTs +: carry)
+      else asofJoin(ln, leftKey, "__nts", rn, rightKey, "__nts", rightTs +: carry)
+    joined.drop("__nts").drop("asof_ts")
+      .withColumnRenamed(s"asof_$rightTs", "asof_ts")
+  }
 }

@@ -210,6 +210,33 @@ object RelationalQueries {
       .orderBy(col("event_id"))
   }
 
+  /** FORWARD as-of join (earliest purchase at/after each click) through
+    * the NATIVE physical operator on the negated time axis
+    * (AsOfJoin.asofJoinForward) — the next-event lookup every
+    * time-to-conversion / next-arrival analysis runs, checked against
+    * DuckDB's forward ASOF (`p.rts >= c.ts`). Same thin-exchange +
+    * two-pointer-merge scale story as the backward native gate row;
+    * AsOfJoinSpec pins forward-native ≡ forward-composed.
+    */
+  val qAsofForward: QueryDef = QueryDef.sql("q_asof_forward",
+    """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts AS rts, max(value) AS rvalue
+      |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT c.event_id, p.rts AS asof_ts, p.rvalue AS asof_rvalue
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.rts >= c.ts
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("rts"))
+      .agg(max(col("value")).as("rvalue"))
+    graft.ops.AsOfJoin.asofJoinForward(clicks, "user_id", "ts",
+        purchases, "user_id", "rts", Seq("rvalue"), native = true)
+      .select(col("event_id"), col("asof_ts"), col("asof_rvalue"))
+      .orderBy(col("event_id"))
+  }
+
   /** Exact percentiles (linear interpolation — identical definition in
     * both engines) and statistical aggregates. Rounding scaled to each
     * statistic's cross-engine numeric error (see QueryDef contract).
@@ -1375,7 +1402,7 @@ object RelationalQueries {
 
   val all: Seq[QueryDef] = Seq(q1Agg, qJoinAgg, qBroadcastJoin, qTopk,
     qWindowRank, qSetops, qRollup, qDistinctAgg, qSemiJoin, qAntiJoin,
-    qAsofJoin, qPercentileStats, qCube, qRunningSum, qRangeJoin,
+    qAsofJoin, qAsofForward, qPercentileStats, qCube, qRunningSum, qRangeJoin,
     qProfileStats, qAboveAvg, qSaltedCount, qSqlTpch6, qUnpivot,
     qGroupingSets, qCorrSubquery, qFullOuter, qBloomPrune, qGapFill,
     qChangelogCompact, qSkyline, qSnapshotDiff, qHistogram,

@@ -134,4 +134,46 @@ class AsOfJoinSpec extends SparkSpec {
     assert("Exchange hashpartitioning\\(user_id".r.findAllIn(pf).size === 2,
       s"expected exactly two per-side exchanges in:\n$pf")
   }
+
+  test("forward as-of: earliest future match; native == composed; edges hold under negation") {
+    import spark.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    // key 1: left at t=5 must take rts=6 (not 8); left at t=9 has no
+    // future match; key 2's only right row is in the past -> null
+    val left = Seq((1L, 1L, ts(5)), (2L, 1L, ts(9)), (3L, 2L, ts(4)))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((1L, ts(6), 10.0), (1L, ts(8), 20.0), (2L, ts(1), 30.0))
+      .toDF("user_id", "rts", "rvalue")
+    val got = AsOfJoin.asofJoinForward(left, "user_id", "ts",
+        right, "user_id", "rts", Seq("rvalue"))
+      .orderBy("event_id")
+      .select("event_id", "asof_ts", "asof_rvalue")
+      .collect().map(r => (r.getLong(0), Option(r.getTimestamp(1)).map(_.getTime),
+        Option(r.get(2)))).toSeq
+    assert(got === Seq(
+      (1L, Some(ts(6).getTime), Some(10.0)),
+      (2L, None, None),
+      (3L, None, None)), s"forward matches: $got")
+    // inclusive bound: a right row AT the left ts matches (ties)
+    val tie = AsOfJoin.asofJoinForward(
+        Seq((9L, 1L, ts(6))).toDF("event_id", "user_id", "ts"), "user_id", "ts",
+        right, "user_id", "rts", Seq("rvalue"))
+      .select("asof_rvalue").head().getDouble(0)
+    assert(tie === 10.0, "inclusive >= bound broken")
+    // native == composed on seeded random data
+    val rnd = new scala.util.Random(11)
+    val bigL = (1 to 400).map(i => (i.toLong, rnd.nextInt(8).toLong,
+      new java.sql.Timestamp(1700000000000L + rnd.nextInt(100000) * 100L)))
+      .toDF("event_id", "user_id", "ts")
+    val bigR = (1 to 150).map(i => (rnd.nextInt(8).toLong,
+      new java.sql.Timestamp(1700000000000L + rnd.nextInt(100000) * 100L), i.toDouble))
+      .toDF("user_id", "rts", "rvalue")
+      .groupBy("user_id", "rts").agg(org.apache.spark.sql.functions.max("rvalue").as("rvalue"))
+    val a = AsOfJoin.asofJoinForward(bigL, "user_id", "ts", bigR, "user_id", "rts", Seq("rvalue"))
+      .orderBy("event_id").collect().map(_.toString).toSeq
+    val b = AsOfJoin.asofJoinForward(bigL, "user_id", "ts", bigR, "user_id", "rts", Seq("rvalue"),
+        native = true)
+      .orderBy("event_id").collect().map(_.toString).toSeq
+    assert(a === b)
+  }
 }
