@@ -178,8 +178,9 @@ object StreamingReplays {
     * (`streaming_sessionize_replay`): view events joined to purchase
     * events of the same user landing within 6 h (the attribution shape,
     * Streaming.streamIntervalJoin — both sides watermarked, the range
-    * predicate bounds BOTH state stores). Replay feeds both sides from
-    * the same globally ts-ordered chunks, so arrivals are in order and
+    * predicate bounds BOTH state stores). Replay stages both sides as
+    * FILE SOURCES cut at one shared ts midpoint (no driver collect),
+    * so arrivals are in order across lockstep micro-batches and
     * the inner join emits every match before GC can touch its partner:
     * a buffered left row is evicted only once the watermark passes
     * l.ts + bound, and every not-yet-seen right row has ts ≥ the
@@ -193,36 +194,54 @@ object StreamingReplays {
       |  ON l.user_id = r.user_id AND l.event_type = 'view' AND r.event_type = 'purchase'
       | AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 6 HOURS
       |ORDER BY left_id, right_id""".stripMargin) { (s, dir) =>
-    import s.implicits._
     import graft.streaming.Streaming
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val ev = Tables.events(s, dir)
       .where(col("event_type").isin("view", "purchase"))
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-      .as[Streaming.Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
-    val msL = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Ev]
-    val msR = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Ev]
-    val sink = s"ij_replay_${replaySeq.incrementAndGet()}"
-    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val query =
-      try Streaming.streamIntervalJoin(msL.toDS().toDF(), msR.toDS().toDF(),
-          "user_id", "ts", "0 seconds", 21600L)
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
-    try {
-      // one global ts-ordered chunking drives BOTH sides, so neither
-      // stream's watermark outruns the other's unfed data
-      ev.grouped(math.max(ev.length / 2, 1)).foreach { c =>
-        msL.addData(c.filter(_.event_type == "view"))
-        msR.addData(c.filter(_.event_type == "purchase"))
-        query.processAllAvailable()
+    // FILE-SOURCE replay for both streams: one SHARED ts midpoint (a
+    // scalar percentile — S10-tiny) cuts both sides into the same
+    // global time ranges, so batch i of the left source covers exactly
+    // batch i's range on the right — the "one global ts-ordered
+    // chunking drives BOTH sides" invariant of the old driver feed,
+    // with no collect. maxFilesPerTrigger=1 per source → each
+    // micro-batch consumes chunk i from BOTH sides in lockstep and
+    // neither watermark outruns the other's unfed data.
+    val midUs = ev.agg(expr("CAST(percentile(unix_micros(ts), 0.5) AS LONG)"))
+      .head().getLong(0)
+    val base = java.nio.file.Files.createTempDirectory("graft_replay_ij_").toFile
+    def stageSide(tp: String, sub: String): String = {
+      val d = new java.io.File(base, sub); d.mkdirs()
+      Seq(col("ts") < timestamp_micros(lit(midUs)),
+          col("ts") >= timestamp_micros(lit(midUs))).zipWithIndex.foreach { case (pred, i) =>
+        val stage = new java.io.File(base, s"${sub}_stage$i")
+        ev.where(col("event_type") === tp && pred)
+          .coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+        val part = stage.listFiles().filter(_.getName.startsWith("part-")).head
+        val dst = new java.io.File(d, f"c$i%04d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1600000000000L + i * 60000L): Unit
       }
-    } finally query.stop()
-    s.table(sink)
-      .select(col("user_id"), col("left_id"), col("right_id"),
-        col("left_ts"), col("right_ts"))
-      .orderBy(col("left_id"), col("right_id"))
+      d.getAbsolutePath
+    }
+    try {
+      val lDir = stageSide("view", "left")
+      val rDir = stageSide("purchase", "right")
+      def src(p: String) = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(p)
+      val sink = s"ij_replay_${replaySeq.incrementAndGet()}"
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val query =
+        try Streaming.streamIntervalJoin(src(lDir), src(rDir),
+            "user_id", "ts", "0 seconds", 21600L)
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      try query.processAllAvailable() finally query.stop()
+      s.table(sink)
+        .select(col("user_id"), col("left_id"), col("right_id"),
+          col("left_ts"), col("right_ts"))
+        .orderBy(col("left_id"), col("right_id"))
+    } finally rmTree(base)
   }
 
   /** Stream-stream LEFT OUTER interval join through the oracle gate —
