@@ -495,28 +495,27 @@ object DedupQueries {
        |SELECT doc_id, count(*) AS n_hits
        |FROM tok JOIN bm USING (h)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    import s.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     TextOps.ensureFunctions(s)
-    val corpus = Tables.documents(s, dir).where(col("doc_id") % 97 =!= 0)
+    // FILE-SOURCE replay (stateless operator — order is irrelevant, the
+    // staging just gives it a deterministic 2-batch cadence; no driver
+    // collect). Static side: the shared signature memo, restricted to
+    // the benchmark slice (oracle runs use the portable hash; the
+    // operator itself is hash-agnostic like the rest of the family).
+    val src = Tables.documents(s, dir).where(col("doc_id") % 97 =!= 0)
       .select(col("doc_id"), col("text"))
-      .as[DDoc].collect().sortBy(_.doc_id)
-    // static side: the shared signature memo, restricted to the benchmark
-    // slice (oracle runs use the portable hash; the operator itself is
-    // hash-agnostic like the rest of the dedup family)
     val bm = docHashes(s, dir).where(col("doc_id") % 97 === 0)
       .select(explode(col("hs")).as("h")).distinct()
-    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[DDoc]
-    val sink = s"decont_replay_${decontReplaySeq.incrementAndGet()}"
-    val query = graft.streaming.Streaming
-      .streamingDecontaminate(ms.toDS().toDF(), bm)
-      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    val (watched, base) = StreamingReplays.stageOrderedFiles(src, 2, Seq(col("doc_id")))
     try {
-      corpus.grouped(math.max(corpus.length / 2, 1)).foreach { c =>
-        ms.addData(c.toSeq); query.processAllAvailable()
-      }
-    } finally query.stop()
-    s.table(sink).select(col("doc_id"), col("n_hits")).orderBy(col("doc_id"))
+      val stream = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watched)
+      val sink = s"decont_replay_${decontReplaySeq.incrementAndGet()}"
+      val query = graft.streaming.Streaming
+        .streamingDecontaminate(stream, bm)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try query.processAllAvailable() finally query.stop()
+      s.table(sink).select(col("doc_id"), col("n_hits")).orderBy(col("doc_id"))
+    } finally StreamingReplays.rmTree(base)
   }
 
   /** Incremental dedup — the shape a 100 TB pipeline actually runs

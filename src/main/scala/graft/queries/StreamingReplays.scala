@@ -79,7 +79,7 @@ object StreamingReplays {
     * `maxFilesPerTrigger=1` the stream replays the corpus in order, one
     * chunk per micro-batch. Returns (watchedDir, baseDir-to-delete).
     */
-  private def stageOrderedFiles(df: org.apache.spark.sql.DataFrame, n: Int,
+  private[graft] def stageOrderedFiles(df: org.apache.spark.sql.DataFrame, n: Int,
       rangeCols: Seq[org.apache.spark.sql.Column]): (String, java.io.File) = {
     val base = java.nio.file.Files.createTempDirectory("graft_replay_").toFile
     val staging = new java.io.File(base, "stage")
@@ -97,8 +97,64 @@ object StreamingReplays {
     (watched.getAbsolutePath, base)
   }
 
-  private def rmTree(f: java.io.File): Unit = {
+  private[graft] def rmTree(f: java.io.File): Unit = {
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(): Unit
+  }
+
+  /** Two-source staging for stream-stream joins: ONE shared ts midpoint
+    * (scalar percentile upstream) cuts BOTH sides into the same global
+    * time ranges, so with maxFilesPerTrigger=1 batch i of the left
+    * source covers exactly batch i's range on the right — the "one
+    * global ts-ordered chunking drives both sides" invariant with no
+    * driver feed. Optional shared sentinel frames append one extra
+    * lockstep chunk file per side each (watermark advance / eviction
+    * trigger for outer joins). Returns (leftDir, rightDir, baseToDelete).
+    */
+  private def stageTwoSided(ev: org.apache.spark.sql.DataFrame,
+      lPred: org.apache.spark.sql.Column, rPred: org.apache.spark.sql.Column,
+      midUs: Long,
+      sentinels: Seq[org.apache.spark.sql.DataFrame]): (String, String, java.io.File) = {
+    val base = java.nio.file.Files.createTempDirectory("graft_replay_2s_").toFile
+    def side(pred: org.apache.spark.sql.Column, sub: String): String = {
+      val d = new java.io.File(base, sub); d.mkdirs()
+      val chunks = Seq(col("ts") < timestamp_micros(lit(midUs)),
+          col("ts") >= timestamp_micros(lit(midUs)))
+        .map(p => ev.where(pred && p)) ++ sentinels
+      chunks.zipWithIndex.foreach { case (cdf, i) =>
+        val stage = new java.io.File(base, s"${sub}_stage$i")
+        cdf.coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+        val part = stage.listFiles().filter(_.getName.startsWith("part-")).head
+        val dst = new java.io.File(d, f"c$i%04d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1600000000000L + i * 60000L): Unit
+      }
+      d.getAbsolutePath
+    }
+    (side(lPred, "left"), side(rPred, "right"), base)
+  }
+
+  /** [[stageOrderedFiles]] plus appended SENTINEL chunk files: each
+    * sentinel frame (a 1-row watermark-advancer / eviction-trigger)
+    * becomes one more ordered file AFTER the data chunks, so the
+    * sentinel protocol the windowed replays need rides the file order
+    * instead of a driver feed — with maxFilesPerTrigger=1 each sentinel
+    * is its own micro-batch, exactly the advance-then-evict cadence.
+    */
+  private def stageWithSentinels(df: org.apache.spark.sql.DataFrame, n: Int,
+      rangeCols: Seq[org.apache.spark.sql.Column],
+      sentinels: Seq[org.apache.spark.sql.DataFrame]): (String, java.io.File) = {
+    val (watched, base) = stageOrderedFiles(df, n, rangeCols)
+    val wd = new java.io.File(watched)
+    sentinels.zipWithIndex.foreach { case (sd, i) =>
+      val stage = new java.io.File(base, s"sent$i")
+      sd.coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
+      val part = stage.listFiles().filter(_.getName.startsWith("part-")).head
+      val dst = new java.io.File(wd, f"s$i%04d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      // strictly after every data chunk's mod-time
+      dst.setLastModified(1600000000000L + (1000 + i) * 60000L): Unit
+    }
+    (watched, base)
   }
 
   /** Native `session_window` sessionization through the STREAMING engine
@@ -132,44 +188,38 @@ object StreamingReplays {
       |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin) { (s, dir) =>
     import s.implicits._
     import graft.streaming.Streaming
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val events = Tables.events(s, dir)
+    val src = Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-      .as[Streaming.Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
-    val maxMs = events.map(_.ts.getTime).max
-    def sentinel(id: Long, offsetMs: Long) = Streaming.Ev(
-      id, -1L, new java.sql.Timestamp(maxMs + offsetMs), "sentinel")
-    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Ev]
-    val sink = s"sess_replay_${replaySeq.incrementAndGet()}"
-    // The replay's cost is per-batch state-store commit overhead ×
-    // partitions: size the stream's state partitioning to the keyspace
-    // (~3k users) instead of the batch engine's CPU-count default — the
-    // setting is captured at stream START, so the batch queries around
-    // this one are untouched. Result-invariant (state is per-key).
-    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val query =
-      try Streaming.sessionCounts(ms.toDS().toDF(), "user_id", "ts",
-          "30 minutes", "0 seconds")
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    val maxMs = src.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    // day +1 sentinel advances the watermark past every real session
+    // end; the +2d sentinel's batch runs the eviction that emits them
+    def sentinelDf(id: Long, offsetMs: Long) =
+      Seq((id, -1L, new java.sql.Timestamp(maxMs + offsetMs), "sentinel"))
+        .toDF("event_id", "user_id", "ts", "event_type")
+    val (watched, base) = stageWithSentinels(src, 2, Seq(col("ts"), col("event_id")),
+      Seq(sentinelDf(-1L, 86400000L), sentinelDf(-2L, 172800000L)))
     try {
-      val chunks = events.grouped(math.max(events.length / 2, 1)).toSeq
-      chunks.zipWithIndex.foreach { case (c, i) =>
-        // day +1 sentinel rides the LAST data batch: the watermark
-        // computed from it is already past every real session end
-        val batch = if (i == chunks.size - 1) c.toSeq :+ sentinel(-1L, 86400000L)
-                    else c.toSeq
-        ms.addData(batch); query.processAllAvailable()
-      }
-      // one more batch runs with that watermark and evicts + emits the
-      // closed tail sessions
-      ms.addData(Seq(sentinel(-2L, 172800000L))); query.processAllAvailable()
-    } finally query.stop()
-    s.table(sink)
-      .where(col("user_id") >= 0)
-      .select(col("user_id"), col("session_start"), col("session_end"), col("n"))
-      .orderBy(col("user_id"), col("session_start"))
+      val stream = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watched)
+      val sink = s"sess_replay_${replaySeq.incrementAndGet()}"
+      // The replay's cost is per-batch state-store commit overhead ×
+      // partitions: size the stream's state partitioning to the keyspace
+      // (~3k users) instead of the batch engine's CPU-count default — the
+      // setting is captured at stream START, so the batch queries around
+      // this one are untouched. Result-invariant (state is per-key).
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val query =
+        try Streaming.sessionCounts(stream, "user_id", "ts",
+            "30 minutes", "0 seconds")
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      try query.processAllAvailable() finally query.stop()
+      s.table(sink)
+        .where(col("user_id") >= 0)
+        .select(col("user_id"), col("session_start"), col("session_end"), col("n"))
+        .orderBy(col("user_id"), col("session_start"))
+    } finally rmTree(base)
   }
 
   /** STREAM-STREAM interval join through the oracle gate — the third
@@ -208,24 +258,9 @@ object StreamingReplays {
     // neither watermark outruns the other's unfed data.
     val midUs = ev.agg(expr("CAST(percentile(unix_micros(ts), 0.5) AS LONG)"))
       .head().getLong(0)
-    val base = java.nio.file.Files.createTempDirectory("graft_replay_ij_").toFile
-    def stageSide(tp: String, sub: String): String = {
-      val d = new java.io.File(base, sub); d.mkdirs()
-      Seq(col("ts") < timestamp_micros(lit(midUs)),
-          col("ts") >= timestamp_micros(lit(midUs))).zipWithIndex.foreach { case (pred, i) =>
-        val stage = new java.io.File(base, s"${sub}_stage$i")
-        ev.where(col("event_type") === tp && pred)
-          .coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
-        val part = stage.listFiles().filter(_.getName.startsWith("part-")).head
-        val dst = new java.io.File(d, f"c$i%04d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        dst.setLastModified(1600000000000L + i * 60000L): Unit
-      }
-      d.getAbsolutePath
-    }
+    val (lDir, rDir, base) = stageTwoSided(ev,
+      col("event_type") === "view", col("event_type") === "purchase", midUs, Nil)
     try {
-      val lDir = stageSide("view", "left")
-      val rDir = stageSide("purchase", "right")
       def src(p: String) = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1").parquet(p)
       val sink = s"ij_replay_${replaySeq.incrementAndGet()}"
@@ -273,42 +308,40 @@ object StreamingReplays {
       |ORDER BY left_id, right_id""".stripMargin) { (s, dir) =>
     import s.implicits._
     import graft.streaming.Streaming
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val ev = Tables.events(s, dir)
       .where(col("event_type").isin("view", "purchase"))
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-      .as[Streaming.Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
-    val maxMs = ev.map(_.ts.getTime).max
-    def sentinel(offsetMs: Long) = Streaming.Ev(
-      -1L, -1L, new java.sql.Timestamp(maxMs + offsetMs), "sentinel")
-    val msL = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Ev]
-    val msR = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Ev]
-    val sink = s"oj_replay_${replaySeq.incrementAndGet()}"
-    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val query =
-      try Streaming.streamIntervalJoinLeftOuter(msL.toDS().toDF(), msR.toDS().toDF(),
-          "user_id", "ts", "0 seconds", 21600L)
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    val agg = ev.agg(expr("CAST(percentile(unix_micros(ts), 0.5) AS LONG)"),
+      max(col("ts"))).head()
+    val midUs = agg.getLong(0)
+    val maxMs = agg.getTimestamp(1).getTime
+    // watermark-close + eviction-observe sentinel pair (7 h and 14 h
+    // past the last event; every real window closes at +6 h) — one
+    // lockstep sentinel chunk file per side each
+    def sentinelDf(offsetMs: Long) =
+      Seq((-1L, -1L, new java.sql.Timestamp(maxMs + offsetMs), "sentinel"))
+        .toDF("event_id", "user_id", "ts", "event_type")
+    val (lDir, rDir, base) = stageTwoSided(ev,
+      col("event_type") === "view", col("event_type") === "purchase", midUs,
+      Seq(sentinelDf(25200000L), sentinelDf(50400000L)))
     try {
-      ev.grouped(math.max(ev.length / 2, 1)).foreach { c =>
-        msL.addData(c.filter(_.event_type == "view"))
-        msR.addData(c.filter(_.event_type == "purchase"))
-        query.processAllAvailable()
-      }
-      // watermark-close + eviction-observe sentinel pair (7 h and 14 h
-      // past the last event; every real window closes at +6 h)
-      Seq(25200000L, 50400000L).foreach { off =>
-        msL.addData(Seq(sentinel(off))); msR.addData(Seq(sentinel(off)))
-        query.processAllAvailable()
-      }
-    } finally query.stop()
-    s.table(sink)
-      .where(col("user_id") =!= -1L)
-      .select(col("user_id"), col("left_id"), col("right_id"),
-        col("left_ts"), col("right_ts"))
-      .orderBy(col("left_id"), col("right_id"))
+      def src(p: String) = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(p)
+      val sink = s"oj_replay_${replaySeq.incrementAndGet()}"
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val query =
+        try Streaming.streamIntervalJoinLeftOuter(src(lDir), src(rDir),
+            "user_id", "ts", "0 seconds", 21600L)
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      try query.processAllAvailable() finally query.stop()
+      s.table(sink)
+        .where(col("user_id") =!= -1L)
+        .select(col("user_id"), col("left_id"), col("right_id"),
+          col("left_ts"), col("right_ts"))
+        .orderBy(col("left_id"), col("right_id"))
+    } finally rmTree(base)
   }
 
   /** Streaming EXACT DEDUP through the oracle gate — the fourth stateful
@@ -382,36 +415,32 @@ object StreamingReplays {
       |FROM events GROUP BY 1 ORDER BY ws""".stripMargin) { (s, dir) =>
     import s.implicits._
     import graft.streaming.Streaming
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val events = Tables.events(s, dir)
+    val src = Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-      .as[Streaming.Ev].collect().sortBy(e => (e.ts.getTime, e.event_id))
-    val maxMs = events.map(_.ts.getTime).max
-    def sentinel(id: Long, offsetMs: Long) = Streaming.Ev(
-      id, -1L, new java.sql.Timestamp(maxMs + offsetMs), "sentinel")
+    val maxMs = src.agg(max(col("ts"))).head().getTimestamp(0).getTime
     // every real window starts at or before the max event's hour floor
     val lastRealWs = new java.sql.Timestamp(maxMs - maxMs % 3600000L)
-    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Ev]
-    val sink = s"tumb_replay_${replaySeq.incrementAndGet()}"
-    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val query =
-      try Streaming.tumblingCounts(ms.toDS().toDF(), "ts", "1 hour", "0 seconds")
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    def sentinelDf(id: Long, offsetMs: Long) =
+      Seq((id, -1L, new java.sql.Timestamp(maxMs + offsetMs), "sentinel"))
+        .toDF("event_id", "user_id", "ts", "event_type")
+    val (watched, base) = stageWithSentinels(src, 2, Seq(col("ts"), col("event_id")),
+      Seq(sentinelDf(-1L, 86400000L), sentinelDf(-2L, 172800000L)))
     try {
-      val chunks = events.grouped(math.max(events.length / 2, 1)).toSeq
-      chunks.zipWithIndex.foreach { case (c, i) =>
-        val batch = if (i == chunks.size - 1) c.toSeq :+ sentinel(-1L, 86400000L)
-                    else c.toSeq
-        ms.addData(batch); query.processAllAvailable()
-      }
-      ms.addData(Seq(sentinel(-2L, 172800000L))); query.processAllAvailable()
-    } finally query.stop()
-    s.table(sink)
-      .where(col("ws") <= lit(lastRealWs))
-      .select(col("ws"), col("n"))
-      .orderBy(col("ws"))
+      val stream = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watched)
+      val sink = s"tumb_replay_${replaySeq.incrementAndGet()}"
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val query =
+        try Streaming.tumblingCounts(stream, "ts", "1 hour", "0 seconds")
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      try query.processAllAvailable() finally query.stop()
+      s.table(sink)
+        .where(col("ws") <= lit(lastRealWs))
+        .select(col("ws"), col("n"))
+        .orderBy(col("ws"))
+    } finally rmTree(base)
   }
 
   // NOT private: janino cannot compile generated projections over a
@@ -445,38 +474,33 @@ object StreamingReplays {
          |        END, 6) AS est
          |FROM r GROUP BY ws ORDER BY ws""".stripMargin) { (s, dir) =>
       import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       graft.ops.TextOps.ensureFunctions(s)
-      val rows = Tables.events(s, dir)
+      val src = Tables.events(s, dir)
         .select(col("ts"),
           expr(graft.ops.TextOps.portableHash64Sql("'u'", "CAST(user_id AS STRING)")).as("hv"))
-        .as[HvEv].collect().sortBy(e => (e.ts.getTime, e.hv))
-      val maxMs = rows.map(_.ts.getTime).max
+      val maxMs = src.agg(max(col("ts"))).head().getTimestamp(0).getTime
       val lastRealWs = new java.sql.Timestamp(maxMs - maxMs % 3600000L)
-      def sentinel(offsetMs: Long) =
-        HvEv(new java.sql.Timestamp(maxMs + offsetMs), -1L)
-      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[HvEv]
-      val sink = s"sketch_replay_${replaySeq.incrementAndGet()}"
-      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val query =
-        try graft.streaming.Streaming
-          .streamingTokenSketch(ms.toDS().toDF(), "ts", "hv", "1 hour", "0 seconds")
-          .writeStream.format("memory").queryName(sink).outputMode("append").start()
-        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      def sentinelDf(offsetMs: Long) =
+        Seq((new java.sql.Timestamp(maxMs + offsetMs), -1L)).toDF("ts", "hv")
+      val (watched, base) = stageWithSentinels(src, 2, Seq(col("ts"), col("hv")),
+        Seq(sentinelDf(86400000L), sentinelDf(172800000L)))
       try {
-        val chunks = rows.grouped(math.max(rows.length / 2, 1)).toSeq
-        chunks.zipWithIndex.foreach { case (c, i) =>
-          val batch = if (i == chunks.size - 1) c.toSeq :+ sentinel(86400000L)
-                      else c.toSeq
-          ms.addData(batch); query.processAllAvailable()
-        }
-        ms.addData(Seq(sentinel(172800000L))); query.processAllAvailable()
-      } finally query.stop()
-      s.table(sink)
-        .where(col("ws") <= lit(lastRealWs))
-        .select(col("ws"), round(col("kmv"), 6).as("est"))
-        .orderBy(col("ws"))
+        val stream = s.readStream.schema(src.schema)
+          .option("maxFilesPerTrigger", "1").parquet(watched)
+        val sink = s"sketch_replay_${replaySeq.incrementAndGet()}"
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val query =
+          try graft.streaming.Streaming
+            .streamingTokenSketch(stream, "ts", "hv", "1 hour", "0 seconds")
+            .writeStream.format("memory").queryName(sink).outputMode("append").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        try query.processAllAvailable() finally query.stop()
+        s.table(sink)
+          .where(col("ws") <= lit(lastRealWs))
+          .select(col("ws"), round(col("kmv"), 6).as("est"))
+          .orderBy(col("ws"))
+      } finally rmTree(base)
     }
   }
 
@@ -500,27 +524,27 @@ object StreamingReplays {
       |WHERE rk <= 5 ORDER BY event_id""".stripMargin) { (s, dir) =>
     import s.implicits._
     import graft.streaming.Streaming
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val events = Tables.events(s, dir)
+    val src = Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-      .as[Streaming.Ev].collect()
-      // full-microsecond feed order: an in-order chunk boundary split on
-      // truncated millis could invert two same-ms events across batches
-      .sortBy(e => (e.ts.getTime * 1000L + (e.ts.getNanos / 1000) % 1000, e.event_id))
-    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Streaming.Ev]
-    val sink = s"ratelimit_replay_${replaySeq.incrementAndGet()}"
-    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    val query =
-      try Streaming.streamingRateLimit(s, ms.toDS(), HourMicros, 5)
-        .writeStream.format("memory").queryName(sink).outputMode("append").start()
-      finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    // range partitioning compares the FULL-microsecond timestamp (plus
+    // the event_id tiebreak), so a chunk boundary can never invert two
+    // same-ms events across batches — the invariant the old driver feed
+    // enforced by sorting on micros
+    val (watched, base) = stageOrderedFiles(src, 2, Seq(col("ts"), col("event_id")))
     try {
-      val chunk = math.max(events.length / 2, 1)
-      events.grouped(chunk).foreach { c => ms.addData(c); query.processAllAvailable() }
-    } finally query.stop()
-    s.table(sink).select(col("event_id"), col("user_id"), col("win"), col("k"))
-      .orderBy(col("event_id"))
+      val stream = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watched).as[Streaming.Ev]
+      val sink = s"ratelimit_replay_${replaySeq.incrementAndGet()}"
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val query =
+        try Streaming.streamingRateLimit(s, stream, HourMicros, 5)
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      try query.processAllAvailable() finally query.stop()
+      s.table(sink).select(col("event_id"), col("user_id"), col("win"), col("k"))
+        .orderBy(col("event_id"))
+    } finally rmTree(base)
   }
 
   val all: Seq[QueryDef] = Seq(streamingA5Replay,
