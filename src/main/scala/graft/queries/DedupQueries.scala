@@ -469,10 +469,6 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
-  // NOT private: the encoder's generated SafeProjection (janino) cannot
-  // resolve members of a private nested class and falls back to the
-  // interpreted path with a logged codegen ERROR per micro-batch.
-  final case class DDoc(doc_id: Long, text: String)
   private val decontReplaySeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** STREAM-STATIC broadcast join through the oracle gate — the sixth

@@ -443,10 +443,6 @@ object StreamingReplays {
     } finally rmTree(base)
   }
 
-  // NOT private: janino cannot compile generated projections over a
-  // private nested class (interpreted-path fallback + logged ERROR).
-  final case class HvEv(ts: java.sql.Timestamp, hv: Long)
-
   /** Native SKETCH AGGREGATES inside the streaming state store, through
     * the oracle gate: per watermarked hourly window, the KMV distinct-
     * user estimate (Streaming.streamingTokenSketch — the monitoring-
