@@ -115,11 +115,14 @@ object StreamingReplays {
       midUs: Long,
       sentinels: Seq[org.apache.spark.sql.DataFrame]): (String, String, java.io.File) = {
     val base = java.nio.file.Files.createTempDirectory("graft_replay_2s_").toFile
+    // the four filtered chunk writes each re-evaluate `ev` — cache it
+    // for the staging's lifetime (gate-scale input; released below)
+    val cached = ev.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def side(pred: org.apache.spark.sql.Column, sub: String): String = {
       val d = new java.io.File(base, sub); d.mkdirs()
       val chunks = Seq(col("ts") < timestamp_micros(lit(midUs)),
           col("ts") >= timestamp_micros(lit(midUs)))
-        .map(p => ev.where(pred && p)) ++ sentinels
+        .map(p => cached.where(pred && p)) ++ sentinels
       chunks.zipWithIndex.foreach { case (cdf, i) =>
         val stage = new java.io.File(base, s"${sub}_stage$i")
         cdf.coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
@@ -130,7 +133,8 @@ object StreamingReplays {
       }
       d.getAbsolutePath
     }
-    (side(lPred, "left"), side(rPred, "right"), base)
+    try (side(lPred, "left"), side(rPred, "right"), base)
+    finally cached.unpersist(false)
   }
 
   /** [[stageOrderedFiles]] plus appended SENTINEL chunk files: each
