@@ -1400,6 +1400,43 @@ object RelationalQueries {
       .limit(20)
   }
 
+  /** TPC-H Q14 (promotion effect): the share of one month's revenue
+    * from PROMO-type parts — the conditional-aggregate-over-a-dim-join
+    * classic. Both revenue sums are exact DECIMAL (the Q1/Q3/Q5
+    * discipline), so the single rounded division is the only double op
+    * and the one-row result is engine-stable.
+    *
+    * Shape: the shipdate month pushes to the fact scan; part broadcasts
+    * (2-column projection); the answer is one map-side-combined
+    * aggregate row — no shuffle beyond the final single-row combine.
+    */
+  val qSqlTpch14: QueryDef = QueryDef.sql("q_sql_tpch14",
+    """SELECT
+      |  CAST(sum(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+      |      ELSE 0 END) AS DOUBLE) AS promo_rev,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_rev,
+      |  round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+      |      ELSE 0 END)
+      |    / sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 6) AS promo_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'""".stripMargin) { (s, dir) =>
+    val rev = col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1) - col("l_discount").cast("decimal(4,2)"))
+    Tables.lineitem(s, dir)
+      .where(col("l_shipdate") >= lit("1997-06-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-07-01 00:00:00").cast("timestamp"))
+      .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0))).cast("double").as("promo_rev"),
+        sum(rev).cast("double").as("total_rev"),
+        round(lit(100.0) * sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0)))
+          / sum(rev), 6).as("promo_pct"))
+  }
+
   val all: Seq[QueryDef] = Seq(q1Agg, qJoinAgg, qBroadcastJoin, qTopk,
     qWindowRank, qSetops, qRollup, qDistinctAgg, qSemiJoin, qAntiJoin,
     qAsofJoin, qAsofForward, qPercentileStats, qCube, qRunningSum, qRangeJoin,
@@ -1408,5 +1445,5 @@ object RelationalQueries {
     qChangelogCompact, qSkyline, qSnapshotDiff, qHistogram,
     qSkewAudit, qIvmMerge, qDecileProfile, qAbTest, qAsofJoinNative,
     qChi2Independence, qSqlTpch3, qSqlTpch5, qSqlTpch18, qSqlTpch10,
-    qMergeUpsert)
+    qSqlTpch14, qMergeUpsert)
 }
