@@ -1400,6 +1400,55 @@ object RelationalQueries {
       .limit(20)
   }
 
+  /** TPC-H Q1 in FULL (pricing summary report): all eight aggregates
+    * over the shipdate-bounded scan with the (returnflag, linestatus)
+    * rollup — the canonical scan-dominated headline beside the reduced
+    * `q1_agg`. Sums and the derived charge ride exact DECIMAL (charge
+    * widens to DECIMAL(18,6): qty·price·(1−d)·(1+t) needs the extra
+    * scale before the final double cast); averages are round-6.
+    *
+    * Shape: one pushed-filter scan, one 4-group map-side-combined
+    * aggregate — pure whole-stage-codegen throughput, the query engines
+    * advertise scan speed with.
+    */
+  val qSqlTpch1: QueryDef = QueryDef.sql("q_sql_tpch1",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(round(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,6))
+      |        * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
+      |  round(avg(l_quantity), 6) AS avg_qty,
+      |  round(avg(l_extendedprice), 6) AS avg_price,
+      |  round(avg(l_discount), 6) AS avg_disc,
+      |  CAST(count(*) AS BIGINT) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    val price = col("l_extendedprice").cast("decimal(12,2)")
+    val disc = price * (lit(1) - col("l_discount").cast("decimal(4,2)"))
+    Tables.lineitem(s, dir)
+      .where(col("l_shipdate") <= lit("2000-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(12,2)")).cast("double").as("sum_qty"),
+        sum(price).cast("double").as("sum_base_price"),
+        sum(disc).cast("double").as("sum_disc_price"),
+        // scale-8 exact sums carry 17 significant digits — past double's
+        // 15 — so the engines' decimal->double conversions can differ by
+        // 1 ulp; round(, 2) in the DECIMAL domain first (HALF_UP in BOTH
+        // engines — DuckDB's decimal CAST truncates, its round() does
+        // not), leaving a <=13-digit exactly-representable value
+        round(sum(disc.cast("decimal(18,6)") * (lit(1) + col("l_tax").cast("decimal(4,2)"))), 2)
+          .cast("double").as("sum_charge"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
   /** TPC-H Q14 (promotion effect): the share of one month's revenue
     * from PROMO-type parts — the conditional-aggregate-over-a-dim-join
     * classic. Both revenue sums are exact DECIMAL (the Q1/Q3/Q5
@@ -1445,5 +1494,5 @@ object RelationalQueries {
     qChangelogCompact, qSkyline, qSnapshotDiff, qHistogram,
     qSkewAudit, qIvmMerge, qDecileProfile, qAbTest, qAsofJoinNative,
     qChi2Independence, qSqlTpch3, qSqlTpch5, qSqlTpch18, qSqlTpch10,
-    qSqlTpch14, qMergeUpsert)
+    qSqlTpch14, qSqlTpch1, qMergeUpsert)
 }
