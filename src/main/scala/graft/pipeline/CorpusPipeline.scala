@@ -161,6 +161,21 @@ object CorpusPipeline {
     val order = Pipeline.stage(spark, p("epoch_order"), force0)(
       MlQueries.epochOrderFrame(survivors, cfg.epochSeed, cfg.epochShards))
 
+    // ---- dataset card: the release-notes sidecar composing the
+    // validation gate (ml_constraint_audit's plan over the SHIPPED
+    // corpus) with the per-source residual dup-rate census
+    // (ml_dedup_rate_by_source's plan — post-dedup rates should be ~0;
+    // a non-zero residual is the near-dup tier's exact-tier blind spot
+    // made visible) ----
+    if (force0 || !graft.core.Fs.exists(spark, p("dataset_card.json"))) {
+      val cons = MlQueries.constraintAuditFrame(survivors).orderBy(col("con"))
+        .collect().map(r => s""""${r.getString(0)}": {"metric": ${r.getDouble(1)}, "pass": ${r.getBoolean(2)}}""")
+      val rates = DedupQueries.dedupRateBySourceFrame(survivors).orderBy(col("source"))
+        .collect().map(r => s""""${r.getString(0)}": {"n_docs": ${r.getLong(1)}, "dup_rate": ${r.getDouble(4)}, "n_cross": ${r.getLong(5)}}""")
+      graft.core.Fs.writeString(spark, p("dataset_card.json"),
+        s"""{"constraints": ${cons.mkString("{", ", ", "}")}, "dup_rate_by_source": ${rates.mkString("{", ", ", "}")}}""")
+    }
+
     // ---- final corpus + sharded training layout ----
     val corpus = Pipeline.stage(spark, p("corpus"), force0)(
       survivors

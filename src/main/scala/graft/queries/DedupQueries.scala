@@ -1013,7 +1013,15 @@ object DedupQueries {
       |SELECT source, n_docs, n_distinct, n_removable,
       |  round(CAST(n_removable AS DOUBLE) / n_docs, 6) AS dup_rate, n_cross
       |FROM per ORDER BY source""".stripMargin) { (s, dir) =>
-    val ds = Tables.documents(s, dir)
+    dedupRateBySourceFrame(Tables.documents(s, dir)).orderBy(col("source"))
+  }
+
+  /** The [[mlDedupRateBySource]] body over an arbitrary documents frame
+    * (CorpusPipeline's dataset-card sidecar shares the exact plan).
+    * Unordered.
+    */
+  private[graft] def dedupRateBySourceFrame(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = docs
       .groupBy(col("source"), md5(col("text").cast("binary")).as("h"))
       .agg(count(lit(1)).as("n"))
     val g = ds.groupBy(col("h")).agg(count(lit(1)).as("n_src"))
@@ -1026,7 +1034,6 @@ object DedupQueries {
       .select(col("source"), col("n_docs"), col("n_distinct"), col("n_removable"),
         round(col("n_removable").cast("double") / col("n_docs"), 6).as("dup_rate"),
         col("n_cross"))
-      .orderBy(col("source"))
   }
 
   /** Edit-distance (Levenshtein) near-dup tier over the normalized

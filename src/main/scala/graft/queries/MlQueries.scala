@@ -745,25 +745,12 @@ object MlQueries {
     * is the one distinct-shuffle, over the key column only). Adding a
     * constraint = adding an aggregate, never a pass.
     */
-  val mlConstraintAudit: QueryDef = QueryDef.sql("ml_constraint_audit",
-    """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
-      |    CAST(count(text) AS BIGINT) AS n_text,
-      |    CAST(count(lang) AS BIGINT) AS n_lang,
-      |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_keys,
-      |    CAST(sum(CASE WHEN n_chars BETWEEN 1 AND 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_range,
-      |    CAST(sum(CASE WHEN lang IN ('en', 'de', 'es', 'fr', 'zh') THEN 1 ELSE 0 END) AS BIGINT) AS n_accept,
-      |    CAST(sum(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_consist
-      |  FROM documents)
-      |SELECT * FROM (
-      |  SELECT 'row_count' AS con, CAST(n AS DOUBLE) AS metric, n > 0 AS pass FROM m
-      |  UNION ALL SELECT 'text_completeness', round(CAST(n_text AS DOUBLE) / n, 6), n_text = n FROM m
-      |  UNION ALL SELECT 'lang_completeness', round(CAST(n_lang AS DOUBLE) / n, 6), n_lang = n FROM m
-      |  UNION ALL SELECT 'key_uniqueness', round(CAST(n_keys AS DOUBLE) / n, 6), n_keys = n FROM m
-      |  UNION ALL SELECT 'chars_in_range', round(CAST(n_range AS DOUBLE) / n, 6), n_range = n FROM m
-      |  UNION ALL SELECT 'lang_accepted', round(CAST(n_accept AS DOUBLE) / n, 6), n_accept = n FROM m
-      |  UNION ALL SELECT 'chars_consistent', round(CAST(n_consist AS DOUBLE) / n, 6), n_consist = n FROM m)
-      |ORDER BY con""".stripMargin) { (s, dir) =>
-    val m = Tables.documents(s, dir).agg(
+  /** The [[mlConstraintAudit]] body over an arbitrary documents frame
+    * (CorpusPipeline's dataset-card sidecar shares the exact plan).
+    * Unordered.
+    */
+  private[graft] def constraintAuditFrame(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val m = docs.agg(
       count(lit(1)).as("n"),
       count(col("text")).as("n_text"),
       count(col("lang")).as("n_lang"),
@@ -783,7 +770,27 @@ object MlQueries {
         row("lang_accepted", frac(col("n_accept")), col("n_accept") === col("n")),
         row("chars_consistent", frac(col("n_consist")), col("n_consist") === col("n")))).as("c"))
       .select(col("c.con").as("con"), col("c.metric").as("metric"), col("c.pass").as("pass"))
-      .orderBy(col("con"))
+  }
+
+  val mlConstraintAudit: QueryDef = QueryDef.sql("ml_constraint_audit",
+    """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(count(text) AS BIGINT) AS n_text,
+      |    CAST(count(lang) AS BIGINT) AS n_lang,
+      |    CAST(count(DISTINCT doc_id) AS BIGINT) AS n_keys,
+      |    CAST(sum(CASE WHEN n_chars BETWEEN 1 AND 1000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_range,
+      |    CAST(sum(CASE WHEN lang IN ('en', 'de', 'es', 'fr', 'zh') THEN 1 ELSE 0 END) AS BIGINT) AS n_accept,
+      |    CAST(sum(CASE WHEN n_chars = length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_consist
+      |  FROM documents)
+      |SELECT * FROM (
+      |  SELECT 'row_count' AS con, CAST(n AS DOUBLE) AS metric, n > 0 AS pass FROM m
+      |  UNION ALL SELECT 'text_completeness', round(CAST(n_text AS DOUBLE) / n, 6), n_text = n FROM m
+      |  UNION ALL SELECT 'lang_completeness', round(CAST(n_lang AS DOUBLE) / n, 6), n_lang = n FROM m
+      |  UNION ALL SELECT 'key_uniqueness', round(CAST(n_keys AS DOUBLE) / n, 6), n_keys = n FROM m
+      |  UNION ALL SELECT 'chars_in_range', round(CAST(n_range AS DOUBLE) / n, 6), n_range = n FROM m
+      |  UNION ALL SELECT 'lang_accepted', round(CAST(n_accept AS DOUBLE) / n, 6), n_accept = n FROM m
+      |  UNION ALL SELECT 'chars_consistent', round(CAST(n_consist AS DOUBLE) / n, 6), n_consist = n FROM m)
+      |ORDER BY con""".stripMargin) { (s, dir) =>
+    constraintAuditFrame(Tables.documents(s, dir)).orderBy(col("con"))
   }
 
   val all: Seq[QueryDef] = Seq(mlConstraintAudit, hourRingFeatures, hourRingFeaturesReturns,

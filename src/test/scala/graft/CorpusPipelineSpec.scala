@@ -108,6 +108,16 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(new java.io.File(s"$outDir/shards").listFiles()
       .exists(_.getName.startsWith("split=")), "split partition dirs missing")
 
+    // ---- dataset card: parses, constraints all pass on the shipped
+    // corpus, residual exact-dup rate is zero post-dedup ----
+    val card = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$outDir/dataset_card.json")))
+    assert(card.contains("\"key_uniqueness\": {\"metric\": 1.0, \"pass\": true}"),
+      s"key uniqueness not clean in card: $card")
+    assert(!card.contains("\"pass\": false"), s"failing constraint in card: $card")
+    assert(!card.replaceAll("\"dup_rate\": 0\\.0", "").contains("dup_rate\": "),
+      s"non-zero residual exact-dup rate after dedup: $card")
+
     // ---- checkpoint-skip: a second run serves every stage from parquet
     // (stage dirs untouched) and returns the same result ----
     val stamps = new java.io.File(outDir).listFiles().filter(_.isDirectory)
