@@ -1449,6 +1449,115 @@ object RelationalQueries {
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
+  /** TPC-H Q7 (volume shipping): bilateral trade revenue between two
+    * nations by (supplier nation, customer nation, ship year) — the
+    * DIRECTIONAL-PAIR star: the same nation dim joins twice under two
+    * roles, and the disjunctive pair predicate must keep both
+    * directions distinct (a symmetric IN-list would double-count).
+    * Exact DECIMAL volume, integer ship year.
+    *
+    * Shape: the two-year shipdate range pushes to the fact scan; both
+    * nation-role dims pre-filter to the two names BEFORE joining, so
+    * the fact stream thins at the earliest equi-join; all dims
+    * broadcast; 4-group aggregate.
+    */
+  val qSqlTpch7: QueryDef = QueryDef.sql("q_sql_tpch7",
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |    OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1, 2, 3 ORDER BY supp_nation, cust_nation, l_year""".stripMargin) { (s, dir) =>
+    val pairNations = Tables.nation(s, dir)
+      .where(col("n_name").isin("NATION_3", "NATION_7"))
+    val n1 = pairNations.select(col("n_nationkey").as("k1"), col("n_name").as("supp_nation"))
+    val n2 = pairNations.select(col("n_nationkey").as("k2"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .where(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("k1"))
+      .join(broadcast(n2), col("c_nationkey") === col("k2"))
+      .where((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+        (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(graft.ops.Relational.revenue(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8 (national market share): the target nation's share of
+    * EUROPE's PROMO-part import volume per order year — the
+    * share-of-aggregate star: one 8-table resolution feeds BOTH the
+    * numerator (conditional) and denominator (total) sums, so the
+    * division happens on two exact DECIMAL aggregates of the same
+    * rows (never two separate query passes). Customer nation routes
+    * through region (the market); supplier nation is the share key.
+    *
+    * Shape: part pre-filters to PROMO before joining (the strongest
+    * selectivity), order-date range pushes to the orders scan, every
+    * dim broadcasts, and the answer is a 2-group conditional aggregate.
+    */
+  val qSqlTpch8: QueryDef = QueryDef.sql("q_sql_tpch8",
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  round(sum(CASE WHEN n2.n_name = 'NATION_3'
+      |      THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+      |      ELSE 0 END)
+      |    / sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 6) AS mkt_share
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |JOIN region ON n1.n_regionkey = r_regionkey
+      |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1 ORDER BY o_year""".stripMargin) { (s, dir) =>
+    val rev = col("l_extendedprice").cast("decimal(12,2)") *
+      (lit(1) - col("l_discount").cast("decimal(4,2)"))
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("k1"), col("n_regionkey"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("k2"), col("n_name").as("supp_nation"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).where(col("p_type") === "PROMO")
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, dir)
+          .where(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("c_nationkey") === col("k1"))
+      .join(broadcast(Tables.region(s, dir).where(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(n2), col("s_nationkey") === col("k2"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_3", rev).otherwise(lit(0)))
+          / sum(rev), 6).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
   /** TPC-H Q14 (promotion effect): the share of one month's revenue
     * from PROMO-type parts — the conditional-aggregate-over-a-dim-join
     * classic. Both revenue sums are exact DECIMAL (the Q1/Q3/Q5
@@ -1494,5 +1603,5 @@ object RelationalQueries {
     qChangelogCompact, qSkyline, qSnapshotDiff, qHistogram,
     qSkewAudit, qIvmMerge, qDecileProfile, qAbTest, qAsofJoinNative,
     qChi2Independence, qSqlTpch3, qSqlTpch5, qSqlTpch18, qSqlTpch10,
-    qSqlTpch14, qSqlTpch1, qMergeUpsert)
+    qSqlTpch14, qSqlTpch1, qSqlTpch7, qSqlTpch8, qMergeUpsert)
 }
