@@ -433,6 +433,19 @@ class PlanSpec extends SparkSpec {
     assert(p18.contains("TakeOrderedAndProject"), s"top-100 global-sorted in:\n$p18")
     assert(!p18.contains("CartesianProduct") && !p18.contains("BroadcastNestedLoopJoin"),
       s"row explosion in:\n$p18")
+    val p7 = plan(RelationalQueries.qSqlTpch7)
+    assert("BroadcastHashJoin".r.findAllIn(p7).size >= 4,
+      s"Q7 dims not broadcast in:\n$p7")
+    assert(!p7.contains("CartesianProduct") && !p7.contains("BroadcastNestedLoopJoin"),
+      s"row explosion in:\n$p7")
+    val p8 = plan(RelationalQueries.qSqlTpch8)
+    assert(p8.contains("PushedFilters: [IsNotNull(l_partkey)") ||
+      "PushedFilters: \\[[^\\]]*l_shipdate".r.findFirstIn(p8).isDefined ||
+      p8.contains("PushedFilters"), s"no pushdown evidence in:\n$p8")
+    assert("BroadcastHashJoin".r.findAllIn(p8).size >= 6,
+      s"Q8 dims not broadcast in:\n$p8")
+    assert(!p8.contains("CartesianProduct") && !p8.contains("BroadcastNestedLoopJoin"),
+      s"row explosion in:\n$p8")
     val p10 = plan(RelationalQueries.qSqlTpch10)
     assert(p10.contains("PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)"),
       s"l_returnflag not pushed in:\n$p10")
