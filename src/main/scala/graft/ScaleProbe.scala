@@ -164,6 +164,28 @@ object ScaleProbe {
         .count()
       val ksecs = (System.nanoTime() - t5) / 1e9
       println(f"[scaleprobe] docs=$n%6d kmeans_round_rows=$updated%5d wall=$ksecs%6.1f s")
+
+      // kmeans-TABLE leg (r10): a 2-round ml.KMeans fit at k=4096 cells
+      // via the broadcast centroid table. The point is PLAN-SIZE
+      // flatness: the plan-literal assignment is O(k·d) literals
+      // (4096×64 ≈ 262k — a Janino/serialization blowout), while the
+      // table path's plan is O(1) in k, so plan build + run must stay
+      // in the same band as the k=16 literal leg's shape. Wall time is
+      // the n·k distance stream (compute-bound, linear in both).
+      val kBig = math.min(4096L, n.toLong)
+      val vv = vecs.select(col("vec_id"), col("v"))
+      // pure plan assembly (analyze+optimize+physical plan, NO job):
+      // this is the number that blows up O(k·d) on the literal form
+      val t5p = System.nanoTime()
+      val asg1 = graft.ml.KMeans.assign(vv, graft.ml.KMeans.seedSmallest(vv, kBig))
+      locally { val _ = asg1.queryExecution.executedPlan }
+      val planMs = (System.nanoTime() - t5p) / 1e6
+      val t5t = System.nanoTime()
+      val (asgBig, _) = graft.ml.KMeans.fit(vv,
+        graft.ml.KMeans.seedSmallest(vv, kBig), iters = 2)
+      val cellsBig = asgBig.agg(countDistinct(col("cl"))).head().getLong(0)
+      val ktsecs = (System.nanoTime() - t5t) / 1e9
+      println(f"[scaleprobe] docs=$n%6d kmeans_table k=$kBig%5d cells=$cellsBig%5d plan_build=$planMs%7.1f ms wall=$ktsecs%6.1f s")
       vecs.unpersist(false)
 
       // asof leg: composed union+window vs the native AsOfJoinExec on

@@ -126,7 +126,11 @@ class PlanSpec extends SparkSpec {
       // 5-row moment rollup theta-self-joined into 10 pair rows
       "q_ab_test",
       // one-row corpus-midpoint scalar broadcast into the half split
-      "embed_centroid_shift")
+      "embed_centroid_shift",
+      // k-row BROADCAST centroid table × corpus scan (ml.KMeans.assign):
+      // the r10 scale fix — candidates stream into a map-side-combined
+      // argmin, plan O(1) in k; never a data×data cross
+      "embed_kmeans", "dedup_semantic")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>

@@ -412,4 +412,24 @@ class SimilaritySpec extends SparkSpec {
     assert(coarse.map(_.getAs[Long]("cell")).distinct.length <= 2)
     assert(coarse.length === 56, "coarse cells must still drop per planted cluster")
   }
+
+  test("semantic dedup differential: broadcast-table path == plan-literal twin at k=ceil(sqrt(n))") {
+    import org.apache.spark.sql.functions._
+    // pseudo-random 16-dim frame with SPARSE, OFFSET vec_ids (3·id+100)
+    // — exercises the k-smallest seed rule the dense `id < k` form
+    // silently broke on (r9 ADVICE), at the gate's default k=⌈√n⌉.
+    // Both paths must agree EXACTLY (same doubles, same rows): the
+    // table path inherits the literal twin's bit-contract — ascending
+    // dot folds, (dot+c2)−2·dot association, round-6 updates, lower-cl
+    // argmin ties — so this is equality, not approximation.
+    val n = 289
+    val v = spark.range(n).select((col("id") * 3 + 100).as("vec_id"),
+      expr("transform(sequence(0, 15), j -> CAST(pmod(hash(id, j), 2001) - 1000 AS DOUBLE) / 1000.0)")
+        .as("v"))
+    val k = math.ceil(math.sqrt(n.toDouble)).toLong
+    val table = graft.queries.EmbedQueries.semanticDedupFrame(v, k, 0.35).collect().toSeq
+    val lit0 = graft.queries.EmbedQueries.semanticDedupFrameLiteral(v, k, 0.35).collect().toSeq
+    assert(table.nonEmpty, "differential frame produced no drop rows — raise n or lower tau")
+    assert(table === lit0, s"table path diverged from literal twin (${table.length} vs ${lit0.length} rows)")
+  }
 }
