@@ -29,6 +29,14 @@ object Fs {
     val in = fs(spark, p).open(p)
     try new String(in.readAllBytes(), "UTF-8") finally in.close()
   }
+
+  /** Delete a sidecar/marker (no-op when absent). Non-recursive —
+    * meant for fingerprints and flags, never stage data.
+    */
+  def delete(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    fs(spark, p).delete(p, false): Unit
+  }
 }
 
 /** The one JSON string escaper (Verify's oracle dump, the fails report,

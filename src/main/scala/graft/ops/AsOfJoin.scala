@@ -133,10 +133,14 @@ object AsOfJoin {
     * machinery on a NEGATED microsecond axis (latest −rts ≤ −ts is
     * exactly earliest rts ≥ ts), so both formulations, their specs and
     * the physical operator's scale story carry over unchanged. The
-    * matched original right timestamp rides the carry set and is
-    * emitted as `asof_ts`; the negated-axis timestamp never escapes.
-    * Same unique-(key, ts) right-side precondition as the backward
-    * forms. `native = true` routes through AsOfJoinExec.
+    * matched original right timestamp rides the carry set under a
+    * RESERVED alias (`__fwd_rts`) and is emitted as `asof_ts`; the
+    * negated-axis timestamp never escapes. The reserved alias matters:
+    * carrying the ts under `asof_<rightTs>` collides with the
+    * machinery's internal `asof_ts` whenever rightTs is itself named
+    * "ts", and `drop("asof_ts")` then silently removes BOTH copies
+    * (r9 ADVICE). Same unique-(key, ts) right-side precondition as the
+    * backward forms. `native = true` routes through AsOfJoinExec.
     */
   def asofJoinForward(left: DataFrame, leftKey: String, leftTs: String,
                       right: DataFrame, rightKey: String, rightTs: String,
@@ -144,10 +148,11 @@ object AsOfJoin {
     def neg(c: org.apache.spark.sql.Column) = timestamp_micros(-unix_micros(c))
     val ln = left.withColumn("__nts", neg(col(leftTs)))
     val rn = right.withColumn("__nts", neg(col(rightTs)))
+      .withColumn("__fwd_rts", col(rightTs))
     val joined =
-      if (native) asofJoinNative(ln, leftKey, "__nts", rn, rightKey, "__nts", rightTs +: carry)
-      else asofJoin(ln, leftKey, "__nts", rn, rightKey, "__nts", rightTs +: carry)
+      if (native) asofJoinNative(ln, leftKey, "__nts", rn, rightKey, "__nts", "__fwd_rts" +: carry)
+      else asofJoin(ln, leftKey, "__nts", rn, rightKey, "__nts", "__fwd_rts" +: carry)
     joined.drop("__nts").drop("asof_ts")
-      .withColumnRenamed(s"asof_$rightTs", "asof_ts")
+      .withColumnRenamed("asof___fwd_rts", "asof_ts")
   }
 }

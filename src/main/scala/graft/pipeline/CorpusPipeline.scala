@@ -82,12 +82,19 @@ object CorpusPipeline {
 
     // same stale-experiment guard as Pipeline.run: a config change
     // against an existing outDir recomputes instead of serving stale
-    // targets; committed only after a successful run
+    // targets. Crash discipline (r9 ADVICE): a missing fingerprint next
+    // to an existing docs stage means a run DIED before committing —
+    // its checkpoints may belong to any config, so force; and a FORCED
+    // run deletes the old fingerprint up front, so if IT crashes
+    // mid-way the retry forces again instead of serving the
+    // half-recomputed mix. The new fingerprint commits only on success.
     val cfgPath = p("config.fingerprint")
     val fingerprint = (cfg, jsonlPath).toString
     val force0 = force ||
-      (graft.core.Fs.exists(spark, cfgPath) &&
-        graft.core.Fs.readString(spark, cfgPath) != fingerprint)
+      (if (graft.core.Fs.exists(spark, cfgPath))
+         graft.core.Fs.readString(spark, cfgPath) != fingerprint
+       else graft.core.Fs.exists(spark, p("docs")))
+    if (force0) graft.core.Fs.delete(spark, cfgPath)
 
     // ---- ingest (F4: corrupt lines quarantined, not fatal) ----
     val raw = Ingest.readJsonl(spark, jsonlPath, docSchema).cache()
@@ -97,11 +104,16 @@ object CorpusPipeline {
         .select(col("doc_id"), col("text"), col("lang"), col("source"),
           coalesce(col("n_chars"), length(col("text")).cast("long")).as("n_chars"))
     }
+    // one PERMISSIVE-read line count, shared by the census and the
+    // final CorpusResult (r9 ADVICE: a second spark.read.text pass
+    // counted physical lines — blank lines included — so the two
+    // reported raw counts could disagree for the same input)
+    val nRawCount = raw.count()
     val censusPath = p("ingest_census.json")
     if (force0 || !graft.core.Fs.exists(spark, censusPath)) {
-      val nRaw = raw.count(); val nDocs = docs.count()
+      val nDocs = docs.count()
       graft.core.Fs.writeString(spark, censusPath,
-        s"""{"input_lines": $nRaw, "parsed_docs": $nDocs, "quarantined": ${nRaw - nDocs}}""")
+        s"""{"input_lines": $nRawCount, "parsed_docs": $nDocs, "quarantined": ${nRawCount - nDocs}}""")
     }
     raw.unpersist()
 
@@ -192,7 +204,7 @@ object CorpusPipeline {
     val splitCounts = split.groupBy(col("split")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     CorpusResult(
-      nRaw = spark.read.text(jsonlPath).count(),
+      nRaw = nRawCount,
       nDocs = docs.count(), nKept = kept.count(),
       nSurvivors = survivors.count(), nClusters = canonical.count(),
       splitCounts = splitCounts)

@@ -126,10 +126,17 @@ object StreamingReplays {
       chunks.zipWithIndex.foreach { case (cdf, i) =>
         val stage = new java.io.File(base, s"${sub}_stage$i")
         cdf.coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
-        val part = stage.listFiles().filter(_.getName.startsWith("part-")).head
-        val dst = new java.io.File(d, f"c$i%04d.parquet")
-        java.nio.file.Files.move(part.toPath, dst.toPath)
-        dst.setLastModified(1600000000000L + i * 60000L): Unit
+        // an EMPTY chunk (e.g. no left rows before the ts midpoint at a
+        // tiny SF) may emit no part file — skip the chunk rather than
+        // crash on .head (r9 ADVICE). Batch slicing is not load-bearing
+        // for the joined result; the sentinel chunks still advance the
+        // watermark in their own trigger.
+        stage.listFiles().filter(_.getName.startsWith("part-"))
+          .sortBy(_.getName).headOption.foreach { part =>
+            val dst = new java.io.File(d, f"c$i%04d.parquet")
+            java.nio.file.Files.move(part.toPath, dst.toPath)
+            dst.setLastModified(1600000000000L + i * 60000L): Unit
+          }
       }
       d.getAbsolutePath
     }
@@ -152,11 +159,15 @@ object StreamingReplays {
     sentinels.zipWithIndex.foreach { case (sd, i) =>
       val stage = new java.io.File(base, s"sent$i")
       sd.coalesce(1).write.mode("overwrite").parquet(stage.getAbsolutePath)
-      val part = stage.listFiles().filter(_.getName.startsWith("part-")).head
-      val dst = new java.io.File(wd, f"s$i%04d.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      // strictly after every data chunk's mod-time
-      dst.setLastModified(1600000000000L + (1000 + i) * 60000L): Unit
+      // sentinel frames are 1-row by construction, but harden the same
+      // way as stageTwoSided's chunks: no part file -> no chunk file
+      stage.listFiles().filter(_.getName.startsWith("part-"))
+        .sortBy(_.getName).headOption.foreach { part =>
+          val dst = new java.io.File(wd, f"s$i%04d.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          // strictly after every data chunk's mod-time
+          dst.setLastModified(1600000000000L + (1000 + i) * 60000L): Unit
+        }
     }
     (watched, base)
   }

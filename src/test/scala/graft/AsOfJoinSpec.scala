@@ -176,4 +176,27 @@ class AsOfJoinSpec extends SparkSpec {
       .orderBy("event_id").collect().map(_.toString).toSeq
     assert(a === b)
   }
+
+  test("forward as-of survives a right ts column named 'ts' (reserved-alias carry, r9 ADVICE)") {
+    import spark.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    val left = Seq((1L, 1L, ts(5)), (2L, 1L, ts(9))).toDF("event_id", "user_id", "ts")
+    // right ts ALSO named "ts": the old carry-as-asof_<rightTs> scheme
+    // collided with the internal asof_ts and drop("asof_ts") removed
+    // both — the matched timestamp silently vanished from the output
+    val right = Seq((1L, ts(6), 10.0), (1L, ts(8), 20.0)).toDF("user_id", "ts", "rvalue")
+    for (native <- Seq(false, true)) {
+      val out = AsOfJoin.asofJoinForward(left, "user_id", "ts",
+        right, "user_id", "ts", Seq("rvalue"), native = native)
+      assert(out.columns.count(_ == "asof_ts") === 1,
+        s"native=$native: asof_ts not exactly once in ${out.columns.toSeq}")
+      val got = out.orderBy("event_id")
+        .select("event_id", "asof_ts", "asof_rvalue")
+        .collect().map(r => (r.getLong(0), Option(r.getTimestamp(1)).map(_.getTime),
+          Option(r.get(2)))).toSeq
+      assert(got === Seq(
+        (1L, Some(ts(6).getTime), Some(10.0)),
+        (2L, None, None)), s"native=$native: $got")
+    }
+  }
 }
