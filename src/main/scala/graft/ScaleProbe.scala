@@ -76,6 +76,29 @@ object ScaleProbe {
       val cr = graft.pipeline.CorpusPipeline.run(spark, s"$dirP/jsonl", s"$dirP/out")
       val psecs = (System.nanoTime() - t15) / 1e9
       println(f"[scaleprobe] docs=$n%6d corpus_pipeline kept=${cr.nKept}%6d survivors=${cr.nSurvivors}%6d wall=$psecs%6.1f s")
+
+      // append leg (r10): the SAME corpus split 90/10 by id — a daily
+      // batch merged onto a persisted base via CorpusPipeline.append.
+      // New text work is the batch's only (base signatures are read,
+      // never re-shingled), so append wall should track the batch
+      // fraction, far under the full-rerun wall above; survivor-set
+      // equality against the full run is asserted (differential at
+      // scale, the CorpusPipelineSpec equivalence re-proved per size).
+      val cut = (n.toLong * 9L) / 10L
+      val pj = spark.read.json(s"$dirP/jsonl")
+      pj.where(col("doc_id") < cut).toJSON
+        .write.mode("overwrite").text(s"$dirP/base_jsonl")
+      pj.where(col("doc_id") >= cut).toJSON
+        .write.mode("overwrite").text(s"$dirP/batch_jsonl")
+      val t16 = System.nanoTime()
+      val crB = graft.pipeline.CorpusPipeline.run(spark, s"$dirP/base_jsonl", s"$dirP/out_incr")
+      val bSecs = (System.nanoTime() - t16) / 1e9
+      val t17 = System.nanoTime()
+      val crA = graft.pipeline.CorpusPipeline.append(spark, s"$dirP/batch_jsonl", s"$dirP/out_incr")
+      val aSecs = (System.nanoTime() - t17) / 1e9
+      require(crA.nSurvivors == cr.nSurvivors && crA.nKept == cr.nKept,
+        s"append differential: full=(${cr.nKept},${cr.nSurvivors}) incr=(${crA.nKept},${crA.nSurvivors})")
+      println(f"[scaleprobe] docs=$n%6d corpus_append base(${crB.nDocs}%6d)=$bSecs%6.1f s batch(${crA.nDocs - crB.nDocs}%5d)=$aSecs%6.1f s full=$psecs%6.1f s")
       // sketch leg: ONE aggregation pass over the full token stream
       // builds the whole sketch family concurrently — Count-Min (32 KB),
       // Bloom (512 B), KMV (~2 KB) — on the production hash tier

@@ -37,6 +37,14 @@ object Fs {
     val p = new org.apache.hadoop.fs.Path(path)
     fs(spark, p).delete(p, false): Unit
   }
+
+  /** Recursive delete of a stage subtree (no-op when absent) — used by
+    * forced pipeline runs to clear stale append/batch state.
+    */
+  def deleteRecursive(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    fs(spark, p).delete(p, true): Unit
+  }
 }
 
 /** The one JSON string escaper (Verify's oracle dump, the fails report,

@@ -3,7 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
-import graft.core.{Ingest, Sinks}
+import graft.core.{Fs, Ingest, Sinks}
 import graft.ops.TextOps
 import graft.queries.{DedupQueries, MlQueries}
 
@@ -27,6 +27,12 @@ import graft.queries.{DedupQueries, MlQueries}
   *   funnel      per-doc quality flags (Gopher rules, lang-ID gate,
   *               exact keep-first) ≡ ml_quality_funnel
   *   kept        docs surviving the funnel; sidecar fails_kept.json
+  *   digests     (doc_id, md5 digest) of every parsed doc — the exact-
+  *               tier state [[append]] checks new batches against
+  *   signatures  the per-doc shingle-hash signature table — the
+  *               production "signature table per corpus snapshot"
+  *               every dedup pass reuses ([[append]] never re-shingles
+  *               the corpus)
   *   pairs       MinHash-LSH candidates + exact-Jaccard verify ≥ τ over
   *               kept ≡ dedup_minhash_lsh
   *   clusters    connected components over the τ-pairs ≡ dedup_clusters
@@ -48,10 +54,30 @@ import graft.queries.{DedupQueries, MlQueries}
   *               sorted by (shard, pos): partition-pruned by split for
   *               eval readers, row-group-skippable on the visit order
   *
+  * INCREMENTAL MODE ([[append]]): a daily batch lands as DELTA stages
+  * under `batches/<tag>/` (docs/funnel/kept/digests/signatures/pairs —
+  * all batch-scaled: the funnel's exact tier joins the persisted digest
+  * state, the pair delta band-joins the batch's signatures against the
+  * persisted signature table), committed atomically to `appends.tsv`,
+  * and the id-sized derived tier (clusters→shards) is recomputed over
+  * the MERGED views — so run-then-append equals a full rerun on the
+  * union EXACTLY (CorpusPipelineSpec proves survivor/split/corpus
+  * equality), including the retraction case where a longer batch doc
+  * displaces a previously-published base survivor. Precondition
+  * (checked): batch doc_ids strictly exceed all prior doc_ids — the
+  * production "dense ids assigned at ingest" discipline, and what makes
+  * keep-first/lower-id tiebreaks composition-stable. Reference analog:
+  * Luigi's target-exists incrementality (split.py:48,56,65) done at the
+  * batch level instead of the task level.
+  *
   * Scale shape: every stage is one of the proven gate plans — the only
   * corpus-text shuffles are the signature build and the shard write;
-  * pairs/clusters/canonical move ids and digests only. The whole DAG is
-  * timed end-to-end at 200k docs by ScaleProbe's corpus-pipeline leg.
+  * pairs/clusters/canonical move ids and digests only. A 100 TB append
+  * re-shingles NOTHING: new text work is the batch's, corpus-side work
+  * is one map over the persisted signature table plus id-sized joins.
+  * The whole DAG is timed end-to-end at 200k docs by ScaleProbe's
+  * corpus-pipeline leg; the append leg times base+batch against the
+  * full rerun.
   */
 final case class CorpusConfig(
     tau: Double = 0.8,                      // near-dup Jaccard threshold
@@ -74,6 +100,192 @@ object CorpusPipeline {
     .add("lang", StringType).add("source", StringType)
     .add("n_chars", LongType)
 
+  // ---------------- append registry ----------------
+
+  private def appendsPath(outDir: String) = s"$outDir/appends.tsv"
+  private def batchDir(outDir: String, tag: String) = s"$outDir/batches/$tag"
+
+  /** Committed (tag, batchJsonlPath) list, commit order. The commit is
+    * ONE small-file write, so a crash leaves either the old list (batch
+    * stages exist but are invisible — a re-run resumes and re-commits)
+    * or the new list (fully visible) — never a half-applied batch.
+    */
+  private[graft] def appliedBatches(spark: SparkSession, outDir: String): Seq[(String, String)] =
+    if (!Fs.exists(spark, appendsPath(outDir))) Seq.empty
+    else Fs.readString(spark, appendsPath(outDir)).linesIterator
+      .filter(_.nonEmpty).map { l =>
+        val a = l.split("\t", 2); (a(0), if (a.length > 1) a(1) else "")
+      }.toSeq
+
+  private def commitBatch(spark: SparkSession, outDir: String, tag: String,
+                          path: String): Unit = {
+    val prev = if (Fs.exists(spark, appendsPath(outDir)))
+      Fs.readString(spark, appendsPath(outDir)) else ""
+    Fs.writeString(spark, appendsPath(outDir), prev + s"$tag\t$path\n")
+  }
+
+  private[graft] def batchTag(batchJsonlPath: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(batchJsonlPath.getBytes("UTF-8"))
+    d.take(6).map(b => f"$b%02x").mkString
+  }
+
+  /** Base stage ∪ committed batch deltas of the same stage name. */
+  private def mergedStage(spark: SparkSession, outDir: String, name: String,
+                          tags: Seq[String]): DataFrame =
+    tags.foldLeft(spark.read.parquet(s"$outDir/$name")) { (df, t) =>
+      df.unionByName(spark.read.parquet(s"${batchDir(outDir, t)}/$name"))
+    }
+
+  // ---------------- shared stage bodies ----------------
+
+  /** JSONL → typed docs stage + census sidecars under `areaDir` (the
+    * base outDir or a batch delta dir). Returns (docs, rawLineCount).
+    * One PERMISSIVE-read line count serves the census AND the result
+    * (r9 ADVICE: a second spark.read.text pass counted physical lines —
+    * blank lines included — and could disagree); a warm re-run reads
+    * the persisted count instead of re-scanning the input.
+    */
+  private def ingestStages(spark: SparkSession, jsonlPath: String,
+                           areaDir: String, force0: Boolean): (DataFrame, Long) = {
+    val raw = Ingest.readJsonl(spark, jsonlPath, docSchema).cache()
+    val docs = Pipeline.stage(spark, s"$areaDir/docs", force0) {
+      raw.where(col("_corrupt").isNull &&
+          col("doc_id").isNotNull && col("text").isNotNull)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          coalesce(col("n_chars"), length(col("text")).cast("long")).as("n_chars"))
+    }
+    val rawCountPath = s"$areaDir/raw_count"
+    val nRaw =
+      if (!force0 && Fs.exists(spark, rawCountPath))
+        Fs.readString(spark, rawCountPath).trim.toLong
+      else {
+        val n = raw.count()
+        Fs.writeString(spark, rawCountPath, n.toString); n
+      }
+    val censusPath = s"$areaDir/ingest_census.json"
+    if (force0 || !Fs.exists(spark, censusPath)) {
+      val nDocs = docs.count()
+      Fs.writeString(spark, censusPath,
+        s"""{"input_lines": $nRaw, "parsed_docs": $nDocs, "quarantined": ${nRaw - nDocs}}""")
+    }
+    raw.unpersist()
+    (docs, nRaw)
+  }
+
+  private def derivedFpOf(fingerprint: String, tags: Seq[String]): String =
+    fingerprint + "|" + tags.mkString(",")
+
+  /** The id-sized derived tier (clusters → canonical → survivors →
+    * split → mixture → epoch order → corpus → shards) over the MERGED
+    * kept/pairs views — shared verbatim by [[run]] and [[append]], which
+    * is exactly why run-then-append ≡ full-rerun: everything downstream
+    * of the pair set recomputes from the same merged inputs. Returns
+    * (splitCounts, nSurvivors, nClusters).
+    */
+  private def deriveTier(spark: SparkSession, outDir: String, cfg: CorpusConfig,
+                         kept: DataFrame, pairs: DataFrame,
+                         forceD: Boolean): (Map[String, Long], Long, Long) = {
+    def p(name: String) = s"$outDir/$name"
+    val clusters = Pipeline.stage(spark, p("clusters"), forceD)(
+      graft.ops.Components.connectedComponents(
+          pairs.where(col("sim") >= cfg.tau).select(col("i"), col("j")))
+        .select(col("node"), col("rep")))
+    val canonical = Pipeline.stage(spark, p("canonical"), forceD)(
+      DedupQueries.bestSurvivors(clusters, kept))
+    val survivors = Pipeline.stage(spark, p("survivors"), forceD) {
+      // drop non-canonical cluster members; singletons pass through
+      val drop = clusters.join(
+          canonical.select(col("best_doc")), col("node") === col("best_doc"), "left_anti")
+        .select(col("node").as("doc_id"))
+      kept.join(drop, Seq("doc_id"), "left_anti")
+    }
+    if (forceD || !Fs.exists(spark, p("fails_survivors.json")))
+      Sinks.failsReport(kept, survivors, "doc_id", p("fails_survivors.json"))
+
+    // ---- leakage-aware split (≡ ml_cluster_split) ----
+    // assignment is keyed on the cluster rep over the WHOLE kept corpus
+    // (the fence is a property of the group, not of who survived), then
+    // applied to survivors
+    val split = Pipeline.stage(spark, p("split"), forceD)(
+      DedupQueries.clusterSplitAssign(kept, clusters))
+    val splitCensusPath = p("split_census.json")
+    if (forceD || !Fs.exists(spark, splitCensusPath)) {
+      val rows = DedupQueries.clusterSplitCensus(split).orderBy(col("split")).collect()
+      Fs.writeString(spark, splitCensusPath,
+        rows.map(r => s""""${r.getString(0)}": {"n_docs": ${r.getLong(1)}, "n_groups": ${r.getLong(2)}, "n_chars": ${r.getLong(3)}, "id_sum": ${r.getLong(4)}}""")
+          .mkString("{", ", ", "}"))
+    }
+
+    // ---- mixture + epoch order over the final corpus ----
+    val mixture = Pipeline.stage(spark, p("mixture"), forceD)(
+      MlQueries.mixtureEpochsFrame(survivors, cfg.budgetTokens))
+    if (forceD || !Fs.exists(spark, p("mixture.json"))) {
+      val rows = mixture.orderBy(col("source")).collect()
+      Fs.writeString(spark, p("mixture.json"),
+        rows.map(r => s""""${r.getString(0)}": {"n_tokens": ${r.getLong(1)}, "share": ${r.getDouble(2)}, "epochs": ${r.getDouble(3)}}""")
+          .mkString("{", ", ", "}"))
+    }
+    val order = Pipeline.stage(spark, p("epoch_order"), forceD)(
+      MlQueries.epochOrderFrame(survivors, cfg.epochSeed, cfg.epochShards))
+
+    // ---- dataset card: the release-notes sidecar composing the
+    // validation gate (ml_constraint_audit's plan over the SHIPPED
+    // corpus) with the per-source residual dup-rate census
+    // (ml_dedup_rate_by_source's plan — post-dedup rates should be ~0;
+    // a non-zero residual is the near-dup tier's exact-tier blind spot
+    // made visible) ----
+    if (forceD || !Fs.exists(spark, p("dataset_card.json"))) {
+      val cons = MlQueries.constraintAuditFrame(survivors).orderBy(col("con"))
+        .collect().map(r => s""""${r.getString(0)}": {"metric": ${r.getDouble(1)}, "pass": ${r.getBoolean(2)}}""")
+      val rates = DedupQueries.dedupRateBySourceFrame(survivors).orderBy(col("source"))
+        .collect().map(r => s""""${r.getString(0)}": {"n_docs": ${r.getLong(1)}, "dup_rate": ${r.getDouble(4)}, "n_cross": ${r.getLong(5)}}""")
+      Fs.writeString(spark, p("dataset_card.json"),
+        s"""{"constraints": ${cons.mkString("{", ", ", "}")}, "dup_rate_by_source": ${rates.mkString("{", ", ", "}")}}""")
+    }
+
+    // ---- final corpus + sharded training layout ----
+    val corpus = Pipeline.stage(spark, p("corpus"), forceD)(
+      survivors
+        .join(split.select(col("doc_id"), col("split")), "doc_id")
+        .join(order, "doc_id"))
+    val shardsPath = p("shards")
+    if (forceD || !Fs.exists(spark, s"$shardsPath/_SUCCESS"))
+      Sinks.shardedParquet(corpus, shardsPath,
+        partitionCols = Seq("split", "source"), sortCols = Seq("shard", "pos"),
+        maxRecordsPerFile = cfg.maxRecordsPerFile)
+
+    val splitCounts = split.groupBy(col("split")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (splitCounts, survivors.count(), canonical.count())
+  }
+
+  /** Rederive-and-report over the CURRENT committed state (base + all
+    * applied batches): recompute the derived tier iff the derived
+    * fingerprint doesn't match the applied-batch list, then assemble the
+    * merged CorpusResult.
+    */
+  private def mergedResult(spark: SparkSession, outDir: String, cfg: CorpusConfig,
+                           fingerprint: String): CorpusResult = {
+    def p(name: String) = s"$outDir/$name"
+    val tags = appliedBatches(spark, outDir).map(_._1)
+    val want = derivedFpOf(fingerprint, tags)
+    val dfpPath = p("derived.fingerprint")
+    val forceD = !Fs.exists(spark, dfpPath) || Fs.readString(spark, dfpPath) != want
+    val docs = mergedStage(spark, outDir, "docs", tags)
+    val kept = mergedStage(spark, outDir, "kept", tags)
+    val pairs = mergedStage(spark, outDir, "pairs", tags)
+    if (forceD) Fs.delete(spark, dfpPath)
+    val (splitCounts, nSurv, nClus) = deriveTier(spark, outDir, cfg, kept, pairs, forceD)
+    Fs.writeString(spark, dfpPath, want)
+    val nRaw = (s"$outDir" +: tags.map(batchDir(outDir, _)))
+      .map(d => Fs.readString(spark, s"$d/raw_count").trim.toLong).sum
+    CorpusResult(nRaw = nRaw, nDocs = docs.count(), nKept = kept.count(),
+      nSurvivors = nSurv, nClusters = nClus, splitCounts = splitCounts)
+  }
+
+  // ---------------- batch build ----------------
+
   def run(spark: SparkSession, jsonlPath: String, outDir: String,
           cfg: CorpusConfig = CorpusConfig(), force: Boolean = false): CorpusResult = {
     new java.io.File(outDir).mkdirs()
@@ -91,122 +303,133 @@ object CorpusPipeline {
     val cfgPath = p("config.fingerprint")
     val fingerprint = (cfg, jsonlPath).toString
     val force0 = force ||
-      (if (graft.core.Fs.exists(spark, cfgPath))
-         graft.core.Fs.readString(spark, cfgPath) != fingerprint
-       else graft.core.Fs.exists(spark, p("docs")))
-    if (force0) graft.core.Fs.delete(spark, cfgPath)
+      (if (Fs.exists(spark, cfgPath))
+         Fs.readString(spark, cfgPath) != fingerprint
+       else Fs.exists(spark, p("docs")))
+    if (force0) Fs.delete(spark, cfgPath)
+
+    // committed appends are part of this outDir's state: an unforced
+    // re-run serves the MERGED corpus (idempotent ensure); a forced run
+    // clears them — batch deltas were built against the old base
+    val applied = appliedBatches(spark, outDir)
+    if (applied.nonEmpty) {
+      if (force0) {
+        Fs.delete(spark, appendsPath(outDir))
+        Fs.deleteRecursive(spark, s"$outDir/batches")
+      } else return mergedResult(spark, outDir, cfg, fingerprint)
+    }
 
     // ---- ingest (F4: corrupt lines quarantined, not fatal) ----
-    val raw = Ingest.readJsonl(spark, jsonlPath, docSchema).cache()
-    val docs = Pipeline.stage(spark, p("docs"), force0) {
-      raw.where(col("_corrupt").isNull &&
-          col("doc_id").isNotNull && col("text").isNotNull)
-        .select(col("doc_id"), col("text"), col("lang"), col("source"),
-          coalesce(col("n_chars"), length(col("text")).cast("long")).as("n_chars"))
-    }
-    // one PERMISSIVE-read line count, shared by the census and the
-    // final CorpusResult (r9 ADVICE: a second spark.read.text pass
-    // counted physical lines — blank lines included — so the two
-    // reported raw counts could disagree for the same input)
-    val nRawCount = raw.count()
-    val censusPath = p("ingest_census.json")
-    if (force0 || !graft.core.Fs.exists(spark, censusPath)) {
-      val nDocs = docs.count()
-      graft.core.Fs.writeString(spark, censusPath,
-        s"""{"input_lines": $nRawCount, "parsed_docs": $nDocs, "quarantined": ${nRawCount - nDocs}}""")
-    }
-    raw.unpersist()
+    val (docs, nRawCount) = ingestStages(spark, jsonlPath, outDir, force0)
 
     // ---- quality funnel (≡ ml_quality_funnel) ----
     val funnel = Pipeline.stage(spark, p("funnel"), force0)(
       MlQueries.qualityFunnelFlags(docs))
     val kept = Pipeline.stage(spark, p("kept"), force0)(
       docs.join(funnel.where(col("keep") === 1).select(col("doc_id")), "doc_id"))
-    if (force0 || !graft.core.Fs.exists(spark, p("fails_kept.json")))
+    if (force0 || !Fs.exists(spark, p("fails_kept.json")))
       Sinks.failsReport(docs, kept, "doc_id", p("fails_kept.json"))
 
-    // ---- near-dup tier: LSH candidates → verify → CC → canonical ----
-    // the signature table is the stage analog of the session memo: built
-    // once, consumed by pairs + (via pairs) everything downstream
-    val hs = DedupQueries.hashesOfDocs(spark, kept)
+    // ---- persisted dedup state: digest + signature tables ----
+    // digests: the exact-tier state append batches check against.
+    // signatures: the per-snapshot signature table every dedup pass
+    // (and every future append) reuses — built ONCE per doc, never
+    // re-shingled
+    val digests = Pipeline.stage(spark, p("digests"), force0)(
+      docs.select(col("doc_id"), md5(col("text")).as("dg")))
+    locally { val _ = digests } // materialized for append; unused here
+    val hs = Pipeline.stage(spark, p("signatures"), force0)(
+      DedupQueries.hashesOfDocs(spark, kept))
     val pairs = Pipeline.stage(spark, p("pairs"), force0)(
       DedupQueries.minhashVerifiedPairs(hs, cfg.tau))
-    val clusters = Pipeline.stage(spark, p("clusters"), force0)(
-      graft.ops.Components.connectedComponents(
-          pairs.where(col("sim") >= cfg.tau).select(col("i"), col("j")))
-        .select(col("node"), col("rep")))
-    val canonical = Pipeline.stage(spark, p("canonical"), force0)(
-      DedupQueries.bestSurvivors(clusters, kept))
-    val survivors = Pipeline.stage(spark, p("survivors"), force0) {
-      // drop non-canonical cluster members; singletons pass through
-      val drop = clusters.join(
-          canonical.select(col("best_doc")), col("node") === col("best_doc"), "left_anti")
-        .select(col("node").as("doc_id"))
-      kept.join(drop, Seq("doc_id"), "left_anti")
-    }
-    if (force0 || !graft.core.Fs.exists(spark, p("fails_survivors.json")))
-      Sinks.failsReport(kept, survivors, "doc_id", p("fails_survivors.json"))
 
-    // ---- leakage-aware split (≡ ml_cluster_split) ----
-    // assignment is keyed on the cluster rep over the WHOLE kept corpus
-    // (the fence is a property of the group, not of who survived), then
-    // applied to survivors
-    val split = Pipeline.stage(spark, p("split"), force0)(
-      DedupQueries.clusterSplitAssign(kept, clusters))
-    val splitCensusPath = p("split_census.json")
-    if (force0 || !graft.core.Fs.exists(spark, splitCensusPath)) {
-      val rows = DedupQueries.clusterSplitCensus(split).orderBy(col("split")).collect()
-      graft.core.Fs.writeString(spark, splitCensusPath,
-        rows.map(r => s""""${r.getString(0)}": {"n_docs": ${r.getLong(1)}, "n_groups": ${r.getLong(2)}, "n_chars": ${r.getLong(3)}, "id_sum": ${r.getLong(4)}}""")
-          .mkString("{", ", ", "}"))
-    }
-
-    // ---- mixture + epoch order over the final corpus ----
-    val mixture = Pipeline.stage(spark, p("mixture"), force0)(
-      MlQueries.mixtureEpochsFrame(survivors, cfg.budgetTokens))
-    if (force0 || !graft.core.Fs.exists(spark, p("mixture.json"))) {
-      val rows = mixture.orderBy(col("source")).collect()
-      graft.core.Fs.writeString(spark, p("mixture.json"),
-        rows.map(r => s""""${r.getString(0)}": {"n_tokens": ${r.getLong(1)}, "share": ${r.getDouble(2)}, "epochs": ${r.getDouble(3)}}""")
-          .mkString("{", ", ", "}"))
-    }
-    val order = Pipeline.stage(spark, p("epoch_order"), force0)(
-      MlQueries.epochOrderFrame(survivors, cfg.epochSeed, cfg.epochShards))
-
-    // ---- dataset card: the release-notes sidecar composing the
-    // validation gate (ml_constraint_audit's plan over the SHIPPED
-    // corpus) with the per-source residual dup-rate census
-    // (ml_dedup_rate_by_source's plan — post-dedup rates should be ~0;
-    // a non-zero residual is the near-dup tier's exact-tier blind spot
-    // made visible) ----
-    if (force0 || !graft.core.Fs.exists(spark, p("dataset_card.json"))) {
-      val cons = MlQueries.constraintAuditFrame(survivors).orderBy(col("con"))
-        .collect().map(r => s""""${r.getString(0)}": {"metric": ${r.getDouble(1)}, "pass": ${r.getBoolean(2)}}""")
-      val rates = DedupQueries.dedupRateBySourceFrame(survivors).orderBy(col("source"))
-        .collect().map(r => s""""${r.getString(0)}": {"n_docs": ${r.getLong(1)}, "dup_rate": ${r.getDouble(4)}, "n_cross": ${r.getLong(5)}}""")
-      graft.core.Fs.writeString(spark, p("dataset_card.json"),
-        s"""{"constraints": ${cons.mkString("{", ", ", "}")}, "dup_rate_by_source": ${rates.mkString("{", ", ", "}")}}""")
-    }
-
-    // ---- final corpus + sharded training layout ----
-    val corpus = Pipeline.stage(spark, p("corpus"), force0)(
-      survivors
-        .join(split.select(col("doc_id"), col("split")), "doc_id")
-        .join(order, "doc_id"))
-    val shardsPath = p("shards")
-    if (force0 || !graft.core.Fs.exists(spark, s"$shardsPath/_SUCCESS"))
-      Sinks.shardedParquet(corpus, shardsPath,
-        partitionCols = Seq("split", "source"), sortCols = Seq("shard", "pos"),
-        maxRecordsPerFile = cfg.maxRecordsPerFile)
+    // ---- derived tier (shared with append) ----
+    val want = derivedFpOf(fingerprint, Seq.empty)
+    val dfpPath = p("derived.fingerprint")
+    val forceD = force0 ||
+      !Fs.exists(spark, dfpPath) || Fs.readString(spark, dfpPath) != want
+    if (forceD) Fs.delete(spark, dfpPath)
+    val (splitCounts, nSurv, nClus) = deriveTier(spark, outDir, cfg, kept, pairs, forceD)
+    Fs.writeString(spark, dfpPath, want)
 
     graft.core.Fs.writeString(spark, cfgPath, fingerprint)
 
-    val splitCounts = split.groupBy(col("split")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     CorpusResult(
       nRaw = nRawCount,
       nDocs = docs.count(), nKept = kept.count(),
-      nSurvivors = survivors.count(), nClusters = canonical.count(),
+      nSurvivors = nSurv, nClusters = nClus,
       splitCounts = splitCounts)
+  }
+
+  /** INCREMENTAL append — merge a new JSONL batch into a completed
+    * corpus outDir without recomputing the corpus: batch-scaled delta
+    * stages (ingest → incremental funnel → signatures → incremental
+    * pair build against the persisted signature table) land under
+    * `batches/<tag>/`, the batch commits atomically to `appends.tsv`,
+    * and the id-sized derived tier recomputes over the merged views.
+    * Result ≡ a full [[run]] over base ∪ batch (CorpusPipelineSpec).
+    *
+    * Idempotent and resumable: delta stages use the same target-exists
+    * skip as everything else; an already-committed batch short-circuits
+    * to the merged report. Precondition (checked): every batch doc_id
+    * strictly exceeds every committed doc_id.
+    */
+  def append(spark: SparkSession, batchJsonlPath: String, outDir: String,
+             cfg: CorpusConfig = CorpusConfig(), force: Boolean = false): CorpusResult = {
+    TextOps.ensureFunctions(spark)
+    val cfgPath = s"$outDir/config.fingerprint"
+    require(Fs.exists(spark, cfgPath),
+      s"append: no completed base run in $outDir (missing config.fingerprint)")
+    val fingerprint = Fs.readString(spark, cfgPath)
+    require(fingerprint.startsWith("(" + cfg.toString + ","),
+      "append: CorpusConfig differs from the base run's — append would mix " +
+        "thresholds; re-run the base with the new config instead")
+
+    val tag = batchTag(batchJsonlPath)
+    val applied = appliedBatches(spark, outDir)
+    if (!applied.exists(_._1 == tag)) {
+      val bdir = batchDir(outDir, tag)
+      new java.io.File(bdir).mkdirs()
+      val priorTags = applied.map(_._1)
+
+      val (bdocs, _) = ingestStages(spark, batchJsonlPath, bdir, force)
+
+      // id monotonicity: keep-first exact dedup, lower-id pair order and
+      // CC reps are only composition-stable when new ids sort after ALL
+      // prior ids (the production dense-ids-at-ingest discipline)
+      val priorDocs = mergedStage(spark, outDir, "docs", priorTags)
+      val maxPrior = priorDocs.agg(max(col("doc_id"))).head().getLong(0)
+      val minBatch = bdocs.agg(min(col("doc_id"))).head() match {
+        case r if r.isNullAt(0) =>
+          throw new IllegalArgumentException(s"append: batch $batchJsonlPath parsed no docs")
+        case r => r.getLong(0)
+      }
+      require(minBatch > maxPrior,
+        s"append: batch doc_ids must exceed all prior ids (batch min $minBatch <= prior max $maxPrior)")
+
+      val priorDigests = mergedStage(spark, outDir, "digests", priorTags)
+      val bfunnel = Pipeline.stage(spark, s"$bdir/funnel", force)(
+        MlQueries.qualityFunnelFlagsIncremental(bdocs, priorDigests))
+      val bkept = Pipeline.stage(spark, s"$bdir/kept", force)(
+        bdocs.join(bfunnel.where(col("keep") === 1).select(col("doc_id")), "doc_id"))
+      if (force || !Fs.exists(spark, s"$bdir/fails_kept.json"))
+        Sinks.failsReport(bdocs, bkept, "doc_id", s"$bdir/fails_kept.json")
+      val bdigests = Pipeline.stage(spark, s"$bdir/digests", force)(
+        bdocs.select(col("doc_id"), md5(col("text")).as("dg")))
+      locally { val _ = bdigests } // delta state for the NEXT append
+
+      // batch signatures (the only new text work) + incremental pairs:
+      // corpus side reads the PERSISTED signature table — band keys are
+      // a map over it, candidates are keyed by the batch's band rows
+      val bhs = Pipeline.stage(spark, s"$bdir/signatures", force)(
+        DedupQueries.hashesOfDocs(spark, bkept))
+      val priorHs = mergedStage(spark, outDir, "signatures", priorTags)
+      Pipeline.stage(spark, s"$bdir/pairs", force)(
+        DedupQueries.minhashVerifiedPairsIncremental(
+          priorHs.unionByName(bhs), bhs, cfg.tau)): Unit
+
+      commitBatch(spark, outDir, tag, batchJsonlPath)
+    }
+    mergedResult(spark, outDir, cfg, fingerprint)
   }
 }

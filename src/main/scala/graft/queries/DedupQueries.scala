@@ -310,6 +310,36 @@ object DedupQueries {
       .where(col("sim") >= tau)
       .select(col("i"), col("j"), col("sim"))
 
+  /** [[minhashVerifiedPairs]] restricted to pairs TOUCHING a new batch
+    * (CorpusPipeline.append's pair delta): band keys are a per-doc
+    * function of the signature, so
+    * `pairs(all) = pairs(prior) ∪ pairsIncremental(all, batch)` exactly,
+    * when every batch doc_id exceeds every prior doc_id — candidates
+    * pair ANY doc (left) with a BATCH doc (right) under doc_id < order,
+    * covering prior×batch and batch×batch while excluding the already-
+    * persisted prior×prior pairs. Corpus-side work is one map over the
+    * persisted signature table (minhash sigs + band keys — no text, no
+    * re-shingling); the equi-join's output volume is keyed by the
+    * BATCH's band rows, the dedup_incremental scale story.
+    */
+  private[graft] def minhashVerifiedPairsIncremental(allHs: org.apache.spark.sql.DataFrame,
+      newHs: org.apache.spark.sql.DataFrame, tau: Double): org.apache.spark.sql.DataFrame = {
+    val bandsAll = TextOps.bandedSignatures(allHs, minhashK, minhashBands, minhashR)
+    val bandsNew = TextOps.bandedSignatures(newHs, minhashK, minhashBands, minhashR)
+    val cand = bandsAll.as("a")
+      .join(bandsNew.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    cand
+      .join(allHs.select(col("doc_id").as("i"), col("hs").as("ha")), "i")
+      .join(allHs.select(col("doc_id").as("j"), col("hs").as("hb")), "j")
+      .withColumn("sim", TextOps.jaccard(col("ha"), col("hb")))
+      .where(col("sim") >= tau)
+      .select(col("i"), col("j"), col("sim"))
+  }
+
   /** 32-bit SimHash near-dup pairs at hamming distance <= 3.
     *
     * Pigeonhole banding (scale path, zero recall loss): split the 32-bit

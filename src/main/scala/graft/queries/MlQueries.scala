@@ -368,6 +368,39 @@ object MlQueries {
         flag(kGopher && kLang && kExact).as("keep"))
   }
 
+  /** [[qualityFunnelFlags]] for an APPEND batch (CorpusPipeline.append):
+    * identical gopher/lang tiers (per-doc, map-only), exact keep-first
+    * tier keyed against the PRIOR corpus's digest table as well as the
+    * batch itself. Correct iff every batch doc_id exceeds every prior
+    * doc_id (append's checked precondition): the union's first_id for a
+    * digest is then the prior min when the digest already exists, else
+    * the batch min — so flags(union) restricted to the batch rows equal
+    * these flags, and the prior rows' flags are untouched
+    * (CorpusPipelineSpec proves the composition against the one-shot
+    * funnel). `priorDigests` is the persisted (doc_id, dg) stage — id
+    * rows only, never text.
+    */
+  private[graft] def qualityFunnelFlagsIncremental(docs: org.apache.spark.sql.DataFrame,
+      priorDigests: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import TextQueries.{gopherCntCols, gopherKeepSql, langCntCols, langCaseSql}
+    val c = docs.select(
+      Seq(col("doc_id"), md5(col("text")).as("dg")) ++
+        gopherCntCols ++ langCntCols: _*)
+    val firstWin = org.apache.spark.sql.expressions.Window.partitionBy(col("dg"))
+    val prior = priorDigests.groupBy(col("dg")).agg(min(col("doc_id")).as("__prior_first"))
+    val kGopher = expr(gopherKeepSql)
+    val kLang = expr(langCaseSql) =!= "und"
+    def flag(x: org.apache.spark.sql.Column) = when(x, 1).otherwise(0)
+    c.withColumn("__batch_first", min(col("doc_id")).over(firstWin))
+      .join(prior, Seq("dg"), "left")
+      .withColumn("first_id", coalesce(col("__prior_first"), col("__batch_first")))
+      .select(col("doc_id"),
+        flag(kGopher).as("k_gopher"),
+        flag(kLang).as("k_lang"),
+        flag(col("doc_id") === col("first_id")).as("k_exact"),
+        flag(kGopher && kLang && (col("doc_id") === col("first_id"))).as("keep"))
+  }
+
   /** Weighted sampling without replacement (Efraimidis & Spirakis, IPL
     * 2006): each doc draws priority key ln(u)/w — u a deterministic
     * uniform from the portable doc_id hash, w a length-proportional

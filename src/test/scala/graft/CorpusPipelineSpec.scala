@@ -143,4 +143,118 @@ class CorpusPipelineSpec extends SparkSpec {
       graft.queries.MlQueries.mlEpochOrder.run(spark, survDir)),
       "epoch seed change produced the identical order")
   }
+
+  // ---------------- incremental append ----------------
+
+  /** English-shaped doc the funnel keeps: stopword block + word run. */
+  private def mkText(words: Seq[String]): String =
+    "the and of to in " + words.mkString(" ")
+
+  /** Deterministic filler words (vocab v0..v999, hash-indexed). */
+  private def filler(seed: Int, n: Int): Seq[String] =
+    (0 until n).map(j => s"v${math.abs((seed * 31 + j) * 2654435761L % 1000)}")
+
+  private def writeJsonl(docs: Seq[(Long, String, String)], prefix: String): String = {
+    import spark.implicits._
+    val dir = mkdir(prefix)
+    docs.map { case (id, text, src) => (id, text, "en", src, text.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .toJSON.coalesce(1).write.mode("overwrite").text(s"$dir/jsonl")
+    s"$dir/jsonl"
+  }
+
+  test("append: run(base) + append(batch) == full rerun on the union; retraction and cluster-merge included") {
+    def run(j: String, d: String) = CorpusPipeline.run(spark, j, d)
+    val seqWords = (off: Int, n: Int) => (off until off + n).map(i => s"q$i")
+
+    // base corpus (ids < 200): fillers + planted structure
+    val base: Seq[(Long, String, String)] =
+      (0L until 20L).map(i => (i, mkText(filler(i.toInt, 60)), s"src${i % 3}")) ++ Seq(
+        (100L, mkText(seqWords(10000, 60)), "src0"),     // base-internal cluster...
+        (101L, mkText(seqWords(10000, 55)), "src1"),     // ...near-copy of 100 (J≈0.91)
+        (102L, mkText(seqWords(20000, 100)), "src2"), // C1
+        (103L, mkText(seqWords(20020, 100)), "src0"), // C2: J(C1,C2)≈0.67 < 0.8 — separate
+        (104L, mkText(seqWords(30000, 60)), "src1"))  // future retraction victim
+    // batch (ids ≥ 200): fillers + an exact dup, a LONGER near-dup of
+    // 104 (displaces it as canonical), and a bridge doc merging C1+C2
+    val batch: Seq[(Long, String, String)] =
+      (200L until 210L).map(i => (i, mkText(filler(i.toInt + 500, 60)), s"src${i % 3}")) ++ Seq(
+        (210L, base.find(_._1 == 5L).get._2, "src2"),     // exact dup of base 5
+        (211L, mkText(seqWords(30000, 65)), "src0"),       // J vs 104 ≈ 0.92, longer
+        (212L, mkText(seqWords(20000, 120)), "src1"))      // J vs C1 and C2 ≈ 0.83
+
+    val baseJ = writeJsonl(base, "apnd_base")
+    val batchJ = writeJsonl(batch, "apnd_batch")
+    val unionJ = writeJsonl(base ++ batch, "apnd_union")
+
+    val dirF = mkdir("apnd_full"); val resF = run(unionJ, dirF)
+    val dirA = mkdir("apnd_incr"); val resBase = run(baseJ, dirA)
+
+    // sanity on the planted geometry BEFORE appending
+    val baseSurv = rows(spark.read.parquet(s"$dirA/survivors").select("doc_id"))
+    assert(baseSurv.contains("[104]"), "victim 104 must be a base survivor")
+    assert(resBase.nKept == base.size, "a base doc fell out of the funnel")
+
+    val resA = CorpusPipeline.append(spark, batchJ, dirA)
+    assert(resA == resF, s"append result drifted from full rerun: $resA vs $resF")
+
+    // merged state == full-rerun state, table by table
+    for (st <- Seq("survivors", "split", "clusters", "corpus")) {
+      assertSame(spark.read.parquet(s"$dirA/$st"),
+        spark.read.parquet(s"$dirF/$st"), s"append $st")
+    }
+    // pair delta composition: base pairs ∪ batch delta == full pairs
+    val mergedPairs = spark.read.parquet(s"$dirA/pairs").unionByName(
+      spark.read.parquet(s"$dirA/batches/${CorpusPipeline.batchTag(batchJ)}/pairs"))
+    assertSame(mergedPairs, spark.read.parquet(s"$dirF/pairs"), "pair composition")
+
+    // the planted semantics actually happened
+    val surv = rows(spark.read.parquet(s"$dirA/survivors").select("doc_id"))
+    assert(!surv.contains("[210]"), "exact dup of base 5 must be funnel-dropped")
+    assert(!surv.contains("[104]") && surv.contains("[211]"),
+      "longer batch near-dup must RETRACT base survivor 104")
+    val cl = spark.read.parquet(s"$dirA/clusters").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl.get(102L) == cl.get(103L) && cl.contains(212L),
+      s"bridge doc 212 must merge C1+C2: $cl")
+
+    // idempotence: re-append of a committed batch recomputes nothing
+    val stamps = new java.io.File(dirA).listFiles().filter(_.isDirectory)
+      .map(f => f.getName -> f.lastModified()).toMap
+    val resA2 = CorpusPipeline.append(spark, batchJ, dirA)
+    assert(resA2 == resA, "re-append drifted")
+    val stamps2 = new java.io.File(dirA).listFiles().filter(_.isDirectory)
+      .map(f => f.getName -> f.lastModified()).toMap
+    assert(stamps2 == stamps, "re-append rewrote a stage")
+
+    // a SECOND batch composes (ids ≥ 300, near-dup of a batch-1 doc)
+    val batch2: Seq[(Long, String, String)] = Seq(
+      (300L, mkText(filler(900, 60)), "src0"),
+      (301L, mkText(seqWords(20000, 118)), "src2")) // near-dup of bridge 212
+    val batch2J = writeJsonl(batch2, "apnd_batch2")
+    val union2J = writeJsonl(base ++ batch ++ batch2, "apnd_union2")
+    val dirF2 = mkdir("apnd_full2"); val resF2 = run(union2J, dirF2)
+    val resA3 = CorpusPipeline.append(spark, batch2J, dirA)
+    assert(resA3 == resF2, s"second append drifted: $resA3 vs $resF2")
+    assertSame(spark.read.parquet(s"$dirA/survivors"),
+      spark.read.parquet(s"$dirF2/survivors"), "second-append survivors")
+
+    // guard rails: id monotonicity and config identity are enforced
+    val lowJ = writeJsonl(Seq((50L, mkText(filler(7, 60)), "src0")), "apnd_low")
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.append(spark, lowJ, dirA)
+    }
+    intercept[IllegalArgumentException] {
+      CorpusPipeline.append(spark, batch2J, dirA, CorpusConfig(tau = 0.9))
+    }
+
+    // an unforced re-RUN of the base against the appended outDir serves
+    // the merged state; a forced one rebuilds the base alone
+    val resRun = CorpusPipeline.run(spark, baseJ, dirA)
+    assert(resRun == resF2, "unforced run on appended outDir must serve merged state")
+    val resForced = CorpusPipeline.run(spark, baseJ, dirA, force = true)
+    assert(resForced == resBase, "forced run must rebuild the base alone")
+    assert(!new java.io.File(s"$dirA/appends.tsv").exists(),
+      "forced run must clear the append registry")
+  }
 }
