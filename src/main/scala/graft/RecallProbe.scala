@@ -116,6 +116,59 @@ object RecallProbe {
       corpus(tier, bits, bucketOf)
       planted(tier, bits, bucketOf)
     }
+
+    // ---- IVF cells leg (r10): planted-mode recall with CELLS as the
+    // buckets — (a) per-label centroids (embed_knn_ivf's fixture
+    // convenience, ~10 cells), (b) ml.KMeans-trained cells at k=256
+    // (the production quantizer embed_knn_ivf_kmeans uses), swept over
+    // probe budgets. The trained tier at a comparable scan fraction
+    // should meet or beat the label tier: labels are near-arbitrary
+    // partitions of a synthetic corpus, trained cells shape BOTH the
+    // candidate volume (cells/nprobe) and where near-neighbors land. ----
+    def ivfLeg(tier: String, cents: DataFrame, nprobes: Seq[Int]): Unit = {
+      val cw = broadcast(cents.select(col("cl"), col("cv").as("ccv"),
+        Similarity.dotC(col("cv"), col("cv")).as("c2")))
+      def d2(vc: String) = Similarity.dotC(col(vc), col(vc)) + col("c2") -
+        lit(2.0) * Similarity.dotC(col(vc), col("ccv"))
+      def assign(df: DataFrame, idC: String, vC: String): DataFrame =
+        df.crossJoin(cw).withColumn("__d2", d2(vC))
+          .groupBy(col(idC))
+          .agg(min(struct(col("__d2"), col("cl"))).as("__m"), first(col(vC)).as(vC))
+          .select(col(idC), col(vC), col("__m.cl").as("bucket"))
+      val bases = vectors.where(col("vec_id") % 101 === 0)
+      val q = bases.select(col("vec_id").as("qid"), col("v").as("qv"))
+      val copies = bases
+        .select(col("vec_id"), explode(sequence(lit(0), lit(4))).as("k"), col("v"))
+        .select((col("vec_id") * 8 + col("k") + lit(1000000000L)).as("nid"), expr(
+          "transform(v, (x, i) -> x * (1.0D + (pmod(hash(vec_id, k, i), 2001) - 1000) / 20000.0D))")
+          .as("cv"))
+      val c = assign(vectors.where(col("vec_id") % 101 =!= 0)
+        .select(col("vec_id").as("nid"), col("v").as("cv"))
+        .unionByName(copies), "nid", "cv")
+        .cache()
+      val nCells = math.max(1L, cents.count())
+      nprobes.foreach { np =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("__d2"), col("cl"))
+        val qp = q.crossJoin(cw).withColumn("__d2", d2("qv"))
+          .withColumn("cr", row_number().over(w)).where(col("cr") <= np)
+          .select(col("qid"), col("qv"), col("cl").as("bucket"))
+        val r = EmbedQueries.recallFramesProbed(q, qp, c)
+          .agg(coalesce(avg(col("recall")), lit(0.0)).as("mr")).head().getDouble(0)
+        val nq = math.max(1L, q.count())
+        val cand = c.join(broadcast(qp.select(col("bucket"))), "bucket").count() / nq
+        println(s"""{"mode":"planted","tier":"$tier","cells":$nCells,"nprobe":$np,""" +
+          s""""n_queries":$nq,"mean_recall":${math.rint(r * 1e6) / 1e6},"cand_per_query":$cand}""")
+      }
+      c.unpersist(): Unit
+    }
+    val vv = vectors.select(col("vec_id"), col("v"))
+    ivfLeg("ivf_label",
+      graft.queries.EmbedQueries.labelCentroids(vectors), Seq(1, 2, 4))
+    val (_, kmCents) = graft.ml.KMeans.fit(vv,
+      graft.ml.KMeans.seedSmallest(vv, 256L), iters = 2)
+    ivfLeg("ivf_kmeans256", kmCents, Seq(2, 8, 26, 51))
+
     vectors.unpersist()
     spark.stop()
   }

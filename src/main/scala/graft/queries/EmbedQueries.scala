@@ -24,6 +24,12 @@ object EmbedQueries {
       .groupBy(col("label"))
       .agg(expr("transform(array_sort(collect_list(struct(i, c))), p -> p.c)").as("carr"))
 
+  /** Per-label centroids as a (cl, cv) quantizer frame — RecallProbe's
+    * label-IVF comparison row against the ml.KMeans-trained cells.
+    */
+  private[graft] def labelCentroids(v: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    centroidArrays(v).select(col("label").cast("long").as("cl"), col("carr").as("cv"))
+
   private def duckCos(a: String, b: String): String =
     s"""round(list_sum([$a[i] * $b[i] for i in range(1, len($a) + 1)]) /
        |  (sqrt(list_sum([x * x for x in $a])) * sqrt(list_sum([x * x for x in $b]))), 6)""".stripMargin
@@ -462,6 +468,82 @@ object EmbedQueries {
         .select(col("vec_id").as("nid"), col("v").as("cv"), col("label"))
       val pairs = c.join(broadcast(probe), c("label") === probe("cell"))
         .withColumn("sim", Similarity.cosine("qv", "cv"))
+        .select(col("qid"), col("nid"), col("sim"))
+      Similarity.topK(pairs, 3).select(col("qid"), col("nid"), col("sim"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }
+  }
+
+  /** IVF ANN with a K-MEANS coarse quantizer — [[embedKnnIvf]]'s probe
+    * machinery pointed at TRAINED cells instead of per-label centroids:
+    * a 2-round deterministic Lloyd fit ([[graft.ml.KMeans]], broadcast
+    * centroid tables, the dedup_semantic recipe) builds the k=16
+    * quantizer, candidates index into their assigned cell, and each
+    * query probes its nprobe=2 nearest trained centroids before the
+    * exact cosine top-3. This is the real IVF construction (labels are
+    * a fixture convenience; production corpora have no labels) and the
+    * r9-verdict "distributed k-means feeding embed_knn_ivf" gate row.
+    *
+    * Scale: training is KMeans.fit (plan O(1) in k, per-round one scan
+    * + one n-row argmin shuffle), the quantizer rides a broadcast both
+    * at index and probe time, and candidates join exactly one probed
+    * cell each — the same shuffle story as embed_knn_ivf with the cell
+    * count now a free knob instead of the label cardinality.
+    * Determinism: round-6 probe distances with lower-cl ties (the
+    * oracle's ORDER BY d, cl), round-6 centroid updates — both engines
+    * iterate bit-identical matrices.
+    */
+  val embedKnnIvfKmeans: QueryDef = {
+    val k = 16; val dim = 64
+    def duckD2(vc: String, cc: String): String =
+      s"""list_sum([$vc[i] * $vc[i] for i in range(1, ${dim + 1})]) +
+         |      list_sum([$cc[i] * $cc[i] for i in range(1, ${dim + 1})]) -
+         |      2 * list_sum([$vc[i] * $cc[i] for i in range(1, ${dim + 1})])""".stripMargin
+    QueryDef.sql("embed_knn_ivf_kmeans",
+      s"""WITH $duckVectors,
+         |c0 AS (SELECT vec_id AS cl, v AS cv FROM v ORDER BY vec_id LIMIT $k),
+         |d1 AS (SELECT v.vec_id, v.v, c0.cl, ${duckD2("v.v", "c0.cv")} AS d2 FROM v, c0),
+         |a1 AS (SELECT vec_id, v, cl FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rk
+         |        FROM d1) WHERE rk = 1),
+         |u1 AS (SELECT cl, i, round(avg(v[i]), 6) AS x
+         |       FROM a1, range(1, ${dim + 1}) r(i) GROUP BY cl, i),
+         |c1 AS (SELECT cl, list(x ORDER BY i) AS cv FROM u1 GROUP BY cl),
+         |d2c AS (SELECT v.vec_id, v.v, c1.cl, ${duckD2("v.v", "c1.cv")} AS d2 FROM v, c1),
+         |a2 AS (SELECT vec_id, v, cl FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rk
+         |        FROM d2c) WHERE rk = 1),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
+         |pa AS (SELECT qid, qv, c1.cl AS cell,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY
+         |           round(sqrt(greatest(${duckD2("qv", "c1.cv")}, 0)), 6), c1.cl) AS BIGINT) AS cr
+         |       FROM q CROSS JOIN c1),
+         |probe AS (SELECT qid, qv, cell FROM pa WHERE cr <= 2),
+         |c AS (SELECT vec_id AS nid, v AS cv2, cl FROM a2 WHERE vec_id >= 10),
+         |p AS (SELECT qid, nid, ${duckCos("qv", "cv2")} AS sim
+         |      FROM c JOIN probe ON c.cl = probe.cell),
+         |r AS (SELECT qid, nid, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk FROM p)
+         |SELECT qid, nid, sim, rnk FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      val v = Similarity.vectors(Tables.embeddings(s, dir)).select(col("vec_id"), col("v"))
+      val (assigned, cents) = graft.ml.KMeans.fit(
+        v, graft.ml.KMeans.seedSmallest(v, k), iters = 2)
+      val cw = broadcast(cents.select(col("cl"), col("cv"),
+        Similarity.dot("cv", "cv").as("c2")))
+      val q = v.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+        .orderBy(col("__d"), col("cl"))
+      val probe = q.crossJoin(cw)
+        .withColumn("__d", round(sqrt(greatest(
+          Similarity.dot("qv", "qv") + col("c2")
+            - lit(2) * Similarity.dot("qv", "cv"), lit(0.0))), 6))
+        .withColumn("cr", row_number().over(wc))
+        .where(col("cr") <= 2)
+        .select(col("qid"), col("qv"), col("cl").as("cell"))
+      val c = assigned.where(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("v").as("cv2"), col("cl"))
+      val pairs = c.join(broadcast(probe), c("cl") === probe("cell"))
+        .withColumn("sim", Similarity.cosine("qv", "cv2"))
         .select(col("qid"), col("nid"), col("sim"))
       Similarity.topK(pairs, 3).select(col("qid"), col("nid"), col("sim"), col("rnk"))
         .orderBy(col("qid"), col("rnk"))
@@ -1700,7 +1782,7 @@ object EmbedQueries {
 
   val all: Seq[QueryDef] = Seq(embedKnnBrute, embedKnnLsh, embedCentroids,
     multimodalMeta, multimodalFramesample, multimodalResize, embedNorms,
-    embedKnnIvf, dedupEmbedCosine, dedupSemantic, embedQuantize, embedLshRecall,
+    embedKnnIvf, embedKnnIvfKmeans, dedupEmbedCosine, dedupSemantic, embedQuantize, embedLshRecall,
     embedHyperplaneRecall, embedBandedRecall, embedKnnPq,
     embedMultiprobeRecall, embedPqRecall, embedKnnIvfPq, multimodalFeatures, embedHardNegatives,
     embedRandomProjection, embedKmeans, embedPca, embedOutliers,
