@@ -84,7 +84,11 @@ final case class CorpusConfig(
     budgetTokens: Long = 1000000L,          // mixture epoch planner budget
     epochSeed: String = "ep1",              // epoch permutation salt
     epochShards: Int = 8,                   // epoch-order shard count
-    maxRecordsPerFile: Long = 1000000L)     // shard file cap
+    maxRecordsPerFile: Long = 1000000L,     // shard file cap
+    phashDedup: Boolean = false,            // optional media near-dup stage (≡ multimodal_phash_dedup)
+    semanticDedup: Boolean = false,         // optional SemDeDup stage (≡ dedup_semantic)
+    semanticTau: Double = 0.35,             // semantic drop threshold
+    embeddingsPath: String = "")            // (vec_id = doc_id, embedding) parquet for the semantic stage
 
 final case class CorpusResult(
     nRaw: Long, nDocs: Long, nKept: Long, nSurvivors: Long,
@@ -203,6 +207,41 @@ object CorpusPipeline {
     if (forceD || !Fs.exists(spark, p("fails_survivors.json")))
       Sinks.failsReport(kept, survivors, "doc_id", p("fails_survivors.json"))
 
+    // ---- optional media/embedding dedup tiers (config-gated) ----
+    // drop passes past the text near-dup tier, built from the SAME
+    // frame bodies their gate queries execute (phashDedupPairs ≡
+    // multimodal_phash_dedup, semanticDedupFrame ≡ dedup_semantic —
+    // CorpusPipelineSpec proves both parities); they live inside the
+    // derived tier, so append-mode recomputation extends the full-rerun
+    // equivalence to them for free
+    val survivors2 = {
+      var s2 = survivors
+      if (cfg.phashDedup) {
+        val ppairs = Pipeline.stage(spark, p("phash_pairs"), forceD)(
+          graft.queries.EmbedQueries.phashDedupPairs(spark, s2))
+        s2 = Pipeline.stage(spark, p("phash_survivors"), forceD) {
+          // min-id survivor per hamming cluster (the dedup_survivors policy)
+          val drop = graft.ops.Components.connectedComponents(
+              ppairs.select(col("i"), col("j")))
+            .where(col("node") =!= col("rep")).select(col("node").as("doc_id"))
+          s2.join(drop, Seq("doc_id"), "left_anti")
+        }
+      }
+      if (cfg.semanticDedup) {
+        require(cfg.embeddingsPath.nonEmpty,
+          "semanticDedup needs embeddingsPath (a (vec_id = doc_id, embedding) parquet)")
+        val v = spark.read.parquet(cfg.embeddingsPath)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+          .join(s2.select(col("doc_id").as("vec_id")), "vec_id")
+        val k = math.ceil(math.sqrt(math.max(v.count(), 1L).toDouble)).toLong
+        val drops = Pipeline.stage(spark, p("semantic_drops"), forceD)(
+          graft.queries.EmbedQueries.semanticDedupFrame(v, k, cfg.semanticTau))
+        s2 = Pipeline.stage(spark, p("semantic_survivors"), forceD)(
+          s2.join(drops.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_anti"))
+      }
+      s2
+    }
+
     // ---- leakage-aware split (≡ ml_cluster_split) ----
     // assignment is keyed on the cluster rep over the WHOLE kept corpus
     // (the fence is a property of the group, not of who survived), then
@@ -219,7 +258,7 @@ object CorpusPipeline {
 
     // ---- mixture + epoch order over the final corpus ----
     val mixture = Pipeline.stage(spark, p("mixture"), forceD)(
-      MlQueries.mixtureEpochsFrame(survivors, cfg.budgetTokens))
+      MlQueries.mixtureEpochsFrame(survivors2, cfg.budgetTokens))
     if (forceD || !Fs.exists(spark, p("mixture.json"))) {
       val rows = mixture.orderBy(col("source")).collect()
       Fs.writeString(spark, p("mixture.json"),
@@ -227,7 +266,7 @@ object CorpusPipeline {
           .mkString("{", ", ", "}"))
     }
     val order = Pipeline.stage(spark, p("epoch_order"), forceD)(
-      MlQueries.epochOrderFrame(survivors, cfg.epochSeed, cfg.epochShards))
+      MlQueries.epochOrderFrame(survivors2, cfg.epochSeed, cfg.epochShards))
 
     // ---- dataset card: the release-notes sidecar composing the
     // validation gate (ml_constraint_audit's plan over the SHIPPED
@@ -236,9 +275,9 @@ object CorpusPipeline {
     // a non-zero residual is the near-dup tier's exact-tier blind spot
     // made visible) ----
     if (forceD || !Fs.exists(spark, p("dataset_card.json"))) {
-      val cons = MlQueries.constraintAuditFrame(survivors).orderBy(col("con"))
+      val cons = MlQueries.constraintAuditFrame(survivors2).orderBy(col("con"))
         .collect().map(r => s""""${r.getString(0)}": {"metric": ${r.getDouble(1)}, "pass": ${r.getBoolean(2)}}""")
-      val rates = DedupQueries.dedupRateBySourceFrame(survivors).orderBy(col("source"))
+      val rates = DedupQueries.dedupRateBySourceFrame(survivors2).orderBy(col("source"))
         .collect().map(r => s""""${r.getString(0)}": {"n_docs": ${r.getLong(1)}, "dup_rate": ${r.getDouble(4)}, "n_cross": ${r.getLong(5)}}""")
       Fs.writeString(spark, p("dataset_card.json"),
         s"""{"constraints": ${cons.mkString("{", ", ", "}")}, "dup_rate_by_source": ${rates.mkString("{", ", ", "}")}}""")
@@ -246,7 +285,7 @@ object CorpusPipeline {
 
     // ---- final corpus + sharded training layout ----
     val corpus = Pipeline.stage(spark, p("corpus"), forceD)(
-      survivors
+      survivors2
         .join(split.select(col("doc_id"), col("split")), "doc_id")
         .join(order, "doc_id"))
     val shardsPath = p("shards")
@@ -257,7 +296,7 @@ object CorpusPipeline {
 
     val splitCounts = split.groupBy(col("split")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    (splitCounts, survivors.count(), canonical.count())
+    (splitCounts, survivors2.count(), canonical.count())
   }
 
   /** Rederive-and-report over the CURRENT committed state (base + all

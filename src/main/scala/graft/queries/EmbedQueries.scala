@@ -1496,7 +1496,19 @@ object EmbedQueries {
       |FROM cand c JOIN f x ON x.doc_id = c.i JOIN f y ON y.doc_id = c.j
       |WHERE bit_count(xor(x.ph, y.ph)) <= 3
       |ORDER BY i, j""".stripMargin) { (s, dir) =>
-    val media = Multimodal.mediaTable(s, Tables.documents(s, dir))
+    phashDedupPairs(s, Tables.documents(s, dir)).orderBy(col("i"), col("j"))
+  }
+
+  /** The [[multimodalPhashDedup]] body over an arbitrary documents
+    * frame — media derivation (stub codec, real per-partition decode
+    * plumbing), 16-bit pHash, 4×4-bit pigeonhole bands (hamming ≤ 3 is
+    * recall-lossless), exact hamming verify. Shared with
+    * CorpusPipeline's optional media-dedup stage, so stage ≡ gate
+    * parity is CorpusPipelineSpec-checkable. Unordered (i, j, dist).
+    */
+  private[graft] def phashDedupPairs(s: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val media = Multimodal.mediaTable(s, docs)
     val ph = Multimodal.phash(s, media).toDF()
     val bd = ph.select(col("doc_id"), explode(expr(
       "transform(sequence(0, 3), b -> struct(b AS band, CAST(shiftright(ph, 4 * b) & 15 AS INT) AS bv))"))
@@ -1514,7 +1526,6 @@ object EmbedQueries {
       .withColumn("dist", bit_count(col("pa").bitwiseXOR(col("pb"))).cast("long"))
       .where(col("dist") <= 3)
       .select(col("i"), col("j"), col("dist"))
-      .orderBy(col("i"), col("j"))
   }
 
   /** Matryoshka (MRL, Kusupati et al. 2022) truncation evaluation:

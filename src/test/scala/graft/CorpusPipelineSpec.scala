@@ -144,6 +144,56 @@ class CorpusPipelineSpec extends SparkSpec {
       "epoch seed change produced the identical order")
   }
 
+  test("optional media/semantic dedup stages == their gate queries; corpus ships the reduced set") {
+    val docs0 = graft.core.Tables.documents(spark, sfDir)
+    val jsonlDir = mkdir("mm_jsonl")
+    docs0.toJSON.coalesce(1).write.mode("overwrite").text(s"$jsonlDir/jsonl")
+
+    // ---- run 1: pHash tier only. The stub codec's md5-derived 16-bit
+    // hash is near-uniform, so at 500 docs the hamming ≤ 3 tier is
+    // false-positive dominated and collapses most of the corpus — fine
+    // for parity (the gate query computes the identical collapse), and
+    // exactly why the tiers are spec'd separately. ----
+    val out1 = mkdir("mm_out_ph")
+    val res1 = CorpusPipeline.run(spark, s"$jsonlDir/jsonl", out1,
+      CorpusConfig(phashDedup = true))
+    val survDir = asCorpusDir(spark.read.parquet(s"$out1/survivors"), "mm_surv")
+    val pp = spark.read.parquet(s"$out1/phash_pairs")
+    assertSame(pp,
+      graft.queries.EmbedQueries.multimodalPhashDedup.run(spark, survDir), "phash pairs")
+    assert(pp.count() > 0, "no phash pairs — parity is vacuous")
+    val pdrop = graft.ops.Components.connectedComponents(pp.select(col("i"), col("j")))
+      .where(col("node") =!= col("rep")).select(col("node").as("doc_id"))
+    val ps = spark.read.parquet(s"$out1/phash_survivors")
+    assertSame(ps, spark.read.parquet(s"$out1/survivors")
+      .join(pdrop, Seq("doc_id"), "left_anti"), "phash survivors")
+    assert(res1.nSurvivors == ps.count(), "result survivor count != phash survivors")
+    assert(spark.read.parquet(s"$out1/corpus").count() == res1.nSurvivors,
+      "corpus table does not ship the phash-reduced set")
+    assert(ps.count() < spark.read.parquet(s"$out1/survivors").count(),
+      "phash tier dropped nothing — fixture is vacuous")
+
+    // ---- run 2: semantic tier only (full embedding table in play) ----
+    val out2 = mkdir("mm_out_sem")
+    val res2 = CorpusPipeline.run(spark, s"$jsonlDir/jsonl", out2,
+      CorpusConfig(semanticDedup = true,
+        embeddingsPath = s"$sfDir/embeddings.parquet"))
+    val surv2 = spark.read.parquet(s"$out2/survivors")
+    val embDir = mkdir("mm_emb")
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .join(surv2.select(col("doc_id").as("vec_id")), "vec_id")
+      .write.mode("overwrite").parquet(s"$embDir/embeddings.parquet")
+    val drops = spark.read.parquet(s"$out2/semantic_drops")
+    assertSame(drops,
+      graft.queries.EmbedQueries.dedupSemantic.run(spark, embDir), "semantic drops")
+    assert(drops.count() > 0, "fixture produced no semantic drops — parity is vacuous")
+    val s2 = spark.read.parquet(s"$out2/semantic_survivors")
+    assert(res2.nSurvivors == s2.count(), "result survivor count != semantic survivors")
+    assert(spark.read.parquet(s"$out2/corpus").count() == res2.nSurvivors,
+      "corpus table does not ship the semantic-reduced set")
+    assert(s2.count() < surv2.count(), "semantic tier dropped nothing — fixture is vacuous")
+  }
+
   // ---------------- incremental append ----------------
 
   /** English-shaped doc the funnel keeps: stopword block + word run. */
