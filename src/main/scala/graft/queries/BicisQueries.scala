@@ -427,6 +427,95 @@ object BicisQueries {
       .orderBy(col("user_id"), col("valid_from"), col("event_id"))
   }
 
+  /** SCD-2 APPLY — merge a change batch into an existing SCD-2
+    * dimension in one pass: each batch key's CURRENT row is closed at
+    * the batch's first timestamp (interval close), the batch's own
+    * versions chain among themselves (newest stays open), closed
+    * historical rows pass through untouched, and keys absent from the
+    * batch keep their open row. The write-side completion of the
+    * warehouse tier: [[qScd2History]] BUILDS history from a log,
+    * q_changelog_compact reads latest state, q_merge_upsert produces a
+    * next snapshot — this one EVOLVES a versioned dimension. Each row
+    * carries its action (kept/closed/current/new), so the gate checks
+    * the merge decisions, not just the final intervals.
+    *
+    * Correctness law (AnalyticsSpec differential): apply(dim(<cut),
+    * batch(≥cut)) ≡ q_scd2_history over ALL events, modulo the action
+    * tag — applying a batch IS the incremental form of rebuilding.
+    *
+    * Shape at 100 TB: the dim-from-events window here is FIXTURE
+    * construction (a real warehouse reads the dimension table); the
+    * APPLY itself is one broadcast-able join of the per-key
+    * first-batch-ts table against the dimension scan (map-only over
+    * the dimension — closed rows are never shuffled) plus one window
+    * over the daily-sized batch. Nothing corpus-sized shuffles.
+    */
+  val qScd2Apply: QueryDef = {
+    val cut = "2024-01-24 00:00:00"
+    QueryDef.sql("q_scd2_apply",
+      s"""WITH dim AS (
+         |  SELECT user_id, event_id, event_type, value, ts AS valid_from,
+         |    lead(ts) OVER w AS valid_to,
+         |    CASE WHEN lead(ts) OVER w IS NULL THEN 1 ELSE 0 END AS cur
+         |  FROM events WHERE ts < TIMESTAMP '$cut'
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |chg AS (SELECT user_id, event_id, event_type, value, ts
+         |        FROM events WHERE ts >= TIMESTAMP '$cut'),
+         |fb AS (SELECT user_id, min(ts) AS first_ts FROM chg GROUP BY user_id),
+         |hist AS (
+         |  SELECT d.user_id, d.event_id, d.event_type, d.value, d.valid_from,
+         |    CASE WHEN d.cur = 1 AND fb.user_id IS NOT NULL THEN fb.first_ts
+         |         ELSE d.valid_to END AS valid_to,
+         |    CASE WHEN d.cur = 1 AND fb.user_id IS NULL THEN 1 ELSE 0 END AS is_current,
+         |    CASE WHEN d.cur = 1 AND fb.user_id IS NOT NULL THEN 'closed'
+         |         WHEN d.cur = 1 THEN 'current' ELSE 'kept' END AS action
+         |  FROM dim d LEFT JOIN fb ON d.user_id = fb.user_id),
+         |nw AS (
+         |  SELECT user_id, event_id, event_type, value, ts AS valid_from,
+         |    lead(ts) OVER w2 AS valid_to,
+         |    CASE WHEN lead(ts) OVER w2 IS NULL THEN 1 ELSE 0 END AS is_current,
+         |    'new' AS action
+         |  FROM chg WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT user_id, event_id, event_type, value, valid_from, valid_to,
+         |  CAST(is_current AS BIGINT) AS is_current, action
+         |FROM (SELECT * FROM hist UNION ALL SELECT * FROM nw)
+         |ORDER BY user_id, valid_from, event_id""".stripMargin) { (s, dir) =>
+      scd2Apply(Tables.events(s, dir), lit(cut).cast("timestamp"))
+        .orderBy(col("user_id"), col("valid_from"), col("event_id"))
+    }
+  }
+
+  /** The [[qScd2Apply]] body over an events frame with an explicit cut
+    * — factored so the differential spec can drive the cut.
+    */
+  private[graft] def scd2Apply(ev0: org.apache.spark.sql.DataFrame,
+      cut: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = ev0.select(col("user_id"), col("event_id"), col("event_type"),
+      col("value"), col("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val dim = ev.where(col("ts") < cut)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        col("ts").as("valid_from"), lead(col("ts"), 1).over(w).as("vt0"))
+      .withColumn("cur", col("vt0").isNull)
+    val chg = ev.where(col("ts") >= cut)
+    val fb = chg.groupBy(col("user_id")).agg(min(col("ts")).as("first_ts"))
+    val hist = dim.join(broadcast(fb), Seq("user_id"), "left")
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        col("valid_from"),
+        when(col("cur") && col("first_ts").isNotNull, col("first_ts"))
+          .otherwise(col("vt0")).as("valid_to"),
+        when(col("cur") && col("first_ts").isNull, 1L).otherwise(0L).as("is_current"),
+        when(col("cur") && col("first_ts").isNotNull, "closed")
+          .when(col("cur"), "current").otherwise("kept").as("action"))
+    val nw = chg
+      .select(col("user_id"), col("event_id"), col("event_type"), col("value"),
+        col("ts").as("valid_from"), lead(col("ts"), 1).over(w).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull.cast("long"))
+      .withColumn("action", lit("new"))
+    hist.unionByName(nw)
+  }
+
   /** Rolling z-score anomaly detection over each user's event stream:
     * every event is scored against the trailing-24-event window's
     * sample mean/stddev (the event itself EXCLUDED — a self-including
@@ -1087,7 +1176,7 @@ object BicisQueries {
     nextWindowTarget, nextWindowTargetChunked, tumblingHour,
     splitTraining, splitValidation, splitTesting,
     sessionize, qSessionWindow, qUnifyParse,
-    qConversionFunnel, qRetentionCohort, seriesEwma, qScd2History,
+    qConversionFunnel, qRetentionCohort, seriesEwma, qScd2History, qScd2Apply,
     seriesAnomaly, qIntervalCoverage, seriesSeasonality,
     seriesCrossCorr, seriesCusum, seriesAcf, seriesSnaiveEval,
     seriesM4Downsample, seriesTrend, seriesBurstiness)

@@ -469,4 +469,44 @@ class AnalyticsSpec extends SparkSpec {
     assert(flatRows.length === 2 && flatRows.forall(_.isNullAt(2)),
       "flat series must emit NULL acf per lag")
   }
+
+  test("scd2 apply: incremental merge == full rebuild (differential); actions partition the rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 3 keys: key 1 has history + batch rows (close + chain), key 2 has
+    // history only (stays current), key 3 is batch-only (new key)
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "a", 1.0),
+      (2L, ts("2024-01-02 10:00:00"), 1L, "b", 2.0),
+      (3L, ts("2024-01-01 09:00:00"), 2L, "a", 3.0),
+      (4L, ts("2024-01-10 08:00:00"), 1L, "c", 4.0),   // batch (cut = Jan 5)
+      (5L, ts("2024-01-11 08:00:00"), 1L, "d", 5.0),   // batch
+      (6L, ts("2024-01-12 08:00:00"), 3L, "a", 6.0))   // batch, new key
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val cut = lit("2024-01-05 00:00:00").cast("timestamp")
+    val applied = graft.queries.BicisQueries.scd2Apply(rows, cut)
+
+    // differential: apply(dim(<cut), batch(>=cut)) == rebuild over ALL rows
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val rebuilt = rows.select(col("user_id"), col("event_id"), col("event_type"),
+        col("value"), col("ts").as("valid_from"), lead(col("ts"), 1).over(w).as("valid_to"))
+      .withColumn("is_current", col("valid_to").isNull.cast("long"))
+    val a = applied.drop("action").collect().map(_.toString).toSet
+    val b = rebuilt.collect().map(_.toString).toSet
+    assert(a == b, s"apply diverged from rebuild: only-apply=${(a -- b).take(3)} only-rebuild=${(b -- a).take(3)}")
+
+    // action semantics: key 1's current row closed AT the batch's first
+    // ts; key 2 untouched current; key 3 all-new with one open row
+    val byAction = applied.collect()
+      .groupBy(_.getAs[String]("action")).view.mapValues(_.toSeq).toMap
+    assert(byAction("closed").map(r => (r.getAs[Long]("event_id"),
+      r.getAs[java.sql.Timestamp]("valid_to"))) ==
+      Seq((2L, ts("2024-01-10 08:00:00"))), "close must hit key 1's open row at first batch ts")
+    assert(byAction("current").map(_.getAs[Long]("event_id")) == Seq(3L),
+      "key 2 must stay current")
+    assert(byAction("kept").map(_.getAs[Long]("event_id")) == Seq(1L))
+    assert(byAction("new").map(_.getAs[Long]("event_id")).sorted == Seq(4L, 5L, 6L))
+    assert(byAction("new").count(_.getAs[Long]("is_current") == 1L) == 2,
+      "keys 1 and 3 each end with one open batch row")
+  }
 }
