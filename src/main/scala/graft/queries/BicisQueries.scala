@@ -485,6 +485,54 @@ object BicisQueries {
     }
   }
 
+  /** POINT-IN-TIME lookup against the SCD-2 dimension — the read-side
+    * completion of the versioned tier: each probe (user_id, pts)
+    * retrieves the version whose validity interval
+    * [valid_from, valid_to) contains pts. Executed as the NATIVE as-of
+    * join (graft.plans.AsOfJoinExec): "latest valid_from ≤ pts" is
+    * exactly interval containment once empty intervals (two versions at
+    * one timestamp — the earlier one never valid) are dropped, which
+    * also restores the operator's unique-(key, ts) precondition. The
+    * oracle states the containment form directly (LEFT JOIN on the
+    * interval predicate), so the gate proves as-of ≡ interval
+    * containment on the whole corpus — the same law AsOfJoinSpec pins
+    * on planted edges.
+    *
+    * Shape at 100 TB: the naive interval join is a per-key range scan;
+    * AsOfJoinExec makes it two thin sorted exchanges + a two-pointer
+    * merge with O(1) carry state — probes and versions each shuffle
+    * once, no interval table is ever materialized per probe.
+    */
+  val qScd2PointInTime: QueryDef = QueryDef.sql("q_scd2_pointintime",
+    """WITH dim0 AS (
+      |  SELECT user_id, event_id AS ver_id, value AS ver_value, ts AS valid_from,
+      |    lead(ts) OVER w AS valid_to
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |dim AS (SELECT * FROM dim0 WHERE valid_to IS NULL OR valid_from < valid_to),
+      |p AS (SELECT event_id AS probe_id, user_id, ts + INTERVAL 30 MINUTE AS pts
+      |      FROM events WHERE user_id % 10 = 0)
+      |SELECT p.probe_id, p.user_id, d.ver_id, d.ver_value
+      |FROM p LEFT JOIN dim d ON d.user_id = p.user_id AND d.valid_from <= p.pts
+      |  AND (d.valid_to IS NULL OR p.pts < d.valid_to)
+      |ORDER BY probe_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val dim = ev.select(col("user_id"), col("event_id").as("ver_id"),
+        col("value").as("ver_value"), col("ts").as("valid_from"),
+        lead(col("ts"), 1).over(w).as("valid_to"))
+      .where(col("valid_to").isNull || col("valid_from") < col("valid_to"))
+      .drop("valid_to")
+    val probes = ev.where(col("user_id") % 10 === 0)
+      .select(col("event_id").as("probe_id"), col("user_id"),
+        (col("ts") + expr("INTERVAL 30 MINUTE")).as("pts"))
+    graft.ops.AsOfJoin.asofJoinNative(probes, "user_id", "pts",
+        dim, "user_id", "valid_from", Seq("ver_id", "ver_value"))
+      .select(col("probe_id"), col("user_id"),
+        col("asof_ver_id").as("ver_id"), col("asof_ver_value").as("ver_value"))
+      .orderBy(col("probe_id"))
+  }
+
   /** The [[qScd2Apply]] body over an events frame with an explicit cut
     * — factored so the differential spec can drive the cut.
     */
@@ -1177,6 +1225,7 @@ object BicisQueries {
     splitTraining, splitValidation, splitTesting,
     sessionize, qSessionWindow, qUnifyParse,
     qConversionFunnel, qRetentionCohort, seriesEwma, qScd2History, qScd2Apply,
+    qScd2PointInTime,
     seriesAnomaly, qIntervalCoverage, seriesSeasonality,
     seriesCrossCorr, seriesCusum, seriesAcf, seriesSnaiveEval,
     seriesM4Downsample, seriesTrend, seriesBurstiness)

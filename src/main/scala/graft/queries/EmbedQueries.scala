@@ -550,6 +550,60 @@ object EmbedQueries {
     }
   }
 
+  /** Cluster-quality audit of the trained quantizer: per k-means cell
+    * (the [[embedKnnIvfKmeans]] 2-round fit), member count, majority
+    * label (ties → lower label), majority count, and purity = majority
+    * share — the number a pipeline reads before trusting trained cells
+    * for routing/dedup (SemDeDup's "clusters are topical" assumption,
+    * made measurable). Execution: one KMeans.fit + one (cell, label)
+    * groupBy whose map-side combine bounds the shuffle at k·|labels|
+    * rows + a WindowGroupLimit-class rank over that tiny rollup.
+    */
+  val embedClusterPurity: QueryDef = {
+    val k = 16; val dim = 64
+    def duckD2(vc: String, cc: String): String =
+      s"""list_sum([$vc[i] * $vc[i] for i in range(1, ${dim + 1})]) +
+         |      list_sum([$cc[i] * $cc[i] for i in range(1, ${dim + 1})]) -
+         |      2 * list_sum([$vc[i] * $cc[i] for i in range(1, ${dim + 1})])""".stripMargin
+    QueryDef.sql("embed_cluster_purity",
+      s"""WITH $duckVectors,
+         |c0 AS (SELECT vec_id AS cl, v AS cv FROM v ORDER BY vec_id LIMIT $k),
+         |d1 AS (SELECT v.vec_id, v.v, c0.cl, ${duckD2("v.v", "c0.cv")} AS d2 FROM v, c0),
+         |a1 AS (SELECT vec_id, v, cl FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rk
+         |        FROM d1) WHERE rk = 1),
+         |u1 AS (SELECT cl, i, round(avg(v[i]), 6) AS x
+         |       FROM a1, range(1, ${dim + 1}) r(i) GROUP BY cl, i),
+         |c1 AS (SELECT cl, list(x ORDER BY i) AS cv FROM u1 GROUP BY cl),
+         |d2c AS (SELECT v.vec_id, c1.cl, ${duckD2("v.v", "c1.cv")} AS d2 FROM v, c1),
+         |a2 AS (SELECT vec_id, cl FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rk
+         |        FROM d2c) WHERE rk = 1),
+         |g AS (SELECT a2.cl, v.label, count(*) AS c
+         |      FROM a2 JOIN v ON v.vec_id = a2.vec_id GROUP BY 1, 2),
+         |r AS (SELECT cl, label, c,
+         |        row_number() OVER (PARTITION BY cl ORDER BY c DESC, label) AS rk,
+         |        sum(c) OVER (PARTITION BY cl) AS n FROM g)
+         |SELECT cl AS cluster, CAST(n AS BIGINT) AS n, label AS maj_label,
+         |  CAST(c AS BIGINT) AS n_major, round(c / CAST(n AS DOUBLE), 6) AS purity
+         |FROM r WHERE rk = 1 ORDER BY cluster""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val vv = Similarity.vectors(Tables.embeddings(s, dir))
+      val (assigned, _) = graft.ml.KMeans.fit(
+        vv.select(col("vec_id"), col("v")),
+        graft.ml.KMeans.seedSmallest(vv.select(col("vec_id"), col("v")), k), iters = 2)
+      val g = assigned.join(vv.select(col("vec_id"), col("label")), "vec_id")
+        .groupBy(col("cl"), col("label")).agg(count(lit(1)).as("c"))
+      g.withColumn("rk", row_number().over(
+          Window.partitionBy(col("cl")).orderBy(col("c").desc, col("label"))))
+        .withColumn("n", sum(col("c")).over(Window.partitionBy(col("cl"))))
+        .where(col("rk") === 1)
+        .select(col("cl").as("cluster"), col("n"), col("label").as("maj_label"),
+          col("c").as("n_major"), round(col("c") / col("n").cast("double"), 6).as("purity"))
+        .orderBy(col("cluster"))
+    }
+  }
+
   /** Embedding-cosine near-dup pairs (the dedup family's vector tier):
     * candidates from the 8-sign-bit LSH bucket equi-join (true near-dups
     * at cos≈1 agree on sign bits w.h.p.), exact cosine verify. Oracle
@@ -1793,7 +1847,7 @@ object EmbedQueries {
 
   val all: Seq[QueryDef] = Seq(embedKnnBrute, embedKnnLsh, embedCentroids,
     multimodalMeta, multimodalFramesample, multimodalResize, embedNorms,
-    embedKnnIvf, embedKnnIvfKmeans, dedupEmbedCosine, dedupSemantic, embedQuantize, embedLshRecall,
+    embedKnnIvf, embedKnnIvfKmeans, embedClusterPurity, dedupEmbedCosine, dedupSemantic, embedQuantize, embedLshRecall,
     embedHyperplaneRecall, embedBandedRecall, embedKnnPq,
     embedMultiprobeRecall, embedPqRecall, embedKnnIvfPq, multimodalFeatures, embedHardNegatives,
     embedRandomProjection, embedKmeans, embedPca, embedOutliers,

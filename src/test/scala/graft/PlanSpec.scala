@@ -127,10 +127,12 @@ class PlanSpec extends SparkSpec {
       "q_ab_test",
       // one-row corpus-midpoint scalar broadcast into the half split
       "embed_centroid_shift",
-      // k-row BROADCAST centroid table × corpus scan (ml.KMeans.assign):
-      // the r10 scale fix — candidates stream into a map-side-combined
-      // argmin, plan O(1) in k; never a data×data cross
-      "embed_kmeans", "dedup_semantic")
+      // k-row BROADCAST centroid table × corpus scan (ml.KMeans.assign,
+      // and the IVF probe ranking over the same table): the r10 scale
+      // fix — candidates stream into a map-side-combined argmin, plan
+      // O(1) in k; never a data×data cross
+      "embed_kmeans", "dedup_semantic", "embed_knn_ivf_kmeans",
+      "embed_cluster_purity")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>
