@@ -64,6 +64,31 @@ class PlanSpec extends SparkSpec {
     assert(uses, "dedup_simhash signature is not the native simhash32")
   }
 
+  test("q_scd2_pointintime executes the native as-of operator, not an interval join") {
+    // the naive plan for interval containment is a per-key range join
+    // (BNLJ or a range-condition SMJ re-scanning versions per probe);
+    // the pinned plan is AsOfJoinExec's two thin exchanges + merge
+    val df = BicisQueries.qScd2PointInTime.run(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AsOfJoin"), s"native as-of exec missing in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"interval-join fallback in:\n$p")
+  }
+
+  test("q_scd2_apply: the first-batch-ts table broadcasts; history never sort-merges") {
+    val p = plan(BicisQueries.qScd2Apply)
+    assert(p.contains("BroadcastHashJoin"), s"fb join not broadcast in:\n$p")
+  }
+
+  test("embed_knn_ivf_kmeans / embed_cluster_purity: quantizer rides broadcasts, candidates equi-join") {
+    for (q <- Seq(graft.queries.EmbedQueries.embedKnnIvfKmeans,
+                  graft.queries.EmbedQueries.embedClusterPurity)) {
+      val p = plan(q)
+      assert(p.contains("Broadcast"), s"${q.name}: centroid table not broadcast in:\n$p")
+      assert(!p.contains("SortMergeJoin"), s"${q.name}: corpus-shuffling join in:\n$p")
+    }
+  }
+
   test("GLOBAL sweep: no unintended nested-loop/cartesian join in ANY registered query") {
     // queries whose plans legitimately contain a BroadcastNestedLoopJoin:
     // a deliberately-broadcast tiny side (queries / centroids) crossed
