@@ -359,6 +359,71 @@ object StreamingReplays {
     } finally rmTree(base)
   }
 
+  /** STREAMING AS-OF JOIN through the oracle gate — the tenth stateful
+    * class ([[graft.streaming.Streaming.streamingAsOfJoin]]): for every
+    * click, the latest purchase at/before it per user, LEFT semantics —
+    * hash-checked against the SAME DuckDB `ASOF LEFT JOIN` oracle as
+    * the batch q_asof_join, so one oracle now certifies THREE
+    * executions of the operator: composed union+window, the native
+    * physical exec, and the streaming state machine.
+    *
+    * Replay mechanics: the two-sided shared-midpoint staging (in-order
+    * lockstep chunks, no driver feed) + the outer-join replay's
+    * watermark sentinel pair — the first advances both watermarks past
+    * every event, the second triggers the timer batch in which every
+    * buffered click's match is provably final and flushes (state-store
+    * eviction as the emission trigger). Duplicate purchase timestamps
+    * fold to max(value) inside the state, arrival-order-independent —
+    * the oracle's pre-aggregation without a second stateful operator.
+    */
+  val streamingAsofReplay: QueryDef = QueryDef.sql("streaming_asof_replay",
+    """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts AS rts, max(value) AS rvalue
+      |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT c.event_id, p.rts AS asof_ts, p.rvalue AS asof_rvalue
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.rts <= c.ts
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.streaming.Streaming
+    val ev = Tables.events(s, dir)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("value"))
+    val agg = ev.agg(expr("CAST(percentile(unix_micros(ts), 0.5) AS LONG)"),
+      max(col("ts"))).head()
+    val midUs = agg.getLong(0)
+    val maxMs = agg.getTimestamp(1).getTime
+    // watermark-advance + timer-observe sentinel pair (watermark
+    // movement is visible at the NEXT batch, which is when the armed
+    // event-time timers fire and flush every pending click)
+    def sentinelDf(offsetMs: Long) =
+      Seq((-1L, -1L, new java.sql.Timestamp(maxMs + offsetMs), "sentinel", 0.0))
+        .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val (lDir, rDir, base) = stageTwoSided(ev,
+      col("event_type") === "click", col("event_type") === "purchase", midUs,
+      Seq(sentinelDf(3600000L), sentinelDf(7200000L)))
+    try {
+      def src(p: String, side: Int) = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(p)
+        .select(lit(side).as("side"), col("event_id").as("id"),
+          col("user_id"), col("ts"), col("value"))
+      val in = src(lDir, 0).unionByName(src(rDir, 1)).as[Streaming.AsOfIn]
+      val sink = s"asof_replay_${replaySeq.incrementAndGet()}"
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val query =
+        try Streaming.streamingAsOfJoin(s, in, "0 seconds")
+          .writeStream.format("memory").queryName(sink).outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      try query.processAllAvailable() finally query.stop()
+      s.table(sink)
+        .where(col("event_id") =!= -1L)
+        .select(col("event_id"), expr("timestamp_micros(asof_us)").as("asof_ts"),
+          col("asof_rvalue"))
+        .orderBy(col("event_id"))
+    } finally rmTree(base)
+  }
+
   /** Streaming EXACT DEDUP through the oracle gate — the fourth stateful
     * operator class after flatMapGroupsWithState, merging session
     * windows and the stream-stream join: `dropDuplicatesWithinWatermark`
@@ -560,7 +625,7 @@ object StreamingReplays {
 
   val all: Seq[QueryDef] = Seq(streamingA5Replay,
     streamingSessionizeReplay, streamingIntervalJoinReplay,
-    streamingOuterJoinReplay,
+    streamingOuterJoinReplay, streamingAsofReplay,
     streamingDedupReplay, streamingTumblingReplay, streamingSketchReplay,
     streamingRatelimitReplay)
 }

@@ -189,6 +189,91 @@ object Streaming {
         col(s"l.$tsCol").as("left_ts"), col(s"r.$tsCol").as("right_ts"))
   }
 
+  final case class AsOfIn(side: Int, id: Long, user_id: Long,
+                          ts: java.sql.Timestamp, value: Double)
+  final case class AsOfState(lefts: List[(Long, Long)],        // (event_id, tsMicros) pending emission
+                             rights: List[(Long, Double)])     // (rtsMicros, max value), watermark-GC'd
+  final case class AsOfOut(event_id: Long, asof_us: Option[Long],
+                           asof_rvalue: Option[Double])
+
+  /** STREAMING AS-OF JOIN (tenth stateful class): for each left event,
+    * the latest right row with rts ≤ ts on the same key — LEFT
+    * semantics, ties inclusive, duplicate right timestamps folded to
+    * max(value) in state (the batch oracle's pre-aggregation, made
+    * arrival-order-independent). Spark's stream-stream joins cannot
+    * express "latest" (range predicates admit ALL partners), so this is
+    * flatMapGroupsWithState over the union-tagged pair of streams.
+    *
+    * Emission discipline: a left row's match is only FINAL once the
+    * watermark passes its timestamp (any later-arriving right at
+    * rts ≤ ts would itself be late and dropped), so lefts buffer until
+    * `ts < watermark` and flush either inline or on the event-time
+    * TIMER armed at the earliest pending left — state-store eviction as
+    * the emission trigger, the outer-interval-join discipline applied
+    * to as-of.
+    *
+    * State per key is watermark-bounded: pending lefts sit inside the
+    * watermark horizon by construction, and rights GC to (all rights
+    * above the watermark) + the single latest right at/below it — the
+    * one candidate any future left can still reach back to. A key with
+    * no traffic keeps that O(1) right row (the streaming analog of the
+    * batch dimension retention).
+    */
+  def streamingAsOfJoin(spark: SparkSession, in: Dataset[AsOfIn],
+                        watermarkDelay: String): Dataset[AsOfOut] = {
+    import spark.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    in.withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsOfState, AsOfOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, batch: Iterator[AsOfIn], state: GroupState[AsOfState]) =>
+          val prev = state.getOption.getOrElse(AsOfState(Nil, Nil))
+          var lefts = prev.lefts
+          val rightsMap = scala.collection.mutable.HashMap.from(prev.rights)
+          batch.foreach { e =>
+            val us = micros(e.ts)
+            if (e.side == 0) lefts ::= (e.id, us)
+            else rightsMap.updateWith(us) {
+              case Some(v) => Some(math.max(v, e.value))
+              case None    => Some(e.value)
+            }
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val rightsSorted = rightsMap.toArray.sortBy(_._1)
+          // latest rts <= t via binary search over the sorted right table
+          def matchFor(t: Long): Option[(Long, Double)] = {
+            var lo = 0; var hi = rightsSorted.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (rightsSorted(mid)._1 <= t) lo = mid + 1 else hi = mid
+            }
+            if (lo == 0) None else Some(rightsSorted(lo - 1))
+          }
+          val (ready, pending) = lefts.partition(_._2 < wmUs)
+          val out = ready.sortBy(l => (l._2, l._1)).map { case (id, t) =>
+            matchFor(t) match {
+              case Some((rts, v)) => AsOfOut(id, Some(rts), Some(v))
+              case None           => AsOfOut(id, None, None)
+            }
+          }
+          // rights GC: everything above the watermark plus the single
+          // latest candidate at/below it
+          val keepFrom = matchFor(wmUs).map(_._1).getOrElse(Long.MinValue)
+          val rightsKept = rightsSorted.filter(_._1 >= keepFrom).toList
+          if (pending.isEmpty && rightsKept.isEmpty) state.remove()
+          else {
+            state.update(AsOfState(pending, rightsKept))
+            if (pending.nonEmpty) {
+              val atMs = pending.map(_._2).min / 1000L + 1L
+              state.setTimeoutTimestamp(math.max(atMs, state.getCurrentWatermarkMs() + 1L))
+            }
+          }
+          out.iterator
+      }
+  }
+
   /** Streaming exact dedup: first occurrence of each content digest
     * passes, replays and duplicates are dropped; the watermark bounds the
     * digest state store (dedup keys older than the delay are GC'd — the

@@ -122,6 +122,45 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming as-of: out-of-order rights upgrade pending matches; ties inclusive; nulls flush on timer") {
+    import spark.implicits._
+    import graft.streaming.Streaming.AsOfIn
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[AsOfIn]
+    val query = graft.streaming.Streaming.streamingAsOfJoin(spark, ms.toDS(), "2 hours")
+      .writeStream.format("memory").queryName("asof_t").outputMode("append").start()
+    try {
+      def L(id: Long, key: Long, t: String) = AsOfIn(0, id, key, ts(t), 0.0)
+      def R(key: Long, t: String, v: Double) = AsOfIn(1, 0L, key, ts(t), v)
+      // b1: left at 10:00 buffers (its match is not final yet); an
+      // early right at 9:00 is the current-best candidate
+      ms.addData(L(1, 7, "2024-01-01 10:00:00"), R(7, "2024-01-01 09:00:00", 1.0),
+        L(3, 9, "2024-01-01 10:30:00"))
+      query.processAllAvailable()
+      // b2: OUT-OF-ORDER rights inside the watermark horizon — 9:30
+      // must upgrade left 1's match, and the duplicate 9:30 timestamps
+      // must fold to max(value); plus an equal-ts pair (inclusive tie)
+      ms.addData(R(7, "2024-01-01 09:30:00", 2.0), R(7, "2024-01-01 09:30:00", 5.0),
+        L(2, 7, "2024-01-01 12:00:00"), R(7, "2024-01-01 12:00:00", 7.0))
+      query.processAllAvailable()
+      assert(spark.table("asof_t").isEmpty,
+        "nothing may emit while the watermark can still admit a better match")
+      // b3/b4: another key advances the watermark past every pending
+      // left; the armed event-time timers flush keys 7 and 9 exactly
+      ms.addData(L(100, 8, "2024-01-01 16:00:00"))
+      query.processAllAvailable()
+      ms.addData(L(101, 8, "2024-01-01 17:00:00"))
+      query.processAllAvailable()
+      val got = spark.table("asof_t").where(col("event_id") < 100)
+        .collect().map(r => r.getLong(0) ->
+          ((Option(r.get(1)).map(_.toString), Option(r.get(2)).map(_.asInstanceOf[Double])))).toMap
+      assert(got === Map(
+        1L -> ((Some("1704101400000000"), Some(5.0))),   // 09:30 UTC µs, max-folded
+        2L -> ((Some("1704110400000000"), Some(7.0))),   // inclusive 12:00 tie
+        3L -> ((None, None))), s"got $got")              // no right for key 9
+    } finally query.stop()
+  }
+
   test("streaming dedup drops same-content duplicates across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
