@@ -603,6 +603,52 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-SOURCE shingle-overlap matrix — the "which feeds duplicate
+    * each other" census for the dataset card: per source pair, the
+    * exact Jaccard of their DISTINCT 3-gram shingle sets. Where
+    * ml_dedup_rate_by_source counts whole-text cross-source dupes,
+    * this measures partial/boilerplate overlap between feeds (a
+    * mirrored crawl shows up here long before whole documents
+    * collide), and it ranks which source pairs deserve a containment/
+    * substring pass.
+    *
+    * Scale shape: the distinct (source, shingle) projection is the ONE
+    * corpus-sized shuffle (reusing the session signature memo — no
+    * re-shingling); the pair build self-joins it on the shingle hash,
+    * whose per-hash fanout is bounded by |sources|² (≤ 400 here) — the
+    * join output is linear in distinct shingles, never doc-pairs; the
+    * per-source size table broadcasts into the final 190-row matrix.
+    */
+  val dedupSourceOverlap: QueryDef = QueryDef.sql("dedup_source_overlap",
+    s"""WITH $hashCte,
+       |src AS (SELECT doc_id, source FROM documents),
+       |tok AS (SELECT DISTINCT s.source, unnest(hs.hs) AS h
+       |        FROM hs JOIN src s USING (doc_id)),
+       |sz AS (SELECT source, count(*) AS n FROM tok GROUP BY 1),
+       |p AS (SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS inter
+       |      FROM tok a JOIN tok b ON a.h = b.h AND a.source < b.source
+       |      GROUP BY 1, 2)
+       |SELECT sa, sb, inter,
+       |  round(inter / CAST(x.n + y.n - inter AS DOUBLE), 6) AS jaccard
+       |FROM p JOIN sz x ON x.source = sa JOIN sz y ON y.source = sb
+       |ORDER BY sa, sb""".stripMargin) { (s, dir) =>
+    val tok = docHashes(s, dir)
+      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), explode(col("hs")).as("h"))
+      .distinct()
+    val sz = tok.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val p = tok.select(col("source").as("sa"), col("h")).as("a")
+      .join(tok.select(col("source").as("sb"), col("h")).as("b"),
+        col("a.h") === col("b.h") && col("sa") < col("sb"))
+      .groupBy(col("sa"), col("sb")).agg(count(lit(1)).as("inter"))
+    p.join(broadcast(sz.select(col("source").as("sa"), col("n").as("na"))), "sa")
+      .join(broadcast(sz.select(col("source").as("sb"), col("n").as("nb"))), "sb")
+      .select(col("sa"), col("sb"), col("inter"),
+        round(col("inter") / (col("na") + col("nb") - col("inter")).cast("double"), 6)
+          .as("jaccard"))
+      .orderBy(col("sa"), col("sb"))
+  }
+
   /** Exact-substring dedup (the "shared verbatim span" pass from the
     * training-data literature): find document pairs sharing any long
     * VERBATIM word run, even when whole-doc similarity is low — the
@@ -1114,5 +1160,6 @@ object DedupQueries {
     dedupSimhash, dedupClusters, dedupSurvivors, dedupBestSurvivor,
     dedupDecontaminate, streamingDecontaminateReplay, dedupIncremental, dedupSubstring, dedupLines,
     dedupSortedNeighborhood, dedupContainment, dedupLshRecall,
-    dedupClusterStats, mlClusterSplit, mlDedupRateBySource, dedupEditDistance)
+    dedupClusterStats, mlClusterSplit, mlDedupRateBySource, dedupEditDistance,
+    dedupSourceOverlap)
 }
