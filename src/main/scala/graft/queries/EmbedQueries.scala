@@ -550,6 +550,106 @@ object EmbedQueries {
     }
   }
 
+  /** Inertia-vs-k ELBOW curve — the knob-setting pass before committing
+    * a cell count to [[embedKnnIvfKmeans]]'s quantizer or
+    * [[dedupSemantic]]'s SemDeDup cells: one deterministic 2-round
+    * Lloyd fit per candidate k (the shared recipe: k-smallest seeds,
+    * one round-6 update, final re-assign), emitting (k, n, inertia,
+    * avg_d2). Each fit is the KMeans broadcast-table kernel, so the
+    * sweep cost is |ks| scans + |ks| n-row argmin shuffles — plan size
+    * O(1) in every k, which is exactly why the sweep can include large
+    * k at corpus scale.
+    */
+  val embedKmeansElbow: QueryDef = {
+    val ks = Seq(2, 4, 8); val dim = 64
+    def duckD2(vc: String, cc: String): String =
+      s"""list_sum([$vc[i] * $vc[i] for i in range(1, ${dim + 1})]) +
+         |      list_sum([$cc[i] * $cc[i] for i in range(1, ${dim + 1})]) -
+         |      2 * list_sum([$vc[i] * $cc[i] for i in range(1, ${dim + 1})])""".stripMargin
+    val chains = ks.map { k =>
+      s"""c0_$k AS (SELECT vec_id AS cl, v AS cv FROM v ORDER BY vec_id LIMIT $k),
+         |d1_$k AS (SELECT v.vec_id, v.v, c.cl, ${duckD2("v.v", "c.cv")} AS d2 FROM v, c0_$k c),
+         |a1_$k AS (SELECT vec_id, v, cl FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rk
+         |        FROM d1_$k) WHERE rk = 1),
+         |u1_$k AS (SELECT cl, i, round(avg(v[i]), 6) AS x
+         |       FROM a1_$k, range(1, ${dim + 1}) r(i) GROUP BY cl, i),
+         |c1_$k AS (SELECT cl, list(x ORDER BY i) AS cv FROM u1_$k GROUP BY cl),
+         |d2c_$k AS (SELECT v.vec_id, c.cl, ${duckD2("v.v", "c.cv")} AS d2 FROM v, c1_$k c),
+         |a2_$k AS (SELECT vec_id, cl, d2 FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rk
+         |        FROM d2c_$k) WHERE rk = 1)""".stripMargin
+    }.mkString(",\n")
+    val selects = ks.map(k =>
+      s"""SELECT CAST($k AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n,
+         |  round(sum(d2), 3) AS inertia, round(avg(d2), 6) AS avg_d2 FROM a2_$k""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    QueryDef.sql("embed_kmeans_elbow",
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |$chains
+         |SELECT * FROM ($selects) ORDER BY k""".stripMargin) { (s, dir) =>
+      val v = Similarity.vectors(Tables.embeddings(s, dir)).select(col("vec_id"), col("v"))
+      ks.map { k =>
+        val (assigned, _) = graft.ml.KMeans.fit(
+          v, graft.ml.KMeans.seedSmallest(v, k), iters = 2)
+        assigned.agg(count(lit(1)).as("n"), round(sum(col("d2")), 3).as("inertia"),
+            round(avg(col("d2")), 6).as("avg_d2"))
+          .select(lit(k.toLong).as("k"), col("n"), col("inertia"), col("avg_d2"))
+      }.reduce(_.unionByName(_)).orderBy(col("k"))
+    }
+  }
+
+  /** PERSISTED IVF index roundtrip — the ANN analog of
+    * q_shard_roundtrip's write-path gate: the trained quantizer
+    * (centroid table) and the cell assignments are WRITTEN to parquet
+    * (the index artifact a 100 TB pipeline builds once per corpus
+    * snapshot and serves for months), read BACK, and queried — nprobe=2
+    * probe + exact cosine top-3, identical semantics and oracle to
+    * [[embedKnnIvfKmeans]], so the gate proves the serialize →
+    * deserialize → query cycle loses nothing. The index layout is the
+    * scale story: assignments partitioned BY CELL, so a probe reads
+    * only its two cells' files (partition pruning does for ANN what
+    * split-pruning does for eval readers).
+    */
+  val embedIvfIndexRoundtrip: QueryDef = {
+    val k = 16
+    QueryDef.sql("embed_ivf_index_roundtrip",
+      embedKnnIvfKmeans.oracle.get) { (s, dir) =>
+      val v = Similarity.vectors(Tables.embeddings(s, dir)).select(col("vec_id"), col("v"))
+      val (assigned, cents) = graft.ml.KMeans.fit(
+        v, graft.ml.KMeans.seedSmallest(v, k), iters = 2)
+      val idxDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_ivf_index_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+      cents.write.mode("overwrite").parquet(s"$idxDir/centroids")
+      assigned.select(col("vec_id"), col("v"), col("cl"))
+        .write.mode("overwrite").partitionBy("cl").parquet(s"$idxDir/assignments")
+      // ---- query phase: everything below reads the PERSISTED index ----
+      val rc = s.read.parquet(s"$idxDir/centroids")
+      val ra = s.read.parquet(s"$idxDir/assignments")
+      val cw = broadcast(rc.select(col("cl"), col("cv"),
+        Similarity.dot("cv", "cv").as("c2")))
+      val q = v.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+        .orderBy(col("__d"), col("cl"))
+      val probe = q.crossJoin(cw)
+        .withColumn("__d", round(sqrt(greatest(
+          Similarity.dot("qv", "qv") + col("c2")
+            - lit(2) * Similarity.dot("qv", "cv"), lit(0.0))), 6))
+        .withColumn("cr", row_number().over(wc))
+        .where(col("cr") <= 2)
+        .select(col("qid"), col("qv"), col("cl").as("cell"))
+      // cl is a hive partition column on read-back: cast pins its type
+      // against partition-column type inference
+      val c = ra.where(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("v").as("cv2"), col("cl").cast("long").as("cl"))
+      val pairs = c.join(broadcast(probe), c("cl") === probe("cell"))
+        .withColumn("sim", Similarity.cosine("qv", "cv2"))
+        .select(col("qid"), col("nid"), col("sim"))
+      Similarity.topK(pairs, 3).select(col("qid"), col("nid"), col("sim"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }
+  }
+
   /** Cluster-quality audit of the trained quantizer: per k-means cell
     * (the [[embedKnnIvfKmeans]] 2-round fit), member count, majority
     * label (ties → lower label), majority count, and purity = majority
@@ -1847,7 +1947,8 @@ object EmbedQueries {
 
   val all: Seq[QueryDef] = Seq(embedKnnBrute, embedKnnLsh, embedCentroids,
     multimodalMeta, multimodalFramesample, multimodalResize, embedNorms,
-    embedKnnIvf, embedKnnIvfKmeans, embedClusterPurity, dedupEmbedCosine, dedupSemantic, embedQuantize, embedLshRecall,
+    embedKnnIvf, embedKnnIvfKmeans, embedClusterPurity, embedKmeansElbow,
+    embedIvfIndexRoundtrip, dedupEmbedCosine, dedupSemantic, embedQuantize, embedLshRecall,
     embedHyperplaneRecall, embedBandedRecall, embedKnnPq,
     embedMultiprobeRecall, embedPqRecall, embedKnnIvfPq, multimodalFeatures, embedHardNegatives,
     embedRandomProjection, embedKmeans, embedPca, embedOutliers,
