@@ -157,7 +157,7 @@ class PlanSpec extends SparkSpec {
       // fix — candidates stream into a map-side-combined argmin, plan
       // O(1) in k; never a data×data cross
       "embed_kmeans", "dedup_semantic", "embed_knn_ivf_kmeans",
-      "embed_cluster_purity")
+      "embed_cluster_purity", "embed_kmeans_elbow", "embed_ivf_index_roundtrip")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>
