@@ -188,7 +188,7 @@ object CorpusPipeline {
     * (splitCounts, nSurvivors, nClusters).
     */
   private def deriveTier(spark: SparkSession, outDir: String, cfg: CorpusConfig,
-                         kept: DataFrame, pairs: DataFrame,
+                         kept: DataFrame, pairs: DataFrame, hs: DataFrame,
                          forceD: Boolean): (Map[String, Long], Long, Long) = {
     def p(name: String) = s"$outDir/$name"
     val clusters = Pipeline.stage(spark, p("clusters"), forceD)(
@@ -273,14 +273,20 @@ object CorpusPipeline {
     // corpus) with the per-source residual dup-rate census
     // (ml_dedup_rate_by_source's plan — post-dedup rates should be ~0;
     // a non-zero residual is the near-dup tier's exact-tier blind spot
-    // made visible) ----
+    // made visible) and the top cross-source shingle-overlap pairs
+    // (dedup_source_overlap's plan off the persisted signature table —
+    // which FEEDS still duplicate each other after dedup) ----
     if (forceD || !Fs.exists(spark, p("dataset_card.json"))) {
       val cons = MlQueries.constraintAuditFrame(survivors2).orderBy(col("con"))
         .collect().map(r => s""""${r.getString(0)}": {"metric": ${r.getDouble(1)}, "pass": ${r.getBoolean(2)}}""")
       val rates = DedupQueries.dedupRateBySourceFrame(survivors2).orderBy(col("source"))
         .collect().map(r => s""""${r.getString(0)}": {"n_docs": ${r.getLong(1)}, "dup_rate": ${r.getDouble(4)}, "n_cross": ${r.getLong(5)}}""")
+      val overlap = DedupQueries.sourceOverlapPairs(
+          hs.join(survivors2.select(col("doc_id")), "doc_id"), survivors2)
+        .orderBy(col("jaccard").desc, col("sa"), col("sb")).limit(5).collect()
+        .map(r => s"""{"sa": ${graft.core.Json.quote(r.getString(0))}, "sb": ${graft.core.Json.quote(r.getString(1))}, "jaccard": ${r.getDouble(3)}}""")
       Fs.writeString(spark, p("dataset_card.json"),
-        s"""{"constraints": ${cons.mkString("{", ", ", "}")}, "dup_rate_by_source": ${rates.mkString("{", ", ", "}")}}""")
+        s"""{"constraints": ${cons.mkString("{", ", ", "}")}, "dup_rate_by_source": ${rates.mkString("{", ", ", "}")}, "top_source_overlap": ${overlap.mkString("[", ", ", "]")}}""")
     }
 
     // ---- final corpus + sharded training layout ----
@@ -314,8 +320,9 @@ object CorpusPipeline {
     val docs = mergedStage(spark, outDir, "docs", tags)
     val kept = mergedStage(spark, outDir, "kept", tags)
     val pairs = mergedStage(spark, outDir, "pairs", tags)
+    val hs = mergedStage(spark, outDir, "signatures", tags)
     if (forceD) Fs.delete(spark, dfpPath)
-    val (splitCounts, nSurv, nClus) = deriveTier(spark, outDir, cfg, kept, pairs, forceD)
+    val (splitCounts, nSurv, nClus) = deriveTier(spark, outDir, cfg, kept, pairs, hs, forceD)
     Fs.writeString(spark, dfpPath, want)
     val nRaw = (s"$outDir" +: tags.map(batchDir(outDir, _)))
       .map(d => Fs.readString(spark, s"$d/raw_count").trim.toLong).sum
@@ -388,7 +395,7 @@ object CorpusPipeline {
     val forceD = force0 ||
       !Fs.exists(spark, dfpPath) || Fs.readString(spark, dfpPath) != want
     if (forceD) Fs.delete(spark, dfpPath)
-    val (splitCounts, nSurv, nClus) = deriveTier(spark, outDir, cfg, kept, pairs, forceD)
+    val (splitCounts, nSurv, nClus) = deriveTier(spark, outDir, cfg, kept, pairs, hs, forceD)
     Fs.writeString(spark, dfpPath, want)
 
     graft.core.Fs.writeString(spark, cfgPath, fingerprint)

@@ -632,8 +632,21 @@ object DedupQueries {
        |  round(inter / CAST(x.n + y.n - inter AS DOUBLE), 6) AS jaccard
        |FROM p JOIN sz x ON x.source = sa JOIN sz y ON y.source = sb
        |ORDER BY sa, sb""".stripMargin) { (s, dir) =>
-    val tok = docHashes(s, dir)
-      .join(Tables.documents(s, dir).select(col("doc_id"), col("source")), "doc_id")
+    sourceOverlapPairs(docHashes(s, dir),
+        Tables.documents(s, dir).select(col("doc_id"), col("source")))
+      .orderBy(col("sa"), col("sb"))
+  }
+
+  /** The [[dedupSourceOverlap]] body over an arbitrary (signature,
+    * docs) frame pair — shared with CorpusPipeline's dataset card so
+    * the shipped corpus's source-overlap census reuses the persisted
+    * signature table instead of re-shingling. Unordered
+    * (sa, sb, inter, jaccard).
+    */
+  private[graft] def sourceOverlapPairs(hs: org.apache.spark.sql.DataFrame,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tok = hs
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .select(col("source"), explode(col("hs")).as("h"))
       .distinct()
     val sz = tok.groupBy(col("source")).agg(count(lit(1)).as("n"))
@@ -646,7 +659,6 @@ object DedupQueries {
       .select(col("sa"), col("sb"), col("inter"),
         round(col("inter") / (col("na") + col("nb") - col("inter")).cast("double"), 6)
           .as("jaccard"))
-      .orderBy(col("sa"), col("sb"))
   }
 
   /** Exact-substring dedup (the "shared verbatim span" pass from the
