@@ -400,6 +400,63 @@ object BicisQueries {
     }
   }
 
+  /** Holt's linear-trend (double exponential) smoothing per user over
+    * active-day counts, α=β=0.5 — the forecasting tier's trend member
+    * beside [[seriesEwma]] (level only), series_snaive (seasonal naive)
+    * and series_trend (global OLS): level adapts to the recent series
+    * while trend carries momentum into the one-step forecast. Init
+    * l₁=y₁, b₁=y₂−y₁; update l_t = ½y_t + ½(l+b), b_t = ½(l_t−l) + ½b,
+    * both ROUNDED to 6 per step — the embed_kmeans iterated-rounding
+    * discipline, collapsing any cross-engine drift before it compounds
+    * through the recursion.
+    *
+    * Execution: the update is inherently SEQUENTIAL per key, so it runs
+    * as ONE higher-order `aggregate` fold over each user's sorted
+    * day-count array — per-group linear work over a time-bounded series
+    * (the 100 TB shape: billions of keys in parallel, never a long
+    * series per key; the fold never shuffles). The oracle replays the
+    * identical recursion as a recursive CTE advancing all users'
+    * folds in lockstep.
+    */
+  val seriesHolt: QueryDef = QueryDef.sql("series_holt",
+    """WITH RECURSIVE d AS (
+      |  SELECT user_id, CAST(count(*) AS DOUBLE) AS c,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY date_trunc('day', ts)) AS rn
+      |  FROM events WHERE user_id % 25 = 0
+      |  GROUP BY user_id, date_trunc('day', ts)),
+      |f AS (
+      |  SELECT r1.user_id, CAST(1 AS BIGINT) AS rn, r1.c AS l, r2.c - r1.c AS b
+      |  FROM d r1 JOIN d r2 ON r2.user_id = r1.user_id AND r1.rn = 1 AND r2.rn = 2
+      |  UNION ALL
+      |  SELECT r.user_id, r.rn,
+      |    round(0.5e0 * r.c + 0.5e0 * (f.l + f.b), 6) AS l,
+      |    round(0.5e0 * (round(0.5e0 * r.c + 0.5e0 * (f.l + f.b), 6) - f.l) + 0.5e0 * f.b, 6) AS b
+      |  FROM f JOIN d r ON r.user_id = f.user_id AND r.rn = f.rn + 1)
+      |SELECT user_id, CAST(rn AS BIGINT) AS n_days, l AS level, b AS trend,
+      |  round(l + b, 6) AS forecast
+      |FROM f
+      |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY rn DESC) = 1
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    val cs = Tables.events(s, dir).where(col("user_id") % 25 === 0)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("d"))
+      .agg(count(lit(1)).cast("double").as("c"))
+      .groupBy(col("user_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(d, c))), p -> p.c)").as("ys"))
+      .where(size(col("ys")) >= 2)
+    cs.select(col("user_id"), size(col("ys")).cast("long").as("n_days"),
+        expr("""aggregate(
+          |  slice(ys, 2, size(ys) - 1),
+          |  named_struct('l', ys[0], 'b', ys[1] - ys[0]),
+          |  (acc, y) -> named_struct(
+          |    'l', round(0.5d * y + 0.5d * (acc.l + acc.b), 6),
+          |    'b', round(0.5d * (round(0.5d * y + 0.5d * (acc.l + acc.b), 6) - acc.l) + 0.5d * acc.b, 6)))"""
+          .stripMargin).as("st"))
+      .select(col("user_id"), col("n_days"),
+        col("st.l").as("level"), col("st.b").as("trend"),
+        round(col("st.l") + col("st.b"), 6).as("forecast"))
+      .orderBy(col("user_id"))
+  }
+
   /** SCD-2 history build from the event changelog: each version row gets
     * its validity interval [valid_from, valid_to) via one lead() over
     * (key, ts, id) and an is_current flag — the temporal-table
@@ -1228,6 +1285,6 @@ object BicisQueries {
     qScd2PointInTime,
     seriesAnomaly, qIntervalCoverage, seriesSeasonality,
     seriesCrossCorr, seriesCusum, seriesAcf, seriesSnaiveEval,
-    seriesM4Downsample, seriesTrend, seriesBurstiness)
+    seriesM4Downsample, seriesTrend, seriesBurstiness, seriesHolt)
 
 }

@@ -569,6 +569,36 @@ object MlQueries {
     * for the mergeable quantile sketch (`sketch_quantiles`) and nothing
     * else changes.
     */
+  /** K-ANONYMITY audit over quasi-identifier columns — the other half
+    * of the privacy release gate beside text_pii_scrub (content) and
+    * ml_dp_histogram (aggregate release): every (lang, source,
+    * length-bucket) equivalence class smaller than k=5 is a
+    * re-identification risk for its members even after PII scrubbing,
+    * because the METADATA triple narrows a target to <k candidates.
+    * Emits every class with its size and at-risk flag — the summary a
+    * release pipeline turns into "suppress or generalize these rows".
+    *
+    * Scale: one map-side-combined rollup over integer-derived keys; the
+    * audit costs exactly one aggregate pass at any corpus size, and
+    * adding a quasi-identifier is adding a grouping column, never a
+    * second pass.
+    */
+  val mlKAnonymity: QueryDef = QueryDef.sql("ml_k_anonymity",
+    """WITH c AS (SELECT lang, source,
+      |    least(CAST(n_chars AS BIGINT) // 200, 9) AS len_bucket
+      |  FROM documents)
+      |SELECT lang, source, len_bucket, CAST(count(*) AS BIGINT) AS n,
+      |  count(*) < 5 AS at_risk
+      |FROM c GROUP BY 1, 2, 3 ORDER BY lang, source, len_bucket""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("lang"), col("source"),
+        least(expr("CAST(n_chars AS BIGINT) div 200"), lit(9L)).as("len_bucket"))
+      .groupBy(col("lang"), col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("at_risk", col("n") < 5)
+      .orderBy(col("lang"), col("source"), col("len_bucket"))
+  }
+
   val mlLengthBuckets: QueryDef = {
     val qs = (1 to 9).map(i => s"0.${i}").mkString(", ")
     QueryDef.sql("ml_length_buckets",
@@ -831,5 +861,5 @@ object MlQueries {
     mlSampleStratified, mlPackSequences, mlMixtureSample, mlChunkDocuments,
     mlQualityFunnel, mlSampleWeighted, mlMixtureTemperature, mlFeatureHash,
     mlLengthBuckets, mlVocabCoverage, mlDpHistogram, mlMixtureEpochs,
-    mlEpochOrder)
+    mlEpochOrder, mlKAnonymity)
 }
