@@ -413,6 +413,59 @@ class SimilaritySpec extends SparkSpec {
     assert(coarse.length === 56, "coarse cells must still drop per planted cluster")
   }
 
+  test("KMeans.fit matches an independent sequential Lloyd reference on seeded dyadic fixtures") {
+    import spark.implicits._
+    // components are eighths (dyadic) so every distance and every
+    // centroid SUM is exact in both engines regardless of fold order —
+    // the one rounding per update (sum/count then round-6) is then
+    // bit-identical by construction, and == comparison is legitimate.
+    // The reference is a from-scratch sequential Lloyd sharing only the
+    // CONTRACT (ascending dot folds, (v²+c²)−2vc association, lower-cl
+    // argmin ties, round-6 HALF_UP updates, k-smallest-id seeds).
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def dot(a: Seq[Double], b: Seq[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    def refFit(vecs: Seq[(Long, Seq[Double])], k: Int, iters: Int)
+        : (Map[Long, (Long, Double)], Map[Long, Seq[Double]]) = {
+      val dim = vecs.head._2.length
+      var cents: Seq[(Long, Seq[Double])] = vecs.sortBy(_._1).take(k)
+      var asg: Map[Long, (Long, Double)] = Map.empty
+      for (t <- 1 to iters) {
+        asg = vecs.map { case (id, v) =>
+          val scored = cents.map { case (cl, c) => (cl, dot(v, v) + dot(c, c) - 2.0 * dot(v, c)) }
+          val (cl, d2) = scored.minBy { case (c, dd) => (dd, c) }
+          id -> ((cl, d2))
+        }.toMap
+        if (t < iters) {
+          val byId = vecs.toMap
+          cents = asg.toSeq.groupBy(_._2._1).toSeq.map { case (cl, ms) =>
+            val members = ms.map(m => byId(m._1))
+            (cl, (0 until dim).map(j => r6(members.map(_(j)).sum / members.size)))
+          }.sortBy(_._1)
+        }
+      }
+      (asg, cents.toMap)
+    }
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val n = 5 + rnd.nextInt(36)
+      val d = 2 + rnd.nextInt(5)
+      val k = 1 + rnd.nextInt(math.min(5, n))
+      val iters = 1 + rnd.nextInt(3)
+      val vecs = (0 until n).map(i =>
+        ((i * 3 + 11).toLong, Seq.fill(d)((rnd.nextInt(17) - 8) / 8.0)))
+      val df = vecs.toDF("vec_id", "v")
+      val (assigned, cents) = graft.ml.KMeans.fit(
+        df, graft.ml.KMeans.seedSmallest(df, k), iters)
+      val gotAsg = assigned.collect()
+        .map(r => r.getAs[Long]("vec_id") -> ((r.getAs[Long]("cl"), r.getAs[Double]("d2")))).toMap
+      val gotCents = cents.collect()
+        .map(r => r.getAs[Long]("cl") -> r.getSeq[Double](r.fieldIndex("cv"))).toMap
+      val (refAsg, refCents) = refFit(vecs, k, iters)
+      assert(gotAsg === refAsg, s"trial $trial (n=$n d=$d k=$k iters=$iters): assignment diverged")
+      assert(gotCents === refCents, s"trial $trial (n=$n d=$d k=$k iters=$iters): centroids diverged")
+    }
+  }
+
   test("semantic dedup differential: broadcast-table path == plan-literal twin at k=ceil(sqrt(n))") {
     import org.apache.spark.sql.functions._
     // pseudo-random 16-dim frame with SPARSE, OFFSET vec_ids (3·id+100)
