@@ -400,6 +400,35 @@ object BicisQueries {
     }
   }
 
+  /** ORC interop roundtrip — the second columnar format through the
+    * gate beside parquet: the corpus is written as native ORC (the
+    * Hive-ecosystem interchange format a 100 TB pipeline inevitably
+    * meets at its edges), read back, and censused per (lang, source)
+    * with a content signature — so the gate proves the
+    * write → read cycle loses neither rows nor bytes across the
+    * format boundary. Same census oracle family as q_shard_roundtrip;
+    * the format is the variable.
+    */
+  val qOrcRoundtrip: QueryDef = QueryDef.sql("q_orc_roundtrip",
+    s"""SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id,
+       |  CAST(sum(${OracleSql.hash64("'orc'", "text")} % 1000003) AS BIGINT) AS text_sig
+       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (s, dir) =>
+    graft.ops.TextOps.ensureFunctions(s)
+    val src = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    val orcDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_q_orc_roundtrip_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+    src.write.mode("overwrite").orc(orcDir)
+    s.read.orc(orcDir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+        sum(expr(graft.ops.TextOps.portableHash64Sql("'orc'", "text")) % 1000003L).as("text_sig"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** Holt's linear-trend (double exponential) smoothing per user over
     * active-day counts, α=β=0.5 — the forecasting tier's trend member
     * beside [[seriesEwma]] (level only), series_snaive (seasonal naive)
@@ -1285,6 +1314,7 @@ object BicisQueries {
     qScd2PointInTime,
     seriesAnomaly, qIntervalCoverage, seriesSeasonality,
     seriesCrossCorr, seriesCusum, seriesAcf, seriesSnaiveEval,
-    seriesM4Downsample, seriesTrend, seriesBurstiness, seriesHolt)
+    seriesM4Downsample, seriesTrend, seriesBurstiness, seriesHolt,
+    qOrcRoundtrip)
 
 }
