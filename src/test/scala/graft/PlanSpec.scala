@@ -89,6 +89,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("embed_ivf_index_roundtrip: the probe DYNAMICALLY PRUNES the cell-partitioned index scan") {
+    // the reason the index is hive-partitioned BY CELL: Spark's dynamic
+    // partition pruning turns the probe⋈assignments broadcast join into
+    // a partition filter on the index scan, so a query physically reads
+    // only its nprobe cells' files — the ANN analog of split pruning
+    val df = graft.queries.EmbedQueries.embedIvfIndexRoundtrip.run(spark, dir)
+    df.collect() // AQE finalizes (and DPP materializes) on execution
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the index scan in:\n${p.take(4000)}")
+  }
+
   test("GLOBAL sweep: no unintended nested-loop/cartesian join in ANY registered query") {
     // queries whose plans legitimately contain a BroadcastNestedLoopJoin:
     // a deliberately-broadcast tiny side (queries / centroids) crossed
