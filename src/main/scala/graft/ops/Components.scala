@@ -132,4 +132,47 @@ object Components {
                                 // don't pin checkpointed edge blocks in
                                 // executor storage for the session
   }
+
+  /** INCREMENTAL CC — merge a NEW edge batch into a persisted (node,
+    * rep) cluster map without recomputing components over the prior
+    * graph: `mergeBatch(cc(E_prior), E_new) == cc(E_prior ∪ E_new)`
+    * exactly (ComponentsSpec differential), for any id order — min-rep
+    * labels need no monotonic-id discipline.
+    *
+    * Mechanics: new edges CONTRACT onto prior representatives (an
+    * unseen endpoint is its own rep), [[connectedComponents]] runs on
+    * the contracted graph only — batch-sized, never the corpus — and
+    * the resulting rep→rep remap joins back over the prior map. A
+    * merged component's new label is min over its members because each
+    * prior rep is already its component's min and the contracted CC
+    * takes the min over {prior reps, new node ids}.
+    *
+    * At 100 TB: the daily dedup-graph growth path — per batch, two
+    * broadcast-able lookups of the new edges against the cluster map,
+    * one CC over |E_new| contracted edges, and ONE join over the
+    * cluster map to apply the remap. Nothing scales with the prior
+    * EDGE set; the prior pair table is never touched.
+    */
+  def mergeBatch(clusters: DataFrame, newEdges: DataFrame): DataFrame = {
+    val cn = clusters.select(col("node"), col("rep"))
+    val e = newEdges.select(col("i"), col("j"))
+      .join(cn.select(col("node").as("i"), col("rep").as("__ri")), Seq("i"), "left")
+      .join(cn.select(col("node").as("j"), col("rep").as("__rj")), Seq("j"), "left")
+      .select(coalesce(col("__ri"), col("i")).as("i"),
+        coalesce(col("__rj"), col("j")).as("j"))
+    // CC over the CONTRACTED batch graph (nodes = touched prior reps ∪
+    // brand-new node ids) — batch-sized by construction
+    val remap = connectedComponents(e)
+      .select(col("node").as("__old"), col("rep").as("__new"))
+    val updatedPrior = cn.join(remap, cn("rep") === col("__old"), "left")
+      .select(col("node"), coalesce(col("__new"), col("rep")).as("rep"))
+    // nodes the batch introduced: their contracted id is themselves
+    val newNodes = newEdges.select(col("i").as("node"))
+      .unionByName(newEdges.select(col("j").as("node")))
+      .distinct()
+      .join(cn.select(col("node")), Seq("node"), "left_anti")
+    val newRows = newNodes.join(remap, col("node") === col("__old"))
+      .select(col("node"), col("__new").as("rep"))
+    updatedPrior.unionByName(newRows)
+  }
 }

@@ -401,6 +401,33 @@ object DedupQueries {
     sharedClusters(s, dir).orderBy(col("node"))
   }
 
+  /** INCREMENTAL cluster maintenance under the gate: the prior corpus's
+    * persisted (node, rep) map (CC over pairs among OLD docs,
+    * doc_id % 5 ≠ 0) absorbs the day's batch pairs (anything touching a
+    * NEW doc) via [[graft.ops.Components.mergeBatch]] — contraction
+    * onto prior reps, CC over the BATCH-sized contracted graph, one
+    * remap join back. The oracle is [[dedupClusters]]'s full transitive
+    * closure over ALL pairs verbatim, so the gate proves
+    * `mergeBatch(cc(prior), batch) ≡ cc(prior ∪ batch)` on the whole
+    * corpus — the cluster-tier analog of dedup_incremental's
+    * signature-tier claim, and the kernel that makes a daily append's
+    * dedup maintenance scale with the batch, not the graph.
+    */
+  val dedupClustersIncremental: QueryDef = QueryDef.sql("dedup_clusters_incremental",
+    s"""WITH RECURSIVE $hashCte,
+       |$duckPairsCte,
+       |$duckClustersCte
+       |SELECT node, rep FROM cl ORDER BY node""".stripMargin) { (s, dir) =>
+    val p = sharedPairs(s, dir).where(col("sim") >= 0.8).select(col("i"), col("j"))
+    def isNew(c: org.apache.spark.sql.Column) = c % 5 === 0
+    val prior = p.where(!isNew(col("i")) && !isNew(col("j")))
+    val batch = p.where(isNew(col("i")) || isNew(col("j")))
+    val priorClusters = graft.ops.Components.connectedComponents(prior)
+      .select(col("node"), col("rep"))
+    graft.ops.Components.mergeBatch(priorClusters, batch)
+      .orderBy(col("node"))
+  }
+
   /** The deduplicated corpus itself: every document except non-
     * representative cluster members (clusters from the J>=0.8 CC pass;
     * the survivor is the cluster's min doc_id). This is the operator a
@@ -1173,5 +1200,5 @@ object DedupQueries {
     dedupDecontaminate, streamingDecontaminateReplay, dedupIncremental, dedupSubstring, dedupLines,
     dedupSortedNeighborhood, dedupContainment, dedupLshRecall,
     dedupClusterStats, mlClusterSplit, mlDedupRateBySource, dedupEditDistance,
-    dedupSourceOverlap)
+    dedupSourceOverlap, dedupClustersIncremental)
 }

@@ -79,4 +79,38 @@ class ComponentsSpec extends SparkSpec {
     // reliable checkpoints actually hit the directory
     assert(new java.io.File(dir).listFiles().nonEmpty)
   }
+
+  test("mergeBatch == full CC: bridges, new chains, self-component edges, random splits") {
+    import spark.implicits._
+    def cc(edges: Seq[(Long, Long)]) =
+      Components.connectedComponents(edges.toDF("i", "j"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def merged(prior: Seq[(Long, Long)], batch: Seq[(Long, Long)]) = {
+      val pc = Components.connectedComponents(prior.toDF("i", "j"))
+        .select("node", "rep")
+      Components.mergeBatch(pc, batch.toDF("i", "j"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    // planted: prior has components {1,2,3} and {10,11}; the batch
+    // BRIDGES them (3-10, via a new node 50), adds a brand-new pair
+    // {70,71}, an edge inside an existing component (2-3, no-op), and
+    // chains a new node onto {10,11} — note batch ids are NOT all
+    // larger than prior ids (min-rep needs no id monotonicity)
+    val prior = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val batch = Seq((3L, 50L), (50L, 10L), (70L, 71L), (2L, 3L), (11L, 5L))
+    assert(merged(prior, batch) === cc(prior ++ batch))
+    // random splits: 8 seeded graphs, arbitrary prior/batch partition
+    val rnd = new scala.util.Random(9)
+    for (trial <- 1 to 8) {
+      val n = 6 + rnd.nextInt(30)
+      val all = (0 until (n + rnd.nextInt(n))).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      if (all.nonEmpty) {
+        val (batchE, priorE) = all.partition(_ => rnd.nextBoolean())
+        if (batchE.nonEmpty)
+          assert(merged(priorE, batchE) === cc(all),
+            s"trial $trial diverged (prior=${priorE.size} batch=${batchE.size})")
+      }
+    }
+  }
 }
