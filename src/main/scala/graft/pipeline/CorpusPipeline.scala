@@ -188,13 +188,17 @@ object CorpusPipeline {
     * (splitCounts, nSurvivors, nClusters).
     */
   private def deriveTier(spark: SparkSession, outDir: String, cfg: CorpusConfig,
-                         kept: DataFrame, pairs: DataFrame, hs: DataFrame,
+                         kept: DataFrame, hs: DataFrame,
+                         clusters0: => DataFrame,
                          forceD: Boolean): (Map[String, Long], Long, Long) = {
     def p(name: String) = s"$outDir/$name"
-    val clusters = Pipeline.stage(spark, p("clusters"), forceD)(
-      graft.ops.Components.connectedComponents(
-          pairs.where(col("sim") >= cfg.tau).select(col("i"), col("j")))
-        .select(col("node"), col("rep")))
+    // clusters0 is caller-supplied BY NAME (evaluated only when the
+    // stage actually recomputes): run() passes the full CC over the
+    // pair set; append passes Components.mergeBatch over the PERSISTED
+    // prior map + the batch pair deltas — batch-sized cluster
+    // maintenance, proved ≡ full CC by ComponentsSpec and the
+    // dedup_clusters_incremental gate row
+    val clusters = Pipeline.stage(spark, p("clusters"), forceD)(clusters0)
     val canonical = Pipeline.stage(spark, p("canonical"), forceD)(
       DedupQueries.bestSurvivors(clusters, kept))
     val survivors = Pipeline.stage(spark, p("survivors"), forceD) {
@@ -319,10 +323,24 @@ object CorpusPipeline {
     val forceD = !Fs.exists(spark, dfpPath) || Fs.readString(spark, dfpPath) != want
     val docs = mergedStage(spark, outDir, "docs", tags)
     val kept = mergedStage(spark, outDir, "kept", tags)
-    val pairs = mergedStage(spark, outDir, "pairs", tags)
     val hs = mergedStage(spark, outDir, "signatures", tags)
+    // incremental cluster maintenance: merge every committed batch's
+    // pair delta into the PERSISTED cluster map (localCheckpoint first
+    // — the stage will overwrite the path it was read from).
+    // mergeBatch is idempotent for already-merged edges, so replaying
+    // ALL deltas is crash-safe regardless of which rederive last
+    // committed; with no batches this is the base map unchanged.
+    def clusters0: DataFrame =
+      if (tags.isEmpty) spark.read.parquet(s"$outDir/clusters")
+      else {
+        val prior = spark.read.parquet(s"$outDir/clusters").localCheckpoint(true)
+        val deltas = tags.map(t => spark.read.parquet(s"${batchDir(outDir, t)}/pairs"))
+          .reduce(_.unionByName(_))
+          .where(col("sim") >= cfg.tau).select(col("i"), col("j"))
+        graft.ops.Components.mergeBatch(prior, deltas)
+      }
     if (forceD) Fs.delete(spark, dfpPath)
-    val (splitCounts, nSurv, nClus) = deriveTier(spark, outDir, cfg, kept, pairs, hs, forceD)
+    val (splitCounts, nSurv, nClus) = deriveTier(spark, outDir, cfg, kept, hs, clusters0, forceD)
     Fs.writeString(spark, dfpPath, want)
     val nRaw = (s"$outDir" +: tags.map(batchDir(outDir, _)))
       .map(d => Fs.readString(spark, s"$d/raw_count").trim.toLong).sum
@@ -395,7 +413,11 @@ object CorpusPipeline {
     val forceD = force0 ||
       !Fs.exists(spark, dfpPath) || Fs.readString(spark, dfpPath) != want
     if (forceD) Fs.delete(spark, dfpPath)
-    val (splitCounts, nSurv, nClus) = deriveTier(spark, outDir, cfg, kept, pairs, hs, forceD)
+    def clusters0: DataFrame =
+      graft.ops.Components.connectedComponents(
+          pairs.where(col("sim") >= cfg.tau).select(col("i"), col("j")))
+        .select(col("node"), col("rep"))
+    val (splitCounts, nSurv, nClus) = deriveTier(spark, outDir, cfg, kept, hs, clusters0, forceD)
     Fs.writeString(spark, dfpPath, want)
 
     graft.core.Fs.writeString(spark, cfgPath, fingerprint)
