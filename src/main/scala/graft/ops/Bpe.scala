@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING (Sennrich et al., ACL 2016) —
+  * the vocabulary-learning step every LLM data pipeline runs before
+  * token counting means anything. Classic word-frequency BPE: roll the
+  * corpus up to distinct (word, count) once, then learn merges on that
+  * vocabulary table alone.
+  *
+  * Scale shape (the reason this trains at 100 TB): the ONLY corpus-sized
+  * work is the word rollup (one map-side-combined shuffle); the merge
+  * loop never touches the corpus again — it iterates over the vocabulary
+  * table (≤ ~10⁷ distinct words at web scale, corpus-size-independent).
+  * Each iteration is one adjacent-pair rollup over vocabulary rows
+  * (map-side combined, pairs ≤ total word length) plus a ONE-ROW argmax
+  * collect (an S10-sanctioned tiny summary — the chosen pair must become
+  * a literal in the next rewrite anyway, exactly like KMeans' k×d
+  * centroid collect). The rewrite itself is a map-only `replace`.
+  *
+  * Determinism contract: ties on pair count break by (left, right)
+  * lexicographic ascending; the rewrite merges occurrences LEFT-TO-RIGHT
+  * without overlap ([a,a,a] + merge(a,a) → [aa,a]) — the semantics both
+  * Spark's and DuckDB's literal `replace` implement, which is why both
+  * engines run the identical representation below.
+  *
+  * Representation: token lists ride as ';;'-joined strings wrapped in
+  * leading/trailing ';;' (tokens are [a-z0-9_]+ so ';' can't occur in
+  * one). A merge of (a, b) is then literally
+  * `replace(enc, ';a;;b;', ';ab;')`: the single-quote separators on each
+  * side anchor token BOUNDARIES (no mid-token false match — "ba;;a"
+  * contains "a;;a" but not ";a;;a;" at a boundary), while the doubled
+  * inner separator leaves one ';' behind for the neighbour, so adjacent
+  * runs still merge pairwise: ';;a;;a;;a;;' → ';;aa;;a;;'.
+  *
+  * Lineage: the vocabulary frame accretes one `replace` per merge, so
+  * every [[checkpointEvery]] merges it is `localCheckpoint`ed (same
+  * discipline as [[graft.ml.KMeans.fit]]) — plan size stays O(window),
+  * never O(total merges).
+  */
+object Bpe {
+
+  /** One learned merge: rank (1-based), the pair, and its count at
+    * merge time.
+    */
+  final case class Merge(rank: Int, left: String, right: String, count: Long)
+
+  /** End-of-word marker appended before character splitting — outside
+    * the [a-z0-9]+ word alphabet, so suffix merges (e.g. "er_") stay
+    * distinguishable from infix ones ("er").
+    */
+  val EndMark = "_"
+
+  private val checkpointEvery = 16
+
+  /** Distinct-word frequency table with the initial character-level
+    * encoding: (word, cnt, enc) where enc = ';;c1;;c2;;…;;_;;'.
+    * The one corpus-sized pass.
+    */
+  def vocab0(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("word"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("enc",
+        concat(lit(";;"),
+          array_join(expr(s"split(word || '$EndMark', '')"), ";;"),
+          lit(";;")))
+
+  /** Adjacent-pair frequency rollup over an encoded vocabulary frame:
+    * (a, b, c) with c = Σ cnt over every adjacent occurrence (overlaps
+    * counted — [a,a,a] contributes (a,a) twice, the classic-BPE count).
+    */
+  def pairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .select(col("cnt"),
+        expr("filter(split(enc, ';;'), x -> x != '')").as("toks"))
+      .select(col("cnt"),
+        // size-1 encodings (fully-merged words) have no pairs; the guard
+        // matters because sequence(1, 0) DESCENDS to [1, 0] and
+        // element_at(toks, 0) throws rather than yielding an empty list
+        explode(expr(
+          """CASE WHEN size(toks) < 2 THEN array()
+            |ELSE transform(sequence(1, size(toks) - 1),
+            |  i -> struct(element_at(toks, i) AS a, element_at(toks, i + 1) AS b)) END"""
+            .stripMargin)).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("cnt")).as("c"))
+
+  /** The rewrite for one merge, as a column over `enc` (see the
+    * boundary-anchoring note in the object scaladoc).
+    */
+  def applyMerge(enc: Column, a: String, b: String): Column =
+    replace(enc, lit(s";$a;;$b;"), lit(s";$a$b;"))
+
+  /** Learn `n` merges. The returned list is plain driver data (pure
+    * function of the input corpus), so [[fitMemo]] can cache it without
+    * any executor-state eviction concerns.
+    */
+  def fit(docs: DataFrame, n: Int): Seq[Merge] = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var v = vocab0(docs).persist(mem)
+    v.count() // eager: the corpus rollup runs once, iterations read the cache
+    val first = v
+    val merges = Seq.newBuilder[Merge]
+    var i = 1
+    while (i <= n) {
+      val top = pairCounts(v)
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1).collect() // ONE row: the argmax pair (S10-sanctioned)
+      if (top.isEmpty) { i = n + 1 } // degenerate corpus: nothing left to merge
+      else {
+        val r = top(0)
+        val (a, b, c) = (r.getString(0), r.getString(1), r.getLong(2))
+        merges += Merge(i, a, b, c)
+        v = v.withColumn("enc", applyMerge(col("enc"), a, b))
+        if (i % checkpointEvery == 0) v = v.localCheckpoint(true)
+        i += 1
+      }
+    }
+    first.unpersist(false)
+    merges.result()
+  }
+
+  /** Re-encode a vocabulary frame through an already-learned merge list
+    * as ONE chained projection — no per-merge jobs, so consumers of the
+    * final segmentation (token census, encode) pay a single map pass.
+    */
+  def vocabAfter(vocab: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val enc = merges.foldLeft(col("enc")) { (e, m) => applyMerge(e, m.left, m.right) }
+    vocab.withColumn("enc", enc)
+  }
+
+  /** Session-agnostic memo: merges are input-deterministic driver data
+    * keyed by (input dir, n) — the corpus snapshot under `dir` is
+    * immutable within a run (same assumption the dedup signature memo
+    * documents).
+    */
+  private val fitCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Seq[Merge]]()
+
+  def fitMemo(s: SparkSession, dir: String, n: Int): Seq[Merge] =
+    fitCache.computeIfAbsent((dir, n),
+      _ => fit(graft.core.Tables.documents(s, dir), n))
+}

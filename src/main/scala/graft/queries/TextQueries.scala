@@ -1125,10 +1125,84 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  // ---- BPE tokenizer training (graft.ops.Bpe) -----------------------
+  // The oracle replays the identical algorithm as an UNROLLED CTE chain
+  // (one pairs→argmax→rewrite block per merge — no recursive aggregation,
+  // which recursive CTEs forbid), over the same ';;'-separator encoding
+  // and the same literal-replace rewrite, so every intermediate state is
+  // bit-identical across engines by construction.
+
+  private val bpeMerges = 8
+
+  /** DuckDB twin of [[graft.ops.Bpe]]: v0 = char-encoded word counts;
+    * per merge i: px{i}/p{i} mirror Bpe.pairCounts (projected unnest —
+    * DuckDB's range() rejects lateral column args), b{i} the argmax with
+    * the (count DESC, a, b) tiebreak, v{i} the boundary-anchored
+    * replace.
+    */
+  private def bpeCtes(n: Int): String = {
+    def one(i: Int) =
+      s"""px$i AS (SELECT cnt, toks, unnest(range(1, len(toks))) AS i
+         |  FROM (SELECT cnt, list_filter(string_split(enc, ';;'), x -> x != '') AS toks FROM v${i - 1})),
+         |p$i AS (SELECT toks[i] AS a, toks[i+1] AS b, CAST(sum(cnt) AS BIGINT) AS c FROM px$i GROUP BY 1, 2),
+         |b$i AS (SELECT a, b, c FROM p$i ORDER BY c DESC, a, b LIMIT 1),
+         |v$i AS (SELECT w.word, w.cnt,
+         |  replace(w.enc, ';' || b.a || ';;' || b.b || ';', ';' || b.a || b.b || ';') AS enc
+         |  FROM v${i - 1} w, b$i b)""".stripMargin
+    s"""wd AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word FROM documents),
+       |v0 AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+       |  ';;' || array_to_string(string_split(word || '${graft.ops.Bpe.EndMark}', ''), ';;') || ';;' AS enc
+       |  FROM wd GROUP BY word),
+       |""".stripMargin + (1 to n).map(one).mkString(",\n")
+  }
+
+  /** The learned merge table itself — rank, pair, merged symbol, and the
+    * pair's corpus count at merge time. Output is driver-built from
+    * [[graft.ops.Bpe.fitMemo]]'s returned rows (n-row tiny frame — the
+    * merges ARE collected data by construction of the algorithm).
+    */
+  val textBpeMerges: QueryDef = QueryDef.sql("text_bpe_merges",
+    s"""WITH ${bpeCtes(bpeMerges)},
+       |m AS (${(1 to bpeMerges).map(i => s"SELECT $i AS rank, a, b, c FROM b$i").mkString(" UNION ALL ")})
+       |SELECT CAST(rank AS BIGINT) AS rank, a AS left_sym, b AS right_sym,
+       |  a || b AS merged, c AS pair_count
+       |FROM m ORDER BY rank""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    graft.ops.Bpe.fitMemo(s, dir, bpeMerges)
+      .map(m => (m.rank.toLong, m.left, m.right, m.left + m.right, m.count))
+      .toDF("rank", "left_sym", "right_sym", "merged", "pair_count")
+      .orderBy(col("rank"))
+  }
+
+  /** ENCODE census: re-segment the vocabulary through the learned merges
+    * (one chained projection — [[graft.ops.Bpe.vocabAfter]]) and census
+    * the resulting token inventory: corpus frequency and distinct-word
+    * spread per token, top 30. The number a tokenizer handoff checks
+    * before anyone trusts per-token budgets downstream.
+    */
+  val textBpeEncode: QueryDef = QueryDef.sql("text_bpe_encode",
+    s"""WITH ${bpeCtes(bpeMerges)},
+       |tok AS (SELECT word, cnt, unnest(list_filter(string_split(enc, ';;'), x -> x != '')) AS token
+       |        FROM v$bpeMerges)
+       |SELECT token, CAST(sum(cnt) AS BIGINT) AS total_cnt,
+       |  CAST(count(DISTINCT word) AS BIGINT) AS n_words
+       |FROM tok GROUP BY token ORDER BY total_cnt DESC, token LIMIT 30""".stripMargin) { (s, dir) =>
+    val merges = graft.ops.Bpe.fitMemo(s, dir, bpeMerges)
+    val v = graft.ops.Bpe.vocabAfter(
+      graft.ops.Bpe.vocab0(Tables.documents(s, dir)), merges)
+    v.select(col("word"), col("cnt"),
+        explode(expr("filter(split(enc, ';;'), x -> x != '')")).as("token"))
+      .groupBy(col("token"))
+      .agg(sum(col("cnt")).as("total_cnt"), countDistinct(col("word")).as("n_words"))
+      .orderBy(col("total_cnt").desc, col("token"))
+      .limit(30)
+  }
+
   val all: Seq[QueryDef] = Seq(textTokenCount, textLangId, textQualityScore,
     textFingerprint, textRollingHash, textTopPerLang, textTopNgrams,
     sketchDistinctKmv, sketchDistinctHll, textPiiScrub, textRepetition, textEntropy,
     textGopherRules, textTfidfTop, sketchHeavyHitters, textInvertedIndex,
     textBm25, textPmi, textLmScore, textPerplexityBuckets, sketchQuantiles,
-    textZipf, sketchSetops, textKlDrift, textWinnowing, textCodeDetect)
+    textZipf, sketchSetops, textKlDrift, textWinnowing, textCodeDetect,
+    textBpeMerges, textBpeEncode)
 }
