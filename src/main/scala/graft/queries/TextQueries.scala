@@ -1198,11 +1198,58 @@ object TextQueries {
       .limit(30)
   }
 
+  /** CORPUS TOKENIZATION — the op the merges exist for: every document
+    * re-encoded as its ordered BPE token-ID sequence (ids ranked by
+    * corpus frequency, the classic vocab ordering). Scale shape: the
+    * only corpus-sized joins are word-position → word-segmentation
+    * (shuffle equi-join on word) and token → id (broadcast — the token
+    * vocabulary is merges+alphabet sized); the per-doc sequence is a
+    * bounded groupBy collect. The global row_number for ids runs on
+    * that same tiny token table only.
+    */
+  val textBpeTokenize: QueryDef = QueryDef.sql("text_bpe_tokenize",
+    s"""WITH ${bpeCtes(bpeMerges)},
+       |wt AS (SELECT word, cnt, toks, unnest(range(1, len(toks) + 1)) AS tp
+       |  FROM (SELECT word, cnt, list_filter(string_split(enc, ';;'), x -> x != '') AS toks FROM v$bpeMerges)),
+       |wt2 AS (SELECT word, cnt, tp, toks[tp] AS token FROM wt),
+       |cen AS (SELECT token, sum(cnt) AS total_cnt FROM wt2 GROUP BY token),
+       |tid AS (SELECT token, CAST(row_number() OVER (ORDER BY total_cnt DESC, token) AS BIGINT) AS tid FROM cen),
+       |dw AS (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS wp
+       |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr FROM documents)),
+       |dw2 AS (SELECT doc_id, wp, arr[wp] AS word FROM dw),
+       |seq AS (SELECT d.doc_id, d.wp, t.tp, i.tid
+       |  FROM dw2 d JOIN wt2 t ON d.word = t.word JOIN tid i ON t.token = i.token)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  array_to_string(list(tid ORDER BY wp, tp), ',') AS token_ids
+       |FROM seq GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val merges = graft.ops.Bpe.fitMemo(s, dir, bpeMerges)
+    val wordToks = graft.ops.Bpe
+      .vocabAfter(graft.ops.Bpe.vocab0(docs), merges)
+      .select(col("word"), col("cnt"),
+        posexplode(expr("filter(split(enc, ';;'), x -> x != '')")).as(Seq("tp", "token")))
+    val tid = wordToks
+      .groupBy(col("token")).agg(sum(col("cnt")).as("total_cnt"))
+      .select(col("token"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("total_cnt").desc, col("token"))).cast("long").as("tid"))
+    val words = docs.select(col("doc_id"),
+      posexplode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as(Seq("wp", "word")))
+    words
+      .join(wordToks.select(col("word"), col("tp"), col("token")), "word")
+      .join(broadcast(tid), "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        expr("array_join(transform(array_sort(collect_list(struct(wp, tp, tid))), x -> CAST(x.tid AS string)), ',')")
+          .as("token_ids"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(textTokenCount, textLangId, textQualityScore,
     textFingerprint, textRollingHash, textTopPerLang, textTopNgrams,
     sketchDistinctKmv, sketchDistinctHll, textPiiScrub, textRepetition, textEntropy,
     textGopherRules, textTfidfTop, sketchHeavyHitters, textInvertedIndex,
     textBm25, textPmi, textLmScore, textPerplexityBuckets, sketchQuantiles,
     textZipf, sketchSetops, textKlDrift, textWinnowing, textCodeDetect,
-    textBpeMerges, textBpeEncode)
+    textBpeMerges, textBpeEncode, textBpeTokenize)
 }
