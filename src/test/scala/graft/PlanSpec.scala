@@ -513,4 +513,14 @@ class PlanSpec extends SparkSpec {
       s"a keys-sized global sort crept into:\n$p")
     cached.foreach(_.unpersist(true))
   }
+
+  test("text_bpe_tokenize: token ids ride a broadcast hash join, never a shuffle") {
+    val p = plan(graft.queries.TextQueries.textBpeTokenize)
+    // the token-id table is merges+alphabet sized — it must broadcast
+    // into the doc-word stream; the only shuffle joins allowed are the
+    // word-keyed equi-joins (and no nested-loop anywhere)
+    assert(p.contains("BroadcastHashJoin"), s"tid join not broadcast in:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"pairing scan crept into:\n$p")
+  }
 }
