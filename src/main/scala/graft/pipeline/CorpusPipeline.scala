@@ -88,7 +88,8 @@ final case class CorpusConfig(
     phashDedup: Boolean = false,            // optional media near-dup stage (≡ multimodal_phash_dedup)
     semanticDedup: Boolean = false,         // optional SemDeDup stage (≡ dedup_semantic)
     semanticTau: Double = 0.35,             // semantic drop threshold
-    embeddingsPath: String = "")            // (vec_id = doc_id, embedding) parquet for the semantic stage
+    embeddingsPath: String = "",            // (vec_id = doc_id, embedding) parquet for the semantic stage
+    bpeMerges: Int = 0)                     // >0: ship a BPE tokenizer trained on the train split (≡ text_bpe_merges)
 
 final case class CorpusResult(
     nRaw: Long, nDocs: Long, nKept: Long, nSurvivors: Long,
@@ -258,6 +259,23 @@ object CorpusPipeline {
       Fs.writeString(spark, splitCensusPath,
         rows.map(r => s""""${r.getString(0)}": {"n_docs": ${r.getLong(1)}, "n_groups": ${r.getLong(2)}, "n_chars": ${r.getLong(3)}, "id_sum": ${r.getLong(4)}}""")
           .mkString("{", ", ", "}"))
+    }
+
+    // ---- tokenizer: BPE merge table trained on the shipped corpus's
+    // TRAIN split only (the tokenizer is a trained artifact — letting it
+    // see valid/test text is the same leak the cluster fence exists to
+    // stop). Stage body IS Bpe.fit, the kernel text_bpe_merges gates;
+    // it lives in the derived tier, so append batches retrain it over
+    // the merged corpus via the derived fingerprint ----
+    if (cfg.bpeMerges > 0) {
+      Pipeline.stage(spark, p("tokenizer"), forceD) {
+        val trainDocs = survivors2.join(
+          split.where(col("split") === "train").select(col("doc_id")), "doc_id")
+        import spark.implicits._
+        graft.ops.Bpe.fit(trainDocs, cfg.bpeMerges)
+          .map(m => (m.rank.toLong, m.left, m.right, m.left + m.right, m.count))
+          .toDF("rank", "left_sym", "right_sym", "merged", "pair_count")
+      }
     }
 
     // ---- mixture + epoch order over the final corpus ----

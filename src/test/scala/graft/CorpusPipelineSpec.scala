@@ -194,6 +194,34 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(s2.count() < surv2.count(), "semantic tier dropped nothing — fixture is vacuous")
   }
 
+  test("tokenizer stage == Bpe.fit on the train-split survivors (leakage-aware training set)") {
+    val docs0 = graft.core.Tables.documents(spark, sfDir)
+    val jsonlDir = mkdir("bpe_jsonl")
+    docs0.toJSON.coalesce(1).write.mode("overwrite").text(s"$jsonlDir/jsonl")
+    val out = mkdir("bpe_out")
+    CorpusPipeline.run(spark, s"$jsonlDir/jsonl", out, CorpusConfig(bpeMerges = 4))
+
+    val trainDocs = spark.read.parquet(s"$out/survivors").join(
+      spark.read.parquet(s"$out/split")
+        .where(col("split") === "train").select(col("doc_id")), "doc_id")
+    import spark.implicits._
+    val want = graft.ops.Bpe.fit(trainDocs, 4)
+      .map(m => (m.rank.toLong, m.left, m.right, m.left + m.right, m.count))
+      .toDF("rank", "left_sym", "right_sym", "merged", "pair_count")
+    val got = spark.read.parquet(s"$out/tokenizer")
+    assertSame(got, want, "tokenizer stage vs Bpe.fit on train split")
+    assert(got.count() == 4 && got.agg(min(col("pair_count"))).head.getLong(0) > 0,
+      "tokenizer fixture is vacuous")
+    // leakage fence: retraining on ALL survivors must differ from the
+    // shipped table at this fixture (else the train-only restriction
+    // is untested)
+    val all = graft.ops.Bpe.fit(spark.read.parquet(s"$out/survivors"), 4)
+      .map(m => (m.rank.toLong, m.left, m.right, m.left + m.right, m.count))
+      .toDF("rank", "left_sym", "right_sym", "merged", "pair_count")
+    assert(rows(all) != rows(got),
+      "train-split and full-corpus merges coincide — fence assertion is vacuous")
+  }
+
   // ---------------- incremental append ----------------
 
   /** English-shaped doc the funnel keeps: stopword block + word run. */
