@@ -98,9 +98,15 @@ object Bpe {
     * function of the input corpus), so [[fitMemo]] can cache it without
     * any executor-state eviction concerns.
     */
-  def fit(docs: DataFrame, n: Int): Seq[Merge] = {
+  def fit(docs: DataFrame, n: Int): Seq[Merge] = fitVocab(vocab0(docs), n)
+
+  /** The merge loop alone, over an already-built (word, cnt, enc)
+    * vocabulary frame — split out so ScaleProbe can time the
+    * corpus-sized rollup and the vocabulary-sized loop separately.
+    */
+  def fitVocab(vocab: DataFrame, n: Int): Seq[Merge] = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    var v = vocab0(docs).persist(mem)
+    var v = vocab.persist(mem)
     v.count() // eager: the corpus rollup runs once, iterations read the cache
     val first = v
     val merges = Seq.newBuilder[Merge]
