@@ -1595,6 +1595,169 @@ object RelationalQueries {
           / sum(rev), 6).as("promo_pct"))
   }
 
+  /** TPC-H Q4 (order priority checking), adapted to the reduced schema:
+    * the testdata carries no l_commitdate/l_receiptdate, so "late line"
+    * becomes l_shipdate > o_orderdate + 60 days — same plan shape as the
+    * original: a quarter of orders EXISTS-checked against lineitem.
+    *
+    * Shape: the quarter filter pushes to the orders scan; the EXISTS is
+    * a LEFT SEMI hash join on orderkey with the non-equi lateness
+    * conjunct riding as a residual — no row explosion, no distinct.
+    */
+  val qSqlTpch4: QueryDef = QueryDef.sql("q_sql_tpch4",
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .where(col("o_orderdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01 00:00:00").cast("timestamp"))
+      .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate")),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q13 (customer order-count distribution), adapted: no
+    * o_comment column to exclude, so the histogram runs over all orders.
+    * The two-level aggregate classic — and the scale-critical plan
+    * choice is explicit: orders pre-aggregate to (custkey, cnt) FIRST
+    * (map-side combined), and only that id-sized count table left-joins
+    * the customer spine (zero-order customers surface via coalesce) —
+    * never a wide customer×orders join feeding a groupBy.
+    */
+  val qSqlTpch13: QueryDef = QueryDef.sql("q_sql_tpch13",
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |      GROUP BY c_custkey) t
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, dir) =>
+    val perCust = Tables.orders(s, dir)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("cnt"))
+    Tables.customer(s, dir).select(col("c_custkey"))
+      .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q17 (small-quantity-order revenue): lines whose quantity is
+    * below 20% of their part's average quantity, summed per brand. The
+    * avg threshold is compared EXACTLY — `qty * 5 * n < sum_qty` with a
+    * DECIMAL sum instead of `qty < 0.2 * avg` — so the boundary is
+    * bit-identical across engines (a double avg is association-ordered
+    * and would flap the gate).
+    *
+    * Shape: the brand filter broadcasts through the part join FIRST, so
+    * the per-part rollup runs over the two brands' lines only (the
+    * restriction is on a part attribute, so per-part stats are
+    * unchanged); the rollup join is partkey-keyed — no scalar subquery
+    * per row, no full-corpus second scan.
+    */
+  val qSqlTpch17: QueryDef = QueryDef.sql("q_sql_tpch17",
+    """WITH pq AS (SELECT l_partkey AS ap, sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+      |            CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY l_partkey)
+      |SELECT p_brand,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS small_qty_revenue,
+      |  CAST(count(*) AS BIGINT) AS n_lines
+      |FROM lineitem JOIN part ON p_partkey = l_partkey JOIN pq ON ap = l_partkey
+      |WHERE p_brand IN ('Brand#4', 'Brand#17')
+      |  AND CAST(l_quantity AS DECIMAL(12,2)) * 5 * n < sq
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (s, dir) =>
+    import graft.ops.Relational.money
+    val liB = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+          .where(col("p_brand").isin("Brand#4", "Brand#17"))
+          .select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+    val pq = liB.groupBy(col("l_partkey").as("ap"))
+      .agg(sum(money(col("l_quantity"))).as("sq"), count(lit(1)).as("n"))
+    liB.join(pq, col("l_partkey") === col("ap"))
+      .where(money(col("l_quantity")) * lit(5) * col("n") < col("sq"))
+      .groupBy(col("p_brand"))
+      .agg(sum(money(col("l_extendedprice"))).cast("double").as("small_qty_revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** TPC-H Q19 (discounted revenue, disjunctive predicates): the
+    * OR-of-conjunction classic that stresses predicate handling — each
+    * disjunct ties a brand to a size band AND a quantity band. The
+    * part-only component (the brand IN-list) is pre-pushed into the
+    * broadcast side, the canonical Q19 plan; the mixed disjunction rides
+    * the joined scan as one codegen'd filter.
+    */
+  val qSqlTpch19: QueryDef = QueryDef.sql("q_sql_tpch19",
+    """SELECT
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  CAST(count(*) AS BIGINT) AS n_lines
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#4'  AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 20)
+      |   OR (p_brand = 'Brand#17' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+      |   OR (p_brand = 'Brand#7'  AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)""".stripMargin) { (s, dir) =>
+    import graft.ops.Relational.revenue
+    def arm(brand: String, s0: Int, s1: Int, q0: Int, q1: Int) =
+      col("p_brand") === brand &&
+        col("p_size").between(s0, s1) && col("l_quantity").between(q0, q1)
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+          .where(col("p_brand").isin("Brand#4", "Brand#17", "Brand#7"))
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .where(arm("Brand#4", 1, 15, 1, 20) ||
+        arm("Brand#17", 10, 30, 10, 35) ||
+        arm("Brand#7", 20, 50, 20, 50))
+      .agg(revenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  /** TPC-H Q22 (global sales opportunity), adapted: no c_phone, so the
+    * country-code slice becomes the nation dim, and "never ordered"
+    * (empty at this data's density) becomes "no order since 1998" —
+    * rich idle accounts worth a sales call, grouped by nation. The
+    * above-average-balance threshold compares EXACTLY
+    * (`bal * n > sum_bal`, the Q17 discipline).
+    *
+    * Shape: one-row positive-balance stats broadcast into the customer
+    * scan (allowlisted scalar cross); the NOT EXISTS is a LEFT ANTI
+    * hash join against the date-filtered orders projection.
+    */
+  val qSqlTpch22: QueryDef = QueryDef.sql("q_sql_tpch22",
+    """WITH t AS (SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) AS s, CAST(count(*) AS BIGINT) AS n
+      |           FROM customer WHERE c_acctbal > 0.0)
+      |SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+      |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey, t
+      |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * t.n > t.s
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+      |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+    import graft.ops.Relational.money
+    val stats = Tables.customer(s, dir).where(col("c_acctbal") > 0.0)
+      .agg(sum(money(col("c_acctbal"))).as("s"), count(lit(1)).as("n"))
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir)
+          .where(col("o_orderdate") >= lit("1998-01-01 00:00:00").cast("timestamp"))
+          .select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(stats))
+      .where(money(col("c_acctbal")) * col("n") > col("s"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(money(col("c_acctbal"))).cast("double").as("totacctbal"))
+      .orderBy(col("n_name"))
+  }
+
   val all: Seq[QueryDef] = Seq(q1Agg, qJoinAgg, qBroadcastJoin, qTopk,
     qWindowRank, qSetops, qRollup, qDistinctAgg, qSemiJoin, qAntiJoin,
     qAsofJoin, qAsofForward, qPercentileStats, qCube, qRunningSum, qRangeJoin,
@@ -1603,5 +1766,6 @@ object RelationalQueries {
     qChangelogCompact, qSkyline, qSnapshotDiff, qHistogram,
     qSkewAudit, qIvmMerge, qDecileProfile, qAbTest, qAsofJoinNative,
     qChi2Independence, qSqlTpch3, qSqlTpch5, qSqlTpch18, qSqlTpch10,
-    qSqlTpch14, qSqlTpch1, qSqlTpch7, qSqlTpch8, qMergeUpsert)
+    qSqlTpch14, qSqlTpch1, qSqlTpch7, qSqlTpch8, qMergeUpsert,
+    qSqlTpch4, qSqlTpch13, qSqlTpch17, qSqlTpch19, qSqlTpch22)
 }

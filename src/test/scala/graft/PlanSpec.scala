@@ -164,6 +164,9 @@ class PlanSpec extends SparkSpec {
       "q_ab_test",
       // one-row corpus-midpoint scalar broadcast into the half split
       "embed_centroid_shift",
+      // one-row positive-balance (Σbal, n) scalar broadcast into the
+      // anti-joined customer scan (the Q22 threshold)
+      "q_sql_tpch22",
       // k-row BROADCAST centroid table × corpus scan (ml.KMeans.assign,
       // and the IVF probe ranking over the same table): the r10 scale
       // fix — candidates stream into a map-side-combined argmin, plan
