@@ -1719,6 +1719,49 @@ object RelationalQueries {
         count(lit(1)).as("n_lines"))
   }
 
+  /** TPC-H Q9 (product-type profit), adapted: no partsupp table, so
+    * supply cost proxies as `quantity × p_retailprice × 0.5` (a part
+    * attribute — the join graph and the profit-arithmetic shape are the
+    * original's). Profit per supplier nation per order year for parts
+    * whose name contains 'red', all arithmetic DECIMAL-exact with the
+    * 0.5 written identically in both engines.
+    *
+    * Shape: the LIKE filter prunes part BEFORE its broadcast; supplier
+    * and nation broadcast; the only shuffle join is lineitem⋈orders on
+    * the fact key — the canonical Q9 plan at scale.
+    */
+  val qSqlTpch9: QueryDef = QueryDef.sql("q_sql_tpch9",
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+      |         - CAST(l_quantity AS DECIMAL(12,2)) * CAST(p_retailprice AS DECIMAL(12,2)) * 0.5) AS DOUBLE) AS profit
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |WHERE p_name LIKE '%red%'
+      |GROUP BY n_name, year(o_orderdate)
+      |ORDER BY nation, o_year DESC""".stripMargin) { (s, dir) =>
+    import graft.ops.Relational.{money, rate}
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)
+          .where(col("p_name").contains("red"))
+          .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount")))
+          - money(col("l_quantity")) * money(col("p_retailprice")) * lit(BigDecimal("0.5")))
+        .cast("double").as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
   /** TPC-H Q22 (global sales opportunity), adapted: no c_phone, so the
     * country-code slice becomes the nation dim, and "never ordered"
     * (empty at this data's density) becomes "no order since 1998" —
@@ -1767,5 +1810,5 @@ object RelationalQueries {
     qSkewAudit, qIvmMerge, qDecileProfile, qAbTest, qAsofJoinNative,
     qChi2Independence, qSqlTpch3, qSqlTpch5, qSqlTpch18, qSqlTpch10,
     qSqlTpch14, qSqlTpch1, qSqlTpch7, qSqlTpch8, qMergeUpsert,
-    qSqlTpch4, qSqlTpch13, qSqlTpch17, qSqlTpch19, qSqlTpch22)
+    qSqlTpch4, qSqlTpch13, qSqlTpch17, qSqlTpch19, qSqlTpch22, qSqlTpch9)
 }
