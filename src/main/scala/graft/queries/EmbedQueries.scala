@@ -1945,6 +1945,113 @@ object EmbedQueries {
       .orderBy(col("label"))
   }
 
+  /** HYBRID RETRIEVAL with reciprocal-rank fusion (Cormack et al.,
+    * SIGIR 2009): each query document ranks the candidate corpus twice —
+    * a LEXICAL arm (BM25 of the candidate against the query doc's
+    * distinct terms; query-side tf collapsed to 1, the standard choice)
+    * and a VECTOR arm (embedding cosine, vec_id = doc_id) — and the two
+    * top-20 lists fuse by rrf = Σ 1/(60 + rank), top-10 per query. A doc
+    * found by only one arm keeps that arm's contribution (outer-join
+    * fusion), which is the whole point: the arms' failure modes differ.
+    *
+    * Determinism: both arms rank on 6-decimal-rounded scores with nid
+    * tiebreak; the rrf contributions 1/(60+r) are exact rational →
+    * IEEE-identical doubles in both engines, summed in fixed arm order.
+    *
+    * Scale shape: the query block broadcasts through both arms (the
+    * allowlisted knn-brute cross); the candidate tf table shuffles on
+    * word only after the broadcast query-vocabulary semi-filter; at
+    * 100 TB the arms swap in their banded twins (inverted-index join =
+    * text_inverted_index's plan, LSH buckets = embed_knn_lsh's) with the
+    * fusion stage unchanged — fusion only ever sees 2×20 rows per query.
+    */
+  val retrievalHybridRrf: QueryDef = {
+    val (k1, b) = (1.2, 0.75)
+    QueryDef.sql("retrieval_hybrid_rrf",
+      s"""WITH $duckVectors,
+         |q2 AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
+         |c2 AS (SELECT vec_id AS nid, v AS cv FROM v WHERE vec_id >= 10),
+         |vp AS (SELECT qid, nid, ${duckCos("qv", "cv")} AS sim FROM c2, q2),
+         |vk AS (SELECT qid, nid, vec_rnk FROM (
+         |  SELECT qid, nid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS vec_rnk
+         |  FROM vp WHERE sim IS NOT NULL) WHERE vec_rnk <= 20),
+         |qt AS (SELECT DISTINCT qid, word FROM
+         |  (SELECT doc_id AS qid, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+         |   FROM documents WHERE doc_id < 10)),
+         |cd AS (SELECT doc_id AS nid, CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS DOUBLE) AS dl
+         |       FROM documents WHERE doc_id >= 10),
+         |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM cd),
+         |tf AS (SELECT nid, word, CAST(count(*) AS DOUBLE) AS tf
+         |       FROM (SELECT doc_id AS nid, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+         |             FROM documents WHERE doc_id >= 10)
+         |       WHERE word IN (SELECT word FROM qt) GROUP BY 1, 2),
+         |df AS (SELECT word, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY word),
+         |ls AS (SELECT qt.qid, tf.nid,
+         |         sum(ln((s.n - f.df + 0.5) / (f.df + 0.5) + 1)
+         |             * tf.tf * ${k1 + 1} / (tf.tf + $k1 * (1 - $b + $b * d.dl / s.avgdl))) AS score
+         |       FROM qt JOIN tf ON tf.word = qt.word
+         |       JOIN df f ON f.word = tf.word JOIN cd d ON d.nid = tf.nid CROSS JOIN stats s
+         |       GROUP BY 1, 2),
+         |lk AS (SELECT qid, nid, lex_rnk FROM (
+         |  SELECT qid, nid, CAST(row_number() OVER (PARTITION BY qid ORDER BY round(score, 6) DESC, nid) AS BIGINT) AS lex_rnk
+         |  FROM ls) WHERE lex_rnk <= 20),
+         |fu AS (SELECT coalesce(lk.qid, vk.qid) AS qid, coalesce(lk.nid, vk.nid) AS nid,
+         |         lk.lex_rnk, vk.vec_rnk,
+         |         round(coalesce(CAST(1.0 AS DOUBLE) / (60 + lk.lex_rnk), 0.0)
+         |             + coalesce(CAST(1.0 AS DOUBLE) / (60 + vk.vec_rnk), 0.0), 6) AS rrf
+         |       FROM lk FULL OUTER JOIN vk ON lk.qid = vk.qid AND lk.nid = vk.nid)
+         |SELECT qid, nid, lex_rnk, vec_rnk, rrf, frnk FROM (
+         |  SELECT qid, nid, lex_rnk, vec_rnk, rrf,
+         |    CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, nid) AS BIGINT) AS frnk FROM fu)
+         |WHERE frnk <= 10 ORDER BY qid, frnk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.TextOps
+      val w = (arm: String) => Window.partitionBy(col("qid")).orderBy(col(arm).desc, col("nid"))
+      // vector arm
+      val v = Similarity.vectors(Tables.embeddings(s, dir))
+      val vk = v.where(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("v").as("cv"))
+        .crossJoin(broadcast(v.where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))))
+        .withColumn("sim", Similarity.cosine("qv", "cv"))
+        .where(col("sim").isNotNull)
+        .withColumn("vec_rnk", row_number().over(w("sim")).cast("long"))
+        .where(col("vec_rnk") <= 20).select(col("qid"), col("nid"), col("vec_rnk"))
+      // lexical arm (the text_bm25 formula, query docs as the term source)
+      val docs = Tables.documents(s, dir)
+      val qt = docs.where(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"), explode(TextOps.wordsExpr).as("word")).distinct()
+      val cd = docs.where(col("doc_id") >= 10)
+        .select(col("doc_id").as("nid"),
+          expr("regexp_count(lower(text), '[a-z0-9]+')").cast("double").as("dl"))
+      val stats = cd.agg(count(lit(1)).cast("double").as("n"), avg(col("dl")).as("avgdl"))
+      val tf = docs.where(col("doc_id") >= 10)
+        .select(col("doc_id").as("nid"), explode(TextOps.wordsExpr).as("word"))
+        .join(broadcast(qt.select(col("word")).distinct()), "word")
+        .groupBy(col("nid"), col("word")).agg(count(lit(1)).cast("double").as("tf"))
+      val df = tf.groupBy(col("word")).agg(count(lit(1)).cast("double").as("df"))
+      val lk = broadcast(qt).join(tf, "word").join(broadcast(df), "word")
+        .join(cd, "nid").crossJoin(broadcast(stats))
+        .groupBy(col("qid"), col("nid"))
+        .agg(sum(log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1)
+            * col("tf") * (k1 + 1)
+            / (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .as("score"))
+        .withColumn("r6", round(col("score"), 6))
+        .withColumn("lex_rnk", row_number().over(w("r6")).cast("long"))
+        .where(col("lex_rnk") <= 20).select(col("qid"), col("nid"), col("lex_rnk"))
+      // fusion
+      lk.join(vk, Seq("qid", "nid"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(60) + col("lex_rnk")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("vec_rnk")), lit(0.0)), 6))
+        .withColumn("frnk", row_number().over(w("rrf")).cast("long"))
+        .where(col("frnk") <= 10)
+        .select(col("qid"), col("nid"), col("lex_rnk"), col("vec_rnk"), col("rrf"), col("frnk"))
+        .orderBy(col("qid"), col("frnk"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(embedKnnBrute, embedKnnLsh, embedCentroids,
     multimodalMeta, multimodalFramesample, multimodalResize, embedNorms,
     embedKnnIvf, embedKnnIvfKmeans, embedClusterPurity, embedKmeansElbow,
@@ -1953,5 +2060,5 @@ object EmbedQueries {
     embedMultiprobeRecall, embedPqRecall, embedKnnIvfPq, multimodalFeatures, embedHardNegatives,
     embedRandomProjection, embedKmeans, embedPca, embedOutliers,
     embedMatryoshkaRecall, multimodalPhashDedup, embedDedupSweep, embedMmr,
-    embedCentroidShift)
+    embedCentroidShift, retrievalHybridRrf)
 }

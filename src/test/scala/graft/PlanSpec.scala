@@ -167,6 +167,9 @@ class PlanSpec extends SparkSpec {
       // one-row positive-balance (Σbal, n) scalar broadcast into the
       // anti-joined customer scan (the Q22 threshold)
       "q_sql_tpch22",
+      // 10-query broadcast block × candidate scan (the knn-brute shape)
+      // in the vector arm + one-row corpus stats in the BM25 arm
+      "retrieval_hybrid_rrf",
       // k-row BROADCAST centroid table × corpus scan (ml.KMeans.assign,
       // and the IVF probe ranking over the same table): the r10 scale
       // fix — candidates stream into a map-side-combined argmin, plan
