@@ -1762,6 +1762,39 @@ object RelationalQueries {
       .orderBy(col("nation"), col("o_year").desc)
   }
 
+  /** TPC-H Q15 (top supplier): one quarter's revenue per supplier, then
+    * the supplier(s) whose revenue EQUALS the maximum — the classic
+    * aggregate-joined-against-its-own-max (the original's view). The
+    * equality compares the DECIMAL sums directly (exact, so the tie
+    * semantics are real, not float-lucky); the one-row max broadcasts.
+    */
+  val qSqlTpch15: QueryDef = QueryDef.sql("q_sql_tpch15",
+    """WITH rev AS (SELECT l_suppkey AS supplier_no,
+      |    sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+      |FROM supplier JOIN rev ON s_suppkey = supplier_no,
+      |  (SELECT max(total_rev) AS m FROM rev) t
+      |WHERE total_rev = t.m
+      |ORDER BY s_suppkey""".stripMargin) { (s, dir) =>
+    import graft.ops.Relational.{money, rate}
+    val rev = Tables.lineitem(s, dir)
+      .where(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01 00:00:00").cast("timestamp"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum(money(col("l_extendedprice")) * (lit(1) - rate(col("l_discount"))))
+        .as("total_rev"))
+    rev.crossJoin(broadcast(rev.agg(max(col("total_rev")).as("m"))))
+      .where(col("total_rev") === col("m"))
+      .join(broadcast(Tables.supplier(s, dir).select(col("s_suppkey"), col("s_name"))),
+        col("supplier_no") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_rev").cast("double").as("total_rev"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** TPC-H Q22 (global sales opportunity), adapted: no c_phone, so the
     * country-code slice becomes the nation dim, and "never ordered"
     * (empty at this data's density) becomes "no order since 1998" —
@@ -1810,5 +1843,6 @@ object RelationalQueries {
     qSkewAudit, qIvmMerge, qDecileProfile, qAbTest, qAsofJoinNative,
     qChi2Independence, qSqlTpch3, qSqlTpch5, qSqlTpch18, qSqlTpch10,
     qSqlTpch14, qSqlTpch1, qSqlTpch7, qSqlTpch8, qMergeUpsert,
-    qSqlTpch4, qSqlTpch13, qSqlTpch17, qSqlTpch19, qSqlTpch22, qSqlTpch9)
+    qSqlTpch4, qSqlTpch13, qSqlTpch17, qSqlTpch19, qSqlTpch22, qSqlTpch9,
+    qSqlTpch15)
 }

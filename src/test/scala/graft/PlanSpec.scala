@@ -170,6 +170,8 @@ class PlanSpec extends SparkSpec {
       // 10-query broadcast block × candidate scan (the knn-brute shape)
       // in the vector arm + one-row corpus stats in the BM25 arm
       "retrieval_hybrid_rrf",
+      // one-row max-revenue scalar broadcast into the supplier rollup
+      "q_sql_tpch15",
       // k-row BROADCAST centroid table × corpus scan (ml.KMeans.assign,
       // and the IVF probe ranking over the same table): the r10 scale
       // fix — candidates stream into a map-side-combined argmin, plan
