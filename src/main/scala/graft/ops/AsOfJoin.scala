@@ -128,6 +128,32 @@ object AsOfJoin {
       carryAttrs, matched))
   }
 
+  /** TOLERANCED as-of join (pandas `merge_asof(tolerance=...)`): the
+    * backward match only counts when the matched row is RECENT ENOUGH —
+    * `left.ts - matched.ts <= toleranceMicros` — otherwise every asof_*
+    * output nulls out (LEFT semantics keep the row). This is a pure
+    * post-mask over [[asofJoin]]/[[asofJoinNative]]: the nearest
+    * predecessor is already the window/merge result, so tolerance never
+    * changes WHICH row matches, only whether the match stands. Costs one
+    * extra projection — the exchange/merge shape (and the 100 TB story)
+    * is exactly the underlying formulation's.
+    */
+  def asofJoinWithin(left: DataFrame, leftKey: String, leftTs: String,
+                     right: DataFrame, rightKey: String, rightTs: String,
+                     carry: Seq[String], toleranceMicros: Long,
+                     native: Boolean = false): DataFrame = {
+    require(toleranceMicros >= 0, "asofJoinWithin: tolerance must be >= 0")
+    val joined =
+      if (native) asofJoinNative(left, leftKey, leftTs, right, rightKey, rightTs, carry)
+      else asofJoin(left, leftKey, leftTs, right, rightKey, rightTs, carry)
+    val in = col("asof_ts").isNotNull &&
+      unix_micros(col(leftTs)) - unix_micros(col("asof_ts")) <= toleranceMicros
+    val masked = joined.withColumn("__in_tol", in)
+    ("asof_ts" +: carry.map(c => s"asof_$c"))
+      .foldLeft(masked)((df, c) => df.withColumn(c, when(col("__in_tol"), col(c))))
+      .drop("__in_tol")
+  }
+
   /** FORWARD as-of join: for each left row, the EARLIEST right row with
     * `right.ts >= left.ts` on the same key — pure REUSE of the backward
     * machinery on a NEGATED microsecond axis (latest −rts ≤ −ts is

@@ -1249,6 +1249,71 @@ object BicisQueries {
       .orderBy(col("user_id"))
   }
 
+  /** STL-style additive decomposition of the GLOBAL hourly volume series:
+    * trend = centered 25-hour moving average over the dense zero-filled
+    * hour spine, seasonal = the hour-of-day mean of the detrended
+    * series, resid = what's left. The classic pre-modeling decomposition
+    * (Cleveland's STL with the loess passes replaced by their moving-
+    * average/seasonal-mean skeleton — the part that is exactly
+    * expressible in both engines); complements series_seasonality
+    * (variance share) with the actual per-hour components. Edge hours
+    * without a full ±12 window are excluded (no partial-window bias).
+    *
+    * Determinism: counts are BIGINT, the MA is an exact BIGINT window
+    * sum, and seasonal/resid are emitted from the common-denominator
+    * integer forms — trend·25 = sw, seasonal·25·cntₕ = 25·snₕ − sswₕ —
+    * so every output is ONE double division of exact integers, round-6.
+    *
+    * Scale: the only event-sized operation is the hour-count aggregate;
+    * the spine, window and seasonal profile run over CALENDAR-sized
+    * rows (hours in the time span — ~90k per decade, independent of
+    * corpus size), so the single-partition ordered window is bounded by
+    * the calendar, not the data (the series_acf argument).
+    */
+  val seriesStl: QueryDef = QueryDef.sql("series_stl",
+    """WITH c AS (SELECT CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hd,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |b AS (SELECT min(hd) AS d0, max(hd) AS d1 FROM c),
+      |sp AS (SELECT unnest(range(d0, d1 + 1)) AS hd FROM b),
+      |s AS (SELECT sp.hd, coalesce(c.n, 0) AS n FROM sp LEFT JOIN c ON c.hd = sp.hd),
+      |w AS (SELECT hd, n,
+      |        CAST(sum(n) OVER (ORDER BY hd ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS BIGINT) AS sw
+      |      FROM s),
+      |i AS (SELECT w.hd, w.hd % 24 AS h, w.n, w.sw
+      |      FROM w, b WHERE w.hd BETWEEN b.d0 + 12 AND b.d1 - 12),
+      |g AS (SELECT h, CAST(count(*) AS BIGINT) AS cnt, CAST(sum(n) AS BIGINT) AS sn,
+      |        CAST(sum(sw) AS BIGINT) AS ssw
+      |      FROM i GROUP BY h)
+      |SELECT i.hd, i.h, i.n,
+      |  round(i.sw / 25.0, 6) AS trend,
+      |  round((25 * g.sn - g.ssw) / (25.0 * g.cnt), 6) AS seasonal,
+      |  round((25 * g.cnt * i.n - g.cnt * i.sw - (25 * g.sn - g.ssw)) / (25.0 * g.cnt), 6) AS resid
+      |FROM i JOIN g USING (h) ORDER BY hd""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.events(s, dir)
+      .groupBy(floor(unix_micros(col("ts")) / lit(3600000000L)).cast("long").as("hd"))
+      .agg(count(lit(1)).as("n"))
+    val b = c.agg(min(col("hd")).as("d0"), max(col("hd")).as("d1"))
+    val spine = b.select(explode(sequence(col("d0"), col("d1"))).as("hd"))
+    val ser = spine.join(c, Seq("hd"), "left")
+      .select(col("hd"), coalesce(col("n"), lit(0L)).as("n"))
+    val ma = ser.withColumn("sw",
+      sum(col("n")).over(Window.orderBy(col("hd")).rowsBetween(-12, 12)))
+    val i = ma.crossJoin(broadcast(b))
+      .where(col("hd").between(col("d0") + 12, col("d1") - 12))
+      .select(col("hd"), (col("hd") % 24).as("h"), col("n"), col("sw"))
+    val g = i.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n")).as("sn"), sum(col("sw")).as("ssw"))
+    i.join(broadcast(g), Seq("h"))
+      .select(col("hd"), col("h"), col("n"),
+        round(col("sw") / lit(25.0), 6).as("trend"),
+        round((lit(25) * col("sn") - col("ssw")) / (lit(25.0) * col("cnt")), 6).as("seasonal"),
+        round((lit(25) * col("cnt") * col("n") - col("cnt") * col("sw") -
+          (lit(25) * col("sn") - col("ssw"))) / (lit(25.0) * col("cnt")), 6).as("resid"))
+      .orderBy(col("hd"))
+  }
+
   /** S5/S6 WRITE PATH under the oracle gate — the last spec-only sink op
     * gets a hard CORRECTNESS row. [[graft.core.Sinks.shardedParquet]]
     * writes the documents projection directory-partitioned by
@@ -1315,6 +1380,6 @@ object BicisQueries {
     seriesAnomaly, qIntervalCoverage, seriesSeasonality,
     seriesCrossCorr, seriesCusum, seriesAcf, seriesSnaiveEval,
     seriesM4Downsample, seriesTrend, seriesBurstiness, seriesHolt,
-    qOrcRoundtrip)
+    qOrcRoundtrip, seriesStl)
 
 }

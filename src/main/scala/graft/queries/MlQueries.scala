@@ -599,6 +599,83 @@ object MlQueries {
       .orderBy(col("lang"), col("source"), col("len_bucket"))
   }
 
+  /** L-DIVERSITY audit — k-anonymity's stronger sibling (Machanavajjhala
+    * et al. 2007): a quasi-identifier class can be large (k-anonymous)
+    * yet still leak if every member shares the SAME sensitive value, so
+    * the release gate also requires >= l distinct sensitive values per
+    * class. Quasi-identifiers here are (source, length-bucket), the
+    * sensitive attribute is lang, l = 3. Same one-rollup cost shape as
+    * ml_k_anonymity: the distinct count is a map-side-combinable
+    * aggregate over integer-derived keys — one pass at any corpus size.
+    */
+  val mlLDiversity: QueryDef = QueryDef.sql("ml_l_diversity",
+    """WITH c AS (SELECT source,
+      |    least(CAST(n_chars AS BIGINT) // 200, 9) AS len_bucket, lang
+      |  FROM documents)
+      |SELECT source, len_bucket, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count(DISTINCT lang) AS BIGINT) AS n_sensitive,
+      |  count(DISTINCT lang) < 3 AS at_risk
+      |FROM c GROUP BY 1, 2 ORDER BY source, len_bucket""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .select(col("source"),
+        least(expr("CAST(n_chars AS BIGINT) div 200"), lit(9L)).as("len_bucket"),
+        col("lang"))
+      .groupBy(col("source"), col("len_bucket"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("lang")).as("n_sensitive"))
+      .withColumn("at_risk", col("n_sensitive") < 3)
+      .orderBy(col("source"), col("len_bucket"))
+  }
+
+  /** Per-group ordinary least squares (price-per-quantity line per
+    * return flag) from the five MOMENT SUMS — the closed-form fit every
+    * feature-importance / drift-detection pass runs before paying for a
+    * real model. Scale shape: one map-side-combined aggregate pass
+    * computes (n, Σx, Σy, Σxy, Σx², Σy²) per group; slope/intercept/r²
+    * are per-group scalar arithmetic on the 1-row-per-group result —
+    * the same "sufficient statistics, then closed form" discipline as
+    * ml_zscore, and the distributed-OLS textbook shape (d features cost
+    * a d² matrix per group, never a second data pass).
+    *
+    * Determinism: inputs go through DECIMAL(12,2) casts so all five
+    * sums are EXACT and order-independent in both engines; each sum is
+    * then cast to DOUBLE once and combined with the textually identical
+    * IEEE expression (the series_acf recipe), round-6.
+    */
+  val mlLinreg: QueryDef = QueryDef.sql("ml_linreg",
+    """WITH m AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+      |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+      |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+      |  round((sy * sxx - sx * sxy) / (n * sxx - sx * sx), 6) AS intercept,
+      |  round(((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+      |        ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+      |FROM m ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+    val dx = col("l_quantity").cast("decimal(12,2)")
+    val dy = col("l_extendedprice").cast("decimal(12,2)")
+    val m = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(dx).cast("double").as("sx"), sum(dy).cast("double").as("sy"),
+        sum(dx * dy).cast("double").as("sxy"),
+        sum(dx * dx).cast("double").as("sxx"),
+        sum(dy * dy).cast("double").as("syy"))
+    m.select(col("l_returnflag"), col("n"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("slope"),
+        round((col("sy") * col("sxx") - col("sx") * col("sxy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("intercept"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy")) *
+               (col("n") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+           (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val mlLengthBuckets: QueryDef = {
     val qs = (1 to 9).map(i => s"0.${i}").mkString(", ")
     QueryDef.sql("ml_length_buckets",
@@ -861,5 +938,5 @@ object MlQueries {
     mlSampleStratified, mlPackSequences, mlMixtureSample, mlChunkDocuments,
     mlQualityFunnel, mlSampleWeighted, mlMixtureTemperature, mlFeatureHash,
     mlLengthBuckets, mlVocabCoverage, mlDpHistogram, mlMixtureEpochs,
-    mlEpochOrder, mlKAnonymity)
+    mlEpochOrder, mlKAnonymity, mlLDiversity, mlLinreg)
 }

@@ -237,6 +237,37 @@ object RelationalQueries {
       .orderBy(col("event_id"))
   }
 
+  /** TOLERANCED as-of join (ops.AsOfJoin.asofJoinWithin over the NATIVE
+    * operator): each click matched to the user's latest prior purchase
+    * ONLY if it happened within the last 6 hours — staler matches null
+    * out, row kept (the pandas `merge_asof(tolerance=...)` contract;
+    * the feature-freshness guard every point-in-time training join
+    * needs so a model never trains on months-old "latest" state).
+    * Oracle: DuckDB ASOF LEFT JOIN + the same gap mask.
+    */
+  val qAsofTolerance: QueryDef = QueryDef.sql("q_asof_tolerance",
+    """WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts AS rts, max(value) AS rvalue
+      |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |j AS (SELECT c.event_id, c.ts, p.rts, p.rvalue
+      |      FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND p.rts <= c.ts)
+      |SELECT event_id,
+      |  CASE WHEN rts IS NOT NULL AND epoch_us(ts) - epoch_us(rts) <= 21600000000 THEN rts END AS asof_ts,
+      |  CASE WHEN rts IS NOT NULL AND epoch_us(ts) - epoch_us(rts) <= 21600000000 THEN rvalue END AS asof_rvalue
+      |FROM j ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val e = Tables.events(s, dir)
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("rts"))
+      .agg(max(col("value")).as("rvalue"))
+    graft.ops.AsOfJoin.asofJoinWithin(clicks, "user_id", "ts",
+        purchases, "user_id", "rts", Seq("rvalue"),
+        toleranceMicros = 21600000000L, native = true)
+      .select(col("event_id"), col("asof_ts"), col("asof_rvalue"))
+      .orderBy(col("event_id"))
+  }
+
   /** Exact percentiles (linear interpolation — identical definition in
     * both engines) and statistical aggregates. Rounding scaled to each
     * statistic's cross-engine numeric error (see QueryDef contract).
@@ -1844,5 +1875,5 @@ object RelationalQueries {
     qChi2Independence, qSqlTpch3, qSqlTpch5, qSqlTpch18, qSqlTpch10,
     qSqlTpch14, qSqlTpch1, qSqlTpch7, qSqlTpch8, qMergeUpsert,
     qSqlTpch4, qSqlTpch13, qSqlTpch17, qSqlTpch19, qSqlTpch22, qSqlTpch9,
-    qSqlTpch15)
+    qSqlTpch15, qAsofTolerance)
 }

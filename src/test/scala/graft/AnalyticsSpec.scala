@@ -509,4 +509,70 @@ class AnalyticsSpec extends SparkSpec {
     assert(byAction("new").count(_.getAs[Long]("is_current") == 1L) == 2,
       "keys 1 and 3 each end with one open batch row")
   }
+
+  test("series_stl: additive identity holds; planted daily rhythm lands in seasonal, spike in resid") {
+    import spark.implicits._
+    // 96 hours: flat base 4/hour, +6 every day at hour-of-day 6 (the
+    // seasonal signal), +6 once at absolute hour 40 (the anomaly). With
+    // only 3 interior samples per hour-of-day a third of the anomaly
+    // leaks into seasonal@16, so the planted rhythm must out-amplitude
+    // that leak for the dominance assert — and trend + seasonal + resid
+    // must reassemble n exactly (up to round-6).
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    var id = 0L
+    val rows = for {
+      hd <- 0 until 96
+      k <- 0 until (4 + (if (hd % 24 == 6) 6 else 0) + (if (hd == 40) 6 else 0))
+    } yield {
+      id += 1
+      (id, new java.sql.Timestamp(base + hd * 3600000L + k * 60000L), 1L, "click")
+    }
+    val got = run(graft.queries.BicisQueries.seriesStl, rows).collect()
+      .map(r => (r.getAs[Long]("hd"), r.getAs[Long]("h"), r.getAs[Long]("n"),
+        r.getAs[Double]("trend"), r.getAs[Double]("seasonal"), r.getAs[Double]("resid")))
+    val d0 = rows.map(_._2.getTime / 3600000L).min
+    // interior rows only: hd 12..83 relative to the spine start
+    assert(got.map(_._1).min === d0 + 12 && got.map(_._1).max === d0 + 83)
+    assert(got.length === 72)
+    // additive identity n = trend + seasonal + resid (each rounded to 6)
+    got.foreach { case (hd, _, n, t, s0, r0) =>
+      assert(math.abs(n - (t + s0 + r0)) < 3e-6, s"additivity broken at hd=$hd") }
+    // point-check the exact MA: window of hd=20+d0 spans one hour-6 and
+    // no anomaly -> (25*4 + 3)/25; hd=42+d0 spans TWO hour-6 cells
+    // (42%24=18, the duplicated hour-of-day) plus the anomaly
+    val t20 = got.find(_._1 == d0 + 20).get._4
+    assert(math.abs(t20 - 106.0 / 25) < 1e-6, s"trend@20 = $t20")
+    val t42 = got.find(_._1 == d0 + 42).get._4
+    assert(math.abs(t42 - 118.0 / 25) < 1e-6, s"trend@42 = $t42")
+    // the daily rhythm lands in seasonal: hour 6 dominates every other
+    // hour-of-day by ~the planted +3 (minus what the MA absorbed)
+    val byH = got.groupBy(_._2).map { case (h, rs) => h -> rs.head._5 }
+    val others = (byH - 6L).values
+    assert(byH(6L) > others.max + 2.0,
+      s"seasonal@6 ${byH(6L)} not dominant over ${others.max}")
+    // the one-off spike lands in resid at exactly hd=40
+    val worst = got.maxBy(r => math.abs(r._6))
+    assert(worst._1 === d0 + 40, s"largest resid at hd=${worst._1}, not 40")
+    assert(worst._6 > 3.0, s"spike resid ${worst._6} too small")
+  }
+
+  test("ml_linreg: planted exact line recovers slope/intercept/r2=1; noise drops r2") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("linreg").toString
+    // group A: exact y = 2x + 1 -> slope 2, intercept 1, r2 1
+    // group B: same line with one off-line point -> r2 < 1, slope/intercept move
+    val a = (1 to 20).map(i => ("A", i.toDouble, 2.0 * i + 1))
+    val b = (1 to 20).map(i => ("B", i.toDouble, 2.0 * i + 1)) :+ (("B", 10.0, 200.0))
+    (a ++ b).toDF("l_returnflag", "l_quantity", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val got = graft.queries.MlQueries.mlLinreg.run(spark, tmp).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        ((r.getAs[Double]("slope"), r.getAs[Double]("intercept"), r.getAs[Double]("r2"))))
+      .toMap
+    val (sa, ia, ra) = got("A")
+    assert(math.abs(sa - 2.0) < 1e-6 && math.abs(ia - 1.0) < 1e-6 && math.abs(ra - 1.0) < 1e-6,
+      s"exact line not recovered: $got")
+    val (_, _, rb) = got("B")
+    assert(rb < 0.9, s"outlier group r2 $rb should drop well below 1")
+  }
 }

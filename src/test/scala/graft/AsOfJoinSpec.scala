@@ -177,6 +177,40 @@ class AsOfJoinSpec extends SparkSpec {
     assert(a === b)
   }
 
+  test("toleranced as-of: stale matches null out, fresh matches and LEFT rows survive") {
+    import spark.implicits._
+    def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)
+    // key 1: left@100 matches right@95 (gap 5 s <= tol 10 s, kept);
+    //        left@200 matches right@95 (gap 105 s > tol, masked to null);
+    //        left@50 has no predecessor at all (plain LEFT null)
+    // boundary: left@105 gap EXACTLY tol -> kept (inclusive bound)
+    val left = Seq((1L, 1L, ts(100)), (2L, 1L, ts(200)), (3L, 1L, ts(50)),
+      (4L, 1L, ts(105))).toDF("event_id", "user_id", "ts")
+    val right = Seq((1L, ts(95), 7.0)).toDF("user_id", "rts", "rvalue")
+    for (native <- Seq(false, true)) {
+      val got = AsOfJoin.asofJoinWithin(left, "user_id", "ts",
+          right, "user_id", "rts", Seq("rvalue"),
+          toleranceMicros = 10L * 1000000L, native = native)
+        .orderBy("event_id")
+        .select("event_id", "asof_ts", "asof_rvalue")
+        .collect().map(r => (r.getLong(0), Option(r.getTimestamp(1)).map(_.getTime),
+          Option(r.get(2)))).toSeq
+      assert(got === Seq(
+        (1L, Some(ts(95).getTime), Some(7.0)),
+        (2L, None, None),
+        (3L, None, None),
+        (4L, Some(ts(95).getTime), Some(7.0))), s"native=$native: $got")
+    }
+    // tolerance never changes WHICH row matches: with a huge tolerance
+    // the output is exactly the untoleranced as-of
+    val plain = AsOfJoin.asofJoin(left, "user_id", "ts", right, "user_id", "rts", Seq("rvalue"))
+      .orderBy("event_id").collect().map(_.toString).toSeq
+    val loose = AsOfJoin.asofJoinWithin(left, "user_id", "ts", right, "user_id", "rts",
+        Seq("rvalue"), toleranceMicros = Long.MaxValue / 2)
+      .orderBy("event_id").collect().map(_.toString).toSeq
+    assert(plain === loose)
+  }
+
   test("forward as-of survives a right ts column named 'ts' (reserved-alias carry, r9 ADVICE)") {
     import spark.implicits._
     def ts(sec: Int) = new java.sql.Timestamp(1700000000000L + sec * 1000L)

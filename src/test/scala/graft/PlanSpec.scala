@@ -177,7 +177,10 @@ class PlanSpec extends SparkSpec {
       // fix — candidates stream into a map-side-combined argmin, plan
       // O(1) in k; never a data×data cross
       "embed_kmeans", "dedup_semantic", "embed_knn_ivf_kmeans",
-      "embed_cluster_purity", "embed_kmeans_elbow", "embed_ivf_index_roundtrip")
+      "embed_cluster_purity", "embed_kmeans_elbow", "embed_ivf_index_roundtrip",
+      // one-row (d0, d1) spine-bounds scalar broadcast into the
+      // hours-sized interior filter — never event-sized
+      "series_stl")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>
