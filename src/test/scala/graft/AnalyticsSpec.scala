@@ -556,6 +556,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(worst._6 > 3.0, s"spike resid ${worst._6} too small")
   }
 
+  test("ml_naive_bayes: disjoint planted vocabularies classify every test doc correctly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("nb").toString
+    // class 'aa' speaks {alpha, beta}, class 'bb' speaks {gamma, delta} —
+    // disjoint vocab, so every test doc's true class dominates via the
+    // seen-token likelihoods while the other class pays the add-one
+    // smoothing floor on every token. Any misrouted smoothing/prior
+    // arithmetic flips a prediction.
+    val docs = (1 to 60).map { i =>
+      if (i % 2 == 0) (i.toLong, "aa", "alpha beta alpha alpha beta")
+      else (i.toLong, "bb", "gamma delta delta gamma gamma")
+    }
+    docs.toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.queries.MlQueries.mlNaiveBayes.run(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("actual"),
+        r.getAs[String]("predicted"), r.getAs[Boolean]("correct")))
+    assert(got.nonEmpty, "hash split produced an empty test set")
+    assert(got.length < 60, "hash split put everything in test")
+    got.foreach { case (id, actual, pred, correct) =>
+      assert(pred === actual && correct, s"doc $id: predicted $pred, actual $actual") }
+  }
+
   test("ml_linreg: planted exact line recovers slope/intercept/r2=1; noise drops r2") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("linreg").toString

@@ -180,7 +180,10 @@ class PlanSpec extends SparkSpec {
       "embed_cluster_purity", "embed_kmeans_elbow", "embed_ivf_index_roundtrip",
       // one-row (d0, d1) spine-bounds scalar broadcast into the
       // hours-sized interior filter — never event-sized
-      "series_stl")
+      "series_stl",
+      // 5-row class table × test-token scan (per-class scoring fanout)
+      // plus one-row vocab/total scalars — never data × data
+      "ml_naive_bayes")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>
