@@ -763,6 +763,83 @@ object GraphQueries {
     visited
   }
 
+  /** Sampled-source closeness centrality (Eppstein–Wang estimation
+    * shape): run a PER-SEED multi-source BFS — state keyed (seed, node)
+    * — for `rounds` synchronous expansions, then score each seed
+    * closeness = reached / Σdist over its distance table. The classic
+    * "how central is this node" complement to pagerank's flow
+    * centrality; sampling seeds (every 200th customer) is THE published
+    * scale recipe — exact all-pairs closeness is O(V·E) and no one runs
+    * it on a crawl graph.
+    *
+    * Same frontier discipline as [[bfsLevels]], with the visited/
+    * frontier tables (seed, node)-keyed: rows bounded by seeds × |V|
+    * (vhint'd with the per-round frontier count; at crawl scale drop
+    * the hints and pre-partition edges by src). Integer-only state —
+    * the oracle replays the identical rounds as materialized CTEs, and
+    * the one double division per seed is exact-int in, round-6 out.
+    */
+  def closenessBfs(symmetric: org.apache.spark.sql.DataFrame,
+                   seeds: org.apache.spark.sql.DataFrame,
+                   rounds: Int): org.apache.spark.sql.DataFrame = {
+    var frontier = seeds.select(col("node").as("seed"), col("node"), lit(0L).as("dist"))
+      .localCheckpoint(eager = true)
+    var visited = frontier
+    var i = 1
+    var fc = frontier.count()
+    while (i <= rounds && fc > 0) {
+      val nxt = symmetric
+        .join(vhint(frontier.select(col("seed"), col("node")), fc),
+          col("a") === col("node"))
+        .select(col("seed"), col("b").as("node")).distinct()
+        .join(visited.select(col("seed"), col("node")), Seq("seed", "node"), "leftanti")
+        .withColumn("dist", lit(i.toLong))
+        .localCheckpoint(eager = true)
+      visited = visited.unionAll(nxt)
+      frontier = nxt
+      fc = frontier.count()
+      i += 1
+    }
+    visited
+  }
+
+  val graphCloseness: QueryDef = {
+    val rounds = 4
+    def roundCte(i: Int): String = {
+      val p = i - 1
+      s"""f$i AS (SELECT DISTINCT v.seed, e.b AS node FROM e JOIN v$p v ON v.node = e.a
+         |        WHERE NOT EXISTS (SELECT 1 FROM v$p x WHERE x.seed = v.seed AND x.node = e.b)),
+         |v$i AS (SELECT seed, node, dist FROM v$p
+         |        UNION ALL SELECT seed, node, CAST($i AS BIGINT) FROM f$i)""".stripMargin
+    }
+    QueryDef.sql("graph_closeness",
+      s"""WITH ec AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+         |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS (SELECT a, b FROM ec UNION ALL SELECT b, a FROM ec),
+         |v0 AS (SELECT DISTINCT a AS seed, a AS node, CAST(0 AS BIGINT) AS dist FROM ec
+         |       WHERE a % 400 = 0),
+         |${(1 to rounds).map(roundCte).mkString(",\n")}
+         |SELECT CASE WHEN seed % 2 = 0 THEN 'c' ELSE 's' END AS kind,
+         |  seed // 2 AS key,
+         |  CAST(count(*) - 1 AS BIGINT) AS n_reached,
+         |  CAST(sum(dist) AS BIGINT) AS sum_dist,
+         |  round((count(*) - 1) / CAST(sum(dist) AS DOUBLE), 6) AS closeness
+         |FROM v$rounds GROUP BY 1, 2 ORDER BY kind, key""".stripMargin) { (s, dir) =>
+      val pairs = packedTradePairs(s, dir)
+        .select(col("c").as("a"), col("s").as("b"))
+      val edges = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+      val seeds = pairs.where(col("a") % 400 === 0).select(col("a").as("node")).distinct()
+      closenessBfs(edges, seeds, rounds)
+        .groupBy(col("seed"))
+        .agg((count(lit(1)) - 1).as("n_reached"), sum(col("dist")).as("sum_dist"))
+        .select(when(col("seed") % 2 === 0, "c").otherwise("s").as("kind"),
+          expr("seed div 2").as("key"),
+          col("n_reached"), col("sum_dist"),
+          round(col("n_reached") / col("sum_dist").cast("double"), 6).as("closeness"))
+        .orderBy(col("kind"), col("key"))
+    }
+  }
+
   /** Personalized-PageRank power loop: like [[pagerank]] but the
     * teleport mass returns to `seeds` (uniformly) instead of to every
     * node. Per round: one edges ⋈ broadcast(ranks) map-side join + one
@@ -1417,6 +1494,7 @@ object GraphQueries {
 
   val all: Seq[QueryDef] = Seq(graphPagerank, graphTriangles, graphComponents,
     graphDegreeStats, graphLabelProp, graphJaccard, graphKcore, graphBfs,
+    graphCloseness,
     graphPpr, graphRandomWalk, graphModularity, graphClusteringCoeff,
     graphAssortativity, graphReciprocity, graphHits, graphScc, graphPowerlaw)
 }

@@ -130,6 +130,24 @@ class GraphSpec extends SparkSpec {
     assert(d2(20L) == 0L && d2(21L) == 1L && d2(2L) == 2L && d2(3L) == 1L, s"$d2")
   }
 
+  test("closeness: per-seed distance tables stay independent; horizon truncates honestly") {
+    import spark.implicits._
+    // chain 0-1-2-3-4 plus island {20,21}: seed 0 must NOT inherit seed
+    // 20's island rows (per-seed keying), and with a 4-round horizon
+    // seed 0 reaches {1,2,3,4} at dists 1..4
+    val g = sym((0, 1), (1, 2), (2, 3), (3, 4), (20, 21))
+    val v = graft.queries.GraphQueries.closenessBfs(g, Seq(0L, 20L).toDF("node"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(v == Map(
+      (0L, 0L) -> 0L, (0L, 1L) -> 1L, (0L, 2L) -> 2L, (0L, 3L) -> 3L, (0L, 4L) -> 4L,
+      (20L, 20L) -> 0L, (20L, 21L) -> 1L), s"distance tables were $v")
+    // truncated horizon: 2 rounds stop at dist 2 — closeness is over
+    // the REACHED set only (the sampled-closeness contract)
+    val t = graft.queries.GraphQueries.closenessBfs(g, Seq(0L).toDF("node"), 2)
+      .agg(count(lit(1)), sum(col("dist"))).collect()(0)
+    assert(t.getLong(0) == 3L && t.getLong(1) == 3L, s"truncated table: $t")
+  }
+
   test("kcore/bfs match in-memory references on seeded random graphs") {
     import spark.implicits._
     val rng = new scala.util.Random(42)
