@@ -623,9 +623,58 @@ object StreamingReplays {
     } finally rmTree(base)
   }
 
+  /** CDC materialization through the streaming engine: the events table
+    * replayed as an in-order changelog ('view' rows are deletes, the
+    * rest upserts of `value`), applied by
+    * [[graft.streaming.Streaming.streamingCdcApply]]'s keyed
+    * current-row state; the reader takes max-version per key from the
+    * update-mode sink — exactly how a downstream consumer materializes
+    * a CDC topic. The batch oracle is the last-write-wins compaction
+    * (one window pass): final presence + value + applied-op count per
+    * key must match the stream's converged state bit-for-bit. All-
+    * integer/bool state plus a pass-through parquet double — no
+    * rounding anywhere.
+    */
+  val streamingCdcReplay: QueryDef = QueryDef.sql("streaming_cdc_replay",
+    """WITH c AS (SELECT user_id, ts, event_id,
+      |    CASE event_type WHEN 'view' THEN 'D' ELSE 'U' END AS op, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+      |    count(*) OVER (PARTITION BY user_id) AS n_ops
+      |  FROM events)
+      |SELECT user_id, CAST(n_ops AS BIGINT) AS n_ops, op = 'U' AS present,
+      |  CASE WHEN op = 'U' THEN value END AS value
+      |FROM c WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.streaming.Streaming
+    val src = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(col("event_type") === "view", "D").otherwise("U").as("op"), col("value"))
+    val (watched, base) = stageOrderedFiles(src, 4, Seq(col("ts"), col("event_id")))
+    try {
+      val stream = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watched).as[Streaming.CdcIn]
+      val sink = s"cdc_replay_${replaySeq.incrementAndGet()}"
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val query =
+        try Streaming.streamingCdcApply(s, stream)
+          .writeStream.format("memory").queryName(sink).outputMode("update").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      try query.processAllAvailable() finally query.stop()
+      import org.apache.spark.sql.expressions.Window
+      s.table(sink)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("ver").desc)))
+        .where(col("rn") === 1)
+        .select(col("user_id"), col("ver").as("n_ops"), col("present"),
+          when(col("present"), col("value")).as("value"))
+        .orderBy(col("user_id"))
+    } finally rmTree(base)
+  }
+
   val all: Seq[QueryDef] = Seq(streamingA5Replay,
     streamingSessionizeReplay, streamingIntervalJoinReplay,
     streamingOuterJoinReplay, streamingAsofReplay,
     streamingDedupReplay, streamingTumblingReplay, streamingSketchReplay,
-    streamingRatelimitReplay)
+    streamingRatelimitReplay, streamingCdcReplay)
 }

@@ -499,6 +499,51 @@ object Streaming {
       .select(out: _*)
   }
 
+  final case class CdcIn(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+                         op: String, value: Option[Double])
+  final case class CdcState(lastUs: Long, lastId: Long, present: Boolean,
+                            value: Option[Double], ver: Long)
+  final case class CdcOut(user_id: Long, ver: Long, present: Boolean, value: Option[Double])
+
+  /** CDC apply: maintain the CURRENT row per key from a changelog stream
+    * of upserts ('U' carries the new value) and deletes ('D') — the
+    * streaming twin of the batch q_merge_upsert / q_changelog_compact
+    * pair, and the keyed-state materialization every CDC-fed feature
+    * store runs. Events apply in strict (ts, event_id) order: the
+    * replay feeds chronologically-ordered micro-batches, each batch's
+    * iterator is sorted locally, and a persisted (lastUs, lastId)
+    * frontier drops stale/duplicate deliveries (at-least-once safe).
+    * Emits the key's updated state each trigger it changed, stamped
+    * with a monotone per-key version (= applied-op count) so a reader
+    * can take max-version per key as the materialized table. State is
+    * O(1) per key — a current-row store, the smallest stateful shape.
+    */
+  def streamingCdcApply(spark: SparkSession, in: Dataset[CdcIn]): Dataset[CdcOut] = {
+    import spark.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    in.groupByKey(_.user_id)
+      .flatMapGroupsWithState[CdcState, CdcOut](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (k: Long, batch: Iterator[CdcIn], state: GroupState[CdcState]) =>
+          val prev = state.getOption.getOrElse(
+            CdcState(Long.MinValue, Long.MinValue, present = false, None, 0L))
+          var st = prev
+          batch.toArray.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+            val us = micros(e.ts)
+            val fresh = us > st.lastUs || (us == st.lastUs && e.event_id > st.lastId)
+            if (fresh)
+              st =
+                if (e.op == "D") CdcState(us, e.event_id, present = false, None, st.ver + 1)
+                else CdcState(us, e.event_id, present = true, e.value, st.ver + 1)
+          }
+          if (st.ver > prev.ver) {
+            state.update(st)
+            Iterator.single(CdcOut(k, st.ver, st.present, st.value))
+          } else Iterator.empty
+      }
+  }
+
   def runningHourProfile(spark: SparkSession, events: Dataset[Ev],
                          zone: java.time.ZoneId = java.time.ZoneOffset.UTC): Dataset[ProfileRow] = {
     import spark.implicits._

@@ -523,4 +523,40 @@ class StreamingSpec extends SparkSpec {
         s"admissions were ${got.toSeq}")
     } finally query.stop()
   }
+
+  test("CDC apply: last-write-wins state, deletes tombstone, duplicate redelivery is dropped") {
+    import spark.implicits._
+    import graft.streaming.Streaming.CdcIn
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[CdcIn]
+    val query = Streaming.streamingCdcApply(spark, ms.toDS())
+      .writeStream.format("memory").queryName("cdc_t").outputMode("update").start()
+    try {
+      // batch 1: key 1 upserts 1.0 then 2.0; key 2 upserts then deletes
+      ms.addData(
+        CdcIn(1L, ts("2024-01-01 10:00:00"), 1L, "U", Some(1.0)),
+        CdcIn(1L, ts("2024-01-01 10:05:00"), 2L, "U", Some(2.0)),
+        CdcIn(2L, ts("2024-01-01 10:00:00"), 3L, "U", Some(5.0)),
+        CdcIn(2L, ts("2024-01-01 10:05:00"), 4L, "D", None))
+      query.processAllAvailable()
+      // batch 2: REDELIVERY of key 1's event 2 (stale — the frontier
+      // must drop it, ver stays put), then a real delete; key 2 revives
+      ms.addData(
+        CdcIn(1L, ts("2024-01-01 10:05:00"), 2L, "U", Some(2.0)),
+        CdcIn(1L, ts("2024-01-01 10:10:00"), 5L, "D", None),
+        CdcIn(2L, ts("2024-01-01 10:10:00"), 6L, "U", Some(9.0)))
+      query.processAllAvailable()
+      val rows = spark.table("cdc_t").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      // converged state = max-ver row per key
+      val fin = rows.groupBy(_._1).map { case (k, rs) => k -> rs.maxBy(_._2) }
+      assert(fin(1L) === ((1L, 3L, false, None)), s"key 1 final ${fin(1L)}")
+      assert(fin(2L) === ((2L, 3L, true, Some(9.0))), s"key 2 final ${fin(2L)}")
+      // the duplicate never bumped the version: no ver-4 row exists
+      assert(rows.forall(_._2 <= 3L), s"redelivery bumped a version: ${rows.toSeq}")
+      // batch-1 intermediate emission for key 1 was the 2.0 upsert
+      assert(rows.contains((1L, 2L, true, Some(2.0))), s"rows were ${rows.toSeq}")
+    } finally query.stop()
+  }
 }
