@@ -88,6 +88,38 @@ object KMeans {
       .groupBy(col("cl"))
       .agg(expr("transform(array_sort(collect_list(struct(i, x))), p -> p.x)").as("cv"))
 
+  /** Project a `(cl, cv)` centroid frame onto the unit sphere:
+    * cv ← round(cv / ‖cv‖, 6) with the shared ascending-fold norm.
+    * Rounding after the division keeps both engines' next-round argmin
+    * inputs bit-equal (the [[update]] discipline).
+    */
+  def renormalize(cents: DataFrame): DataFrame =
+    cents
+      .withColumn("__n2", Similarity.dot("cv", "cv"))
+      .select(col("cl"), expr("transform(cv, x -> round(x / sqrt(__n2), 6))").as("cv"))
+
+  /** Spherical k-means (Dhillon & Modha 2001): Lloyd on UNIT vectors
+    * with mean-then-renormalize updates — the cosine-geometry variant
+    * every embedding-space quantizer (IVF coarse cells over normalized
+    * embeddings, SemDeDup's sphere) actually wants. Callers pass
+    * unit-normalized `v` (and seeds drawn from it); with all ‖·‖ = 1
+    * (to round-6) the [[assign]] d2-argmin IS the cosine argmax, so the
+    * kernel, its broadcast-table scale shape and the determinism
+    * contract are inherited wholesale — the only new step is the
+    * per-round [[renormalize]].
+    */
+  def fitSpherical(v: DataFrame, seeds: DataFrame, iters: Int,
+                   idCol: String = "vec_id"): (DataFrame, DataFrame) = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    var cents = seeds
+    var assigned: DataFrame = null
+    for (t <- 1 to iters) {
+      assigned = assign(v, cents, idCol)
+      if (t < iters) cents = renormalize(update(assigned)).localCheckpoint(true)
+    }
+    (assigned, cents)
+  }
+
   /** `iters` Lloyd rounds from `seeds`: assign → (update → assign)^
     * (iters−1). Returns the FINAL assigned frame (cl, d2 relative to
     * the last centroid table) and that centroid table itself (for

@@ -1473,6 +1473,61 @@ object EmbedQueries {
     }
   }
 
+  /** SPHERICAL k-means (cosine Lloyd, Dhillon & Modha 2001): unit-
+    * normalize the corpus once (round-6 components), seed from the k
+    * smallest ids, and iterate [[graft.ml.KMeans.fitSpherical]] —
+    * assign on the broadcast centroid table (with all norms 1 the
+    * d2-argmin IS the cosine argmax), update by mean-then-renormalize.
+    * This is the quantizer embedding pipelines actually train for
+    * cosine retrieval (IVF cells over normalized embeddings); beside
+    * [[embedKmeans]] it pins that the kernel generalizes beyond
+    * Euclidean geometry with zero new shuffle shapes. Determinism: the
+    * embed_kmeans contract plus one more round-6 after each
+    * renormalize, mirrored CTE-for-CTE by the oracle.
+    */
+  val embedSphericalKmeans: QueryDef = {
+    val k = 4; val iters = 3; val dim = 64
+    def duckD2(vc: String, cc: String): String =
+      s"""list_sum([$vc[i] * $vc[i] for i in range(1, ${dim + 1})]) +
+         |      list_sum([$cc[i] * $cc[i] for i in range(1, ${dim + 1})]) -
+         |      2 * list_sum([$vc[i] * $cc[i] for i in range(1, ${dim + 1})])""".stripMargin
+    def duckRenorm(src: String): String =
+      s"[round($src[i + 1] / sqrt(list_sum([$src[j] * $src[j] for j in range(1, ${dim + 1})])), 6) for i in range(0, $dim)]"
+    val iterCtes = (1 to iters).map { t =>
+      val upd =
+        s"""u$t AS (SELECT cl, i, round(avg(v[i]), 6) AS x
+           |       FROM a$t, range(1, ${dim + 1}) r(i) GROUP BY cl, i),
+           |m$t AS (SELECT cl, list(x ORDER BY i) AS mv FROM u$t GROUP BY cl),
+           |c$t AS (SELECT cl, ${duckRenorm("mv")} AS cv FROM m$t)""".stripMargin
+      val body =
+        s"""d$t AS (SELECT vec_id, v, cl, ${duckD2("v", "cv")} AS d2 FROM v, c${t - 1}),
+           |a$t AS (SELECT vec_id, v, cl, d2 FROM (
+           |         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rk
+           |         FROM d$t) WHERE rk = 1)""".stripMargin
+      if (t < iters) s"$body,\n$upd" else body
+    }.mkString(",\n")
+    QueryDef.sql("embed_spherical_kmeans",
+      s"""WITH r0 AS (SELECT vec_id, embedding::DOUBLE[] AS rv FROM embeddings),
+         |v AS (SELECT vec_id, ${duckRenorm("rv")} AS v FROM r0),
+         |c0 AS (SELECT vec_id AS cl, v AS cv FROM v ORDER BY vec_id LIMIT $k),
+         |$iterCtes
+         |SELECT cl AS cluster, CAST(count(*) AS BIGINT) AS n,
+         |  round(sum(d2), 3) AS inertia, round(avg(d2), 6) AS avg_d2
+         |FROM a$iters GROUP BY cl ORDER BY cluster""".stripMargin) { (s, dir) =>
+      val raw = Similarity.vectors(Tables.embeddings(s, dir)).select(col("vec_id"), col("v"))
+      val nv = raw
+        .withColumn("__n2", Similarity.dot("v", "v"))
+        .select(col("vec_id"), expr("transform(v, x -> round(x / sqrt(__n2), 6))").as("v"))
+      val (assigned, _) = graft.ml.KMeans.fitSpherical(
+        nv, graft.ml.KMeans.seedSmallest(nv, k), iters)
+      assigned.groupBy(col("cl"))
+        .agg(count(lit(1)).as("n"), round(sum(col("d2")), 3).as("inertia"),
+          round(avg(col("d2")), 6).as("avg_d2"))
+        .select(col("cl").as("cluster"), col("n"), col("inertia"), col("avg_d2"))
+        .orderBy(col("cluster"))
+    }
+  }
+
   /** PCA leading component via the distributed Gram-reduction pattern
     * (the `RowMatrix.computePrincipalComponents` shape in plain
     * DataFrames): the ONLY corpus-sized work is the covariance build —
@@ -2060,5 +2115,5 @@ object EmbedQueries {
     embedMultiprobeRecall, embedPqRecall, embedKnnIvfPq, multimodalFeatures, embedHardNegatives,
     embedRandomProjection, embedKmeans, embedPca, embedOutliers,
     embedMatryoshkaRecall, multimodalPhashDedup, embedDedupSweep, embedMmr,
-    embedCentroidShift, retrievalHybridRrf)
+    embedCentroidShift, retrievalHybridRrf, embedSphericalKmeans)
 }

@@ -183,7 +183,9 @@ class PlanSpec extends SparkSpec {
       "series_stl",
       // 5-row class table × test-token scan (per-class scoring fanout)
       // plus one-row vocab/total scalars — never data × data
-      "ml_naive_bayes")
+      "ml_naive_bayes",
+      // the KMeans.assign broadcast-centroid cross (see embed_kmeans)
+      "embed_spherical_kmeans")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>

@@ -466,6 +466,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("fitSpherical: clusters by DIRECTION, centroids stay unit, renormalize is exact") {
+    import spark.implicits._
+    // renormalize: (3,4) -> (0.6, 0.8) exactly
+    val rn = graft.ml.KMeans.renormalize(
+        Seq((0L, Seq(3.0, 4.0))).toDF("cl", "cv"))
+      .collect()(0).getSeq[Double](1)
+    assert(rn === Seq(0.6, 0.8), s"renormalize gave $rn")
+    // two directions (x-ish, y-ish), different magnitudes pre-normalization;
+    // seeds (ids 1, 2) are one per direction — spherical Lloyd must
+    // group by angle, and every returned centroid must be unit-norm
+    def unit(x: Double, y: Double) = {
+      val n = math.sqrt(x * x + y * y)
+      def r6(v: Double) = BigDecimal(v / n).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      Seq(r6(x), r6(y))
+    }
+    val vecs = Seq(
+      1L -> unit(1, 0), 2L -> unit(0, 1),
+      3L -> unit(10, 3), 4L -> unit(3, 10),
+      5L -> unit(20, 1), 6L -> unit(1, 30))
+    val df = vecs.toDF("vec_id", "v")
+    val (assigned, cents) = graft.ml.KMeans.fitSpherical(
+      df, graft.ml.KMeans.seedSmallest(df, 2), 3)
+    val asg = assigned.collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cl")).toMap
+    assert(asg(3L) === asg(1L) && asg(5L) === asg(1L), s"x-cone split: $asg")
+    assert(asg(4L) === asg(2L) && asg(6L) === asg(2L), s"y-cone split: $asg")
+    assert(asg(1L) !== asg(2L), s"cones merged: $asg")
+    cents.collect().foreach { r =>
+      val c = r.getSeq[Double](r.fieldIndex("cv"))
+      val n2 = c.map(x => x * x).sum
+      assert(math.abs(n2 - 1.0) < 1e-5, s"centroid ${c} has norm² $n2")
+    }
+  }
+
   test("semantic dedup differential: broadcast-table path == plan-literal twin at k=ceil(sqrt(n))") {
     import org.apache.spark.sql.functions._
     // pseudo-random 16-dim frame with SPARSE, OFFSET vec_ids (3·id+100)
