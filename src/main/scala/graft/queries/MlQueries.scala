@@ -766,6 +766,101 @@ object MlQueries {
     }
   }
 
+  /** Exact AUC by the Mann–Whitney rank-sum identity, computed in the
+    * DISTRIBUTED shape: group once by score (event-sized exchange),
+    * running negative-count window over the DISTINCT-score table
+    * (value-domain-sized, like series_stl's calendar bound — never
+    * corpus-sized), then AUC = Σ p_s·(2·q_<s + q_s) / (2·nP·nN) — ties
+    * contribute the standard half credit via the ×2-integer form, so
+    * every term is an exact BIGINT and the one double division is the
+    * output. The n_chars-vs-English pairing is a stand-in scorer; the
+    * operator is the threshold-free ranking-quality gate every
+    * quality-classifier pipeline runs (a global per-row rank() window
+    * would be the naive non-scalable form — this is the groupBy
+    * identity that avoids it).
+    */
+  val mlAuc: QueryDef = QueryDef.sql("ml_auc",
+    """WITH s AS (SELECT CAST(n_chars AS BIGINT) AS score,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+      |g AS (SELECT score, CAST(sum(y) AS BIGINT) AS p,
+      |        CAST(count(*) - sum(y) AS BIGINT) AS q
+      |      FROM s GROUP BY score),
+      |c AS (SELECT score, p, q,
+      |        coalesce(CAST(sum(q) OVER (ORDER BY score
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS qlt
+      |      FROM g),
+      |m AS (SELECT CAST(sum(p * (2 * qlt + q)) AS BIGINT) AS num2,
+      |        CAST(sum(p) AS BIGINT) AS np, CAST(sum(q) AS BIGINT) AS nn FROM c)
+      |SELECT np, nn, round(num2 / (2.0 * np * nn), 6) AS auc FROM m""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, dir)
+      .select(col("n_chars").cast("long").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val g = base.groupBy(col("score"))
+      .agg(sum(col("y")).as("p"), (count(lit(1)) - sum(col("y"))).as("q"))
+    val c = g.withColumn("qlt", coalesce(
+      sum(col("q")).over(Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    c.agg(sum(col("p") * (lit(2) * col("qlt") + col("q"))).as("num2"),
+        sum(col("p")).as("np"), sum(col("q")).as("nn"))
+      .select(col("np"), col("nn"),
+        round(col("num2") / (lit(2.0) * col("np") * col("nn")), 6).as("auc"))
+  }
+
+  /** Per-class classifier evaluation (precision / recall / F1) of the
+    * text_lang_id heuristic against the labeled lang column — the
+    * eval-harness rollup every classifier-gated pipeline keeps beside
+    * its predictions. tp/fp roll up per PREDICTED class, fn per ACTUAL
+    * class, full-outer-joined over the class union so a class that is
+    * never predicted (zh — no marker list) still reports its fn row.
+    * All counts exact BIGINTs; precision/recall/f1 are single
+    * divisions (f1 via the integer identity 2tp/(2tp+fp+fn) — never
+    * the drift-prone 2pr/(p+r) of two rounded ratios), round-6,
+    * nullif-guarded. Cost: one map-only prediction pass + class-sized
+    * rollups.
+    */
+  val mlClassifierEval: QueryDef = QueryDef.sql("ml_classifier_eval",
+    s"""WITH c AS (SELECT lang AS actual, ${TextQueries.langCaseSql.replace("\n", " ")} AS pred
+       |  FROM (SELECT lang, text, ${TextQueries.langCntsDuck} FROM documents)),
+       |cells AS (SELECT actual, pred, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1, 2),
+       |pr AS (SELECT pred AS cl,
+       |         CAST(sum(CASE WHEN actual = pred THEN n ELSE 0 END) AS BIGINT) AS tp,
+       |         CAST(sum(CASE WHEN actual <> pred THEN n ELSE 0 END) AS BIGINT) AS fp
+       |       FROM cells GROUP BY pred),
+       |fnr AS (SELECT actual AS cl,
+       |          CAST(sum(CASE WHEN actual <> pred THEN n ELSE 0 END) AS BIGINT) AS fn
+       |        FROM cells GROUP BY actual)
+       |SELECT coalesce(pr.cl, fnr.cl) AS cl,
+       |  coalesce(tp, 0) AS tp, coalesce(fp, 0) AS fp, coalesce(fn, 0) AS fn,
+       |  round(coalesce(tp, 0) / CAST(nullif(coalesce(tp, 0) + coalesce(fp, 0), 0) AS DOUBLE), 6) AS precision,
+       |  round(coalesce(tp, 0) / CAST(nullif(coalesce(tp, 0) + coalesce(fn, 0), 0) AS DOUBLE), 6) AS recall,
+       |  round(2 * coalesce(tp, 0) / CAST(nullif(2 * coalesce(tp, 0) + coalesce(fp, 0) + coalesce(fn, 0), 0) AS DOUBLE), 6) AS f1
+       |FROM pr FULL OUTER JOIN fnr ON pr.cl = fnr.cl
+       |ORDER BY cl""".stripMargin) { (s, dir) =>
+    val c = Tables.documents(s, dir)
+      .select(Seq(col("lang"), col("text")) ++ TextQueries.langCntCols: _*)
+      .select(col("lang").as("actual"), expr(TextQueries.langCaseSql).as("pred"))
+    val cells = c.groupBy(col("actual"), col("pred")).agg(count(lit(1)).as("n"))
+    val pr = cells.groupBy(col("pred").as("cl"))
+      .agg(sum(when(col("actual") === col("pred"), col("n")).otherwise(0L)).as("tp"),
+        sum(when(col("actual") =!= col("pred"), col("n")).otherwise(0L)).as("fp"))
+    val fnr = cells.groupBy(col("actual").as("cl"))
+      .agg(sum(when(col("actual") =!= col("pred"), col("n")).otherwise(0L)).as("fn"))
+    pr.join(fnr, Seq("cl"), "full_outer")
+      .select(col("cl"),
+        coalesce(col("tp"), lit(0L)).as("tp"), coalesce(col("fp"), lit(0L)).as("fp"),
+        coalesce(col("fn"), lit(0L)).as("fn"))
+      .select(col("cl"), col("tp"), col("fp"), col("fn"),
+        round(col("tp") / nullif(col("tp") + col("fp"), lit(0L)).cast("double"), 6)
+          .as("precision"),
+        round(col("tp") / nullif(col("tp") + col("fn"), lit(0L)).cast("double"), 6)
+          .as("recall"),
+        round(lit(2) * col("tp") /
+          nullif(lit(2) * col("tp") + col("fp") + col("fn"), lit(0L)).cast("double"), 6)
+          .as("f1"))
+      .orderBy(col("cl"))
+  }
+
   val mlLengthBuckets: QueryDef = {
     val qs = (1 to 9).map(i => s"0.${i}").mkString(", ")
     QueryDef.sql("ml_length_buckets",
@@ -1028,5 +1123,6 @@ object MlQueries {
     mlSampleStratified, mlPackSequences, mlMixtureSample, mlChunkDocuments,
     mlQualityFunnel, mlSampleWeighted, mlMixtureTemperature, mlFeatureHash,
     mlLengthBuckets, mlVocabCoverage, mlDpHistogram, mlMixtureEpochs,
-    mlEpochOrder, mlKAnonymity, mlLDiversity, mlLinreg, mlNaiveBayes)
+    mlEpochOrder, mlKAnonymity, mlLDiversity, mlLinreg, mlNaiveBayes,
+    mlAuc, mlClassifierEval)
 }

@@ -579,6 +579,57 @@ class AnalyticsSpec extends SparkSpec {
       assert(pred === actual && correct, s"doc $id: predicted $pred, actual $actual") }
   }
 
+  test("ml_auc: separation gives 1.0, reversal 0.0, and a planted tie earns exactly half credit") {
+    import spark.implicits._
+    def auc(rows: Seq[(Long, String, Long)]): (Long, Long, Double) = {
+      val tmp = java.nio.file.Files.createTempDirectory("auc").toString
+      rows.toDF("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val r = graft.queries.MlQueries.mlAuc.run(spark, tmp).collect()
+      assert(r.length === 1)
+      (r(0).getAs[Long]("np"), r(0).getAs[Long]("nn"), r(0).getAs[Double]("auc"))
+    }
+    // perfect separation: every en score above every non-en -> AUC 1
+    val sep = Seq((1L, "en", 10L), (2L, "en", 20L), (3L, "de", 1L), (4L, "de", 2L))
+    assert(auc(sep) === ((2L, 2L, 1.0)))
+    // perfect reversal -> AUC 0
+    val rev = sep.map { case (id, l, s) => (id, l, -s) }
+    assert(auc(rev) === ((2L, 2L, 0.0)))
+    // tie at score 2: pos{2,3} neg{1,2} -> (1 + 0.5 + 2)/4 = 0.875; a
+    // rank() that gives ties full or zero credit lands on 1.0 or 0.75
+    val tie = Seq((1L, "en", 2L), (2L, "en", 3L), (3L, "de", 1L), (4L, "de", 2L))
+    assert(auc(tie) === ((2L, 2L, 0.875)))
+  }
+
+  test("ml_classifier_eval: planted confusion matrix yields exact per-class tp/fp/fn and the never-predicted class still reports") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ceval").toString
+    // en docs: 3 marker-pure (pred en) + 1 wearing es markers (pred es);
+    // es docs: 2 marker-pure; zh doc: no markers -> pred 'und', and zh is
+    // never predicted (no marker list) so its row must survive the join
+    val docs = Seq(
+      (1L, "en", "the and of"), (2L, "en", "the and of"), (3L, "en", "the and of"),
+      (4L, "en", "el la de que"),
+      (5L, "es", "el la que"), (6L, "es", "el la que"),
+      (7L, "zh", "ni hao"))
+    docs.toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.queries.MlQueries.mlClassifierEval.run(spark, tmp).collect()
+      .map(r => r.getAs[String]("cl") ->
+        ((r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"),
+          Option(r.getAs[java.lang.Double]("precision")).map(_.toDouble),
+          Option(r.getAs[java.lang.Double]("recall")).map(_.toDouble),
+          Option(r.getAs[java.lang.Double]("f1")).map(_.toDouble)))).toMap
+    assert(got.keySet === Set("en", "es", "zh", "und"))
+    assert(got("en") === ((3L, 0L, 1L, Some(1.0), Some(0.75), Some(0.857143))))
+    assert(got("es")._1 === 2L && got("es")._2 === 1L && got("es")._3 === 0L)
+    assert(got("es")._4 === Some(0.666667) && got("es")._5 === Some(1.0))
+    // zh: never predicted -> precision undefined (null), recall 0
+    assert(got("zh") === ((0L, 0L, 1L, None, Some(0.0), Some(0.0))))
+    // und: predicted once, never actual -> recall undefined
+    assert(got("und") === ((0L, 1L, 0L, Some(0.0), None, Some(0.0))))
+  }
+
   test("ml_linreg: planted exact line recovers slope/intercept/r2=1; noise drops r2") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("linreg").toString
