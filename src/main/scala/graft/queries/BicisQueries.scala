@@ -1369,6 +1369,73 @@ object BicisQueries {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Robust trend per user over the daily-count series: Mann–Kendall S
+    * statistic and Kendall tau (pairwise sign agreement with time) plus
+    * the Theil–Sen slope (median of all pairwise slopes — the
+    * breakdown-resistant twin of series_trend's OLS slope, which a
+    * single outlier day can drag arbitrarily). S and tau are exact
+    * integer arithmetic; each pairwise slope is one BIGINT/BIGINT
+    * double division (IEEE-identical cross-engine), and the median is
+    * the LOWER median picked by rank (rn = (cnt+1) div 2) — selecting a
+    * value rather than averaging two keeps it a single exact division,
+    * and equal-valued boundary slopes make the row_number tiebreak
+    * immaterial.
+    *
+    * Scale shape: the pairwise self-join is per-user and CALENDAR-
+    * bounded (n_days^2 pairs per user, n_days <= the observation
+    * window, never event-count-sized), one shuffle on user_id shared by
+    * both sides; the ranking window rides the same partitioning. The
+    * naive global form — cross-joining raw events — would be
+    * event-quadratic; grouping to the day grain first is what makes
+    * the test run at corpus scale.
+    */
+  val seriesMannKendall: QueryDef = QueryDef.sql("series_mann_kendall",
+    """WITH c AS (SELECT user_id, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |p AS (SELECT a.user_id,
+      |        CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sg,
+      |        CAST(b.y - a.y AS DOUBLE) / (b.d - a.d) AS slope
+      |      FROM c a JOIN c b ON a.user_id = b.user_id AND b.d > a.d),
+      |n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1),
+      |s AS (SELECT user_id, CAST(sum(sg) AS BIGINT) AS s_stat FROM p GROUP BY 1),
+      |med AS (SELECT user_id, slope FROM (
+      |    SELECT user_id, slope,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY slope) AS rn,
+      |      count(*) OVER (PARTITION BY user_id) AS cnt FROM p)
+      |  WHERE rn = (cnt + 1) // 2)
+      |SELECT n.user_id, n.n AS n_days, s.s_stat,
+      |  round(CAST(s.s_stat AS DOUBLE) * 2 / (n.n * (n.n - 1)), 6) AS tau,
+      |  round(med.slope, 6) AS ts_slope
+      |FROM n JOIN s ON s.user_id = n.user_id JOIN med ON med.user_id = n.user_id
+      |WHERE n.n >= 14 ORDER BY n.user_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.events(s, dir)
+      .groupBy(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("d"))
+      .agg(count(lit(1)).as("y"))
+    val a = c.select(col("user_id"), col("d").as("d1"), col("y").as("y1"))
+    val b = c.select(col("user_id"), col("d").as("d2"), col("y").as("y2"))
+    val p = a.join(b, Seq("user_id")).where(col("d2") > col("d1"))
+      .select(col("user_id"),
+        when(col("y2") > col("y1"), 1).when(col("y2") < col("y1"), -1).otherwise(0).as("sg"),
+        ((col("y2") - col("y1")).cast("double") / (col("d2") - col("d1"))).as("slope"))
+    val n = c.groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+    val st = p.groupBy(col("user_id")).agg(sum(col("sg")).cast("long").as("s_stat"))
+    val med = p
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id")).orderBy(col("slope"))))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .where(col("rn") === floor((col("cnt") + 1) / lit(2)).cast("int"))
+      .select(col("user_id"), col("slope"))
+    n.join(st, "user_id").join(med, "user_id")
+      .where(col("n") >= 14)
+      .select(col("user_id"), col("n").as("n_days"), col("s_stat"),
+        round(col("s_stat").cast("double") * 2 / (col("n") * (col("n") - 1)), 6).as("tau"),
+        round(col("slope"), 6).as("ts_slope"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(qShardRoundtrip,
     seriesWeekday, seriesHour, seriesMonth, seriesWeekdayReturns,
     seriesMonthReturns, seriesJoin, stationHourPivot,
@@ -1380,6 +1447,6 @@ object BicisQueries {
     seriesAnomaly, qIntervalCoverage, seriesSeasonality,
     seriesCrossCorr, seriesCusum, seriesAcf, seriesSnaiveEval,
     seriesM4Downsample, seriesTrend, seriesBurstiness, seriesHolt,
-    qOrcRoundtrip, seriesStl)
+    qOrcRoundtrip, seriesStl, seriesMannKendall)
 
 }

@@ -2107,6 +2107,87 @@ object EmbedQueries {
     }
   }
 
+  /** Ranking-quality eval (NDCG@10 / MRR@10 / recall@10) of the brute
+    * cosine retriever against label relevance (candidate relevant iff
+    * its label equals the query's) — the eval-harness rollup a
+    * retrieval pipeline keeps beside its index builds, closing the loop
+    * the recall-sweep queries (embed_lsh_recall et al.) start: those
+    * grade candidate GENERATION, this grades the final RANKING.
+    *
+    * Determinism across engines: the DCG discount table 1/log2(r+1) is
+    * materialized as 15-digit DECIMAL literals shared verbatim by both
+    * SQL texts (log2 is not correctly-rounded identically in the JVM
+    * and libm, and cross-row double sums are association-ordered — the
+    * decimal CASE sidesteps both), so dcg/idcg are EXACT decimal sums;
+    * the only doubles are the final divisions, identical per IEEE.
+    * Ideal DCG comes from the closed-form cumulative table indexed by
+    * least(n_rel, 10) — no per-query ideal re-ranking.
+    *
+    * Scale shape: identical to [[embedKnnBrute]] (queries broadcast
+    * through one candidate scan); the metric aggregation sees only
+    * rank<=10 rows plus an integer n_rel rollup, all shuffled once on
+    * qid. At 100 TB the ranking arm swaps for a banded retriever and
+    * this stage is unchanged.
+    */
+  val retrievalNdcg: QueryDef = {
+    val w = Seq("1.000000000000000", "0.630929753571457", "0.500000000000000",
+      "0.430676558073393", "0.386852807234542", "0.356207187108022",
+      "0.333333333333333", "0.315464876785729", "0.301029995663981",
+      "0.289064826317888")
+    val cw = Seq("1.000000000000000", "1.630929753571457", "2.130929753571457",
+      "2.561606311644850", "2.948459118879392", "3.304666305987414",
+      "3.637999639320747", "3.953464516106476", "4.254494511770457",
+      "4.543559338088345")
+    val dec = "DECIMAL(18,15)"
+    val wCase = (1 to 10).map(r => s"WHEN $r THEN CAST(${w(r - 1)} AS $dec)")
+      .mkString("CASE rnk ", " ", s" ELSE CAST(0 AS $dec) END")
+    val cwCase = (1 to 10).map(r => s"WHEN $r THEN CAST(${cw(r - 1)} AS $dec)")
+      .mkString("CASE least(n_rel, 10) ", " ", " ELSE NULL END")
+    QueryDef.sql("retrieval_ndcg",
+      s"""WITH $duckVectors,
+         |q AS (SELECT vec_id AS qid, label AS ql, v AS qv FROM v WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS nid, label AS cl, v AS cv FROM v WHERE vec_id >= 10),
+         |p AS (SELECT qid, nid, ${duckCos("qv", "cv")} AS sim,
+         |        CASE WHEN cl = ql THEN 1 ELSE 0 END AS rel FROM c, q),
+         |r AS (SELECT qid, rel,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk
+         |      FROM p WHERE sim IS NOT NULL),
+         |a AS (SELECT qid, CAST(sum(rel) AS BIGINT) AS n_rel,
+         |        sum(CASE WHEN rnk <= 10 AND rel = 1 THEN $wCase ELSE CAST(0 AS $dec) END) AS dcg,
+         |        CAST(sum(CASE WHEN rnk <= 10 THEN rel ELSE 0 END) AS BIGINT) AS rel10,
+         |        min(CASE WHEN rnk <= 10 AND rel = 1 THEN rnk END) AS first_rel
+         |      FROM r GROUP BY qid)
+         |SELECT qid, n_rel,
+         |  round(CAST(dcg AS DOUBLE) / CAST($cwCase AS DOUBLE), 6) AS ndcg10,
+         |  coalesce(round(CAST(1.0 AS DOUBLE) / first_rel, 6), 0.0) AS mrr10,
+         |  round(CAST(rel10 AS DOUBLE) / nullif(CAST(n_rel AS DOUBLE), 0.0), 6) AS recall10
+         |FROM a ORDER BY qid""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = Similarity.vectors(Tables.embeddings(s, dir))
+      val q = v.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("label").as("ql"), col("v").as("qv"))
+      val c = v.where(col("vec_id") >= 10)
+        .select(col("vec_id").as("nid"), col("label").as("cl"), col("v").as("cv"))
+      val p = c.crossJoin(broadcast(q))
+        .select(col("qid"), col("nid"), Similarity.cosine("qv", "cv").as("sim"),
+          when(col("cl") === col("ql"), 1).otherwise(0).as("rel"))
+      val r = p.where(col("sim").isNotNull)
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))).cast("long"))
+      val a = r.groupBy(col("qid")).agg(
+        sum(col("rel")).cast("long").as("n_rel"),
+        sum(expr(s"CASE WHEN rnk <= 10 AND rel = 1 THEN $wCase ELSE CAST(0 AS $dec) END")).as("dcg"),
+        sum(when(col("rnk") <= 10, col("rel")).otherwise(0)).cast("long").as("rel10"),
+        min(when(col("rnk") <= 10 && col("rel") === 1, col("rnk"))).as("first_rel"))
+      a.select(col("qid"), col("n_rel"),
+        round(col("dcg").cast("double") / expr(cwCase).cast("double"), 6).as("ndcg10"),
+        coalesce(round(lit(1.0) / col("first_rel"), 6), lit(0.0)).as("mrr10"),
+        round(col("rel10").cast("double") / nullif(col("n_rel").cast("double"), lit(0.0)), 6)
+          .as("recall10"))
+        .orderBy(col("qid"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(embedKnnBrute, embedKnnLsh, embedCentroids,
     multimodalMeta, multimodalFramesample, multimodalResize, embedNorms,
     embedKnnIvf, embedKnnIvfKmeans, embedClusterPurity, embedKmeansElbow,
@@ -2115,5 +2196,6 @@ object EmbedQueries {
     embedMultiprobeRecall, embedPqRecall, embedKnnIvfPq, multimodalFeatures, embedHardNegatives,
     embedRandomProjection, embedKmeans, embedPca, embedOutliers,
     embedMatryoshkaRecall, multimodalPhashDedup, embedDedupSweep, embedMmr,
-    embedCentroidShift, retrievalHybridRrf, embedSphericalKmeans)
+    embedCentroidShift, retrievalHybridRrf, embedSphericalKmeans,
+    retrievalNdcg)
 }

@@ -579,6 +579,35 @@ class AnalyticsSpec extends SparkSpec {
       assert(pred === actual && correct, s"doc $id: predicted $pred, actual $actual") }
   }
 
+  test("series_mann_kendall: monotone series give tau ±1 with exact Theil-Sen slopes, and an outlier day cannot drag the slope") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("mk").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    def day(uid: Long, d: Int, y: Int) = (0 until y).map { k =>
+      (uid * 100000 + d * 1000 + k.toLong,
+        new java.sql.Timestamp(base + d * 86400000L), uid, "trip")
+    }
+    // u1: y = d+1 -> every pairwise slope 1, tau 1
+    // u2: y = 2d+1 except day 13 spikes to 200 -> 78 of 91 slopes are
+    //     exactly 2, lower median rank 46 lands on 2.0 (OLS would be
+    //     dragged to ~5); still strictly increasing -> tau 1
+    // u3: y = 30-2d -> tau -1, slope -2
+    val rows =
+      (0 until 14).flatMap(d => day(1L, d, d + 1)) ++
+      (0 until 14).flatMap(d => day(2L, d, if (d == 13) 200 else 2 * d + 1)) ++
+      (0 until 14).flatMap(d => day(3L, d, 30 - 2 * d))
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = graft.queries.BicisQueries.seriesMannKendall.run(spark, tmp).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("n_days"), r.getAs[Long]("s_stat"),
+          r.getAs[Double]("tau"), r.getAs[Double]("ts_slope")))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(1L) === ((14L, 91L, 1.0, 1.0)))
+    assert(got(2L) === ((14L, 91L, 1.0, 2.0)))
+    assert(got(3L) === ((14L, -91L, -1.0, -2.0)))
+  }
+
   test("ml_auc: separation gives 1.0, reversal 0.0, and a planted tie earns exactly half credit") {
     import spark.implicits._
     def auc(rows: Seq[(Long, String, Long)]): (Long, Long, Double) = {

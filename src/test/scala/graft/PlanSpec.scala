@@ -185,7 +185,10 @@ class PlanSpec extends SparkSpec {
       // plus one-row vocab/total scalars — never data × data
       "ml_naive_bayes",
       // the KMeans.assign broadcast-centroid cross (see embed_kmeans)
-      "embed_spherical_kmeans")
+      "embed_spherical_kmeans",
+      // broadcast query block × candidate scan (embed_knn_brute's shape)
+      // feeding the rank-bounded metric rollup
+      "retrieval_ndcg")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>

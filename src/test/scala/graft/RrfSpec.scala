@@ -54,4 +54,28 @@ class RrfSpec extends SparkSpec {
       (10L, 1L, -1L, math.rint(1.0 / 61.0 * 1e6) / 1e6, 2L),
       (11L, -1L, 1L, math.rint(1.0 / 61.0 * 1e6) / 1e6, 3L)))
   }
+
+  test("retrieval_ndcg: planted ranks 1+3 give dcg (1 + 0.5)/idcg(2), and a matchless query reports null ndcg, zero mrr") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ndcg").toString
+    // q0 (label 1) ranks: 10 sim 1.0 rel, 11 sim .8 non, 12 sim .6 rel,
+    // 13 sim 0 non -> relevant at ranks {1,3}: dcg = w1+w3 = 1.5 exactly
+    // (decimal weight table), idcg = cw(2) = 1.630929753571457.
+    // q1 (label 3) matches NO candidate -> n_rel 0: ndcg/recall null, mrr 0.
+    Seq(
+      (0L, Array(1f, 0f), 1), (1L, Array(0.7f, 0.7f), 3),
+      (10L, Array(1f, 0f), 1), (11L, Array(0.8f, 0.6f), 2),
+      (12L, Array(0.6f, 0.8f), 1), (13L, Array(0f, 1f), 2)
+    ).toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = graft.queries.EmbedQueries.retrievalNdcg.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("qid") ->
+        ((r.getAs[Long]("n_rel"),
+          Option(r.getAs[java.lang.Double]("ndcg10")).map(_.toDouble),
+          r.getAs[Double]("mrr10"),
+          Option(r.getAs[java.lang.Double]("recall10")).map(_.toDouble)))).toMap
+    assert(got.keySet === Set(0L, 1L))
+    assert(got(0L) === ((2L, Some(0.919721), 1.0, Some(1.0))))
+    assert(got(1L) === ((0L, None, 0.0, None)))
+  }
 }
