@@ -861,6 +861,159 @@ object MlQueries {
       .orderBy(col("cl"))
   }
 
+  /** Leave-one-out target encoding of `source` against the en-rate
+    * target with add-m smoothing toward the global prior — the
+    * leakage-safe categorical feature every tabular pipeline derives
+    * (enc_i = (sum_g(y) − y_i + m·prior)/(n_g − 1 + m): subtracting the
+    * row's own label keeps its target out of its own feature). Exact
+    * BIGINT group sums; the prior is one BIGINT/BIGINT division and the
+    * per-row encode one double expression, identical cross-engine.
+    *
+    * Scale shape: one source-sized rollup (map-side combinable) whose
+    * global prior rides a window over the ROLLED-UP table (never the
+    * corpus), broadcast-joined back — the encode pass is map-only; no
+    * per-row window, no scalar cross join.
+    */
+  val mlTargetEncoding: QueryDef = QueryDef.sql("ml_target_encoding",
+    """WITH d AS (SELECT doc_id, source,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+      |g AS (SELECT source, CAST(sum(y) AS BIGINT) AS sy,
+      |        CAST(count(*) AS BIGINT) AS n FROM d GROUP BY source),
+      |gp AS (SELECT source, sy, n,
+      |         CAST(sum(sy) OVER () AS DOUBLE) / sum(n) OVER () AS prior FROM g)
+      |SELECT doc_id, d.source AS source, CAST(y AS BIGINT) AS y,
+      |  round((CAST(sy - y AS DOUBLE) + 10 * prior) / (n - 1 + 10), 6) AS enc
+      |FROM d JOIN gp ON gp.source = d.source
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        when(col("lang") === "en", 1).otherwise(0).as("y"))
+    val g = d.groupBy(col("source"))
+      .agg(sum(col("y")).cast("long").as("sy"), count(lit(1)).as("n"))
+    val gp = g.withColumn("prior",
+      sum(col("sy")).over(Window.partitionBy()).cast("double") /
+        sum(col("n")).over(Window.partitionBy()))
+    d.join(broadcast(gp), "source")
+      .select(col("doc_id"), col("source"), col("y").cast("long").as("y"),
+        round(((col("sy") - col("y")).cast("double") + lit(10) * col("prior")) /
+          (col("n") - lit(1) + lit(10)), 6).as("enc"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Calibration audit of the marker-share pseudo-probability
+    * p = s_en/Σs (docs with no markers excluded): decile reliability
+    * bins with per-bin confidence vs empirical accuracy, the bin's ECE
+    * contribution |Σy − Σp|/N (summing the column yields the expected
+    * calibration error), and the per-bin Brier score. Determinism: the
+    * bin index is PURE INTEGER arithmetic ((10·s_en) div Σs, clamped),
+    * and p is rounded to DECIMAL(8,6) before any cross-row sum, so
+    * every aggregate is exact decimal/integer — the only doubles are
+    * the final per-bin divisions. Cost: one map pass + a ≤10-row
+    * rollup; N comes from a window over the rolled-up bins, never a
+    * second corpus scan.
+    */
+  val mlCalibration: QueryDef = QueryDef.sql("ml_calibration",
+    s"""WITH c AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    s_en, s_en + s_es + s_de + s_fr AS tot
+       |  FROM (SELECT lang, ${TextQueries.langCntsDuck} FROM documents)),
+       |f AS (SELECT y, CAST(least(10 * s_en // tot, 9) AS BIGINT) AS bin,
+       |        CAST(round(CAST(s_en AS DOUBLE) / tot, 6) AS DECIMAL(8,6)) AS p
+       |      FROM c WHERE tot > 0),
+       |b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy,
+       |        sum(p) AS sp, sum((p - y) * (p - y)) AS sq
+       |      FROM f GROUP BY bin)
+       |SELECT bin, n,
+       |  round(CAST(sp AS DOUBLE) / n, 6) AS conf,
+       |  round(CAST(sy AS DOUBLE) / n, 6) AS acc,
+       |  round(CAST(abs(sy - sp) AS DOUBLE) / sum(n) OVER (), 6) AS ece_part,
+       |  round(CAST(sq AS DOUBLE) / n, 6) AS brier
+       |FROM b ORDER BY bin""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.documents(s, dir)
+      .select(Seq(col("lang")) ++ TextQueries.langCntCols: _*)
+      .select(when(col("lang") === "en", 1).otherwise(0).as("y"), col("s_en"),
+        (col("s_en") + col("s_es") + col("s_de") + col("s_fr")).as("tot"))
+    val f = c.where(col("tot") > 0)
+      .select(col("y"),
+        least(expr("(10 * s_en) div tot"), lit(9L)).cast("long").as("bin"),
+        expr("CAST(round(CAST(s_en AS DOUBLE) / tot, 6) AS DECIMAL(8,6))").as("p"))
+    val b = f.groupBy(col("bin")).agg(
+      count(lit(1)).as("n"), sum(col("y")).cast("long").as("sy"),
+      sum(col("p")).as("sp"), sum((col("p") - col("y")) * (col("p") - col("y"))).as("sq"))
+    b.select(col("bin"), col("n"),
+        round(col("sp").cast("double") / col("n"), 6).as("conf"),
+        round(col("sy").cast("double") / col("n"), 6).as("acc"),
+        round(abs(col("sy") - col("sp")).cast("double") /
+          sum(col("n")).over(Window.partitionBy()), 6).as("ece_part"),
+        round(col("sq").cast("double") / col("n"), 6).as("brier"))
+      .orderBy(col("bin"))
+  }
+
+  /** Poisson bootstrap CI for mean document length (B = 20 replicates):
+    * each replicate draws every row's multiplicity from Poisson(1) via
+    * the portable hash — w = inverse-CDF of h/2^60, with the cumulative
+    * probabilities PRE-SCALED to integer thresholds (floor(P_k·2^60)
+    * literals), so replicate membership is pure BIGINT comparison,
+    * reproducible across engines/runs/partitionings with NO rng state.
+    * The tail is truncated at w = 5 (P ≈ 6e-4 collapses in). This is
+    * the standard single-pass distributed bootstrap (Poisson counts
+    * approximate multinomial resampling; Chamandy et al., "Estimating
+    * Uncertainty for Massive Data Streams", Google 2012): per-replicate
+    * sums are exact BIGINTs, each replicate mean one double division,
+    * and the 90% percentile CI picks ranks 2/19 of the 20 means.
+    *
+    * Scale shape: the B× expansion happens INSIDE the scan projection
+    * (explode of a constant 20-element sequence — no join), partial
+    * aggregation collapses it map-side to 20 groups, and every
+    * post-shuffle stage is 20-row. The one-row summary crosses are
+    * construction-time scalars (PlanSpec-allowlisted), never data-sized.
+    */
+  val mlBootstrapCi: QueryDef = {
+    val ts = Seq(424136118829305329L, 848272237658610659L, 1060340297073263324L,
+      1131029650211480879L, 1148701988496035267L)
+    val wCase = ts.zipWithIndex.map { case (t, k) => s"WHEN h < ${t}L THEN $k" }
+      .mkString("CASE ", " ", " ELSE 5 END")
+    val wCaseDuck = wCase.replace("L THEN", " THEN")
+    QueryDef.sql("ml_bootstrap_ci",
+      s"""WITH x AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS x FROM documents),
+         |e AS (SELECT r, x,
+         |        ${OracleSql.hash64("'bs' || CAST(r AS VARCHAR)", "CAST(doc_id AS VARCHAR)")} AS h
+         |      FROM x, range(1, 21) t(r)),
+         |m AS (SELECT r, CAST(sum(($wCaseDuck) * x) AS BIGINT) AS sx,
+         |        CAST(sum($wCaseDuck) AS BIGINT) AS sw
+         |      FROM e GROUP BY r),
+         |rk AS (SELECT CAST(sx AS DOUBLE) / nullif(sw, 0) AS mu,
+         |         row_number() OVER (ORDER BY CAST(sx AS DOUBLE) / nullif(sw, 0)) AS rn FROM m),
+         |base AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |           round(CAST(sum(x) AS DOUBLE) / count(*), 6) AS mean FROM x)
+         |SELECT n, mean,
+         |  (SELECT round(mu, 6) FROM rk WHERE rn = 2) AS lo,
+         |  (SELECT round(mu, 6) FROM rk WHERE rn = 19) AS hi
+         |FROM base""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.TextOps
+      TextOps.ensureFunctions(s)
+      val x = Tables.documents(s, dir)
+        .select(col("doc_id"), col("n_chars").cast("long").as("x"))
+      val e = x.withColumn("r", explode(sequence(lit(1), lit(20))))
+        .withColumn("h", expr(TextOps.portableHash64Sql(
+          "concat('bs', CAST(r AS STRING))", "CAST(doc_id AS STRING)")))
+        .withColumn("w", expr(wCase))
+      val m = e.groupBy(col("r")).agg(
+        sum(col("w") * col("x")).cast("long").as("sx"),
+        sum(col("w")).cast("long").as("sw"))
+      val mu = (col("sx").cast("double") / nullif(col("sw"), lit(0L))).as("mu")
+      val rk = m.select(mu)
+        .withColumn("rn", row_number().over(Window.orderBy(col("mu"))))
+      val base = x.agg(count(lit(1)).as("n"),
+        round(sum(col("x")).cast("double") / count(lit(1)), 6).as("mean"))
+      base.crossJoin(broadcast(rk.where(col("rn") === 2).select(round(col("mu"), 6).as("lo"))))
+        .crossJoin(broadcast(rk.where(col("rn") === 19).select(round(col("mu"), 6).as("hi"))))
+        .select(col("n"), col("mean"), col("lo"), col("hi"))
+    }
+  }
+
   val mlLengthBuckets: QueryDef = {
     val qs = (1 to 9).map(i => s"0.${i}").mkString(", ")
     QueryDef.sql("ml_length_buckets",
@@ -1124,5 +1277,5 @@ object MlQueries {
     mlQualityFunnel, mlSampleWeighted, mlMixtureTemperature, mlFeatureHash,
     mlLengthBuckets, mlVocabCoverage, mlDpHistogram, mlMixtureEpochs,
     mlEpochOrder, mlKAnonymity, mlLDiversity, mlLinreg, mlNaiveBayes,
-    mlAuc, mlClassifierEval)
+    mlAuc, mlClassifierEval, mlTargetEncoding, mlCalibration, mlBootstrapCi)
 }

@@ -659,6 +659,66 @@ class AnalyticsSpec extends SparkSpec {
     assert(got("und") === ((0L, 1L, 0L, Some(0.0), None, Some(0.0))))
   }
 
+  test("ml_target_encoding: leave-one-out excludes the row's own label and smoothing pulls toward the prior") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("tenc").toString
+    // prior = 2/5; source A (2 en of 3), source B (0 en of 2):
+    //   A,en: (2-1 + 10*0.4)/(3-1+10) = 5/12; A,de: 6/12; B: 4/11
+    Seq((1L, "A", "en"), (2L, "A", "en"), (3L, "A", "de"),
+      (4L, "B", "de"), (5L, "B", "de"))
+      .toDF("doc_id", "source", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.queries.MlQueries.mlTargetEncoding.run(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("enc")).toMap
+    assert(got === Map(
+      1L -> 0.416667, 2L -> 0.416667, 3L -> 0.5,
+      4L -> 0.363636, 5L -> 0.363636))
+  }
+
+  test("ml_calibration: planted marker shares land in integer-exact bins with exact conf/acc/ece/brier") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("calib").toString
+    // bin9: p=1.0 docs (2 en + 1 de) -> conf 1, acc 2/3, brier 1/3
+    // bin5: p=0.5 en doc -> conf .5, acc 1, brier .25
+    // bin0: p=0 de docs -> all zero; the zh doc has no markers -> excluded
+    val docs = Seq(
+      (1L, "en", "the and"), (2L, "en", "the and"), (3L, "de", "the and"),
+      (4L, "en", "the que"),
+      (5L, "de", "el que"), (6L, "de", "el que"),
+      (7L, "zh", "ni hao"))
+    docs.toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.queries.MlQueries.mlCalibration.run(spark, tmp).collect()
+      .map(r => r.getAs[Long]("bin") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("conf"), r.getAs[Double]("acc"),
+          r.getAs[Double]("ece_part"), r.getAs[Double]("brier")))).toMap
+    assert(got.keySet === Set(0L, 5L, 9L))
+    assert(got(9L) === ((3L, 1.0, 0.666667, 0.166667, 0.333333)))
+    assert(got(5L) === ((1L, 0.5, 1.0, 0.083333, 0.25)))
+    assert(got(0L) === ((2L, 0.0, 0.0, 0.0, 0.0)))
+  }
+
+  test("ml_bootstrap_ci: constant column collapses the CI to the point mean; spread data keeps lo <= mean <= hi in range") {
+    import spark.implicits._
+    def ci(chars: Seq[Long]): (Double, Double, Double) = {
+      val tmp = java.nio.file.Files.createTempDirectory("bci").toString
+      chars.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+        .toDF("doc_id", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val r = graft.queries.MlQueries.mlBootstrapCi.run(spark, tmp).collect()
+      assert(r.length === 1)
+      (r(0).getAs[Double]("mean"), r(0).getAs[Double]("lo"), r(0).getAs[Double]("hi"))
+    }
+    // every Poisson weight multiplies the same 42 -> every replicate mean
+    // is exactly 42 regardless of the draws
+    assert(ci(Seq.fill(50)(42L)) === ((42.0, 42.0, 42.0)))
+    val (mean, lo, hi) = ci((1 to 50).map(i => (i % 2) * 100L))
+    assert(mean === 50.0)
+    assert(lo <= mean && mean <= hi, s"CI [$lo, $hi] does not straddle $mean")
+    assert(lo >= 0.0 && hi <= 100.0, s"CI [$lo, $hi] escapes the data range")
+    assert(lo < hi, s"spread data should give a non-degenerate CI [$lo, $hi]")
+  }
+
   test("ml_linreg: planted exact line recovers slope/intercept/r2=1; noise drops r2") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("linreg").toString

@@ -188,7 +188,10 @@ class PlanSpec extends SparkSpec {
       "embed_spherical_kmeans",
       // broadcast query block × candidate scan (embed_knn_brute's shape)
       // feeding the rank-bounded metric rollup
-      "retrieval_ndcg")
+      "retrieval_ndcg",
+      // two ONE-ROW percentile scalars (lo/hi replicate means) crossed
+      // into the one-row summary — 1×1 rows, never data-sized
+      "ml_bootstrap_ci")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>
