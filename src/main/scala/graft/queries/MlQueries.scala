@@ -1014,6 +1014,72 @@ object MlQueries {
     }
   }
 
+  /** Gini-optimal decision stump on n_chars for the en-vs-rest target —
+    * the one-split tree trainer, in the same DISTRIBUTED shape as
+    * [[mlAuc]]: group once by feature value (event-sized exchange,
+    * map-side combinable), then every split evaluation is a running
+    * class-count window over the DISTINCT-value table (value-domain-
+    * sized, never corpus-sized) — the naive form scores each candidate
+    * threshold with its own corpus pass. Gini is used instead of
+    * entropy because it is RATIONAL: each side's impurity term
+    * (n² − p² − q²)/n is exact BIGINT arithmetic over the cumulative
+    * counts with one double division, so the argmin ordering is
+    * cross-engine identical (no log). Counts above ~3e9 per class would
+    * need DECIMAL squares; fine to the petabyte class. Output: the best
+    * threshold (x <= split goes left), its left/right sizes, weighted
+    * Gini, and the majority-vote accuracy of the resulting stump.
+    */
+  val mlDecisionStump: QueryDef = QueryDef.sql("ml_decision_stump",
+    """WITH s AS (SELECT CAST(n_chars AS BIGINT) AS x,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+      |g AS (SELECT x, CAST(sum(y) AS BIGINT) AS p,
+      |        CAST(count(*) - sum(y) AS BIGINT) AS q FROM s GROUP BY x),
+      |c AS (SELECT x,
+      |        CAST(sum(p) OVER w AS BIGINT) AS pl, CAST(sum(q) OVER w AS BIGINT) AS ql,
+      |        CAST(sum(p) OVER () AS BIGINT) AS pt, CAST(sum(q) OVER () AS BIGINT) AS qt
+      |      FROM g WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |e AS (SELECT x, pl, ql, pt - pl AS pr, qt - ql AS qr, pt, qt
+      |      FROM c WHERE pt - pl + qt - ql > 0),
+      |gi AS (SELECT x, pl, ql, pr, qr, pt, qt,
+      |        (CAST((pl + ql) * (pl + ql) - pl * pl - ql * ql AS DOUBLE) / (pl + ql)
+      |         + CAST((pr + qr) * (pr + qr) - pr * pr - qr * qr AS DOUBLE) / (pr + qr))
+      |        / (pt + qt) AS gini
+      |      FROM e)
+      |SELECT x AS split_value, pl + ql AS n_left, pr + qr AS n_right,
+      |  round(gini, 6) AS gini,
+      |  round(CAST(greatest(pl, ql) + greatest(pr, qr) AS DOUBLE) / (pt + qt), 6) AS acc
+      |FROM (SELECT gi.*, row_number() OVER (ORDER BY gini, x) AS rn FROM gi)
+      |WHERE rn = 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, dir)
+      .select(col("n_chars").cast("long").as("x"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val g = base.groupBy(col("x"))
+      .agg(sum(col("y")).as("p"), (count(lit(1)) - sum(col("y"))).as("q"))
+    val w = Window.orderBy(col("x")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    val c = g.select(col("x"),
+      sum(col("p")).over(w).as("pl"), sum(col("q")).over(w).as("ql"),
+      sum(col("p")).over(tot).as("pt"), sum(col("q")).over(tot).as("qt"))
+    val e = c.select(col("x"), col("pl"), col("ql"),
+        (col("pt") - col("pl")).as("pr"), (col("qt") - col("ql")).as("qr"),
+        col("pt"), col("qt"))
+      .where(col("pr") + col("qr") > 0)
+    val nl = col("pl") + col("ql")
+    val nr = col("pr") + col("qr")
+    val gi = e.withColumn("gini",
+      ((nl * nl - col("pl") * col("pl") - col("ql") * col("ql")).cast("double") / nl +
+        (nr * nr - col("pr") * col("pr") - col("qr") * col("qr")).cast("double") / nr) /
+        (col("pt") + col("qt")))
+    gi.withColumn("rn", row_number().over(Window.orderBy(col("gini"), col("x"))))
+      .where(col("rn") === 1)
+      .select(col("x").as("split_value"),
+        (col("pl") + col("ql")).as("n_left"), (col("pr") + col("qr")).as("n_right"),
+        round(col("gini"), 6).as("gini"),
+        round((greatest(col("pl"), col("ql")) + greatest(col("pr"), col("qr"))).cast("double") /
+          (col("pt") + col("qt")), 6).as("acc"))
+  }
+
   val mlLengthBuckets: QueryDef = {
     val qs = (1 to 9).map(i => s"0.${i}").mkString(", ")
     QueryDef.sql("ml_length_buckets",
@@ -1277,5 +1343,6 @@ object MlQueries {
     mlQualityFunnel, mlSampleWeighted, mlMixtureTemperature, mlFeatureHash,
     mlLengthBuckets, mlVocabCoverage, mlDpHistogram, mlMixtureEpochs,
     mlEpochOrder, mlKAnonymity, mlLDiversity, mlLinreg, mlNaiveBayes,
-    mlAuc, mlClassifierEval, mlTargetEncoding, mlCalibration, mlBootstrapCi)
+    mlAuc, mlClassifierEval, mlTargetEncoding, mlCalibration, mlBootstrapCi,
+    mlDecisionStump)
 }

@@ -1245,11 +1245,54 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Readability scoring (Flesch reading ease + Flesch–Kincaid grade)
+    * from the three classic structural counts — sentences (terminal-
+    * punctuation runs, floored at 1), words (whitespace tokens) and
+    * syllables (vowel-group runs, the standard regex approximation).
+    * All three are exact BIGINTs from one regex pass; the two scores
+    * are single double expressions over them (identical cross-engine),
+    * so the whole operator is a map-only projection — the corpus-level
+    * readability gate a training pipeline runs next to gopher_rules.
+    */
+  val textReadability: QueryDef = QueryDef.sql("text_readability",
+    """SELECT doc_id,
+      |  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS sents,
+      |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS words,
+      |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS sylls,
+      |  round(206.835
+      |    - 1.015 * (CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
+      |               / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+      |    - 84.6 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+      |              / len(regexp_extract_all(text, '\S+'))), 6) AS flesch,
+      |  round(0.39 * (CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE)
+      |                / greatest(len(regexp_extract_all(text, '[.!?]+')), 1))
+      |    + 11.8 * (CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS DOUBLE)
+      |              / len(regexp_extract_all(text, '\S+')))
+      |    - 15.59, 6) AS fk_grade
+      |FROM documents
+      |WHERE len(regexp_extract_all(text, '\S+')) > 0
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val sents = greatest(expr("regexp_count(text, '[.!?]+')"), lit(1))
+    val words = expr("regexp_count(text, '\\\\S+')")
+    val sylls = expr("regexp_count(lower(text), '[aeiouy]+')")
+    Tables.documents(s, dir)
+      .where(words > 0)
+      .select(col("doc_id"),
+        sents.cast("long").as("sents"),
+        words.cast("long").as("words"),
+        sylls.cast("long").as("sylls"),
+        round(lit(206.835) - lit(1.015) * (words.cast("double") / sents)
+          - lit(84.6) * (sylls.cast("double") / words), 6).as("flesch"),
+        round(lit(0.39) * (words.cast("double") / sents)
+          + lit(11.8) * (sylls.cast("double") / words) - lit(15.59), 6).as("fk_grade"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(textTokenCount, textLangId, textQualityScore,
     textFingerprint, textRollingHash, textTopPerLang, textTopNgrams,
     sketchDistinctKmv, sketchDistinctHll, textPiiScrub, textRepetition, textEntropy,
     textGopherRules, textTfidfTop, sketchHeavyHitters, textInvertedIndex,
     textBm25, textPmi, textLmScore, textPerplexityBuckets, sketchQuantiles,
     textZipf, sketchSetops, textKlDrift, textWinnowing, textCodeDetect,
-    textBpeMerges, textBpeEncode, textBpeTokenize)
+    textBpeMerges, textBpeEncode, textBpeTokenize, textReadability)
 }

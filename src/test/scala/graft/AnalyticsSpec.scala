@@ -719,6 +719,49 @@ class AnalyticsSpec extends SparkSpec {
     assert(lo < hi, s"spread data should give a non-degenerate CI [$lo, $hi]")
   }
 
+  test("text_readability: hand-counted sentences/words/vowel-groups reproduce the Flesch formulas; no-punctuation floors sents at 1") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("read").toString
+    Seq((1L, "Hello world. It is good."), (2L, "no punctuation here"), (3L, "   "))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.queries.TextQueries.textReadability.run(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("sents"), r.getAs[Long]("words"), r.getAs[Long]("sylls"),
+          r.getAs[Double]("flesch"), r.getAs[Double]("fk_grade")))).toMap
+    // whitespace-only doc has zero words -> excluded
+    assert(got.keySet === Set(1L, 2L))
+    def fl(w: Double, s: Double, sy: Double) =
+      math.rint((206.835 - 1.015 * (w / s) - 84.6 * (sy / w)) * 1e6) / 1e6
+    def fk(w: Double, s: Double, sy: Double) =
+      math.rint((0.39 * (w / s) + 11.8 * (sy / w) - 15.59) * 1e6) / 1e6
+    // "Hello world. It is good.": 2 sentence runs, 5 words, 6 vowel groups
+    assert(got(1L) === ((2L, 5L, 6L, fl(5, 2, 6), fk(5, 2, 6))))
+    // "no punctuation here": sents floored at 1; 3 words; vowel groups:
+    // o | u-ua-io | e-e = 1 + 3 + 2 = 6
+    assert(got(2L) === ((1L, 3L, 6L, fl(3, 1, 6), fk(3, 1, 6))))
+  }
+
+  test("ml_decision_stump: a pure split wins with gini 0, and equal-gini candidates break toward the smaller threshold") {
+    import spark.implicits._
+    def stump(rows: Seq[(Long, String, Long)]): (Long, Long, Long, Double, Double) = {
+      val tmp = java.nio.file.Files.createTempDirectory("stump").toString
+      rows.toDF("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val r = graft.queries.MlQueries.mlDecisionStump.run(spark, tmp).collect()
+      assert(r.length === 1)
+      (r(0).getAs[Long]("split_value"), r(0).getAs[Long]("n_left"),
+        r(0).getAs[Long]("n_right"), r(0).getAs[Double]("gini"), r(0).getAs[Double]("acc"))
+    }
+    // short de docs vs long en docs: x <= 10 separates perfectly
+    val pure = Seq((1L, "de", 10L), (2L, "de", 10L), (3L, "de", 10L),
+      (4L, "en", 100L), (5L, "en", 100L), (6L, "en", 200L))
+    assert(stump(pure) === ((10L, 3L, 3L, 0.0, 1.0)))
+    // x=2 also splits pure and beats x=1's 0.4; a tie would pick min x
+    val two = Seq((1L, "de", 1L), (2L, "de", 2L), (3L, "en", 3L), (4L, "en", 3L))
+    assert(stump(two) === ((2L, 2L, 2L, 0.0, 1.0)))
+  }
+
   test("ml_linreg: planted exact line recovers slope/intercept/r2=1; noise drops r2") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("linreg").toString
