@@ -1492,9 +1492,150 @@ object GraphQueries {
     rows
   }
 
+  /** Brandes forward pass with shortest-path COUNTING: [[closenessBfs]]
+    * extended to carry sigma — a newly discovered node's path count is
+    * the SUM of its frontier parents' counts (one groupBy on the same
+    * (seed, node) keying before the visited anti-join). Integer-exact
+    * state: (seed, node, dist, sigma) all BIGINT.
+    */
+  def brandesForward(symmetric: org.apache.spark.sql.DataFrame,
+                     seeds: org.apache.spark.sql.DataFrame,
+                     rounds: Int): org.apache.spark.sql.DataFrame = {
+    var frontier = seeds.select(col("node").as("seed"), col("node"),
+        lit(0L).as("dist"), lit(1L).as("sigma"))
+      .localCheckpoint(eager = true)
+    var visited = frontier
+    var i = 1
+    var fc = frontier.count()
+    while (i <= rounds && fc > 0) {
+      val nxt = symmetric
+        .join(vhint(frontier.select(col("seed"), col("node"), col("sigma")), fc),
+          col("a") === col("node"))
+        .groupBy(col("seed"), col("b"))
+        .agg(sum(col("sigma")).as("sigma"))
+        .select(col("seed"), col("b").as("node"), col("sigma"))
+        .join(visited.select(col("seed"), col("node")), Seq("seed", "node"), "leftanti")
+        .select(col("seed"), col("node"), lit(i.toLong).as("dist"), col("sigma"))
+        .localCheckpoint(eager = true)
+      visited = visited.unionAll(nxt)
+      frontier = nxt
+      fc = frontier.count()
+      i += 1
+    }
+    visited
+  }
+
+  /** Brandes backward dependency accumulation over the forward table:
+    * processing levels deepest-first, a node's dependency is
+    * δ(v) = Σ over DAG successors w (edge v→w, dist w = dist v + 1) of
+    * (σv/σw)·(1 + δw) — each level is ONE edge join against the
+    * just-finalized deeper level plus a left join to keep zero-successor
+    * nodes. Returns (seed, node, dist, sigma, delta) for every reached
+    * node.
+    */
+  def brandesDeltas(symmetric: org.apache.spark.sql.DataFrame,
+                    fwd: org.apache.spark.sql.DataFrame,
+                    rounds: Int, stateBound: Long): org.apache.spark.sql.DataFrame = {
+    var prev = fwd.where(col("dist") === rounds)
+      .select(col("seed"), col("node"), col("dist"), col("sigma"),
+        lit(0.0).as("delta"))
+      .localCheckpoint(eager = true)
+    var acc = prev
+    for (r <- (rounds - 1) to 0 by -1) {
+      val lvl = fwd.where(col("dist") === r)
+        .select(col("seed"), col("node"), col("dist"), col("sigma"))
+      val contrib = symmetric
+        .join(vhint(prev.select(col("seed").as("wseed"), col("node").as("wnode"),
+          col("sigma").as("wsigma"), col("delta").as("wdelta")), stateBound),
+          col("b") === col("wnode"))
+        .join(vhint(lvl, stateBound),
+          col("a") === col("node") && col("seed") === col("wseed"))
+        .groupBy(col("seed"), col("node"))
+        .agg(sum((col("sigma").cast("double") / col("wsigma")) * (lit(1) + col("wdelta")))
+          .as("delta"))
+      val dlvl = lvl.join(contrib, Seq("seed", "node"), "left")
+        .select(col("seed"), col("node"), col("dist"), col("sigma"),
+          coalesce(col("delta"), lit(0.0)).as("delta"))
+        .localCheckpoint(eager = true)
+      acc = acc.unionAll(dlvl)
+      prev = dlvl
+    }
+    acc
+  }
+
+  /** Sampled-source betweenness centrality (Brandes 2001 with pivot
+    * sampling — Brandes & Pich 2007, the published recipe for graphs
+    * where exact O(V·E) betweenness is unrunnable): forward BFS with
+    * path counting from every 400th customer, then backward dependency
+    * accumulation, bc(v) = Σ_seeds δ_s(v) over non-seed nodes. σ and
+    * the level structure are integer-exact; δ is the one double
+    * recurrence (σ ratios), so the output rounds to 3 decimals like
+    * graph_ppr's flow values, with n_src (seeds reaching the node) as
+    * the exact-integer anchor. The oracle replays the identical
+    * forward/backward rounds as materialized CTE chains.
+    *
+    * Scale shape: per-round state is (seeds × reach)-keyed and rides
+    * the [[vhint]] conditional broadcast; edges never move. At crawl
+    * scale drop the hints and pre-partition edges by src — and more
+    * seeds just means a longer seed list, not a new plan.
+    */
+  val graphBetweenness: QueryDef = {
+    val rounds = 3
+    def fwdCte(i: Int): String = {
+      val p = i - 1
+      s"""f$i AS (SELECT v.seed, e.b AS node, CAST(sum(v.sigma) AS BIGINT) AS sigma
+         |        FROM e JOIN v$p v ON v.node = e.a
+         |        WHERE NOT EXISTS (SELECT 1 FROM v$p x WHERE x.seed = v.seed AND x.node = e.b)
+         |        GROUP BY v.seed, e.b),
+         |v$i AS (SELECT seed, node, dist, sigma FROM v$p
+         |        UNION ALL SELECT seed, node, CAST($i AS BIGINT), sigma FROM f$i)""".stripMargin
+    }
+    def bwdCte(r: Int): String = {
+      val w = r + 1
+      s"""c$r AS (SELECT l.seed, l.node,
+         |          sum((CAST(l.sigma AS DOUBLE) / w.sigma) * (1 + w.delta)) AS delta
+         |        FROM v$rounds l JOIN e ON e.a = l.node
+         |        JOIN l$w w ON w.seed = l.seed AND w.node = e.b
+         |        WHERE l.dist = $r GROUP BY l.seed, l.node),
+         |l$r AS (SELECT l.seed, l.node, l.sigma, coalesce(c.delta, CAST(0 AS DOUBLE)) AS delta
+         |        FROM v$rounds l LEFT JOIN c$r c ON c.seed = l.seed AND c.node = l.node
+         |        WHERE l.dist = $r)""".stripMargin
+    }
+    QueryDef.sql("graph_betweenness",
+      s"""WITH ec AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+         |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS (SELECT a, b FROM ec UNION ALL SELECT b, a FROM ec),
+         |v0 AS (SELECT DISTINCT a AS seed, a AS node, CAST(0 AS BIGINT) AS dist,
+         |         CAST(1 AS BIGINT) AS sigma FROM ec WHERE a % 400 = 0),
+         |${(1 to rounds).map(fwdCte).mkString(",\n")},
+         |l$rounds AS (SELECT seed, node, sigma, CAST(0 AS DOUBLE) AS delta
+         |       FROM v$rounds WHERE dist = $rounds),
+         |${((rounds - 1) to 0 by -1).map(bwdCte).mkString(",\n")},
+         |acc AS (${(0 to rounds).map(r => s"SELECT seed, node, delta FROM l$r")
+            .mkString(" UNION ALL ")})
+         |SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END AS kind,
+         |  node // 2 AS key, CAST(count(*) AS BIGINT) AS n_src,
+         |  round(sum(delta), 3) AS bc
+         |FROM acc WHERE node <> seed GROUP BY 1, 2 ORDER BY kind, key""".stripMargin) { (s, dir) =>
+      val pairs = packedTradePairs(s, dir)
+        .select(col("c").as("a"), col("s").as("b"))
+      val edges = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+      val seeds = pairs.where(col("a") % 400 === 0).select(col("a").as("node")).distinct()
+      val fwd = brandesForward(edges, seeds, rounds)
+      val deltas = brandesDeltas(edges, fwd, rounds, stateBound = fwd.count())
+      deltas.where(col("node") =!= col("seed"))
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("n_src"), sum(col("delta")).as("bc"))
+        .select(when(col("node") % 2 === 0, "c").otherwise("s").as("kind"),
+          expr("node div 2").as("key"), col("n_src"), round(col("bc"), 3).as("bc"))
+        .orderBy(col("kind"), col("key"))
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(graphPagerank, graphTriangles, graphComponents,
     graphDegreeStats, graphLabelProp, graphJaccard, graphKcore, graphBfs,
     graphCloseness,
     graphPpr, graphRandomWalk, graphModularity, graphClusteringCoeff,
-    graphAssortativity, graphReciprocity, graphHits, graphScc, graphPowerlaw)
+    graphAssortativity, graphReciprocity, graphHits, graphScc, graphPowerlaw,
+    graphBetweenness)
 }

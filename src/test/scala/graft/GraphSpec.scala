@@ -413,6 +413,29 @@ class GraphSpec extends SparkSpec {
     assert(h(10L) > h(11L), "the hub citing both authorities must dominate")
   }
 
+  test("brandes: path graph accumulates 3/2/1 dependencies and a diamond splits sigma half/half") {
+    import spark.implicits._
+    def bc(edges: Seq[(Long, Long)], seed: Long): Map[Long, (Long, Double)] = {
+      val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("a", "b")
+      val seeds = Seq(seed).toDF("node")
+      val fwd = graft.queries.GraphQueries.brandesForward(sym, seeds, 4)
+      graft.queries.GraphQueries.brandesDeltas(sym, fwd, 4, stateBound = 100L)
+        .where(col("node") =!= col("seed"))
+        .collect()
+        .map(r => r.getAs[Long]("node") ->
+          ((r.getAs[Long]("sigma"), r.getAs[Double]("delta")))).toMap
+    }
+    // path 1-2-3-4-5 from 1: all sigma 1; delta(2)=3, delta(3)=2,
+    // delta(4)=1, delta(5)=0 — the telescoping (1+delta) recurrence
+    val path = bc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)), seed = 1L)
+    assert(path === Map(2L -> ((1L, 3.0)), 3L -> ((1L, 2.0)),
+      4L -> ((1L, 1.0)), 5L -> ((1L, 0.0))))
+    // diamond 1-{2,3}-4 from 1: sigma(4)=2 via both middles, each middle
+    // carries (1/2)*(1+0) = 0.5 — the sigma-ratio split
+    val diamond = bc(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)), seed = 1L)
+    assert(diamond === Map(2L -> ((1L, 0.5)), 3L -> ((1L, 0.5)), 4L -> ((2L, 0.0))))
+  }
+
   test("vhint differential: broadcast-off iteration rounds equal broadcast-on") {
     import spark.implicits._
     // the 100 TB path must be executable, not a docstring: every
