@@ -124,6 +124,35 @@ object Multimodal {
     }
   }
 
+  final case class AudioWindow(doc_id: Long, seg_idx: Long, start_ms: Long,
+                               end_ms: Long, dur_ms: Long)
+
+  /** Sliding audio segmentation (win/hop in ms) over the STUB duration
+    * (md5 hex chars 17–20 → 500 + h % 20000 ms; a real decoder reads
+    * the container header exactly here): one window per hop position,
+    * the last clipped at the clip end, short clips yielding a single
+    * clipped window — the segmentation an ASR/feature pipeline runs
+    * before spectrogram extraction. Expansion happens inside the same
+    * per-partition decoder batch as [[decode]]; each segment leaves the
+    * executor as ids + three BIGINTs, never payload copies.
+    */
+  def audioWindows(spark: SparkSession, media: DataFrame,
+                   winMs: Long = 4000L, hopMs: Long = 2000L): Dataset[AudioWindow] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, bytes) =>
+          md.reset()
+          val hex = md.digest(bytes).map(b => f"$b%02x").mkString
+          val dur = 500L + java.lang.Long.parseLong(hex.substring(16, 20), 16) % 20000L
+          val n = 1L + math.max(0L, (dur - winMs) / hopMs)
+          (0L until n).map(i => AudioWindow(id, i, i * hopMs,
+            math.min(i * hopMs + winMs, dur), dur))
+        }
+      }
+  }
+
   final case class MediaPhash(doc_id: Long, ph: Long)
 
   /** Perceptual hash over the decoded descriptor: bit i set iff the

@@ -401,6 +401,31 @@ object EmbedQueries {
     }
   }
 
+  /** Audio segmentation plumbing: the stub-decoded clip duration
+    * expands to sliding (win 4000 ms, hop 2000 ms) windows inside the
+    * per-partition decoder batch ([[graft.ops.Multimodal.audioWindows]]);
+    * the oracle replays the identical hex arithmetic and window law.
+    * All-integer output (seg index, start/end/duration ms), the last
+    * window clipped, sub-window clips yielding one clipped segment.
+    */
+  val multimodalAudioWindows: QueryDef = {
+    val dur = s"500 + ${OracleSql.stubHex(17)} % 20000"
+    QueryDef.sql("multimodal_audio_windows",
+      s"""WITH m AS (SELECT doc_id, $dur AS dur FROM documents),
+         |w AS (SELECT doc_id, dur, 1 + greatest((dur - 4000) // 2000, 0) AS n FROM m)
+         |SELECT doc_id, CAST(i AS BIGINT) AS seg_idx,
+         |  CAST(i * 2000 AS BIGINT) AS start_ms,
+         |  CAST(least(i * 2000 + 4000, dur) AS BIGINT) AS end_ms,
+         |  CAST(dur AS BIGINT) AS dur_ms
+         |FROM w, range(0, 10) r(i) WHERE i < n
+         |ORDER BY doc_id, seg_idx""".stripMargin) { (s, dir) =>
+      val media = Multimodal.mediaTable(s, Tables.documents(s, dir))
+      Multimodal.audioWindows(s, media).toDF()
+        .select(col("doc_id"), col("seg_idx"), col("start_ms"), col("end_ms"), col("dur_ms"))
+        .orderBy(col("doc_id"), col("seg_idx"))
+    }
+  }
+
   /** Vector norms / stats per embedding — the normalization pass a
     * training pipeline runs before indexing (L2, L-inf, positive-dim
     * count; exact double folds, round-6 on the norms).
@@ -2197,5 +2222,5 @@ object EmbedQueries {
     embedRandomProjection, embedKmeans, embedPca, embedOutliers,
     embedMatryoshkaRecall, multimodalPhashDedup, embedDedupSweep, embedMmr,
     embedCentroidShift, retrievalHybridRrf, embedSphericalKmeans,
-    retrievalNdcg)
+    retrievalNdcg, multimodalAudioWindows)
 }

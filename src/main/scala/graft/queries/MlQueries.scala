@@ -1080,6 +1080,75 @@ object MlQueries {
           (col("pt") + col("qt")), 6).as("acc"))
   }
 
+  /** Inverse-frequency class weights (w_c = N / (K·n_c), the sklearn
+    * "balanced" convention): the per-class loss reweighting every
+    * imbalanced classifier run derives before training. One class-sized
+    * rollup; N and K ride a window over the ROLLED-UP table; exact
+    * integers in, one double division out.
+    */
+  val mlClassWeights: QueryDef = QueryDef.sql("ml_class_weights",
+    """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY lang),
+      |t AS (SELECT lang, n, CAST(sum(n) OVER () AS BIGINT) AS tot,
+      |        CAST(count(*) OVER () AS BIGINT) AS k FROM c)
+      |SELECT lang, n, round(CAST(tot AS DOUBLE) / (k * n), 6) AS weight
+      |FROM t ORDER BY lang""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val tot = Window.partitionBy()
+    Tables.documents(s, dir)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("n"),
+        round(sum(col("n")).over(tot).cast("double") /
+          (count(lit(1)).over(tot) * col("n")), 6).as("weight"))
+      .orderBy(col("lang"))
+  }
+
+  /** Association-rule mining over supplier baskets (one basket per
+    * order, the classic market-basket shape): directed rules x→y for
+    * supplier pairs co-occurring in ≥ 8 baskets, scored
+    * support = n_xy/N, confidence = n_xy/n_x, lift = n_xy·N/(n_x·n_y) —
+    * all exact integer counts with one double division each (lift keeps
+    * the product in the double numerator so nothing overflows). The
+    * pair generation is the same per-basket self-join that feeds the
+    * co-supply graph family, with min-support pushed into the HAVING so
+    * the rule table never materializes sub-support pairs; item counts
+    * broadcast; the one-row basket total is a construction-time scalar
+    * cross (PlanSpec-allowlisted).
+    */
+  val mlAssocRules: QueryDef = QueryDef.sql("ml_assoc_rules",
+    """WITH per AS (SELECT DISTINCT l_orderkey AS o, l_suppkey AS sk FROM lineitem),
+      |nb AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n FROM per),
+      |it AS (SELECT sk, CAST(count(*) AS BIGINT) AS n_i FROM per GROUP BY sk),
+      |pr AS (SELECT a.sk AS x, b.sk AS y, CAST(count(*) AS BIGINT) AS n_xy
+      |       FROM per a JOIN per b ON a.o = b.o AND a.sk < b.sk
+      |       GROUP BY 1, 2 HAVING count(*) >= 8),
+      |r AS (SELECT x, y, n_xy FROM pr UNION ALL SELECT y AS x, x AS y, n_xy FROM pr)
+      |SELECT r.x, r.y, n_xy,
+      |  round(CAST(n_xy AS DOUBLE) / nb.n, 6) AS support,
+      |  round(CAST(n_xy AS DOUBLE) / ix.n_i, 6) AS confidence,
+      |  round(CAST(n_xy AS DOUBLE) * nb.n / (ix.n_i * iy.n_i), 6) AS lift
+      |FROM r JOIN it ix ON ix.sk = r.x JOIN it iy ON iy.sk = r.y CROSS JOIN nb
+      |ORDER BY x, y""".stripMargin) { (s, dir) =>
+    val per = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("o"), col("l_suppkey").as("sk")).distinct()
+    val nb = per.agg(countDistinct(col("o")).as("n"))
+    val it = per.groupBy(col("sk")).agg(count(lit(1)).as("n_i"))
+    val pr = per.as("a").join(per.as("b"),
+        col("a.o") === col("b.o") && col("a.sk") < col("b.sk"))
+      .groupBy(col("a.sk").as("x"), col("b.sk").as("y"))
+      .agg(count(lit(1)).as("n_xy"))
+      .where(col("n_xy") >= 8)
+    val r = pr.select(col("x"), col("y"), col("n_xy"))
+      .unionAll(pr.select(col("y").as("x"), col("x").as("y"), col("n_xy")))
+    r.join(broadcast(it.select(col("sk").as("x"), col("n_i").as("nx"))), "x")
+      .join(broadcast(it.select(col("sk").as("y"), col("n_i").as("ny"))), "y")
+      .crossJoin(broadcast(nb))
+      .select(col("x"), col("y"), col("n_xy"),
+        round(col("n_xy").cast("double") / col("n"), 6).as("support"),
+        round(col("n_xy").cast("double") / col("nx"), 6).as("confidence"),
+        round(col("n_xy").cast("double") * col("n") / (col("nx") * col("ny")), 6).as("lift"))
+      .orderBy(col("x"), col("y"))
+  }
+
   val mlLengthBuckets: QueryDef = {
     val qs = (1 to 9).map(i => s"0.${i}").mkString(", ")
     QueryDef.sql("ml_length_buckets",
@@ -1344,5 +1413,5 @@ object MlQueries {
     mlLengthBuckets, mlVocabCoverage, mlDpHistogram, mlMixtureEpochs,
     mlEpochOrder, mlKAnonymity, mlLDiversity, mlLinreg, mlNaiveBayes,
     mlAuc, mlClassifierEval, mlTargetEncoding, mlCalibration, mlBootstrapCi,
-    mlDecisionStump)
+    mlDecisionStump, mlClassWeights, mlAssocRules)
 }

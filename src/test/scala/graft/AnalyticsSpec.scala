@@ -762,6 +762,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(stump(two) === ((2L, 2L, 2L, 0.0, 1.0)))
   }
 
+  test("ml_class_weights: inverse-frequency weights satisfy w_c = N/(K n_c) exactly") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("cw").toString
+    (Seq.fill(4)("en") :+ "de").zipWithIndex.map { case (l, i) => (i.toLong, l) }
+      .toDF("doc_id", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.queries.MlQueries.mlClassWeights.run(spark, tmp).collect()
+      .map(r => r.getAs[String]("lang") -> ((r.getAs[Long]("n"), r.getAs[Double]("weight"))))
+      .toMap
+    assert(got === Map("en" -> ((4L, 0.625)), "de" -> ((1L, 2.5))))
+  }
+
+  test("ml_assoc_rules: planted baskets give exact support/confidence and an asymmetric-confidence lift above 1") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("assoc").toString
+    // 8 baskets {1,2}, 4 baskets {2}, 4 baskets {3}: only the (1,2) pair
+    // clears min-support 8. N=16, n_1=8, n_2=12.
+    val rows = (1 to 8).flatMap(o => Seq((o.toLong, 1L), (o.toLong, 2L))) ++
+      (9 to 12).map(o => (o.toLong, 2L)) ++ (13 to 16).map(o => (o.toLong, 3L))
+    rows.toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val got = graft.queries.MlQueries.mlAssocRules.run(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("x"), r.getAs[Long]("y")) ->
+        ((r.getAs[Long]("n_xy"), r.getAs[Double]("support"),
+          r.getAs[Double]("confidence"), r.getAs[Double]("lift")))).toMap
+    assert(got.keySet === Set((1L, 2L), (2L, 1L)))
+    // 1->2 is certain (conf 1), 2->1 is not (8/12); lift is symmetric:
+    // 8*16/(8*12) = 4/3
+    assert(got((1L, 2L)) === ((8L, 0.5, 1.0, 1.333333)))
+    assert(got((2L, 1L)) === ((8L, 0.5, 0.666667, 1.333333)))
+  }
+
   test("ml_linreg: planted exact line recovers slope/intercept/r2=1; noise drops r2") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("linreg").toString

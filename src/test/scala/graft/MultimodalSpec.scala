@@ -25,6 +25,33 @@ class MultimodalSpec extends SparkSpec {
     assert(out.map(_.n_bytes).toSeq === Seq(5L, 4L, 5L))
   }
 
+  test("audioWindows: segments follow the md5-duration window law, hop-spaced, uncovered tail under one hop") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val got = Multimodal.audioWindows(spark, Multimodal.mediaTable(spark, docs))
+      .collect().groupBy(_.doc_id)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for ((id, text) <- Seq(1L -> "alpha", 2L -> "beta", 3L -> "gamma", 4L -> "delta")) {
+      md.reset()
+      val hex = md.digest(text.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      val dur = 500L + java.lang.Long.parseLong(hex.substring(16, 20), 16) % 20000L
+      val n = 1L + math.max(0L, (dur - 4000L) / 2000L)
+      val ws = got(id).sortBy(_.seg_idx)
+      assert(ws.length.toLong === n, s"doc $id: ${ws.length} windows, law says $n (dur $dur)")
+      ws.zipWithIndex.foreach { case (w, i) =>
+        assert(w.seg_idx === i.toLong && w.start_ms === i * 2000L && w.dur_ms === dur)
+        assert(w.end_ms === math.min(i * 2000L + 4000L, dur))
+      }
+      // the uncovered tail is always shorter than one hop (otherwise the
+      // law would have emitted another window); only a sub-window clip
+      // produces a clipped (single) segment
+      assert(dur - ws.last.end_ms < 2000L,
+        s"doc $id: tail ${dur - ws.last.end_ms} ms >= hop")
+      if (dur >= 4000L) ws.foreach(w => assert(w.end_ms - w.start_ms === 4000L))
+    }
+  }
+
   test("resize emits the re-encoded payload: |out_media| == out_bytes == w*h*3, deterministic") {
     import spark.implicits._
     val docs = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")

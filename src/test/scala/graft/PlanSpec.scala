@@ -191,7 +191,9 @@ class PlanSpec extends SparkSpec {
       "retrieval_ndcg",
       // two ONE-ROW percentile scalars (lo/hi replicate means) crossed
       // into the one-row summary — 1×1 rows, never data-sized
-      "ml_bootstrap_ci")
+      "ml_bootstrap_ci",
+      // one-row basket-total scalar broadcast into the rule rows
+      "ml_assoc_rules")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>
