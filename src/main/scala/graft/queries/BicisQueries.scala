@@ -1369,6 +1369,78 @@ object BicisQueries {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Partial autocorrelation of the daily-count series at lags 1–3 via
+    * the Durbin–Levinson recursion UNROLLED over the round-6 ACF values
+    * (φ11 = r1; φ22 = (r2−r1²)/(1−r1²); φ33 from the order-2
+    * coefficients) — the AR-order diagnostic read next to series_acf:
+    * ACF says "correlated at lag k", PACF says "correlated at lag k
+    * AFTER removing shorter lags". Starting from the ROUNDED r_k makes
+    * both engines run the identical scalar double chain on identical
+    * inputs (the recursion is division-heavy, so it must not start from
+    * last-ulp-divergent moments); every stage is zero-denominator
+    * guarded. Cost beyond the shared ACF moments: a 3-row pivot and
+    * per-row arithmetic.
+    */
+  val seriesPacf: QueryDef = QueryDef.sql("series_pacf",
+    """WITH c AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+      |    CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1),
+      |b AS (SELECT min(d) AS d0, max(d) AS d1 FROM c),
+      |sp AS (SELECT unnest(range(d0, d1 + 1)) AS d FROM b),
+      |s AS (SELECT sp.d, coalesce(c.n, 0) AS n FROM sp LEFT JOIN c ON c.d = sp.d),
+      |p AS (SELECT l.lag, a.n AS x, b2.n AS y
+      |      FROM range(1, 4) l(lag)
+      |      CROSS JOIN s a JOIN s b2 ON b2.d = a.d + l.lag),
+      |m AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |        CAST(sum(x * y) AS BIGINT) AS sxy,
+      |        CAST(sum(x * x) AS BIGINT) AS sxx,
+      |        CAST(sum(y * y) AS BIGINT) AS syy
+      |      FROM p GROUP BY lag),
+      |acf AS (SELECT lag,
+      |  round((n * sxy - sx * sy) /
+      |        nullif(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+      |               sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0), 6) AS r
+      |  FROM m),
+      |a AS (SELECT max(CASE WHEN lag = 1 THEN r END) AS r1,
+      |        max(CASE WHEN lag = 2 THEN r END) AS r2,
+      |        max(CASE WHEN lag = 3 THEN r END) AS r3 FROM acf),
+      |p2 AS (SELECT r1, r2, r3,
+      |        (r2 - r1 * r1) / nullif(1 - r1 * r1, 0) AS f22,
+      |        r1 * (1 - r2) / nullif(1 - r1 * r1, 0) AS f21 FROM a),
+      |p3 AS (SELECT r1, r2, r3, f21, f22,
+      |        (r3 - f21 * r2 - f22 * r1) /
+      |          nullif(1 - f21 * r1 - f22 * r2, 0) AS f33 FROM p2)
+      |SELECT CAST(1 AS BIGINT) AS lag, round(r1, 6) AS pacf FROM p3
+      |UNION ALL SELECT 2, round(f22, 6) FROM p3
+      |UNION ALL SELECT 3, round(f33, 6) FROM p3
+      |ORDER BY lag""".stripMargin) { (s, dir) =>
+    val c = Tables.events(s, dir)
+      .groupBy(floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("d"))
+      .agg(count(lit(1)).as("n"))
+    val spine = c.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("d"))
+    val series = spine.join(c, Seq("d"), "left")
+      .select(col("d"), coalesce(col("n"), lit(0L)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = acfOf(s, series, 3)
+      .agg(max(when(col("lag") === 1, col("acf"))).as("r1"),
+        max(when(col("lag") === 2, col("acf"))).as("r2"),
+        max(when(col("lag") === 3, col("acf"))).as("r3"))
+    val den1 = nullif(lit(1) - col("r1") * col("r1"), lit(0.0))
+    val p3 = a
+      .withColumn("f22", (col("r2") - col("r1") * col("r1")) / den1)
+      .withColumn("f21", col("r1") * (lit(1) - col("r2")) / den1)
+      .withColumn("f33", (col("r3") - col("f21") * col("r2") - col("f22") * col("r1")) /
+        nullif(lit(1) - col("f21") * col("r1") - col("f22") * col("r2"), lit(0.0)))
+      .localCheckpoint(true)
+    series.unpersist(false)
+    p3.select(lit(1L).as("lag"), round(col("r1"), 6).as("pacf"))
+      .unionAll(p3.select(lit(2L).as("lag"), round(col("f22"), 6).as("pacf")))
+      .unionAll(p3.select(lit(3L).as("lag"), round(col("f33"), 6).as("pacf")))
+      .orderBy(col("lag"))
+  }
+
   /** Robust trend per user over the daily-count series: Mann–Kendall S
     * statistic and Kendall tau (pairwise sign agreement with time) plus
     * the Theil–Sen slope (median of all pairwise slopes — the
@@ -1447,6 +1519,6 @@ object BicisQueries {
     seriesAnomaly, qIntervalCoverage, seriesSeasonality,
     seriesCrossCorr, seriesCusum, seriesAcf, seriesSnaiveEval,
     seriesM4Downsample, seriesTrend, seriesBurstiness, seriesHolt,
-    qOrcRoundtrip, seriesStl, seriesMannKendall)
+    qOrcRoundtrip, seriesStl, seriesMannKendall, seriesPacf)
 
 }

@@ -116,6 +116,44 @@ object RelationalQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** The navigation/distribution window-function surface in one gated
+    * result — lead/lag, first/last/nth over the full-partition frame,
+    * ntile, percent_rank, cume_dist — per customer in (o_orderdate,
+    * o_orderkey) order. The sort key is unique, so the distribution
+    * functions are exact rationals (round-6) and every navigation value
+    * is deterministic; all windows share ONE partitioning (a single
+    * exchange + sort serves every function).
+    */
+  val qWindowNavigation: QueryDef = QueryDef.sql("q_window_navigation",
+    """SELECT o_orderkey, o_custkey,
+      |  lead(o_totalprice) OVER w AS next_price,
+      |  lag(o_totalprice) OVER w AS prev_price,
+      |  first_value(o_totalprice) OVER wf AS first_price,
+      |  last_value(o_totalprice) OVER wf AS last_price,
+      |  nth_value(o_totalprice, 2) OVER wf AS second_price,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  round(percent_rank() OVER w, 6) AS prank,
+      |  round(cume_dist() OVER w, 6) AS cdist
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir).select(
+      col("o_orderkey"), col("o_custkey"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      first(col("o_totalprice")).over(wf).as("first_price"),
+      last(col("o_totalprice")).over(wf).as("last_price"),
+      nth_value(col("o_totalprice"), 2).over(wf).as("second_price"),
+      ntile(4).over(w).cast("long").as("quartile"),
+      round(percent_rank().over(w), 6).as("prank"),
+      round(cume_dist().over(w), 6).as("cdist"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** UNION / INTERSECT / EXCEPT in one tagged result (U-family + extensions). */
   val qSetops: QueryDef = QueryDef.sql("q_setops",
     """WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
@@ -1875,5 +1913,5 @@ object RelationalQueries {
     qChi2Independence, qSqlTpch3, qSqlTpch5, qSqlTpch18, qSqlTpch10,
     qSqlTpch14, qSqlTpch1, qSqlTpch7, qSqlTpch8, qMergeUpsert,
     qSqlTpch4, qSqlTpch13, qSqlTpch17, qSqlTpch19, qSqlTpch22, qSqlTpch9,
-    qSqlTpch15, qAsofTolerance)
+    qSqlTpch15, qAsofTolerance, qWindowNavigation)
 }

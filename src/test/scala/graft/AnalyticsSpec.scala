@@ -762,6 +762,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(stump(two) === ((2L, 2L, 2L, 0.0, 1.0)))
   }
 
+  test("q_window_navigation: planted 4-order customer pins every navigation and distribution value") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("nav").toString
+    def d(s: String) = java.sql.Timestamp.valueOf(s"2024-01-0$s 00:00:00")
+    Seq((1L, 7L, 10.0, d("1")), (2L, 7L, 20.0, d("2")),
+      (3L, 7L, 30.0, d("3")), (4L, 7L, 40.0, d("4")))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val got = graft.queries.RelationalQueries.qWindowNavigation.run(spark, tmp).collect()
+      .map(r => r.getAs[Long]("o_orderkey") ->
+        ((Option(r.getAs[java.lang.Double]("next_price")).map(_.toDouble),
+          Option(r.getAs[java.lang.Double]("prev_price")).map(_.toDouble),
+          r.getAs[Double]("first_price"), r.getAs[Double]("last_price"),
+          r.getAs[Double]("second_price"), r.getAs[Long]("quartile"),
+          r.getAs[Double]("prank"), r.getAs[Double]("cdist")))).toMap
+    assert(got(1L) === ((Some(20.0), None, 10.0, 40.0, 20.0, 1L, 0.0, 0.25)))
+    assert(got(2L) === ((Some(30.0), Some(10.0), 10.0, 40.0, 20.0, 2L, 0.333333, 0.5)))
+    assert(got(3L) === ((Some(40.0), Some(20.0), 10.0, 40.0, 20.0, 3L, 0.666667, 0.75)))
+    assert(got(4L) === ((None, Some(30.0), 10.0, 40.0, 20.0, 4L, 1.0, 1.0)))
+  }
+
+  test("series_pacf: lag 1 equals the ACF, lag 2 satisfies the Durbin-Levinson identity against series_acf") {
+    val dir = "/root/testdata/sf0.001"
+    val acf = graft.queries.BicisQueries.seriesAcf.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("lag") -> r.getAs[Double]("acf")).toMap
+    val pacf = graft.queries.BicisQueries.seriesPacf.run(spark, dir).collect()
+      .map(r => r.getAs[Long]("lag") -> r.getAs[Double]("pacf")).toMap
+    assert(pacf.keySet === Set(1L, 2L, 3L))
+    assert(pacf(1L) === acf(1L), "pacf(1) must equal acf(1)")
+    val expected2 = math.rint((acf(2L) - acf(1L) * acf(1L)) /
+      (1 - acf(1L) * acf(1L)) * 1e6) / 1e6
+    assert(pacf(2L) === expected2,
+      s"pacf(2)=${pacf(2L)} vs Durbin-Levinson $expected2 from acf ${acf(1L)},${acf(2L)}")
+  }
+
   test("ml_class_weights: inverse-frequency weights satisfy w_c = N/(K n_c) exactly") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("cw").toString
