@@ -1527,11 +1527,14 @@ object GraphQueries {
 
   /** Brandes backward dependency accumulation over the forward table:
     * processing levels deepest-first, a node's dependency is
-    * δ(v) = Σ over DAG successors w (edge v→w, dist w = dist v + 1) of
-    * (σv/σw)·(1 + δw) — each level is ONE edge join against the
-    * just-finalized deeper level plus a left join to keep zero-successor
-    * nodes. Returns (seed, node, dist, sigma, delta) for every reached
-    * node.
+    * δ(v) = σv · Σ over DAG successors w (edge v→w, dist w = dist v+1)
+    * of (1 + δw)/σw — σv factored OUT of the sum so each level costs
+    * ONE edge join against the just-finalized deeper level (the deeper
+    * level is the only state table the edges meet; the level being
+    * finalized joins the already-aggregated per-parent sums, which are
+    * level-sized, not edge-join-sized). Zero-successor nodes keep
+    * delta 0 via the left join. Returns (seed, node, dist, sigma,
+    * delta) for every reached node.
     */
   def brandesDeltas(symmetric: org.apache.spark.sql.DataFrame,
                     fwd: org.apache.spark.sql.DataFrame,
@@ -1545,17 +1548,15 @@ object GraphQueries {
       val lvl = fwd.where(col("dist") === r)
         .select(col("seed"), col("node"), col("dist"), col("sigma"))
       val contrib = symmetric
-        .join(vhint(prev.select(col("seed").as("wseed"), col("node").as("wnode"),
+        .join(vhint(prev.select(col("seed"), col("node").as("wnode"),
           col("sigma").as("wsigma"), col("delta").as("wdelta")), stateBound),
           col("b") === col("wnode"))
-        .join(vhint(lvl, stateBound),
-          col("a") === col("node") && col("seed") === col("wseed"))
-        .groupBy(col("seed"), col("node"))
-        .agg(sum((col("sigma").cast("double") / col("wsigma")) * (lit(1) + col("wdelta")))
-          .as("delta"))
+        .groupBy(col("seed"), col("a"))
+        .agg(sum((lit(1) + col("wdelta")) / col("wsigma")).as("s"))
+        .select(col("seed"), col("a").as("node"), col("s"))
       val dlvl = lvl.join(contrib, Seq("seed", "node"), "left")
         .select(col("seed"), col("node"), col("dist"), col("sigma"),
-          coalesce(col("delta"), lit(0.0)).as("delta"))
+          coalesce(col("sigma").cast("double") * col("s"), lit(0.0)).as("delta"))
         .localCheckpoint(eager = true)
       acc = acc.unionAll(dlvl)
       prev = dlvl
@@ -1566,7 +1567,7 @@ object GraphQueries {
   /** Sampled-source betweenness centrality (Brandes 2001 with pivot
     * sampling — Brandes & Pich 2007, the published recipe for graphs
     * where exact O(V·E) betweenness is unrunnable): forward BFS with
-    * path counting from every 400th customer, then backward dependency
+    * path counting from every 800th customer, then backward dependency
     * accumulation, bc(v) = Σ_seeds δ_s(v) over non-seed nodes. σ and
     * the level structure are integer-exact; δ is the one double
     * recurrence (σ ratios), so the output rounds to 3 decimals like
@@ -1592,12 +1593,10 @@ object GraphQueries {
     }
     def bwdCte(r: Int): String = {
       val w = r + 1
-      s"""c$r AS (SELECT l.seed, l.node,
-         |          sum((CAST(l.sigma AS DOUBLE) / w.sigma) * (1 + w.delta)) AS delta
-         |        FROM v$rounds l JOIN e ON e.a = l.node
-         |        JOIN l$w w ON w.seed = l.seed AND w.node = e.b
-         |        WHERE l.dist = $r GROUP BY l.seed, l.node),
-         |l$r AS (SELECT l.seed, l.node, l.sigma, coalesce(c.delta, CAST(0 AS DOUBLE)) AS delta
+      s"""c$r AS (SELECT w.seed, e.a AS node, sum((1 + w.delta) / w.sigma) AS s
+         |        FROM e JOIN l$w w ON w.node = e.b GROUP BY w.seed, e.a),
+         |l$r AS (SELECT l.seed, l.node, l.sigma,
+         |          coalesce(CAST(l.sigma AS DOUBLE) * c.s, CAST(0 AS DOUBLE)) AS delta
          |        FROM v$rounds l LEFT JOIN c$r c ON c.seed = l.seed AND c.node = l.node
          |        WHERE l.dist = $r)""".stripMargin
     }
@@ -1606,7 +1605,7 @@ object GraphQueries {
          |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
          |e AS (SELECT a, b FROM ec UNION ALL SELECT b, a FROM ec),
          |v0 AS (SELECT DISTINCT a AS seed, a AS node, CAST(0 AS BIGINT) AS dist,
-         |         CAST(1 AS BIGINT) AS sigma FROM ec WHERE a % 400 = 0),
+         |         CAST(1 AS BIGINT) AS sigma FROM ec WHERE a % 800 = 0),
          |${(1 to rounds).map(fwdCte).mkString(",\n")},
          |l$rounds AS (SELECT seed, node, sigma, CAST(0 AS DOUBLE) AS delta
          |       FROM v$rounds WHERE dist = $rounds),
@@ -1620,7 +1619,7 @@ object GraphQueries {
       val pairs = packedTradePairs(s, dir)
         .select(col("c").as("a"), col("s").as("b"))
       val edges = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
-      val seeds = pairs.where(col("a") % 400 === 0).select(col("a").as("node")).distinct()
+      val seeds = pairs.where(col("a") % 800 === 0).select(col("a").as("node")).distinct()
       val fwd = brandesForward(edges, seeds, rounds)
       val deltas = brandesDeltas(edges, fwd, rounds, stateBound = fwd.count())
       deltas.where(col("node") =!= col("seed"))
