@@ -1369,6 +1369,36 @@ object BicisQueries {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Per-user presence bitmasks: the hour-of-day and day-of-week sets a
+    * user is active in, packed into single BIGINTs via bit_or(1 << k) —
+    * the roaring-bitmap-style compact state trick: 24- and 7-slot SETS
+    * ride the shuffle as 8 bytes each (map-side combinable, no
+    * collect_set array state), with bit_count recovering the
+    * cardinalities. All-integer output; one hash aggregate.
+    */
+  val qPresenceBitmask: QueryDef = QueryDef.sql("q_presence_bitmask",
+    """WITH e AS (SELECT user_id,
+      |    CAST(epoch_us(ts) // 3600000000 % 24 AS BIGINT) AS h,
+      |    CAST(epoch_us(ts) // 86400000000 % 7 AS BIGINT) AS wd
+      |  FROM events)
+      |SELECT user_id,
+      |  CAST(bit_or(CAST(1 AS BIGINT) << h) AS BIGINT) AS hour_mask,
+      |  CAST(bit_count(bit_or(CAST(1 AS BIGINT) << h)) AS BIGINT) AS n_hours,
+      |  CAST(bit_or(CAST(1 AS BIGINT) << wd) AS BIGINT) AS day_mask,
+      |  CAST(bit_count(bit_or(CAST(1 AS BIGINT) << wd)) AS BIGINT) AS n_days
+      |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        (floor(unix_micros(col("ts")) / lit(3600000000L)) % 24).cast("int").as("h"),
+        (floor(unix_micros(col("ts")) / lit(86400000000L)) % 7).cast("int").as("wd"))
+      .groupBy(col("user_id"))
+      .agg(expr("CAST(bit_or(shiftleft(CAST(1 AS BIGINT), h)) AS BIGINT)").as("hour_mask"),
+        expr("CAST(bit_count(bit_or(shiftleft(CAST(1 AS BIGINT), h))) AS BIGINT)").as("n_hours"),
+        expr("CAST(bit_or(shiftleft(CAST(1 AS BIGINT), wd)) AS BIGINT)").as("day_mask"),
+        expr("CAST(bit_count(bit_or(shiftleft(CAST(1 AS BIGINT), wd))) AS BIGINT)").as("n_days"))
+      .orderBy(col("user_id"))
+  }
+
   /** Partial autocorrelation of the daily-count series at lags 1–3 via
     * the Durbin–Levinson recursion UNROLLED over the round-6 ACF values
     * (φ11 = r1; φ22 = (r2−r1²)/(1−r1²); φ33 from the order-2
@@ -1519,6 +1549,6 @@ object BicisQueries {
     seriesAnomaly, qIntervalCoverage, seriesSeasonality,
     seriesCrossCorr, seriesCusum, seriesAcf, seriesSnaiveEval,
     seriesM4Downsample, seriesTrend, seriesBurstiness, seriesHolt,
-    qOrcRoundtrip, seriesStl, seriesMannKendall, seriesPacf)
+    qOrcRoundtrip, seriesStl, seriesMannKendall, seriesPacf, qPresenceBitmask)
 
 }

@@ -1080,6 +1080,86 @@ object MlQueries {
           (col("pt") + col("qt")), 6).as("acc"))
   }
 
+  /** Precision/recall curve of the n_chars-vs-English scorer at every
+    * distinct threshold — [[mlAuc]]'s groupBy-once shape driven the
+    * other way: one event-sized exchange groups by score, then the
+    * DESCENDING cumulative window over the DISTINCT-score table yields
+    * tp/fp at threshold "score >= s" for every s in one pass (the naive
+    * form rescans the corpus per threshold). Every point is exact
+    * BIGINT counts with single-division round-6 precision/recall/f1
+    * (f1 via the integer identity, as ml_classifier_eval).
+    */
+  val mlPrCurve: QueryDef = QueryDef.sql("ml_pr_curve",
+    """WITH s AS (SELECT CAST(n_chars AS BIGINT) AS score,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+      |g AS (SELECT score, CAST(sum(y) AS BIGINT) AS p,
+      |        CAST(count(*) - sum(y) AS BIGINT) AS q FROM s GROUP BY score),
+      |c AS (SELECT score,
+      |        CAST(sum(p) OVER w AS BIGINT) AS tp, CAST(sum(q) OVER w AS BIGINT) AS fp,
+      |        CAST(sum(p) OVER () AS BIGINT) AS pt
+      |      FROM g WINDOW w AS (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT score, tp, fp, pt - tp AS fn,
+      |  round(CAST(tp AS DOUBLE) / nullif(tp + fp, 0), 6) AS precision,
+      |  round(CAST(tp AS DOUBLE) / nullif(pt, 0), 6) AS recall,
+      |  round(2 * CAST(tp AS DOUBLE) / nullif(tp + fp + pt, 0), 6) AS f1
+      |FROM c ORDER BY score""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, dir)
+      .select(col("n_chars").cast("long").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val g = base.groupBy(col("score"))
+      .agg(sum(col("y")).as("p"), (count(lit(1)) - sum(col("y"))).as("q"))
+    val w = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = g.select(col("score"),
+      sum(col("p")).over(w).cast("long").as("tp"),
+      sum(col("q")).over(w).cast("long").as("fp"),
+      sum(col("p")).over(Window.partitionBy()).cast("long").as("pt"))
+    c.select(col("score"), col("tp"), col("fp"), (col("pt") - col("tp")).as("fn"),
+        round(col("tp").cast("double") / nullif(col("tp") + col("fp"), lit(0L)), 6)
+          .as("precision"),
+        round(col("tp").cast("double") / nullif(col("pt"), lit(0L)), 6).as("recall"),
+        round(lit(2) * col("tp").cast("double") /
+          nullif(col("tp") + col("fp") + col("pt"), lit(0L)), 6).as("f1"))
+      .orderBy(col("score"))
+  }
+
+  /** Stratified treatment-effect table (the observational-study rollup:
+    * within each source stratum, mean outcome for the "treated" class
+    * vs the rest — here en-labeled docs vs others on document length).
+    * Per stratum: exact BIGINT counts and sums, two exact divisions,
+    * and the effect as their round-6 difference; strata with a missing
+    * arm report NULL. One source-sized rollup, no per-row state.
+    */
+  val mlStratifiedEffect: QueryDef = QueryDef.sql("ml_stratified_effect",
+    """WITH d AS (SELECT source, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS t,
+      |    CAST(n_chars AS BIGINT) AS x FROM documents),
+      |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(t) AS BIGINT) AS n_t,
+      |        CAST(sum(t * x) AS BIGINT) AS sx_t,
+      |        CAST(sum((1 - t) * x) AS BIGINT) AS sx_c
+      |      FROM d GROUP BY source)
+      |SELECT source, n, n_t,
+      |  round(CAST(sx_t AS DOUBLE) / nullif(n_t, 0), 6) AS mean_t,
+      |  round(CAST(sx_c AS DOUBLE) / nullif(n - n_t, 0), 6) AS mean_c,
+      |  round(CAST(sx_t AS DOUBLE) / nullif(n_t, 0)
+      |        - CAST(sx_c AS DOUBLE) / nullif(n - n_t, 0), 6) AS effect
+      |FROM g ORDER BY source""".stripMargin) { (s, dir) =>
+    val d = Tables.documents(s, dir)
+      .select(col("source"), when(col("lang") === "en", 1L).otherwise(0L).as("t"),
+        col("n_chars").cast("long").as("x"))
+    val g = d.groupBy(col("source")).agg(
+      count(lit(1)).as("n"), sum(col("t")).as("n_t"),
+      sum(col("t") * col("x")).as("sx_t"),
+      sum((lit(1) - col("t")) * col("x")).as("sx_c"))
+    val mt = col("sx_t").cast("double") / nullif(col("n_t"), lit(0L))
+    val mc = col("sx_c").cast("double") / nullif(col("n") - col("n_t"), lit(0L))
+    g.select(col("source"), col("n"), col("n_t"),
+        round(mt, 6).as("mean_t"), round(mc, 6).as("mean_c"),
+        round(mt - mc, 6).as("effect"))
+      .orderBy(col("source"))
+  }
+
   /** Inverse-frequency class weights (w_c = N / (K·n_c), the sklearn
     * "balanced" convention): the per-class loss reweighting every
     * imbalanced classifier run derives before training. One class-sized
@@ -1413,5 +1493,5 @@ object MlQueries {
     mlLengthBuckets, mlVocabCoverage, mlDpHistogram, mlMixtureEpochs,
     mlEpochOrder, mlKAnonymity, mlLDiversity, mlLinreg, mlNaiveBayes,
     mlAuc, mlClassifierEval, mlTargetEncoding, mlCalibration, mlBootstrapCi,
-    mlDecisionStump, mlClassWeights, mlAssocRules)
+    mlDecisionStump, mlClassWeights, mlAssocRules, mlPrCurve, mlStratifiedEffect)
 }

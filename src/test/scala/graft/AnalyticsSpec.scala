@@ -797,6 +797,59 @@ class AnalyticsSpec extends SparkSpec {
       s"pacf(2)=${pacf(2L)} vs Durbin-Levinson $expected2 from acf ${acf(1L)},${acf(2L)}")
   }
 
+  test("ml_pr_curve: descending thresholds sweep exact tp/fp with the hand-computed precision/recall/f1 points") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("pr").toString
+    Seq((1L, "en", 2L), (2L, "en", 3L), (3L, "de", 1L), (4L, "de", 2L))
+      .toDF("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.queries.MlQueries.mlPrCurve.run(spark, tmp).collect()
+      .map(r => r.getAs[Long]("score") ->
+        ((r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"),
+          r.getAs[Double]("precision"), r.getAs[Double]("recall"),
+          r.getAs[Double]("f1")))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(3L) === ((1L, 0L, 1L, 1.0, 0.5, 0.666667)))
+    assert(got(2L) === ((2L, 1L, 0L, 0.666667, 1.0, 0.8)))
+    assert(got(1L) === ((2L, 2L, 0L, 0.5, 1.0, 0.666667)))
+  }
+
+  test("ml_stratified_effect: per-stratum arm means and their difference; a missing arm reports null") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("ate").toString
+    Seq((1L, "A", "en", 10L), (2L, "A", "en", 20L), (3L, "A", "de", 2L),
+      (4L, "B", "de", 5L), (5L, "B", "de", 7L))
+      .toDF("doc_id", "source", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.queries.MlQueries.mlStratifiedEffect.run(spark, tmp).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_t"),
+          Option(r.getAs[java.lang.Double]("mean_t")).map(_.toDouble),
+          Option(r.getAs[java.lang.Double]("mean_c")).map(_.toDouble),
+          Option(r.getAs[java.lang.Double]("effect")).map(_.toDouble)))).toMap
+    assert(got("A") === ((3L, 2L, Some(15.0), Some(2.0), Some(13.0))))
+    assert(got("B") === ((2L, 0L, None, Some(6.0), None)))
+  }
+
+  test("q_presence_bitmask: hour/weekday sets pack into exact bit positions with bit_count cardinalities") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("mask").toString
+    def ts(d: Long, h: Long) = new java.sql.Timestamp((d * 86400L + h * 3600L) * 1000L)
+    val rows = Seq(
+      (1L, ts(0, 0), 1L, "trip"), (2L, ts(0, 3), 1L, "trip"), (3L, ts(1, 3), 1L, "trip"),
+      (4L, ts(6, 23), 2L, "trip"))
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = graft.queries.BicisQueries.qPresenceBitmask.run(spark, tmp).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("hour_mask"), r.getAs[Long]("n_hours"),
+          r.getAs[Long]("day_mask"), r.getAs[Long]("n_days")))).toMap
+    // user 1: hours {0,3} -> 1|8, weekdays {0,1} -> 1|2
+    assert(got(1L) === ((9L, 2L, 3L, 2L)))
+    // user 2: hour 23, weekday 6 -> single high bits
+    assert(got(2L) === ((1L << 23, 1L, 64L, 1L)))
+  }
+
   test("ml_class_weights: inverse-frequency weights satisfy w_c = N/(K n_c) exactly") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("cw").toString
