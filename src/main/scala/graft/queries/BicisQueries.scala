@@ -429,6 +429,64 @@ object BicisQueries {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** JSON-lines sink→source roundtrip under the q_orc_roundtrip gate
+    * law: write documents as .json, read back with the EXPLICIT source
+    * schema (no inference — a re-inferred schema is a different
+    * contract), and prove content identity via the same per-group
+    * count/sum/min/max/text-signature rollup the oracle computes from
+    * the parquet source. Exercises JSON string escaping (quotes,
+    * control chars, unicode) through a full write+read cycle.
+    */
+  val qJsonRoundtrip: QueryDef = QueryDef.sql("q_json_roundtrip",
+    s"""SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id,
+       |  CAST(sum(${OracleSql.hash64("'js'", "text")} % 1000003) AS BIGINT) AS text_sig
+       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (s, dir) =>
+    graft.ops.TextOps.ensureFunctions(s)
+    val src = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    val jsonDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_q_json_roundtrip_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+    src.write.mode("overwrite").json(jsonDir)
+    s.read.schema(src.schema).json(jsonDir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+        sum(expr(graft.ops.TextOps.portableHash64Sql("'js'", "text")) % 1000003L).as("text_sig"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  /** CSV sink→source roundtrip (same gate law): header + full quoting
+    * with doubled-quote escapes and multiLine read, the one lossy-prone
+    * text format — embedded commas, quotes and newlines must survive
+    * the cycle for the text signature to match the parquet-source
+    * oracle. Schema is passed explicitly on read (CSV carries none).
+    */
+  val qCsvRoundtrip: QueryDef = QueryDef.sql("q_csv_roundtrip",
+    s"""SELECT lang, source, CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       |  CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id,
+       |  CAST(sum(${OracleSql.hash64("'cs'", "text")} % 1000003) AS BIGINT) AS text_sig
+       |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (s, dir) =>
+    graft.ops.TextOps.ensureFunctions(s)
+    val src = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+    val csvDir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_q_csv_roundtrip_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+    src.write.mode("overwrite")
+      .option("header", "true").option("quoteAll", "true").option("escape", "\"")
+      .csv(csvDir)
+    s.read.schema(src.schema)
+      .option("header", "true").option("multiLine", "true").option("escape", "\"")
+      .csv(csvDir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+        sum(expr(graft.ops.TextOps.portableHash64Sql("'cs'", "text")) % 1000003L).as("text_sig"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   /** Holt's linear-trend (double exponential) smoothing per user over
     * active-day counts, α=β=0.5 — the forecasting tier's trend member
     * beside [[seriesEwma]] (level only), series_snaive (seasonal naive)
@@ -1549,6 +1607,7 @@ object BicisQueries {
     seriesAnomaly, qIntervalCoverage, seriesSeasonality,
     seriesCrossCorr, seriesCusum, seriesAcf, seriesSnaiveEval,
     seriesM4Downsample, seriesTrend, seriesBurstiness, seriesHolt,
-    qOrcRoundtrip, seriesStl, seriesMannKendall, seriesPacf, qPresenceBitmask)
+    qOrcRoundtrip, seriesStl, seriesMannKendall, seriesPacf, qPresenceBitmask,
+    qJsonRoundtrip, qCsvRoundtrip)
 
 }

@@ -1080,6 +1080,54 @@ object MlQueries {
           (col("pt") + col("qt")), 6).as("acc"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift test between the even- and
+    * odd-doc_id halves of the corpus on document length — the
+    * distribution-shift gate a data pipeline runs between snapshots.
+    * ENTIRELY integer-exact: D = max|F1−F2| is computed as
+    * max|cum1·n2 − cum2·n1| over the DISTINCT-value cumulative table
+    * (one event-sized exchange + one value-domain window, the
+    * [[mlAuc]] shape), so the argmax is unambiguous cross-engine; the
+    * one double division renders the statistic. The integer cross
+    * products cap at n1·n2 — beyond ~3e9 rows per side switch the
+    * products to DECIMAL (the ml_decision_stump note).
+    */
+  val mlKsTest: QueryDef = QueryDef.sql("ml_ks_test",
+    """WITH s AS (SELECT CAST(n_chars AS BIGINT) AS x, doc_id % 2 AS grp FROM documents),
+      |g AS (SELECT x, CAST(sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+      |        CAST(sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+      |      FROM s GROUP BY x),
+      |c AS (SELECT x,
+      |        CAST(sum(c1) OVER w AS BIGINT) AS f1, CAST(sum(c2) OVER w AS BIGINT) AS f2,
+      |        CAST(sum(c1) OVER () AS BIGINT) AS n1, CAST(sum(c2) OVER () AS BIGINT) AS n2
+      |      FROM g WINDOW w AS (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |r AS (SELECT x, n1, n2, abs(f1 * n2 - f2 * n1) AS dd,
+      |        row_number() OVER (ORDER BY abs(f1 * n2 - f2 * n1) DESC, x) AS rn
+      |      FROM c)
+      |SELECT n1, n2, CAST(dd AS BIGINT) AS ks_num,
+      |  round(CAST(dd AS DOUBLE) / (n1 * n2), 6) AS ks, x AS ks_at
+      |FROM r WHERE rn = 1""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, dir)
+      .select(col("n_chars").cast("long").as("x"), (col("doc_id") % 2).as("grp"))
+    val g = base.groupBy(col("x")).agg(
+      sum(when(col("grp") === 0, 1L).otherwise(0L)).as("c1"),
+      sum(when(col("grp") === 1, 1L).otherwise(0L)).as("c2"))
+    val w = Window.orderBy(col("x")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    val c = g.select(col("x"),
+      sum(col("c1")).over(w).cast("long").as("f1"),
+      sum(col("c2")).over(w).cast("long").as("f2"),
+      sum(col("c1")).over(tot).cast("long").as("n1"),
+      sum(col("c2")).over(tot).cast("long").as("n2"))
+    val dd = abs(col("f1") * col("n2") - col("f2") * col("n1"))
+    c.withColumn("dd", dd)
+      .withColumn("rn", row_number().over(Window.orderBy(col("dd").desc, col("x"))))
+      .where(col("rn") === 1)
+      .select(col("n1"), col("n2"), col("dd").cast("long").as("ks_num"),
+        round(col("dd").cast("double") / (col("n1") * col("n2")), 6).as("ks"),
+        col("x").as("ks_at"))
+  }
+
   /** Precision/recall curve of the n_chars-vs-English scorer at every
     * distinct threshold — [[mlAuc]]'s groupBy-once shape driven the
     * other way: one event-sized exchange groups by score, then the
@@ -1493,5 +1541,6 @@ object MlQueries {
     mlLengthBuckets, mlVocabCoverage, mlDpHistogram, mlMixtureEpochs,
     mlEpochOrder, mlKAnonymity, mlLDiversity, mlLinreg, mlNaiveBayes,
     mlAuc, mlClassifierEval, mlTargetEncoding, mlCalibration, mlBootstrapCi,
-    mlDecisionStump, mlClassWeights, mlAssocRules, mlPrCurve, mlStratifiedEffect)
+    mlDecisionStump, mlClassWeights, mlAssocRules, mlPrCurve, mlStratifiedEffect,
+    mlKsTest)
 }

@@ -797,6 +797,23 @@ class AnalyticsSpec extends SparkSpec {
       s"pacf(2)=${pacf(2L)} vs Durbin-Levinson $expected2 from acf ${acf(1L)},${acf(2L)}")
   }
 
+  test("ml_ks_test: disjoint halves reach D=1; overlapping halves tie-break to the smallest argmax value") {
+    import spark.implicits._
+    def ks(rows: Seq[(Long, Long)]): (Long, Long, Long, Double, Long) = {
+      val tmp = java.nio.file.Files.createTempDirectory("ks").toString
+      rows.toDF("doc_id", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val r = graft.queries.MlQueries.mlKsTest.run(spark, tmp).collect()
+      assert(r.length === 1)
+      (r(0).getAs[Long]("n1"), r(0).getAs[Long]("n2"), r(0).getAs[Long]("ks_num"),
+        r(0).getAs[Double]("ks"), r(0).getAs[Long]("ks_at"))
+    }
+    // even ids (ref) at {1,2}, odd ids (cur) at {3,4}: fully separated -> D=1 at x=2
+    assert(ks(Seq((0L, 1L), (2L, 2L), (1L, 3L), (3L, 4L))) === ((2L, 2L, 4L, 1.0, 2L)))
+    // ref {1,2}, cur {2,3}: |F1-F2| = 1/2 at both x=1 and x=2 -> argmax picks 1
+    assert(ks(Seq((0L, 1L), (2L, 2L), (1L, 2L), (3L, 3L))) === ((2L, 2L, 2L, 0.5, 1L)))
+  }
+
   test("ml_pr_curve: descending thresholds sweep exact tp/fp with the hand-computed precision/recall/f1 points") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("pr").toString

@@ -18,6 +18,36 @@ class SinksSpec extends SparkSpec {
     assert(back.count() === 2L)
   }
 
+  test("csv/json roundtrip gate rows survive embedded commas, quotes, newlines and unicode") {
+    import spark.implicits._
+    val dir = tmp()
+    // the adversarial payloads a naive CSV writer mangles
+    val docs = Seq(
+      (1L, "plain text", "en", "web", 10L),
+      (2L, "comma, separated, values", "en", "web", 24L),
+      (3L, "say \"hello\" twice", "de", "book", 17L),
+      (4L, "line one\nline two", "de", "book", 17L),
+      (5L, "unicode: café — emoji 😀", "es", "web", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // roundtrip result must equal the same rollup computed DIRECTLY on
+    // the source — any write/read loss shows up in n_rows or text_sig
+    graft.ops.TextOps.ensureFunctions(spark)
+    def direct(salt: String) = docs.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+        sum(expr(graft.ops.TextOps.portableHash64Sql(s"'$salt'", "text")) % 1000003L)
+          .as("text_sig"))
+      .orderBy(col("lang"), col("source"))
+      .collect().map(_.toString).toSeq
+    val csvGot = graft.queries.BicisQueries.qCsvRoundtrip.run(spark, dir)
+      .collect().map(_.toString).toSeq
+    val jsonGot = graft.queries.BicisQueries.qJsonRoundtrip.run(spark, dir)
+      .collect().map(_.toString).toSeq
+    assert(csvGot === direct("cs"), "CSV roundtrip lost content")
+    assert(jsonGot === direct("js"), "JSON roundtrip lost content")
+  }
+
   test("fails report reconciles dropped rows with sample ids") {
     import spark.implicits._
     val input = (1L to 10L).toDF("id")
