@@ -1080,6 +1080,53 @@ object MlQueries {
           (col("pt") + col("qt")), 6).as("acc"))
   }
 
+  /** T-CLOSENESS audit — the third rung of the release-gate ladder
+    * (Li, Li & Venkatasubramanian 2007) after [[mlKAnonymity]] and
+    * [[mlLDiversity]]: a class can be large AND diverse yet still leak
+    * if its sensitive-value DISTRIBUTION deviates from the corpus-wide
+    * one, so the gate bounds the total-variation distance per class.
+    * Quasi-identifier is source, sensitive attribute is lang;
+    * tv = ½·Σ_l |p(l|source) − p(l)| computed as integer cross
+    * products Σ|n_sl·N − n_l·n_s| over the DENSED source×lang grid
+    * (structural zeros contribute n_l·n_s — the chi² densing rule) with
+    * ONE double division at the end. The grid cross is dims×dims sized
+    * (PlanSpec-allowlisted); products cap at n_s·N — DECIMAL past ~3e9
+    * rows (the ml_decision_stump note).
+    */
+  val mlTCloseness: QueryDef = QueryDef.sql("ml_t_closeness",
+    """WITH d AS (SELECT source, lang FROM documents),
+      |sl AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_sl FROM d GROUP BY 1, 2),
+      |sg AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM d GROUP BY 1),
+      |lg AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l,
+      |         CAST(sum(count(*)) OVER () AS BIGINT) AS nn FROM d GROUP BY 1),
+      |grid AS (SELECT sg.source, lg.lang, sg.n_s, lg.n_l, lg.nn
+      |         FROM sg CROSS JOIN lg),
+      |cell AS (SELECT g.source, g.n_s, g.nn,
+      |           abs(coalesce(sl.n_sl, 0) * g.nn - g.n_l * g.n_s) AS dev
+      |         FROM grid g LEFT JOIN sl ON sl.source = g.source AND sl.lang = g.lang)
+      |SELECT source, n_s AS n, CAST(sum(dev) AS BIGINT) AS tv_num,
+      |  round(CAST(sum(dev) AS DOUBLE) / (2 * n_s * nn), 6) AS t,
+      |  round(CAST(sum(dev) AS DOUBLE) / (2 * n_s * nn), 6) > 0.2 AS at_risk
+      |FROM cell GROUP BY source, n_s, nn ORDER BY source""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir).select(col("source"), col("lang"))
+    val sl = d.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n_sl"))
+    val sg = d.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+    val lg = d.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      .withColumn("nn", sum(col("n_l")).over(Window.partitionBy()).cast("long"))
+    val grid = sg.crossJoin(broadcast(lg))
+    val cell = grid.join(sl, Seq("source", "lang"), "left")
+      .select(col("source"), col("n_s"), col("nn"),
+        abs(coalesce(col("n_sl"), lit(0L)) * col("nn") - col("n_l") * col("n_s")).as("dev"))
+    cell.groupBy(col("source"), col("n_s"), col("nn"))
+      .agg(sum(col("dev")).cast("long").as("tv_num"))
+      .select(col("source"), col("n_s").as("n"), col("tv_num"),
+        round(col("tv_num").cast("double") / (lit(2) * col("n_s") * col("nn")), 6).as("t"),
+        (round(col("tv_num").cast("double") / (lit(2) * col("n_s") * col("nn")), 6) > 0.2)
+          .as("at_risk"))
+      .orderBy(col("source"))
+  }
+
   /** Two-sample Kolmogorov–Smirnov drift test between the even- and
     * odd-doc_id halves of the corpus on document length — the
     * distribution-shift gate a data pipeline runs between snapshots.
@@ -1542,5 +1589,5 @@ object MlQueries {
     mlEpochOrder, mlKAnonymity, mlLDiversity, mlLinreg, mlNaiveBayes,
     mlAuc, mlClassifierEval, mlTargetEncoding, mlCalibration, mlBootstrapCi,
     mlDecisionStump, mlClassWeights, mlAssocRules, mlPrCurve, mlStratifiedEffect,
-    mlKsTest)
+    mlKsTest, mlTCloseness)
 }

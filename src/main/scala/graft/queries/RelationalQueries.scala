@@ -116,6 +116,36 @@ object RelationalQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** The conditional/selective aggregate surface in one gated result —
+    * count_if, bool_and/bool_or, max_by/min_by, exact median — per
+    * lang over documents. The arg-extrema ride a UNIQUE ordering key
+    * (n_chars·2²⁰ + doc_id, doc_id < 2²⁰ guaranteed by the generator's
+    * id density) so ties cannot flip the winner between engines, and
+    * median's even-count interpolation is the same (a+b)/2 in both.
+    */
+  val qAggFuncs: QueryDef = QueryDef.sql("q_agg_funcs",
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(count_if(n_chars > 500) AS BIGINT) AS n_long,
+      |  bool_and(n_chars > 0) AS all_pos,
+      |  bool_or(n_chars > 3000) AS any_huge,
+      |  CAST(arg_max(doc_id, n_chars * 1048576 + doc_id) AS BIGINT) AS longest_doc,
+      |  CAST(arg_min(doc_id, n_chars * 1048576 + doc_id) AS BIGINT) AS shortest_doc,
+      |  round(CAST(median(n_chars) AS DOUBLE), 6) AS med_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        count_if(col("n_chars") > 500).cast("long").as("n_long"),
+        bool_and(col("n_chars") > 0).as("all_pos"),
+        bool_or(col("n_chars") > 3000).as("any_huge"),
+        max_by(col("doc_id"), col("n_chars") * lit(1048576L) + col("doc_id"))
+          .cast("long").as("longest_doc"),
+        min_by(col("doc_id"), col("n_chars") * lit(1048576L) + col("doc_id"))
+          .cast("long").as("shortest_doc"),
+        round(median(col("n_chars")).cast("double"), 6).as("med_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** The navigation/distribution window-function surface in one gated
     * result — lead/lag, first/last/nth over the full-partition frame,
     * ntile, percent_rank, cume_dist — per customer in (o_orderdate,
@@ -1913,5 +1943,5 @@ object RelationalQueries {
     qChi2Independence, qSqlTpch3, qSqlTpch5, qSqlTpch18, qSqlTpch10,
     qSqlTpch14, qSqlTpch1, qSqlTpch7, qSqlTpch8, qMergeUpsert,
     qSqlTpch4, qSqlTpch13, qSqlTpch17, qSqlTpch19, qSqlTpch22, qSqlTpch9,
-    qSqlTpch15, qAsofTolerance, qWindowNavigation)
+    qSqlTpch15, qAsofTolerance, qWindowNavigation, qAggFuncs)
 }

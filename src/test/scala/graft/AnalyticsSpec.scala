@@ -797,6 +797,46 @@ class AnalyticsSpec extends SparkSpec {
       s"pacf(2)=${pacf(2L)} vs Durbin-Levinson $expected2 from acf ${acf(1L)},${acf(2L)}")
   }
 
+  test("ml_t_closeness: densed grid gives exact TV distances; a missing sensitive value still contributes") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("tcl").toString
+    // N=14, en=8, de=6; D carries NO de docs -> densing must add |0 - n_de*n_s|
+    val docs =
+      Seq.fill(3)("A" -> "en") ++ Seq("A" -> "de") ++
+      Seq("B" -> "en") ++ Seq.fill(3)("B" -> "de") ++
+      Seq.fill(2)("C" -> "en") ++ Seq.fill(2)("C" -> "de") ++
+      Seq.fill(2)("D" -> "en")
+    docs.zipWithIndex.map { case ((s0, l), i) => (i.toLong, s0, l) }
+      .toDF("doc_id", "source", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.queries.MlQueries.mlTCloseness.run(spark, tmp).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("tv_num"), r.getAs[Double]("t"),
+          r.getAs[Boolean]("at_risk")))).toMap
+    assert(got("A") === ((4L, 20L, 0.178571, false)))
+    assert(got("B") === ((4L, 36L, 0.321429, true)))
+    assert(got("C") === ((4L, 8L, 0.071429, false)))
+    assert(got("D") === ((2L, 24L, 0.428571, true)))
+  }
+
+  test("q_agg_funcs: conditional counts, bool folds, unique-key arg-extrema and exact medians on a planted table") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("aggf").toString
+    Seq((1L, "en", 100L), (2L, "en", 600L), (3L, "en", 600L),
+      (4L, "de", 0L), (5L, "de", 4000L))
+      .toDF("doc_id", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.queries.RelationalQueries.qAggFuncs.run(spark, tmp).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_long"), r.getAs[Boolean]("all_pos"),
+          r.getAs[Boolean]("any_huge"), r.getAs[Long]("longest_doc"),
+          r.getAs[Long]("shortest_doc"), r.getAs[Double]("med_chars")))).toMap
+    // en: n_chars tie at 600 breaks to the larger doc_id via the packed key
+    assert(got("en") === ((3L, 2L, true, false, 3L, 1L, 600.0)))
+    // de: even count -> interpolated median (0+4000)/2
+    assert(got("de") === ((2L, 1L, false, true, 5L, 4L, 2000.0)))
+  }
+
   test("ml_ks_test: disjoint halves reach D=1; overlapping halves tie-break to the smallest argmax value") {
     import spark.implicits._
     def ks(rows: Seq[(Long, Long)]): (Long, Long, Long, Double, Long) = {

@@ -193,7 +193,10 @@ class PlanSpec extends SparkSpec {
       // into the one-row summary — 1×1 rows, never data-sized
       "ml_bootstrap_ci",
       // one-row basket-total scalar broadcast into the rule rows
-      "ml_assoc_rules")
+      "ml_assoc_rules",
+      // sources × langs dims grid (both sides group-by rollups, never
+      // row-sized) densing the t-closeness cells
+      "ml_t_closeness")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>
