@@ -672,9 +672,57 @@ object StreamingReplays {
     } finally rmTree(base)
   }
 
+  /** CRDT-monotone keyed state through the oracle gate: the per-user
+    * presence bitmasks ([[graft.streaming.Streaming.streamingPresenceMask]])
+    * replayed over staged file chunks, gated by the SAME law as the
+    * batch `q_presence_bitmask` (one oracle, two execution tiers — the
+    * q_asof_join precedent). The sink sees one update per (user, batch);
+    * because mask state is a join-semilattice, bit_or over ALL updates
+    * equals the final state — exactly the merge the gate applies, so
+    * out-of-order or duplicated update consumption cannot change the
+    * answer (the property that lets a deployment fan updates into any
+    * downstream store without sequencing).
+    */
+  val streamingBitmaskReplay: QueryDef = QueryDef.sql("streaming_bitmask_replay",
+    """WITH e AS (SELECT user_id,
+      |    CAST(epoch_us(ts) // 3600000000 % 24 AS BIGINT) AS h,
+      |    CAST(epoch_us(ts) // 86400000000 % 7 AS BIGINT) AS wd
+      |  FROM events)
+      |SELECT user_id,
+      |  CAST(bit_or(CAST(1 AS BIGINT) << h) AS BIGINT) AS hour_mask,
+      |  CAST(bit_count(bit_or(CAST(1 AS BIGINT) << h)) AS BIGINT) AS n_hours,
+      |  CAST(bit_or(CAST(1 AS BIGINT) << wd) AS BIGINT) AS day_mask,
+      |  CAST(bit_count(bit_or(CAST(1 AS BIGINT) << wd)) AS BIGINT) AS n_days
+      |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.streaming.Streaming
+    val src = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val (watched, base) = stageOrderedFiles(src, 3, Seq(col("ts"), col("event_id")))
+    try {
+      val stream = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watched).as[Streaming.Ev]
+      val sink = s"bitmask_replay_${replaySeq.incrementAndGet()}"
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val query =
+        try Streaming.streamingPresenceMask(s, stream)
+          .writeStream.format("memory").queryName(sink).outputMode("update").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      try query.processAllAvailable() finally query.stop()
+      s.table(sink)
+        .groupBy(col("user_id"))
+        .agg(expr("CAST(bit_or(hour_mask) AS BIGINT)").as("hour_mask"),
+          expr("CAST(bit_count(bit_or(hour_mask)) AS BIGINT)").as("n_hours"),
+          expr("CAST(bit_or(day_mask) AS BIGINT)").as("day_mask"),
+          expr("CAST(bit_count(bit_or(day_mask)) AS BIGINT)").as("n_days"))
+        .orderBy(col("user_id"))
+    } finally rmTree(base)
+  }
+
   val all: Seq[QueryDef] = Seq(streamingA5Replay,
     streamingSessionizeReplay, streamingIntervalJoinReplay,
     streamingOuterJoinReplay, streamingAsofReplay,
     streamingDedupReplay, streamingTumblingReplay, streamingSketchReplay,
-    streamingRatelimitReplay, streamingCdcReplay)
+    streamingRatelimitReplay, streamingCdcReplay, streamingBitmaskReplay)
 }

@@ -393,6 +393,41 @@ object Streaming {
       }
   }
 
+  final case class MaskOut(user_id: Long, hour_mask: Long, day_mask: Long)
+
+  /** Streaming presence bitmasks — the at-ingest twin of the batch
+    * `q_presence_bitmask`: per-user hour-of-day and day-of-week sets
+    * maintained as two BIGINT bit_or masks in keyed state (16 bytes per
+    * user, CRDT-monotone: updates only ever set bits). Each micro-batch
+    * folds its arrivals into the masks and emits the current value in
+    * UPDATE mode; because the state is a join-semilattice, the bit_or
+    * of ALL emitted updates equals the final state — consumers (and the
+    * replay gate) can merge update streams without ordering guarantees,
+    * the same property that makes the masks map-side combinable in
+    * batch. No watermark/timeout: presence is cumulative by definition;
+    * a deployment that wants a sliding horizon adds a timeout like
+    * [[streamingDedup]].
+    */
+  def streamingPresenceMask(spark: SparkSession,
+                            events: Dataset[Ev]): Dataset[MaskOut] = {
+    import spark.implicits._
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[(Long, Long), MaskOut](GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Ev], state: GroupState[(Long, Long)]) =>
+          var (hm, dm) = state.getOption.getOrElse((0L, 0L))
+          batch.foreach { e =>
+            val us = micros(e.ts)
+            hm |= 1L << (Math.floorDiv(us, 3600000000L) % 24)
+            dm |= 1L << (Math.floorDiv(us, 86400000000L) % 7)
+          }
+          state.update((hm, dm))
+          MaskOut(user, hm, dm)
+      }
+  }
+
   final case class BandDoc(band: Int, bh: String, doc_id: Long)
   final case class CandPair(i: Long, j: Long, band: Int)
 

@@ -26,6 +26,33 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("streaming presence masks merge monotonically across batches; updates bit_or to the final state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def at(d: Long, h: Long) = new java.sql.Timestamp((d * 86400L + h * 3600L) * 1000L)
+    val ms = MemoryStream[Ev]
+    val query = Streaming.streamingPresenceMask(spark, ms.toDS())
+      .writeStream.format("memory").queryName("mask_t").outputMode("update").start()
+    try {
+      ms.addData(Ev(1, 1, at(0, 0), "click"), Ev(2, 2, at(0, 5), "click"))
+      query.processAllAvailable()
+      ms.addData(Ev(3, 1, at(1, 3), "click"))
+      query.processAllAvailable()
+      val updates = spark.table("mask_t").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("hour_mask"), r.getAs[Long]("day_mask")))
+      // user 1 emitted twice; the second update carries BOTH batches' bits
+      val u1 = updates.filter(_._1 == 1L)
+      assert(u1.length === 2)
+      assert(u1.map(_._2).max === 9L, "hours {0,3} must merge to 1|8")   // 1|8
+      assert(u1.map(_._2).reduce(_ | _) === u1.map(_._2).max,
+        "updates must be monotone: bit_or of updates == latest state")
+      assert(u1.map(_._3).max === 3L, "weekdays {0,1} must merge to 1|2")
+      // user 2: single batch, single bit each
+      val u2 = updates.filter(_._1 == 2L)
+      assert(u2.toSeq === Seq((2L, 32L, 1L)))
+    } finally query.stop()
+  }
+
   test("streaming forward-window count replays to the batch A5 result") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
