@@ -1080,6 +1080,80 @@ object MlQueries {
           (col("pt") + col("qt")), 6).as("acc"))
   }
 
+  /** 5-fold cross-validated OLS in ONE corpus scan: folds are assigned
+    * by the portable row hash, per-fold moment vectors (n, Σx, Σy, Σxy,
+    * Σx², Σy²) accumulate as EXACT DECIMAL sums, and each fold's
+    * TRAINING moments are global-minus-fold (a window over the 5-row
+    * fold table — moments are additive, so leave-fold-out needs no
+    * second pass). The held-out MSE uses the moment identity
+    * Σ(y−a−bx)² = Σy² − 2aΣy − 2bΣxy + 2abΣx + a²n + b²Σx², so there
+    * is NO per-row prediction pass either — the naive CV shape scans
+    * the corpus 2k times; this is one scan plus 5-row arithmetic.
+    * Slope/intercept/MSE are single-row double chains over the exact
+    * decimal moments, written identically in both engines.
+    */
+  val mlCvLinreg: QueryDef = {
+    val h = OracleSql.hash64("'cv'",
+      "CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)")
+    QueryDef.sql("ml_cv_linreg",
+      s"""WITH r AS (SELECT CAST(l_quantity AS DECIMAL(12,2)) AS x,
+         |    CAST(l_extendedprice AS DECIMAL(12,2)) AS y, $h % 5 AS fold FROM lineitem),
+         |f AS (SELECT fold, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy,
+         |        sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+         |      FROM r GROUP BY fold),
+         |g AS (SELECT fold, n, sx, sy, sxy, sxx, syy,
+         |        CAST(sum(n) OVER () - n AS DOUBLE) AS tn,
+         |        CAST(sum(sx) OVER () - sx AS DOUBLE) AS tsx,
+         |        CAST(sum(sy) OVER () - sy AS DOUBLE) AS tsy,
+         |        CAST(sum(sxy) OVER () - sxy AS DOUBLE) AS tsxy,
+         |        CAST(sum(sxx) OVER () - sxx AS DOUBLE) AS tsxx
+         |      FROM f),
+         |b AS (SELECT fold, n, sx, sy, sxy, sxx, syy, tn, tsx, tsy,
+         |        (tn * tsxy - tsx * tsy) / (tn * tsxx - tsx * tsx) AS slope FROM g),
+         |c AS (SELECT fold, n, sx, sy, sxy, sxx, syy, slope,
+         |        (tsy - slope * tsx) / tn AS icept FROM b)
+         |SELECT fold, n AS n_test, round(slope, 6) AS slope, round(icept, 6) AS intercept,
+         |  round((CAST(syy AS DOUBLE) - 2 * icept * CAST(sy AS DOUBLE)
+         |         - 2 * slope * CAST(sxy AS DOUBLE) + 2 * icept * slope * CAST(sx AS DOUBLE)
+         |         + icept * icept * n + slope * slope * CAST(sxx AS DOUBLE)) / n, 4) AS mse
+         |FROM c ORDER BY fold""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.ops.TextOps
+      TextOps.ensureFunctions(s)
+      val r = Tables.lineitem(s, dir).select(
+        expr("CAST(l_quantity AS DECIMAL(12,2))").as("x"),
+        expr("CAST(l_extendedprice AS DECIMAL(12,2))").as("y"),
+        (expr(TextOps.portableHash64Sql("'cv'",
+          "concat(CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING))")) % 5)
+          .as("fold"))
+      val f = r.groupBy(col("fold")).agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      val tot = Window.partitionBy()
+      val g = f.select(col("fold"), col("n"), col("sx"), col("sy"), col("sxy"),
+        col("sxx"), col("syy"),
+        (sum(col("n")).over(tot) - col("n")).cast("double").as("tn"),
+        (sum(col("sx")).over(tot) - col("sx")).cast("double").as("tsx"),
+        (sum(col("sy")).over(tot) - col("sy")).cast("double").as("tsy"),
+        (sum(col("sxy")).over(tot) - col("sxy")).cast("double").as("tsxy"),
+        (sum(col("sxx")).over(tot) - col("sxx")).cast("double").as("tsxx"))
+      val b = g.withColumn("slope",
+        (col("tn") * col("tsxy") - col("tsx") * col("tsy")) /
+          (col("tn") * col("tsxx") - col("tsx") * col("tsx")))
+      val c = b.withColumn("icept", (col("tsy") - col("slope") * col("tsx")) / col("tn"))
+      c.select(col("fold"), col("n").as("n_test"),
+          round(col("slope"), 6).as("slope"), round(col("icept"), 6).as("intercept"),
+          round((col("syy").cast("double") - lit(2) * col("icept") * col("sy").cast("double")
+            - lit(2) * col("slope") * col("sxy").cast("double")
+            + lit(2) * col("icept") * col("slope") * col("sx").cast("double")
+            + col("icept") * col("icept") * col("n")
+            + col("slope") * col("slope") * col("sxx").cast("double")) / col("n"), 4)
+            .as("mse"))
+        .orderBy(col("fold"))
+    }
+  }
+
   /** T-CLOSENESS audit — the third rung of the release-gate ladder
     * (Li, Li & Venkatasubramanian 2007) after [[mlKAnonymity]] and
     * [[mlLDiversity]]: a class can be large AND diverse yet still leak
@@ -1589,5 +1663,5 @@ object MlQueries {
     mlEpochOrder, mlKAnonymity, mlLDiversity, mlLinreg, mlNaiveBayes,
     mlAuc, mlClassifierEval, mlTargetEncoding, mlCalibration, mlBootstrapCi,
     mlDecisionStump, mlClassWeights, mlAssocRules, mlPrCurve, mlStratifiedEffect,
-    mlKsTest, mlTCloseness)
+    mlKsTest, mlTCloseness, mlCvLinreg)
 }

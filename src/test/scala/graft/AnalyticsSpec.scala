@@ -939,6 +939,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(got((2L, 1L)) === ((8L, 0.5, 0.666667, 1.333333)))
   }
 
+  test("ml_cv_linreg: an exact line yields zero mse in every fold; one outlier is recovered only by the fold that holds it out") {
+    import spark.implicits._
+    def cv(rows: Seq[(Long, Int, Double, Double)]): Seq[(Long, Long, Double, Double, Double)] = {
+      val tmp = java.nio.file.Files.createTempDirectory("cv").toString
+      rows.toDF("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+      graft.queries.MlQueries.mlCvLinreg.run(spark, tmp).collect()
+        .map(r => (r.getAs[Long]("fold"), r.getAs[Long]("n_test"),
+          r.getAs[Double]("slope"), r.getAs[Double]("intercept"), r.getAs[Double]("mse")))
+        .toSeq
+    }
+    val clean = (1 to 200).map(i => (i.toLong, 1, (i % 50).toDouble + 1, 2.0 * ((i % 50) + 1) + 1))
+    val exact = cv(clean)
+    assert(exact.map(_._1).toSet === Set(0L, 1L, 2L, 3L, 4L), "all 5 folds must be populated")
+    exact.foreach { case (f, _, s0, i0, m) =>
+      assert(s0 === 2.0 && i0 === 1.0 && m === 0.0, s"fold $f: ($s0, $i0, mse $m)") }
+    // one gross outlier: only the fold that holds it OUT trains the exact
+    // line — and that fold's test mse is the largest (it contains the outlier)
+    val noisy = cv(clean :+ ((999L, 1, 25.0, 100000.0)))
+    val exactFolds = noisy.filter(r => r._3 === 2.0 && r._4 === 1.0)
+    assert(exactFolds.length === 1, s"expected exactly one clean-trained fold, got $noisy")
+    assert(exactFolds.head._5 === noisy.map(_._5).max,
+      "the clean-trained fold must carry the outlier's test error")
+  }
+
   test("ml_linreg: planted exact line recovers slope/intercept/r2=1; noise drops r2") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("linreg").toString
