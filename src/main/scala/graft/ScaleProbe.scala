@@ -159,6 +159,24 @@ object ScaleProbe {
       val gsecs = (System.nanoTime() - t3) / 1e9
       println(f"[scaleprobe] docs=$n%6d edges=${2 * m}%9d vertices=$nvg%7d top10_mass=$topMass%5.3f wall=$gsecs%6.1f s")
 
+      // brandes leg (r10): sampled-pivot betweenness on the same
+      // synthetic graph — forward sigma-counting + backward dependency
+      // accumulation are per-round edge joins against (seeds × reach)-
+      // keyed state, so with a FIXED pivot sample the curve should
+      // track EDGES like the pagerank leg; more pivots scale the state
+      // table linearly, never the plan.
+      val t3b = System.nanoTime()
+      val symAb = und.select(col("src").as("a"), col("dst").as("b"))
+      val bSeeds = spark.range(16).select((col("id") * 2).as("node"))
+      val fwd = graft.queries.GraphQueries.brandesForward(symAb, bSeeds, 3)
+      val deltas = graft.queries.GraphQueries.brandesDeltas(symAb, fwd, 3, fwd.count())
+      val bcTop = deltas.where(col("node") =!= col("seed"))
+        .groupBy(col("node")).agg(sum(col("delta")).as("bc"))
+        .orderBy(col("bc").desc).limit(5)
+        .agg(sum(col("bc"))).head().getDouble(0)
+      val bsecs = (System.nanoTime() - t3b) / 1e9
+      println(f"[scaleprobe] docs=$n%6d brandes_edges=${2 * m}%9d top5_bc=$bcTop%12.1f wall=$bsecs%6.1f s")
+
       // embed leg: the native-kernel vector path at growing n — (a) the
       // banded random-hyperplane near-dup pipeline (4 bands × 16 bits:
       // bucket equi-join, exact cosine verify at 0.95) on 64-dim
