@@ -1080,6 +1080,75 @@ object MlQueries {
           (col("pt") + col("qt")), 6).as("acc"))
   }
 
+  /** Gini coefficient of document-length concentration — the
+    * inequality audit a corpus report keeps next to its source mixture
+    * (a few giant documents dominating token mass is a real training
+    * pathology). Computed on the GROUPED identity: for sorted values
+    * the numerator Σ(2i−n−1)xᵢ collapses per distinct value v with
+    * count c and preceding cumulative count m to
+    * x·(2·(c·m + c(c+1)/2) − c(n+1)) — all BIGINT over the
+    * DISTINCT-value cumulative table (the [[mlAuc]] shape), so the
+    * whole statistic is integer-exact with ONE double division
+    * G = num / (n·Σx). The naive form sorts the corpus and windows
+    * over every ROW; this windows over distinct values only.
+    */
+  val mlGini: QueryDef = QueryDef.sql("ml_gini",
+    """WITH s AS (SELECT CAST(n_chars AS BIGINT) AS x FROM documents),
+      |g AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY x),
+      |cw AS (SELECT x, c,
+      |        CAST(coalesce(sum(c) OVER (ORDER BY x
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS m,
+      |        CAST(sum(c) OVER () AS BIGINT) AS n,
+      |        CAST(sum(x * c) OVER () AS BIGINT) AS sx
+      |      FROM g)
+      |SELECT n, sx AS sum_chars,
+      |  CAST(sum(x * (2 * (c * m + c * (c + 1) // 2) - c * (n + 1))) AS BIGINT) AS gini_num,
+      |  round(CAST(sum(x * (2 * (c * m + c * (c + 1) // 2) - c * (n + 1))) AS DOUBLE)
+      |        / (n * sx), 6) AS gini
+      |FROM cw GROUP BY n, sx""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.documents(s, dir)
+      .select(col("n_chars").cast("long").as("x"))
+      .groupBy(col("x")).agg(count(lit(1)).as("c"))
+    val before = Window.orderBy(col("x")).rowsBetween(Window.unboundedPreceding, -1)
+    val tot = Window.partitionBy()
+    val cw = g.select(col("x"), col("c"),
+      coalesce(sum(col("c")).over(before), lit(0L)).cast("long").as("m"),
+      sum(col("c")).over(tot).cast("long").as("n"),
+      sum(col("x") * col("c")).over(tot).cast("long").as("sx"))
+    val term = col("x") *
+      (lit(2) * (col("c") * col("m") + expr("c * (c + 1) div 2")) -
+        col("c") * (col("n") + 1))
+    cw.groupBy(col("n"), col("sx")).agg(sum(term).cast("long").as("gini_num"))
+      .select(col("n"), col("sx").as("sum_chars"), col("gini_num"),
+        round(col("gini_num").cast("double") / (col("n") * col("sx")), 6).as("gini"))
+  }
+
+  /** Simpson diversity of the lang mix per source — the log-free
+    * diversity index (probability two random docs from the source share
+    * a language, inverted): D = 1 − Σ n_l² / n_s², exact integer cross
+    * products with one double division, so unlike a Shannon entropy
+    * there is no transcendental to disagree on. One (source, lang)
+    * rollup; structural zeros contribute nothing (no densing needed —
+    * absent classes have n_l = 0 exactly).
+    */
+  val mlSimpsonDiversity: QueryDef = QueryDef.sql("ml_simpson_diversity",
+    """WITH sl AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_sl
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT source, CAST(sum(n_sl) AS BIGINT) AS n,
+      |  CAST(count(*) AS BIGINT) AS n_langs,
+      |  round(1 - CAST(sum(n_sl * n_sl) AS DOUBLE) / (sum(n_sl) * sum(n_sl)), 6) AS simpson
+      |FROM sl GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("n_sl"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_sl")).cast("long").as("n"),
+        count(lit(1)).as("n_langs"),
+        round(lit(1) - sum(col("n_sl") * col("n_sl")).cast("double") /
+          (sum(col("n_sl")) * sum(col("n_sl"))), 6).as("simpson"))
+      .orderBy(col("source"))
+  }
+
   /** 5-fold cross-validated OLS in ONE corpus scan: folds are assigned
     * by the portable row hash, per-fold moment vectors (n, Σx, Σy, Σxy,
     * Σx², Σy²) accumulate as EXACT DECIMAL sums, and each fold's
@@ -1663,5 +1732,5 @@ object MlQueries {
     mlEpochOrder, mlKAnonymity, mlLDiversity, mlLinreg, mlNaiveBayes,
     mlAuc, mlClassifierEval, mlTargetEncoding, mlCalibration, mlBootstrapCi,
     mlDecisionStump, mlClassWeights, mlAssocRules, mlPrCurve, mlStratifiedEffect,
-    mlKsTest, mlTCloseness, mlCvLinreg)
+    mlKsTest, mlTCloseness, mlCvLinreg, mlGini, mlSimpsonDiversity)
 }

@@ -939,6 +939,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(got((2L, 1L)) === ((8L, 0.5, 0.666667, 1.333333)))
   }
 
+  test("ml_gini: equal lengths give 0, a planted concentration gives the hand-computed 0.72") {
+    import spark.implicits._
+    def gini(xs: Seq[Long]): (Long, Long, Long, Double) = {
+      val tmp = java.nio.file.Files.createTempDirectory("gini").toString
+      xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("doc_id", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val r = graft.queries.MlQueries.mlGini.run(spark, tmp).collect()
+      assert(r.length === 1)
+      (r(0).getAs[Long]("n"), r(0).getAs[Long]("sum_chars"),
+        r(0).getAs[Long]("gini_num"), r(0).getAs[Double]("gini"))
+    }
+    assert(gini(Seq(5L, 5L, 5L, 5L)) === ((4L, 20L, 0L, 0.0)))
+    // sorted {1,1,1,97}: num = -3 -1 +1 +3*97 = 288; G = 288/(4*100)
+    assert(gini(Seq(97L, 1L, 1L, 1L)) === ((4L, 100L, 288L, 0.72)))
+  }
+
+  test("ml_simpson_diversity: a 50/50 source scores 0.5, a monoculture scores 0") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("simp").toString
+    Seq((1L, "A", "en"), (2L, "A", "en"), (3L, "A", "de"), (4L, "A", "de"),
+      (5L, "B", "en"), (6L, "B", "en"), (7L, "B", "en"))
+      .toDF("doc_id", "source", "lang")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.queries.MlQueries.mlSimpsonDiversity.run(spark, tmp).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_langs"), r.getAs[Double]("simpson")))).toMap
+    assert(got === Map("A" -> ((4L, 2L, 0.5)), "B" -> ((3L, 1L, 0.0))))
+  }
+
   test("ml_cv_linreg: an exact line yields zero mse in every fold; one outlier is recovered only by the fold that holds it out") {
     import spark.implicits._
     def cv(rows: Seq[(Long, Int, Double, Double)]): Seq[(Long, Long, Double, Double, Double)] = {
