@@ -116,6 +116,40 @@ object RelationalQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** The array / higher-order-function surface in one gated result:
+    * per customer, order prices collect into an array (in integer
+    * CENTS — double→string rendering differs across engines, exact
+    * cents do not), then array_sort, slice (top-3), filter (count over
+    * threshold), transform+aggregate (sum of the sorted head) and
+    * array_join exercise the HOF pipeline inside whole-stage codegen.
+    * Arrays leave as joined strings so the gate hashes a stable
+    * encoding; every number is an exact BIGINT.
+    */
+  val qArrayFuncs: QueryDef = QueryDef.sql("q_array_funcs",
+    """WITH o AS (SELECT o_custkey, CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |a AS (SELECT o_custkey, list_sort(list(cents)) AS arr FROM o GROUP BY o_custkey)
+      |SELECT o_custkey, CAST(len(arr) AS BIGINT) AS n_orders,
+      |  array_to_string(arr[1:3], ',') AS low3,
+      |  CAST(len(list_filter(arr, x -> x > 10000000)) AS BIGINT) AS n_over_100k,
+      |  CAST(list_sum(arr[1:3]) AS BIGINT) AS low3_sum,
+      |  CAST(arr[-1] AS BIGINT) AS max_cents
+      |FROM a ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+    Tables.orders(s, dir)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy(col("o_custkey"))
+      .agg(array_sort(collect_list(col("cents"))).as("arr"))
+      .select(col("o_custkey"),
+        size(col("arr")).cast("long").as("n_orders"),
+        array_join(expr("transform(slice(arr, 1, 3), x -> CAST(x AS STRING))"), ",")
+          .as("low3"),
+        size(expr("filter(arr, x -> x > 10000000)")).cast("long").as("n_over_100k"),
+        expr("aggregate(slice(arr, 1, 3), 0L, (acc, x) -> acc + x)").as("low3_sum"),
+        element_at(col("arr"), -1).cast("long").as("max_cents"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** The conditional/selective aggregate surface in one gated result —
     * count_if, bool_and/bool_or, max_by/min_by, exact median — per
     * lang over documents. The arg-extrema ride a UNIQUE ordering key
@@ -1943,5 +1977,5 @@ object RelationalQueries {
     qChi2Independence, qSqlTpch3, qSqlTpch5, qSqlTpch18, qSqlTpch10,
     qSqlTpch14, qSqlTpch1, qSqlTpch7, qSqlTpch8, qMergeUpsert,
     qSqlTpch4, qSqlTpch13, qSqlTpch17, qSqlTpch19, qSqlTpch22, qSqlTpch9,
-    qSqlTpch15, qAsofTolerance, qWindowNavigation, qAggFuncs)
+    qSqlTpch15, qAsofTolerance, qWindowNavigation, qAggFuncs, qArrayFuncs)
 }

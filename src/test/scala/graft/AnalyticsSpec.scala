@@ -819,6 +819,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(got("D") === ((2L, 24L, 0.428571, true)))
   }
 
+  test("q_array_funcs: sorted cents arrays slice, filter and fold to the hand-computed values") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("arrf").toString
+    Seq((1L, 7L, 300.0), (2L, 7L, 100.0), (3L, 7L, 200.0), (4L, 7L, 200000.0),
+      (5L, 8L, 50.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    val got = graft.queries.RelationalQueries.qArrayFuncs.run(spark, tmp).collect()
+      .map(r => r.getAs[Long]("o_custkey") ->
+        ((r.getAs[Long]("n_orders"), r.getAs[String]("low3"),
+          r.getAs[Long]("n_over_100k"), r.getAs[Long]("low3_sum"),
+          r.getAs[Long]("max_cents")))).toMap
+    // cust 7 sorted cents: [10000, 20000, 30000, 20000000]
+    assert(got(7L) === ((4L, "10000,20000,30000", 1L, 60000L, 20000000L)))
+    assert(got(8L) === ((1L, "5000", 0L, 5000L, 5000L)))
+  }
+
   test("q_agg_funcs: conditional counts, bool folds, unique-key arg-extrema and exact medians on a planted table") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("aggf").toString
