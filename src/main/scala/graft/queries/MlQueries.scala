@@ -1080,6 +1080,84 @@ object MlQueries {
           (col("pt") + col("qt")), 6).as("acc"))
   }
 
+  /** Matthews correlation of the en-vs-rest lang-id decision — the
+    * chance-corrected scalar beside [[mlClassifierEval]]'s per-class
+    * table (accuracy lies under imbalance; MCC does not). The four
+    * confusion cells are exact BIGINTs from one prediction pass; the
+    * score is one double chain (the denominator's product stays in the
+    * double domain — factors cap at N² each, far inside double range).
+    */
+  val mlMcc: QueryDef = QueryDef.sql("ml_mcc",
+    s"""WITH c AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    CASE WHEN (${TextQueries.langCaseSql.replace("\n", " ")}) = 'en' THEN 1 ELSE 0 END AS p
+       |  FROM (SELECT lang, ${TextQueries.langCntsDuck} FROM documents)),
+       |m AS (SELECT CAST(sum(y * p) AS BIGINT) AS tp,
+       |        CAST(sum((1 - y) * p) AS BIGINT) AS fp,
+       |        CAST(sum(y * (1 - p)) AS BIGINT) AS fn,
+       |        CAST(sum((1 - y) * (1 - p)) AS BIGINT) AS tn FROM c)
+       |SELECT tp, fp, fn, tn,
+       |  round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn) /
+       |    nullif(sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn) * (tn + fp) * (tn + fn)), 0), 6)
+       |    AS mcc
+       |FROM m""".stripMargin) { (s, dir) =>
+    val c = Tables.documents(s, dir)
+      .select(Seq(col("lang")) ++ TextQueries.langCntCols: _*)
+      .select(when(col("lang") === "en", 1L).otherwise(0L).as("y"),
+        when(expr(TextQueries.langCaseSql) === "en", 1L).otherwise(0L).as("p"))
+    val m = c.agg(
+      sum(col("y") * col("p")).cast("long").as("tp"),
+      sum((lit(1) - col("y")) * col("p")).cast("long").as("fp"),
+      sum(col("y") * (lit(1) - col("p"))).cast("long").as("fn"),
+      sum((lit(1) - col("y")) * (lit(1) - col("p"))).cast("long").as("tn"))
+    m.select(col("tp"), col("fp"), col("fn"), col("tn"),
+      round((col("tp").cast("double") * col("tn") - col("fp").cast("double") * col("fn")) /
+        nullif(sqrt((col("tp") + col("fp")).cast("double") * (col("tp") + col("fn")) *
+          (col("tn") + col("fp")) * (col("tn") + col("fn"))), lit(0.0)), 6).as("mcc"))
+  }
+
+  /** Cohen's kappa between the lang-id prediction and the label over
+    * ALL classes — chance-corrected multi-class agreement, ENTIRELY
+    * integer until the last division via the identity
+    * κ = (N·Σdiag − Σ_c row_c·col_c) / (N² − Σ_c row_c·col_c): the
+    * marginal products come off a class-sized confusion rollup densed
+    * implicitly (absent marginals are exact zeros), so no
+    * transcendental and no cross-row double sum anywhere.
+    */
+  val mlCohenKappa: QueryDef = QueryDef.sql("ml_cohen_kappa",
+    s"""WITH c AS (SELECT lang AS actual, ${TextQueries.langCaseSql.replace("\n", " ")} AS pred
+       |  FROM (SELECT lang, ${TextQueries.langCntsDuck} FROM documents)),
+       |cells AS (SELECT actual, pred, CAST(count(*) AS BIGINT) AS n FROM c GROUP BY 1, 2),
+       |mg AS (SELECT coalesce(r.cl, p.cl) AS cl, coalesce(r.rn, 0) AS rn, coalesce(p.pn, 0) AS pn
+       |       FROM (SELECT actual AS cl, CAST(sum(n) AS BIGINT) AS rn FROM cells GROUP BY 1) r
+       |       FULL OUTER JOIN (SELECT pred AS cl, CAST(sum(n) AS BIGINT) AS pn FROM cells GROUP BY 1) p
+       |       ON p.cl = r.cl),
+       |t AS (SELECT CAST((SELECT sum(n) FROM cells) AS BIGINT) AS nn,
+       |        CAST((SELECT sum(n) FROM cells WHERE actual = pred) AS BIGINT) AS diag,
+       |        CAST(sum(rn * pn) AS BIGINT) AS chance FROM mg)
+       |SELECT nn, diag, chance,
+       |  round(CAST(nn * diag - chance AS DOUBLE) / nullif(nn * nn - chance, 0), 6) AS kappa
+       |FROM t""".stripMargin) { (s, dir) =>
+    val c = Tables.documents(s, dir)
+      .select(Seq(col("lang")) ++ TextQueries.langCntCols: _*)
+      .select(col("lang").as("actual"), expr(TextQueries.langCaseSql).as("pred"))
+    val cells = c.groupBy(col("actual"), col("pred")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val r = cells.groupBy(col("actual").as("cl")).agg(sum(col("n")).cast("long").as("rn"))
+    val p = cells.groupBy(col("pred").as("cl")).agg(sum(col("n")).cast("long").as("pn"))
+    val mg = r.join(p, Seq("cl"), "full_outer")
+      .select(coalesce(col("rn"), lit(0L)).as("rn"), coalesce(col("pn"), lit(0L)).as("pn"))
+    val totals = cells.agg(sum(col("n")).cast("long").as("nn"),
+      sum(when(col("actual") === col("pred"), col("n")).otherwise(0L)).cast("long").as("diag"))
+    val out = mg.agg(sum(col("rn") * col("pn")).cast("long").as("chance"))
+      .crossJoin(broadcast(totals))
+      .select(col("nn"), col("diag"), col("chance"),
+        round((col("nn") * col("diag") - col("chance")).cast("double") /
+          nullif(col("nn") * col("nn") - col("chance"), lit(0L)), 6).as("kappa"))
+      .localCheckpoint(true)
+    cells.unpersist(false)
+    out
+  }
+
   /** Gini coefficient of document-length concentration — the
     * inequality audit a corpus report keeps next to its source mixture
     * (a few giant documents dominating token mass is a real training
@@ -1732,5 +1810,6 @@ object MlQueries {
     mlEpochOrder, mlKAnonymity, mlLDiversity, mlLinreg, mlNaiveBayes,
     mlAuc, mlClassifierEval, mlTargetEncoding, mlCalibration, mlBootstrapCi,
     mlDecisionStump, mlClassWeights, mlAssocRules, mlPrCurve, mlStratifiedEffect,
-    mlKsTest, mlTCloseness, mlCvLinreg, mlGini, mlSimpsonDiversity)
+    mlKsTest, mlTCloseness, mlCvLinreg, mlGini, mlSimpsonDiversity,
+    mlMcc, mlCohenKappa)
 }

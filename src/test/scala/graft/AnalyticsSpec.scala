@@ -956,6 +956,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(got((2L, 1L)) === ((8L, 0.5, 0.666667, 1.333333)))
   }
 
+  test("ml_mcc and ml_cohen_kappa: a planted confusion matrix yields the hand-computed chance-corrected scores") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("mcc").toString
+    // en: 2 pred-en (tp) + 1 pred-es (fn); de: 1 pred-en (fp) + 2 pred-es (tn
+    // for the en-vs-rest binarization)
+    Seq((1L, "en", "the and"), (2L, "en", "the and"), (3L, "en", "el la que"),
+      (4L, "de", "the and"), (5L, "de", "el que"), (6L, "de", "el que"))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val mcc = graft.queries.MlQueries.mlMcc.run(spark, tmp).collect()(0)
+    assert((mcc.getAs[Long]("tp"), mcc.getAs[Long]("fp"), mcc.getAs[Long]("fn"),
+      mcc.getAs[Long]("tn")) === ((2L, 1L, 1L, 2L)))
+    // (2*2 - 1*1)/sqrt(3*3*3*3) = 3/9
+    assert(mcc.getAs[Double]("mcc") === 0.333333)
+    // multi-class: diag 2, marginals rows {en 3, de 3}, cols {en 3, es 3}
+    // -> chance = 3*3 = 9; kappa = (6*2-9)/(36-9) = 3/27
+    val k = graft.queries.MlQueries.mlCohenKappa.run(spark, tmp).collect()(0)
+    assert((k.getAs[Long]("nn"), k.getAs[Long]("diag"), k.getAs[Long]("chance")) ===
+      ((6L, 2L, 9L)))
+    assert(k.getAs[Double]("kappa") === 0.111111)
+  }
+
   test("ml_gini: equal lengths give 0, a planted concentration gives the hand-computed 0.72") {
     import spark.implicits._
     def gini(xs: Seq[Long]): (Long, Long, Long, Double) = {

@@ -196,7 +196,9 @@ class PlanSpec extends SparkSpec {
       "ml_assoc_rules",
       // sources × langs dims grid (both sides group-by rollups, never
       // row-sized) densing the t-closeness cells
-      "ml_t_closeness")
+      "ml_t_closeness",
+      // one-row (N, diag) totals crossed into the one-row chance sum
+      "ml_cohen_kappa")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>
