@@ -1564,6 +1564,48 @@ object GraphQueries {
     acc
   }
 
+  /** Distance distribution from sampled sources (the ANF / effective-
+    * diameter estimate, Palmer et al. 2002): histogram of BFS distances
+    * over the (seed, node) reach table plus the cumulative share curve —
+    * the "how many hops until you've seen 90% of the graph" number a
+    * crawl audit reads. Pure reuse of [[closenessBfs]]'s frontier loop
+    * (different seed stride so the two queries sample independently);
+    * counts exact, the share one double division per distance row.
+    */
+  val graphDistanceHist: QueryDef = {
+    val rounds = 3
+    def roundCte(i: Int): String = {
+      val p = i - 1
+      s"""f$i AS (SELECT DISTINCT v.seed, e.b AS node FROM e JOIN v$p v ON v.node = e.a
+         |        WHERE NOT EXISTS (SELECT 1 FROM v$p x WHERE x.seed = v.seed AND x.node = e.b)),
+         |v$i AS (SELECT seed, node, dist FROM v$p
+         |        UNION ALL SELECT seed, node, CAST($i AS BIGINT) FROM f$i)""".stripMargin
+    }
+    QueryDef.sql("graph_distance_hist",
+      s"""WITH ec AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+         |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |e AS (SELECT a, b FROM ec UNION ALL SELECT b, a FROM ec),
+         |v0 AS (SELECT DISTINCT a AS seed, a AS node, CAST(0 AS BIGINT) AS dist FROM ec
+         |       WHERE a % 600 = 0),
+         |${(1 to rounds).map(roundCte).mkString(",\n")}
+         |SELECT dist, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(CAST(sum(count(*)) OVER (ORDER BY dist) AS DOUBLE)
+         |        / sum(count(*)) OVER (), 6) AS cum_share
+         |FROM v$rounds GROUP BY dist ORDER BY dist""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val pairs = packedTradePairs(s, dir)
+        .select(col("c").as("a"), col("s").as("b"))
+      val edges = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+      val seeds = pairs.where(col("a") % 600 === 0).select(col("a").as("node")).distinct()
+      closenessBfs(edges, seeds, rounds)
+        .groupBy(col("dist")).agg(count(lit(1)).as("n_pairs"))
+        .select(col("dist"), col("n_pairs"),
+          round(sum(col("n_pairs")).over(Window.orderBy(col("dist"))).cast("double") /
+            sum(col("n_pairs")).over(Window.partitionBy()), 6).as("cum_share"))
+        .orderBy(col("dist"))
+    }
+  }
+
   /** Sampled-source betweenness centrality (Brandes 2001 with pivot
     * sampling — Brandes & Pich 2007, the published recipe for graphs
     * where exact O(V·E) betweenness is unrunnable): forward BFS with
@@ -1636,5 +1678,5 @@ object GraphQueries {
     graphCloseness,
     graphPpr, graphRandomWalk, graphModularity, graphClusteringCoeff,
     graphAssortativity, graphReciprocity, graphHits, graphScc, graphPowerlaw,
-    graphBetweenness)
+    graphBetweenness, graphDistanceHist)
 }

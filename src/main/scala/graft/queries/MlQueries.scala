@@ -1080,6 +1080,52 @@ object MlQueries {
           (col("pt") + col("qt")), 6).as("acc"))
   }
 
+  /** Pairwise Pearson correlation matrix of the four lineitem numeric
+    * features, ALL SIX pairs from ONE scan: every moment (sums, squares,
+    * cross products) accumulates as an exact DECIMAL, and each r is a
+    * single-row double chain over the cast moments — the feature-audit
+    * a tabular pipeline runs before model fitting, at the cost of one
+    * map-side-combined aggregate (the naive per-pair corr() rescans
+    * 6 times).
+    */
+  val mlCorrMatrix: QueryDef = {
+    val vars = Seq("q" -> "l_quantity", "p" -> "l_extendedprice",
+      "d" -> "l_discount", "t" -> "l_tax")
+    // DECIMAL(12,2), the ml_linreg precedent: every feature is exactly
+    // 2-decimal in the data, and DuckDB executes narrow-decimal
+    // products in int64 — scale 2 keeps price² at ~1e14 internal
+    // (scale 4 overflowed it); the SUMS are wide in both engines
+    val decls = vars.map { case (a, c) => s"CAST($c AS DECIMAL(12,2)) AS $a" }.mkString(", ")
+    val sums = vars.map { case (a, _) => s"sum($a) AS s_$a" } ++
+      vars.map { case (a, _) => s"sum($a * $a) AS s_$a$a" } ++
+      vars.combinations(2).map { case Seq((a, _), (b, _)) => s"sum($a * $b) AS s_$a$b" }.toSeq
+    def corrSql(a: String, b: String): String =
+      s"""round((n * CAST(s_$a$b AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$b AS DOUBLE)) /
+         |    nullif(sqrt(n * CAST(s_$a$a AS DOUBLE) - CAST(s_$a AS DOUBLE) * CAST(s_$a AS DOUBLE)) *
+         |           sqrt(n * CAST(s_$b$b AS DOUBLE) - CAST(s_$b AS DOUBLE) * CAST(s_$b AS DOUBLE)), 0), 6)""".stripMargin
+    val legs = vars.combinations(2).map { case Seq((a, _), (b, _)) =>
+      s"SELECT '$a' AS va, '$b' AS vb, ${corrSql(a, b)} AS corr FROM m" }.mkString("\nUNION ALL ")
+    QueryDef.sql("ml_corr_matrix",
+      s"""WITH r AS (SELECT $decls FROM lineitem),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n, ${sums.mkString(", ")} FROM r)
+         |$legs
+         |ORDER BY va, vb""".stripMargin) { (s, dir) =>
+      val r = Tables.lineitem(s, dir).select(
+        vars.map { case (a, c) => expr(s"CAST($c AS DECIMAL(12,2))").as(a) }: _*)
+      val aggs = Seq(count(lit(1)).as("n")) ++
+        vars.map { case (a, _) => sum(col(a)).as(s"s_$a") } ++
+        vars.map { case (a, _) => sum(col(a) * col(a)).as(s"s_$a$a") } ++
+        vars.combinations(2).map { case Seq((a, _), (b, _)) =>
+          sum(col(a) * col(b)).as(s"s_$a$b") }.toSeq
+      val m = r.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+      val legs = vars.combinations(2).map { case Seq((a, _), (b, _)) =>
+        m.select(lit(a).as("va"), lit(b).as("vb"),
+          expr(corrSql(a, b).replace("\n", " ")).as("corr"))
+      }.toSeq
+      legs.reduce(_ unionAll _).orderBy(col("va"), col("vb"))
+    }
+  }
+
   /** Matthews correlation of the en-vs-rest lang-id decision — the
     * chance-corrected scalar beside [[mlClassifierEval]]'s per-class
     * table (accuracy lies under imbalance; MCC does not). The four
@@ -1811,5 +1857,5 @@ object MlQueries {
     mlAuc, mlClassifierEval, mlTargetEncoding, mlCalibration, mlBootstrapCi,
     mlDecisionStump, mlClassWeights, mlAssocRules, mlPrCurve, mlStratifiedEffect,
     mlKsTest, mlTCloseness, mlCvLinreg, mlGini, mlSimpsonDiversity,
-    mlMcc, mlCohenKappa)
+    mlMcc, mlCohenKappa, mlCorrMatrix)
 }

@@ -956,6 +956,34 @@ class AnalyticsSpec extends SparkSpec {
     assert(got((2L, 1L)) === ((8L, 0.5, 0.666667, 1.333333)))
   }
 
+  test("ml_corr_matrix: planted linear/anti-linear/constant features give corr 1, -1 and null from one moment scan") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("corr").toString
+    (1 to 10).map(i => (i.toLong, 1, i.toDouble, 2.0 * i, 10.0 - i, 3.0))
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val got = graft.queries.MlQueries.mlCorrMatrix.run(spark, tmp).collect()
+      .map(r => (r.getAs[String]("va"), r.getAs[String]("vb")) ->
+        Option(r.getAs[java.lang.Double]("corr")).map(_.toDouble)).toMap
+    assert(got.size === 6)
+    assert(got(("q", "p")) === Some(1.0))
+    assert(got(("q", "d")) === Some(-1.0))
+    assert(got(("p", "d")) === Some(-1.0))
+    // t is constant -> zero variance -> guarded null, not a crash or NaN
+    assert(got(("q", "t")) === None && got(("p", "t")) === None && got(("d", "t")) === None)
+  }
+
+  test("graph_distance_hist: dist-0 mass equals the seed count and the share curve is monotone to 1") {
+    val got = graft.queries.GraphQueries.graphDistanceHist.run(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getAs[Long]("dist"), r.getAs[Long]("n_pairs"),
+        r.getAs[Double]("cum_share")))
+    assert(got.nonEmpty && got.head._1 === 0L)
+    assert(got.map(_._3).toSeq === got.map(_._3).sorted.toSeq, "cum_share must be monotone")
+    assert(got.last._3 === 1.0)
+    // every reached pair beyond hop 0 grows the mass (connected trade graph)
+    assert(got.forall(_._2 > 0))
+  }
+
   test("ml_mcc and ml_cohen_kappa: a planted confusion matrix yields the hand-computed chance-corrected scores") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("mcc").toString
