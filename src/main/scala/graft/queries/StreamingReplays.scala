@@ -720,9 +720,52 @@ object StreamingReplays {
     } finally rmTree(base)
   }
 
+  /** The at-ingest quality funnel through the oracle gate
+    * ([[graft.streaming.Streaming.streamingQualityFunnel]] — previously
+    * spec-only): Gopher rules + language gate stateless, then
+    * keep-FIRST exact dedup in the watermark-bounded digest state. The
+    * oracle states the STREAM's law — the first QUALITY-PASSING doc per
+    * digest survives (filter-then-dedup), which under doc_id-ordered
+    * arrival is min(doc_id) over the kept set. That is deliberately NOT
+    * the batch funnel's law (k_exact there is first-over-ALL-docs, so a
+    * digest whose earliest copy fails quality keeps nobody): admission
+    * control dedups what it admits; the census dedups the corpus.
+    */
+  val streamingFunnelReplay: QueryDef = {
+    import graft.queries.TextQueries.{gopherCntsDuck, langCntsDuck, gopherKeepSql, langCaseSql}
+    QueryDef.sql("streaming_funnel_replay",
+      s"""WITH c AS (SELECT doc_id, md5(text) AS dg,
+         |  $gopherCntsDuck,
+         |  $langCntsDuck
+         |  FROM documents),
+         |k AS (SELECT doc_id, dg FROM c
+         |      WHERE ($gopherKeepSql) AND ($langCaseSql) <> 'und')
+         |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+         |FROM k GROUP BY dg ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import graft.streaming.Streaming
+      val src = Tables.documents(s, dir).select(col("doc_id"),
+        timestamp_seconds(lit(1000000000L) + col("doc_id")).as("ts"), col("text"))
+      val (watched, base) = stageOrderedFiles(src, 4, Seq(col("doc_id")))
+      try {
+        val stream = s.readStream.schema(src.schema)
+          .option("maxFilesPerTrigger", "1").parquet(watched)
+        val sink = s"funnel_replay_${replaySeq.incrementAndGet()}"
+        val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val query =
+          try Streaming.streamingQualityFunnel(stream, "ts", "3650 days")
+            .writeStream.format("memory").queryName(sink).outputMode("append").start()
+          finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+        try query.processAllAvailable() finally query.stop()
+        s.table(sink).select(col("doc_id")).orderBy(col("doc_id"))
+      } finally rmTree(base)
+    }
+  }
+
   val all: Seq[QueryDef] = Seq(streamingA5Replay,
     streamingSessionizeReplay, streamingIntervalJoinReplay,
     streamingOuterJoinReplay, streamingAsofReplay,
     streamingDedupReplay, streamingTumblingReplay, streamingSketchReplay,
-    streamingRatelimitReplay, streamingCdcReplay, streamingBitmaskReplay)
+    streamingRatelimitReplay, streamingCdcReplay, streamingBitmaskReplay,
+    streamingFunnelReplay)
 }
