@@ -1080,6 +1080,77 @@ object MlQueries {
           (col("pt") + col("qt")), 6).as("acc"))
   }
 
+  /** Population stability index between the corpus halves on document
+    * length — [[mlKsTest]]'s binned sibling (the scorecard-monitoring
+    * standard): decile boundaries come from the REFERENCE half by exact
+    * integer rank selection over the distinct-value cumulative
+    * (b_k = min x with 10·cum ≥ k·n — no interpolation to disagree on),
+    * bins are the count of boundaries passed, and each bin's PSI term
+    * (p_r − p_c)·ln(p_r/p_c) is a PER-ROW double (round-6 swallows the
+    * one ln's last-ulp risk; there is no cross-row double sum — summing
+    * the column is the reader's trivial step, the engine emits exact
+    * per-bin counts beside it). Bins empty on either side report NULL
+    * (the production recipe adds epsilon; an audit should SEE the
+    * degenerate bin instead). The 9-row boundary crosses are
+    * domain-sized (PlanSpec-allowlisted).
+    */
+  val mlPsi: QueryDef = QueryDef.sql("ml_psi",
+    """WITH s AS (SELECT CAST(n_chars AS BIGINT) AS x, doc_id % 2 AS grp FROM documents),
+      |g AS (SELECT grp, x, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY 1, 2),
+      |rc AS (SELECT x,
+      |         CAST(sum(c) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |         CAST(sum(c) OVER () AS BIGINT) AS n
+      |       FROM g WHERE grp = 0),
+      |b AS (SELECT k, min(x) AS bx FROM rc, range(1, 10) t(k)
+      |      WHERE 10 * cum >= k * n GROUP BY k),
+      |gx AS (SELECT DISTINCT x FROM g),
+      |bx AS (SELECT gx.x, CAST(count(b.k) AS BIGINT) AS bin
+      |       FROM gx LEFT JOIN b ON gx.x >= b.bx GROUP BY gx.x),
+      |cnt AS (SELECT bin,
+      |          CAST(sum(CASE WHEN grp = 0 THEN c ELSE 0 END) AS BIGINT) AS n_ref,
+      |          CAST(sum(CASE WHEN grp = 1 THEN c ELSE 0 END) AS BIGINT) AS n_cur
+      |        FROM g JOIN bx ON bx.x = g.x GROUP BY bin),
+      |t AS (SELECT bin, n_ref, n_cur,
+      |        CAST(sum(n_ref) OVER () AS BIGINT) AS nr,
+      |        CAST(sum(n_cur) OVER () AS BIGINT) AS nc FROM cnt)
+      |SELECT bin, n_ref, n_cur,
+      |  CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+      |    round((CAST(n_ref AS DOUBLE) / nr - CAST(n_cur AS DOUBLE) / nc) *
+      |          ln((CAST(n_ref AS DOUBLE) / nr) / (CAST(n_cur AS DOUBLE) / nc)), 6)
+      |  END AS psi_part
+      |FROM t ORDER BY bin""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val s0 = Tables.documents(s, dir)
+      .select(col("n_chars").cast("long").as("x"), (col("doc_id") % 2).as("grp"))
+    val g = s0.groupBy(col("grp"), col("x")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = Window.orderBy(col("x")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rc = g.where(col("grp") === 0).select(col("x"),
+      sum(col("c")).over(w).cast("long").as("cum"),
+      sum(col("c")).over(Window.partitionBy()).cast("long").as("n"))
+    val b = rc.crossJoin(broadcast(s.range(1, 10).select(col("id").as("k"))))
+      .where(lit(10) * col("cum") >= col("k") * col("n"))
+      .groupBy(col("k")).agg(min(col("x")).as("bx"))
+    val gx = g.select(col("x")).distinct()
+    val bx = gx.join(broadcast(b), col("x") >= col("bx"), "left")
+      .groupBy(col("x")).agg(count(col("k")).cast("long").as("bin"))
+    val cnt = g.join(bx, "x").groupBy(col("bin")).agg(
+      sum(when(col("grp") === 0, col("c")).otherwise(0L)).cast("long").as("n_ref"),
+      sum(when(col("grp") === 1, col("c")).otherwise(0L)).cast("long").as("n_cur"))
+    val t = cnt.select(col("bin"), col("n_ref"), col("n_cur"),
+      sum(col("n_ref")).over(Window.partitionBy()).cast("long").as("nr"),
+      sum(col("n_cur")).over(Window.partitionBy()).cast("long").as("nc"))
+    val pr = col("n_ref").cast("double") / col("nr")
+    val pc = col("n_cur").cast("double") / col("nc")
+    val out = t.select(col("bin"), col("n_ref"), col("n_cur"),
+        when(col("n_ref") > 0 && col("n_cur") > 0,
+          round((pr - pc) * log(pr / pc), 6)).as("psi_part"))
+      .orderBy(col("bin"))
+      .localCheckpoint(true)
+    g.unpersist(false)
+    out
+  }
+
   /** Pairwise Pearson correlation matrix of the four lineitem numeric
     * features, ALL SIX pairs from ONE scan: every moment (sums, squares,
     * cross products) accumulates as an exact DECIMAL, and each r is a
@@ -1857,5 +1928,5 @@ object MlQueries {
     mlAuc, mlClassifierEval, mlTargetEncoding, mlCalibration, mlBootstrapCi,
     mlDecisionStump, mlClassWeights, mlAssocRules, mlPrCurve, mlStratifiedEffect,
     mlKsTest, mlTCloseness, mlCvLinreg, mlGini, mlSimpsonDiversity,
-    mlMcc, mlCohenKappa, mlCorrMatrix)
+    mlMcc, mlCohenKappa, mlCorrMatrix, mlPsi)
 }

@@ -956,6 +956,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(got((2L, 1L)) === ((8L, 0.5, 0.666667, 1.333333)))
   }
 
+  test("ml_psi: identical halves give zero psi everywhere; a shifted half concentrates with null-guarded empty bins") {
+    import spark.implicits._
+    def psi(rows: Seq[(Long, Long)]): Map[Long, (Long, Long, Option[Double])] = {
+      val tmp = java.nio.file.Files.createTempDirectory("psi").toString
+      rows.toDF("doc_id", "n_chars")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      graft.queries.MlQueries.mlPsi.run(spark, tmp).collect()
+        .map(r => r.getAs[Long]("bin") ->
+          ((r.getAs[Long]("n_ref"), r.getAs[Long]("n_cur"),
+            Option(r.getAs[java.lang.Double]("psi_part")).map(_.toDouble)))).toMap
+    }
+    // ref = even ids at x 1..10, cur = odd ids at the SAME values:
+    // boundaries land at x=k, every bin balanced -> psi 0 in every bin
+    val same = (1 to 10).flatMap(x => Seq((2L * x, x.toLong), (2L * x + 1, x.toLong)))
+    val flat = psi(same)
+    assert(flat.keySet === (1L to 9L).toSet)
+    flat.foreach { case (b, (nr, nc, p)) =>
+      assert(nr === nc && p === Some(0.0), s"bin $b: ($nr, $nc, $p)") }
+    // cur collapses onto x=10 (bin 9): bins 1..8 lose their cur side
+    // (null-guarded), bin 9 carries (0.2-1)*ln(0.2)
+    val shifted = psi((1 to 10).map(x => (2L * x, x.toLong)) ++
+      (1 to 10).map(i => (2L * i + 1, 10L)))
+    (1L to 8L).foreach(b => assert(shifted(b) === ((if (b == 9L) 2L else 1L, 0L, None))))
+    assert(shifted(9L)._1 === 2L && shifted(9L)._2 === 10L)
+    assert(shifted(9L)._3 === Some(math.rint((0.2 - 1.0) * math.log(0.2) * 1e6) / 1e6))
+  }
+
   test("ml_corr_matrix: planted linear/anti-linear/constant features give corr 1, -1 and null from one moment scan") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("corr").toString

@@ -198,7 +198,10 @@ class PlanSpec extends SparkSpec {
       // row-sized) densing the t-closeness cells
       "ml_t_closeness",
       // one-row (N, diag) totals crossed into the one-row chance sum
-      "ml_cohen_kappa")
+      "ml_cohen_kappa",
+      // 9-row decile-boundary table crossed/range-joined against the
+      // DISTINCT-value tables — domain-sized, never row-sized
+      "ml_psi")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>
