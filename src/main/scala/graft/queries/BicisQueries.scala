@@ -1427,6 +1427,55 @@ object BicisQueries {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Bollinger bands over the dense daily volume series: trailing
+    * 7-day moving average ± 2σ (population σ from the EXACT integer
+    * window moments — sqrt((nΣy²−S²))/n, one double chain per row) with
+    * the breach flag an unrounded comparison computed identically in
+    * both engines. Rows without a full window are excluded (no
+    * partial-window bias — the series_stl edge rule). The volume-
+    * anomaly monitor ops teams actually run, as one calendar-bounded
+    * window pass.
+    */
+  val seriesBollinger: QueryDef = QueryDef.sql("series_bollinger",
+    """WITH c AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+      |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),
+      |b AS (SELECT min(d) AS d0, max(d) AS d1 FROM c),
+      |sp AS (SELECT unnest(range(d0, d1 + 1)) AS d FROM b),
+      |s AS (SELECT sp.d, coalesce(c.y, 0) AS y FROM sp LEFT JOIN c ON c.d = sp.d),
+      |w AS (SELECT d, y,
+      |        CAST(sum(y) OVER win AS BIGINT) AS sy,
+      |        CAST(sum(y * y) OVER win AS BIGINT) AS syy,
+      |        CAST(count(*) OVER win AS BIGINT) AS k,
+      |        row_number() OVER (ORDER BY d) AS rn
+      |      FROM s WINDOW win AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+      |SELECT d, y, round(CAST(sy AS DOUBLE) / k, 6) AS ma,
+      |  round(sqrt(CAST(k * syy - sy * sy AS DOUBLE)) / k, 6) AS sd,
+      |  y > CAST(sy AS DOUBLE) / k + 2 * (sqrt(CAST(k * syy - sy * sy AS DOUBLE)) / k) AS breach_hi,
+      |  y < CAST(sy AS DOUBLE) / k - 2 * (sqrt(CAST(k * syy - sy * sy AS DOUBLE)) / k) AS breach_lo
+      |FROM w WHERE rn >= 7 ORDER BY d""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.events(s, dir)
+      .groupBy(floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("d"))
+      .agg(count(lit(1)).as("y"))
+    val spine = c.agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("d"))
+    val series = spine.join(c, Seq("d"), "left")
+      .select(col("d"), coalesce(col("y"), lit(0L)).as("y"))
+    val win = Window.orderBy(col("d")).rowsBetween(-6, Window.currentRow)
+    val w = series.select(col("d"), col("y"),
+      sum(col("y")).over(win).cast("long").as("sy"),
+      sum(col("y") * col("y")).over(win).cast("long").as("syy"),
+      count(lit(1)).over(win).cast("long").as("k"),
+      row_number().over(Window.orderBy(col("d"))).as("rn"))
+    val ma = col("sy").cast("double") / col("k")
+    val sd = sqrt((col("k") * col("syy") - col("sy") * col("sy")).cast("double")) / col("k")
+    w.where(col("rn") >= 7)
+      .select(col("d"), col("y"), round(ma, 6).as("ma"), round(sd, 6).as("sd"),
+        (col("y") > ma + lit(2) * sd).as("breach_hi"),
+        (col("y") < ma - lit(2) * sd).as("breach_lo"))
+      .orderBy(col("d"))
+  }
+
   /** Per-user presence bitmasks: the hour-of-day and day-of-week sets a
     * user is active in, packed into single BIGINTs via bit_or(1 << k) —
     * the roaring-bitmap-style compact state trick: 24- and 7-slot SETS
@@ -1608,6 +1657,6 @@ object BicisQueries {
     seriesCrossCorr, seriesCusum, seriesAcf, seriesSnaiveEval,
     seriesM4Downsample, seriesTrend, seriesBurstiness, seriesHolt,
     qOrcRoundtrip, seriesStl, seriesMannKendall, seriesPacf, qPresenceBitmask,
-    qJsonRoundtrip, qCsvRoundtrip)
+    qJsonRoundtrip, qCsvRoundtrip, seriesBollinger)
 
 }

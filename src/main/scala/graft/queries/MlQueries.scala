@@ -1080,6 +1080,53 @@ object MlQueries {
           (col("pt") + col("qt")), 6).as("acc"))
   }
 
+  /** Tukey-fence outlier census per source: quartiles by EXACT integer
+    * rank selection over the per-source distinct-value cumulative
+    * (q1 = min x with 4·cum ≥ n — no interpolation), and the 1.5·IQR
+    * fences evaluated in doubled-integer form (2x < 2q1 − 3(q3−q1)) so
+    * the entire operator is BIGINT comparisons — the data-cleaning
+    * census that decides clipping thresholds, with nothing for two
+    * engines to disagree on. One grouped rollup + one value-domain
+    * window per source.
+    */
+  val mlOutlierIqr: QueryDef = QueryDef.sql("ml_outlier_iqr",
+    """WITH s AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+      |g AS (SELECT source, x, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY 1, 2),
+      |cw AS (SELECT source, x, c,
+      |        CAST(sum(c) OVER (PARTITION BY source ORDER BY x
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |        CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n FROM g),
+      |q AS (SELECT source, n,
+      |        CAST(min(CASE WHEN 4 * cum >= n THEN x END) AS BIGINT) AS q1,
+      |        CAST(min(CASE WHEN 4 * cum >= 3 * n THEN x END) AS BIGINT) AS q3
+      |      FROM cw GROUP BY source, n)
+      |SELECT g.source, q.n, q.q1, q.q3,
+      |  CAST(sum(CASE WHEN 2 * g.x < 2 * q.q1 - 3 * (q.q3 - q.q1) THEN g.c ELSE 0 END) AS BIGINT) AS n_low,
+      |  CAST(sum(CASE WHEN 2 * g.x > 2 * q.q3 + 3 * (q.q3 - q.q1) THEN g.c ELSE 0 END) AS BIGINT) AS n_high
+      |FROM g JOIN q ON q.source = g.source
+      |GROUP BY 1, 2, 3, 4 ORDER BY g.source""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.documents(s, dir)
+      .select(col("source"), col("n_chars").cast("long").as("x"))
+      .groupBy(col("source"), col("x")).agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("source")).orderBy(col("x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cw = g.select(col("source"), col("x"), col("c"),
+      sum(col("c")).over(w).cast("long").as("cum"),
+      sum(col("c")).over(Window.partitionBy(col("source"))).cast("long").as("n"))
+    val q = cw.groupBy(col("source"), col("n")).agg(
+      min(when(lit(4) * col("cum") >= col("n"), col("x"))).cast("long").as("q1"),
+      min(when(lit(4) * col("cum") >= lit(3) * col("n"), col("x"))).cast("long").as("q3"))
+    g.join(broadcast(q), "source")
+      .groupBy(col("source"), col("n"), col("q1"), col("q3"))
+      .agg(
+        sum(when(lit(2) * col("x") < lit(2) * col("q1") - lit(3) * (col("q3") - col("q1")),
+          col("c")).otherwise(0L)).cast("long").as("n_low"),
+        sum(when(lit(2) * col("x") > lit(2) * col("q3") + lit(3) * (col("q3") - col("q1")),
+          col("c")).otherwise(0L)).cast("long").as("n_high"))
+      .orderBy(col("source"))
+  }
+
   /** Population stability index between the corpus halves on document
     * length — [[mlKsTest]]'s binned sibling (the scorecard-monitoring
     * standard): decile boundaries come from the REFERENCE half by exact
@@ -1928,5 +1975,5 @@ object MlQueries {
     mlAuc, mlClassifierEval, mlTargetEncoding, mlCalibration, mlBootstrapCi,
     mlDecisionStump, mlClassWeights, mlAssocRules, mlPrCurve, mlStratifiedEffect,
     mlKsTest, mlTCloseness, mlCvLinreg, mlGini, mlSimpsonDiversity,
-    mlMcc, mlCohenKappa, mlCorrMatrix, mlPsi)
+    mlMcc, mlCohenKappa, mlCorrMatrix, mlPsi, mlOutlierIqr)
 }

@@ -956,6 +956,45 @@ class AnalyticsSpec extends SparkSpec {
     assert(got((2L, 1L)) === ((8L, 0.5, 0.666667, 1.333333)))
   }
 
+  test("series_bollinger: a flat series never breaches; a planted spike breaches the upper band with exact window moments") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("boll").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-01 12:00:00").getTime
+    val rows = (0 until 10).flatMap { d =>
+      val k = if (d == 9) 50 else 5
+      (0 until k).map(i => (d * 1000L + i,
+        new java.sql.Timestamp(base + d * 86400000L), 1L, "trip"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = graft.queries.BicisQueries.seriesBollinger.run(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("y"), r.getAs[Double]("ma"), r.getAs[Double]("sd"),
+        r.getAs[Boolean]("breach_hi"), r.getAs[Boolean]("breach_lo"))).toSeq
+    // full windows exist for the last 4 days only
+    assert(got.length === 4)
+    got.init.foreach(r => assert(r === ((5L, 5.0, 0.0, false, false))))
+    val spike = got.last
+    assert(spike._1 === 50L)
+    assert(spike._2 === math.rint(80.0 / 7 * 1e6) / 1e6)
+    assert(spike._3 === math.rint(math.sqrt(7.0 * 2650 - 80.0 * 80) / 7 * 1e6) / 1e6)
+    assert(spike._4 && !spike._5, "the spike must breach the upper band only")
+  }
+
+  test("ml_outlier_iqr: rank-exact quartiles and doubled-integer Tukey fences flag the planted extreme") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("iqr").toString
+    val docs = ((1 to 8).map(_.toLong) :+ 100L).zipWithIndex
+      .map { case (x, i) => (i.toLong, "A", x) }
+    docs.toDF("doc_id", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.queries.MlQueries.mlOutlierIqr.run(spark, tmp).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n"), r.getAs[Long]("q1"),
+        r.getAs[Long]("q3"), r.getAs[Long]("n_low"), r.getAs[Long]("n_high"))).toSeq
+    // n=9: q1 = min x with 4cum>=9 -> 3; q3 = min x with 4cum>=27 -> 7;
+    // high fence 2x > 14+12 -> only the 100
+    assert(got === Seq(("A", 9L, 3L, 7L, 0L, 1L)))
+  }
+
   test("ml_psi: identical halves give zero psi everywhere; a shifted half concentrates with null-guarded empty bins") {
     import spark.implicits._
     def psi(rows: Seq[(Long, Long)]): Map[Long, (Long, Long, Option[Double])] = {
