@@ -1080,6 +1080,62 @@ object MlQueries {
           (col("pt") + col("qt")), 6).as("acc"))
   }
 
+  /** Median absolute deviation per source — the robust σ (breakdown
+    * point ½ vs the mean/σ's zero) a cleaning pass prefers under heavy
+    * tails: median by exact integer rank selection over the per-source
+    * distinct-value cumulative, then MAD by a SECOND rank selection
+    * over the |x − med| deviation table (itself value-domain-sized).
+    * Entirely BIGINT — two grouped rollups and two windows, no
+    * interpolation, nothing engine-dependent.
+    */
+  val mlMad: QueryDef = QueryDef.sql("ml_mad",
+    """WITH s AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM documents),
+      |g AS (SELECT source, x, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY 1, 2),
+      |cw AS (SELECT source, x, c,
+      |        CAST(sum(c) OVER (PARTITION BY source ORDER BY x
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |        CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n FROM g),
+      |med AS (SELECT source, n,
+      |          CAST(min(CASE WHEN 2 * cum >= n THEN x END) AS BIGINT) AS med
+      |        FROM cw GROUP BY source, n),
+      |dev AS (SELECT g.source, abs(g.x - med.med) AS d, CAST(sum(g.c) AS BIGINT) AS c
+      |        FROM g JOIN med ON med.source = g.source GROUP BY 1, 2),
+      |dw AS (SELECT source, d, c,
+      |        CAST(sum(c) OVER (PARTITION BY source ORDER BY d
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |        CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n FROM dev),
+      |mad AS (SELECT source, CAST(min(CASE WHEN 2 * cum >= n THEN d END) AS BIGINT) AS mad
+      |        FROM dw GROUP BY source)
+      |SELECT med.source, med.n, med.med, mad.mad
+      |FROM med JOIN mad ON mad.source = med.source
+      |ORDER BY med.source""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val g = Tables.documents(s, dir)
+      .select(col("source"), col("n_chars").cast("long").as("x"))
+      .groupBy(col("source"), col("x")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def rankSelect(t: org.apache.spark.sql.DataFrame, v: String, out: String) = {
+      val w = Window.partitionBy(col("source")).orderBy(col(v))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t.select(col("source"), col(v), col("c"),
+          sum(col("c")).over(w).cast("long").as("cum"),
+          sum(col("c")).over(Window.partitionBy(col("source"))).cast("long").as("n"))
+        .groupBy(col("source"), col("n"))
+        .agg(min(when(lit(2) * col("cum") >= col("n"), col(v))).cast("long").as(out))
+    }
+    val med = rankSelect(g, "x", "med")
+    val dev = g.join(broadcast(med.select(col("source"), col("med"))), "source")
+      .groupBy(col("source"), abs(col("x") - col("med")).as("d"))
+      .agg(sum(col("c")).as("c"))
+    val mad = rankSelect(dev, "d", "mad").select(col("source"), col("mad"))
+    val out = med.join(mad, "source")
+      .select(col("source"), col("n"), col("med"), col("mad"))
+      .orderBy(col("source"))
+      .localCheckpoint(true)
+    g.unpersist(false)
+    out
+  }
+
   /** Tukey-fence outlier census per source: quartiles by EXACT integer
     * rank selection over the per-source distinct-value cumulative
     * (q1 = min x with 4·cum ≥ n — no interpolation), and the 1.5·IQR
@@ -1975,5 +2031,5 @@ object MlQueries {
     mlAuc, mlClassifierEval, mlTargetEncoding, mlCalibration, mlBootstrapCi,
     mlDecisionStump, mlClassWeights, mlAssocRules, mlPrCurve, mlStratifiedEffect,
     mlKsTest, mlTCloseness, mlCvLinreg, mlGini, mlSimpsonDiversity,
-    mlMcc, mlCohenKappa, mlCorrMatrix, mlPsi, mlOutlierIqr)
+    mlMcc, mlCohenKappa, mlCorrMatrix, mlPsi, mlOutlierIqr, mlMad)
 }

@@ -1288,11 +1288,48 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-document n-gram NOVELTY in doc_id order — what fraction of a
+    * document's distinct word bigrams appear in NO earlier document
+    * (min-doc first-seen, one grouped rollup + a join back — never an
+    * ordered scan): the memorization/novelty census a training pipeline
+    * tracks as the corpus grows; boilerplate-heavy feeds trend toward 0.
+    * Exact integer counts, one division per doc.
+    */
+  val textNovelty: QueryDef = QueryDef.sql("text_novelty",
+    """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS w FROM documents),
+      |g AS (SELECT DISTINCT doc_id,
+      |        unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+      |      FROM t WHERE len(w) >= 2),
+      |f AS (SELECT bg, CAST(min(doc_id) AS BIGINT) AS first_doc FROM g GROUP BY bg)
+      |SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |  CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |  round(CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / count(*), 6) AS novelty
+      |FROM g JOIN f ON f.bg = g.bg
+      |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir).withColumn("__w", graft.ops.TextOps.wordsExpr)
+    val g = docs.where(size(col("__w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(arrays_zip(slice(__w, 1, size(__w) - 1), slice(__w, 2, size(__w) - 1)),
+          |p -> concat_ws(' ', p.`0`, p.`1`))""".stripMargin)).as("bg"))
+      .distinct()
+    val f = g.groupBy(col("bg")).agg(min(col("doc_id")).cast("long").as("first_doc"))
+    g.join(f, "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).cast("long")
+          .as("n_new"))
+      .select(col("doc_id"), col("n_grams"), col("n_new"),
+        round(col("n_new").cast("double") / col("n_grams"), 6).as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QueryDef] = Seq(textTokenCount, textLangId, textQualityScore,
     textFingerprint, textRollingHash, textTopPerLang, textTopNgrams,
     sketchDistinctKmv, sketchDistinctHll, textPiiScrub, textRepetition, textEntropy,
     textGopherRules, textTfidfTop, sketchHeavyHitters, textInvertedIndex,
     textBm25, textPmi, textLmScore, textPerplexityBuckets, sketchQuantiles,
     textZipf, sketchSetops, textKlDrift, textWinnowing, textCodeDetect,
-    textBpeMerges, textBpeEncode, textBpeTokenize, textReadability)
+    textBpeMerges, textBpeEncode, textBpeTokenize, textReadability,
+    textNovelty)
 }

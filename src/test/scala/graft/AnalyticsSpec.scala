@@ -995,6 +995,33 @@ class AnalyticsSpec extends SparkSpec {
     assert(got === Seq(("A", 9L, 3L, 7L, 0L, 1L)))
   }
 
+  test("ml_mad: the planted extreme moves neither the rank-exact median nor the MAD") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("mad").toString
+    Seq(1L, 2L, 3L, 4L, 100L).zipWithIndex.map { case (x, i) => (i.toLong, "A", x) }
+      .toDF("doc_id", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.queries.MlQueries.mlMad.run(spark, tmp).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n"),
+        r.getAs[Long]("med"), r.getAs[Long]("mad"))).toSeq
+    // med of {1,2,3,4,100} = 3; deviations {2,1,0,1,97} -> mad 1
+    assert(got === Seq(("A", 5L, 3L, 1L)))
+  }
+
+  test("text_novelty: first-seen bigrams score 1, partial reuse 0.5, a verbatim repeat 0") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("nov").toString
+    Seq((1L, "a b c"), (2L, "a b d"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.queries.TextQueries.textNovelty.run(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_new"), r.getAs[Double]("novelty"))))
+      .toMap
+    assert(got === Map(
+      1L -> ((2L, 2L, 1.0)), 2L -> ((2L, 1L, 0.5)), 3L -> ((2L, 0L, 0.0))))
+  }
+
   test("ml_psi: identical halves give zero psi everywhere; a shifted half concentrates with null-guarded empty bins") {
     import spark.implicits._
     def psi(rows: Seq[(Long, Long)]): Map[Long, (Long, Long, Option[Double])] = {
