@@ -1427,6 +1427,54 @@ object BicisQueries {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** First/last-touch attribution: for every purchase, the earliest and
+    * latest view by the same user within the preceding 7 days, plus the
+    * touch count — the multi-touch attribution primitive (first =
+    * demand creation, last = conversion credit). The pairing is a
+    * USER-equi join with a time-band residual (never a cross); both
+    * endpoints come from rank-1 rows of two windows sharing one pid
+    * partitioning, tie-broken on (ts, event_id) so same-timestamp views
+    * cannot flip credit between engines. Purchases with no view in the
+    * window have no attribution row by definition (inner semantics).
+    */
+  val qAttribution: QueryDef = QueryDef.sql("q_attribution",
+    """WITH v AS (SELECT user_id, event_id AS vid, ts AS vts FROM events
+      |           WHERE event_type = 'view'),
+      |p AS (SELECT user_id, event_id AS pid, ts AS pts FROM events
+      |      WHERE event_type = 'purchase'),
+      |j AS (SELECT p.pid, v.vid, v.vts
+      |      FROM p JOIN v ON v.user_id = p.user_id
+      |       AND v.vts <= p.pts AND v.vts >= p.pts - INTERVAL 7 DAYS),
+      |r AS (SELECT pid, vid,
+      |        row_number() OVER (PARTITION BY pid ORDER BY vts, vid) AS rf,
+      |        row_number() OVER (PARTITION BY pid ORDER BY vts DESC, vid DESC) AS rl,
+      |        CAST(count(*) OVER (PARTITION BY pid) AS BIGINT) AS n FROM j)
+      |SELECT pid, CAST(max(CASE WHEN rf = 1 THEN vid END) AS BIGINT) AS first_view,
+      |  CAST(max(CASE WHEN rl = 1 THEN vid END) AS BIGINT) AS last_view,
+      |  CAST(max(n) AS BIGINT) AS n_touch
+      |FROM r GROUP BY pid ORDER BY pid""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, dir)
+    val v = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("vid"), col("ts").as("vts"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"), col("ts").as("pts"))
+    val j = p.join(v, Seq("user_id"))
+      .where(col("vts") <= col("pts") &&
+        col("vts") >= col("pts") - expr("INTERVAL 7 DAYS"))
+    val r = j.select(col("pid"), col("vid"),
+      row_number().over(Window.partitionBy(col("pid"))
+        .orderBy(col("vts"), col("vid"))).as("rf"),
+      row_number().over(Window.partitionBy(col("pid"))
+        .orderBy(col("vts").desc, col("vid").desc)).as("rl"),
+      count(lit(1)).over(Window.partitionBy(col("pid"))).cast("long").as("n"))
+    r.groupBy(col("pid"))
+      .agg(max(when(col("rf") === 1, col("vid"))).cast("long").as("first_view"),
+        max(when(col("rl") === 1, col("vid"))).cast("long").as("last_view"),
+        max(col("n")).cast("long").as("n_touch"))
+      .orderBy(col("pid"))
+  }
+
   /** Bollinger bands over the dense daily volume series: trailing
     * 7-day moving average ± 2σ (population σ from the EXACT integer
     * window moments — sqrt((nΣy²−S²))/n, one double chain per row) with
@@ -1657,6 +1705,6 @@ object BicisQueries {
     seriesCrossCorr, seriesCusum, seriesAcf, seriesSnaiveEval,
     seriesM4Downsample, seriesTrend, seriesBurstiness, seriesHolt,
     qOrcRoundtrip, seriesStl, seriesMannKendall, seriesPacf, qPresenceBitmask,
-    qJsonRoundtrip, qCsvRoundtrip, seriesBollinger)
+    qJsonRoundtrip, qCsvRoundtrip, seriesBollinger, qAttribution)
 
 }

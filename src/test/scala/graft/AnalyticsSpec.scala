@@ -956,6 +956,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(got((2L, 1L)) === ((8L, 0.5, 0.666667, 1.333333)))
   }
 
+  test("q_attribution: first/last touch pick the window-bounded extremes and out-of-window views never credit") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("attr").toString
+    val base = java.sql.Timestamp.valueOf("2024-01-10 00:00:00").getTime
+    def at(h: Long) = new java.sql.Timestamp(base + h * 3600000L)
+    val rows = Seq(
+      (1L, at(-24 * 8), 1L, "view"),   // 8 days before: outside the window
+      (2L, at(-30), 1L, "view"),        // first touch
+      (3L, at(-5), 1L, "view"),         // last touch
+      (4L, at(0), 1L, "purchase"),
+      (5L, at(1), 2L, "view"),          // after the purchase: no credit
+      (6L, at(0), 2L, "purchase"))
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val got = graft.queries.BicisQueries.qAttribution.run(spark, tmp).collect()
+      .map(r => r.getAs[Long]("pid") ->
+        ((r.getAs[Long]("first_view"), r.getAs[Long]("last_view"), r.getAs[Long]("n_touch"))))
+      .toMap
+    // purchase 4: views 2 and 3 in window; the 8-day-old view is out
+    assert(got === Map(4L -> ((2L, 3L, 2L))))
+    // purchase 6 has no preceding view -> no row (inner semantics)
+    assert(!got.contains(6L))
+  }
+
   test("series_bollinger: a flat series never breaches; a planted spike breaches the upper band with exact window moments") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("boll").toString
