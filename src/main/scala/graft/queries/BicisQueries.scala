@@ -1427,6 +1427,63 @@ object BicisQueries {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** One-way ANOVA of daily volume across ISO weekdays — the "does
+    * day-of-week explain the variance" F-test read beside
+    * series_seasonality's variance share: per-weekday moment vectors
+    * (n, Σy, Σy²) are exact BIGINTs, and the between/within sums of
+    * squares are computed from a PIVOTED one-row layout so the 7-term
+    * Σs_g²/n_g chain is a FIXED-ORDER double expression (a cross-row
+    * double sum would be association-ordered — the pivot is what makes
+    * the statistic cross-engine bit-stable). Weekday comes from pure
+    * integer day arithmetic ((day+3)%7+1 — epoch day 0 is a Thursday),
+    * missing weekdays contribute zero via the coalesce guard.
+    */
+  val seriesAnova: QueryDef = {
+    val termSql = (1 to 7).map(i =>
+      s"coalesce(CAST(s$i AS DOUBLE) * s$i / n$i, 0)").mkString(" + ")
+    val pivotSql = (1 to 7).flatMap(i => Seq(
+      s"max(CASE WHEN wd = $i THEN n END) AS n$i",
+      s"max(CASE WHEN wd = $i THEN s END) AS s$i")).mkString(",\n      |        ")
+    QueryDef.sql("series_anova",
+      s"""WITH c AS (SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+         |    CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1),
+         |g AS (SELECT (day + 3) % 7 + 1 AS wd, CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(y) AS BIGINT) AS s, CAST(sum(y * y) AS BIGINT) AS q
+         |      FROM c GROUP BY 1),
+         |p AS (SELECT $pivotSql,
+         |        CAST(sum(n) AS BIGINT) AS nn, CAST(sum(s) AS BIGINT) AS ss,
+         |        CAST(sum(q) AS BIGINT) AS qq, CAST(count(*) AS BIGINT) AS k FROM g),
+         |e AS (SELECT nn, k, ($termSql) AS term, CAST(ss AS DOUBLE) * ss / nn AS grand, qq FROM p),
+         |f AS (SELECT nn, k, term - grand AS ssb, qq - term AS ssw FROM e)
+         |SELECT nn AS n_days, k, round(ssb, 6) AS ssb, round(ssw, 6) AS ssw,
+         |  round((ssb / nullif(k - 1, 0)) / nullif(ssw / nullif(nn - k, 0), 0), 6) AS f_stat,
+         |  round(ssb / nullif(ssb + ssw, 0), 6) AS eta2
+         |FROM f""".stripMargin) { (s, dir) =>
+      val c = Tables.events(s, dir)
+        .groupBy(floor(unix_micros(col("ts")) / lit(86400000000L)).cast("long").as("day"))
+        .agg(count(lit(1)).as("y"))
+      val g = c.groupBy(((col("day") + 3) % 7 + 1).as("wd"))
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("s"),
+          sum(col("y") * col("y")).as("q"))
+      val pivotAggs = (1 to 7).flatMap(i => Seq(
+        max(when(col("wd") === i, col("n"))).as(s"n$i"),
+        max(when(col("wd") === i, col("s"))).as(s"s$i"))) ++ Seq(
+        sum(col("n")).cast("long").as("nn"), sum(col("s")).cast("long").as("ss"),
+        sum(col("q")).cast("long").as("qq"), count(lit(1)).cast("long").as("k"))
+      val p = g.agg(pivotAggs.head, pivotAggs.tail: _*)
+      val e = p.select(col("nn"), col("k"),
+        expr(s"($termSql)").as("term"),
+        (col("ss").cast("double") * col("ss") / col("nn")).as("grand"), col("qq"))
+      val f = e.select(col("nn"), col("k"),
+        (col("term") - col("grand")).as("ssb"), (col("qq") - col("term")).as("ssw"))
+      f.select(col("nn").as("n_days"), col("k"),
+        round(col("ssb"), 6).as("ssb"), round(col("ssw"), 6).as("ssw"),
+        round((col("ssb") / nullif(col("k") - 1, lit(0L))) /
+          nullif(col("ssw") / nullif(col("nn") - col("k"), lit(0L)), lit(0.0)), 6).as("f_stat"),
+        round(col("ssb") / nullif(col("ssb") + col("ssw"), lit(0.0)), 6).as("eta2"))
+    }
+  }
+
   /** First/last-touch attribution: for every purchase, the earliest and
     * latest view by the same user within the preceding 7 days, plus the
     * touch count — the multi-touch attribution primitive (first =
@@ -1705,6 +1762,6 @@ object BicisQueries {
     seriesCrossCorr, seriesCusum, seriesAcf, seriesSnaiveEval,
     seriesM4Downsample, seriesTrend, seriesBurstiness, seriesHolt,
     qOrcRoundtrip, seriesStl, seriesMannKendall, seriesPacf, qPresenceBitmask,
-    qJsonRoundtrip, qCsvRoundtrip, seriesBollinger, qAttribution)
+    qJsonRoundtrip, qCsvRoundtrip, seriesBollinger, qAttribution, seriesAnova)
 
 }

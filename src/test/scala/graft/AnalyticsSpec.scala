@@ -956,6 +956,30 @@ class AnalyticsSpec extends SparkSpec {
     assert(got((2L, 1L)) === ((8L, 0.5, 0.666667, 1.333333)))
   }
 
+  test("series_anova: a flat fortnight has zero between-group variance; a planted weekday effect yields the exact F") {
+    import spark.implicits._
+    def anova(daily: Seq[Int]): (Long, Long, Double, Double, Option[Double], Option[Double]) = {
+      val tmp = java.nio.file.Files.createTempDirectory("anova").toString
+      val rows = daily.zipWithIndex.flatMap { case (y, d) =>
+        (0 until y).map(i => (d * 1000L + i,
+          new java.sql.Timestamp((d.toLong * 86400L) * 1000L), 1L, "trip"))
+      }
+      rows.toDF("event_id", "ts", "user_id", "event_type")
+        .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+      val r = graft.queries.BicisQueries.seriesAnova.run(spark, tmp).collect()(0)
+      (r.getAs[Long]("n_days"), r.getAs[Long]("k"), r.getAs[Double]("ssb"),
+        r.getAs[Double]("ssw"),
+        Option(r.getAs[java.lang.Double]("f_stat")).map(_.toDouble),
+        Option(r.getAs[java.lang.Double]("eta2")).map(_.toDouble))
+    }
+    // two identical weeks: every moment collapses, F undefined (0/0 guarded)
+    assert(anova(Seq.fill(14)(10)) === ((14L, 7L, 0.0, 0.0, None, None)))
+    // one weekday runs hot (20/28 on days 0 and 7): ssb 336, ssw 32,
+    // F = (336/6)/(32/7) = 12.25, eta2 = 336/368
+    val hot = Seq(20, 10, 10, 10, 10, 10, 10, 28, 10, 10, 10, 10, 10, 10)
+    assert(anova(hot) === ((14L, 7L, 336.0, 32.0, Some(12.25), Some(0.913043))))
+  }
+
   test("q_attribution: first/last touch pick the window-bounded extremes and out-of-window views never credit") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("attr").toString
