@@ -1080,6 +1080,27 @@ object MlQueries {
           (col("pt") + col("qt")), 6).as("acc"))
   }
 
+  /** Herfindahl–Hirschman index of SOURCE concentration — the
+    * one-number "is this corpus one feed wearing a trenchcoat" audit
+    * beside [[mlGini]] (length inequality) and [[mlSimpsonDiversity]]
+    * (within-source lang mix): HHI = Σ n_s²/N², plus the top source's
+    * share — exact integer cross products, two divisions, one
+    * source-sized rollup.
+    */
+  val mlHerfindahl: QueryDef = QueryDef.sql("ml_herfindahl",
+    """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1)
+      |SELECT CAST(count(*) AS BIGINT) AS n_sources, CAST(sum(n) AS BIGINT) AS n_docs,
+      |  round(CAST(sum(n * n) AS DOUBLE) / (sum(n) * sum(n)), 6) AS hhi,
+      |  round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS top_share
+      |FROM g""".stripMargin) { (s, dir) =>
+    Tables.documents(s, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_sources"), sum(col("n")).cast("long").as("n_docs"),
+        round(sum(col("n") * col("n")).cast("double") /
+          (sum(col("n")) * sum(col("n"))), 6).as("hhi"),
+        round(max(col("n")).cast("double") / sum(col("n")), 6).as("top_share"))
+  }
+
   /** Median absolute deviation per source — the robust σ (breakdown
     * point ½ vs the mean/σ's zero) a cleaning pass prefers under heavy
     * tails: median by exact integer rank selection over the per-source
@@ -2031,5 +2052,6 @@ object MlQueries {
     mlAuc, mlClassifierEval, mlTargetEncoding, mlCalibration, mlBootstrapCi,
     mlDecisionStump, mlClassWeights, mlAssocRules, mlPrCurve, mlStratifiedEffect,
     mlKsTest, mlTCloseness, mlCvLinreg, mlGini, mlSimpsonDiversity,
-    mlMcc, mlCohenKappa, mlCorrMatrix, mlPsi, mlOutlierIqr, mlMad)
+    mlMcc, mlCohenKappa, mlCorrMatrix, mlPsi, mlOutlierIqr, mlMad,
+    mlHerfindahl)
 }

@@ -1147,6 +1147,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(k.getAs[Double]("kappa") === 0.111111)
   }
 
+  test("ml_herfindahl: equal sources give 1/k, a dominant source drives hhi toward its squared share") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("hhi").toString
+    // 8 docs from A, 1 each from B and C: hhi = (64+1+1)/100, top 0.8
+    (Seq.fill(8)("A") ++ Seq("B", "C")).zipWithIndex.map { case (s0, i) => (i.toLong, s0) }
+      .toDF("doc_id", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val r = graft.queries.MlQueries.mlHerfindahl.run(spark, tmp).collect()(0)
+    assert((r.getAs[Long]("n_sources"), r.getAs[Long]("n_docs"),
+      r.getAs[Double]("hhi"), r.getAs[Double]("top_share")) === ((3L, 10L, 0.66, 0.8)))
+  }
+
   test("ml_gini: equal lengths give 0, a planted concentration gives the hand-computed 0.72") {
     import spark.implicits._
     def gini(xs: Seq[Long]): (Long, Long, Long, Double) = {
