@@ -426,6 +426,33 @@ object EmbedQueries {
     }
   }
 
+  /** Per-DIMENSION statistics of the embedding matrix (mean, variance,
+    * min, max for each of the 64 dims) — the dead/dominant-dimension
+    * audit run before whitening or quantizer training (a zero-variance
+    * dim wastes a codebook axis; a huge-range dim dominates L2). One
+    * posexplode + a 64-group map-side-combined rollup — the
+    * [[embedCentroids]] long-form shape without the label split;
+    * round-6 on the double moments, exact count anchor.
+    */
+  val embedDimStats: QueryDef = QueryDef.sql("embed_dim_stats",
+    s"""WITH $duckVectors,
+       |e AS (SELECT i, v[i] AS x FROM v, range(1, 65) r(i))
+       |SELECT CAST(i AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n,
+       |  round(avg(x), 6) AS mean,
+       |  round(avg(x * x) - avg(x) * avg(x), 6) AS var,
+       |  round(min(x), 6) AS mn, round(max(x), 6) AS mx
+       |FROM e GROUP BY i ORDER BY dim""".stripMargin) { (s, dir) =>
+    Similarity.vectors(Tables.embeddings(s, dir))
+      .select(posexplode(col("v")).as(Seq("i0", "x")))
+      .select((col("i0") + 1).cast("long").as("dim"), col("x"))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("x")), 6).as("mean"),
+        round(avg(col("x") * col("x")) - avg(col("x")) * avg(col("x")), 6).as("var"),
+        round(min(col("x")), 6).as("mn"), round(max(col("x")), 6).as("mx"))
+      .orderBy(col("dim"))
+  }
+
   /** Vector norms / stats per embedding — the normalization pass a
     * training pipeline runs before indexing (L2, L-inf, positive-dim
     * count; exact double folds, round-6 on the norms).
@@ -2222,5 +2249,5 @@ object EmbedQueries {
     embedRandomProjection, embedKmeans, embedPca, embedOutliers,
     embedMatryoshkaRecall, multimodalPhashDedup, embedDedupSweep, embedMmr,
     embedCentroidShift, retrievalHybridRrf, embedSphericalKmeans,
-    retrievalNdcg, multimodalAudioWindows)
+    retrievalNdcg, multimodalAudioWindows, embedDimStats)
 }

@@ -1147,6 +1147,21 @@ class AnalyticsSpec extends SparkSpec {
     assert(k.getAs[Double]("kappa") === 0.111111)
   }
 
+  test("embed_dim_stats: planted two-vector matrix yields exact per-dimension moments") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("dims").toString
+    Seq((1L, Array(1f, 4f), 0), (2L, Array(3f, 8f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val got = graft.queries.EmbedQueries.embedDimStats.run(spark, tmp).collect()
+      .map(r => r.getAs[Long]("dim") ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("mean"), r.getAs[Double]("var"),
+          r.getAs[Double]("mn"), r.getAs[Double]("mx")))).toMap
+    assert(got === Map(
+      1L -> ((2L, 2.0, 1.0, 1.0, 3.0)),
+      2L -> ((2L, 6.0, 4.0, 4.0, 8.0))))
+  }
+
   test("ml_herfindahl: equal sources give 1/k, a dominant source drives hhi toward its squared share") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("hhi").toString
