@@ -792,15 +792,15 @@ object MlQueries {
       |m AS (SELECT CAST(sum(p * (2 * qlt + q)) AS BIGINT) AS num2,
       |        CAST(sum(p) AS BIGINT) AS np, CAST(sum(q) AS BIGINT) AS nn FROM c)
       |SELECT np, nn, round(num2 / (2.0 * np * nn), 6) AS auc FROM m""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val base = Tables.documents(s, dir)
       .select(col("n_chars").cast("long").as("score"),
         when(col("lang") === "en", 1L).otherwise(0L).as("y"))
     val g = base.groupBy(col("score"))
       .agg(sum(col("y")).as("p"), (count(lit(1)) - sum(col("y"))).as("q"))
-    val c = g.withColumn("qlt", coalesce(
-      sum(col("q")).over(Window.orderBy(col("score"))
-        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    // two-level bucketed prefix (PrefixSum scaladoc): the oracle keeps
+    // the single-window form; qlt = inclusive cum − own row.
+    val c = graft.ops.PrefixSum.running(g, Nil, "score", Seq("q"))
+      .withColumn("qlt", col("q_cum") - col("q"))
     c.agg(sum(col("p") * (lit(2) * col("qlt") + col("q"))).as("num2"),
         sum(col("p")).as("np"), sum(col("q")).as("nn"))
       .select(col("np"), col("nn"),
@@ -1050,17 +1050,16 @@ object MlQueries {
       |  round(CAST(greatest(pl, ql) + greatest(pr, qr) AS DOUBLE) / (pt + qt), 6) AS acc
       |FROM (SELECT gi.*, row_number() OVER (ORDER BY gini, x) AS rn FROM gi)
       |WHERE rn = 1""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val base = Tables.documents(s, dir)
       .select(col("n_chars").cast("long").as("x"),
         when(col("lang") === "en", 1L).otherwise(0L).as("y"))
     val g = base.groupBy(col("x"))
       .agg(sum(col("y")).as("p"), (count(lit(1)) - sum(col("y"))).as("q"))
-    val w = Window.orderBy(col("x")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy()
-    val c = g.select(col("x"),
-      sum(col("p")).over(w).as("pl"), sum(col("q")).over(w).as("ql"),
-      sum(col("p")).over(tot).as("pt"), sum(col("q")).over(tot).as("qt"))
+    // two-level bucketed prefix (PrefixSum scaladoc); totals ride the
+    // bucket rollup instead of an unpartitioned totals window.
+    val c = graft.ops.PrefixSum.running(g, Nil, "x", Seq("p", "q"), withTotals = true)
+      .select(col("x"), col("p_cum").as("pl"), col("q_cum").as("ql"),
+        col("p_tot").as("pt"), col("q_tot").as("qt"))
     val e = c.select(col("x"), col("pl"), col("ql"),
         (col("pt") - col("pl")).as("pr"), (col("qt") - col("ql")).as("qr"),
         col("pt"), col("qt"))
@@ -1071,8 +1070,9 @@ object MlQueries {
       ((nl * nl - col("pl") * col("pl") - col("ql") * col("ql")).cast("double") / nl +
         (nr * nr - col("pr") * col("pr") - col("qr") * col("qr")).cast("double") / nr) /
         (col("pt") + col("qt")))
-    gi.withColumn("rn", row_number().over(Window.orderBy(col("gini"), col("x"))))
-      .where(col("rn") === 1)
+    // argmin as a distributed top-1 (TakeOrderedAndProject: partial
+    // top-k per partition), not a single-task row_number window.
+    gi.orderBy(col("gini"), col("x")).limit(1)
       .select(col("x").as("split_value"),
         (col("pl") + col("ql")).as("n_left"), (col("pr") + col("qr")).as("n_right"),
         round(col("gini"), 6).as("gini"),
@@ -1130,17 +1130,16 @@ object MlQueries {
       |SELECT med.source, med.n, med.med, mad.mad
       |FROM med JOIN mad ON mad.source = med.source
       |ORDER BY med.source""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val g = Tables.documents(s, dir)
       .select(col("source"), col("n_chars").cast("long").as("x"))
       .groupBy(col("source"), col("x")).agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // per-source two-level bucketed prefix (PrefixSum scaladoc): a
+    // continuous measure makes the per-source distinct table source-
+    // sized, so the rank selection buckets within each source too.
     def rankSelect(t: org.apache.spark.sql.DataFrame, v: String, out: String) = {
-      val w = Window.partitionBy(col("source")).orderBy(col(v))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t.select(col("source"), col(v), col("c"),
-          sum(col("c")).over(w).cast("long").as("cum"),
-          sum(col("c")).over(Window.partitionBy(col("source"))).cast("long").as("n"))
+      graft.ops.PrefixSum.running(t, Seq("source"), v, Seq("c"), withTotals = true)
+        .select(col("source"), col(v), col("c_cum").as("cum"), col("c_tot").as("n"))
         .groupBy(col("source"), col("n"))
         .agg(min(when(lit(2) * col("cum") >= col("n"), col(v))).cast("long").as(out))
     }
@@ -1182,15 +1181,13 @@ object MlQueries {
       |  CAST(sum(CASE WHEN 2 * g.x > 2 * q.q3 + 3 * (q.q3 - q.q1) THEN g.c ELSE 0 END) AS BIGINT) AS n_high
       |FROM g JOIN q ON q.source = g.source
       |GROUP BY 1, 2, 3, 4 ORDER BY g.source""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val g = Tables.documents(s, dir)
       .select(col("source"), col("n_chars").cast("long").as("x"))
       .groupBy(col("source"), col("x")).agg(count(lit(1)).as("c"))
-    val w = Window.partitionBy(col("source")).orderBy(col("x"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cw = g.select(col("source"), col("x"), col("c"),
-      sum(col("c")).over(w).cast("long").as("cum"),
-      sum(col("c")).over(Window.partitionBy(col("source"))).cast("long").as("n"))
+    // per-source two-level bucketed prefix (PrefixSum scaladoc, the
+    // ml_mad rank-selection shape).
+    val cw = graft.ops.PrefixSum.running(g, Seq("source"), "x", Seq("c"), withTotals = true)
+      .select(col("source"), col("x"), col("c_cum").as("cum"), col("c_tot").as("n"))
     val q = cw.groupBy(col("source"), col("n")).agg(
       min(when(lit(4) * col("cum") >= col("n"), col("x"))).cast("long").as("q1"),
       min(when(lit(4) * col("cum") >= lit(3) * col("n"), col("x"))).cast("long").as("q3"))
@@ -1243,15 +1240,15 @@ object MlQueries {
       |          ln((CAST(n_ref AS DOUBLE) / nr) / (CAST(n_cur AS DOUBLE) / nc)), 6)
       |  END AS psi_part
       |FROM t ORDER BY bin""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val s0 = Tables.documents(s, dir)
       .select(col("n_chars").cast("long").as("x"), (col("doc_id") % 2).as("grp"))
     val g = s0.groupBy(col("grp"), col("x")).agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val w = Window.orderBy(col("x")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val rc = g.where(col("grp") === 0).select(col("x"),
-      sum(col("c")).over(w).cast("long").as("cum"),
-      sum(col("c")).over(Window.partitionBy()).cast("long").as("n"))
+    // two-level bucketed prefix over the reference half (PrefixSum
+    // scaladoc); the half's total rides the bucket rollup.
+    val rc = graft.ops.PrefixSum
+      .running(g.where(col("grp") === 0), Nil, "x", Seq("c"), withTotals = true)
+      .select(col("x"), col("c_cum").as("cum"), col("c_tot").as("n"))
     val b = rc.crossJoin(broadcast(s.range(1, 10).select(col("id").as("k"))))
       .where(lit(10) * col("cum") >= col("k") * col("n"))
       .groupBy(col("k")).agg(min(col("x")).as("bx"))
@@ -1261,9 +1258,12 @@ object MlQueries {
     val cnt = g.join(bx, "x").groupBy(col("bin")).agg(
       sum(when(col("grp") === 0, col("c")).otherwise(0L)).cast("long").as("n_ref"),
       sum(when(col("grp") === 1, col("c")).otherwise(0L)).cast("long").as("n_cur"))
-    val t = cnt.select(col("bin"), col("n_ref"), col("n_cur"),
-      sum(col("n_ref")).over(Window.partitionBy()).cast("long").as("nr"),
-      sum(col("n_cur")).over(Window.partitionBy()).cast("long").as("nc"))
+    // bin-table totals as a one-row broadcast (the ml_length_buckets
+    // scalar-cross shape) — no unpartitioned totals window.
+    val tots = cnt.agg(sum(col("n_ref")).cast("long").as("nr"),
+      sum(col("n_cur")).cast("long").as("nc"))
+    val t = cnt.crossJoin(broadcast(tots))
+      .select(col("bin"), col("n_ref"), col("n_cur"), col("nr"), col("nc"))
     val pr = col("n_ref").cast("double") / col("nr")
     val pc = col("n_cur").cast("double") / col("nc")
     val out = t.select(col("bin"), col("n_ref"), col("n_cur"),
@@ -1425,16 +1425,16 @@ object MlQueries {
       |  round(CAST(sum(x * (2 * (c * m + c * (c + 1) // 2) - c * (n + 1))) AS DOUBLE)
       |        / (n * sx), 6) AS gini
       |FROM cw GROUP BY n, sx""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val g = Tables.documents(s, dir)
       .select(col("n_chars").cast("long").as("x"))
       .groupBy(col("x")).agg(count(lit(1)).as("c"))
-    val before = Window.orderBy(col("x")).rowsBetween(Window.unboundedPreceding, -1)
-    val tot = Window.partitionBy()
-    val cw = g.select(col("x"), col("c"),
-      coalesce(sum(col("c")).over(before), lit(0L)).cast("long").as("m"),
-      sum(col("c")).over(tot).cast("long").as("n"),
-      sum(col("x") * col("c")).over(tot).cast("long").as("sx"))
+      .withColumn("xc", col("x") * col("c"))
+    // two-level bucketed prefix (PrefixSum scaladoc): m is the
+    // EXCLUSIVE cumulative (inclusive − own row); n and Σx ride the
+    // bucket rollup instead of unpartitioned totals windows.
+    val cw = graft.ops.PrefixSum.running(g, Nil, "x", Seq("c", "xc"), withTotals = true)
+      .select(col("x"), col("c"), (col("c_cum") - col("c")).as("m"),
+        col("c_tot").as("n"), col("xc_tot").as("sx"))
     val term = col("x") *
       (lit(2) * (col("c") * col("m") + expr("c * (c + 1) div 2")) -
         col("c") * (col("n") + 1))
@@ -1615,23 +1615,19 @@ object MlQueries {
       |SELECT n1, n2, CAST(dd AS BIGINT) AS ks_num,
       |  round(CAST(dd AS DOUBLE) / (n1 * n2), 6) AS ks, x AS ks_at
       |FROM r WHERE rn = 1""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val base = Tables.documents(s, dir)
       .select(col("n_chars").cast("long").as("x"), (col("doc_id") % 2).as("grp"))
     val g = base.groupBy(col("x")).agg(
       sum(when(col("grp") === 0, 1L).otherwise(0L)).as("c1"),
       sum(when(col("grp") === 1, 1L).otherwise(0L)).as("c2"))
-    val w = Window.orderBy(col("x")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = Window.partitionBy()
-    val c = g.select(col("x"),
-      sum(col("c1")).over(w).cast("long").as("f1"),
-      sum(col("c2")).over(w).cast("long").as("f2"),
-      sum(col("c1")).over(tot).cast("long").as("n1"),
-      sum(col("c2")).over(tot).cast("long").as("n2"))
+    // two-level bucketed prefix (PrefixSum scaladoc); argmax below is a
+    // distributed top-1, not a single-task row_number window.
+    val c = graft.ops.PrefixSum.running(g, Nil, "x", Seq("c1", "c2"), withTotals = true)
+      .select(col("x"), col("c1_cum").as("f1"), col("c2_cum").as("f2"),
+        col("c1_tot").as("n1"), col("c2_tot").as("n2"))
     val dd = abs(col("f1") * col("n2") - col("f2") * col("n1"))
     c.withColumn("dd", dd)
-      .withColumn("rn", row_number().over(Window.orderBy(col("dd").desc, col("x"))))
-      .where(col("rn") === 1)
+      .orderBy(col("dd").desc, col("x")).limit(1)
       .select(col("n1"), col("n2"), col("dd").cast("long").as("ks_num"),
         round(col("dd").cast("double") / (col("n1") * col("n2")), 6).as("ks"),
         col("x").as("ks_at"))
@@ -1660,18 +1656,17 @@ object MlQueries {
       |  round(CAST(tp AS DOUBLE) / nullif(pt, 0), 6) AS recall,
       |  round(2 * CAST(tp AS DOUBLE) / nullif(tp + fp + pt, 0), 6) AS f1
       |FROM c ORDER BY score""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val base = Tables.documents(s, dir)
       .select(col("n_chars").cast("long").as("score"),
         when(col("lang") === "en", 1L).otherwise(0L).as("y"))
     val g = base.groupBy(col("score"))
       .agg(sum(col("y")).as("p"), (count(lit(1)) - sum(col("y"))).as("q"))
-    val w = Window.orderBy(col("score").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val c = g.select(col("score"),
-      sum(col("p")).over(w).cast("long").as("tp"),
-      sum(col("q")).over(w).cast("long").as("fp"),
-      sum(col("p")).over(Window.partitionBy()).cast("long").as("pt"))
+    // two-level bucketed prefix, DESCENDING (PrefixSum scaladoc); the
+    // positive total rides the bucket rollup.
+    val c = graft.ops.PrefixSum
+      .running(g, Nil, "score", Seq("p", "q"), descending = true, withTotals = true)
+      .select(col("score"), col("p_cum").as("tp"), col("q_cum").as("fp"),
+        col("p_tot").as("pt"))
     c.select(col("score"), col("tp"), col("fp"), (col("pt") - col("tp")).as("fn"),
         round(col("tp").cast("double") / nullif(col("tp") + col("fp"), lit(0L)), 6)
           .as("precision"),

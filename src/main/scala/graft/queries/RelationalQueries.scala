@@ -1116,11 +1116,11 @@ object RelationalQueries {
     * stay decimal until the final double cast.
     *
     * Shape at 100 TB: the window runs over the CUSTOMER ROLLUP (one
-    * row per customer), never the order fact table — the rollup
-    * shuffles once, and the single-partition global sort the window
-    * needs is keys-sized (the acceptable tier of the low-cardinality-
-    * window rule; at billions of customers swap ntile for a
-    * percentile-sketch cut over the same rollup).
+    * row per customer), never the order fact table — and the global
+    * rank comes from [[graft.ops.PrefixSum]]'s two-level bucketed
+    * prefix (tie-broken by custkey), so no single-partition sort even
+    * at billions of customers; ntile is then the closed-form remainder
+    * rule over (rank, n).
     */
   val qDecileProfile: QueryDef = QueryDef.sql("q_decile_profile",
     """WITH c AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(12,2))) AS spend,
@@ -1136,13 +1136,22 @@ object RelationalQueries {
       |  CAST(max(spend) AS DOUBLE) AS top_spend,
       |  CAST(min(spend) AS DOUBLE) AS floor_spend
       |FROM t GROUP BY decile ORDER BY decile""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
     val c = Tables.orders(s, dir)
       .groupBy(col("o_custkey"))
       .agg(sum(col("o_totalprice").cast("decimal(12,2)")).as("spend"),
         count(lit(1)).as("n_orders"))
-    val w = Window.orderBy(col("spend").desc, col("o_custkey"))
-    c.withColumn("decile", ntile(10).over(w))
+    // global rank = two-level prefix COUNT over (spend desc, custkey);
+    // ntile(10) is then pure arithmetic on (rank, n): the first n%10
+    // buckets take ceil(n/10) rows, the rest floor(n/10).
+    val r = graft.ops.PrefixSum.running(
+      c.withColumn("one", lit(1L)), Nil, "spend", Seq("one"),
+      descending = true, withTotals = true, tieBreaks = Seq(col("o_custkey").asc))
+    r.withColumn("decile", expr(
+        """CASE WHEN one_cum <= (one_tot % 10) * (one_tot div 10 + 1)
+          |THEN (one_cum - 1) div (one_tot div 10 + 1) + 1
+          |ELSE (one_tot % 10) +
+          |  (one_cum - (one_tot % 10) * (one_tot div 10 + 1) - 1) div (one_tot div 10) + 1
+          |END""".stripMargin))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_customers"), sum(col("n_orders")).as("n_orders"),
         sum(col("spend")).cast("double").as("total_spend"),

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.PrefixSum
+
+/** Differential law for the two-level bucketed prefix sum: for every
+  * key, `PrefixSum.running` must equal the single-window global
+  * cumulative it replaces — ascending and descending, grouped and
+  * ungrouped, integer and continuous keys, and at degenerate bucket
+  * counts (1 bucket = the global window itself; more buckets than
+  * rows = one row per bucket).
+  */
+class PrefixSumSpec extends SparkSpec {
+
+  private def globalRef(df: DataFrame, parts: Seq[String], order: String,
+      measures: Seq[String], desc: Boolean): DataFrame = {
+    val ord = if (desc) col(order).desc else col(order).asc
+    val w = Window.partitionBy(parts.map(col): _*).orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(parts.map(col): _*)
+    measures.foldLeft(df) { (d, m) =>
+      d.withColumn(s"${m}_cum", sum(col(m)).over(w).cast("long"))
+        .withColumn(s"${m}_tot", sum(col(m)).over(tot).cast("long"))
+    }
+  }
+
+  private def assertSame(got: DataFrame, want: DataFrame, key: Seq[String]): Unit = {
+    val cols = want.columns.sorted.map(col)
+    val g = got.select(cols: _*).orderBy(key.map(col): _*).collect().toSeq
+    val w = want.select(cols: _*).orderBy(key.map(col): _*).collect().toSeq
+    assert(g === w)
+  }
+
+  test("two-level == global window: long keys, asc and desc, multi-measure") {
+    val rnd = new scala.util.Random(42)
+    import spark.implicits._
+    val data = rnd.shuffle((0 until 400).toList).take(257)
+      .map(k => (k.toLong * 7 - 100, rnd.nextInt(90).toLong, rnd.nextInt(50).toLong))
+    val df = data.toDF("k", "a", "b")
+    for (desc <- Seq(false, true); buckets <- Seq(1, 7, 64, 1000)) {
+      val got = PrefixSum.running(df, Nil, "k", Seq("a", "b"),
+        descending = desc, withTotals = true, buckets = buckets)
+      assertSame(got, globalRef(df, Nil, "k", Seq("a", "b"), desc), Seq("k"))
+    }
+  }
+
+  test("two-level == global window: continuous double keys (the classifier-score case)") {
+    val rnd = new scala.util.Random(7)
+    import spark.implicits._
+    val data = (0 until 300).map(_ => rnd.nextDouble() * 1e6 - 5e5).distinct
+      .map(s => (s, rnd.nextInt(10).toLong))
+    val df = data.toDF("score", "c")
+    for (desc <- Seq(false, true)) {
+      val got = PrefixSum.running(df, Nil, "score", Seq("c"),
+        descending = desc, withTotals = true, buckets = 16)
+      assertSame(got, globalRef(df, Nil, "score", Seq("c"), desc), Seq("score"))
+    }
+  }
+
+  test("two-level == global window: grouped (per-source rank-selection shape)") {
+    val rnd = new scala.util.Random(11)
+    import spark.implicits._
+    val data = for {
+      src <- Seq("a", "b", "c")
+      k <- rnd.shuffle((0 until 200).toList).take(80)
+    } yield (src, k.toLong, rnd.nextInt(30).toLong)
+    val df = data.toDF("source", "x", "c")
+    val got = PrefixSum.running(df, Seq("source"), "x", Seq("c"),
+      withTotals = true, buckets = 9)
+    assertSame(got, globalRef(df, Seq("source"), "x", Seq("c"), desc = false),
+      Seq("source", "x"))
+  }
+
+  test("degenerate inputs: single row, and a two-row extreme-spread domain") {
+    import spark.implicits._
+    val one = Seq((5L, 3L)).toDF("k", "c")
+    val gotOne = PrefixSum.running(one, Nil, "k", Seq("c"), withTotals = true)
+    assertSame(gotOne, globalRef(one, Nil, "k", Seq("c"), desc = false), Seq("k"))
+    val spread = Seq((Long.MinValue / 4, 1L), (Long.MaxValue / 4, 2L)).toDF("k", "c")
+    val gotSp = PrefixSum.running(spread, Nil, "k", Seq("c"), withTotals = true)
+    assertSame(gotSp, globalRef(spread, Nil, "k", Seq("c"), desc = false), Seq("k"))
+  }
+
+  test("plan: the only unpartitioned window orders the bucket rollup") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => (i.toLong, 1L)).toDF("k", "c")
+    val lp = PrefixSum.running(df, Nil, "k", Seq("c"), withTotals = true)
+      .queryExecution.optimizedPlan
+    val unpart = lp.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.nonEmpty)
+    unpart.foreach { w =>
+      assert(w.orderSpec.flatMap(_.references.toSeq).map(_.name).distinct
+        === Seq(PrefixSum.BucketCol), s"unpartitioned window not on bucket rollup:\n$w")
+    }
+  }
+}
