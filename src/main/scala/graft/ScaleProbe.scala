@@ -119,22 +119,22 @@ object ScaleProbe {
       val ssecs = (System.nanoTime() - t2) / 1e9
       println(f"[scaleprobe] docs=$n%6d tokens=${80L * n}%8d kmv_distinct_est=${sk.getDouble(2)}%8.1f wall=$ssecs%6.1f s")
 
-      // bpe leg (r10): tokenizer training at growing corpus size — the
-      // merge loop iterates over the distinct-word VOCABULARY table
-      // only (the w-vocab corpus keeps |vocab| ≈ 1000 at every n), so
-      // its wall time must stay FLAT in n while the one corpus-sized
-      // rollup scales with the scan. The 100 TB story: training cost =
-      // one shuffle over the corpus + a constant-size iteration.
+      // bpe leg (r10, deepened r11): tokenizer training at growing
+      // corpus size AND production merge depth — the merge loop runs
+      // driver-local over the collected vocabulary (the corpus never
+      // re-enters), so 256 merges must stay FLAT in n and cost seconds
+      // (the r10 caveat was one Spark job PER merge) while the one
+      // corpus-sized rollup scales with the scan.
       val tb0 = System.nanoTime()
       val bv = graft.ops.Bpe.vocab0(spark.read.parquet(s"$dir/documents.parquet"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nVocab = bv.count()
       val rollS = (System.nanoTime() - tb0) / 1e9
       val tb1 = System.nanoTime()
-      val merges = graft.ops.Bpe.fitVocab(bv, 8)
+      val merges = graft.ops.Bpe.fitVocab(bv, 256)
       val loopS = (System.nanoTime() - tb1) / 1e9
       bv.unpersist(false)
-      println(f"[scaleprobe] docs=$n%6d bpe vocab=$nVocab%5d rollup=$rollS%5.1f s merge_loop(8)=$loopS%5.1f s top=${merges.head.left}${merges.head.right}")
+      println(f"[scaleprobe] docs=$n%6d bpe vocab=$nVocab%5d rollup=$rollS%5.1f s merge_loop(256)=$loopS%5.1f s n_merges=${merges.length} top=${merges.head.left}${merges.head.right}")
 
       // graph leg: the pagerank power-iteration core on a synthetic
       // bipartite graph with zipf-ish hub skew (edge count = 20·n, hubs

@@ -11,13 +11,15 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape (the reason this trains at 100 TB): the ONLY corpus-sized
   * work is the word rollup (one map-side-combined shuffle); the merge
-  * loop never touches the corpus again — it iterates over the vocabulary
+  * loop never touches the corpus again — it runs over the vocabulary
   * table (≤ ~10⁷ distinct words at web scale, corpus-size-independent).
-  * Each iteration is one adjacent-pair rollup over vocabulary rows
-  * (map-side combined, pairs ≤ total word length) plus a ONE-ROW argmax
-  * collect (an S10-sanctioned tiny summary — the chosen pair must become
-  * a literal in the next rewrite anyway, exactly like KMeans' k×d
-  * centroid collect). The rewrite itself is a map-only `replace`.
+  * At or under the vocab guard the loop is DRIVER-LOCAL with incremental
+  * pair counts ([[fitLocal]] — zero Spark jobs per merge, so production
+  * merge counts of 30k–100k cost seconds, not hours of job launches);
+  * past the guard [[fitVocabDistributed]] does one vocabulary-rollup job
+  * plus a ONE-ROW argmax collect per merge (S10-sanctioned tiny summary).
+  * The corpus re-encode either way is a map-only chained `replace`
+  * ([[vocabAfter]]).
   *
   * Determinism contract: ties on pair count break by (left, right)
   * lexicographic ascending; the rewrite merges occurrences LEFT-TO-RIGHT
@@ -100,14 +102,52 @@ object Bpe {
     */
   def fit(docs: DataFrame, n: Int): Seq[Merge] = fitVocab(vocab0(docs), n)
 
+  /** Vocabulary row guard for the driver-local merge loop: a web-scale
+    * corpus has ≤ ~10⁷ distinct words, which fits the driver easily —
+    * the way production trainers work (the corpus rollup is the
+    * distributed part; the merge loop runs on the collected frequency
+    * table). Override with `spark.graft.bpe.localVocabLimit`; vocabs
+    * past the guard fall back to [[fitVocabDistributed]].
+    */
+  private val defaultLocalVocabLimit = 4000000L
+
   /** The merge loop alone, over an already-built (word, cnt, enc)
     * vocabulary frame — split out so ScaleProbe can time the
     * corpus-sized rollup and the vocabulary-sized loop separately.
+    *
+    * Dispatch: at or under the vocab-row guard the loop runs DRIVER-
+    * LOCAL on the collected (cnt, tokens) table with incremental
+    * pair-count maintenance ([[fitLocal]]) — zero Spark jobs per merge,
+    * so 30k–100k production merge counts are tractable (the r10
+    * verdict's one-job-per-merge caveat). Past the guard it falls back
+    * to the distributed per-merge loop, which stays correct at any
+    * vocabulary size at one job per merge.
     */
   def fitVocab(vocab: DataFrame, n: Int): Seq[Merge] = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val v0 = vocab.persist(mem)
+    val nWords = v0.count() // eager: the corpus rollup runs once
+    val limit = v0.sparkSession.conf
+      .get("spark.graft.bpe.localVocabLimit", defaultLocalVocabLimit.toString).toLong
+    if (nWords <= limit) {
+      // ONE vocabulary-sized collect total (not per merge) — the
+      // S10-sanctioned trainer shape: ≤ guard rows of (count, tokens).
+      val rows = v0.select(col("cnt"), col("enc")).collect().map { r =>
+        (r.getString(1).split(";;").filter(_.nonEmpty), r.getLong(0))
+      }
+      v0.unpersist(false)
+      fitLocal(rows, n)
+    } else fitVocabDistributed(v0, n)
+  }
+
+  /** Distributed per-merge loop (one pair-rollup job + one-row argmax
+    * collect per merge) — the beyond-guard fallback, and the
+    * differential twin BpeSpec pins [[fitLocal]] against.
+    */
+  def fitVocabDistributed(vocab: DataFrame, n: Int): Seq[Merge] = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var v = vocab.persist(mem)
-    v.count() // eager: the corpus rollup runs once, iterations read the cache
+    v.count() // eager: iterations read the cache
     val first = v
     val merges = Seq.newBuilder[Merge]
     var i = 1
@@ -127,6 +167,81 @@ object Bpe {
     }
     first.unpersist(false)
     merges.result()
+  }
+
+  /** Driver-local merge loop over the collected (tokens, count)
+    * vocabulary — the production-trainer shape (Sennrich et al. 2016
+    * §3; HF tokenizers / SentencePiece do exactly this): pair counts
+    * are maintained INCREMENTALLY (a merge of (a,b) only re-counts the
+    * words that contain the pair, found via an inverted pair→word
+    * index), so total work is Σ touched-word lengths, not
+    * merges × vocab. The argmax is an O(|pairs|) scan per merge —
+    * plenty to 10⁵ merges on a 10⁷-word vocab; an indexed heap is the
+    * standard upgrade beyond that.
+    *
+    * Semantics are bit-identical to the distributed loop: overlap-
+    * counted pair frequencies, (count DESC, left, right) tie-break,
+    * left-to-right non-overlapping rewrite (the ';;' replace law).
+    */
+  def fitLocal(words: Array[(Array[String], Long)], n: Int): Seq[Merge] = {
+    import scala.collection.mutable
+    val toks: Array[Array[String]] = words.map(_._1)
+    val cnts: Array[Long] = words.map(_._2)
+    val pair = mutable.HashMap[(String, String), Long]()
+    val where = mutable.HashMap[(String, String), mutable.Set[Int]]()
+    // `where` entries go stale after rewrites (a word may lose a pair);
+    // stale ids are filtered at use — the standard lazy-index trick.
+    def addPairs(i: Int, sign: Long): Unit = {
+      val t = toks(i)
+      var j = 0
+      while (j < t.length - 1) {
+        val p = (t(j), t(j + 1))
+        val nv = pair.getOrElse(p, 0L) + sign * cnts(i)
+        if (nv == 0L) pair.remove(p) else pair(p) = nv
+        if (sign > 0L) where.getOrElseUpdate(p, mutable.Set.empty) += i
+        j += 1
+      }
+    }
+    var i = 0
+    while (i < toks.length) { addPairs(i, 1L); i += 1 }
+    val out = Seq.newBuilder[Merge]
+    var r = 1
+    while (r <= n && pair.nonEmpty) {
+      var bestP: (String, String) = null
+      var bestC = Long.MinValue
+      for ((p, c) <- pair) {
+        if (c > bestC || (c == bestC &&
+            (p._1 < bestP._1 || (p._1 == bestP._1 && p._2 < bestP._2)))) {
+          bestP = p; bestC = c
+        }
+      }
+      val (a, b) = bestP
+      out += Merge(r, a, b, bestC)
+      val ab = a + b
+      for (wi <- where.getOrElse(bestP, mutable.Set.empty).toArray) {
+        val t = toks(wi)
+        var has = false
+        var j = 0
+        while (!has && j < t.length - 1) {
+          if (t(j) == a && t(j + 1) == b) has = true
+          j += 1
+        }
+        if (has) {
+          addPairs(wi, -1L)
+          val nt = mutable.ArrayBuffer[String]()
+          var k = 0
+          while (k < t.length) {
+            if (k + 1 < t.length && t(k) == a && t(k + 1) == b) { nt += ab; k += 2 }
+            else { nt += t(k); k += 1 }
+          }
+          toks(wi) = nt.toArray
+          addPairs(wi, 1L)
+        }
+      }
+      where.remove(bestP)
+      r += 1
+    }
+    out.result()
   }
 
   /** Re-encode a vocabulary frame through an already-learned merge list

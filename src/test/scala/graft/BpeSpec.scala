@@ -112,6 +112,32 @@ class BpeSpec extends SparkSpec {
       ((six.left, six.right, six.count)))
   }
 
+  test("production merge count: local loop == sequential reference at 300 merges") {
+    // the r10 caveat was the PER-MERGE Spark job; the local loop must
+    // track the from-scratch reference exactly deep into the merge
+    // sequence (incremental pair deltas == full recounts), including
+    // the early-exhaustion rule if pairs run out on either side.
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdefghijkl"
+    val texts = (1 to 12).map { _ =>
+      (1 to 120).map { _ =>
+        val len = 2 + rnd.nextInt(9)
+        (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }.mkString(" ")
+    }
+    val got = Bpe.fit(docs(texts: _*), 300)
+    val want = refBpe(texts, 300)
+    assert(got === want)
+  }
+
+  test("dispatch differential: local loop == distributed per-merge loop (16 merges)") {
+    val texts = Seq("the quick brown fox the quick", "jumps over the lazy dog the",
+      "pack my box with five dozen jugs", "how vexingly quick daft zebras jump")
+    val local = Bpe.fitVocab(Bpe.vocab0(docs(texts: _*)), 16)
+    val dist = Bpe.fitVocabDistributed(Bpe.vocab0(docs(texts: _*)), 16)
+    assert(local === dist)
+  }
+
   test("degenerate corpus: fewer merges than requested, no crash") {
     // single 1-char word: encoding [a, _] has one pair; after merging it
     // nothing is left to merge
