@@ -1580,99 +1580,125 @@ object EmbedQueries {
     }
   }
 
-  /** PCA leading component via the distributed Gram-reduction pattern
-    * (the `RowMatrix.computePrincipalComponents` shape in plain
-    * DataFrames): the ONLY corpus-sized work is the covariance build —
-    * upper-triangle cross products exploded long-form (i, j, x·y), so
-    * map-side combine collapses every partition to ≤ d(d+1)/2 = 2080
-    * rows before the one shuffle, at ANY corpus size — and the d×d
-    * eigenproblem is then driver-sized by construction (64×64 doubles;
-    * MLlib makes the same local-eigen choice, S10 tiny-summary policy).
-    * Eight fixed power-iteration rounds extract (λ₁, pc1).
-    *
-    * Determinism contract (the [[embedKmeans]] discipline): the
-    * distributed moments are plan-rounded to 6 dp (avg order collapses),
-    * covariance is derived from ROUNDED moments only — so both engines
-    * iterate bit-identical matrices — and each driver round re-rounds
-    * the matvec and the normalized components with HALF_UP (Spark's
-    * plan-round semantics) while folding norms in ascending-dim order,
-    * exactly what the oracle's `list_sum(list(... ORDER BY i))` does.
-    * The uniform start 1/√64 = 0.125 is exactly representable, and the
-    * positive start fixes the eigenvector's sign convention.
+  /** Shared DuckDB CTE chain replaying [[graft.ml.Pca.fit1]]'s
+    * rounded-moment covariance + power iteration (see that scaladoc for
+    * the determinism contract). MATERIALIZED is load-bearing: y_t is
+    * referenced twice (norm + normalize) and cm by every round —
+    * inlined CTEs would double the subtree per iteration (2^8 × the
+    * covariance scan; measured as a multi-minute hang vs sub-second
+    * materialized). Exposes CTEs: v, mu(i, m), r$iters(i, x), lam(l).
     */
-  val embedPca: QueryDef = {
-    val dim = 64; val iters = 8
-    // MATERIALIZED is load-bearing: y_t is referenced twice (norm +
-    // normalize) and cm by every round — inlined CTEs would double the
-    // subtree per iteration (2^8 × the covariance scan; measured as a
-    // multi-minute hang vs sub-second materialized)
+  private def pcaCtes(dim: Int, iters: Int): String = {
     val iterCtes = (1 to iters).map { t =>
       s"""y$t AS MATERIALIZED (SELECT cm.i, round(sum(cm.c * r.x), 6) AS y
          |      FROM cm JOIN r${t - 1} r ON cm.j = r.i GROUP BY cm.i),
          |n$t AS (SELECT sqrt(list_sum(list(y * y ORDER BY i))) AS nv FROM y$t),
          |r$t AS MATERIALIZED (SELECT i, round(y / (SELECT nv FROM n$t), 6) AS x FROM y$t)""".stripMargin
     }.mkString(",\n")
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |mu AS (SELECT i, round(avg(v[i]), 6) AS m
+       |       FROM v, range(1, ${dim + 1}) r(i) GROUP BY i),
+       |cp AS (SELECT ri.i AS i, rj.i AS j, round(avg(v.v[ri.i] * v.v[rj.i]), 6) AS axy
+       |       FROM v, range(1, ${dim + 1}) ri(i), range(1, ${dim + 1}) rj(i)
+       |       WHERE rj.i >= ri.i GROUP BY 1, 2),
+       |cu AS (SELECT cp.i, cp.j, cp.axy - mi.m * mj.m AS c
+       |       FROM cp JOIN mu mi ON mi.i = cp.i JOIN mu mj ON mj.i = cp.j),
+       |cm AS MATERIALIZED (SELECT i, j, c FROM cu UNION ALL SELECT j, i, c FROM cu WHERE i < j),
+       |r0 AS (SELECT i, 0.125e0 AS x FROM range(1, ${dim + 1}) r(i)),
+       |$iterCtes,
+       |cy AS (SELECT cm.i, round(sum(cm.c * r.x), 6) AS y
+       |       FROM cm JOIN r$iters r ON cm.j = r.i GROUP BY cm.i),
+       |lam AS (SELECT round(list_sum(list(cy.y * r.x ORDER BY cy.i)), 6) AS l
+       |        FROM cy JOIN r$iters r ON cy.i = r.i)""".stripMargin
+  }
+
+  /** PCA leading component — fit and emit the model table. The fit
+    * lives in [[graft.ml.Pca]] (distributed Gram reduction + driver
+    * eigen, rounded-moment determinism contract); the oracle replays
+    * the identical chain via [[pcaCtes]].
+    */
+  val embedPca: QueryDef = {
+    val dim = 64; val iters = 8
     QueryDef.sql("embed_pca",
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |mu AS (SELECT i, round(avg(v[i]), 6) AS m
-         |       FROM v, range(1, ${dim + 1}) r(i) GROUP BY i),
-         |cp AS (SELECT ri.i AS i, rj.i AS j, round(avg(v.v[ri.i] * v.v[rj.i]), 6) AS axy
-         |       FROM v, range(1, ${dim + 1}) ri(i), range(1, ${dim + 1}) rj(i)
-         |       WHERE rj.i >= ri.i GROUP BY 1, 2),
-         |cu AS (SELECT cp.i, cp.j, cp.axy - mi.m * mj.m AS c
-         |       FROM cp JOIN mu mi ON mi.i = cp.i JOIN mu mj ON mj.i = cp.j),
-         |cm AS MATERIALIZED (SELECT i, j, c FROM cu UNION ALL SELECT j, i, c FROM cu WHERE i < j),
-         |r0 AS (SELECT i, 0.125e0 AS x FROM range(1, ${dim + 1}) r(i)),
-         |$iterCtes,
-         |cy AS (SELECT cm.i, round(sum(cm.c * r.x), 6) AS y
-         |       FROM cm JOIN r$iters r ON cm.j = r.i GROUP BY cm.i),
-         |lam AS (SELECT round(list_sum(list(cy.y * r.x ORDER BY cy.i)), 6) AS l
-         |        FROM cy JOIN r$iters r ON cy.i = r.i)
+      s"""WITH ${pcaCtes(dim, iters)}
          |SELECT CAST(mu.i AS BIGINT) AS dim, mu.m AS mean, rr.x AS pc1,
          |  (SELECT l FROM lam) AS lam
          |FROM mu JOIN r$iters rr ON mu.i = rr.i ORDER BY dim""".stripMargin) { (s, dir) =>
-      val v = Similarity.vectors(Tables.embeddings(s, dir)).select(col("v"))
-      val mu = v.select(posexplode(col("v")).as(Seq("i0", "x")))
-        .groupBy((col("i0") + 1).as("i")).agg(round(avg(col("x")), 6).as("m"))
-        .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
-      val axy = v
-        .select(col("v"), posexplode(col("v")).as(Seq("i0", "x")))
-        .select(col("i0"), col("x"),
-          posexplode(expr(s"slice(v, i0 + 1, $dim - i0)")).as(Seq("j0", "y")))
-        .select((col("i0") + 1).as("i"), (col("i0") + 1 + col("j0")).as("j"),
-          (col("x") * col("y")).as("p"))
-        .groupBy(col("i"), col("j")).agg(round(avg(col("p")), 6).as("axy"))
-        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
-      // driver-side 64x64 eigen on the rounded (bit-shared) matrix
-      val cmat = Array.tabulate(dim, dim) { (a, b) =>
-        val (i, j) = (math.min(a, b) + 1, math.max(a, b) + 1)
-        axy((i, j)) - mu(i) * mu(j)
-      }
-      def r6(x: Double): Double =
-        java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-      var rv = Array.fill(dim)(0.125)
-      for (_ <- 1 to iters) {
-        val y = Array.tabulate(dim) { i =>
-          var acc = 0.0; var j = 0
-          while (j < dim) { acc += cmat(i)(j) * rv(j); j += 1 }
-          r6(acc)
-        }
-        var nn = 0.0; y.foreach(x => nn += x * x)
-        val nv = math.sqrt(nn)
-        rv = y.map(x => r6(x / nv))
-      }
-      val cy = Array.tabulate(dim) { i =>
-        var acc = 0.0; var j = 0
-        while (j < dim) { acc += cmat(i)(j) * rv(j); j += 1 }
-        r6(acc)
-      }
-      var rl = 0.0; var i = 0
-      while (i < dim) { rl += cy(i) * rv(i); i += 1 }
-      val lam = r6(rl)
-      val rows = (1 to dim).map(d => (d.toLong, mu(d), rv(d - 1), lam))
+      val p = graft.ml.Pca.fitMemo(s, dir, dim, iters)
+      val rows = (1 to dim).map(d => (d.toLong, p.mu(d - 1), p.w(d - 1), p.lam))
       s.createDataFrame(rows).toDF("dim", "mean", "pc1", "lam")
         .orderBy(col("dim"))
     }
+  }
+
+  /** APPLY the learned PCA model to re-embed the corpus — the transform
+    * [[embedDimStats]] and [[embedPca]] exist to motivate (and the
+    * normalization step PQ codebook training wants): per vector,
+    * t = (x − μ)·w (centered projection onto the leading component) and
+    * its λ-whitened coordinate zw = t/√λ₁ (unit variance along pc1).
+    *
+    * Scale shape: the model is a plan literal (round-6 driver arrays
+    * from [[graft.ml.Pca.fitMemo]] — k×d doubles, the broadcast-table
+    * tier); the apply pass is MAP-ONLY, one native [[Similarity.dotC]]
+    * kernel per row inside whole-stage codegen — no shuffle, no window.
+    * The oracle replays the projection as the same ascending-dim fold
+    * over [[pcaCtes]]'s mu/r8 tables.
+    */
+  val embedPcaApply: QueryDef = {
+    val dim = 64; val iters = 8
+    QueryDef.sql("embed_pca_apply",
+      s"""WITH ${pcaCtes(dim, iters)},
+         |proj AS (SELECT v.vec_id,
+         |    round(list_sum(list((v.v[r.i] - mu.m) * rr.x ORDER BY r.i)), 6) AS t
+         |  FROM v CROSS JOIN range(1, ${dim + 1}) r(i)
+         |  JOIN mu ON mu.i = r.i JOIN r$iters rr ON rr.i = r.i
+         |  GROUP BY v.vec_id)
+         |SELECT vec_id, t, round(t / sqrt((SELECT l FROM lam)), 6) AS zw
+         |FROM proj ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val p = graft.ml.Pca.fitMemo(s, dir, dim, iters)
+      val centered = zip_with(col("v"), lit(p.mu), (x, m) => x - m)
+      Similarity.vectors(Tables.embeddings(s, dir))
+        .select(col("vec_id"),
+          round(Similarity.dotC(centered, lit(p.w)), 6).as("t"))
+        .withColumn("zw", round(col("t") / lit(math.sqrt(p.lam)), 6))
+        .orderBy(col("vec_id"))
+    }
+  }
+
+  /** Diagonal (per-dimension) whitening of the embedding matrix —
+    * z_i = (x_i − μ_i)/σ_i from [[embedDimStats]]'s rounded moments:
+    * the standard preprocessing before PQ/IVF quantizer training when
+    * a full rotation is overkill (equalizes per-dim scale so no axis
+    * dominates L2; a dead dim (σ=0) maps to 0 instead of NaN — under
+    * Spark 4 ANSI an unguarded /0 would abort the job). Emitted
+    * long-form for the oracle; the production array emit is the same
+    * stats broadcast inside one zip_with.
+    *
+    * Scale shape: one posexplode + d-row map-side-combined stats rollup
+    * broadcast back; the whiten pass is map-only. WhitenSpec pins
+    * whiten∘unwhiten ≈ identity and the unit-moment law.
+    */
+  val embedWhiten: QueryDef = QueryDef.sql("embed_whiten",
+    s"""WITH $duckVectors,
+       |e AS (SELECT vec_id, i, v[i] AS x FROM v, range(1, 65) r(i)),
+       |st AS (SELECT i, round(avg(x), 6) AS m,
+       |         round(avg(x * x) - avg(x) * avg(x), 6) AS va
+       |       FROM e GROUP BY i)
+       |SELECT e.vec_id, CAST(e.i AS BIGINT) AS dim,
+       |  CASE WHEN st.va > 0 THEN round((e.x - st.m) / sqrt(st.va), 6) ELSE 0.0 END AS z
+       |FROM e JOIN st ON st.i = e.i
+       |ORDER BY vec_id, dim""".stripMargin) { (s, dir) =>
+    val e = Similarity.vectors(Tables.embeddings(s, dir))
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("i0", "x")))
+      .select(col("vec_id"), (col("i0") + 1).cast("long").as("dim"), col("x"))
+    val st = e.groupBy(col("dim"))
+      .agg(round(avg(col("x")), 6).as("m"),
+        round(avg(col("x") * col("x")) - avg(col("x")) * avg(col("x")), 6).as("va"))
+    e.join(broadcast(st), "dim")
+      .select(col("vec_id"), col("dim"),
+        when(col("va") > 0, round((col("x") - col("m")) / sqrt(col("va")), 6))
+          .otherwise(lit(0.0)).as("z"))
+      .orderBy(col("vec_id"), col("dim"))
   }
 
   /** Per-cluster embedding outliers: each vector's distance to its own
@@ -2249,5 +2275,6 @@ object EmbedQueries {
     embedRandomProjection, embedKmeans, embedPca, embedOutliers,
     embedMatryoshkaRecall, multimodalPhashDedup, embedDedupSweep, embedMmr,
     embedCentroidShift, retrievalHybridRrf, embedSphericalKmeans,
-    retrievalNdcg, multimodalAudioWindows, embedDimStats)
+    retrievalNdcg, multimodalAudioWindows, embedDimStats,
+    embedPcaApply, embedWhiten)
 }
