@@ -244,6 +244,23 @@ object ScaleProbe {
       val cellsBig = asgBig.agg(countDistinct(col("cl"))).head().getLong(0)
       val ktsecs = (System.nanoTime() - t5t) / 1e9
       println(f"[scaleprobe] docs=$n%6d kmeans_table k=$kBig%5d cells=$cellsBig%5d plan_build=$planMs%7.1f ms wall=$ktsecs%6.1f s")
+
+      // ivf-append leg (r11): persisted-index growth — build on the
+      // base 90%, then append the last 10% against the PERSISTED
+      // quantizer (fixed centroids). Append cost must scale with the
+      // BATCH (one broadcast argmin over n/10 rows + a cell-partitioned
+      // file append), never the base — the 100 TB story for daily
+      // embedding deltas on a months-old index.
+      val ivfRoot = graft.ops.Scratch.dir(s"probe_ivf_$n")
+      val cutIvf = (n * 9L) / 10L
+      val t5a = System.nanoTime()
+      graft.ops.IvfIndex.build(vv.where(col("vec_id") < cutIvf), 64, 2, ivfRoot)
+      val buildS = (System.nanoTime() - t5a) / 1e9
+      val t5b = System.nanoTime()
+      graft.ops.IvfIndex.append(spark, vv.where(col("vec_id") >= cutIvf), ivfRoot)
+      val appS = (System.nanoTime() - t5b) / 1e9
+      val nIdx = graft.ops.IvfIndex.assignments(spark, ivfRoot).count()
+      println(f"[scaleprobe] docs=$n%6d ivf_append base=$cutIvf%6d build=$buildS%6.1f s batch=${n - cutIvf}%5d append=$appS%6.1f s rows=$nIdx%7d")
       vecs.unpersist(false)
 
       // asof leg: composed union+window vs the native AsOfJoinExec on

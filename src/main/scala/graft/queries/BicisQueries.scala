@@ -418,8 +418,7 @@ object BicisQueries {
     graft.ops.TextOps.ensureFunctions(s)
     val src = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
-    val orcDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_q_orc_roundtrip_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+    val orcDir = graft.ops.Scratch.dir(s"q_orc_roundtrip_${Integer.toHexString(dir.hashCode)}")
     src.write.mode("overwrite").orc(orcDir)
     s.read.orc(orcDir)
       .groupBy(col("lang"), col("source"))
@@ -446,8 +445,7 @@ object BicisQueries {
     graft.ops.TextOps.ensureFunctions(s)
     val src = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
-    val jsonDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_q_json_roundtrip_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+    val jsonDir = graft.ops.Scratch.dir(s"q_json_roundtrip_${Integer.toHexString(dir.hashCode)}")
     src.write.mode("overwrite").json(jsonDir)
     s.read.schema(src.schema).json(jsonDir)
       .groupBy(col("lang"), col("source"))
@@ -472,8 +470,7 @@ object BicisQueries {
     graft.ops.TextOps.ensureFunctions(s)
     val src = Tables.documents(s, dir)
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
-    val csvDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_q_csv_roundtrip_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+    val csvDir = graft.ops.Scratch.dir(s"q_csv_roundtrip_${Integer.toHexString(dir.hashCode)}")
     src.write.mode("overwrite")
       .option("header", "true").option("quoteAll", "true").option("escape", "\"")
       .csv(csvDir)
@@ -1388,9 +1385,10 @@ object BicisQueries {
     * aggregate, S10-tiny), the oracle states it as the literal TRUE the
     * contract requires, so a cap violation fails the row.
     *
-    * Shards land under java.io.tmpdir at a per-sfDir path (Overwrite
-    * mode — reruns replace, nothing accumulates); they must outlive
-    * this function because the census plan is evaluated lazily by the
+    * Shards land under a per-process [[graft.ops.Scratch]] path
+    * (Overwrite mode — reruns replace; the shutdown hook cleans up, and
+    * concurrent JVMs get disjoint trees); they must outlive this
+    * function because the census plan is evaluated lazily by the
     * caller.
     */
   val qShardRoundtrip: QueryDef = QueryDef.sql("q_shard_roundtrip",
@@ -1408,8 +1406,7 @@ object BicisQueries {
     // into 10x tiny files (the n/cap file-count floor is the cost knob;
     // a fixed cap made this query write-bound at bench SF)
     val cap = math.max(8L, src.count() / 100L)
-    val shardDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_q_shard_roundtrip_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
+    val shardDir = graft.ops.Scratch.dir(s"q_shard_roundtrip_${Integer.toHexString(dir.hashCode)}")
     graft.core.Sinks.shardedParquet(src, shardDir, Seq("lang", "source"), Seq("doc_id"), cap)
     // ONE read-back pass: per-file sub-aggregates roll up to the census
     // AND the per-group max-rows-per-file that gates the cap contract

@@ -668,37 +668,132 @@ object EmbedQueries {
     QueryDef.sql("embed_ivf_index_roundtrip",
       embedKnnIvfKmeans.oracle.get) { (s, dir) =>
       val v = Similarity.vectors(Tables.embeddings(s, dir)).select(col("vec_id"), col("v"))
-      val (assigned, cents) = graft.ml.KMeans.fit(
-        v, graft.ml.KMeans.seedSmallest(v, k), iters = 2)
-      val idxDir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_ivf_index_${Integer.toHexString(dir.hashCode)}").getAbsolutePath
-      cents.write.mode("overwrite").parquet(s"$idxDir/centroids")
-      assigned.select(col("vec_id"), col("v"), col("cl"))
-        .write.mode("overwrite").partitionBy("cl").parquet(s"$idxDir/assignments")
-      // ---- query phase: everything below reads the PERSISTED index ----
-      val rc = s.read.parquet(s"$idxDir/centroids")
-      val ra = s.read.parquet(s"$idxDir/assignments")
-      val cw = broadcast(rc.select(col("cl"), col("cv"),
-        Similarity.dot("cv", "cv").as("c2")))
+      val root = graft.ops.Scratch.dir(s"ivf_index_${Integer.toHexString(dir.hashCode)}")
+      graft.ops.IvfIndex.build(v, k, iters = 2, root)
+      // ---- query phase reads only the PERSISTED index ----
       val q = v.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
-      val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
-        .orderBy(col("__d"), col("cl"))
-      val probe = q.crossJoin(cw)
-        .withColumn("__d", round(sqrt(greatest(
-          Similarity.dot("qv", "qv") + col("c2")
-            - lit(2) * Similarity.dot("qv", "cv"), lit(0.0))), 6))
-        .withColumn("cr", row_number().over(wc))
-        .where(col("cr") <= 2)
-        .select(col("qid"), col("qv"), col("cl").as("cell"))
-      // cl is a hive partition column on read-back: cast pins its type
-      // against partition-column type inference
-      val c = ra.where(col("vec_id") >= 10)
-        .select(col("vec_id").as("nid"), col("v").as("cv2"), col("cl").cast("long").as("cl"))
-      val pairs = c.join(broadcast(probe), c("cl") === probe("cell"))
-        .withColumn("sim", Similarity.cosine("qv", "cv2"))
-        .select(col("qid"), col("nid"), col("sim"))
-      Similarity.topK(pairs, 3).select(col("qid"), col("nid"), col("sim"), col("rnk"))
+      graft.ops.IvfIndex.probe(s, q, root, nprobe = 2, topk = 3,
+          cand = _.where(col("vec_id") >= 10))
         .orderBy(col("qid"), col("rnk"))
+    }
+  }
+
+  /** Shared oracle CTE chain for the APPEND-mode index queries: the
+    * quantizer is fit on the BASE HALF only (vec_id < 400 — c0 seeds
+    * and the one Lloyd update average over vb), then `a2` assigns the
+    * WHOLE corpus to those held-fixed centroids. That assign-all rule
+    * IS the append ≡ rebuild law: the Spark side builds the index on
+    * the base, appends the batch against the persisted centroids, and
+    * must land every vector in the same cell this chain does.
+    */
+  private def ivfBaseFitCtes(k: Int, dim: Int): String = {
+    def duckD2(vc: String, cc: String): String =
+      s"""list_sum([$vc[i] * $vc[i] for i in range(1, ${dim + 1})]) +
+         |      list_sum([$cc[i] * $cc[i] for i in range(1, ${dim + 1})]) -
+         |      2 * list_sum([$vc[i] * $cc[i] for i in range(1, ${dim + 1})])""".stripMargin
+    s"""$duckVectors,
+       |vb AS (SELECT * FROM v WHERE vec_id < 400),
+       |c0 AS (SELECT vec_id AS cl, v AS cv FROM vb ORDER BY vec_id LIMIT $k),
+       |d1 AS (SELECT vb.vec_id, vb.v, c0.cl, ${duckD2("vb.v", "c0.cv")} AS d2 FROM vb, c0),
+       |a1 AS (SELECT vec_id, v, cl FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rk
+       |        FROM d1) WHERE rk = 1),
+       |u1 AS (SELECT cl, i, round(avg(v[i]), 6) AS x
+       |       FROM a1, range(1, ${dim + 1}) r(i) GROUP BY cl, i),
+       |c1 AS (SELECT cl, list(x ORDER BY i) AS cv FROM u1 GROUP BY cl),
+       |d2c AS (SELECT v.vec_id, v.v, c1.cl, ${duckD2("v.v", "c1.cv")} AS d2 FROM v, c1),
+       |a2 AS (SELECT vec_id, v, cl FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rk
+       |        FROM d2c) WHERE rk = 1)""".stripMargin
+  }
+
+  /** INCREMENTAL index growth — the CorpusPipeline.append analog for
+    * embeddings: the quantizer is trained on the base half and
+    * persisted; the batch half assigns to the EXISTING cells via
+    * [[graft.ops.IvfIndex.append]] (one broadcast-table argmin over the
+    * batch only — cost scales with the batch, the base is never
+    * rewritten) and lands as new files under the hive cell partitions.
+    * The probe then sees base ∪ batch. The oracle fits on the base and
+    * assigns ALL vectors to the held-fixed centroids — so a green row
+    * states append ≡ full rebuild corpus-wide; IvfIndexSpec pins the
+    * same law frame-level plus the probe equality, and ScaleProbe
+    * measures append cost scaling with the batch. The retrain trigger
+    * (when drift makes fixed cells stale) is [[embedIndexDrift]].
+    */
+  val embedIvfIndexAppend: QueryDef = {
+    val k = 16; val dim = 64
+    QueryDef.sql("embed_ivf_index_append",
+      s"""WITH ${ivfBaseFitCtes(k, dim)},
+         |q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
+         |pa AS (SELECT qid, qv, c1.cl AS cell,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY
+         |           round(sqrt(greatest(list_sum([qv[i] * qv[i] for i in range(1, ${dim + 1})]) +
+         |             list_sum([c1.cv[i] * c1.cv[i] for i in range(1, ${dim + 1})]) -
+         |             2 * list_sum([qv[i] * c1.cv[i] for i in range(1, ${dim + 1})]), 0)), 6),
+         |           c1.cl) AS BIGINT) AS cr
+         |       FROM q CROSS JOIN c1),
+         |probe AS (SELECT qid, qv, cell FROM pa WHERE cr <= 2),
+         |c AS (SELECT vec_id AS nid, v AS cv2, cl FROM a2 WHERE vec_id >= 10),
+         |p AS (SELECT qid, nid, ${duckCos("qv", "cv2")} AS sim
+         |      FROM c JOIN probe ON c.cl = probe.cell),
+         |r AS (SELECT qid, nid, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk FROM p)
+         |SELECT qid, nid, sim, rnk FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      val v = Similarity.vectors(Tables.embeddings(s, dir)).select(col("vec_id"), col("v"))
+      val root = graft.ops.Scratch.dir(s"ivf_append_${Integer.toHexString(dir.hashCode)}")
+      graft.ops.IvfIndex.build(v.where(col("vec_id") < 400), k, iters = 2, root)
+      graft.ops.IvfIndex.append(s, v.where(col("vec_id") >= 400), root)
+      val q = v.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
+      graft.ops.IvfIndex.probe(s, q, root, nprobe = 2, topk = 3,
+          cand = _.where(col("vec_id") >= 10))
+        .orderBy(col("qid"), col("rnk"))
+    }
+  }
+
+  /** Cell-population DRIFT between the index's base and an incoming
+    * batch — the retrain trigger for [[embedIvfIndexAppend]]'s
+    * fixed-centroid growth (the ml_psi recipe applied to cell ids
+    * instead of decile bins): per cell, exact base/batch member counts
+    * and the PSI term (p_base − p_batch)·ln(p_base/p_batch); cells
+    * empty on either side report NULL (the audit should SEE the
+    * degenerate cell). Σ psi_part > 0.2 is the standard "retrain the
+    * quantizer" line. Cost: the batch assign the append already does +
+    * a k-row rollup with one-row totals broadcast.
+    */
+  val embedIndexDrift: QueryDef = {
+    val k = 16; val dim = 64
+    QueryDef.sql("embed_index_drift",
+      s"""WITH ${ivfBaseFitCtes(k, dim)},
+         |cnt AS (SELECT cl,
+         |          CAST(sum(CASE WHEN vec_id < 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         |          CAST(sum(CASE WHEN vec_id >= 400 THEN 1 ELSE 0 END) AS BIGINT) AS n_batch
+         |        FROM a2 GROUP BY cl),
+         |t AS (SELECT cl, n_base, n_batch,
+         |        CAST(sum(n_base) OVER () AS BIGINT) AS nb,
+         |        CAST(sum(n_batch) OVER () AS BIGINT) AS nc FROM cnt)
+         |SELECT cl AS cell, n_base, n_batch,
+         |  CASE WHEN n_base > 0 AND n_batch > 0 THEN
+         |    round((CAST(n_base AS DOUBLE) / nb - CAST(n_batch AS DOUBLE) / nc) *
+         |          ln((CAST(n_base AS DOUBLE) / nb) / (CAST(n_batch AS DOUBLE) / nc)), 6)
+         |  END AS psi_part
+         |FROM t ORDER BY cell""".stripMargin) { (s, dir) =>
+      val v = Similarity.vectors(Tables.embeddings(s, dir)).select(col("vec_id"), col("v"))
+      val base = v.where(col("vec_id") < 400)
+      val (_, cents) = graft.ml.KMeans.fit(
+        base, graft.ml.KMeans.seedSmallest(base, k), iters = 2)
+      val cnt = graft.ml.KMeans.assign(v, cents)
+        .groupBy(col("cl")).agg(
+          sum(when(col("vec_id") < 400, 1L).otherwise(0L)).as("n_base"),
+          sum(when(col("vec_id") >= 400, 1L).otherwise(0L)).as("n_batch"))
+      val tots = cnt.agg(sum(col("n_base")).cast("long").as("nb"),
+        sum(col("n_batch")).cast("long").as("nc"))
+      val pb = col("n_base").cast("double") / col("nb")
+      val pc = col("n_batch").cast("double") / col("nc")
+      cnt.crossJoin(broadcast(tots))
+        .select(col("cl").as("cell"), col("n_base"), col("n_batch"),
+          when(col("n_base") > 0 && col("n_batch") > 0,
+            round((pb - pc) * log(pb / pc), 6)).as("psi_part"))
+        .orderBy(col("cell"))
     }
   }
 
@@ -2276,5 +2371,5 @@ object EmbedQueries {
     embedMatryoshkaRecall, multimodalPhashDedup, embedDedupSweep, embedMmr,
     embedCentroidShift, retrievalHybridRrf, embedSphericalKmeans,
     retrievalNdcg, multimodalAudioWindows, embedDimStats,
-    embedPcaApply, embedWhiten)
+    embedPcaApply, embedWhiten, embedIvfIndexAppend, embedIndexDrift)
 }

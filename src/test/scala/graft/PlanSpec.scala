@@ -178,6 +178,9 @@ class PlanSpec extends SparkSpec {
       // O(1) in k; never a data×data cross
       "embed_kmeans", "dedup_semantic", "embed_knn_ivf_kmeans",
       "embed_cluster_purity", "embed_kmeans_elbow", "embed_ivf_index_roundtrip",
+      // same KMeans.assign / persisted-index probe broadcast cross as
+      // embed_ivf_index_roundtrip, on the append-mode index
+      "embed_ivf_index_append", "embed_index_drift",
       // one-row (d0, d1) spine-bounds scalar broadcast into the
       // hours-sized interior filter — never event-sized
       "series_stl",
