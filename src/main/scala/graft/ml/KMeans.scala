@@ -113,9 +113,17 @@ object KMeans {
     require(iters >= 1, s"iters must be >= 1: $iters")
     var cents = seeds
     var assigned: DataFrame = null
+    var prevCkpt: DataFrame = null
     for (t <- 1 to iters) {
       assigned = assign(v, cents, idCol)
-      if (t < iters) cents = renormalize(update(assigned)).localCheckpoint(true)
+      if (t < iters) {
+        cents = renormalize(update(assigned)).localCheckpoint(true)
+        // the superseded round's k×d blocks are dead once the new
+        // checkpoint materializes (the Components discipline); only the
+        // RETURNED table stays cached — callers still read it
+        if (prevCkpt != null) prevCkpt.unpersist()
+        prevCkpt = cents
+      }
     }
     (assigned, cents)
   }
@@ -133,9 +141,15 @@ object KMeans {
     require(iters >= 1, s"iters must be >= 1: $iters")
     var cents = seeds
     var assigned: DataFrame = null
+    var prevCkpt: DataFrame = null
     for (t <- 1 to iters) {
       assigned = assign(v, cents, idCol)
-      if (t < iters) cents = update(assigned).localCheckpoint(true)
+      if (t < iters) {
+        cents = update(assigned).localCheckpoint(true)
+        // free the superseded round's blocks (see fitSpherical)
+        if (prevCkpt != null) prevCkpt.unpersist()
+        prevCkpt = cents
+      }
     }
     (assigned, cents)
   }

@@ -150,6 +150,7 @@ object Bpe {
     v.count() // eager: iterations read the cache
     val first = v
     val merges = Seq.newBuilder[Merge]
+    var lastCkpt: DataFrame = null
     var i = 1
     while (i <= n) {
       val top = pairCounts(v)
@@ -161,11 +162,19 @@ object Bpe {
         val (a, b, c) = (r.getString(0), r.getString(1), r.getLong(2))
         merges += Merge(i, a, b, c)
         v = v.withColumn("enc", applyMerge(col("enc"), a, b))
-        if (i % checkpointEvery == 0) v = v.localCheckpoint(true)
+        if (i % checkpointEvery == 0) {
+          val nv = v.localCheckpoint(true)
+          // superseded checkpoint blocks are dead once the new one
+          // materializes (the Components discipline)
+          if (lastCkpt != null) lastCkpt.unpersist()
+          lastCkpt = nv
+          v = nv
+        }
         i += 1
       }
     }
     first.unpersist(false)
+    if (lastCkpt != null) lastCkpt.unpersist() // merges are driver data
     merges.result()
   }
 

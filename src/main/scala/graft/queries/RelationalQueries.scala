@@ -158,23 +158,32 @@ object RelationalQueries {
     * median's even-count interpolation is the same (a+b)/2 in both.
     */
   val qAggFuncs: QueryDef = QueryDef.sql("q_agg_funcs",
-    """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+    """WITH w AS (SELECT max(doc_id) + 1 AS wd FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n,
       |  CAST(count_if(n_chars > 500) AS BIGINT) AS n_long,
       |  bool_and(n_chars > 0) AS all_pos,
       |  bool_or(n_chars > 3000) AS any_huge,
-      |  CAST(arg_max(doc_id, n_chars * 1048576 + doc_id) AS BIGINT) AS longest_doc,
-      |  CAST(arg_min(doc_id, n_chars * 1048576 + doc_id) AS BIGINT) AS shortest_doc,
+      |  CAST(arg_max(doc_id, n_chars * wd + doc_id) AS BIGINT) AS longest_doc,
+      |  CAST(arg_min(doc_id, n_chars * wd + doc_id) AS BIGINT) AS shortest_doc,
       |  round(CAST(median(n_chars) AS DOUBLE), 6) AS med_chars
-      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
-    Tables.documents(s, dir)
+      |FROM documents, w GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    // arg-extrema ordering key packed at a DATA-DERIVED width (doc_id
+    // fits under max(doc_id)+1 by construction, so the key is unique at
+    // every SF — a fixed 2^20 width silently lost uniqueness past
+    // doc_id 2^20) as a one-row broadcast; if n_chars·wd ever exceeds
+    // BIGINT both engines fail LOUD (Spark ANSI / DuckDB overflow),
+    // never with a wrong winner.
+    val docs = Tables.documents(s, dir)
+    val wd = docs.agg((max(col("doc_id")) + 1).as("wd"))
+    docs.crossJoin(broadcast(wd))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n"),
         count_if(col("n_chars") > 500).cast("long").as("n_long"),
         bool_and(col("n_chars") > 0).as("all_pos"),
         bool_or(col("n_chars") > 3000).as("any_huge"),
-        max_by(col("doc_id"), col("n_chars") * lit(1048576L) + col("doc_id"))
+        max_by(col("doc_id"), col("n_chars") * col("wd") + col("doc_id"))
           .cast("long").as("longest_doc"),
-        min_by(col("doc_id"), col("n_chars") * lit(1048576L) + col("doc_id"))
+        min_by(col("doc_id"), col("n_chars") * col("wd") + col("doc_id"))
           .cast("long").as("shortest_doc"),
         round(median(col("n_chars")).cast("double"), 6).as("med_chars"))
       .orderBy(col("lang"))

@@ -208,7 +208,10 @@ class PlanSpec extends SparkSpec {
       // one-row (min, max) range-bucket bounds broadcast into the scan
       // (ops.PrefixSum's two-level prefix — the q_histogram shape)
       "ml_auc", "ml_pr_curve", "ml_ks_test", "ml_decision_stump",
-      "ml_gini", "q_decile_profile")
+      "ml_gini", "q_decile_profile",
+      // one-row max(doc_id)+1 pack-width scalar broadcast into the scan
+      // (the arg-extrema unique-key width, r11 advice fix)
+      "q_agg_funcs")
     val offenders = graft.queries.Registry.all
       .filterNot(q => intentional.contains(q.name))
       .flatMap { q =>
