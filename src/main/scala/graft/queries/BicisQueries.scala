@@ -1424,6 +1424,45 @@ object BicisQueries {
       .orderBy(col("lang"), col("source"))
   }
 
+  /** Two-predicate census over a Z-ORDER-clustered rewrite of the
+    * documents table — the multi-column layout gate: the Spark side
+    * writes the table clustered by the Morton interleave of bucketized
+    * (n_chars, doc_id) ([[graft.ops.Layout.zorderedParquet]] on the
+    * native ZOrder64 kernel), reads it back, and answers a census
+    * filtered on BOTH columns; the oracle is LAYOUT-INDEPENDENT (the
+    * same census straight off the source), so a green row proves the
+    * clustering rewrite loses nothing while ZOrderSpec measures what it
+    * buys — per-file min/max boxes tight in both dims, so either
+    * predicate (or both) prunes files, where a single-column sort
+    * prunes on one. Bucket bounds are a one-row collect (S10-tiny, the
+    * shard-cap precedent).
+    */
+  val qZorderCensus: QueryDef = QueryDef.sql("q_zorder_census",
+    """SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id
+      |FROM documents
+      |WHERE n_chars BETWEEN 100 AND 300 AND doc_id BETWEEN 100 AND 350
+      |GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+    val src = Tables.documents(s, dir).select(col("doc_id"), col("lang"), col("n_chars"))
+    val zdir = graft.ops.Scratch.dir(s"q_zorder_${Integer.toHexString(dir.hashCode)}")
+    val b = src.agg(min(col("doc_id")).cast("long").as("i0"),
+      max(col("doc_id")).cast("long").as("i1"),
+      min(col("n_chars")).cast("long").as("c0"),
+      max(col("n_chars")).cast("long").as("c1")).head()
+    val zk = graft.ops.Layout.zorder(
+      graft.ops.Layout.rangeBucket(col("n_chars"), b.getLong(2), b.getLong(3), 10),
+      graft.ops.Layout.rangeBucket(col("doc_id"), b.getLong(0), b.getLong(1), 10))
+    graft.ops.Layout.zorderedParquet(src, zdir, zk,
+      numFiles = 8, maxRecordsPerFile = math.max(16L, src.count() / 64L))
+    s.read.parquet(zdir)
+      .where(col("n_chars").between(100, 300) && col("doc_id").between(100, 350))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy(col("lang"))
+  }
+
   /** One-way ANOVA of daily volume across ISO weekdays — the "does
     * day-of-week explain the variance" F-test read beside
     * series_seasonality's variance share: per-weekday moment vectors
@@ -1759,6 +1798,7 @@ object BicisQueries {
     seriesCrossCorr, seriesCusum, seriesAcf, seriesSnaiveEval,
     seriesM4Downsample, seriesTrend, seriesBurstiness, seriesHolt,
     qOrcRoundtrip, seriesStl, seriesMannKendall, seriesPacf, qPresenceBitmask,
-    qJsonRoundtrip, qCsvRoundtrip, seriesBollinger, qAttribution, seriesAnova)
+    qJsonRoundtrip, qCsvRoundtrip, seriesBollinger, qAttribution, seriesAnova,
+    qZorderCensus)
 
 }
