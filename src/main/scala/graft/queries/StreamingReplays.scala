@@ -762,10 +762,64 @@ object StreamingReplays {
     }
   }
 
+  /** UPDATE-MODE late data through the oracle gate — the thirteenth
+    * replay class and the one semantics the append-mode twelve can't
+    * express: a row arriving LATE but within the allowed lateness must
+    * UPDATE an already-emitted aggregate, and the consumer owns the
+    * merge. The replay splits the corpus: every even-id event from the
+    * final 24 h ships as one LATE trailing chunk after three in-order
+    * chunks of everything else, under a 48 h watermark delay — so the
+    * touched hourly windows are first created (and emitted) from their
+    * on-time odd-id rows, then RE-emitted with corrected counts when
+    * the late chunk lands (still above the watermark: maxTs − 48 h <
+    * maxTs − 24 h — inside allowed lateness, nothing is dropped).
+    *
+    * The sink is the production update-mode shape: foreachBatch appends
+    * each micro-batch's changed rows to an update LOG with its batch id
+    * (no memory-sink crutch, no sentinel — update mode emits on change,
+    * not on watermark). The consumer-side merge law is last-writer-wins
+    * per window (`max_by(n, batch_id)`; counts are monotone under late
+    * adds, so the max-merge a CRDT counter would use — the
+    * streaming_bitmask_replay precedent — agrees). Final merged state
+    * is gated against the SAME batch oracle as streaming_tumbling_replay:
+    * late delivery within lateness must cost nothing.
+    */
+  val streamingUpdateLateReplay: QueryDef = QueryDef.sql("streaming_update_late_replay",
+    """SELECT date_trunc('hour', ts) AS ws, count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY ws""".stripMargin) { (s, dir) =>
+    import graft.streaming.Streaming
+    val src = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val maxMs = src.agg(max(col("ts"))).head().getTimestamp(0).getTime
+    val lateCut = new java.sql.Timestamp(maxMs - 24L * 3600000L)
+    val isLate = col("ts") >= lit(lateCut) && col("event_id") % 2 === 0
+    val (watched, base) = stageWithSentinels(src.where(!isLate), 3,
+      Seq(col("ts"), col("event_id")), Seq(src.where(isLate)))
+    try {
+      val stream = s.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watched)
+      val updLog = graft.ops.Scratch.dir(s"upd_late_${replaySeq.incrementAndGet()}")
+      val writeBatch: (org.apache.spark.sql.DataFrame, Long) => Unit = (df, bid) => {
+        df.withColumn("batch_id", lit(bid)).write.mode("append").parquet(updLog)
+        ()
+      }
+      val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val query =
+        try Streaming.tumblingCounts(stream, "ts", "1 hour", "48 hours")
+          .writeStream.outputMode("update").foreachBatch(writeBatch).start()
+        finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+      try query.processAllAvailable() finally query.stop()
+      s.read.parquet(updLog)
+        .groupBy(col("ws")).agg(max_by(col("n"), col("batch_id")).as("n"))
+        .orderBy(col("ws"))
+    } finally rmTree(base)
+  }
+
   val all: Seq[QueryDef] = Seq(streamingA5Replay,
     streamingSessionizeReplay, streamingIntervalJoinReplay,
     streamingOuterJoinReplay, streamingAsofReplay,
     streamingDedupReplay, streamingTumblingReplay, streamingSketchReplay,
     streamingRatelimitReplay, streamingCdcReplay, streamingBitmaskReplay,
-    streamingFunnelReplay)
+    streamingFunnelReplay, streamingUpdateLateReplay)
 }

@@ -26,6 +26,39 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("update mode: a late in-lateness row RE-emits its window; last-writer-wins merge == batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val updLog = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    val logBatch: (org.apache.spark.sql.DataFrame, Long) => Unit = (df, bid) => {
+      df.collect().foreach(r => updLog.synchronized {
+        updLog += ((bid, r.getTimestamp(0).toString, r.getLong(1)))
+      })
+      ()
+    }
+    val query = Streaming.tumblingCounts(ms.toDF(), "ts", "1 hour", "3 hours")
+      .writeStream.outputMode("update").foreachBatch(logBatch).start()
+    try {
+      // batch 0: window 00:00 created and emitted with n=2
+      ms.addData(Ev(1, 1, ts("2024-01-01 00:10:00"), "c"),
+        Ev(2, 1, ts("2024-01-01 00:20:00"), "c"))
+      query.processAllAvailable()
+      // batch 1: advances the watermark to 00:00 (03:00 − 3h)
+      ms.addData(Ev(3, 1, ts("2024-01-01 03:00:00"), "c"))
+      query.processAllAvailable()
+      // batch 2: LATE row into the already-emitted 00:00 window —
+      // above the watermark, so it must UPDATE, not be dropped
+      ms.addData(Ev(4, 1, ts("2024-01-01 00:40:00"), "c"))
+      query.processAllAvailable()
+    } finally query.stop()
+    val w0 = updLog.filter(_._2 == "2024-01-01 00:00:00.0").sortBy(_._1)
+    assert(w0.map(_._3).toSeq === Seq(2L, 3L), s"expected re-emit with corrected count: $updLog")
+    // consumer-side merge law: last writer wins per window == batch counts
+    val merged = updLog.groupBy(_._2).map { case (ws, rs) => ws -> rs.maxBy(_._1)._3 }
+    assert(merged === Map("2024-01-01 00:00:00.0" -> 3L, "2024-01-01 03:00:00.0" -> 1L))
+  }
+
   test("streaming presence masks merge monotonically across batches; updates bit_or to the final state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
