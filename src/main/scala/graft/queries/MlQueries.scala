@@ -2038,6 +2038,71 @@ object MlQueries {
     constraintAuditFrame(Tables.documents(s, dir)).orderBy(col("con"))
   }
 
+  /** Decile GAINS/LIFT table of the n_chars-vs-English scorer — the
+    * scorecard chart beside [[mlAuc]] (threshold-free) and [[mlPrCurve]]
+    * (per-threshold): rank the corpus by score, cut into ntile(10)
+    * deciles, and report each decile's positives plus the cumulative
+    * gain (share of all positives captured through decile d) and lift
+    * (capture rate vs the base rate). Campaign/quality-gate targeting
+    * reads this to pick "score the top k%".
+    *
+    * Scale shape: the row ranking is [[graft.ops.PrefixSum]]'s
+    * two-level bucketed prefix COUNT tie-broken by doc_id (the
+    * q_decile_profile recipe — no global ntile window), the decile is
+    * the closed-form ntile remainder rule over (rank, n), and the
+    * gains cumulative runs over the TEN-row decile rollup. Gain and
+    * lift are exact-integer ratios rendered with one round-6 division
+    * (lift via cum_pos·N / (cum_n·P) — never a ratio of two rounded
+    * doubles).
+    */
+  val mlLiftGains: QueryDef = QueryDef.sql("ml_lift_gains",
+    """WITH d AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS score,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+      |t AS (SELECT y, ntile(10) OVER (ORDER BY score DESC, doc_id) AS decile FROM d),
+      |g AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(y) AS BIGINT) AS n_pos FROM t GROUP BY decile),
+      |c AS (SELECT decile, n, n_pos,
+      |        CAST(sum(n) OVER w AS BIGINT) AS cum_n,
+      |        CAST(sum(n_pos) OVER w AS BIGINT) AS cum_pos,
+      |        CAST(sum(n) OVER () AS BIGINT) AS nn,
+      |        CAST(sum(n_pos) OVER () AS BIGINT) AS pp
+      |      FROM g WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+      |SELECT CAST(decile AS BIGINT) AS decile, n, n_pos, cum_n, cum_pos,
+      |  round(CAST(cum_pos AS DOUBLE) / nullif(pp, 0), 6) AS gain,
+      |  round(CAST(cum_pos * nn AS DOUBLE) / nullif(cum_n * pp, 0), 6) AS lift
+      |FROM c ORDER BY decile""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+      .withColumn("one", lit(1L))
+    val r = graft.ops.PrefixSum.running(d, Nil, "score", Seq("one"),
+      descending = true, withTotals = true, tieBreaks = Seq(col("doc_id").asc))
+    val g = r.withColumn("decile", expr(
+        """CASE WHEN one_cum <= (one_tot % 10) * (one_tot div 10 + 1)
+          |THEN (one_cum - 1) div (one_tot div 10 + 1) + 1
+          |ELSE (one_tot % 10) +
+          |  (one_cum - (one_tot % 10) * (one_tot div 10 + 1) - 1) div (one_tot div 10) + 1
+          |END""".stripMargin))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+    // ten-row decile rollup: the cumulative/totals window is bounded by
+    // construction (PlanSpec window-sweep allowlisted)
+    val w = Window.orderBy(col("decile")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    g.select(col("decile").cast("long").as("decile"), col("n"), col("n_pos"),
+        sum(col("n")).over(w).cast("long").as("cum_n"),
+        sum(col("n_pos")).over(w).cast("long").as("cum_pos"),
+        sum(col("n")).over(tot).cast("long").as("nn"),
+        sum(col("n_pos")).over(tot).cast("long").as("pp"))
+      .select(col("decile"), col("n"), col("n_pos"), col("cum_n"), col("cum_pos"),
+        round(col("cum_pos").cast("double") / nullif(col("pp"), lit(0L)), 6).as("gain"),
+        round((col("cum_pos") * col("nn")).cast("double") /
+          nullif(col("cum_n") * col("pp"), lit(0L)), 6).as("lift"))
+      .orderBy(col("decile"))
+  }
+
   val all: Seq[QueryDef] = Seq(mlConstraintAudit, hourRingFeatures, hourRingFeaturesReturns,
     mlDataset, mlPoissonPredict, mlZscore, mlLagFeatures, mlHashSplit,
     mlSampleStratified, mlPackSequences, mlMixtureSample, mlChunkDocuments,
@@ -2048,5 +2113,5 @@ object MlQueries {
     mlDecisionStump, mlClassWeights, mlAssocRules, mlPrCurve, mlStratifiedEffect,
     mlKsTest, mlTCloseness, mlCvLinreg, mlGini, mlSimpsonDiversity,
     mlMcc, mlCohenKappa, mlCorrMatrix, mlPsi, mlOutlierIqr, mlMad,
-    mlHerfindahl)
+    mlHerfindahl, mlLiftGains)
 }

@@ -208,7 +208,7 @@ class PlanSpec extends SparkSpec {
       // one-row (min, max) range-bucket bounds broadcast into the scan
       // (ops.PrefixSum's two-level prefix — the q_histogram shape)
       "ml_auc", "ml_pr_curve", "ml_ks_test", "ml_decision_stump",
-      "ml_gini", "q_decile_profile",
+      "ml_gini", "q_decile_profile", "ml_lift_gains",
       // one-row max(doc_id)+1 pack-width scalar broadcast into the scan
       // (the arg-extrema unique-key width, r11 advice fix)
       "q_agg_funcs")
@@ -249,7 +249,8 @@ class PlanSpec extends SparkSpec {
       "ml_vocab_coverage" -> "rank window over a TakeOrdered 64k vocab head, never the vocab (judge-verified r10)",
       "ml_bootstrap_ci" -> "percentile rank over the B-row replicate-mean table (B=200 bootstrap resamples)",
       "ml_class_weights" -> "totals over the class rollup (|langs| rows)",
-      "ml_cv_linreg" -> "moment totals over the k-row fold rollup (k=5)")
+      "ml_cv_linreg" -> "moment totals over the k-row fold rollup (k=5)",
+      "ml_lift_gains" -> "gains cumulative over the TEN-row decile rollup (ranking itself is PrefixSum)")
     val offenders = graft.queries.Registry.all.flatMap { q =>
       val win = try {
         q.run(spark, dir).queryExecution.optimizedPlan.collect {
