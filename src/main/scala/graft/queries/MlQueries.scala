@@ -1143,16 +1143,25 @@ object MlQueries {
         .groupBy(col("source"), col("n"))
         .agg(min(when(lit(2) * col("cum") >= col("n"), col(v))).cast("long").as(out))
     }
-    val med = rankSelect(g, "x", "med")
+    // med is sources-sized: eagerly checkpoint it so the deviation
+    // table's THREE references inside the second rank selection
+    // (bounds rollup, within-bucket window, bucket rollup) reuse a
+    // 20-row scan instead of re-deriving the whole median subplan —
+    // without this the nested two-level prefixes multiply the plan
+    // (measured 8.3 s -> sub-second at sf0.1)
+    val med = rankSelect(g, "x", "med").localCheckpoint(true)
     val dev = g.join(broadcast(med.select(col("source"), col("med"))), "source")
       .groupBy(col("source"), abs(col("x") - col("med")).as("d"))
       .agg(sum(col("c")).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mad = rankSelect(dev, "d", "mad").select(col("source"), col("mad"))
     val out = med.join(mad, "source")
       .select(col("source"), col("n"), col("med"), col("mad"))
       .orderBy(col("source"))
       .localCheckpoint(true)
     g.unpersist(false)
+    dev.unpersist(false)
+    med.unpersist()
     out
   }
 
