@@ -2112,6 +2112,142 @@ object MlQueries {
       .orderBy(col("decile"))
   }
 
+  /** Weight-of-evidence / information-value table over corpus-decile
+    * bins of the length scorer against the en target — the scorecard
+    * feature-engineering standard beside [[mlPsi]] (same exact
+    * rank-selected decile boundaries; b_k = min x with 10·cum ≥ k·n):
+    * per bin WoE = ln((pos_b/P)/(neg_b/N)) and its IV contribution
+    * (pos_b/P − neg_b/N)·WoE — IV > 0.3 reads "strong predictor", and
+    * the per-bin WoE is the encode table a logistic scorecard uses.
+    * Exact BIGINT counts; one ln per ROW round-6 (no cross-row double
+    * sum); bins empty on either side report NULL (the audit should see
+    * them — the production recipe adds epsilon).
+    *
+    * Scale shape: the decile cumulative is [[graft.ops.PrefixSum]]'s
+    * two-level prefix; boundaries are a 9-row broadcast range join;
+    * totals a one-row broadcast — rollup cost end to end.
+    */
+  val mlWoeIv: QueryDef = QueryDef.sql("ml_woe_iv",
+    """WITH s AS (SELECT CAST(n_chars AS BIGINT) AS x,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+      |g AS (SELECT x, CAST(sum(y) AS BIGINT) AS p,
+      |        CAST(count(*) - sum(y) AS BIGINT) AS q FROM s GROUP BY x),
+      |rc AS (SELECT x,
+      |         CAST(sum(p + q) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |         CAST(sum(p + q) OVER () AS BIGINT) AS n FROM g),
+      |b AS (SELECT k, min(x) AS bx FROM rc, range(1, 10) t(k)
+      |      WHERE 10 * cum >= k * n GROUP BY k),
+      |gx AS (SELECT DISTINCT x FROM g),
+      |bx AS (SELECT gx.x, CAST(count(b.k) AS BIGINT) AS bin
+      |       FROM gx LEFT JOIN b ON gx.x >= b.bx GROUP BY gx.x),
+      |cnt AS (SELECT bin, CAST(sum(p) AS BIGINT) AS n_pos,
+      |          CAST(sum(q) AS BIGINT) AS n_neg
+      |        FROM g JOIN bx ON bx.x = g.x GROUP BY bin),
+      |t AS (SELECT bin, n_pos, n_neg,
+      |        CAST(sum(n_pos) OVER () AS BIGINT) AS pp,
+      |        CAST(sum(n_neg) OVER () AS BIGINT) AS nn FROM cnt)
+      |SELECT bin, n_pos, n_neg,
+      |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+      |    round(ln((CAST(n_pos AS DOUBLE) / pp) / (CAST(n_neg AS DOUBLE) / nn)), 6)
+      |  END AS woe,
+      |  CASE WHEN n_pos > 0 AND n_neg > 0 THEN
+      |    round((CAST(n_pos AS DOUBLE) / pp - CAST(n_neg AS DOUBLE) / nn) *
+      |          ln((CAST(n_pos AS DOUBLE) / pp) / (CAST(n_neg AS DOUBLE) / nn)), 6)
+      |  END AS iv_part
+      |FROM t ORDER BY bin""".stripMargin) { (s, dir) =>
+    val s0 = Tables.documents(s, dir)
+      .select(col("n_chars").cast("long").as("x"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val g = s0.groupBy(col("x"))
+      .agg(sum(col("y")).as("p"), (count(lit(1)) - sum(col("y"))).as("q"))
+      .withColumn("tot", col("p") + col("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rc = graft.ops.PrefixSum.running(g, Nil, "x", Seq("tot"), withTotals = true)
+      .select(col("x"), col("tot_cum").as("cum"), col("tot_tot").as("n"))
+    val b = rc.crossJoin(broadcast(s.range(1, 10).select(col("id").as("k"))))
+      .where(lit(10) * col("cum") >= col("k") * col("n"))
+      .groupBy(col("k")).agg(min(col("x")).as("bx"))
+    val gx = g.select(col("x")).distinct()
+    val bx = gx.join(broadcast(b), col("x") >= col("bx"), "left")
+      .groupBy(col("x")).agg(count(col("k")).cast("long").as("bin"))
+    val cnt = g.join(bx, "x").groupBy(col("bin"))
+      .agg(sum(col("p")).cast("long").as("n_pos"), sum(col("q")).cast("long").as("n_neg"))
+    val tots = cnt.agg(sum(col("n_pos")).cast("long").as("pp"),
+      sum(col("n_neg")).cast("long").as("nn"))
+    val rp = col("n_pos").cast("double") / col("pp")
+    val rn = col("n_neg").cast("double") / col("nn")
+    val out = cnt.crossJoin(broadcast(tots))
+      .select(col("bin"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0, round(log(rp / rn), 6)).as("woe"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          round((rp - rn) * log(rp / rn), 6)).as("iv_part"))
+      .orderBy(col("bin"))
+      .localCheckpoint(true)
+    g.unpersist(false)
+    out
+  }
+
+  /** Mutual information between lang and the corpus-quartile length
+    * bucket — the model-free feature-selection score beside
+    * [[qChi2Independence]]'s test statistic (chi² asks "dependent at
+    * all?", MI measures HOW MANY NATS the feature carries): per cell
+    * MI_part = (n/N)·ln(n·N/(n_l·n_b)) with EXACT integer products
+    * inside the ln, one transcendental per cell, round-6 — empty cells
+    * contribute exactly zero, so unlike chi² no densing is needed.
+    * Quartile boundaries by the same rank selection as [[mlWoeIv]].
+    */
+  val mlMutualInfo: QueryDef = QueryDef.sql("ml_mutual_info",
+    """WITH s AS (SELECT lang, CAST(n_chars AS BIGINT) AS x FROM documents),
+      |g AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM s GROUP BY x),
+      |rc AS (SELECT x,
+      |         CAST(sum(c) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |         CAST(sum(c) OVER () AS BIGINT) AS n FROM g),
+      |b AS (SELECT k, min(x) AS bx FROM rc, range(1, 4) t(k)
+      |      WHERE 4 * cum >= k * n GROUP BY k),
+      |gx AS (SELECT DISTINCT x FROM g),
+      |bx AS (SELECT gx.x, CAST(count(b.k) AS BIGINT) AS bin
+      |       FROM gx LEFT JOIN b ON gx.x >= b.bx GROUP BY gx.x),
+      |cell AS (SELECT lang, bin, CAST(count(*) AS BIGINT) AS n
+      |         FROM s JOIN bx ON bx.x = s.x GROUP BY 1, 2),
+      |rm AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nl FROM cell GROUP BY lang),
+      |cm AS (SELECT bin, CAST(sum(n) AS BIGINT) AS nb FROM cell GROUP BY bin),
+      |t AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cell)
+      |SELECT cell.lang, cell.bin, cell.n,
+      |  round(CAST(cell.n AS DOUBLE) / t.nn *
+      |        ln(CAST(cell.n * t.nn AS DOUBLE) / (rm.nl * cm.nb)), 6) AS mi_part
+      |FROM cell JOIN rm ON rm.lang = cell.lang JOIN cm ON cm.bin = cell.bin, t
+      |ORDER BY cell.lang, cell.bin""".stripMargin) { (s, dir) =>
+    val s0 = Tables.documents(s, dir)
+      .select(col("lang"), col("n_chars").cast("long").as("x"))
+    val g = s0.groupBy(col("x")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rc = graft.ops.PrefixSum.running(g, Nil, "x", Seq("c"), withTotals = true)
+      .select(col("x"), col("c_cum").as("cum"), col("c_tot").as("n"))
+    val b = rc.crossJoin(broadcast(s.range(1, 4).select(col("id").as("k"))))
+      .where(lit(4) * col("cum") >= col("k") * col("n"))
+      .groupBy(col("k")).agg(min(col("x")).as("bx"))
+    val gx = g.select(col("x")).distinct()
+    val bx = gx.join(broadcast(b), col("x") >= col("bx"), "left")
+      .groupBy(col("x")).agg(count(col("k")).cast("long").as("bin"))
+    val cell = s0.join(broadcast(bx), "x")
+      .groupBy(col("lang"), col("bin")).agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rm = cell.groupBy(col("lang")).agg(sum(col("n")).cast("long").as("nl"))
+    val cm = cell.groupBy(col("bin")).agg(sum(col("n")).cast("long").as("nb"))
+    val tt = cell.agg(sum(col("n")).cast("long").as("nn"))
+    val out = cell.join(broadcast(rm), "lang").join(broadcast(cm), "bin")
+      .crossJoin(broadcast(tt))
+      .select(col("lang"), col("bin"), col("n"),
+        round(col("n").cast("double") / col("nn") *
+          log((col("n") * col("nn")).cast("double") / (col("nl") * col("nb"))), 6)
+          .as("mi_part"))
+      .orderBy(col("lang"), col("bin"))
+      .localCheckpoint(true)
+    g.unpersist(false)
+    cell.unpersist(false)
+    out
+  }
+
   val all: Seq[QueryDef] = Seq(mlConstraintAudit, hourRingFeatures, hourRingFeaturesReturns,
     mlDataset, mlPoissonPredict, mlZscore, mlLagFeatures, mlHashSplit,
     mlSampleStratified, mlPackSequences, mlMixtureSample, mlChunkDocuments,
@@ -2122,5 +2258,5 @@ object MlQueries {
     mlDecisionStump, mlClassWeights, mlAssocRules, mlPrCurve, mlStratifiedEffect,
     mlKsTest, mlTCloseness, mlCvLinreg, mlGini, mlSimpsonDiversity,
     mlMcc, mlCohenKappa, mlCorrMatrix, mlPsi, mlOutlierIqr, mlMad,
-    mlHerfindahl, mlLiftGains)
+    mlHerfindahl, mlLiftGains, mlWoeIv, mlMutualInfo)
 }

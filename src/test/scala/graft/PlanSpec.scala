@@ -204,7 +204,7 @@ class PlanSpec extends SparkSpec {
       "ml_cohen_kappa",
       // 9-row decile-boundary table crossed/range-joined against the
       // DISTINCT-value tables — domain-sized, never row-sized
-      "ml_psi",
+      "ml_psi", "ml_woe_iv", "ml_mutual_info",
       // one-row (min, max) range-bucket bounds broadcast into the scan
       // (ops.PrefixSum's two-level prefix — the q_histogram shape)
       "ml_auc", "ml_pr_curve", "ml_ks_test", "ml_decision_stump",
