@@ -515,6 +515,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), s"no shard-local rank window in:\n$p")
   }
 
+  test("q_zorder_census pushes BOTH box predicates to the clustered read-back scan") {
+    // the point of the z-order layout: each predicate must reach the
+    // parquet scan as a pushed filter so row-group/file min-max stats
+    // (tight boxes under the Morton sort) can skip — a post-scan Filter
+    // alone would read every clustered file
+    // the scan's metadata string truncates at 100 chars, so inspect the
+    // scan node's pushed data filters directly
+    val top = BicisQueries.qZorderCensus.run(spark, dir).queryExecution.executedPlan
+    val inner = top match { // AQE wrapper does not expose the plan as children
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.inputPlan
+      case p => p
+    }
+    val scans = inner.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "no parquet scan in the read-back plan")
+    val pushed = scans.flatMap(_.dataFilters).map(_.sql).mkString("; ")
+    for (frag <- Seq("n_chars >= 100", "n_chars <= 300", "doc_id >= 100", "doc_id <= 350"))
+      assert(pushed.contains(frag), s"predicate '$frag' not pushed; got: $pushed")
+  }
+
   test("hll sketch partial-aggregates map-side (shuffle carries 64-byte registers, not words)") {
     val p = plan(graft.queries.TextQueries.sketchDistinctHll)
     assert(p.contains("partial_hll_distinct"), s"no map-side register combine in:\n$p")
