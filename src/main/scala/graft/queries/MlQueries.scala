@@ -768,9 +768,10 @@ object MlQueries {
 
   /** Exact AUC by the Mann–Whitney rank-sum identity, computed in the
     * DISTRIBUTED shape: group once by score (event-sized exchange),
-    * running negative-count window over the DISTINCT-score table
-    * (value-domain-sized, like series_stl's calendar bound — never
-    * corpus-sized), then AUC = Σ p_s·(2·q_<s + q_s) / (2·nP·nN) — ties
+    * running negative-count prefix over the DISTINCT-score table via
+    * [[graft.ops.PrefixSum]]'s two-level bucketed scan (parallel even
+    * when a continuous score makes that table corpus-sized — see
+    * [[mlAucContinuous]]), then AUC = Σ p_s·(2·q_<s + q_s) / (2·nP·nN) — ties
     * contribute the standard half credit via the ×2-integer form, so
     * every term is an exact BIGINT and the one double division is the
     * output. The n_chars-vs-English pairing is a stand-in scorer; the
@@ -799,6 +800,42 @@ object MlQueries {
       .agg(sum(col("y")).as("p"), (count(lit(1)) - sum(col("y"))).as("q"))
     // two-level bucketed prefix (PrefixSum scaladoc): the oracle keeps
     // the single-window form; qlt = inclusive cum − own row.
+    val c = graft.ops.PrefixSum.running(g, Nil, "score", Seq("q"))
+      .withColumn("qlt", col("q_cum") - col("q"))
+    c.agg(sum(col("p") * (lit(2) * col("qlt") + col("q"))).as("num2"),
+        sum(col("p")).as("np"), sum(col("q")).as("nn"))
+      .select(col("np"), col("nn"),
+        round(col("num2") / (lit(2.0) * col("np") * col("nn")), 6).as("auc"))
+  }
+
+  /** [[mlAuc]] on a CONTINUOUS score — the domain the integer-score
+    * gate can't witness: score = n_chars + doc_id/2^20 is distinct for
+    * EVERY row (and the fraction is an exact binary double, so both
+    * engines group identical keys), making the distinct-score table
+    * corpus-sized — precisely the case where a single-partition
+    * cumulative window collapses to one task and
+    * [[graft.ops.PrefixSum]]'s two-level bucketed prefix is
+    * load-bearing rather than cosmetic. Same Mann–Whitney ×2-integer
+    * identity; per-score positives/negatives are still exact BIGINTs.
+    */
+  val mlAucContinuous: QueryDef = QueryDef.sql("ml_auc_continuous",
+    """WITH s AS (SELECT CAST(n_chars AS DOUBLE) + doc_id / 1048576.0 AS score,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+      |g AS (SELECT score, CAST(sum(y) AS BIGINT) AS p,
+      |        CAST(count(*) - sum(y) AS BIGINT) AS q
+      |      FROM s GROUP BY score),
+      |c AS (SELECT score, p, q,
+      |        coalesce(CAST(sum(q) OVER (ORDER BY score
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS qlt
+      |      FROM g),
+      |m AS (SELECT CAST(sum(p * (2 * qlt + q)) AS BIGINT) AS num2,
+      |        CAST(sum(p) AS BIGINT) AS np, CAST(sum(q) AS BIGINT) AS nn FROM c)
+      |SELECT np, nn, round(num2 / (2.0 * np * nn), 6) AS auc FROM m""".stripMargin) { (s, dir) =>
+    val base = Tables.documents(s, dir)
+      .select((col("n_chars").cast("double") + col("doc_id") / lit(1048576.0)).as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val g = base.groupBy(col("score"))
+      .agg(sum(col("y")).as("p"), (count(lit(1)) - sum(col("y"))).as("q"))
     val c = graft.ops.PrefixSum.running(g, Nil, "score", Seq("q"))
       .withColumn("qlt", col("q_cum") - col("q"))
     c.agg(sum(col("p") * (lit(2) * col("qlt") + col("q"))).as("num2"),
@@ -2258,5 +2295,5 @@ object MlQueries {
     mlDecisionStump, mlClassWeights, mlAssocRules, mlPrCurve, mlStratifiedEffect,
     mlKsTest, mlTCloseness, mlCvLinreg, mlGini, mlSimpsonDiversity,
     mlMcc, mlCohenKappa, mlCorrMatrix, mlPsi, mlOutlierIqr, mlMad,
-    mlHerfindahl, mlLiftGains, mlWoeIv, mlMutualInfo)
+    mlHerfindahl, mlLiftGains, mlWoeIv, mlMutualInfo, mlAucContinuous)
 }

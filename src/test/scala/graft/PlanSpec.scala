@@ -207,7 +207,7 @@ class PlanSpec extends SparkSpec {
       "ml_psi", "ml_woe_iv", "ml_mutual_info",
       // one-row (min, max) range-bucket bounds broadcast into the scan
       // (ops.PrefixSum's two-level prefix — the q_histogram shape)
-      "ml_auc", "ml_pr_curve", "ml_ks_test", "ml_decision_stump",
+      "ml_auc", "ml_auc_continuous", "ml_pr_curve", "ml_ks_test", "ml_decision_stump",
       "ml_gini", "q_decile_profile", "ml_lift_gains",
       // one-row max(doc_id)+1 pack-width scalar broadcast into the scan
       // (the arg-extrema unique-key width, r11 advice fix)
