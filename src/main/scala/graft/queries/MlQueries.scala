@@ -987,6 +987,75 @@ object MlQueries {
       .orderBy(col("bin"))
   }
 
+  /** ISOTONIC calibration of the [[mlCalibration]] reliability bins —
+    * not just the audit but its FIX: the monotone-nondecreasing rate
+    * curve closest to the observed per-bin rates in weighted L2,
+    * computed by the exact MINIMAX identity
+    * iso(i) = max_{j≤i} min_{k≥i} mean(y over bins j..k)
+    * (Ayer et al. 1955 — the closed form of pool-adjacent-violators,
+    * IsotonicSpec pins minimax ≡ PAVA on random bins). Every segment
+    * mean is one double division of exact BIGINT prefix sums, and
+    * max/min are SELECTIONS (not accumulations), so the result is
+    * cross-engine bit-stable with round-6 only at the emit.
+    *
+    * Scale shape: rates live on the 10-bin ROLLUP, so the all-segment
+    * expansion is 10×10 rows and the joins are broadcast inequality
+    * joins over bin-sized tables — never data-sized (the classic
+    * distributed-isotonic trick: pool to bins first; MLlib's isotonic
+    * does the same per-partition-then-merge pooling).
+    */
+  val mlIsotonicCalibration: QueryDef = QueryDef.sql("ml_isotonic_calibration",
+    s"""WITH c AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+       |    s_en, s_en + s_es + s_de + s_fr AS tot
+       |  FROM (SELECT lang, ${TextQueries.langCntsDuck} FROM documents)),
+       |f AS (SELECT y, CAST(least(10 * s_en // tot, 9) AS BIGINT) AS bin
+       |      FROM c WHERE tot > 0),
+       |b AS (SELECT bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy
+       |      FROM f GROUP BY bin),
+       |pre AS (SELECT bin, n, sy,
+       |          CAST(sum(n) OVER w AS BIGINT) AS cn, CAST(sum(sy) OVER w AS BIGINT) AS cp
+       |        FROM b WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |seg AS (SELECT j.bin AS j, k.bin AS k,
+       |          CAST(k.cp - (j.cp - j.sy) AS DOUBLE) / (k.cn - (j.cn - j.n)) AS m
+       |        FROM pre j JOIN pre k ON k.bin >= j.bin),
+       |sub AS (SELECT seg.j, b.bin AS i, min(seg.m) AS mn
+       |        FROM seg JOIN b ON seg.j <= b.bin AND b.bin <= seg.k GROUP BY 1, 2),
+       |iso AS (SELECT i, max(mn) AS v FROM sub GROUP BY i)
+       |SELECT b.bin, b.n, b.sy, round(CAST(b.sy AS DOUBLE) / b.n, 6) AS rate,
+       |  round(iso.v, 6) AS iso
+       |FROM b JOIN iso ON iso.i = b.bin ORDER BY b.bin""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val c = Tables.documents(s, dir)
+      .select(Seq(col("lang")) ++ TextQueries.langCntCols: _*)
+      .select(when(col("lang") === "en", 1L).otherwise(0L).as("y"), col("s_en"),
+        (col("s_en") + col("s_es") + col("s_de") + col("s_fr")).as("tot"))
+    val f = c.where(col("tot") > 0)
+      .select(col("y"), least(expr("(10 * s_en) div tot"), lit(9L)).cast("long").as("bin"))
+    val b = f.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("sy"))
+      .localCheckpoint(true) // 10 rows; referenced by 3 joins below
+    val w10 = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pre = b.select(col("bin"), col("n"), col("sy"),
+      sum(col("n")).over(w10).cast("long").as("cn"),
+      sum(col("sy")).over(w10).cast("long").as("cp"))
+    val js = pre.select(col("bin").as("j"),
+      (col("cp") - col("sy")).as("cpx"), (col("cn") - col("n")).as("cnx"))
+    val ks = pre.select(col("bin").as("k"), col("cp").as("cpk"), col("cn").as("cnk"))
+    val seg = js.join(broadcast(ks), col("k") >= col("j"))
+      .select(col("j"), col("k"),
+        ((col("cpk") - col("cpx")).cast("double") / (col("cnk") - col("cnx"))).as("m"))
+    val sub = seg.join(broadcast(b.select(col("bin").as("i"))),
+        col("j") <= col("i") && col("i") <= col("k"))
+      .groupBy(col("j"), col("i")).agg(min(col("m")).as("mn"))
+    val iso = sub.groupBy(col("i")).agg(max(col("mn")).as("v"))
+    b.join(iso, b("bin") === iso("i"))
+      .select(col("bin"), col("n"), col("sy"),
+        round(col("sy").cast("double") / col("n"), 6).as("rate"),
+        round(col("v"), 6).as("iso"))
+      .orderBy(col("bin"))
+  }
+
   /** Poisson bootstrap CI for mean document length (B = 20 replicates):
     * each replicate draws every row's multiplicity from Poisson(1) via
     * the portable hash — w = inverse-CDF of h/2^60, with the cumulative
@@ -2295,5 +2364,5 @@ object MlQueries {
     mlDecisionStump, mlClassWeights, mlAssocRules, mlPrCurve, mlStratifiedEffect,
     mlKsTest, mlTCloseness, mlCvLinreg, mlGini, mlSimpsonDiversity,
     mlMcc, mlCohenKappa, mlCorrMatrix, mlPsi, mlOutlierIqr, mlMad,
-    mlHerfindahl, mlLiftGains, mlWoeIv, mlMutualInfo, mlAucContinuous)
+    mlHerfindahl, mlLiftGains, mlWoeIv, mlMutualInfo, mlAucContinuous, mlIsotonicCalibration)
 }

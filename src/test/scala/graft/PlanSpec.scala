@@ -205,6 +205,9 @@ class PlanSpec extends SparkSpec {
       // 9-row decile-boundary table crossed/range-joined against the
       // DISTINCT-value tables — domain-sized, never row-sized
       "ml_psi", "ml_woe_iv", "ml_mutual_info",
+      // bin-sized (10-row) inequality joins: the all-segment minimax
+      // expansion of isotonic calibration over the decile rollup
+      "ml_isotonic_calibration",
       // one-row (min, max) range-bucket bounds broadcast into the scan
       // (ops.PrefixSum's two-level prefix — the q_histogram shape)
       "ml_auc", "ml_auc_continuous", "ml_pr_curve", "ml_ks_test", "ml_decision_stump",
@@ -250,7 +253,8 @@ class PlanSpec extends SparkSpec {
       "ml_bootstrap_ci" -> "percentile rank over the B-row replicate-mean table (B=200 bootstrap resamples)",
       "ml_class_weights" -> "totals over the class rollup (|langs| rows)",
       "ml_cv_linreg" -> "moment totals over the k-row fold rollup (k=5)",
-      "ml_lift_gains" -> "gains cumulative over the TEN-row decile rollup (ranking itself is PrefixSum)")
+      "ml_lift_gains" -> "gains cumulative over the TEN-row decile rollup (ranking itself is PrefixSum)",
+      "ml_isotonic_calibration" -> "prefix sums over the TEN-row reliability-bin rollup (checkpointed)")
     val offenders = graft.queries.Registry.all.flatMap { q =>
       val win = try {
         q.run(spark, dir).queryExecution.optimizedPlan.collect {
