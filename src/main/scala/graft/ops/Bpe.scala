@@ -111,6 +111,11 @@ object Bpe {
     */
   private val defaultLocalVocabLimit = 4000000L
 
+  /** Companion byte guard for the driver-local dispatch: aggregate raw
+    * `enc` bytes (sum of string lengths) must also fit — see fitVocab.
+    */
+  private val defaultLocalVocabBytes = 512L * 1024 * 1024
+
   /** The merge loop alone, over an already-built (word, cnt, enc)
     * vocabulary frame — split out so ScaleProbe can time the
     * corpus-sized rollup and the vocabulary-sized loop separately.
@@ -126,10 +131,21 @@ object Bpe {
   def fitVocab(vocab: DataFrame, n: Int): Seq[Merge] = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val v0 = vocab.persist(mem)
-    val nWords = v0.count() // eager: the corpus rollup runs once
+    // eager: the corpus rollup runs once. Guard on BOTH row count and
+    // aggregate encoded bytes (r11 advice): 4M LONG words can be
+    // multiple GB of strings + tokenized arrays on the driver, so the
+    // row guard alone under-protects; the byte guard (default 512 MB of
+    // raw enc, conf spark.graft.bpe.localVocabBytes — the in-heap
+    // footprint is a few× that after split + indexes) dispatches such a
+    // vocabulary to the distributed loop instead.
+    val stats = v0.agg(count(lit(1)), coalesce(sum(length(col("enc"))), lit(0L)))
+      .collect()(0)
+    val (nWords, encBytes) = (stats.getLong(0), stats.getLong(1))
     val limit = v0.sparkSession.conf
       .get("spark.graft.bpe.localVocabLimit", defaultLocalVocabLimit.toString).toLong
-    if (nWords <= limit) {
+    val byteLimit = v0.sparkSession.conf
+      .get("spark.graft.bpe.localVocabBytes", defaultLocalVocabBytes.toString).toLong
+    if (nWords <= limit && encBytes <= byteLimit) {
       // ONE vocabulary-sized collect total (not per merge) — the
       // S10-sanctioned trainer shape: ≤ guard rows of (count, tokens).
       val rows = v0.select(col("cnt"), col("enc")).collect().map { r =>

@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
   *
   *   1. range-bucket the order key (monotone bucketing, so buckets are
   *      contiguous key ranges) — one tiny min/max rollup broadcast back;
+  *      with `balanced=true` the boundaries are key QUANTILES instead
+  *      (one percentile_approx rollup), which upgrades best-effort
+  *      balance to a mass guarantee: every bucket holds ≈1/buckets of
+  *      the rows (±sketch error) no matter how outliers stretch the
+  *      range — the continuous-score callers' setting;
   *   2. run the cumulative WITHIN each bucket
   *      (`Window.partitionBy(bucket)` — parallel, state bounded by the
   *      bucket); and
@@ -50,9 +55,11 @@ object PrefixSum {
     *
     * Requirements: (`order`, `tieBreaks`) is unique within each
     * partition group (the callers run over DISTINCT-value rollups or
-    * supply a key-completing tie-break) and `order` is non-null;
-    * measures are integral (sums are cast to BIGINT). Exclusive prefixes are the caller's one-liner
-    * (`m_cum - m`).
+    * supply a key-completing tie-break) and `order` is non-null —
+    * ENFORCED: a null key raises (raise_error inside the bucket
+    * expression) rather than silently dropping the row in the offset
+    * join; measures are integral (sums are cast to BIGINT). Exclusive
+    * prefixes are the caller's one-liner (`m_cum - m`).
     *
     * Scale shape: one hash exchange on (partitionCols, bucket) feeds
     * the within-bucket windows; the bucket rollup is map-side combined
@@ -70,28 +77,61 @@ object PrefixSum {
       descending: Boolean = false,
       withTotals: Boolean = false,
       buckets: Int = 64,
-      tieBreaks: Seq[Column] = Nil): DataFrame = {
+      tieBreaks: Seq[Column] = Nil,
+      balanced: Boolean = false): DataFrame = {
     require(measures.nonEmpty, "need at least one measure")
     val pc = partitionCols.map(col)
-    val mnC = "__ps_mn"
-    val mxC = "__ps_mx"
-    val boundsAgg = Seq(min(col(order)).cast("double").as(mnC),
-      max(col(order)).cast("double").as(mxC))
-    val bounds =
-      if (pc.isEmpty) g.agg(boundsAgg.head, boundsAgg.tail: _*)
-      else g.groupBy(pc: _*).agg(boundsAgg.head, boundsAgg.tail: _*)
-    val joined =
-      if (pc.isEmpty) g.crossJoin(broadcast(bounds))
-      else g.join(broadcast(bounds), partitionCols)
-    // Monotone range bucketing: double division/multiplication by a
-    // positive constant rounds monotonically, so equal keys land in one
-    // bucket and bucket ranges are contiguous — balance is best-effort
-    // (uniform over the key RANGE), correctness never depends on it.
     val x = col(order).cast("double")
-    val bkt = when(col(mxC) === col(mnC), lit(0)).otherwise(
-      least(lit(buckets - 1),
-        floor((x - col(mnC)) / (col(mxC) - col(mnC)) * buckets).cast("int")))
-    val bucketed = joined.withColumn(BucketCol, bkt).drop(mnC, mxC)
+    // NULL order keys would bucket to NULL and the offset equi-join
+    // would silently DROP the rows (r11 advice) — fail loud instead.
+    // raise_error in the when-branch keeps the check inside the used
+    // bucket expression, so column pruning can never eliminate it.
+    def nullGuarded(b: Column): Column = when(x.isNull, raise_error(lit(
+      s"PrefixSum.running: null order key '$order' — pre-filter or coalesce before the scan"))
+      .cast("int")).otherwise(b)
+    val bucketed = if (balanced) {
+      // MASS-balanced bucketing (the r11 hardening): boundaries are the
+      // 1/buckets..(buckets-1)/buckets quantiles of the key (one
+      // sketch rollup broadcast back), so an outlier-stretched domain —
+      // 99% of rows inside 1/64 of the RANGE — still spreads across
+      // ~buckets buckets. bucket = #boundaries <= x is monotone in x,
+      // so equal keys share a bucket and bucket ranges stay contiguous;
+      // correctness is invariant to the boundary choice (PrefixSumSpec
+      // pins balanced == uniform == global on a pathological fixture).
+      val bndC = "__ps_bnds"
+      val pcts = (1 until buckets).map(i => i.toDouble / buckets)
+      val bAgg = percentile_approx(x, lit(pcts.toArray),
+        lit(10000)).as(bndC)
+      val bnds =
+        if (pc.isEmpty) g.agg(bAgg)
+        else g.groupBy(pc: _*).agg(bAgg)
+      val joined =
+        if (pc.isEmpty) g.crossJoin(broadcast(bnds))
+        else g.join(broadcast(bnds), partitionCols)
+      val bkt = nullGuarded(aggregate(col(bndC), lit(0),
+        (acc, bd) => acc + when(x >= bd, 1).otherwise(0)))
+      joined.withColumn(BucketCol, bkt).drop(bndC)
+    } else {
+      val mnC = "__ps_mn"
+      val mxC = "__ps_mx"
+      val boundsAgg = Seq(min(col(order)).cast("double").as(mnC),
+        max(col(order)).cast("double").as(mxC))
+      val bounds =
+        if (pc.isEmpty) g.agg(boundsAgg.head, boundsAgg.tail: _*)
+        else g.groupBy(pc: _*).agg(boundsAgg.head, boundsAgg.tail: _*)
+      val joined =
+        if (pc.isEmpty) g.crossJoin(broadcast(bounds))
+        else g.join(broadcast(bounds), partitionCols)
+      // Monotone range bucketing: double division/multiplication by a
+      // positive constant rounds monotonically, so equal keys land in one
+      // bucket and bucket ranges are contiguous — balance is best-effort
+      // (uniform over the key RANGE; pass balanced=true for a mass
+      // guarantee), correctness never depends on it.
+      val bkt = nullGuarded(when(col(mxC) === col(mnC), lit(0)).otherwise(
+        least(lit(buckets - 1),
+          floor((x - col(mnC)) / (col(mxC) - col(mnC)) * buckets).cast("int"))))
+      joined.withColumn(BucketCol, bkt).drop(mnC, mxC)
+    }
 
     // Bucketing keys on `order` alone, so equal order values share a
     // bucket and `tieBreaks` (sort-order columns making the composite

@@ -809,7 +809,7 @@ object MlQueries {
   }
 
   /** [[mlAuc]] on a CONTINUOUS score — the domain the integer-score
-    * gate can't witness: score = n_chars + doc_id/2^20 is distinct for
+    * gate can't witness: score = n_chars + doc_id/2^b is distinct for
     * EVERY row (and the fraction is an exact binary double, so both
     * engines group identical keys), making the distinct-score table
     * corpus-sized — precisely the case where a single-partition
@@ -817,10 +817,18 @@ object MlQueries {
     * [[graft.ops.PrefixSum]]'s two-level bucketed prefix is
     * load-bearing rather than cosmetic. Same Mann–Whitney ×2-integer
     * identity; per-score positives/negatives are still exact BIGINTs.
+    *
+    * The fraction width 2^b is DATA-DERIVED (the q_agg_funcs rule): the
+    * smallest power of two > max(doc_id), computed by the exact integer
+    * path `1 << length(bin(max_id))` in both engines (no float log2 at
+    * a power-of-two boundary), shipped as a one-row broadcast. doc_id <
+    * 2^b so the fraction is unique and < 1 at EVERY scale — a fixed
+    * 2^20 silently collided past doc_id 2^20.
     */
   val mlAucContinuous: QueryDef = QueryDef.sql("ml_auc_continuous",
-    """WITH s AS (SELECT CAST(n_chars AS DOUBLE) + doc_id / 1048576.0 AS score,
-      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+    """WITH w AS (SELECT CAST(1 AS BIGINT) << length(bin(max(doc_id))) AS pw FROM documents),
+      |s AS (SELECT CAST(n_chars AS DOUBLE) + doc_id / CAST(pw AS DOUBLE) AS score,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents, w),
       |g AS (SELECT score, CAST(sum(y) AS BIGINT) AS p,
       |        CAST(count(*) - sum(y) AS BIGINT) AS q
       |      FROM s GROUP BY score),
@@ -831,12 +839,19 @@ object MlQueries {
       |m AS (SELECT CAST(sum(p * (2 * qlt + q)) AS BIGINT) AS num2,
       |        CAST(sum(p) AS BIGINT) AS np, CAST(sum(q) AS BIGINT) AS nn FROM c)
       |SELECT np, nn, round(num2 / (2.0 * np * nn), 6) AS auc FROM m""".stripMargin) { (s, dir) =>
-    val base = Tables.documents(s, dir)
-      .select((col("n_chars").cast("double") + col("doc_id") / lit(1048576.0)).as("score"),
+    val docs = Tables.documents(s, dir)
+    val w = docs.agg(expr("shiftleft(CAST(1 AS BIGINT), length(bin(max(doc_id))))").as("pw"))
+    val base = docs.crossJoin(broadcast(w))
+      .select((col("n_chars").cast("double")
+          + col("doc_id") / col("pw").cast("double")).as("score"),
         when(col("lang") === "en", 1L).otherwise(0L).as("y"))
     val g = base.groupBy(col("score"))
       .agg(sum(col("y")).as("p"), (count(lit(1)) - sum(col("y"))).as("q"))
-    val c = graft.ops.PrefixSum.running(g, Nil, "score", Seq("q"))
+    // balanced buckets: a continuous score domain is exactly where
+    // outliers can stretch the range and collapse uniform-range buckets
+    // to one task (r11 hardening) — quantile boundaries guarantee mass
+    // balance; the cumulative itself is boundary-invariant.
+    val c = graft.ops.PrefixSum.running(g, Nil, "score", Seq("q"), balanced = true)
       .withColumn("qlt", col("q_cum") - col("q"))
     c.agg(sum(col("p") * (lit(2) * col("qlt") + col("q"))).as("num2"),
         sum(col("p")).as("np"), sum(col("q")).as("nn"))

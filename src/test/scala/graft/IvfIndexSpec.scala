@@ -60,12 +60,19 @@ class IvfIndexSpec extends SparkSpec {
     val batch = planted(50, 200L)
     val root = Scratch.dir("spec_ivf_files")
     IvfIndex.build(base, k = 4, iters = 2, root)
+    // identity = (path, CONTENT hash): mtime granularity is 1 s on some
+    // filesystems, so a same-length rewrite within one tick would have
+    // slipped past an (mtime, length) check (r11 advice)
     def files = {
       val fs = new java.io.File(s"$root/assignments")
       def walk(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      val md = java.security.MessageDigest.getInstance("SHA-256")
       walk(fs).filter(_.getName.endsWith(".parquet"))
-        .map(f => (f.getAbsolutePath, f.lastModified, f.length)).toSet
+        .map { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          (f.getAbsolutePath, md.digest(bytes).map("%02x".format(_)).mkString)
+        }.toSet
     }
     val before = files
     IvfIndex.append(spark, batch, root)

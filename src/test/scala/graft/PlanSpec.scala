@@ -255,18 +255,25 @@ class PlanSpec extends SparkSpec {
       "ml_cv_linreg" -> "moment totals over the k-row fold rollup (k=5)",
       "ml_lift_gains" -> "gains cumulative over the TEN-row decile rollup (ranking itself is PrefixSum)",
       "ml_isotonic_calibration" -> "prefix sums over the TEN-row reliability-bin rollup (checkpointed)")
+    // A query that THROWS at plan time is an offender too (r11 advice):
+    // a swallowed exception would let a broken query silently escape
+    // the sweep and read as compliant.
     val offenders = graft.queries.Registry.all.flatMap { q =>
       val win = try {
-        q.run(spark, dir).queryExecution.optimizedPlan.collect {
+        Right(q.run(spark, dir).queryExecution.optimizedPlan.collect {
           case w: org.apache.spark.sql.catalyst.plans.logical.Window
               if w.partitionSpec.isEmpty => w
-        }
-      } catch { case _: Throwable => Nil }
-      val bad = win.filter(w => w.orderSpec.flatMap(_.references.toSeq)
-        .map(_.name).distinct != Seq(graft.ops.PrefixSum.BucketCol))
-      if (bad.nonEmpty && !bounded.contains(q.name))
-        Some(q.name -> bad.head.simpleString(120))
-      else None
+        })
+      } catch { case e: Throwable => Left(e) }
+      win match {
+        case Left(e) => Some(q.name -> s"SWEEP RUN FAILED: ${e.toString.take(200)}")
+        case Right(ws) =>
+          val bad = ws.filter(w => w.orderSpec.flatMap(_.references.toSeq)
+            .map(_.name).distinct != Seq(graft.ops.PrefixSum.BucketCol))
+          if (bad.nonEmpty && !bounded.contains(q.name))
+            Some(q.name -> bad.head.simpleString(120))
+          else None
+      }
     }
     assert(offenders.isEmpty,
       s"unpartitioned non-bucket windows:\n${offenders.map(o => s"  ${o._1}: ${o._2}").mkString("\n")}")
