@@ -169,6 +169,83 @@ object RecallProbe {
       graft.ml.KMeans.seedSmallest(vv, 256L), iters = 2)
     ivfLeg("ivf_kmeans256", kmCents, Seq(2, 8, 26, 51))
 
+    // ---- PQ codebook leg (r11 verdict): recall@5 of the ADC ranking
+    // against exact squared-L2 top-5, planted mode, at EQUAL code
+    // budget (M=8 subspaces × 16 entries) — (a) the training-free
+    // codebook (sub-slices of the 16 smallest candidate ids, the
+    // embed_knn_pq fixture), (b) the same book refined by a 2-round
+    // grouped Lloyd fit over all candidate sub-vectors
+    // (KMeans.fitGrouped — the FAISS construction). The trained book
+    // should recover strictly more of the exact top-5: its cells track
+    // the data's per-subspace density instead of 16 arbitrary rows. ----
+    def pqLeg(mode: String): Unit = {
+      val (mSub, dsub) = (8, 8)
+      val bases = vectors.where(col("vec_id") % 101 === 0)
+      val q = bases.select(col("vec_id").as("qid"), col("v").as("qv"))
+      val copies = bases
+        .select(col("vec_id"), explode(sequence(lit(0), lit(4))).as("k"), col("v"))
+        .select((col("vec_id") * 8 + col("k") + lit(1000000000L)).as("nid"), expr(
+          "transform(v, (x, i) -> x * (1.0D + (pmod(hash(vec_id, k, i), 2001) - 1000) / 20000.0D))")
+          .as("cv"))
+      val real = vectors.where(col("vec_id") % 101 =!= 0)
+        .select(col("vec_id").as("nid"), col("v").as("cv"))
+      // planted: near-dup targets exist by construction (the easy,
+      // must-not-fail case); corpus: exact top-5 among the near-random
+      // real vectors — the regime where QUANTIZATION error decides the
+      // ranking and a trained book should recover more than the free one
+      val cands = (if (mode == "planted") real.unionByName(copies) else real).cache()
+      val nq = math.max(1L, q.count())
+      def sq(a: String, b: String) = round(greatest(
+        Similarity.dot(a, a) + Similarity.dot(b, b) -
+          lit(2) * Similarity.dot(a, b), lit(0.0)), 6)
+      val w5 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("d"), col("nid"))
+      val exact = cands.crossJoin(broadcast(q))
+        .withColumn("d", sq("qv", "cv"))
+        .withColumn("rnk", row_number().over(w5)).where(col("rnk") <= 5)
+        .select(col("qid"), col("nid")).cache()
+      val cSub = graft.queries.EmbedQueries.pqSubSlices(
+        cands.select(col("nid").as("vec_id"), col("cv").as("v")), "nid", mSub, dsub)
+        .select(col("nid"), col("sub"), col("svec").as("v"))
+      // 16 entries per subspace: candidate ids 1..16 (0 is a base and
+      // excluded; 101 > 16 so none of 1..16 is) — the training-free
+      // book, and the trained tier's seeds (equal code budget)
+      val seeds = cSub.where(col("nid").between(1, 16))
+        .select(col("sub"), col("nid").as("cl"), col("v").as("cv"))
+      def adcRecall(tier: String, book: org.apache.spark.sql.DataFrame): Unit = {
+        val cbb = broadcast(book.select(col("sub"), col("cl").as("code"),
+          col("cv").as("cvec")))
+        val enc = graft.ml.KMeans.assignGrouped(cSub, book, "nid", "sub")
+          .select(col("nid"), col("sub"), col("cl").as("code"))
+        val adc = graft.queries.EmbedQueries.pqSubSlices(
+          q.select(col("qid").as("vec_id"), col("qv").as("v")), "qid", mSub, dsub)
+          .join(cbb, "sub")
+          .select(col("qid"), col("sub"), col("code"),
+            sq("svec", "cvec").cast("decimal(18,6)").as("qd"))
+        val approx = enc.join(broadcast(adc), Seq("sub", "code"))
+          .groupBy(col("qid"), col("nid")).agg(sum(col("qd")).as("sd"))
+          .withColumn("rnk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("qid")).orderBy(col("sd"), col("nid"))))
+          .where(col("rnk") <= 5)
+          .select(col("qid").as("lqid"), col("nid").as("lnid"))
+        val r = exact.join(approx,
+            exact("qid") === approx("lqid") && exact("nid") === approx("lnid"), "left")
+          .groupBy(col("qid"))
+          .agg((count(col("lnid")) / 5.0).as("recall"))
+          .agg(coalesce(avg(col("recall")), lit(0.0))).head().getDouble(0)
+        println(s"""{"mode":"$mode","tier":"$tier","m":$mSub,"codes":16,""" +
+          s""""n_queries":$nq,"mean_recall":${math.rint(r * 1e6) / 1e6}}""")
+      }
+      adcRecall("pq_free", seeds)
+      val (_, trained) = graft.ml.KMeans.fitGrouped(
+        cSub, seeds, iters = 2, idCol = "nid", grpCol = "sub")
+      adcRecall("pq_trained", trained)
+      exact.unpersist(); cands.unpersist(): Unit
+    }
+    pqLeg("planted")
+    pqLeg("corpus")
+
     vectors.unpersist()
     spark.stop()
   }

@@ -128,6 +128,63 @@ object KMeans {
     (assigned, cents)
   }
 
+  /** GROUPED nearest-centroid assignment: vectors `(idCol, grpCol, v)`
+    * against a `(grpCol, cl, cv)` centroid frame, argmin WITHIN each
+    * group — the product-quantization trainer's shape, where grp is the
+    * subspace and every subspace's codebook trains in the SAME pass
+    * (one broadcast equi-join + one partial-agg argmin for all M
+    * subspaces, vs M sequential fits). The join on grp is a broadcast
+    * HASH join (equi), so the candidate stream is per-group k×rows, and
+    * the determinism contract is [[assign]]'s verbatim: unrounded
+    * fold-stable d2, lexicographic `min(struct)` lower-cl ties.
+    */
+  def assignGrouped(v: DataFrame, cents: DataFrame,
+                    idCol: String = "vec_id", grpCol: String = "grp"): DataFrame = {
+    val c = broadcast(cents.select(col(grpCol), col("cl").as("__cl"), col("cv"),
+      Similarity.dot("cv", "cv").as("__c2")))
+    val scored = v.join(c, Seq(grpCol))
+      .withColumn("__d2", Similarity.dot("v", "v") + col("__c2")
+        - lit(2.0) * Similarity.dot("v", "cv"))
+    scored.groupBy(col(idCol), col(grpCol))
+      .agg(min(struct(col("__d2"), col("__cl"))).as("__m"), first(col("v")).as("v"))
+      .select(col(idCol), col(grpCol), col("v"),
+        col("__m.__cl").as("cl"), col("__m.__d2").as("d2"))
+  }
+
+  /** [[update]] with the group key carried: per-(grp, cell, dim)
+    * round-6 means, re-assembled per (grp, cell).
+    */
+  def updateGrouped(assigned: DataFrame, grpCol: String = "grp"): DataFrame =
+    assigned
+      .select(col(grpCol), col("cl"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col(grpCol), col("cl"), col("i")).agg(round(avg(col("x")), 6).as("x"))
+      .groupBy(col(grpCol), col("cl"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, x))), p -> p.x)").as("cv"))
+
+  /** Grouped Lloyd — [[fit]] over an extra group column: M independent
+    * quantizers (one per group value) trained simultaneously, M·k×d
+    * centroid rows per round riding one broadcast. Returns (final
+    * assignment ≡ the PQ ENCODING when grp = subspace, final centroid
+    * table ≡ the codebooks).
+    */
+  def fitGrouped(v: DataFrame, seeds: DataFrame, iters: Int,
+                 idCol: String = "vec_id", grpCol: String = "grp"): (DataFrame, DataFrame) = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    var cents = seeds
+    var assigned: DataFrame = null
+    var prevCkpt: DataFrame = null
+    for (t <- 1 to iters) {
+      assigned = assignGrouped(v, cents, idCol, grpCol)
+      if (t < iters) {
+        cents = updateGrouped(assigned, grpCol).localCheckpoint(true)
+        // free the superseded round's blocks (see fitSpherical)
+        if (prevCkpt != null) prevCkpt.unpersist()
+        prevCkpt = cents
+      }
+    }
+    (assigned, cents)
+  }
+
   /** `iters` Lloyd rounds from `seeds`: assign → (update → assign)^
     * (iters−1). Returns the FINAL assigned frame (cl, d2 relative to
     * the last centroid table) and that centroid table itself (for

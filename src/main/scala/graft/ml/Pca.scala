@@ -78,6 +78,71 @@ object Pca {
     Pca1(Array.tabulate(dim)(d => mu(d + 1)), rv, r6(rl))
   }
 
+  /** Top-m components via DEFLATION (Hotelling 1933's sequential
+    * extraction): after each power-iteration convergence the captured
+    * rank-1 subspace is subtracted (C ← C − λ·w wᵀ, plain left-assoc
+    * arithmetic — both engines compute `c - (λ·wᵢ)·wⱼ` on bit-identical
+    * inputs, so no extra rounding is needed) and the next component is
+    * extracted from the residual matrix. Everything stays driver-sized:
+    * the corpus work is still the ONE Gram reduction [[fit1]] does; the
+    * m×(d×d) deflation chain is 64×64 doubles. Components come out
+    * orthogonal up to the round-6 contract (WhitenSpec pins planted
+    * two-axis recovery and whitened decorrelation).
+    */
+  final case class PcaM(mu: Array[Double], w: Array[Array[Double]], lam: Array[Double])
+
+  def fitM(vframe: DataFrame, dim: Int = 64, iters: Int = 8, m: Int = 3): PcaM = {
+    require(m >= 1 && m <= dim, s"m out of range: $m")
+    val v = vframe.select(col("v"))
+    val mu = v.select(posexplode(col("v")).as(Seq("i0", "x")))
+      .groupBy((col("i0") + 1).as("i")).agg(round(avg(col("x")), 6).as("m"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1))).toMap
+    val axy = v
+      .select(col("v"), posexplode(col("v")).as(Seq("i0", "x")))
+      .select(col("i0"), col("x"),
+        posexplode(expr(s"slice(v, i0 + 1, $dim - i0)")).as(Seq("j0", "y")))
+      .select((col("i0") + 1).as("i"), (col("i0") + 1 + col("j0")).as("j"),
+        (col("x") * col("y")).as("p"))
+      .groupBy(col("i"), col("j")).agg(round(avg(col("p")), 6).as("axy"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2))).toMap
+    val cmat = Array.tabulate(dim, dim) { (a, b) =>
+      val (i, j) = (math.min(a, b) + 1, math.max(a, b) + 1)
+      axy((i, j)) - mu(i) * mu(j)
+    }
+    val ws = Array.ofDim[Array[Double]](m)
+    val ls = Array.ofDim[Double](m)
+    for (c <- 0 until m) {
+      var rv = Array.fill(dim)(0.125)
+      for (_ <- 1 to iters) {
+        val y = Array.tabulate(dim) { i =>
+          var acc = 0.0; var j = 0
+          while (j < dim) { acc += cmat(i)(j) * rv(j); j += 1 }
+          r6(acc)
+        }
+        var nn = 0.0; y.foreach(x => nn += x * x)
+        val nv = math.sqrt(nn)
+        rv = y.map(x => r6(x / nv))
+      }
+      val cy = Array.tabulate(dim) { i =>
+        var acc = 0.0; var j = 0
+        while (j < dim) { acc += cmat(i)(j) * rv(j); j += 1 }
+        r6(acc)
+      }
+      var rl = 0.0; var i = 0
+      while (i < dim) { rl += cy(i) * rv(i); i += 1 }
+      ws(c) = rv
+      ls(c) = r6(rl)
+      // deflate: C ← C − λ·w wᵀ (left-assoc (λ·wᵢ)·wⱼ, oracle-mirrored)
+      var a = 0
+      while (a < dim) {
+        var b = 0
+        while (b < dim) { cmat(a)(b) = cmat(a)(b) - ls(c) * rv(a) * rv(b); b += 1 }
+        a += 1
+      }
+    }
+    PcaM(Array.tabulate(dim)(d => mu(d + 1)), ws, ls)
+  }
+
   /** Input-deterministic memo keyed by (dir, dim, iters) — the corpus
     * snapshot under `dir` is immutable within a run (the Bpe.fitMemo
     * assumption).
@@ -88,4 +153,12 @@ object Pca {
   def fitMemo(s: SparkSession, dir: String, dim: Int = 64, iters: Int = 8): Pca1 =
     cache.computeIfAbsent((dir, dim, iters), _ =>
       fit1(graft.ops.Similarity.vectors(graft.core.Tables.embeddings(s, dir)), dim, iters))
+
+  private val cacheM =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int), PcaM]()
+
+  def fitMMemo(s: SparkSession, dir: String, dim: Int = 64, iters: Int = 8,
+               m: Int = 3): PcaM =
+    cacheM.computeIfAbsent((dir, dim, iters, m), _ =>
+      fitM(graft.ops.Similarity.vectors(graft.core.Tables.embeddings(s, dir)), dim, iters, m))
 }

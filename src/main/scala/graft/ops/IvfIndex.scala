@@ -53,6 +53,86 @@ object IvfIndex {
     s.read.parquet(s"$root/assignments")
       .select(col("vec_id"), col("v"), col("cl").cast("long").as("cl"))
 
+  /** PQ (IVFADC) extension of the persisted artifact — Jégou et al.,
+    * TPAMI 2011: on top of [[build]]'s coarse halves, TRAIN the M
+    * per-subspace codebooks (grouped Lloyd, [[graft.ml.KMeans
+    * .fitGrouped]] — all subspaces in one pass, seeded with the
+    * sub-slices of the `codes` smallest ids) and persist them under
+    * `root/codebooks`, plus the corpus ENCODING (vec_id, sub, code)
+    * hive-partitioned by coarse cell under `root/codes` — the
+    * billion-vector layout where a probed cell's storage is 4-bit
+    * codes, not vectors, and the probe ships only (cell ids + a M·K
+    * ADC table). Call after [[build]] on the same `v`.
+    */
+  def buildPq(s: SparkSession, v: DataFrame, m: Int, dsub: Int, codes: Int,
+              iters: Int, root: String): Unit = {
+    val ss = graft.queries.EmbedQueries.pqSubSlices(v, "vec_id", m, dsub)
+      .select(col("vec_id"), col("sub"), col("svec").as("v"))
+    val seedIds = graft.ml.KMeans.seedSmallest(v, codes.toLong)
+      .select(col("cl").as("__sid"))
+    val seeds = ss.join(broadcast(seedIds), col("vec_id") === col("__sid"))
+      .select(col("sub"), col("vec_id").as("cl"), col("v").as("cv"))
+    val (assigned, cb) = graft.ml.KMeans.fitGrouped(
+      ss, seeds, iters, idCol = "vec_id", grpCol = "sub")
+    cb.write.mode("overwrite").parquet(s"$root/codebooks")
+    assigned.select(col("vec_id"), col("sub"), col("cl").as("code"))
+      .join(assignments(s, root).select(col("vec_id"), col("cl")), "vec_id")
+      .write.mode("overwrite").partitionBy("cl").parquet(s"$root/codes")
+  }
+
+  def codebooks(s: SparkSession, root: String): DataFrame =
+    s.read.parquet(s"$root/codebooks")
+
+  /** Encoded half read-back; `cl` is the hive cell partition column. */
+  def codes(s: SparkSession, root: String): DataFrame =
+    s.read.parquet(s"$root/codes")
+      .select(col("vec_id"), col("sub"), col("code"),
+        col("cl").cast("long").as("cl"))
+
+  /** ADC probe over the persisted IVFADC artifact: [[probe]]'s coarse
+    * nprobe-cell routing, then candidates are scored by CODE LOOKUPS
+    * against the query's per-subspace ADC table (round-6 squared
+    * sub-distances summed as exact DECIMAL(18,6) — the embed_knn_pq
+    * contract) — the candidate-side scan reads only the probed cells'
+    * code files (same dynamic pruning as [[probe]]) and never touches a
+    * full vector. `q` is `(qid, qv)`.
+    */
+  def probePq(s: SparkSession, q: DataFrame, root: String, m: Int, dsub: Int,
+              nprobe: Int, topk: Int,
+              cand: DataFrame => DataFrame = identity): DataFrame = {
+    val cw = broadcast(centroids(s, root).select(col("cl"), col("cv"),
+      Similarity.dot("cv", "cv").as("c2")))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+      .orderBy(col("__d"), col("cl"))
+    val probed = q.crossJoin(cw)
+      .withColumn("__d", round(sqrt(greatest(
+        Similarity.dot("qv", "qv") + col("c2")
+          - lit(2.0) * Similarity.dot("qv", "cv"), lit(0.0))), 6))
+      .withColumn("cr", row_number().over(wc))
+      .where(col("cr") <= nprobe)
+      .select(col("qid"), col("qv"), col("cl").as("cell"))
+    val cbb = broadcast(codebooks(s, root)
+      .select(col("sub"), col("cl").as("code"), col("cv").as("cvec")))
+    val sq = round(greatest(
+      Similarity.dot("svec", "svec") + Similarity.dot("cvec", "cvec") -
+        lit(2) * Similarity.dot("svec", "cvec"), lit(0.0)), 6)
+    val adc = graft.queries.EmbedQueries.pqSubSlices(
+        probed.select(col("qid").as("vec_id"), col("qv").as("v")).distinct(), "qid", m, dsub)
+      .join(cbb, "sub")
+      .select(col("qid"), col("sub"), col("code"), sq.cast("decimal(18,6)").as("qd"))
+    val cellsOf = probed.select(col("qid"), col("cell"))
+    val c = cand(codes(s, root)).select(col("vec_id").as("nid"), col("sub"),
+      col("code"), col("cl"))
+    val pairs = c.join(broadcast(cellsOf), c("cl") === cellsOf("cell"))
+      .join(broadcast(adc), Seq("qid", "sub", "code"))
+      .groupBy(col("qid"), col("nid")).agg(sum(col("qd")).as("sd"))
+    val wr = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+      .orderBy(col("sd"), col("nid"))
+    pairs.withColumn("rnk", row_number().over(wr).cast("long"))
+      .where(col("rnk") <= topk)
+      .select(col("qid"), col("nid"), col("sd").cast("double").as("adist"), col("rnk"))
+  }
+
   /** nprobe-cell probe + exact cosine top-k over the persisted index —
     * the embed_knn_ivf_kmeans semantics (round-6 centroid distances,
     * cell/neighbor id tie-breaks) against the read-back artifact.

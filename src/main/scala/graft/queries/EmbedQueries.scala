@@ -750,6 +750,95 @@ object EmbedQueries {
     }
   }
 
+  /** PERSISTED IVFADC index roundtrip — [[embedIvfIndexRoundtrip]]'s
+    * write-path gate extended with the PQ halves the r11 verdict asked
+    * for: the coarse quantizer, the TRAINED per-subspace codebooks
+    * ([[graft.ml.KMeans.fitGrouped]], seeded with the sub-slices of the
+    * 16 smallest ids) and the corpus ENCODING (vec_id, sub, code,
+    * cell-partitioned) are all WRITTEN to parquet
+    * ([[graft.ops.IvfIndex.buildPq]]), read BACK, and queried via ADC
+    * ([[graft.ops.IvfIndex.probePq]]): nprobe=2 coarse routing, then
+    * code lookups against the query's M·K ADC table — a probed cell's
+    * storage is 4-bit codes, never vectors. Oracle replays coarse fit +
+    * grouped codebook fit + encode + probe in one chain, so a green row
+    * certifies the whole artifact lifecycle (train → persist → read →
+    * serve) numerically end-to-end.
+    */
+  val embedIvfPqIndex: QueryDef = {
+    val (k, dim, m, dsub, kCodes) = (16, 64, 8, 8, 16)
+    def duckD2(a: String, b: String, d: Int): String =
+      s"""list_sum([$a[i] * $a[i] for i in range(1, ${d + 1})]) +
+         |  list_sum([$b[i] * $b[i] for i in range(1, ${d + 1})]) -
+         |  2 * list_sum([$a[i] * $b[i] for i in range(1, ${d + 1})])""".stripMargin
+    def duckSqDist(a: String, b: String): String =
+      s"""round(greatest(list_sum([$a[i] * $a[i] for i in range(1, len($a) + 1)]) +
+         |  list_sum([$b[i] * $b[i] for i in range(1, len($b) + 1)]) -
+         |  2 * list_sum([$a[i] * $b[i] for i in range(1, len($a) + 1)]), 0), 6)""".stripMargin
+    QueryDef.sql("embed_ivf_pq_index",
+      s"""WITH $duckVectors,
+         |c0 AS (SELECT vec_id AS cl, v AS cv FROM v ORDER BY vec_id LIMIT $k),
+         |d1 AS (SELECT v.vec_id, v.v, c0.cl, ${duckD2("v.v", "c0.cv", dim)} AS d2 FROM v, c0),
+         |a1 AS (SELECT vec_id, v, cl FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rk
+         |        FROM d1) WHERE rk = 1),
+         |u1 AS (SELECT cl, i, round(avg(v[i]), 6) AS x
+         |       FROM a1, range(1, ${dim + 1}) r(i) GROUP BY cl, i),
+         |c1 AS (SELECT cl, list(x ORDER BY i) AS cv FROM u1 GROUP BY cl),
+         |d2c AS (SELECT v.vec_id, c1.cl, ${duckD2("v.v", "c1.cv", dim)} AS d2 FROM v, c1),
+         |a2 AS (SELECT vec_id, cl FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rk
+         |        FROM d2c) WHERE rk = 1),
+         |ss AS (SELECT vec_id, s.sub, v[s.sub * $dsub + 1 : s.sub * $dsub + $dsub] AS sv
+         |       FROM v CROSS JOIN range(0, $m) s(sub)),
+         |p0 AS (SELECT sub, vec_id AS cl, sv AS cv FROM ss WHERE vec_id < $kCodes),
+         |pd1 AS (SELECT ss.vec_id, ss.sub, ss.sv, c.cl, ${duckD2("ss.sv", "c.cv", dsub)} AS d2
+         |        FROM ss JOIN p0 c ON ss.sub = c.sub),
+         |pa1 AS (SELECT vec_id, sub, sv, cl FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cl) AS rk
+         |        FROM pd1) WHERE rk = 1),
+         |pu1 AS (SELECT sub, cl, i, round(avg(sv[i]), 6) AS x
+         |        FROM pa1, range(1, ${dsub + 1}) r(i) GROUP BY sub, cl, i),
+         |pc1 AS (SELECT sub, cl, list(x ORDER BY i) AS cv FROM pu1 GROUP BY sub, cl),
+         |pd2 AS (SELECT ss.vec_id, ss.sub, c.cl, ${duckD2("ss.sv", "c.cv", dsub)} AS d2
+         |        FROM ss JOIN pc1 c ON ss.sub = c.sub),
+         |penc AS (SELECT vec_id, sub, cl AS code FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, cl) AS rk
+         |        FROM pd2) WHERE rk = 1),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
+         |pa AS (SELECT qid, qv, c1.cl AS cell,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY
+         |           round(sqrt(greatest(${duckD2("qv", "c1.cv", dim)}, 0)), 6), c1.cl)
+         |           AS BIGINT) AS cr
+         |       FROM q CROSS JOIN c1),
+         |probe AS (SELECT qid, cell FROM pa WHERE cr <= 2),
+         |qs AS (SELECT vec_id AS qid, s.sub, v[s.sub * $dsub + 1 : s.sub * $dsub + $dsub] AS sv
+         |       FROM v CROSS JOIN range(0, $m) s(sub) WHERE vec_id < 10),
+         |adc AS (SELECT qid, qs.sub, pc1.cl AS code,
+         |          CAST(${duckSqDist("qs.sv", "pc1.cv")} AS DECIMAL(18,6)) AS qd
+         |        FROM qs JOIN pc1 ON qs.sub = pc1.sub),
+         |cand AS (SELECT penc.vec_id AS nid, penc.sub, penc.code, a2.cl
+         |         FROM penc JOIN a2 USING (vec_id) WHERE penc.vec_id >= 10),
+         |pr AS (SELECT probe.qid, cand.nid, sum(adc.qd) AS sd
+         |       FROM cand JOIN probe ON cand.cl = probe.cell
+         |       JOIN adc ON adc.qid = probe.qid AND adc.sub = cand.sub
+         |         AND adc.code = cand.code
+         |       GROUP BY 1, 2),
+         |r AS (SELECT qid, nid, CAST(sd AS DOUBLE) AS adist,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sd, nid) AS BIGINT) AS rnk
+         |      FROM pr)
+         |SELECT qid, nid, adist, rnk FROM r WHERE rnk <= 3
+         |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      val v = Similarity.vectors(Tables.embeddings(s, dir)).select(col("vec_id"), col("v"))
+      val root = graft.ops.Scratch.dir(s"ivfpq_${Integer.toHexString(dir.hashCode)}")
+      graft.ops.IvfIndex.build(v, k, iters = 2, root)
+      graft.ops.IvfIndex.buildPq(s, v, m, dsub, kCodes, iters = 2, root)
+      val q = v.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
+      graft.ops.IvfIndex.probePq(s, q, root, m, dsub, nprobe = 2, topk = 3,
+          cand = _.where(col("vec_id") >= 10))
+        .orderBy(col("qid"), col("rnk"))
+    }
+  }
+
   /** Cell-population DRIFT between the index's base and an incoming
     * batch — the retrain trigger for [[embedIvfIndexAppend]]'s
     * fixed-centroid growth (the ml_psi recipe applied to cell ids
@@ -1180,7 +1269,7 @@ object EmbedQueries {
     * addition order can't drift the ranking; final rank tiebreaks nid.
     */
   /** (id, sub, svec): one row per subspace, the dim-`dsub` slice. */
-  private def pqSubSlices(df: org.apache.spark.sql.DataFrame, idOut: String,
+  private[graft] def pqSubSlices(df: org.apache.spark.sql.DataFrame, idOut: String,
                           m: Int, dsub: Int): org.apache.spark.sql.DataFrame = df
     .select(col("vec_id").as(idOut), explode(expr(
       s"transform(sequence(0, ${m - 1}), s -> struct(s AS sub, slice(v, s * $dsub + 1, $dsub) AS svec))"))
@@ -1349,6 +1438,90 @@ object EmbedQueries {
         .agg(count(col("lnid")).as("n_hit"),
           round(count(col("lnid")) / 5.0, 6).as("recall"))
         .orderBy(col("qid"))
+    }
+  }
+
+  /** [[embedKnnPq]] with TRAINED codebooks — the actual FAISS PQ
+    * construction (Jégou et al., TPAMI 2011 §III: per-subspace k-means
+    * over the sub-vectors) replacing the training-free deterministic
+    * codebook: a 2-round grouped Lloyd fit
+    * ([[graft.ml.KMeans.fitGrouped]] — all M=8 subspaces train in the
+    * SAME pass, one broadcast equi-join + one argmin shuffle per round,
+    * plan O(1) in M·k) seeded with the sub-slices of corpus rows
+    * 10..25 (exactly the training-free codebook, so the trained book is
+    * a strict Lloyd refinement of the r10 baseline at EQUAL code
+    * budget). The final Lloyd assignment IS the encoding; query-time
+    * ADC is unchanged from [[embedKnnPq]].
+    *
+    * Determinism: the KMeans chain contract (unrounded fold-stable d2
+    * with lower-cl ties, round-6 centroid updates — both engines
+    * iterate bit-identical books); ADC distances round-6 into exact
+    * DECIMAL(18,6) sums; final rank tiebreaks nid.
+    */
+  val embedKnnPqTrained: QueryDef = {
+    val (m, dsub, kCodes) = (8, 8, 16)
+    // unrounded d2 for the Lloyd argmin (KMeans.assign association:
+    // (v·v + c·c) − 2·(v·c), ascending folds on every dot)
+    def duckD2(a: String, b: String): String =
+      s"""list_sum([$a[i] * $a[i] for i in range(1, $dsub + 1)]) +
+         |  list_sum([$b[i] * $b[i] for i in range(1, $dsub + 1)]) -
+         |  2 * list_sum([$a[i] * $b[i] for i in range(1, $dsub + 1)])""".stripMargin
+    // round-6 clamped sq-dist for the ADC tables (pqSqDist's twin)
+    def duckSqDist(a: String, b: String): String =
+      s"""round(greatest(list_sum([$a[i] * $a[i] for i in range(1, len($a) + 1)]) +
+         |  list_sum([$b[i] * $b[i] for i in range(1, len($b) + 1)]) -
+         |  2 * list_sum([$a[i] * $b[i] for i in range(1, len($a) + 1)]), 0), 6)""".stripMargin
+    QueryDef.sql("embed_knn_pq_trained",
+      s"""WITH $duckVectors,
+         |ss AS (SELECT vec_id AS nid, s.sub, v[s.sub * $dsub + 1 : s.sub * $dsub + $dsub] AS sv
+         |       FROM v CROSS JOIN range(0, $m) s(sub) WHERE vec_id >= 10),
+         |c0 AS (SELECT sub, nid - 10 AS cl, sv AS cv FROM ss WHERE nid < ${10 + kCodes}),
+         |d1 AS (SELECT ss.nid, ss.sub, ss.sv, c.cl, ${duckD2("ss.sv", "c.cv")} AS d2
+         |       FROM ss JOIN c0 c ON ss.sub = c.sub),
+         |a1 AS (SELECT nid, sub, sv, cl FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY nid, sub ORDER BY d2, cl) AS rk
+         |        FROM d1) WHERE rk = 1),
+         |u1 AS (SELECT sub, cl, i, round(avg(sv[i]), 6) AS x
+         |       FROM a1, range(1, ${dsub + 1}) r(i) GROUP BY sub, cl, i),
+         |c1 AS (SELECT sub, cl, list(x ORDER BY i) AS cv FROM u1 GROUP BY sub, cl),
+         |d2c AS (SELECT ss.nid, ss.sub, c.cl, ${duckD2("ss.sv", "c.cv")} AS d2
+         |        FROM ss JOIN c1 c ON ss.sub = c.sub),
+         |enc AS (SELECT nid, sub, cl AS code FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY nid, sub ORDER BY d2, cl) AS rk
+         |        FROM d2c) WHERE rk = 1),
+         |qs AS (SELECT vec_id AS qid, s.sub, v[s.sub * $dsub + 1 : s.sub * $dsub + $dsub] AS sv
+         |       FROM v CROSS JOIN range(0, $m) s(sub) WHERE vec_id < 10),
+         |adc AS (SELECT qid, qs.sub, c1.cl AS code,
+         |          CAST(${duckSqDist("qs.sv", "c1.cv")} AS DECIMAL(18,6)) AS qd
+         |        FROM qs JOIN c1 ON qs.sub = c1.sub),
+         |p AS (SELECT qid, nid, sum(qd) AS sd
+         |      FROM enc JOIN adc USING (sub, code) GROUP BY 1, 2),
+         |r AS (SELECT qid, nid, CAST(sd AS DOUBLE) AS adist,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sd, nid) AS BIGINT) AS rnk
+         |      FROM p)
+         |SELECT qid, nid, adist, rnk FROM r WHERE rnk <= 3
+         |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = Similarity.vectors(Tables.embeddings(s, dir)).select(col("vec_id"), col("v"))
+      val ss = pqSubSlices(v.where(col("vec_id") >= 10), "nid", m, dsub)
+        .select(col("nid"), col("sub"), col("svec").as("v"))
+      val seeds = ss.where(col("nid") < 10 + kCodes)
+        .select(col("sub"), (col("nid") - 10).as("cl"), col("v").as("cv"))
+      val (assigned, cb) = graft.ml.KMeans.fitGrouped(
+        ss, seeds, iters = 2, idCol = "nid", grpCol = "sub")
+      val enc = assigned.select(col("nid"), col("sub"), col("cl").as("code"))
+      val cbb = broadcast(cb.select(col("sub"), col("cl").as("code"), col("cv").as("cvec")))
+      val adc = pqSubSlices(v.where(col("vec_id") < 10), "qid", m, dsub)
+        .join(cbb, "sub")
+        .select(col("qid"), col("sub"), col("code"),
+          pqSqDist("svec", "cvec").cast("decimal(18,6)").as("qd"))
+      enc.join(broadcast(adc), Seq("sub", "code"))
+        .groupBy(col("qid"), col("nid")).agg(sum(col("qd")).as("sd"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("sd"), col("nid"))).cast("long"))
+        .where(col("rnk") <= 3)
+        .select(col("qid"), col("nid"), col("sd").cast("double").as("adist"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
     }
   }
 
@@ -1756,6 +1929,123 @@ object EmbedQueries {
         .select(col("vec_id"),
           round(Similarity.dotC(centered, lit(p.w)), 6).as("t"))
         .withColumn("zw", round(col("t") / lit(math.sqrt(p.lam)), 6))
+        .orderBy(col("vec_id"))
+    }
+  }
+
+  /** [[pcaCtes]] extended to TOP-M components via deflation
+    * ([[graft.ml.Pca.fitM]]'s chain): after component c's power rounds,
+    * `cm{c+1} = cm{c} − λ_c·w_c w_cᵀ` (left-assoc `c - (λ·wᵢ)·wⱼ`,
+    * matching the driver loop bit-for-bit on the shared rounded
+    * inputs), and the next component iterates on the residual.
+    * Exposes: v, mu(i, m), rc{c}_{iters}(i, x) and lamc{c}(l) per
+    * component c = 1..m.
+    */
+  private def pcaMCtes(dim: Int, iters: Int, m: Int): String = {
+    def comp(c: Int): String = {
+      val iterCtes = (1 to iters).map { t =>
+        s"""yc${c}_$t AS MATERIALIZED (SELECT cm.i, round(sum(cm.c * r.x), 6) AS y
+           |      FROM cm$c cm JOIN rc${c}_${t - 1} r ON cm.j = r.i GROUP BY cm.i),
+           |nc${c}_$t AS (SELECT sqrt(list_sum(list(y * y ORDER BY i))) AS nv FROM yc${c}_$t),
+           |rc${c}_$t AS MATERIALIZED (SELECT i, round(y / (SELECT nv FROM nc${c}_$t), 6) AS x FROM yc${c}_$t)""".stripMargin
+      }.mkString(",\n")
+      val defl = if (c < m)
+        s""",
+           |cm${c + 1} AS MATERIALIZED (SELECT a.i, a.j,
+           |    a.c - (SELECT l FROM lamc$c) * wi.x * wj.x AS c
+           |  FROM cm$c a JOIN rc${c}_$iters wi ON wi.i = a.i
+           |  JOIN rc${c}_$iters wj ON wj.i = a.j)""".stripMargin
+      else ""
+      s"""rc${c}_0 AS (SELECT i, 0.125e0 AS x FROM range(1, ${dim + 1}) r(i)),
+         |$iterCtes,
+         |cyc$c AS (SELECT cm.i, round(sum(cm.c * r.x), 6) AS y
+         |       FROM cm$c cm JOIN rc${c}_$iters r ON cm.j = r.i GROUP BY cm.i),
+         |lamc$c AS (SELECT round(list_sum(list(cy.y * r.x ORDER BY cy.i)), 6) AS l
+         |        FROM cyc$c cy JOIN rc${c}_$iters r ON cy.i = r.i)$defl""".stripMargin
+    }
+    s"""v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |mu AS (SELECT i, round(avg(v[i]), 6) AS m
+       |       FROM v, range(1, ${dim + 1}) r(i) GROUP BY i),
+       |cp AS (SELECT ri.i AS i, rj.i AS j, round(avg(v.v[ri.i] * v.v[rj.i]), 6) AS axy
+       |       FROM v, range(1, ${dim + 1}) ri(i), range(1, ${dim + 1}) rj(i)
+       |       WHERE rj.i >= ri.i GROUP BY 1, 2),
+       |cu AS (SELECT cp.i, cp.j, cp.axy - mi.m * mj.m AS c
+       |       FROM cp JOIN mu mi ON mi.i = cp.i JOIN mu mj ON mj.i = cp.j),
+       |cm1 AS MATERIALIZED (SELECT i, j, c FROM cu UNION ALL SELECT j, i, c FROM cu WHERE i < j),
+       |${(1 to m).map(comp).mkString(",\n")}""".stripMargin
+  }
+
+  /** Top-m PCA model — [[embedPca]] completed to the m-component basis
+    * the r11 verdict asked for ([[graft.ml.Pca.fitM]]: one Gram
+    * reduction, then m driver-side power extractions with rank-1
+    * deflation between them). Emits the full model table (per dim:
+    * mean, the three component loadings, the three eigenvalues) — the
+    * projection matrix every pre-PQ normalization consumes.
+    */
+  val embedPcaTopm: QueryDef = {
+    val dim = 64; val iters = 8; val m = 3
+    QueryDef.sql("embed_pca_topm",
+      s"""WITH ${pcaMCtes(dim, iters, m)}
+         |SELECT CAST(mu.i AS BIGINT) AS dim, mu.m AS mean,
+         |  r1.x AS pc1, r2.x AS pc2, r3.x AS pc3,
+         |  (SELECT l FROM lamc1) AS lam1,
+         |  (SELECT l FROM lamc2) AS lam2,
+         |  (SELECT l FROM lamc3) AS lam3
+         |FROM mu JOIN rc1_$iters r1 ON mu.i = r1.i
+         |JOIN rc2_$iters r2 ON mu.i = r2.i
+         |JOIN rc3_$iters r3 ON mu.i = r3.i
+         |ORDER BY dim""".stripMargin) { (s, dir) =>
+      val p = graft.ml.Pca.fitMMemo(s, dir, dim, iters, m)
+      val rows = (1 to dim).map(d => (d.toLong, p.mu(d - 1),
+        p.w(0)(d - 1), p.w(1)(d - 1), p.w(2)(d - 1),
+        p.lam(0), p.lam(1), p.lam(2)))
+      s.createDataFrame(rows)
+        .toDF("dim", "mean", "pc1", "pc2", "pc3", "lam1", "lam2", "lam3")
+        .orderBy(col("dim"))
+    }
+  }
+
+  /** FULL PCA whitening (rotate-then-scale — the standard pre-PQ
+    * normalization, completing [[embedWhiten]]'s diagonal shortcut):
+    * per vector, z_c = ((x − μ)·w_c)/√λ_c over the top-3 deflated
+    * components, giving unit variance along each principal axis and
+    * (up to power-round convergence) decorrelated coordinates.
+    *
+    * Scale shape: the model is a driver-fitted broadcast-tier literal
+    * (m×d round-6 doubles); the whiten pass is MAP-ONLY — m native
+    * vec_dot kernels per row inside whole-stage codegen, no shuffle.
+    * The oracle replays each projection as the ascending-dim fold over
+    * [[pcaMCtes]]'s mu/rc tables. WhitenSpec pins planted two-axis
+    * recovery and whitened decorrelation frame-level.
+    */
+  val embedPcaWhiten: QueryDef = {
+    val dim = 64; val iters = 8; val m = 3
+    QueryDef.sql("embed_pca_whiten",
+      s"""WITH ${pcaMCtes(dim, iters, m)},
+         |proj AS (SELECT v.vec_id,
+         |    round(list_sum(list((v.v[r.i] - mu.m) * r1.x ORDER BY r.i)), 6) AS t1,
+         |    round(list_sum(list((v.v[r.i] - mu.m) * r2.x ORDER BY r.i)), 6) AS t2,
+         |    round(list_sum(list((v.v[r.i] - mu.m) * r3.x ORDER BY r.i)), 6) AS t3
+         |  FROM v CROSS JOIN range(1, ${dim + 1}) r(i)
+         |  JOIN mu ON mu.i = r.i
+         |  JOIN rc1_$iters r1 ON r1.i = r.i
+         |  JOIN rc2_$iters r2 ON r2.i = r.i
+         |  JOIN rc3_$iters r3 ON r3.i = r.i
+         |  GROUP BY v.vec_id)
+         |SELECT vec_id,
+         |  round(t1 / sqrt((SELECT l FROM lamc1)), 6) AS z1,
+         |  round(t2 / sqrt((SELECT l FROM lamc2)), 6) AS z2,
+         |  round(t3 / sqrt((SELECT l FROM lamc3)), 6) AS z3
+         |FROM proj ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val p = graft.ml.Pca.fitMMemo(s, dir, dim, iters, m)
+      val centered = zip_with(col("v"), lit(p.mu), (x, mm) => x - mm)
+      Similarity.vectors(Tables.embeddings(s, dir))
+        .select(col("vec_id") +:
+          (0 until m).map(c =>
+            round(Similarity.dotC(centered, lit(p.w(c))), 6).as(s"t${c + 1}")): _*)
+        .select(col("vec_id") +:
+          (0 until m).map(c =>
+            round(col(s"t${c + 1}") / lit(math.sqrt(p.lam(c))), 6).as(s"z${c + 1}")): _*)
         .orderBy(col("vec_id"))
     }
   }
@@ -2366,10 +2656,12 @@ object EmbedQueries {
     embedKnnIvf, embedKnnIvfKmeans, embedClusterPurity, embedKmeansElbow,
     embedIvfIndexRoundtrip, dedupEmbedCosine, dedupSemantic, embedQuantize, embedLshRecall,
     embedHyperplaneRecall, embedBandedRecall, embedKnnPq,
-    embedMultiprobeRecall, embedPqRecall, embedKnnIvfPq, multimodalFeatures, embedHardNegatives,
+    embedMultiprobeRecall, embedPqRecall, embedKnnPqTrained, embedKnnIvfPq,
+    multimodalFeatures, embedHardNegatives,
     embedRandomProjection, embedKmeans, embedPca, embedOutliers,
     embedMatryoshkaRecall, multimodalPhashDedup, embedDedupSweep, embedMmr,
     embedCentroidShift, retrievalHybridRrf, embedSphericalKmeans,
     retrievalNdcg, multimodalAudioWindows, embedDimStats,
-    embedPcaApply, embedWhiten, embedIvfIndexAppend, embedIndexDrift)
+    embedPcaApply, embedWhiten, embedIvfIndexAppend, embedIndexDrift,
+    embedIvfPqIndex, embedPcaTopm, embedPcaWhiten)
 }

@@ -80,4 +80,87 @@ class IvfIndexSpec extends SparkSpec {
     assert(before.subsetOf(after), "append rewrote or dropped base files")
     assert(after.size > before.size, "append added no files")
   }
+
+  test("fitGrouped == independent per-group Lloyd fits (codebook training law)") {
+    val v = planted(120, 0L)
+    // two groups: the front and back half of each vector
+    val ss = v.select(col("vec_id"), explode(expr(
+        "array(struct(0L AS grp, slice(v, 1, 4) AS v), struct(1L AS grp, slice(v, 5, 4) AS v))"))
+        .as("s"))
+      .select(col("vec_id"), col("s.grp").as("grp"), col("s.v").as("v"))
+    val seeds = ss.where(col("vec_id") < 3)
+      .select(col("grp"), col("vec_id").as("cl"), col("v").as("cv"))
+    val (ga, gc) = graft.ml.KMeans.fitGrouped(ss, seeds, iters = 3)
+    for (g <- Seq(0L, 1L)) {
+      val vg = ss.where(col("grp") === g).select(col("vec_id"), col("v"))
+      val (ia, ic) = graft.ml.KMeans.fit(vg,
+        seeds.where(col("grp") === g).select(col("cl"), col("cv")), iters = 3)
+      val gotC = gc.where(col("grp") === g).select(col("cl"), col("cv")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSet
+      val wantC = ic.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSet
+      assert(gotC === wantC, s"group $g centroids diverge")
+      val gotA = ga.where(col("grp") === g).select(col("vec_id"), col("cl")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val wantA = ia.select(col("vec_id"), col("cl")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(gotA === wantA, s"group $g assignments diverge")
+    }
+  }
+
+  test("IVFADC roundtrip: persisted probePq == in-memory ADC mirror") {
+    val (m, dsub, codes) = (2, 4, 4)
+    val base = planted(200, 0L)
+    val root = Scratch.dir("spec_ivfpq")
+    IvfIndex.build(base, k = 4, iters = 2, root)
+    IvfIndex.buildPq(spark, base, m, dsub, codes, iters = 2, root)
+    val q = base.where(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("v").as("qv"))
+    val got = IvfIndex.probePq(spark, q, root, m, dsub, nprobe = 2, topk = 3,
+        cand = _.where(col("vec_id") >= 5)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+
+    // in-memory mirror: the same fits without ever touching disk
+    import graft.ops.Similarity
+    val (assigned, cents) = graft.ml.KMeans.fit(base,
+      graft.ml.KMeans.seedSmallest(base, 4), iters = 2)
+    val ss = graft.queries.EmbedQueries.pqSubSlices(base, "vec_id", m, dsub)
+      .select(col("vec_id"), col("sub"), col("svec").as("v"))
+    val seeds = ss.join(broadcast(graft.ml.KMeans.seedSmallest(base, codes.toLong)
+        .select(col("cl").as("__sid"))), col("vec_id") === col("__sid"))
+      .select(col("sub"), col("vec_id").as("cl"), col("v").as("cv"))
+    val (penc, cb) = graft.ml.KMeans.fitGrouped(ss, seeds, iters = 2,
+      idCol = "vec_id", grpCol = "sub")
+    val cw = broadcast(cents.select(col("cl"), col("cv"),
+      Similarity.dot("cv", "cv").as("c2")))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+      .orderBy(col("__d"), col("cl"))
+    val probed = q.crossJoin(cw)
+      .withColumn("__d", round(sqrt(greatest(
+        Similarity.dot("qv", "qv") + col("c2")
+          - lit(2.0) * Similarity.dot("qv", "cv"), lit(0.0))), 6))
+      .withColumn("cr", row_number().over(wc)).where(col("cr") <= 2)
+      .select(col("qid"), col("qv"), col("cl").as("cell"))
+    val cbb = broadcast(cb.select(col("sub"), col("cl").as("code"), col("cv").as("cvec")))
+    val adc = graft.queries.EmbedQueries.pqSubSlices(
+        q.select(col("qid").as("vec_id"), col("qv").as("v")), "qid", m, dsub)
+      .join(cbb, "sub")
+      .select(col("qid"), col("sub"), col("code"),
+        round(greatest(Similarity.dot("svec", "svec") + Similarity.dot("cvec", "cvec")
+          - lit(2) * Similarity.dot("svec", "cvec"), lit(0.0)), 6)
+          .cast("decimal(18,6)").as("qd"))
+    val cand = penc.where(col("vec_id") >= 5)
+      .select(col("vec_id").as("nid"), col("sub"), col("cl").as("code"))
+      .join(assigned.select(col("vec_id").as("nid"), col("cl")), "nid")
+    val want = cand.join(broadcast(probed.select(col("qid"), col("cell"))),
+        col("cl") === col("cell"))
+      .join(broadcast(adc), Seq("qid", "sub", "code"))
+      .groupBy(col("qid"), col("nid")).agg(sum(col("qd")).as("sd"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("sd"), col("nid"))).cast("long"))
+      .where(col("rnk") <= 3)
+      .select(col("qid"), col("nid"), col("sd").cast("double").as("adist"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got === want)
+  }
 }

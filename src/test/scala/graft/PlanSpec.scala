@@ -181,6 +181,10 @@ class PlanSpec extends SparkSpec {
       // same KMeans.assign / persisted-index probe broadcast cross as
       // embed_ivf_index_roundtrip, on the append-mode index
       "embed_ivf_index_append", "embed_index_drift",
+      // the same coarse-probe broadcast cross (10 queries × 16-centroid
+      // table) routing the ADC probe over the persisted IVFADC index;
+      // the PQ stages themselves are broadcast EQUI-joins
+      "embed_ivf_pq_index",
       // one-row (d0, d1) spine-bounds scalar broadcast into the
       // hours-sized interior filter — never event-sized
       "series_stl",

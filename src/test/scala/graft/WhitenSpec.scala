@@ -81,4 +81,39 @@ class WhitenSpec extends SparkSpec {
     val vzw = zw.map(x => (x - mean) * (x - mean)).sum / zw.size
     assert(math.abs(vzw - 1.0) < 0.05, s"whitened variance $vzw")
   }
+
+  test("Pca.fitM recovers BOTH planted axes in variance order (deflation law)") {
+    val p = Pca.fitM(vframe, dim, iters = 8, m = 2)
+    // component 1 = e(3) (var 25), component 2 = e(7) (var 0.25) —
+    // deflation must remove the dominant axis so the residual's top
+    // eigenvector is the second planted axis
+    assert(math.abs(p.w(0)(3)) > 0.99, s"pc1 not on e(3): ${p.w(0).toSeq}")
+    assert(math.abs(p.lam(0) - 25.0) < 0.5, s"lam1 ${p.lam(0)} != 25")
+    assert(math.abs(p.w(1)(7)) > 0.99, s"pc2 not on e(7): ${p.w(1).toSeq}")
+    assert(math.abs(p.lam(1) - 0.25) < 0.05, s"lam2 ${p.lam(1)} != 0.25")
+    // extracted components are orthogonal
+    val dot12 = (0 until dim).map(i => p.w(0)(i) * p.w(1)(i)).sum
+    assert(math.abs(dot12) < 1e-3, s"components not orthogonal: $dot12")
+  }
+
+  test("full PCA whitening decorrelates: whitened coords have unit variance and ~0 covariance") {
+    val p = Pca.fitM(vframe, dim, iters = 8, m = 2)
+    val z = planted.map { case (_, v) =>
+      val t = (0 until 2).map { c =>
+        var acc = 0.0
+        var i = 0
+        while (i < dim) { acc += (v(i) - p.mu(i)) * p.w(c)(i); i += 1 }
+        acc / math.sqrt(p.lam(c))
+      }
+      (t(0), t(1))
+    }
+    val n = z.size.toDouble
+    val (m1, m2) = (z.map(_._1).sum / n, z.map(_._2).sum / n)
+    val v1 = z.map(x => (x._1 - m1) * (x._1 - m1)).sum / n
+    val v2 = z.map(x => (x._2 - m2) * (x._2 - m2)).sum / n
+    val cov = z.map(x => (x._1 - m1) * (x._2 - m2)).sum / n
+    assert(math.abs(v1 - 1.0) < 0.05, s"z1 variance $v1")
+    assert(math.abs(v2 - 1.0) < 0.05, s"z2 variance $v2")
+    assert(math.abs(cov) < 0.05, s"whitened covariance $cov not ~0")
+  }
 }
