@@ -37,7 +37,7 @@ object SkewProbe {
       timestamp_micros(lit(1700000000000000L) +
         pmod(hash(col("id"), lit(3)).cast("long") * 2654435761L, lit(30L * 24 * 3600 * 1000000L)))
         .as("ts"))
-      .localCheckpoint(true) // time the operators, not the generator
+      .transform(graft.ops.Ckpt.eager) // time the operators, not the generator
 
     def time(tag: String)(df: => org.apache.spark.sql.DataFrame): (Double, Long) = {
       val t0 = System.nanoTime()

@@ -117,7 +117,7 @@ object KMeans {
     for (t <- 1 to iters) {
       assigned = assign(v, cents, idCol)
       if (t < iters) {
-        cents = renormalize(update(assigned)).localCheckpoint(true)
+        cents = renormalize(update(assigned)).transform(graft.ops.Ckpt.eager)
         // the superseded round's k×d blocks are dead once the new
         // checkpoint materializes (the Components discipline); only the
         // RETURNED table stays cached — callers still read it
@@ -176,7 +176,7 @@ object KMeans {
     for (t <- 1 to iters) {
       assigned = assignGrouped(v, cents, idCol, grpCol)
       if (t < iters) {
-        cents = updateGrouped(assigned, grpCol).localCheckpoint(true)
+        cents = updateGrouped(assigned, grpCol).transform(graft.ops.Ckpt.eager)
         // free the superseded round's blocks (see fitSpherical)
         if (prevCkpt != null) prevCkpt.unpersist()
         prevCkpt = cents
@@ -202,7 +202,7 @@ object KMeans {
     for (t <- 1 to iters) {
       assigned = assign(v, cents, idCol)
       if (t < iters) {
-        cents = update(assigned).localCheckpoint(true)
+        cents = update(assigned).transform(graft.ops.Ckpt.eager)
         // free the superseded round's blocks (see fitSpherical)
         if (prevCkpt != null) prevCkpt.unpersist()
         prevCkpt = cents

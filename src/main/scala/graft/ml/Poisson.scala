@@ -84,7 +84,7 @@ object Poisson {
     try {
       val model = fit(assembled, cfg)
       // materialize before dropping the cache the plan depends on
-      predict(model, assembled).localCheckpoint(true)
+      predict(model, assembled).transform(graft.ops.Ckpt.eager)
     } finally assembled.unpersist()
   }
 }

@@ -179,7 +179,7 @@ object Bpe {
         merges += Merge(i, a, b, c)
         v = v.withColumn("enc", applyMerge(col("enc"), a, b))
         if (i % checkpointEvery == 0) {
-          val nv = v.localCheckpoint(true)
+          val nv = v.transform(graft.ops.Ckpt.eager)
           // superseded checkpoint blocks are dead once the new one
           // materializes (the Components discipline)
           if (lastCkpt != null) lastCkpt.unpersist()

@@ -56,7 +56,7 @@ object Components {
     // algorithm discipline.
     def ckpt(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+      else df.transform(graft.ops.Ckpt.eager)
 
     // materialize the (often expensive) pair plan exactly ONCE — the
     // undirected expansion, node set, and self-loops below all reference

@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed EXACT isotonic regression over a weighted distinct-score
+  * table — the unpooled sklearn `IsotonicRegression` semantic the r11
+  * verdict asked for (ml_isotonic_calibration pools to 10 reliability
+  * bins first; this fits the full distinct-score domain, where the
+  * input is corpus-sized and a sequential PAVA pass would be the job's
+  * serial bottleneck).
+  *
+  * Hybrid shape (the [[Bpe.fitVocab]] discipline, and what MLlib's
+  * `IsotonicRegression` does with per-partition PAVA + driver merge):
+  *
+  *  - While the pool table exceeds the driver guard
+  *    (`spark.graft.isotonic.localLimit`, default 4M pools), run a
+  *    DISTRIBUTED run-collapse round: the classic PAVA fixed point is
+  *    invariant to the order of adjacent-violator pooling (Ayer et al.
+  *    1955; Robertson–Wright–Dykstra 1988 §1.2), so one round merges
+  *    EVERY maximal violating run at once — rank pools globally
+  *    ([[PrefixSum.running]] over a `1L` measure, never a single-task
+  *    window), equi-join each pool to its predecessor on rank,
+  *    flag `prev_mean > mean` by exact DECIMAL cross-products (no
+  *    overflow at any corpus size), run-id = running flag sum, and
+  *    re-key every pool in a violating run to the run's MIN key.
+  *    Each round at least halves every violating chain, so the pool
+  *    count crashes toward the guard geometrically.
+  *  - At or under the guard, ONE bounded collect (the S10-sanctioned
+  *    trainer shape: ≤ guard rows of (key, weight, sum)) and an O(n)
+  *    sequential stack PAVA finish on the driver — zero further Spark
+  *    jobs; the final (old key → fitted value) table ships back as one
+  *    equi-join against the corpus rows.
+  *
+  * Fitted values are single divisions of exact BIGINT pool sums, so
+  * both engines produce bit-identical doubles (IEEE division is
+  * correctly rounded: equal rationals → equal doubles), which is why
+  * the DuckDB minimax oracle (`max_{j≤i} min_{k≥i} avg(j..k)` over the
+  * prefix-sum pair table) hash-matches without tolerance.
+  */
+object Isotonic {
+
+  private val defaultLocalLimit = 4000000L
+
+  /** Sequential weighted stack PAVA over ORDERED pools (w, s); returns
+    * the fitted value per input pool. O(n): each pool is pushed once
+    * and merged at most once.
+    */
+  def pavaLocal(pools: Array[(Long, Long)]): Array[Double] = {
+    val w = new Array[Long](pools.length)
+    val s = new Array[Long](pools.length)
+    val sz = new Array[Int](pools.length)
+    var top = -1
+    pools.foreach { case (pw, ps) =>
+      top += 1; w(top) = pw; s(top) = ps; sz(top) = 1
+      while (top > 0 &&
+        java.math.BigInteger.valueOf(s(top - 1)).multiply(java.math.BigInteger.valueOf(w(top)))
+          .compareTo(java.math.BigInteger.valueOf(s(top)).multiply(java.math.BigInteger.valueOf(w(top - 1)))) > 0) {
+        w(top - 1) += w(top); s(top - 1) += s(top); sz(top - 1) += sz(top)
+        top -= 1
+      }
+    }
+    val out = new Array[Double](pools.length)
+    var idx = 0
+    for (b <- 0 to top) {
+      val v = s(b).toDouble / w(b)
+      for (_ <- 0 until sz(b)) { out(idx) = v; idx += 1 }
+    }
+    out
+  }
+
+  /** Fit over `g` = (`score` ascending key, `n` BIGINT weight > 0,
+    * `sy` BIGINT weighted label sum), one row per DISTINCT score.
+    * Returns (`score`, `n`, `sy`, `iso`) with `iso` nondecreasing in
+    * `score` — the weighted least-squares isotonic fit.
+    */
+  def fit(g: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val spark = g.sparkSession
+    val limit = spark.conf
+      .get("spark.graft.isotonic.localLimit", defaultLocalLimit.toString).toLong
+    var rows = g.select(col("score"), col("n"), col("sy"), col("score").as("lo"))
+    var r = 0
+    while (r < maxRounds) {
+      r += 1
+      val pools = rows.groupBy(col("lo"))
+        .agg(sum(col("n")).as("pn"), sum(col("sy")).as("psy"))
+      if (pools.count() <= limit) {
+        // bounded driver finish: collect ordered pools, one stack pass,
+        // ship (old key -> fitted value) back as an equi-join table
+        val ordered = pools.orderBy(col("lo")).collect()
+        val fitted = pavaLocal(ordered.map(p => (p.getLong(1), p.getLong(2))))
+        import spark.implicits._
+        val isoDf = ordered.zipWithIndex
+          .map { case (p, i) => (p.getDouble(0), fitted(i)) }.toSeq
+          .toDF("olo", "iso")
+        return rows.join(isoDf, col("lo") === col("olo"))
+          .select(col("score"), col("n"), col("sy"), col("iso"))
+      }
+      // beyond-guard distributed round: collapse every violating run
+      val ranked = PrefixSum.running(
+        pools.withColumn("one", lit(1L)), Nil, "lo", Seq("one"))
+        .withColumnRenamed("one_cum", "rk")
+      val prev = ranked.select((col("rk") + lit(1L)).as("rk"),
+        col("psy").as("qsy"), col("pn").as("qn"))
+      val flagged = ranked.join(prev, Seq("rk"), "left")
+        .withColumn("viol", coalesce(
+          col("qsy").cast("decimal(38,0)") * col("pn") >
+            col("psy").cast("decimal(38,0)") * col("qn"), lit(false)))
+      if (flagged.where(col("viol")).count() == 0L) {
+        // monotone while still above the guard: emit pool means directly
+        return rows.join(
+            pools.select(col("lo"),
+              (col("psy").cast("double") / col("pn").cast("double")).as("iso")), "lo")
+          .select(col("score"), col("n"), col("sy"), col("iso"))
+      }
+      val runs = PrefixSum.running(
+        flagged.withColumn("s", when(col("viol"), lit(0L)).otherwise(lit(1L))),
+        Nil, "rk", Seq("s"))
+      val remap = runs
+        .withColumn("nlo", min(col("lo")).over(Window.partitionBy(col("s_cum"))))
+        .select(col("lo").as("olo"), col("nlo"))
+      rows = rows.join(remap, col("lo") === col("olo"))
+        .select(col("score"), col("n"), col("sy"), col("nlo").as("lo"))
+        .transform(Ckpt.eager)
+    }
+    throw new IllegalStateException(
+      s"Isotonic.fit did not converge within $maxRounds rounds")
+  }
+}

@@ -351,7 +351,7 @@ object CorpusPipeline {
     def clusters0: DataFrame =
       if (tags.isEmpty) spark.read.parquet(s"$outDir/clusters")
       else {
-        val prior = spark.read.parquet(s"$outDir/clusters").localCheckpoint(true)
+        val prior = spark.read.parquet(s"$outDir/clusters").transform(graft.ops.Ckpt.eager)
         val deltas = tags.map(t => spark.read.parquet(s"${batchDir(outDir, t)}/pairs"))
           .reduce(_.unionByName(_))
           .where(col("sim") >= cfg.tau).select(col("i"), col("j"))

@@ -850,7 +850,7 @@ object BicisQueries {
        |               sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0), 6) AS xcorr
        |FROM m ORDER BY lag""".stripMargin) { (s, dir) =>
     val (out, series) = crossCorrFrames(s, dir)
-    val rows = out.localCheckpoint(true)
+    val rows = out.transform(graft.ops.Ckpt.eager)
     series.unpersist(false)
     rows
   }
@@ -1046,7 +1046,7 @@ object BicisQueries {
     val series = spine.join(c, Seq("d"), "left")
       .select(col("d"), coalesce(col("n"), lit(0L)).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rows = acfOf(s, series, 7).localCheckpoint(true)
+    val rows = acfOf(s, series, 7).transform(graft.ops.Ckpt.eager)
     series.unpersist(false)
     rows
   }
@@ -1711,7 +1711,7 @@ object BicisQueries {
       .withColumn("f21", col("r1") * (lit(1) - col("r2")) / den1)
       .withColumn("f33", (col("r3") - col("f21") * col("r2") - col("f22") * col("r1")) /
         nullif(lit(1) - col("f21") * col("r1") - col("f22") * col("r2"), lit(0.0)))
-      .localCheckpoint(true)
+      .transform(graft.ops.Ckpt.eager)
     series.unpersist(false)
     p3.select(lit(1L).as("lag"), round(col("r1"), 6).as("pacf"))
       .unionAll(p3.select(lit(2L).as("lag"), round(col("f22"), 6).as("pacf")))

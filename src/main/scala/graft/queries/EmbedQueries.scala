@@ -2377,11 +2377,11 @@ object EmbedQueries {
       val cand = Similarity.topK(pairs, kCand)
         .select(col("qid"), col("nid"), col("cv"), col("sim").as("rel"), col("rnk"))
         .coalesce(1)
-        .localCheckpoint(eager = true)
+        .transform(graft.ops.Ckpt.eager)
       var sel = cand.where(col("rnk") === 1)
         .select(col("qid"), col("nid"), col("cv"), col("rel"),
           lit(1L).as("step"), col("rel").as("score"))
-        .localCheckpoint(eager = true)
+        .transform(graft.ops.Ckpt.eager)
       for (t <- 2 to kSel) {
         val rem = cand.join(sel.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_anti")
         val ms = rem.select(col("qid"), col("nid"), col("cv"))
@@ -2394,7 +2394,7 @@ object EmbedQueries {
         val pick = scored.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
           .select(col("qid"), col("nid"), col("cv"), col("rel"),
             lit(t.toLong).as("step"), col("score"))
-        sel = sel.unionAll(pick).localCheckpoint(eager = true)
+        sel = sel.unionAll(pick).transform(graft.ops.Ckpt.eager)
       }
       sel.select(col("qid"), col("step"), col("nid"),
           round(col("score"), 6).as("score"))

@@ -158,7 +158,7 @@ object GraphQueries {
         .agg(sum(col("pr") / col("outdeg")).as("m"))
         .select(col("dst").as("node"),
           (lit(teleport / nv) + lit(damping) * col("m")).as("pr"))
-        .localCheckpoint(eager = true)
+        .transform(graft.ops.Ckpt.eager)
     }
     // the final ranks frame is self-contained (eager checkpoint), so
     // the cached build inputs are dead — release them rather than pin
@@ -299,7 +299,7 @@ object GraphQueries {
       .select(col("n_nodes"), col("n_edges"), col("tri").cast("long").as("n_triangles"),
         round(lit(3.0) * col("tri") / col("n_wedges"), 6).as("global_cc"))
     // materialize before releasing the build caches
-    val rows = out.localCheckpoint(true)
+    val rows = out.transform(graft.ops.Ckpt.eager)
     oriented.unpersist(false); deg.unpersist(false); e.unpersist(false)
     rows
   }
@@ -387,7 +387,7 @@ object GraphQueries {
     val edges = undirected.persist(mem)
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
-      .localCheckpoint(eager = true)
+      .transform(graft.ops.Ckpt.eager)
     val nv = labels.count() // cheap: counts the checkpointed blocks
     for (_ <- 1 to iters) {
       val votes = edges.join(vhint(labels, nv), col("src") === col("node"))
@@ -398,7 +398,7 @@ object GraphQueries {
         .groupBy(col("n2"))
         .agg(max(struct(col("c").as("c"), negate(col("label")).as("nl"))).as("m"))
         .select(col("n2").as("node"), negate(col("m.nl")).as("label"))
-        .localCheckpoint(eager = true)
+        .transform(graft.ops.Ckpt.eager)
     }
     edges.unpersist(false)
     labels
@@ -591,7 +591,7 @@ object GraphQueries {
         .select(col("rnk"), col("u").as("supp_a"), col("v").as("supp_b"),
           col("common"), col("jaccard"))
         .orderBy(col("rnk"))
-      val rows = out.localCheckpoint(eager = true)
+      val rows = out.transform(graft.ops.Ckpt.eager)
       e.unpersist(false)
       rows
     }
@@ -658,7 +658,7 @@ object GraphQueries {
     */
   def kcorePeel(symmetric: org.apache.spark.sql.DataFrame, k: Int,
                 rounds: Int): org.apache.spark.sql.DataFrame = {
-    var e = symmetric.localCheckpoint(eager = true)
+    var e = symmetric.transform(graft.ops.Ckpt.eager)
     var last = e.count() // cheap: counts the checkpointed blocks
     var i = 0
     var stable = false
@@ -668,7 +668,7 @@ object GraphQueries {
       // `last` (current edge count) bounds the survivor set's rows
       e = e.join(vhint(keep, last), col("a") === col("n"), "leftsemi")
         .join(vhint(keep, last), col("b") === col("n"), "leftsemi")
-        .localCheckpoint(eager = true)
+        .transform(graft.ops.Ckpt.eager)
       // peeling is monotone (edges only leave), so an unchanged edge
       // count IS the fixpoint — every later round would no-op, exactly
       // as the oracle's fixed-round replay does. Early exit trades the
@@ -737,7 +737,7 @@ object GraphQueries {
   def bfsLevels(symmetric: org.apache.spark.sql.DataFrame,
                 seeds: org.apache.spark.sql.DataFrame,
                 rounds: Int): org.apache.spark.sql.DataFrame = {
-    var frontier = seeds.withColumn("dist", lit(0L)).localCheckpoint(eager = true)
+    var frontier = seeds.withColumn("dist", lit(0L)).transform(graft.ops.Ckpt.eager)
     var visited = frontier
     var i = 1
     // an empty frontier is the fixpoint (nothing left to expand —
@@ -751,7 +751,7 @@ object GraphQueries {
         .select(col("b").as("node")).distinct()
         .join(visited.select(col("node")), Seq("node"), "leftanti")
         .withColumn("dist", lit(i.toLong))
-        .localCheckpoint(eager = true)
+        .transform(graft.ops.Ckpt.eager)
       // no re-checkpoint: both union legs are already materialized, so
       // the lineage is a depth-R union of checkpointed blocks — nothing
       // ever recomputes, and each round saves one materialization pass
@@ -783,7 +783,7 @@ object GraphQueries {
                    seeds: org.apache.spark.sql.DataFrame,
                    rounds: Int): org.apache.spark.sql.DataFrame = {
     var frontier = seeds.select(col("node").as("seed"), col("node"), lit(0L).as("dist"))
-      .localCheckpoint(eager = true)
+      .transform(graft.ops.Ckpt.eager)
     var visited = frontier
     var i = 1
     var fc = frontier.count()
@@ -794,7 +794,7 @@ object GraphQueries {
         .select(col("seed"), col("b").as("node")).distinct()
         .join(visited.select(col("seed"), col("node")), Seq("seed", "node"), "leftanti")
         .withColumn("dist", lit(i.toLong))
-        .localCheckpoint(eager = true)
+        .transform(graft.ops.Ckpt.eager)
       visited = visited.unionAll(nxt)
       frontier = nxt
       fc = frontier.count()
@@ -865,7 +865,7 @@ object GraphQueries {
       ranks = flow
         .unionAll(seeds.select(col("node"), lit(teleport / nSeeds).as("pr")))
         .groupBy(col("node")).agg(sum(col("pr")).as("pr"))
-        .localCheckpoint(eager = true)
+        .transform(graft.ops.Ckpt.eager)
       bound = nVerticesBound
     }
     ranks
@@ -985,7 +985,7 @@ object GraphQueries {
           .groupBy(col("walk"))
           .agg(min(struct(col("h"), col("dst"))).as("m"))
           .select(col("walk"), lit(t).as("step"), col("m.dst").as("node"))
-          .localCheckpoint(eager = true)
+          .transform(graft.ops.Ckpt.eager)
         positions += frontier
       }
       edges.unpersist(false)
@@ -1113,7 +1113,7 @@ object GraphQueries {
           round(lit(2.0) * coalesce(col("t"), lit(0L)) /
             (col("d") * (col("d") - 1)), 6).as("lcc"))
         .orderBy(col("node"))
-      val rows = out.localCheckpoint(true)
+      val rows = out.transform(graft.ops.Ckpt.eager)
       oriented.unpersist(false); deg.unpersist(false)
       rows
     }
@@ -1183,7 +1183,7 @@ object GraphQueries {
             nullif(sqrt((col("m2") * col("sxx") - col("sx") * col("sx")).cast("double")) *
               sqrt((col("m2") * col("syy") - col("sy") * col("sy")).cast("double")), lit(0.0)), 6)
             .as("assortativity"))
-      out.localCheckpoint(true)
+      out.transform(graft.ops.Ckpt.eager)
     }
   }
 
@@ -1224,7 +1224,7 @@ object GraphQueries {
       |        / sum(w), 6) AS w_reciprocity
       |FROM j""".stripMargin) { (s, dir) =>
     val (out, _) = reciprocityFrames(s, dir) // edge list stays memoized
-    out.localCheckpoint(true)
+    out.transform(graft.ops.Ckpt.eager)
   }
 
   /** (above-mean directed nation-trade edges, cached weighted edge
@@ -1370,11 +1370,11 @@ object GraphQueries {
       h = pairs.join(vhint(a, bound), col("node") === col("s"))
         .groupBy(col("c")).agg(sum(col("a")).as("h"))
         .select(col("c").as("node"), col("h"))
-        .localCheckpoint(eager = true)
+        .transform(graft.ops.Ckpt.eager)
     }
     // the final authorities feed two consumers (Σ/count and the output
     // rows) — materialize once
-    (a.localCheckpoint(eager = true), h)
+    (a.transform(graft.ops.Ckpt.eager), h)
   }
 
   /** Strongly connected components of the above-mean nation-trade
@@ -1419,7 +1419,7 @@ object GraphQueries {
       val (e, _) = nationEdgeFrames(s, dir) // edge list stays memoized
       sccComponents(e.select(col("src"), col("dst")), doublings)
         .select(col("v").as("nationkey"), col("scc_id"), col("scc_size"))
-        .orderBy(col("nationkey")).localCheckpoint(eager = true)
+        .orderBy(col("nationkey")).transform(graft.ops.Ckpt.eager)
     }
   }
 
@@ -1431,13 +1431,13 @@ object GraphQueries {
     */
   private[graft] def sccComponents(e: org.apache.spark.sql.DataFrame,
                                    doublings: Int): org.apache.spark.sql.DataFrame = {
-    var r = e.distinct().localCheckpoint(eager = true)
+    var r = e.distinct().transform(graft.ops.Ckpt.eager)
     for (_ <- 1 to doublings) {
       val l = r.select(col("src"), col("dst").as("mid"))
       val rr = r.select(col("src").as("mid2"), col("dst"))
       r = r.unionAll(
           l.join(rr, col("mid") === col("mid2")).select(col("src"), col("dst")))
-        .distinct().localCheckpoint(eager = true)
+        .distinct().transform(graft.ops.Ckpt.eager)
     }
     val rev = r.select(col("src").as("rs"), col("dst").as("rd"))
     val m = r.join(rev, col("src") === col("rd") && col("dst") === col("rs"))
@@ -1487,7 +1487,7 @@ object GraphQueries {
       round(regr_r2(log(col("cnt")), log(col("d"))), 6).as("r2"))
     val rows = nNodes.crossJoin(fit)
       .select(col("n_nodes"), col("n_points"), col("max_deg"), col("slope"), col("r2"))
-      .localCheckpoint(true)
+      .transform(graft.ops.Ckpt.eager)
     deg.unpersist(false)
     rows
   }
@@ -1503,7 +1503,7 @@ object GraphQueries {
                      rounds: Int): org.apache.spark.sql.DataFrame = {
     var frontier = seeds.select(col("node").as("seed"), col("node"),
         lit(0L).as("dist"), lit(1L).as("sigma"))
-      .localCheckpoint(eager = true)
+      .transform(graft.ops.Ckpt.eager)
     var visited = frontier
     var i = 1
     var fc = frontier.count()
@@ -1516,7 +1516,7 @@ object GraphQueries {
         .select(col("seed"), col("b").as("node"), col("sigma"))
         .join(visited.select(col("seed"), col("node")), Seq("seed", "node"), "leftanti")
         .select(col("seed"), col("node"), lit(i.toLong).as("dist"), col("sigma"))
-        .localCheckpoint(eager = true)
+        .transform(graft.ops.Ckpt.eager)
       visited = visited.unionAll(nxt)
       frontier = nxt
       fc = frontier.count()
@@ -1542,7 +1542,7 @@ object GraphQueries {
     var prev = fwd.where(col("dist") === rounds)
       .select(col("seed"), col("node"), col("dist"), col("sigma"),
         lit(0.0).as("delta"))
-      .localCheckpoint(eager = true)
+      .transform(graft.ops.Ckpt.eager)
     var acc = prev
     for (r <- (rounds - 1) to 0 by -1) {
       val lvl = fwd.where(col("dist") === r)
@@ -1557,7 +1557,7 @@ object GraphQueries {
       val dlvl = lvl.join(contrib, Seq("seed", "node"), "left")
         .select(col("seed"), col("node"), col("dist"), col("sigma"),
           coalesce(col("sigma").cast("double") * col("s"), lit(0.0)).as("delta"))
-        .localCheckpoint(eager = true)
+        .transform(graft.ops.Ckpt.eager)
       acc = acc.unionAll(dlvl)
       prev = dlvl
     }

@@ -1048,7 +1048,7 @@ object MlQueries {
       .select(col("y"), least(expr("(10 * s_en) div tot"), lit(9L)).cast("long").as("bin"))
     val b = f.groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("sy"))
-      .localCheckpoint(true) // 10 rows; referenced by 3 joins below
+      .transform(graft.ops.Ckpt.eager) // 10 rows; referenced by 3 joins below
     val w10 = Window.orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val pre = b.select(col("bin"), col("n"), col("sy"),
@@ -1090,6 +1090,51 @@ object MlQueries {
     * post-shuffle stage is 20-row. The one-row summary crosses are
     * construction-time scalars (PlanSpec-allowlisted), never data-sized.
     */
+  /** EXACT isotonic regression on the CONTINUOUS per-row-distinct score
+    * domain (ml_auc_continuous's score — the unpooled sklearn
+    * `IsotonicRegression` semantic; ml_isotonic_calibration's 10-bin
+    * pooling is the MLlib shortcut this completes): the fit runs the
+    * distributed run-collapse PAVA ([[graft.ops.Isotonic]] — PrefixSum
+    * ranks, exact DECIMAL violation tests, O(log n) merge rounds, every
+    * stage distributed), while the oracle evaluates the minimax
+    * identity iso_i = max_{j≤i} min_{k≥i} avg(j..k) (Ayer et al. 1955)
+    * over the O(n²) prefix-sum pair table — tractable for DuckDB at
+    * gate scale, and a completely independent formulation of the same
+    * unique minimizer. Fitted values are single divisions of exact
+    * BIGINT pool sums, so the two engines' doubles are bit-identical
+    * (IEEE division is correctly rounded) and the row hash matches
+    * without tolerance.
+    */
+  val mlIsotonicFit: QueryDef = QueryDef.sql("ml_isotonic_fit",
+    """WITH w AS (SELECT CAST(1 AS BIGINT) << length(bin(max(doc_id))) AS pw FROM documents),
+      |s AS (SELECT CAST(n_chars AS DOUBLE) + doc_id / CAST(pw AS DOUBLE) AS score,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents, w),
+      |g AS (SELECT score, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy
+      |      FROM s GROUP BY score),
+      |r AS (SELECT *, row_number() OVER (ORDER BY score) AS rn FROM g),
+      |c AS (SELECT rn, score, n, sy,
+      |        CAST(sum(n) OVER (ORDER BY rn) AS BIGINT) AS cn,
+      |        CAST(sum(sy) OVER (ORDER BY rn) AS BIGINT) AS cp FROM r),
+      |p AS (SELECT a.rn AS j, b.rn AS k,
+      |        CAST(b.cp - (a.cp - a.sy) AS DOUBLE) / (b.cn - (a.cn - a.n)) AS m
+      |      FROM c a JOIN c b ON a.rn <= b.rn),
+      |mn AS (SELECT j, k, min(m) OVER (PARTITION BY j ORDER BY k DESC) AS mnv FROM p),
+      |iso AS (SELECT k AS rn, max(mnv) AS iso FROM mn GROUP BY k)
+      |SELECT r.score, CAST(r.sy AS BIGINT) AS y, round(iso.iso, 6) AS iso
+      |FROM r JOIN iso USING (rn) ORDER BY score""".stripMargin) { (s, dir) =>
+    val docs = Tables.documents(s, dir)
+    val w = docs.agg(expr("shiftleft(CAST(1 AS BIGINT), length(bin(max(doc_id))))").as("pw"))
+    val base = docs.crossJoin(broadcast(w))
+      .select((col("n_chars").cast("double")
+          + col("doc_id") / col("pw").cast("double")).as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val g = base.groupBy(col("score"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+    graft.ops.Isotonic.fit(g)
+      .select(col("score"), col("sy").as("y"), round(col("iso"), 6).as("iso"))
+      .orderBy(col("score"))
+  }
+
   val mlBootstrapCi: QueryDef = {
     val ts = Seq(424136118829305329L, 848272237658610659L, 1060340297073263324L,
       1131029650211480879L, 1148701988496035267L)
@@ -1270,7 +1315,7 @@ object MlQueries {
     // 20-row scan instead of re-deriving the whole median subplan —
     // without this the nested two-level prefixes multiply the plan
     // (measured 8.3 s -> sub-second at sf0.1)
-    val med = rankSelect(g, "x", "med").localCheckpoint(true)
+    val med = rankSelect(g, "x", "med").transform(graft.ops.Ckpt.eager)
     val dev = g.join(broadcast(med.select(col("source"), col("med"))), "source")
       .groupBy(col("source"), abs(col("x") - col("med")).as("d"))
       .agg(sum(col("c")).as("c"))
@@ -1279,7 +1324,7 @@ object MlQueries {
     val out = med.join(mad, "source")
       .select(col("source"), col("n"), col("med"), col("mad"))
       .orderBy(col("source"))
-      .localCheckpoint(true)
+      .transform(graft.ops.Ckpt.eager)
     g.unpersist(false)
     dev.unpersist(false)
     med.unpersist()
@@ -1400,7 +1445,7 @@ object MlQueries {
         when(col("n_ref") > 0 && col("n_cur") > 0,
           round((pr - pc) * log(pr / pc), 6)).as("psi_part"))
       .orderBy(col("bin"))
-      .localCheckpoint(true)
+      .transform(graft.ops.Ckpt.eager)
     g.unpersist(false)
     out
   }
@@ -1442,7 +1487,7 @@ object MlQueries {
         vars.map { case (a, _) => sum(col(a) * col(a)).as(s"s_$a$a") } ++
         vars.combinations(2).map { case Seq((a, _), (b, _)) =>
           sum(col(a) * col(b)).as(s"s_$a$b") }.toSeq
-      val m = r.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+      val m = r.agg(aggs.head, aggs.tail: _*).transform(graft.ops.Ckpt.eager)
       val legs = vars.combinations(2).map { case Seq((a, _), (b, _)) =>
         m.select(lit(a).as("va"), lit(b).as("vb"),
           expr(corrSql(a, b).replace("\n", " ")).as("corr"))
@@ -1524,7 +1569,7 @@ object MlQueries {
       .select(col("nn"), col("diag"), col("chance"),
         round((col("nn") * col("diag") - col("chance")).cast("double") /
           nullif(col("nn") * col("nn") - col("chance"), lit(0L)), 6).as("kappa"))
-      .localCheckpoint(true)
+      .transform(graft.ops.Ckpt.eager)
     cells.unpersist(false)
     out
   }
@@ -2303,7 +2348,7 @@ object MlQueries {
         when(col("n_pos") > 0 && col("n_neg") > 0,
           round((rp - rn) * log(rp / rn), 6)).as("iv_part"))
       .orderBy(col("bin"))
-      .localCheckpoint(true)
+      .transform(graft.ops.Ckpt.eager)
     g.unpersist(false)
     out
   }
@@ -2363,7 +2408,7 @@ object MlQueries {
           log((col("n") * col("nn")).cast("double") / (col("nl") * col("nb"))), 6)
           .as("mi_part"))
       .orderBy(col("lang"), col("bin"))
-      .localCheckpoint(true)
+      .transform(graft.ops.Ckpt.eager)
     g.unpersist(false)
     cell.unpersist(false)
     out
@@ -2379,5 +2424,6 @@ object MlQueries {
     mlDecisionStump, mlClassWeights, mlAssocRules, mlPrCurve, mlStratifiedEffect,
     mlKsTest, mlTCloseness, mlCvLinreg, mlGini, mlSimpsonDiversity,
     mlMcc, mlCohenKappa, mlCorrMatrix, mlPsi, mlOutlierIqr, mlMad,
-    mlHerfindahl, mlLiftGains, mlWoeIv, mlMutualInfo, mlAucContinuous, mlIsotonicCalibration)
+    mlHerfindahl, mlLiftGains, mlWoeIv, mlMutualInfo, mlAucContinuous, mlIsotonicCalibration,
+    mlIsotonicFit)
 }

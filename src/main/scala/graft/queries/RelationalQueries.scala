@@ -1023,7 +1023,7 @@ object RelationalQueries {
     QueryDef.sql("q_skew_audit",
       blocks.mkString("", "\nUNION ALL\n", "\nORDER BY tbl_key")) { (s, dir) =>
       val (out, cached) = skewAuditFrames(s, dir)
-      val rows = out.localCheckpoint(true)
+      val rows = out.transform(graft.ops.Ckpt.eager)
       cached.foreach(_.unpersist(false))
       rows
     }
@@ -1314,7 +1314,7 @@ object RelationalQueries {
         ((col("nr") - 1) * (col("nc") - 1)).as("dof"),
         round(col("chi2"), 6).as("chi2"),
         round(sqrt(col("chi2") / (col("n") * least(col("nr") - 1, col("nc") - 1))), 6).as("cramers_v"))
-      .localCheckpoint(true)
+      .transform(graft.ops.Ckpt.eager)
     o.unpersist(false)
     rows
   }

@@ -62,4 +62,59 @@ class IsotonicSpec extends SparkSpec {
     val pooled = minimax(Array(10L, 10L), Array(8L, 2L))
     assert(pooled.toSeq === Seq(0.5, 0.5))
   }
+
+  private def fitDistributed(n: Array[Long], sy: Array[Long]): Array[Double] = {
+    import spark.implicits._
+    val g = n.indices.map(i => (i.toDouble, n(i), sy(i))).toDF("score", "n", "sy")
+    graft.ops.Isotonic.fit(g).orderBy(org.apache.spark.sql.functions.col("score"))
+      .collect().map(_.getDouble(3))
+  }
+
+  test("hybrid fit (guarded driver finish) == sequential PAVA on random weighted tables") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 5) {
+      val m = 20 + rnd.nextInt(60)
+      val n = Array.fill(m)(1L + rnd.nextInt(50))
+      val sy = n.map(w => rnd.nextInt(w.toInt + 1).toLong)
+      val got = fitDistributed(n, sy)
+      val want = pava(n, sy)
+      for (i <- 0 until m)
+        assert(math.abs(got(i) - want(i)) < 1e-12,
+          s"trial $trial idx $i: ${got.toSeq} vs ${want.toSeq}")
+    }
+  }
+
+  test("DISTRIBUTED run-collapse rounds (guard forced to 1) == sequential PAVA") {
+    // localLimit = 1 keeps every round on the distributed path until
+    // the no-violations exit — pins the beyond-guard loop itself
+    spark.conf.set("spark.graft.isotonic.localLimit", "1")
+    try {
+      val rnd = new scala.util.Random(29)
+      for (trial <- 1 to 2) {
+        val m = 20 + rnd.nextInt(30)
+        val n = Array.fill(m)(1L + rnd.nextInt(50))
+        val sy = n.map(w => rnd.nextInt(w.toInt + 1).toLong)
+        val got = fitDistributed(n, sy)
+        val want = pava(n, sy)
+        for (i <- 0 until m)
+          assert(math.abs(got(i) - want(i)) < 1e-12,
+            s"trial $trial idx $i: ${got.toSeq} vs ${want.toSeq}")
+      }
+    } finally spark.conf.unset("spark.graft.isotonic.localLimit")
+  }
+
+  test("distributed PAVA pathological shapes: strictly decreasing collapses to one pool; " +
+      "sawtooth and already-isotonic are handled") {
+    // strictly decreasing rates: everything pools to the global mean
+    val dec = fitDistributed(Array(10L, 10L, 10L, 10L), Array(9L, 6L, 3L, 0L))
+    assert(dec.toSeq === Seq(0.45, 0.45, 0.45, 0.45))
+    // already isotonic: fixpoint, untouched
+    val iso = fitDistributed(Array(5L, 5L, 5L), Array(0L, 2L, 5L))
+    assert(iso.toSeq === Seq(0.0, 0.4, 1.0))
+    // sawtooth (0.8, 0.2, 0.8, 0.2): needs a SECOND round — the first
+    // collapse creates new adjacent violations
+    val saw = fitDistributed(Array(10L, 10L, 10L, 10L), Array(8L, 2L, 8L, 2L))
+    val want = pava(Array(10L, 10L, 10L, 10L), Array(8L, 2L, 8L, 2L))
+    assert(saw.toSeq === want.toSeq)
+  }
 }

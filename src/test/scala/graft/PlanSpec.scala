@@ -216,6 +216,9 @@ class PlanSpec extends SparkSpec {
       // (ops.PrefixSum's two-level prefix — the q_histogram shape)
       "ml_auc", "ml_auc_continuous", "ml_pr_curve", "ml_ks_test", "ml_decision_stump",
       "ml_gini", "q_decile_profile", "ml_lift_gains",
+      // one-row pack-width scalar + PrefixSum bounds broadcasts inside
+      // the distributed run-collapse PAVA loop (ops.Isotonic)
+      "ml_isotonic_fit",
       // one-row max(doc_id)+1 pack-width scalar broadcast into the scan
       // (the arg-extrema unique-key width, r11 advice fix)
       "q_agg_funcs")
@@ -258,16 +261,27 @@ class PlanSpec extends SparkSpec {
       "ml_class_weights" -> "totals over the class rollup (|langs| rows)",
       "ml_cv_linreg" -> "moment totals over the k-row fold rollup (k=5)",
       "ml_lift_gains" -> "gains cumulative over the TEN-row decile rollup (ranking itself is PrefixSum)",
-      "ml_isotonic_calibration" -> "prefix sums over the TEN-row reliability-bin rollup (checkpointed)")
+      "ml_isotonic_calibration" -> "prefix sums over the TEN-row reliability-bin rollup (checkpointed)",
+      // surfaced by the r12 pre-checkpoint sweep (previously hidden
+      // behind the eager checkpoint): the global top-100 rank gets
+      // WindowGroupLimit pushdown, so the single-task final window sees
+      // <= tasks x 100 rows, never the wedge-pair table
+      "graph_jaccard" -> "global top-100 row_number: WindowGroupLimit caps every task at 100 rows")
     // A query that THROWS at plan time is an offender too (r11 advice):
     // a swallowed exception would let a broken query silently escape
-    // the sweep and read as compliant.
+    // the sweep and read as compliant. And the sweep now sees THROUGH
+    // eager checkpoints (the r11 blind spot): every localCheckpoint in
+    // the engine routes via ops.Ckpt.eager, which snapshots the
+    // PRE-checkpoint optimized plan — so a query returning (or
+    // internally materializing) a checkpoint can no longer hide an
+    // unpartitioned window behind the LogicalRDD scan.
     val offenders = graft.queries.Registry.all.flatMap { q =>
       val win = try {
-        Right(q.run(spark, dir).queryExecution.optimizedPlan.collect {
+        val (frame, prePlans) = graft.ops.Ckpt.recording(q.run(spark, dir))
+        Right((frame.queryExecution.optimizedPlan +: prePlans).flatMap(_.collect {
           case w: org.apache.spark.sql.catalyst.plans.logical.Window
               if w.partitionSpec.isEmpty => w
-        })
+        }))
       } catch { case e: Throwable => Left(e) }
       win match {
         case Left(e) => Some(q.name -> s"SWEEP RUN FAILED: ${e.toString.take(200)}")

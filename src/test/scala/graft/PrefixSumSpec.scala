@@ -83,6 +83,62 @@ class PrefixSumSpec extends SparkSpec {
     assertSame(gotSp, globalRef(spread, Nil, "k", Seq("c"), desc = false), Seq("k"))
   }
 
+  test("balanced == uniform == global on a pathological outlier-stretched domain, " +
+      "and balanced buckets actually spread the mass") {
+    // 99% of rows inside 1/1000 of the range (scores massed in
+    // [0.999, 1.0]) plus outliers at 0 — uniform-range bucketing lands
+    // the mass in ONE bucket; quantile bucketing must spread it
+    val rnd = new scala.util.Random(13)
+    import spark.implicits._
+    val mass = (0 until 990).map(_ => 0.999 + rnd.nextDouble() * 0.001)
+    val outliers = (0 until 10).map(_ => rnd.nextDouble() * 0.01)
+    val data = (mass ++ outliers).distinct.map(s => (s, rnd.nextInt(10).toLong))
+    val df = data.toDF("score", "c")
+    for (desc <- Seq(false, true); bal <- Seq(false, true)) {
+      val got = PrefixSum.running(df, Nil, "score", Seq("c"),
+        descending = desc, withTotals = true, buckets = 16, balanced = bal)
+      assertSame(got, globalRef(df, Nil, "score", Seq("c"), desc), Seq("score"))
+    }
+    // balance assertion: with quantile boundaries the biggest bucket
+    // holds a bounded share; with uniform-range it holds ~99%
+    def maxShare(bal: Boolean): Double = {
+      val bucketed = PrefixSum.running(df, Nil, "score", Seq("c"),
+          buckets = 16, balanced = bal)
+        .count() // force; share measured via a re-derivation below
+      // re-derive bucket histogram the same way running() does
+      val x = col("score").cast("double")
+      val n = data.size.toDouble
+      if (bal) {
+        val pcts = (1 until 16).map(i => i.toDouble / 16)
+        val bnds = df.agg(percentile_approx(x, lit(pcts.toArray), lit(10000)).as("b"))
+        df.crossJoin(bnds)
+          .select(aggregate(col("b"), lit(0), (a, bd) => a + when(x >= bd, 1).otherwise(0)).as("bk"))
+          .groupBy(col("bk")).count().agg(max(col("count"))).head().getLong(0) / n
+      } else {
+        val mn = data.map(_._1).min; val mx = data.map(_._1).max
+        df.select(least(lit(15), floor((x - mn) / (mx - mn) * 16).cast("int")).as("bk"))
+          .groupBy(col("bk")).count().agg(max(col("count"))).head().getLong(0) / n
+      }
+    }
+    assert(maxShare(bal = false) > 0.9, "fixture not pathological for uniform buckets")
+    assert(maxShare(bal = true) < 0.25,
+      "quantile buckets failed to spread an outlier-stretched domain")
+  }
+
+  test("null order key raises instead of silently dropping rows") {
+    import spark.implicits._
+    val df = Seq((java.lang.Long.valueOf(1L), 1L), (null.asInstanceOf[java.lang.Long], 2L))
+      .toDF("k", "c")
+    for (bal <- Seq(false, true)) {
+      val e = intercept[Exception] {
+        PrefixSum.running(df, Nil, "k", Seq("c"), balanced = bal).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("null order key")), s"wrong failure: $e")
+    }
+  }
+
   test("plan: the only unpartitioned window orders the bucket rollup") {
     import spark.implicits._
     val df = (0 until 100).map(i => (i.toLong, 1L)).toDF("k", "c")
