@@ -261,6 +261,25 @@ object ScaleProbe {
       val appS = (System.nanoTime() - t5b) / 1e9
       val nIdx = graft.ops.IvfIndex.assignments(spark, ivfRoot).count()
       println(f"[scaleprobe] docs=$n%6d ivf_append base=$cutIvf%6d build=$buildS%6.1f s batch=${n - cutIvf}%5d append=$appS%6.1f s rows=$nIdx%7d")
+
+      // ivf-compact leg (r12): delete + compaction cost must scale with
+      // TOUCHED cells, never the index. Tombstone half of the members
+      // of ~1/8 of the cells (every 8th cell id), compact at 25%, and
+      // time it; the narrow variant (1/32 of cells) must be cheaper on
+      // the same index — the affected-cell-only story measured.
+      def compactLeg(tag: String, modCell: Int): Unit = {
+        val asg = graft.ops.IvfIndex.assignments(spark, ivfRoot)
+        val doomed = asg.where(col("cl") % modCell === 0 && col("vec_id") % 2 === 0)
+          .select(col("vec_id"), col("v"))
+        graft.ops.IvfIndex.delete(spark, doomed, ivfRoot)
+        val t = System.nanoTime()
+        val cells = graft.ops.IvfIndex.compact(spark, ivfRoot, minRatio = 0.25)
+        val secs = (System.nanoTime() - t) / 1e9
+        val live = graft.ops.IvfIndex.liveAssignments(spark, ivfRoot).count()
+        println(f"[scaleprobe] docs=$n%6d ivf_compact($tag) cells_touched=${cells.size}%4d wall=$secs%6.1f s live=$live%7d")
+      }
+      compactLeg("1/32", 32)
+      compactLeg("1/8", 8)
       vecs.unpersist(false)
 
       // asof leg: composed union+window vs the native AsOfJoinExec on

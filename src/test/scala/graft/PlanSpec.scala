@@ -180,7 +180,7 @@ class PlanSpec extends SparkSpec {
       "embed_cluster_purity", "embed_kmeans_elbow", "embed_ivf_index_roundtrip",
       // same KMeans.assign / persisted-index probe broadcast cross as
       // embed_ivf_index_roundtrip, on the append-mode index
-      "embed_ivf_index_append", "embed_index_drift",
+      "embed_ivf_index_append", "embed_index_drift", "embed_ivf_index_delete",
       // the same coarse-probe broadcast cross (10 queries × 16-centroid
       // table) routing the ADC probe over the persisted IVFADC index;
       // the PQ stages themselves are broadcast EQUI-joins
