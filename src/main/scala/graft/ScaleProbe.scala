@@ -16,6 +16,11 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sizes = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(5000, 20000, 50000)
+    // optional leg filter (SPARK_GRAFT_PROBE_LEGS=corpus,bpe) so a
+    // single heavy leg can run at 1M docs without paying for the rest
+    val legsEnv = sys.env.get("SPARK_GRAFT_PROBE_LEGS")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def on(l: String): Boolean = legsEnv.forall(_.contains(l))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -34,12 +39,14 @@ object ScaleProbe {
           .stripMargin).as("text"))
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
-      val t0 = System.nanoTime()
-      val pairs = graft.queries.DedupQueries
-        .prefixFilteredPairs(graft.queries.DedupQueries.docHashes(spark, dir))
-        .where(col("sim") >= 0.8).count()
-      val secs = (System.nanoTime() - t0) / 1e9
-      println(f"[scaleprobe] docs=$n%6d near_dup_pairs=$pairs%6d wall=$secs%6.1f s")
+      if (on("pairs")) {
+        val t0 = System.nanoTime()
+        val pairs = graft.queries.DedupQueries
+          .prefixFilteredPairs(graft.queries.DedupQueries.docHashes(spark, dir))
+          .where(col("sim") >= 0.8).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"[scaleprobe] docs=$n%6d near_dup_pairs=$pairs%6d wall=$secs%6.1f s")
+      }
 
       // funnel leg: the composed gopher+lang+exact-dedup pass — one scan
       // + one digest shuffle, so the curve should stay ~linear with a
@@ -50,11 +57,13 @@ object ScaleProbe {
       spark.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), concat(lit("the and of to in "), col("text")).as("text"))
         .write.mode("overwrite").parquet(s"$dirF/documents.parquet")
-      val t1 = System.nanoTime()
-      val kept = graft.queries.MlQueries.mlQualityFunnel.run(spark, dirF)
-        .where(col("keep") === 1).count()
-      val fsecs = (System.nanoTime() - t1) / 1e9
-      println(f"[scaleprobe] docs=$n%6d funnel_kept=$kept%6d wall=$fsecs%6.1f s")
+      if (on("funnel")) {
+        val t1 = System.nanoTime()
+        val kept = graft.queries.MlQueries.mlQualityFunnel.run(spark, dirF)
+          .where(col("keep") === 1).count()
+        val fsecs = (System.nanoTime() - t1) / 1e9
+        println(f"[scaleprobe] docs=$n%6d funnel_kept=$kept%6d wall=$fsecs%6.1f s")
+      }
 
       // corpus-pipeline leg: the COMPOSED CorpusPipeline DAG end to end
       // (JSONL ingest → funnel → signature build → LSH pairs → CC →
@@ -72,6 +81,7 @@ object ScaleProbe {
           concat(lit("src"), pmod(col("doc_id"), lit(20))).as("source"),
           length(col("text")).cast("long").as("n_chars"))
         .toJSON.write.mode("overwrite").text(s"$dirP/jsonl")
+      if (on("corpus")) {
       val t15 = System.nanoTime()
       val cr = graft.pipeline.CorpusPipeline.run(spark, s"$dirP/jsonl", s"$dirP/out")
       val psecs = (System.nanoTime() - t15) / 1e9
@@ -99,6 +109,7 @@ object ScaleProbe {
       require(crA.nSurvivors == cr.nSurvivors && crA.nKept == cr.nKept,
         s"append differential: full=(${cr.nKept},${cr.nSurvivors}) incr=(${crA.nKept},${crA.nSurvivors})")
       println(f"[scaleprobe] docs=$n%6d corpus_append base(${crB.nDocs}%6d)=$bSecs%6.1f s batch(${crA.nDocs - crB.nDocs}%5d)=$aSecs%6.1f s full=$psecs%6.1f s")
+      }
       // sketch leg: ONE aggregation pass over the full token stream
       // builds the whole sketch family concurrently — Count-Min (32 KB),
       // Bloom (512 B), KMV (~2 KB) — on the production hash tier
@@ -106,6 +117,7 @@ object ScaleProbe {
       // corpus size, partials map-side combine, so the curve should be
       // a flat-constant-plus-linear-scan: the 100 TB story is "three
       // sketches for the price of one pass and 35 KB of shuffle".
+      if (on("sketch")) {
       graft.functions.CMSketch.register(spark)
       graft.functions.BloomSketch.register(spark)
       graft.functions.KMVDistinct.register(spark)
@@ -118,6 +130,7 @@ object ScaleProbe {
           expr("kmv_distinct(hv, 256)").as("kmv")).head()
       val ssecs = (System.nanoTime() - t2) / 1e9
       println(f"[scaleprobe] docs=$n%6d tokens=${80L * n}%8d kmv_distinct_est=${sk.getDouble(2)}%8.1f wall=$ssecs%6.1f s")
+      }
 
       // bpe leg (r10, deepened r11): tokenizer training at growing
       // corpus size AND production merge depth — the merge loop runs
@@ -125,16 +138,18 @@ object ScaleProbe {
       // re-enters), so 256 merges must stay FLAT in n and cost seconds
       // (the r10 caveat was one Spark job PER merge) while the one
       // corpus-sized rollup scales with the scan.
+      if (on("bpe")) {
       val tb0 = System.nanoTime()
       val bv = graft.ops.Bpe.vocab0(spark.read.parquet(s"$dir/documents.parquet"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val nVocab = bv.count()
       val rollS = (System.nanoTime() - tb0) / 1e9
       val tb1 = System.nanoTime()
-      val merges = graft.ops.Bpe.fitVocab(bv, 256)
+      val merges = graft.ops.Bpe.fitVocab(bv, 1024)
       val loopS = (System.nanoTime() - tb1) / 1e9
       bv.unpersist(false)
-      println(f"[scaleprobe] docs=$n%6d bpe vocab=$nVocab%5d rollup=$rollS%5.1f s merge_loop(256)=$loopS%5.1f s n_merges=${merges.length} top=${merges.head.left}${merges.head.right}")
+      println(f"[scaleprobe] docs=$n%6d bpe vocab=$nVocab%5d rollup=$rollS%5.1f s merge_loop(1024)=$loopS%5.1f s n_merges=${merges.length} top=${merges.head.left}${merges.head.right}")
+      }
 
       // graph leg: the pagerank power-iteration core on a synthetic
       // bipartite graph with zipf-ish hub skew (edge count = 20·n, hubs
@@ -144,6 +159,7 @@ object ScaleProbe {
       // EDGES with a fixed per-round constant — iterations don't
       // multiply shuffled bytes, the 100 TB story for iterative graph
       // ops.
+      if (on("graph")) {
       val t3 = System.nanoTime()
       val m = 20L * n
       val raw = spark.range(m).select(
@@ -176,6 +192,7 @@ object ScaleProbe {
         .agg(sum(col("bc"))).head().getDouble(0)
       val bsecs = (System.nanoTime() - t3b) / 1e9
       println(f"[scaleprobe] docs=$n%6d brandes_edges=${2 * m}%9d top5_bc=$bcTop%12.1f wall=$bsecs%6.1f s")
+      }
 
       // embed leg: the native-kernel vector path at growing n — (a) the
       // banded random-hyperplane near-dup pipeline (4 bands × 16 bits:
@@ -194,6 +211,7 @@ object ScaleProbe {
           |  IF(id % 25 = 0 AND id > 0, id - 1, id), j), 2001) - 1000 AS DOUBLE) / 1000.0)"""
           .stripMargin).as("v"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      if (on("embed")) {
       val t4 = System.nanoTime()
       val banded = Similarity.bandedHyperplane(vecs, "v", bands = 4,
         bitsPerBand = 16, seed = 7, dim = 64)
@@ -207,6 +225,8 @@ object ScaleProbe {
       val nearDup = cand.where(Similarity.cosine("va", "vb") >= 0.95).count()
       val esecs = (System.nanoTime() - t4) / 1e9
       println(f"[scaleprobe] docs=$n%6d planted=${(n - 1) / 25}%6d embed_near_dup=$nearDup%6d wall=$esecs%6.1f s")
+      }
+      if (on("kmeans")) {
       val t5 = System.nanoTime()
       val cents = vecs.where(col("vec_id") < 16).collect()
         .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
@@ -222,6 +242,7 @@ object ScaleProbe {
         .count()
       val ksecs = (System.nanoTime() - t5) / 1e9
       println(f"[scaleprobe] docs=$n%6d kmeans_round_rows=$updated%5d wall=$ksecs%6.1f s")
+      }
 
       // kmeans-TABLE leg (r10): a 2-round ml.KMeans fit at k=4096 cells
       // via the broadcast centroid table. The point is PLAN-SIZE
@@ -230,8 +251,9 @@ object ScaleProbe {
       // table path's plan is O(1) in k, so plan build + run must stay
       // in the same band as the k=16 literal leg's shape. Wall time is
       // the n·k distance stream (compute-bound, linear in both).
-      val kBig = math.min(4096L, n.toLong)
       val vv = vecs.select(col("vec_id"), col("v"))
+      if (on("kmeans")) {
+      val kBig = math.min(4096L, n.toLong)
       // pure plan assembly (analyze+optimize+physical plan, NO job):
       // this is the number that blows up O(k·d) on the literal form
       val t5p = System.nanoTime()
@@ -244,6 +266,7 @@ object ScaleProbe {
       val cellsBig = asgBig.agg(countDistinct(col("cl"))).head().getLong(0)
       val ktsecs = (System.nanoTime() - t5t) / 1e9
       println(f"[scaleprobe] docs=$n%6d kmeans_table k=$kBig%5d cells=$cellsBig%5d plan_build=$planMs%7.1f ms wall=$ktsecs%6.1f s")
+      }
 
       // ivf-append leg (r11): persisted-index growth — build on the
       // base 90%, then append the last 10% against the PERSISTED
@@ -251,6 +274,7 @@ object ScaleProbe {
       // BATCH (one broadcast argmin over n/10 rows + a cell-partitioned
       // file append), never the base — the 100 TB story for daily
       // embedding deltas on a months-old index.
+      if (on("ivf")) {
       val ivfRoot = graft.ops.Scratch.dir(s"probe_ivf_$n")
       val cutIvf = (n * 9L) / 10L
       val t5a = System.nanoTime()
@@ -280,6 +304,7 @@ object ScaleProbe {
       }
       compactLeg("1/32", 32)
       compactLeg("1/8", 8)
+      }
       vecs.unpersist(false)
 
       // asof leg: composed union+window vs the native AsOfJoinExec on
@@ -287,7 +312,7 @@ object ScaleProbe {
       // over n/100 keys, plus 6 fat left payload columns so the padded
       // union's extra shuffled bytes are visible. Both sides computed
       // to a count; equality asserted (differential at scale).
-      {
+      if (on("asof")) {
         val keys = math.max(n / 100, 1)
         val lhs = spark.range(n).select(col("id").as("event_id"),
             pmod(col("id"), lit(keys)).as("user_id"),

@@ -200,9 +200,13 @@ object Bpe {
     * are maintained INCREMENTALLY (a merge of (a,b) only re-counts the
     * words that contain the pair, found via an inverted pair→word
     * index), so total work is Σ touched-word lengths, not
-    * merges × vocab. The argmax is an O(|pairs|) scan per merge —
-    * plenty to 10⁵ merges on a 10⁷-word vocab; an indexed heap is the
-    * standard upgrade beyond that.
+    * merges × vocab. The argmax is an INDEXED MAX-HEAP with lazy
+    * invalidation (the r11 upgrade past the O(|pairs|)-scan-per-merge
+    * form): every count update pushes a fresh (count, pair) entry;
+    * pop discards entries whose recorded count no longer matches the
+    * live map — each merge costs O(touched · log |pairs|) instead of
+    * O(|pairs|), which is what makes 10⁵–10⁶ production merge counts
+    * flat (BpeSpec pins heap ≡ distributed at 1000 merges).
     *
     * Semantics are bit-identical to the distributed loop: overlap-
     * counted pair frequencies, (count DESC, left, right) tie-break,
@@ -214,6 +218,20 @@ object Bpe {
     val cnts: Array[Long] = words.map(_._2)
     val pair = mutable.HashMap[(String, String), Long]()
     val where = mutable.HashMap[(String, String), mutable.Set[Int]]()
+    // max-heap by (count DESC, left ASC, right ASC) — the merge-pick
+    // order. Entries are immutable snapshots; staleness is checked
+    // against `pair` at pop time (lazy invalidation).
+    val heapOrd = new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val a = y._2.compareTo(x._2)
+          if (a != 0) a else y._3.compareTo(x._3)
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](heapOrd)
     // `where` entries go stale after rewrites (a word may lose a pair);
     // stale ids are filtered at use — the standard lazy-index trick.
     def addPairs(i: Int, sign: Long): Unit = {
@@ -222,7 +240,7 @@ object Bpe {
       while (j < t.length - 1) {
         val p = (t(j), t(j + 1))
         val nv = pair.getOrElse(p, 0L) + sign * cnts(i)
-        if (nv == 0L) pair.remove(p) else pair(p) = nv
+        if (nv == 0L) pair.remove(p) else { pair(p) = nv; heap.enqueue((nv, p._1, p._2)) }
         if (sign > 0L) where.getOrElseUpdate(p, mutable.Set.empty) += i
         j += 1
       }
@@ -232,13 +250,12 @@ object Bpe {
     val out = Seq.newBuilder[Merge]
     var r = 1
     while (r <= n && pair.nonEmpty) {
+      // pop until a live entry: recorded count must match the map
       var bestP: (String, String) = null
-      var bestC = Long.MinValue
-      for ((p, c) <- pair) {
-        if (c > bestC || (c == bestC &&
-            (p._1 < bestP._1 || (p._1 == bestP._1 && p._2 < bestP._2)))) {
-          bestP = p; bestC = c
-        }
+      var bestC = 0L
+      while (bestP == null) {
+        val (c, a, b) = heap.dequeue()
+        if (pair.get((a, b)).contains(c)) { bestP = (a, b); bestC = c }
       }
       val (a, b) = bestP
       out += Merge(r, a, b, bestC)

@@ -112,21 +112,22 @@ class BpeSpec extends SparkSpec {
       ((six.left, six.right, six.count)))
   }
 
-  test("production merge count: local loop == sequential reference at 300 merges") {
+  test("production merge count: heap-argmax local loop == sequential reference at 1000 merges") {
     // the r10 caveat was the PER-MERGE Spark job; the local loop must
     // track the from-scratch reference exactly deep into the merge
-    // sequence (incremental pair deltas == full recounts), including
+    // sequence (incremental pair deltas == full recounts, and the r12
+    // lazy-invalidation heap == the full argmax scan), including
     // the early-exhaustion rule if pairs run out on either side.
     val rnd = new scala.util.Random(7)
     val alphabet = "abcdefghijkl"
-    val texts = (1 to 12).map { _ =>
-      (1 to 120).map { _ =>
+    val texts = (1 to 24).map { _ =>
+      (1 to 160).map { _ =>
         val len = 2 + rnd.nextInt(9)
         (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
       }.mkString(" ")
     }
-    val got = Bpe.fit(docs(texts: _*), 300)
-    val want = refBpe(texts, 300)
+    val got = Bpe.fit(docs(texts: _*), 1000)
+    val want = refBpe(texts, 1000)
     assert(got === want)
   }
 
