@@ -62,7 +62,17 @@ object DedupQueries {
                                   hash: TextOps.HashSql = null) = {
     TextOps.ensureFunctions(s)
     val h = Option(hash).getOrElse(TextOps.activeHash(s))
-    val sh = TextOps.docShingles(docs)
+    // the tokenize -> shingle -> hash map is the family's cost driver
+    // and runs in the SCAN stage, so a small input (one parquet file —
+    // an append batch, a small SF dir) would execute it on 1-2 tasks
+    // while 30 cores idle (measured: a 100k-doc batch cost the same
+    // wall as the 900k base). Widen under-parallel inputs first; the
+    // exchange is batch-sized and buys the full map parallelism.
+    val par = s.sparkContext.defaultParallelism
+    val docsWide =
+      if (docs.rdd.getNumPartitions < math.max(2, par / 4)) docs.repartition(par)
+      else docs
+    val sh = TextOps.docShingles(docsWide)
     TextOps.barrier(sh.select(col("doc_id"),
       array_sort(expr(s"transform(sh, x -> ${h("'g'", "x")})")).as("hs"),
       size(col("sh")).as("n")), "doc_id")
