@@ -1135,6 +1135,95 @@ object MlQueries {
       .orderBy(col("score"))
   }
 
+  /** APPLY the isotonic fit to HELD-OUT scores — sklearn
+    * `IsotonicRegression.transform`'s step-function semantic, completing
+    * [[mlIsotonicFit]] to the fit → predict pair: train on doc_id ∉ 5ℤ,
+    * predict each holdout score as the fitted value at the GREATEST
+    * train score ≤ it (out-of-range-low clips to the first fitted
+    * value, the sklearn boundary rule).
+    *
+    * Execution is a BUCKETED backward as-of (the PrefixSum shape, not a
+    * single-task global sort): train rows and holdout points bucket by
+    * train-score quantiles (monotone, broadcast boundaries), the as-of
+    * resolves WITHIN each bucket as a partitioned
+    * `last(iso, ignoreNulls)` running window (train rows sort before
+    * test at equal keys), and cross-bucket carry is the classic scan
+    * trick — a ≤64-row per-bucket last-train-value rollup whose only
+    * unpartitioned window orders `__ps_bucket`, broadcast back. The
+    * oracle states the same function via DuckDB's native ASOF JOIN —
+    * an independent formulation, bit-matching because fitted values are
+    * exact-BIGINT-ratio doubles ([[mlIsotonicFit]]'s argument).
+    */
+  val mlIsotonicPredict: QueryDef = QueryDef.sql("ml_isotonic_predict",
+    """WITH w AS (SELECT CAST(1 AS BIGINT) << length(bin(max(doc_id))) AS pw FROM documents),
+      |s AS (SELECT doc_id, CAST(n_chars AS DOUBLE) + doc_id / CAST(pw AS DOUBLE) AS score,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents, w),
+      |g AS (SELECT score, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy
+      |      FROM s WHERE doc_id % 5 <> 0 GROUP BY score),
+      |r AS (SELECT *, row_number() OVER (ORDER BY score) AS rn FROM g),
+      |c AS (SELECT rn, score, n, sy,
+      |        CAST(sum(n) OVER (ORDER BY rn) AS BIGINT) AS cn,
+      |        CAST(sum(sy) OVER (ORDER BY rn) AS BIGINT) AS cp FROM r),
+      |p AS (SELECT a.rn AS j, b.rn AS k,
+      |        CAST(b.cp - (a.cp - a.sy) AS DOUBLE) / (b.cn - (a.cn - a.n)) AS m
+      |      FROM c a JOIN c b ON a.rn <= b.rn),
+      |mn AS (SELECT j, k, min(m) OVER (PARTITION BY j ORDER BY k DESC) AS mnv FROM p),
+      |iso AS (SELECT k AS rn, max(mnv) AS iso FROM mn GROUP BY k),
+      |fit AS (SELECT r.score, iso.iso FROM r JOIN iso USING (rn)),
+      |t AS (SELECT score, CAST(y AS BIGINT) AS y FROM s WHERE doc_id % 5 = 0)
+      |SELECT t.score, t.y,
+      |  round(coalesce(f.iso, (SELECT iso FROM fit ORDER BY score LIMIT 1)), 6) AS pred
+      |FROM t ASOF LEFT JOIN fit f ON t.score >= f.score
+      |ORDER BY t.score""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val w = docs.agg(expr("shiftleft(CAST(1 AS BIGINT), length(bin(max(doc_id))))").as("pw"))
+    val base = docs.crossJoin(broadcast(w))
+      .select(col("doc_id"),
+        (col("n_chars").cast("double")
+          + col("doc_id") / col("pw").cast("double")).as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val g = base.where(col("doc_id") % 5 =!= 0).groupBy(col("score"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+    val fitted = graft.ops.Isotonic.fit(g).select(col("score"), col("iso"))
+    val test = base.where(col("doc_id") % 5 === 0).select(col("score"), col("y"))
+    // bucket BOTH sides by train-score quantiles (monotone => as-of
+    // predecessors are in the same or an earlier bucket)
+    val bkts = 64
+    val pcts = (1 until bkts).map(i => i.toDouble / bkts)
+    val bnds = fitted.agg(percentile_approx(col("score"),
+      lit(pcts.toArray), lit(10000)).as("__bnds"))
+    def bucketed(df: org.apache.spark.sql.DataFrame) = df.crossJoin(broadcast(bnds))
+      .withColumn(graft.ops.PrefixSum.BucketCol, aggregate(col("__bnds"), lit(0),
+        (acc, bd) => acc + when(col("score") >= bd, 1).otherwise(0)))
+      .drop("__bnds")
+    val u = bucketed(fitted.select(col("score"), col("iso"), lit(1).as("__t"))
+      .unionByName(test.select(col("score"), lit(null).cast("double").as("iso"),
+        lit(0).as("__t"))))
+    val inW = Window.partitionBy(col(graft.ops.PrefixSum.BucketCol))
+      .orderBy(col("score").asc, col("__t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val u2 = u.withColumn("pred0", last(col("iso"), ignoreNulls = true).over(inW))
+    // cross-bucket carry: per bucket the LAST train value, exclusive
+    // running last over the <=64-row rollup (ordered by __ps_bucket —
+    // the sweep-legal bounded window), broadcast back
+    val roll = u.groupBy(col(graft.ops.PrefixSum.BucketCol))
+      .agg(max_by(col("iso"), when(col("__t") === 1, col("score"))).as("__biso"))
+    val carryW = Window.orderBy(col(graft.ops.PrefixSum.BucketCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = roll.withColumn("__carry",
+      last(col("__biso"), ignoreNulls = true).over(carryW))
+      .select(col(graft.ops.PrefixSum.BucketCol), col("__carry"))
+    val first = fitted.agg(min_by(col("iso"), col("score")).as("__first"))
+    val te = u2.where(col("__t") === 0)
+      .join(broadcast(carry), graft.ops.PrefixSum.BucketCol)
+      .crossJoin(broadcast(first))
+    te.join(test.select(col("score"), col("y")), "score")
+      .select(col("score"), col("y"),
+        round(coalesce(col("pred0"), col("__carry"), col("__first")), 6).as("pred"))
+      .orderBy(col("score"))
+  }
+
   val mlBootstrapCi: QueryDef = {
     val ts = Seq(424136118829305329L, 848272237658610659L, 1060340297073263324L,
       1131029650211480879L, 1148701988496035267L)
@@ -2425,5 +2514,5 @@ object MlQueries {
     mlKsTest, mlTCloseness, mlCvLinreg, mlGini, mlSimpsonDiversity,
     mlMcc, mlCohenKappa, mlCorrMatrix, mlPsi, mlOutlierIqr, mlMad,
     mlHerfindahl, mlLiftGains, mlWoeIv, mlMutualInfo, mlAucContinuous, mlIsotonicCalibration,
-    mlIsotonicFit)
+    mlIsotonicFit, mlIsotonicPredict)
 }

@@ -103,6 +103,47 @@ class IsotonicSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.isotonic.localLimit")
   }
 
+  test("ml_isotonic_predict: step function, carry across train-empty buckets, below-min clip") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("isopred").toString
+    // scores = n_chars + doc_id/pw. Train (doc_id % 5 != 0) sparse
+    // against 64 buckets => most buckets are train-empty, so test
+    // points exercise the cross-bucket CARRY; doc_id 5 (n_chars 1)
+    // sits below the min train score => the clip-to-first branch.
+    // y: 0 for small scores, 1 for large => fit is a clean step.
+    val rows = Seq(
+      (1L, 10L, "fr"), (2L, 20L, "fr"), (3L, 900L, "en"), (4L, 990L, "en"),
+      (5L, 1L, "en"),   // test, below all train scores -> first fitted value
+      (10L, 15L, "fr"), (15L, 500L, "en"), (20L, 950L, "fr"), (25L, 999L, "en"))
+    rows.map { case (id, nc, lang) => (id, nc, lang, s"doc$id") }
+      .toDF("doc_id", "n_chars", "lang", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.queries.MlQueries.mlIsotonicPredict.run(spark, tmp)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toList
+    // driver reference: PAVA over train distinct scores, then the step
+    val pw = 1L << java.lang.Long.toBinaryString(25L).length
+    def score(id: Long, nc: Long) = nc.toDouble + id.toDouble / pw
+    val train = rows.filter(_._1 % 5 != 0)
+      .map { case (id, nc, lang) => (score(id, nc), if (lang == "en") 1L else 0L) }
+      .sortBy(_._1)
+    val fit = graft.ops.Isotonic.pavaLocal(train.map(t => (1L, t._2)).toArray)
+    def predict(x: Double): Double = {
+      val idx = train.indices.filter(i => train(i)._1 <= x)
+      if (idx.isEmpty) fit(0) else fit(idx.max)
+    }
+    val want = rows.filter(_._1 % 5 == 0).map { case (id, nc, lang) =>
+      (if (lang == "en") 1L else 0L,
+        math.rint(predict(score(id, nc)) * 1e6) / 1e6)
+    }.sortBy(t => t._2 -> t._1).toList
+    assert(got.map(_._2).sorted === want.map(_._2).sorted,
+      s"got $got want $want")
+    // the below-min clip really hit the FIRST fitted value
+    val gotRow5 = graft.queries.MlQueries.mlIsotonicPredict.run(spark, tmp)
+      .orderBy(col("score")).collect().head
+    assert(gotRow5.getDouble(2) === math.rint(fit(0) * 1e6) / 1e6)
+  }
+
   test("distributed PAVA pathological shapes: strictly decreasing collapses to one pool; " +
       "sawtooth and already-isotonic are handled") {
     // strictly decreasing rates: everything pools to the global mean

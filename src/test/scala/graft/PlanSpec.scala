@@ -217,8 +217,10 @@ class PlanSpec extends SparkSpec {
       "ml_auc", "ml_auc_continuous", "ml_pr_curve", "ml_ks_test", "ml_decision_stump",
       "ml_gini", "q_decile_profile", "ml_lift_gains",
       // one-row pack-width scalar + PrefixSum bounds broadcasts inside
-      // the distributed run-collapse PAVA loop (ops.Isotonic)
-      "ml_isotonic_fit",
+      // the distributed run-collapse PAVA loop (ops.Isotonic); predict
+      // adds the quantile-boundary / carry / first-value broadcasts of
+      // the bucketed as-of
+      "ml_isotonic_fit", "ml_isotonic_predict",
       // one-row max(doc_id)+1 pack-width scalar broadcast into the scan
       // (the arg-extrema unique-key width, r11 advice fix)
       "q_agg_funcs")
