@@ -101,6 +101,17 @@ class PlanSpec extends SparkSpec {
       s"no dynamic partition pruning on the index scan in:\n${p.take(4000)}")
   }
 
+  test("embed_ivf_pq_index: the ADC probe dynamically prunes the cell-partitioned CODES scan") {
+    // same DPP law on the IVFADC artifact: a probed query must read
+    // only its nprobe cells' CODE files — the whole point of storing
+    // codes hive-partitioned by coarse cell
+    val df = graft.queries.EmbedQueries.embedIvfPqIndex.run(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the codes scan in:\n${p.take(4000)}")
+  }
+
   test("GLOBAL sweep: no unintended nested-loop/cartesian join in ANY registered query") {
     // queries whose plans legitimately contain a BroadcastNestedLoopJoin:
     // a deliberately-broadcast tiny side (queries / centroids) crossed
