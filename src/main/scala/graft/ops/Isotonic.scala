@@ -91,8 +91,12 @@ object Isotonic {
         val ordered = pools.orderBy(col("lo")).collect()
         val fitted = pavaLocal(ordered.map(p => (p.getLong(1), p.getLong(2))))
         import spark.implicits._
-        val isoDf = ordered.zipWithIndex
-          .map { case (p, i) => (p.getDouble(0), fitted(i)) }.toSeq
+        // ship the (key -> fitted) table as an RDD, never a plan-embedded
+        // LocalRelation: at the 4M-pool guard a local relation would
+        // serialize millions of rows INTO the plan
+        val isoDf = spark.sparkContext
+          .parallelize(ordered.indices.map(i => (ordered(i).getDouble(0), fitted(i))),
+            math.max(1, spark.sparkContext.defaultParallelism))
           .toDF("olo", "iso")
         return rows.join(isoDf, col("lo") === col("olo"))
           .select(col("score"), col("n"), col("sy"), col("iso"))
