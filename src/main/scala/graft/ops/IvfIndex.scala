@@ -110,30 +110,68 @@ object IvfIndex {
         Seq("vec_id"), "left_anti").transform(Ckpt.eager)
       val deadCells = stats.filter(_.getBoolean(1)).map(_.getLong(0))
       val liveCells = cells.diff(deadCells)
+      val hasCodes = new java.io.File(s"$root/codes").isDirectory
+      def dynOverwrite(df: DataFrame, path: String): Unit = {
+        val saved = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try df.write.mode("overwrite").partitionBy("cl").parquet(path)
+        finally saved match {
+          case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+          case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+      }
       if (liveCells.nonEmpty) {
         val liveDf = broadcast(s.createDataFrame(liveCells.map(Tuple1(_))).toDF("cl"))
         val live = asg.join(liveDf, "cl")
           .join(tomb, Seq("vec_id"), "left_anti")
           .select(col("vec_id"), col("v"), col("cl"))
           .transform(Ckpt.eager)
-        val saved = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try live.write.mode("overwrite").partitionBy("cl").parquet(s"$root/assignments")
-        finally saved match {
-          case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-          case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        }
+        // the PQ half (if present) compacts in lockstep: compaction
+        // DRAINS applied tombstones, so any store that kept the dead
+        // rows would resurrect them at the next ADC probe
+        val liveCodes = if (hasCodes)
+          codes(s, root).join(liveDf, "cl")
+            .join(tomb, Seq("vec_id"), "left_anti")
+            .select(col("vec_id"), col("sub"), col("code"), col("cl"))
+            .transform(Ckpt.eager)
+        else null
+        dynOverwrite(live, s"$root/assignments")
+        if (hasCodes) dynOverwrite(liveCodes, s"$root/codes")
       }
       deadCells.foreach { c =>
-        val dir = new java.io.File(s"$root/assignments/cl=$c")
-        if (dir.isDirectory) {
-          dir.listFiles().foreach(_.delete())
-          dir.delete(): Unit
+        for (half <- Seq("assignments", "codes") if !half.equals("codes") || hasCodes) {
+          val dir = new java.io.File(s"$root/$half/cl=$c")
+          if (dir.isDirectory) {
+            dir.listFiles().foreach(_.delete())
+            dir.delete(): Unit
+          }
         }
       }
       remaining.write.mode("overwrite").parquet(s"$root/tombstones")
     }
     cells
+  }
+
+  /** PQ append — [[append]]'s encoding twin, keeping the two halves of
+    * the IVFADC artifact in lockstep: the batch encodes against the
+    * PERSISTED codebooks (books held fixed — one broadcast grouped
+    * argmin over the batch sub-slices only) and its code rows land as
+    * new files under the existing cell partitions. With fixed books
+    * and fixed coarse centroids, appendPq ≡ a buildPq re-encode of
+    * base ∪ batch at those books (IvfIndexSpec pins it). Call after
+    * [[append]] on the same batch.
+    */
+  def appendPq(s: SparkSession, batch: DataFrame, m: Int, dsub: Int,
+               root: String): Unit = {
+    val ss = graft.queries.EmbedQueries.pqSubSlices(batch, "vec_id", m, dsub)
+      .select(col("vec_id"), col("sub"), col("svec").as("v"))
+    val cb = codebooks(s, root)
+    val enc = graft.ml.KMeans.assignGrouped(ss, cb, idCol = "vec_id", grpCol = "sub")
+      .select(col("vec_id"), col("sub"), col("cl").as("code"))
+    val cells = graft.ml.KMeans.assign(batch, centroids(s, root))
+      .select(col("vec_id"), col("cl"))
+    enc.join(cells, "vec_id")
+      .write.mode("append").partitionBy("cl").parquet(s"$root/codes")
   }
 
   /** PQ (IVFADC) extension of the persisted artifact — Jégou et al.,
