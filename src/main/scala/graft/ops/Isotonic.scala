@@ -101,9 +101,13 @@ object Isotonic {
         return rows.join(isoDf, col("lo") === col("olo"))
           .select(col("score"), col("n"), col("sy"), col("iso"))
       }
-      // beyond-guard distributed round: collapse every violating run
+      // beyond-guard distributed round: collapse every violating run.
+      // The pool-key ranking runs BALANCED (quantile) buckets — the
+      // key domain is a raw continuous score, exactly where uniform
+      // range buckets collapse under outliers; the run-id prefix below
+      // orders dense ranks 1..n and stays uniform.
       val ranked = PrefixSum.running(
-        pools.withColumn("one", lit(1L)), Nil, "lo", Seq("one"))
+        pools.withColumn("one", lit(1L)), Nil, "lo", Seq("one"), balanced = true)
         .withColumnRenamed("one_cum", "rk")
       val prev = ranked.select((col("rk") + lit(1L)).as("rk"),
         col("psy").as("qsy"), col("pn").as("qn"))
