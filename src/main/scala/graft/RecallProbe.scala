@@ -241,6 +241,30 @@ object RecallProbe {
       val (_, trained) = graft.ml.KMeans.fitGrouped(
         cSub, seeds, iters = 2, idCol = "nid", grpCol = "sub")
       adcRecall("pq_trained", trained)
+      // residual tier (r12 verdict §1): the IDENTICAL M×K budget, but
+      // the books train on and encode r = v − coarse_centroid(cell(v))
+      // (Jégou 2011 §IV) via the persisted IvfIndex path — k=16 coarse
+      // cells probed at nprobe=16 (all of them), so candidate coverage
+      // matches the raw tiers exactly and any recall delta is purely
+      // the residual encoding. Seeds are the same ids-1..16 sub-slices
+      // (of the residual frame), keeping the budget comparison honest.
+      val rRoot = graft.ops.Scratch.dir(s"probe_ivfadc_$mode")
+      graft.ops.Scratch.once(rRoot) {
+        graft.ops.IvfIndex.build(
+          cands.select(col("nid").as("vec_id"), col("cv").as("v")),
+          k = 16, iters = 2, rRoot)
+        graft.ops.IvfIndex.buildPqResidual(spark, mSub, dsub, 16, iters = 2, rRoot)
+      }
+      val approxR = graft.ops.IvfIndex.probePqResidual(spark, q, rRoot, mSub, dsub,
+          nprobe = 16, topk = 5)
+        .select(col("qid").as("lqid"), col("nid").as("lnid"))
+      val rRes = exact.join(approxR,
+          exact("qid") === approxR("lqid") && exact("nid") === approxR("lnid"), "left")
+        .groupBy(col("qid"))
+        .agg((count(col("lnid")) / 5.0).as("recall"))
+        .agg(coalesce(avg(col("recall")), lit(0.0))).head().getDouble(0)
+      println(s"""{"mode":"$mode","tier":"pq_residual","m":$mSub,"codes":16,""" +
+        s""""n_queries":$nq,"mean_recall":${math.rint(rRes * 1e6) / 1e6}}""")
       exact.unpersist(); cands.unpersist(): Unit
     }
     pqLeg("planted")

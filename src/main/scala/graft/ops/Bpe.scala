@@ -250,10 +250,17 @@ object Bpe {
     val out = Seq.newBuilder[Merge]
     var r = 1
     while (r <= n && pair.nonEmpty) {
-      // pop until a live entry: recorded count must match the map
+      // pop until a live entry: recorded count must match the map.
+      // Invariant: every write to `pair` enqueued a matching entry, so a
+      // drained heap with `pair` non-empty is a broken index, not an
+      // empty corpus — fail loudly instead of a bare NoSuchElement deep
+      // in dequeue (r12 advice).
       var bestP: (String, String) = null
       var bestC = 0L
       while (bestP == null) {
+        if (heap.isEmpty) throw new IllegalStateException(
+          s"BPE heap drained with ${pair.size} live pairs — " +
+            "pair-map write without a matching heap enqueue")
         val (c, a, b) = heap.dequeue()
         if (pair.get((a, b)).contains(c)) { bestP = (a, b); bestC = c }
       }

@@ -62,11 +62,30 @@ object IvfIndex {
   def delete(s: SparkSession, ids: DataFrame, root: String): Unit =
     ids.select(col("vec_id")).write.mode("append").parquet(s"$root/tombstones")
 
+  /** All artifact existence checks / deletes go through Hadoop's
+    * FileSystem (resolved from the path's own scheme), never
+    * java.io.File — the index root is a URI that may not be local
+    * (r12 advice), and a Hadoop listing can't NPE between an exists
+    * check and the listing.
+    */
+  private def hfs(s: SparkSession, path: String):
+      (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def hasParquet(s: SparkSession, path: String): Boolean = {
+    val (fs, p) = hfs(s, path)
+    fs.exists(p) && {
+      val ls = fs.listStatus(p)
+      ls != null && ls.exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    }
+  }
+
   /** Tombstone read-back; empty-safe (no delete yet → empty set). */
   def tombstones(s: SparkSession, root: String): DataFrame = {
-    val dir = new java.io.File(s"$root/tombstones")
-    val hasFiles = dir.isDirectory && dir.listFiles().exists(_.getName.endsWith(".parquet"))
-    if (hasFiles) s.read.parquet(s"$root/tombstones").select(col("vec_id"))
+    if (hasParquet(s, s"$root/tombstones"))
+      s.read.parquet(s"$root/tombstones").select(col("vec_id"))
     else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("vec_id",
@@ -110,16 +129,13 @@ object IvfIndex {
         Seq("vec_id"), "left_anti").transform(Ckpt.eager)
       val deadCells = stats.filter(_.getBoolean(1)).map(_.getLong(0))
       val liveCells = cells.diff(deadCells)
-      val hasCodes = new java.io.File(s"$root/codes").isDirectory
-      def dynOverwrite(df: DataFrame, path: String): Unit = {
-        val saved = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try df.write.mode("overwrite").partitionBy("cl").parquet(path)
-        finally saved match {
-          case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-          case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
-        }
-      }
+      val hasCodes = hfs(s, s"$root/codes")._1.exists(hfs(s, s"$root/codes")._2)
+      // per-write option, never the session conf: a session-wide toggle
+      // would leak 'dynamic' into concurrent writers sharing the
+      // SparkSession (r12 advice)
+      def dynOverwrite(df: DataFrame, path: String): Unit =
+        df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+          .partitionBy("cl").parquet(path)
       if (liveCells.nonEmpty) {
         val liveDf = broadcast(s.createDataFrame(liveCells.map(Tuple1(_))).toDF("cl"))
         val live = asg.join(liveDf, "cl")
@@ -140,11 +156,8 @@ object IvfIndex {
       }
       deadCells.foreach { c =>
         for (half <- Seq("assignments", "codes") if !half.equals("codes") || hasCodes) {
-          val dir = new java.io.File(s"$root/$half/cl=$c")
-          if (dir.isDirectory) {
-            dir.listFiles().foreach(_.delete())
-            dir.delete(): Unit
-          }
+          val (fs, p) = hfs(s, s"$root/$half/cl=$c")
+          if (fs.exists(p)) fs.delete(p, true): Unit
         }
       }
       remaining.write.mode("overwrite").parquet(s"$root/tombstones")
@@ -199,6 +212,121 @@ object IvfIndex {
     assigned.select(col("vec_id"), col("sub"), col("cl").as("code"))
       .join(assignments(s, root).select(col("vec_id"), col("cl")), "vec_id")
       .write.mode("overwrite").partitionBy("cl").parquet(s"$root/codes")
+  }
+
+  /** Residual of each assigned vector against its cell's centroid,
+    * returned under the SAME column name `v` so the sub-slice / seed /
+    * grouped-fit machinery applies unchanged. Exact IEEE subtraction of
+    * bit-identical inputs (raw corpus doubles; round-6 centroid
+    * components), so the residual frame is cross-engine bit-stable.
+    */
+  private def residuals(asg: DataFrame, cents: DataFrame): DataFrame =
+    asg.join(broadcast(cents.select(col("cl"), col("cv"))), "cl")
+      .select(col("vec_id"),
+        expr("zip_with(v, cv, (a, b) -> a - b)").as("v"), col("cl"))
+
+  /** RESIDUAL IVFADC encoding — the actual Jégou et al. (TPAMI 2011,
+    * §IV) construction, which [[buildPq]] approximates with raw
+    * sub-vectors: the product quantizer trains on and encodes
+    * r = v − coarse_centroid(cell(v)). Residual energy is a fraction of
+    * vector energy, so at the identical M×K code budget the codebooks
+    * stop spending bits re-describing the cell center and recall
+    * strictly improves (RecallProbe's pq_residual leg). Vectors and
+    * cells come from the PERSISTED coarse halves (call after [[build]]),
+    * and the storage layout is [[buildPq]]'s verbatim — codebooks +
+    * cell-partitioned codes — so [[compact]]'s lockstep law and the
+    * append/delete lifecycle extend to residual codes unchanged. Probe
+    * with [[probePqResidual]] (the ADC table is per probed CELL now:
+    * the query's residual differs per cell).
+    */
+  def buildPqResidual(s: SparkSession, m: Int, dsub: Int, codes: Int,
+                      iters: Int, root: String): Unit = {
+    val res = residuals(assignments(s, root), centroids(s, root))
+    val ss = graft.queries.EmbedQueries.pqSubSlices(res, "vec_id", m, dsub)
+      .select(col("vec_id"), col("sub"), col("svec").as("v"))
+    val seedIds = graft.ml.KMeans.seedSmallest(
+        res.select(col("vec_id"), col("v")), codes.toLong)
+      .select(col("cl").as("__sid"))
+    val seeds = ss.join(broadcast(seedIds), col("vec_id") === col("__sid"))
+      .select(col("sub"), col("vec_id").as("cl"), col("v").as("cv"))
+    val (assigned, cb) = graft.ml.KMeans.fitGrouped(
+      ss, seeds, iters, idCol = "vec_id", grpCol = "sub")
+    cb.write.mode("overwrite").parquet(s"$root/codebooks")
+    assigned.select(col("vec_id"), col("sub"), col("cl").as("code"))
+      .join(res.select(col("vec_id"), col("cl")), "vec_id")
+      .write.mode("overwrite").partitionBy("cl").parquet(s"$root/codes")
+  }
+
+  /** [[appendPq]]'s residual twin: the batch assigns to the PERSISTED
+    * coarse cells, its residuals encode against the PERSISTED residual
+    * codebooks, and the code rows land under the existing cell
+    * partitions — with fixed centroids and fixed books,
+    * appendPqResidual ≡ a [[buildPqResidual]] re-encode of base ∪ batch
+    * (IvfIndexSpec pins it). Call after [[append]] on the same batch.
+    */
+  def appendPqResidual(s: SparkSession, batch: DataFrame, m: Int, dsub: Int,
+                       root: String): Unit = {
+    val asg = graft.ml.KMeans.assign(batch, centroids(s, root))
+      .select(col("vec_id"), col("v"), col("cl"))
+    val res = residuals(asg, centroids(s, root))
+    val ss = graft.queries.EmbedQueries.pqSubSlices(res, "vec_id", m, dsub)
+      .select(col("vec_id"), col("sub"), col("svec").as("v"))
+    graft.ml.KMeans.assignGrouped(ss, codebooks(s, root),
+        idCol = "vec_id", grpCol = "sub")
+      .select(col("vec_id"), col("sub"), col("cl").as("code"))
+      .join(res.select(col("vec_id"), col("cl")), "vec_id")
+      .write.mode("append").partitionBy("cl").parquet(s"$root/codes")
+  }
+
+  /** ADC probe over RESIDUAL codes ([[buildPqResidual]]'s artifact).
+    * Identical coarse routing and code-lookup shape to [[probePq]], with
+    * the one structural difference the residual encoding forces: the
+    * query's ADC table is computed PER PROBED CELL (the query residual
+    * qr = qv − centroid(cell) differs per cell), so the broadcast is
+    * nprobe × M × K rows per query instead of M × K — still
+    * query-block-sized, never corpus-sized, and the candidate-side scan
+    * still reads only the probed cells' code files (the cl ≡ cell
+    * broadcast equi-join drives the same dynamic partition pruning).
+    */
+  def probePqResidual(s: SparkSession, q: DataFrame, root: String, m: Int,
+                      dsub: Int, nprobe: Int, topk: Int,
+                      cand: DataFrame => DataFrame = identity): DataFrame = {
+    val cw = broadcast(centroids(s, root).select(col("cl"), col("cv"),
+      Similarity.dot("cv", "cv").as("c2")))
+    val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+      .orderBy(col("__d"), col("cl"))
+    val probed = q.crossJoin(cw)
+      .withColumn("__d", round(sqrt(greatest(
+        Similarity.dot("qv", "qv") + col("c2")
+          - lit(2.0) * Similarity.dot("qv", "cv"), lit(0.0))), 6))
+      .withColumn("cr", row_number().over(wc))
+      .where(col("cr") <= nprobe)
+      .select(col("qid"), col("cl").as("cell"),
+        expr("zip_with(qv, cv, (a, b) -> a - b)").as("qr"))
+    val qslices = probed.select(col("qid"), col("cell"), explode(expr(
+        s"transform(sequence(0, ${m - 1}), s -> struct(s AS sub, slice(qr, s * $dsub + 1, $dsub) AS svec))"))
+        .as("sc"))
+      .select(col("qid"), col("cell"), col("sc.sub").as("sub"), col("sc.svec").as("svec"))
+    val cbb = broadcast(codebooks(s, root)
+      .select(col("sub"), col("cl").as("code"), col("cv").as("cvec")))
+    val sq = round(greatest(
+      Similarity.dot("svec", "svec") + Similarity.dot("cvec", "cvec") -
+        lit(2) * Similarity.dot("svec", "cvec"), lit(0.0)), 6)
+    val adc = qslices.join(cbb, "sub")
+      .select(col("qid"), col("cell"), col("sub"), col("code"),
+        sq.cast("decimal(18,6)").as("qd"))
+    val c = cand(codes(s, root).join(tombstones(s, root), Seq("vec_id"), "left_anti"))
+      .select(col("vec_id").as("nid"), col("sub").as("csub"),
+        col("code").as("ccode"), col("cl"))
+    val pairs = c.join(broadcast(adc),
+        c("cl") === adc("cell") && col("csub") === adc("sub") &&
+          col("ccode") === adc("code"))
+      .groupBy(col("qid"), col("nid")).agg(sum(col("qd")).as("sd"))
+    val wr = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+      .orderBy(col("sd"), col("nid"))
+    pairs.withColumn("rnk", row_number().over(wr).cast("long"))
+      .where(col("rnk") <= topk)
+      .select(col("qid"), col("nid"), col("sd").cast("double").as("adist"), col("rnk"))
   }
 
   def codebooks(s: SparkSession, root: String): DataFrame =

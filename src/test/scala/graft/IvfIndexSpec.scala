@@ -200,6 +200,56 @@ class IvfIndexSpec extends SparkSpec {
     assert(probed.forall(_ % 5 != 0), "a deleted vector resurfaced in the ADC probe")
   }
 
+  test("appendPqResidual == residual re-encode of base + batch at fixed books (lockstep law)") {
+    val (m, dsub, codes) = (2, 4, 4)
+    val base = planted(200, 0L)
+    val batch = planted(50, 200L)
+    val all = base.unionByName(batch)
+    val root = Scratch.dir("spec_ivfadc_append")
+    IvfIndex.build(base, k = 4, iters = 2, root)
+    IvfIndex.buildPqResidual(spark, m, dsub, codes, iters = 2, root)
+    IvfIndex.append(spark, batch, root)
+    IvfIndex.appendPqResidual(spark, batch, m, dsub, root)
+    val got = IvfIndex.codes(spark, root).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    // reference: residuals of base ∪ batch against the PERSISTED cells,
+    // encoded against the PERSISTED books
+    val cents = IvfIndex.centroids(spark, root)
+    val asg = graft.ml.KMeans.assign(all, cents)
+      .select(col("vec_id"), col("v"), col("cl"))
+    val res = asg.join(broadcast(cents.select(col("cl"), col("cv"))), "cl")
+      .select(col("vec_id"), expr("zip_with(v, cv, (a, b) -> a - b)").as("v"), col("cl"))
+    val ss = graft.queries.EmbedQueries.pqSubSlices(res, "vec_id", m, dsub)
+      .select(col("vec_id"), col("sub"), col("svec").as("v"))
+    val want = graft.ml.KMeans.assignGrouped(ss, IvfIndex.codebooks(spark, root),
+        idCol = "vec_id", grpCol = "sub")
+      .select(col("vec_id"), col("sub"), col("cl").as("code"))
+      .join(res.select(col("vec_id"), col("cl")), "vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === want)
+    assert(got.size === 250 * m)
+  }
+
+  test("residual codes compact in lockstep and the residual ADC probe never resurrects deletes") {
+    val (m, dsub, codes) = (2, 4, 4)
+    val base = planted(200, 0L)
+    val root = Scratch.dir("spec_ivfadc_compact")
+    IvfIndex.build(base, k = 4, iters = 2, root)
+    IvfIndex.buildPqResidual(spark, m, dsub, codes, iters = 2, root)
+    val doomed = base.where(col("vec_id") % 5 === 0).select(col("vec_id"), col("v"))
+    IvfIndex.delete(spark, doomed, root)
+    val compacted = IvfIndex.compact(spark, root, minRatio = 0.1)
+    assert(compacted.nonEmpty)
+    assert(IvfIndex.tombstones(spark, root).count() === 0L)
+    val deadInCodes = IvfIndex.codes(spark, root)
+      .where(col("vec_id") % 5 === 0).count()
+    assert(deadInCodes === 0L, s"$deadInCodes dead residual code rows survived compaction")
+    val q = base.where(col("vec_id") < 5).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val probed = IvfIndex.probePqResidual(spark, q, root, m, dsub, nprobe = 2, topk = 3,
+      cand = _.where(col("vec_id") >= 5)).collect().map(_.getLong(1))
+    assert(probed.forall(_ % 5 != 0), "a deleted vector resurfaced in the residual ADC probe")
+  }
+
   test("fitGrouped == independent per-group Lloyd fits (codebook training law)") {
     val v = planted(120, 0L)
     // two groups: the front and back half of each vector

@@ -196,6 +196,9 @@ class PlanSpec extends SparkSpec {
       // table) routing the ADC probe over the persisted IVFADC index;
       // the PQ stages themselves are broadcast EQUI-joins
       "embed_ivf_pq_index",
+      // the same coarse-probe cross routing the RESIDUAL ADC probe; the
+      // per-cell ADC table and code lookups are broadcast EQUI-joins
+      "embed_ivfadc_residual",
       // one-row (d0, d1) spine-bounds scalar broadcast into the
       // hours-sized interior filter — never event-sized
       "series_stl",
