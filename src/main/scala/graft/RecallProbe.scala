@@ -212,13 +212,15 @@ object RecallProbe {
       // book, and the trained tier's seeds (equal code budget)
       val seeds = cSub.where(col("nid").between(1, 16))
         .select(col("sub"), col("nid").as("cl"), col("v").as("cv"))
-      def adcRecall(tier: String, book: org.apache.spark.sql.DataFrame): Unit = {
+      def adcRecall(tier: String, book: org.apache.spark.sql.DataFrame,
+                    candSub: DataFrame = cSub, qFrame: DataFrame = q,
+                    dsubX: Int = dsub): Unit = {
         val cbb = broadcast(book.select(col("sub"), col("cl").as("code"),
           col("cv").as("cvec")))
-        val enc = graft.ml.KMeans.assignGrouped(cSub, book, "nid", "sub")
+        val enc = graft.ml.KMeans.assignGrouped(candSub, book, "nid", "sub")
           .select(col("nid"), col("sub"), col("cl").as("code"))
         val adc = graft.queries.EmbedQueries.pqSubSlices(
-          q.select(col("qid").as("vec_id"), col("qv").as("v")), "qid", mSub, dsub)
+          qFrame.select(col("qid").as("vec_id"), col("qv").as("v")), "qid", mSub, dsubX)
           .join(cbb, "sub")
           .select(col("qid"), col("sub"), col("code"),
             sq("svec", "cvec").cast("decimal(18,6)").as("qd"))
@@ -241,6 +243,27 @@ object RecallProbe {
       val (_, trained) = graft.ml.KMeans.fitGrouped(
         cSub, seeds, iters = 2, idCol = "nid", grpCol = "sub")
       adcRecall("pq_trained", trained)
+      // rotated tier (r12 verdict §2, OPQ-lite/PCAR): top-16 PCA basis
+      // fit on the candidates, vectors re-embedded as round-6
+      // projections, then the IDENTICAL M×K budget at dsub=2 over the
+      // rotated coordinates. Exact arm unchanged (true full-space
+      // top-5), so the row measures what the rotation+cut buys/costs.
+      val pm = graft.ml.Pca.fitM(cands.select(col("cv").as("v")),
+        dim = 64, iters = 8, m = 16)
+      def rotate(df: DataFrame, idC: String, vC: String): DataFrame = {
+        val centered = zip_with(col(vC), lit(pm.mu), (x, mm) => x - mm)
+        df.select(col(idC), array((0 until 16).map(c =>
+          round(Similarity.dotC(centered, lit(pm.w(c))), 6)): _*).as(vC))
+      }
+      val rcSub = graft.queries.EmbedQueries.pqSubSlices(
+        rotate(cands, "nid", "cv").select(col("nid").as("vec_id"), col("cv").as("v")),
+        "nid", mSub, 2)
+        .select(col("nid"), col("sub"), col("svec").as("v"))
+      val rotSeeds = rcSub.where(col("nid").between(1, 16))
+        .select(col("sub"), col("nid").as("cl"), col("v").as("cv"))
+      val (_, rotBooks) = graft.ml.KMeans.fitGrouped(
+        rcSub, rotSeeds, iters = 2, idCol = "nid", grpCol = "sub")
+      adcRecall("pq_rotated", rotBooks, rcSub, rotate(q, "qid", "qv"), 2)
       // residual tier (r12 verdict §1): the IDENTICAL M×K budget, but
       // the books train on and encode r = v − coarse_centroid(cell(v))
       // (Jégou 2011 §IV) via the persisted IvfIndex path — k=16 coarse

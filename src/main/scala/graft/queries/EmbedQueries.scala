@@ -2205,6 +2205,107 @@ object EmbedQueries {
     }
   }
 
+  /** OPQ-lite rotated product quantization (the r12 verdict's §2): the
+    * first half of Ge et al., "Optimized Product Quantization" (CVPR
+    * 2013) — apply an orthogonal data-learned rotation BEFORE
+    * sub-slicing so correlated dimensions stop landing in the same
+    * subspace, skipping OPQ's iterative refinement. The rotation is
+    * [[graft.ml.Pca.fitM]]'s top-16 deflated basis (FAISS's PCAR
+    * pre-transform with out-dim = M·dsub): each vector re-embeds as
+    * t_c = round((x − μ)·w_c, 6) for c = 1..16, and the PQ runs over
+    * the rotated coordinates at the IDENTICAL M=8 × K=16 budget as
+    * [[embedKnnPqTrained]] — dsub drops 8 → 2 because the rotation
+    * concentrates the describable energy into 16 eigen-ranked
+    * coordinates. RecallProbe's pq_rotated leg records the equal-budget
+    * recall comparison (on a flat-spectrum synthetic corpus the cut
+    * discards real energy; on any real embedding spectrum the top-16
+    * basis holds most of it — the leg states the measured trade).
+    *
+    * Scale shape: the model is a driver-fitted broadcast-tier literal
+    * (16×64 round-6 doubles; the corpus work of the fit is ONE Gram
+    * reduction); the rotation is MAP-ONLY (16 native vec_dot kernels
+    * per row in whole-stage codegen); everything downstream is the
+    * trained-PQ chain unchanged. Determinism: round-6 projections are
+    * bit-identical cross-engine (ascending-dim folds over round-6
+    * model tables), and the Lloyd/ADC chain inherits the
+    * embed_knn_pq_trained contract on those shared inputs.
+    */
+  val embedPqRotated: QueryDef = {
+    val (dim, iters, mPca) = (64, 8, 16)
+    val (m, dsub, kCodes) = (8, 2, 16)
+    def duckD2(a: String, b: String): String =
+      s"""list_sum([$a[i] * $a[i] for i in range(1, $dsub + 1)]) +
+         |  list_sum([$b[i] * $b[i] for i in range(1, $dsub + 1)]) -
+         |  2 * list_sum([$a[i] * $b[i] for i in range(1, $dsub + 1)])""".stripMargin
+    def duckSqDist(a: String, b: String): String =
+      s"""round(greatest(list_sum([$a[i] * $a[i] for i in range(1, len($a) + 1)]) +
+         |  list_sum([$b[i] * $b[i] for i in range(1, len($b) + 1)]) -
+         |  2 * list_sum([$a[i] * $b[i] for i in range(1, len($a) + 1)]), 0), 6)""".stripMargin
+    QueryDef.sql("embed_pq_rotated",
+      s"""WITH ${pcaMCtes(dim, iters, mPca)},
+         |basis AS (${(1 to mPca).map(c =>
+             s"SELECT $c AS c, i, x FROM rc${c}_$iters").mkString(" UNION ALL ")}),
+         |proj AS (SELECT v.vec_id, b.c,
+         |    round(list_sum(list((v.v[b.i] - mu.m) * b.x ORDER BY b.i)), 6) AS t
+         |  FROM v CROSS JOIN basis b JOIN mu ON mu.i = b.i
+         |  GROUP BY v.vec_id, b.c),
+         |rot AS (SELECT vec_id, list(t ORDER BY c) AS rv FROM proj GROUP BY vec_id),
+         |ss AS (SELECT vec_id AS nid, s.sub, rv[s.sub * $dsub + 1 : s.sub * $dsub + $dsub] AS sv
+         |       FROM rot CROSS JOIN range(0, $m) s(sub) WHERE vec_id >= 10),
+         |c0 AS (SELECT sub, nid - 10 AS cl, sv AS cv FROM ss WHERE nid < ${10 + kCodes}),
+         |d1 AS (SELECT ss.nid, ss.sub, ss.sv, c.cl, ${duckD2("ss.sv", "c.cv")} AS d2
+         |       FROM ss JOIN c0 c ON ss.sub = c.sub),
+         |a1 AS (SELECT nid, sub, sv, cl FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY nid, sub ORDER BY d2, cl) AS rk
+         |        FROM d1) WHERE rk = 1),
+         |u1 AS (SELECT sub, cl, i, round(avg(sv[i]), 6) AS x
+         |       FROM a1, range(1, ${dsub + 1}) r(i) GROUP BY sub, cl, i),
+         |c1 AS (SELECT sub, cl, list(x ORDER BY i) AS cv FROM u1 GROUP BY sub, cl),
+         |d2c AS (SELECT ss.nid, ss.sub, c.cl, ${duckD2("ss.sv", "c.cv")} AS d2
+         |        FROM ss JOIN c1 c ON ss.sub = c.sub),
+         |enc AS (SELECT nid, sub, cl AS code FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY nid, sub ORDER BY d2, cl) AS rk
+         |        FROM d2c) WHERE rk = 1),
+         |qs AS (SELECT vec_id AS qid, s.sub, rv[s.sub * $dsub + 1 : s.sub * $dsub + $dsub] AS sv
+         |       FROM rot CROSS JOIN range(0, $m) s(sub) WHERE vec_id < 10),
+         |adc AS (SELECT qid, qs.sub, c1.cl AS code,
+         |          CAST(${duckSqDist("qs.sv", "c1.cv")} AS DECIMAL(18,6)) AS qd
+         |        FROM qs JOIN c1 ON qs.sub = c1.sub),
+         |p AS (SELECT qid, nid, sum(qd) AS sd
+         |      FROM enc JOIN adc USING (sub, code) GROUP BY 1, 2),
+         |r AS (SELECT qid, nid, CAST(sd AS DOUBLE) AS adist,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sd, nid) AS BIGINT) AS rnk
+         |      FROM p)
+         |SELECT qid, nid, adist, rnk FROM r WHERE rnk <= 3
+         |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val pm = graft.ml.Pca.fitMMemo(s, dir, dim, iters, mPca)
+      val centered = zip_with(col("v"), lit(pm.mu), (x, mm) => x - mm)
+      val rot = Similarity.vectors(Tables.embeddings(s, dir))
+        .select(col("vec_id"), array((0 until mPca).map(c =>
+          round(Similarity.dotC(centered, lit(pm.w(c))), 6)): _*).as("v"))
+      val ss = pqSubSlices(rot.where(col("vec_id") >= 10), "nid", m, dsub)
+        .select(col("nid"), col("sub"), col("svec").as("v"))
+      val seeds = ss.where(col("nid") < 10 + kCodes)
+        .select(col("sub"), (col("nid") - 10).as("cl"), col("v").as("cv"))
+      val (assigned, cb) = graft.ml.KMeans.fitGrouped(
+        ss, seeds, iters = 2, idCol = "nid", grpCol = "sub")
+      val enc = assigned.select(col("nid"), col("sub"), col("cl").as("code"))
+      val cbb = broadcast(cb.select(col("sub"), col("cl").as("code"), col("cv").as("cvec")))
+      val adc = pqSubSlices(rot.where(col("vec_id") < 10), "qid", m, dsub)
+        .join(cbb, "sub")
+        .select(col("qid"), col("sub"), col("code"),
+          pqSqDist("svec", "cvec").cast("decimal(18,6)").as("qd"))
+      enc.join(broadcast(adc), Seq("sub", "code"))
+        .groupBy(col("qid"), col("nid")).agg(sum(col("qd")).as("sd"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("sd"), col("nid"))).cast("long"))
+        .where(col("rnk") <= 3)
+        .select(col("qid"), col("nid"), col("sd").cast("double").as("adist"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }
+  }
+
   /** Diagonal (per-dimension) whitening of the embedding matrix —
     * z_i = (x_i − μ_i)/σ_i from [[embedDimStats]]'s rounded moments:
     * the standard preprocessing before PQ/IVF quantizer training when
@@ -2819,5 +2920,5 @@ object EmbedQueries {
     retrievalNdcg, multimodalAudioWindows, embedDimStats,
     embedPcaApply, embedWhiten, embedIvfIndexAppend, embedIndexDrift,
     embedIvfPqIndex, embedPcaTopm, embedPcaWhiten, embedIvfIndexDelete,
-    embedIvfadcResidual)
+    embedIvfadcResidual, embedPqRotated)
 }
