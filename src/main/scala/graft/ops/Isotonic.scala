@@ -70,10 +70,82 @@ object Isotonic {
     out
   }
 
+  /** MLlib-shape fallback for the absorption mode the run-collapse
+    * loop cannot crash geometrically (r12 advice: an ascending
+    * staircase absorbing a low trailing pool merges ONE neighbor per
+    * round — "halves every violating chain" is about chain LENGTH, not
+    * round count): range-partition the pools by key, collapse every
+    * within-partition violating chain in one local O(n) stack pass
+    * (ranges are contiguous, so concatenating partitions preserves the
+    * global order), then collect the per-partition pool HEADS and
+    * stack-finish on the driver. The member→head remap stays a
+    * DISTRIBUTED frame — only heads (≤ the post-partial-pooling pool
+    * count) are collected: in the absorption mode partial pooling
+    * collapses the long chains, and where it cannot (an almost-monotone
+    * table) the guard deliberately yields to TERMINATION — PAVA is
+    * merge-order invariant (Ayer et al. 1955), so the finish is exact
+    * either way.
+    */
+  private def partitionPavaFinish(rows: DataFrame, pools: DataFrame): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val pooled = pools.select(col("lo").cast("double").as("lo"), col("pn"), col("psy"))
+      .repartitionByRange(col("lo"))
+      .sortWithinPartitions(col("lo"))
+      .as[(Double, Long, Long)]
+      .mapPartitions { it =>
+        val a = it.toArray
+        if (a.isEmpty) Iterator.empty
+        else {
+          val w = new Array[Long](a.length)
+          val s = new Array[Long](a.length)
+          val start = new Array[Int](a.length)
+          var top = -1
+          var i = 0
+          while (i < a.length) {
+            top += 1; w(top) = a(i)._2; s(top) = a(i)._3; start(top) = i
+            while (top > 0 &&
+              java.math.BigInteger.valueOf(s(top - 1)).multiply(java.math.BigInteger.valueOf(w(top)))
+                .compareTo(java.math.BigInteger.valueOf(s(top)).multiply(java.math.BigInteger.valueOf(w(top - 1)))) > 0) {
+              w(top - 1) += w(top); s(top - 1) += s(top)
+              top -= 1
+            }
+            i += 1
+          }
+          // per member: (lo, head lo, pooled w/s on the head row only)
+          (0 to top).iterator.flatMap { b =>
+            val end = if (b == top) a.length else start(b + 1)
+            val head = a(start(b))._1
+            (start(b) until end).iterator.map { m =>
+              (a(m)._1, head, if (m == start(b)) w(b) else 0L,
+                if (m == start(b)) s(b) else 0L)
+            }
+          }
+        }
+      }
+      .toDF("olo", "head", "w", "s").transform(Ckpt.eager)
+    val headRows = pooled.where(col("w") > 0)
+      .select(col("head"), col("w"), col("s")).orderBy(col("head")).collect()
+    val fitted = pavaLocal(headRows.map(p => (p.getLong(1), p.getLong(2))))
+    val isoDf = spark.sparkContext
+      .parallelize(headRows.indices.map(i => (headRows(i).getDouble(0), fitted(i))),
+        math.max(1, spark.sparkContext.defaultParallelism))
+      .toDF("fhead", "iso")
+    rows.join(pooled.select(col("olo"), col("head")), col("lo") === col("olo"))
+      .join(isoDf, col("head") === col("fhead"))
+      .select(col("score"), col("n"), col("sy"), col("iso"))
+  }
+
   /** Fit over `g` = (`score` ascending key, `n` BIGINT weight > 0,
     * `sy` BIGINT weighted label sum), one row per DISTINCT score.
     * Returns (`score`, `n`, `sy`, `iso`) with `iso` nondecreasing in
     * `score` — the weighted least-squares isotonic fit.
+    *
+    * Termination: every round with violations merges at least one pool,
+    * and a round that fails to cut the pool count by ≥ 0.1% (the
+    * absorption mode) — or exhausts the round budget — switches to
+    * [[partitionPavaFinish]] instead of throwing, so `fit` terminates
+    * on EVERY valid input (r12 advice).
     */
   def fit(g: DataFrame, maxRounds: Int = 64): DataFrame = {
     val spark = g.sparkSession
@@ -81,11 +153,20 @@ object Isotonic {
       .get("spark.graft.isotonic.localLimit", defaultLocalLimit.toString).toLong
     var rows = g.select(col("score"), col("n"), col("sy"), col("score").as("lo"))
     var r = 0
+    var lastCount = Long.MaxValue
     while (r < maxRounds) {
       r += 1
       val pools = rows.groupBy(col("lo"))
         .agg(sum(col("n")).as("pn"), sum(col("sy")).as("psy"))
-      if (pools.count() <= limit) {
+      val pc = pools.count()
+      if (pc > limit &&
+          (r == maxRounds || pc > lastCount - math.max(1L, lastCount / 1000))) {
+        // stalled (the one-neighbor absorption mode) or out of budget:
+        // the MLlib-shape partition-PAVA finish terminates exactly
+        return partitionPavaFinish(rows, pools)
+      }
+      lastCount = pc
+      if (pc <= limit) {
         // bounded driver finish: collect ordered pools, one stack pass,
         // ship (old key -> fitted value) back as an equi-join table
         val ordered = pools.orderBy(col("lo")).collect()

@@ -1224,6 +1224,118 @@ object MlQueries {
       .orderBy(col("score"))
   }
 
+  /** LINEAR-INTERPOLATION isotonic predict — sklearn
+    * `IsotonicRegression.predict`'s default (interpolate between fitted
+    * thresholds; [[mlIsotonicPredict]] is the step-function
+    * `transform`-at-train-points semantic): each holdout score finds
+    * BOTH bracketing train points in ONE bucketed window pass — the
+    * backward running-last train (score, iso) pair AND the forward
+    * running-first pair share one WindowExec (same partitioning and
+    * ordering, two frames) — and predicts
+    * i0 + (i1 − i0)·(x − s0)/(s1 − s0); below-min clips to the first
+    * fitted value, above-max to the last (the sklearn boundary rule).
+    * Cross-bucket carries run in both directions over the ≤64-row
+    * bucket rollup (exclusive running last/first ordered by
+    * `__ps_bucket` — the sweep-legal bounded window), broadcast back.
+    * The oracle states the same function via a DuckDB ASOF pair
+    * (`>=` for the floor, `<` for the strict ceiling) + the IDENTICAL
+    * lerp association `i0 + (i1 - i0) * (x - s0) / (s1 - s0)` — fitted
+    * values are exact-BIGINT-ratio doubles and scores exact doubles,
+    * so both engines lerp bit-identical inputs.
+    */
+  val mlIsotonicInterp: QueryDef = QueryDef.sql("ml_isotonic_interp",
+    """WITH w AS (SELECT CAST(1 AS BIGINT) << length(bin(max(doc_id))) AS pw FROM documents),
+      |s AS (SELECT doc_id, CAST(n_chars AS DOUBLE) + doc_id / CAST(pw AS DOUBLE) AS score,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents, w),
+      |g AS (SELECT score, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy
+      |      FROM s WHERE doc_id % 5 <> 0 GROUP BY score),
+      |r AS (SELECT *, row_number() OVER (ORDER BY score) AS rn FROM g),
+      |c AS (SELECT rn, score, n, sy,
+      |        CAST(sum(n) OVER (ORDER BY rn) AS BIGINT) AS cn,
+      |        CAST(sum(sy) OVER (ORDER BY rn) AS BIGINT) AS cp FROM r),
+      |p AS (SELECT a.rn AS j, b.rn AS k,
+      |        CAST(b.cp - (a.cp - a.sy) AS DOUBLE) / (b.cn - (a.cn - a.n)) AS m
+      |      FROM c a JOIN c b ON a.rn <= b.rn),
+      |mn AS (SELECT j, k, min(m) OVER (PARTITION BY j ORDER BY k DESC) AS mnv FROM p),
+      |iso AS (SELECT k AS rn, max(mnv) AS iso FROM mn GROUP BY k),
+      |fit AS (SELECT r.score, iso.iso FROM r JOIN iso USING (rn)),
+      |t AS (SELECT score, CAST(y AS BIGINT) AS y FROM s WHERE doc_id % 5 = 0),
+      |lo AS (SELECT t.score, t.y, f.score AS s0, f.iso AS i0
+      |       FROM t ASOF LEFT JOIN fit f ON t.score >= f.score),
+      |hi AS (SELECT t.score, f.score AS s1, f.iso AS i1
+      |       FROM t ASOF LEFT JOIN fit f ON t.score < f.score)
+      |SELECT lo.score, lo.y,
+      |  round(CASE
+      |    WHEN lo.s0 IS NULL THEN (SELECT iso FROM fit ORDER BY score LIMIT 1)
+      |    WHEN hi.s1 IS NULL THEN lo.i0
+      |    ELSE lo.i0 + (hi.i1 - lo.i0) * (lo.score - lo.s0) / (hi.s1 - lo.s0)
+      |  END, 6) AS pred
+      |FROM lo JOIN hi USING (score)
+      |ORDER BY lo.score""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val w = docs.agg(expr("shiftleft(CAST(1 AS BIGINT), length(bin(max(doc_id))))").as("pw"))
+    val base = docs.crossJoin(broadcast(w))
+      .select(col("doc_id"),
+        (col("n_chars").cast("double")
+          + col("doc_id") / col("pw").cast("double")).as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val g = base.where(col("doc_id") % 5 =!= 0).groupBy(col("score"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+    val fitted = graft.ops.Isotonic.fit(g).select(col("score"), col("iso"))
+    val test = base.where(col("doc_id") % 5 === 0).select(col("score"), col("y"))
+    val bkts = 64
+    val pcts = (1 until bkts).map(i => i.toDouble / bkts)
+    val bnds = fitted.agg(percentile_approx(col("score"),
+      lit(pcts.toArray), lit(10000)).as("__bnds"))
+    def bucketed(df: org.apache.spark.sql.DataFrame) = df.crossJoin(broadcast(bnds))
+      .withColumn(graft.ops.PrefixSum.BucketCol, aggregate(col("__bnds"), lit(0),
+        (acc, bd) => acc + when(col("score") >= bd, 1).otherwise(0)))
+      .drop("__bnds")
+    val u = bucketed(fitted.select(col("score"), col("iso"), lit(1).as("__t"))
+      .unionByName(test.select(col("score"), lit(null).cast("double").as("iso"),
+        lit(0).as("__t"))))
+      .withColumn("tv", when(col("__t") === 1, struct(col("score").as("s"),
+        col("iso").as("i"))))
+    // ONE WindowExec, two frames: backward running-last train pair
+    // (the as-of floor) + forward running-first train pair (the strict
+    // ceiling — train rows sort BEFORE test at equal scores, so the
+    // forward frame's first train is strictly greater)
+    val spec = Window.partitionBy(col(graft.ops.PrefixSum.BucketCol))
+      .orderBy(col("score").asc, col("__t").desc)
+    val u2 = u
+      .withColumn("n0", last(col("tv"), ignoreNulls = true)
+        .over(spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n1", first(col("tv"), ignoreNulls = true)
+        .over(spec.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    // two-directional cross-bucket carry over the <=64-row rollup
+    val roll = u.groupBy(col(graft.ops.PrefixSum.BucketCol))
+      .agg(max_by(col("tv"), when(col("__t") === 1, col("score"))).as("lastTv"),
+        min_by(col("tv"), when(col("__t") === 1, col("score"))).as("firstTv"))
+    val loW = Window.orderBy(col(graft.ops.PrefixSum.BucketCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val hiW = Window.orderBy(col(graft.ops.PrefixSum.BucketCol))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val carry = roll
+      .withColumn("__clo", last(col("lastTv"), ignoreNulls = true).over(loW))
+      .withColumn("__chi", first(col("firstTv"), ignoreNulls = true).over(hiW))
+      .select(col(graft.ops.PrefixSum.BucketCol), col("__clo"), col("__chi"))
+    val firstFit = fitted.agg(min_by(col("iso"), col("score")).as("__first"))
+    val te = u2.where(col("__t") === 0)
+      .join(broadcast(carry), graft.ops.PrefixSum.BucketCol)
+      .crossJoin(broadcast(firstFit))
+      .withColumn("lo", coalesce(col("n0"), col("__clo")))
+      .withColumn("hi", coalesce(col("n1"), col("__chi")))
+    te.join(test.select(col("score"), col("y")), "score")
+      .select(col("score"), col("y"),
+        round(when(col("lo").isNull, col("__first"))
+          .when(col("hi").isNull, col("lo.i"))
+          .otherwise(col("lo.i") + (col("hi.i") - col("lo.i"))
+            * (col("score") - col("lo.s")) / (col("hi.s") - col("lo.s"))), 6)
+          .as("pred"))
+      .orderBy(col("score"))
+  }
+
   val mlBootstrapCi: QueryDef = {
     val ts = Seq(424136118829305329L, 848272237658610659L, 1060340297073263324L,
       1131029650211480879L, 1148701988496035267L)
@@ -2514,5 +2626,5 @@ object MlQueries {
     mlKsTest, mlTCloseness, mlCvLinreg, mlGini, mlSimpsonDiversity,
     mlMcc, mlCohenKappa, mlCorrMatrix, mlPsi, mlOutlierIqr, mlMad,
     mlHerfindahl, mlLiftGains, mlWoeIv, mlMutualInfo, mlAucContinuous, mlIsotonicCalibration,
-    mlIsotonicFit, mlIsotonicPredict)
+    mlIsotonicFit, mlIsotonicPredict, mlIsotonicInterp)
 }

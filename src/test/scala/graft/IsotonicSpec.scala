@@ -103,6 +103,31 @@ class IsotonicSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.isotonic.localLimit")
   }
 
+  test("staircase absorption mode terminates via the partition-PAVA fallback (no throw)") {
+    // ascending staircase with a trailing LOW pool: each run-collapse
+    // round merges exactly ONE neighbor (the r12-advice non-convergence
+    // mode — a new adjacent violation per merge). Guard forced under
+    // the table and the round budget nearly exhausted, so fit MUST
+    // terminate through the MLlib-shape partition-PAVA + driver-merge
+    // fallback — and still equal sequential PAVA exactly.
+    spark.conf.set("spark.graft.isotonic.localLimit", "1")
+    try {
+      import spark.implicits._
+      val m = 30
+      val n = Array.fill(m)(10L)
+      val sy = Array.tabulate(m)(i => if (i == m - 1) 0L else i.toLong)
+      val g = n.indices.map(i => (i.toDouble, n(i), sy(i))).toDF("score", "n", "sy")
+      val got = graft.ops.Isotonic.fit(g, maxRounds = 4)
+        .orderBy(org.apache.spark.sql.functions.col("score"))
+        .collect().map(_.getDouble(3))
+      val want = pava(n, sy)
+      for (i <- 0 until m)
+        assert(math.abs(got(i) - want(i)) < 1e-12,
+          s"idx $i: ${got.toSeq} vs ${want.toSeq}")
+      for (i <- 1 until m) assert(got(i) >= got(i - 1), "fallback fit not monotone")
+    } finally spark.conf.unset("spark.graft.isotonic.localLimit")
+  }
+
   test("ml_isotonic_predict: step function, carry across train-empty buckets, below-min clip") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -234,7 +234,7 @@ class PlanSpec extends SparkSpec {
       // the distributed run-collapse PAVA loop (ops.Isotonic); predict
       // adds the quantile-boundary / carry / first-value broadcasts of
       // the bucketed as-of
-      "ml_isotonic_fit", "ml_isotonic_predict",
+      "ml_isotonic_fit", "ml_isotonic_predict", "ml_isotonic_interp",
       // one-row max(doc_id)+1 pack-width scalar broadcast into the scan
       // (the arg-extrema unique-key width, r11 advice fix)
       "q_agg_funcs")
