@@ -200,6 +200,43 @@ class IvfIndexSpec extends SparkSpec {
     assert(probed.forall(_ % 5 != 0), "a deleted vector resurfaced in the ADC probe")
   }
 
+  test("STREAMED append (file-source micro-batches, SHUFFLED chunk order) == batch append") {
+    // the streaming_ivf_append_replay parity law, deliberately harder
+    // than the gate row: chunks interleave ids (range key = vec_id % 7),
+    // so arrival order differs from id order — with centroids held
+    // fixed, appends commute and the streamed index must read back
+    // identical to the one-shot batch append, probes included
+    val base = planted(200, 0L)
+    val batch = planted(60, 200L)
+    val rootS = Scratch.dir("spec_ivf_streamed")
+    val rootB = Scratch.dir("spec_ivf_streamed_batch")
+    IvfIndex.build(base, k = 4, iters = 2, rootS)
+    IvfIndex.build(base, k = 4, iters = 2, rootB)
+    IvfIndex.append(spark, batch, rootB)
+    val shuffled = batch.withColumn("__o", col("vec_id") % 7)
+    val (watched, staged) = graft.queries.StreamingReplays.stageOrderedFiles(
+      shuffled, 3, Seq(col("__o")))
+    try {
+      val stream = spark.readStream.schema(shuffled.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watched)
+      val appendBatch: (org.apache.spark.sql.DataFrame, Long) => Unit =
+        (b, _) => IvfIndex.append(spark, b.select(col("vec_id"), col("v")), rootS)
+      val query = stream.writeStream.outputMode("append")
+        .foreachBatch(appendBatch).start()
+      try query.processAllAvailable() finally query.stop()
+    } finally graft.queries.StreamingReplays.rmTree(staged)
+    def asg(r: String) = IvfIndex.assignments(spark, r)
+      .select(col("vec_id"), col("cl")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(asg(rootS) === asg(rootB))
+    assert(asg(rootS).size === 260)
+    val q = base.where(col("vec_id") < 5).select(col("vec_id").as("qid"), col("v").as("qv"))
+    def res(r: String) = IvfIndex.probe(spark, q, r, nprobe = 2, topk = 3,
+        cand = _.where(col("vec_id") >= 5)).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getLong(3))).toSet
+    assert(res(rootS) === res(rootB))
+  }
+
   test("appendPqResidual == residual re-encode of base + batch at fixed books (lockstep law)") {
     val (m, dsub, codes) = (2, 4, 4)
     val base = planted(200, 0L)
