@@ -49,9 +49,12 @@ object IvfIndex {
     * partition column: the cast pins its type against partition-column
     * type inference.
     */
-  def assignments(s: SparkSession, root: String): DataFrame =
-    s.read.parquet(s"$root/assignments")
+  def assignments(s: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    readHalf(s, root, "assignments", emptyDf(s, Seq("vec_id" -> LongType,
+        "v" -> ArrayType(DoubleType), "cl" -> LongType)))
       .select(col("vec_id"), col("v"), col("cl").cast("long").as("cl"))
+  }
 
   /** DELETE path (the r11 verdict's lifecycle completion): dedup
     * retracts documents, so the index must too. A delete is a TOMBSTONE
@@ -82,14 +85,133 @@ object IvfIndex {
     }
   }
 
+  // ---- manifest-gated file visibility (compaction crash-safety, r12
+  // verdict §4) ----------------------------------------------------------
+  //
+  // build/append/delete are crash-safe on their own: each is ONE Spark
+  // job whose outputs become visible only at job commit (_temporary
+  // staging), and a torn append simply never publishes. COMPACTION is
+  // the mutation that rewrites and deletes files others already serve,
+  // so it commits through a MANIFEST instead of mutating in place:
+  //
+  //  1. PREPARE — survivors (both halves) and the drained tombstone set
+  //     are written aside, then MOVED into the live directories under
+  //     reserved `compact-<gen>-…` names. Readers ignore compact-named
+  //     files unless a committed manifest adds them, so this step is
+  //     invisible: a crash strands some never-served files, nothing more.
+  //  2. PUBLISH — one manifest file (`manifest/m-<gen>`, add/rm lines,
+  //     written to a temp name and RENAMED — the single atomic commit
+  //     point) flips visibility: the compacted cells' old files are
+  //     removed from the view and the compact-gen files added.
+  //  3. GC — the removed files are physically deleted (and dead-cell
+  //     dirs dropped). Readers already exclude them, so a crash mid-GC
+  //     leaves garbage bytes, never wrong rows.
+  //
+  // A probe between ANY two steps therefore sees exactly the
+  // pre-compaction or the post-compaction row set (IvfIndexSpec
+  // interleaves probes between the steps to pin this). Indexes that
+  // were never compacted have no manifest directory and readers take
+  // the plain-directory fast path — zero overhead, identical plans.
+
+  private val CompactPrefix = "compact-"
+
+  private def manifestDir(root: String) = s"$root/manifest"
+
+  /** Folded (adds, rms) view over committed manifests, root-relative
+    * paths; None ⇔ never compacted (fast path).
+    */
+  private def manifestView(s: SparkSession, root: String): Option[(Set[String], Set[String])] = {
+    val (fs, md) = hfs(s, manifestDir(root))
+    if (!fs.exists(md)) return None
+    // the directory itself is the "compaction machinery engaged" marker:
+    // prepare creates it BEFORE moving any compact-gen file into the
+    // live dirs, so readers already exclude uncommitted compact-* names
+    // even though no manifest has been published yet
+    val ms = fs.listStatus(md)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("m-"))
+      .sortBy(_.getPath.getName)
+    if (ms.isEmpty) return Some((Set.empty, Set.empty))
+    var adds = Set.empty[String]
+    var rms = Set.empty[String]
+    ms.foreach { m =>
+      val in = fs.open(m.getPath)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      txt.linesIterator.filter(_.nonEmpty).foreach { line =>
+        val Array(op, rel) = line.split("\t", 2)
+        if (op == "add") adds += rel else rms += rel
+      }
+    }
+    Some((adds, rms))
+  }
+
+  private def nextGen(s: SparkSession, root: String): Int = {
+    val (fs, md) = hfs(s, manifestDir(root))
+    if (!fs.exists(md)) 1
+    else fs.listStatus(md).map(_.getPath.getName)
+      .filter(_.startsWith("m-")).map(_.stripPrefix("m-").toInt)
+      .foldLeft(0)(math.max) + 1
+  }
+
+  /** Recursive parquet listing of `root/half` as (absolute, root-relative)
+    * pairs.
+    */
+  private def listHalf(s: SparkSession, root: String,
+                       half: String): Seq[(String, String)] = {
+    val (fs, hp) = hfs(s, s"$root/$half")
+    if (!fs.exists(hp)) return Nil
+    val prefix = fs.makeQualified(hp).toString + "/"
+    val it = fs.listFiles(hp, true)
+    val buf = Seq.newBuilder[(String, String)]
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile && f.getPath.getName.endsWith(".parquet"))
+        buf += ((f.getPath.toString, half + "/" + f.getPath.toString.stripPrefix(prefix)))
+    }
+    buf.result()
+  }
+
+  /** The files a reader serves for `half`: default-named files no
+    * manifest removed, plus committed compaction outputs not since
+    * removed (a never-committed `compact-*` file is invisible).
+    */
+  private def liveHalfFiles(s: SparkSession, root: String, half: String,
+                            view: (Set[String], Set[String])): Seq[String] =
+    listHalf(s, root, half).collect {
+      case (abs, rel) if !view._2.contains(rel) &&
+        (!new org.apache.hadoop.fs.Path(abs).getName.startsWith(CompactPrefix) ||
+          view._1.contains(rel)) => abs
+    }
+
+  private def emptyDf(s: SparkSession,
+                      fields: Seq[(String, org.apache.spark.sql.types.DataType)]): DataFrame =
+    s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(fields.map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n, t) }))
+
+  private def readHalf(s: SparkSession, root: String, half: String,
+      empty: => DataFrame): DataFrame =
+    manifestView(s, root) match {
+      case None => s.read.parquet(s"$root/$half")
+      case Some(view) =>
+        val files = liveHalfFiles(s, root, half, view)
+        if (files.isEmpty) empty
+        else s.read.option("basePath", s"$root/$half").parquet(files: _*)
+    }
+
   /** Tombstone read-back; empty-safe (no delete yet → empty set). */
   def tombstones(s: SparkSession, root: String): DataFrame = {
-    if (hasParquet(s, s"$root/tombstones"))
-      s.read.parquet(s"$root/tombstones").select(col("vec_id"))
-    else s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("vec_id",
-          org.apache.spark.sql.types.LongType))))
+    import org.apache.spark.sql.types._
+    manifestView(s, root) match {
+      case None =>
+        if (hasParquet(s, s"$root/tombstones"))
+          s.read.parquet(s"$root/tombstones").select(col("vec_id"))
+        else emptyDf(s, Seq("vec_id" -> LongType))
+      case Some(view) =>
+        val files = liveHalfFiles(s, root, "tombstones", view)
+        if (files.isEmpty) emptyDf(s, Seq("vec_id" -> LongType))
+        else s.read.parquet(files: _*).select(col("vec_id"))
+    }
   }
 
   /** The assignment rows probes should see: base ∪ appends MINUS
@@ -102,16 +224,42 @@ object IvfIndex {
   /** COMPACTION: physically rewrite ONLY the cells whose tombstone
     * share reaches `minRatio` (cost scales with TOUCHED cells, never
     * the index — the append-side discipline mirrored on the delete
-    * side). Fully-dead cells drop their partition directory outright;
-    * partially-dead cells rewrite via dynamic partition overwrite; the
-    * applied tombstones leave the tombstone table. Law (IvfIndexSpec,
+    * side). Fully-dead cells drop out of the view entirely; the applied
+    * tombstones leave the tombstone table. Law (IvfIndexSpec,
     * embed_ivf_index_delete): delete ∘ compact ≡ rebuild on the
     * surviving set at fixed centroids — compaction must never change
     * what a probe sees, only where it reads it from.
     *
+    * CRASH-ATOMIC (r12 verdict §4): runs [[compactPlan]]'s three steps —
+    * write-aside under reserved invisible names, ONE atomic manifest
+    * rename (the commit point), then GC of the retired files — so a
+    * probe interrupted between any two filesystem mutations sees
+    * exactly the pre- or the post-compaction row set, and both halves
+    * plus the tombstone drain flip in the SAME commit (the manifest-file
+    * protocol every months-lived table format uses). Single writer per
+    * index root assumed, as before.
+    *
     * Returns the compacted cell ids (driver-bounded: ≤ k cells).
     */
   def compact(s: SparkSession, root: String, minRatio: Double): Seq[Long] = {
+    val (cells, steps) = compactPlan(s, root, minRatio)
+    steps.foreach(_.apply())
+    cells
+  }
+
+  /** The compaction as (compacted cells, ordered mutation steps) —
+    * exposed so IvfIndexSpec can interleave probes between the steps
+    * and pin the pre-or-post law. Steps MUST run in order:
+    * (1) PREPARE — survivors of the touched cells (both halves, kept in
+    * lockstep) and the drained tombstone set are written aside and
+    * moved into the live dirs under `compact-<gen>-…` names readers
+    * ignore until committed; (2) PUBLISH — the manifest rename, the one
+    * atomic visibility flip; (3) GC — physical deletion of the files
+    * the manifest retired (readers already exclude them, so a crash
+    * mid-GC leaves garbage bytes, never wrong rows).
+    */
+  private[graft] def compactPlan(s: SparkSession, root: String,
+      minRatio: Double): (Seq[Long], Seq[() => Unit]) = {
     val tomb = tombstones(s, root)
     val asg = assignments(s, root)
     val stats = asg.join(tomb.withColumn("__t", lit(1)), Seq("vec_id"), "left")
@@ -121,48 +269,107 @@ object IvfIndex {
       .select(col("cl"), (col("nt") === col("n")).as("dead"))
       .collect()
     val cells = stats.map(_.getLong(0)).toSeq
-    if (cells.nonEmpty) {
-      val cellsDf = broadcast(s.createDataFrame(
-        cells.map(Tuple1(_))).toDF("cl"))
-      // materialize BEFORE touching the files they were read from
-      val remaining = tomb.join(asg.join(cellsDf, "cl").select(col("vec_id")),
-        Seq("vec_id"), "left_anti").transform(Ckpt.eager)
-      val deadCells = stats.filter(_.getBoolean(1)).map(_.getLong(0))
-      val liveCells = cells.diff(deadCells)
-      val hasCodes = hfs(s, s"$root/codes")._1.exists(hfs(s, s"$root/codes")._2)
-      // per-write option, never the session conf: a session-wide toggle
-      // would leak 'dynamic' into concurrent writers sharing the
-      // SparkSession (r12 advice)
-      def dynOverwrite(df: DataFrame, path: String): Unit =
-        df.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
-          .partitionBy("cl").parquet(path)
-      if (liveCells.nonEmpty) {
-        val liveDf = broadcast(s.createDataFrame(liveCells.map(Tuple1(_))).toDF("cl"))
-        val live = asg.join(liveDf, "cl")
+    if (cells.isEmpty) return (Nil, Nil)
+    val g = nextGen(s, root)
+    val cellsDf = broadcast(s.createDataFrame(
+      cells.map(Tuple1(_))).toDF("cl"))
+    // materialize every survivor frame NOW (Ckpt.eager) — the steps
+    // below mutate the files these were read from
+    val remaining = tomb.join(asg.join(cellsDf, "cl").select(col("vec_id")),
+      Seq("vec_id"), "left_anti").transform(Ckpt.eager)
+    val deadCells = stats.filter(_.getBoolean(1)).map(_.getLong(0))
+    val liveCells = cells.diff(deadCells)
+    val hasCodes = hfs(s, s"$root/codes")._1.exists(hfs(s, s"$root/codes")._2)
+    val live = if (liveCells.nonEmpty) {
+      val liveDf = broadcast(s.createDataFrame(liveCells.map(Tuple1(_))).toDF("cl"))
+      // the PQ half (if present) compacts in lockstep: compaction
+      // DRAINS applied tombstones, so any store that kept the dead
+      // rows would resurrect them at the next ADC probe
+      Some((asg.join(liveDf, "cl")
           .join(tomb, Seq("vec_id"), "left_anti")
           .select(col("vec_id"), col("v"), col("cl"))
-          .transform(Ckpt.eager)
-        // the PQ half (if present) compacts in lockstep: compaction
-        // DRAINS applied tombstones, so any store that kept the dead
-        // rows would resurrect them at the next ADC probe
-        val liveCodes = if (hasCodes)
+          .transform(Ckpt.eager),
+        if (hasCodes)
           codes(s, root).join(liveDf, "cl")
             .join(tomb, Seq("vec_id"), "left_anti")
             .select(col("vec_id"), col("sub"), col("code"), col("cl"))
             .transform(Ckpt.eager)
-        else null
-        dynOverwrite(live, s"$root/assignments")
-        if (hasCodes) dynOverwrite(liveCodes, s"$root/codes")
+        else null))
+    } else None
+    // retire set: every file currently SERVING a compacted cell (both
+    // halves) plus every serving tombstone file — computed against the
+    // current manifest view, so a repeat compaction retires prior gens'
+    // adds too
+    val view = manifestView(s, root).getOrElse((Set.empty[String], Set.empty[String]))
+    val cellDirs = cells.map(c => s"cl=$c").toSet
+    def servingOf(half: String): Seq[(String, String)] =
+      listHalf(s, root, half).filter { case (abs, rel) =>
+        val serving = !view._2.contains(rel) &&
+          (!new org.apache.hadoop.fs.Path(abs).getName.startsWith(CompactPrefix) ||
+            view._1.contains(rel))
+        serving && (half == "tombstones" || rel.split("/").exists(cellDirs.contains))
       }
+    val rmList = servingOf("assignments") ++
+      (if (hasCodes) servingOf("codes") else Nil) ++ servingOf("tombstones")
+    val adds = scala.collection.mutable.ArrayBuffer[String]()
+    val tmpRoot = s"$root/.compact-tmp-$g"
+    val prepare: () => Unit = () => {
+      // engage the manifest view FIRST (atomic mkdir): from here on,
+      // readers list-and-filter, so the compact-gen moves below stay
+      // invisible until the publish rename
+      val (mfs, md) = hfs(s, manifestDir(root))
+      mfs.mkdirs(md)
+      def writeAndMove(df: DataFrame, half: String, partitioned: Boolean): Unit = {
+        val w = df.write.mode("overwrite")
+        (if (partitioned) w.partitionBy("cl") else w).parquet(s"$tmpRoot/$half")
+        var seq = 0
+        listHalf(s, tmpRoot, half).foreach { case (abs, rel) =>
+          val src = new org.apache.hadoop.fs.Path(abs)
+          val sub = rel.stripPrefix(half + "/")
+          val dir = if (sub.contains("/")) sub.substring(0, sub.lastIndexOf('/')) else ""
+          val dstDir = if (dir.isEmpty) s"$root/$half" else s"$root/$half/$dir"
+          val (fs, dd) = hfs(s, dstDir)
+          fs.mkdirs(dd)
+          fs.rename(src,
+            new org.apache.hadoop.fs.Path(dstDir, s"$CompactPrefix$g-$seq.parquet"))
+          adds += s"$half/${if (dir.isEmpty) "" else dir + "/"}$CompactPrefix$g-$seq.parquet"
+          seq += 1
+        }
+      }
+      live.foreach { case (la, lc) =>
+        writeAndMove(la, "assignments", partitioned = true)
+        if (hasCodes) writeAndMove(lc, "codes", partitioned = true)
+      }
+      writeAndMove(remaining, "tombstones", partitioned = false)
+      val (fs, tp) = hfs(s, tmpRoot)
+      if (fs.exists(tp)) fs.delete(tp, true): Unit
+    }
+    val publish: () => Unit = () => {
+      val (fs, md) = hfs(s, manifestDir(root))
+      fs.mkdirs(md)
+      val body = (adds.map(a => s"add\t$a") ++ rmList.map(r => s"rm\t${r._2}"))
+        .mkString("", "\n", "\n")
+      val tmp = new org.apache.hadoop.fs.Path(md, s".tmp-m-$g")
+      val out = fs.create(tmp, true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      fs.rename(tmp, new org.apache.hadoop.fs.Path(md, f"m-$g%08d")): Unit
+    }
+    val gc: () => Unit = () => {
+      rmList.foreach { case (abs, _) =>
+        val p = new org.apache.hadoop.fs.Path(abs)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, false): Unit
+      }
+      // drop now-empty dead-cell dirs (cosmetic; the view never
+      // consults an uncommitted directory)
       deadCells.foreach { c =>
         for (half <- Seq("assignments", "codes") if !half.equals("codes") || hasCodes) {
           val (fs, p) = hfs(s, s"$root/$half/cl=$c")
-          if (fs.exists(p)) fs.delete(p, true): Unit
+          if (fs.exists(p) && fs.listStatus(p).isEmpty) fs.delete(p, true): Unit
         }
       }
-      remaining.write.mode("overwrite").parquet(s"$root/tombstones")
     }
-    cells
+    (cells, Seq(prepare, publish, gc))
   }
 
   /** PQ append — [[append]]'s encoding twin, keeping the two halves of
@@ -333,10 +540,13 @@ object IvfIndex {
     s.read.parquet(s"$root/codebooks")
 
   /** Encoded half read-back; `cl` is the hive cell partition column. */
-  def codes(s: SparkSession, root: String): DataFrame =
-    s.read.parquet(s"$root/codes")
+  def codes(s: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    readHalf(s, root, "codes", emptyDf(s, Seq("vec_id" -> LongType,
+        "sub" -> IntegerType, "code" -> LongType, "cl" -> LongType)))
       .select(col("vec_id"), col("sub"), col("code"),
         col("cl").cast("long").as("cl"))
+  }
 
   /** ADC probe over the persisted IVFADC artifact: [[probe]]'s coarse
     * nprobe-cell routing, then candidates are scored by CODE LOOKUPS

@@ -287,6 +287,49 @@ class IvfIndexSpec extends SparkSpec {
     assert(probed.forall(_ % 5 != 0), "a deleted vector resurfaced in the residual ADC probe")
   }
 
+  test("compaction is manifest-atomic: probes between ANY two steps see the survivor set") {
+    // the r12 verdict's crash-window law: compactPlan exposes the three
+    // mutation steps (prepare / publish / gc); the probe answer — both
+    // the exact-vector probe and the ADC probe over the codes half —
+    // must be the SURVIVOR set at every boundary: before the manifest
+    // rename the old files serve with tombstones masking, after it the
+    // compacted files serve with tombstones drained, and GC only
+    // deletes what the manifest already retired
+    val (m, dsub, codes) = (2, 4, 4)
+    val base = planted(200, 0L)
+    val root = Scratch.dir("spec_ivf_atomic")
+    IvfIndex.build(base, k = 4, iters = 2, root)
+    IvfIndex.buildPq(spark, base, m, dsub, codes, iters = 2, root)
+    val doomed = base.where(col("vec_id") % 5 === 0).select(col("vec_id"), col("v"))
+    IvfIndex.delete(spark, doomed, root)
+    val q = base.where(col("vec_id") < 5).select(col("vec_id").as("qid"), col("v").as("qv"))
+    def probeRows = IvfIndex.probe(spark, q, root, nprobe = 2, topk = 3,
+        cand = _.where(col("vec_id") >= 5)).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getLong(3))).toSet
+    def adcRows = IvfIndex.probePq(spark, q, root, m, dsub, nprobe = 2, topk = 3,
+        cand = _.where(col("vec_id") >= 5)).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getLong(3))).toSet
+    val preProbe = probeRows
+    val preAdc = adcRows
+    val (cells, steps) = IvfIndex.compactPlan(spark, root, minRatio = 0.1)
+    assert(cells.nonEmpty && steps.size === 3)
+    steps(0).apply() // PREPARE: aside writes + invisible compact-gen moves
+    assert(probeRows === preProbe, "prepare changed the probe answer")
+    assert(adcRows === preAdc, "prepare changed the ADC answer")
+    assert(IvfIndex.tombstones(spark, root).count() > 0,
+      "tombstones drained before the commit point")
+    steps(1).apply() // PUBLISH: the one atomic manifest rename
+    assert(probeRows === preProbe, "commit changed the probe answer")
+    assert(adcRows === preAdc, "commit changed the ADC answer")
+    assert(IvfIndex.tombstones(spark, root).count() === 0L,
+      "commit did not drain the applied tombstones")
+    assert(IvfIndex.codes(spark, root).where(col("vec_id") % 5 === 0).count() === 0L,
+      "dead code rows still serving after the commit")
+    steps(2).apply() // GC of manifest-retired files only
+    assert(probeRows === preProbe, "gc changed the probe answer")
+    assert(adcRows === preAdc, "gc changed the ADC answer")
+  }
+
   test("fitGrouped == independent per-group Lloyd fits (codebook training law)") {
     val v = planted(120, 0L)
     // two groups: the front and back half of each vector
