@@ -48,6 +48,82 @@ object PrefixSum {
     */
   val BucketCol = "__ps_bucket"
 
+  /** percentile_approx accuracy used by the balanced branch; exposed so
+    * the [[bucketize]] mass bound is a stated, spec-checkable contract.
+    */
+  val BalancedAccuracy = 10000
+
+  /** Adds [[BucketCol]] to `g`: contiguous monotone buckets over
+    * `order`, range-uniform by default, key-QUANTILE boundaries with
+    * `balanced=true`.
+    *
+    * Balanced mass bound (the r12-verdict contract, pinned by
+    * PrefixSumSpec): for an all-distinct key column of n rows, every
+    * bucket holds at most n/buckets + 2·n/[[BalancedAccuracy]] rows —
+    * percentile_approx's GK sketch guarantees each boundary's RANK is
+    * within n/accuracy of its target, and a bucket's mass is the rank
+    * gap between two boundaries — i.e. ≤ ~1.013× the ideal share at the
+    * defaults (64 buckets, accuracy 10⁴). Repeated keys concentrate
+    * irreducibly (equal keys must share a bucket, or the bucketing
+    * stops being monotone); correctness never depends on balance
+    * either way.
+    */
+  private[graft] def bucketize(g: DataFrame, partitionCols: Seq[String],
+      order: String, buckets: Int, balanced: Boolean): DataFrame = {
+    val pc = partitionCols.map(col)
+    val x = col(order).cast("double")
+    // NULL order keys would bucket to NULL and the offset equi-join
+    // would silently DROP the rows (r11 advice) — fail loud instead.
+    // raise_error in the when-branch keeps the check inside the used
+    // bucket expression, so column pruning can never eliminate it.
+    def nullGuarded(b: Column): Column = when(x.isNull, raise_error(lit(
+      s"PrefixSum.running: null order key '$order' — pre-filter or coalesce before the scan"))
+      .cast("int")).otherwise(b)
+    if (balanced) {
+      // MASS-balanced bucketing (the r11 hardening): boundaries are the
+      // 1/buckets..(buckets-1)/buckets quantiles of the key (one
+      // sketch rollup broadcast back), so an outlier-stretched domain —
+      // 99% of rows inside 1/64 of the RANGE — still spreads across
+      // ~buckets buckets. bucket = #boundaries <= x is monotone in x,
+      // so equal keys share a bucket and bucket ranges stay contiguous;
+      // correctness is invariant to the boundary choice (PrefixSumSpec
+      // pins balanced == uniform == global on a pathological fixture).
+      val bndC = "__ps_bnds"
+      val pcts = (1 until buckets).map(i => i.toDouble / buckets)
+      val bAgg = percentile_approx(x, lit(pcts.toArray),
+        lit(BalancedAccuracy)).as(bndC)
+      val bnds =
+        if (pc.isEmpty) g.agg(bAgg)
+        else g.groupBy(pc: _*).agg(bAgg)
+      val joined =
+        if (pc.isEmpty) g.crossJoin(broadcast(bnds))
+        else g.join(broadcast(bnds), partitionCols)
+      val bkt = nullGuarded(aggregate(col(bndC), lit(0),
+        (acc, bd) => acc + when(x >= bd, 1).otherwise(0)))
+      joined.withColumn(BucketCol, bkt).drop(bndC)
+    } else {
+      val mnC = "__ps_mn"
+      val mxC = "__ps_mx"
+      val boundsAgg = Seq(min(col(order)).cast("double").as(mnC),
+        max(col(order)).cast("double").as(mxC))
+      val bounds =
+        if (pc.isEmpty) g.agg(boundsAgg.head, boundsAgg.tail: _*)
+        else g.groupBy(pc: _*).agg(boundsAgg.head, boundsAgg.tail: _*)
+      val joined =
+        if (pc.isEmpty) g.crossJoin(broadcast(bounds))
+        else g.join(broadcast(bounds), partitionCols)
+      // Monotone range bucketing: double division/multiplication by a
+      // positive constant rounds monotonically, so equal keys land in one
+      // bucket and bucket ranges are contiguous — balance is best-effort
+      // (uniform over the key RANGE; pass balanced=true for a mass
+      // guarantee), correctness never depends on it.
+      val bkt = nullGuarded(when(col(mxC) === col(mnC), lit(0)).otherwise(
+        least(lit(buckets - 1),
+          floor((x - col(mnC)) / (col(mxC) - col(mnC)) * buckets).cast("int"))))
+      joined.withColumn(BucketCol, bkt).drop(mnC, mxC)
+    }
+  }
+
   /** Adds, for every measure `m`, an INCLUSIVE running sum `m_cum`
     * (`sum(m) OVER (PARTITION BY partitionCols ORDER BY order ROWS
     * UNBOUNDED PRECEDING..CURRENT ROW)`, cast long) and — when
@@ -81,57 +157,7 @@ object PrefixSum {
       balanced: Boolean = false): DataFrame = {
     require(measures.nonEmpty, "need at least one measure")
     val pc = partitionCols.map(col)
-    val x = col(order).cast("double")
-    // NULL order keys would bucket to NULL and the offset equi-join
-    // would silently DROP the rows (r11 advice) — fail loud instead.
-    // raise_error in the when-branch keeps the check inside the used
-    // bucket expression, so column pruning can never eliminate it.
-    def nullGuarded(b: Column): Column = when(x.isNull, raise_error(lit(
-      s"PrefixSum.running: null order key '$order' — pre-filter or coalesce before the scan"))
-      .cast("int")).otherwise(b)
-    val bucketed = if (balanced) {
-      // MASS-balanced bucketing (the r11 hardening): boundaries are the
-      // 1/buckets..(buckets-1)/buckets quantiles of the key (one
-      // sketch rollup broadcast back), so an outlier-stretched domain —
-      // 99% of rows inside 1/64 of the RANGE — still spreads across
-      // ~buckets buckets. bucket = #boundaries <= x is monotone in x,
-      // so equal keys share a bucket and bucket ranges stay contiguous;
-      // correctness is invariant to the boundary choice (PrefixSumSpec
-      // pins balanced == uniform == global on a pathological fixture).
-      val bndC = "__ps_bnds"
-      val pcts = (1 until buckets).map(i => i.toDouble / buckets)
-      val bAgg = percentile_approx(x, lit(pcts.toArray),
-        lit(10000)).as(bndC)
-      val bnds =
-        if (pc.isEmpty) g.agg(bAgg)
-        else g.groupBy(pc: _*).agg(bAgg)
-      val joined =
-        if (pc.isEmpty) g.crossJoin(broadcast(bnds))
-        else g.join(broadcast(bnds), partitionCols)
-      val bkt = nullGuarded(aggregate(col(bndC), lit(0),
-        (acc, bd) => acc + when(x >= bd, 1).otherwise(0)))
-      joined.withColumn(BucketCol, bkt).drop(bndC)
-    } else {
-      val mnC = "__ps_mn"
-      val mxC = "__ps_mx"
-      val boundsAgg = Seq(min(col(order)).cast("double").as(mnC),
-        max(col(order)).cast("double").as(mxC))
-      val bounds =
-        if (pc.isEmpty) g.agg(boundsAgg.head, boundsAgg.tail: _*)
-        else g.groupBy(pc: _*).agg(boundsAgg.head, boundsAgg.tail: _*)
-      val joined =
-        if (pc.isEmpty) g.crossJoin(broadcast(bounds))
-        else g.join(broadcast(bounds), partitionCols)
-      // Monotone range bucketing: double division/multiplication by a
-      // positive constant rounds monotonically, so equal keys land in one
-      // bucket and bucket ranges are contiguous — balance is best-effort
-      // (uniform over the key RANGE; pass balanced=true for a mass
-      // guarantee), correctness never depends on it.
-      val bkt = nullGuarded(when(col(mxC) === col(mnC), lit(0)).otherwise(
-        least(lit(buckets - 1),
-          floor((x - col(mnC)) / (col(mxC) - col(mnC)) * buckets).cast("int"))))
-      joined.withColumn(BucketCol, bkt).drop(mnC, mxC)
-    }
+    val bucketed = bucketize(g, partitionCols, order, buckets, balanced)
 
     // Bucketing keys on `order` alone, so equal order values share a
     // bucket and `tieBreaks` (sort-order columns making the composite

@@ -28,8 +28,29 @@ object Scratch {
     ()
   }
 
-  /** Absolute scratch path for `tag`, unique to this process. */
-  def dir(tag: String): String = root.resolve(tag).toString
+  /** Per-sweep namespace salt (r12 advice): PlanSpec's pre-checkpoint
+    * window sweep re-runs every query inside Ckpt.recording, and a
+    * [[once]]-memoized artifact build (an index fit) that some earlier
+    * test already ran would be SKIPPED there — sweep coverage of the
+    * build-phase plans would depend on test order. [[withNamespace]]
+    * reroutes every dir()/once() key under a fresh salt for the
+    * duration, so artifact builds always execute inside the recording.
+    * Single-threaded use (the sweeps are sequential).
+    */
+  @volatile private var salt: String = ""
+
+  def withNamespace[T](ns: String)(body: => T): T = {
+    val prev = salt
+    salt = ns
+    try body finally salt = prev
+  }
+
+  /** Absolute scratch path for `tag`, unique to this process (and to
+    * the active [[withNamespace]] salt, if any).
+    */
+  def dir(tag: String): String =
+    (if (salt.isEmpty) root.resolve(tag)
+     else root.resolve(salt).resolve(tag)).toString
 
   /** Run `body` at most ONCE per (process, tag) — the artifact-build
     * memo for queries that construct a deterministic on-disk artifact

@@ -125,6 +125,30 @@ class PrefixSumSpec extends SparkSpec {
       "quantile buckets failed to spread an outlier-stretched domain")
   }
 
+  test("balanced-bucket mass CONTRACT: max bucket <= n/buckets + 2n/accuracy (all-distinct keys)") {
+    // the r12-verdict quantification: the GK sketch bounds each
+    // boundary's rank error by n/accuracy, so a bucket (the rank gap
+    // between two boundaries) holds at most n/64 + 2n/10000 rows —
+    // asserted on the outlier-stretched fixture where uniform RANGE
+    // buckets collapse ~99% of rows into one
+    import spark.implicits._
+    val n = 20000
+    val keys = (0 until n).map(i =>
+      if (i % 100 == 0) 1e9 + i else i.toDouble / n) // all distinct
+    val g = keys.map(k => (k, 1L)).toDF("score", "one")
+    val counts = PrefixSum.bucketize(g, Nil, "score", 64, balanced = true)
+      .groupBy(col(PrefixSum.BucketCol)).count()
+      .collect().map(_.getLong(1))
+    val bound = math.ceil(n / 64.0 + 2.0 * n / PrefixSum.BalancedAccuracy).toLong
+    assert(counts.max <= bound, s"max bucket mass ${counts.max} > contract bound $bound")
+    assert(counts.length >= 32, s"only ${counts.length} buckets materialized")
+    // sanity: the fixture IS the failure mode quantile boundaries fix
+    val uMax = PrefixSum.bucketize(g, Nil, "score", 64, balanced = false)
+      .groupBy(col(PrefixSum.BucketCol)).count()
+      .collect().map(_.getLong(1)).max
+    assert(uMax >= (n * 0.9).toLong, "fixture no longer outlier-stretched")
+  }
+
   test("null order key raises instead of silently dropping rows") {
     import spark.implicits._
     val df = Seq((java.lang.Long.valueOf(1L), 1L), (null.asInstanceOf[java.lang.Long], 2L))
