@@ -360,6 +360,74 @@ object ScaleProbe {
         rm(new java.io.File(d))
       }
     }
+
+    // isotonic leg (r12 verdict §6): the hybrid guard measured at 5M
+    // DISTINCT scores — past the 4M default, so the fit MUST run >=1
+    // distributed run-collapse round before the bounded driver finish
+    // (noisy monotone-trend labels: the realistic calibration shape,
+    // violations everywhere but no adversarial staircase). Beside it,
+    // the guard-disabled ALL-distributed run on the same table — the
+    // hybrid's win is the rounds it never runs. Round-by-round pool
+    // counts print via spark.graft.isotonic.log (the geometric crash
+    // the BASELINE record wants).
+    if (on("isotonic")) {
+      val mIso = 5000000L
+      val giso = spark.range(mIso).select(
+          col("id").cast("double").as("score"), lit(1L).as("n"),
+          when(pmod(hash(col("id")), lit(1000)) <
+            (col("id") * lit(1000L) / lit(mIso)).cast("int"), 1L)
+            .otherwise(0L).as("sy"))
+        .transform(graft.ops.Ckpt.eager)
+      spark.conf.set("spark.graft.isotonic.log", "true")
+      def fitWall(tag: String): Unit = {
+        val t = System.nanoTime()
+        val pools = graft.ops.Isotonic.fit(giso)
+          .agg(countDistinct(col("iso"))).head().getLong(0)
+        val secs = (System.nanoTime() - t) / 1e9
+        println(f"[scaleprobe] isotonic($tag) distinct=$mIso%8d fitted_pools=$pools%7d wall=$secs%6.1f s")
+      }
+      fitWall("hybrid_guard4M")
+      spark.conf.set("spark.graft.isotonic.localLimit", "1")
+      try fitWall("all_distributed")
+      finally spark.conf.unset("spark.graft.isotonic.localLimit")
+      spark.conf.unset("spark.graft.isotonic.log")
+      giso.unpersist(): Unit
+    }
+
+    // bpe-32k leg (r12 verdict §7): the heap-argmax merge loop at
+    // PRODUCTION merge depth over a diverse vocabulary (base-36 words
+    // from hashes — up to ~200k distinct words, so tens of thousands of
+    // distinct adjacent pairs exist and 32k merges are reachable,
+    // unlike the 1000-word near-dup corpus above). Records the rollup
+    // wall (corpus-sized, distributed) vs the loop wall (vocab-sized,
+    // driver) and how many merges actually landed. Memory note for the
+    // BASELINE record: the loop's pair/where indexes are O(distinct
+    // adjacent pairs) ≈ O(Σ enc length), exactly what the
+    // localVocabBytes guard bounds — a vocabulary past the guard
+    // dispatches to fitVocabDistributed instead of growing the heap.
+    if (on("bpe32k")) {
+      val nDocs = 200000L
+      val dirB = java.nio.file.Files.createTempDirectory("probeB").toString
+      spark.range(nDocs).select(col("id").as("doc_id"), expr(
+        """concat_ws(' ', transform(sequence(1, 80), j ->
+          |  conv(CAST(pmod(xxhash64(id, j), 200000) AS STRING), 10, 36)))"""
+          .stripMargin).as("text"))
+        .write.mode("overwrite").parquet(s"$dirB/documents.parquet")
+      val tb0 = System.nanoTime()
+      val bv = graft.ops.Bpe.vocab0(spark.read.parquet(s"$dirB/documents.parquet"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val vStats = bv.agg(count(lit(1)), coalesce(sum(length(col("enc"))), lit(0L))).head()
+      val rollS = (System.nanoTime() - tb0) / 1e9
+      val tb1 = System.nanoTime()
+      val merges = graft.ops.Bpe.fitVocab(bv, 32768)
+      val loopS = (System.nanoTime() - tb1) / 1e9
+      bv.unpersist(false)
+      println(f"[scaleprobe] bpe32k docs=$nDocs%7d vocab=${vStats.getLong(0)}%7d enc_bytes=${vStats.getLong(1)}%9d rollup=$rollS%6.1f s merge_loop=$loopS%6.1f s n_merges=${merges.length}%6d")
+      def rmB(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmB)); f.delete(): Unit
+      }
+      rmB(new java.io.File(dirB))
+    }
     spark.stop()
   }
 }

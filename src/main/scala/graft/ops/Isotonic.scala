@@ -159,6 +159,9 @@ object Isotonic {
       val pools = rows.groupBy(col("lo"))
         .agg(sum(col("n")).as("pn"), sum(col("sy")).as("psy"))
       val pc = pools.count()
+      // ScaleProbe's round-by-round pool trace (spark.graft.isotonic.log)
+      if (spark.conf.get("spark.graft.isotonic.log", "false").toBoolean)
+        System.err.println(s"[isotonic] round=$r pools=$pc")
       if (pc > limit &&
           (r == maxRounds || pc > lastCount - math.max(1L, lastCount / 1000))) {
         // stalled (the one-neighbor absorption mode) or out of budget:
