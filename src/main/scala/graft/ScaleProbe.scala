@@ -379,16 +379,22 @@ object ScaleProbe {
             .otherwise(0L).as("sy"))
         .transform(graft.ops.Ckpt.eager)
       spark.conf.set("spark.graft.isotonic.log", "true")
-      def fitWall(tag: String): Unit = {
+      def fitWall(tag: String, maxRounds: Int): Unit = {
         val t = System.nanoTime()
-        val pools = graft.ops.Isotonic.fit(giso)
+        val pools = graft.ops.Isotonic.fit(giso, maxRounds)
           .agg(countDistinct(col("iso"))).head().getLong(0)
         val secs = (System.nanoTime() - t) / 1e9
         println(f"[scaleprobe] isotonic($tag) distinct=$mIso%8d fitted_pools=$pools%7d wall=$secs%6.1f s")
       }
-      fitWall("hybrid_guard4M")
+      fitWall("hybrid_guard4M", 64)
+      // budget-capped comparison run: on noisy 5M-distinct data the
+      // run-collapse reduction DECAYS (measured ~17%→7% per round by
+      // round 15 — the absorption regime), so an uncapped
+      // all-distributed run grinds for an hour; 16 rounds is enough to
+      // show the per-round cost the hybrid never pays, then the
+      // partition-PAVA fallback terminates it exactly
       spark.conf.set("spark.graft.isotonic.localLimit", "1")
-      try fitWall("all_distributed")
+      try fitWall("all_distributed_cap16", 16)
       finally spark.conf.unset("spark.graft.isotonic.localLimit")
       spark.conf.unset("spark.graft.isotonic.log")
       giso.unpersist(): Unit

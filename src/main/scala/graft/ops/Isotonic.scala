@@ -154,6 +154,12 @@ object Isotonic {
     var rows = g.select(col("score"), col("n"), col("sy"), col("score").as("lo"))
     var r = 0
     var lastCount = Long.MaxValue
+    // superseded per-round checkpoints must be FREED (the KMeans
+    // prevCkpt discipline): without it a long absorption run pins one
+    // n-row cached block per round — the 5M-point ScaleProbe leg
+    // measured rounds sliding from ~5 s to minutes as the executor
+    // store filled
+    var prevCkpt: DataFrame = null
     while (r < maxRounds) {
       r += 1
       val pools = rows.groupBy(col("lo"))
@@ -215,6 +221,8 @@ object Isotonic {
       rows = rows.join(remap, col("lo") === col("olo"))
         .select(col("score"), col("n"), col("sy"), col("nlo").as("lo"))
         .transform(Ckpt.eager)
+      if (prevCkpt != null) prevCkpt.unpersist()
+      prevCkpt = rows
     }
     throw new IllegalStateException(
       s"Isotonic.fit did not converge within $maxRounds rounds")
