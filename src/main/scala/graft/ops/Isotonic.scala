@@ -160,10 +160,24 @@ object Isotonic {
     // measured rounds sliding from ~5 s to minutes as the executor
     // store filled
     var prevCkpt: DataFrame = null
+    var prevPools: DataFrame = null
     while (r < maxRounds) {
       r += 1
+      // the pool table is referenced ~6× per round (count, quantile
+      // boundaries, within-bucket rank, bucket rollup, predecessor
+      // self-join, final remap) — CHECKPOINT it so each reference reads
+      // a materialized leaf instead of re-running the corpus aggregate,
+      // and so Catalyst's size estimation stops compounding the shared
+      // subtree: the self-join chain over an un-truncated aggregate
+      // squares the BigInt sizeInBytes estimate at every level, and the
+      // 5M-point ScaleProbe leg measured round walls sliding 18 s →
+      // minutes with the planner stuck multiplying million-digit
+      // integers (SizeInBytesOnlyStatsPlanVisitor) before this fix
       val pools = rows.groupBy(col("lo"))
         .agg(sum(col("n")).as("pn"), sum(col("sy")).as("psy"))
+        .transform(Ckpt.eager)
+      if (prevPools != null) prevPools.unpersist()
+      prevPools = pools
       val pc = pools.count()
       // ScaleProbe's round-by-round pool trace (spark.graft.isotonic.log)
       if (spark.conf.get("spark.graft.isotonic.log", "false").toBoolean)

@@ -112,6 +112,17 @@ class PlanSpec extends SparkSpec {
       s"no dynamic partition pruning on the codes scan in:\n${p.take(4000)}")
   }
 
+  test("embed_ivfadc_residual: the per-cell ADC probe dynamically prunes the codes scan") {
+    // residual ADC keys the broadcast table by (cell, sub, code) — the
+    // cl ≡ cell equi-term must still drive dynamic partition pruning on
+    // the cell-partitioned codes files, same law as embed_ivf_pq_index
+    val df = graft.queries.EmbedQueries.embedIvfadcResidual.run(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the residual codes scan in:\n${p.take(4000)}")
+  }
+
   test("GLOBAL sweep: no unintended nested-loop/cartesian join in ANY registered query") {
     // queries whose plans legitimately contain a BroadcastNestedLoopJoin:
     // a deliberately-broadcast tiny side (queries / centroids) crossed
