@@ -25,11 +25,29 @@ object Ckpt {
 
   /** `df.localCheckpoint(eager = true)`, recording the pre-checkpoint
     * optimized plan when a [[recording]] is active on this thread.
+    *
+    * STATS-COMPOUNDING GUARD (r13): Spark's checkpoint keeps the ORIGIN
+    * plan's statistics on the new LogicalRDD leaf (so a checkpointed
+    * small dim still broadcasts downstream). In an ITERATIVE
+    * checkpoint loop that inheritance compounds: round k+1's plan
+    * multiplies round k's inherited sizeInBytes at every self-join, so
+    * the estimate's DIGIT COUNT doubles-or-worse per round (measured:
+    * 26 → 807 bits in six join+checkpoint rounds; Isotonic's 5M-pool
+    * probe hit million-digit BigIntegers by round 14 with the planner
+    * spending MINUTES inside SizeInBytesOnlyStatsPlanVisitor's
+    * products). Estimates past 2^128 carry zero information — any real
+    * size fits in a long, and every broadcast threshold compares
+    * against megabytes — so past that line the leaf is rebuilt WITHOUT
+    * origin stats (a plain createDataFrame over the checkpointed RDD;
+    * the row-conversion cost only applies on this already-pathological
+    * path). Sane frames keep the cheap path and their useful stats.
     */
   def eager(df: DataFrame): DataFrame = {
     val b = rec.get()
     if (b != null) b += df.queryExecution.optimizedPlan
-    df.localCheckpoint(eager = true)
+    val ck = df.localCheckpoint(eager = true)
+    if (ck.queryExecution.optimizedPlan.stats.sizeInBytes.bitLength <= 128) ck
+    else ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
   /** Run `f`, collecting every pre-checkpoint plan [[eager]] snapshots
