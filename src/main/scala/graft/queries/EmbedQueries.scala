@@ -2288,10 +2288,22 @@ object EmbedQueries {
     * (16×64 round-6 doubles; the corpus work of the fit is ONE Gram
     * reduction); the rotation is MAP-ONLY (16 native vec_dot kernels
     * per row in whole-stage codegen); everything downstream is the
-    * trained-PQ chain unchanged. Determinism: round-6 projections are
-    * bit-identical cross-engine (ascending-dim folds over round-6
-    * model tables), and the Lloyd/ADC chain inherits the
-    * embed_knn_pq_trained contract on those shared inputs.
+    * trained-PQ chain unchanged.
+    *
+    * Determinism: the rotated coordinate is the projection SCALED TO AN
+    * INTEGER (round(t·10³)) — not merely round-6. Round-6 coordinates
+    * are rationals with denominator 10⁶, so a Lloyd-update mean lands
+    * ON a rounding half-boundary with probability ~1/cluster-size per
+    * cell×dim, and both engines' parallel `avg` is association-ordered
+    * — a first cut of this query flapped one adist cell by 1e-6 between
+    * two DuckDB runs of the SAME oracle. With integer coordinates every
+    * update mean is an EXACT integer sum (≤ 2^53 by construction) over
+    * any summation order, divided once — bit-stable everywhere. The
+    * scale stops at 10³ so squared distances stay ≤ ~10¹¹: exactly
+    * representable doubles AND inside DECIMAL(18,6) — at a 10⁶ scale
+    * the ~10¹⁵ sums exceeded double's mantissa and DuckDB's
+    * decimal→float64 conversion diverged from the JVM's by one ulp
+    * (measured, 7 cells). Ranking is scale-invariant either way.
     */
   val embedPqRotated: QueryDef = {
     val (dim, iters, mPca) = (64, 8, 16)
@@ -2309,7 +2321,7 @@ object EmbedQueries {
          |basis AS (${(1 to mPca).map(c =>
              s"SELECT $c AS c, i, x FROM rc${c}_$iters").mkString(" UNION ALL ")}),
          |proj AS (SELECT v.vec_id, b.c,
-         |    round(list_sum(list((v.v[b.i] - mu.m) * b.x ORDER BY b.i)), 6) AS t
+         |    round(list_sum(list((v.v[b.i] - mu.m) * b.x ORDER BY b.i)) * 1000, 0) AS t
          |  FROM v CROSS JOIN basis b JOIN mu ON mu.i = b.i
          |  GROUP BY v.vec_id, b.c),
          |rot AS (SELECT vec_id, list(t ORDER BY c) AS rv FROM proj GROUP BY vec_id),
@@ -2341,12 +2353,16 @@ object EmbedQueries {
          |      FROM p)
          |SELECT qid, nid, adist, rnk FROM r WHERE rnk <= 3
          |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      // adist stays the exact DECIMAL sum: at the integer coordinate
+      // scale the squared distances exceed double's 53-bit mantissa and
+      // the two engines' decimal→double casts disagree by one ulp —
+      // the decimal is exact on both sides, the double is not
       import org.apache.spark.sql.expressions.Window
       val pm = graft.ml.Pca.fitMMemo(s, dir, dim, iters, mPca)
       val centered = zip_with(col("v"), lit(pm.mu), (x, mm) => x - mm)
       val rot = Similarity.vectors(Tables.embeddings(s, dir))
         .select(col("vec_id"), array((0 until mPca).map(c =>
-          round(Similarity.dotC(centered, lit(pm.w(c))), 6)): _*).as("v"))
+          round(Similarity.dotC(centered, lit(pm.w(c))) * lit(1000.0), 0)): _*).as("v"))
       val ss = pqSubSlices(rot.where(col("vec_id") >= 10), "nid", m, dsub)
         .select(col("nid"), col("sub"), col("svec").as("v"))
       val seeds = ss.where(col("nid") < 10 + kCodes)
@@ -2360,7 +2376,8 @@ object EmbedQueries {
         .select(col("qid"), col("sub"), col("code"),
           pqSqDist("svec", "cvec").cast("decimal(18,6)").as("qd"))
       enc.join(broadcast(adc), Seq("sub", "code"))
-        .groupBy(col("qid"), col("nid")).agg(sum(col("qd")).as("sd"))
+        .groupBy(col("qid"), col("nid"))
+        .agg(sum(col("qd")).as("sd"))
         .withColumn("rnk", row_number().over(
           Window.partitionBy(col("qid")).orderBy(col("sd"), col("nid"))).cast("long"))
         .where(col("rnk") <= 3)
