@@ -818,6 +818,67 @@ object EmbedQueries {
     }
   }
 
+  /** STREAMING index retraction — [[streamingIvfAppendReplay]]'s
+    * delete-side twin and the SIXTEENTH gated replay class: dedup
+    * retracts documents continuously, so tombstones arrive as a STREAM
+    * (file-source id chunks, maxFilesPerTrigger=1) and every
+    * micro-batch runs [[graft.ops.IvfIndex.delete]] inside foreachBatch
+    * — an append-only tombstone write, so retracted vectors stop
+    * serving AT THAT BATCH BOUNDARY (the probe's anti-join needs no
+    * compaction to be correct); the nightly [[graft.ops.IvfIndex
+    * .compact]] then runs once after the replay (the
+    * stream-retractions-all-day, compact-once shape). Tombstone appends
+    * commute, so streamed deletes ≡ the one-shot batch delete ≡ rebuild
+    * on the survivors — the oracle states the last equality corpus-wide
+    * (the embed_ivf_index_delete oracle verbatim).
+    */
+  val streamingIvfDeleteReplay: QueryDef = {
+    val k = 16; val dim = 64
+    QueryDef.sql("streaming_ivf_delete_replay",
+      s"""WITH ${ivfBaseFitCtes(k, dim)},
+         |q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
+         |pa AS (SELECT qid, qv, c1.cl AS cell,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY
+         |           round(sqrt(greatest(list_sum([qv[i] * qv[i] for i in range(1, ${dim + 1})]) +
+         |             list_sum([c1.cv[i] * c1.cv[i] for i in range(1, ${dim + 1})]) -
+         |             2 * list_sum([qv[i] * c1.cv[i] for i in range(1, ${dim + 1})]), 0)), 6),
+         |           c1.cl) AS BIGINT) AS cr
+         |       FROM q CROSS JOIN c1),
+         |probe AS (SELECT qid, qv, cell FROM pa WHERE cr <= 2),
+         |c AS (SELECT vec_id AS nid, v AS cv2, cl FROM a2
+         |      WHERE vec_id >= 10 AND vec_id % 7 <> 0),
+         |p AS (SELECT qid, nid, ${duckCos("qv", "cv2")} AS sim
+         |      FROM c JOIN probe ON c.cl = probe.cell),
+         |r AS (SELECT qid, nid, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk FROM p)
+         |SELECT qid, nid, sim, rnk FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      val v = Similarity.vectors(Tables.embeddings(s, dir)).select(col("vec_id"), col("v"))
+      // per-invocation root: the replay MUTATES the index (see
+      // streamingIvfAppendReplay)
+      val root = graft.ops.Scratch.dir(
+        s"ivf_sdel_${Integer.toHexString(dir.hashCode)}_${streamSeq.incrementAndGet()}")
+      graft.ops.IvfIndex.build(v.where(col("vec_id") < 400), k, iters = 2, root)
+      graft.ops.IvfIndex.append(s, v.where(col("vec_id") >= 400), root)
+      val doomed = v.where(col("vec_id") % 7 === 0).select(col("vec_id"))
+      val (watched, staged) = StreamingReplays.stageOrderedFiles(
+        doomed, 3, Seq(col("vec_id")))
+      try {
+        val stream = s.readStream.schema(doomed.schema)
+          .option("maxFilesPerTrigger", "1").parquet(watched)
+        val deleteBatch: (org.apache.spark.sql.DataFrame, Long) => Unit =
+          (b, _) => graft.ops.IvfIndex.delete(s, b, root)
+        val query = stream.writeStream.outputMode("append")
+          .foreachBatch(deleteBatch).start()
+        try query.processAllAvailable() finally query.stop()
+      } finally StreamingReplays.rmTree(staged)
+      graft.ops.IvfIndex.compact(s, root, minRatio = 0.1): Unit
+      val q = v.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
+      graft.ops.IvfIndex.probe(s, q, root, nprobe = 2, topk = 3,
+          cand = _.where(col("vec_id") >= 10))
+        .orderBy(col("qid"), col("rnk"))
+    }
+  }
+
   /** PERSISTED IVFADC index roundtrip — [[embedIvfIndexRoundtrip]]'s
     * write-path gate extended with the PQ halves the r11 verdict asked
     * for: the coarse quantizer, the TRAINED per-subspace codebooks
@@ -3000,5 +3061,6 @@ object EmbedQueries {
     retrievalNdcg, multimodalAudioWindows, embedDimStats,
     embedPcaApply, embedWhiten, embedIvfIndexAppend, embedIndexDrift,
     embedIvfPqIndex, embedPcaTopm, embedPcaWhiten, embedIvfIndexDelete,
-    embedIvfadcResidual, embedPqRotated, streamingIvfAppendReplay)
+    embedIvfadcResidual, embedPqRotated, streamingIvfAppendReplay,
+    streamingIvfDeleteReplay)
 }

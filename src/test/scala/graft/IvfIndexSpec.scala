@@ -237,6 +237,47 @@ class IvfIndexSpec extends SparkSpec {
     assert(res(rootS) === res(rootB))
   }
 
+  test("STREAMED deletes (shuffled micro-batches) == one-shot delete; compaction changes nothing a probe sees") {
+    // the streaming_ivf_delete_replay parity law: tombstone appends
+    // commute, so retraction chunks streamed in NON-id order must leave
+    // the index serving exactly the one-shot delete's survivor set —
+    // correct BEFORE any compaction (the anti-join masks immediately),
+    // and unchanged by it
+    val base = planted(200, 0L)
+    val rootS = Scratch.dir("spec_ivf_sdel")
+    val rootB = Scratch.dir("spec_ivf_sdel_batch")
+    IvfIndex.build(base, k = 4, iters = 2, rootS)
+    IvfIndex.build(base, k = 4, iters = 2, rootB)
+    val doomed = base.where(col("vec_id") % 5 === 0).select(col("vec_id"))
+    IvfIndex.delete(spark, doomed, rootB)
+    val shuffled = doomed.withColumn("__o", col("vec_id") % 3)
+    val (watched, staged) = graft.queries.StreamingReplays.stageOrderedFiles(
+      shuffled, 3, Seq(col("__o")))
+    try {
+      val stream = spark.readStream.schema(shuffled.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watched)
+      val deleteBatch: (org.apache.spark.sql.DataFrame, Long) => Unit =
+        (b, _) => IvfIndex.delete(spark, b.select(col("vec_id")), rootS)
+      val query = stream.writeStream.outputMode("append")
+        .foreachBatch(deleteBatch).start()
+      try query.processAllAvailable() finally query.stop()
+    } finally graft.queries.StreamingReplays.rmTree(staged)
+    def live(r: String) = IvfIndex.liveAssignments(spark, r)
+      .select(col("vec_id"), col("cl")).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val q = base.where(col("vec_id") < 5).select(col("vec_id").as("qid"), col("v").as("qv"))
+    def res(r: String) = IvfIndex.probe(spark, q, r, nprobe = 2, topk = 3,
+        cand = _.where(col("vec_id") >= 5)).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getLong(3))).toSet
+    assert(live(rootS) === live(rootB))
+    assert(!live(rootS).exists(_._1 % 5 == 0), "a streamed tombstone failed to mask")
+    val preCompact = res(rootS)
+    assert(preCompact === res(rootB))
+    IvfIndex.compact(spark, rootS, minRatio = 0.1): Unit
+    assert(res(rootS) === preCompact, "compaction changed the probe answer")
+    assert(live(rootS) === live(rootB))
+  }
+
   test("appendPqResidual == residual re-encode of base + batch at fixed books (lockstep law)") {
     val (m, dsub, codes) = (2, 4, 4)
     val base = planted(200, 0L)

@@ -204,7 +204,7 @@ class PlanSpec extends SparkSpec {
       // embed_ivf_index_roundtrip, on the append-mode index
       "embed_ivf_index_append", "embed_index_drift", "embed_ivf_index_delete",
       // the same probe broadcast cross over the STREAM-maintained index
-      "streaming_ivf_append_replay",
+      "streaming_ivf_append_replay", "streaming_ivf_delete_replay",
       // the same coarse-probe broadcast cross (10 queries × 16-centroid
       // table) routing the ADC probe over the persisted IVFADC index;
       // the PQ stages themselves are broadcast EQUI-joins
