@@ -117,24 +117,30 @@ object IvfIndex {
 
   private def manifestDir(root: String) = s"$root/manifest"
 
-  /** Folded (adds, rms) view over committed manifests, root-relative
-    * paths; None ⇔ never compacted (fast path).
+  private case class MView(adds: Set[String], rms: Set[String], clean: Boolean)
+
+  /** Folded (adds, rms) view over committed manifests plus the CLEAN
+    * flag, root-relative paths; None ⇔ never compacted (fast path).
+    * `clean` = the latest generation's post-GC marker exists, meaning
+    * the directory state EQUALS the view (every retired file deleted,
+    * every stray reconciled) — readers then take the plain-directory
+    * fast path and pay zero listing/filter overhead in steady state.
     */
-  private def manifestView(s: SparkSession, root: String): Option[(Set[String], Set[String])] = {
+  private def manifestView(s: SparkSession, root: String): Option[MView] = {
     val (fs, md) = hfs(s, manifestDir(root))
     if (!fs.exists(md)) return None
     // the directory itself is the "compaction machinery engaged" marker:
     // prepare creates it BEFORE moving any compact-gen file into the
     // live dirs, so readers already exclude uncommitted compact-* names
     // even though no manifest has been published yet
-    val ms = fs.listStatus(md)
-      .filter(f => f.isFile && f.getPath.getName.startsWith("m-"))
-      .sortBy(_.getPath.getName)
-    if (ms.isEmpty) return Some((Set.empty, Set.empty))
+    val names = fs.listStatus(md).filter(_.isFile).map(_.getPath.getName)
+    val ms = names.filter(_.startsWith("m-")).sorted
+    if (ms.isEmpty) return Some(MView(Set.empty, Set.empty, clean = false))
+    val clean = names.contains("clean-" + ms.last.stripPrefix("m-"))
     var adds = Set.empty[String]
     var rms = Set.empty[String]
     ms.foreach { m =>
-      val in = fs.open(m.getPath)
+      val in = fs.open(new org.apache.hadoop.fs.Path(md, m))
       val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
       txt.linesIterator.filter(_.nonEmpty).foreach { line =>
@@ -142,7 +148,7 @@ object IvfIndex {
         if (op == "add") adds += rel else rms += rel
       }
     }
-    Some((adds, rms))
+    Some(MView(adds, rms, clean))
   }
 
   private def nextGen(s: SparkSession, root: String): Int = {
@@ -176,11 +182,11 @@ object IvfIndex {
     * removed (a never-committed `compact-*` file is invisible).
     */
   private def liveHalfFiles(s: SparkSession, root: String, half: String,
-                            view: (Set[String], Set[String])): Seq[String] =
+                            view: MView): Seq[String] =
     listHalf(s, root, half).collect {
-      case (abs, rel) if !view._2.contains(rel) &&
+      case (abs, rel) if !view.rms.contains(rel) &&
         (!new org.apache.hadoop.fs.Path(abs).getName.startsWith(CompactPrefix) ||
-          view._1.contains(rel)) => abs
+          view.adds.contains(rel)) => abs
     }
 
   private def emptyDf(s: SparkSession,
@@ -193,7 +199,14 @@ object IvfIndex {
       empty: => DataFrame): DataFrame =
     manifestView(s, root) match {
       case None => s.read.parquet(s"$root/$half")
+      case Some(view) if view.clean =>
+        // steady state: GC finished, directory contents ≡ the view
+        // (committed compact files serve under their on-disk names) —
+        // plain read, identical plans to a never-compacted index
+        s.read.parquet(s"$root/$half")
       case Some(view) =>
+        // mid-compaction or post-crash: list-and-filter (correct at
+        // every step boundary; the rare, bounded-cost path)
         val files = liveHalfFiles(s, root, half, view)
         if (files.isEmpty) empty
         else s.read.option("basePath", s"$root/$half").parquet(files: _*)
@@ -202,11 +215,13 @@ object IvfIndex {
   /** Tombstone read-back; empty-safe (no delete yet → empty set). */
   def tombstones(s: SparkSession, root: String): DataFrame = {
     import org.apache.spark.sql.types._
+    def plain =
+      if (hasParquet(s, s"$root/tombstones"))
+        s.read.parquet(s"$root/tombstones").select(col("vec_id"))
+      else emptyDf(s, Seq("vec_id" -> LongType))
     manifestView(s, root) match {
-      case None =>
-        if (hasParquet(s, s"$root/tombstones"))
-          s.read.parquet(s"$root/tombstones").select(col("vec_id"))
-        else emptyDf(s, Seq("vec_id" -> LongType))
+      case None => plain
+      case Some(view) if view.clean => plain
       case Some(view) =>
         val files = liveHalfFiles(s, root, "tombstones", view)
         if (files.isEmpty) emptyDf(s, Seq("vec_id" -> LongType))
@@ -242,8 +257,17 @@ object IvfIndex {
     * Returns the compacted cell ids (driver-bounded: ≤ k cells).
     */
   def compact(s: SparkSession, root: String, minRatio: Double): Seq[Long] = {
+    val logOn = s.conf.get("spark.graft.ivf.log", "false").toBoolean
+    var t = System.nanoTime()
+    def lap(tag: String): Unit = if (logOn) {
+      System.err.println(f"[ivf.compact] $tag ${(System.nanoTime() - t) / 1e9}%.2f s")
+      t = System.nanoTime()
+    }
     val (cells, steps) = compactPlan(s, root, minRatio)
-    steps.foreach(_.apply())
+    lap("plan")
+    steps.zip(Seq("prepare", "publish", "gc")).foreach { case (st, tag) =>
+      st.apply(); lap(tag)
+    }
     cells
   }
 
@@ -260,14 +284,22 @@ object IvfIndex {
     */
   private[graft] def compactPlan(s: SparkSession, root: String,
       minRatio: Double): (Seq[Long], Seq[() => Unit]) = {
+    val logOn = s.conf.get("spark.graft.ivf.log", "false").toBoolean
+    var t0 = System.nanoTime()
+    def lap(tag: String): Unit = if (logOn) {
+      System.err.println(f"[ivf.plan] $tag ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      t0 = System.nanoTime()
+    }
     val tomb = tombstones(s, root)
     val asg = assignments(s, root)
+    lap("readers")
     val stats = asg.join(tomb.withColumn("__t", lit(1)), Seq("vec_id"), "left")
       .groupBy(col("cl")).agg(count(lit(1)).as("n"),
         sum(coalesce(col("__t"), lit(0))).cast("long").as("nt"))
       .where(col("nt") > 0 && col("nt").cast("double") / col("n") >= minRatio)
       .select(col("cl"), (col("nt") === col("n")).as("dead"))
       .collect()
+    lap("stats")
     val cells = stats.map(_.getLong(0)).toSeq
     if (cells.isEmpty) return (Nil, Nil)
     val g = nextGen(s, root)
@@ -277,6 +309,7 @@ object IvfIndex {
     // below mutate the files these were read from
     val remaining = tomb.join(asg.join(cellsDf, "cl").select(col("vec_id")),
       Seq("vec_id"), "left_anti").transform(Ckpt.eager)
+    lap("remaining")
     val deadCells = stats.filter(_.getBoolean(1)).map(_.getLong(0))
     val liveCells = cells.diff(deadCells)
     val hasCodes = hfs(s, s"$root/codes")._1.exists(hfs(s, s"$root/codes")._2)
@@ -296,51 +329,81 @@ object IvfIndex {
             .transform(Ckpt.eager)
         else null))
     } else None
+    lap("live")
     // retire set: every file currently SERVING a compacted cell (both
-    // halves) plus every serving tombstone file — computed against the
-    // current manifest view, so a repeat compaction retires prior gens'
-    // adds too
-    val view = manifestView(s, root).getOrElse((Set.empty[String], Set.empty[String]))
-    val cellDirs = cells.map(c => s"cl=$c").toSet
-    def servingOf(half: String): Seq[(String, String)] =
-      listHalf(s, root, half).filter { case (abs, rel) =>
-        val serving = !view._2.contains(rel) &&
+    // halves) plus every serving tombstone file — only the TOUCHED
+    // cells' directories are listed (k dirs, never the tree: a full
+    // recursive listing cost ~8 s at a 5k-file 50k-row probe index and
+    // would scale with the INDEX, breaking the touched-cells-only law)
+    val view = manifestView(s, root)
+      .getOrElse(MView(Set.empty, Set.empty, clean = false))
+    def servingOf(half: String): Seq[(String, String)] = {
+      val dirs =
+        if (half == "tombstones") Seq("" -> s"$root/tombstones")
+        else cells.map(c => s"cl=$c/" -> s"$root/$half/cl=$c")
+      dirs.flatMap { case (relDir, d) =>
+        val (fs, p) = hfs(s, d)
+        if (!fs.exists(p)) Nil
+        else fs.listStatus(p).toSeq
+          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          .map(f => (f.getPath.toString, s"$half/$relDir${f.getPath.getName}"))
+      }.filter { case (abs, rel) =>
+        !view.rms.contains(rel) &&
           (!new org.apache.hadoop.fs.Path(abs).getName.startsWith(CompactPrefix) ||
-            view._1.contains(rel))
-        serving && (half == "tombstones" || rel.split("/").exists(cellDirs.contains))
+            view.adds.contains(rel))
       }
+    }
     val rmList = servingOf("assignments") ++
       (if (hasCodes) servingOf("codes") else Nil) ++ servingOf("tombstones")
+    lap("rmlist")
     val adds = scala.collection.mutable.ArrayBuffer[String]()
     val tmpRoot = s"$root/.compact-tmp-$g"
     val prepare: () => Unit = () => {
-      // engage the manifest view FIRST (atomic mkdir): from here on,
-      // readers list-and-filter, so the compact-gen moves below stay
-      // invisible until the publish rename
+      // engage the manifest view FIRST (atomic mkdir) and retire any
+      // CLEAN marker: from here on readers list-and-filter, so the
+      // compact-gen moves below stay invisible until the publish rename
       val (mfs, md) = hfs(s, manifestDir(root))
       mfs.mkdirs(md)
-      def writeAndMove(df: DataFrame, half: String, partitioned: Boolean): Unit = {
+      mfs.listStatus(md).filter(_.getPath.getName.startsWith("clean-"))
+        .foreach(f => mfs.delete(f.getPath, false))
+      // pass 1: write every survivor frame aside and PLAN the moves
+      val moves = scala.collection.mutable.ArrayBuffer[
+        (org.apache.hadoop.fs.Path, String, String)]() // (src, dstDir, rel)
+      def stage(df: DataFrame, half: String, partitioned: Boolean): Unit = {
         val w = df.write.mode("overwrite")
         (if (partitioned) w.partitionBy("cl") else w).parquet(s"$tmpRoot/$half")
         var seq = 0
         listHalf(s, tmpRoot, half).foreach { case (abs, rel) =>
-          val src = new org.apache.hadoop.fs.Path(abs)
           val sub = rel.stripPrefix(half + "/")
           val dir = if (sub.contains("/")) sub.substring(0, sub.lastIndexOf('/')) else ""
           val dstDir = if (dir.isEmpty) s"$root/$half" else s"$root/$half/$dir"
-          val (fs, dd) = hfs(s, dstDir)
-          fs.mkdirs(dd)
-          fs.rename(src,
-            new org.apache.hadoop.fs.Path(dstDir, s"$CompactPrefix$g-$seq.parquet"))
-          adds += s"$half/${if (dir.isEmpty) "" else dir + "/"}$CompactPrefix$g-$seq.parquet"
+          val name = s"$CompactPrefix$g-$seq.parquet"
+          moves += ((new org.apache.hadoop.fs.Path(abs), dstDir,
+            s"$half/${if (dir.isEmpty) "" else dir + "/"}$name"))
           seq += 1
         }
       }
       live.foreach { case (la, lc) =>
-        writeAndMove(la, "assignments", partitioned = true)
-        if (hasCodes) writeAndMove(lc, "codes", partitioned = true)
+        stage(la, "assignments", partitioned = true)
+        if (hasCodes) stage(lc, "codes", partitioned = true)
       }
-      writeAndMove(remaining, "tombstones", partitioned = false)
+      stage(remaining, "tombstones", partitioned = false)
+      // pass 2: record the INTENT (every destination name this gen will
+      // create) before any move — a crash mid-moves leaves strays that
+      // the next gc reconciles from this list, never from a tree scan
+      val intentBody = moves.map(_._3).mkString("", "\n", "\n")
+      val itmp = new org.apache.hadoop.fs.Path(md, s".tmp-intent-$g")
+      val iout = mfs.create(itmp, true)
+      try iout.write(intentBody.getBytes("UTF-8")) finally iout.close()
+      mfs.rename(itmp, new org.apache.hadoop.fs.Path(md, f"intent-$g%08d"))
+      // pass 3: the moves (invisible — readers ignore uncommitted
+      // compact-* names)
+      moves.foreach { case (src, dstDir, rel) =>
+        val (fs, dd) = hfs(s, dstDir)
+        fs.mkdirs(dd)
+        fs.rename(src, new org.apache.hadoop.fs.Path(dd, rel.split("/").last))
+        adds += rel
+      }
       val (fs, tp) = hfs(s, tmpRoot)
       if (fs.exists(tp)) fs.delete(tp, true): Unit
     }
@@ -355,11 +418,16 @@ object IvfIndex {
       fs.rename(tmp, new org.apache.hadoop.fs.Path(md, f"m-$g%08d")): Unit
     }
     val gc: () => Unit = () => {
-      rmList.foreach { case (abs, _) =>
-        val p = new org.apache.hadoop.fs.Path(abs)
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.delete(p, false): Unit
-      }
+      // delete this gen's retired files PLUS any prior gen's rm entries
+      // still on disk (a crashed earlier gc left no clean marker, so
+      // filtered readers stayed correct — but the marker written below
+      // certifies directory ≡ view, so every folded rm must be gone;
+      // deletes are idempotent and the rm rels are exact paths)
+      (rmList.map(r => s"$root/${r._2}") ++ view.rms.map(r => s"$root/$r"))
+        .foreach { abs =>
+          val (fs, p) = hfs(s, abs)
+          if (fs.exists(p)) fs.delete(p, false): Unit
+        }
       // drop now-empty dead-cell dirs (cosmetic; the view never
       // consults an uncommitted directory)
       deadCells.foreach { c =>
@@ -368,6 +436,32 @@ object IvfIndex {
           if (fs.exists(p) && fs.listStatus(p).isEmpty) fs.delete(p, true): Unit
         }
       }
+      // reconcile intents: a gen with a committed manifest keeps its
+      // files (drop the intent record); a gen WITHOUT one crashed
+      // mid-prepare — delete exactly its intended strays + tmp dir.
+      // Then mark the state CLEAN: directory contents ≡ the view, so
+      // readers return to the plain fast path.
+      val (mfs, md) = hfs(s, manifestDir(root))
+      val names = mfs.listStatus(md).filter(_.isFile).map(_.getPath.getName)
+      names.filter(_.startsWith("intent-")).foreach { iname =>
+        val gen = iname.stripPrefix("intent-")
+        val ip = new org.apache.hadoop.fs.Path(md, iname)
+        if (!names.contains(s"m-$gen")) {
+          val in = mfs.open(ip)
+          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          txt.linesIterator.filter(_.nonEmpty).foreach { rel =>
+            val (fs, p) = hfs(s, s"$root/$rel")
+            if (fs.exists(p)) fs.delete(p, false): Unit
+          }
+          val (tfs, tdp) = hfs(s, s"$root/.compact-tmp-${gen.toInt}")
+          if (tfs.exists(tdp)) tfs.delete(tdp, true): Unit
+        }
+        mfs.delete(ip, false): Unit
+      }
+      val cm = new org.apache.hadoop.fs.Path(md, f"clean-$g%08d")
+      val out = mfs.create(cm, true)
+      out.close()
     }
     (cells, Seq(prepare, publish, gc))
   }
