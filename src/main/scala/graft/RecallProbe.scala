@@ -180,14 +180,38 @@ object RecallProbe {
     // the data's per-subspace density instead of 16 arbitrary rows. ----
     def pqLeg(mode: String): Unit = {
       val (mSub, dsub) = (8, 8)
-      val bases = vectors.where(col("vec_id") % 101 === 0)
+      // "decayed" mode (r13): the synthetic embeddings are near-isotropic
+      // (flat spectrum), so the PCAR rotation+cut has nothing to exploit
+      // — the honest 0.04 corpus row. Real text/image embeddings decay
+      // fast. This mode plants that structure deterministically:
+      // u = H · diag(0.85^i) · H · v with H a fixed Householder
+      // reflection (orthogonal), i.e. eigenvalues decay geometrically
+      // along NON-axis-aligned directions. pq_trained's axis-aligned
+      // sub-slices split the energy across all 8 subspaces; pq_rotated's
+      // PCA basis re-aligns it, so the rotation's value shows here.
+      val vecs = if (mode != "decayed") vectors else {
+        val hArr = {
+          val raw = Array.tabulate(64)(i => math.sin(i + 1.0))
+          val n = math.sqrt(raw.map(x => x * x).sum)
+          raw.map(_ / n)
+        }
+        val hl = typedLit(hArr.toSeq)
+        val dl = typedLit(Array.tabulate(64)(i => math.pow(0.85, i)).toSeq)
+        def hh(vC: Column): Column = {
+          val hv = Similarity.dotC(vC, hl)
+          zip_with(vC, hl, (x, hc) => x - lit(2.0) * hv * hc)
+        }
+        vectors.select(col("vec_id"), col("label"),
+          hh(zip_with(hh(col("v")), dl, (x, d) => x * d)).as("v"))
+      }
+      val bases = vecs.where(col("vec_id") % 101 === 0)
       val q = bases.select(col("vec_id").as("qid"), col("v").as("qv"))
       val copies = bases
         .select(col("vec_id"), explode(sequence(lit(0), lit(4))).as("k"), col("v"))
         .select((col("vec_id") * 8 + col("k") + lit(1000000000L)).as("nid"), expr(
           "transform(v, (x, i) -> x * (1.0D + (pmod(hash(vec_id, k, i), 2001) - 1000) / 20000.0D))")
           .as("cv"))
-      val real = vectors.where(col("vec_id") % 101 =!= 0)
+      val real = vecs.where(col("vec_id") % 101 =!= 0)
         .select(col("vec_id").as("nid"), col("v").as("cv"))
       // planted: near-dup targets exist by construction (the easy,
       // must-not-fail case); corpus: exact top-5 among the near-random
@@ -288,10 +312,26 @@ object RecallProbe {
         .agg(coalesce(avg(col("recall")), lit(0.0))).head().getDouble(0)
       println(s"""{"mode":"$mode","tier":"pq_residual","m":$mSub,"codes":16,""" +
         s""""n_queries":$nq,"mean_recall":${math.rint(rRes * 1e6) / 1e6}}""")
+      // refine tier (two-stage serving, FAISS IndexRefineFlat): the SAME
+      // residual-ADC chain cuts a 50-deep shortlist, then only those
+      // rows fetch raw vectors for an exact squared-L2 re-rank — the
+      // exact arm is the same metric, so this row isolates what the
+      // shortlist+refine buys over ranking by codes alone (pq_residual).
+      val approxF = graft.ops.IvfIndex.probeRefine(spark, q, rRoot, mSub, dsub,
+          nprobe = 16, shortlist = 50, topk = 5)
+        .select(col("qid").as("lqid"), col("nid").as("lnid"))
+      val rRef = exact.join(approxF,
+          exact("qid") === approxF("lqid") && exact("nid") === approxF("lnid"), "left")
+        .groupBy(col("qid"))
+        .agg((count(col("lnid")) / 5.0).as("recall"))
+        .agg(coalesce(avg(col("recall")), lit(0.0))).head().getDouble(0)
+      println(s"""{"mode":"$mode","tier":"pq_refine","m":$mSub,"codes":16,""" +
+        s""""shortlist":50,"n_queries":$nq,"mean_recall":${math.rint(rRef * 1e6) / 1e6}}""")
       exact.unpersist(); cands.unpersist(): Unit
     }
     pqLeg("planted")
     pqLeg("corpus")
+    pqLeg("decayed")
 
     vectors.unpersist()
     spark.stop()

@@ -591,7 +591,8 @@ object IvfIndex {
     */
   def probePqResidual(s: SparkSession, q: DataFrame, root: String, m: Int,
                       dsub: Int, nprobe: Int, topk: Int,
-                      cand: DataFrame => DataFrame = identity): DataFrame = {
+                      cand: DataFrame => DataFrame = identity,
+                      withCell: Boolean = false): DataFrame = {
     val cw = broadcast(centroids(s, root).select(col("cl"), col("cv"),
       Similarity.dot("cv", "cv").as("c2")))
     val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
@@ -622,12 +623,52 @@ object IvfIndex {
     val pairs = c.join(broadcast(adc),
         c("cl") === adc("cell") && col("csub") === adc("sub") &&
           col("ccode") === adc("code"))
-      .groupBy(col("qid"), col("nid")).agg(sum(col("qd")).as("sd"))
+      // cl joins the group keys (each live nid is encoded in exactly one
+      // cell, so the grouping is unchanged) only to let [[probeRefine]]
+      // route its raw-vector fetch to the shortlist's cell partitions.
+      .groupBy(col("qid"), col("nid"), c("cl")).agg(sum(col("qd")).as("sd"))
     val wr = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
       .orderBy(col("sd"), col("nid"))
-    pairs.withColumn("rnk", row_number().over(wr).cast("long"))
+    val ranked = pairs.withColumn("rnk", row_number().over(wr).cast("long"))
       .where(col("rnk") <= topk)
-      .select(col("qid"), col("nid"), col("sd").cast("double").as("adist"), col("rnk"))
+    val base = Seq(col("qid"), col("nid"),
+      col("sd").cast("double").as("adist"), col("rnk"))
+    ranked.select((if (withCell) base :+ col("cl") else base): _*)
+  }
+
+  /** REFINE stage over the residual-ADC shortlist — the standard
+    * two-stage ANN serving recipe (FAISS `IndexRefineFlat`; Jégou et
+    * al. 2011 §V.B's re-ranking variant): [[probePqResidual]] ranks a
+    * `shortlist`-sized candidate set by 4-bit code lookups (never
+    * touching a full vector), then ONLY those ≤ |q|·shortlist rows
+    * fetch their raw vectors and re-rank by the EXACT squared L2
+    * distance the ADC sum approximates. Recall is bounded by coarse
+    * cell coverage alone once the shortlist absorbs the quantization
+    * error (RecallProbe's pq_refine leg quantifies it), at a refine
+    * cost independent of corpus size. The raw fetch joins on
+    * (cell, vec_id) with the broadcast shortlist, so the assignments
+    * scan dynamically prunes to the shortlist's cell partitions — at
+    * 100 TB the refine reads nprobe cells' files, not the index.
+    */
+  def probeRefine(s: SparkSession, q: DataFrame, root: String, m: Int,
+                  dsub: Int, nprobe: Int, shortlist: Int, topk: Int,
+                  cand: DataFrame => DataFrame = identity): DataFrame = {
+    val sl = probePqResidual(s, q, root, m, dsub, nprobe, shortlist, cand,
+        withCell = true)
+      .select(col("qid"), col("nid"), col("cl"))
+    val raw = cand(liveAssignments(s, root))
+      .select(col("vec_id").as("nid"), col("v").as("nv"), col("cl"))
+    val d = round(greatest(
+      Similarity.dot("qv", "qv") + Similarity.dot("nv", "nv") -
+        lit(2) * Similarity.dot("qv", "nv"), lit(0.0)), 6)
+    val wr = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+      .orderBy(col("dist"), col("nid"))
+    raw.join(broadcast(sl), Seq("nid", "cl"))
+      .join(broadcast(q.select(col("qid"), col("qv"))), "qid")
+      .withColumn("dist", d)
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .where(col("rnk") <= topk)
+      .select(col("qid"), col("nid"), col("dist"), col("rnk"))
   }
 
   def codebooks(s: SparkSession, root: String): DataFrame =

@@ -986,8 +986,16 @@ object EmbedQueries {
     * (raw doubles minus round-6 centroids), so the whole artifact
     * lifecycle stays numerically exact cross-engine.
     */
-  val embedIvfadcResidual: QueryDef = {
-    val (k, dim, m, dsub, kCodes) = (16, 64, 8, 8, 16)
+  /** The residual-IVFADC oracle chain shared by [[embedIvfadcResidual]]
+    * and [[embedIvfadcRefine]]: coarse fit → residual → grouped
+    * codebook fit → encode → per-cell ADC probe, ending at `rr`
+    * (ADC-ranked (qid, nid, adist, rnk) pairs). Queries are
+    * vec_id < 10, candidates vec_id ≥ 10, nprobe = 2 — the fixture
+    * both gate rows share. `q` (qid, qv) stays in scope for the
+    * refine tail's exact re-rank.
+    */
+  private def ivfadcResidualCtes(k: Int, dim: Int, m: Int, dsub: Int,
+                                 kCodes: Int): String = {
     def duckD2(a: String, b: String, d: Int): String =
       s"""list_sum([$a[i] * $a[i] for i in range(1, ${d + 1})]) +
          |  list_sum([$b[i] * $b[i] for i in range(1, ${d + 1})]) -
@@ -996,8 +1004,7 @@ object EmbedQueries {
       s"""round(greatest(list_sum([$a[i] * $a[i] for i in range(1, len($a) + 1)]) +
          |  list_sum([$b[i] * $b[i] for i in range(1, len($b) + 1)]) -
          |  2 * list_sum([$a[i] * $b[i] for i in range(1, len($a) + 1)]), 0), 6)""".stripMargin
-    QueryDef.sql("embed_ivfadc_residual",
-      s"""WITH $duckVectors,
+    s"""$duckVectors,
          |c0 AS (SELECT vec_id AS cl, v AS cv FROM v ORDER BY vec_id LIMIT $k),
          |d1 AS (SELECT v.vec_id, v.v, c0.cl, ${duckD2("v.v", "c0.cv", dim)} AS d2 FROM v, c0),
          |a1 AS (SELECT vec_id, v, cl FROM (
@@ -1051,18 +1058,76 @@ object EmbedQueries {
          |       GROUP BY 1, 2),
          |rr AS (SELECT qid, nid, CAST(sd AS DOUBLE) AS adist,
          |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sd, nid) AS BIGINT) AS rnk
-         |      FROM pr)
+         |      FROM pr)""".stripMargin
+  }
+
+  /** Shared artifact root + build for the two residual-IVFADC gate
+    * rows (one coarse fit + residual codebook fit per sf dir). */
+  private def ivfadcResidualRoot(s: org.apache.spark.sql.SparkSession,
+                                 dir: String, k: Int, m: Int, dsub: Int,
+                                 kCodes: Int): String = {
+    val v = Similarity.vectors(Tables.embeddings(s, dir)).select(col("vec_id"), col("v"))
+    val root = graft.ops.Scratch.dir(s"ivfadc_res_${Integer.toHexString(dir.hashCode)}")
+    graft.ops.Scratch.once(root) {
+      graft.ops.IvfIndex.build(v, k, iters = 2, root)
+      graft.ops.IvfIndex.buildPqResidual(s, m, dsub, kCodes, iters = 2, root)
+    }
+    root
+  }
+
+  val embedIvfadcResidual: QueryDef = {
+    val (k, dim, m, dsub, kCodes) = (16, 64, 8, 8, 16)
+    QueryDef.sql("embed_ivfadc_residual",
+      s"""WITH ${ivfadcResidualCtes(k, dim, m, dsub, kCodes)}
          |SELECT qid, nid, adist, rnk FROM rr WHERE rnk <= 3
          |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
       val v = Similarity.vectors(Tables.embeddings(s, dir)).select(col("vec_id"), col("v"))
-      val root = graft.ops.Scratch.dir(s"ivfadc_res_${Integer.toHexString(dir.hashCode)}")
-      graft.ops.Scratch.once(root) {
-        graft.ops.IvfIndex.build(v, k, iters = 2, root)
-        graft.ops.IvfIndex.buildPqResidual(s, m, dsub, kCodes, iters = 2, root)
-      }
+      val root = ivfadcResidualRoot(s, dir, k, m, dsub, kCodes)
       val q = v.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
       graft.ops.IvfIndex.probePqResidual(s, q, root, m, dsub, nprobe = 2, topk = 3,
           cand = _.where(col("vec_id") >= 10))
+        .orderBy(col("qid"), col("rnk"))
+    }
+  }
+
+  /** REFINE over the residual-ADC shortlist — the two-stage serving
+    * recipe every production ANN stack runs (FAISS `IndexRefineFlat`;
+    * Jégou et al. 2011 §V.B re-ranking): [[embedIvfadcResidual]]'s ADC
+    * chain ranks a 12-deep shortlist by code lookups, then ONLY those
+    * rows fetch raw vectors and re-rank by the EXACT squared L2 the
+    * codes approximate ([[graft.ops.IvfIndex.probeRefine]]). The raw
+    * fetch joins the broadcast shortlist on (cell, vec_id), so the
+    * assignments scan prunes to the probed cells' partitions — refine
+    * cost is |q|·shortlist exact distances, independent of corpus
+    * size, and recall collapses to coarse-coverage-only (RecallProbe's
+    * pq_refine leg: the ADC→refine recall jump at equal probe budget).
+    * The oracle extends the shared residual chain with the identical
+    * shortlist cut and exact re-rank — both engines compute the same
+    * round-6 distances over bit-identical vectors, so the two-stage
+    * pipeline stays exact cross-engine end to end.
+    */
+  val embedIvfadcRefine: QueryDef = {
+    val (k, dim, m, dsub, kCodes) = (16, 64, 8, 8, 16)
+    def duckSqDist(a: String, b: String): String =
+      s"""round(greatest(list_sum([$a[i] * $a[i] for i in range(1, len($a) + 1)]) +
+         |  list_sum([$b[i] * $b[i] for i in range(1, len($b) + 1)]) -
+         |  2 * list_sum([$a[i] * $b[i] for i in range(1, len($a) + 1)]), 0), 6)""".stripMargin
+    QueryDef.sql("embed_ivfadc_refine",
+      s"""WITH ${ivfadcResidualCtes(k, dim, m, dsub, kCodes)},
+         |sl AS (SELECT qid, nid FROM rr WHERE rnk <= 12),
+         |ex AS (SELECT sl.qid, sl.nid,
+         |         CAST(${duckSqDist("q.qv", "rv.v")} AS DOUBLE) AS dist
+         |       FROM sl JOIN v rv ON sl.nid = rv.vec_id JOIN q ON sl.qid = q.qid),
+         |fr AS (SELECT qid, nid, dist,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS BIGINT) AS rnk
+         |       FROM ex)
+         |SELECT qid, nid, dist, rnk FROM fr WHERE rnk <= 3
+         |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      val v = Similarity.vectors(Tables.embeddings(s, dir)).select(col("vec_id"), col("v"))
+      val root = ivfadcResidualRoot(s, dir, k, m, dsub, kCodes)
+      val q = v.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
+      graft.ops.IvfIndex.probeRefine(s, q, root, m, dsub, nprobe = 2,
+          shortlist = 12, topk = 3, cand = _.where(col("vec_id") >= 10))
         .orderBy(col("qid"), col("rnk"))
     }
   }
@@ -3061,6 +3126,6 @@ object EmbedQueries {
     retrievalNdcg, multimodalAudioWindows, embedDimStats,
     embedPcaApply, embedWhiten, embedIvfIndexAppend, embedIndexDrift,
     embedIvfPqIndex, embedPcaTopm, embedPcaWhiten, embedIvfIndexDelete,
-    embedIvfadcResidual, embedPqRotated, streamingIvfAppendReplay,
+    embedIvfadcResidual, embedIvfadcRefine, embedPqRotated, streamingIvfAppendReplay,
     streamingIvfDeleteReplay)
 }

@@ -1336,6 +1336,120 @@ object MlQueries {
       .orderBy(col("score"))
   }
 
+  /** Split conformal prediction intervals (Vovk et al.; Lei et al.
+    * 2018) — the distribution-free uncertainty layer a model-serving
+    * pipeline wraps around ANY point predictor: fit on a train split,
+    * take q̂ = the ⌈0.9·(n_cal+1)⌉-th smallest absolute residual on a
+    * held-out calibration split, and [ŷ − q̂, ŷ + q̂] covers ≥ 90% of
+    * fresh points BY THEOREM, no distributional assumption. Per
+    * returnflag: OLS price~quantity on the train fold (the ml_linreg
+    * exact-decimal-sum coefficients, unrounded internally), the
+    * conformal order statistic selected by EXACT integer rank
+    * (k = (9(n+1)+9) div 10 — no float quantile), and test-fold
+    * empirical coverage + the interval half-width q̂ as the contract
+    * check. Deterministic portable-hash 6/2/2 fold split.
+    *
+    * Scale shape: the model is a 3-row broadcast; residuals are
+    * map-only; the rank selection is the two-level balanced PrefixSum
+    * (a continuous residual domain is exactly where uniform buckets
+    * collapse — the ml_auc_continuous setting), never a per-group
+    * global sort; coverage is one grouped rollup. The oracle keeps the
+    * single-window form (ml_mad precedent). Cross-engine exactness:
+    * residuals are IEEE ops in one fixed association over
+    * decimal-sum-derived coefficients, so both engines group and rank
+    * bit-identical doubles.
+    */
+  val mlConformal: QueryDef = {
+    val h = OracleSql.hash64("'conf'",
+      "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)")
+    QueryDef.sql("ml_conformal",
+      s"""WITH b AS (SELECT l_returnflag AS g,
+         |    CAST(l_quantity AS DECIMAL(12,2)) AS dx,
+         |    CAST(l_extendedprice AS DECIMAL(12,2)) AS dy,
+         |    l_quantity AS x, l_extendedprice AS y,
+         |    $h % 10 AS f
+         |  FROM lineitem),
+         |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n_train,
+         |    CAST(sum(dx) AS DOUBLE) AS sx, CAST(sum(dy) AS DOUBLE) AS sy,
+         |    CAST(sum(dx * dy) AS DOUBLE) AS sxy,
+         |    CAST(sum(dx * dx) AS DOUBLE) AS sxx
+         |  FROM b WHERE f < 6 GROUP BY g),
+         |co AS (SELECT g, n_train,
+         |    (n_train * sxy - sx * sy) / (n_train * sxx - sx * sx) AS slope,
+         |    (sy * sxx - sx * sxy) / (n_train * sxx - sx * sx) AS icept FROM m),
+         |ca AS (SELECT b.g, abs(b.y - (co.slope * b.x + co.icept)) AS a
+         |      FROM b JOIN co ON co.g = b.g WHERE b.f IN (6, 7)),
+         |cg AS (SELECT g, a, CAST(count(*) AS BIGINT) AS c FROM ca GROUP BY 1, 2),
+         |cw AS (SELECT g, a,
+         |        CAST(sum(c) OVER (PARTITION BY g ORDER BY a
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+         |        CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n_cal FROM cg),
+         |qh AS (SELECT g, n_cal,
+         |        min(CASE WHEN cum >= (9 * (n_cal + 1) + 9) // 10 THEN a END) AS q
+         |      FROM cw GROUP BY g, n_cal),
+         |te AS (SELECT b.g, abs(b.y - (co.slope * b.x + co.icept)) AS a
+         |      FROM b JOIN co ON co.g = b.g WHERE b.f >= 8),
+         |cv AS (SELECT te.g, CAST(count(*) AS BIGINT) AS n_test,
+         |        CAST(sum(CASE WHEN te.a <= qh.q THEN 1 ELSE 0 END) AS BIGINT) AS hits
+         |      FROM te JOIN qh ON qh.g = te.g GROUP BY te.g)
+         |SELECT co.g AS l_returnflag, co.n_train, qh.n_cal, cv.n_test,
+         |  round(qh.q, 6) AS q_hat,
+         |  round(CAST(cv.hits AS DOUBLE) / cv.n_test, 6) AS coverage
+         |FROM co JOIN qh ON qh.g = co.g JOIN cv ON cv.g = co.g
+         |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      import graft.ops.TextOps
+      TextOps.ensureFunctions(s)
+      // corpus-sized b is NOT persisted: three pruned parquet scans
+      // (train/cal/test) beat caching the corpus at scale
+      def b = Tables.lineitem(s, dir).select(
+        col("l_returnflag").as("g"),
+        col("l_quantity").cast("decimal(12,2)").as("dx"),
+        col("l_extendedprice").cast("decimal(12,2)").as("dy"),
+        col("l_quantity").as("x"), col("l_extendedprice").as("y"),
+        (expr(TextOps.portableHash64Sql("'conf'",
+          "concat(CAST(l_orderkey AS STRING), '-', CAST(l_linenumber AS STRING))"))
+          % 10).as("f"))
+      val m = b.where(col("f") < 6).groupBy(col("g")).agg(
+        count(lit(1)).as("n_train"),
+        sum(col("dx")).cast("double").as("sx"),
+        sum(col("dy")).cast("double").as("sy"),
+        sum(col("dx") * col("dy")).cast("double").as("sxy"),
+        sum(col("dx") * col("dx")).cast("double").as("sxx"))
+      // 3-row model table, referenced by BOTH the calibration and test
+      // legs — checkpoint so neither re-derives the train aggregate
+      val co = m.select(col("g"), col("n_train"),
+          ((col("n_train") * col("sxy") - col("sx") * col("sy")) /
+            (col("n_train") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+          ((col("sy") * col("sxx") - col("sx") * col("sxy")) /
+            (col("n_train") * col("sxx") - col("sx") * col("sx"))).as("icept"))
+        .transform(graft.ops.Ckpt.eager)
+      val cob = broadcast(co.select(col("g"), col("slope"), col("icept")))
+      def resid = abs(col("y") - (col("slope") * col("x") + col("icept")))
+      val cg = b.where(col("f").isin(6, 7)).join(cob, "g")
+        .select(col("g"), resid.as("a"))
+        .groupBy(col("g"), col("a")).agg(count(lit(1)).as("c"))
+      val cum = graft.ops.PrefixSum.running(cg, Seq("g"), "a", Seq("c"),
+        withTotals = true, balanced = true)
+      val qh = cum
+        .select(col("g"), col("a"), col("c_cum").as("cum"), col("c_tot").as("n_cal"))
+        .groupBy(col("g"), col("n_cal"))
+        .agg(min(when(col("cum") >= expr("(9 * (n_cal + 1) + 9) div 10"),
+          col("a"))).as("q"))
+        .transform(graft.ops.Ckpt.eager)
+      val te = b.where(col("f") >= 8).join(cob, "g").select(col("g"), resid.as("a"))
+      val cv = te.join(broadcast(qh.select(col("g"), col("q"))), "g")
+        .groupBy(col("g")).agg(count(lit(1)).as("n_test"),
+          sum(when(col("a") <= col("q"), 1L).otherwise(0L)).as("hits"))
+      co.select(col("g"), col("n_train"))
+        .join(qh.select(col("g"), col("n_cal"), col("q")), "g")
+        .join(cv, "g")
+        .select(col("g").as("l_returnflag"), col("n_train"), col("n_cal"),
+          col("n_test"), round(col("q"), 6).as("q_hat"),
+          round(col("hits").cast("double") / col("n_test"), 6).as("coverage"))
+        .orderBy(col("l_returnflag"))
+    }
+  }
+
   val mlBootstrapCi: QueryDef = {
     val ts = Seq(424136118829305329L, 848272237658610659L, 1060340297073263324L,
       1131029650211480879L, 1148701988496035267L)
@@ -2626,5 +2740,5 @@ object MlQueries {
     mlKsTest, mlTCloseness, mlCvLinreg, mlGini, mlSimpsonDiversity,
     mlMcc, mlCohenKappa, mlCorrMatrix, mlPsi, mlOutlierIqr, mlMad,
     mlHerfindahl, mlLiftGains, mlWoeIv, mlMutualInfo, mlAucContinuous, mlIsotonicCalibration,
-    mlIsotonicFit, mlIsotonicPredict, mlIsotonicInterp)
+    mlIsotonicFit, mlIsotonicPredict, mlIsotonicInterp, mlConformal)
 }

@@ -326,6 +326,43 @@ class IvfIndexSpec extends SparkSpec {
     val probed = IvfIndex.probePqResidual(spark, q, root, m, dsub, nprobe = 2, topk = 3,
       cand = _.where(col("vec_id") >= 5)).collect().map(_.getLong(1))
     assert(probed.forall(_ % 5 != 0), "a deleted vector resurfaced in the residual ADC probe")
+    // the refine stage fetches raw vectors through liveAssignments, so
+    // the same law must hold one stage later: no deleted id may survive
+    // the shortlist's exact re-rank either
+    val refined = IvfIndex.probeRefine(spark, q, root, m, dsub, nprobe = 2,
+      shortlist = 10, topk = 3, cand = _.where(col("vec_id") >= 5))
+      .collect().map(_.getLong(1))
+    assert(refined.forall(_ % 5 != 0), "a deleted vector resurfaced in the refine re-rank")
+  }
+
+  test("refine degenerates to exact search at full probe budget and corpus-wide shortlist") {
+    // the two-stage contract: probeRefine's ONLY approximation is the
+    // shortlist cut. With nprobe = k (every cell probed) and a
+    // shortlist wider than the corpus, the exact squared-L2 re-rank
+    // must reproduce brute-force search — computed here independently
+    // with a crossJoin, the same round-6 distance, and the same
+    // (dist, nid) tie order
+    val base = planted(200, 0L)
+    val root = Scratch.dir("spec_ivf_refine_exact")
+    IvfIndex.build(base, k = 4, iters = 2, root)
+    IvfIndex.buildPqResidual(spark, m = 2, dsub = 4, codes = 4, iters = 2, root)
+    val q = base.where(col("vec_id") < 5).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val got = IvfIndex.probeRefine(spark, q, root, m = 2, dsub = 4, nprobe = 4,
+        shortlist = 1000, topk = 3, cand = _.where(col("vec_id") >= 5))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getLong(3))).toSet
+    val d = round(greatest(
+      graft.ops.Similarity.dot("qv", "qv") + graft.ops.Similarity.dot("nv", "nv") -
+        lit(2) * graft.ops.Similarity.dot("qv", "nv"), lit(0.0)), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
+    val want = base.where(col("vec_id") >= 5)
+      .select(col("vec_id").as("nid"), col("v").as("nv"))
+      .crossJoin(q).withColumn("dist", d)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 3)
+      .collect().map(x => (x.getLong(x.fieldIndex("qid")), x.getLong(x.fieldIndex("nid")),
+        x.getDouble(x.fieldIndex("dist")), x.getLong(x.fieldIndex("rnk")))).toSet
+    assert(got === want)
   }
 
   test("compaction is manifest-atomic: probes between ANY two steps see the survivor set") {

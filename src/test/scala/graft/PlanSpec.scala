@@ -112,6 +112,19 @@ class PlanSpec extends SparkSpec {
       s"no dynamic partition pruning on the codes scan in:\n${p.take(4000)}")
   }
 
+  test("embed_ivfadc_refine: BOTH stages prune — codes scan AND the raw-vector fetch") {
+    // the refine stage joins the broadcast shortlist on (cell, vec_id),
+    // so the assignments scan must carry its OWN dynamic partition
+    // filter beside the codes scan's — two distinct pruned scans, or
+    // the raw fetch reads the whole index at 100 TB
+    val df = graft.queries.EmbedQueries.embedIvfadcRefine.run(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val pruned = "dynamicpruningexpression".r.findAllIn(p).size
+    assert(pruned >= 2,
+      s"expected DPP on both the codes scan and the refine fetch, found $pruned in:\n${p.take(4000)}")
+  }
+
   test("embed_ivfadc_residual: the per-cell ADC probe dynamically prunes the codes scan") {
     // residual ADC keys the broadcast table by (cell, sub, code) — the
     // cl ≡ cell equi-term must still drive dynamic partition pruning on
@@ -211,7 +224,9 @@ class PlanSpec extends SparkSpec {
       "embed_ivf_pq_index",
       // the same coarse-probe cross routing the RESIDUAL ADC probe; the
       // per-cell ADC table and code lookups are broadcast EQUI-joins
-      "embed_ivfadc_residual",
+      // (refine adds only broadcast EQUI-joins — shortlist on (cell, id),
+      // query block on qid — but inherits the residual chain's routing cross)
+      "embed_ivfadc_residual", "embed_ivfadc_refine",
       // one-row (d0, d1) spine-bounds scalar broadcast into the
       // hours-sized interior filter — never event-sized
       "series_stl",
