@@ -356,6 +356,29 @@ object IvfIndex {
     val rmList = servingOf("assignments") ++
       (if (hasCodes) servingOf("codes") else Nil) ++ servingOf("tombstones")
     lap("rmlist")
+    // Manifest CONSOLIDATION (snapshot expiry): the fold is otherwise
+    // append-only forever, so a months-lived index pays a linearly
+    // growing manifest read on every off-fast-path probe and the
+    // directory accretes one m-/clean- pair per generation. A CLEAN
+    // prior state certifies directory ≡ view — every folded rm's file
+    // is physically gone and every live compact-* file is in
+    // adds − rms — so this generation's manifest can CARRY those live
+    // adds forward, drop the dead rm lines, and retire the prior m-*
+    // files in gc. Fold-correct at every crash boundary: until the old
+    // manifests are deleted, old ∪ consolidated folds to the identical
+    // view (carried adds ⊇ old adds − old rms; old rms reference
+    // deleted files), and any deletion subset keeps that property.
+    // A non-clean prior state (crashed gc) skips consolidation — old rm
+    // entries may still name on-disk files, so they must keep folding.
+    val priorClean = view.clean
+    val carried: Seq[String] =
+      if (priorClean) (view.adds -- view.rms).toSeq.sorted else Nil
+    val priorManifests: Seq[String] = if (priorClean) {
+      val (mfs, md) = hfs(s, manifestDir(root))
+      if (!mfs.exists(md)) Nil
+      else mfs.listStatus(md).map(_.getPath.getName)
+        .filter(_.startsWith("m-")).toSeq.sorted
+    } else Nil
     val adds = scala.collection.mutable.ArrayBuffer[String]()
     val tmpRoot = s"$root/.compact-tmp-$g"
     val prepare: () => Unit = () => {
@@ -410,7 +433,8 @@ object IvfIndex {
     val publish: () => Unit = () => {
       val (fs, md) = hfs(s, manifestDir(root))
       fs.mkdirs(md)
-      val body = (adds.map(a => s"add\t$a") ++ rmList.map(r => s"rm\t${r._2}"))
+      val body = (carried.map(a => s"add\t$a") ++ adds.map(a => s"add\t$a") ++
+        rmList.map(r => s"rm\t${r._2}"))
         .mkString("", "\n", "\n")
       val tmp = new org.apache.hadoop.fs.Path(md, s".tmp-m-$g")
       val out = fs.create(tmp, true)
@@ -458,6 +482,12 @@ object IvfIndex {
           if (tfs.exists(tdp)) tfs.delete(tdp, true): Unit
         }
         mfs.delete(ip, false): Unit
+      }
+      // retire the consolidated-away prior manifests (this gen's m- file
+      // carries their live content; deleting any subset keeps the fold
+      // identical) before certifying CLEAN for this generation
+      priorManifests.foreach { mn =>
+        mfs.delete(new org.apache.hadoop.fs.Path(md, mn), false): Unit
       }
       val cm = new org.apache.hadoop.fs.Path(md, f"clean-$g%08d")
       val out = mfs.create(cm, true)

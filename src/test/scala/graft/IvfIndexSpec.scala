@@ -335,6 +335,50 @@ class IvfIndexSpec extends SparkSpec {
     assert(refined.forall(_ % 5 != 0), "a deleted vector resurfaced in the refine re-rank")
   }
 
+  test("manifest consolidation: repeated lifecycles keep ONE manifest; carried adds keep serving") {
+    // snapshot expiry (the append-only fold would otherwise grow one
+    // m-/clean- pair per generation for the life of the artifact): a
+    // compaction starting from a CLEAN state writes a manifest that
+    // CARRIES the prior live adds, drops the dead rm lines, and gc
+    // retires the prior m- files — so the directory holds exactly one
+    // manifest in steady state, and a mid-compaction reader of a later
+    // generation still serves every older gen's compact-named survivor
+    // file through the carried adds
+    val base = planted(200, 0L)
+    val root = Scratch.dir("spec_ivf_consolidate")
+    IvfIndex.build(base, k = 4, iters = 2, root)
+    IvfIndex.buildPqResidual(spark, m = 2, dsub = 4, codes = 4, iters = 2, root)
+    def manifests = {
+      val d = new java.io.File(s"$root/manifest")
+      if (!d.isDirectory) Seq.empty[String]
+      else d.listFiles().map(_.getName).filter(_.startsWith("m-")).toSeq.sorted
+    }
+    IvfIndex.delete(spark,
+      base.where(col("vec_id") % 5 === 0).select(col("vec_id"), col("v")), root)
+    assert(IvfIndex.compact(spark, root, minRatio = 0.05).nonEmpty)
+    assert(manifests === Seq("m-00000001"))
+    IvfIndex.delete(spark,
+      base.where(col("vec_id") % 7 === 0).select(col("vec_id"), col("v")), root)
+    assert(IvfIndex.compact(spark, root, minRatio = 0.05).nonEmpty)
+    assert(manifests === Seq("m-00000002"), "gen 2 must consolidate gen 1's manifest away")
+    // third generation, probed MID-WINDOW (prepare+publish, no gc yet):
+    // the fold is built from the consolidated manifest alone, so the
+    // carried adds are what keeps gen-1/2 compact files serving
+    IvfIndex.delete(spark,
+      base.where(col("vec_id") % 11 === 0).select(col("vec_id"), col("v")), root)
+    val (cells, steps) = IvfIndex.compactPlan(spark, root, minRatio = 0.05)
+    assert(cells.nonEmpty)
+    steps(0).apply(); steps(1).apply()
+    val want = (0L until 200L)
+      .filter(i => i % 5 != 0 && i % 7 != 0 && i % 11 != 0).toSet
+    def liveIds = IvfIndex.liveAssignments(spark, root).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(liveIds === want, "mid-window fold lost a carried survivor file")
+    steps(2).apply()
+    assert(manifests === Seq("m-00000003"))
+    assert(liveIds === want)
+  }
+
   test("refine degenerates to exact search at full probe budget and corpus-wide shortlist") {
     // the two-stage contract: probeRefine's ONLY approximation is the
     // shortlist cut. With nprobe = k (every cell probed) and a
