@@ -288,6 +288,42 @@ object RecallProbe {
       val (_, rotBooks) = graft.ml.KMeans.fitGrouped(
         rcSub, rotSeeds, iters = 2, idCol = "nid", grpCol = "sub")
       adcRecall("pq_rotated", rotBooks, rcSub, rotate(q, "qid", "qv"), 2)
+      // eigenvalue-ALLOCATED rotation — the parametric-OPQ second half
+      // (Ge et al. 2013 §3.1; FAISS's OPQ pre-training heuristic):
+      // sequential slicing of a variance-DECAYING basis at dsub=2 puts
+      // the two largest eigenvalues in subspace 0 and the two smallest
+      // in subspace 7 — maximally unbalanced variance products, so one
+      // 16-code book absorbs most of the distortion while the tail
+      // books quantize noise. Greedily assign components (λ descending)
+      // to the subspace with the smallest running Σ log λ and a free
+      // slot, then run the IDENTICAL trained chain on the permuted
+      // coordinates. Same budget, same exact arm.
+      val orderL = pm.lam.zipWithIndex.sortBy(-_._1)
+      val slots = Array.fill(mSub)(0)
+      val logp = Array.fill(mSub)(0.0)
+      val destOf = Array.fill(16)(0)
+      orderL.foreach { case (l, ci) =>
+        val sIdx = (0 until mSub).filter(slots(_) < 2).minBy(logp(_))
+        destOf(ci) = sIdx * 2 + slots(sIdx)
+        slots(sIdx) += 1
+        logp(sIdx) += math.log(math.max(l, 1e-12))
+      }
+      val srcOf = Array.ofDim[Int](16)
+      destOf.zipWithIndex.foreach { case (dest, src) => srcOf(dest) = src }
+      def rotateAlloc(df: DataFrame, idC: String, vC: String): DataFrame = {
+        val centered = zip_with(col(vC), lit(pm.mu), (x, mm) => x - mm)
+        df.select(col(idC), array((0 until 16).map(d =>
+          round(Similarity.dotC(centered, lit(pm.w(srcOf(d)))), 6)): _*).as(vC))
+      }
+      val acSub = graft.queries.EmbedQueries.pqSubSlices(
+        rotateAlloc(cands, "nid", "cv").select(col("nid").as("vec_id"), col("cv").as("v")),
+        "nid", mSub, 2)
+        .select(col("nid"), col("sub"), col("svec").as("v"))
+      val allocSeeds = acSub.where(col("nid").between(1, 16))
+        .select(col("sub"), col("nid").as("cl"), col("v").as("cv"))
+      val (_, allocBooks) = graft.ml.KMeans.fitGrouped(
+        acSub, allocSeeds, iters = 2, idCol = "nid", grpCol = "sub")
+      adcRecall("pq_rotated_alloc", allocBooks, acSub, rotateAlloc(q, "qid", "qv"), 2)
       // residual tier (r12 verdict §1): the IDENTICAL M×K budget, but
       // the books train on and encode r = v − coarse_centroid(cell(v))
       // (Jégou 2011 §IV) via the persisted IvfIndex path — k=16 coarse
@@ -312,6 +348,31 @@ object RecallProbe {
         .agg(coalesce(avg(col("recall")), lit(0.0))).head().getDouble(0)
       println(s"""{"mode":"$mode","tier":"pq_residual","m":$mSub,"codes":16,""" +
         s""""n_queries":$nq,"mean_recall":${math.rint(rRes * 1e6) / 1e6}}""")
+      // rotation ∘ residual composition (the r12 verdict said the two
+      // "compose" — measure it): rotate into the top-16 PCA basis, then
+      // run the FULL persisted residual-IVFADC chain on the rotated
+      // vectors at the identical M×K budget (dsub 8→2; coarse cells
+      // also form in rotated space). The exact arm stays the original
+      // full-space top-5, so the row reports the end-to-end effect of
+      // rotation+cut+residual together.
+      val rotCands = rotate(cands, "nid", "cv")
+      val rrRoot = graft.ops.Scratch.dir(s"probe_ivfadc_rot_$mode")
+      graft.ops.Scratch.once(rrRoot) {
+        graft.ops.IvfIndex.build(
+          rotCands.select(col("nid").as("vec_id"), col("cv").as("v")),
+          k = 16, iters = 2, rrRoot)
+        graft.ops.IvfIndex.buildPqResidual(spark, mSub, 2, 16, iters = 2, rrRoot)
+      }
+      val approxRot = graft.ops.IvfIndex.probePqResidual(spark,
+          rotate(q, "qid", "qv"), rrRoot, mSub, 2, nprobe = 16, topk = 5)
+        .select(col("qid").as("lqid"), col("nid").as("lnid"))
+      val rRot = exact.join(approxRot,
+          exact("qid") === approxRot("lqid") && exact("nid") === approxRot("lnid"), "left")
+        .groupBy(col("qid"))
+        .agg((count(col("lnid")) / 5.0).as("recall"))
+        .agg(coalesce(avg(col("recall")), lit(0.0))).head().getDouble(0)
+      println(s"""{"mode":"$mode","tier":"pq_rot_residual","m":$mSub,"codes":16,""" +
+        s""""n_queries":$nq,"mean_recall":${math.rint(rRot * 1e6) / 1e6}}""")
       // refine tier (two-stage serving, FAISS IndexRefineFlat): the SAME
       // residual-ADC chain cuts a 50-deep shortlist, then only those
       // rows fetch raw vectors for an exact squared-L2 re-rank — the

@@ -305,6 +305,32 @@ object ScaleProbe {
       compactLeg("1/32", 32)
       compactLeg("1/8", 8)
       }
+
+      // refine leg (r13): the two-stage probe's cost decomposition.
+      // probeRefine = probePqResidual (ADC over the probed cells' codes)
+      // + a shortlist-sized exact re-rank (|q|·shortlist raw-vector
+      // fetches through a DPP-pruned (cell, vec_id) join). The DELTA
+      // over the ADC-only probe must stay ~flat in n — the re-rank pays
+      // for the shortlist, never the corpus — while the ADC half grows
+      // with the probed cells' share of the index.
+      if (on("refine")) {
+      val refRoot = graft.ops.Scratch.dir(s"probe_refine_$n")
+      graft.ops.IvfIndex.build(vv, 64, 2, refRoot)
+      graft.ops.IvfIndex.buildPqResidual(spark, m = 8, dsub = 8, codes = 16,
+        iters = 2, refRoot)
+      val qRef = vv.where(col("vec_id") % (n / 20) === 1)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val nq = qRef.count()
+      val tAdc = System.nanoTime()
+      val nAdc = graft.ops.IvfIndex.probePqResidual(spark, qRef, refRoot,
+        m = 8, dsub = 8, nprobe = 4, topk = 5).count()
+      val adcS = (System.nanoTime() - tAdc) / 1e9
+      val tRef = System.nanoTime()
+      val nRef = graft.ops.IvfIndex.probeRefine(spark, qRef, refRoot,
+        m = 8, dsub = 8, nprobe = 4, shortlist = 50, topk = 5).count()
+      val refS = (System.nanoTime() - tRef) / 1e9
+      println(f"[scaleprobe] docs=$n%6d refine q=$nq%3d adc_only=$adcS%6.1f s refine=$refS%6.1f s delta=${refS - adcS}%6.1f s rows=$nAdc%4d/$nRef%4d")
+      }
       vecs.unpersist(false)
 
       // asof leg: composed union+window vs the native AsOfJoinExec on

@@ -859,6 +859,85 @@ object MlQueries {
         round(col("num2") / (lit(2.0) * col("np") * col("nn")), 6).as("auc"))
   }
 
+  /** DeLong variance and confidence interval for the AUC (DeLong,
+    * DeLong & Clarke-Pearson 1988, via the placement identity: the
+    * structural components V10_i are per-positive placements, V01_j
+    * per-negative) — the standard error every model comparison report
+    * quotes next to [[mlAuc]]'s point estimate. Both placement sets
+    * come from the SAME single PrefixSum pass as the AUC itself:
+    * per distinct score, t = 2·(negatives strictly below) + (ties) is
+    * the ×2nn integer placement numerator of each positive there, and
+    * u = 2·(positives strictly above) + (ties) the ×2np numerator of
+    * each negative — so Σt, Σt², Σu, Σu² are exact BIGINTs (Σt² ≤
+    * np·4nn², inside BIGINT through ~1e9 negatives; past that these
+    * four sums move to DECIMAL(38,0), nothing else changes) and the
+    * whole statistic is two grouped rollups + one bounded rollup, never
+    * an n² pairing. Var(AUC) = S10²/np + S01²/nn with the sample
+    * variances in one fixed double association; se/CI are functions of
+    * identical doubles in both engines. Symmetry check built in: the
+    * AUC from Σu must equal the AUC from Σt (Mann–Whitney).
+    */
+  val mlAucDelong: QueryDef = QueryDef.sql("ml_auc_delong",
+    """WITH s AS (SELECT CAST(n_chars AS BIGINT) AS score,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+      |g AS (SELECT score, CAST(sum(y) AS BIGINT) AS p,
+      |        CAST(count(*) - sum(y) AS BIGINT) AS q
+      |      FROM s GROUP BY score),
+      |c AS (SELECT score, p, q,
+      |        coalesce(CAST(sum(q) OVER (ORDER BY score
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS qlt,
+      |        coalesce(CAST(sum(p) OVER (ORDER BY score
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS plt
+      |      FROM g),
+      |tot AS (SELECT CAST(sum(p) AS BIGINT) AS np, CAST(sum(q) AS BIGINT) AS nn FROM g),
+      |x AS (SELECT p, q, 2 * qlt + q AS t,
+      |        2 * (np - plt - p) + p AS u FROM c, tot),
+      |m AS (SELECT CAST(sum(p * t) AS BIGINT) AS num2t,
+      |        CAST(sum(p * t * t) AS BIGINT) AS sum2t,
+      |        CAST(sum(q * u) AS BIGINT) AS num2u,
+      |        CAST(sum(q * u * u) AS BIGINT) AS sum2u FROM x),
+      |f AS (SELECT np, nn,
+      |        num2t / (2.0 * np * nn) AS auc,
+      |        ((CAST(sum2t AS DOUBLE) - CAST(num2t AS DOUBLE) * CAST(num2t AS DOUBLE) / np) / (np - 1)) / (4.0 * nn * nn) / np AS v10,
+      |        ((CAST(sum2u AS DOUBLE) - CAST(num2u AS DOUBLE) * CAST(num2u AS DOUBLE) / nn) / (nn - 1)) / (4.0 * np * np) / nn AS v01,
+      |        num2t AS a2t, num2u AS a2u
+      |      FROM m, tot)
+      |SELECT np, nn, round(auc, 6) AS auc,
+      |  CAST(a2t = a2u AS BIGINT) AS mw_symmetric,
+      |  round(sqrt(v10 + v01), 6) AS se,
+      |  round(auc - 1.96 * sqrt(v10 + v01), 6) AS ci_lo,
+      |  round(auc + 1.96 * sqrt(v10 + v01), 6) AS ci_hi
+      |FROM f""".stripMargin) { (s, dir) =>
+    val base = Tables.documents(s, dir)
+      .select(col("n_chars").cast("long").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+    val g = base.groupBy(col("score"))
+      .agg(sum(col("y")).as("p"), (count(lit(1)) - sum(col("y"))).as("q"))
+    val c = graft.ops.PrefixSum.running(g, Nil, "score", Seq("p", "q"),
+        withTotals = true)
+      .withColumn("qlt", col("q_cum") - col("q"))
+      .withColumn("plt", col("p_cum") - col("p"))
+      .withColumn("t", lit(2) * col("qlt") + col("q"))
+      .withColumn("u", lit(2) * (col("p_tot") - col("plt") - col("p")) + col("p"))
+    val m = c.agg(
+      sum(col("p") * col("t")).as("num2t"),
+      sum(col("p") * col("t") * col("t")).as("sum2t"),
+      sum(col("q") * col("u")).as("num2u"),
+      sum(col("q") * col("u") * col("u")).as("sum2u"),
+      max(col("p_tot")).as("np"), max(col("q_tot")).as("nn"))
+    def d(cn: String) = col(cn).cast("double")
+    val v10 = ((d("sum2t") - d("num2t") * d("num2t") / col("np")) / (col("np") - 1)) /
+      (lit(4.0) * col("nn") * col("nn")) / col("np")
+    val v01 = ((d("sum2u") - d("num2u") * d("num2u") / col("nn")) / (col("nn") - 1)) /
+      (lit(4.0) * col("np") * col("np")) / col("nn")
+    val auc = col("num2t") / (lit(2.0) * col("np") * col("nn"))
+    m.select(col("np"), col("nn"), round(auc, 6).as("auc"),
+      (col("num2t") === col("num2u")).cast("long").as("mw_symmetric"),
+      round(sqrt(v10 + v01), 6).as("se"),
+      round(auc - lit(1.96) * sqrt(v10 + v01), 6).as("ci_lo"),
+      round(auc + lit(1.96) * sqrt(v10 + v01), 6).as("ci_hi"))
+  }
+
   /** Per-class classifier evaluation (precision / recall / F1) of the
     * text_lang_id heuristic against the labeled lang column — the
     * eval-harness rollup every classifier-gated pipeline keeps beside
@@ -1390,7 +1469,7 @@ object MlQueries {
          |te AS (SELECT b.g, abs(b.y - (co.slope * b.x + co.icept)) AS a
          |      FROM b JOIN co ON co.g = b.g WHERE b.f >= 8),
          |cv AS (SELECT te.g, CAST(count(*) AS BIGINT) AS n_test,
-         |        CAST(sum(CASE WHEN te.a <= qh.q THEN 1 ELSE 0 END) AS BIGINT) AS hits
+         |        CAST(sum(CASE WHEN qh.q IS NULL OR te.a <= qh.q THEN 1 ELSE 0 END) AS BIGINT) AS hits
          |      FROM te JOIN qh ON qh.g = te.g GROUP BY te.g)
          |SELECT co.g AS l_returnflag, co.n_train, qh.n_cal, cv.n_test,
          |  round(qh.q, 6) AS q_hat,
@@ -1437,9 +1516,13 @@ object MlQueries {
           col("a"))).as("q"))
         .transform(graft.ops.Ckpt.eager)
       val te = b.where(col("f") >= 8).join(cob, "g").select(col("g"), resid.as("a"))
+      // k > n_cal (a tiny calibration fold) means q̂ = +∞ by the split
+      // conformal convention — the interval covers everything — which
+      // the rank selection surfaces as a NULL q: count it as covered,
+      // not as a silent miss
       val cv = te.join(broadcast(qh.select(col("g"), col("q"))), "g")
         .groupBy(col("g")).agg(count(lit(1)).as("n_test"),
-          sum(when(col("a") <= col("q"), 1L).otherwise(0L)).as("hits"))
+          sum(when(col("q").isNull || col("a") <= col("q"), 1L).otherwise(0L)).as("hits"))
       co.select(col("g"), col("n_train"))
         .join(qh.select(col("g"), col("n_cal"), col("q")), "g")
         .join(cv, "g")
@@ -2740,5 +2823,5 @@ object MlQueries {
     mlKsTest, mlTCloseness, mlCvLinreg, mlGini, mlSimpsonDiversity,
     mlMcc, mlCohenKappa, mlCorrMatrix, mlPsi, mlOutlierIqr, mlMad,
     mlHerfindahl, mlLiftGains, mlWoeIv, mlMutualInfo, mlAucContinuous, mlIsotonicCalibration,
-    mlIsotonicFit, mlIsotonicPredict, mlIsotonicInterp, mlConformal)
+    mlIsotonicFit, mlIsotonicPredict, mlIsotonicInterp, mlConformal, mlAucDelong)
 }

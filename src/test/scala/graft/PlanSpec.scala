@@ -256,8 +256,8 @@ class PlanSpec extends SparkSpec {
       "ml_isotonic_calibration",
       // one-row (min, max) range-bucket bounds broadcast into the scan
       // (ops.PrefixSum's two-level prefix — the q_histogram shape)
-      "ml_auc", "ml_auc_continuous", "ml_pr_curve", "ml_ks_test", "ml_decision_stump",
-      "ml_gini", "q_decile_profile", "ml_lift_gains",
+      "ml_auc", "ml_auc_continuous", "ml_auc_delong", "ml_pr_curve", "ml_ks_test",
+      "ml_decision_stump", "ml_gini", "q_decile_profile", "ml_lift_gains",
       // one-row pack-width scalar + PrefixSum bounds broadcasts inside
       // the distributed run-collapse PAVA loop (ops.Isotonic); predict
       // adds the quantile-boundary / carry / first-value broadcasts of
