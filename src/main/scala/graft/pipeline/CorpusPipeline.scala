@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import graft.core.{Fs, Ingest, Sinks}
-import graft.ops.TextOps
+import graft.ops.{Ckpt, IvfIndex, TextOps}
 import graft.queries.{DedupQueries, MlQueries}
 
 /** The composed LLM-corpus DAG — what a user of the ~140 LLM-pipeline
@@ -88,8 +88,10 @@ final case class CorpusConfig(
     phashDedup: Boolean = false,            // optional media near-dup stage (≡ multimodal_phash_dedup)
     semanticDedup: Boolean = false,         // optional SemDeDup stage (≡ dedup_semantic)
     semanticTau: Double = 0.35,             // semantic drop threshold
-    embeddingsPath: String = "",            // (vec_id = doc_id, embedding) parquet for the semantic stage
-    bpeMerges: Int = 0)                     // >0: ship a BPE tokenizer trained on the train split (≡ text_bpe_merges)
+    embeddingsPath: String = "",            // (vec_id = doc_id, embedding) parquet for the semantic/ann stages
+    bpeMerges: Int = 0,                     // >0: ship a BPE tokenizer trained on the train split (≡ text_bpe_merges)
+    annIndex: Boolean = false,              // maintain a persisted IVF index over survivors' vectors
+    annCells: Int = 16)                     // coarse cell count for the ann index
 
 final case class CorpusResult(
     nRaw: Long, nDocs: Long, nKept: Long, nSurvivors: Long,
@@ -245,6 +247,41 @@ object CorpusPipeline {
           s2.join(drops.select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_anti"))
       }
       s2
+    }
+
+    // ---- optional ANN serving-index maintenance (config-gated) ----
+    // the composition a production corpus actually runs: the persisted
+    // IVF index under the out dir holds EXACTLY the current survivors'
+    // vectors. The first derive BUILDS it; every later derive
+    // reconciles by DELTA — newly-surviving ids append at the FIXED
+    // persisted centroids, ids the batch's dedup merges retracted (a
+    // longer near-dup arrived and took the canonical slot) tombstone,
+    // and compaction rewrites only the touched cells — so index
+    // maintenance costs scale with the reconciled delta, never the
+    // corpus. Correctness rides the IvfIndexSpec lifecycle laws
+    // (append ∘ delete ∘ compact ≡ rebuild on the surviving set at
+    // fixed centroids); CorpusPipelineSpec pins live-ids ≡ survivors
+    // across an append that retracts a base canonical.
+    if (cfg.annIndex) {
+      require(cfg.embeddingsPath.nonEmpty,
+        "annIndex needs embeddingsPath (a (vec_id = doc_id, embedding) parquet)")
+      val root = p("ann_index")
+      val sv = spark.read.parquet(cfg.embeddingsPath)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .join(survivors2.select(col("doc_id").as("vec_id")), "vec_id")
+      if (!Fs.exists(spark, s"$root/centroids"))
+        IvfIndex.build(sv, cfg.annCells, iters = 2, root)
+      else {
+        // materialize BOTH deltas BEFORE mutating the files they were
+        // computed from (the compactPlan discipline)
+        val have = IvfIndex.liveAssignments(spark, root).select(col("vec_id"))
+        val add = sv.join(have, Seq("vec_id"), "left_anti").transform(Ckpt.eager)
+        val gone = have.join(sv.select(col("vec_id")), Seq("vec_id"), "left_anti")
+          .transform(Ckpt.eager)
+        if (add.head(1).nonEmpty) IvfIndex.append(spark, add, root)
+        if (gone.head(1).nonEmpty) IvfIndex.delete(spark, gone, root)
+        IvfIndex.compact(spark, root, minRatio = 0.1): Unit
+      }
     }
 
     // ---- leakage-aware split (≡ ml_cluster_split) ----

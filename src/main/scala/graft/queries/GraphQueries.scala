@@ -699,6 +699,91 @@ object GraphQueries {
     * any round count, so the oracle replays the identical 3 rounds as
     * materialized CTEs.
     */
+  /** Bounded WEIGHTED shortest paths — Bellman–Ford limited to `rounds`
+    * relaxation sweeps (the bounded-hop semantics [[graphBfs]] uses for
+    * the unweighted case; exact SSSP on a crawl graph is run the same
+    * way, with rounds set past the effective diameter). Edge weights
+    * are deterministic BIGINTs derived from the packed endpoint ids
+    * (1 + (a + b) % 9), so every distance is an exact integer both
+    * engines agree on. The Spark loop is DELTA-relaxing: round i only
+    * expands out of nodes round i−1 improved (the frontier discipline
+    * of [[bfsLevels]]; a full-table re-relax per round would re-scan
+    * every settled vertex — the textbook Bellman-Ford inefficiency) —
+    * per round one frontier-join + grouped min + full-outer merge, each
+    * Ckpt.eager'd so lineage stays flat. The oracle unrolls the same
+    * rounds as CTEs, relaxing from the WHOLE table (min is idempotent,
+    * so delta vs full relax is a pure execution choice).
+    */
+  val graphSssp: QueryDef = {
+    val rounds = 3
+    val inf = Long.MaxValue
+    def roundCte(i: Int): String = {
+      val p = i - 1
+      s"""r$i AS (SELECT e.b AS node, min(v$p.dist + e.w) AS nd
+         |        FROM e JOIN v$p ON v$p.node = e.a GROUP BY e.b),
+         |v$i AS (SELECT coalesce(v$p.node, r$i.node) AS node,
+         |          least(coalesce(v$p.dist, ${inf}), coalesce(r$i.nd, ${inf})) AS dist
+         |        FROM v$p FULL JOIN r$i ON v$p.node = r$i.node)""".stripMargin
+    }
+    QueryDef.sql("graph_sssp",
+      s"""WITH ec AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+         |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+         |ew AS (SELECT a, b, 1 + (a + b) % 9 AS w FROM ec),
+         |e AS (SELECT a, b, w FROM ew UNION ALL SELECT b, a, w FROM ew),
+         |v0 AS (SELECT DISTINCT a AS node, CAST(0 AS BIGINT) AS dist FROM ec
+         |       WHERE a % 200 = 0),
+         |${(1 to rounds).map(roundCte).mkString(",\n")}
+         |SELECT CASE WHEN node % 2 = 0 THEN 'c' ELSE 's' END AS kind,
+         |  node // 2 AS key, dist
+         |FROM v$rounds ORDER BY kind, key""".stripMargin) { (s, dir) =>
+      val pairs = packedTradePairs(s, dir)
+        .select(col("c").as("a"), col("s").as("b"))
+      val ew = pairs.withColumn("w", lit(1L) + (col("a") + col("b")) % 9)
+      val edges = ew.unionAll(ew.select(col("b").as("a"), col("a").as("b"), col("w")))
+      val seeds = pairs.where(col("a") % 200 === 0).select(col("a").as("node")).distinct()
+      ssspRounds(edges, seeds, rounds)
+        .select(when(col("node") % 2 === 0, "c").otherwise("s").as("kind"),
+          expr("node div 2").as("key"), col("dist"))
+        .orderBy(col("kind"), col("key"))
+    }
+  }
+
+  /** The bounded Bellman–Ford loop, factored for spec-ability: takes
+    * weighted directed edges (a, b, w) (symmetrize before calling for
+    * undirected graphs) and a seed set (node), returns (node, dist)
+    * after `rounds` delta-relaxation sweeps (seeds at dist 0; a node's
+    * distance is exact once its shortest path has ≤ rounds edges).
+    * GraphSpec pins relaxation-through-cheaper-detour on a fixture.
+    */
+  def ssspRounds(edges: org.apache.spark.sql.DataFrame,
+                 seeds: org.apache.spark.sql.DataFrame,
+                 rounds: Int): org.apache.spark.sql.DataFrame = {
+    val inf = Long.MaxValue
+    var dist = seeds.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).transform(graft.ops.Ckpt.eager)
+    var delta = dist
+    var i = 1
+    var dc = delta.count()
+    while (i <= rounds && dc > 0) {
+      val cand = edges.join(
+          vhint(delta.withColumnRenamed("node", "__dn"), dc),
+          col("a") === col("__dn"))
+        .select(col("b").as("node"), (col("dist") + col("w")).as("nd"))
+        .groupBy(col("node")).agg(min(col("nd")).as("nd"))
+      val merged = dist.withColumnRenamed("dist", "__od")
+        .join(cand, Seq("node"), "full_outer")
+        .select(col("node"),
+          least(coalesce(col("__od"), lit(inf)), coalesce(col("nd"), lit(inf))).as("dist"),
+          (coalesce(col("nd"), lit(inf)) < coalesce(col("__od"), lit(inf))).as("__imp"))
+        .transform(graft.ops.Ckpt.eager)
+      delta = merged.where(col("__imp")).select(col("node"), col("dist"))
+      dist = merged.select(col("node"), col("dist"))
+      dc = delta.count()
+      i += 1
+    }
+    dist
+  }
+
   val graphBfs: QueryDef = {
     val rounds = 3
     def roundCte(i: Int): String = {
@@ -1674,7 +1759,7 @@ object GraphQueries {
   }
 
   val all: Seq[QueryDef] = Seq(graphPagerank, graphTriangles, graphComponents,
-    graphDegreeStats, graphLabelProp, graphJaccard, graphKcore, graphBfs,
+    graphDegreeStats, graphLabelProp, graphJaccard, graphKcore, graphBfs, graphSssp,
     graphCloseness,
     graphPpr, graphRandomWalk, graphModularity, graphClusteringCoeff,
     graphAssortativity, graphReciprocity, graphHits, graphScc, graphPowerlaw,

@@ -241,6 +241,39 @@ class CorpusPipelineSpec extends SparkSpec {
     s"$dir/jsonl"
   }
 
+  test("ann index stage: the persisted index tracks survivors across an append that retracts a canonical") {
+    import spark.implicits._
+    val seqWords = (off: Int, n: Int) => (off until off + n).map(i => s"q$i")
+    val base: Seq[(Long, String, String)] =
+      (0L until 20L).map(i => (i, mkText(filler(i.toInt + 300, 60)), s"src${i % 3}")) ++ Seq(
+        (100L, mkText(seqWords(50000, 60)), "src0"),
+        (104L, mkText(seqWords(60000, 60)), "src1"))   // retraction victim
+    val batch: Seq[(Long, String, String)] = Seq(
+      (200L, mkText(filler(1200, 60)), "src0"),
+      (211L, mkText(seqWords(60000, 65)), "src0"))     // longer near-dup of 104
+    // embeddings fixture: vec_id = doc_id for every fixture id
+    val embDir = mkdir("ann_emb")
+    (base ++ batch).map(_._1).toDF("vec_id")
+      .select(col("vec_id"), expr(
+        "transform(sequence(0, 15), j -> CAST(pmod(hash(vec_id, j), 1000) AS DOUBLE) / 500.0)")
+        .as("embedding"))
+      .write.mode("overwrite").parquet(s"$embDir/emb.parquet")
+    val cfg = CorpusConfig(annIndex = true, annCells = 4,
+      embeddingsPath = s"$embDir/emb.parquet")
+    val out = mkdir("ann_out")
+    CorpusPipeline.run(spark, writeJsonl(base, "ann_base"), out, cfg)
+    def liveIds = graft.ops.IvfIndex.liveAssignments(spark, s"$out/ann_index")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def survIds = spark.read.parquet(s"$out/survivors")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(liveIds == survIds, "built index must hold exactly the survivors")
+    assert(liveIds.contains(104L))
+    CorpusPipeline.append(spark, writeJsonl(batch, "ann_batch"), out, cfg)
+    assert(liveIds == survIds, "index drifted from survivors after append")
+    assert(!liveIds.contains(104L) && liveIds.contains(211L),
+      "retracted canonical must leave the index; its retractor must serve")
+  }
+
   test("append: run(base) + append(batch) == full rerun on the union; retraction and cluster-merge included") {
     def run(j: String, d: String) = CorpusPipeline.run(spark, j, d)
     val seqWords = (off: Int, n: Int) => (off until off + n).map(i => s"q$i")

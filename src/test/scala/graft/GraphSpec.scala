@@ -130,6 +130,26 @@ class GraphSpec extends SparkSpec {
     assert(d2(20L) == 0L && d2(21L) == 1L && d2(2L) == 2L && d2(3L) == 1L, s"$d2")
   }
 
+  test("sssp: a cheaper two-hop detour beats the direct edge; bounded rounds truncate honestly") {
+    import spark.implicits._
+    // directed weighted edges: 1→3 direct costs 10, but 1→2→3 costs 6;
+    // 3→4 extends the detour to a 3-hop path that needs a third round
+    val e = Seq((1L, 3L, 10L), (1L, 2L, 5L), (2L, 3L, 1L), (3L, 4L, 2L))
+      .toDF("a", "b", "w")
+    val seeds = Seq(1L).toDF("node")
+    val d2 = graft.queries.GraphQueries.ssspRounds(e, seeds, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d2 == Map(1L -> 0L, 2L -> 5L, 3L -> 6L, 4L -> 12L), s"sssp(2) was $d2")
+    // one round only: the detour hasn't relaxed yet — the direct edge wins
+    val d1 = graft.queries.GraphQueries.ssspRounds(e, seeds, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d1 == Map(1L -> 0L, 2L -> 5L, 3L -> 10L), s"sssp(1) was $d1")
+    // third round: the improvement at 3 propagates through to 4
+    val d3 = graft.queries.GraphQueries.ssspRounds(e, seeds, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d3 == Map(1L -> 0L, 2L -> 5L, 3L -> 6L, 4L -> 8L), s"sssp(3) was $d3")
+  }
+
   test("closeness: per-seed distance tables stay independent; horizon truncates honestly") {
     import spark.implicits._
     // chain 0-1-2-3-4 plus island {20,21}: seed 0 must NOT inherit seed
