@@ -195,14 +195,27 @@ object RecallProbe {
           val n = math.sqrt(raw.map(x => x * x).sum)
           raw.map(_ / n)
         }
-        val hl = typedLit(hArr.toSeq)
-        val dl = typedLit(Array.tabulate(64)(i => math.pow(0.85, i)).toSeq)
-        def hh(vC: Column): Column = {
-          val hv = Similarity.dotC(vC, hl)
-          zip_with(vC, hl, (x, hc) => x - lit(2.0) * hv * hc)
+        val dec = Array.tabulate(64)(i => math.pow(0.85, i))
+        // M = (I − 2hhᵀ)·diag(dec)·(I − 2hhᵀ) precomputed DRIVER-side;
+        // the row transform is then 64 native dot-products (the
+        // `rotate` pattern). A lambda formulation that captures the
+        // h·v dot inside zip_with re-evaluates it per ELEMENT (Spark
+        // neither CSEs into lambda bodies nor survives CollapseProject
+        // hoisting) — O(d³) per row instead of O(d²).
+        val mM = Array.tabulate(64, 64) { (i, j) =>
+          var acc = 0.0
+          var k = 0
+          while (k < 64) {
+            val hik = (if (i == k) 1.0 else 0.0) - 2.0 * hArr(i) * hArr(k)
+            val hkj = (if (k == j) 1.0 else 0.0) - 2.0 * hArr(k) * hArr(j)
+            acc += hik * dec(k) * hkj
+            k += 1
+          }
+          acc
         }
         vectors.select(col("vec_id"), col("label"),
-          hh(zip_with(hh(col("v")), dl, (x, d) => x * d)).as("v"))
+          array((0 until 64).map(i =>
+            Similarity.dotConst("v", mM(i).toIndexedSeq)): _*).as("v"))
       }
       val bases = vecs.where(col("vec_id") % 101 === 0)
       val q = bases.select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -298,7 +311,16 @@ object RecallProbe {
       // to the subspace with the smallest running Σ log λ and a free
       // slot, then run the IDENTICAL trained chain on the permuted
       // coordinates. Same budget, same exact arm.
-      val orderL = pm.lam.zipWithIndex.sortBy(-_._1)
+      // zero-mean the log-eigenvalues before the greedy: the raw running
+      // Σ log λ is not scale-invariant — with every λ < 1 (any normalized
+      // spectrum) each assignment makes its bucket MORE attractive and
+      // the greedy degenerates to the identity permutation (= sequential
+      // slicing, measuring nothing). Centering by the geometric mean
+      // makes large-λ assignments positive and small-λ negative, so the
+      // greedy alternates large-with-small as intended at any scale.
+      val logs = pm.lam.map(l => math.log(math.max(l, 1e-12)))
+      val logMean = logs.sum / logs.length
+      val orderL = logs.map(_ - logMean).zipWithIndex.sortBy(-_._1)
       val slots = Array.fill(mSub)(0)
       val logp = Array.fill(mSub)(0.0)
       val destOf = Array.fill(16)(0)
@@ -306,7 +328,7 @@ object RecallProbe {
         val sIdx = (0 until mSub).filter(slots(_) < 2).minBy(logp(_))
         destOf(ci) = sIdx * 2 + slots(sIdx)
         slots(sIdx) += 1
-        logp(sIdx) += math.log(math.max(l, 1e-12))
+        logp(sIdx) += l
       }
       val srcOf = Array.ofDim[Int](16)
       destOf.zipWithIndex.foreach { case (dest, src) => srcOf(dest) = src }

@@ -110,6 +110,41 @@ object ScaleProbe {
         s"append differential: full=(${cr.nKept},${cr.nSurvivors}) incr=(${crA.nKept},${crA.nSurvivors})")
       println(f"[scaleprobe] docs=$n%6d corpus_append base(${crB.nDocs}%6d)=$bSecs%6.1f s batch(${crA.nDocs - crB.nDocs}%5d)=$aSecs%6.1f s full=$psecs%6.1f s")
       }
+      // ann-pipeline leg (r13): the corpus DAG with the serving-index
+      // stage ON — measures what annIndex ADDS at base build (index fit
+      // over survivors) and at append (one live-vs-survivors comparison
+      // scan + delta-sized mutations). Read beside the corpus_append
+      // leg's walls for the add-on. Embeddings synthetic, vec_id=doc_id.
+      if (on("annpipe")) {
+        val embP = s"$dirP/emb.parquet"
+        spark.range(n).select(col("id").as("vec_id"), expr(
+          """transform(sequence(0, 63), j ->
+            |  CAST(pmod(hash(id, j), 2001) - 1000 AS DOUBLE) / 1000.0)""".stripMargin)
+          .as("embedding"))
+          .write.mode("overwrite").parquet(embP)
+        val cfgA = graft.pipeline.CorpusConfig(annIndex = true, annCells = 64,
+          embeddingsPath = embP)
+        val cutA = (n.toLong * 9L) / 10L
+        val pj2 = spark.read.json(s"$dirP/jsonl")
+        pj2.where(col("doc_id") < cutA).toJSON
+          .write.mode("overwrite").text(s"$dirP/ann_base_jsonl")
+        pj2.where(col("doc_id") >= cutA).toJSON
+          .write.mode("overwrite").text(s"$dirP/ann_batch_jsonl")
+        val tb = System.nanoTime()
+        graft.pipeline.CorpusPipeline.run(
+          spark, s"$dirP/ann_base_jsonl", s"$dirP/out_ann", cfgA)
+        val rbS = (System.nanoTime() - tb) / 1e9
+        val ta = System.nanoTime()
+        val ra = graft.pipeline.CorpusPipeline.append(
+          spark, s"$dirP/ann_batch_jsonl", s"$dirP/out_ann", cfgA)
+        val raS = (System.nanoTime() - ta) / 1e9
+        val liveN = graft.ops.IvfIndex
+          .liveAssignments(spark, s"$dirP/out_ann/ann_index").count()
+        require(liveN == ra.nSurvivors,
+          s"ann index live=$liveN != survivors=${ra.nSurvivors}")
+        println(f"[scaleprobe] docs=$n%6d ann_pipeline base=$rbS%6.1f s append=$raS%6.1f s live=$liveN%7d")
+      }
+
       // sketch leg: ONE aggregation pass over the full token stream
       // builds the whole sketch family concurrently — Count-Min (32 KB),
       // Bloom (512 B), KMV (~2 KB) — on the production hash tier
@@ -318,7 +353,7 @@ object ScaleProbe {
       graft.ops.IvfIndex.build(vv, 64, 2, refRoot)
       graft.ops.IvfIndex.buildPqResidual(spark, m = 8, dsub = 8, codes = 16,
         iters = 2, refRoot)
-      val qRef = vv.where(col("vec_id") % (n / 20) === 1)
+      val qRef = vv.where(col("vec_id") % math.max(1, n / 20) === 1)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
       val nq = qRef.count()
       val tAdc = System.nanoTime()

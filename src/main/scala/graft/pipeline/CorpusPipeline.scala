@@ -257,31 +257,27 @@ object CorpusPipeline {
     // persisted centroids, ids the batch's dedup merges retracted (a
     // longer near-dup arrived and took the canonical slot) tombstone,
     // and compaction rewrites only the touched cells — so index
-    // maintenance costs scale with the reconciled delta, never the
-    // corpus. Correctness rides the IvfIndexSpec lifecycle laws
+    // MUTATION costs scale with the reconciled delta (the diff itself
+    // reads the index + survivor ids once; a no-op derive pays that
+    // comparison scan and zero writes). Correctness rides the
+    // IvfIndexSpec lifecycle laws
     // (append ∘ delete ∘ compact ≡ rebuild on the surviving set at
     // fixed centroids); CorpusPipelineSpec pins live-ids ≡ survivors
     // across an append that retracts a base canonical.
     if (cfg.annIndex) {
       require(cfg.embeddingsPath.nonEmpty,
         "annIndex needs embeddingsPath (a (vec_id = doc_id, embedding) parquet)")
-      val root = p("ann_index")
       val sv = spark.read.parquet(cfg.embeddingsPath)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .join(survivors2.select(col("doc_id").as("vec_id")), "vec_id")
-      if (!Fs.exists(spark, s"$root/centroids"))
-        IvfIndex.build(sv, cfg.annCells, iters = 2, root)
-      else {
-        // materialize BOTH deltas BEFORE mutating the files they were
-        // computed from (the compactPlan discipline)
-        val have = IvfIndex.liveAssignments(spark, root).select(col("vec_id"))
-        val add = sv.join(have, Seq("vec_id"), "left_anti").transform(Ckpt.eager)
-        val gone = have.join(sv.select(col("vec_id")), Seq("vec_id"), "left_anti")
-          .transform(Ckpt.eager)
-        if (add.head(1).nonEmpty) IvfIndex.append(spark, add, root)
-        if (gone.head(1).nonEmpty) IvfIndex.delete(spark, gone, root)
-        IvfIndex.compact(spark, root, minRatio = 0.1): Unit
-      }
+      // survivors with NO embedding row cannot serve — that is a data
+      // defect, not a silent shrink of the index: census it next to the
+      // other fails reports so the gap is visible
+      val missing = survivors2.select(col("doc_id").as("vec_id"))
+        .join(sv.select(col("vec_id")), Seq("vec_id"), "left_anti").count()
+      Fs.writeString(spark, p("fails_ann.json"),
+        s"""{"survivors_missing_embedding": $missing}""")
+      reconcileAnnIndex(spark, p("ann_index"), sv, cfg.annCells)
     }
 
     // ---- leakage-aware split (≡ ml_cluster_split) ----
@@ -369,6 +365,42 @@ object CorpusPipeline {
     * fingerprint doesn't match the applied-batch list, then assemble the
     * merged CorpusResult.
     */
+  /** Reconcile the persisted IVF index at `root` to hold EXACTLY the
+    * ids of `sv` (vec_id, v). First touch builds; later calls diff the
+    * live set against sv (one index read + one sv pass — the comparison
+    * is what a reconcile IS), then mutate by DELTA. If any target id is
+    * currently TOMBSTONED (it was retracted and has re-survived —
+    * cluster membership can flip back under the semantic tier's
+    * data-dependent k), the applied tombstones are drained FIRST via a
+    * minRatio=0 compaction (crash-atomic, touched-cells-only), because
+    * an append shadowed by a live tombstone would never serve and every
+    * later derive would append another invisible duplicate — the
+    * re-survival divergence CorpusPipelineSpec pins. All mutations are
+    * skipped when their delta is empty, so a no-op derive pays zero
+    * writes and no compaction stats scan.
+    */
+  private[graft] def reconcileAnnIndex(spark: SparkSession, root: String,
+                                       sv: DataFrame, cells: Int): Unit = {
+    if (!Fs.exists(spark, s"$root/centroids")) {
+      IvfIndex.build(sv, cells, iters = 2, root)
+      return
+    }
+    val resurrect = sv.select(col("vec_id"))
+      .join(IvfIndex.tombstones(spark, root), "vec_id").head(1).nonEmpty
+    if (resurrect) IvfIndex.compact(spark, root, minRatio = 0.0): Unit
+    // materialize BOTH deltas BEFORE mutating the files they were
+    // computed from (the compactPlan discipline)
+    val have = IvfIndex.liveAssignments(spark, root).select(col("vec_id"))
+    val add = sv.join(have, Seq("vec_id"), "left_anti").transform(Ckpt.eager)
+    val gone = have.join(sv.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .transform(Ckpt.eager)
+    if (add.head(1).nonEmpty) IvfIndex.append(spark, add, root)
+    if (gone.head(1).nonEmpty) {
+      IvfIndex.delete(spark, gone, root)
+      IvfIndex.compact(spark, root, minRatio = 0.1): Unit
+    }
+  }
+
   private def mergedResult(spark: SparkSession, outDir: String, cfg: CorpusConfig,
                            fingerprint: String): CorpusResult = {
     def p(name: String) = s"$outDir/$name"

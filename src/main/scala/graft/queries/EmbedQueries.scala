@@ -1067,7 +1067,11 @@ object EmbedQueries {
                                  dir: String, k: Int, m: Int, dsub: Int,
                                  kCodes: Int): String = {
     val v = Similarity.vectors(Tables.embeddings(s, dir)).select(col("vec_id"), col("v"))
-    val root = graft.ops.Scratch.dir(s"ivfadc_res_${Integer.toHexString(dir.hashCode)}")
+    // the build params join the memo key: two gate rows share this
+    // artifact TODAY at identical constants, and a later param tweak to
+    // either must miss the memo, not silently serve the other's index
+    val root = graft.ops.Scratch.dir(
+      s"ivfadc_res_${k}_${m}_${dsub}_${kCodes}_${Integer.toHexString(dir.hashCode)}")
     graft.ops.Scratch.once(root) {
       graft.ops.IvfIndex.build(v, k, iters = 2, root)
       graft.ops.IvfIndex.buildPqResidual(s, m, dsub, kCodes, iters = 2, root)

@@ -274,6 +274,41 @@ class CorpusPipelineSpec extends SparkSpec {
       "retracted canonical must leave the index; its retractor must serve")
   }
 
+  test("reconcileAnnIndex: a retracted-then-re-surviving id serves exactly ONCE; no-op reconcile writes nothing") {
+    import spark.implicits._
+    def vecsOf(ids: Seq[Long]) = ids.toDF("vec_id").select(col("vec_id"), expr(
+      "transform(sequence(0, 15), j -> CAST(pmod(hash(vec_id, j), 1000) AS DOUBLE) / 500.0)")
+      .as("v"))
+    val root = mkdir("ann_reconcile") + "/idx"
+    def live = graft.ops.IvfIndex.liveAssignments(spark, root)
+      .select("vec_id").collect().map(_.getLong(0))
+    val all = 0L until 200L
+    CorpusPipeline.reconcileAnnIndex(spark, root, vecsOf(all), 4)
+    assert(live.toSet == all.toSet && live.length == 200)
+    // retract ONE id of ~50 in its cell: under the 10% compact ratio,
+    // so the tombstone stays LIVE — the re-survival bug's precondition
+    CorpusPipeline.reconcileAnnIndex(spark, root, vecsOf(all.filterNot(_ == 7L)), 4)
+    assert(!live.contains(7L))
+    assert(graft.ops.IvfIndex.tombstones(spark, root).count() === 1L,
+      "fixture must leave the tombstone un-compacted to exercise re-survival")
+    // 7 re-survives: the reconcile must drain the shadowing tombstone
+    // FIRST, then re-append — one serving row, no invisible duplicates
+    CorpusPipeline.reconcileAnnIndex(spark, root, vecsOf(all), 4)
+    val l = live
+    assert(l.count(_ == 7L) == 1, s"re-survivor must serve exactly once, saw ${l.count(_ == 7L)}")
+    assert(l.toSet == all.toSet && l.length == 200)
+    assert(graft.ops.IvfIndex.tombstones(spark, root).count() === 0L)
+    // idempotence: reconciling the identical set mutates no file
+    def stamps = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(root)).map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = stamps
+    CorpusPipeline.reconcileAnnIndex(spark, root, vecsOf(all), 4)
+    assert(stamps == before, "a no-op reconcile rewrote index files")
+  }
+
   test("append: run(base) + append(batch) == full rerun on the union; retraction and cluster-merge included") {
     def run(j: String, d: String) = CorpusPipeline.run(spark, j, d)
     val seqWords = (off: Int, n: Int) => (off until off + n).map(i => s"q$i")
