@@ -1533,6 +1533,104 @@ object MlQueries {
     }
   }
 
+  /** CUPED variance-reduced experiment readout (Deng, Xu, Kohavi &
+    * Walker, WSDM 2013) — the adjustment every mature A/B platform
+    * applies: per user, x = pre-period activity and y = experiment-
+    * period activity (split at the corpus time midpoint, an exact
+    * BIGINT both engines derive identically); θ = cov(x,y)/var(x)
+    * pooled over ALL users, and each arm's adjusted mean is
+    * ȳ_arm − θ·(x̄_arm − x̄). The emitted corr² IS the theoretical
+    * variance-reduction fraction. Deterministic portable-hash arm
+    * assignment; every moment is an exact BIGINT rollup cast to double
+    * once (the ml_linreg discipline), so θ/corr²/diffs are fixed-
+    * association doubles both engines share.
+    *
+    * Scale shape: ONE pass builds per-user (x, y), one grouped rollup
+    * per arm carries ALL six moments, and the global moment row is the
+    * 2-row arm table re-aggregated — no second corpus scan, no window;
+    * the final assembly crosses three one-row frames.
+    */
+  val mlCuped: QueryDef = {
+    val h = OracleSql.hash64("'cuped'", "CAST(user_id AS VARCHAR)")
+    QueryDef.sql("ml_cuped",
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+         |bounds AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+         |u0 AS (SELECT user_id,
+         |        CAST(sum(CASE WHEN us < mid THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         |        CAST(sum(CASE WHEN us >= mid THEN 1 ELSE 0 END) AS BIGINT) AS y
+         |      FROM ev, bounds GROUP BY user_id),
+         |u AS (SELECT x, y, $h % 2 AS arm FROM u0),
+         |a AS (SELECT arm, CAST(count(*) AS BIGINT) AS na,
+         |        CAST(sum(x) AS BIGINT) AS sxa, CAST(sum(y) AS BIGINT) AS sya,
+         |        CAST(sum(x * y) AS BIGINT) AS sxya,
+         |        CAST(sum(x * x) AS BIGINT) AS sxxa,
+         |        CAST(sum(y * y) AS BIGINT) AS syya
+         |      FROM u GROUP BY arm),
+         |m AS (SELECT CAST(sum(na) AS BIGINT) AS n,
+         |        CAST(sum(sxa) AS DOUBLE) AS sx, CAST(sum(sya) AS DOUBLE) AS sy,
+         |        CAST(sum(sxya) AS DOUBLE) AS sxy, CAST(sum(sxxa) AS DOUBLE) AS sxx,
+         |        CAST(sum(syya) AS DOUBLE) AS syy FROM a),
+         |th AS (SELECT n, sx,
+         |        (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+         |        ((n * sxy - sx * sy) * (n * sxy - sx * sy)) /
+         |          ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS corr2
+         |      FROM m),
+         |a1 AS (SELECT na AS na1, CAST(sxa AS DOUBLE) AS sxa1,
+         |         CAST(sya AS DOUBLE) AS sya1 FROM a WHERE arm = 1),
+         |a0 AS (SELECT na AS na0, CAST(sxa AS DOUBLE) AS sxa0,
+         |         CAST(sya AS DOUBLE) AS sya0 FROM a WHERE arm = 0)
+         |SELECT th.n, round(th.theta, 6) AS theta, round(th.corr2, 6) AS corr2,
+         |  round(sya1 / na1 - sya0 / na0, 6) AS diff_raw,
+         |  round((sya1 / na1 - th.theta * (sxa1 / na1 - th.sx / th.n))
+         |      - (sya0 / na0 - th.theta * (sxa0 / na0 - th.sx / th.n)), 6) AS diff_adj
+         |FROM th, a1, a0""".stripMargin) { (s, dir) =>
+      import graft.ops.TextOps
+      TextOps.ensureFunctions(s)
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      val bounds = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val u = ev.crossJoin(broadcast(bounds))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("us") < col("mid"), 1L).otherwise(0L)).as("x"),
+          sum(when(col("us") >= col("mid"), 1L).otherwise(0L)).as("y"))
+        .select(col("x"), col("y"),
+          (expr(TextOps.portableHash64Sql("'cuped'", "CAST(user_id AS STRING)"))
+            % 2).as("arm"))
+      val a = u.groupBy(col("arm")).agg(count(lit(1)).as("na"),
+        sum(col("x")).as("sxa"), sum(col("y")).as("sya"),
+        sum(col("x") * col("y")).as("sxya"),
+        sum(col("x") * col("x")).as("sxxa"),
+        sum(col("y") * col("y")).as("syya"))
+        .transform(graft.ops.Ckpt.eager)
+      val m = a.agg(sum(col("na")).as("n"),
+        sum(col("sxa")).cast("double").as("sx"),
+        sum(col("sya")).cast("double").as("sy"),
+        sum(col("sxya")).cast("double").as("sxy"),
+        sum(col("sxxa")).cast("double").as("sxx"),
+        sum(col("syya")).cast("double").as("syy"))
+      val th = m.select(col("n"), col("sx"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))).as("theta"),
+        (((col("n") * col("sxy") - col("sx") * col("sy")) *
+          (col("n") * col("sxy") - col("sx") * col("sy"))) /
+          ((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy")))).as("corr2"))
+      val a1 = a.where(col("arm") === 1).select(col("na").as("na1"),
+        col("sxa").cast("double").as("sxa1"), col("sya").cast("double").as("sya1"))
+      val a0 = a.where(col("arm") === 0).select(col("na").as("na0"),
+        col("sxa").cast("double").as("sxa0"), col("sya").cast("double").as("sya0"))
+      th.crossJoin(a1).crossJoin(a0).select(
+        col("n"), round(col("theta"), 6).as("theta"),
+        round(col("corr2"), 6).as("corr2"),
+        round(col("sya1") / col("na1") - col("sya0") / col("na0"), 6).as("diff_raw"),
+        round((col("sya1") / col("na1")
+            - col("theta") * (col("sxa1") / col("na1") - col("sx") / col("n")))
+          - (col("sya0") / col("na0")
+            - col("theta") * (col("sxa0") / col("na0") - col("sx") / col("n"))), 6)
+          .as("diff_adj"))
+    }
+  }
+
   val mlBootstrapCi: QueryDef = {
     val ts = Seq(424136118829305329L, 848272237658610659L, 1060340297073263324L,
       1131029650211480879L, 1148701988496035267L)
@@ -2823,5 +2921,6 @@ object MlQueries {
     mlKsTest, mlTCloseness, mlCvLinreg, mlGini, mlSimpsonDiversity,
     mlMcc, mlCohenKappa, mlCorrMatrix, mlPsi, mlOutlierIqr, mlMad,
     mlHerfindahl, mlLiftGains, mlWoeIv, mlMutualInfo, mlAucContinuous, mlIsotonicCalibration,
-    mlIsotonicFit, mlIsotonicPredict, mlIsotonicInterp, mlConformal, mlAucDelong)
+    mlIsotonicFit, mlIsotonicPredict, mlIsotonicInterp, mlConformal, mlAucDelong,
+    mlCuped)
 }

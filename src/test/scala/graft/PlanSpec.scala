@@ -248,6 +248,10 @@ class PlanSpec extends SparkSpec {
       "ml_t_closeness",
       // one-row (N, diag) totals crossed into the one-row chance sum
       "ml_cohen_kappa",
+      // one-row time-midpoint bounds broadcast into the scan, plus the
+      // final assembly of three ONE-ROW frames (global moments, arm 1,
+      // arm 0) by construction-time crosses
+      "ml_cuped",
       // 9-row decile-boundary table crossed/range-joined against the
       // DISTINCT-value tables — domain-sized, never row-sized
       "ml_psi", "ml_woe_iv", "ml_mutual_info",
