@@ -353,7 +353,7 @@ object RecallProbe {
       // matches the raw tiers exactly and any recall delta is purely
       // the residual encoding. Seeds are the same ids-1..16 sub-slices
       // (of the residual frame), keeping the budget comparison honest.
-      val rRoot = graft.ops.Scratch.dir(s"probe_ivfadc_$mode")
+      val rRoot = graft.ops.Scratch.dir(s"probe_ivfadc_${mode}_${mSub}_${dsub}_16")
       graft.ops.Scratch.once(rRoot) {
         graft.ops.IvfIndex.build(
           cands.select(col("nid").as("vec_id"), col("cv").as("v")),
@@ -378,7 +378,7 @@ object RecallProbe {
       // full-space top-5, so the row reports the end-to-end effect of
       // rotation+cut+residual together.
       val rotCands = rotate(cands, "nid", "cv")
-      val rrRoot = graft.ops.Scratch.dir(s"probe_ivfadc_rot_$mode")
+      val rrRoot = graft.ops.Scratch.dir(s"probe_ivfadc_rot_${mode}_${mSub}_2_16")
       graft.ops.Scratch.once(rrRoot) {
         graft.ops.IvfIndex.build(
           rotCands.select(col("nid").as("vec_id"), col("cv").as("v")),

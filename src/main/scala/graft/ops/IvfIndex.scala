@@ -85,6 +85,21 @@ object IvfIndex {
     }
   }
 
+  /** One-level emptiness probe for a (possibly hive-partitioned) half:
+    * a cl=… subdirectory OR a top-level parquet counts as data. Under a
+    * CLEAN manifest state gc has already dropped empty dead-cell dirs,
+    * so a surviving subdirectory implies live files — no recursive
+    * listing needed (the compact-cost rework's discipline).
+    */
+  private def hasData(s: SparkSession, path: String): Boolean = {
+    val (fs, p) = hfs(s, path)
+    fs.exists(p) && {
+      val ls = fs.listStatus(p)
+      ls != null && ls.exists(f =>
+        f.isDirectory || (f.isFile && f.getPath.getName.endsWith(".parquet")))
+    }
+  }
+
   // ---- manifest-gated file visibility (compaction crash-safety, r12
   // verdict §4) ----------------------------------------------------------
   //
@@ -126,7 +141,8 @@ object IvfIndex {
     * every stray reconciled) — readers then take the plain-directory
     * fast path and pay zero listing/filter overhead in steady state.
     */
-  private def manifestView(s: SparkSession, root: String): Option[MView] = {
+  private def manifestView(s: SparkSession, root: String,
+                           needSets: Boolean = true): Option[MView] = {
     val (fs, md) = hfs(s, manifestDir(root))
     if (!fs.exists(md)) return None
     // the directory itself is the "compaction machinery engaged" marker:
@@ -137,6 +153,11 @@ object IvfIndex {
     val ms = names.filter(_.startsWith("m-")).sorted
     if (ms.isEmpty) return Some(MView(Set.empty, Set.empty, clean = false))
     val clean = names.contains("clean-" + ms.last.stripPrefix("m-"))
+    // readers on the CLEAN fast path ignore the folded sets entirely —
+    // skip the manifest-body reads (the listing already decided clean),
+    // so steady state pays zero per-read manifest parses. Writers
+    // (compactPlan) pass needSets=true: the carried adds come from here.
+    if (clean && !needSets) return Some(MView(Set.empty, Set.empty, clean = true))
     var adds = Set.empty[String]
     var rms = Set.empty[String]
     ms.foreach { m =>
@@ -153,11 +174,29 @@ object IvfIndex {
 
   private def nextGen(s: SparkSession, root: String): Int = {
     val (fs, md) = hfs(s, manifestDir(root))
-    if (!fs.exists(md)) 1
-    else fs.listStatus(md).map(_.getPath.getName)
-      .filter(_.startsWith("m-")).map(_.stripPrefix("m-").toInt)
-      .foldLeft(0)(math.max) + 1
+    if (!fs.exists(md)) return 1
+    // INTENT files count toward the generation watermark too: a
+    // compaction that crashed mid-prepare left an intent (and possibly
+    // moved compact-<g>-* strays) but no manifest — reusing its number
+    // would overwrite the intent, the ONLY record of those strays, and
+    // a later gc would certify CLEAN with unreconciled stray files
+    // serving rows on the fast path.
+    fs.listStatus(md).map(_.getPath.getName).collect {
+      case n if n.startsWith("m-") => n.stripPrefix("m-").toInt
+      case n if n.startsWith("intent-") => n.stripPrefix("intent-").toInt
+    }.foldLeft(0)(math.max) + 1
   }
+
+  /** Rename-or-throw: a false return (e.g. HDFS rename onto an existing
+    * path) must ABORT the compaction before any destructive step — a
+    * silently dropped staged file with its `adds` entry still recorded,
+    * or a gc running after a failed manifest commit, is data loss.
+    */
+  private def renameOrFail(fs: org.apache.hadoop.fs.FileSystem,
+                           src: org.apache.hadoop.fs.Path,
+                           dst: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.rename(src, dst))
+      throw new java.io.IOException(s"IvfIndex: rename failed: $src -> $dst")
 
   /** Recursive parquet listing of `root/half` as (absolute, root-relative)
     * pairs.
@@ -197,13 +236,18 @@ object IvfIndex {
 
   private def readHalf(s: SparkSession, root: String, half: String,
       empty: => DataFrame): DataFrame =
-    manifestView(s, root) match {
+    manifestView(s, root, needSets = false) match {
       case None => s.read.parquet(s"$root/$half")
       case Some(view) if view.clean =>
         // steady state: GC finished, directory contents ≡ the view
         // (committed compact files serve under their on-disk names) —
-        // plain read, identical plans to a never-compacted index
-        s.read.parquet(s"$root/$half")
+        // plain read, identical plans to a never-compacted index.
+        // A compaction that retired EVERY file of the half (all cells
+        // dead) leaves an empty dir that a bare read would refuse to
+        // infer a schema for — same logical state the filtered branch
+        // answers with `empty`, so answer it here too.
+        if (hasData(s, s"$root/$half")) s.read.parquet(s"$root/$half")
+        else empty
       case Some(view) =>
         // mid-compaction or post-crash: list-and-filter (correct at
         // every step boundary; the rare, bounded-cost path)
@@ -219,7 +263,7 @@ object IvfIndex {
       if (hasParquet(s, s"$root/tombstones"))
         s.read.parquet(s"$root/tombstones").select(col("vec_id"))
       else emptyDf(s, Seq("vec_id" -> LongType))
-    manifestView(s, root) match {
+    manifestView(s, root, needSets = false) match {
       case None => plain
       case Some(view) if view.clean => plain
       case Some(view) =>
@@ -418,13 +462,13 @@ object IvfIndex {
       val itmp = new org.apache.hadoop.fs.Path(md, s".tmp-intent-$g")
       val iout = mfs.create(itmp, true)
       try iout.write(intentBody.getBytes("UTF-8")) finally iout.close()
-      mfs.rename(itmp, new org.apache.hadoop.fs.Path(md, f"intent-$g%08d"))
+      renameOrFail(mfs, itmp, new org.apache.hadoop.fs.Path(md, f"intent-$g%08d"))
       // pass 3: the moves (invisible — readers ignore uncommitted
       // compact-* names)
       moves.foreach { case (src, dstDir, rel) =>
         val (fs, dd) = hfs(s, dstDir)
         fs.mkdirs(dd)
-        fs.rename(src, new org.apache.hadoop.fs.Path(dd, rel.split("/").last))
+        renameOrFail(fs, src, new org.apache.hadoop.fs.Path(dd, rel.split("/").last))
         adds += rel
       }
       val (fs, tp) = hfs(s, tmpRoot)
@@ -439,7 +483,7 @@ object IvfIndex {
       val tmp = new org.apache.hadoop.fs.Path(md, s".tmp-m-$g")
       val out = fs.create(tmp, true)
       try out.write(body.getBytes("UTF-8")) finally out.close()
-      fs.rename(tmp, new org.apache.hadoop.fs.Path(md, f"m-$g%08d")): Unit
+      renameOrFail(fs, tmp, new org.apache.hadoop.fs.Path(md, f"m-$g%08d"))
     }
     val gc: () => Unit = () => {
       // delete this gen's retired files PLUS any prior gen's rm entries

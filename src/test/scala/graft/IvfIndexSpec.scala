@@ -379,6 +379,51 @@ class IvfIndexSpec extends SparkSpec {
     assert(liveIds === want)
   }
 
+  test("a compaction crashed mid-prepare cannot have its generation reused: strays reconcile, never serve") {
+    // the gen watermark counts INTENT files too: a prepare that crashed
+    // after moving compact-<g>-* strays (intent written, no manifest)
+    // must not collide with the next compaction's generation — a reused
+    // number would overwrite the intent (the only record of the strays)
+    // and a later CLEAN marker would falsely certify directory ≡ view,
+    // serving the strays' rows on the fast path
+    val base = planted(200, 0L)
+    val root = Scratch.dir("spec_ivf_crashed_prepare")
+    IvfIndex.build(base, k = 4, iters = 2, root)
+    IvfIndex.delete(spark,
+      base.where(col("vec_id") % 5 === 0).select(col("vec_id"), col("v")), root)
+    // crash: prepare runs (strays moved, intent recorded), publish never does
+    val (cells1, steps1) = IvfIndex.compactPlan(spark, root, minRatio = 0.05)
+    assert(cells1.nonEmpty)
+    steps1(0).apply()
+    // the next full compaction must pick a FRESH generation, reconcile
+    // the crashed one's strays in gc, and end CLEAN and correct
+    assert(IvfIndex.compact(spark, root, minRatio = 0.05).nonEmpty)
+    val live = IvfIndex.liveAssignments(spark, root)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    val want = (0L until 200L).filterNot(_ % 5 == 0)
+    assert(live.sorted.toSeq == want, "crashed-prepare strays leaked into the serving set")
+    assert(live.length == live.distinct.length, "duplicate rows after stray reconciliation")
+    val mdir = new java.io.File(s"$root/manifest")
+    val names = mdir.listFiles().map(_.getName)
+    assert(!names.exists(_.startsWith("intent-")),
+      s"gc left an unreconciled intent: ${names.mkString(",")}")
+  }
+
+  test("a compaction that retires EVERY file still reads back as the empty index, not an error") {
+    // all cells fully dead: gc deletes every assignments parquet; the
+    // CLEAN fast path must answer with the empty frame (the same
+    // logical state the filtered branch already handles), not a
+    // schema-inference failure on the gutted directory
+    val base = planted(40, 0L)
+    val root = Scratch.dir("spec_ivf_all_dead")
+    IvfIndex.build(base, k = 4, iters = 2, root)
+    IvfIndex.delete(spark, base.select(col("vec_id"), col("v")), root)
+    assert(IvfIndex.compact(spark, root, minRatio = 0.1).nonEmpty)
+    assert(IvfIndex.assignments(spark, root).count() === 0L)
+    assert(IvfIndex.liveAssignments(spark, root).count() === 0L)
+    assert(IvfIndex.tombstones(spark, root).count() === 0L)
+  }
+
   test("refine degenerates to exact search at full probe budget and corpus-wide shortlist") {
     // the two-stage contract: probeRefine's ONLY approximation is the
     // shortlist cut. With nprobe = k (every cell probed) and a
