@@ -85,18 +85,34 @@ object IvfIndex {
     }
   }
 
-  /** One-level emptiness probe for a (possibly hive-partitioned) half:
-    * a cl=… subdirectory OR a top-level parquet counts as data. Under a
-    * CLEAN manifest state gc has already dropped empty dead-cell dirs,
-    * so a surviving subdirectory implies live files — no recursive
-    * listing needed (the compact-cost rework's discipline).
+  /** Emptiness probe for a (possibly hive-partitioned) half. One-level
+    * first: a top-level parquet counts immediately. A bare subdirectory
+    * does NOT (r13 advice) — gc only sweeps its OWN generation's dead
+    * cell dirs, so a crashed earlier gc can leave an empty cl= dir that
+    * persists into a later CLEAN state, and a plain read over zero
+    * parquet files fails schema inference instead of answering `empty`.
+    * Directories therefore fall back to a recursive parquet-existence
+    * walk, short-circuited at the first file — the rare (post-crash,
+    * all-cells-near-dead) path; the common CLEAN read still pays one
+    * listing.
     */
   private def hasData(s: SparkSession, path: String): Boolean = {
     val (fs, p) = hfs(s, path)
     fs.exists(p) && {
       val ls = fs.listStatus(p)
-      ls != null && ls.exists(f =>
-        f.isDirectory || (f.isFile && f.getPath.getName.endsWith(".parquet")))
+      ls != null && {
+        if (ls.exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))) true
+        else if (!ls.exists(_.isDirectory)) false
+        else {
+          val it = fs.listFiles(p, true)
+          var found = false
+          while (!found && it.hasNext) {
+            val f = it.next()
+            found = f.isFile && f.getPath.getName.endsWith(".parquet")
+          }
+          found
+        }
+      }
     }
   }
 
@@ -295,19 +311,37 @@ object IvfIndex {
     * probe interrupted between any two filesystem mutations sees
     * exactly the pre- or the post-compaction row set, and both halves
     * plus the tombstone drain flip in the SAME commit (the manifest-file
-    * protocol every months-lived table format uses). Single writer per
-    * index root assumed, as before.
+    * protocol every months-lived table format uses).
+    *
+    * CONCURRENCY (r13 verdict §2 — proven, not assumed): [[append]] and
+    * [[delete]] interleaved at ANY step boundary of a running compaction
+    * stay correct (IvfIndexSpec's interleaving law). Both write only
+    * default-named NEW files, which (a) are not in the generation's
+    * planned `rm` set, so the manifest commit never retires them and gc
+    * never deletes them, and (b) are visible to both the filtered and
+    * the plain reader path immediately — so a mid-window append serves
+    * from its own files alongside the compacted survivors, and a
+    * mid-window tombstone keeps masking (the drain removes only the
+    * tombstone FILES listed at plan time). COMPACTIONS themselves remain
+    * single-writer per index root: two concurrent compactPlans would
+    * race the generation watermark.
+    *
+    * `onlyCells` (when non-null) restricts candidate cells — the scoped
+    * re-survival drain: a pipeline un-retracting a handful of ids must
+    * not pay an index-wide minRatio=0 rewrite (r13 advice), only the
+    * cells actually shadowing those ids.
     *
     * Returns the compacted cell ids (driver-bounded: ≤ k cells).
     */
-  def compact(s: SparkSession, root: String, minRatio: Double): Seq[Long] = {
+  def compact(s: SparkSession, root: String, minRatio: Double,
+              onlyCells: Seq[Long] = null): Seq[Long] = {
     val logOn = s.conf.get("spark.graft.ivf.log", "false").toBoolean
     var t = System.nanoTime()
     def lap(tag: String): Unit = if (logOn) {
       System.err.println(f"[ivf.compact] $tag ${(System.nanoTime() - t) / 1e9}%.2f s")
       t = System.nanoTime()
     }
-    val (cells, steps) = compactPlan(s, root, minRatio)
+    val (cells, steps) = compactPlan(s, root, minRatio, onlyCells)
     lap("plan")
     steps.zip(Seq("prepare", "publish", "gc")).foreach { case (st, tag) =>
       st.apply(); lap(tag)
@@ -327,7 +361,7 @@ object IvfIndex {
     * mid-GC leaves garbage bytes, never wrong rows).
     */
   private[graft] def compactPlan(s: SparkSession, root: String,
-      minRatio: Double): (Seq[Long], Seq[() => Unit]) = {
+      minRatio: Double, onlyCells: Seq[Long] = null): (Seq[Long], Seq[() => Unit]) = {
     val logOn = s.conf.get("spark.graft.ivf.log", "false").toBoolean
     var t0 = System.nanoTime()
     def lap(tag: String): Unit = if (logOn) {
@@ -337,7 +371,10 @@ object IvfIndex {
     val tomb = tombstones(s, root)
     val asg = assignments(s, root)
     lap("readers")
-    val stats = asg.join(tomb.withColumn("__t", lit(1)), Seq("vec_id"), "left")
+    val scoped = if (onlyCells == null) asg
+      else asg.join(broadcast(s.createDataFrame(
+        onlyCells.map(Tuple1(_))).toDF("cl")), "cl")
+    val stats = scoped.join(tomb.withColumn("__t", lit(1)), Seq("vec_id"), "left")
       .groupBy(col("cl")).agg(count(lit(1)).as("n"),
         sum(coalesce(col("__t"), lit(0))).cast("long").as("nt"))
       .where(col("nt") > 0 && col("nt").cast("double") / col("n") >= minRatio)
@@ -350,8 +387,17 @@ object IvfIndex {
     val cellsDf = broadcast(s.createDataFrame(
       cells.map(Tuple1(_))).toDF("cl"))
     // materialize every survivor frame NOW (Ckpt.eager) — the steps
-    // below mutate the files these were read from
-    val remaining = tomb.join(asg.join(cellsDf, "cl").select(col("vec_id")),
+    // below mutate the files these were read from. An UNSCOPED
+    // compaction also drops ORPHAN tombstones (ids with no assignment
+    // row — e.g. a second delete of an id an earlier compaction already
+    // physically removed): they mask nothing, would otherwise accumulate
+    // for the life of the index, and would shadow a later re-append of
+    // the same id. Scoped (onlyCells) compactions skip the orphan
+    // semi-join to keep their cost touched-cells-only.
+    val tombKept = if (onlyCells == null)
+      tomb.join(asg.select(col("vec_id")), Seq("vec_id"), "left_semi")
+    else tomb
+    val remaining = tombKept.join(asg.join(cellsDf, "cl").select(col("vec_id")),
       Seq("vec_id"), "left_anti").transform(Ckpt.eager)
     lap("remaining")
     val deadCells = stats.filter(_.getBoolean(1)).map(_.getLong(0))
@@ -538,6 +584,67 @@ object IvfIndex {
       out.close()
     }
     (cells, Seq(prepare, publish, gc))
+  }
+
+  /** GC-ONLY recovery entry point (r13 verdict §1): a compaction that
+    * crashed after its manifest commit leaves readers on the
+    * list-and-filter path indefinitely — correctness holds at every
+    * boundary (spec-pinned), but if no cell ever again crosses
+    * `minRatio` the index pays the recursive listing + manifest fold on
+    * every probe forever. `repair` reconciles the directory to the
+    * committed view WITHOUT requiring a new compaction:
+    *
+    *  1. physically delete every file the folded manifests retired
+    *     (readers already exclude them — idempotent, crash-safe);
+    *  2. reconcile intents: a generation with a committed manifest keeps
+    *     its files (drop the intent record); one WITHOUT crashed
+    *     mid-prepare — delete exactly its intended strays + tmp dir;
+    *  3. certify: with committed manifests, write the CLEAN marker for
+    *     the latest generation (directory now ≡ view, so readers return
+    *     to the plain fast path); with NONE (machinery engaged but
+    *     nothing ever committed), remove the manifest directory
+    *     entirely — the index reverts to the never-compacted state.
+    *
+    * Idempotent; already-CLEAN (or never-compacted) roots are no-ops.
+    * Same single-writer contract as [[compact]]: don't run repair
+    * concurrently with a live compaction.
+    */
+  def repair(s: SparkSession, root: String): Unit = {
+    val (mfs, md) = hfs(s, manifestDir(root))
+    if (!mfs.exists(md)) return
+    manifestView(s, root) match {
+      case None => ()
+      case Some(view) if view.clean => ()
+      case Some(view) =>
+        view.rms.foreach { rel =>
+          val (fs, p) = hfs(s, s"$root/$rel")
+          if (fs.exists(p)) fs.delete(p, false): Unit
+        }
+        val names = mfs.listStatus(md).filter(_.isFile).map(_.getPath.getName)
+        names.filter(_.startsWith("intent-")).foreach { iname =>
+          val gen = iname.stripPrefix("intent-")
+          val ip = new org.apache.hadoop.fs.Path(md, iname)
+          if (!names.contains(s"m-$gen")) {
+            val in = mfs.open(ip)
+            val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+            txt.linesIterator.filter(_.nonEmpty).foreach { rel =>
+              val (fs, p) = hfs(s, s"$root/$rel")
+              if (fs.exists(p)) fs.delete(p, false): Unit
+            }
+            val (tfs, tdp) = hfs(s, s"$root/.compact-tmp-${gen.toInt}")
+            if (tfs.exists(tdp)) tfs.delete(tdp, true): Unit
+          }
+          mfs.delete(ip, false): Unit
+        }
+        val ms = names.filter(_.startsWith("m-")).sorted
+        if (ms.isEmpty) mfs.delete(md, true): Unit
+        else {
+          val cm = new org.apache.hadoop.fs.Path(md,
+            "clean-" + ms.last.stripPrefix("m-"))
+          mfs.create(cm, true).close()
+        }
+    }
   }
 
   /** PQ append — [[append]]'s encoding twin, keeping the two halves of

@@ -372,22 +372,33 @@ object CorpusPipeline {
     * currently TOMBSTONED (it was retracted and has re-survived —
     * cluster membership can flip back under the semantic tier's
     * data-dependent k), the applied tombstones are drained FIRST via a
-    * minRatio=0 compaction (crash-atomic, touched-cells-only), because
-    * an append shadowed by a live tombstone would never serve and every
-    * later derive would append another invisible duplicate — the
-    * re-survival divergence CorpusPipelineSpec pins. All mutations are
-    * skipped when their delta is empty, so a no-op derive pays zero
-    * writes and no compaction stats scan.
+    * minRatio=0 compaction SCOPED to the cells shadowing those ids
+    * (crash-atomic; r13 advice — a single re-survival must not force an
+    * index-wide rewrite of every cell holding an unrelated pending
+    * tombstone), because an append shadowed by a live tombstone would
+    * never serve and every later derive would append another invisible
+    * duplicate — the re-survival divergence CorpusPipelineSpec pins.
+    * All mutations are skipped when their delta is empty, so a no-op
+    * derive pays zero writes and no compaction stats scan. An EMPTY
+    * target set before the first build (zero survivors, or an
+    * embeddings parquet matching none — already censused in
+    * fails_ann.json) skips the build rather than fitting a quantizer on
+    * nothing (r13 advice); the first non-empty derive builds.
     */
   private[graft] def reconcileAnnIndex(spark: SparkSession, root: String,
                                        sv: DataFrame, cells: Int): Unit = {
     if (!Fs.exists(spark, s"$root/centroids")) {
-      IvfIndex.build(sv, cells, iters = 2, root)
+      if (sv.head(1).nonEmpty) IvfIndex.build(sv, cells, iters = 2, root)
       return
     }
-    val resurrect = sv.select(col("vec_id"))
-      .join(IvfIndex.tombstones(spark, root), "vec_id").head(1).nonEmpty
-    if (resurrect) IvfIndex.compact(spark, root, minRatio = 0.0): Unit
+    val resIds = sv.select(col("vec_id"))
+      .join(IvfIndex.tombstones(spark, root), "vec_id").transform(Ckpt.eager)
+    if (resIds.head(1).nonEmpty) {
+      val resCells = IvfIndex.assignments(spark, root)
+        .join(resIds, "vec_id").select(col("cl")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      IvfIndex.compact(spark, root, minRatio = 0.0, onlyCells = resCells): Unit
+    }
     // materialize BOTH deltas BEFORE mutating the files they were
     // computed from (the compactPlan discipline)
     val have = IvfIndex.liveAssignments(spark, root).select(col("vec_id"))

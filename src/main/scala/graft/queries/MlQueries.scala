@@ -897,9 +897,13 @@ object MlQueries {
       |        CAST(sum(q * u) AS BIGINT) AS num2u,
       |        CAST(sum(q * u * u) AS BIGINT) AS sum2u FROM x),
       |f AS (SELECT np, nn,
-      |        num2t / (2.0 * np * nn) AS auc,
-      |        ((CAST(sum2t AS DOUBLE) - CAST(num2t AS DOUBLE) * CAST(num2t AS DOUBLE) / np) / (np - 1)) / (4.0 * nn * nn) / np AS v10,
-      |        ((CAST(sum2u AS DOUBLE) - CAST(num2u AS DOUBLE) * CAST(num2u AS DOUBLE) / nn) / (nn - 1)) / (4.0 * np * np) / nn AS v01,
+      |        CASE WHEN np > 0 AND nn > 0 THEN num2t / (2.0 * np * nn) END AS auc,
+      |        CASE WHEN np > 1 AND nn > 1 THEN
+      |          ((CAST(sum2t AS DOUBLE) - CAST(num2t AS DOUBLE) * CAST(num2t AS DOUBLE) / np) / (np - 1)) / (4.0 * nn * nn) / np
+      |        END AS v10,
+      |        CASE WHEN np > 1 AND nn > 1 THEN
+      |          ((CAST(sum2u AS DOUBLE) - CAST(num2u AS DOUBLE) * CAST(num2u AS DOUBLE) / nn) / (nn - 1)) / (4.0 * np * np) / nn
+      |        END AS v01,
       |        num2t AS a2t, num2u AS a2u
       |      FROM m, tot)
       |SELECT np, nn, round(auc, 6) AS auc,
@@ -925,12 +929,20 @@ object MlQueries {
       sum(col("q") * col("u")).as("num2u"),
       sum(col("q") * col("u") * col("u")).as("sum2u"),
       max(col("p_tot")).as("np"), max(col("q_tot")).as("nn"))
+    // degenerate-class guard (r13 advice): a single-class corpus makes
+    // (np−1)/(nn−1) zero and /0 NULL/NaN/Inf semantics differ between
+    // the engines — emit NULL se/ci (and NULL auc on an empty class) in
+    // BOTH, so the degenerate case is well-defined and hash-identical
     def d(cn: String) = col(cn).cast("double")
-    val v10 = ((d("sum2t") - d("num2t") * d("num2t") / col("np")) / (col("np") - 1)) /
-      (lit(4.0) * col("nn") * col("nn")) / col("np")
-    val v01 = ((d("sum2u") - d("num2u") * d("num2u") / col("nn")) / (col("nn") - 1)) /
-      (lit(4.0) * col("np") * col("np")) / col("nn")
-    val auc = col("num2t") / (lit(2.0) * col("np") * col("nn"))
+    val varOk = col("np") > 1 && col("nn") > 1
+    val v10 = when(varOk,
+      ((d("sum2t") - d("num2t") * d("num2t") / col("np")) / (col("np") - 1)) /
+        (lit(4.0) * col("nn") * col("nn")) / col("np"))
+    val v01 = when(varOk,
+      ((d("sum2u") - d("num2u") * d("num2u") / col("nn")) / (col("nn") - 1)) /
+        (lit(4.0) * col("np") * col("np")) / col("nn"))
+    val auc = when(col("np") > 0 && col("nn") > 0,
+      col("num2t") / (lit(2.0) * col("np") * col("nn")))
     m.select(col("np"), col("nn"), round(auc, 6).as("auc"),
       (col("num2t") === col("num2u")).cast("long").as("mw_symmetric"),
       round(sqrt(v10 + v01), 6).as("se"),

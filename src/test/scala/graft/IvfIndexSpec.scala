@@ -497,6 +497,145 @@ class IvfIndexSpec extends SparkSpec {
     assert(adcRows === preAdc, "gc changed the ADC answer")
   }
 
+  test("repair after a crashed gc: readers return to the plain fast path with the exact survivor set") {
+    // r13 verdict §1: a compaction that crashed after PUBLISH leaves
+    // readers on the list-and-filter path until some LATER compaction's
+    // gc reconciles — if no cell ever again crosses minRatio, forever.
+    // repair is the gc-only recovery: reconcile intents, delete folded
+    // rms, certify CLEAN — no new compaction required
+    val base = planted(200, 0L)
+    val root = Scratch.dir("spec_ivf_repair")
+    IvfIndex.build(base, k = 4, iters = 2, root)
+    IvfIndex.delete(spark,
+      base.where(col("vec_id") % 5 === 0).select(col("vec_id"), col("v")), root)
+    val (cells, steps) = IvfIndex.compactPlan(spark, root, minRatio = 0.05)
+    assert(cells.nonEmpty)
+    steps(0).apply(); steps(1).apply() // crash before gc
+    val mdir = new java.io.File(s"$root/manifest")
+    assert(!mdir.listFiles().map(_.getName).exists(_.startsWith("clean-")))
+    IvfIndex.repair(spark, root)
+    val names = mdir.listFiles().map(_.getName)
+    assert(names.exists(_.startsWith("clean-")), "repair did not certify CLEAN")
+    assert(!names.exists(_.startsWith("intent-")), "repair left an intent")
+    // directory ≡ view: every retired file physically gone (the CLEAN
+    // contract a plain reader relies on) — no old default-named file
+    // may remain in a compacted cell next to its compact-gen rewrite
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    for (c <- cells) {
+      val d = new java.io.File(s"$root/assignments/cl=$c")
+      assert(!walk(d).exists(f => f.getName.endsWith(".parquet") &&
+        !f.getName.startsWith("compact-")),
+        s"repair left a retired default-named file in compacted cell $c")
+    }
+    val want = (0L until 200L).filterNot(_ % 5 == 0).toSet
+    val live = IvfIndex.liveAssignments(spark, root)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(live === want)
+    assert(IvfIndex.tombstones(spark, root).count() === 0L)
+    // idempotent
+    IvfIndex.repair(spark, root)
+    assert(IvfIndex.liveAssignments(spark, root).count() === want.size.toLong)
+  }
+
+  test("repair after a crash mid-prepare with nothing ever committed reverts to the never-compacted state") {
+    val base = planted(200, 0L)
+    val root = Scratch.dir("spec_ivf_repair_prep")
+    IvfIndex.build(base, k = 4, iters = 2, root)
+    IvfIndex.delete(spark,
+      base.where(col("vec_id") % 5 === 0).select(col("vec_id"), col("v")), root)
+    val (cells, steps) = IvfIndex.compactPlan(spark, root, minRatio = 0.05)
+    assert(cells.nonEmpty)
+    steps(0).apply() // crash before publish: strays moved, intent written
+    IvfIndex.repair(spark, root)
+    assert(!new java.io.File(s"$root/manifest").exists(),
+      "repair must remove the engaged-but-never-committed manifest dir")
+    // pre-compaction state serves exactly: all rows present, tombstones mask
+    val live = IvfIndex.liveAssignments(spark, root)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(live === (0L until 200L).filterNot(_ % 5 == 0).toSet)
+    assert(IvfIndex.tombstones(spark, root).count() > 0L,
+      "mid-prepare crash must not drain tombstones")
+    // and the index is fully functional: the next compaction completes
+    assert(IvfIndex.compact(spark, root, minRatio = 0.05).nonEmpty)
+    assert(IvfIndex.tombstones(spark, root).count() === 0L)
+  }
+
+  test("append and delete interleaved inside a compaction window stay correct at every boundary") {
+    // r13 verdict §2: the single-writer contract covers COMPACTIONS;
+    // append/delete during a compaction window is now a proven
+    // interleaving, not an assumption. Both write only default-named
+    // NEW files — never in the generation's planned rm set, so the
+    // manifest commit cannot retire them and gc cannot delete them
+    val base = planted(200, 0L)
+    val batch = planted(50, 200L)
+    val root = Scratch.dir("spec_ivf_interleave")
+    IvfIndex.build(base, k = 4, iters = 2, root)
+    IvfIndex.delete(spark,
+      base.where(col("vec_id") % 5 === 0).select(col("vec_id")), root)
+    val (cells, steps) = IvfIndex.compactPlan(spark, root, minRatio = 0.1)
+    assert(cells.nonEmpty)
+    steps(0).apply() // PREPARE done; now a writer appends AND deletes mid-window
+    IvfIndex.append(spark, batch, root)
+    IvfIndex.delete(spark,
+      base.where(col("vec_id") % 7 === 0).select(col("vec_id")), root)
+    def live = IvfIndex.liveAssignments(spark, root)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    // the mid-window delete targets BASE ids only; every batch id serves
+    val want = ((0L until 200L).filter(i => i % 5 != 0 && i % 7 != 0) ++
+      (200L until 250L)).toSet
+    assert(live === want, "mid-window serving set wrong after interleaved append+delete")
+    steps(1).apply() // PUBLISH
+    assert(live === want, "publish retired a mid-window file")
+    // the mid-window tombstones must NOT have been drained by the commit
+    assert(IvfIndex.tombstones(spark, root).count() > 0L)
+    steps(2).apply() // GC
+    assert(live === want, "gc deleted a mid-window file")
+    // a follow-up compaction drains the mid-window tombstones and the
+    // final state equals a rebuild on the surviving set
+    IvfIndex.compact(spark, root, minRatio = 0.0): Unit
+    assert(live === want)
+    assert(IvfIndex.tombstones(spark, root).count() === 0L)
+    val got = IvfIndex.liveAssignments(spark, root)
+      .select(col("vec_id"), col("cl")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = base.unionByName(batch)
+    val wantAsg = graft.ml.KMeans.assign(
+        all.join(spark.createDataFrame(want.toSeq.map(Tuple1(_))).toDF("vec_id"), "vec_id"),
+        IvfIndex.centroids(spark, root))
+      .select(col("vec_id"), col("cl")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === wantAsg)
+  }
+
+  test("scoped compaction (onlyCells) drains ONLY the targeted cells' tombstones") {
+    val base = planted(200, 0L)
+    val root = Scratch.dir("spec_ivf_scoped")
+    IvfIndex.build(base, k = 4, iters = 2, root)
+    val asg = IvfIndex.assignments(spark, root)
+    val cellOf = asg.select(col("vec_id"), col("cl")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cellsAll = cellOf.values.toSeq.distinct.sorted
+    assert(cellsAll.size >= 2, "fixture needs at least two non-empty cells")
+    val target = cellsAll.head
+    // tombstone one id in EVERY cell
+    val doomedIds = cellsAll.map(c => cellOf.collectFirst {
+      case (id, cl) if cl == c => id }.get)
+    IvfIndex.delete(spark,
+      spark.createDataFrame(doomedIds.map(Tuple1(_))).toDF("vec_id"), root)
+    val compacted = IvfIndex.compact(spark, root, minRatio = 0.0,
+      onlyCells = Seq(target))
+    assert(compacted === Seq(target))
+    // the target cell's tombstone drained; the other cells' still pending
+    val pending = IvfIndex.tombstones(spark, root)
+      .collect().map(_.getLong(0)).toSet
+    assert(pending === doomedIds.filter(id => cellOf(id) != target).toSet)
+    // serving set: every doomed id still masked (pending tombstones mask)
+    val live = IvfIndex.liveAssignments(spark, root)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(live === (0L until 200L).toSet -- doomedIds)
+  }
+
   test("fitGrouped == independent per-group Lloyd fits (codebook training law)") {
     val v = planted(120, 0L)
     // two groups: the front and back half of each vector
