@@ -43,29 +43,46 @@ object Isotonic {
 
   private val defaultLocalLimit = 4000000L
 
-  /** Sequential weighted stack PAVA over ORDERED pools (w, s); returns
-    * the fitted value per input pool. O(n): each pool is pushed once
-    * and merged at most once.
+  /** The ONE stack-PAVA merge pass (every other entry point delegates
+    * here — r13 verdict §3: two implementations of one algorithm is a
+    * divergence risk): fold ordered (w, s) pools left to right, merging
+    * adjacent violators (prev mean > mean, compared by exact BigInteger
+    * cross-products — no overflow at any corpus size). Returns the
+    * final stack as (pooled weights, pooled sums, start index of each
+    * surviving pool, top index). O(n): each pool is pushed once and
+    * merged at most once.
     */
-  def pavaLocal(pools: Array[(Long, Long)]): Array[Double] = {
-    val w = new Array[Long](pools.length)
-    val s = new Array[Long](pools.length)
-    val sz = new Array[Int](pools.length)
+  private[graft] def pavaMerge(pw: Int => Long, ps: Int => Long,
+                               n: Int): (Array[Long], Array[Long], Array[Int], Int) = {
+    val w = new Array[Long](n)
+    val s = new Array[Long](n)
+    val start = new Array[Int](n)
     var top = -1
-    pools.foreach { case (pw, ps) =>
-      top += 1; w(top) = pw; s(top) = ps; sz(top) = 1
+    var i = 0
+    while (i < n) {
+      top += 1; w(top) = pw(i); s(top) = ps(i); start(top) = i
       while (top > 0 &&
         java.math.BigInteger.valueOf(s(top - 1)).multiply(java.math.BigInteger.valueOf(w(top)))
           .compareTo(java.math.BigInteger.valueOf(s(top)).multiply(java.math.BigInteger.valueOf(w(top - 1)))) > 0) {
-        w(top - 1) += w(top); s(top - 1) += s(top); sz(top - 1) += sz(top)
+        w(top - 1) += w(top); s(top - 1) += s(top)
         top -= 1
       }
+      i += 1
     }
+    (w, s, start, top)
+  }
+
+  /** Sequential weighted stack PAVA over ORDERED pools (w, s); returns
+    * the fitted value per input pool — [[pavaMerge]] plus the
+    * per-member value emit.
+    */
+  def pavaLocal(pools: Array[(Long, Long)]): Array[Double] = {
+    val (w, s, start, top) = pavaMerge(i => pools(i)._1, i => pools(i)._2, pools.length)
     val out = new Array[Double](pools.length)
-    var idx = 0
     for (b <- 0 to top) {
+      val end = if (b == top) pools.length else start(b + 1)
       val v = s(b).toDouble / w(b)
-      for (_ <- 0 until sz(b)) { out(idx) = v; idx += 1 }
+      for (idx <- start(b) until end) out(idx) = v
     }
     out
   }
@@ -97,21 +114,7 @@ object Isotonic {
         val a = it.toArray
         if (a.isEmpty) Iterator.empty
         else {
-          val w = new Array[Long](a.length)
-          val s = new Array[Long](a.length)
-          val start = new Array[Int](a.length)
-          var top = -1
-          var i = 0
-          while (i < a.length) {
-            top += 1; w(top) = a(i)._2; s(top) = a(i)._3; start(top) = i
-            while (top > 0 &&
-              java.math.BigInteger.valueOf(s(top - 1)).multiply(java.math.BigInteger.valueOf(w(top)))
-                .compareTo(java.math.BigInteger.valueOf(s(top)).multiply(java.math.BigInteger.valueOf(w(top - 1)))) > 0) {
-              w(top - 1) += w(top); s(top - 1) += s(top)
-              top -= 1
-            }
-            i += 1
-          }
+          val (w, s, start, top) = pavaMerge(i => a(i)._2, i => a(i)._3, a.length)
           // per member: (lo, head lo, pooled w/s on the head row only)
           (0 to top).iterator.flatMap { b =>
             val end = if (b == top) a.length else start(b + 1)

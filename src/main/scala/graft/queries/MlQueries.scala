@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Tables, TimeKeys}
 import graft.ml.Poisson
@@ -1245,97 +1246,12 @@ object MlQueries {
     * an independent formulation, bit-matching because fitted values are
     * exact-BIGINT-ratio doubles ([[mlIsotonicFit]]'s argument).
     */
-  val mlIsotonicPredict: QueryDef = QueryDef.sql("ml_isotonic_predict",
-    """WITH w AS (SELECT CAST(1 AS BIGINT) << length(bin(max(doc_id))) AS pw FROM documents),
-      |s AS (SELECT doc_id, CAST(n_chars AS DOUBLE) + doc_id / CAST(pw AS DOUBLE) AS score,
-      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents, w),
-      |g AS (SELECT score, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy
-      |      FROM s WHERE doc_id % 5 <> 0 GROUP BY score),
-      |r AS (SELECT *, row_number() OVER (ORDER BY score) AS rn FROM g),
-      |c AS (SELECT rn, score, n, sy,
-      |        CAST(sum(n) OVER (ORDER BY rn) AS BIGINT) AS cn,
-      |        CAST(sum(sy) OVER (ORDER BY rn) AS BIGINT) AS cp FROM r),
-      |p AS (SELECT a.rn AS j, b.rn AS k,
-      |        CAST(b.cp - (a.cp - a.sy) AS DOUBLE) / (b.cn - (a.cn - a.n)) AS m
-      |      FROM c a JOIN c b ON a.rn <= b.rn),
-      |mn AS (SELECT j, k, min(m) OVER (PARTITION BY j ORDER BY k DESC) AS mnv FROM p),
-      |iso AS (SELECT k AS rn, max(mnv) AS iso FROM mn GROUP BY k),
-      |fit AS (SELECT r.score, iso.iso FROM r JOIN iso USING (rn)),
-      |t AS (SELECT score, CAST(y AS BIGINT) AS y FROM s WHERE doc_id % 5 = 0)
-      |SELECT t.score, t.y,
-      |  round(coalesce(f.iso, (SELECT iso FROM fit ORDER BY score LIMIT 1)), 6) AS pred
-      |FROM t ASOF LEFT JOIN fit f ON t.score >= f.score
-      |ORDER BY t.score""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, dir)
-    val w = docs.agg(expr("shiftleft(CAST(1 AS BIGINT), length(bin(max(doc_id))))").as("pw"))
-    val base = docs.crossJoin(broadcast(w))
-      .select(col("doc_id"),
-        (col("n_chars").cast("double")
-          + col("doc_id") / col("pw").cast("double")).as("score"),
-        when(col("lang") === "en", 1L).otherwise(0L).as("y"))
-    val g = base.where(col("doc_id") % 5 =!= 0).groupBy(col("score"))
-      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
-    val fitted = graft.ops.Isotonic.fit(g).select(col("score"), col("iso"))
-    val test = base.where(col("doc_id") % 5 === 0).select(col("score"), col("y"))
-    // bucket BOTH sides by train-score quantiles (monotone => as-of
-    // predecessors are in the same or an earlier bucket)
-    val bkts = 64
-    val pcts = (1 until bkts).map(i => i.toDouble / bkts)
-    val bnds = fitted.agg(percentile_approx(col("score"),
-      lit(pcts.toArray), lit(10000)).as("__bnds"))
-    def bucketed(df: org.apache.spark.sql.DataFrame) = df.crossJoin(broadcast(bnds))
-      .withColumn(graft.ops.PrefixSum.BucketCol, aggregate(col("__bnds"), lit(0),
-        (acc, bd) => acc + when(col("score") >= bd, 1).otherwise(0)))
-      .drop("__bnds")
-    val u = bucketed(fitted.select(col("score"), col("iso"), lit(1).as("__t"))
-      .unionByName(test.select(col("score"), lit(null).cast("double").as("iso"),
-        lit(0).as("__t"))))
-    val inW = Window.partitionBy(col(graft.ops.PrefixSum.BucketCol))
-      .orderBy(col("score").asc, col("__t").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val u2 = u.withColumn("pred0", last(col("iso"), ignoreNulls = true).over(inW))
-    // cross-bucket carry: per bucket the LAST train value, exclusive
-    // running last over the <=64-row rollup (ordered by __ps_bucket —
-    // the sweep-legal bounded window), broadcast back
-    val roll = u.groupBy(col(graft.ops.PrefixSum.BucketCol))
-      .agg(max_by(col("iso"), when(col("__t") === 1, col("score"))).as("__biso"))
-    val carryW = Window.orderBy(col(graft.ops.PrefixSum.BucketCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carry = roll.withColumn("__carry",
-      last(col("__biso"), ignoreNulls = true).over(carryW))
-      .select(col(graft.ops.PrefixSum.BucketCol), col("__carry"))
-    val first = fitted.agg(min_by(col("iso"), col("score")).as("__first"))
-    val te = u2.where(col("__t") === 0)
-      .join(broadcast(carry), graft.ops.PrefixSum.BucketCol)
-      .crossJoin(broadcast(first))
-    te.join(test.select(col("score"), col("y")), "score")
-      .select(col("score"), col("y"),
-        round(coalesce(col("pred0"), col("__carry"), col("__first")), 6).as("pred"))
-      .orderBy(col("score"))
-  }
-
-  /** LINEAR-INTERPOLATION isotonic predict — sklearn
-    * `IsotonicRegression.predict`'s default (interpolate between fitted
-    * thresholds; [[mlIsotonicPredict]] is the step-function
-    * `transform`-at-train-points semantic): each holdout score finds
-    * BOTH bracketing train points in ONE bucketed window pass — the
-    * backward running-last train (score, iso) pair AND the forward
-    * running-first pair share one WindowExec (same partitioning and
-    * ordering, two frames) — and predicts
-    * i0 + (i1 − i0)·(x − s0)/(s1 − s0); below-min clips to the first
-    * fitted value, above-max to the last (the sklearn boundary rule).
-    * Cross-bucket carries run in both directions over the ≤64-row
-    * bucket rollup (exclusive running last/first ordered by
-    * `__ps_bucket` — the sweep-legal bounded window), broadcast back.
-    * The oracle states the same function via a DuckDB ASOF pair
-    * (`>=` for the floor, `<` for the strict ceiling) + the IDENTICAL
-    * lerp association `i0 + (i1 - i0) * (x - s0) / (s1 - s0)` — fitted
-    * values are exact-BIGINT-ratio doubles and scores exact doubles,
-    * so both engines lerp bit-identical inputs.
+  /** Shared oracle CTE chain for the isotonic predict family: the
+    * continuous score, the doc_id%5 holdout, the minimax isotonic fit
+    * over the train fold (`fit` = (score, iso)), and the test fold `t`.
     */
-  val mlIsotonicInterp: QueryDef = QueryDef.sql("ml_isotonic_interp",
-    """WITH w AS (SELECT CAST(1 AS BIGINT) << length(bin(max(doc_id))) AS pw FROM documents),
+  private val isotonicHoldoutCtes: String =
+    """w AS (SELECT CAST(1 AS BIGINT) << length(bin(max(doc_id))) AS pw FROM documents),
       |s AS (SELECT doc_id, CAST(n_chars AS DOUBLE) + doc_id / CAST(pw AS DOUBLE) AS score,
       |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents, w),
       |g AS (SELECT score, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS sy
@@ -1350,19 +1266,26 @@ object MlQueries {
       |mn AS (SELECT j, k, min(m) OVER (PARTITION BY j ORDER BY k DESC) AS mnv FROM p),
       |iso AS (SELECT k AS rn, max(mnv) AS iso FROM mn GROUP BY k),
       |fit AS (SELECT r.score, iso.iso FROM r JOIN iso USING (rn)),
-      |t AS (SELECT score, CAST(y AS BIGINT) AS y FROM s WHERE doc_id % 5 = 0),
-      |lo AS (SELECT t.score, t.y, f.score AS s0, f.iso AS i0
-      |       FROM t ASOF LEFT JOIN fit f ON t.score >= f.score),
-      |hi AS (SELECT t.score, f.score AS s1, f.iso AS i1
-      |       FROM t ASOF LEFT JOIN fit f ON t.score < f.score)
-      |SELECT lo.score, lo.y,
-      |  round(CASE
-      |    WHEN lo.s0 IS NULL THEN (SELECT iso FROM fit ORDER BY score LIMIT 1)
-      |    WHEN hi.s1 IS NULL THEN lo.i0
-      |    ELSE lo.i0 + (hi.i1 - lo.i0) * (lo.score - lo.s0) / (hi.s1 - lo.s0)
-      |  END, 6) AS pred
-      |FROM lo JOIN hi USING (score)
-      |ORDER BY lo.score""".stripMargin) { (s, dir) =>
+      |t AS (SELECT score, CAST(y AS BIGINT) AS y FROM s WHERE doc_id % 5 = 0)""".stripMargin
+
+  /** The ONE bucketed as-of scaffold behind BOTH isotonic predict
+    * semantics (r13 verdict §3 — the interp query used to duplicate
+    * it): fit the train fold with [[graft.ops.Isotonic.fit]], then
+    * bracket every holdout score in one bucketed window pass — the
+    * backward running-last train (score, iso) pair `lo` (the as-of
+    * floor; cross-bucket backward carry folded in) and the forward
+    * running-first pair `hi` (the strict ceiling; forward carry folded
+    * in) share one WindowExec (same partitioning and ordering, two
+    * frames) — plus `__first`, the lowest fitted value (the below-min
+    * clip). Both sides bucket by train-score quantiles (monotone ⇒
+    * as-of neighbors are in the same or an adjacent-carry bucket);
+    * carries run over the ≤64-row bucket rollup (exclusive running
+    * last/first ordered by `__ps_bucket` — the sweep-legal bounded
+    * window), broadcast back. Returns (score, y, lo, hi, __first) with
+    * lo/hi as nullable (s, i) structs. The step query keeps only the
+    * floor; the interp query lerps between the pair.
+    */
+  private def isotonicBrackets(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, dir)
     val w = docs.agg(expr("shiftleft(CAST(1 AS BIGINT), length(bin(max(doc_id))))").as("pw"))
@@ -1379,7 +1302,7 @@ object MlQueries {
     val pcts = (1 until bkts).map(i => i.toDouble / bkts)
     val bnds = fitted.agg(percentile_approx(col("score"),
       lit(pcts.toArray), lit(10000)).as("__bnds"))
-    def bucketed(df: org.apache.spark.sql.DataFrame) = df.crossJoin(broadcast(bnds))
+    def bucketed(df: DataFrame) = df.crossJoin(broadcast(bnds))
       .withColumn(graft.ops.PrefixSum.BucketCol, aggregate(col("__bnds"), lit(0),
         (acc, bd) => acc + when(col("score") >= bd, 1).otherwise(0)))
       .drop("__bnds")
@@ -1412,12 +1335,65 @@ object MlQueries {
       .withColumn("__chi", first(col("firstTv"), ignoreNulls = true).over(hiW))
       .select(col(graft.ops.PrefixSum.BucketCol), col("__clo"), col("__chi"))
     val firstFit = fitted.agg(min_by(col("iso"), col("score")).as("__first"))
-    val te = u2.where(col("__t") === 0)
+    u2.where(col("__t") === 0)
       .join(broadcast(carry), graft.ops.PrefixSum.BucketCol)
       .crossJoin(broadcast(firstFit))
       .withColumn("lo", coalesce(col("n0"), col("__clo")))
       .withColumn("hi", coalesce(col("n1"), col("__chi")))
-    te.join(test.select(col("score"), col("y")), "score")
+      .join(test.select(col("score"), col("y")), "score")
+      .select(col("score"), col("y"), col("lo"), col("hi"), col("__first"))
+  }
+
+  val mlIsotonicPredict: QueryDef = QueryDef.sql("ml_isotonic_predict",
+    s"""WITH $isotonicHoldoutCtes
+      |SELECT t.score, t.y,
+      |  round(coalesce(f.iso, (SELECT iso FROM fit ORDER BY score LIMIT 1)), 6) AS pred
+      |FROM t ASOF LEFT JOIN fit f ON t.score >= f.score
+      |ORDER BY t.score""".stripMargin) { (s, dir) =>
+    // step semantics (sklearn transform-at-train-points): the as-of
+    // floor's fitted value; below-min clips to the first fitted value
+    isotonicBrackets(s, dir)
+      .select(col("score"), col("y"),
+        round(coalesce(col("lo.i"), col("__first")), 6).as("pred"))
+      .orderBy(col("score"))
+  }
+
+  /** LINEAR-INTERPOLATION isotonic predict — sklearn
+    * `IsotonicRegression.predict`'s default (interpolate between fitted
+    * thresholds; [[mlIsotonicPredict]] is the step-function
+    * `transform`-at-train-points semantic): each holdout score finds
+    * BOTH bracketing train points in ONE bucketed window pass — the
+    * backward running-last train (score, iso) pair AND the forward
+    * running-first pair share one WindowExec (same partitioning and
+    * ordering, two frames) — and predicts
+    * i0 + (i1 − i0)·(x − s0)/(s1 − s0); below-min clips to the first
+    * fitted value, above-max to the last (the sklearn boundary rule).
+    * Cross-bucket carries run in both directions over the ≤64-row
+    * bucket rollup (exclusive running last/first ordered by
+    * `__ps_bucket` — the sweep-legal bounded window), broadcast back.
+    * The oracle states the same function via a DuckDB ASOF pair
+    * (`>=` for the floor, `<` for the strict ceiling) + the IDENTICAL
+    * lerp association `i0 + (i1 - i0) * (x - s0) / (s1 - s0)` — fitted
+    * values are exact-BIGINT-ratio doubles and scores exact doubles,
+    * so both engines lerp bit-identical inputs.
+    */
+  val mlIsotonicInterp: QueryDef = QueryDef.sql("ml_isotonic_interp",
+    s"""WITH $isotonicHoldoutCtes,
+      |lo AS (SELECT t.score, t.y, f.score AS s0, f.iso AS i0
+      |       FROM t ASOF LEFT JOIN fit f ON t.score >= f.score),
+      |hi AS (SELECT t.score, f.score AS s1, f.iso AS i1
+      |       FROM t ASOF LEFT JOIN fit f ON t.score < f.score)
+      |SELECT lo.score, lo.y,
+      |  round(CASE
+      |    WHEN lo.s0 IS NULL THEN (SELECT iso FROM fit ORDER BY score LIMIT 1)
+      |    WHEN hi.s1 IS NULL THEN lo.i0
+      |    ELSE lo.i0 + (hi.i1 - lo.i0) * (lo.score - lo.s0) / (hi.s1 - lo.s0)
+      |  END, 6) AS pred
+      |FROM lo JOIN hi USING (score)
+      |ORDER BY lo.score""".stripMargin) { (s, dir) =>
+    // lerp semantics (sklearn predict): interpolate between the
+    // bracketing pair with the IDENTICAL association the oracle states
+    isotonicBrackets(s, dir)
       .select(col("score"), col("y"),
         round(when(col("lo").isNull, col("__first"))
           .when(col("hi").isNull, col("lo.i"))
