@@ -311,25 +311,10 @@ object RecallProbe {
       // to the subspace with the smallest running Σ log λ and a free
       // slot, then run the IDENTICAL trained chain on the permuted
       // coordinates. Same budget, same exact arm.
-      // zero-mean the log-eigenvalues before the greedy: the raw running
-      // Σ log λ is not scale-invariant — with every λ < 1 (any normalized
-      // spectrum) each assignment makes its bucket MORE attractive and
-      // the greedy degenerates to the identity permutation (= sequential
-      // slicing, measuring nothing). Centering by the geometric mean
-      // makes large-λ assignments positive and small-λ negative, so the
-      // greedy alternates large-with-small as intended at any scale.
-      val logs = pm.lam.map(l => math.log(math.max(l, 1e-12)))
-      val logMean = logs.sum / logs.length
-      val orderL = logs.map(_ - logMean).zipWithIndex.sortBy(-_._1)
-      val slots = Array.fill(mSub)(0)
-      val logp = Array.fill(mSub)(0.0)
-      val destOf = Array.fill(16)(0)
-      orderL.foreach { case (l, ci) =>
-        val sIdx = (0 until mSub).filter(slots(_) < 2).minBy(logp(_))
-        destOf(ci) = sIdx * 2 + slots(sIdx)
-        slots(sIdx) += 1
-        logp(sIdx) += l
-      }
+      // the greedy now lives in the engine (EmbedQueries.allocGreedy —
+      // the embed_pq_alloc gate row and the persisted IVFADC alloc path
+      // consume the same implementation this leg measures)
+      val destOf = EmbedQueries.allocGreedy(pm.lam.toSeq, mSub, 2)
       val srcOf = Array.ofDim[Int](16)
       destOf.zipWithIndex.foreach { case (dest, src) => srcOf(dest) = src }
       def rotateAlloc(df: DataFrame, idC: String, vC: String): DataFrame = {
@@ -395,6 +380,32 @@ object RecallProbe {
         .agg(coalesce(avg(col("recall")), lit(0.0))).head().getDouble(0)
       println(s"""{"mode":"$mode","tier":"pq_rot_residual","m":$mSub,"codes":16,""" +
         s""""n_queries":$nq,"mean_recall":${math.rint(rRot * 1e6) / 1e6}}""")
+      // rotation ∘ ALLOCATION ∘ residual — the full persisted-path
+      // composition (r13 verdict §1): the rotated vectors build the
+      // residual-IVFADC artifact with alloc = true, so the ENGINE's own
+      // per-dim-moment allocation permutes the rotated residual
+      // coordinates before encoding and the perm rides the persisted
+      // index (probePqResidual replays it). Same budget, same exact arm
+      // — this row vs pq_rot_residual isolates what the allocation adds
+      // through the production artifact, not just the probe-local math.
+      val raRoot = graft.ops.Scratch.dir(s"probe_ivfadc_rotalloc_${mode}_${mSub}_2_16")
+      graft.ops.Scratch.once(raRoot) {
+        graft.ops.IvfIndex.build(
+          rotate(cands, "nid", "cv").select(col("nid").as("vec_id"), col("cv").as("v")),
+          k = 16, iters = 2, raRoot)
+        graft.ops.IvfIndex.buildPqResidual(spark, mSub, 2, 16, iters = 2, raRoot,
+          alloc = true)
+      }
+      val approxRA = graft.ops.IvfIndex.probePqResidual(spark,
+          rotate(q, "qid", "qv"), raRoot, mSub, 2, nprobe = 16, topk = 5)
+        .select(col("qid").as("lqid"), col("nid").as("lnid"))
+      val rRA = exact.join(approxRA,
+          exact("qid") === approxRA("lqid") && exact("nid") === approxRA("lnid"), "left")
+        .groupBy(col("qid"))
+        .agg((count(col("lnid")) / 5.0).as("recall"))
+        .agg(coalesce(avg(col("recall")), lit(0.0))).head().getDouble(0)
+      println(s"""{"mode":"$mode","tier":"pq_rot_alloc_residual","m":$mSub,"codes":16,""" +
+        s""""n_queries":$nq,"mean_recall":${math.rint(rRA * 1e6) / 1e6}}""")
       // refine tier (two-stage serving, FAISS IndexRefineFlat): the SAME
       // residual-ADC chain cuts a 50-deep shortlist, then only those
       // rows fetch raw vectors for an exact squared-L2 re-rank — the

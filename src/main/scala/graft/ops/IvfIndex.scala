@@ -707,6 +707,27 @@ object IvfIndex {
       .select(col("vec_id"),
         expr("zip_with(v, cv, (a, b) -> a - b)").as("v"), col("cl"))
 
+  // ---- eigenvalue-allocation permutation (persisted beside the
+  // codebooks; r13 verdict §1) -------------------------------------------
+
+  /** Persisted coordinate permutation (pos → src dim, both 0-based) of
+    * an alloc-built IVFADC artifact; None on plain indexes. Tiny (d
+    * rows), read per probe/append alongside the centroid broadcast.
+    */
+  private def permOf(s: SparkSession, root: String): Option[Array[Int]] = {
+    val (fs, p) = hfs(s, s"$root/perm")
+    if (!fs.exists(p)) None
+    else Some(s.read.parquet(s"$root/perm").orderBy(col("pos"))
+      .collect().map(_.getLong(1).toInt))
+  }
+
+  /** Reorder the array column `vCol` by srcOf — map-only (d getItems
+    * inside whole-stage codegen), the entire runtime cost of the
+    * allocation.
+    */
+  private def applyPerm(df: DataFrame, vCol: String, srcOf: Array[Int]): DataFrame =
+    df.withColumn(vCol, array(srcOf.toIndexedSeq.map(i => col(vCol)(i)): _*))
+
   /** RESIDUAL IVFADC encoding — the actual Jégou et al. (TPAMI 2011,
     * §IV) construction, which [[buildPq]] approximates with raw
     * sub-vectors: the product quantizer trains on and encodes
@@ -720,10 +741,34 @@ object IvfIndex {
     * append/delete lifecycle extend to residual codes unchanged. Probe
     * with [[probePqResidual]] (the ADC table is per probed CELL now:
     * the query's residual differs per cell).
+    *
+    * `alloc = true` adds the eigenvalue-allocation permutation (the
+    * measured-best PQ lever — [[graft.queries.EmbedQueries
+    * .allocGreedy]], Ge et al. 2013 §3.1): residual coordinates are
+    * permuted so each subspace holds a balanced Σ log(second moment)
+    * before sub-slicing (the diagonal-spectrum analog of the
+    * eigenvalue allocation — per-dim residual moments stand in for
+    * eigenvalues on the unrotated artifact), and the permutation is
+    * PERSISTED under `root/perm` beside the codebooks so probes and
+    * appends replay it. Codes layout is unchanged, so compaction and
+    * the lifecycle laws extend verbatim (IvfIndexSpec).
     */
   def buildPqResidual(s: SparkSession, m: Int, dsub: Int, codes: Int,
-                      iters: Int, root: String): Unit = {
-    val res = residuals(assignments(s, root), centroids(s, root))
+                      iters: Int, root: String, alloc: Boolean = false): Unit = {
+    val res0 = residuals(assignments(s, root), centroids(s, root))
+    val res = if (!alloc) res0 else {
+      val mom = res0.select(posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("i")).agg(round(avg(col("x") * col("x")), 6).as("m2"))
+        .orderBy(col("i")).collect().map(_.getDouble(1)).toSeq
+      val destOf = graft.queries.EmbedQueries.allocGreedy(mom, m, dsub)
+      val srcOf = Array.ofDim[Int](destOf.length)
+      destOf.zipWithIndex.foreach { case (dest, src) => srcOf(dest) = src }
+      s.createDataFrame(srcOf.toIndexedSeq.zipWithIndex
+          .map { case (src, pos) => (pos.toLong, src.toLong) })
+        .toDF("pos", "src")
+        .write.mode("overwrite").parquet(s"$root/perm")
+      applyPerm(res0, "v", srcOf)
+    }
     val ss = graft.queries.EmbedQueries.pqSubSlices(res, "vec_id", m, dsub)
       .select(col("vec_id"), col("sub"), col("svec").as("v"))
     val seedIds = graft.ml.KMeans.seedSmallest(
@@ -741,8 +786,9 @@ object IvfIndex {
 
   /** [[appendPq]]'s residual twin: the batch assigns to the PERSISTED
     * coarse cells, its residuals encode against the PERSISTED residual
-    * codebooks, and the code rows land under the existing cell
-    * partitions — with fixed centroids and fixed books,
+    * codebooks (replaying the persisted allocation permutation when the
+    * artifact has one), and the code rows land under the existing cell
+    * partitions — with fixed centroids, fixed books and fixed perm,
     * appendPqResidual ≡ a [[buildPqResidual]] re-encode of base ∪ batch
     * (IvfIndexSpec pins it). Call after [[append]] on the same batch.
     */
@@ -750,7 +796,8 @@ object IvfIndex {
                        root: String): Unit = {
     val asg = graft.ml.KMeans.assign(batch, centroids(s, root))
       .select(col("vec_id"), col("v"), col("cl"))
-    val res = residuals(asg, centroids(s, root))
+    val res0 = residuals(asg, centroids(s, root))
+    val res = permOf(s, root).fold(res0)(applyPerm(res0, "v", _))
     val ss = graft.queries.EmbedQueries.pqSubSlices(res, "vec_id", m, dsub)
       .select(col("vec_id"), col("sub"), col("svec").as("v"))
     graft.ml.KMeans.assignGrouped(ss, codebooks(s, root),
@@ -778,7 +825,7 @@ object IvfIndex {
       Similarity.dot("cv", "cv").as("c2")))
     val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
       .orderBy(col("__d"), col("cl"))
-    val probed = q.crossJoin(cw)
+    val probed0 = q.crossJoin(cw)
       .withColumn("__d", round(sqrt(greatest(
         Similarity.dot("qv", "qv") + col("c2")
           - lit(2.0) * Similarity.dot("qv", "cv"), lit(0.0))), 6))
@@ -786,6 +833,9 @@ object IvfIndex {
       .where(col("cr") <= nprobe)
       .select(col("qid"), col("cl").as("cell"),
         expr("zip_with(qv, cv, (a, b) -> a - b)").as("qr"))
+    // alloc-built artifacts persist a coordinate permutation next to the
+    // codebooks: the query residual must replay it before sub-slicing
+    val probed = permOf(s, root).fold(probed0)(applyPerm(probed0, "qr", _))
     val qslices = probed.select(col("qid"), col("cell"), explode(expr(
         s"transform(sequence(0, ${m - 1}), s -> struct(s AS sub, slice(qr, s * $dsub + 1, $dsub) AS svec))"))
         .as("sc"))

@@ -2516,6 +2516,194 @@ object EmbedQueries {
     }
   }
 
+  /** Eigenvalue-driven greedy dimension ALLOCATION — the parametric-OPQ
+    * second half (Ge et al., "Optimized Product Quantization", CVPR 2013
+    * §3.1; FAISS's OPQ pre-training heuristic), promoted from a
+    * RecallProbe leg to the engine (r13 verdict §1, where it measured
+    * decayed-spectrum recall@5 0.62 vs 0.40 for rotation alone at the
+    * identical M×K budget): sequential slicing of a variance-DECAYING
+    * basis puts the largest eigenvalues together in subspace 0 and the
+    * smallest in the last — maximally unbalanced variance products, so
+    * one codebook absorbs most of the distortion while the tail books
+    * quantize noise. Balance them instead: assign components (λ
+    * descending, index tie-break) to the subspace with the smallest
+    * running Σ log λ and a free slot.
+    *
+    * The log-eigenvalues are zero-meaned (centered by the geometric
+    * mean) before the greedy: the raw running Σ log λ is not
+    * scale-invariant — with every λ < 1 each assignment makes its
+    * bucket MORE attractive and the greedy degenerates to the identity
+    * permutation. Centering makes large-λ assignments positive and
+    * small-λ negative, so the greedy alternates large-with-small at any
+    * scale. Centered logs are ROUND-6 (the cross-engine contract: ln is
+    * not correctly-rounded, so the raw doubles may differ by an ulp
+    * between JVM and DuckDB — rounding pins the comparison inputs; the
+    * greedy's running sums then add identical doubles in identical
+    * order on both sides). Returns destOf: component index (0-based) →
+    * destination coordinate (subspace·dsub + slot). [[allocCtes]] is
+    * the oracle replay; both SQL gate rows and the persisted
+    * [[graft.ops.IvfIndex]] alloc path consume this one implementation.
+    */
+  private[graft] def allocGreedy(lam: Seq[Double], m: Int, dsub: Int): Array[Int] = {
+    val n = lam.length
+    require(n == m * dsub, s"allocGreedy: ${lam.length} != $m*$dsub")
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val logs = lam.map(l => math.log(math.max(l, 1e-12)))
+    val mean = logs.sum / n
+    val cen = logs.map(l => r6(l - mean))
+    val order = cen.zipWithIndex.sortBy { case (l, i) => (-l, i) }
+    val slots = Array.fill(m)(0)
+    val logp = Array.fill(m)(0.0)
+    val destOf = Array.fill(n)(0)
+    order.foreach { case (l, ci) =>
+      val sIdx = (0 until m).filter(slots(_) < dsub).minBy(logp(_))
+      destOf(ci) = sIdx * dsub + slots(sIdx)
+      slots(sIdx) += 1
+      logp(sIdx) += l
+    }
+    destOf
+  }
+
+  /** DuckDB replay of [[allocGreedy]] as CTEs (requires WITH RECURSIVE
+    * and the lamc1..lamc{n} CTEs of [[pcaMCtes]] in scope): a 16-step
+    * one-row-per-step recursive fold carrying (slots, running Σ log λ)
+    * as list state; each step picks the argmin free bucket exactly as
+    * the driver greedy does (list_position finds the FIRST minimum —
+    * the lowest-index tie-break). Exposes `pmap(pos, c)`: destination
+    * coordinate (0-based) → source component (1-based).
+    */
+  private def allocCtes(n: Int, m: Int, dsub: Int): String = {
+    val lamRows = (1 to n).map(c =>
+      s"SELECT $c AS c, (SELECT l FROM lamc$c) AS lam").mkString(" UNION ALL ")
+    val msk = s"[CASE WHEN a0.slots[j + 1] < $dsub THEN a0.logp[j + 1] ELSE 1e18 END FOR j IN range(0, $m)]"
+    s"""lams AS ($lamRows),
+       |lraw AS (SELECT c, ln(greatest(lam, 1e-12)) AS lr FROM lams),
+       |lmean AS (SELECT list_sum(list(lr ORDER BY c)) / $n AS mn FROM lraw),
+       |lcen AS (SELECT c, round(lr - (SELECT mn FROM lmean), 6) AS lc FROM lraw),
+       |items AS (SELECT list(c ORDER BY lc DESC, c) AS cs,
+       |                 list(lc ORDER BY lc DESC, c) AS ls FROM lcen),
+       |alloc AS (
+       |  SELECT 0 AS step, CAST([] AS INTEGER[]) AS srcs, CAST([] AS INTEGER[]) AS poss,
+       |         [0 FOR j IN range(0, $m)] AS slots, [0e0 FOR j IN range(0, $m)] AS logp
+       |  UNION ALL
+       |  SELECT step + 1,
+       |    list_append(srcs, cs[step + 1]),
+       |    list_append(poss, sj * $dsub + slots[sj + 1]),
+       |    [CASE WHEN j = sj THEN slots[j + 1] + 1 ELSE slots[j + 1] END FOR j IN range(0, $m)],
+       |    [CASE WHEN j = sj THEN logp[j + 1] + ls[step + 1] ELSE logp[j + 1] END FOR j IN range(0, $m)]
+       |  FROM (SELECT a0.*, i.cs, i.ls,
+       |          CAST(list_position($msk, list_min($msk)) - 1 AS INTEGER) AS sj
+       |        FROM alloc a0, items i WHERE a0.step < $n)
+       |),
+       |pmap AS (SELECT CAST(poss[k] AS INTEGER) AS pos, srcs[k] AS c
+       |         FROM (SELECT srcs, poss FROM alloc WHERE step = $n), range(1, ${n + 1}) t(k))""".stripMargin
+  }
+
+  /** [[embedPqRotated]] completed with [[allocGreedy]]'s eigenvalue
+    * allocation — the full parametric OPQ (Ge et al. 2013 §3.1:
+    * eigen-rotation + balanced eigenvalue allocation): the top-16 PCA
+    * coordinates are PERMUTED so each dsub=2 subspace holds a balanced
+    * Σ log λ (largest eigenvalue paired with smallest, not with the
+    * second-largest), then the IDENTICAL integer-scaled trained-PQ
+    * chain runs at the same M=8 × K=16 budget. The oracle replays the
+    * greedy itself ([[allocCtes]]'s recursive fold over the lamc
+    * eigenvalue CTEs), so a green row certifies the allocation, not
+    * just the permuted arithmetic. RecallProbe's pq_rotated_alloc leg
+    * records what this buys on a decaying spectrum (0.62 vs 0.40
+    * rotation-only at equal budget — the measured-best single PQ
+    * lever); on the near-isotropic synthetic corpus the permutation is
+    * exercised with flat-spectrum honesty. Scale shape is
+    * [[embedPqRotated]]'s verbatim: the permutation is driver-held
+    * (composed into which basis vector lands at which coordinate — zero
+    * extra row work), the rotation map-only, everything downstream the
+    * trained-PQ chain.
+    */
+  val embedPqAlloc: QueryDef = {
+    val (dim, iters, mPca) = (64, 8, 16)
+    val (m, dsub, kCodes) = (8, 2, 16)
+    def duckD2(a: String, b: String): String =
+      s"""list_sum([$a[i] * $a[i] for i in range(1, $dsub + 1)]) +
+         |  list_sum([$b[i] * $b[i] for i in range(1, $dsub + 1)]) -
+         |  2 * list_sum([$a[i] * $b[i] for i in range(1, $dsub + 1)])""".stripMargin
+    def duckSqDist(a: String, b: String): String =
+      s"""round(greatest(list_sum([$a[i] * $a[i] for i in range(1, len($a) + 1)]) +
+         |  list_sum([$b[i] * $b[i] for i in range(1, len($b) + 1)]) -
+         |  2 * list_sum([$a[i] * $b[i] for i in range(1, len($a) + 1)]), 0), 6)""".stripMargin
+    QueryDef.sql("embed_pq_alloc",
+      s"""WITH RECURSIVE ${pcaMCtes(dim, iters, mPca)},
+         |${allocCtes(mPca, m, dsub)},
+         |basis AS (${(1 to mPca).map(c =>
+             s"SELECT $c AS c, i, x FROM rc${c}_$iters").mkString(" UNION ALL ")}),
+         |proj AS (SELECT v.vec_id, b.c,
+         |    round(list_sum(list((v.v[b.i] - mu.m) * b.x ORDER BY b.i)) * 1000, 0) AS t
+         |  FROM v CROSS JOIN basis b JOIN mu ON mu.i = b.i
+         |  GROUP BY v.vec_id, b.c),
+         |rot AS (SELECT vec_id, list(t ORDER BY pos) AS rv
+         |        FROM proj JOIN pmap ON proj.c = pmap.c GROUP BY vec_id),
+         |ss AS (SELECT vec_id AS nid, s.sub, rv[s.sub * $dsub + 1 : s.sub * $dsub + $dsub] AS sv
+         |       FROM rot CROSS JOIN range(0, $m) s(sub) WHERE vec_id >= 10),
+         |c0 AS (SELECT sub, nid - 10 AS cl, sv AS cv FROM ss WHERE nid < ${10 + kCodes}),
+         |d1 AS (SELECT ss.nid, ss.sub, ss.sv, c.cl, ${duckD2("ss.sv", "c.cv")} AS d2
+         |       FROM ss JOIN c0 c ON ss.sub = c.sub),
+         |a1 AS (SELECT nid, sub, sv, cl FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY nid, sub ORDER BY d2, cl) AS rk
+         |        FROM d1) WHERE rk = 1),
+         |u1 AS (SELECT sub, cl, i, round(avg(sv[i]), 6) AS x
+         |       FROM a1, range(1, ${dsub + 1}) r(i) GROUP BY sub, cl, i),
+         |c1 AS (SELECT sub, cl, list(x ORDER BY i) AS cv FROM u1 GROUP BY sub, cl),
+         |d2c AS (SELECT ss.nid, ss.sub, c.cl, ${duckD2("ss.sv", "c.cv")} AS d2
+         |        FROM ss JOIN c1 c ON ss.sub = c.sub),
+         |enc AS (SELECT nid, sub, cl AS code FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY nid, sub ORDER BY d2, cl) AS rk
+         |        FROM d2c) WHERE rk = 1),
+         |qs AS (SELECT vec_id AS qid, s.sub, rv[s.sub * $dsub + 1 : s.sub * $dsub + $dsub] AS sv
+         |       FROM rot CROSS JOIN range(0, $m) s(sub) WHERE vec_id < 10),
+         |adc AS (SELECT qid, qs.sub, c1.cl AS code,
+         |          CAST(${duckSqDist("qs.sv", "c1.cv")} AS DECIMAL(18,6)) AS qd
+         |        FROM qs JOIN c1 ON qs.sub = c1.sub),
+         |p AS (SELECT qid, nid, sum(qd) AS sd
+         |      FROM enc JOIN adc USING (sub, code) GROUP BY 1, 2),
+         |r AS (SELECT qid, nid, CAST(sd AS DOUBLE) AS adist,
+         |        CAST(row_number() OVER (PARTITION BY qid ORDER BY sd, nid) AS BIGINT) AS rnk
+         |      FROM p)
+         |SELECT qid, nid, adist, rnk FROM r WHERE rnk <= 3
+         |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val pm = graft.ml.Pca.fitMMemo(s, dir, dim, iters, mPca)
+      val destOf = allocGreedy(pm.lam.toSeq, m, dsub)
+      val srcOf = Array.ofDim[Int](mPca)
+      destOf.zipWithIndex.foreach { case (dest, src) => srcOf(dest) = src }
+      val centered = zip_with(col("v"), lit(pm.mu), (x, mm) => x - mm)
+      // the permutation composes into WHICH basis vector lands at which
+      // coordinate — the rotated emit is the embedPqRotated kernel with
+      // w reordered, zero extra per-row work
+      val rot = Similarity.vectors(Tables.embeddings(s, dir))
+        .select(col("vec_id"), array((0 until mPca).map(d =>
+          round(Similarity.dotC(centered, lit(pm.w(srcOf(d)))) * lit(1000.0), 0)): _*).as("v"))
+      val ss = pqSubSlices(rot.where(col("vec_id") >= 10), "nid", m, dsub)
+        .select(col("nid"), col("sub"), col("svec").as("v"))
+      val seeds = ss.where(col("nid") < 10 + kCodes)
+        .select(col("sub"), (col("nid") - 10).as("cl"), col("v").as("cv"))
+      val (assigned, cb) = graft.ml.KMeans.fitGrouped(
+        ss, seeds, iters = 2, idCol = "nid", grpCol = "sub")
+      val enc = assigned.select(col("nid"), col("sub"), col("cl").as("code"))
+      val cbb = broadcast(cb.select(col("sub"), col("cl").as("code"), col("cv").as("cvec")))
+      val adc = pqSubSlices(rot.where(col("vec_id") < 10), "qid", m, dsub)
+        .join(cbb, "sub")
+        .select(col("qid"), col("sub"), col("code"),
+          pqSqDist("svec", "cvec").cast("decimal(18,6)").as("qd"))
+      enc.join(broadcast(adc), Seq("sub", "code"))
+        .groupBy(col("qid"), col("nid"))
+        .agg(sum(col("qd")).as("sd"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("qid")).orderBy(col("sd"), col("nid"))).cast("long"))
+        .where(col("rnk") <= 3)
+        .select(col("qid"), col("nid"), col("sd").cast("double").as("adist"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }
+  }
+
   /** Diagonal (per-dimension) whitening of the embedding matrix —
     * z_i = (x_i − μ_i)/σ_i from [[embedDimStats]]'s rounded moments:
     * the standard preprocessing before PQ/IVF quantizer training when
@@ -3130,6 +3318,7 @@ object EmbedQueries {
     retrievalNdcg, multimodalAudioWindows, embedDimStats,
     embedPcaApply, embedWhiten, embedIvfIndexAppend, embedIndexDrift,
     embedIvfPqIndex, embedPcaTopm, embedPcaWhiten, embedIvfIndexDelete,
-    embedIvfadcResidual, embedIvfadcRefine, embedPqRotated, streamingIvfAppendReplay,
+    embedIvfadcResidual, embedIvfadcRefine, embedPqRotated, embedPqAlloc,
+    streamingIvfAppendReplay,
     streamingIvfDeleteReplay)
 }

@@ -335,6 +335,111 @@ class IvfIndexSpec extends SparkSpec {
     assert(refined.forall(_ % 5 != 0), "a deleted vector resurfaced in the refine re-rank")
   }
 
+  test("alloc-built residual IVFADC: perm persisted; appendPqResidual == re-encode at fixed books AND perm") {
+    val (m, dsub, codes) = (2, 4, 4)
+    val base = planted(200, 0L)
+    val batch = planted(50, 200L)
+    val all = base.unionByName(batch)
+    val root = Scratch.dir("spec_ivfadc_alloc")
+    IvfIndex.build(base, k = 4, iters = 2, root)
+    IvfIndex.buildPqResidual(spark, m, dsub, codes, iters = 2, root, alloc = true)
+    // the permutation is persisted beside the codebooks and is a real
+    // permutation of the residual coordinates
+    val srcOf = spark.read.parquet(s"$root/perm").orderBy(col("pos"))
+      .collect().map(_.getLong(1).toInt)
+    assert(srcOf.length === dim)
+    assert(srcOf.sorted.toSeq === (0 until dim))
+    IvfIndex.append(spark, batch, root)
+    IvfIndex.appendPqResidual(spark, batch, m, dsub, root)
+    val got = IvfIndex.codes(spark, root).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    // reference: residuals of base ∪ batch against the PERSISTED cells,
+    // PERMUTED by the persisted perm, encoded against the PERSISTED books
+    val cents = IvfIndex.centroids(spark, root)
+    val asg = graft.ml.KMeans.assign(all, cents)
+      .select(col("vec_id"), col("v"), col("cl"))
+    val res = asg.join(broadcast(cents.select(col("cl"), col("cv"))), "cl")
+      .select(col("vec_id"), expr("zip_with(v, cv, (a, b) -> a - b)").as("v"), col("cl"))
+      .withColumn("v", array(srcOf.toIndexedSeq.map(i => col("v")(i)): _*))
+    val ss = graft.queries.EmbedQueries.pqSubSlices(res, "vec_id", m, dsub)
+      .select(col("vec_id"), col("sub"), col("svec").as("v"))
+    val want = graft.ml.KMeans.assignGrouped(ss, IvfIndex.codebooks(spark, root),
+        idCol = "vec_id", grpCol = "sub")
+      .select(col("vec_id"), col("sub"), col("cl").as("code"))
+      .join(res.select(col("vec_id"), col("cl")), "vec_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === want)
+    assert(got.size === 250 * m)
+  }
+
+  test("alloc probe == plain probe of a twin index built on pre-permuted vectors (perm-equivalence law)") {
+    // coarse L2 distances are permutation-invariant, so an index built
+    // WITH the allocation over raw vectors must answer probes exactly
+    // like a PLAIN residual index built over pre-permuted vectors
+    // queried with pre-permuted queries — centroids, residuals, seeds,
+    // codebooks and ADC tables all commute with the coordinate
+    // reorder. This pins that the perm is applied consistently on the
+    // build, append, and probe sides (a one-sided slip would break the
+    // equality, not just degrade recall).
+    val (m, dsub, codes) = (2, 4, 4)
+    val base = planted(200, 0L)
+    val rootA = Scratch.dir("spec_ivfadc_alloc_eq_a")
+    IvfIndex.build(base, k = 4, iters = 2, rootA)
+    IvfIndex.buildPqResidual(spark, m, dsub, codes, iters = 2, rootA, alloc = true)
+    val srcOf = spark.read.parquet(s"$rootA/perm").orderBy(col("pos"))
+      .collect().map(_.getLong(1).toInt)
+    def perm(df: org.apache.spark.sql.DataFrame, vc: String) =
+      df.withColumn(vc, array(srcOf.toIndexedSeq.map(i => col(vc)(i)): _*))
+    val rootB = Scratch.dir("spec_ivfadc_alloc_eq_b")
+    IvfIndex.build(perm(base, "v"), k = 4, iters = 2, rootB)
+    IvfIndex.buildPqResidual(spark, m, dsub, codes, iters = 2, rootB)
+    val q = base.where(col("vec_id") < 5).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val gotA = IvfIndex.probePqResidual(spark, q, rootA, m, dsub, nprobe = 2, topk = 3,
+        cand = _.where(col("vec_id") >= 5)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val gotB = IvfIndex.probePqResidual(spark, perm(q, "qv"), rootB, m, dsub,
+        nprobe = 2, topk = 3, cand = _.where(col("vec_id") >= 5)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(gotA === gotB)
+    assert(gotA.nonEmpty)
+  }
+
+  test("alloc residual codes compact in lockstep; probe and refine never resurrect deletes") {
+    val (m, dsub, codes) = (2, 4, 4)
+    val base = planted(200, 0L)
+    val root = Scratch.dir("spec_ivfadc_alloc_compact")
+    IvfIndex.build(base, k = 4, iters = 2, root)
+    IvfIndex.buildPqResidual(spark, m, dsub, codes, iters = 2, root, alloc = true)
+    IvfIndex.delete(spark,
+      base.where(col("vec_id") % 5 === 0).select(col("vec_id"), col("v")), root)
+    assert(IvfIndex.compact(spark, root, minRatio = 0.1).nonEmpty)
+    assert(IvfIndex.tombstones(spark, root).count() === 0L)
+    assert(IvfIndex.codes(spark, root).where(col("vec_id") % 5 === 0).count() === 0L)
+    // the perm survives compaction (it is a static artifact, never rewritten)
+    assert(new java.io.File(s"$root/perm").isDirectory)
+    val q = base.where(col("vec_id") < 5).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val probed = IvfIndex.probePqResidual(spark, q, root, m, dsub, nprobe = 2, topk = 3,
+      cand = _.where(col("vec_id") >= 5)).collect().map(_.getLong(1))
+    assert(probed.forall(_ % 5 != 0))
+    // refine stays exact at full budget on the alloc'd artifact too
+    val got = IvfIndex.probeRefine(spark, q, root, m, dsub, nprobe = 4,
+        shortlist = 1000, topk = 3, cand = _.where(col("vec_id") >= 5))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getLong(3))).toSet
+    val d = round(greatest(
+      graft.ops.Similarity.dot("qv", "qv") + graft.ops.Similarity.dot("nv", "nv") -
+        lit(2) * graft.ops.Similarity.dot("qv", "nv"), lit(0.0)), 6)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("dist"), col("nid"))
+    val want = base.where(col("vec_id") >= 5 && col("vec_id") % 5 =!= 0)
+      .select(col("vec_id").as("nid"), col("v").as("nv"))
+      .crossJoin(q).withColumn("dist", d)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 3)
+      .collect().map(x => (x.getLong(x.fieldIndex("qid")), x.getLong(x.fieldIndex("nid")),
+        x.getDouble(x.fieldIndex("dist")), x.getLong(x.fieldIndex("rnk")))).toSet
+    assert(got === want)
+  }
+
   test("manifest consolidation: repeated lifecycles keep ONE manifest; carried adds keep serving") {
     // snapshot expiry (the append-only fold would otherwise grow one
     // m-/clean- pair per generation for the life of the artifact): a
