@@ -23,37 +23,45 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  /** Fit a k-cell quantizer on `v` (vec_id, v) and persist both halves
-    * of the index under `root`.
+  /** Fit a k-cell quantizer on `v` (vec_id, v, …attrs) and persist both
+    * halves of the index under `root`. ATTRIBUTE columns beyond
+    * (vec_id, v) ride into the assignment half and are stored NEXT TO
+    * the vectors inside each cell partition — the production layout for
+    * attribute-filtered serving (`probe(cand = _.where(col("label") …))`
+    * becomes a parquet-pushed predicate on the DPP-pruned cell scan, no
+    * side join). [[append]] batches should carry the same attr columns
+    * (a mismatched append reads back as nulls under parquet schema
+    * merge).
     */
   def build(v: DataFrame, k: Int, iters: Int, root: String): Unit = {
     val (assigned, cents) = graft.ml.KMeans.fit(
       v, graft.ml.KMeans.seedSmallest(v, k), iters)
     cents.write.mode("overwrite").parquet(s"$root/centroids")
-    assigned.select(col("vec_id"), col("v"), col("cl"))
+    assigned.drop("d2")
       .write.mode("overwrite").partitionBy("cl").parquet(s"$root/assignments")
   }
 
   /** Assign `batch` to the PERSISTED centroids and append the rows to
     * the cell-partitioned assignments — no base rewrite, no refit.
+    * Attribute columns ride through (the [[build]] contract).
     */
   def append(s: SparkSession, batch: DataFrame, root: String): Unit =
     graft.ml.KMeans.assign(batch, centroids(s, root))
-      .select(col("vec_id"), col("v"), col("cl"))
+      .drop("d2")
       .write.mode("append").partitionBy("cl").parquet(s"$root/assignments")
 
   def centroids(s: SparkSession, root: String): DataFrame =
     s.read.parquet(s"$root/centroids")
 
-  /** Read-back of the assignment half. `cl` comes back as a hive
-    * partition column: the cast pins its type against partition-column
-    * type inference.
+  /** Read-back of the assignment half, attribute columns included.
+    * `cl` comes back as a hive partition column: the cast pins its type
+    * against partition-column type inference.
     */
   def assignments(s: SparkSession, root: String): DataFrame = {
     import org.apache.spark.sql.types._
     readHalf(s, root, "assignments", emptyDf(s, Seq("vec_id" -> LongType,
         "v" -> ArrayType(DoubleType), "cl" -> LongType)))
-      .select(col("vec_id"), col("v"), col("cl").cast("long").as("cl"))
+      .withColumn("cl", col("cl").cast("long"))
   }
 
   /** DELETE path (the r11 verdict's lifecycle completion): dedup
@@ -408,9 +416,9 @@ object IvfIndex {
       // the PQ half (if present) compacts in lockstep: compaction
       // DRAINS applied tombstones, so any store that kept the dead
       // rows would resurrect them at the next ADC probe
+      // column-preserving (attribute columns survive the rewrite)
       Some((asg.join(liveDf, "cl")
           .join(tomb, Seq("vec_id"), "left_anti")
-          .select(col("vec_id"), col("v"), col("cl"))
           .transform(Ckpt.eager),
         if (hasCodes)
           codes(s, root).join(liveDf, "cl")

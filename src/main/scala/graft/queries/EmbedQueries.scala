@@ -755,6 +755,72 @@ object EmbedQueries {
     }
   }
 
+  /** ATTRIBUTE-FILTERED probe over the persisted index — the single
+    * most common production serving pattern on a corpus index (r13
+    * verdict §2: "restrict to a source/lang slice"): the index is built
+    * with the attribute column stored NEXT TO the vectors inside each
+    * cell partition ([[graft.ops.IvfIndex.build]]'s attr carry), and the
+    * probe's `cand` hook applies the predicate directly to the
+    * assignments scan — so the filter is PUSHED to the parquet reader
+    * of the DPP-pruned cell files (PlanSpec pins both: the dynamic
+    * partition filter AND the pushed attribute predicate on the same
+    * scan). No side join, no post-filter over fetched vectors: at
+    * 100 TB a label-sliced query reads nprobe cells' files and
+    * row-group-skips on the attribute inside them. Semantics: the
+    * [[embedKnnIvfKmeans]] chain with candidates restricted to
+    * label ∈ {1, 3, 5, 7}; the oracle applies the identical predicate
+    * in the candidate CTE.
+    */
+  val embedIvfProbeFiltered: QueryDef = {
+    val k = 16; val dim = 64
+    QueryDef.sql("embed_ivf_probe_filtered",
+      s"""WITH $duckVectors,
+         |c0 AS (SELECT vec_id AS cl, v AS cv FROM v ORDER BY vec_id LIMIT $k),
+         |d1 AS (SELECT v.vec_id, v.v, c0.cl, list_sum([v.v[i] * v.v[i] for i in range(1, ${dim + 1})]) +
+         |      list_sum([c0.cv[i] * c0.cv[i] for i in range(1, ${dim + 1})]) -
+         |      2 * list_sum([v.v[i] * c0.cv[i] for i in range(1, ${dim + 1})]) AS d2 FROM v, c0),
+         |a1 AS (SELECT vec_id, v, cl FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rk
+         |        FROM d1) WHERE rk = 1),
+         |u1 AS (SELECT cl, i, round(avg(v[i]), 6) AS x
+         |       FROM a1, range(1, ${dim + 1}) r(i) GROUP BY cl, i),
+         |c1 AS (SELECT cl, list(x ORDER BY i) AS cv FROM u1 GROUP BY cl),
+         |d2c AS (SELECT v.vec_id, v.v, c1.cl, list_sum([v.v[i] * v.v[i] for i in range(1, ${dim + 1})]) +
+         |      list_sum([c1.cv[i] * c1.cv[i] for i in range(1, ${dim + 1})]) -
+         |      2 * list_sum([v.v[i] * c1.cv[i] for i in range(1, ${dim + 1})]) AS d2 FROM v, c1),
+         |a2 AS (SELECT vec_id, v, cl FROM (
+         |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cl) AS rk
+         |        FROM d2c) WHERE rk = 1),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
+         |pa AS (SELECT qid, qv, c1.cl AS cell,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY
+         |           round(sqrt(greatest(list_sum([qv[i] * qv[i] for i in range(1, ${dim + 1})]) +
+         |             list_sum([c1.cv[i] * c1.cv[i] for i in range(1, ${dim + 1})]) -
+         |             2 * list_sum([qv[i] * c1.cv[i] for i in range(1, ${dim + 1})]), 0)), 6),
+         |           c1.cl) AS BIGINT) AS cr
+         |       FROM q CROSS JOIN c1),
+         |probe AS (SELECT qid, qv, cell FROM pa WHERE cr <= 2),
+         |c AS (SELECT a2.vec_id AS nid, a2.v AS cv2, a2.cl
+         |      FROM a2 JOIN v vv ON vv.vec_id = a2.vec_id
+         |      WHERE a2.vec_id >= 10 AND vv.label IN (1, 3, 5, 7)),
+         |p AS (SELECT qid, nid, ${duckCos("qv", "cv2")} AS sim
+         |      FROM c JOIN probe ON c.cl = probe.cell),
+         |r AS (SELECT qid, nid, sim,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk FROM p)
+         |SELECT qid, nid, sim, rnk FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      val vl = Similarity.vectors(Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("v"), col("label"))
+      val root = graft.ops.Scratch.dir(s"ivf_attr_${Integer.toHexString(dir.hashCode)}")
+      graft.ops.Scratch.once(root) {
+        graft.ops.IvfIndex.build(vl, k, iters = 2, root)
+      }
+      val q = vl.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
+      graft.ops.IvfIndex.probe(s, q, root, nprobe = 2, topk = 3,
+          cand = _.where(col("vec_id") >= 10 && col("label").isin(1, 3, 5, 7)))
+        .orderBy(col("qid"), col("rnk"))
+    }
+  }
+
   private val streamSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** STREAMING index maintenance — [[embedIvfIndexAppend]]'s at-ingest
@@ -3319,6 +3385,6 @@ object EmbedQueries {
     embedPcaApply, embedWhiten, embedIvfIndexAppend, embedIndexDrift,
     embedIvfPqIndex, embedPcaTopm, embedPcaWhiten, embedIvfIndexDelete,
     embedIvfadcResidual, embedIvfadcRefine, embedPqRotated, embedPqAlloc,
-    streamingIvfAppendReplay,
+    embedIvfProbeFiltered, streamingIvfAppendReplay,
     streamingIvfDeleteReplay)
 }

@@ -101,6 +101,22 @@ class PlanSpec extends SparkSpec {
       s"no dynamic partition pruning on the index scan in:\n${p.take(4000)}")
   }
 
+  test("embed_ivf_probe_filtered: attribute predicate PUSHED to the DPP-pruned index scan") {
+    // the attribute-filtered serving contract (r13 verdict §2): the
+    // label slice must reach the parquet reader of the assignments scan
+    // (PushedFilters on label — row-group skipping inside the cell
+    // files), AND the same scan must still carry the probe's dynamic
+    // partition filter (read only the nprobe cells). Both on ONE scan:
+    // a side join or a post-filter would read the whole cell.
+    val df = graft.queries.EmbedQueries.embedIvfProbeFiltered.run(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the filtered probe's index scan in:\n${p.take(4000)}")
+    assert(p.contains("In(label, [1,3,5,7])") || p.contains("In(label"),
+      s"label predicate not pushed to the index scan in:\n${p.take(4000)}")
+  }
+
   test("embed_ivf_pq_index: the ADC probe dynamically prunes the cell-partitioned CODES scan") {
     // same DPP law on the IVFADC artifact: a probed query must read
     // only its nprobe cells' CODE files — the whole point of storing
@@ -216,6 +232,8 @@ class PlanSpec extends SparkSpec {
       // same KMeans.assign / persisted-index probe broadcast cross as
       // embed_ivf_index_roundtrip, on the append-mode index
       "embed_ivf_index_append", "embed_index_drift", "embed_ivf_index_delete",
+      // the same probe broadcast cross, candidates attribute-filtered
+      "embed_ivf_probe_filtered",
       // the same probe broadcast cross over the STREAM-maintained index
       "streaming_ivf_append_replay", "streaming_ivf_delete_replay",
       // the same coarse-probe broadcast cross (10 queries × 16-centroid
