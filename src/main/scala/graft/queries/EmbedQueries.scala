@@ -891,12 +891,21 @@ object EmbedQueries {
     * micro-batch runs [[graft.ops.IvfIndex.delete]] inside foreachBatch
     * — an append-only tombstone write, so retracted vectors stop
     * serving AT THAT BATCH BOUNDARY (the probe's anti-join needs no
-    * compaction to be correct); the nightly [[graft.ops.IvfIndex
-    * .compact]] then runs once after the replay (the
-    * stream-retractions-all-day, compact-once shape). Tombstone appends
-    * commute, so streamed deletes ≡ the one-shot batch delete ≡ rebuild
-    * on the survivors — the oracle states the last equality corpus-wide
-    * (the embed_ivf_index_delete oracle verbatim).
+    * compaction to be correct). The compact policy runs IN-STREAM (r13
+    * verdict §8 — the production maintenance loop, not just a
+    * post-drain sweep): every micro-batch follows its delete with a
+    * threshold compaction, and [[graft.ops.IvfIndex.compact]]'s own
+    * cell selection makes that the right primitive — on most batches no
+    * cell has crossed the tombstone-share threshold and the call is a
+    * stats scan + zero writes; when a cell crosses MID-STREAM it is
+    * crash-atomically rewritten while later retraction chunks keep
+    * arriving (IvfIndexSpec's extended law counts the mid-stream
+    * rewrites and pins parity vs the one-shot batch delete ∘ compact).
+    * Tombstone appends commute and compaction never changes what a
+    * probe sees, so streamed deletes ∘ in-stream compacts ≡ the
+    * one-shot batch delete ≡ rebuild on the survivors — the oracle
+    * states the last equality corpus-wide (the embed_ivf_index_delete
+    * oracle verbatim).
     */
   val streamingIvfDeleteReplay: QueryDef = {
     val k = 16; val dim = 64
@@ -932,12 +941,17 @@ object EmbedQueries {
         val stream = s.readStream.schema(doomed.schema)
           .option("maxFilesPerTrigger", "1").parquet(watched)
         val deleteBatch: (org.apache.spark.sql.DataFrame, Long) => Unit =
-          (b, _) => graft.ops.IvfIndex.delete(s, b, root)
+          (b, _) => {
+            graft.ops.IvfIndex.delete(s, b, root)
+            // in-stream threshold compaction: fires only when a cell's
+            // tombstone share crossed 8% as of THIS batch boundary
+            graft.ops.IvfIndex.compact(s, root, minRatio = 0.08): Unit
+          }
         val query = stream.writeStream.outputMode("append")
           .foreachBatch(deleteBatch).start()
         try query.processAllAvailable() finally query.stop()
       } finally StreamingReplays.rmTree(staged)
-      graft.ops.IvfIndex.compact(s, root, minRatio = 0.1): Unit
+      graft.ops.IvfIndex.compact(s, root, minRatio = 0.08): Unit
       val q = v.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
       graft.ops.IvfIndex.probe(s, q, root, nprobe = 2, topk = 3,
           cand = _.where(col("vec_id") >= 10))

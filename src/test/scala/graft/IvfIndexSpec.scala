@@ -237,12 +237,15 @@ class IvfIndexSpec extends SparkSpec {
     assert(res(rootS) === res(rootB))
   }
 
-  test("STREAMED deletes (shuffled micro-batches) == one-shot delete; compaction changes nothing a probe sees") {
-    // the streaming_ivf_delete_replay parity law: tombstone appends
-    // commute, so retraction chunks streamed in NON-id order must leave
-    // the index serving exactly the one-shot delete's survivor set —
-    // correct BEFORE any compaction (the anti-join masks immediately),
-    // and unchanged by it
+  test("STREAMED deletes with IN-STREAM threshold compaction == one-shot delete ∘ compact") {
+    // the streaming_ivf_delete_replay parity law, extended with the r13
+    // verdict's maintenance-loop policy: every micro-batch follows its
+    // tombstone append with a threshold compact — compaction MUST fire
+    // mid-stream (counted below) while later retraction chunks keep
+    // arriving, and the final serving set must still equal the one-shot
+    // batch delete ∘ compact (retraction chunks streamed in NON-id
+    // order: tombstone appends commute, compaction never changes what a
+    // probe sees)
     val base = planted(200, 0L)
     val rootS = Scratch.dir("spec_ivf_sdel")
     val rootB = Scratch.dir("spec_ivf_sdel_batch")
@@ -250,6 +253,7 @@ class IvfIndexSpec extends SparkSpec {
     IvfIndex.build(base, k = 4, iters = 2, rootB)
     val doomed = base.where(col("vec_id") % 5 === 0).select(col("vec_id"))
     IvfIndex.delete(spark, doomed, rootB)
+    val midCompacted = new java.util.concurrent.atomic.AtomicLong(0L)
     val shuffled = doomed.withColumn("__o", col("vec_id") % 3)
     val (watched, staged) = graft.queries.StreamingReplays.stageOrderedFiles(
       shuffled, 3, Seq(col("__o")))
@@ -257,11 +261,17 @@ class IvfIndexSpec extends SparkSpec {
       val stream = spark.readStream.schema(shuffled.schema)
         .option("maxFilesPerTrigger", "1").parquet(watched)
       val deleteBatch: (org.apache.spark.sql.DataFrame, Long) => Unit =
-        (b, _) => IvfIndex.delete(spark, b.select(col("vec_id")), rootS)
+        (b, _) => {
+          IvfIndex.delete(spark, b.select(col("vec_id")), rootS)
+          midCompacted.addAndGet(
+            IvfIndex.compact(spark, rootS, minRatio = 0.1).size.toLong): Unit
+        }
       val query = stream.writeStream.outputMode("append")
         .foreachBatch(deleteBatch).start()
       try query.processAllAvailable() finally query.stop()
     } finally graft.queries.StreamingReplays.rmTree(staged)
+    assert(midCompacted.get() > 0L,
+      "no cell crossed the threshold mid-stream — the policy was never exercised")
     def live(r: String) = IvfIndex.liveAssignments(spark, r)
       .select(col("vec_id"), col("cl")).collect()
       .map(x => (x.getLong(0), x.getLong(1))).toSet
@@ -273,8 +283,11 @@ class IvfIndexSpec extends SparkSpec {
     assert(!live(rootS).exists(_._1 % 5 == 0), "a streamed tombstone failed to mask")
     val preCompact = res(rootS)
     assert(preCompact === res(rootB))
+    // batch side compacts once; streamed side already compacted in-stream
+    IvfIndex.compact(spark, rootB, minRatio = 0.1): Unit
     IvfIndex.compact(spark, rootS, minRatio = 0.1): Unit
     assert(res(rootS) === preCompact, "compaction changed the probe answer")
+    assert(res(rootB) === preCompact)
     assert(live(rootS) === live(rootB))
   }
 
