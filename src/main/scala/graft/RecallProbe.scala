@@ -406,6 +406,53 @@ object RecallProbe {
         .agg(coalesce(avg(col("recall")), lit(0.0))).head().getDouble(0)
       println(s"""{"mode":"$mode","tier":"pq_rot_alloc_residual","m":$mSub,"codes":16,""" +
         s""""n_queries":$nq,"mean_recall":${math.rint(rRA * 1e6) / 1e6}}""")
+      // FULL OPQ refinement (Ge et al., TPAMI 2014 §4 — non-parametric):
+      // starting from the rotated+allocated coordinates, ALTERNATE
+      // (1) codebook fit on the current rotation, (2) the orthogonal
+      // Procrustes update R = V·Uᵀ from the SVD of the 16×16
+      // cross-moment M = Σ x·ŷᵀ between the base coordinates and the
+      // codebook reconstruction — each iteration is one distributed
+      // 256-cell rollup plus a driver-side 16×16 SVD (breeze, public
+      // Spark classpath), the refinement confined to the retained PCA
+      // subspace. No oracle row: the SVD is not DuckDB-replayable —
+      // this leg records the measured gain over the parametric
+      // allocation (the verdict's gate-or-skip-with-measurement call).
+      val xBase = rotateAlloc(cands, "nid", "cv")
+        .select(col("nid"), col("cv").as("x")).cache()
+      val qBase = rotateAlloc(q, "qid", "qv")
+      var rMat = breeze.linalg.DenseMatrix.eye[Double](16)
+      for (t <- 1 to 3) {
+        def applyR(df: DataFrame, idC: String, vC: String, out: String): DataFrame =
+          df.select(col(idC), array((0 until 16).map(a =>
+            Similarity.dotConst(vC, (0 until 16).map(b => rMat(a, b)))): _*).as(out))
+        val xr = applyR(xBase, "nid", "x", "v")
+        val rSub = graft.queries.EmbedQueries.pqSubSlices(
+            xr.select(col("nid").as("vec_id"), col("v")), "nid", mSub, 2)
+          .select(col("nid"), col("sub"), col("svec").as("v"))
+        val rSeeds = rSub.where(col("nid").between(1, 16))
+          .select(col("sub"), col("nid").as("cl"), col("v").as("cv"))
+        val (_, books) = graft.ml.KMeans.fitGrouped(
+          rSub, rSeeds, iters = 2, idCol = "nid", grpCol = "sub")
+        adcRecall(s"pq_opq_iter$t", books, rSub, applyR(qBase, "qid", "qv", "qv"), 2)
+        if (t < 3) {
+          // reconstruction ŷ per vector (concatenate the assigned
+          // per-subspace centroids), then M = Σ x·ŷᵀ in one 256-sum agg
+          val recon = graft.ml.KMeans.assignGrouped(rSub, books, "nid", "sub")
+            .select(col("nid"), col("sub"), col("cl").as("code"))
+            .join(broadcast(books.select(col("sub"), col("cl").as("code"),
+              col("cv").as("cvec"))), Seq("sub", "code"))
+            .groupBy(col("nid"))
+            .agg(expr("flatten(transform(array_sort(collect_list(struct(sub, cvec))), p -> p.cvec))").as("y"))
+          val sums = (for (a <- 0 until 16; b <- 0 until 16)
+            yield sum(col("x")(a) * col("y")(b)).as(s"m_${a}_$b")).toSeq
+          val mRow = xBase.join(recon, "nid").agg(sums.head, sums.tail: _*).head()
+          val mMat = breeze.linalg.DenseMatrix.tabulate[Double](16, 16)(
+            (a, b) => mRow.getDouble(a * 16 + b))
+          val svd = breeze.linalg.svd(mMat)
+          rMat = svd.Vt.t * svd.U.t
+        }
+      }
+      xBase.unpersist(): Unit
       // refine tier (two-stage serving, FAISS IndexRefineFlat): the SAME
       // residual-ADC chain cuts a 50-deep shortlist, then only those
       // rows fetch raw vectors for an exact squared-L2 re-rank — the

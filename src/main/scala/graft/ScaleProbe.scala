@@ -116,6 +116,7 @@ object ScaleProbe {
       // scan + delta-sized mutations). Read beside the corpus_append
       // leg's walls for the add-on. Embeddings synthetic, vec_id=doc_id.
       if (on("annpipe")) {
+        spark.conf.set("spark.graft.ann.log", "true")
         val embP = s"$dirP/emb.parquet"
         spark.range(n).select(col("id").as("vec_id"), expr(
           """transform(sequence(0, 63), j ->

@@ -387,8 +387,18 @@ object CorpusPipeline {
     */
   private[graft] def reconcileAnnIndex(spark: SparkSession, root: String,
                                        sv: DataFrame, cells: Int): Unit = {
+    // per-stage walls (spark.graft.ann.log — ScaleProbe's annpipe leg
+    // reads these to split the add-on into build / drain / diff /
+    // append / retract, the delta-sized-mutation evidence)
+    val logOn = spark.conf.get("spark.graft.ann.log", "false").toBoolean
+    var t = System.nanoTime()
+    def lap(tag: String): Unit = if (logOn) {
+      System.err.println(f"[ann.reconcile] $tag ${(System.nanoTime() - t) / 1e9}%.2f s")
+      t = System.nanoTime()
+    }
     if (!Fs.exists(spark, s"$root/centroids")) {
       if (sv.head(1).nonEmpty) IvfIndex.build(sv, cells, iters = 2, root)
+      lap("build")
       return
     }
     val resIds = sv.select(col("vec_id"))
@@ -399,17 +409,21 @@ object CorpusPipeline {
         .collect().map(_.getLong(0)).toSeq
       IvfIndex.compact(spark, root, minRatio = 0.0, onlyCells = resCells): Unit
     }
+    lap("drain")
     // materialize BOTH deltas BEFORE mutating the files they were
     // computed from (the compactPlan discipline)
     val have = IvfIndex.liveAssignments(spark, root).select(col("vec_id"))
     val add = sv.join(have, Seq("vec_id"), "left_anti").transform(Ckpt.eager)
     val gone = have.join(sv.select(col("vec_id")), Seq("vec_id"), "left_anti")
       .transform(Ckpt.eager)
+    lap("diff")
     if (add.head(1).nonEmpty) IvfIndex.append(spark, add, root)
+    lap("append")
     if (gone.head(1).nonEmpty) {
       IvfIndex.delete(spark, gone, root)
       IvfIndex.compact(spark, root, minRatio = 0.1): Unit
     }
+    lap("retract")
   }
 
   private def mergedResult(spark: SparkSession, outDir: String, cfg: CorpusConfig,
