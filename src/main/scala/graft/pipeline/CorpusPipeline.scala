@@ -401,6 +401,15 @@ object CorpusPipeline {
       lap("build")
       return
     }
+    // SELF-HEAL first (r13 verdict §1's repair, wired into the one
+    // place that owns this index): a compaction that crashed in an
+    // earlier derive leaves readers on the list-and-filter path —
+    // repair reconciles intents, deletes retired files and certifies
+    // CLEAN before this derive's reads. No-op (one listing) on a
+    // healthy root; single-writer holds because the derive IS the
+    // index's only writer.
+    IvfIndex.repair(spark, root)
+    lap("repair")
     val resIds = sv.select(col("vec_id"))
       .join(IvfIndex.tombstones(spark, root), "vec_id").transform(Ckpt.eager)
     if (resIds.head(1).nonEmpty) {

@@ -309,6 +309,35 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(stamps == before, "a no-op reconcile rewrote index files")
   }
 
+  test("reconcileAnnIndex SELF-HEALS a compaction that crashed in an earlier derive") {
+    import spark.implicits._
+    def vecsOf(ids: Seq[Long]) = ids.toDF("vec_id").select(col("vec_id"), expr(
+      "transform(sequence(0, 15), j -> CAST(pmod(hash(vec_id, j), 1000) AS DOUBLE) / 500.0)")
+      .as("v"))
+    val root = mkdir("ann_selfheal") + "/idx"
+    val all = 0L until 200L
+    CorpusPipeline.reconcileAnnIndex(spark, root, vecsOf(all), 4)
+    // simulate a derive whose retraction compaction crashed after the
+    // manifest commit (prepare + publish, no gc): readers stay correct
+    // but on the list-and-filter path, retired files still on disk
+    graft.ops.IvfIndex.delete(spark,
+      all.filter(_ % 5 == 0).toDF("vec_id"), root)
+    val (cells, steps) = graft.ops.IvfIndex.compactPlan(spark, root, minRatio = 0.05)
+    assert(cells.nonEmpty)
+    steps(0).apply(); steps(1).apply() // crash before gc
+    val mdir = new java.io.File(s"$root/manifest")
+    assert(!mdir.listFiles().map(_.getName).exists(_.startsWith("clean-")))
+    // the NEXT derive self-heals before its reads and reconciles the
+    // target set exactly (the %5 ids re-survive: drain + re-append)
+    CorpusPipeline.reconcileAnnIndex(spark, root, vecsOf(all), 4)
+    assert(mdir.listFiles().map(_.getName).exists(_.startsWith("clean-")),
+      "reconcile did not repair the crashed compaction to CLEAN")
+    val live = graft.ops.IvfIndex.liveAssignments(spark, root)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(live.toSet == all.toSet && live.length == 200,
+      "self-healed index must serve the reconciled set exactly once each")
+  }
+
   test("append: run(base) + append(batch) == full rerun on the union; retraction and cluster-merge included") {
     def run(j: String, d: String) = CorpusPipeline.run(spark, j, d)
     val seqWords = (off: Int, n: Int) => (off until off + n).map(i => s"q$i")
