@@ -91,7 +91,8 @@ final case class CorpusConfig(
     embeddingsPath: String = "",            // (vec_id = doc_id, embedding) parquet for the semantic/ann stages
     bpeMerges: Int = 0,                     // >0: ship a BPE tokenizer trained on the train split (≡ text_bpe_merges)
     annIndex: Boolean = false,              // maintain a persisted IVF index over survivors' vectors
-    annCells: Int = 16)                     // coarse cell count for the ann index
+    annCells: Int = 16,                     // coarse cell count for the ann index
+    annRetrainPsi: Double = 0.0)            // >0: retrain the quantizer when cell-population PSI vs the last-fit census crosses this
 
 final case class CorpusResult(
     nRaw: Long, nDocs: Long, nKept: Long, nSurvivors: Long,
@@ -277,7 +278,7 @@ object CorpusPipeline {
         .join(sv.select(col("vec_id")), Seq("vec_id"), "left_anti").count()
       Fs.writeString(spark, p("fails_ann.json"),
         s"""{"survivors_missing_embedding": $missing}""")
-      reconcileAnnIndex(spark, p("ann_index"), sv, cfg.annCells)
+      reconcileAnnIndex(spark, p("ann_index"), sv, cfg.annCells, cfg.annRetrainPsi)
     }
 
     // ---- leakage-aware split (≡ ml_cluster_split) ----
@@ -386,7 +387,8 @@ object CorpusPipeline {
     * nothing (r13 advice); the first non-empty derive builds.
     */
   private[graft] def reconcileAnnIndex(spark: SparkSession, root: String,
-                                       sv: DataFrame, cells: Int): Unit = {
+                                       sv: DataFrame, cells: Int,
+                                       retrainPsi: Double = 0.0): Unit = {
     // per-stage walls (spark.graft.ann.log — ScaleProbe's annpipe leg
     // reads these to split the add-on into build / drain / diff /
     // append / retract, the delta-sized-mutation evidence)
@@ -397,7 +399,13 @@ object CorpusPipeline {
       t = System.nanoTime()
     }
     if (!Fs.exists(spark, s"$root/centroids")) {
-      if (sv.head(1).nonEmpty) IvfIndex.build(sv, cells, iters = 2, root)
+      if (sv.head(1).nonEmpty) {
+        IvfIndex.build(sv, cells, iters = 2, root)
+        // the drift baseline is the census AT FIT TIME — write it with
+        // the build, not lazily at the first reconcile (which would
+        // silently forgive any drift accumulated in between)
+        if (retrainPsi > 0) retrainIfDrifted(spark, root, sv, cells, retrainPsi)
+      }
       lap("build")
       return
     }
@@ -433,6 +441,54 @@ object CorpusPipeline {
       IvfIndex.compact(spark, root, minRatio = 0.1): Unit
     }
     lap("retract")
+    if (retrainPsi > 0) {
+      retrainIfDrifted(spark, root, sv, cells, retrainPsi)
+      lap("drift")
+    }
+  }
+
+  /** The RETRAIN TRIGGER, acted on (r13's coverage note left it
+    * surfaced-only via embed_index_drift's PSI row): appends assign at
+    * FIXED centroids, so a corpus whose embedding distribution drifts
+    * accumulates ever-worse cells — the quantizer must eventually
+    * refit. The baseline is the cell census persisted at the LAST fit
+    * (`root/census`, ≤cells rows); after each reconcile's mutations the
+    * live census compares by population-stability index (the
+    * embed_index_drift statistic: Σ (q−p)·ln(q/p) over cell shares,
+    * 1e-6 floor), and a crossing rebuilds the WHOLE artifact over the
+    * reconciled survivor set — centroids, assignments, and a fresh
+    * census baseline; stale tombstones/manifest state die with the old
+    * root (a rebuilt index starts CLEAN). Pre-census indexes (built
+    * before this feature) adopt the current census as baseline and
+    * skip the check once. The industry-standard 0.2 "significant
+    * shift" threshold is a reasonable config value.
+    */
+  private def retrainIfDrifted(spark: SparkSession, root: String,
+                               sv: DataFrame, cells: Int, thr: Double): Unit = {
+    def liveCensus: Map[Long, Long] = IvfIndex.liveAssignments(spark, root)
+      .groupBy(col("cl")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def writeCensus(c: Map[Long, Long]): Unit = {
+      import spark.implicits._
+      c.toSeq.toDF("cl", "n").coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/census")
+    }
+    if (!Fs.exists(spark, s"$root/census")) { writeCensus(liveCensus); return }
+    val base = spark.read.parquet(s"$root/census")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cur = liveCensus
+    val bT = math.max(base.values.sum.toDouble, 1.0)
+    val cT = math.max(cur.values.sum.toDouble, 1.0)
+    val psi = (base.keySet ++ cur.keySet).toSeq.map { c =>
+      val p = math.max(base.getOrElse(c, 0L) / bT, 1e-6)
+      val q = math.max(cur.getOrElse(c, 0L) / cT, 1e-6)
+      (q - p) * math.log(q / p)
+    }.sum
+    if (psi > thr) {
+      Fs.deleteRecursive(spark, root)
+      IvfIndex.build(sv, cells, iters = 2, root)
+      writeCensus(liveCensus)
+    }
   }
 
   private def mergedResult(spark: SparkSession, outDir: String, cfg: CorpusConfig,

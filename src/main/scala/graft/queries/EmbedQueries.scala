@@ -1075,7 +1075,7 @@ object EmbedQueries {
     * refine tail's exact re-rank.
     */
   private def ivfadcResidualCtes(k: Int, dim: Int, m: Int, dsub: Int,
-                                 kCodes: Int): String = {
+                                 kCodes: Int, alloc: Boolean = false): String = {
     def duckD2(a: String, b: String, d: Int): String =
       s"""list_sum([$a[i] * $a[i] for i in range(1, ${d + 1})]) +
          |  list_sum([$b[i] * $b[i] for i in range(1, ${d + 1})]) -
@@ -1084,6 +1084,26 @@ object EmbedQueries {
       s"""round(greatest(list_sum([$a[i] * $a[i] for i in range(1, len($a) + 1)]) +
          |  list_sum([$b[i] * $b[i] for i in range(1, len($b) + 1)]) -
          |  2 * list_sum([$a[i] * $b[i] for i in range(1, len($a) + 1)]), 0), 6)""".stripMargin
+    // alloc = true replays buildPqResidual(alloc = true): the per-dim
+    // residual second moments are the spectrum, the allocGreedy fold
+    // (allocCtes) permutes the residual coordinates, and BOTH the
+    // candidate residuals and the query residuals slice the permuted
+    // order — `resp`/`qresp` substitute for `res`/`qres` downstream
+    val allocBlock = if (!alloc) "" else
+      s"""mom AS (SELECT r.i AS c, round(avg(rv[r.i] * rv[r.i]), 6) AS lam
+         |       FROM res, range(1, ${dim + 1}) r(i) GROUP BY r.i),
+         |${allocCtes(dim, m, dsub, lamRows = "SELECT c, lam FROM mom")},
+         |resp AS (SELECT res.vec_id, res.cl,
+         |           list(res.rv[pmap.c] ORDER BY pmap.pos) AS rv
+         |         FROM res CROSS JOIN pmap GROUP BY res.vec_id, res.cl),
+         |""".stripMargin
+    val resSrc = if (alloc) "resp" else "res"
+    val qresSrc = if (alloc) "qresp" else "qres"
+    val qrespBlock = if (!alloc) "" else
+      s"""qresp AS (SELECT qres.qid, qres.cell,
+         |            list(qres.qr[pmap.c] ORDER BY pmap.pos) AS qr
+         |          FROM qres CROSS JOIN pmap GROUP BY qres.qid, qres.cell),
+         |""".stripMargin
     s"""$duckVectors,
          |c0 AS (SELECT vec_id AS cl, v AS cv FROM v ORDER BY vec_id LIMIT $k),
          |d1 AS (SELECT v.vec_id, v.v, c0.cl, ${duckD2("v.v", "c0.cv", dim)} AS d2 FROM v, c0),
@@ -1099,8 +1119,8 @@ object EmbedQueries {
          |        FROM d2c) WHERE rk = 1),
          |res AS (SELECT a2.vec_id, [a2.v[i] - c1.cv[i] for i in range(1, ${dim + 1})] AS rv,
          |               a2.cl FROM a2 JOIN c1 USING (cl)),
-         |ss AS (SELECT vec_id, s.sub, rv[s.sub * $dsub + 1 : s.sub * $dsub + $dsub] AS sv
-         |       FROM res CROSS JOIN range(0, $m) s(sub)),
+         |${allocBlock}ss AS (SELECT vec_id, s.sub, rv[s.sub * $dsub + 1 : s.sub * $dsub + $dsub] AS sv
+         |       FROM $resSrc CROSS JOIN range(0, $m) s(sub)),
          |p0 AS (SELECT sub, vec_id AS cl, sv AS cv FROM ss WHERE vec_id < $kCodes),
          |pd1 AS (SELECT ss.vec_id, ss.sub, ss.sv, c.cl, ${duckD2("ss.sv", "c.cv", dsub)} AS d2
          |        FROM ss JOIN p0 c ON ss.sub = c.sub),
@@ -1125,8 +1145,8 @@ object EmbedQueries {
          |qres AS (SELECT qid, cell,
          |           [probe.qv[i] - c1.cv[i] for i in range(1, ${dim + 1})] AS qr
          |         FROM probe JOIN c1 ON probe.cell = c1.cl),
-         |qs AS (SELECT qid, cell, s.sub, qr[s.sub * $dsub + 1 : s.sub * $dsub + $dsub] AS sv
-         |       FROM qres CROSS JOIN range(0, $m) s(sub)),
+         |${qrespBlock}qs AS (SELECT qid, cell, s.sub, qr[s.sub * $dsub + 1 : s.sub * $dsub + $dsub] AS sv
+         |       FROM $qresSrc CROSS JOIN range(0, $m) s(sub)),
          |adc AS (SELECT qid, cell, qs.sub, pc1.cl AS code,
          |          CAST(${duckSqDist("qs.sv", "pc1.cv")} AS DECIMAL(18,6)) AS qd
          |        FROM qs JOIN pc1 ON qs.sub = pc1.sub),
@@ -1167,6 +1187,43 @@ object EmbedQueries {
          |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
       val v = Similarity.vectors(Tables.embeddings(s, dir)).select(col("vec_id"), col("v"))
       val root = ivfadcResidualRoot(s, dir, k, m, dsub, kCodes)
+      val q = v.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
+      graft.ops.IvfIndex.probePqResidual(s, q, root, m, dsub, nprobe = 2, topk = 3,
+          cand = _.where(col("vec_id") >= 10))
+        .orderBy(col("qid"), col("rnk"))
+    }
+  }
+
+  /** The PERSISTED-PATH allocation gate row — [[embedPqAlloc]] proves
+    * the greedy on the rotated coordinates; this row proves it on the
+    * production artifact: [[graft.ops.IvfIndex.buildPqResidual]] with
+    * `alloc = true` permutes the residual coordinates by balanced
+    * per-dim second moments (the diagonal-spectrum stand-in for
+    * eigenvalues on the unrotated artifact), persists the permutation
+    * under `root/perm`, and [[graft.ops.IvfIndex.probePqResidual]]
+    * replays it on the query residuals. The oracle replays the WHOLE
+    * thing — coarse fit → residuals → moment spectrum → the recursive
+    * allocGreedy fold → permuted slicing on BOTH the candidate and the
+    * query side → grouped codebook fit → per-cell ADC — so a green row
+    * certifies the persisted allocation end to end, not just the spec
+    * mirror. Identical M×K budget to [[embedIvfadcResidual]] (the
+    * unpermuted twin); RecallProbe's pq_rot_alloc_residual leg records
+    * what the allocation buys (decayed 0.63 vs 0.49 without).
+    */
+  val embedIvfadcAlloc: QueryDef = {
+    val (k, dim, m, dsub, kCodes) = (16, 64, 8, 8, 16)
+    QueryDef.sql("embed_ivfadc_alloc",
+      s"""WITH RECURSIVE ${ivfadcResidualCtes(k, dim, m, dsub, kCodes, alloc = true)}
+         |SELECT qid, nid, adist, rnk FROM rr WHERE rnk <= 3
+         |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      val v = Similarity.vectors(Tables.embeddings(s, dir)).select(col("vec_id"), col("v"))
+      val root = graft.ops.Scratch.dir(
+        s"ivfadc_alloc_${k}_${m}_${dsub}_${kCodes}_${Integer.toHexString(dir.hashCode)}")
+      graft.ops.Scratch.once(root) {
+        graft.ops.IvfIndex.build(v, k, iters = 2, root)
+        graft.ops.IvfIndex.buildPqResidual(s, m, dsub, kCodes, iters = 2, root,
+          alloc = true)
+      }
       val q = v.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
       graft.ops.IvfIndex.probePqResidual(s, q, root, m, dsub, nprobe = 2, topk = 3,
           cand = _.where(col("vec_id") >= 10))
@@ -2653,11 +2710,16 @@ object EmbedQueries {
     * the lowest-index tie-break). Exposes `pmap(pos, c)`: destination
     * coordinate (0-based) → source component (1-based).
     */
-  private def allocCtes(n: Int, m: Int, dsub: Int): String = {
-    val lamRows = (1 to n).map(c =>
-      s"SELECT $c AS c, (SELECT l FROM lamc$c) AS lam").mkString(" UNION ALL ")
+  private def allocCtes(n: Int, m: Int, dsub: Int,
+      lamRows: String = ""): String = {
+    // (c, lam) spectrum source: the lamc eigenvalue CTEs by default
+    // (the rotated gate row); callers may substitute e.g. the per-dim
+    // residual second moments (the persisted-path gate row)
+    val lamSrc = if (lamRows.nonEmpty) lamRows
+      else (1 to n).map(c =>
+        s"SELECT $c AS c, (SELECT l FROM lamc$c) AS lam").mkString(" UNION ALL ")
     val msk = s"[CASE WHEN a0.slots[j + 1] < $dsub THEN a0.logp[j + 1] ELSE 1e18 END FOR j IN range(0, $m)]"
-    s"""lams AS ($lamRows),
+    s"""lams AS ($lamSrc),
        |lraw AS (SELECT c, ln(greatest(lam, 1e-12)) AS lr FROM lams),
        |lmean AS (SELECT list_sum(list(lr ORDER BY c)) / $n AS mn FROM lraw),
        |lcen AS (SELECT c, round(lr - (SELECT mn FROM lmean), 6) AS lc FROM lraw),
@@ -3398,7 +3460,7 @@ object EmbedQueries {
     retrievalNdcg, multimodalAudioWindows, embedDimStats,
     embedPcaApply, embedWhiten, embedIvfIndexAppend, embedIndexDrift,
     embedIvfPqIndex, embedPcaTopm, embedPcaWhiten, embedIvfIndexDelete,
-    embedIvfadcResidual, embedIvfadcRefine, embedPqRotated, embedPqAlloc,
-    embedIvfProbeFiltered, streamingIvfAppendReplay,
+    embedIvfadcResidual, embedIvfadcRefine, embedIvfadcAlloc, embedPqRotated,
+    embedPqAlloc, embedIvfProbeFiltered, streamingIvfAppendReplay,
     streamingIvfDeleteReplay)
 }

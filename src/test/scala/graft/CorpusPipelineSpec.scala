@@ -338,6 +338,51 @@ class CorpusPipelineSpec extends SparkSpec {
       "self-healed index must serve the reconciled set exactly once each")
   }
 
+  test("reconcileAnnIndex retrains on drift (PSI over cell census) and holds centroids otherwise") {
+    import spark.implicits._
+    def vecsOf(ids: Seq[Long]) = ids.toDF("vec_id").select(col("vec_id"), expr(
+      "transform(sequence(0, 15), j -> CAST(pmod(hash(vec_id, j), 1000) AS DOUBLE) / 500.0)")
+      .as("v"))
+    // a drift set whose vectors all collapse into one region: every
+    // assignment lands in the same nearest cell → massive PSI
+    def driftOf(ids: Seq[Long]) = ids.toDF("vec_id").select(col("vec_id"), expr(
+      "transform(sequence(0, 15), j -> 10.0 + CAST(pmod(hash(vec_id, j), 10) AS DOUBLE) / 100.0)")
+      .as("v"))
+    val root = mkdir("ann_drift") + "/idx"
+    def centStamps = {
+      val d = new java.io.File(s"$root/centroids")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    def live = graft.ops.IvfIndex.liveAssignments(spark, root)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val all = 0L until 200L
+    CorpusPipeline.reconcileAnnIndex(spark, root, vecsOf(all), 4, retrainPsi = 0.2)
+    assert(new java.io.File(s"$root/census").isDirectory,
+      "build with retrainPsi must persist the fit-time census baseline")
+    val fitStamps = centStamps
+    // a same-distribution delta must NOT retrain (centroids untouched)
+    CorpusPipeline.reconcileAnnIndex(spark, root,
+      vecsOf(all ++ (200L until 220L)), 4, retrainPsi = 0.2)
+    assert(centStamps == fitStamps, "a stable reconcile refit the quantizer")
+    assert(live == (0L until 220L).toSet)
+    // a collapsed-distribution target must cross the PSI and REBUILD:
+    // fresh centroids, live == target, census re-baselined
+    CorpusPipeline.reconcileAnnIndex(spark, root, driftOf(300L until 500L), 4,
+      retrainPsi = 0.2)
+    assert(centStamps != fitStamps, "drift past the threshold did not retrain")
+    assert(live == (300L until 500L).toSet,
+      "retrained index must serve exactly the reconciled set")
+    assert(graft.ops.IvfIndex.tombstones(spark, root).count() === 0L,
+      "a rebuilt index must not inherit stale tombstones")
+    // and the NEXT reconcile on the new distribution is stable again
+    val postStamps = centStamps
+    CorpusPipeline.reconcileAnnIndex(spark, root,
+      driftOf(300L until 510L), 4, retrainPsi = 0.2)
+    assert(centStamps == postStamps, "re-baselined census did not stabilize the retrain")
+    assert(live == (300L until 510L).toSet)
+  }
+
   test("append: run(base) + append(batch) == full rerun on the union; retraction and cluster-merge included") {
     def run(j: String, d: String) = CorpusPipeline.run(spark, j, d)
     val seqWords = (off: Int, n: Int) => (off until off + n).map(i => s"q$i")
