@@ -244,7 +244,7 @@ class PlanSpec extends SparkSpec {
       // per-cell ADC table and code lookups are broadcast EQUI-joins
       // (refine adds only broadcast EQUI-joins — shortlist on (cell, id),
       // query block on qid — but inherits the residual chain's routing cross)
-      "embed_ivfadc_residual", "embed_ivfadc_refine",
+      "embed_ivfadc_residual", "embed_ivfadc_refine", "embed_ivfadc_alloc",
       // one-row (d0, d1) spine-bounds scalar broadcast into the
       // hours-sized interior filter — never event-sized
       "series_stl",
