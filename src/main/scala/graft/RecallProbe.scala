@@ -276,6 +276,18 @@ object RecallProbe {
         println(s"""{"mode":"$mode","tier":"$tier","m":$mSub,"codes":16,""" +
           s""""n_queries":$nq,"mean_recall":${math.rint(r * 1e6) / 1e6}}""")
       }
+      // the one recall evaluation for probe-returned frames (the
+      // persisted-index tiers) — one implementation, N tiers
+      def probeRecall(tier: String, extra: String = "")(approx: DataFrame): Unit = {
+        val a = approx.select(col("qid").as("lqid"), col("nid").as("lnid"))
+        val r = exact.join(a,
+            exact("qid") === a("lqid") && exact("nid") === a("lnid"), "left")
+          .groupBy(col("qid"))
+          .agg((count(col("lnid")) / 5.0).as("recall"))
+          .agg(coalesce(avg(col("recall")), lit(0.0))).head().getDouble(0)
+        println(s"""{"mode":"$mode","tier":"$tier","m":$mSub,"codes":16,$extra""" +
+          s""""n_queries":$nq,"mean_recall":${math.rint(r * 1e6) / 1e6}}""")
+      }
       adcRecall("pq_free", seeds)
       val (_, trained) = graft.ml.KMeans.fitGrouped(
         cSub, seeds, iters = 2, idCol = "nid", grpCol = "sub")
@@ -345,16 +357,8 @@ object RecallProbe {
           k = 16, iters = 2, rRoot)
         graft.ops.IvfIndex.buildPqResidual(spark, mSub, dsub, 16, iters = 2, rRoot)
       }
-      val approxR = graft.ops.IvfIndex.probePqResidual(spark, q, rRoot, mSub, dsub,
-          nprobe = 16, topk = 5)
-        .select(col("qid").as("lqid"), col("nid").as("lnid"))
-      val rRes = exact.join(approxR,
-          exact("qid") === approxR("lqid") && exact("nid") === approxR("lnid"), "left")
-        .groupBy(col("qid"))
-        .agg((count(col("lnid")) / 5.0).as("recall"))
-        .agg(coalesce(avg(col("recall")), lit(0.0))).head().getDouble(0)
-      println(s"""{"mode":"$mode","tier":"pq_residual","m":$mSub,"codes":16,""" +
-        s""""n_queries":$nq,"mean_recall":${math.rint(rRes * 1e6) / 1e6}}""")
+      probeRecall("pq_residual")(graft.ops.IvfIndex.probePqResidual(
+        spark, q, rRoot, mSub, dsub, nprobe = 16, topk = 5))
       // rotation ∘ residual composition (the r12 verdict said the two
       // "compose" — measure it): rotate into the top-16 PCA basis, then
       // run the FULL persisted residual-IVFADC chain on the rotated
@@ -370,16 +374,8 @@ object RecallProbe {
           k = 16, iters = 2, rrRoot)
         graft.ops.IvfIndex.buildPqResidual(spark, mSub, 2, 16, iters = 2, rrRoot)
       }
-      val approxRot = graft.ops.IvfIndex.probePqResidual(spark,
-          rotate(q, "qid", "qv"), rrRoot, mSub, 2, nprobe = 16, topk = 5)
-        .select(col("qid").as("lqid"), col("nid").as("lnid"))
-      val rRot = exact.join(approxRot,
-          exact("qid") === approxRot("lqid") && exact("nid") === approxRot("lnid"), "left")
-        .groupBy(col("qid"))
-        .agg((count(col("lnid")) / 5.0).as("recall"))
-        .agg(coalesce(avg(col("recall")), lit(0.0))).head().getDouble(0)
-      println(s"""{"mode":"$mode","tier":"pq_rot_residual","m":$mSub,"codes":16,""" +
-        s""""n_queries":$nq,"mean_recall":${math.rint(rRot * 1e6) / 1e6}}""")
+      probeRecall("pq_rot_residual")(graft.ops.IvfIndex.probePqResidual(spark,
+        rotate(q, "qid", "qv"), rrRoot, mSub, 2, nprobe = 16, topk = 5))
       // rotation ∘ ALLOCATION ∘ residual — the full persisted-path
       // composition (r13 verdict §1): the rotated vectors build the
       // residual-IVFADC artifact with alloc = true, so the ENGINE's own
@@ -391,21 +387,13 @@ object RecallProbe {
       val raRoot = graft.ops.Scratch.dir(s"probe_ivfadc_rotalloc_${mode}_${mSub}_2_16")
       graft.ops.Scratch.once(raRoot) {
         graft.ops.IvfIndex.build(
-          rotate(cands, "nid", "cv").select(col("nid").as("vec_id"), col("cv").as("v")),
+          rotCands.select(col("nid").as("vec_id"), col("cv").as("v")),
           k = 16, iters = 2, raRoot)
         graft.ops.IvfIndex.buildPqResidual(spark, mSub, 2, 16, iters = 2, raRoot,
           alloc = true)
       }
-      val approxRA = graft.ops.IvfIndex.probePqResidual(spark,
-          rotate(q, "qid", "qv"), raRoot, mSub, 2, nprobe = 16, topk = 5)
-        .select(col("qid").as("lqid"), col("nid").as("lnid"))
-      val rRA = exact.join(approxRA,
-          exact("qid") === approxRA("lqid") && exact("nid") === approxRA("lnid"), "left")
-        .groupBy(col("qid"))
-        .agg((count(col("lnid")) / 5.0).as("recall"))
-        .agg(coalesce(avg(col("recall")), lit(0.0))).head().getDouble(0)
-      println(s"""{"mode":"$mode","tier":"pq_rot_alloc_residual","m":$mSub,"codes":16,""" +
-        s""""n_queries":$nq,"mean_recall":${math.rint(rRA * 1e6) / 1e6}}""")
+      probeRecall("pq_rot_alloc_residual")(graft.ops.IvfIndex.probePqResidual(spark,
+        rotate(q, "qid", "qv"), raRoot, mSub, 2, nprobe = 16, topk = 5))
       // FULL OPQ refinement (Ge et al., TPAMI 2014 §4 — non-parametric):
       // starting from the rotated+allocated coordinates, ALTERNATE
       // (1) codebook fit on the current rotation, (2) the orthogonal
@@ -458,16 +446,9 @@ object RecallProbe {
       // rows fetch raw vectors for an exact squared-L2 re-rank — the
       // exact arm is the same metric, so this row isolates what the
       // shortlist+refine buys over ranking by codes alone (pq_residual).
-      val approxF = graft.ops.IvfIndex.probeRefine(spark, q, rRoot, mSub, dsub,
-          nprobe = 16, shortlist = 50, topk = 5)
-        .select(col("qid").as("lqid"), col("nid").as("lnid"))
-      val rRef = exact.join(approxF,
-          exact("qid") === approxF("lqid") && exact("nid") === approxF("lnid"), "left")
-        .groupBy(col("qid"))
-        .agg((count(col("lnid")) / 5.0).as("recall"))
-        .agg(coalesce(avg(col("recall")), lit(0.0))).head().getDouble(0)
-      println(s"""{"mode":"$mode","tier":"pq_refine","m":$mSub,"codes":16,""" +
-        s""""shortlist":50,"n_queries":$nq,"mean_recall":${math.rint(rRef * 1e6) / 1e6}}""")
+      probeRecall("pq_refine", extra = """"shortlist":50,""")(
+        graft.ops.IvfIndex.probeRefine(spark, q, rRoot, mSub, dsub,
+          nprobe = 16, shortlist = 50, topk = 5))
       exact.unpersist(); cands.unpersist(): Unit
     }
     pqLeg("planted")

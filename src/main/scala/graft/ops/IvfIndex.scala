@@ -34,11 +34,20 @@ object IvfIndex {
     * merge).
     */
   def build(v: DataFrame, k: Int, iters: Int, root: String): Unit = {
+    val s = v.sparkSession
     val (assigned, cents) = graft.ml.KMeans.fit(
       v, graft.ml.KMeans.seedSmallest(v, k), iters)
     cents.write.mode("overwrite").parquet(s"$root/centroids")
-    assigned.drop("d2")
-      .write.mode("overwrite").partitionBy("cl").parquet(s"$root/assignments")
+    val out = assigned.drop("d2")
+    out.write.mode("overwrite").partitionBy("cl").parquet(s"$root/assignments")
+    // schema sidecar: a compaction can retire EVERY assignment file, and
+    // the empty read-back must still answer with the ATTRIBUTE-carrying
+    // frame — a fixed (vec_id, v, cl) fallback would make a filtered
+    // probe throw on the unresolved attr column instead of returning
+    // zero rows (r14 review)
+    val (fs, sp) = hfs(s, s"$root/assignments.schema")
+    val os = fs.create(sp, true)
+    try os.write(out.schema.json.getBytes("UTF-8")) finally os.close()
   }
 
   /** Assign `batch` to the PERSISTED centroids and append the rows to
@@ -59,8 +68,18 @@ object IvfIndex {
     */
   def assignments(s: SparkSession, root: String): DataFrame = {
     import org.apache.spark.sql.types._
-    readHalf(s, root, "assignments", emptyDf(s, Seq("vec_id" -> LongType,
-        "v" -> ArrayType(DoubleType), "cl" -> LongType)))
+    def emptyFallback: DataFrame = {
+      val (fs, sp) = hfs(s, s"$root/assignments.schema")
+      if (fs.exists(sp)) {
+        val in = fs.open(sp)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          DataType.fromJson(txt).asInstanceOf[StructType])
+      } else emptyDf(s, Seq("vec_id" -> LongType,
+        "v" -> ArrayType(DoubleType), "cl" -> LongType))
+    }
+    readHalf(s, root, "assignments", emptyFallback)
       .withColumn("cl", col("cl").cast("long"))
   }
 
@@ -93,16 +112,16 @@ object IvfIndex {
     }
   }
 
-  /** Emptiness probe for a (possibly hive-partitioned) half. One-level
-    * first: a top-level parquet counts immediately. A bare subdirectory
-    * does NOT (r13 advice) — gc only sweeps its OWN generation's dead
-    * cell dirs, so a crashed earlier gc can leave an empty cl= dir that
-    * persists into a later CLEAN state, and a plain read over zero
-    * parquet files fails schema inference instead of answering `empty`.
-    * Directories therefore fall back to a recursive parquet-existence
-    * walk, short-circuited at the first file — the rare (post-crash,
-    * all-cells-near-dead) path; the common CLEAN read still pays one
-    * listing.
+  /** Emptiness probe for a (possibly hive-partitioned) half. A
+    * top-level parquet counts immediately; a bare subdirectory does NOT
+    * (r13 advice) — gc only sweeps its OWN generation's dead cell dirs,
+    * so a crashed earlier gc can leave an empty cl= dir that persists
+    * into a later CLEAN state, and a plain read over zero parquet files
+    * fails schema inference instead of answering `empty`. Subdirs are
+    * probed ONE LEVEL each, short-circuited at the first parquet — on
+    * a healthy hive-partitioned half (whose top level is all cl= dirs)
+    * that is two listings total, and only the pathological
+    * all-cells-gutted state pays the full recursive walk.
     */
   private def hasData(s: SparkSession, path: String): Boolean = {
     val (fs, p) = hfs(s, path)
@@ -110,15 +129,22 @@ object IvfIndex {
       val ls = fs.listStatus(p)
       ls != null && {
         if (ls.exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))) true
-        else if (!ls.exists(_.isDirectory)) false
         else {
-          val it = fs.listFiles(p, true)
-          var found = false
-          while (!found && it.hasNext) {
-            val f = it.next()
-            found = f.isFile && f.getPath.getName.endsWith(".parquet")
-          }
-          found
+          val dirs = ls.filter(_.isDirectory)
+          dirs.nonEmpty && (
+            dirs.exists { d =>
+              val sub = fs.listStatus(d.getPath)
+              sub != null &&
+                sub.exists(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            } || {
+              val it = fs.listFiles(p, true)
+              var found = false
+              while (!found && it.hasNext) {
+                val f = it.next()
+                found = f.isFile && f.getPath.getName.endsWith(".parquet")
+              }
+              found
+            })
         }
       }
     }
@@ -342,14 +368,15 @@ object IvfIndex {
     * Returns the compacted cell ids (driver-bounded: ≤ k cells).
     */
   def compact(s: SparkSession, root: String, minRatio: Double,
-              onlyCells: Seq[Long] = null): Seq[Long] = {
+              onlyCells: Seq[Long] = null,
+              dropIds: DataFrame = null): Seq[Long] = {
     val logOn = s.conf.get("spark.graft.ivf.log", "false").toBoolean
     var t = System.nanoTime()
     def lap(tag: String): Unit = if (logOn) {
       System.err.println(f"[ivf.compact] $tag ${(System.nanoTime() - t) / 1e9}%.2f s")
       t = System.nanoTime()
     }
-    val (cells, steps) = compactPlan(s, root, minRatio, onlyCells)
+    val (cells, steps) = compactPlan(s, root, minRatio, onlyCells, dropIds)
     lap("plan")
     steps.zip(Seq("prepare", "publish", "gc")).foreach { case (st, tag) =>
       st.apply(); lap(tag)
@@ -368,8 +395,17 @@ object IvfIndex {
     * the manifest retired (readers already exclude them, so a crash
     * mid-GC leaves garbage bytes, never wrong rows).
     */
+  /** `dropIds` (when non-null) additionally DRAINS those ids' tombstone
+    * rows even when no cell qualifies for a rewrite — the ORPHAN
+    * re-survival case (a tombstone for an id with no assignment row
+    * masks nothing today but would shadow the id's re-append forever;
+    * the scoped cell selection cannot reach it because there is no
+    * cell). The tombstone table rewrite rides the same manifest
+    * protocol, so the drain is crash-atomic like everything else.
+    */
   private[graft] def compactPlan(s: SparkSession, root: String,
-      minRatio: Double, onlyCells: Seq[Long] = null): (Seq[Long], Seq[() => Unit]) = {
+      minRatio: Double, onlyCells: Seq[Long] = null,
+      dropIds: DataFrame = null): (Seq[Long], Seq[() => Unit]) = {
     val logOn = s.conf.get("spark.graft.ivf.log", "false").toBoolean
     var t0 = System.nanoTime()
     def lap(tag: String): Unit = if (logOn) {
@@ -390,7 +426,12 @@ object IvfIndex {
       .collect()
     lap("stats")
     val cells = stats.map(_.getLong(0)).toSeq
-    if (cells.isEmpty) return (Nil, Nil)
+    // with dropIds, an empty cell set still proceeds iff an orphan
+    // tombstone actually needs draining (otherwise nothing to do)
+    val needOrphanDrain = dropIds != null && cells.isEmpty &&
+      tomb.join(dropIds.select(col("vec_id")), Seq("vec_id"), "left_semi")
+        .head(1).nonEmpty
+    if (cells.isEmpty && !needOrphanDrain) return (Nil, Nil)
     val g = nextGen(s, root)
     val cellsDf = broadcast(s.createDataFrame(
       cells.map(Tuple1(_))).toDF("cl"))
@@ -402,9 +443,11 @@ object IvfIndex {
     // for the life of the index, and would shadow a later re-append of
     // the same id. Scoped (onlyCells) compactions skip the orphan
     // semi-join to keep their cost touched-cells-only.
-    val tombKept = if (onlyCells == null)
+    val tombKept0 = if (onlyCells == null)
       tomb.join(asg.select(col("vec_id")), Seq("vec_id"), "left_semi")
     else tomb
+    val tombKept = if (dropIds == null) tombKept0
+      else tombKept0.join(dropIds.select(col("vec_id")), Seq("vec_id"), "left_anti")
     val remaining = tombKept.join(asg.join(cellsDf, "cl").select(col("vec_id")),
       Seq("vec_id"), "left_anti").transform(Ckpt.eager)
     lap("remaining")
@@ -558,29 +601,10 @@ object IvfIndex {
           if (fs.exists(p) && fs.listStatus(p).isEmpty) fs.delete(p, true): Unit
         }
       }
-      // reconcile intents: a gen with a committed manifest keeps its
-      // files (drop the intent record); a gen WITHOUT one crashed
-      // mid-prepare — delete exactly its intended strays + tmp dir.
-      // Then mark the state CLEAN: directory contents ≡ the view, so
-      // readers return to the plain fast path.
+      // reconcile intents, then mark the state CLEAN: directory
+      // contents ≡ the view, so readers return to the plain fast path
       val (mfs, md) = hfs(s, manifestDir(root))
-      val names = mfs.listStatus(md).filter(_.isFile).map(_.getPath.getName)
-      names.filter(_.startsWith("intent-")).foreach { iname =>
-        val gen = iname.stripPrefix("intent-")
-        val ip = new org.apache.hadoop.fs.Path(md, iname)
-        if (!names.contains(s"m-$gen")) {
-          val in = mfs.open(ip)
-          val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-          txt.linesIterator.filter(_.nonEmpty).foreach { rel =>
-            val (fs, p) = hfs(s, s"$root/$rel")
-            if (fs.exists(p)) fs.delete(p, false): Unit
-          }
-          val (tfs, tdp) = hfs(s, s"$root/.compact-tmp-${gen.toInt}")
-          if (tfs.exists(tdp)) tfs.delete(tdp, true): Unit
-        }
-        mfs.delete(ip, false): Unit
-      }
+      reconcileIntents(s, root, mfs, md)
       // retire the consolidated-away prior manifests (this gen's m- file
       // carries their live content; deleting any subset keeps the fold
       // identical) before certifying CLEAN for this generation
@@ -592,6 +616,36 @@ object IvfIndex {
       out.close()
     }
     (cells, Seq(prepare, publish, gc))
+  }
+
+  /** The ONE intent-reconciliation pass (shared by gc and [[repair]] —
+    * r14 review: two verbatim copies of a crash-recovery invariant is
+    * the divergence risk this same round fixed in Isotonic): a
+    * generation WITH a committed manifest keeps its files (drop the
+    * intent record); one WITHOUT crashed mid-prepare — delete exactly
+    * its intended strays + tmp dir. Idempotent; deletes every intent
+    * file it visits.
+    */
+  private def reconcileIntents(s: SparkSession, root: String,
+      mfs: org.apache.hadoop.fs.FileSystem,
+      md: org.apache.hadoop.fs.Path): Unit = {
+    val names = mfs.listStatus(md).filter(_.isFile).map(_.getPath.getName)
+    names.filter(_.startsWith("intent-")).foreach { iname =>
+      val gen = iname.stripPrefix("intent-")
+      val ip = new org.apache.hadoop.fs.Path(md, iname)
+      if (!names.contains(s"m-$gen")) {
+        val in = mfs.open(ip)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        txt.linesIterator.filter(_.nonEmpty).foreach { rel =>
+          val (fs, p) = hfs(s, s"$root/$rel")
+          if (fs.exists(p)) fs.delete(p, false): Unit
+        }
+        val (tfs, tdp) = hfs(s, s"$root/.compact-tmp-${gen.toInt}")
+        if (tfs.exists(tdp)) tfs.delete(tdp, true): Unit
+      }
+      mfs.delete(ip, false): Unit
+    }
   }
 
   /** GC-ONLY recovery entry point (r13 verdict §1): a compaction that
@@ -628,24 +682,9 @@ object IvfIndex {
           val (fs, p) = hfs(s, s"$root/$rel")
           if (fs.exists(p)) fs.delete(p, false): Unit
         }
-        val names = mfs.listStatus(md).filter(_.isFile).map(_.getPath.getName)
-        names.filter(_.startsWith("intent-")).foreach { iname =>
-          val gen = iname.stripPrefix("intent-")
-          val ip = new org.apache.hadoop.fs.Path(md, iname)
-          if (!names.contains(s"m-$gen")) {
-            val in = mfs.open(ip)
-            val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-              finally in.close()
-            txt.linesIterator.filter(_.nonEmpty).foreach { rel =>
-              val (fs, p) = hfs(s, s"$root/$rel")
-              if (fs.exists(p)) fs.delete(p, false): Unit
-            }
-            val (tfs, tdp) = hfs(s, s"$root/.compact-tmp-${gen.toInt}")
-            if (tfs.exists(tdp)) tfs.delete(tdp, true): Unit
-          }
-          mfs.delete(ip, false): Unit
-        }
-        val ms = names.filter(_.startsWith("m-")).sorted
+        reconcileIntents(s, root, mfs, md)
+        val ms = mfs.listStatus(md).filter(_.isFile).map(_.getPath.getName)
+          .filter(_.startsWith("m-")).sorted
         if (ms.isEmpty) mfs.delete(md, true): Unit
         else {
           val cm = new org.apache.hadoop.fs.Path(md,
@@ -690,6 +729,7 @@ object IvfIndex {
     */
   def buildPq(s: SparkSession, v: DataFrame, m: Int, dsub: Int, codes: Int,
               iters: Int, root: String): Unit = {
+    deleteIfExists(s, s"$root/perm") // raw-PQ rebuild: no permutation
     val ss = graft.queries.EmbedQueries.pqSubSlices(v, "vec_id", m, dsub)
       .select(col("vec_id"), col("sub"), col("svec").as("v"))
     val seedIds = graft.ml.KMeans.seedSmallest(v, codes.toLong)
@@ -717,6 +757,11 @@ object IvfIndex {
 
   // ---- eigenvalue-allocation permutation (persisted beside the
   // codebooks; r13 verdict §1) -------------------------------------------
+
+  private def deleteIfExists(s: SparkSession, path: String): Unit = {
+    val (fs, p) = hfs(s, path)
+    if (fs.exists(p)) fs.delete(p, true): Unit
+  }
 
   /** Persisted coordinate permutation (pos → src dim, both 0-based) of
     * an alloc-built IVFADC artifact; None on plain indexes. Tiny (d
@@ -764,6 +809,11 @@ object IvfIndex {
   def buildPqResidual(s: SparkSession, m: Int, dsub: Int, codes: Int,
                       iters: Int, root: String, alloc: Boolean = false): Unit = {
     val res0 = residuals(assignments(s, root), centroids(s, root))
+    // a rebuild WITHOUT the allocation retires any perm a prior alloc
+    // build persisted — probes replay root/perm unconditionally, and a
+    // stale permutation against unpermuted codes is silent recall
+    // garbage, not an error (r14 review)
+    if (!alloc) deleteIfExists(s, s"$root/perm")
     val res = if (!alloc) res0 else {
       val mom = res0.select(posexplode(col("v")).as(Seq("i", "x")))
         .groupBy(col("i")).agg(round(avg(col("x") * col("x")), 6).as("m2"))

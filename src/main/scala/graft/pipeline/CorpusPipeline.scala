@@ -372,13 +372,16 @@ object CorpusPipeline {
     * is what a reconcile IS), then mutate by DELTA. If any target id is
     * currently TOMBSTONED (it was retracted and has re-survived —
     * cluster membership can flip back under the semantic tier's
-    * data-dependent k), the applied tombstones are drained FIRST via a
-    * minRatio=0 compaction SCOPED to the cells shadowing those ids
-    * (crash-atomic; r13 advice — a single re-survival must not force an
-    * index-wide rewrite of every cell holding an unrelated pending
-    * tombstone), because an append shadowed by a live tombstone would
-    * never serve and every later derive would append another invisible
-    * duplicate — the re-survival divergence CorpusPipelineSpec pins.
+    * data-dependent k), the shadowing tombstone ROWS are drained FIRST
+    * via compact's dropIds mode — one crash-atomic rewrite of the tiny
+    * tombstone table, zero cell rewrites (r13 advice asked for a
+    * cell-scoped drain; dropping just the tombstones is strictly
+    * cheaper AND reaches the orphan case a cell scope cannot): celled
+    * re-survivors resurrect their existing rows, orphans stop
+    * shadowing the re-append. Without the drain, an append shadowed by
+    * a live tombstone would never serve and every later derive would
+    * append another invisible duplicate — the re-survival divergence
+    * CorpusPipelineSpec pins.
     * All mutations are skipped when their delta is empty, so a no-op
     * derive pays zero writes and no compaction stats scan. An EMPTY
     * target set before the first build (zero survivors, or an
@@ -421,10 +424,16 @@ object CorpusPipeline {
     val resIds = sv.select(col("vec_id"))
       .join(IvfIndex.tombstones(spark, root), "vec_id").transform(Ckpt.eager)
     if (resIds.head(1).nonEmpty) {
-      val resCells = IvfIndex.assignments(spark, root)
-        .join(resIds, "vec_id").select(col("cl")).distinct()
-        .collect().map(_.getLong(0)).toSeq
-      IvfIndex.compact(spark, root, minRatio = 0.0, onlyCells = resCells): Unit
+      // drain ONLY the shadowing tombstone rows (compact's dropIds —
+      // one crash-atomic rewrite of the tiny tombstone table, zero cell
+      // rewrites): a celled re-survivor RESURRECTS its existing row
+      // (vectors are vec_id-keyed and immutable, so the row is the one
+      // sv would re-append), and an ORPHAN tombstone (id an earlier
+      // compaction physically removed — the r14 review's case, which a
+      // cell-scoped drain could never reach) stops shadowing the
+      // re-append the diff below will issue
+      IvfIndex.compact(spark, root, minRatio = 2.0, onlyCells = Seq.empty,
+        dropIds = resIds): Unit
     }
     lap("drain")
     // materialize BOTH deltas BEFORE mutating the files they were
@@ -484,7 +493,12 @@ object CorpusPipeline {
       val q = math.max(cur.getOrElse(c, 0L) / cT, 1e-6)
       (q - p) * math.log(q / p)
     }.sum
-    if (psi > thr) {
+    // an EMPTY target must never trigger a destructive rebuild (its
+    // census is all-zero, so PSI is maximal by construction): the index
+    // already serves nothing after the retractions above, and deleting
+    // the root to fit a quantizer on zero rows would leave an
+    // unreadable artifact (r14 review)
+    if (psi > thr && sv.head(1).nonEmpty) {
       Fs.deleteRecursive(spark, root)
       IvfIndex.build(sv, cells, iters = 2, root)
       writeCensus(liveCensus)

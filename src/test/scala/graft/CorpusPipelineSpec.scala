@@ -309,6 +309,27 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(stamps == before, "a no-op reconcile rewrote index files")
   }
 
+  test("reconcileAnnIndex drains ORPHAN tombstones: an id with no assignment row still re-survives") {
+    import spark.implicits._
+    def vecsOf(ids: Seq[Long]) = ids.toDF("vec_id").select(col("vec_id"), expr(
+      "transform(sequence(0, 15), j -> CAST(pmod(hash(vec_id, j), 1000) AS DOUBLE) / 500.0)")
+      .as("v"))
+    val root = mkdir("ann_orphan") + "/idx"
+    val all = 0L until 100L
+    CorpusPipeline.reconcileAnnIndex(spark, root, vecsOf(all), 4)
+    // out-of-band orphan: a tombstone for an id the index has never
+    // held (r14 review — a cell-scoped drain can never reach it, and
+    // without the drain the append below would be shadowed forever)
+    graft.ops.IvfIndex.delete(spark, Seq(500L).toDF("vec_id"), root)
+    CorpusPipeline.reconcileAnnIndex(spark, root, vecsOf(all :+ 500L), 4)
+    val live = graft.ops.IvfIndex.liveAssignments(spark, root)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(live.count(_ == 500L) == 1,
+      s"orphan-shadowed re-survivor must serve exactly once, saw ${live.count(_ == 500L)}")
+    assert(live.toSet == (all :+ 500L).toSet && live.length == 101)
+    assert(graft.ops.IvfIndex.tombstones(spark, root).count() === 0L)
+  }
+
   test("reconcileAnnIndex SELF-HEALS a compaction that crashed in an earlier derive") {
     import spark.implicits._
     def vecsOf(ids: Seq[Long]) = ids.toDF("vec_id").select(col("vec_id"), expr(

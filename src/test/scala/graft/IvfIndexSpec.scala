@@ -348,6 +348,61 @@ class IvfIndexSpec extends SparkSpec {
     assert(refined.forall(_ % 5 != 0), "a deleted vector resurfaced in the refine re-rank")
   }
 
+  test("attribute columns survive the lifecycle; a fully-retired attr index still answers filtered probes") {
+    import spark.implicits._
+    val base = planted(100, 0L)
+      .withColumn("label", (col("vec_id") % 3).cast("int"))
+    val root = Scratch.dir("spec_ivf_attr")
+    IvfIndex.build(base, k = 4, iters = 2, root)
+    // the attr rides build → read-back → compaction rewrite
+    assert(IvfIndex.assignments(spark, root).columns.contains("label"))
+    IvfIndex.delete(spark,
+      base.where(col("vec_id") % 2 === 0).select(col("vec_id")), root)
+    assert(IvfIndex.compact(spark, root, minRatio = 0.1).nonEmpty)
+    val af = IvfIndex.liveAssignments(spark, root)
+      .where(col("label") === 1).select(col("vec_id")).collect().map(_.getLong(0))
+    assert(af.nonEmpty && af.forall(i => i % 3 == 1 && i % 2 != 0),
+      "attr filter wrong after the compaction rewrite")
+    // full retraction: EVERY file retired — the CLEAN-empty read-back
+    // must still carry the attr column (schema sidecar; r14 review), so
+    // a filtered probe returns zero rows instead of throwing on an
+    // unresolved column
+    IvfIndex.delete(spark, base.select(col("vec_id")), root)
+    assert(IvfIndex.compact(spark, root, minRatio = 0.1).nonEmpty)
+    val empty = IvfIndex.assignments(spark, root)
+    assert(empty.columns.contains("label"),
+      "empty read-back dropped the attribute column")
+    assert(empty.count() === 0L)
+    val q = base.where(col("vec_id") < 2).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val probed = IvfIndex.probe(spark, q, root, nprobe = 2, topk = 3,
+      cand = _.where(col("label") === 1))
+    assert(probed.count() === 0L, "filtered probe of the empty index must return no rows")
+  }
+
+  test("alloc=false rebuild retires a stale perm from a prior alloc build") {
+    val (m, dsub, codes) = (2, 4, 4)
+    val base = planted(100, 0L)
+    val root = Scratch.dir("spec_ivf_stale_perm")
+    IvfIndex.build(base, k = 4, iters = 2, root)
+    IvfIndex.buildPqResidual(spark, m, dsub, codes, iters = 2, root, alloc = true)
+    assert(new java.io.File(s"$root/perm").isDirectory)
+    // codebook retrain WITHOUT the allocation: the perm must die with
+    // it, or probes would permute query residuals against unpermuted
+    // codes — silent recall garbage (r14 review)
+    IvfIndex.buildPqResidual(spark, m, dsub, codes, iters = 2, root)
+    assert(!new java.io.File(s"$root/perm").exists(),
+      "stale perm survived an alloc=false rebuild")
+    // and the plain rebuild answers like a plain build
+    val q = base.where(col("vec_id") < 3).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val rootP = Scratch.dir("spec_ivf_stale_perm_plain")
+    IvfIndex.build(base, k = 4, iters = 2, rootP)
+    IvfIndex.buildPqResidual(spark, m, dsub, codes, iters = 2, rootP)
+    def res(r: String) = IvfIndex.probePqResidual(spark, q, r, m, dsub,
+        nprobe = 2, topk = 3, cand = _.where(col("vec_id") >= 3)).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getLong(3))).toSet
+    assert(res(root) === res(rootP))
+  }
+
   test("alloc-built residual IVFADC: perm persisted; appendPqResidual == re-encode at fixed books AND perm") {
     val (m, dsub, codes) = (2, 4, 4)
     val base = planted(200, 0L)
