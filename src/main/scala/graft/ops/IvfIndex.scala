@@ -464,9 +464,9 @@ object IvfIndex {
           .join(tomb, Seq("vec_id"), "left_anti")
           .transform(Ckpt.eager),
         if (hasCodes)
+          // column-preserving (attr columns survive the codes rewrite)
           codes(s, root).join(liveDf, "cl")
             .join(tomb, Seq("vec_id"), "left_anti")
-            .select(col("vec_id"), col("sub"), col("code"), col("cl"))
             .transform(Ckpt.eager)
         else null))
     } else None
@@ -712,8 +712,7 @@ object IvfIndex {
       .select(col("vec_id"), col("sub"), col("cl").as("code"))
     val cells = graft.ml.KMeans.assign(batch, centroids(s, root))
       .select(col("vec_id"), col("cl"))
-    enc.join(cells, "vec_id")
-      .write.mode("append").partitionBy("cl").parquet(s"$root/codes")
+    writeCodes(s, root, enc.join(cells, "vec_id"), batch, overwrite = false)
   }
 
   /** PQ (IVFADC) extension of the persisted artifact — Jégou et al.,
@@ -739,9 +738,10 @@ object IvfIndex {
     val (assigned, cb) = graft.ml.KMeans.fitGrouped(
       ss, seeds, iters, idCol = "vec_id", grpCol = "sub")
     cb.write.mode("overwrite").parquet(s"$root/codebooks")
-    assigned.select(col("vec_id"), col("sub"), col("cl").as("code"))
-      .join(assignments(s, root).select(col("vec_id"), col("cl")), "vec_id")
-      .write.mode("overwrite").partitionBy("cl").parquet(s"$root/codes")
+    writeCodes(s, root,
+      assigned.select(col("vec_id"), col("sub"), col("cl").as("code"))
+        .join(assignments(s, root).select(col("vec_id"), col("cl")), "vec_id"),
+      assignments(s, root), overwrite = true)
   }
 
   /** Residual of each assigned vector against its cell's centroid,
@@ -761,6 +761,33 @@ object IvfIndex {
   private def deleteIfExists(s: SparkSession, path: String): Unit = {
     val (fs, p) = hfs(s, path)
     if (fs.exists(p)) fs.delete(p, true): Unit
+  }
+
+  /** The attribute columns of a frame beyond the index's own
+    * (vec_id, v, cl, d2) — what rides into the encoded half so ADC
+    * probes can attribute-filter the codes scan directly (the same
+    * store-scalars-beside-codes layout filtered-search engines use).
+    * None when the frame carries no attrs.
+    */
+  private def attrsOf(df: DataFrame): Option[DataFrame] = {
+    val extra = df.columns.filterNot(Set("vec_id", "v", "cl", "d2"))
+    if (extra.isEmpty) None
+    else Some(df.select((col("vec_id") +: extra.toIndexedSeq.map(col)): _*))
+  }
+
+  /** Write the codes half (attr columns joined in when the source
+    * frame carries them) plus its schema sidecar on overwrite.
+    */
+  private def writeCodes(s: SparkSession, root: String, enc: DataFrame,
+                         attrSrc: DataFrame, overwrite: Boolean): Unit = {
+    val out = attrsOf(attrSrc).fold(enc)(at => enc.join(at, "vec_id"))
+    out.write.mode(if (overwrite) "overwrite" else "append")
+      .partitionBy("cl").parquet(s"$root/codes")
+    if (overwrite) {
+      val (fs, sp) = hfs(s, s"$root/codes.schema")
+      val os = fs.create(sp, true)
+      try os.write(out.schema.json.getBytes("UTF-8")) finally os.close()
+    }
   }
 
   /** Persisted coordinate permutation (pos → src dim, both 0-based) of
@@ -837,9 +864,10 @@ object IvfIndex {
     val (assigned, cb) = graft.ml.KMeans.fitGrouped(
       ss, seeds, iters, idCol = "vec_id", grpCol = "sub")
     cb.write.mode("overwrite").parquet(s"$root/codebooks")
-    assigned.select(col("vec_id"), col("sub"), col("cl").as("code"))
-      .join(res.select(col("vec_id"), col("cl")), "vec_id")
-      .write.mode("overwrite").partitionBy("cl").parquet(s"$root/codes")
+    writeCodes(s, root,
+      assigned.select(col("vec_id"), col("sub"), col("cl").as("code"))
+        .join(res.select(col("vec_id"), col("cl")), "vec_id"),
+      assignments(s, root), overwrite = true)
   }
 
   /** [[appendPq]]'s residual twin: the batch assigns to the PERSISTED
@@ -858,11 +886,12 @@ object IvfIndex {
     val res = permOf(s, root).fold(res0)(applyPerm(res0, "v", _))
     val ss = graft.queries.EmbedQueries.pqSubSlices(res, "vec_id", m, dsub)
       .select(col("vec_id"), col("sub"), col("svec").as("v"))
-    graft.ml.KMeans.assignGrouped(ss, codebooks(s, root),
-        idCol = "vec_id", grpCol = "sub")
-      .select(col("vec_id"), col("sub"), col("cl").as("code"))
-      .join(res.select(col("vec_id"), col("cl")), "vec_id")
-      .write.mode("append").partitionBy("cl").parquet(s"$root/codes")
+    writeCodes(s, root,
+      graft.ml.KMeans.assignGrouped(ss, codebooks(s, root),
+          idCol = "vec_id", grpCol = "sub")
+        .select(col("vec_id"), col("sub"), col("cl").as("code"))
+        .join(res.select(col("vec_id"), col("cl")), "vec_id"),
+      batch, overwrite = false)
   }
 
   /** ADC probe over RESIDUAL codes ([[buildPqResidual]]'s artifact).
@@ -963,13 +992,24 @@ object IvfIndex {
   def codebooks(s: SparkSession, root: String): DataFrame =
     s.read.parquet(s"$root/codebooks")
 
-  /** Encoded half read-back; `cl` is the hive cell partition column. */
+  /** Encoded half read-back, attribute columns included; `cl` is the
+    * hive cell partition column.
+    */
   def codes(s: SparkSession, root: String): DataFrame = {
     import org.apache.spark.sql.types._
-    readHalf(s, root, "codes", emptyDf(s, Seq("vec_id" -> LongType,
-        "sub" -> IntegerType, "code" -> LongType, "cl" -> LongType)))
-      .select(col("vec_id"), col("sub"), col("code"),
-        col("cl").cast("long").as("cl"))
+    def emptyFallback: DataFrame = {
+      val (fs, sp) = hfs(s, s"$root/codes.schema")
+      if (fs.exists(sp)) {
+        val in = fs.open(sp)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          DataType.fromJson(txt).asInstanceOf[StructType])
+      } else emptyDf(s, Seq("vec_id" -> LongType,
+        "sub" -> IntegerType, "code" -> LongType, "cl" -> LongType))
+    }
+    readHalf(s, root, "codes", emptyFallback)
+      .withColumn("cl", col("cl").cast("long"))
   }
 
   /** ADC probe over the persisted IVFADC artifact: [[probe]]'s coarse

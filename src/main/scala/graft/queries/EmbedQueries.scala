@@ -1075,7 +1075,8 @@ object EmbedQueries {
     * refine tail's exact re-rank.
     */
   private def ivfadcResidualCtes(k: Int, dim: Int, m: Int, dsub: Int,
-                                 kCodes: Int, alloc: Boolean = false): String = {
+                                 kCodes: Int, alloc: Boolean = false,
+                                 labelFilter: String = ""): String = {
     def duckD2(a: String, b: String, d: Int): String =
       s"""list_sum([$a[i] * $a[i] for i in range(1, ${d + 1})]) +
          |  list_sum([$b[i] * $b[i] for i in range(1, ${d + 1})]) -
@@ -1151,7 +1152,11 @@ object EmbedQueries {
          |          CAST(${duckSqDist("qs.sv", "pc1.cv")} AS DECIMAL(18,6)) AS qd
          |        FROM qs JOIN pc1 ON qs.sub = pc1.sub),
          |cand AS (SELECT penc.vec_id AS nid, penc.sub, penc.code, a2.cl
-         |         FROM penc JOIN a2 USING (vec_id) WHERE penc.vec_id >= 10),
+         |         FROM penc JOIN a2 USING (vec_id)${
+           if (labelFilter.isEmpty) ""
+           else " JOIN v vv ON vv.vec_id = penc.vec_id"}
+         |         WHERE penc.vec_id >= 10${
+           if (labelFilter.isEmpty) "" else s" AND $labelFilter"}),
          |pr AS (SELECT adc.qid, cand.nid, sum(adc.qd) AS sd
          |       FROM cand JOIN adc ON adc.cell = cand.cl AND adc.sub = cand.sub
          |         AND adc.code = cand.code
@@ -1190,6 +1195,41 @@ object EmbedQueries {
       val q = v.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
       graft.ops.IvfIndex.probePqResidual(s, q, root, m, dsub, nprobe = 2, topk = 3,
           cand = _.where(col("vec_id") >= 10))
+        .orderBy(col("qid"), col("rnk"))
+    }
+  }
+
+  /** ATTRIBUTE-FILTERED ADC serving — [[embedIvfProbeFiltered]]'s twin
+    * on the ENCODED half: production filtered vector search stores the
+    * scalar fields beside the codes (the FAISS/vector-DB layout), so a
+    * source/lang slice filters the 4-bit code scan itself — never a
+    * side join against an attribute table, never a post-filter over
+    * fetched vectors. [[graft.ops.IvfIndex.buildPqResidual]] rides the
+    * attrs from the assignment half into the cell-partitioned codes;
+    * the `cand` hook's predicate reaches the codes parquet reader as a
+    * pushed filter under the same DPP cell pruning (PlanSpec pins
+    * both). Semantics: the [[embedIvfadcResidual]] residual-ADC chain
+    * with candidates restricted to label ∈ {1, 3, 5, 7}; the oracle
+    * applies the identical predicate in the candidate CTE.
+    */
+  val embedIvfadcFiltered: QueryDef = {
+    val (k, dim, m, dsub, kCodes) = (16, 64, 8, 8, 16)
+    QueryDef.sql("embed_ivfadc_filtered",
+      s"""WITH ${ivfadcResidualCtes(k, dim, m, dsub, kCodes,
+             labelFilter = "vv.label IN (1, 3, 5, 7)")}
+         |SELECT qid, nid, adist, rnk FROM rr WHERE rnk <= 3
+         |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      val vl = Similarity.vectors(Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("v"), col("label"))
+      val root = graft.ops.Scratch.dir(
+        s"ivfadc_attr_${k}_${m}_${dsub}_${kCodes}_${Integer.toHexString(dir.hashCode)}")
+      graft.ops.Scratch.once(root) {
+        graft.ops.IvfIndex.build(vl, k, iters = 2, root)
+        graft.ops.IvfIndex.buildPqResidual(s, m, dsub, kCodes, iters = 2, root)
+      }
+      val q = vl.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
+      graft.ops.IvfIndex.probePqResidual(s, q, root, m, dsub, nprobe = 2, topk = 3,
+          cand = _.where(col("vec_id") >= 10 && col("label").isin(1, 3, 5, 7)))
         .orderBy(col("qid"), col("rnk"))
     }
   }
@@ -3460,7 +3500,7 @@ object EmbedQueries {
     retrievalNdcg, multimodalAudioWindows, embedDimStats,
     embedPcaApply, embedWhiten, embedIvfIndexAppend, embedIndexDrift,
     embedIvfPqIndex, embedPcaTopm, embedPcaWhiten, embedIvfIndexDelete,
-    embedIvfadcResidual, embedIvfadcRefine, embedIvfadcAlloc, embedPqRotated,
-    embedPqAlloc, embedIvfProbeFiltered, streamingIvfAppendReplay,
+    embedIvfadcResidual, embedIvfadcRefine, embedIvfadcAlloc, embedIvfadcFiltered,
+    embedPqRotated, embedPqAlloc, embedIvfProbeFiltered, streamingIvfAppendReplay,
     streamingIvfDeleteReplay)
 }

@@ -379,6 +379,40 @@ class IvfIndexSpec extends SparkSpec {
     assert(probed.count() === 0L, "filtered probe of the empty index must return no rows")
   }
 
+  test("attrs ride the CODES half: filtered ADC probe and refine respect the predicate across compaction") {
+    val (m, dsub, codes) = (2, 4, 4)
+    val base = planted(100, 0L)
+      .withColumn("label", (col("vec_id") % 3).cast("int"))
+    val root = Scratch.dir("spec_ivfadc_attr")
+    IvfIndex.build(base, k = 4, iters = 2, root)
+    IvfIndex.buildPqResidual(spark, m, dsub, codes, iters = 2, root)
+    assert(IvfIndex.codes(spark, root).columns.contains("label"),
+      "codes half did not carry the attribute")
+    def labelsOf(ids: Seq[Long]) = ids.map(i => i % 3)
+    val q = base.where(col("vec_id") < 3).select(col("vec_id").as("qid"), col("v").as("qv"))
+    def adcIds = IvfIndex.probePqResidual(spark, q, root, m, dsub, nprobe = 4,
+        topk = 5, cand = _.where(col("vec_id") >= 3 && col("label") === 1))
+      .collect().map(_.getLong(1)).toSeq
+    assert(adcIds.nonEmpty && labelsOf(adcIds).forall(_ == 1),
+      "filtered ADC probe returned an out-of-slice candidate")
+    def refIds = IvfIndex.probeRefine(spark, q, root, m, dsub, nprobe = 4,
+        shortlist = 20, topk = 5,
+        cand = _.where(col("vec_id") >= 3 && col("label") === 1))
+      .collect().map(_.getLong(1)).toSeq
+    assert(refIds.nonEmpty && labelsOf(refIds).forall(_ == 1),
+      "filtered refine returned an out-of-slice candidate")
+    // attrs survive the lockstep codes rewrite
+    IvfIndex.delete(spark,
+      base.where(col("vec_id") % 5 === 0).select(col("vec_id")), root)
+    assert(IvfIndex.compact(spark, root, minRatio = 0.1).nonEmpty)
+    assert(IvfIndex.codes(spark, root).columns.contains("label"),
+      "codes attribute lost in the compaction rewrite")
+    val after = adcIds
+    assert(after.nonEmpty && labelsOf(after).forall(_ == 1) &&
+      after.forall(_ % 5 != 0),
+      "post-compaction filtered probe wrong (slice or resurrection)")
+  }
+
   test("alloc=false rebuild retires a stale perm from a prior alloc build") {
     val (m, dsub, codes) = (2, 4, 4)
     val base = planted(100, 0L)

@@ -141,6 +141,21 @@ class PlanSpec extends SparkSpec {
       s"expected DPP on both the codes scan and the refine fetch, found $pruned in:\n${p.take(4000)}")
   }
 
+  test("embed_ivfadc_filtered: attribute predicate PUSHED to the DPP-pruned CODES scan") {
+    // filtered ADC serving: the label slice must reach the parquet
+    // reader of the CODES files themselves (attrs stored beside the
+    // codes — the vector-DB layout), under the same dynamic cell
+    // pruning; a side join or post-filter would read the whole cell's
+    // codes at 100 TB
+    val df = graft.queries.EmbedQueries.embedIvfadcFiltered.run(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the filtered codes scan in:\n${p.take(4000)}")
+    assert(p.contains("In(label"),
+      s"label predicate not pushed to the codes scan in:\n${p.take(4000)}")
+  }
+
   test("embed_ivfadc_residual: the per-cell ADC probe dynamically prunes the codes scan") {
     // residual ADC keys the broadcast table by (cell, sub, code) — the
     // cl ≡ cell equi-term must still drive dynamic partition pruning on
@@ -245,6 +260,7 @@ class PlanSpec extends SparkSpec {
       // (refine adds only broadcast EQUI-joins — shortlist on (cell, id),
       // query block on qid — but inherits the residual chain's routing cross)
       "embed_ivfadc_residual", "embed_ivfadc_refine", "embed_ivfadc_alloc",
+      "embed_ivfadc_filtered",
       // one-row (d0, d1) spine-bounds scalar broadcast into the
       // hours-sized interior filter — never event-sized
       "series_stl",
