@@ -29,9 +29,12 @@ object IvfIndex {
     * the vectors inside each cell partition — the production layout for
     * attribute-filtered serving (`probe(cand = _.where(col("label") …))`
     * becomes a parquet-pushed predicate on the DPP-pruned cell scan, no
-    * side join). [[append]] batches should carry the same attr columns
-    * (a mismatched append reads back as nulls under parquet schema
-    * merge).
+    * side join). [[append]] batches MUST carry the same attr columns —
+    * a mismatched append is REJECTED against the persisted schema
+    * sidecar (mixed parquet schemas inside one half would otherwise
+    * silently drop the attr from inference or null appended rows out of
+    * every filtered probe; mergeSchema stays off by design — a
+    * corpus-sized footer sweep at scale).
     */
   def build(v: DataFrame, k: Int, iters: Int, root: String): Unit = {
     val s = v.sparkSession
@@ -52,12 +55,16 @@ object IvfIndex {
 
   /** Assign `batch` to the PERSISTED centroids and append the rows to
     * the cell-partitioned assignments — no base rewrite, no refit.
-    * Attribute columns ride through (the [[build]] contract).
+    * Attribute columns ride through (the [[build]] contract; the batch
+    * MUST carry the same attr columns the index was built with —
+    * validated against the schema sidecar, because mixed parquet
+    * schemas inside one half are never merged at read time).
     */
-  def append(s: SparkSession, batch: DataFrame, root: String): Unit =
-    graft.ml.KMeans.assign(batch, centroids(s, root))
-      .drop("d2")
-      .write.mode("append").partitionBy("cl").parquet(s"$root/assignments")
+  def append(s: SparkSession, batch: DataFrame, root: String): Unit = {
+    val out = graft.ml.KMeans.assign(batch, centroids(s, root)).drop("d2")
+    requireSidecarMatch(s, s"$root/assignments.schema", out, "assignments")
+    out.write.mode("append").partitionBy("cl").parquet(s"$root/assignments")
+  }
 
   def centroids(s: SparkSession, root: String): DataFrame =
     s.read.parquet(s"$root/centroids")
@@ -66,20 +73,29 @@ object IvfIndex {
     * `cl` comes back as a hive partition column: the cast pins its type
     * against partition-column type inference.
     */
+  /** The schema-sidecar empty fallback shared by both halves' empty
+    * read-backs: an attribute-built half whose every file was retired
+    * must still answer with the attr-carrying empty frame; pre-sidecar
+    * roots fall back to the fixed default columns.
+    */
+  private def sidecarEmpty(s: SparkSession, sidecar: String,
+      default: Seq[(String, org.apache.spark.sql.types.DataType)]): DataFrame = {
+    val (fs, sp) = hfs(s, sidecar)
+    if (fs.exists(sp)) {
+      val in = fs.open(sp)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.DataType.fromJson(txt)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+    } else emptyDf(s, default)
+  }
+
   def assignments(s: SparkSession, root: String): DataFrame = {
     import org.apache.spark.sql.types._
-    def emptyFallback: DataFrame = {
-      val (fs, sp) = hfs(s, s"$root/assignments.schema")
-      if (fs.exists(sp)) {
-        val in = fs.open(sp)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          DataType.fromJson(txt).asInstanceOf[StructType])
-      } else emptyDf(s, Seq("vec_id" -> LongType,
-        "v" -> ArrayType(DoubleType), "cl" -> LongType))
-    }
-    readHalf(s, root, "assignments", emptyFallback)
+    readHalf(s, root, "assignments",
+        sidecarEmpty(s, s"$root/assignments.schema", Seq("vec_id" -> LongType,
+          "v" -> ArrayType(DoubleType), "cl" -> LongType)))
       .withColumn("cl", col("cl").cast("long"))
   }
 
@@ -360,10 +376,15 @@ object IvfIndex {
     * single-writer per index root: two concurrent compactPlans would
     * race the generation watermark.
     *
-    * `onlyCells` (when non-null) restricts candidate cells — the scoped
-    * re-survival drain: a pipeline un-retracting a handful of ids must
-    * not pay an index-wide minRatio=0 rewrite (r13 advice), only the
-    * cells actually shadowing those ids.
+    * `onlyCells` (when non-null) restricts the candidate cells a
+    * rewrite may select — pass an explicit subset to bound a
+    * maintenance pass, or `Seq.empty` to select NO cells (combined with
+    * `dropIds`, that is the tombstone-table-only rewrite). `dropIds`
+    * (when non-null) drains those ids' tombstone ROWS regardless of
+    * cell selection — the re-survival drain
+    * ([[graft.pipeline.CorpusPipeline]] un-retracting ids must not pay
+    * any cell rewrite, and an ORPHAN tombstone has no cell to scope
+    * to); see [[compactPlan]].
     *
     * Returns the compacted cell ids (driver-bounded: ≤ k cells).
     */
@@ -738,10 +759,11 @@ object IvfIndex {
     val (assigned, cb) = graft.ml.KMeans.fitGrouped(
       ss, seeds, iters, idCol = "vec_id", grpCol = "sub")
     cb.write.mode("overwrite").parquet(s"$root/codebooks")
+    val asgOnce = assignments(s, root) // one read serves the cl join AND the attr source
     writeCodes(s, root,
       assigned.select(col("vec_id"), col("sub"), col("cl").as("code"))
-        .join(assignments(s, root).select(col("vec_id"), col("cl")), "vec_id"),
-      assignments(s, root), overwrite = true)
+        .join(asgOnce.select(col("vec_id"), col("cl")), "vec_id"),
+      asgOnce, overwrite = true)
   }
 
   /** Residual of each assigned vector against its cell's centroid,
@@ -767,26 +789,60 @@ object IvfIndex {
     * (vec_id, v, cl, d2) — what rides into the encoded half so ADC
     * probes can attribute-filter the codes scan directly (the same
     * store-scalars-beside-codes layout filtered-search engines use).
-    * None when the frame carries no attrs.
+    * None when the frame carries no attrs. Attr names colliding with
+    * the encoding columns are rejected up front — a `sub`/`code` attr
+    * would produce a duplicate-column write deep inside the build
+    * instead of a readable error here.
     */
   private def attrsOf(df: DataFrame): Option[DataFrame] = {
     val extra = df.columns.filterNot(Set("vec_id", "v", "cl", "d2"))
+    require(!extra.exists(Set("sub", "code")),
+      s"IvfIndex: attribute columns may not be named 'sub' or 'code' " +
+        s"(reserved by the encoded half); got ${extra.mkString(", ")}")
     if (extra.isEmpty) None
     else Some(df.select((col("vec_id") +: extra.toIndexedSeq.map(col)): _*))
   }
 
+  /** Enforce the append-side attr contract against a half's persisted
+    * schema sidecar: mixed parquet schemas inside one half are NOT
+    * merged at read time (mergeSchema stays off — a corpus-sized
+    * footer sweep at scale), so an attr-mismatched append would either
+    * drop the attr column from inference or read its rows as nulls and
+    * silently exclude them from every filtered probe. Reject it at
+    * write time instead. Pre-sidecar roots (built before the attr
+    * carry) skip the check.
+    */
+  private def requireSidecarMatch(s: SparkSession, sidecar: String,
+                                  out: DataFrame, what: String): Unit = {
+    val (fs, sp) = hfs(s, sidecar)
+    if (fs.exists(sp)) {
+      val in = fs.open(sp)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val want = org.apache.spark.sql.types.DataType.fromJson(txt)
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+      require(out.columns.toSet == want,
+        s"IvfIndex: $what append column set ${out.columns.toSet} does not " +
+          s"match the index's persisted schema $want — append batches must " +
+          s"carry the same attribute columns the index was built with")
+    }
+  }
+
   /** Write the codes half (attr columns joined in when the source
-    * frame carries them) plus its schema sidecar on overwrite.
+    * frame carries them) plus its schema sidecar on overwrite; appends
+    * are validated against the sidecar.
     */
   private def writeCodes(s: SparkSession, root: String, enc: DataFrame,
                          attrSrc: DataFrame, overwrite: Boolean): Unit = {
     val out = attrsOf(attrSrc).fold(enc)(at => enc.join(at, "vec_id"))
-    out.write.mode(if (overwrite) "overwrite" else "append")
-      .partitionBy("cl").parquet(s"$root/codes")
     if (overwrite) {
+      out.write.mode("overwrite").partitionBy("cl").parquet(s"$root/codes")
       val (fs, sp) = hfs(s, s"$root/codes.schema")
       val os = fs.create(sp, true)
       try os.write(out.schema.json.getBytes("UTF-8")) finally os.close()
+    } else {
+      requireSidecarMatch(s, s"$root/codes.schema", out, "codes")
+      out.write.mode("append").partitionBy("cl").parquet(s"$root/codes")
     }
   }
 
@@ -835,7 +891,8 @@ object IvfIndex {
     */
   def buildPqResidual(s: SparkSession, m: Int, dsub: Int, codes: Int,
                       iters: Int, root: String, alloc: Boolean = false): Unit = {
-    val res0 = residuals(assignments(s, root), centroids(s, root))
+    val asgOnce = assignments(s, root) // serves residuals AND the attr source
+    val res0 = residuals(asgOnce, centroids(s, root))
     // a rebuild WITHOUT the allocation retires any perm a prior alloc
     // build persisted — probes replay root/perm unconditionally, and a
     // stale permutation against unpermuted codes is silent recall
@@ -867,7 +924,7 @@ object IvfIndex {
     writeCodes(s, root,
       assigned.select(col("vec_id"), col("sub"), col("cl").as("code"))
         .join(res.select(col("vec_id"), col("cl")), "vec_id"),
-      assignments(s, root), overwrite = true)
+      asgOnce, overwrite = true)
   }
 
   /** [[appendPq]]'s residual twin: the batch assigns to the PERSISTED
@@ -997,18 +1054,9 @@ object IvfIndex {
     */
   def codes(s: SparkSession, root: String): DataFrame = {
     import org.apache.spark.sql.types._
-    def emptyFallback: DataFrame = {
-      val (fs, sp) = hfs(s, s"$root/codes.schema")
-      if (fs.exists(sp)) {
-        val in = fs.open(sp)
-        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          DataType.fromJson(txt).asInstanceOf[StructType])
-      } else emptyDf(s, Seq("vec_id" -> LongType,
-        "sub" -> IntegerType, "code" -> LongType, "cl" -> LongType))
-    }
-    readHalf(s, root, "codes", emptyFallback)
+    readHalf(s, root, "codes",
+        sidecarEmpty(s, s"$root/codes.schema", Seq("vec_id" -> LongType,
+          "sub" -> IntegerType, "code" -> LongType, "cl" -> LongType)))
       .withColumn("cl", col("cl").cast("long"))
   }
 
