@@ -38,6 +38,7 @@ object IvfIndex {
     */
   def build(v: DataFrame, k: Int, iters: Int, root: String): Unit = {
     val s = v.sparkSession
+    attrsOf(v): Unit // fail fast on reserved attr names
     val (assigned, cents) = graft.ml.KMeans.fit(
       v, graft.ml.KMeans.seedSmallest(v, k), iters)
     cents.write.mode("overwrite").parquet(s"$root/centroids")
@@ -749,8 +750,10 @@ object IvfIndex {
     */
   def buildPq(s: SparkSession, v: DataFrame, m: Int, dsub: Int, codes: Int,
               iters: Int, root: String): Unit = {
+    attrsOf(v): Unit // fail fast on reserved attr names
     deleteIfExists(s, s"$root/perm") // raw-PQ rebuild: no permutation
-    val ss = graft.queries.EmbedQueries.pqSubSlices(v, "vec_id", m, dsub)
+    val ss = graft.queries.EmbedQueries.pqSubSlices(
+      v.select(col("vec_id"), col("v")), "vec_id", m, dsub)
       .select(col("vec_id"), col("sub"), col("svec").as("v"))
     val seedIds = graft.ml.KMeans.seedSmallest(v, codes.toLong)
       .select(col("cl").as("__sid"))

@@ -379,6 +379,31 @@ class IvfIndexSpec extends SparkSpec {
     assert(probed.count() === 0L, "filtered probe of the empty index must return no rows")
   }
 
+  test("an attr-mismatched append is REJECTED (mixed parquet schemas are never merged at read)") {
+    val base = planted(60, 0L)
+      .withColumn("label", (col("vec_id") % 3).cast("int"))
+    val root = Scratch.dir("spec_ivf_attr_contract")
+    IvfIndex.build(base, k = 2, iters = 2, root)
+    val bare = planted(10, 100L) // no label column
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.append(spark, bare, root)
+    }
+    assert(e.getMessage.contains("attribute columns"),
+      s"wrong rejection message: ${e.getMessage}")
+    // matched appends still work
+    IvfIndex.append(spark,
+      planted(10, 100L).withColumn("label", (col("vec_id") % 3).cast("int")), root)
+    assert(IvfIndex.assignments(spark, root).count() === 70L)
+    // reserved attr names fail fast with a readable error
+    val e2 = intercept[IllegalArgumentException] {
+      IvfIndex.buildPq(spark,
+        planted(60, 0L).withColumn("code", lit(1)), 2, 4, 4, iters = 2,
+        Scratch.dir("spec_ivf_attr_reserved"))
+    }
+    assert(e2.getMessage.contains("reserved"),
+      s"wrong reserved-name message: ${e2.getMessage}")
+  }
+
   test("attrs ride the CODES half: filtered ADC probe and refine respect the predicate across compaction") {
     val (m, dsub, codes) = (2, 4, 4)
     val base = planted(100, 0L)
