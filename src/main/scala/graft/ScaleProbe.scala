@@ -367,6 +367,35 @@ object ScaleProbe {
       val refS = (System.nanoTime() - tRef) / 1e9
       println(f"[scaleprobe] docs=$n%6d refine q=$nq%3d adc_only=$adcS%6.1f s refine=$refS%6.1f s delta=${refS - adcS}%6.1f s rows=$nAdc%4d/$nRef%4d")
       }
+      // filtered-probe leg (r14): attribute-filtered serving cost. The
+      // label predicate is PUSHED to the DPP-pruned scans (assignments
+      // for the exact arm, codes for the ADC arm — attrs stored beside
+      // both), so a 10%-selectivity slice must cost ≤ the unfiltered
+      // probe at the identical probe budget: same cells' files read,
+      // row-group skipping inside them — never a side join or a
+      // post-filter surcharge over fetched vectors.
+      if (on("filtered")) {
+        val fRoot = graft.ops.Scratch.dir(s"probe_filtered_$n")
+        val vl = vv.withColumn("label", pmod(col("vec_id"), lit(10)).cast("int"))
+        graft.ops.IvfIndex.build(vl, 64, 2, fRoot)
+        graft.ops.IvfIndex.buildPqResidual(spark, m = 8, dsub = 8, codes = 16,
+          iters = 2, fRoot)
+        val qF = vv.where(col("vec_id") % math.max(1, n / 20) === 1)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val nqF = qF.count()
+        def timed(f: => Long): (Double, Long) = {
+          val t = System.nanoTime(); val r = f
+          ((System.nanoTime() - t) / 1e9, r)
+        }
+        val (tAll, nAll) = timed(graft.ops.IvfIndex.probe(spark, qF, fRoot,
+          nprobe = 4, topk = 5).count())
+        val (tFil, nFil) = timed(graft.ops.IvfIndex.probe(spark, qF, fRoot,
+          nprobe = 4, topk = 5, cand = _.where(col("label") === 3)).count())
+        val (tAdcF, nAdcF) = timed(graft.ops.IvfIndex.probePqResidual(spark, qF,
+          fRoot, m = 8, dsub = 8, nprobe = 4, topk = 5,
+          cand = _.where(col("label") === 3)).count())
+        println(f"[scaleprobe] docs=$n%6d filtered q=$nqF%3d exact_all=$tAll%6.1f s exact_slice=$tFil%6.1f s adc_slice=$tAdcF%6.1f s rows=$nAll%4d/$nFil%4d/$nAdcF%4d")
+      }
       vecs.unpersist(false)
 
       // asof leg: composed union+window vs the native AsOfJoinExec on
