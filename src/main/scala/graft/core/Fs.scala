@@ -45,6 +45,16 @@ object Fs {
     val p = new org.apache.hadoop.fs.Path(path)
     fs(spark, p).delete(p, true): Unit
   }
+
+  /** Directory rename (the write-aside + swap step of crash-safe
+    * artifact replacement). One metadata op on HDFS/local; fails loud
+    * rather than silently leaving both trees.
+    */
+  def rename(spark: SparkSession, from: String, to: String): Unit = {
+    val f = new org.apache.hadoop.fs.Path(from)
+    val t = new org.apache.hadoop.fs.Path(to)
+    require(fs(spark, f).rename(f, t), s"Fs.rename: $from -> $to failed")
+  }
 }
 
 /** The one JSON string escaper (Verify's oracle dump, the fails report,

@@ -38,7 +38,7 @@ object IvfIndex {
     */
   def build(v: DataFrame, k: Int, iters: Int, root: String): Unit = {
     val s = v.sparkSession
-    attrsOf(v): Unit // fail fast on reserved attr names
+    requireNoReserved(v, "build")
     val (assigned, cents) = graft.ml.KMeans.fit(
       v, graft.ml.KMeans.seedSmallest(v, k), iters)
     cents.write.mode("overwrite").parquet(s"$root/centroids")
@@ -62,8 +62,10 @@ object IvfIndex {
     * schemas inside one half are never merged at read time).
     */
   def append(s: SparkSession, batch: DataFrame, root: String): Unit = {
+    requireNoReserved(batch, "append")
     val out = graft.ml.KMeans.assign(batch, centroids(s, root)).drop("d2")
-    requireSidecarMatch(s, s"$root/assignments.schema", out, "assignments")
+    requireSidecarMatch(s, s"$root/assignments.schema", out, "assignments",
+      assignments(s, root).schema)
     out.write.mode("append").partitionBy("cl").parquet(s"$root/assignments")
   }
 
@@ -727,6 +729,7 @@ object IvfIndex {
     */
   def appendPq(s: SparkSession, batch: DataFrame, m: Int, dsub: Int,
                root: String): Unit = {
+    requireNoReserved(batch, "appendPq")
     val ss = graft.queries.EmbedQueries.pqSubSlices(batch, "vec_id", m, dsub)
       .select(col("vec_id"), col("sub"), col("svec").as("v"))
     val cb = codebooks(s, root)
@@ -750,7 +753,7 @@ object IvfIndex {
     */
   def buildPq(s: SparkSession, v: DataFrame, m: Int, dsub: Int, codes: Int,
               iters: Int, root: String): Unit = {
-    attrsOf(v): Unit // fail fast on reserved attr names
+    requireNoReserved(v, "buildPq")
     deleteIfExists(s, s"$root/perm") // raw-PQ rebuild: no permutation
     val ss = graft.queries.EmbedQueries.pqSubSlices(
       v.select(col("vec_id"), col("v")), "vec_id", m, dsub)
@@ -799,12 +802,29 @@ object IvfIndex {
     */
   private def attrsOf(df: DataFrame): Option[DataFrame] = {
     val extra = df.columns.filterNot(Set("vec_id", "v", "cl", "d2"))
-    require(!extra.exists(Set("sub", "code")),
-      s"IvfIndex: attribute columns may not be named 'sub' or 'code' " +
-        s"(reserved by the encoded half); got ${extra.mkString(", ")}")
     if (extra.isEmpty) None
     else Some(df.select((col("vec_id") +: extra.toIndexedSeq.map(col)): _*))
   }
+
+  /** Fail fast on user frames (build inputs, append batches) whose
+    * attribute columns collide with the index's OWN columns — not just
+    * the encoded half's `sub`/`code` but the assignment half's
+    * `cl`/`d2` (r14 advice): KMeans.assign emits its own cl/d2, so a
+    * colliding attr would be silently conflated with the cell id /
+    * distance (or dropped by the internal drop("d2")) instead of
+    * carried, and [[attrsOf]]'s internal filter cannot tell the two
+    * apart. Internal frames (assignment read-backs) legitimately carry
+    * cl — only entry points call this.
+    */
+  private def requireNoReserved(df: DataFrame, what: String): Unit = {
+    val bad = df.columns.filterNot(Set("vec_id", "v")).filter(Reserved)
+    require(bad.isEmpty,
+      s"IvfIndex: $what attribute columns may not use the reserved names " +
+        s"${bad.mkString(", ")} — 'cl'/'d2' are the assignment half's own " +
+        "columns and 'sub'/'code' the encoded half's")
+  }
+
+  private val Reserved = Set("cl", "d2", "sub", "code")
 
   /** Enforce the append-side attr contract against a half's persisted
     * schema sidecar: mixed parquet schemas inside one half are NOT
@@ -815,20 +835,43 @@ object IvfIndex {
     * write time instead. Pre-sidecar roots (built before the attr
     * carry) skip the check.
     */
+  /** Order- and nullability-insensitive shape of a schema: what must
+    * agree between an append batch and the half it lands in. Types
+    * matter as much as names (r14 advice) — a same-named attr written
+    * INT at build and LONG in a batch passes a name-set check yet
+    * leaves mixed physical parquet schemas in one half, which
+    * mergeSchema-off reads then throw on or misread.
+    */
+  private def shapeOf(st: org.apache.spark.sql.types.StructType): Map[String, String] =
+    st.fields.map(f => f.name -> f.dataType.catalogString).toMap
+
   private def requireSidecarMatch(s: SparkSession, sidecar: String,
-                                  out: DataFrame, what: String): Unit = {
+                                  out: DataFrame, what: String,
+                                  existing: => org.apache.spark.sql.types.StructType): Unit = {
     val (fs, sp) = hfs(s, sidecar)
-    if (fs.exists(sp)) {
-      val in = fs.open(sp)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      val want = org.apache.spark.sql.types.DataType.fromJson(txt)
-        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
-      require(out.columns.toSet == want,
-        s"IvfIndex: $what append column set ${out.columns.toSet} does not " +
-          s"match the index's persisted schema $want — append batches must " +
-          s"carry the same attribute columns the index was built with")
-    }
+    val want =
+      if (fs.exists(sp)) {
+        val in = fs.open(sp)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        shapeOf(org.apache.spark.sql.types.DataType.fromJson(txt)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      } else {
+        // pre-sidecar root (built before the attr carry): the half's
+        // own read-back schema IS the contract — adopt it as the lazily
+        // written sidecar and validate this and every later append
+        // against it, closing the same mixed-schema hole the sidecar
+        // closes for new roots (r14 advice)
+        val adopted = existing
+        val os = fs.create(sp, true)
+        try os.write(adopted.json.getBytes("UTF-8")) finally os.close()
+        shapeOf(adopted)
+      }
+    require(shapeOf(out.schema) == want,
+      s"IvfIndex: $what append schema ${shapeOf(out.schema)} does not " +
+        s"match the index's persisted schema $want — append batches must " +
+        s"carry the same attribute columns (names AND types) the index " +
+        s"was built with")
   }
 
   /** Write the codes half (attr columns joined in when the source
@@ -844,7 +887,8 @@ object IvfIndex {
       val os = fs.create(sp, true)
       try os.write(out.schema.json.getBytes("UTF-8")) finally os.close()
     } else {
-      requireSidecarMatch(s, s"$root/codes.schema", out, "codes")
+      requireSidecarMatch(s, s"$root/codes.schema", out, "codes",
+        codes(s, root).schema)
       out.write.mode("append").partitionBy("cl").parquet(s"$root/codes")
     }
   }
@@ -940,6 +984,7 @@ object IvfIndex {
     */
   def appendPqResidual(s: SparkSession, batch: DataFrame, m: Int, dsub: Int,
                        root: String): Unit = {
+    requireNoReserved(batch, "appendPqResidual")
     val asg = graft.ml.KMeans.assign(batch, centroids(s, root))
       .select(col("vec_id"), col("v"), col("cl"))
     val res0 = residuals(asg, centroids(s, root))

@@ -90,6 +90,7 @@ final case class CorpusConfig(
     semanticTau: Double = 0.35,             // semantic drop threshold
     embeddingsPath: String = "",            // (vec_id = doc_id, embedding) parquet for the semantic/ann stages
     bpeMerges: Int = 0,                     // >0: ship a BPE tokenizer trained on the train split (≡ text_bpe_merges)
+    packBudget: Int = 0,                    // >0: materialize packed token-id sequences of this length (needs bpeMerges > 0)
     annIndex: Boolean = false,              // maintain a persisted IVF index over survivors' vectors
     annCells: Int = 16,                     // coarse cell count for the ann index
     annRetrainPsi: Double = 0.0)            // >0: retrain the quantizer when cell-population PSI vs the last-fit census crosses this
@@ -312,6 +313,54 @@ object CorpusPipeline {
       }
     }
 
+    // ---- packed: the TRAINING-READY deliverable (r14 verdict §1) ----
+    // the artifact an LLM data pipeline exists to produce — survivors
+    // tokenized through the TRAINED merge table (the text_bpe_tokenize
+    // kernel) and concat-and-chunked into fixed-`packBudget` token-id
+    // context windows (the ml_pack_sequences layout made real), one row
+    // per sequence: the ordered token_ids array plus doc_spans
+    // (doc_id, start_pos) boundary metadata for loss masking /
+    // provenance. Packing is keyed by SPLIT, so no sequence ever
+    // straddles the leakage fence; within a split, shard hash + doc_id
+    // order make the layout deterministic and append-stable (the stage
+    // recomputes in the derived tier, so run-then-append ≡ full rerun
+    // extends to it). Scale: the two corpus-sized steps are the
+    // tokenize equi-join and the per-shard doc cumsum (parallelism =
+    // splits × epochShards, sized to the cluster); the per-sequence
+    // collect is bounded by packBudget.
+    val packedOpt = if (cfg.packBudget > 0) {
+      require(cfg.bpeMerges > 0,
+        "packBudget needs the trained tokenizer stage (set bpeMerges > 0)")
+      val packed = Pipeline.stage(spark, p("packed"), forceD) {
+        val merges = spark.read.parquet(p("tokenizer")).orderBy(col("rank"))
+          .collect().map(r => graft.ops.Bpe.Merge(
+            r.getLong(0).toInt, r.getString(1), r.getString(2), r.getLong(4)))
+          .toSeq // merges+alphabet sized — the artifact IS driver data
+        val toks = graft.queries.TextQueries.bpeTokenStream(survivors2, merges)
+          .join(split.select(col("doc_id"), col("split")), "doc_id")
+        graft.queries.TextQueries
+          .packTokenStream(toks, cfg.packBudget, cfg.epochShards,
+            salt = "pack", keyCols = Seq("split"))
+          .groupBy(col("split"), col("shard"), col("seq_id"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("tid"), col("doc_id"))))
+            .as("ord"))
+          .select(col("split"), col("shard"), col("seq_id"),
+            expr("transform(ord, x -> x.tid)").as("token_ids"),
+            expr("""transform(
+                      filter(sequence(0, size(ord) - 1),
+                             i -> i = 0 OR ord[i].doc_id != ord[i - 1].doc_id),
+                      i -> struct(ord[i].doc_id AS doc_id, ord[i].pos AS start_pos))""")
+              .as("doc_spans"),
+            size(col("ord")).cast("long").as("n_tokens"))
+      }
+      val shardsPath = p("packed_shards")
+      if (forceD || !Fs.exists(spark, s"$shardsPath/_SUCCESS"))
+        Sinks.shardedParquet(packed, shardsPath,
+          partitionCols = Seq("split"), sortCols = Seq("shard", "seq_id"),
+          maxRecordsPerFile = cfg.maxRecordsPerFile)
+      Some(packed)
+    } else None
+
     // ---- mixture + epoch order over the final corpus ----
     val mixture = Pipeline.stage(spark, p("mixture"), forceD)(
       MlQueries.mixtureEpochsFrame(survivors2, cfg.budgetTokens))
@@ -341,8 +390,17 @@ object CorpusPipeline {
           hs.join(survivors2.select(col("doc_id")), "doc_id"), survivors2)
         .orderBy(col("jaccard").desc, col("sa"), col("sb")).limit(5).collect()
         .map(r => s"""{"sa": ${graft.core.Json.quote(r.getString(0))}, "sb": ${graft.core.Json.quote(r.getString(1))}, "jaccard": ${r.getDouble(3)}}""")
+      // token census of the shipped packed artifact (≤3 rows) — the
+      // number a training run budgets against
+      val packedJson = packedOpt.fold("") { pk =>
+        val rows = pk.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_sequences"), sum(col("n_tokens")).as("n_tokens"))
+          .orderBy(col("split")).collect()
+          .map(r => s""""${r.getString(0)}": {"n_sequences": ${r.getLong(1)}, "n_tokens": ${r.getLong(2)}}""")
+        s""", "packed_tokens": ${rows.mkString("{", ", ", "}")}"""
+      }
       Fs.writeString(spark, p("dataset_card.json"),
-        s"""{"constraints": ${cons.mkString("{", ", ", "}")}, "dup_rate_by_source": ${rates.mkString("{", ", ", "}")}, "top_source_overlap": ${overlap.mkString("[", ", ", "]")}}""")
+        s"""{"constraints": ${cons.mkString("{", ", ", "}")}, "dup_rate_by_source": ${rates.mkString("{", ", ", "}")}, "top_source_overlap": ${overlap.mkString("[", ", ", "]")}$packedJson}""")
     }
 
     // ---- final corpus + sharded training layout ----
@@ -401,6 +459,9 @@ object CorpusPipeline {
       System.err.println(f"[ann.reconcile] $tag ${(System.nanoTime() - t) / 1e9}%.2f s")
       t = System.nanoTime()
     }
+    // finish (or discard) a retrain swap an earlier derive crashed in —
+    // before ANY read of the root, so readers never see the gap
+    adoptRetrain(spark, root)
     if (!Fs.exists(spark, s"$root/centroids")) {
       if (sv.head(1).nonEmpty) {
         IvfIndex.build(sv, cells, iters = 2, root)
@@ -477,10 +538,10 @@ object CorpusPipeline {
     def liveCensus: Map[Long, Long] = IvfIndex.liveAssignments(spark, root)
       .groupBy(col("cl")).count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    def writeCensus(c: Map[Long, Long]): Unit = {
+    def writeCensus(c: Map[Long, Long], r: String = root): Unit = {
       import spark.implicits._
       c.toSeq.toDF("cl", "n").coalesce(1)
-        .write.mode("overwrite").parquet(s"$root/census")
+        .write.mode("overwrite").parquet(s"$r/census")
     }
     if (!Fs.exists(spark, s"$root/census")) { writeCensus(liveCensus); return }
     val base = spark.read.parquet(s"$root/census")
@@ -499,10 +560,41 @@ object CorpusPipeline {
     // the root to fit a quantizer on zero rows would leave an
     // unreadable artifact (r14 review)
     if (psi > thr && sv.head(1).nonEmpty) {
+      // WRITE-ASIDE + SWAP (r14 advice): the rebuild was the lifecycle's
+      // one non-crash-atomic destructive mutation — delete-then-build
+      // left a window where readers saw NO index. Now the whole refit
+      // lands under a sibling temp root (census written LAST = the
+      // completeness marker), and only then does the old root die; the
+      // swap itself is two metadata ops, and a crash between them is
+      // healed by [[adoptRetrain]] at the next derive's entry (the
+      // completed write-aside is adopted, not rebuilt).
+      val tmp = retrainTmp(root)
+      Fs.deleteRecursive(spark, tmp)
+      IvfIndex.build(sv, cells, iters = 2, tmp)
+      writeCensus(IvfIndex.liveAssignments(spark, tmp)
+        .groupBy(col("cl")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, tmp)
       Fs.deleteRecursive(spark, root)
-      IvfIndex.build(sv, cells, iters = 2, root)
-      writeCensus(liveCensus)
+      Fs.rename(spark, tmp, root)
     }
+  }
+
+  private def retrainTmp(root: String): String = s"$root.retrain"
+
+  /** Crash recovery for the retrain swap, run before any index read: a
+    * COMPLETE write-aside (its census marker present) whose swap didn't
+    * finish is adopted — resume at the delete+rename, which is exactly
+    * where the crashed writer stopped; an incomplete one (no census) is
+    * debris from a crash mid-refit and is discarded, the still-live old
+    * root having served throughout. Single-writer (the derive) holds,
+    * same as compact/repair.
+    */
+  private def adoptRetrain(spark: SparkSession, root: String): Unit = {
+    val tmp = retrainTmp(root)
+    if (Fs.exists(spark, s"$tmp/census")) {
+      Fs.deleteRecursive(spark, root)
+      Fs.rename(spark, tmp, root)
+    } else if (Fs.exists(spark, tmp)) Fs.deleteRecursive(spark, tmp)
   }
 
   private def mergedResult(spark: SparkSession, outDir: String, cfg: CorpusConfig,

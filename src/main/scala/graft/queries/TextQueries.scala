@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.ops.TextOps
@@ -1222,8 +1223,26 @@ object TextQueries {
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
        |  array_to_string(list(tid ORDER BY wp, tp), ',') AS token_ids
        |FROM seq GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val docs = Tables.documents(s, dir)
-    val merges = graft.ops.Bpe.fitMemo(s, dir, bpeMerges)
+    bpeTokenStream(Tables.documents(s, dir), graft.ops.Bpe.fitMemo(s, dir, bpeMerges))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        expr("array_join(transform(array_sort(collect_list(struct(wp, tp, tid))), x -> CAST(x.tid AS string)), ',')")
+          .as("token_ids"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token-occurrence stream of `docs` through a TRAINED merge table:
+    * one row (doc_id, wp, tp, tid) per token occurrence, ids ranked by
+    * corpus frequency (the classic vocab ordering; the id table is a
+    * bijective relabeling, not a trained statistic). The shared kernel
+    * of [[textBpeTokenize]], [[textBpePack]] and the CorpusPipeline
+    * `packed` stage. Scale shape: the only corpus-sized joins are
+    * word-occurrence → word-segmentation (equi-join on word) and
+    * token → id (broadcast — the vocabulary is merges+alphabet sized);
+    * everything else is per-word or per-token map work.
+    */
+  def bpeTokenStream(docs: DataFrame,
+                     merges: Seq[graft.ops.Bpe.Merge]): DataFrame = {
     val wordToks = graft.ops.Bpe
       .vocabAfter(graft.ops.Bpe.vocab0(docs), merges)
       .select(col("word"), col("cnt"),
@@ -1233,16 +1252,101 @@ object TextQueries {
       .select(col("token"),
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("total_cnt").desc, col("token"))).cast("long").as("tid"))
-    val words = docs.select(col("doc_id"),
-      posexplode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as(Seq("wp", "word")))
-    words
+    docs.select(col("doc_id"),
+        posexplode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as(Seq("wp", "word")))
       .join(wordToks.select(col("word"), col("tp"), col("token")), "word")
       .join(broadcast(tid), "token")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast("long").as("n_tokens"),
-        expr("array_join(transform(array_sort(collect_list(struct(wp, tp, tid))), x -> CAST(x.tid AS string)), ',')")
-          .as("token_ids"))
+      .select(col("doc_id"), col("wp"), col("tp"), col("tid"))
+  }
+
+  /** Context-window coordinates for every token occurrence — the
+    * GPT-style concat-and-chunk layout (ml_pack_sequences' doc-level
+    * semantics applied to REAL token ids): docs shard deterministically
+    * by portable id hash (`keyCols` ride into the shard partitioning,
+    * so e.g. a split fence is never straddled by a sequence), each
+    * shard concatenates in doc_id order, and a token's offset is its
+    * doc's preceding-token cumsum plus its rank within the doc —
+    * seq_id/pos are that offset's div/mod by `budget`. Two bounded
+    * windows: the per-shard DOC cumsum (rows = docs per shard — the
+    * parallelism contract ml_pack_sequences documents: shards sized to
+    * the cluster) and the within-doc token rank (rows = one doc's
+    * tokens); never a corpus-wide sort.
+    */
+  def packTokenStream(tokens: DataFrame, budget: Int, shards: Int,
+                      salt: String, keyCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    graft.ops.TextOps.ensureFunctions(tokens.sparkSession)
+    val keys = keyCols.map(col)
+    val docTok = tokens.groupBy((keys :+ col("doc_id")): _*)
+      .agg(count(lit(1)).cast("long").as("n_tok"))
+      .withColumn("shard", expr(graft.ops.TextOps.portableHash64Sql(
+        s"'$salt'", "CAST(doc_id AS STRING)")) % shards)
+    val wCum = Window.partitionBy((keys :+ col("shard")): _*)
       .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val based = docTok
+      .withColumn("base", sum(col("n_tok")).over(wCum) - col("n_tok"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("wp"), col("tp"))
+    tokens
+      .join(based.select(keys ++ Seq(col("doc_id"), col("shard"), col("base")): _*),
+        keyCols :+ "doc_id")
+      .withColumn("off", col("base") + row_number().over(wDoc).cast("long") - lit(1L))
+      .select(keys ++ Seq(col("doc_id"), col("shard"),
+        expr(s"off div $budget").as("seq_id"), (col("off") % budget).as("pos"),
+        col("tid")): _*)
+  }
+
+  /** TOKENIZE ∘ PACK — the training-ready layout the merges and the
+    * packer exist for, verified end to end: every document's BPE token
+    * ids (the [[textBpeTokenize]] kernel) packed into `budget`-token
+    * context windows ([[packTokenStream]]), gated as a per-sequence
+    * census + CONTENT SIGNATURE — sig = Σ tid·(pos+1), an exact-integer
+    * position-weighted checksum, so two engines agree only if every
+    * token id sits at the same offset of the same window. The oracle
+    * replays the full composition: the unrolled BPE CTE chain, the
+    * frequency-ranked id table, the per-shard doc cumsum and the
+    * within-doc token rank.
+    */
+  val textBpePack: QueryDef = {
+    val budget = 128
+    val shards = 4
+    val h = graft.queries.OracleSql.hash64("'pk2'", "CAST(doc_id AS VARCHAR)")
+    QueryDef.sql("text_bpe_pack",
+      s"""WITH ${bpeCtes(bpeMerges)},
+         |wt AS (SELECT word, cnt, toks, unnest(range(1, len(toks) + 1)) AS tp
+         |  FROM (SELECT word, cnt, list_filter(string_split(enc, ';;'), x -> x != '') AS toks FROM v$bpeMerges)),
+         |wt2 AS (SELECT word, cnt, tp, toks[tp] AS token FROM wt),
+         |cen AS (SELECT token, sum(cnt) AS total_cnt FROM wt2 GROUP BY token),
+         |tid AS (SELECT token, CAST(row_number() OVER (ORDER BY total_cnt DESC, token) AS BIGINT) AS tid FROM cen),
+         |dw AS (SELECT doc_id, arr, unnest(range(1, len(arr) + 1)) AS wp
+         |  FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr FROM documents)),
+         |dw2 AS (SELECT doc_id, wp, arr[wp] AS word FROM dw),
+         |seq AS (SELECT d.doc_id, d.wp, t.tp, i.tid
+         |  FROM dw2 d JOIN wt2 t ON d.word = t.word JOIN tid i ON t.token = i.token),
+         |nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok, $h % $shards AS shard
+         |  FROM seq GROUP BY doc_id),
+         |cm AS (SELECT doc_id, shard,
+         |  sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS base FROM nt),
+         |po AS (SELECT s.doc_id, c.shard,
+         |  c.base + row_number() OVER (PARTITION BY s.doc_id ORDER BY s.wp, s.tp) - 1 AS o, s.tid
+         |  FROM seq s JOIN cm c ON s.doc_id = c.doc_id)
+         |SELECT CAST(shard AS BIGINT) AS shard, CAST(o // $budget AS BIGINT) AS seq_id,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(min(doc_id) AS BIGINT) AS first_doc,
+         |  CAST(sum(tid * ((o % $budget) + 1)) AS BIGINT) AS sig
+         |FROM po GROUP BY shard, seq_id ORDER BY shard, seq_id""".stripMargin) { (s, dir) =>
+      val toks = bpeTokenStream(Tables.documents(s, dir),
+        graft.ops.Bpe.fitMemo(s, dir, bpeMerges))
+      packTokenStream(toks, budget, shards, salt = "pk2")
+        .groupBy(col("shard"), col("seq_id"))
+        .agg(count(lit(1)).cast("long").as("n_tokens"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("first_doc"),
+          sum(col("tid") * (col("pos") + lit(1L))).cast("long").as("sig"))
+        .orderBy(col("shard"), col("seq_id"))
+    }
   }
 
   /** Readability scoring (Flesch reading ease + Flesch–Kincaid grade)
@@ -1330,6 +1434,6 @@ object TextQueries {
     textGopherRules, textTfidfTop, sketchHeavyHitters, textInvertedIndex,
     textBm25, textPmi, textLmScore, textPerplexityBuckets, sketchQuantiles,
     textZipf, sketchSetops, textKlDrift, textWinnowing, textCodeDetect,
-    textBpeMerges, textBpeEncode, textBpeTokenize, textReadability,
-    textNovelty)
+    textBpeMerges, textBpeEncode, textBpeTokenize, textBpePack,
+    textReadability, textNovelty)
 }

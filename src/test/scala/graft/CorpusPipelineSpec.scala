@@ -222,6 +222,74 @@ class CorpusPipelineSpec extends SparkSpec {
       "train-split and full-corpus merges coincide — fence assertion is vacuous")
   }
 
+  test("packed stage == tokenize∘pack of survivors through the SHIPPED merges; sequences never straddle the split fence") {
+    val docs0 = graft.core.Tables.documents(spark, sfDir)
+    val jsonlDir = mkdir("pack_jsonl")
+    docs0.toJSON.coalesce(1).write.mode("overwrite").text(s"$jsonlDir/jsonl")
+    val out = mkdir("pack_out")
+    val cfg = CorpusConfig(bpeMerges = 4, packBudget = 64)
+    CorpusPipeline.run(spark, s"$jsonlDir/jsonl", out, cfg)
+
+    val got = spark.read.parquet(s"$out/packed")
+    assert(got.count() > 0, "packed stage is empty")
+
+    // stage ≡ frame-body parity: replay tokenize∘pack∘group from the
+    // shipped tokenizer + survivors + split tables
+    val merges = spark.read.parquet(s"$out/tokenizer").orderBy(col("rank"))
+      .collect().map(r => graft.ops.Bpe.Merge(
+        r.getLong(0).toInt, r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    val toks = graft.queries.TextQueries.bpeTokenStream(
+        spark.read.parquet(s"$out/survivors"), merges)
+      .join(spark.read.parquet(s"$out/split")
+        .select(col("doc_id"), col("split")), "doc_id")
+    val want = graft.queries.TextQueries
+      .packTokenStream(toks, cfg.packBudget, cfg.epochShards,
+        salt = "pack", keyCols = Seq("split"))
+      .groupBy(col("split"), col("shard"), col("seq_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"))
+    assertSame(
+      got.select(col("split"), col("shard"), col("seq_id"), col("n_tokens")),
+      want, "packed stage vs tokenize∘pack replay")
+
+    // every sequence is exactly packBudget tokens except each
+    // (split, shard)'s tail; token_ids agree with n_tokens; doc_spans
+    // always open at pos 0 (windows are offset-dense per shard) and
+    // hold one span per doc (docs are contiguous runs in the window)
+    val bad = got.where(size(col("token_ids")) =!= col("n_tokens") ||
+      expr("doc_spans[0].start_pos") =!= lit(0L) ||
+      size(col("doc_spans")) =!= size(array_distinct(
+        expr("transform(doc_spans, x -> x.doc_id)")))).count()
+    assert(bad === 0L, "token_ids/doc_spans inconsistent")
+    val nonTail = got.join(
+      got.groupBy(col("split"), col("shard")).agg(max(col("seq_id")).as("mx")),
+      Seq("split", "shard"))
+      .where(col("seq_id") =!= col("mx"))
+    assert(nonTail.where(col("n_tokens") =!= cfg.packBudget).count() === 0L,
+      "a non-tail sequence is not exactly packBudget tokens")
+
+    // leakage fence: every doc in a sequence belongs to the sequence's split
+    val spl = spark.read.parquet(s"$out/split").select(
+      col("doc_id"), col("split").as("doc_split"))
+    val strad = got.select(col("split"), explode(col("doc_spans")).as("sp"))
+      .select(col("split"), col("sp.doc_id").as("doc_id"))
+      .join(spl, "doc_id").where(col("split") =!= col("doc_split")).count()
+    assert(strad === 0L, "a packed sequence straddles the split fence")
+
+    // roundtrip: total packed tokens == total tokenized survivor tokens
+    val totGot = got.agg(sum(col("n_tokens"))).head.getLong(0)
+    val totWant = toks.count()
+    assert(totGot === totWant, s"token mass lost in packing: $totGot vs $totWant")
+
+    // the dataset card carries the packed token census
+    val card = graft.core.Fs.readString(spark, s"$out/dataset_card.json")
+    assert(card.contains("\"packed_tokens\""), s"card missing packed census: $card")
+
+    // the sharded layout shipped and is split-partitioned
+    assert(new java.io.File(s"$out/packed_shards/_SUCCESS").exists())
+    assert(new java.io.File(s"$out/packed_shards").listFiles()
+      .exists(_.getName.startsWith("split=")), "packed shards not split-partitioned")
+  }
+
   // ---------------- incremental append ----------------
 
   /** English-shaped doc the funnel keeps: stopword block + word run. */
@@ -402,6 +470,45 @@ class CorpusPipelineSpec extends SparkSpec {
       driftOf(300L until 510L), 4, retrainPsi = 0.2)
     assert(centStamps == postStamps, "re-baselined census did not stabilize the retrain")
     assert(live == (300L until 510L).toSet)
+  }
+
+  test("retrain swap is crash-atomic: a complete write-aside is adopted, an incomplete one discarded") {
+    import spark.implicits._
+    def vecsOf(ids: Seq[Long]) = ids.toDF("vec_id").select(col("vec_id"), expr(
+      "transform(sequence(0, 15), j -> CAST(pmod(hash(vec_id, j), 1000) AS DOUBLE) / 500.0)")
+      .as("v"))
+    def live(root: String) = graft.ops.IvfIndex.liveAssignments(spark, root)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def cents(root: String) = graft.ops.IvfIndex.centroids(spark, root)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSet
+
+    // (a) crash BETWEEN the old root's delete and the rename: readers
+    // would have seen NO index under the old delete-then-rebuild; the
+    // next derive must ADOPT the completed write-aside, not rebuild
+    val rootA = mkdir("ann_swap_a") + "/idx"
+    val tmpA = rootA + ".retrain"
+    graft.ops.IvfIndex.build(vecsOf(300L until 400L), 4, iters = 2, tmpA)
+    graft.ops.IvfIndex.liveAssignments(spark, tmpA)
+      .groupBy(col("cl")).count().coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmpA/census") // completeness marker
+    val wantCents = cents(tmpA)
+    CorpusPipeline.reconcileAnnIndex(spark, rootA, vecsOf(300L until 400L), 4)
+    assert(cents(rootA) == wantCents,
+      "completed write-aside was rebuilt instead of adopted")
+    assert(live(rootA) == (300L until 400L).toSet)
+    assert(!new java.io.File(tmpA).exists(), "adopted tmp root must be consumed")
+
+    // (b) crash MID-REFIT (no census marker): the debris is discarded
+    // and the still-live old root keeps serving untouched
+    val rootB = mkdir("ann_swap_b") + "/idx"
+    CorpusPipeline.reconcileAnnIndex(spark, rootB, vecsOf(0L until 100L), 4)
+    val oldCents = cents(rootB)
+    val tmpB = rootB + ".retrain"
+    graft.ops.IvfIndex.build(vecsOf(500L until 560L), 4, iters = 2, tmpB) // no census
+    CorpusPipeline.reconcileAnnIndex(spark, rootB, vecsOf(0L until 100L), 4)
+    assert(cents(rootB) == oldCents, "incomplete write-aside replaced the live root")
+    assert(live(rootB) == (0L until 100L).toSet)
+    assert(!new java.io.File(tmpB).exists(), "mid-refit debris must be discarded")
   }
 
   test("append: run(base) + append(batch) == full rerun on the union; retraction and cluster-merge included") {

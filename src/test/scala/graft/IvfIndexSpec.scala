@@ -402,6 +402,77 @@ class IvfIndexSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("reserved"),
       s"wrong reserved-name message: ${e2.getMessage}")
+    // ... including the assignment half's own cl/d2 (r14 advice): a
+    // user attr named cl would be silently conflated with the cell id
+    for (name <- Seq("cl", "d2")) {
+      val e3 = intercept[IllegalArgumentException] {
+        IvfIndex.build(planted(20, 0L).withColumn(name, lit(1)), k = 2,
+          iters = 1, Scratch.dir(s"spec_ivf_attr_reserved_$name"))
+      }
+      assert(e3.getMessage.contains("reserved"),
+        s"$name not rejected: ${e3.getMessage}")
+      val e4 = intercept[IllegalArgumentException] {
+        IvfIndex.append(spark, planted(5, 100L).withColumn(name, lit(1)), root)
+      }
+      assert(e4.getMessage.contains("reserved"),
+        s"$name append not rejected: ${e4.getMessage}")
+    }
+  }
+
+  test("a same-NAME different-TYPE attr append is REJECTED (sidecar compares types, not name sets)") {
+    // r14 advice (medium): label INT at build, label STRING in the
+    // batch passed the old fieldNames-set check and wrote mixed
+    // physical parquet schemas into one half — with mergeSchema off,
+    // later reads throw or silently misread the appended rows
+    val base = planted(60, 0L)
+      .withColumn("label", (col("vec_id") % 3).cast("int"))
+    val root = Scratch.dir("spec_ivf_attr_types")
+    IvfIndex.build(base, k = 2, iters = 2, root)
+    val retyped = planted(10, 100L)
+      .withColumn("label", (col("vec_id") % 3).cast("string"))
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.append(spark, retyped, root)
+    }
+    assert(e.getMessage.contains("names AND types"),
+      s"wrong rejection message: ${e.getMessage}")
+    // the codes half enforces the same law
+    IvfIndex.buildPq(spark, base, 2, 4, 4, iters = 2, root)
+    val e2 = intercept[IllegalArgumentException] {
+      IvfIndex.appendPq(spark, retyped, 2, 4, root)
+    }
+    assert(e2.getMessage.contains("names AND types"),
+      s"codes half accepted a retyped attr: ${e2.getMessage}")
+    // nullability does NOT reject: same names/types, different nulls
+    IvfIndex.append(spark, planted(10, 100L).withColumn("label",
+      when(col("vec_id") % 7 === 0, lit(null)).otherwise(col("vec_id") % 3)
+        .cast("int")), root)
+    assert(IvfIndex.assignments(spark, root).count() === 70L)
+  }
+
+  test("pre-sidecar roots ADOPT the read-back schema on first append (legacy contract, r14 advice)") {
+    val base = planted(60, 0L)
+      .withColumn("label", (col("vec_id") % 3).cast("int"))
+    val root = Scratch.dir("spec_ivf_attr_legacy")
+    IvfIndex.build(base, k = 2, iters = 2, root)
+    // simulate a root built before the sidecar existed
+    val (fs, sp) = (new org.apache.hadoop.fs.Path(s"$root/assignments.schema")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(s"$root/assignments.schema"))
+    fs.delete(sp, false)
+    // first append to the sidecar-less root: an attr-less batch must be
+    // rejected against the ADOPTED read-back schema, not silently write
+    // a second physical schema into the half
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.append(spark, planted(10, 100L), root)
+    }
+    assert(e.getMessage.contains("names AND types"),
+      s"legacy root accepted a mismatched first append: ${e.getMessage}")
+    // the rejection itself lazily wrote the sidecar
+    assert(fs.exists(sp), "sidecar not adopted from the read-back schema")
+    // and a matching append now passes both the adopted and future checks
+    IvfIndex.append(spark,
+      planted(10, 100L).withColumn("label", (col("vec_id") % 3).cast("int")), root)
+    assert(IvfIndex.assignments(spark, root).count() === 70L)
   }
 
   test("attrs ride the CODES half: filtered ADC probe and refine respect the predicate across compaction") {

@@ -113,8 +113,8 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("dynamicpruning"),
       s"no dynamic partition pruning on the filtered probe's index scan in:\n${p.take(4000)}")
-    assert(p.contains("In(label, [1,3,5,7])") || p.contains("In(label"),
-      s"label predicate not pushed to the index scan in:\n${p.take(4000)}")
+    assert(p.contains("In(label, [1,3,5,7])"),
+      s"exact label predicate In(label, [1,3,5,7]) not pushed to the index scan in:\n${p.take(4000)}")
   }
 
   test("embed_ivf_pq_index: the ADC probe dynamically prunes the cell-partitioned CODES scan") {
@@ -152,8 +152,8 @@ class PlanSpec extends SparkSpec {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("dynamicpruning"),
       s"no dynamic partition pruning on the filtered codes scan in:\n${p.take(4000)}")
-    assert(p.contains("In(label"),
-      s"label predicate not pushed to the codes scan in:\n${p.take(4000)}")
+    assert(p.contains("In(label, [1,3,5,7])"),
+      s"exact label predicate In(label, [1,3,5,7]) not pushed to the codes scan in:\n${p.take(4000)}")
   }
 
   test("embed_ivfadc_residual: the per-cell ADC probe dynamically prunes the codes scan") {
