@@ -356,6 +356,7 @@ object RecallProbe {
           cands.select(col("nid").as("vec_id"), col("cv").as("v")),
           k = 16, iters = 2, rRoot)
         graft.ops.IvfIndex.buildPqResidual(spark, mSub, dsub, 16, iters = 2, rRoot)
+        graft.ops.IvfIndex.buildSq8(spark, rRoot)
       }
       probeRecall("pq_residual")(graft.ops.IvfIndex.probePqResidual(
         spark, q, rRoot, mSub, dsub, nprobe = 16, topk = 5))
@@ -449,6 +450,12 @@ object RecallProbe {
       probeRecall("pq_refine", extra = """"shortlist":50,""")(
         graft.ops.IvfIndex.probeRefine(spark, q, rRoot, mSub, dsub,
           nprobe = 16, shortlist = 50, topk = 5))
+      // SQ8 refine arm: identical shortlist, re-rank against the int8
+      // refine copy (1/8 the fetch bytes) — this row prices the recall
+      // delta the quantized refine storage costs vs raw float64
+      probeRecall("pq_refine_sq8", extra = """"shortlist":50,""")(
+        graft.ops.IvfIndex.probeRefine(spark, q, rRoot, mSub, dsub,
+          nprobe = 16, shortlist = 50, topk = 5, fromSq8 = true))
       exact.unpersist(); cands.unpersist(): Unit
     }
     pqLeg("planted")

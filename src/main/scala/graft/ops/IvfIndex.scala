@@ -478,18 +478,24 @@ object IvfIndex {
     val deadCells = stats.filter(_.getBoolean(1)).map(_.getLong(0))
     val liveCells = cells.diff(deadCells)
     val hasCodes = hfs(s, s"$root/codes")._1.exists(hfs(s, s"$root/codes")._2)
+    val hasSq8 = hfs(s, s"$root/sq8")._1.exists(hfs(s, s"$root/sq8")._2)
     val live = if (liveCells.nonEmpty) {
       val liveDf = broadcast(s.createDataFrame(liveCells.map(Tuple1(_))).toDF("cl"))
-      // the PQ half (if present) compacts in lockstep: compaction
-      // DRAINS applied tombstones, so any store that kept the dead
-      // rows would resurrect them at the next ADC probe
-      // column-preserving (attribute columns survive the rewrite)
+      // the PQ and SQ8 halves (if present) compact in lockstep:
+      // compaction DRAINS applied tombstones, so any store that kept
+      // the dead rows would resurrect them at the next ADC probe /
+      // refine fetch. Column-preserving (attribute columns survive
+      // every half's rewrite).
       Some((asg.join(liveDf, "cl")
           .join(tomb, Seq("vec_id"), "left_anti")
           .transform(Ckpt.eager),
         if (hasCodes)
-          // column-preserving (attr columns survive the codes rewrite)
           codes(s, root).join(liveDf, "cl")
+            .join(tomb, Seq("vec_id"), "left_anti")
+            .transform(Ckpt.eager)
+        else null,
+        if (hasSq8)
+          sq8(s, root).join(liveDf, "cl")
             .join(tomb, Seq("vec_id"), "left_anti")
             .transform(Ckpt.eager)
         else null))
@@ -519,7 +525,8 @@ object IvfIndex {
       }
     }
     val rmList = servingOf("assignments") ++
-      (if (hasCodes) servingOf("codes") else Nil) ++ servingOf("tombstones")
+      (if (hasCodes) servingOf("codes") else Nil) ++
+      (if (hasSq8) servingOf("sq8") else Nil) ++ servingOf("tombstones")
     lap("rmlist")
     // Manifest CONSOLIDATION (snapshot expiry): the fold is otherwise
     // append-only forever, so a months-lived index pays a linearly
@@ -571,9 +578,10 @@ object IvfIndex {
           seq += 1
         }
       }
-      live.foreach { case (la, lc) =>
+      live.foreach { case (la, lc, lq) =>
         stage(la, "assignments", partitioned = true)
         if (hasCodes) stage(lc, "codes", partitioned = true)
+        if (hasSq8) stage(lq, "sq8", partitioned = true)
       }
       stage(remaining, "tombstones", partitioned = false)
       // pass 2: record the INTENT (every destination name this gen will
@@ -620,7 +628,8 @@ object IvfIndex {
       // drop now-empty dead-cell dirs (cosmetic; the view never
       // consults an uncommitted directory)
       deadCells.foreach { c =>
-        for (half <- Seq("assignments", "codes") if !half.equals("codes") || hasCodes) {
+        for (half <- Seq("assignments", "codes", "sq8")
+             if (half != "codes" || hasCodes) && (half != "sq8" || hasSq8)) {
           val (fs, p) = hfs(s, s"$root/$half/cl=$c")
           if (fs.exists(p) && fs.listStatus(p).isEmpty) fs.delete(p, true): Unit
         }
@@ -1073,13 +1082,20 @@ object IvfIndex {
     * scan dynamically prunes to the shortlist's cell partitions — at
     * 100 TB the refine reads nprobe cells' files, not the index.
     */
+  /** `fromSq8 = true` re-ranks against the DEQUANTIZED int8 refine
+    * copy ([[liveSq8]]) instead of raw float64 — 8× less refine I/O,
+    * the production two-stage layout; the distance math is identical
+    * over the dequantized values, so the arm stays exactly
+    * oracle-replayable (embed_ivfadc_refine_sq8).
+    */
   def probeRefine(s: SparkSession, q: DataFrame, root: String, m: Int,
                   dsub: Int, nprobe: Int, shortlist: Int, topk: Int,
-                  cand: DataFrame => DataFrame = identity): DataFrame = {
+                  cand: DataFrame => DataFrame = identity,
+                  fromSq8: Boolean = false): DataFrame = {
     val sl = probePqResidual(s, q, root, m, dsub, nprobe, shortlist, cand,
         withCell = true)
       .select(col("qid"), col("nid"), col("cl"))
-    val raw = cand(liveAssignments(s, root))
+    val raw = cand(if (fromSq8) liveSq8(s, root) else liveAssignments(s, root))
       .select(col("vec_id").as("nid"), col("v").as("nv"), col("cl"))
     val d = round(greatest(
       Similarity.dot("qv", "qv") + Similarity.dot("nv", "nv") -
@@ -1093,6 +1109,80 @@ object IvfIndex {
       .where(col("rnk") <= topk)
       .select(col("qid"), col("nid"), col("dist"), col("rnk"))
   }
+
+  // ---- SQ8 refine storage (r14 verdict §3) -----------------------------
+  //
+  // Two-stage serving re-ranks the ADC shortlist against stored vectors;
+  // fetching raw float64 for that is 8× the I/O the re-rank needs.
+  // Production stacks keep a scalar-quantized copy for refine (FAISS
+  // SQ8 / ScaNN int8): per-vector symmetric int8 — scale
+  // qs = 127 / max(|x_i|, 1e-12), q_i = floor(x_i·qs + 0.5) (the
+  // embed_quantize contract: floor(+0.5) because round() diverges
+  // across engines while floor is exact), dequantized at probe time as
+  // q_i / qs. Deterministic both ways, so the refine stays exactly
+  // oracle-replayable. The half is cell-partitioned like the others,
+  // carries the same attr columns, and appends/compacts in lockstep.
+
+  private def sq8Of(df: DataFrame): DataFrame = {
+    val attrs = df.columns.filterNot(Set("vec_id", "v", "cl", "d2")).toIndexedSeq
+    df.withColumn("qs", lit(127.0) /
+        greatest(expr("array_max(transform(v, x -> abs(x)))"), lit(1e-12)))
+      .select(Seq(col("vec_id"), col("qs"),
+        expr("transform(v, x -> CAST(floor(x * qs + CAST(0.5 AS DOUBLE)) AS TINYINT))")
+          .as("q")) ++ attrs.map(col) :+ col("cl"): _*)
+  }
+
+  private def writeSq8(s: SparkSession, root: String, asgLike: DataFrame,
+                       overwrite: Boolean): Unit = {
+    val out = sq8Of(asgLike)
+    if (overwrite) {
+      out.write.mode("overwrite").partitionBy("cl").parquet(s"$root/sq8")
+      val (fs, sp) = hfs(s, s"$root/sq8.schema")
+      val os = fs.create(sp, true)
+      try os.write(out.schema.json.getBytes("UTF-8")) finally os.close()
+    } else {
+      requireSidecarMatch(s, s"$root/sq8.schema", out, "sq8", sq8(s, root).schema)
+      out.write.mode("append").partitionBy("cl").parquet(s"$root/sq8")
+    }
+  }
+
+  /** Materialize the SQ8 refine half from the persisted assignments
+    * (call after [[build]]; [[appendSq8]] keeps it in lockstep with
+    * later [[append]] batches, and [[compact]] rewrites it with the
+    * other halves).
+    */
+  def buildSq8(s: SparkSession, root: String): Unit =
+    writeSq8(s, root, assignments(s, root), overwrite = true)
+
+  /** SQ8 twin of [[append]]: the batch assigns at the PERSISTED
+    * centroids and its quantized rows land under the existing cell
+    * partitions — appendSq8 ≡ a buildSq8 re-encode of base ∪ batch
+    * (quantization is per-vector, so the law is trivial and
+    * IvfIndexSpec pins it). Call after [[append]] on the same batch.
+    */
+  def appendSq8(s: SparkSession, batch: DataFrame, root: String): Unit = {
+    requireNoReserved(batch, "appendSq8")
+    writeSq8(s, root, graft.ml.KMeans.assign(batch, centroids(s, root)).drop("d2"),
+      overwrite = false)
+  }
+
+  /** SQ8 half read-back (vec_id, qs, q, attrs…, cl). */
+  def sq8(s: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    readHalf(s, root, "sq8",
+        sidecarEmpty(s, s"$root/sq8.schema", Seq("vec_id" -> LongType,
+          "qs" -> DoubleType, "q" -> ArrayType(ByteType), "cl" -> LongType)))
+      .withColumn("cl", col("cl").cast("long"))
+  }
+
+  /** Tombstone-filtered SQ8 rows with the vector DEQUANTIZED back under
+    * the standard column name `v` — a drop-in vector source for the
+    * refine fetch at 1/8 the bytes.
+    */
+  def liveSq8(s: SparkSession, root: String): DataFrame =
+    sq8(s, root).join(tombstones(s, root), Seq("vec_id"), "left_anti")
+      .withColumn("v", expr("transform(q, x -> CAST(x AS DOUBLE) / qs)"))
+      .drop("q", "qs")
 
   def codebooks(s: SparkSession, root: String): DataFrame =
     s.read.parquet(s"$root/codebooks")

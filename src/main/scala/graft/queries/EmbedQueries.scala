@@ -1166,20 +1166,30 @@ object EmbedQueries {
          |      FROM pr)""".stripMargin
   }
 
-  /** Shared artifact root + build for the two residual-IVFADC gate
-    * rows (one coarse fit + residual codebook fit per sf dir). */
+  /** Shared artifact root + build for the residual-IVFADC gate FAMILY
+    * (r14 verdict §6: one coarse fit + residual codebook fit + SQ8
+    * refine copy per (dir, params), consumed by embed_ivfadc_residual /
+    * _refine / _refine_sq8 / _filtered — the way a real deployment
+    * amortizes its index builds). The build frame CARRIES the label
+    * attr: attrs ride both halves without touching centroid or codebook
+    * fits, so the unfiltered rows read the identical artifact the
+    * filtered row slices. embed_ivfadc_alloc stays separate — its
+    * persisted permutation changes the codes themselves.
+    */
   private def ivfadcResidualRoot(s: org.apache.spark.sql.SparkSession,
                                  dir: String, k: Int, m: Int, dsub: Int,
                                  kCodes: Int): String = {
-    val v = Similarity.vectors(Tables.embeddings(s, dir)).select(col("vec_id"), col("v"))
-    // the build params join the memo key: two gate rows share this
+    val vl = Similarity.vectors(Tables.embeddings(s, dir))
+      .select(col("vec_id"), col("v"), col("label"))
+    // the build params join the memo key: the family shares this
     // artifact TODAY at identical constants, and a later param tweak to
-    // either must miss the memo, not silently serve the other's index
+    // any row must miss the memo, not silently serve the others' index
     val root = graft.ops.Scratch.dir(
-      s"ivfadc_res_${k}_${m}_${dsub}_${kCodes}_${Integer.toHexString(dir.hashCode)}")
+      s"ivfadc_fam_${k}_${m}_${dsub}_${kCodes}_${Integer.toHexString(dir.hashCode)}")
     graft.ops.Scratch.once(root) {
-      graft.ops.IvfIndex.build(v, k, iters = 2, root)
+      graft.ops.IvfIndex.build(vl, k, iters = 2, root)
       graft.ops.IvfIndex.buildPqResidual(s, m, dsub, kCodes, iters = 2, root)
+      graft.ops.IvfIndex.buildSq8(s, root)
     }
     root
   }
@@ -1221,12 +1231,7 @@ object EmbedQueries {
          |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
       val vl = Similarity.vectors(Tables.embeddings(s, dir))
         .select(col("vec_id"), col("v"), col("label"))
-      val root = graft.ops.Scratch.dir(
-        s"ivfadc_attr_${k}_${m}_${dsub}_${kCodes}_${Integer.toHexString(dir.hashCode)}")
-      graft.ops.Scratch.once(root) {
-        graft.ops.IvfIndex.build(vl, k, iters = 2, root)
-        graft.ops.IvfIndex.buildPqResidual(s, m, dsub, kCodes, iters = 2, root)
-      }
+      val root = ivfadcResidualRoot(s, dir, k, m, dsub, kCodes)
       val q = vl.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
       graft.ops.IvfIndex.probePqResidual(s, q, root, m, dsub, nprobe = 2, topk = 3,
           cand = _.where(col("vec_id") >= 10 && col("label").isin(1, 3, 5, 7)))
@@ -1309,6 +1314,49 @@ object EmbedQueries {
       val q = v.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
       graft.ops.IvfIndex.probeRefine(s, q, root, m, dsub, nprobe = 2,
           shortlist = 12, topk = 3, cand = _.where(col("vec_id") >= 10))
+        .orderBy(col("qid"), col("rnk"))
+    }
+  }
+
+  /** REFINE FROM SQ8 — [[embedIvfadcRefine]] with the re-rank reading
+    * the persisted index's int8 refine copy instead of raw float64
+    * (r14 verdict §3; FAISS `SQ8` refine storage): the shortlist is the
+    * identical residual-ADC cut, but the exact-distance stage fetches
+    * (qs, q[]) rows at 1/8 the bytes and re-ranks against the
+    * DEQUANTIZED values q_i/qs. Quantization is the embed_quantize
+    * contract (per-vector qs = 127/max|x|, floor(x·qs + 0.5)) — exact
+    * in both engines — so the oracle replays the full dequantized
+    * re-rank and the row stays hash-exact; RecallProbe's
+    * pq_refine_sq8 leg prices the recall delta vs raw-vector refine.
+    */
+  val embedIvfadcRefineSq8: QueryDef = {
+    val (k, dim, m, dsub, kCodes) = (16, 64, 8, 8, 16)
+    def duckSqDist(a: String, b: String): String =
+      s"""round(greatest(list_sum([$a[i] * $a[i] for i in range(1, len($a) + 1)]) +
+         |  list_sum([$b[i] * $b[i] for i in range(1, len($b) + 1)]) -
+         |  2 * list_sum([$a[i] * $b[i] for i in range(1, len($a) + 1)]), 0), 6)""".stripMargin
+    QueryDef.sql("embed_ivfadc_refine_sq8",
+      s"""WITH ${ivfadcResidualCtes(k, dim, m, dsub, kCodes)},
+         |sl AS (SELECT qid, nid FROM rr WHERE rnk <= 12),
+         |dq AS (SELECT vec_id,
+         |         [floor(v[i] * qs + 0.5) / qs for i in range(1, len(v) + 1)] AS dv
+         |       FROM (SELECT vec_id, v,
+         |               127.0 / greatest(list_max([abs(x) for x in v]), 1e-12) AS qs
+         |             FROM v)),
+         |ex AS (SELECT sl.qid, sl.nid,
+         |         CAST(${duckSqDist("q.qv", "rv.dv")} AS DOUBLE) AS dist
+         |       FROM sl JOIN dq rv ON sl.nid = rv.vec_id JOIN q ON sl.qid = q.qid),
+         |fr AS (SELECT qid, nid, dist,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, nid) AS BIGINT) AS rnk
+         |       FROM ex)
+         |SELECT qid, nid, dist, rnk FROM fr WHERE rnk <= 3
+         |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      val v = Similarity.vectors(Tables.embeddings(s, dir)).select(col("vec_id"), col("v"))
+      val root = ivfadcResidualRoot(s, dir, k, m, dsub, kCodes)
+      val q = v.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
+      graft.ops.IvfIndex.probeRefine(s, q, root, m, dsub, nprobe = 2,
+          shortlist = 12, topk = 3, cand = _.where(col("vec_id") >= 10),
+          fromSq8 = true)
         .orderBy(col("qid"), col("rnk"))
     }
   }
@@ -3500,7 +3548,8 @@ object EmbedQueries {
     retrievalNdcg, multimodalAudioWindows, embedDimStats,
     embedPcaApply, embedWhiten, embedIvfIndexAppend, embedIndexDrift,
     embedIvfPqIndex, embedPcaTopm, embedPcaWhiten, embedIvfIndexDelete,
-    embedIvfadcResidual, embedIvfadcRefine, embedIvfadcAlloc, embedIvfadcFiltered,
+    embedIvfadcResidual, embedIvfadcRefine, embedIvfadcRefineSq8,
+    embedIvfadcAlloc, embedIvfadcFiltered,
     embedPqRotated, embedPqAlloc, embedIvfProbeFiltered, streamingIvfAppendReplay,
     streamingIvfDeleteReplay)
 }

@@ -200,6 +200,53 @@ class IvfIndexSpec extends SparkSpec {
     assert(probed.forall(_ % 5 != 0), "a deleted vector resurfaced in the ADC probe")
   }
 
+  test("SQ8 half: append == re-quantize of base + batch; compaction drains it in lockstep; refine never resurrects") {
+    val (m, dsub, codes) = (2, 4, 4)
+    val base = planted(200, 0L)
+    val batch = planted(50, 200L)
+    val root = Scratch.dir("spec_ivf_sq8")
+    IvfIndex.build(base, k = 4, iters = 2, root)
+    IvfIndex.buildPqResidual(spark, m, dsub, codes, iters = 2, root)
+    IvfIndex.buildSq8(spark, root)
+    IvfIndex.append(spark, batch, root)
+    IvfIndex.appendSq8(spark, batch, root)
+    // append ≡ re-quantize of base ∪ batch at the persisted centroids
+    def sq8Rows = IvfIndex.sq8(spark, root).collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Byte](2).toList, r.getLong(3))).toSet
+    val all = base.unionByName(batch)
+    val want = graft.ml.KMeans.assign(all, IvfIndex.centroids(spark, root))
+      .withColumn("qs", lit(127.0) /
+        greatest(expr("array_max(transform(v, x -> abs(x)))"), lit(1e-12)))
+      .select(col("vec_id"), col("qs"),
+        expr("transform(v, x -> CAST(floor(x * qs + CAST(0.5 AS DOUBLE)) AS TINYINT))").as("q"),
+        col("cl"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Byte](2).toList, r.getLong(3))).toSet
+    assert(sq8Rows === want, "appendSq8 drifted from a full re-quantize")
+    // dequantization error is bounded by half a step: |x - q/qs| <= 0.5/qs
+    val maxErr = IvfIndex.liveSq8(spark, root)
+      .join(all.select(col("vec_id"), col("v").as("raw")), "vec_id")
+      .select(expr("array_max(transform(zip_with(v, raw, (a, b) -> abs(a - b)), x -> x))").as("e"),
+        (lit(0.5) * greatest(expr("array_max(transform(raw, x -> abs(x)))"), lit(1e-12)) / 127.0).as("bound"))
+      .where(col("e") > col("bound") + lit(1e-12)).count()
+    assert(maxErr === 0L, "dequantization error exceeds half an int8 step")
+    // delete + compact: the sq8 half rewrites in lockstep, and the
+    // sq8-armed refine never serves a drained tombstone
+    val doomed = all.where(col("vec_id") % 5 === 0).select(col("vec_id"), col("v"))
+    IvfIndex.delete(spark, doomed, root)
+    assert(IvfIndex.compact(spark, root, minRatio = 0.1).nonEmpty)
+    assert(IvfIndex.tombstones(spark, root).count() === 0L)
+    assert(IvfIndex.sq8(spark, root).where(col("vec_id") % 5 === 0).count() === 0L,
+      "dead sq8 rows survived compaction")
+    val q = all.where(col("vec_id") < 5).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val probed = IvfIndex.probeRefine(spark, q, root, m, dsub, nprobe = 2,
+        shortlist = 12, topk = 3, cand = _.where(col("vec_id") >= 5), fromSq8 = true)
+      .collect().map(_.getLong(1))
+    assert(probed.nonEmpty && probed.forall(_ % 5 != 0),
+      "a deleted vector resurfaced in the sq8 refine")
+  }
+
   test("STREAMED append (file-source micro-batches, SHUFFLED chunk order) == batch append") {
     // the streaming_ivf_append_replay parity law, deliberately harder
     // than the gate row: chunks interleave ids (range key = vec_id % 7),
