@@ -462,6 +462,41 @@ object RecallProbe {
     pqLeg("corpus")
     pqLeg("decayed")
 
+    // ---- NN-Descent kNN-graph leg (r14 verdict §4): recall@5 of the
+    // LSH-seeded graph (EmbedQueries.knnGraphFrame) vs brute force on
+    // a ~200-vertex deterministic sample, per propagation round —
+    // round 0 is the sign-LSH ring init alone, so the ladder prices
+    // exactly what each neighbor-of-neighbor round buys.
+    {
+      val n = vectors.count()
+      val step = math.max(1L, n / 200)
+      val qs = vectors.where(pmod(col("vec_id"), lit(step)) === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val dEx = round(greatest(
+        Similarity.dot("qv", "qv") + Similarity.dot("cv", "cv")
+          - lit(2.0) * Similarity.dot("qv", "cv"), lit(0.0)), 6)
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("d"), col("nid"))
+      val exactG = vectors.select(col("vec_id").as("nid"), col("v").as("cv"))
+        .crossJoin(broadcast(qs)).where(col("nid") =!= col("qid"))
+        .withColumn("d", dEx)
+        .withColumn("rnk", row_number().over(wq))
+        .where(col("rnk") <= 5).select(col("qid"), col("nid")).cache()
+      val nq = math.max(1L, exactG.select(col("qid")).distinct().count())
+      for (r <- 0 to 3) {
+        val g = EmbedQueries.knnGraphFrame(
+            vectors.select(col("vec_id"), col("v")), k = 5, rounds = r)
+          .select(col("src").as("lqid"), col("dst").as("lnid"))
+        val rec = exactG.join(g,
+            exactG("qid") === g("lqid") && exactG("nid") === g("lnid"), "left")
+          .groupBy(col("qid")).agg((count(col("lnid")) / 5.0).as("recall"))
+          .agg(coalesce(avg(col("recall")), lit(0.0))).head().getDouble(0)
+        println(s"""{"mode":"corpus","tier":"knn_graph","k":5,"rounds":$r,""" +
+          s""""n":$n,"n_queries":$nq,"mean_recall":${math.rint(rec * 1e6) / 1e6}}""")
+      }
+      exactG.unpersist(): Unit
+    }
+
     vectors.unpersist()
     spark.stop()
   }

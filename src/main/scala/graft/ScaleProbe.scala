@@ -262,6 +262,21 @@ object ScaleProbe {
       val esecs = (System.nanoTime() - t4) / 1e9
       println(f"[scaleprobe] docs=$n%6d planted=${(n - 1) / 25}%6d embed_near_dup=$nearDup%6d wall=$esecs%6.1f s")
       }
+      // knn-graph leg (r15): one NN-Descent propagation round is an
+      // undirected-closure self-join — ≤ n·(2k)² candidate pairs, all
+      // equi-joins, no all-pairs term — so per-round wall must grow
+      // ~linearly in n at fixed k. r1 vs r2 isolates the marginal
+      // round cost from the shared init/scoring constant.
+      if (on("knng")) {
+        val vv0 = vecs.select(col("vec_id"), col("v"))
+        val tg1 = System.nanoTime()
+        val g1 = graft.queries.EmbedQueries.knnGraphFrame(vv0, 5, 1).count()
+        val sg1 = (System.nanoTime() - tg1) / 1e9
+        val tg2 = System.nanoTime()
+        val g2 = graft.queries.EmbedQueries.knnGraphFrame(vv0, 5, 2).count()
+        val sg2 = (System.nanoTime() - tg2) / 1e9
+        println(f"[scaleprobe] docs=$n%6d knn_graph k=5 r1_edges=$g1%8d r1=$sg1%6.1f s r2_edges=$g2%8d r2=$sg2%6.1f s per_round=${sg2 - sg1}%6.1f s")
+      }
       if (on("kmeans")) {
       val t5 = System.nanoTime()
       val cents = vecs.where(col("vec_id") < 16).collect()

@@ -1361,6 +1361,112 @@ object EmbedQueries {
     }
   }
 
+  /** Deterministic NN-DESCENT k-NN graph construction (Dong, Moses &
+    * Li, WWW 2011 — the foundation layer of the graph-ANN family:
+    * HNSW/DiskANN build on exactly this neighborhood-propagation
+    * primitive). Init seeds each vertex with its `k` ring-successors
+    * INSIDE its 8-bit sign-LSH bucket (LSH-seeded NN-Descent — a
+    * locality-aware start that is fully order-free and replayable,
+    * where the paper's random init is not); each round then applies the
+    * paper's local-join: candidates = current neighbors ∪ reverse
+    * neighbors ∪ neighbors-of-(both), scored by exact round-6 squared
+    * L2, keep the best `k` per vertex by (d, dst). Everything is an
+    * equi-join: the undirected edge list has ≤ 2nk rows and the
+    * neighbor-of-neighbor join emits ≤ n·(2k)² candidate pairs — the
+    * per-round cost is Θ(n·k²) with NO all-pairs term (ScaleProbe's
+    * knn_graph leg measures it), and the per-vertex top-k is a bounded
+    * window. Rounds are Ckpt.eager'd (iterative lineage truncation,
+    * the Components discipline).
+    */
+  private[graft] def knnGraphFrame(v0: org.apache.spark.sql.DataFrame, k: Int,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = v0.select(col("vec_id"), col("v"))
+    val wb = Window.partitionBy(col("bucket")).orderBy(col("vec_id"))
+    val ranked = v.withColumn("bucket", Similarity.signBucket("v"))
+      .select(col("vec_id"), col("bucket"))
+      .withColumn("r", (row_number().over(wb) - 1).cast("long"))
+      .withColumn("cnt",
+        count(lit(1)).over(Window.partitionBy(col("bucket"))).cast("long"))
+    val e0 = ranked
+      .withColumn("j", explode(expr(s"sequence(1L, ${k}L)")))
+      .where(col("j") <= col("cnt") - 1)
+      .withColumn("dr", (col("r") + col("j")) % col("cnt"))
+      .select(col("vec_id").as("src"), col("bucket"), col("dr"))
+      .join(ranked.select(col("bucket"), col("r").as("dr"), col("vec_id").as("dst")),
+        Seq("bucket", "dr"))
+      .select(col("src"), col("dst"))
+    val dCol = round(greatest(
+      Similarity.dot("av", "av") + Similarity.dot("bv", "bv")
+        - lit(2.0) * Similarity.dot("av", "bv"), lit(0.0)), 6)
+    val ws = Window.partitionBy(col("src")).orderBy(col("d"), col("dst"))
+    def bestK(edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      edges.join(v.select(col("vec_id").as("src"), col("v").as("av")), "src")
+        .join(v.select(col("vec_id").as("dst"), col("v").as("bv")), "dst")
+        .withColumn("d", dCol)
+        .withColumn("rnk", row_number().over(ws).cast("long"))
+        .where(col("rnk") <= k)
+        .select(col("src"), col("dst"), col("d"), col("rnk"))
+    var e = e0
+    // lazy init-recall arm: replaced unevaluated when rounds > 0
+    var out: org.apache.spark.sql.DataFrame = bestK(e0)
+    for (_ <- 1 to rounds) {
+      val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().transform(graft.ops.Ckpt.eager)
+      val cand = und.union(
+          und.as("a").join(und.as("b"), col("a.dst") === col("b.src"))
+            .select(col("a.src").as("src"), col("b.dst").as("dst"))
+            .where(col("src") =!= col("dst")))
+        .distinct()
+      out = bestK(cand).transform(graft.ops.Ckpt.eager)
+      e = out.select(col("src"), col("dst"))
+    }
+    out
+  }
+
+  /** Gate row over [[knnGraphFrame]] at k = 5, 2 rounds: the oracle
+    * replays the ENTIRE construction as unrolled CTEs — sign-LSH ring
+    * init, then per round the undirected closure, the
+    * neighbor-of-neighbor join, the exact round-6 distances and the
+    * (d, dst)-tiebroken top-k — so a green row certifies the graph
+    * edge-for-edge, not a summary of it. RecallProbe's knn_graph leg
+    * prices recall@5 vs brute force per round.
+    */
+  val embedKnnGraph: QueryDef = {
+    val k = 5; val rounds = 2
+    def duckSqDist(a: String, b: String): String =
+      s"""round(greatest(list_sum([$a[i] * $a[i] for i in range(1, len($a) + 1)]) +
+         |  list_sum([$b[i] * $b[i] for i in range(1, len($b) + 1)]) -
+         |  2 * list_sum([$a[i] * $b[i] for i in range(1, len($a) + 1)]), 0), 6)""".stripMargin
+    def roundCtes(i: Int): String =
+      s"""u$i AS (SELECT src, dst FROM e${i - 1} UNION SELECT dst AS src, src AS dst FROM e${i - 1}),
+         |c$i AS (SELECT src, dst FROM u$i UNION
+         |        SELECT a.src, b.dst FROM u$i a JOIN u$i b ON a.dst = b.src WHERE a.src != b.dst),
+         |s$i AS (SELECT c.src, c.dst, ${duckSqDist("va.v", "vc.v")} AS d
+         |        FROM c$i c JOIN v va ON c.src = va.vec_id JOIN v vc ON c.dst = vc.vec_id),
+         |r$i AS (SELECT src, dst, d,
+         |          CAST(row_number() OVER (PARTITION BY src ORDER BY d, dst) AS BIGINT) AS rnk
+         |        FROM s$i),
+         |e$i AS (SELECT src, dst FROM r$i WHERE rnk <= $k)""".stripMargin
+    QueryDef.sql("embed_knn_graph",
+      s"""WITH $duckVectors,
+         |vb AS (SELECT vec_id, ${OracleSql.signBucket} AS bucket FROM v),
+         |wb AS (SELECT vec_id, bucket,
+         |         CAST(row_number() OVER (PARTITION BY bucket ORDER BY vec_id) - 1 AS BIGINT) AS r,
+         |         CAST(count(*) OVER (PARTITION BY bucket) AS BIGINT) AS cnt FROM vb),
+         |e0 AS (SELECT a.vec_id AS src, b.vec_id AS dst
+         |       FROM wb a CROSS JOIN range(1, ${k + 1}) j(j) JOIN wb b
+         |         ON a.bucket = b.bucket AND b.r = (a.r + j.j) % a.cnt
+         |       WHERE j.j <= a.cnt - 1),
+         |${roundCtes(1)},
+         |${roundCtes(2)}
+         |SELECT src, dst, CAST(d AS DOUBLE) AS d, rnk FROM r$rounds WHERE rnk <= $k
+         |ORDER BY src, rnk""".stripMargin) { (s, dir) =>
+      knnGraphFrame(Similarity.vectors(Tables.embeddings(s, dir)), k, rounds)
+        .orderBy(col("src"), col("rnk"))
+    }
+  }
+
   /** Index DELETE + COMPACTION — the lifecycle completion the r11
     * verdict asked for: dedup retracts documents, and the persisted
     * index follows. The Spark side runs the FULL composed lifecycle —
@@ -3549,7 +3655,7 @@ object EmbedQueries {
     embedPcaApply, embedWhiten, embedIvfIndexAppend, embedIndexDrift,
     embedIvfPqIndex, embedPcaTopm, embedPcaWhiten, embedIvfIndexDelete,
     embedIvfadcResidual, embedIvfadcRefine, embedIvfadcRefineSq8,
-    embedIvfadcAlloc, embedIvfadcFiltered,
+    embedIvfadcAlloc, embedIvfadcFiltered, embedKnnGraph,
     embedPqRotated, embedPqAlloc, embedIvfProbeFiltered, streamingIvfAppendReplay,
     streamingIvfDeleteReplay)
 }
