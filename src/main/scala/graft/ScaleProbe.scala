@@ -82,6 +82,10 @@ object ScaleProbe {
           length(col("text")).cast("long").as("n_chars"))
         .toJSON.write.mode("overwrite").text(s"$dirP/jsonl")
       if (on("corpus")) {
+      // stage-wall logging on: the append run below prints its
+      // [shards.incremental] partitions_rewritten + wall split, the
+      // shard-cost-∝-batch evidence read next to the leg totals
+      spark.conf.set("spark.graft.ann.log", "true")
       val t15 = System.nanoTime()
       val cr = graft.pipeline.CorpusPipeline.run(spark, s"$dirP/jsonl", s"$dirP/out")
       val psecs = (System.nanoTime() - t15) / 1e9

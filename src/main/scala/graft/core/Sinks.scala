@@ -53,6 +53,67 @@ object Sinks {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** INCREMENTAL shard maintenance (r14 verdict §2): rewrite only the
+    * hive partitions whose CONTENT changed since the last write,
+    * leaving every untouched partition's files in place — the append
+    * path's shard cost becomes ∝ partitions touched by the batch, not
+    * corpus size. The change detection is a cheap id-sized diff, never
+    * a heavy-column read: both sides project to
+    * (partitionCols ++ sortCols ++ keyCol) — the parquet scan of the
+    * existing layout column-prunes the text away — and a row outside
+    * that projection cannot differ, PROVIDED every other column is
+    * determined by `keyCol` (documents are immutable per doc_id; the
+    * caller's contract). Changed partitions are replaced via dynamic
+    * partition overwrite (only partitions present in the written data
+    * are dropped), with the same range-repartition + in-file sort +
+    * file-size cap as [[shardedParquet]]. A first write (no _SUCCESS)
+    * falls back to the full writer. Returns the number of partitions
+    * rewritten (-1 = full write).
+    */
+  def shardedParquetIncremental(df: DataFrame, path: String,
+      partitionCols: Seq[String], sortCols: Seq[String], keyCol: String,
+      maxRecordsPerFile: Long): Int = {
+    val spark = df.sparkSession
+    if (!Fs.exists(spark, s"$path/_SUCCESS")) {
+      shardedParquet(df, path, partitionCols, sortCols, maxRecordsPerFile)
+      return -1
+    }
+    val proj = (partitionCols ++ sortCols :+ keyCol).distinct.map(col)
+    val old = spark.read.parquet(path).select(proj: _*)
+    val neu = df.select(proj: _*)
+    // changed-partition census: symmetric difference of the id-sized
+    // projections, collapsed to partition values (bounded: ≤ |partitions|)
+    val changed = neu.except(old).select(partitionCols.map(col): _*)
+      .unionByName(old.except(neu).select(partitionCols.map(col): _*))
+      .distinct().collect()
+    if (changed.isEmpty) return 0
+    val sep = "\u0001"
+    val key = concat_ws(sep, partitionCols.map(c => col(c).cast("string")): _*)
+    val wanted = changed.map(r =>
+      partitionCols.indices.map(i => String.valueOf(r.get(i))).mkString(sep))
+    val slice = df.where(key.isin(wanted.toIndexedSeq: _*))
+    // a partition whose every row disappeared has nothing in the written
+    // data, so dynamic overwrite would leave its stale files behind —
+    // drop the emptied directories explicitly (the retraction case)
+    val present = slice.select(key.as("__k")).distinct()
+      .collect().map(_.getString(0)).toSet
+    wanted.filterNot(present).foreach { k =>
+      val dir = partitionCols.zip(k.split(sep, -1))
+        .map { case (c, v) => s"$c=$v" }.mkString(s"$path/", "/", "")
+      Fs.deleteRecursive(spark, dir)
+    }
+    if (present.nonEmpty)
+      slice
+        .repartitionByRange((partitionCols ++ sortCols).map(col): _*)
+        .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .partitionBy(partitionCols: _*)
+        .parquet(path)
+    changed.length
+  }
+
   /** S8: row-count reconciliation sidecar (build_dataset.py:87-110):
     * input/output counts, error count, and <=100 sample dropped ids.
     * The anti-join is cached so the error count and sample share one

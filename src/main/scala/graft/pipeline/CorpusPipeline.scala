@@ -12,7 +12,7 @@ import graft.queries.{DedupQueries, MlQueries}
   * training-ready sharded parquet, built from the SAME frame-level
   * stage bodies the oracle-gated queries execute (qualityFunnelFlags,
   * hashesOfDocs/minhashVerifiedPairs, Components CC, bestSurvivors,
-  * clusterSplitAssign, mixtureEpochsFrame, epochOrderFrame), so stage
+  * clusterSplitAssign, mixtureEpochsFrame, epochOrderStableFrame), so stage
   * output ≡ gate-query output is a SPEC (CorpusPipelineSpec), not a
   * hope. Structural analog of the bicis [[Pipeline]] (reference
   * build_dataset.py:46-53's Luigi chain): parquet stage targets with
@@ -48,7 +48,8 @@ import graft.queries.{DedupQueries, MlQueries}
   *   mixture     per-source α=0.5 temperature shares + epoch counts for
   *               the token budget ≡ ml_mixture_epochs (dataset-card
   *               sidecar mixture.json)
-  *   epoch_order deterministic shard/pos visit order ≡ ml_epoch_order
+  *   epoch_order deterministic APPEND-STABLE shard/pos visit order
+  *               (sparse hash-key pos) ≡ ml_epoch_order_stable
   *   corpus      survivors ⋈ split ⋈ epoch order — the final table
   *   shards/     Sinks.shardedParquet partitioned by (split, source),
   *               sorted by (shard, pos): partition-pruned by split for
@@ -370,8 +371,13 @@ object CorpusPipeline {
         rows.map(r => s""""${r.getString(0)}": {"n_tokens": ${r.getLong(1)}, "share": ${r.getDouble(2)}, "epochs": ${r.getDouble(3)}}""")
           .mkString("{", ", ", "}"))
     }
+    // append-STABLE visit order (≡ ml_epoch_order_stable): pos is the
+    // sparse permutation key, so an appended batch never shifts an
+    // existing doc's (shard, pos) — the precondition for the
+    // incremental shard write below (a dense rank reshuffles ~half of
+    // every shard per insert and forces a wholesale rewrite)
     val order = Pipeline.stage(spark, p("epoch_order"), forceD)(
-      MlQueries.epochOrderFrame(survivors2, cfg.epochSeed, cfg.epochShards))
+      MlQueries.epochOrderStableFrame(survivors2, cfg.epochSeed, cfg.epochShards))
 
     // ---- dataset card: the release-notes sidecar composing the
     // validation gate (ml_constraint_audit's plan over the SHIPPED
@@ -409,10 +415,20 @@ object CorpusPipeline {
         .join(split.select(col("doc_id"), col("split")), "doc_id")
         .join(order, "doc_id"))
     val shardsPath = p("shards")
-    if (forceD || !Fs.exists(spark, s"$shardsPath/_SUCCESS"))
-      Sinks.shardedParquet(corpus, shardsPath,
+    if (forceD || !Fs.exists(spark, s"$shardsPath/_SUCCESS")) {
+      // INCREMENTAL on re-derives: only (split, source) partitions whose
+      // content changed rewrite (the id-sized diff inside the sink);
+      // correct because every non-projected column is doc_id-determined
+      // and the visit order above is append-stable. First derive falls
+      // back to the full writer.
+      val tS = System.nanoTime()
+      val touched = Sinks.shardedParquetIncremental(corpus, shardsPath,
         partitionCols = Seq("split", "source"), sortCols = Seq("shard", "pos"),
-        maxRecordsPerFile = cfg.maxRecordsPerFile)
+        keyCol = "doc_id", maxRecordsPerFile = cfg.maxRecordsPerFile)
+      if (spark.conf.get("spark.graft.ann.log", "false").toBoolean)
+        System.err.println(f"[shards.incremental] partitions_rewritten=$touched " +
+          f"wall=${(System.nanoTime() - tS) / 1e9}%.2f s")
+    }
 
     val splitCounts = split.groupBy(col("split")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

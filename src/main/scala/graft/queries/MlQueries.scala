@@ -2635,6 +2635,44 @@ object MlQueries {
       .select(col("shard"), col("pos"), col("doc_id"))
   }
 
+  /** APPEND-STABLE epoch order (r14 verdict §2): the same per-doc hash
+    * permutation as [[mlEpochOrder]], but `pos` is the hash key ITSELF
+    * — a SPARSE sort key, not a dense rank. Sorting by (shard, pos,
+    * doc_id) visits documents in the identical permutation the dense
+    * form ranks, yet a document's (shard, pos) NEVER changes when other
+    * documents are appended or retracted — the dense rank shifts ~half
+    * of every shard on any insert, which is exactly what forced the
+    * corpus shard layout into a wholesale rewrite per append. A
+    * training cursor over this order is a KEY ("resume after pos k"),
+    * not an index. Strictly better scale shape too: map-only — the
+    * dense rank's per-shard window shuffle disappears.
+    */
+  val mlEpochOrderStable: QueryDef = {
+    val shards = 8
+    val h = OracleSql.hash64("'ep1'", "CAST(doc_id AS VARCHAR)")
+    QueryDef.sql("ml_epoch_order_stable",
+      s"""WITH k AS (SELECT doc_id, $h AS rk FROM documents)
+         |SELECT CAST(((rk % $shards) + $shards) % $shards AS BIGINT) AS shard,
+         |  CAST(rk AS BIGINT) AS pos, doc_id
+         |FROM k ORDER BY shard, pos, doc_id""".stripMargin) { (s, dir) =>
+      graft.ops.TextOps.ensureFunctions(s)
+      epochOrderStableFrame(Tables.documents(s, dir), "ep1", shards)
+        .orderBy(col("shard"), col("pos"), col("doc_id"))
+    }
+  }
+
+  /** The [[mlEpochOrderStable]] body (the CorpusPipeline epoch_order
+    * stage — stage ≡ gate is CorpusPipelineSpec's law). Caller must
+    * TextOps.ensureFunctions first. Unordered.
+    */
+  private[graft] def epochOrderStableFrame(docs: org.apache.spark.sql.DataFrame,
+      seedSalt: String, shards: Int): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr(TextOps.portableHash64Sql(s"'$seedSalt'", "CAST(doc_id AS STRING)")).as("rk"))
+      .select(pmod(col("rk"), lit(shards)).cast("long").as("shard"),
+        col("rk").as("pos"), col("doc_id"))
+
   /** Deequ-style data-quality CONSTRAINT AUDIT over the documents table
     * — the validation gate a dataset passes before training jobs may
     * read it (the declarative cousin of the fails sidecars): six
@@ -2903,7 +2941,7 @@ object MlQueries {
     mlSampleStratified, mlPackSequences, mlMixtureSample, mlChunkDocuments,
     mlQualityFunnel, mlSampleWeighted, mlMixtureTemperature, mlFeatureHash,
     mlLengthBuckets, mlVocabCoverage, mlDpHistogram, mlMixtureEpochs,
-    mlEpochOrder, mlKAnonymity, mlLDiversity, mlLinreg, mlNaiveBayes,
+    mlEpochOrder, mlEpochOrderStable, mlKAnonymity, mlLDiversity, mlLinreg, mlNaiveBayes,
     mlAuc, mlClassifierEval, mlTargetEncoding, mlCalibration, mlBootstrapCi,
     mlDecisionStump, mlClassWeights, mlAssocRules, mlPrCurve, mlStratifiedEffect,
     mlKsTest, mlTCloseness, mlCvLinreg, mlGini, mlSimpsonDiversity,

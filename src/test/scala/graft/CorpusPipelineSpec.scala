@@ -84,7 +84,7 @@ class CorpusPipelineSpec extends SparkSpec {
     assertSame(spark.read.parquet(s"$outDir/mixture"),
       graft.queries.MlQueries.mlMixtureEpochs.run(spark, survDir), "mixture")
     assertSame(spark.read.parquet(s"$outDir/epoch_order"),
-      graft.queries.MlQueries.mlEpochOrder.run(spark, survDir), "epoch order")
+      graft.queries.MlQueries.mlEpochOrderStable.run(spark, survDir), "epoch order")
 
     // ---- survivors = kept minus non-canonical members ----
     val kept = spark.read.parquet(s"$outDir/kept")
@@ -140,7 +140,7 @@ class CorpusPipelineSpec extends SparkSpec {
     // the new seed is a genuinely different permutation
     val o1 = spark.read.parquet(s"$outDir/epoch_order")
     assert(rows(o1) != rows(
-      graft.queries.MlQueries.mlEpochOrder.run(spark, survDir)),
+      graft.queries.MlQueries.mlEpochOrderStable.run(spark, survDir)),
       "epoch seed change produced the identical order")
   }
 
@@ -543,13 +543,53 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(baseSurv.contains("[104]"), "victim 104 must be a base survivor")
     assert(resBase.nKept == base.size, "a base doc fell out of the funnel")
 
+    // per-partition file fingerprints of the shard layout BEFORE the
+    // append — the incremental-write law needs them
+    def partStamps(p: String): Map[String, Set[(String, Long)]] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      new java.io.File(p).listFiles().filter(_.isDirectory).flatMap { sp =>
+        sp.listFiles().filter(_.isDirectory).map { so =>
+          s"${sp.getName}/${so.getName}" -> walk(so)
+            .filter(_.getName.endsWith(".parquet"))
+            .map(f => (f.getName, f.lastModified())).toSet
+        }
+      }.toMap
+    }
+    val idCols = Seq("doc_id", "split", "source", "shard", "pos")
+    def corpusProj(d: String) = spark.read.parquet(s"$d/corpus")
+      .select(idCols.map(col): _*).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toSet
+    val stampsBefore = partStamps(s"$dirA/shards")
+    val projBefore = corpusProj(dirA)
+
     val resA = CorpusPipeline.append(spark, batchJ, dirA)
     assert(resA == resF, s"append result drifted from full rerun: $resA vs $resF")
 
-    // merged state == full-rerun state, table by table
-    for (st <- Seq("survivors", "split", "clusters", "corpus")) {
+    // merged state == full-rerun state, table by table — INCLUDING the
+    // physical shard layout's read-back (the incremental writer must
+    // converge to exactly what a full write ships)
+    for (st <- Seq("survivors", "split", "clusters", "corpus", "shards")) {
       assertSame(spark.read.parquet(s"$dirA/$st"),
         spark.read.parquet(s"$dirF/$st"), s"append $st")
+    }
+    // incremental shard law: exactly the partitions whose content
+    // changed were rewritten — untouched (split, source) directories
+    // keep their files byte-for-byte (same names, same mtimes)
+    val projAfter = corpusProj(dirA)
+    val changedParts = ((projAfter -- projBefore) ++ (projBefore -- projAfter))
+      .map(t => s"split=${t._2}/source=${t._3}")
+    val stampsAfter = partStamps(s"$dirA/shards")
+    val untouched = (stampsBefore.keySet intersect stampsAfter.keySet) -- changedParts
+    assert(untouched.nonEmpty,
+      "fixture vacuous: every shard partition changed — the incremental law tests nothing")
+    untouched.foreach { k =>
+      assert(stampsBefore(k) == stampsAfter(k),
+        s"unchanged partition $k was rewritten by the append")
+    }
+    changedParts.filter(stampsBefore.contains).foreach { k =>
+      assert(stampsBefore(k) != stampsAfter.getOrElse(k, Set.empty),
+        s"changed partition $k kept stale files")
     }
     // pair delta composition: base pairs ∪ batch delta == full pairs
     val mergedPairs = spark.read.parquet(s"$dirA/pairs").unionByName(
