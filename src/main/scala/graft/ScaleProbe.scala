@@ -150,6 +150,86 @@ object ScaleProbe {
         println(f"[scaleprobe] docs=$n%6d ann_pipeline base=$rbS%6.1f s append=$raS%6.1f s live=$liveN%7d")
       }
 
+      // ann-RETRAIN leg (r15, verdict §8): the serving-index lifecycle
+      // under DISTRIBUTION DRIFT — the base 70% of embeddings are the
+      // standard synthetic cloud, the appended 30% collapse into a
+      // far-off region, so the append's reconcile crosses the PSI
+      // threshold and the quantizer refits (write-aside + atomic swap).
+      // Records the append wall WITH the retrain inside, proof the
+      // retrain fired (centroids replaced), and the post-retrain
+      // serving mix: an unfiltered probe and an id-sliced filtered
+      // probe (predicate pushed into the DPP-pruned cell scan), each
+      // with recall@5 vs brute force over the live set.
+      if (on("annretrain")) {
+        spark.conf.set("spark.graft.ann.log", "true")
+        val embP = s"$dirP/embR.parquet"
+        val cutR = (n.toLong * 7L) / 10L
+        spark.range(n).select(col("id").as("vec_id"), expr(
+          s"""CASE WHEN id < ${cutR}L THEN
+             |  transform(sequence(0, 63), j -> CAST(pmod(hash(id, j), 2001) - 1000 AS DOUBLE) / 1000.0)
+             |ELSE
+             |  transform(sequence(0, 63), j -> 10.0D + CAST(pmod(hash(id, j), 201) - 100 AS DOUBLE) / 1000.0)
+             |END""".stripMargin).as("embedding"))
+          .write.mode("overwrite").parquet(embP)
+        val pj3 = spark.read.json(s"$dirP/jsonl")
+        pj3.where(col("doc_id") < cutR).toJSON
+          .write.mode("overwrite").text(s"$dirP/annr_base_jsonl")
+        pj3.where(col("doc_id") >= cutR).toJSON
+          .write.mode("overwrite").text(s"$dirP/annr_batch_jsonl")
+        val cfgR = graft.pipeline.CorpusConfig(annIndex = true, annCells = 64,
+          annRetrainPsi = 0.2, embeddingsPath = embP)
+        val outR = s"$dirP/out_annr"
+        val root = s"$outR/ann_index"
+        val tb = System.nanoTime()
+        graft.pipeline.CorpusPipeline.run(spark, s"$dirP/annr_base_jsonl", outR, cfgR)
+        val baseS = (System.nanoTime() - tb) / 1e9
+        val centsBefore = graft.ops.IvfIndex.centroids(spark, root)
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSet
+        val ta = System.nanoTime()
+        val ra = graft.pipeline.CorpusPipeline.append(
+          spark, s"$dirP/annr_batch_jsonl", outR, cfgR)
+        val apS = (System.nanoTime() - ta) / 1e9
+        val centsAfter = graft.ops.IvfIndex.centroids(spark, root)
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSet
+        require(centsAfter != centsBefore,
+          "drifted append did not trigger the quantizer retrain")
+        val liveN = graft.ops.IvfIndex.liveAssignments(spark, root).count()
+        require(liveN == ra.nSurvivors, s"live=$liveN != survivors=${ra.nSurvivors}")
+        // post-retrain serving mix: 20 drifted-region queries
+        val live = graft.ops.IvfIndex.liveAssignments(spark, root)
+        val q = spark.read.parquet(embP)
+          .where(col("vec_id").between(cutR, cutR + 19))
+          .select(col("vec_id").as("qid"),
+            col("embedding").cast("array<double>").as("qv"))
+        import graft.ops.Similarity
+        // brute arm matches the probe's metric (cosine, desc)
+        val wq = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+        def brute(candFilter: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+          candFilter(live).select(col("vec_id").as("nid"), col("v").as("cv"))
+            .join(broadcast(q), col("nid") =!= col("qid"))
+            .withColumn("sim", Similarity.cosine("qv", "cv"))
+            .withColumn("rnk", row_number().over(wq))
+            .where(col("rnk") <= 5).select(col("qid"), col("nid"))
+        def recallOf(probe: org.apache.spark.sql.DataFrame,
+                     exact: org.apache.spark.sql.DataFrame): Double = {
+          val a = probe.select(col("qid").as("lq"), col("nid").as("ln"))
+          exact.join(a, exact("qid") === a("lq") && exact("nid") === a("ln"), "left")
+            .groupBy(col("qid")).agg((count(col("ln")) / 5.0).as("r"))
+            .agg(coalesce(avg(col("r")), lit(0.0))).head().getDouble(0)
+        }
+        val tU = System.nanoTime()
+        val rU = recallOf(graft.ops.IvfIndex.probe(spark, q, root, nprobe = 8,
+          topk = 5), brute(identity))
+        val uS = (System.nanoTime() - tU) / 1e9
+        val tF = System.nanoTime()
+        val rF = recallOf(graft.ops.IvfIndex.probe(spark, q, root, nprobe = 8, topk = 5,
+            cand = _.where(col("vec_id") % 2 === 0)),
+          brute(_.where(col("vec_id") % 2 === 0)))
+        val fS = (System.nanoTime() - tF) / 1e9
+        println(f"[scaleprobe] docs=$n%6d ann_retrain base=$baseS%6.1f s append_with_retrain=$apS%6.1f s live=$liveN%7d probe_recall=$rU%.2f probe=$uS%5.1f s filtered_recall=$rF%.2f filtered=$fS%5.1f s")
+      }
+
       // sketch leg: ONE aggregation pass over the full token stream
       // builds the whole sketch family concurrently — Count-Min (32 KB),
       // Bloom (512 B), KMV (~2 KB) — on the production hash tier
