@@ -113,6 +113,23 @@ object ScaleProbe {
       require(crA.nSurvivors == cr.nSurvivors && crA.nKept == cr.nKept,
         s"append differential: full=(${cr.nKept},${cr.nSurvivors}) incr=(${crA.nKept},${crA.nSurvivors})")
       println(f"[scaleprobe] docs=$n%6d corpus_append base(${crB.nDocs}%6d)=$bSecs%6.1f s batch(${crA.nDocs - crB.nDocs}%5d)=$aSecs%6.1f s full=$psecs%6.1f s")
+      // single-SOURCE daily feed (r15): a batch confined to one source
+      // must rewrite only that source's (split, source) shard
+      // partitions — the uniform batch above genuinely touches all of
+      // them (membership changed everywhere), so THIS is the leg that
+      // shows shard cost ∝ partitions touched. Fresh filler text (no
+      // planted dups) → no cross-source retractions.
+      val b2 = spark.range(n, n + 1000L).select(col("id").as("doc_id"), expr(
+        s"""concat('the and of to in ', concat_ws(' ', transform(sequence(1, 80), j ->
+           |  element_at($vocabSql, 1 + pmod(hash(id, j), 1000)))))""".stripMargin)
+          .as("text"),
+        lit("en").as("lang"), lit("src0").as("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      b2.toJSON.write.mode("overwrite").text(s"$dirP/batch2_jsonl")
+      val t18 = System.nanoTime()
+      graft.pipeline.CorpusPipeline.append(spark, s"$dirP/batch2_jsonl", s"$dirP/out_incr"): Unit
+      val a2Secs = (System.nanoTime() - t18) / 1e9
+      println(f"[scaleprobe] docs=$n%6d corpus_append_single_source batch(1000)=$a2Secs%6.1f s (see shards.incremental line for partitions)")
       }
       // ann-pipeline leg (r13): the corpus DAG with the serving-index
       // stage ON — measures what annIndex ADDS at base build (index fit
