@@ -288,6 +288,28 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(new java.io.File(s"$out/packed_shards/_SUCCESS").exists())
     assert(new java.io.File(s"$out/packed_shards").listFiles()
       .exists(_.getName.startsWith("split=")), "packed shards not split-partitioned")
+
+    // APPEND-MODE EQUIVALENCE: run(base) + append(batch) must ship the
+    // identical packed artifact a full rerun does — the packed stage
+    // lives in the derived tier, so the law must extend to it (the
+    // r14 verdict's done-criterion for the stage)
+    val ids = docs0.select(col("doc_id")).orderBy(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val cut = ids(ids.length * 4 / 5)
+    val baseJ = mkdir("pack_base"); val batchJ = mkdir("pack_batch")
+    docs0.where(col("doc_id") < cut).toJSON.coalesce(1)
+      .write.mode("overwrite").text(s"$baseJ/jsonl")
+    docs0.where(col("doc_id") >= cut).toJSON.coalesce(1)
+      .write.mode("overwrite").text(s"$batchJ/jsonl")
+    val outI = mkdir("pack_incr")
+    CorpusPipeline.run(spark, s"$baseJ/jsonl", outI, cfg)
+    CorpusPipeline.append(spark, s"$batchJ/jsonl", outI, cfg)
+    assertSame(spark.read.parquet(s"$outI/packed"),
+      spark.read.parquet(s"$out/packed"), "append-mode packed")
+    assertSame(
+      spark.read.parquet(s"$outI/packed_shards")
+        .select(got.columns.map(col).toIndexedSeq: _*),
+      got, "append-mode packed shards read-back")
   }
 
   // ---------------- incremental append ----------------
