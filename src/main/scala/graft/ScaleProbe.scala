@@ -219,12 +219,18 @@ object ScaleProbe {
           .select(col("vec_id").as("qid"),
             col("embedding").cast("array<double>").as("qv"))
         import graft.ops.Similarity
+        // BOTH arms exclude the query vectors themselves (they are live
+        // index rows; without this the probe burns rank 1 on self at
+        // cosine 1.0 and recall is structurally capped at 0.8 —
+        // r15 review)
+        val noSelf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+          _.where(!col("vec_id").between(cutR, cutR + 19))
         // brute arm matches the probe's metric (cosine, desc)
         val wq = org.apache.spark.sql.expressions.Window
           .partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
         def brute(candFilter: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
-          candFilter(live).select(col("vec_id").as("nid"), col("v").as("cv"))
-            .join(broadcast(q), col("nid") =!= col("qid"))
+          candFilter(noSelf(live)).select(col("vec_id").as("nid"), col("v").as("cv"))
+            .crossJoin(broadcast(q))
             .withColumn("sim", Similarity.cosine("qv", "cv"))
             .withColumn("rnk", row_number().over(wq))
             .where(col("rnk") <= 5).select(col("qid"), col("nid"))
@@ -237,11 +243,11 @@ object ScaleProbe {
         }
         val tU = System.nanoTime()
         val rU = recallOf(graft.ops.IvfIndex.probe(spark, q, root, nprobe = 8,
-          topk = 5), brute(identity))
+          topk = 5, cand = noSelf), brute(identity))
         val uS = (System.nanoTime() - tU) / 1e9
         val tF = System.nanoTime()
         val rF = recallOf(graft.ops.IvfIndex.probe(spark, q, root, nprobe = 8, topk = 5,
-            cand = _.where(col("vec_id") % 2 === 0)),
+            cand = d => noSelf(d).where(col("vec_id") % 2 === 0)),
           brute(_.where(col("vec_id") % 2 === 0)))
         val fS = (System.nanoTime() - tF) / 1e9
         println(f"[scaleprobe] docs=$n%6d ann_retrain base=$baseS%6.1f s append_with_retrain=$apS%6.1f s live=$liveN%7d probe_recall=$rU%.2f probe=$uS%5.1f s filtered_recall=$rF%.2f filtered=$fS%5.1f s")

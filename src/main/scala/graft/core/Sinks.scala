@@ -63,12 +63,19 @@ object Sinks {
     * existing layout column-prunes the text away — and a row outside
     * that projection cannot differ, PROVIDED every other column is
     * determined by `keyCol` (documents are immutable per doc_id; the
-    * caller's contract). Changed partitions are replaced via dynamic
-    * partition overwrite (only partitions present in the written data
-    * are dropped), with the same range-repartition + in-file sort +
+    * caller's contract — and (partitionCols ++ sortCols ++ keyCol)
+    * tuples must be UNIQUE: the diff is a set difference, so a
+    * multiplicity-only change in duplicate keyed rows is invisible to
+    * it). Changed partitions are replaced via dynamic partition
+    * overwrite (only partitions present in the written data are
+    * dropped), with the same range-repartition + in-file sort +
     * file-size cap as [[shardedParquet]]. A first write (no _SUCCESS)
-    * falls back to the full writer. Returns the number of partitions
-    * rewritten (-1 = full write).
+    * falls back to the full writer, and so does a rerun after a crash
+    * MID-incremental-write: the root _SUCCESS marker is retired before
+    * the first mutation and restored only at commit, so a torn write
+    * can never be mistaken for a finished one (the full writer's
+    * delete-at-start self-heal, kept). Returns the number of
+    * partitions rewritten (-1 = full write).
     */
   def shardedParquetIncremental(df: DataFrame, path: String,
       partitionCols: Seq[String], sortCols: Seq[String], keyCol: String,
@@ -78,7 +85,12 @@ object Sinks {
       shardedParquet(df, path, partitionCols, sortCols, maxRecordsPerFile)
       return -1
     }
-    val proj = (partitionCols ++ sortCols :+ keyCol).distinct.map(col)
+    // partition columns compare AS STRINGS on both sides: hive
+    // partition-type inference reads a numeric-looking value back as
+    // INT, and a typed except() against the frame's own column type
+    // would throw where the full writer succeeded (r15 review)
+    val proj = (partitionCols.map(c => col(c).cast("string").as(c)) ++
+      (sortCols :+ keyCol).distinct.filterNot(partitionCols.contains).map(col))
     val old = spark.read.parquet(path).select(proj: _*)
     val neu = df.select(proj: _*)
     // changed-partition census: symmetric difference of the id-sized
@@ -92,14 +104,25 @@ object Sinks {
     val wanted = changed.map(r =>
       partitionCols.indices.map(i => String.valueOf(r.get(i))).mkString(sep))
     val slice = df.where(key.isin(wanted.toIndexedSeq: _*))
-    // a partition whose every row disappeared has nothing in the written
-    // data, so dynamic overwrite would leave its stale files behind —
-    // drop the emptied directories explicitly (the retraction case)
     val present = slice.select(key.as("__k")).distinct()
       .collect().map(_.getString(0)).toSet
+    // retire the root commit marker BEFORE any mutation (restored at
+    // the overwrite job's own commit, or explicitly on the
+    // deletions-only path) — a crash between the deletes below and the
+    // job commit must leave the layout looking UNfinished so the next
+    // derive full-rewrites instead of serving a torn layout
+    Fs.delete(spark, s"$path/_SUCCESS")
+    // a partition whose every row disappeared has nothing in the written
+    // data, so dynamic overwrite would leave its stale files behind —
+    // drop the emptied directories explicitly (the retraction case).
+    // Directory names use Spark's OWN partition-path escaping, not the
+    // raw value (a source like "a/b" writes as a%2Fb).
     wanted.filterNot(present).foreach { k =>
       val dir = partitionCols.zip(k.split(sep, -1))
-        .map { case (c, v) => s"$c=$v" }.mkString(s"$path/", "/", "")
+        .map { case (c, v) =>
+          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .getPartitionPathString(c, v)
+        }.mkString(s"$path/", "/", "")
       Fs.deleteRecursive(spark, dir)
     }
     if (present.nonEmpty)
@@ -111,6 +134,10 @@ object Sinks {
         .option("maxRecordsPerFile", maxRecordsPerFile)
         .partitionBy(partitionCols: _*)
         .parquet(path)
+    // restore the commit marker EXPLICITLY: the dynamic-overwrite
+    // commit protocol stages per-partition moves and does not recreate
+    // the root _SUCCESS this writer uses as its finished-layout marker
+    Fs.writeString(spark, s"$path/_SUCCESS", "")
     changed.length
   }
 

@@ -551,18 +551,18 @@ object CorpusPipeline {
     */
   private def retrainIfDrifted(spark: SparkSession, root: String,
                                sv: DataFrame, cells: Int, thr: Double): Unit = {
-    def liveCensus: Map[Long, Long] = IvfIndex.liveAssignments(spark, root)
-      .groupBy(col("cl")).count()
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def liveCensus(r: String = root): Map[Long, Long] =
+      IvfIndex.liveAssignments(spark, r).groupBy(col("cl")).count()
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def writeCensus(c: Map[Long, Long], r: String = root): Unit = {
       import spark.implicits._
       c.toSeq.toDF("cl", "n").coalesce(1)
         .write.mode("overwrite").parquet(s"$r/census")
     }
-    if (!Fs.exists(spark, s"$root/census")) { writeCensus(liveCensus); return }
+    if (!Fs.exists(spark, s"$root/census")) { writeCensus(liveCensus()); return }
     val base = spark.read.parquet(s"$root/census")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val cur = liveCensus
+    val cur = liveCensus()
     val bT = math.max(base.values.sum.toDouble, 1.0)
     val cT = math.max(cur.values.sum.toDouble, 1.0)
     val psi = (base.keySet ++ cur.keySet).toSeq.map { c =>
@@ -587,9 +587,7 @@ object CorpusPipeline {
       val tmp = retrainTmp(root)
       Fs.deleteRecursive(spark, tmp)
       IvfIndex.build(sv, cells, iters = 2, tmp)
-      writeCensus(IvfIndex.liveAssignments(spark, tmp)
-        .groupBy(col("cl")).count()
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap, tmp)
+      writeCensus(liveCensus(tmp), tmp)
       Fs.deleteRecursive(spark, root)
       Fs.rename(spark, tmp, root)
     }
@@ -607,7 +605,12 @@ object CorpusPipeline {
     */
   private def adoptRetrain(spark: SparkSession, root: String): Unit = {
     val tmp = retrainTmp(root)
-    if (Fs.exists(spark, s"$tmp/census")) {
+    // the marker is the census write's JOB COMMIT (_SUCCESS), not the
+    // directory: a crash DURING the census write leaves $tmp/census
+    // with only _temporary debris, and adopting that would destroy the
+    // still-healthy live root for a write-aside whose drift baseline is
+    // unreadable (r15 review)
+    if (Fs.exists(spark, s"$tmp/census/_SUCCESS")) {
       Fs.deleteRecursive(spark, root)
       Fs.rename(spark, tmp, root)
     } else if (Fs.exists(spark, tmp)) Fs.deleteRecursive(spark, tmp)

@@ -531,6 +531,19 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(cents(rootB) == oldCents, "incomplete write-aside replaced the live root")
     assert(live(rootB) == (0L until 100L).toSet)
     assert(!new java.io.File(tmpB).exists(), "mid-refit debris must be discarded")
+
+    // (c) crash DURING the census write itself: the census DIRECTORY
+    // exists but carries no _SUCCESS — that is still mid-refit debris
+    // (r15 review: adopting it would destroy the live root for a
+    // write-aside whose drift baseline is unreadable)
+    graft.ops.IvfIndex.build(vecsOf(600L until 660L), 4, iters = 2, tmpB)
+    graft.ops.IvfIndex.liveAssignments(spark, tmpB)
+      .groupBy(col("cl")).count().coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmpB/census")
+    assert(new java.io.File(s"$tmpB/census/_SUCCESS").delete())
+    CorpusPipeline.reconcileAnnIndex(spark, rootB, vecsOf(0L until 100L), 4)
+    assert(cents(rootB) == oldCents, "markerless write-aside replaced the live root")
+    assert(!new java.io.File(tmpB).exists(), "markerless debris must be discarded")
   }
 
   test("append: run(base) + append(batch) == full rerun on the union; retraction and cluster-merge included") {

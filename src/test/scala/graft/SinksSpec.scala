@@ -96,4 +96,66 @@ class SinksSpec extends SparkSpec {
     val vs = spark.read.parquet(firstFile).select("v").collect().map(_.getLong(0))
     assert(vs.toSeq === vs.sorted.toSeq, "rows not sorted within file")
   }
+
+  test("incremental sharded parquet: changed-partition-only rewrites, retraction deletes, crash self-heal, hostile values") {
+    import spark.implicits._
+    def rows(ps: Seq[(String, Long, Long)]) =
+      ps.toDF("src", "pos", "doc_id").withColumn("text", concat(lit("t"), col("doc_id")))
+    val p = tmp() + "/inc"
+    def files(sub: String): Set[(String, Long)] = {
+      val d = new java.io.File(s"$p/src=$sub")
+      if (!d.isDirectory) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val base = rows(Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 1L, 3L), ("b", 2L, 4L)))
+    // first write: full (-1)
+    assert(Sinks.shardedParquetIncremental(base, p, Seq("src"), Seq("pos"),
+      "doc_id", 1000) === -1)
+    val fA = files("a"); val fB = files("b")
+    // identical content: no-op (0), nothing touched
+    assert(Sinks.shardedParquetIncremental(base, p, Seq("src"), Seq("pos"),
+      "doc_id", 1000) === 0)
+    assert(files("a") == fA && files("b") == fB)
+    // change confined to src=b: only b rewrites
+    val changed = rows(Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 1L, 3L), ("b", 3L, 5L)))
+    assert(Sinks.shardedParquetIncremental(changed, p, Seq("src"), Seq("pos"),
+      "doc_id", 1000) === 1)
+    assert(files("a") == fA, "untouched partition was rewritten")
+    assert(files("b") != fB, "changed partition kept stale files")
+    assert(spark.read.parquet(p).count() === 4L)
+    // retraction empties src=b entirely: its dir is deleted, the layout
+    // read-back converges, and _SUCCESS is restored (deletions-only path)
+    val onlyA = rows(Seq(("a", 1L, 1L), ("a", 2L, 2L)))
+    assert(Sinks.shardedParquetIncremental(onlyA, p, Seq("src"), Seq("pos"),
+      "doc_id", 1000) === 1)
+    assert(files("b").isEmpty, "emptied partition dir not deleted")
+    assert(new java.io.File(s"$p/_SUCCESS").exists(), "_SUCCESS not restored")
+    assert(spark.read.parquet(p).select("doc_id").collect().map(_.getLong(0)).toSet
+      === Set(1L, 2L))
+    // crash self-heal: a torn write leaves no _SUCCESS -> full rewrite
+    new java.io.File(s"$p/_SUCCESS").delete()
+    assert(Sinks.shardedParquetIncremental(onlyA, p, Seq("src"), Seq("pos"),
+      "doc_id", 1000) === -1)
+    // numeric-looking partition values: read-back inference must not
+    // break the diff (old writer handled them; so must this one)
+    val pn = tmp() + "/incnum"
+    val num = Seq(("2023", 1L, 1L), ("2024", 1L, 2L)).toDF("src", "pos", "doc_id")
+    assert(Sinks.shardedParquetIncremental(num, pn, Seq("src"), Seq("pos"),
+      "doc_id", 1000) === -1)
+    assert(Sinks.shardedParquetIncremental(num, pn, Seq("src"), Seq("pos"),
+      "doc_id", 1000) === 0)
+    // hostile partition value ("x/y" escapes to x%2Fy on disk): a full
+    // retraction must delete the ESCAPED dir, not a phantom raw path
+    val ph = tmp() + "/incesc"
+    val esc = Seq(("x/y", 1L, 1L), ("ok", 1L, 2L)).toDF("src", "pos", "doc_id")
+    assert(Sinks.shardedParquetIncremental(esc, ph, Seq("src"), Seq("pos"),
+      "doc_id", 1000) === -1)
+    val keepOk = Seq(("ok", 1L, 2L)).toDF("src", "pos", "doc_id")
+    assert(Sinks.shardedParquetIncremental(keepOk, ph, Seq("src"), Seq("pos"),
+      "doc_id", 1000) === 1)
+    assert(!new java.io.File(s"$ph/src=x%2Fy").exists(),
+      "escaped retracted partition dir survived")
+    assert(spark.read.parquet(ph).count() === 1L)
+  }
 }

@@ -43,9 +43,13 @@ for c in o.columns:
             print(f"FAIL {{name}}: col {{c}} value mismatch"); ok = False; break
 if ok: print(f"PASS {{name}} ({{len(s)}} rows)")
 '''
-    r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=3600)
-    out = (r.stdout + r.stderr).strip()
-    line = out if out.startswith(("PASS", "FAIL")) else f"FAIL {name}: subprocess rc={r.returncode}: {out[-300:]}"
+    try:
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True, timeout=3600)
+        out = (r.stdout + r.stderr).strip()
+        line = out if out.startswith(("PASS", "FAIL")) else f"FAIL {name}: subprocess rc={r.returncode}: {out[-300:]}"
+    except subprocess.TimeoutExpired:
+        out = ""
+        line = f"FAIL {name}: oracle timed out after 3600s"
     # keep only the verdict line
     for l in out.splitlines():
         if l.startswith(("PASS", "FAIL")):
