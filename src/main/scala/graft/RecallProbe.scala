@@ -495,6 +495,36 @@ object RecallProbe {
           s""""n":$n,"n_queries":$nq,"mean_recall":${math.rint(rec * 1e6) / 1e6}}""")
       }
       exactG.unpersist(): Unit
+      // planted mode: the corpus rows above are honest-flat — uniform
+      // random 64-d has NO neighborhood coherence, which is the one
+      // structural premise of NN-Descent's local join. Plant it (the
+      // planted-mode recipe: 5 near-duplicates per ~101st vector,
+      // cos ≈ 0.999) and measure what each propagation round recovers
+      // of the true 5-NN lists the copies define.
+      val basesK = vectors.where(col("vec_id") % 101 === 0)
+      val copiesK = basesK
+        .select(col("vec_id"), explode(sequence(lit(0), lit(4))).as("k"), col("v"))
+        .select((col("vec_id") * 8 + col("k") + lit(1000000000L)).as("vec_id"),
+          expr("transform(v, (x, i) -> x * (1.0D + (pmod(hash(vec_id, k, i), 2001) - 1000) / 20000.0D))")
+            .as("v"))
+      val aug = vectors.select(col("vec_id"), col("v")).unionByName(copiesK)
+        .cache()
+      val truth = basesK.select(col("vec_id").as("qid"),
+          explode(sequence(lit(0), lit(4))).as("k"))
+        .select(col("qid"), (col("qid") * 8 + col("k") + lit(1000000000L)).as("nid"))
+        .cache()
+      val nqK = math.max(1L, basesK.count())
+      for (r <- 0 to 3) {
+        val g = EmbedQueries.knnGraphFrame(aug, k = 5, rounds = r)
+          .select(col("src").as("lqid"), col("dst").as("lnid"))
+        val rec = truth.join(g,
+            truth("qid") === g("lqid") && truth("nid") === g("lnid"), "left")
+          .groupBy(col("qid")).agg((count(col("lnid")) / 5.0).as("recall"))
+          .agg(coalesce(avg(col("recall")), lit(0.0))).head().getDouble(0)
+        println(s"""{"mode":"planted","tier":"knn_graph","k":5,"rounds":$r,""" +
+          s""""n":$n,"n_queries":$nqK,"mean_recall":${math.rint(rec * 1e6) / 1e6}}""")
+      }
+      aug.unpersist(); truth.unpersist(): Unit
     }
 
     vectors.unpersist()

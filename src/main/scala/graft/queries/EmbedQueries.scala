@@ -1467,6 +1467,105 @@ object EmbedQueries {
     }
   }
 
+  /** GRAPH-ANN SEARCH over the NN-Descent graph — the other half of
+    * the graph index family: HNSW/DiskANN answer queries by BEST-FIRST
+    * beam search over exactly this kind of neighborhood graph
+    * (Malkov & Yashunin 2018 layer-0 search, deterministic variant:
+    * fixed hop budget, fixed beam, (d, nid) tie-breaks, one fixed
+    * entry node — min corpus id). Per hop the beam expands through the
+    * UNDIRECTED graph closure, candidates score by exact round-6
+    * squared L2 against the query, and the best `beam` survive; after
+    * `hops` hops the top-k of the last scored set answer. Search cost
+    * is queries × beam × k edge lookups per hop — INDEPENDENT of
+    * corpus size once the graph exists, the property that makes graph
+    * indexes the serving tier of choice. All equi-joins (the one
+    * 1-row entry cross is the usual scalar broadcast); the oracle
+    * replays graph construction AND the unrolled hops end to end.
+    */
+  val embedKnnGraphSearch: QueryDef = {
+    val k = 5; val rounds = 2; val beam = 4; val hops = 3; val topk = 3
+    def duckSqDist(a: String, b: String): String =
+      s"""round(greatest(list_sum([$a[i] * $a[i] for i in range(1, len($a) + 1)]) +
+         |  list_sum([$b[i] * $b[i] for i in range(1, len($b) + 1)]) -
+         |  2 * list_sum([$a[i] * $b[i] for i in range(1, len($a) + 1)]), 0), 6)""".stripMargin
+    def roundCtes(i: Int): String =
+      s"""u$i AS (SELECT src, dst FROM e${i - 1} UNION SELECT dst AS src, src AS dst FROM e${i - 1}),
+         |c$i AS (SELECT src, dst FROM u$i UNION
+         |        SELECT a.src, b.dst FROM u$i a JOIN u$i b ON a.dst = b.src WHERE a.src != b.dst),
+         |s$i AS (SELECT c.src, c.dst, ${duckSqDist("va.v", "vc.v")} AS d
+         |        FROM c$i c JOIN v va ON c.src = va.vec_id JOIN v vc ON c.dst = vc.vec_id),
+         |e$i AS (SELECT src, dst FROM (SELECT src, dst,
+         |          row_number() OVER (PARTITION BY src ORDER BY d, dst) AS rnk FROM s$i)
+         |        WHERE rnk <= $k)""".stripMargin
+    def hopCtes(i: Int): String =
+      s"""x$i AS (SELECT qid, nid FROM b${i - 1} UNION
+         |        SELECT b.qid, g.dst AS nid FROM b${i - 1} b JOIN g ON b.nid = g.src
+         |        WHERE g.dst >= 10),
+         |t$i AS (SELECT x.qid, x.nid, ${duckSqDist("q.qv", "vv.v")} AS d
+         |        FROM x$i x JOIN v vv ON x.nid = vv.vec_id JOIN q ON x.qid = q.qid),
+         |b$i AS (SELECT qid, nid FROM (SELECT qid, nid,
+         |          row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS r FROM t$i)
+         |        WHERE r <= $beam)""".stripMargin
+    QueryDef.sql("embed_knn_graph_search",
+      s"""WITH $duckVectors,
+         |vb AS (SELECT vec_id, ${OracleSql.signBucket} AS bucket FROM v),
+         |wb AS (SELECT vec_id, bucket,
+         |         CAST(row_number() OVER (PARTITION BY bucket ORDER BY vec_id) - 1 AS BIGINT) AS r,
+         |         CAST(count(*) OVER (PARTITION BY bucket) AS BIGINT) AS cnt FROM vb),
+         |e0 AS (SELECT a.vec_id AS src, b.vec_id AS dst
+         |       FROM wb a CROSS JOIN range(1, ${k + 1}) j(j) JOIN wb b
+         |         ON a.bucket = b.bucket AND b.r = (a.r + j.j) % a.cnt
+         |       WHERE j.j <= a.cnt - 1),
+         |${roundCtes(1)},
+         |${roundCtes(2)},
+         |g AS (SELECT src, dst FROM e$rounds UNION SELECT dst AS src, src AS dst FROM e$rounds),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
+         |b0 AS (SELECT qid, (SELECT min(vec_id) FROM v WHERE vec_id >= 10) AS nid FROM q),
+         |${hopCtes(1)},
+         |${hopCtes(2)},
+         |${hopCtes(3)}
+         |SELECT qid, nid, CAST(d AS DOUBLE) AS d,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS BIGINT) AS rnk
+         |FROM t$hops QUALIFY rnk <= $topk
+         |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val v = Similarity.vectors(Tables.embeddings(s, dir)).select(col("vec_id"), col("v"))
+      val g0 = knnGraphFrame(v, k, rounds).select(col("src"), col("dst"))
+      val g = g0.union(g0.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().transform(graft.ops.Ckpt.eager)
+      val q = v.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val entry = v.where(col("vec_id") >= 10).agg(min(col("vec_id")).as("nid"))
+      val dCol = round(greatest(
+        Similarity.dot("qv", "qv") + Similarity.dot("nv", "nv")
+          - lit(2.0) * Similarity.dot("qv", "nv"), lit(0.0)), 6)
+      val wr = Window.partitionBy(col("qid")).orderBy(col("d"), col("nid"))
+      var b = q.select(col("qid")).crossJoin(broadcast(entry))
+      var scored: org.apache.spark.sql.DataFrame = null
+      for (_ <- 1 to hops) {
+        val x = b.union(
+            b.join(g, b("nid") === g("src")).select(b("qid"), g("dst").as("nid"))
+              .where(col("nid") >= 10))
+          .distinct()
+        scored = x
+          .join(v.select(col("vec_id").as("nid"), col("v").as("nv")), "nid")
+          .join(broadcast(q), "qid")
+          .withColumn("d", dCol)
+        // beam is queries×beam rows; the eager checkpoint both cuts the
+        // per-hop lineage (iterative discipline) and de-ambiguates the
+        // next hop's re-join against g (the beam otherwise still carries
+        // g's attribute ids from this hop's expansion)
+        b = scored.withColumn("r", row_number().over(wr))
+          .where(col("r") <= beam).select(col("qid"), col("nid"))
+          .transform(graft.ops.Ckpt.eager)
+      }
+      scored.withColumn("rnk", row_number().over(wr).cast("long"))
+        .where(col("rnk") <= topk)
+        .select(col("qid"), col("nid"), col("d"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }
+  }
+
   /** Index DELETE + COMPACTION — the lifecycle completion the r11
     * verdict asked for: dedup retracts documents, and the persisted
     * index follows. The Spark side runs the FULL composed lifecycle —
@@ -3655,7 +3754,7 @@ object EmbedQueries {
     embedPcaApply, embedWhiten, embedIvfIndexAppend, embedIndexDrift,
     embedIvfPqIndex, embedPcaTopm, embedPcaWhiten, embedIvfIndexDelete,
     embedIvfadcResidual, embedIvfadcRefine, embedIvfadcRefineSq8,
-    embedIvfadcAlloc, embedIvfadcFiltered, embedKnnGraph,
+    embedIvfadcAlloc, embedIvfadcFiltered, embedKnnGraph, embedKnnGraphSearch,
     embedPqRotated, embedPqAlloc, embedIvfProbeFiltered, streamingIvfAppendReplay,
     streamingIvfDeleteReplay)
 }

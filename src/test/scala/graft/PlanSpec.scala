@@ -264,6 +264,9 @@ class PlanSpec extends SparkSpec {
       // same inherited routing cross; the SQ8 refine fetch itself is a
       // broadcast EQUI-join against the dequantized int8 half
       "embed_ivfadc_refine_sq8",
+      // one-row fixed-entry scalar crossed into the 10-query beam —
+      // every hop expansion/scoring join is an equi-join
+      "embed_knn_graph_search",
       // one-row (d0, d1) spine-bounds scalar broadcast into the
       // hours-sized interior filter — never event-sized
       "series_stl",
