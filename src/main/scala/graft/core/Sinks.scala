@@ -63,69 +63,98 @@ object Sinks {
     * existing layout column-prunes the text away — and a row outside
     * that projection cannot differ, PROVIDED every other column is
     * determined by `keyCol` (documents are immutable per doc_id; the
-    * caller's contract — and (partitionCols ++ sortCols ++ keyCol)
-    * tuples must be UNIQUE: the diff is a set difference, so a
-    * multiplicity-only change in duplicate keyed rows is invisible to
-    * it). Changed partitions are replaced via dynamic partition
-    * overwrite (only partitions present in the written data are
-    * dropped), with the same range-repartition + in-file sort +
-    * file-size cap as [[shardedParquet]]. A first write (no _SUCCESS)
-    * falls back to the full writer, and so does a rerun after a crash
-    * MID-incremental-write: the root _SUCCESS marker is retired before
-    * the first mutation and restored only at commit, so a torn write
-    * can never be mistaken for a finished one (the full writer's
-    * delete-at-start self-heal, kept). Returns the number of
+    * caller's contract). The diff is ONE count-bearing symmetric pass
+    * (side-tagged union + grouped sum), so even multiplicity-only
+    * changes in duplicate keyed rows are caught. Partition values
+    * compare as strings ("" folded into NULL — hive's on-disk default
+    * partition conflates them anyway), and the changed-partition
+    * predicates/paths are built per VALUE, null-safely, with Spark's
+    * own partition-path escaping — no in-band string encoding of the
+    * key (r15 review: null and separator-bearing values silently
+    * corrupted the first cut's layout). Changed partitions are
+    * replaced via dynamic partition overwrite; partitions the
+    * retraction emptied are deleted. A first write (no _SUCCESS), a
+    * committed-but-file-less layout (everything retracted earlier),
+    * and a rerun after a crash MID-incremental-write (the _SUCCESS
+    * marker is retired before the first mutation and restored only at
+    * commit) all fall back to the full writer. Returns the number of
     * partitions rewritten (-1 = full write).
     */
   def shardedParquetIncremental(df: DataFrame, path: String,
       partitionCols: Seq[String], sortCols: Seq[String], keyCol: String,
       maxRecordsPerFile: Long): Int = {
     val spark = df.sparkSession
-    if (!Fs.exists(spark, s"$path/_SUCCESS")) {
+    def full(): Int = {
       shardedParquet(df, path, partitionCols, sortCols, maxRecordsPerFile)
-      return -1
+      -1
     }
+    if (!Fs.exists(spark, s"$path/_SUCCESS")) return full()
     // partition columns compare AS STRINGS on both sides: hive
     // partition-type inference reads a numeric-looking value back as
-    // INT, and a typed except() against the frame's own column type
-    // would throw where the full writer succeeded (r15 review)
-    val proj = (partitionCols.map(c => col(c).cast("string").as(c)) ++
+    // INT (a typed except would throw), and "" normalizes to NULL —
+    // both serialize to __HIVE_DEFAULT_PARTITION__ on disk and read
+    // back as null, so distinguishing them would mark the partition
+    // changed forever
+    def pcol(c: String) = nullif(col(c).cast("string"), lit(""))
+    val proj = (partitionCols.map(c => pcol(c).as(c)) ++
       (sortCols :+ keyCol).distinct.filterNot(partitionCols.contains).map(col))
-    val old = spark.read.parquet(path).select(proj: _*)
+    val old =
+      try {
+        val o = spark.read.parquet(path).select(proj: _*)
+        o.queryExecution.analyzed // force resolution inside the try
+        o
+      } catch {
+        case _: org.apache.spark.sql.AnalysisException =>
+          // committed-but-file-less layout (every row retracted by an
+          // earlier derive, or an empty first write): nothing to diff
+          // against — the full writer handles it, and unwedges the
+          // empty→non-empty transition (r15 review)
+          return full()
+      }
     val neu = df.select(proj: _*)
-    // changed-partition census: symmetric difference of the id-sized
-    // projections, collapsed to partition values (bounded: ≤ |partitions|)
-    val changed = neu.except(old).select(partitionCols.map(col): _*)
-      .unionByName(old.except(neu).select(partitionCols.map(col): _*))
-      .distinct().collect()
+    // ONE count-bearing symmetric diff: side-tagged union + grouped sum
+    // (one shuffle over both id-sized projections — the two set-excepts
+    // of the first cut paid two, and were blind to duplicate-row
+    // multiplicity changes)
+    val diffCols = proj.indices.map(i => col(neu.columns(i)))
+    val delta = neu.withColumn("__side", lit(1L))
+      .unionByName(old.withColumn("__side", lit(-1L)))
+      .groupBy(diffCols: _*).agg(sum(col("__side")).as("__d"))
+      .where(col("__d") =!= 0L)
+    val changed: Seq[Seq[Option[String]]] = delta
+      .select(partitionCols.map(col): _*).distinct().collect()
+      .map(r => partitionCols.indices.map(i => Option(r.getString(i))): Seq[Option[String]])
+      .toSeq
     if (changed.isEmpty) return 0
-    val sep = "\u0001"
-    val key = concat_ws(sep, partitionCols.map(c => col(c).cast("string")): _*)
-    val wanted = changed.map(r =>
-      partitionCols.indices.map(i => String.valueOf(r.get(i))).mkString(sep))
-    val slice = df.where(key.isin(wanted.toIndexedSeq: _*))
-    val present = slice.select(key.as("__k")).distinct()
-      .collect().map(_.getString(0)).toSet
-    // retire the root commit marker BEFORE any mutation (restored at
-    // the overwrite job's own commit, or explicitly on the
-    // deletions-only path) — a crash between the deletes below and the
-    // job commit must leave the layout looking UNfinished so the next
-    // derive full-rewrites instead of serving a torn layout
+    def partPred(vals: Seq[Option[String]]) =
+      partitionCols.zip(vals).map { case (c, v) =>
+        v.fold(pcol(c).isNull)(x => pcol(c) === x)
+      }.reduce(_ && _)
+    val slice = df.where(changed.map(partPred).reduce(_ || _))
+    // partitions still populated in the NEW data (id-sized census) —
+    // the complement within `changed` was emptied by retraction
+    val present: Set[Seq[Option[String]]] = neu
+      .select(partitionCols.map(col): _*).distinct().collect()
+      .map(r => partitionCols.indices.map(i => Option(r.getString(i))): Seq[Option[String]])
+      .toSet
+    // retire the root commit marker BEFORE any mutation (restored after
+    // ALL mutations) — a crash in between leaves the layout looking
+    // UNfinished, so the next derive full-rewrites instead of serving a
+    // torn layout
     Fs.delete(spark, s"$path/_SUCCESS")
     // a partition whose every row disappeared has nothing in the written
     // data, so dynamic overwrite would leave its stale files behind —
-    // drop the emptied directories explicitly (the retraction case).
-    // Directory names use Spark's OWN partition-path escaping, not the
-    // raw value (a source like "a/b" writes as a%2Fb).
-    wanted.filterNot(present).foreach { k =>
-      val dir = partitionCols.zip(k.split(sep, -1))
-        .map { case (c, v) =>
-          org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .getPartitionPathString(c, v)
-        }.mkString(s"$path/", "/", "")
+    // drop the emptied directories explicitly. Directory names use
+    // Spark's OWN partition-path escaping (null/"" → the hive default
+    // partition dir; "a/b" → a%2Fb).
+    changed.filterNot(present).foreach { vals =>
+      val dir = partitionCols.zip(vals).map { case (c, v) =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(c, v.getOrElse(""))
+      }.mkString(s"$path/", "/", "")
       Fs.deleteRecursive(spark, dir)
     }
-    if (present.nonEmpty)
+    if (changed.exists(present))
       slice
         .repartitionByRange((partitionCols ++ sortCols).map(col): _*)
         .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)

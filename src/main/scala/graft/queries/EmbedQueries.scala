@@ -1424,6 +1424,42 @@ object EmbedQueries {
     out
   }
 
+  /** Shared exact round-6 squared-L2 DuckDB fragment (the knn-graph
+    * gates' scoring metric).
+    */
+  private def duckSqDistOf(a: String, b: String): String =
+    s"""round(greatest(list_sum([$a[i] * $a[i] for i in range(1, len($a) + 1)]) +
+       |  list_sum([$b[i] * $b[i] for i in range(1, len($b) + 1)]) -
+       |  2 * list_sum([$a[i] * $b[i] for i in range(1, len($a) + 1)]), 0), 6)""".stripMargin
+
+  /** ONE DuckDB replay of [[knnGraphFrame]] shared by embed_knn_graph
+    * and embed_knn_graph_search (r15 review: two copies of the
+    * construction CTEs could drift and silently certify two different
+    * graphs): sign-LSH ring init (vb/wb/e0) + `rounds` local-join
+    * rounds, exposing r$i (scored + ranked) and e$i (top-k edges).
+    */
+  private def knnGraphCtes(k: Int, rounds: Int): String = {
+    def round(i: Int): String =
+      s"""u$i AS (SELECT src, dst FROM e${i - 1} UNION SELECT dst AS src, src AS dst FROM e${i - 1}),
+         |c$i AS (SELECT src, dst FROM u$i UNION
+         |        SELECT a.src, b.dst FROM u$i a JOIN u$i b ON a.dst = b.src WHERE a.src != b.dst),
+         |s$i AS (SELECT c.src, c.dst, ${duckSqDistOf("va.v", "vc.v")} AS d
+         |        FROM c$i c JOIN v va ON c.src = va.vec_id JOIN v vc ON c.dst = vc.vec_id),
+         |r$i AS (SELECT src, dst, d,
+         |          CAST(row_number() OVER (PARTITION BY src ORDER BY d, dst) AS BIGINT) AS rnk
+         |        FROM s$i),
+         |e$i AS (SELECT src, dst FROM r$i WHERE rnk <= $k)""".stripMargin
+    s"""vb AS (SELECT vec_id, ${OracleSql.signBucket} AS bucket FROM v),
+       |wb AS (SELECT vec_id, bucket,
+       |         CAST(row_number() OVER (PARTITION BY bucket ORDER BY vec_id) - 1 AS BIGINT) AS r,
+       |         CAST(count(*) OVER (PARTITION BY bucket) AS BIGINT) AS cnt FROM vb),
+       |e0 AS (SELECT a.vec_id AS src, b.vec_id AS dst
+       |       FROM wb a CROSS JOIN range(1, ${k + 1}) j(j) JOIN wb b
+       |         ON a.bucket = b.bucket AND b.r = (a.r + j.j) % a.cnt
+       |       WHERE j.j <= a.cnt - 1),
+       |""".stripMargin + (1 to rounds).map(round).mkString(",\n")
+  }
+
   /** Gate row over [[knnGraphFrame]] at k = 5, 2 rounds: the oracle
     * replays the ENTIRE construction as unrolled CTEs — sign-LSH ring
     * init, then per round the undirected closure, the
@@ -1434,32 +1470,9 @@ object EmbedQueries {
     */
   val embedKnnGraph: QueryDef = {
     val k = 5; val rounds = 2
-    def duckSqDist(a: String, b: String): String =
-      s"""round(greatest(list_sum([$a[i] * $a[i] for i in range(1, len($a) + 1)]) +
-         |  list_sum([$b[i] * $b[i] for i in range(1, len($b) + 1)]) -
-         |  2 * list_sum([$a[i] * $b[i] for i in range(1, len($a) + 1)]), 0), 6)""".stripMargin
-    def roundCtes(i: Int): String =
-      s"""u$i AS (SELECT src, dst FROM e${i - 1} UNION SELECT dst AS src, src AS dst FROM e${i - 1}),
-         |c$i AS (SELECT src, dst FROM u$i UNION
-         |        SELECT a.src, b.dst FROM u$i a JOIN u$i b ON a.dst = b.src WHERE a.src != b.dst),
-         |s$i AS (SELECT c.src, c.dst, ${duckSqDist("va.v", "vc.v")} AS d
-         |        FROM c$i c JOIN v va ON c.src = va.vec_id JOIN v vc ON c.dst = vc.vec_id),
-         |r$i AS (SELECT src, dst, d,
-         |          CAST(row_number() OVER (PARTITION BY src ORDER BY d, dst) AS BIGINT) AS rnk
-         |        FROM s$i),
-         |e$i AS (SELECT src, dst FROM r$i WHERE rnk <= $k)""".stripMargin
     QueryDef.sql("embed_knn_graph",
       s"""WITH $duckVectors,
-         |vb AS (SELECT vec_id, ${OracleSql.signBucket} AS bucket FROM v),
-         |wb AS (SELECT vec_id, bucket,
-         |         CAST(row_number() OVER (PARTITION BY bucket ORDER BY vec_id) - 1 AS BIGINT) AS r,
-         |         CAST(count(*) OVER (PARTITION BY bucket) AS BIGINT) AS cnt FROM vb),
-         |e0 AS (SELECT a.vec_id AS src, b.vec_id AS dst
-         |       FROM wb a CROSS JOIN range(1, ${k + 1}) j(j) JOIN wb b
-         |         ON a.bucket = b.bucket AND b.r = (a.r + j.j) % a.cnt
-         |       WHERE j.j <= a.cnt - 1),
-         |${roundCtes(1)},
-         |${roundCtes(2)}
+         |${knnGraphCtes(k, rounds)}
          |SELECT src, dst, CAST(d AS DOUBLE) AS d, rnk FROM r$rounds WHERE rnk <= $k
          |ORDER BY src, rnk""".stripMargin) { (s, dir) =>
       knnGraphFrame(Similarity.vectors(Tables.embeddings(s, dir)), k, rounds)
@@ -1484,40 +1497,18 @@ object EmbedQueries {
     */
   val embedKnnGraphSearch: QueryDef = {
     val k = 5; val rounds = 2; val beam = 4; val hops = 3; val topk = 3
-    def duckSqDist(a: String, b: String): String =
-      s"""round(greatest(list_sum([$a[i] * $a[i] for i in range(1, len($a) + 1)]) +
-         |  list_sum([$b[i] * $b[i] for i in range(1, len($b) + 1)]) -
-         |  2 * list_sum([$a[i] * $b[i] for i in range(1, len($a) + 1)]), 0), 6)""".stripMargin
-    def roundCtes(i: Int): String =
-      s"""u$i AS (SELECT src, dst FROM e${i - 1} UNION SELECT dst AS src, src AS dst FROM e${i - 1}),
-         |c$i AS (SELECT src, dst FROM u$i UNION
-         |        SELECT a.src, b.dst FROM u$i a JOIN u$i b ON a.dst = b.src WHERE a.src != b.dst),
-         |s$i AS (SELECT c.src, c.dst, ${duckSqDist("va.v", "vc.v")} AS d
-         |        FROM c$i c JOIN v va ON c.src = va.vec_id JOIN v vc ON c.dst = vc.vec_id),
-         |e$i AS (SELECT src, dst FROM (SELECT src, dst,
-         |          row_number() OVER (PARTITION BY src ORDER BY d, dst) AS rnk FROM s$i)
-         |        WHERE rnk <= $k)""".stripMargin
     def hopCtes(i: Int): String =
       s"""x$i AS (SELECT qid, nid FROM b${i - 1} UNION
          |        SELECT b.qid, g.dst AS nid FROM b${i - 1} b JOIN g ON b.nid = g.src
          |        WHERE g.dst >= 10),
-         |t$i AS (SELECT x.qid, x.nid, ${duckSqDist("q.qv", "vv.v")} AS d
+         |t$i AS (SELECT x.qid, x.nid, ${duckSqDistOf("q.qv", "vv.v")} AS d
          |        FROM x$i x JOIN v vv ON x.nid = vv.vec_id JOIN q ON x.qid = q.qid),
          |b$i AS (SELECT qid, nid FROM (SELECT qid, nid,
          |          row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS r FROM t$i)
          |        WHERE r <= $beam)""".stripMargin
     QueryDef.sql("embed_knn_graph_search",
       s"""WITH $duckVectors,
-         |vb AS (SELECT vec_id, ${OracleSql.signBucket} AS bucket FROM v),
-         |wb AS (SELECT vec_id, bucket,
-         |         CAST(row_number() OVER (PARTITION BY bucket ORDER BY vec_id) - 1 AS BIGINT) AS r,
-         |         CAST(count(*) OVER (PARTITION BY bucket) AS BIGINT) AS cnt FROM vb),
-         |e0 AS (SELECT a.vec_id AS src, b.vec_id AS dst
-         |       FROM wb a CROSS JOIN range(1, ${k + 1}) j(j) JOIN wb b
-         |         ON a.bucket = b.bucket AND b.r = (a.r + j.j) % a.cnt
-         |       WHERE j.j <= a.cnt - 1),
-         |${roundCtes(1)},
-         |${roundCtes(2)},
+         |${knnGraphCtes(k, rounds)},
          |g AS (SELECT src, dst FROM e$rounds UNION SELECT dst AS src, src AS dst FROM e$rounds),
          |q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
          |b0 AS (SELECT qid, (SELECT min(vec_id) FROM v WHERE vec_id >= 10) AS nid FROM q),

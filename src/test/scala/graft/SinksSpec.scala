@@ -158,4 +158,51 @@ class SinksSpec extends SparkSpec {
       "escaped retracted partition dir survived")
     assert(spark.read.parquet(ph).count() === 1L)
   }
+
+  test("incremental sharded parquet: null partitions, full-retraction unwedge, duplicate-row multiplicity") {
+    import spark.implicits._
+    // NULL partition value (reachable through normal ingest — source is
+    // nullable): lands on disk as __HIVE_DEFAULT_PARTITION__; changes
+    // inside it must be detected, sliced and written (r15 review: the
+    // first cut's string-encoded key silently skipped null partitions)
+    val pn = tmp() + "/incnull"
+    def nrows(ps: Seq[(Option[String], Long, Long)]) =
+      ps.toDF("src", "pos", "doc_id")
+    val base = nrows(Seq((Some("a"), 1L, 1L), (None, 1L, 2L), (None, 2L, 3L)))
+    assert(Sinks.shardedParquetIncremental(base, pn, Seq("src"), Seq("pos"),
+      "doc_id", 1000) === -1)
+    val gotNull = nrows(Seq((Some("a"), 1L, 1L), (None, 1L, 2L), (None, 3L, 4L)))
+    assert(Sinks.shardedParquetIncremental(gotNull, pn, Seq("src"), Seq("pos"),
+      "doc_id", 1000) === 1, "null-partition change not detected")
+    assert(spark.read.parquet(pn).where(col("src").isNull)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(2L, 4L),
+      "null partition serves stale rows")
+    // retracting the null partition entirely deletes its DEFAULT dir
+    assert(Sinks.shardedParquetIncremental(
+      nrows(Seq((Some("a"), 1L, 1L))), pn, Seq("src"), Seq("pos"),
+      "doc_id", 1000) === 1)
+    assert(!new java.io.File(s"$pn/src=__HIVE_DEFAULT_PARTITION__").exists(),
+      "retracted default-partition dir survived")
+
+    // FULL retraction then re-population: the committed-but-file-less
+    // layout must fall back to the full writer, not throw forever
+    assert(Sinks.shardedParquetIncremental(
+      nrows(Seq.empty), pn, Seq("src"), Seq("pos"), "doc_id", 1000) === 1)
+    assert(new java.io.File(s"$pn/_SUCCESS").exists())
+    assert(Sinks.shardedParquetIncremental(
+      nrows(Seq((Some("z"), 1L, 9L))), pn, Seq("src"), Seq("pos"),
+      "doc_id", 1000) === -1, "empty layout did not fall back to the full writer")
+    assert(spark.read.parquet(pn).count() === 1L)
+
+    // duplicate-row MULTIPLICITY change: the count-bearing diff must
+    // see it (a set-except cannot)
+    val pd = tmp() + "/incdup"
+    val dup2 = nrows(Seq((Some("a"), 1L, 1L), (Some("a"), 1L, 1L)))
+    assert(Sinks.shardedParquetIncremental(dup2, pd, Seq("src"), Seq("pos"),
+      "doc_id", 1000) === -1)
+    val dup1 = nrows(Seq((Some("a"), 1L, 1L)))
+    assert(Sinks.shardedParquetIncremental(dup1, pd, Seq("src"), Seq("pos"),
+      "doc_id", 1000) === 1, "multiplicity-only change invisible to the diff")
+    assert(spark.read.parquet(pd).count() === 1L)
+  }
 }
