@@ -130,6 +130,10 @@ object ScaleProbe {
       graft.pipeline.CorpusPipeline.append(spark, s"$dirP/batch2_jsonl", s"$dirP/out_incr"): Unit
       val a2Secs = (System.nanoTime() - t18) / 1e9
       println(f"[scaleprobe] docs=$n%6d corpus_append_single_source batch(1000)=$a2Secs%6.1f s (see shards.incremental line for partitions)")
+      // restore: later legs on the shared session must not inherit the
+      // stage-wall stderr logging (r15 advice — it pollutes timings
+      // that are compared across legs)
+      spark.conf.unset("spark.graft.ann.log")
       }
       // ann-pipeline leg (r13): the corpus DAG with the serving-index
       // stage ON — measures what annIndex ADDS at base build (index fit
@@ -165,6 +169,7 @@ object ScaleProbe {
         require(liveN == ra.nSurvivors,
           s"ann index live=$liveN != survivors=${ra.nSurvivors}")
         println(f"[scaleprobe] docs=$n%6d ann_pipeline base=$rbS%6.1f s append=$raS%6.1f s live=$liveN%7d")
+        spark.conf.unset("spark.graft.ann.log") // restore (r15 advice)
       }
 
       // ann-RETRAIN leg (r15, verdict §8): the serving-index lifecycle
@@ -251,6 +256,7 @@ object ScaleProbe {
           brute(_.where(col("vec_id") % 2 === 0)))
         val fS = (System.nanoTime() - tF) / 1e9
         println(f"[scaleprobe] docs=$n%6d ann_retrain base=$baseS%6.1f s append_with_retrain=$apS%6.1f s live=$liveN%7d probe_recall=$rU%.2f probe=$uS%5.1f s filtered_recall=$rF%.2f filtered=$fS%5.1f s")
+        spark.conf.unset("spark.graft.ann.log") // restore (r15 advice)
       }
 
       // sketch leg: ONE aggregation pass over the full token stream

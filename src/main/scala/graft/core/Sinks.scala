@@ -163,9 +163,13 @@ object Sinks {
         .option("maxRecordsPerFile", maxRecordsPerFile)
         .partitionBy(partitionCols: _*)
         .parquet(path)
-    // restore the commit marker EXPLICITLY: the dynamic-overwrite
-    // commit protocol stages per-partition moves and does not recreate
-    // the root _SUCCESS this writer uses as its finished-layout marker
+    // restore the commit marker EXPLICITLY: whether the committer
+    // recreates the root _SUCCESS depends on configuration (the default
+    // Hadoop committer with marksuccessfuljobs=true DOES write one at
+    // job commit); the explicit write makes this writer's
+    // finished-layout marker independent of committer config — and
+    // covers the changed-partitions-all-empty path above, where no
+    // write job runs at all
     Fs.writeString(spark, s"$path/_SUCCESS", "")
     changed.length
   }

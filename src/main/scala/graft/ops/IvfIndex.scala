@@ -63,10 +63,38 @@ object IvfIndex {
     */
   def append(s: SparkSession, batch: DataFrame, root: String): Unit = {
     requireNoReserved(batch, "append")
+    requireSq8Lockstep(s, root, "append")
     val out = graft.ml.KMeans.assign(batch, centroids(s, root)).drop("d2")
     requireSidecarMatch(s, s"$root/assignments.schema", out, "assignments",
       assignments(s, root).schema)
     out.write.mode("append").partitionBy("cl").parquet(s"$root/assignments")
+  }
+
+  /** sq8/assignments lockstep guard (r15 advice): [[appendSq8]] is
+    * call-discipline only (unlike [[compact]], which rewrites both
+    * halves automatically), so an [[append]] without its matching
+    * appendSq8 would leave the refine half short — and
+    * [[probeRefine]](fromSq8) inner-joins the shortlist against it,
+    * silently dropping the missing vectors from the re-rank. Catch the
+    * drift at the NEXT mutation instead: before appending, assert the
+    * two halves' raw row counts agree (tombstones hit both equally, so
+    * raw parity ⇔ live parity; the counts are parquet footer
+    * aggregates, fine inside a mutation op). Skipped when no sq8 half
+    * exists.
+    */
+  private def requireSq8Lockstep(s: SparkSession, root: String,
+                                 what: String): Unit = {
+    val (fs, p) = hfs(s, s"$root/sq8")
+    if (fs.exists(p)) {
+      val nAsg = s.read.parquet(s"$root/assignments").count()
+      val nSq8 = s.read.parquet(s"$root/sq8").count()
+      require(nAsg == nSq8,
+        s"IvfIndex: $what found the sq8 refine half out of lockstep with " +
+          s"assignments ($nSq8 vs $nAsg rows) — a prior append was not " +
+          "followed by appendSq8 on the same batch; probeRefine(fromSq8) " +
+          "would silently drop the missing vectors from the re-rank. " +
+          "Run appendSq8 for the missing batch or rebuild with buildSq8.")
+    }
   }
 
   def centroids(s: SparkSession, root: String): DataFrame =
@@ -830,10 +858,11 @@ object IvfIndex {
     require(bad.isEmpty,
       s"IvfIndex: $what attribute columns may not use the reserved names " +
         s"${bad.mkString(", ")} — 'cl'/'d2' are the assignment half's own " +
-        "columns and 'sub'/'code' the encoded half's")
+        "columns, 'sub'/'code' the encoded half's, and 'q'/'qs' the sq8 " +
+        "refine half's")
   }
 
-  private val Reserved = Set("cl", "d2", "sub", "code")
+  private val Reserved = Set("cl", "d2", "sub", "code", "q", "qs")
 
   /** Enforce the append-side attr contract against a half's persisted
     * schema sidecar: mixed parquet schemas inside one half are NOT
@@ -1158,7 +1187,13 @@ object IvfIndex {
     * centroids and its quantized rows land under the existing cell
     * partitions — appendSq8 ≡ a buildSq8 re-encode of base ∪ batch
     * (quantization is per-vector, so the law is trivial and
-    * IvfIndexSpec pins it). Call after [[append]] on the same batch.
+    * IvfIndexSpec pins it). Call after [[append]] on the same batch —
+    * the lockstep is call discipline: skipping it leaves the refine
+    * half short, and [[probeRefine]](fromSq8) inner-joins the
+    * shortlist against liveSq8, so the missing vectors would silently
+    * vanish from the re-rank. [[append]] asserts halves parity before
+    * every later batch (requireSq8Lockstep), so the drift fails fast
+    * at the next mutation rather than degrading probes forever.
     */
   def appendSq8(s: SparkSession, batch: DataFrame, root: String): Unit = {
     requireNoReserved(batch, "appendSq8")

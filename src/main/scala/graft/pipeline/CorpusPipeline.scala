@@ -580,40 +580,71 @@ object CorpusPipeline {
       // one non-crash-atomic destructive mutation — delete-then-build
       // left a window where readers saw NO index. Now the whole refit
       // lands under a sibling temp root (census written LAST = the
-      // completeness marker), and only then does the old root die; the
-      // swap itself is two metadata ops, and a crash between them is
-      // healed by [[adoptRetrain]] at the next derive's entry (the
-      // completed write-aside is adopted, not rebuilt).
+      // completeness marker), and only then does the old root retire.
+      // The swap itself retires the old root by RENAME rather than
+      // delete (r15 advice): rename(root→.old) + rename(tmp→root) +
+      // delete(.old) keeps a readable root alive at every instant
+      // except the two-rename gap — and a concurrent out-of-pipeline
+      // reader that loses that race merely retries, rather than facing
+      // a root that stays missing until the next derive heals it. A
+      // crash anywhere in the sequence is healed by [[adoptRetrain]]
+      // at the next derive's entry (the completed write-aside is
+      // adopted, not rebuilt; a half-swapped .old is finished or
+      // restored).
       val tmp = retrainTmp(root)
+      val old = retrainOld(root)
       Fs.deleteRecursive(spark, tmp)
       IvfIndex.build(sv, cells, iters = 2, tmp)
       writeCensus(liveCensus(tmp), tmp)
-      Fs.deleteRecursive(spark, root)
+      Fs.deleteRecursive(spark, old)
+      Fs.rename(spark, root, old)
       Fs.rename(spark, tmp, root)
+      Fs.deleteRecursive(spark, old)
     }
   }
 
   private def retrainTmp(root: String): String = s"$root.retrain"
+  private def retrainOld(root: String): String = s"$root.old"
 
   /** Crash recovery for the retrain swap, run before any index read: a
     * COMPLETE write-aside (its census marker present) whose swap didn't
-    * finish is adopted — resume at the delete+rename, which is exactly
+    * finish is adopted — resume the retire-rename sequence exactly
     * where the crashed writer stopped; an incomplete one (no census) is
     * debris from a crash mid-refit and is discarded, the still-live old
-    * root having served throughout. Single-writer (the derive) holds,
-    * same as compact/repair.
+    * root having served throughout. A `.old` root left by a crash
+    * between the swap's renames is finished (new root adopted, .old
+    * deleted) or — defensively, with neither tmp nor root present —
+    * restored. Single-writer (the derive) holds, same as
+    * compact/repair.
     */
   private def adoptRetrain(spark: SparkSession, root: String): Unit = {
     val tmp = retrainTmp(root)
+    val old = retrainOld(root)
     // the marker is the census write's JOB COMMIT (_SUCCESS), not the
     // directory: a crash DURING the census write leaves $tmp/census
     // with only _temporary debris, and adopting that would destroy the
     // still-healthy live root for a write-aside whose drift baseline is
     // unreadable (r15 review)
     if (Fs.exists(spark, s"$tmp/census/_SUCCESS")) {
-      Fs.deleteRecursive(spark, root)
+      // resume: retire the live root (if the crash came before its
+      // rename), adopt the write-aside, drop the retired copy
+      if (Fs.exists(spark, root)) {
+        Fs.deleteRecursive(spark, old)
+        Fs.rename(spark, root, old)
+      }
       Fs.rename(spark, tmp, root)
-    } else if (Fs.exists(spark, tmp)) Fs.deleteRecursive(spark, tmp)
+      Fs.deleteRecursive(spark, old)
+    } else {
+      if (Fs.exists(spark, tmp)) Fs.deleteRecursive(spark, tmp)
+      if (Fs.exists(spark, old)) {
+        // tmp gone + .old present: crash after rename(tmp→root) but
+        // before the .old delete — root IS the new index, .old is
+        // debris. If root is somehow missing too, restore the retired
+        // copy rather than leave no index at all.
+        if (Fs.exists(spark, root)) Fs.deleteRecursive(spark, old)
+        else Fs.rename(spark, old, root)
+      }
+    }
   }
 
   private def mergedResult(spark: SparkSession, outDir: String, cfg: CorpusConfig,

@@ -544,6 +544,35 @@ class CorpusPipelineSpec extends SparkSpec {
     CorpusPipeline.reconcileAnnIndex(spark, rootB, vecsOf(0L until 100L), 4)
     assert(cents(rootB) == oldCents, "markerless write-aside replaced the live root")
     assert(!new java.io.File(tmpB).exists(), "markerless debris must be discarded")
+
+    // (d) crash BETWEEN the swap's two renames (r15 advice: the retire
+    // is now rename(root→.old), not delete, so a live tree exists on
+    // disk throughout): root missing, .old present, tmp complete — the
+    // write-aside is adopted and the retired copy dropped
+    val rootD = mkdir("ann_swap_d") + "/idx"
+    CorpusPipeline.reconcileAnnIndex(spark, rootD, vecsOf(0L until 100L), 4)
+    val tmpD = rootD + ".retrain"
+    graft.ops.IvfIndex.build(vecsOf(700L until 800L), 4, iters = 2, tmpD)
+    graft.ops.IvfIndex.liveAssignments(spark, tmpD)
+      .groupBy(col("cl")).count().coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmpD/census")
+    val wantD = cents(tmpD)
+    graft.core.Fs.rename(spark, rootD, rootD + ".old") // crash here
+    CorpusPipeline.reconcileAnnIndex(spark, rootD, vecsOf(700L until 800L), 4)
+    assert(cents(rootD) == wantD, "mid-swap crash did not adopt the write-aside")
+    assert(live(rootD) == (700L until 800L).toSet)
+    assert(!new java.io.File(rootD + ".old").exists(), ".old debris must be dropped")
+    assert(!new java.io.File(tmpD).exists())
+
+    // (e) crash AFTER rename(tmp→root) but before the .old delete: the
+    // root IS the new index; .old is debris and must not clobber it
+    val rootE = mkdir("ann_swap_e") + "/idx"
+    CorpusPipeline.reconcileAnnIndex(spark, rootE, vecsOf(0L until 100L), 4)
+    val newCentsE = cents(rootE)
+    graft.ops.IvfIndex.build(vecsOf(900L until 950L), 4, iters = 2, rootE + ".old")
+    CorpusPipeline.reconcileAnnIndex(spark, rootE, vecsOf(0L until 100L), 4)
+    assert(cents(rootE) == newCentsE, ".old debris clobbered the adopted root")
+    assert(!new java.io.File(rootE + ".old").exists(), ".old debris must be dropped")
   }
 
   test("append: run(base) + append(batch) == full rerun on the union; retraction and cluster-merge included") {

@@ -247,6 +247,30 @@ class IvfIndexSpec extends SparkSpec {
       "a deleted vector resurfaced in the sq8 refine")
   }
 
+  test("an append that skipped appendSq8 fails fast at the NEXT mutation (sq8 lockstep guard)") {
+    // r15 advice: appendSq8 is call discipline; probeRefine(fromSq8)
+    // inner-joins the shortlist against liveSq8, so a missed appendSq8
+    // would silently drop the missing vectors from the re-rank forever.
+    // The guard converts the silent degradation into a loud require at
+    // the next append.
+    val root = Scratch.dir("spec_ivf_sq8_lockstep")
+    IvfIndex.build(planted(60, 0L), k = 2, iters = 2, root)
+    IvfIndex.buildSq8(spark, root)
+    IvfIndex.append(spark, planted(10, 100L), root) // lockstep held (60==60)
+    // ... but its appendSq8 is SKIPPED — the next append must refuse
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.append(spark, planted(5, 200L), root)
+    }
+    assert(e.getMessage.contains("lockstep"),
+      s"wrong lockstep message: ${e.getMessage}")
+    // healing the drift (the missing appendSq8) re-opens the path
+    IvfIndex.appendSq8(spark, planted(10, 100L), root)
+    IvfIndex.append(spark, planted(5, 200L), root)
+    IvfIndex.appendSq8(spark, planted(5, 200L), root)
+    assert(IvfIndex.assignments(spark, root).count() === 75L)
+    assert(IvfIndex.sq8(spark, root).count() === 75L)
+  }
+
   test("STREAMED append (file-source micro-batches, SHUFFLED chunk order) == batch append") {
     // the streaming_ivf_append_replay parity law, deliberately harder
     // than the gate row: chunks interleave ids (range key = vec_id % 7),
@@ -449,9 +473,12 @@ class IvfIndexSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("reserved"),
       s"wrong reserved-name message: ${e2.getMessage}")
-    // ... including the assignment half's own cl/d2 (r14 advice): a
-    // user attr named cl would be silently conflated with the cell id
-    for (name <- Seq("cl", "d2")) {
+    // ... including the assignment half's own cl/d2 (r14 advice) and
+    // the sq8 refine half's q/qs (r15 advice): a user attr named cl
+    // would be silently conflated with the cell id, and one named q/qs
+    // would be silently replaced by sq8Of's own columns and then die
+    // in an opaque duplicate-column write
+    for (name <- Seq("cl", "d2", "q", "qs")) {
       val e3 = intercept[IllegalArgumentException] {
         IvfIndex.build(planted(20, 0L).withColumn(name, lit(1)), k = 2,
           iters = 1, Scratch.dir(s"spec_ivf_attr_reserved_$name"))
