@@ -1361,67 +1361,34 @@ object EmbedQueries {
     }
   }
 
-  /** Deterministic NN-DESCENT k-NN graph construction (Dong, Moses &
-    * Li, WWW 2011 — the foundation layer of the graph-ANN family:
-    * HNSW/DiskANN build on exactly this neighborhood-propagation
-    * primitive). Init seeds each vertex with its `k` ring-successors
-    * INSIDE its 8-bit sign-LSH bucket (LSH-seeded NN-Descent — a
-    * locality-aware start that is fully order-free and replayable,
-    * where the paper's random init is not); each round then applies the
-    * paper's local-join: candidates = current neighbors ∪ reverse
-    * neighbors ∪ neighbors-of-(both), scored by exact round-6 squared
-    * L2, keep the best `k` per vertex by (d, dst). Everything is an
-    * equi-join: the undirected edge list has ≤ 2nk rows and the
-    * neighbor-of-neighbor join emits ≤ n·(2k)² candidate pairs — the
-    * per-round cost is Θ(n·k²) with NO all-pairs term (ScaleProbe's
-    * knn_graph leg measures it), and the per-vertex top-k is a bounded
-    * window. Rounds are Ckpt.eager'd (iterative lineage truncation,
-    * the Components discipline).
+  /** Deterministic NN-Descent construction — moved to
+    * [[graft.ops.KnnGraph.construct]] (r16: the graph tier became a
+    * persisted lifecycle artifact); this forwarder keeps the probe
+    * harnesses' call sites. See KnnGraph's scaladoc for the algorithm
+    * (Dong, Moses & Li 2011, LSH-ring init, Θ(n·k²)/round, no
+    * all-pairs term).
     */
   private[graft] def knnGraphFrame(v0: org.apache.spark.sql.DataFrame, k: Int,
-      rounds: Int): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val v = v0.select(col("vec_id"), col("v"))
-    val wb = Window.partitionBy(col("bucket")).orderBy(col("vec_id"))
-    val ranked = v.withColumn("bucket", Similarity.signBucket("v"))
-      .select(col("vec_id"), col("bucket"))
-      .withColumn("r", (row_number().over(wb) - 1).cast("long"))
-      .withColumn("cnt",
-        count(lit(1)).over(Window.partitionBy(col("bucket"))).cast("long"))
-    val e0 = ranked
-      .withColumn("j", explode(expr(s"sequence(1L, ${k}L)")))
-      .where(col("j") <= col("cnt") - 1)
-      .withColumn("dr", (col("r") + col("j")) % col("cnt"))
-      .select(col("vec_id").as("src"), col("bucket"), col("dr"))
-      .join(ranked.select(col("bucket"), col("r").as("dr"), col("vec_id").as("dst")),
-        Seq("bucket", "dr"))
-      .select(col("src"), col("dst"))
-    val dCol = round(greatest(
-      Similarity.dot("av", "av") + Similarity.dot("bv", "bv")
-        - lit(2.0) * Similarity.dot("av", "bv"), lit(0.0)), 6)
-    val ws = Window.partitionBy(col("src")).orderBy(col("d"), col("dst"))
-    def bestK(edges: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-      edges.join(v.select(col("vec_id").as("src"), col("v").as("av")), "src")
-        .join(v.select(col("vec_id").as("dst"), col("v").as("bv")), "dst")
-        .withColumn("d", dCol)
-        .withColumn("rnk", row_number().over(ws).cast("long"))
-        .where(col("rnk") <= k)
-        .select(col("src"), col("dst"), col("d"), col("rnk"))
-    var e = e0
-    // lazy init-recall arm: replaced unevaluated when rounds > 0
-    var out: org.apache.spark.sql.DataFrame = bestK(e0)
-    for (_ <- 1 to rounds) {
-      val und = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().transform(graft.ops.Ckpt.eager)
-      val cand = und.union(
-          und.as("a").join(und.as("b"), col("a.dst") === col("b.src"))
-            .select(col("a.src").as("src"), col("b.dst").as("dst"))
-            .where(col("src") =!= col("dst")))
-        .distinct()
-      out = bestK(cand).transform(graft.ops.Ckpt.eager)
-      e = out.select(col("src"), col("dst"))
+      rounds: Int): org.apache.spark.sql.DataFrame =
+    graft.ops.KnnGraph.construct(v0, k, rounds)
+
+  /** The SHARED persisted k-NN graph artifact (read-only gate rows —
+    * embed_knn_graph and embed_knn_graph_search both serve from this
+    * one build, the ivfadc family's one-artifact discipline; r15
+    * verdict #1 priced the per-query rebuild at ~2 s of bench).
+    * Mutation gates (append/delete/compact) build their OWN roots —
+    * they change the artifact.
+    */
+  private def knnGraphRoot(s: org.apache.spark.sql.SparkSession, dir: String,
+                           k: Int, rounds: Int): String = {
+    val root = graft.ops.Scratch.dir(
+      s"knng_${Integer.toHexString(dir.hashCode)}")
+    graft.ops.Scratch.once(root) {
+      graft.ops.KnnGraph.build(
+        Similarity.vectors(Tables.embeddings(s, dir))
+          .select(col("vec_id"), col("v")), k, rounds, root)
     }
-    out
+    root
   }
 
   /** Shared exact round-6 squared-L2 DuckDB fragment (the knn-graph
@@ -1432,24 +1399,25 @@ object EmbedQueries {
        |  list_sum([$b[i] * $b[i] for i in range(1, len($b) + 1)]) -
        |  2 * list_sum([$a[i] * $b[i] for i in range(1, len($a) + 1)]), 0), 6)""".stripMargin
 
-  /** ONE DuckDB replay of [[knnGraphFrame]] shared by embed_knn_graph
-    * and embed_knn_graph_search (r15 review: two copies of the
-    * construction CTEs could drift and silently certify two different
-    * graphs): sign-LSH ring init (vb/wb/e0) + `rounds` local-join
-    * rounds, exposing r$i (scored + ranked) and e$i (top-k edges).
+  /** ONE DuckDB replay of [[graft.ops.KnnGraph.construct]] shared by
+    * every graph-tier gate (r15 review: two copies of the construction
+    * CTEs could drift and silently certify two different graphs):
+    * sign-LSH ring init (vb/wb/e0) + `rounds` local-join rounds over
+    * vertex relation `rel` (vec_id, v), exposing r$i (scored + ranked)
+    * and e$i (top-k edges).
     */
-  private def knnGraphCtes(k: Int, rounds: Int): String = {
+  private def knnGraphCtes(k: Int, rounds: Int, rel: String = "v"): String = {
     def round(i: Int): String =
       s"""u$i AS (SELECT src, dst FROM e${i - 1} UNION SELECT dst AS src, src AS dst FROM e${i - 1}),
          |c$i AS (SELECT src, dst FROM u$i UNION
          |        SELECT a.src, b.dst FROM u$i a JOIN u$i b ON a.dst = b.src WHERE a.src != b.dst),
          |s$i AS (SELECT c.src, c.dst, ${duckSqDistOf("va.v", "vc.v")} AS d
-         |        FROM c$i c JOIN v va ON c.src = va.vec_id JOIN v vc ON c.dst = vc.vec_id),
+         |        FROM c$i c JOIN $rel va ON c.src = va.vec_id JOIN $rel vc ON c.dst = vc.vec_id),
          |r$i AS (SELECT src, dst, d,
          |          CAST(row_number() OVER (PARTITION BY src ORDER BY d, dst) AS BIGINT) AS rnk
          |        FROM s$i),
          |e$i AS (SELECT src, dst FROM r$i WHERE rnk <= $k)""".stripMargin
-    s"""vb AS (SELECT vec_id, ${OracleSql.signBucket} AS bucket FROM v),
+    s"""vb AS (SELECT vec_id, ${OracleSql.signBucket} AS bucket FROM $rel),
        |wb AS (SELECT vec_id, bucket,
        |         CAST(row_number() OVER (PARTITION BY bucket ORDER BY vec_id) - 1 AS BIGINT) AS r,
        |         CAST(count(*) OVER (PARTITION BY bucket) AS BIGINT) AS cnt FROM vb),
@@ -1460,13 +1428,16 @@ object EmbedQueries {
        |""".stripMargin + (1 to rounds).map(round).mkString(",\n")
   }
 
-  /** Gate row over [[knnGraphFrame]] at k = 5, 2 rounds: the oracle
-    * replays the ENTIRE construction as unrolled CTEs — sign-LSH ring
-    * init, then per round the undirected closure, the
+  /** Gate row over the PERSISTED graph artifact at k = 5, 2 rounds:
+    * the Spark side reads [[graft.ops.KnnGraph.liveGraph]] off the
+    * shared build (construction runs ONCE per run, not per gate); the
+    * oracle replays the ENTIRE construction as unrolled CTEs —
+    * sign-LSH ring init, then per round the undirected closure, the
     * neighbor-of-neighbor join, the exact round-6 distances and the
-    * (d, dst)-tiebroken top-k — so a green row certifies the graph
-    * edge-for-edge, not a summary of it. RecallProbe's knn_graph leg
-    * prices recall@5 vs brute force per round.
+    * (d, dst)-tiebroken top-k — so a green row certifies the stored
+    * graph edge-for-edge, including the log→view roundtrip (dedup +
+    * re-rank). RecallProbe's knn_graph leg prices recall@5 vs brute
+    * force per round.
     */
   val embedKnnGraph: QueryDef = {
     val k = 5; val rounds = 2
@@ -1475,25 +1446,28 @@ object EmbedQueries {
          |${knnGraphCtes(k, rounds)}
          |SELECT src, dst, CAST(d AS DOUBLE) AS d, rnk FROM r$rounds WHERE rnk <= $k
          |ORDER BY src, rnk""".stripMargin) { (s, dir) =>
-      knnGraphFrame(Similarity.vectors(Tables.embeddings(s, dir)), k, rounds)
+      val root = knnGraphRoot(s, dir, k, rounds)
+      graft.ops.KnnGraph.liveGraph(s, root)
         .orderBy(col("src"), col("rnk"))
     }
   }
 
-  /** GRAPH-ANN SEARCH over the NN-Descent graph — the other half of
-    * the graph index family: HNSW/DiskANN answer queries by BEST-FIRST
-    * beam search over exactly this kind of neighborhood graph
-    * (Malkov & Yashunin 2018 layer-0 search, deterministic variant:
-    * fixed hop budget, fixed beam, (d, nid) tie-breaks, one fixed
-    * entry node — min corpus id). Per hop the beam expands through the
-    * UNDIRECTED graph closure, candidates score by exact round-6
-    * squared L2 against the query, and the best `beam` survive; after
-    * `hops` hops the top-k of the last scored set answer. Search cost
-    * is queries × beam × k edge lookups per hop — INDEPENDENT of
-    * corpus size once the graph exists, the property that makes graph
-    * indexes the serving tier of choice. All equi-joins (the one
-    * 1-row entry cross is the usual scalar broadcast); the oracle
-    * replays graph construction AND the unrolled hops end to end.
+  /** GRAPH-ANN SEARCH served from the PERSISTED artifact — the other
+    * half of the graph index family: HNSW/DiskANN answer queries by
+    * BEST-FIRST beam search over exactly this kind of neighborhood
+    * graph (Malkov & Yashunin 2018 layer-0 search, deterministic
+    * variant: fixed hop budget, fixed beam, (d, nid) tie-breaks, entry
+    * = min eligible id). The Spark side is
+    * [[graft.ops.KnnGraph.search]] over the SHARED build — per hop the
+    * beam expands through the undirected live-graph closure,
+    * candidates score by exact round-6 squared L2 against the query,
+    * and the best `beam` survive; after `hops` hops the top-k of the
+    * last scored set answer. Search cost is queries × beam × k edge
+    * lookups per hop — INDEPENDENT of corpus size once the graph
+    * exists, the property that makes graph indexes the serving tier of
+    * choice. All equi-joins (the one 1-row entry cross is the usual
+    * scalar broadcast); the oracle replays graph construction AND the
+    * unrolled hops end to end.
     */
   val embedKnnGraphSearch: QueryDef = {
     val k = 5; val rounds = 2; val beam = 4; val hops = 3; val topk = 3
@@ -1519,43 +1493,182 @@ object EmbedQueries {
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS BIGINT) AS rnk
          |FROM t$hops QUALIFY rnk <= $topk
          |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
+      val root = knnGraphRoot(s, dir, k, rounds)
       val v = Similarity.vectors(Tables.embeddings(s, dir)).select(col("vec_id"), col("v"))
-      val g0 = knnGraphFrame(v, k, rounds).select(col("src"), col("dst"))
-      val g = g0.union(g0.select(col("dst").as("src"), col("src").as("dst")))
-        .distinct().transform(graft.ops.Ckpt.eager)
       val q = v.where(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("v").as("qv"))
-      val entry = v.where(col("vec_id") >= 10).agg(min(col("vec_id")).as("nid"))
-      val dCol = round(greatest(
-        Similarity.dot("qv", "qv") + Similarity.dot("nv", "nv")
-          - lit(2.0) * Similarity.dot("qv", "nv"), lit(0.0)), 6)
-      val wr = Window.partitionBy(col("qid")).orderBy(col("d"), col("nid"))
-      var b = q.select(col("qid")).crossJoin(broadcast(entry))
-      var scored: org.apache.spark.sql.DataFrame = null
-      for (_ <- 1 to hops) {
-        val x = b.union(
-            b.join(g, b("nid") === g("src")).select(b("qid"), g("dst").as("nid"))
-              .where(col("nid") >= 10))
-          .distinct()
-        scored = x
-          .join(v.select(col("vec_id").as("nid"), col("v").as("nv")), "nid")
-          .join(broadcast(q), "qid")
-          .withColumn("d", dCol)
-        // beam is queries×beam rows; the eager checkpoint both cuts the
-        // per-hop lineage (iterative discipline) and de-ambiguates the
-        // next hop's re-join against g (the beam otherwise still carries
-        // g's attribute ids from this hop's expansion)
-        b = scored.withColumn("r", row_number().over(wr))
-          .where(col("r") <= beam).select(col("qid"), col("nid"))
-          .transform(graft.ops.Ckpt.eager)
-      }
-      scored.withColumn("rnk", row_number().over(wr).cast("long"))
-        .where(col("rnk") <= topk)
-        .select(col("qid"), col("nid"), col("d"), col("rnk"))
+      graft.ops.KnnGraph.search(s, q, root, beam, hops, topk,
+          cand = _.where(col("vec_id") >= 10))
         .orderBy(col("qid"), col("rnk"))
     }
   }
+
+  /** Graph-index INSERT gate ([[graft.ops.KnnGraph.append]] — the
+    * HNSW §4 / FreshDiskANN StreamingMerge insert, batch-parallel): a
+    * base graph builds on 3/4 of the vectors, the remaining quarter
+    * INSERTS — each new vector beam-searches the existing graph for
+    * its neighborhood (no base re-scoring), then three delta-sized
+    * candidate families land in the edge log: the per-vector top-k
+    * out-edges, their reversals (HNSW's bidirectional link, pruned
+    * back to k by the live view), and batch pairs sharing a neighbor
+    * (the shared-neighbor equi-join that finds near-dup co-inserts
+    * without a batch² term). The oracle replays base construction, the
+    * unrolled beam-search hops, all three candidate families, and the
+    * log→view top-k merge — the ENTIRE insert path, edge-for-edge.
+    */
+  val embedKnnGraphAppend: QueryDef = {
+    val k = 5; val rounds = 2; val beam = 4; val hops = 3
+    def hopCtes(i: Int): String =
+      s"""x$i AS (SELECT qid, nid FROM b${i - 1} UNION
+         |        SELECT b.qid, g.dst AS nid FROM b${i - 1} b JOIN g ON b.nid = g.src),
+         |t$i AS (SELECT x.qid, x.nid, ${duckSqDistOf("q.qv", "vv.v")} AS d
+         |        FROM x$i x JOIN bb vv ON x.nid = vv.vec_id JOIN q ON x.qid = q.qid),
+         |b$i AS (SELECT qid, nid FROM (SELECT qid, nid,
+         |          row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS r FROM t$i)
+         |        WHERE r <= $beam)""".stripMargin
+    QueryDef.sql("embed_knn_graph_append",
+      s"""WITH $duckVectors,
+         |bb AS (SELECT vec_id, v FROM v WHERE vec_id % 4 != 3),
+         |${knnGraphCtes(k, rounds, rel = "bb")},
+         |g AS (SELECT src, dst FROM e$rounds UNION SELECT dst AS src, src AS dst FROM e$rounds),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id % 4 = 3),
+         |b0 AS (SELECT qid, (SELECT min(vec_id) FROM bb) AS nid FROM q),
+         |${hopCtes(1)},
+         |${hopCtes(2)},
+         |${hopCtes(3)},
+         |newout AS (SELECT qid, nid, d FROM (SELECT qid, nid, d,
+         |             row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS r FROM t$hops)
+         |           WHERE r <= $k),
+         |nn AS (SELECT p.src, p.dst, ${duckSqDistOf("qa.qv", "qb.qv")} AS d
+         |       FROM (SELECT DISTINCT a.qid AS src, b.qid AS dst
+         |             FROM newout a JOIN newout b ON a.nid = b.nid
+         |             WHERE a.qid != b.qid) p
+         |       JOIN q qa ON p.src = qa.qid JOIN q qb ON p.dst = qb.qid),
+         |logd AS (SELECT src, dst, min(d) AS d FROM (
+         |           SELECT src, dst, d FROM r$rounds WHERE rnk <= $k
+         |           UNION ALL SELECT qid AS src, nid AS dst, d FROM newout
+         |           UNION ALL SELECT nid AS src, qid AS dst, d FROM newout
+         |           UNION ALL SELECT src, dst, d FROM nn)
+         |         GROUP BY src, dst),
+         |view AS (SELECT src, dst, d,
+         |           CAST(row_number() OVER (PARTITION BY src ORDER BY d, dst) AS BIGINT) AS rnk
+         |         FROM logd)
+         |SELECT src, dst, CAST(d AS DOUBLE) AS d, rnk FROM view WHERE rnk <= $k
+         |ORDER BY src, rnk""".stripMargin) { (s, dir) =>
+      val root = graft.ops.Scratch.dir(
+        s"knng_append_${Integer.toHexString(dir.hashCode)}")
+      graft.ops.Scratch.once(root) {
+        val v = Similarity.vectors(Tables.embeddings(s, dir))
+          .select(col("vec_id"), col("v"))
+        graft.ops.KnnGraph.build(v.where(col("vec_id") % 4 =!= 3), k, rounds, root)
+        graft.ops.KnnGraph.append(s, v.where(col("vec_id") % 4 === 3), root,
+          beam, hops)
+      }
+      graft.ops.KnnGraph.liveGraph(s, root)
+        .orderBy(col("src"), col("rnk"))
+    }
+  }
+
+  /** Graph-index DELETE + serving gate: retract every 7th indexed
+    * vector (one tombstone append — ZERO graph surgery; the live view
+    * re-ranks and the edge log's below-rank candidates act as the
+    * backup links FreshDiskANN's consolidation reconstructs by hand),
+    * then beam-search the survivors. The oracle replays construction,
+    * the endpoint-filtered live graph, and the unrolled hops over it —
+    * a green row certifies retracted vectors stop serving IMMEDIATELY,
+    * the [[graft.ops.IvfIndex.delete]] contract on the graph tier.
+    */
+  val embedKnnGraphDeleteSearch: QueryDef = {
+    val k = 5; val rounds = 2; val beam = 4; val hops = 3; val topk = 3
+    def hopCtes(i: Int): String =
+      s"""x$i AS (SELECT qid, nid FROM b${i - 1} UNION
+         |        SELECT b.qid, g.dst AS nid FROM b${i - 1} b JOIN g ON b.nid = g.src
+         |        WHERE g.dst >= 10 AND g.dst % 7 != 0),
+         |t$i AS (SELECT x.qid, x.nid, ${duckSqDistOf("q.qv", "vv.v")} AS d
+         |        FROM x$i x JOIN v vv ON x.nid = vv.vec_id JOIN q ON x.qid = q.qid),
+         |b$i AS (SELECT qid, nid FROM (SELECT qid, nid,
+         |          row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS r FROM t$i)
+         |        WHERE r <= $beam)""".stripMargin
+    QueryDef.sql("embed_knn_graph_delete_search",
+      s"""WITH $duckVectors,
+         |${knnGraphCtes(k, rounds)},
+         |el AS (SELECT src, dst FROM e$rounds
+         |       WHERE NOT (src >= 10 AND src % 7 = 0) AND NOT (dst >= 10 AND dst % 7 = 0)),
+         |g AS (SELECT src, dst FROM el UNION SELECT dst AS src, src AS dst FROM el),
+         |q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id < 10),
+         |b0 AS (SELECT qid, (SELECT min(vec_id) FROM v WHERE vec_id >= 10 AND vec_id % 7 != 0) AS nid FROM q),
+         |${hopCtes(1)},
+         |${hopCtes(2)},
+         |${hopCtes(3)}
+         |SELECT qid, nid, CAST(d AS DOUBLE) AS d,
+         |  CAST(row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS BIGINT) AS rnk
+         |FROM t$hops QUALIFY rnk <= $topk
+         |ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
+      val root = graft.ops.Scratch.dir(
+        s"knng_del_${Integer.toHexString(dir.hashCode)}")
+      graft.ops.Scratch.once(root) {
+        val v = Similarity.vectors(Tables.embeddings(s, dir))
+          .select(col("vec_id"), col("v"))
+        graft.ops.KnnGraph.build(v, k, rounds, root)
+        graft.ops.KnnGraph.delete(s,
+          v.where(col("vec_id") >= 10 && col("vec_id") % 7 === 0), root)
+      }
+      val v = Similarity.vectors(Tables.embeddings(s, dir)).select(col("vec_id"), col("v"))
+      val q = v.where(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      graft.ops.KnnGraph.search(s, q, root, beam, hops, topk,
+          cand = _.where(col("vec_id") >= 10))
+        .orderBy(col("qid"), col("rnk"))
+    }
+  }
+
+  /** Graph-index COMPACTION gate ([[graft.ops.KnnGraph.compact]] —
+    * FreshDiskANN's delete consolidation, Singh et al. 2021 §4.2):
+    * after retracting every 7th vector, the crash-atomic write-aside
+    * rewrite physically drops dead vertices/edges and REPAIRS the
+    * holes — for every surviving edge a→d into a deleted vertex, d's
+    * own out-edges become candidates a→d' (scored exact), so a's
+    * neighborhood heals THROUGH the hole instead of shrinking. The
+    * oracle replays construction, the through-deleted candidate join,
+    * and the per-vertex top-k merge — the stored post-compaction graph
+    * certifies edge-for-edge.
+    */
+  val embedKnnGraphCompact: QueryDef = {
+    val k = 5; val rounds = 2
+    QueryDef.sql("embed_knn_graph_compact",
+      s"""WITH $duckVectors,
+         |${knnGraphCtes(k, rounds)},
+         |e2d AS (SELECT src, dst, d FROM r$rounds WHERE rnk <= $k),
+         |surv AS (SELECT src, dst, d FROM e2d WHERE src % 7 != 0 AND dst % 7 != 0),
+         |thr AS (SELECT p.src, p.dst, ${duckSqDistOf("va.v", "vc.v")} AS d
+         |        FROM (SELECT DISTINCT a.src, b.dst
+         |              FROM e2d a JOIN e2d b ON a.dst = b.src
+         |              WHERE a.dst % 7 = 0 AND a.src % 7 != 0 AND b.dst % 7 != 0
+         |                AND a.src != b.dst) p
+         |        JOIN v va ON p.src = va.vec_id JOIN v vc ON p.dst = vc.vec_id),
+         |merged AS (SELECT src, dst, min(d) AS d FROM (
+         |             SELECT src, dst, d FROM surv
+         |             UNION ALL SELECT src, dst, d FROM thr)
+         |           GROUP BY src, dst),
+         |view AS (SELECT src, dst, d,
+         |           CAST(row_number() OVER (PARTITION BY src ORDER BY d, dst) AS BIGINT) AS rnk
+         |         FROM merged)
+         |SELECT src, dst, CAST(d AS DOUBLE) AS d, rnk FROM view WHERE rnk <= $k
+         |ORDER BY src, rnk""".stripMargin) { (s, dir) =>
+      val root = graft.ops.Scratch.dir(
+        s"knng_compact_${Integer.toHexString(dir.hashCode)}")
+      graft.ops.Scratch.once(root) {
+        val v = Similarity.vectors(Tables.embeddings(s, dir))
+          .select(col("vec_id"), col("v"))
+        graft.ops.KnnGraph.build(v, k, rounds, root)
+        graft.ops.KnnGraph.delete(s, v.where(col("vec_id") % 7 === 0), root)
+        graft.ops.KnnGraph.compact(s, root)
+      }
+      graft.ops.KnnGraph.liveGraph(s, root)
+        .orderBy(col("src"), col("rnk"))
+    }
+  }
+
 
   /** Index DELETE + COMPACTION — the lifecycle completion the r11
     * verdict asked for: dedup retracts documents, and the persisted
@@ -3746,6 +3859,7 @@ object EmbedQueries {
     embedIvfPqIndex, embedPcaTopm, embedPcaWhiten, embedIvfIndexDelete,
     embedIvfadcResidual, embedIvfadcRefine, embedIvfadcRefineSq8,
     embedIvfadcAlloc, embedIvfadcFiltered, embedKnnGraph, embedKnnGraphSearch,
+    embedKnnGraphAppend, embedKnnGraphDeleteSearch, embedKnnGraphCompact,
     embedPqRotated, embedPqAlloc, embedIvfProbeFiltered, streamingIvfAppendReplay,
     streamingIvfDeleteReplay)
 }

@@ -267,6 +267,10 @@ class PlanSpec extends SparkSpec {
       // one-row fixed-entry scalar crossed into the 10-query beam —
       // every hop expansion/scoring join is an equi-join
       "embed_knn_graph_search",
+      // the same 1-row entry cross inside the artifact tier's insert
+      // (append beam-searches the persisted graph) and the
+      // tombstone-filtered served search
+      "embed_knn_graph_append", "embed_knn_graph_delete_search",
       // one-row (d0, d1) spine-bounds scalar broadcast into the
       // hours-sized interior filter — never event-sized
       "series_stl",
