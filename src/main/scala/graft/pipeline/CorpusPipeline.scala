@@ -94,7 +94,12 @@ final case class CorpusConfig(
     packBudget: Int = 0,                    // >0: materialize packed token-id sequences of this length (needs bpeMerges > 0)
     annIndex: Boolean = false,              // maintain a persisted IVF index over survivors' vectors
     annCells: Int = 16,                     // coarse cell count for the ann index
-    annRetrainPsi: Double = 0.0)            // >0: retrain the quantizer when cell-population PSI vs the last-fit census crosses this
+    annRetrainPsi: Double = 0.0,            // >0: retrain the quantizer when cell-population PSI vs the last-fit census crosses this
+    knnGraph: Boolean = false,              // maintain a persisted k-NN GRAPH index (graph-served ANN) over survivors' vectors
+    knnGraphK: Int = 8,                     // neighbor-list width of the graph artifact
+    knnGraphRounds: Int = 2,                // NN-Descent rounds at build
+    knnGraphBeam: Int = 8,                  // insert-time beam width
+    knnGraphHops: Int = 6)                  // insert-time hop budget
 
 final case class CorpusResult(
     nRaw: Long, nDocs: Long, nKept: Long, nSurvivors: Long,
@@ -267,9 +272,9 @@ object CorpusPipeline {
     // (append ∘ delete ∘ compact ≡ rebuild on the surviving set at
     // fixed centroids); CorpusPipelineSpec pins live-ids ≡ survivors
     // across an append that retracts a base canonical.
-    if (cfg.annIndex) {
+    if (cfg.annIndex || cfg.knnGraph) {
       require(cfg.embeddingsPath.nonEmpty,
-        "annIndex needs embeddingsPath (a (vec_id = doc_id, embedding) parquet)")
+        "annIndex/knnGraph need embeddingsPath (a (vec_id = doc_id, embedding) parquet)")
       val sv = spark.read.parquet(cfg.embeddingsPath)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .join(survivors2.select(col("doc_id").as("vec_id")), "vec_id")
@@ -280,7 +285,14 @@ object CorpusPipeline {
         .join(sv.select(col("vec_id")), Seq("vec_id"), "left_anti").count()
       Fs.writeString(spark, p("fails_ann.json"),
         s"""{"survivors_missing_embedding": $missing}""")
-      reconcileAnnIndex(spark, p("ann_index"), sv, cfg.annCells, cfg.annRetrainPsi)
+      if (cfg.annIndex)
+        reconcileAnnIndex(spark, p("ann_index"), sv, cfg.annCells, cfg.annRetrainPsi)
+      // the GRAPH serving arm (r16): same reconcile-by-delta contract
+      // over the KnnGraph artifact — HNSW/DiskANN-shaped serving next
+      // to (or instead of) the IVF arm
+      if (cfg.knnGraph)
+        reconcileKnnGraph(spark, p("knn_graph"), sv, cfg.knnGraphK,
+          cfg.knnGraphRounds, cfg.knnGraphBeam, cfg.knnGraphHops)
     }
 
     // ---- leakage-aware split (≡ ml_cluster_split) ----
@@ -531,6 +543,58 @@ object CorpusPipeline {
       retrainIfDrifted(spark, root, sv, cells, retrainPsi)
       lap("drift")
     }
+  }
+
+  /** Graph-arm twin of [[reconcileAnnIndex]]: keep the persisted
+    * [[graft.ops.KnnGraph]] artifact serving EXACTLY the ids of `sv`.
+    * First non-empty derive BUILDS (NN-Descent over the survivor
+    * vectors); later derives mutate by DELTA — re-surviving tombstoned
+    * ids drain their shadowing tombstone rows FIRST (resurrecting the
+    * still-present vertex and its edges; the same shadow-vs-duplicate
+    * divergence the IVF arm's drain prevents), newly-surviving ids
+    * INSERT by beam search over the existing graph (cost ∝ batch, no
+    * base re-scoring), retracted ids tombstone and the artifact
+    * consolidates (the edge half is metadata-sized, so the eager
+    * consolidation is cheap; it keeps holes repaired and tombstones
+    * drained for the serving tier). KnnGraph.heal runs before any
+    * read, so a derive that crashed mid-compact never strands readers.
+    */
+  private[graft] def reconcileKnnGraph(spark: SparkSession, root: String,
+                                       sv: DataFrame, k: Int, rounds: Int,
+                                       beam: Int, hops: Int): Unit = {
+    import graft.ops.KnnGraph
+    val logOn = spark.conf.get("spark.graft.ann.log", "false").toBoolean
+    var t = System.nanoTime()
+    def lap(tag: String): Unit = if (logOn) {
+      System.err.println(f"[knng.reconcile] $tag ${(System.nanoTime() - t) / 1e9}%.2f s")
+      t = System.nanoTime()
+    }
+    KnnGraph.heal(spark, root)
+    if (!Fs.exists(spark, s"$root/meta.json")) {
+      // an EMPTY target before the first build: skip rather than
+      // persist a graph over nothing (the IVF arm's r13 rule)
+      if (sv.head(1).nonEmpty) KnnGraph.build(sv, k, rounds, root)
+      lap("build")
+      return
+    }
+    val resIds = sv.select(col("vec_id"))
+      .join(KnnGraph.tombstones(spark, root), "vec_id").transform(Ckpt.eager)
+    if (resIds.head(1).nonEmpty) KnnGraph.dropTombstones(spark, resIds, root)
+    lap("drain")
+    // materialize BOTH deltas BEFORE mutating the files they were
+    // computed from (the compactPlan discipline)
+    val have = KnnGraph.liveVertices(spark, root).select(col("vec_id"))
+    val add = sv.join(have, Seq("vec_id"), "left_anti").transform(Ckpt.eager)
+    val gone = have.join(sv.select(col("vec_id")), Seq("vec_id"), "left_anti")
+      .transform(Ckpt.eager)
+    lap("diff")
+    if (add.head(1).nonEmpty) KnnGraph.append(spark, add, root, beam, hops)
+    lap("insert")
+    if (gone.head(1).nonEmpty) {
+      KnnGraph.delete(spark, gone, root)
+      KnnGraph.compact(spark, root)
+    }
+    lap("retract")
   }
 
   /** The RETRAIN TRIGGER, acted on (r13's coverage note left it

@@ -364,6 +364,78 @@ class CorpusPipelineSpec extends SparkSpec {
       "retracted canonical must leave the index; its retractor must serve")
   }
 
+  test("knn-graph stage: the persisted graph artifact tracks survivors across a retracting append and serves") {
+    import spark.implicits._
+    val seqWords = (off: Int, n: Int) => (off until off + n).map(i => s"q$i")
+    val base: Seq[(Long, String, String)] =
+      (0L until 20L).map(i => (i, mkText(filler(i.toInt + 700, 60)), s"src${i % 3}")) ++ Seq(
+        (100L, mkText(seqWords(70000, 60)), "src0"),
+        (104L, mkText(seqWords(80000, 60)), "src1"))   // retraction victim
+    val batch: Seq[(Long, String, String)] = Seq(
+      (200L, mkText(filler(1900, 60)), "src0"),
+      (211L, mkText(seqWords(80000, 65)), "src0"))     // longer near-dup of 104
+    val embDir = mkdir("knng_emb")
+    (base ++ batch).map(_._1).toDF("vec_id")
+      .select(col("vec_id"), expr(
+        "transform(sequence(0, 15), j -> CAST(pmod(hash(vec_id, j), 1000) AS DOUBLE) / 500.0)")
+        .as("embedding"))
+      .write.mode("overwrite").parquet(s"$embDir/emb.parquet")
+    val cfg = CorpusConfig(knnGraph = true, knnGraphK = 4,
+      embeddingsPath = s"$embDir/emb.parquet")
+    val out = mkdir("knng_out")
+    CorpusPipeline.run(spark, writeJsonl(base, "knng_base"), out, cfg)
+    val root = s"$out/knn_graph"
+    def liveIds = graft.ops.KnnGraph.liveVertices(spark, root)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def survIds = spark.read.parquet(s"$out/survivors")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(liveIds == survIds, "built graph must hold exactly the survivors")
+    assert(liveIds.contains(104L))
+    CorpusPipeline.append(spark, writeJsonl(batch, "knng_batch"), out, cfg)
+    assert(liveIds == survIds, "graph drifted from survivors after append")
+    assert(!liveIds.contains(104L) && liveIds.contains(211L),
+      "retracted canonical must leave the graph; its retractor must serve")
+    // the retracting derive consolidated: tombstones drained, edges live
+    assert(graft.ops.KnnGraph.tombstones(spark, root).count() === 0L,
+      "retracting reconcile must consolidate the graph artifact")
+    // the artifact SERVES: search for the retractor's own vector finds
+    // it first (it is a live vertex at distance 0), never the retracted
+    val q = spark.read.parquet(s"$embDir/emb.parquet")
+      .where(col("vec_id") === 211L)
+      .select(col("vec_id").as("qid"),
+        col("embedding").cast("array<double>").as("qv"))
+    val served = graft.ops.KnnGraph.search(spark, q, root,
+      beam = 4, hops = 3, topk = 3).collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(served.nonEmpty && served.head == (211L, 1L),
+      s"graph serving is wrong: ${served.toSeq}")
+    assert(!served.map(_._1).contains(104L), "retracted id served from the graph")
+    // idempotence: a no-op derive mutates no graph file
+    def stamps = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(root)).map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = stamps
+    CorpusPipeline.reconcileKnnGraph(spark, root,
+      spark.read.parquet(s"$embDir/emb.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .join(spark.read.parquet(s"$out/survivors").select(col("doc_id").as("vec_id")), "vec_id"),
+      k = 4, rounds = 2, beam = 8, hops = 6)
+    assert(stamps == before, "a no-op graph reconcile rewrote artifact files")
+    // re-survival through the graph arm: retract 5 out-of-band, then
+    // reconcile it back — the tombstone drain must resurrect it once
+    graft.ops.KnnGraph.delete(spark, Seq(5L).toDF("vec_id"), root)
+    CorpusPipeline.reconcileKnnGraph(spark, root,
+      spark.read.parquet(s"$embDir/emb.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .join(spark.read.parquet(s"$out/survivors").select(col("doc_id").as("vec_id")), "vec_id"),
+      k = 4, rounds = 2, beam = 8, hops = 6)
+    val l = graft.ops.KnnGraph.liveVertices(spark, root)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(l.count(_ == 5L) == 1, s"re-survivor must serve exactly once, saw ${l.count(_ == 5L)}")
+    assert(l.toSet == survIds)
+  }
+
   test("reconcileAnnIndex: a retracted-then-re-surviving id serves exactly ONCE; no-op reconcile writes nothing") {
     import spark.implicits._
     def vecsOf(ids: Seq[Long]) = ids.toDF("vec_id").select(col("vec_id"), expr(
