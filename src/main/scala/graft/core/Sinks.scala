@@ -174,6 +174,59 @@ object Sinks {
     changed.length
   }
 
+  /** PATCH a sharded layout in place: replace exactly the named
+    * `changed` partitions with `slice`'s rows (which must hold the
+    * changed partitions' COMPLETE new content and nothing else),
+    * deleting partitions the change emptied. The caller owns change
+    * detection — this is [[shardedParquetIncremental]]'s mutation half
+    * for callers whose diff is cheaper upstream than a full-frame
+    * compare (CorpusPipeline's frozen-tokenizer packed tier detects
+    * changed (split, source) groups from doc membership BEFORE paying
+    * the corpus-sized tokenize, so the expensive recompute itself is
+    * ∝ changed partitions — a full-frame diff would have to tokenize
+    * everything first). Same crash discipline: the root _SUCCESS
+    * retires before the first mutation and is restored only after all
+    * of them, so a crash mid-patch leaves an UNfinished-looking layout
+    * and the next derive full-rewrites instead of serving a torn one.
+    * Partition values are Option[String] (None = null/""), written
+    * with Spark's own partition-path escaping.
+    */
+  def shardedParquetPatch(slice: DataFrame, path: String,
+      partitionCols: Seq[String], sortCols: Seq[String],
+      changed: Seq[Seq[Option[String]]], maxRecordsPerFile: Long): Int = {
+    val spark = slice.sparkSession
+    require(Fs.exists(spark, s"$path/_SUCCESS"),
+      s"shardedParquetPatch: $path has no committed layout to patch — " +
+        "use the full writer for first writes and crash recovery")
+    if (changed.isEmpty) return 0
+    def pcol(c: String) = nullif(col(c).cast("string"), lit(""))
+    val present: Set[Seq[Option[String]]] = slice
+      .select(partitionCols.map(c => pcol(c).as(c)): _*).distinct().collect()
+      .map(r => partitionCols.indices.map(i => Option(r.getString(i))): Seq[Option[String]])
+      .toSet
+    require(present.subsetOf(changed.toSet),
+      "shardedParquetPatch: slice carries rows outside the changed partitions")
+    Fs.delete(spark, s"$path/_SUCCESS")
+    changed.filterNot(present).foreach { vals =>
+      val dir = partitionCols.zip(vals).map { case (c, v) =>
+        org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .getPartitionPathString(c, v.getOrElse(""))
+      }.mkString(s"$path/", "/", "")
+      Fs.deleteRecursive(spark, dir)
+    }
+    if (present.nonEmpty)
+      slice
+        .repartitionByRange((partitionCols ++ sortCols).map(col): _*)
+        .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", maxRecordsPerFile)
+        .partitionBy(partitionCols: _*)
+        .parquet(path)
+    Fs.writeString(spark, s"$path/_SUCCESS", "")
+    changed.length
+  }
+
   /** S8: row-count reconciliation sidecar (build_dataset.py:87-110):
     * input/output counts, error count, and <=100 sample dropped ids.
     * The anti-join is cached so the error count and sample share one

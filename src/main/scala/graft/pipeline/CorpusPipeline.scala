@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import graft.core.{Fs, Ingest, Sinks}
@@ -92,6 +92,7 @@ final case class CorpusConfig(
     embeddingsPath: String = "",            // (vec_id = doc_id, embedding) parquet for the semantic/ann stages
     bpeMerges: Int = 0,                     // >0: ship a BPE tokenizer trained on the train split (≡ text_bpe_merges)
     packBudget: Int = 0,                    // >0: materialize packed token-id sequences of this length (needs bpeMerges > 0)
+    freezeTokenizer: Boolean = false,       // train the tokenizer ONCE (first derive) and freeze merges + token ids — appends stop rewriting the packed tier wholesale
     annIndex: Boolean = false,              // maintain a persisted IVF index over survivors' vectors
     annCells: Int = 16,                     // coarse cell count for the ann index
     annRetrainPsi: Double = 0.0,            // >0: retrain the quantizer when cell-population PSI vs the last-fit census crosses this
@@ -312,11 +313,21 @@ object CorpusPipeline {
     // ---- tokenizer: BPE merge table trained on the shipped corpus's
     // TRAIN split only (the tokenizer is a trained artifact — letting it
     // see valid/test text is the same leak the cluster fence exists to
-    // stop). Stage body IS Bpe.fit, the kernel text_bpe_merges gates;
-    // it lives in the derived tier, so append batches retrain it over
-    // the merged corpus via the derived fingerprint ----
+    // stop). Stage body IS Bpe.fit, the kernel text_bpe_merges gates.
+    // Default mode: it lives in the derived tier, so append batches
+    // retrain it over the merged corpus via the derived fingerprint.
+    // FREEZE mode (cfg.freezeTokenizer — r15 verdict §2): the tokenizer
+    // trains ONCE, on the FIRST derive's train split, and later derives
+    // reuse it — the production discipline (a tokenizer is versioned
+    // with the model, not the corpus snapshot), and the precondition
+    // for the incremental packed tier below: retraining per append can
+    // shift EVERY token id, forcing a 100% packed rewrite for a 0.1%
+    // batch. Frozen mode also persists the COMPLETE id table
+    // (alphabet ∪ merge outputs, fit-frequency ranked) so unseen-at-fit
+    // tokens in later batches still encode deterministically.
     if (cfg.bpeMerges > 0) {
-      Pipeline.stage(spark, p("tokenizer"), forceD) {
+      val tokForce = if (cfg.freezeTokenizer) false else forceD
+      Pipeline.stage(spark, p("tokenizer"), tokForce) {
         val trainDocs = survivors2.join(
           split.where(col("split") === "train").select(col("doc_id")), "doc_id")
         import spark.implicits._
@@ -324,6 +335,12 @@ object CorpusPipeline {
           .map(m => (m.rank.toLong, m.left, m.right, m.left + m.right, m.count))
           .toDF("rank", "left_sym", "right_sym", "merged", "pair_count")
       }
+      if (cfg.freezeTokenizer)
+        Pipeline.stage(spark, p("token_ids"), force = false) {
+          val trainDocs = survivors2.join(
+            split.where(col("split") === "train").select(col("doc_id")), "doc_id")
+          graft.queries.TextQueries.bpeTokenIds(trainDocs, mergesOf(spark, outDir))
+        }
     }
 
     // ---- packed: the TRAINING-READY deliverable (r14 verdict §1) ----
@@ -344,34 +361,24 @@ object CorpusPipeline {
     val packedOpt = if (cfg.packBudget > 0) {
       require(cfg.bpeMerges > 0,
         "packBudget needs the trained tokenizer stage (set bpeMerges > 0)")
-      val packed = Pipeline.stage(spark, p("packed"), forceD) {
-        val merges = spark.read.parquet(p("tokenizer")).orderBy(col("rank"))
-          .collect().map(r => graft.ops.Bpe.Merge(
-            r.getLong(0).toInt, r.getString(1), r.getString(2), r.getLong(4)))
-          .toSeq // merges+alphabet sized — the artifact IS driver data
-        val toks = graft.queries.TextQueries.bpeTokenStream(survivors2, merges)
-          .join(split.select(col("doc_id"), col("split")), "doc_id")
-        graft.queries.TextQueries
-          .packTokenStream(toks, cfg.packBudget, cfg.epochShards,
-            salt = "pack", keyCols = Seq("split"))
-          .groupBy(col("split"), col("shard"), col("seq_id"))
-          .agg(array_sort(collect_list(struct(col("pos"), col("tid"), col("doc_id"))))
-            .as("ord"))
-          .select(col("split"), col("shard"), col("seq_id"),
-            expr("transform(ord, x -> x.tid)").as("token_ids"),
-            expr("""transform(
-                      filter(sequence(0, size(ord) - 1),
-                             i -> i = 0 OR ord[i].doc_id != ord[i - 1].doc_id),
-                      i -> struct(ord[i].doc_id AS doc_id, ord[i].pos AS start_pos))""")
-              .as("doc_spans"),
-            size(col("ord")).cast("long").as("n_tokens"))
+      if (cfg.freezeTokenizer)
+        Some(packedFrozen(spark, outDir, cfg, survivors2, split))
+      else {
+        val packed = Pipeline.stage(spark, p("packed"), forceD) {
+          val merges = mergesOf(spark, outDir)
+          val toks = graft.queries.TextQueries.bpeTokenStream(survivors2, merges)
+            .join(split.select(col("doc_id"), col("split")), "doc_id")
+          packSequences(graft.queries.TextQueries
+            .packTokenStream(toks, cfg.packBudget, cfg.epochShards,
+              salt = "pack", keyCols = Seq("split")), Seq("split"))
+        }
+        val shardsPath = p("packed_shards")
+        if (forceD || !Fs.exists(spark, s"$shardsPath/_SUCCESS"))
+          Sinks.shardedParquet(packed, shardsPath,
+            partitionCols = Seq("split"), sortCols = Seq("shard", "seq_id"),
+            maxRecordsPerFile = cfg.maxRecordsPerFile)
+        Some(packed)
       }
-      val shardsPath = p("packed_shards")
-      if (forceD || !Fs.exists(spark, s"$shardsPath/_SUCCESS"))
-        Sinks.shardedParquet(packed, shardsPath,
-          partitionCols = Seq("split"), sortCols = Seq("shard", "seq_id"),
-          maxRecordsPerFile = cfg.maxRecordsPerFile)
-      Some(packed)
     } else None
 
     // ---- mixture + epoch order over the final corpus ----
@@ -445,6 +452,121 @@ object CorpusPipeline {
     val splitCounts = split.groupBy(col("split")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     (splitCounts, survivors2.count(), canonical.count())
+  }
+
+  private def mergesOf(spark: SparkSession, outDir: String): Seq[graft.ops.Bpe.Merge] =
+    spark.read.parquet(s"$outDir/tokenizer").orderBy(col("rank"))
+      .collect().map(r => graft.ops.Bpe.Merge(
+        r.getLong(0).toInt, r.getString(1), r.getString(2), r.getLong(4)))
+      .toSeq // merges+alphabet sized — the artifact IS driver data
+
+  /** Collapse packed token coordinates into one row per sequence:
+    * ordered token_ids + doc_spans boundary metadata + token census.
+    * `keyCols` is the packing fence (split; split+source in frozen
+    * mode) — the per-sequence collect is bounded by the pack budget.
+    */
+  private def packSequences(coords: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val keys = keyCols.map(col)
+    coords
+      .groupBy(keys ++ Seq(col("shard"), col("seq_id")): _*)
+      .agg(array_sort(collect_list(struct(col("pos"), col("tid"), col("doc_id"))))
+        .as("ord"))
+      .select(keys ++ Seq(col("shard"), col("seq_id"),
+        expr("transform(ord, x -> x.tid)").as("token_ids"),
+        expr("""transform(
+                  filter(sequence(0, size(ord) - 1),
+                         i -> i = 0 OR ord[i].doc_id != ord[i - 1].doc_id),
+                  i -> struct(ord[i].doc_id AS doc_id, ord[i].pos AS start_pos))""")
+          .as("doc_spans"),
+        size(col("ord")).cast("long").as("n_tokens")): _*)
+  }
+
+  /** The APPEND-STABLE packed tier (freeze mode — r15 verdict §2: with
+    * the tokenizer retrained per append, every token id can shift and
+    * the entire packed artifact re-materializes for a 0.1% batch).
+    * With merges AND token ids frozen, a doc's token stream is a pure
+    * function of its own text, and packing is fenced by
+    * (split, source), so a partition's sequences depend ONLY on its
+    * own doc membership. The derive therefore:
+    *
+    *  1. diffs CURRENT (split, source, doc_id) membership against the
+    *     persisted layout's doc_spans (an id-sized read — no text),
+    *  2. re-tokenizes and re-packs ONLY the changed partitions' docs —
+    *     the corpus-sized tokenize is paid ∝ batch-touched partitions,
+    *  3. patches exactly those partitions in place
+    *     ([[Sinks.shardedParquetPatch]]; crash mid-patch → the retired
+    *     _SUCCESS routes the next derive to the full writer).
+    *
+    * Law (CorpusPipelineSpec): run(base) + append(batch) ≡ a full
+    * frozen-tokenizer pack of the merged survivors through the
+    * BASE-trained merges+ids; untouched partitions stay byte-stable.
+    */
+  private def packedFrozen(spark: SparkSession, outDir: String,
+                           cfg: CorpusConfig, survivors2: DataFrame,
+                           split: DataFrame): DataFrame = {
+    def p(name: String) = s"$outDir/$name"
+    val shardsPath = p("packed_shards")
+    val merges = mergesOf(spark, outDir)
+    val ids = spark.read.parquet(p("token_ids"))
+    val member = survivors2.select(col("doc_id"), col("source"))
+      .join(split.select(col("doc_id"), col("split")), "doc_id")
+    def packOf(docs: DataFrame): DataFrame = {
+      val toks = graft.queries.TextQueries
+        .bpeTokenStreamWithIds(docs, merges, ids)
+        .join(member, "doc_id")
+      packSequences(graft.queries.TextQueries.packTokenStream(
+        toks, cfg.packBudget, cfg.epochShards, salt = "pack",
+        keyCols = Seq("split", "source")), Seq("split", "source"))
+    }
+    def pcolS(c: Column) = nullif(c.cast("string"), lit(""))
+    val prevOpt = if (!Fs.exists(spark, s"$shardsPath/_SUCCESS")) None else
+      try {
+        val prev = spark.read.parquet(shardsPath)
+          .select(pcolS(col("split")).as("split"),
+            pcolS(col("source")).as("source"),
+            explode(expr("transform(doc_spans, x -> x.doc_id)")).as("doc_id"))
+          .distinct()
+        prev.queryExecution.analyzed // force resolution inside the try
+        Some(prev)
+      } catch {
+        // committed-but-file-less layout: nothing to diff against
+        case _: org.apache.spark.sql.AnalysisException => None
+      }
+    prevOpt match {
+      case None =>
+        Sinks.shardedParquet(packOf(survivors2), shardsPath,
+          partitionCols = Seq("split", "source"),
+          sortCols = Seq("shard", "seq_id"),
+          maxRecordsPerFile = cfg.maxRecordsPerFile)
+      case Some(prev) =>
+        val cur = member.select(pcolS(col("split")).as("split"),
+          pcolS(col("source")).as("source"), col("doc_id"))
+        val delta = cur.withColumn("__side", lit(1L))
+          .unionByName(prev.withColumn("__side", lit(-1L)))
+          .groupBy(col("split"), col("source"), col("doc_id"))
+          .agg(sum(col("__side")).as("__d")).where(col("__d") =!= 0L)
+        val changed: Seq[Seq[Option[String]]] = delta
+          .select(col("split"), col("source")).distinct().collect()
+          .map(r => Seq(Option(r.getString(0)), Option(r.getString(1))): Seq[Option[String]])
+          .toSeq
+        if (changed.nonEmpty) {
+          def pred(vals: Seq[Option[String]]) =
+            Seq("split", "source").zip(vals).map { case (c, v) =>
+              v.fold(pcolS(col(c)).isNull)(x => pcolS(col(c)) === x)
+            }.reduce(_ && _)
+          val docsChanged = survivors2.join(
+            member.where(changed.map(pred).reduce(_ || _))
+              .select(col("doc_id")), "doc_id")
+          val tS = System.nanoTime()
+          val touched = Sinks.shardedParquetPatch(packOf(docsChanged),
+            shardsPath, Seq("split", "source"), Seq("shard", "seq_id"),
+            changed, cfg.maxRecordsPerFile)
+          if (spark.conf.get("spark.graft.ann.log", "false").toBoolean)
+            System.err.println(f"[packed.incremental] partitions_rewritten=$touched " +
+              f"wall=${(System.nanoTime() - tS) / 1e9}%.2f s")
+        }
+    }
+    spark.read.parquet(shardsPath)
   }
 
   /** Rederive-and-report over the CURRENT committed state (base + all

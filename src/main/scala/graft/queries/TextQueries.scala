@@ -1243,20 +1243,67 @@ object TextQueries {
     */
   def bpeTokenStream(docs: DataFrame,
                      merges: Seq[graft.ops.Bpe.Merge]): DataFrame = {
-    val wordToks = graft.ops.Bpe
-      .vocabAfter(graft.ops.Bpe.vocab0(docs), merges)
-      .select(col("word"), col("cnt"),
-        posexplode(expr("filter(split(enc, ';;'), x -> x != '')")).as(Seq("tp", "token")))
+    val wordToks = bpeWordToks(docs, merges)
     val tid = wordToks
       .groupBy(col("token")).agg(sum(col("cnt")).as("total_cnt"))
       .select(col("token"),
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("total_cnt").desc, col("token"))).cast("long").as("tid"))
+    bpeTokenStreamOver(docs, wordToks, tid)
+  }
+
+  private def bpeWordToks(docs: DataFrame,
+                          merges: Seq[graft.ops.Bpe.Merge]): DataFrame =
+    graft.ops.Bpe
+      .vocabAfter(graft.ops.Bpe.vocab0(docs), merges)
+      .select(col("word"), col("cnt"),
+        posexplode(expr("filter(split(enc, ';;'), x -> x != '')")).as(Seq("tp", "token")))
+
+  private def bpeTokenStreamOver(docs: DataFrame, wordToks: DataFrame,
+                                 tid: DataFrame): DataFrame =
     docs.select(col("doc_id"),
         posexplode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as(Seq("wp", "word")))
       .join(wordToks.select(col("word"), col("tp"), col("token")), "word")
       .join(broadcast(tid), "token")
       .select(col("doc_id"), col("wp"), col("tp"), col("tid"))
+
+  /** [[bpeTokenStream]] against a FIXED persisted id table — the
+    * append-stable tokenizer contract (CorpusPipeline's freeze mode):
+    * with both the merge table AND the (token, tid) map frozen, a
+    * document's token-id stream is a pure function of its own text, so
+    * appending documents NEVER shifts another document's ids — the
+    * precondition for incremental packed shards. The id table must be
+    * COMPLETE over every reachable token ([[bpeTokenIds]]) or unseen
+    * tokens would silently drop from the stream.
+    */
+  def bpeTokenStreamWithIds(docs: DataFrame,
+                            merges: Seq[graft.ops.Bpe.Merge],
+                            ids: DataFrame): DataFrame =
+    bpeTokenStreamOver(docs, bpeWordToks(docs, merges),
+      ids.select(col("token"), col("tid")))
+
+  /** The COMPLETE frozen id table for a trained merge sequence: every
+    * token any future document can produce is a single alphabet char
+    * ([a-z0-9] — the word regex's alphabet) or a merge output, so the
+    * table covers alphabet ∪ merge-outputs; ranking is by fit-corpus
+    * frequency (the classic vocab ordering — seen tokens rank exactly
+    * as [[bpeTokenStream]] would rank them), with never-seen tokens
+    * deterministically after (cnt 0, token order). merges+alphabet
+    * sized: a broadcast-shippable artifact.
+    */
+  def bpeTokenIds(fitDocs: DataFrame,
+                  merges: Seq[graft.ops.Bpe.Merge]): DataFrame = {
+    import fitDocs.sparkSession.implicits._
+    val universe = (('a' to 'z') ++ ('0' to '9')).map(_.toString) ++
+      merges.map(m => m.left + m.right)
+    val seen = bpeWordToks(fitDocs, merges)
+      .groupBy(col("token")).agg(sum(col("cnt")).as("cnt"))
+    universe.distinct.toDF("token")
+      .join(seen, Seq("token"), "left")
+      .select(col("token"), coalesce(col("cnt"), lit(0L)).as("total_cnt"))
+      .select(col("token"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("total_cnt").desc, col("token"))).cast("long").as("tid"))
   }
 
   /** Context-window coordinates for every token occurrence — the

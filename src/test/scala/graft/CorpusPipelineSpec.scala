@@ -312,6 +312,97 @@ class CorpusPipelineSpec extends SparkSpec {
       got, "append-mode packed shards read-back")
   }
 
+  test("freeze mode: tokenizer trains ONCE; packed tier patches only batch-touched partitions; unseen tokens still encode") {
+    import spark.implicits._
+    val base: Seq[(Long, String, String)] =
+      (0L until 18L).map(i => (i, mkText(filler(i.toInt + 500, 60)), s"src${i % 3}"))
+    // batch doc 200 is built from characters the BASE corpus never
+    // contains (z, q, x only appear here): the frozen id table must
+    // still encode it (completeness over alphabet ∪ merge outputs)
+    val batch: Seq[(Long, String, String)] = Seq(
+      (200L, mkText((0 until 60).map(j => s"zqx$j")), "src0"),
+      // filler seed 100: its mod-1000 word-range (100..159) sits in the
+      // gap left by the base seeds' ranges (500..86 wrapped) — an
+      // accidental range overlap makes two fillers J≈0.87 near-dups and
+      // retracts a base doc, which is a DIFFERENT (legitimate) path
+      (201L, mkText(filler(100, 60)), "src1"))
+    val cfg = CorpusConfig(bpeMerges = 4, packBudget = 32, freezeTokenizer = true)
+    val out = mkdir("freeze_out")
+    CorpusPipeline.run(spark, writeJsonl(base, "freeze_base"), out, cfg)
+    val mergesBefore = rows(spark.read.parquet(s"$out/tokenizer"))
+    val idsBefore = rows(spark.read.parquet(s"$out/token_ids"))
+    // per-partition file stamps of the packed layout
+    def partStamps: Map[String, Map[String, Long]] = {
+      val root = new java.io.File(s"$out/packed_shards")
+      root.listFiles().filter(_.isDirectory).flatMap { sp =>
+        sp.listFiles().filter(_.isDirectory).map { so =>
+          s"${sp.getName}/${so.getName}" ->
+            so.listFiles().map(f => f.getName -> f.lastModified()).toMap
+        }
+      }.toMap
+    }
+    val stBefore = partStamps
+    assert(stBefore.nonEmpty, "base derive shipped no packed partitions")
+    CorpusPipeline.append(spark, writeJsonl(batch, "freeze_batch"), out, cfg)
+    // tokenizer and id table are FROZEN: the append retrained nothing
+    assert(rows(spark.read.parquet(s"$out/tokenizer")) == mergesBefore,
+      "freeze mode retrained the merge table on append")
+    assert(rows(spark.read.parquet(s"$out/token_ids")) == idsBefore,
+      "freeze mode re-ranked the token id table on append")
+    // equivalence law: the patched layout == a full frozen pack of the
+    // merged survivors through the BASE-trained merges + ids
+    val merges = spark.read.parquet(s"$out/tokenizer").orderBy(col("rank"))
+      .collect().map(r => graft.ops.Bpe.Merge(
+        r.getLong(0).toInt, r.getString(1), r.getString(2), r.getLong(4))).toSeq
+    val ids = spark.read.parquet(s"$out/token_ids")
+    val sv = spark.read.parquet(s"$out/survivors")
+    val member = sv.select(col("doc_id"), col("source"))
+      .join(spark.read.parquet(s"$out/split")
+        .select(col("doc_id"), col("split")), "doc_id")
+    val toks = graft.queries.TextQueries.bpeTokenStreamWithIds(sv, merges, ids)
+      .join(member, "doc_id")
+    val want = graft.queries.TextQueries
+      .packTokenStream(toks, cfg.packBudget, cfg.epochShards,
+        salt = "pack", keyCols = Seq("split", "source"))
+      .groupBy(col("split"), col("source"), col("shard"), col("seq_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        sum(col("tid") * (col("pos") + 1L)).as("sig"))
+    val got = spark.read.parquet(s"$out/packed_shards")
+      .select(col("split"), col("source"), col("shard"), col("seq_id"),
+        col("n_tokens"),
+        expr("aggregate(zip_with(token_ids, sequence(1L, size(token_ids)), (t, i) -> t * i), 0L, (a, x) -> a + x)")
+          .as("sig"))
+    assertSame(got, want, "frozen packed layout vs full frozen replay")
+    // the unseen-char doc's tokens all encoded (no silent drops)
+    val doc200 = spark.read.parquet(s"$out/packed_shards")
+      .select(explode(expr("transform(doc_spans, x -> x.doc_id)")).as("doc_id"))
+      .where(col("doc_id") === 200L).count()
+    assert(doc200 > 0, "the unseen-alphabet batch doc never reached the packed tier")
+    val totGot = spark.read.parquet(s"$out/packed_shards")
+      .agg(sum(col("n_tokens"))).head.getLong(0)
+    assert(totGot === toks.count(), "token mass lost in the frozen pack")
+    // PATCH law: partitions untouched by the batch are byte-stable;
+    // partitions holding batch docs were rewritten
+    val stAfter = partStamps
+    val batchParts = spark.read.parquet(s"$out/packed_shards")
+      .select(col("split"), col("source"),
+        explode(expr("transform(doc_spans, x -> x.doc_id)")).as("doc_id"))
+      .where(col("doc_id") >= 200L)
+      .select(col("split"), col("source")).distinct().collect()
+      .map(r => s"split=${r.getString(0)}/source=${r.getString(1)}").toSet
+    assert(batchParts.nonEmpty)
+    val untouched = stBefore.keySet -- batchParts
+    assert(untouched.nonEmpty, "fixture must leave some partitions untouched")
+    untouched.foreach { part =>
+      assert(stAfter(part) == stBefore(part),
+        s"untouched partition $part was rewritten by the append")
+    }
+    batchParts.filter(stBefore.contains).foreach { part =>
+      assert(stAfter(part) != stBefore(part),
+        s"batch-touched partition $part was not rewritten")
+    }
+  }
+
   // ---------------- incremental append ----------------
 
   /** English-shaped doc the funnel keeps: stopword block + word run. */
