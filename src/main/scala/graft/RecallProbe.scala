@@ -527,6 +527,49 @@ object RecallProbe {
       aug.unpersist(); truth.unpersist(): Unit
     }
 
+    // ---- graph-SERVED recall ladder (r16): beam search over the
+    // PERSISTED KnnGraph artifact vs brute force, on HELD-OUT queries
+    // (vec_id < 50 stay out of the graph — an indexed query's self-row
+    // at distance 0 would otherwise skew both arms; the r15 review's
+    // lesson). The (beam, hops) ladder at fixed degree 8 prices the two
+    // serving knobs a user actually tunes; search cost is independent
+    // of n, so read the recall column against the one wall that grows.
+    {
+      val n = vectors.count()
+      val rootS = java.nio.file.Files.createTempDirectory("recall_knng")
+        .toString + "/g"
+      val base = vectors.where(col("vec_id") >= 50).select(col("vec_id"), col("v"))
+      graft.ops.KnnGraph.build(base, 8, rounds = 2, rootS)
+      val qs = vectors.where(col("vec_id") < 50)
+        .select(col("vec_id").as("qid"), col("v").as("qv")).cache()
+      val dEx = round(greatest(
+        Similarity.dot("qv", "qv") + Similarity.dot("cv", "cv")
+          - lit(2.0) * Similarity.dot("qv", "cv"), lit(0.0)), 6)
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid")).orderBy(col("d"), col("nid"))
+      val exactS = base.select(col("vec_id").as("nid"), col("v").as("cv"))
+        .crossJoin(broadcast(qs))
+        .withColumn("d", dEx)
+        .withColumn("rnk", row_number().over(wq))
+        .where(col("rnk") <= 5).select(col("qid"), col("nid")).cache()
+      val nqS = math.max(1L, exactS.select(col("qid")).distinct().count())
+      for ((beam, hops) <- Seq((4, 3), (8, 4), (16, 6), (32, 8))) {
+        val t0 = System.nanoTime()
+        val served = graft.ops.KnnGraph.search(spark, qs, rootS,
+            beam, hops, topk = 5)
+          .select(col("qid").as("lqid"), col("nid").as("lnid"))
+        val rec = exactS.join(served,
+            exactS("qid") === served("lqid") && exactS("nid") === served("lnid"),
+            "left")
+          .groupBy(col("qid")).agg((count(col("lnid")) / 5.0).as("recall"))
+          .agg(coalesce(avg(col("recall")), lit(0.0))).head().getDouble(0)
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(s"""{"mode":"served","tier":"knn_graph_search","degree":8,"beam":$beam,"hops":$hops,""" +
+          s""""n":$n,"n_queries":$nqS,"mean_recall":${math.rint(rec * 1e6) / 1e6},"secs":${math.rint(secs * 100) / 100}}""")
+      }
+      qs.unpersist(); exactS.unpersist(): Unit
+    }
+
     vectors.unpersist()
     spark.stop()
   }

@@ -135,6 +135,38 @@ object ScaleProbe {
       // that are compared across legs)
       spark.conf.unset("spark.graft.ann.log")
       }
+      // frozen-tokenizer packed-tier leg (r16): the corpus DAG with the
+      // training deliverable ON and the tokenizer FROZEN — a 1k
+      // single-source daily feed must re-tokenize and rewrite only the
+      // batch-touched (split, source) packed partitions (the
+      // [packed.incremental] stderr line prints the count; the default
+      // retrain-per-append mode re-materializes 100% by construction).
+      // Read append wall against the base wall: the delta is the
+      // incremental-pack story at this n.
+      if (on("packfreeze")) {
+        spark.conf.set("spark.graft.ann.log", "true")
+        val cfgF = graft.pipeline.CorpusConfig(bpeMerges = 256,
+          packBudget = 512, freezeTokenizer = true)
+        val outF = s"$dirP/out_freeze"
+        val tf0 = System.nanoTime()
+        graft.pipeline.CorpusPipeline.run(spark, s"$dirP/jsonl", outF, cfgF)
+        val fbS = (System.nanoTime() - tf0) / 1e9
+        val bF = spark.range(n, n + 1000L).select(col("id").as("doc_id"), expr(
+          s"""concat('the and of to in ', concat_ws(' ', transform(sequence(1, 80), j ->
+             |  element_at($vocabSql, 1 + pmod(hash(id, j), 1000)))))""".stripMargin)
+            .as("text"),
+          lit("en").as("lang"), lit("src0").as("source"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+        bF.toJSON.write.mode("overwrite").text(s"$dirP/freeze_batch_jsonl")
+        val tf1 = System.nanoTime()
+        graft.pipeline.CorpusPipeline.append(
+          spark, s"$dirP/freeze_batch_jsonl", outF, cfgF): Unit
+        val faS = (System.nanoTime() - tf1) / 1e9
+        val nParts = new java.io.File(s"$outF/packed_shards").listFiles()
+          .filter(_.isDirectory).flatMap(_.listFiles()).count(_.isDirectory)
+        println(f"[scaleprobe] docs=$n%6d pack_freeze base=$fbS%6.1f s append(1000)=$faS%6.1f s packed_partitions=$nParts%3d (see packed.incremental line for rewrites)")
+        spark.conf.unset("spark.graft.ann.log")
+      }
       // ann-pipeline leg (r13): the corpus DAG with the serving-index
       // stage ON — measures what annIndex ADDS at base build (index fit
       // over survivors) and at append (one live-vs-survivors comparison
@@ -389,6 +421,41 @@ object ScaleProbe {
         val g2 = graft.queries.EmbedQueries.knnGraphFrame(vv0, 5, 2).count()
         val sg2 = (System.nanoTime() - tg2) / 1e9
         println(f"[scaleprobe] docs=$n%6d knn_graph k=5 r1_edges=$g1%8d r1=$sg1%6.1f s r2_edges=$g2%8d r2=$sg2%6.1f s per_round=${sg2 - sg1}%6.1f s")
+      }
+      // knn-graph ARTIFACT leg (r16): the persisted lifecycle's cost
+      // split — build once, then the walls that matter at serving
+      // scale: INSERT a 5% batch (beam search over the existing graph,
+      // ∝ batch — read against the build wall), SEARCH 20 queries (hop
+      // cost independent of n — compare the wall across sizes), and a
+      // delete+consolidate (edge half is metadata-sized, so the
+      // write-aside rewrite should track n·k rows, not vector bytes).
+      if (on("knngidx")) {
+        val vv0 = vecs.select(col("vec_id"), col("v"))
+        val cutG = (n.toLong * 95L) / 100L
+        val rootG = java.nio.file.Files.createTempDirectory(s"knngidx$n")
+          .toString + "/g"
+        val tgb = System.nanoTime()
+        graft.ops.KnnGraph.build(vv0.where(col("vec_id") < cutG), 8, 2, rootG)
+        val gbS = (System.nanoTime() - tgb) / 1e9
+        val tga = System.nanoTime()
+        graft.ops.KnnGraph.append(spark, vv0.where(col("vec_id") >= cutG),
+          rootG, beam = 8, hops = 4)
+        val gaS = (System.nanoTime() - tga) / 1e9
+        val q = vv0.where(col("vec_id") < 20)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val tgs = System.nanoTime()
+        val nServed = graft.ops.KnnGraph.search(spark, q, rootG,
+          beam = 8, hops = 4, topk = 5).count()
+        val gsS = (System.nanoTime() - tgs) / 1e9
+        val tgc = System.nanoTime()
+        graft.ops.KnnGraph.delete(spark,
+          vv0.where(col("vec_id") % 20 === 1).select(col("vec_id")), rootG)
+        graft.ops.KnnGraph.compact(spark, rootG)
+        val gcS = (System.nanoTime() - tgc) / 1e9
+        val liveG = graft.ops.KnnGraph.liveVertices(spark, rootG).count()
+        require(liveG == n - (n + 19) / 20,
+          s"knng artifact live=$liveG after delete+compact at n=$n")
+        println(f"[scaleprobe] docs=$n%6d knng_idx build(${cutG}%6d)=$gbS%6.1f s insert(${n - cutG}%5d)=$gaS%6.1f s search(20q)=$gsS%5.1f s rows=$nServed%3d delete_compact=$gcS%6.1f s live=$liveG%7d")
       }
       if (on("kmeans")) {
       val t5 = System.nanoTime()
