@@ -567,7 +567,49 @@ object RecallProbe {
         println(s"""{"mode":"served","tier":"knn_graph_search","degree":8,"beam":$beam,"hops":$hops,""" +
           s""""n":$n,"n_queries":$nqS,"mean_recall":${math.rint(rec * 1e6) / 1e6},"secs":${math.rint(secs * 100) / 100}}""")
       }
-      qs.unpersist(); exactS.unpersist(): Unit
+      exactS.unpersist(): Unit
+
+      // planted served arm: 5 near-copies (cos ≈ 0.999) of each
+      // held-out query are APPENDED into the graph — the
+      // retrieval-of-near-dups shape through the artifact's own insert
+      // path. The corpus arm above is honest-flat (the underlying
+      // NN-Descent graph has ~0 recall on structureless random 64-d —
+      // recorded since r15), and a one-shot BUILD over base ∪ copies
+      // leaves each copy clique DISCONNECTED from the background
+      // (k-NN edges all stay inside the clique; measured 0.0 at every
+      // budget) — the connectivity problem HNSW's hierarchy and
+      // DiskANN's α-pruning exist to solve. The INSERT path solves it
+      // here the same way HNSW's insert does: each appended copy
+      // beam-searches the existing graph and links BIDIRECTIONALLY
+      // where it lands, so a later query retracing that descent finds
+      // the clique. This arm therefore measures the serving loop a
+      // production corpus actually runs: build base → insert batch →
+      // query near the batch.
+      val copiesS = qs.select(col("qid"), explode(sequence(lit(0), lit(4))).as("k"),
+          col("qv"))
+        .select((col("qid") * 8 + col("k") + lit(2000000000L)).as("vec_id"),
+          expr("transform(qv, (x, i) -> x * (1.0D + (pmod(hash(qid, k, i), 2001) - 1000) / 20000.0D))")
+            .as("v"))
+      val rootP = java.nio.file.Files.createTempDirectory("recall_knng_planted")
+        .toString + "/g"
+      graft.ops.KnnGraph.build(base, 8, rounds = 2, rootP)
+      graft.ops.KnnGraph.append(spark, copiesS, rootP, beam = 8, hops = 4)
+      val truthS = qs.select(col("qid"), explode(sequence(lit(0), lit(4))).as("k"))
+        .select(col("qid"), (col("qid") * 8 + col("k") + lit(2000000000L)).as("nid"))
+        .cache()
+      for ((beam, hops) <- Seq((4, 3), (8, 4), (16, 6), (32, 8))) {
+        val served = graft.ops.KnnGraph.search(spark, qs, rootP,
+            beam, hops, topk = 5)
+          .select(col("qid").as("lqid"), col("nid").as("lnid"))
+        val rec = truthS.join(served,
+            truthS("qid") === served("lqid") && truthS("nid") === served("lnid"),
+            "left")
+          .groupBy(col("qid")).agg((count(col("lnid")) / 5.0).as("recall"))
+          .agg(coalesce(avg(col("recall")), lit(0.0))).head().getDouble(0)
+        println(s"""{"mode":"planted_served","tier":"knn_graph_search","degree":8,"beam":$beam,"hops":$hops,""" +
+          s""""n":$n,"n_queries":$nqS,"mean_recall":${math.rint(rec * 1e6) / 1e6}}""")
+      }
+      truthS.unpersist(); qs.unpersist(): Unit
     }
 
     vectors.unpersist()
