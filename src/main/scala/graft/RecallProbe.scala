@@ -536,8 +536,7 @@ object RecallProbe {
     // of n, so read the recall column against the one wall that grows.
     {
       val n = vectors.count()
-      val rootS = java.nio.file.Files.createTempDirectory("recall_knng")
-        .toString + "/g"
+      val rootS = graft.ops.Scratch.dir("recall_knng") // process-unique, auto-deleted
       val base = vectors.where(col("vec_id") >= 50).select(col("vec_id"), col("v"))
       graft.ops.KnnGraph.build(base, 8, rounds = 2, rootS)
       val qs = vectors.where(col("vec_id") < 50)
@@ -590,9 +589,10 @@ object RecallProbe {
         .select((col("qid") * 8 + col("k") + lit(2000000000L)).as("vec_id"),
           expr("transform(qv, (x, i) -> x * (1.0D + (pmod(hash(qid, k, i), 2001) - 1000) / 20000.0D))")
             .as("v"))
-      val rootP = java.nio.file.Files.createTempDirectory("recall_knng_planted")
-        .toString + "/g"
-      graft.ops.KnnGraph.build(base, 8, rounds = 2, rootP)
+      // reuse rootS: its served ladder is done and never read again, so
+      // the copies APPEND into the already-built base graph instead of
+      // paying a second identical NN-Descent build (r16 review)
+      val rootP = rootS
       graft.ops.KnnGraph.append(spark, copiesS, rootP, beam = 8, hops = 4)
       val truthS = qs.select(col("qid"), explode(sequence(lit(0), lit(4))).as("k"))
         .select(col("qid"), (col("qid") * 8 + col("k") + lit(2000000000L)).as("nid"))

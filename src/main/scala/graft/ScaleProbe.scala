@@ -432,8 +432,7 @@ object ScaleProbe {
       if (on("knngidx")) {
         val vv0 = vecs.select(col("vec_id"), col("v"))
         val cutG = (n.toLong * 95L) / 100L
-        val rootG = java.nio.file.Files.createTempDirectory(s"knngidx$n")
-          .toString + "/g"
+        val rootG = graft.ops.Scratch.dir(s"knngidx$n") // auto-deleted at exit
         val tgb = System.nanoTime()
         graft.ops.KnnGraph.build(vv0.where(col("vec_id") < cutG), 8, 2, rootG)
         val gbS = (System.nanoTime() - tgb) / 1e9
@@ -453,7 +452,7 @@ object ScaleProbe {
         graft.ops.KnnGraph.compact(spark, rootG)
         val gcS = (System.nanoTime() - tgc) / 1e9
         val liveG = graft.ops.KnnGraph.liveVertices(spark, rootG).count()
-        require(liveG == n - (n + 19) / 20,
+        require(liveG == n - (n + 18) / 20, // deleted ids ≡ 1 (mod 20): count = ceil((n-1)/20)
           s"knng artifact live=$liveG after delete+compact at n=$n")
         println(f"[scaleprobe] docs=$n%6d knng_idx build(${cutG}%6d)=$gbS%6.1f s insert(${n - cutG}%5d)=$gaS%6.1f s search(20q)=$gsS%5.1f s rows=$nServed%3d delete_compact=$gcS%6.1f s live=$liveG%7d")
       }

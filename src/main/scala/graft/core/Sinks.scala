@@ -191,14 +191,21 @@ object Sinks {
     * Partition values are Option[String] (None = null/""), written
     * with Spark's own partition-path escaping.
     */
-  def shardedParquetPatch(slice: DataFrame, path: String,
+  def shardedParquetPatch(slice0: DataFrame, path: String,
       partitionCols: Seq[String], sortCols: Seq[String],
       changed: Seq[Seq[Option[String]]], maxRecordsPerFile: Long): Int = {
-    val spark = slice.sparkSession
+    val spark = slice0.sparkSession
     require(Fs.exists(spark, s"$path/_SUCCESS"),
       s"shardedParquetPatch: $path has no committed layout to patch — " +
         "use the full writer for first writes and crash recovery")
     if (changed.isEmpty) return 0
+    // the slice is read twice (present-partition census + the write) and
+    // is typically the caller's EXPENSIVE recompute of the changed
+    // partitions (the frozen packed tier's tokenize∘pack) — materialize
+    // once or the cost the patch writer exists to minimize is paid twice
+    // (r16 review); slice size is bounded by the changed partitions
+    val slice = slice0.transform(graft.ops.Ckpt.eager)
+    try {
     def pcol(c: String) = nullif(col(c).cast("string"), lit(""))
     val present: Set[Seq[Option[String]]] = slice
       .select(partitionCols.map(c => pcol(c).as(c)): _*).distinct().collect()
@@ -225,6 +232,7 @@ object Sinks {
         .parquet(path)
     Fs.writeString(spark, s"$path/_SUCCESS", "")
     changed.length
+    } finally slice.unpersist()
   }
 
   /** S8: row-count reconciliation sidecar (build_dataset.py:87-110):

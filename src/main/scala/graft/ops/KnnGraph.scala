@@ -193,10 +193,16 @@ object KnnGraph {
   /** Build the artifact: NN-Descent over `v` (vec_id, v), both halves
     * written fresh, meta marker LAST (a crash mid-build leaves a
     * root without meta.json — unreadable by contract, rebuilt by the
-    * caller; never a half-readable artifact).
+    * caller; never a half-readable artifact). A rebuild IN PLACE over
+    * an existing root retires the OLD marker before touching either
+    * half (else a crash mid-overwrite leaves new edges + old vertices
+    * reading as complete — r16 review) and drops stale tombstones from
+    * the prior lifecycle (they would silently shadow rebuilt vertices).
     */
   def build(v: DataFrame, k: Int, rounds: Int, root: String): Unit = {
     val s = v.sparkSession
+    Fs.delete(s, s"$root/meta.json")
+    Fs.deleteRecursive(s, s"$root/tombstones")
     val vv = v.select(col("vec_id"), col("v"))
     construct(vv, k, rounds).select(col("src"), col("dst"), col("d"))
       .write.mode("overwrite").parquet(s"$root/edges")
@@ -421,6 +427,7 @@ object KnnGraph {
         - lit(2.0) * Similarity.dot("qv", "nv"), lit(0.0)), 6)
     val wr = Window.partitionBy(col("qid")).orderBy(col("d"), col("nid"))
     var b = q.select(col("qid")).crossJoin(broadcast(entry))
+    val beams = scala.collection.mutable.Buffer[DataFrame]()
     var scored: DataFrame = null
     for (_ <- 1 to hops) {
       val x = b.union(
@@ -437,7 +444,17 @@ object KnnGraph {
       b = scored.withColumn("r", row_number().over(wr))
         .where(col("r") <= beam).select(col("qid"), col("nid"))
         .transform(Ckpt.eager)
+      beams += b
     }
-    scored.select(col("qid"), col("nid"), col("d"))
+    // materialize the answer FIRST (the final scored still reads the
+    // last beam's blocks — a checkpointed frame is not recomputable
+    // once unpersisted), THEN release the per-call checkpointed state:
+    // without this every search/append pinned the full vertex set +
+    // graph closure + one beam per hop in executor storage for the
+    // session (r16 review); the result itself is queries × candidates
+    val out = scored.select(col("qid"), col("nid"), col("d"))
+      .transform(Ckpt.eager)
+    beams.foreach(_.unpersist()); lv.unpersist(); g.unpersist()
+    out
   }
 }

@@ -199,10 +199,18 @@ object CorpusPipeline {
     * of the pair set recomputes from the same merged inputs. Returns
     * (splitCounts, nSurvivors, nClusters).
     */
+  /** `forceBase` = a config-change / explicit force (run's force0), as
+    * opposed to the append-driven derived-fingerprint force folded into
+    * `forceD`: freeze-mode stages are exempt from the LATTER only — a
+    * config change must still retrain the frozen tokenizer and rewrite
+    * the packed layout, or the stale-experiment fingerprint guard is
+    * defeated (r16 review).
+    */
   private def deriveTier(spark: SparkSession, outDir: String, cfg: CorpusConfig,
                          kept: DataFrame, hs: DataFrame,
                          clusters0: => DataFrame,
-                         forceD: Boolean): (Map[String, Long], Long, Long) = {
+                         forceD: Boolean,
+                         forceBase: Boolean): (Map[String, Long], Long, Long) = {
     def p(name: String) = s"$outDir/$name"
     // clusters0 is caller-supplied BY NAME (evaluated only when the
     // stage actually recomputes): run() passes the full CC over the
@@ -326,7 +334,7 @@ object CorpusPipeline {
     // (alphabet ∪ merge outputs, fit-frequency ranked) so unseen-at-fit
     // tokens in later batches still encode deterministically.
     if (cfg.bpeMerges > 0) {
-      val tokForce = if (cfg.freezeTokenizer) false else forceD
+      val tokForce = if (cfg.freezeTokenizer) forceBase else forceD
       Pipeline.stage(spark, p("tokenizer"), tokForce) {
         val trainDocs = survivors2.join(
           split.where(col("split") === "train").select(col("doc_id")), "doc_id")
@@ -336,7 +344,7 @@ object CorpusPipeline {
           .toDF("rank", "left_sym", "right_sym", "merged", "pair_count")
       }
       if (cfg.freezeTokenizer)
-        Pipeline.stage(spark, p("token_ids"), force = false) {
+        Pipeline.stage(spark, p("token_ids"), force = tokForce) {
           val trainDocs = survivors2.join(
             split.where(col("split") === "train").select(col("doc_id")), "doc_id")
           graft.queries.TextQueries.bpeTokenIds(trainDocs, mergesOf(spark, outDir))
@@ -362,7 +370,8 @@ object CorpusPipeline {
       require(cfg.bpeMerges > 0,
         "packBudget needs the trained tokenizer stage (set bpeMerges > 0)")
       if (cfg.freezeTokenizer)
-        Some(packedFrozen(spark, outDir, cfg, survivors2, split))
+        Some(packedFrozen(spark, outDir, cfg, survivors2, split,
+          forceFull = forceBase))
       else {
         val packed = Pipeline.stage(spark, p("packed"), forceD) {
           val merges = mergesOf(spark, outDir)
@@ -503,7 +512,7 @@ object CorpusPipeline {
     */
   private def packedFrozen(spark: SparkSession, outDir: String,
                            cfg: CorpusConfig, survivors2: DataFrame,
-                           split: DataFrame): DataFrame = {
+                           split: DataFrame, forceFull: Boolean): DataFrame = {
     def p(name: String) = s"$outDir/$name"
     val shardsPath = p("packed_shards")
     val merges = mergesOf(spark, outDir)
@@ -519,7 +528,10 @@ object CorpusPipeline {
         keyCols = Seq("split", "source")), Seq("split", "source"))
     }
     def pcolS(c: Column) = nullif(c.cast("string"), lit(""))
-    val prevOpt = if (!Fs.exists(spark, s"$shardsPath/_SUCCESS")) None else
+    // forceFull: a config change re-shapes every sequence (budget,
+    // shards, merges all changed under us) — the membership diff is
+    // blind to that, so route to the full writer
+    val prevOpt = if (forceFull || !Fs.exists(spark, s"$shardsPath/_SUCCESS")) None else
       try {
         val prev = spark.read.parquet(shardsPath)
           .select(pcolS(col("split")).as("split"),
@@ -699,6 +711,17 @@ object CorpusPipeline {
       lap("build")
       return
     }
+    // empty→non-empty transition (r16 review): after survivors dropped
+    // to zero, delete+compact left an EDGELESS-but-complete artifact —
+    // inserting into it would beam-search an empty graph and append the
+    // whole batch with ZERO edges, permanently. A repopulating derive
+    // REBUILDS instead (build retires the meta marker first, so a crash
+    // mid-rebuild reads as incomplete, and drops stale tombstones).
+    if (KnnGraph.liveVertices(spark, root).head(1).isEmpty) {
+      if (sv.head(1).nonEmpty) KnnGraph.build(sv, k, rounds, root)
+      lap("rebuild_from_empty")
+      return
+    }
     val resIds = sv.select(col("vec_id"))
       .join(KnnGraph.tombstones(spark, root), "vec_id").transform(Ckpt.eager)
     if (resIds.head(1).nonEmpty) KnnGraph.dropTombstones(spark, resIds, root)
@@ -859,7 +882,8 @@ object CorpusPipeline {
         graft.ops.Components.mergeBatch(prior, deltas)
       }
     if (forceD) Fs.delete(spark, dfpPath)
-    val (splitCounts, nSurv, nClus) = deriveTier(spark, outDir, cfg, kept, hs, clusters0, forceD)
+    val (splitCounts, nSurv, nClus) = deriveTier(spark, outDir, cfg, kept, hs,
+      clusters0, forceD, forceBase = false)
     Fs.writeString(spark, dfpPath, want)
     val nRaw = (s"$outDir" +: tags.map(batchDir(outDir, _)))
       .map(d => Fs.readString(spark, s"$d/raw_count").trim.toLong).sum
@@ -936,7 +960,8 @@ object CorpusPipeline {
       graft.ops.Components.connectedComponents(
           pairs.where(col("sim") >= cfg.tau).select(col("i"), col("j")))
         .select(col("node"), col("rep"))
-    val (splitCounts, nSurv, nClus) = deriveTier(spark, outDir, cfg, kept, hs, clusters0, forceD)
+    val (splitCounts, nSurv, nClus) = deriveTier(spark, outDir, cfg, kept, hs,
+      clusters0, forceD, forceBase = force0)
     Fs.writeString(spark, dfpPath, want)
 
     graft.core.Fs.writeString(spark, cfgPath, fingerprint)

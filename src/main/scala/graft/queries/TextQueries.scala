@@ -1284,8 +1284,12 @@ object TextQueries {
 
   /** The COMPLETE frozen id table for a trained merge sequence: every
     * token any future document can produce is a single alphabet char
-    * ([a-z0-9] — the word regex's alphabet) or a merge output, so the
-    * table covers alphabet ∪ merge-outputs; ranking is by fit-corpus
+    * ([a-z0-9] — the word regex's alphabet), the end-of-word marker
+    * [[graft.ops.Bpe.EndMark]] (vocab0 appends it to every word, so an
+    * unmerged trailing marker IS a standalone token — omitting it
+    * would silently drop one token per unmerged word from the frozen
+    * stream; r16 review), or a merge output — so the table covers
+    * alphabet ∪ {EndMark} ∪ merge-outputs; ranking is by fit-corpus
     * frequency (the classic vocab ordering — seen tokens rank exactly
     * as [[bpeTokenStream]] would rank them), with never-seen tokens
     * deterministically after (cnt 0, token order). merges+alphabet
@@ -1295,6 +1299,7 @@ object TextQueries {
                   merges: Seq[graft.ops.Bpe.Merge]): DataFrame = {
     import fitDocs.sparkSession.implicits._
     val universe = (('a' to 'z') ++ ('0' to '9')).map(_.toString) ++
+      Seq(graft.ops.Bpe.EndMark) ++
       merges.map(m => m.left + m.right)
     val seen = bpeWordToks(fitDocs, merges)
       .groupBy(col("token")).agg(sum(col("cnt")).as("cnt"))

@@ -361,6 +361,14 @@ class CorpusPipelineSpec extends SparkSpec {
         .select(col("doc_id"), col("split")), "doc_id")
     val toks = graft.queries.TextQueries.bpeTokenStreamWithIds(sv, merges, ids)
       .join(member, "doc_id")
+    // COMPLETENESS of the frozen id table against the non-frozen kernel
+    // (r16 review: an incomplete table silently drops tokens and the
+    // frozen-vs-frozen equivalence law cancels the drop — ids may
+    // differ between the two rankings, but every occurrence must map):
+    // same occurrence count, and zero occurrences lost to the id join
+    assert(toks.count() ===
+      graft.queries.TextQueries.bpeTokenStream(sv, merges).count(),
+      "frozen id table dropped token occurrences vs the non-frozen kernel")
     val want = graft.queries.TextQueries
       .packTokenStream(toks, cfg.packBudget, cfg.epochShards,
         salt = "pack", keyCols = Seq("split", "source"))
@@ -401,6 +409,43 @@ class CorpusPipelineSpec extends SparkSpec {
       assert(stAfter(part) != stBefore(part),
         s"batch-touched partition $part was not rewritten")
     }
+
+    // freeze exempts ONLY the append-driven force — a CONFIG change
+    // must still retrain the tokenizer and rewrite the packed layout,
+    // or the stale-experiment fingerprint guard is defeated (r16
+    // review): rerun the same outDir with different merges
+    CorpusPipeline.run(spark, writeJsonl(base, "freeze_base"), out,
+      cfg.copy(bpeMerges = 6))
+    assert(spark.read.parquet(s"$out/tokenizer").count() === 6L,
+      "config change did not retrain the frozen tokenizer")
+    assert(rows(spark.read.parquet(s"$out/token_ids")) != idsBefore,
+      "config change did not re-rank the frozen id table")
+  }
+
+  test("reconcileKnnGraph REBUILDS on the empty->non-empty transition (no edgeless inserts)") {
+    import spark.implicits._
+    def vecsOf(ids: Seq[Long]) = ids.toDF("vec_id").select(col("vec_id"), expr(
+      "transform(sequence(0, 15), j -> CAST(pmod(hash(vec_id, j), 1000) AS DOUBLE) / 500.0)")
+      .as("v"))
+    val root = mkdir("knng_empty") + "/g"
+    def rec(ids: Seq[Long]) = CorpusPipeline.reconcileKnnGraph(
+      spark, root, vecsOf(ids), k = 4, rounds = 2, beam = 8, hops = 4)
+    rec(0L until 100L)
+    // survivors drop to zero: delete+compact leaves an edgeless-but-
+    // complete artifact (meta present)
+    rec(Seq.empty)
+    assert(graft.ops.KnnGraph.liveVertices(spark, root).count() === 0L)
+    assert(graft.core.Fs.exists(spark, s"$root/meta.json"))
+    // a repopulating derive must REBUILD, not insert into the void
+    // (r16 review: an append against an empty graph would land every
+    // vertex with zero edges, permanently)
+    rec(200L until 300L)
+    val live = graft.ops.KnnGraph.liveVertices(spark, root)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(live == (200L until 300L).toSet)
+    val degs = graft.ops.KnnGraph.liveGraph(spark, root)
+      .groupBy(col("src")).count().count()
+    assert(degs === 100L, s"rebuilt graph serves $degs of 100 vertices")
   }
 
   // ---------------- incremental append ----------------
