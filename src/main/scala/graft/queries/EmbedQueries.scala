@@ -1670,6 +1670,94 @@ object EmbedQueries {
   }
 
 
+  /** STREAMING graph-index insert — the SEVENTEENTH gated replay class
+    * and the graph tier's twin of [[streamingIvfAppendReplay]]: new
+    * vectors arrive as file-source micro-batches
+    * (maxFilesPerTrigger=1) and every batch runs
+    * [[graft.ops.KnnGraph.append]] inside foreachBatch — each insert
+    * beam-searches the graph state its PREDECESSORS built, so unlike
+    * the IVF replay the chunks do NOT commute and the oracle must
+    * replay the exact chunk sequence. Chunking is therefore
+    * VALUE-deterministic (vec_id % 3 — [[StreamingReplays.stageChunkFiles]];
+    * range-sampled boundaries would be unreplayable), and the oracle
+    * unrolls base construction plus THREE sequential inserts — per
+    * chunk the live view, the undirected closure, the beam-search
+    * hops, all three candidate families, and the log union — then
+    * states the final live graph edge-for-edge. A green row certifies
+    * the streamed artifact ≡ the same inserts applied one micro-batch
+    * at a time, the continuous-ingest serving loop a production
+    * retrieval corpus runs.
+    */
+  val streamingKnngAppendReplay: QueryDef = {
+    val k = 5; val rounds = 2; val beam = 4; val hops = 3
+    def chunkCtes(c: Int): String = {
+      def hop(i: Int): String =
+        s"""sx${c}_$i AS (SELECT qid, nid FROM sb${c}_${i - 1} UNION
+           |  SELECT b.qid, g.dst AS nid FROM sb${c}_${i - 1} b JOIN g$c g ON b.nid = g.src),
+           |st${c}_$i AS (SELECT x.qid, x.nid, ${duckSqDistOf("q.qv", "vv.v")} AS d
+           |  FROM sx${c}_$i x JOIN v vv ON x.nid = vv.vec_id JOIN q$c q ON x.qid = q.qid),
+           |sb${c}_$i AS MATERIALIZED (SELECT qid, nid FROM (SELECT qid, nid,
+           |    row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS r FROM st${c}_$i)
+           |  WHERE r <= $beam)""".stripMargin
+      s"""vw$c AS MATERIALIZED (SELECT src, dst FROM (
+         |    SELECT src, dst, min(d) AS d FROM log$c GROUP BY src, dst)
+         |  QUALIFY row_number() OVER (PARTITION BY src ORDER BY d, dst) <= $k),
+         |g$c AS (SELECT src, dst FROM vw$c UNION SELECT dst AS src, src AS dst FROM vw$c),
+         |q$c AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id % 4 = 3 AND vec_id % 3 = $c),
+         |sb${c}_0 AS MATERIALIZED (SELECT qid, (SELECT min(vec_id) FROM bb) AS nid FROM q$c),
+         |${(1 to hops).map(hop).mkString(",\n")},
+         |no$c AS MATERIALIZED (SELECT qid, nid, d FROM (SELECT qid, nid, d,
+         |    row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS r FROM st${c}_$hops)
+         |  WHERE r <= $k),
+         |sn$c AS (SELECT p.src, p.dst, ${duckSqDistOf("qa.qv", "qb.qv")} AS d
+         |  FROM (SELECT DISTINCT a.qid AS src, b.qid AS dst
+         |        FROM no$c a JOIN no$c b ON a.nid = b.nid WHERE a.qid != b.qid) p
+         |  JOIN q$c qa ON p.src = qa.qid JOIN q$c qb ON p.dst = qb.qid),
+         |log${c + 1} AS MATERIALIZED (SELECT src, dst, d FROM log$c
+         |  UNION ALL SELECT qid AS src, nid AS dst, d FROM no$c
+         |  UNION ALL SELECT nid AS src, qid AS dst, d FROM no$c
+         |  UNION ALL SELECT src, dst, d FROM sn$c)""".stripMargin
+    }
+    QueryDef.sql("streaming_knng_append_replay",
+      // v is MATERIALIZED: DuckDB inlines plain CTEs, and this oracle's
+      // 3-insert unroll references v ~30 times — each inline re-opens
+      // the parquet and the replay died on the fd limit
+      s"""WITH v AS MATERIALIZED (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         |bb AS MATERIALIZED (SELECT vec_id, v FROM v WHERE vec_id % 4 != 3),
+         |${knnGraphCtes(k, rounds, rel = "bb")},
+         |log0 AS MATERIALIZED (SELECT src, dst, d FROM r$rounds WHERE rnk <= $k),
+         |${chunkCtes(0)},
+         |${chunkCtes(1)},
+         |${chunkCtes(2)},
+         |fin AS (SELECT src, dst, d,
+         |    CAST(row_number() OVER (PARTITION BY src ORDER BY d, dst) AS BIGINT) AS rnk
+         |  FROM (SELECT src, dst, min(d) AS d FROM log3 GROUP BY src, dst))
+         |SELECT src, dst, CAST(d AS DOUBLE) AS d, rnk FROM fin WHERE rnk <= $k
+         |ORDER BY src, rnk""".stripMargin) { (s, dir) =>
+      val v = Similarity.vectors(Tables.embeddings(s, dir)).select(col("vec_id"), col("v"))
+      // per-invocation root: the replay MUTATES the artifact, so it can
+      // never share a Scratch.once build with another invocation
+      val root = graft.ops.Scratch.dir(
+        s"knng_stream_${Integer.toHexString(dir.hashCode)}_${streamSeq.incrementAndGet()}")
+      graft.ops.KnnGraph.build(v.where(col("vec_id") % 4 =!= 3), k, rounds, root)
+      val chunks = (0 until 3).map(c =>
+        v.where(col("vec_id") % 4 === 3 && col("vec_id") % 3 === c))
+      val (watched, staged) = StreamingReplays.stageChunkFiles(chunks)
+      try {
+        val stream = s.readStream.schema(chunks.head.schema)
+          .option("maxFilesPerTrigger", "1").parquet(watched)
+        val insertBatch: (org.apache.spark.sql.DataFrame, Long) => Unit =
+          (b, _) => graft.ops.KnnGraph.append(s, b, root, beam, hops)
+        val query = stream.writeStream.outputMode("append")
+          .foreachBatch(insertBatch).start()
+        try query.processAllAvailable() finally query.stop()
+      } finally StreamingReplays.rmTree(staged)
+      graft.ops.KnnGraph.liveGraph(s, root)
+        .orderBy(col("src"), col("rnk"))
+    }
+  }
+
+
   /** Index DELETE + COMPACTION — the lifecycle completion the r11
     * verdict asked for: dedup retracts documents, and the persisted
     * index follows. The Spark side runs the FULL composed lifecycle —
@@ -3860,6 +3948,7 @@ object EmbedQueries {
     embedIvfadcResidual, embedIvfadcRefine, embedIvfadcRefineSq8,
     embedIvfadcAlloc, embedIvfadcFiltered, embedKnnGraph, embedKnnGraphSearch,
     embedKnnGraphAppend, embedKnnGraphDeleteSearch, embedKnnGraphCompact,
+    streamingKnngAppendReplay,
     embedPqRotated, embedPqAlloc, embedIvfProbeFiltered, streamingIvfAppendReplay,
     streamingIvfDeleteReplay)
 }

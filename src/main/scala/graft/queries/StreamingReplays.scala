@@ -101,6 +101,30 @@ object StreamingReplays {
     Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(): Unit
   }
 
+  /** VALUE-deterministic chunk staging: one watched file per caller-
+    * supplied frame, trigger order = list order. [[stageOrderedFiles]]
+    * cuts by repartitionByRange, whose sampled boundaries are NOT
+    * replayable — fine for COMMUTING appends (the IVF index assigns
+    * each vector independently at fixed centroids), but graph inserts
+    * see the graph state their predecessors built, so an oracle must
+    * replay the EXACT chunk composition; the caller pins it with value
+    * predicates (e.g. vec_id % 3) the SQL side can restate.
+    */
+  private[graft] def stageChunkFiles(
+      chunks: Seq[org.apache.spark.sql.DataFrame]): (String, java.io.File) = {
+    val base = java.nio.file.Files.createTempDirectory("graft_replay_").toFile
+    val watched = new java.io.File(base, "in"); watched.mkdirs()
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val staging = new java.io.File(base, s"stage$i")
+      c.coalesce(1).write.mode("overwrite").parquet(staging.getAbsolutePath)
+      val part = staging.listFiles().filter(_.getName.startsWith("part-")).head
+      val dst = new java.io.File(watched, f"c$i%04d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      dst.setLastModified(1600000000000L + i * 60000L): Unit
+    }
+    (watched.getAbsolutePath, base)
+  }
+
   /** Two-source staging for stream-stream joins: ONE shared ts midpoint
     * (scalar percentile upstream) cuts BOTH sides into the same global
     * time ranges, so with maxFilesPerTrigger=1 batch i of the left

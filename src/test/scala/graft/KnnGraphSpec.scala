@@ -247,6 +247,38 @@ class KnnGraphSpec extends SparkSpec {
       === Set(11L), "complete tombstones.next was not adopted")
   }
 
+  test("streamed inserts == the same chunk sequence applied directly (the streaming replay's parity law)") {
+    // graph inserts do NOT commute (each sees its predecessors' graph),
+    // so the law is sequence-for-sequence, not set-for-set — the
+    // streaming_knng_append_replay gate's oracle replays exactly this
+    val v = cloud(120, 0L)
+    val base = v.where(col("vec_id") < 90)
+    val chunks = (0 until 3).map(c =>
+      v.where(col("vec_id") >= 90 && col("vec_id") % 3 === c))
+    val rootA = Scratch.dir("spec_knng_seq")
+    KnnGraph.build(base, K, rounds = 2, rootA)
+    chunks.foreach(c => KnnGraph.append(spark, c, rootA, beam = 4, hops = 3))
+    val rootB = Scratch.dir("spec_knng_stream")
+    KnnGraph.build(base, K, rounds = 2, rootB)
+    val (watched, staged) = graft.queries.StreamingReplays.stageChunkFiles(chunks)
+    try {
+      val stream = spark.readStream.schema(chunks.head.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watched)
+      val fn: (org.apache.spark.sql.DataFrame, Long) => Unit =
+        (b, _) => KnnGraph.append(spark, b, rootB, beam = 4, hops = 3)
+      val q = stream.writeStream.outputMode("append").foreachBatch(fn).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally graft.queries.StreamingReplays.rmTree(staged)
+    val a = KnnGraph.liveGraph(spark, rootA)
+      .select(col("src"), col("dst"), col("d"), col("rnk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val b = KnnGraph.liveGraph(spark, rootB)
+      .select(col("src"), col("dst"), col("d"), col("rnk")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(a === b, "streamed graph drifted from the direct chunk sequence")
+    assert(a.nonEmpty && a.exists(_._1 >= 90L), "fixture vacuous: no inserted edges")
+  }
+
   test("search cost shape: served results equal the gate's in-query replay on the same graph") {
     // the persisted-artifact search must equal searching the freshly
     // constructed graph (what embed_knn_graph_search's oracle pins) —

@@ -269,8 +269,10 @@ class PlanSpec extends SparkSpec {
       "embed_knn_graph_search",
       // the same 1-row entry cross inside the artifact tier's insert
       // (append beam-searches the persisted graph) and the
-      // tombstone-filtered served search
+      // tombstone-filtered served search; the streaming replay runs
+      // one insert per micro-batch
       "embed_knn_graph_append", "embed_knn_graph_delete_search",
+      "streaming_knng_append_replay",
       // one-row (d0, d1) spine-bounds scalar broadcast into the
       // hours-sized interior filter — never event-sized
       "series_stl",
