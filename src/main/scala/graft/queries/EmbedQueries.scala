@@ -1407,21 +1407,27 @@ object EmbedQueries {
     * and e$i (top-k edges).
     */
   private def knnGraphCtes(k: Int, rounds: Int, rel: String = "v"): String = {
+    // chain CTEs are MATERIALIZED (r16): DuckDB inlines plain CTEs, and
+    // u references e twice / c references u three times / the gates
+    // reference r+e again — ~36 inline copies of the whole construction
+    // per round pair, which at sf0.1 spilled a 24 GB-capped replay to
+    // disk exhaustion. Pure evaluation hint; the replayed algebra is
+    // unchanged.
     def round(i: Int): String =
-      s"""u$i AS (SELECT src, dst FROM e${i - 1} UNION SELECT dst AS src, src AS dst FROM e${i - 1}),
+      s"""u$i AS MATERIALIZED (SELECT src, dst FROM e${i - 1} UNION SELECT dst AS src, src AS dst FROM e${i - 1}),
          |c$i AS (SELECT src, dst FROM u$i UNION
          |        SELECT a.src, b.dst FROM u$i a JOIN u$i b ON a.dst = b.src WHERE a.src != b.dst),
          |s$i AS (SELECT c.src, c.dst, ${duckSqDistOf("va.v", "vc.v")} AS d
          |        FROM c$i c JOIN $rel va ON c.src = va.vec_id JOIN $rel vc ON c.dst = vc.vec_id),
-         |r$i AS (SELECT src, dst, d,
+         |r$i AS MATERIALIZED (SELECT src, dst, d,
          |          CAST(row_number() OVER (PARTITION BY src ORDER BY d, dst) AS BIGINT) AS rnk
          |        FROM s$i),
-         |e$i AS (SELECT src, dst FROM r$i WHERE rnk <= $k)""".stripMargin
+         |e$i AS MATERIALIZED (SELECT src, dst FROM r$i WHERE rnk <= $k)""".stripMargin
     s"""vb AS (SELECT vec_id, ${OracleSql.signBucket} AS bucket FROM $rel),
-       |wb AS (SELECT vec_id, bucket,
+       |wb AS MATERIALIZED (SELECT vec_id, bucket,
        |         CAST(row_number() OVER (PARTITION BY bucket ORDER BY vec_id) - 1 AS BIGINT) AS r,
        |         CAST(count(*) OVER (PARTITION BY bucket) AS BIGINT) AS cnt FROM vb),
-       |e0 AS (SELECT a.vec_id AS src, b.vec_id AS dst
+       |e0 AS MATERIALIZED (SELECT a.vec_id AS src, b.vec_id AS dst
        |       FROM wb a CROSS JOIN range(1, ${k + 1}) j(j) JOIN wb b
        |         ON a.bucket = b.bucket AND b.r = (a.r + j.j) % a.cnt
        |       WHERE j.j <= a.cnt - 1),
@@ -1523,12 +1529,12 @@ object EmbedQueries {
          |        SELECT b.qid, g.dst AS nid FROM b${i - 1} b JOIN g ON b.nid = g.src),
          |t$i AS (SELECT x.qid, x.nid, ${duckSqDistOf("q.qv", "vv.v")} AS d
          |        FROM x$i x JOIN bb vv ON x.nid = vv.vec_id JOIN q ON x.qid = q.qid),
-         |b$i AS (SELECT qid, nid FROM (SELECT qid, nid,
+         |b$i AS MATERIALIZED (SELECT qid, nid FROM (SELECT qid, nid,
          |          row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS r FROM t$i)
          |        WHERE r <= $beam)""".stripMargin
     QueryDef.sql("embed_knn_graph_append",
       s"""WITH $duckVectors,
-         |bb AS (SELECT vec_id, v FROM v WHERE vec_id % 4 != 3),
+         |bb AS MATERIALIZED (SELECT vec_id, v FROM v WHERE vec_id % 4 != 3),
          |${knnGraphCtes(k, rounds, rel = "bb")},
          |g AS (SELECT src, dst FROM e$rounds UNION SELECT dst AS src, src AS dst FROM e$rounds),
          |q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id % 4 = 3),
@@ -1536,7 +1542,7 @@ object EmbedQueries {
          |${hopCtes(1)},
          |${hopCtes(2)},
          |${hopCtes(3)},
-         |newout AS (SELECT qid, nid, d FROM (SELECT qid, nid, d,
+         |newout AS MATERIALIZED (SELECT qid, nid, d FROM (SELECT qid, nid, d,
          |             row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS r FROM t$hops)
          |           WHERE r <= $k),
          |nn AS (SELECT p.src, p.dst, ${duckSqDistOf("qa.qv", "qb.qv")} AS d
@@ -1544,7 +1550,7 @@ object EmbedQueries {
          |             FROM newout a JOIN newout b ON a.nid = b.nid
          |             WHERE a.qid != b.qid) p
          |       JOIN q qa ON p.src = qa.qid JOIN q qb ON p.dst = qb.qid),
-         |logd AS (SELECT src, dst, min(d) AS d FROM (
+         |logd AS MATERIALIZED (SELECT src, dst, min(d) AS d FROM (
          |           SELECT src, dst, d FROM r$rounds WHERE rnk <= $k
          |           UNION ALL SELECT qid AS src, nid AS dst, d FROM newout
          |           UNION ALL SELECT nid AS src, qid AS dst, d FROM newout
