@@ -55,6 +55,22 @@ object Fs {
     val t = new org.apache.hadoop.fs.Path(to)
     require(fs(spark, f).rename(f, t), s"Fs.rename: $from -> $to failed")
   }
+
+  /** Recursive tree copy (artifact cloning: a mutation gate that needs
+    * the same base artifact another query already built clones the
+    * tree — bytes move once through the FileSystem API, no recompute
+    * and no Spark job). Replaces an existing destination.
+    */
+  def copyRecursive(spark: SparkSession, from: String, to: String): Unit = {
+    val f = new org.apache.hadoop.fs.Path(from)
+    val t = new org.apache.hadoop.fs.Path(to)
+    val sfs = fs(spark, f)
+    val tfs = fs(spark, t)
+    if (tfs.exists(t)) tfs.delete(t, true)
+    require(org.apache.hadoop.fs.FileUtil.copy(
+      sfs, f, tfs, t, false, spark.sparkContext.hadoopConfiguration),
+      s"Fs.copyRecursive: $from -> $to failed")
+  }
 }
 
 /** The one JSON string escaper (Verify's oracle dump, the fails report,

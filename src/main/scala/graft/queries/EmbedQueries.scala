@@ -668,17 +668,39 @@ object EmbedQueries {
     QueryDef.sql("embed_ivf_index_roundtrip",
       embedKnnIvfKmeans.oracle.get) { (s, dir) =>
       val v = Similarity.vectors(Tables.embeddings(s, dir)).select(col("vec_id"), col("v"))
-      val root = graft.ops.Scratch.dir(s"ivf_index_${Integer.toHexString(dir.hashCode)}")
-      // artifact is a pure function of (dir, params): build once per JVM
-      graft.ops.Scratch.once(root) {
-        graft.ops.IvfIndex.build(v, k, iters = 2, root)
-      }
-      // ---- query phase reads only the PERSISTED index ----
+      // ---- query phase reads only the PERSISTED index (the shared
+      // full-corpus coarse root; the attr column rides inert — the
+      // probe neither filters nor returns it, so the result is the
+      // label-free build's, r16-opt §artifact-sharing) ----
+      val root = ivfFullRoot(s, dir, k)
       val q = v.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
       graft.ops.IvfIndex.probe(s, q, root, nprobe = 2, topk = 3,
           cand = _.where(col("vec_id") >= 10))
         .orderBy(col("qid"), col("rnk"))
     }
+  }
+
+  /** ONE full-corpus coarse IVF root per (dir, k) — built WITH the
+    * label attribute (the superset artifact: attrs ride both halves
+    * without touching the centroid fit, so the attr-filtered row
+    * slices the same index the unfiltered rows probe). Shared by
+    * embed_ivf_index_roundtrip / embed_ivf_probe_filtered directly,
+    * and CLONED as the coarse half by the PQ-tier builds
+    * (embed_ivf_pq_index, the ivfadc family, embed_ivfadc_alloc) —
+    * before r16-opt each of those re-ran the identical coarse k-means
+    * fit (~1.5-2 s apiece at sf0.1; guide §1.2, the ivfadc
+    * one-artifact discipline extended family-wide).
+    */
+  private[graft] def ivfFullRoot(s: org.apache.spark.sql.SparkSession,
+                                 dir: String, k: Int): String = {
+    val root = graft.ops.Scratch.dir(
+      s"ivf_full_${k}_${Integer.toHexString(dir.hashCode)}")
+    graft.ops.Scratch.once(root) {
+      graft.ops.IvfIndex.build(
+        Similarity.vectors(Tables.embeddings(s, dir))
+          .select(col("vec_id"), col("v"), col("label")), k, iters = 2, root)
+    }
+    root
   }
 
   /** Shared oracle CTE chain for the APPEND-mode index queries: the
@@ -743,16 +765,49 @@ object EmbedQueries {
          |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS BIGINT) AS rnk FROM p)
          |SELECT qid, nid, sim, rnk FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
       val v = Similarity.vectors(Tables.embeddings(s, dir)).select(col("vec_id"), col("v"))
-      val root = graft.ops.Scratch.dir(s"ivf_append_${Integer.toHexString(dir.hashCode)}")
-      graft.ops.Scratch.once(root) {
-        graft.ops.IvfIndex.build(v.where(col("vec_id") < 400), k, iters = 2, root)
-        graft.ops.IvfIndex.append(s, v.where(col("vec_id") >= 400), root)
-      }
+      val root = ivfAppendRoot(s, dir, k)
       val q = v.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
       graft.ops.IvfIndex.probe(s, q, root, nprobe = 2, topk = 3,
           cand = _.where(col("vec_id") >= 10))
         .orderBy(col("qid"), col("rnk"))
     }
+  }
+
+  /** The shared APPEND-MODE root (quantizer fit on vec_id < 400, the
+    * rest appended at held-fixed centroids) — the exact pre-delete
+    * state embed_ivf_index_delete starts from, so the delete gate
+    * CLONES this tree instead of re-running the identical build+append
+    * (r16-opt, guide §1.2; the mutation gate keeps its private root
+    * because it tombstones + compacts the artifact).
+    */
+  private def ivfAppendRoot(s: org.apache.spark.sql.SparkSession,
+                            dir: String, k: Int): String = {
+    val root = graft.ops.Scratch.dir(s"ivf_append_${Integer.toHexString(dir.hashCode)}")
+    graft.ops.Scratch.once(root) {
+      val v = Similarity.vectors(Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("v"))
+      graft.core.Fs.copyRecursive(s, ivfBase400Root(s, dir, k), root)
+      graft.ops.IvfIndex.append(s, v.where(col("vec_id") >= 400), root)
+    }
+    root
+  }
+
+  /** The shared BASE-HALF build (quantizer fit on vec_id < 400, nothing
+    * appended yet) — the starting state of every append-mode surface:
+    * [[ivfAppendRoot]] and each streaming_ivf_append_replay invocation
+    * clone this tree and mutate the clone (r16-opt; the per-invocation
+    * replays were each re-fitting the identical 2-iteration quantizer).
+    */
+  private def ivfBase400Root(s: org.apache.spark.sql.SparkSession,
+                             dir: String, k: Int): String = {
+    val root = graft.ops.Scratch.dir(s"ivf_b400_${Integer.toHexString(dir.hashCode)}")
+    graft.ops.Scratch.once(root) {
+      graft.ops.IvfIndex.build(
+        Similarity.vectors(Tables.embeddings(s, dir))
+          .select(col("vec_id"), col("v")).where(col("vec_id") < 400),
+        k, iters = 2, root)
+    }
+    root
   }
 
   /** ATTRIBUTE-FILTERED probe over the persisted index — the single
@@ -810,10 +865,8 @@ object EmbedQueries {
          |SELECT qid, nid, sim, rnk FROM r WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin) { (s, dir) =>
       val vl = Similarity.vectors(Tables.embeddings(s, dir))
         .select(col("vec_id"), col("v"), col("label"))
-      val root = graft.ops.Scratch.dir(s"ivf_attr_${Integer.toHexString(dir.hashCode)}")
-      graft.ops.Scratch.once(root) {
-        graft.ops.IvfIndex.build(vl, k, iters = 2, root)
-      }
+      // the shared full-corpus coarse root (r16-opt §artifact-sharing)
+      val root = ivfFullRoot(s, dir, k)
       val q = vl.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
       graft.ops.IvfIndex.probe(s, q, root, nprobe = 2, topk = 3,
           cand = _.where(col("vec_id") >= 10 && col("label").isin(1, 3, 5, 7)))
@@ -863,9 +916,10 @@ object EmbedQueries {
       // never share a Scratch.once artifact with another invocation
       val root = graft.ops.Scratch.dir(
         s"ivf_stream_${Integer.toHexString(dir.hashCode)}_${streamSeq.incrementAndGet()}")
-      val base = v.where(col("vec_id") < 400)
       val batch = v.where(col("vec_id") >= 400)
-      graft.ops.IvfIndex.build(base, k, iters = 2, root)
+      // clone the shared base-half root into this invocation's private
+      // tree (the replay mutates it) — no per-invocation refit (r16-opt)
+      graft.core.Fs.copyRecursive(s, ivfBase400Root(s, dir, k), root)
       val (watched, staged) = StreamingReplays.stageOrderedFiles(
         batch, 3, Seq(col("vec_id")))
       try {
@@ -932,8 +986,9 @@ object EmbedQueries {
       // streamingIvfAppendReplay)
       val root = graft.ops.Scratch.dir(
         s"ivf_sdel_${Integer.toHexString(dir.hashCode)}_${streamSeq.incrementAndGet()}")
-      graft.ops.IvfIndex.build(v.where(col("vec_id") < 400), k, iters = 2, root)
-      graft.ops.IvfIndex.append(s, v.where(col("vec_id") >= 400), root)
+      // clone the shared append-mode root (identical build+append
+      // state) into this invocation's private tree (r16-opt)
+      graft.core.Fs.copyRecursive(s, ivfAppendRoot(s, dir, k), root)
       val doomed = v.where(col("vec_id") % 7 === 0).select(col("vec_id"))
       val (watched, staged) = StreamingReplays.stageOrderedFiles(
         doomed, 3, Seq(col("vec_id")))
@@ -1040,7 +1095,8 @@ object EmbedQueries {
       val v = Similarity.vectors(Tables.embeddings(s, dir)).select(col("vec_id"), col("v"))
       val root = graft.ops.Scratch.dir(s"ivfpq_${Integer.toHexString(dir.hashCode)}")
       graft.ops.Scratch.once(root) {
-        graft.ops.IvfIndex.build(v, k, iters = 2, root)
+        // clone the shared coarse half, fit only the PQ tier (r16-opt)
+        graft.core.Fs.copyRecursive(s, ivfFullRoot(s, dir, k), root)
         graft.ops.IvfIndex.buildPq(s, v, m, dsub, kCodes, iters = 2, root)
       }
       val q = v.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -1179,15 +1235,15 @@ object EmbedQueries {
   private def ivfadcResidualRoot(s: org.apache.spark.sql.SparkSession,
                                  dir: String, k: Int, m: Int, dsub: Int,
                                  kCodes: Int): String = {
-    val vl = Similarity.vectors(Tables.embeddings(s, dir))
-      .select(col("vec_id"), col("v"), col("label"))
     // the build params join the memo key: the family shares this
     // artifact TODAY at identical constants, and a later param tweak to
     // any row must miss the memo, not silently serve the others' index
     val root = graft.ops.Scratch.dir(
       s"ivfadc_fam_${k}_${m}_${dsub}_${kCodes}_${Integer.toHexString(dir.hashCode)}")
     graft.ops.Scratch.once(root) {
-      graft.ops.IvfIndex.build(vl, k, iters = 2, root)
+      // clone the shared coarse half (identical build(vl) — r16-opt),
+      // then fit the residual codebooks + SQ8 copy on the clone
+      graft.core.Fs.copyRecursive(s, ivfFullRoot(s, dir, k), root)
       graft.ops.IvfIndex.buildPqResidual(s, m, dsub, kCodes, iters = 2, root)
       graft.ops.IvfIndex.buildSq8(s, root)
     }
@@ -1265,7 +1321,9 @@ object EmbedQueries {
       val root = graft.ops.Scratch.dir(
         s"ivfadc_alloc_${k}_${m}_${dsub}_${kCodes}_${Integer.toHexString(dir.hashCode)}")
       graft.ops.Scratch.once(root) {
-        graft.ops.IvfIndex.build(v, k, iters = 2, root)
+        // clone the shared coarse half (the permutation only changes
+        // the ENCODED half, fit next — r16-opt §artifact-sharing)
+        graft.core.Fs.copyRecursive(s, ivfFullRoot(s, dir, k), root)
         graft.ops.IvfIndex.buildPqResidual(s, m, dsub, kCodes, iters = 2, root,
           alloc = true)
       }
@@ -1387,6 +1445,29 @@ object EmbedQueries {
       graft.ops.KnnGraph.build(
         Similarity.vectors(Tables.embeddings(s, dir))
           .select(col("vec_id"), col("v")), k, rounds, root)
+    }
+    root
+  }
+
+  /** The shared BASE-3/4 build (vec_id % 4 != 3) the insert-path gates
+    * start from: embed_knn_graph_append and streaming_knng_append_replay
+    * both mutate this exact base, so it builds ONCE per run and each
+    * mutation gate CLONES the tree into its private root before
+    * inserting (r16-opt, guide §1.2: the mutation gates were each
+    * re-running NN-Descent over the identical base — ~2 s apiece of
+    * recompute for an artifact that already existed on disk; a clone
+    * is a metadata-sized local copy). Same discipline as the
+    * full-corpus [[knnGraphRoot]] shared by delete/compact.
+    */
+  private def knnGraphBase34Root(s: org.apache.spark.sql.SparkSession, dir: String,
+                                 k: Int, rounds: Int): String = {
+    val root = graft.ops.Scratch.dir(
+      s"knng_b34_${Integer.toHexString(dir.hashCode)}")
+    graft.ops.Scratch.once(root) {
+      graft.ops.KnnGraph.build(
+        Similarity.vectors(Tables.embeddings(s, dir))
+          .select(col("vec_id"), col("v")).where(col("vec_id") % 4 =!= 3),
+        k, rounds, root)
     }
     root
   }
@@ -1566,7 +1647,8 @@ object EmbedQueries {
       graft.ops.Scratch.once(root) {
         val v = Similarity.vectors(Tables.embeddings(s, dir))
           .select(col("vec_id"), col("v"))
-        graft.ops.KnnGraph.build(v.where(col("vec_id") % 4 =!= 3), k, rounds, root)
+        // clone the shared base-3/4 artifact, then mutate the clone
+        graft.core.Fs.copyRecursive(s, knnGraphBase34Root(s, dir, k, rounds), root)
         graft.ops.KnnGraph.append(s, v.where(col("vec_id") % 4 === 3), root,
           beam, hops)
       }
@@ -1615,7 +1697,9 @@ object EmbedQueries {
       graft.ops.Scratch.once(root) {
         val v = Similarity.vectors(Tables.embeddings(s, dir))
           .select(col("vec_id"), col("v"))
-        graft.ops.KnnGraph.build(v, k, rounds, root)
+        // clone the shared full-corpus artifact (identical base build),
+        // then tombstone the clone — no NN-Descent re-run (r16-opt)
+        graft.core.Fs.copyRecursive(s, knnGraphRoot(s, dir, k, rounds), root)
         graft.ops.KnnGraph.delete(s,
           v.where(col("vec_id") >= 10 && col("vec_id") % 7 === 0), root)
       }
@@ -1666,7 +1750,9 @@ object EmbedQueries {
       graft.ops.Scratch.once(root) {
         val v = Similarity.vectors(Tables.embeddings(s, dir))
           .select(col("vec_id"), col("v"))
-        graft.ops.KnnGraph.build(v, k, rounds, root)
+        // clone the shared full-corpus artifact (identical base build),
+        // then tombstone + consolidate the clone (r16-opt)
+        graft.core.Fs.copyRecursive(s, knnGraphRoot(s, dir, k, rounds), root)
         graft.ops.KnnGraph.delete(s, v.where(col("vec_id") % 7 === 0), root)
         graft.ops.KnnGraph.compact(s, root)
       }
@@ -1745,7 +1831,10 @@ object EmbedQueries {
       // never share a Scratch.once build with another invocation
       val root = graft.ops.Scratch.dir(
         s"knng_stream_${Integer.toHexString(dir.hashCode)}_${streamSeq.incrementAndGet()}")
-      graft.ops.KnnGraph.build(v.where(col("vec_id") % 4 =!= 3), k, rounds, root)
+      // clone the shared base-3/4 artifact into this invocation's
+      // private root (the replay mutates it per micro-batch) — the
+      // base build itself runs once per run (r16-opt)
+      graft.core.Fs.copyRecursive(s, knnGraphBase34Root(s, dir, k, rounds), root)
       val chunks = (0 until 3).map(c =>
         v.where(col("vec_id") % 4 === 3 && col("vec_id") % 3 === c))
       val (watched, staged) = StreamingReplays.stageChunkFiles(chunks)
@@ -1803,8 +1892,9 @@ object EmbedQueries {
       val v = Similarity.vectors(Tables.embeddings(s, dir)).select(col("vec_id"), col("v"))
       val root = graft.ops.Scratch.dir(s"ivf_delete_${Integer.toHexString(dir.hashCode)}")
       graft.ops.Scratch.once(root) {
-        graft.ops.IvfIndex.build(v.where(col("vec_id") < 400), k, iters = 2, root)
-        graft.ops.IvfIndex.append(s, v.where(col("vec_id") >= 400), root)
+        // clone the shared append-mode root (identical build+append
+        // state), then tombstone + compact the clone (r16-opt)
+        graft.core.Fs.copyRecursive(s, ivfAppendRoot(s, dir, k), root)
         graft.ops.IvfIndex.delete(s, v.where(col("vec_id") % 7 === 0), root)
         graft.ops.IvfIndex.compact(s, root, minRatio = 0.1): Unit
       }
