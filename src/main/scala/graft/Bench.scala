@@ -87,12 +87,16 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+      // label every job with its query (guide §1.5) so event logs / the
+      // UI attribute time per query — metadata only, no runtime effect
+      spark.sparkContext.setJobDescription(s"bench:$name")
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
         }
+        finally spark.sparkContext.setJobDescription(null)
       // -1 marks a failed query in the JSON so a regression can't hide
       // inside a smaller (passing) total
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)

@@ -76,8 +76,14 @@ object Poisson {
   def mse(predictions: DataFrame): Double = Metrics.registry("mse")(predictions)
 
   /** End-to-end pipeline (fit on the data, predict, attach label). */
-  def run(spark: SparkSession, dir: String, cfg: Config = Config()): DataFrame = {
-    val ds = buildDataset(spark, dir, cfg)
+  def run(spark: SparkSession, dir: String, cfg: Config = Config()): DataFrame =
+    runOn(buildDataset(spark, dir, cfg), cfg)
+
+  /** [[run]] on a caller-supplied dataset frame (the bench shares ONE
+    * memoized [[buildDataset]] between the dataset gate and this fit —
+    * r16-opt; identical semantics, the derivation just isn't repeated).
+    */
+  def runOn(ds: DataFrame, cfg: Config = Config()): DataFrame = {
     // single source for the ring naming (Features.scala), not a copy
     val featureNames = ds.columns.filter(_.endsWith("_hb")).toSeq
     val assembled = assemble(ds, featureNames).cache()

@@ -3558,7 +3558,11 @@ object EmbedQueries {
   private[graft] def phashDedupPairs(s: org.apache.spark.sql.SparkSession,
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val media = Multimodal.mediaTable(s, docs)
-    val ph = Multimodal.phash(s, media).toDF()
+    // the hash table is doc-count × 16 bytes; its plan is referenced
+    // THREE times below (banding + both verify joins), each of which
+    // would re-run the per-partition decode + digest — checkpoint once
+    // (r16-opt; the decode stage is the whole cost of this query)
+    val ph = Multimodal.phash(s, media).toDF().transform(graft.ops.Ckpt.eager)
     val bd = ph.select(col("doc_id"), explode(expr(
       "transform(sequence(0, 3), b -> struct(b AS band, CAST(shiftright(ph, 4 * b) & 15 AS INT) AS bv))"))
       .as("bd"))

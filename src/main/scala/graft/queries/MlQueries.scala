@@ -13,6 +13,53 @@ import graft.ops.{HourRingFeatures, SeriesAggs, TextOps}
   */
 object MlQueries {
 
+  /** Session memo of [[Poisson.buildDataset]] per (session, dir) — the
+    * J2 dataset frame is consumed by TWO registered queries (ml_dataset
+    * hash-gates the frame; ml_poisson_predict trains/predicts on it),
+    * and before r16-opt each derived the full two-profile ring +
+    * forward-window pipeline independently (~2 s apiece at sf0.1).
+    * Same lifecycle as the dedup signature memos (DedupQueries.docHashes):
+    * keyed by a session UUID, persisted MEMORY_AND_DISK, evicted +
+    * unpersisted at application end. Production analog: the persisted
+    * training-dataset table a pipeline writes once per snapshot.
+    */
+  private val dsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
+
+  private def sessionKey(s: SparkSession): String = synchronized {
+    s.conf.getOption("spark.graft.ml.sessionKey").getOrElse {
+      val k = java.util.UUID.randomUUID().toString
+      s.conf.set("spark.graft.ml.sessionKey", k)
+      k
+    }
+  }
+
+  private val evictionRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def pooledDataset(s: SparkSession, dir: String): DataFrame = {
+    if (!s.conf.get("spark.graft.ml.shareDataset", "true").toBoolean)
+      Poisson.buildDataset(s, dir)
+    else {
+      val uuid = sessionKey(s)
+      if (evictionRegistered.add(uuid))
+        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+            import scala.jdk.CollectionConverters._
+            dsMemo.keySet.asScala.filter(_._1 == uuid).foreach { k =>
+              Option(dsMemo.remove(k)).foreach(df =>
+                try df.unpersist(false) catch { case _: Throwable => () })
+            }
+            evictionRegistered.remove(uuid)
+          }
+        })
+      dsMemo.computeIfAbsent((uuid, dir),
+        _ => Poisson.buildDataset(s, dir)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
+  }
+
   /** W1: 24 cyclic hourly lags of the station's avg measure per event,
     * emitted long-form (event_id, i, measure) for the oracle. One query
     * per reference measure — get_features emits BOTH n_rents and
@@ -77,7 +124,7 @@ object MlQueries {
       |SELECT r.event_id, r.label, CAST(r.i AS BIGINT) AS i, coalesce(s.v, 0.0) AS feature
       |FROM ring r LEFT JOIN s ON s.user_id = r.user_id AND s.event_type = r.m AND s.k = r.hh
       |ORDER BY r.event_id, r.i""".stripMargin) { (s, dir) =>
-    val ds = Poisson.buildDataset(s, dir)
+    val ds = pooledDataset(s, dir)
     // single source for ring order: buildDataset's select order (rents
     // ring 0..23 then returns ring 0..23, Features.scala featureNames)
     val names = ds.columns.filter(_.endsWith("_hb")).toSeq
@@ -88,10 +135,13 @@ object MlQueries {
   }
 
   /** M2-M5 end to end: fit Poisson GLM on (W1 features, A5 targets),
-    * predict. Weaker rows-only driver check (no oracle).
+    * predict. Weaker rows-only driver check (no oracle). Trains on the
+    * session-memoized dataset frame ([[pooledDataset]]) — identical
+    * derivation to [[mlDataset]]'s gate-checked frame.
     */
   val mlPoissonPredict: QueryDef = QueryDef.noOracle("ml_poisson_predict") { (s, dir) =>
-    Poisson.run(s, dir).select(col("event_id"), col("label"), col("prediction"))
+    Poisson.runOn(pooledDataset(s, dir))
+      .select(col("event_id"), col("label"), col("prediction"))
       .orderBy(col("event_id"))
   }
 
