@@ -682,10 +682,15 @@ object DedupQueries {
     */
   private[graft] def sourceOverlapPairs(hs: org.apache.spark.sql.DataFrame,
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    // the distinct (source, shingle) projection is the one corpus-sized
+    // shuffle here and is referenced THREE times below (size rollup +
+    // both self-join sides, which project different aliases so exchange
+    // reuse can't kick in) — checkpoint once (r16-opt)
     val tok = hs
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .select(col("source"), explode(col("hs")).as("h"))
       .distinct()
+      .transform(graft.ops.Ckpt.eager)
     val sz = tok.groupBy(col("source")).agg(count(lit(1)).as("n"))
     val p = tok.select(col("source").as("sa"), col("h")).as("a")
       .join(tok.select(col("source").as("sb"), col("h")).as("b"),
