@@ -29,6 +29,10 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // full trace on demand — a bare message hides WHERE a deep
+        // library error (e.g. a ConcurrentHashMap "Recursive update")
+        // actually fired (r16-opt debugging aid)
+        if (sys.env.contains("SPARK_GRAFT_DEBUG")) e.printStackTrace()
       }
     }
     // JSON string escape (shared Json helper): backslash, quote, and ALL

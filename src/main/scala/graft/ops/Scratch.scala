@@ -58,12 +58,31 @@ object Scratch {
     * is a pure function of the input dir, so sweeps/tests re-invoking
     * the query re-probe the EXISTING tree instead of re-fitting and
     * re-writing it (measured ~3-5 s per index rebuild, times three
-    * PlanSpec sweeps). Thread-safe: concurrent first callers serialize
-    * on the computeIfAbsent.
+    * PlanSpec sweeps).
+    *
+    * REENTRANCY (r16-opt): bodies may call [[once]] for a DIFFERENT tag
+    * (a mutation gate clones a shared base artifact, whose own build is
+    * once-guarded). Running bodies inside `computeIfAbsent` breaks
+    * then — a nested insert on the same ConcurrentHashMap throws
+    * "Recursive update" whenever the two tags collide on a bin, i.e.
+    * intermittently by hash. So the map only ever allocates per-tag
+    * LOCK objects (computeIfAbsent completes before any body runs) and
+    * the body executes under the tag's monitor with a done-set check.
+    * Nested tags take nested monitors; the artifact dependency graph is
+    * a DAG (mutation root -> base root, never cyclic), so no deadlock.
+    * Concurrent first callers of one tag still serialize; later callers
+    * hit the done-set fast path.
     */
-  private val onceGuard =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+  private val onceLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private val onceDone =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   def once(tag: String)(body: => Unit): Unit =
-    onceGuard.computeIfAbsent(tag, _ => { body; java.lang.Boolean.TRUE }): Unit
+    if (!onceDone.contains(tag)) {
+      val lock = onceLocks.computeIfAbsent(tag, _ => new Object)
+      lock.synchronized {
+        if (!onceDone.contains(tag)) { body; onceDone.add(tag): Unit }
+      }
+    }
 }
