@@ -430,10 +430,13 @@ object KnnGraph {
     val beams = scala.collection.mutable.Buffer[DataFrame]()
     var scored: DataFrame = null
     for (_ <- 1 to hops) {
+      // eligibility filtering rides the scoring join itself: the inner
+      // join against lv below drops ineligible nids, so a separate
+      // left_semi pre-filter on the same key was a redundant join per
+      // hop (r16-opt; result-identical, one fewer stage × hops × calls)
       val x = b.union(
           b.join(g, b("nid") === g("src")).select(b("qid"), g("dst").as("nid")))
         .distinct()
-        .join(lv.select(col("nid")), Seq("nid"), "left_semi")
       scored = x
         .join(lv, "nid")
         .join(broadcast(q), "qid")
